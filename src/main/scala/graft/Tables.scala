@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.recdb.EventCols
+
+/** Readers for the driver-generated testdata (TESTDATA.md) plus the derived
+  * ratings triple the recommendation surface runs on.
+  */
+object Tables {
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every table as a temp view so queries can go through spark.sql
+    * (full Catalyst path) with the same table names the DuckDB oracle sees.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => read(spark, dir, n).createOrReplaceTempView(n))
+
+  /** The canonical events triple (README.md:76-80 `userid|itemid|ratingval`)
+    * derived deterministically from the synthetic events table: identical
+    * arithmetic in Spark and DuckDB (max() is order-independent and exact, so
+    * no float drift enters the derivation).
+    */
+  def ratings(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "events")
+      .groupBy(col("user_id").as("userid"), (col("event_id") % 100).as("itemid"))
+      .agg(max(col("value")).as("rating"))
+
+  val ratingCols: EventCols = EventCols("userid", "itemid", "rating")
+
+  /** DuckDB-dialect CTE body for the same derivation — prefix for oracle SQL. */
+  val ratingsSql: String =
+    """ratings AS (
+      |  SELECT user_id AS userid, event_id % 100 AS itemid, max(value) AS rating
+      |  FROM events GROUP BY 1, 2
+      |)""".stripMargin
+}

@@ -1,0 +1,119 @@
+package graft.recdb
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Column bindings for an events (ratings) table — the reference validates the
+  * three columns at parse time (recathon.c:846-865); here it is a signature.
+  */
+final case class EventCols(
+    user: String = "userid",
+    item: String = "itemid",
+    rating: String = "rating")
+
+/** Similarity-model builders — the Spark-first re-expression of RecDB's four
+  * CF model builds (reference: recathon.c updateItemCosModel :1378-1562,
+  * updateItemPearModel :1768-1962, updateUserCosModel :1970-2161,
+  * updateUserPearModel :2169-2360; see SURVEY.md §2.1 R6-R9).
+  *
+  * Output schemas follow the reference's model tables (utility.c:141-142, 232):
+  *   item models: (item1, item2, similarity), invariant item1 < item2
+  *   user models: (user1, user2, similarity), invariant user1 < user2
+  *
+  * Correctness-bearing quirks preserved (SURVEY.md §2.3 #4):
+  *   - cosine keeps only similarity > 0 (recathon.c:1493)
+  *   - Pearson keeps similarity != 0 — negative sims participate in scoring
+  *     (recathon.c:1885)
+  *
+  * Scale design: the reference runs an O(n²) single-threaded pair loop over
+  * in-memory linked lists. Here the pairwise dot product is an events
+  * self-join on the co-rating key, so pairs only materialize where co-ratings
+  * exist (the same sparsity the reference's sim_node walk exploits,
+  * recathon.c:1331-1341). The join shuffles once on the co-rating key and the
+  * pair aggregation shuffles once on the pair key; per-entity stats (norms,
+  * means) are one row per item/user and are broadcast, never shuffled with the
+  * big side. For skewed co-rating keys (a user who rated millions of items
+  * would emit quadratic pairs) callers can cap events per key with
+  * [[capRatingsPerKey]] — the reference's dormant NBRHOOD knob (recathon.c:48)
+  * made real.
+  */
+object Similarity {
+
+  /** Optional skew guard: keep at most `max` highest-rated events per `key`.
+    * Deterministic (ties broken by the pair column). No-op semantics when every
+    * key has fewer events than `max`.
+    */
+  def capRatingsPerKey(ratings: DataFrame, key: String, other: String,
+      rating: String, max: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(key)).orderBy(col(rating).desc, col(other))
+    ratings.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= max).drop("__rn")
+  }
+
+  def itemCosine(ratings: DataFrame, c: EventCols = EventCols()): DataFrame =
+    cosine(ratings, joinKey = c.user, pairKey = c.item, c.rating, "item1", "item2")
+
+  def userCosine(ratings: DataFrame, c: EventCols = EventCols()): DataFrame =
+    cosine(ratings, joinKey = c.item, pairKey = c.user, c.rating, "user1", "user2")
+
+  def itemPearson(ratings: DataFrame, c: EventCols = EventCols()): DataFrame =
+    pearson(ratings, joinKey = c.user, pairKey = c.item, c.rating, "item1", "item2")
+
+  def userPearson(ratings: DataFrame, c: EventCols = EventCols()): DataFrame =
+    pearson(ratings, joinKey = c.item, pairKey = c.user, c.rating, "user1", "user2")
+
+  /** sim(a,b) = dot(a,b) / (‖a‖·‖b‖) over co-rating keys (recathon.c:1353-1367). */
+  private def cosine(r: DataFrame, joinKey: String, pairKey: String,
+      rating: String, out1: String, out2: String): DataFrame = {
+    val norms = r.groupBy(col(pairKey).as("p"))
+      .agg(sqrt(sum(col(rating) * col(rating))).as("nrm"))
+    val dots = coPairs(r, joinKey, pairKey, rating)
+      .groupBy("p1", "p2")
+      .agg(sum(col("r1") * col("r2")).as("dot"))
+    dots
+      .join(broadcast(norms.select(col("p").as("p1"), col("nrm").as("nrm1"))), "p1")
+      .join(broadcast(norms.select(col("p").as("p2"), col("nrm").as("nrm2"))), "p2")
+      .select(col("p1").as(out1), col("p2").as(out2),
+        (col("dot") / (col("nrm1") * col("nrm2"))).as("similarity"))
+      .where(col("similarity") > 0d) // drop sims <= 0: recathon.c:1493
+  }
+
+  /** Pearson: per-entity mean over ALL its ratings (pearson_info,
+    * recathon.c:1575-1697); dot of mean-centered values over co-rating keys;
+    * sim = dot / (P_a · P_b). Degenerate P=0 yields NULL (guarded division)
+    * and is dropped by the != 0 filter, matching the reference's ==0 skip.
+    */
+  private def pearson(r: DataFrame, joinKey: String, pairKey: String,
+      rating: String, out1: String, out2: String): DataFrame = {
+    val stats = r.groupBy(col(pairKey).as("p")).agg(avg(col(rating)).as("mean"))
+    val centered = r
+      .join(broadcast(stats), col(pairKey) === col("p"))
+      .select(col(joinKey).as("k"), col(pairKey).as("pk"),
+        (col(rating) - col("mean")).as("c"))
+    val pinfo = centered.groupBy(col("pk").as("p"))
+      .agg(sqrt(sum(col("c") * col("c"))).as("pp"))
+    val a = centered.select(col("k"), col("pk").as("p1"), col("c").as("c1"))
+    val b = centered.select(col("k"), col("pk").as("p2"), col("c").as("c2"))
+    val dots = a.join(b, Seq("k")).where(col("p1") < col("p2"))
+      .groupBy("p1", "p2")
+      .agg(sum(col("c1") * col("c2")).as("dot"))
+    val denomGuarded = when(col("pp1") * col("pp2") === 0d, lit(null))
+      .otherwise(col("dot") / (col("pp1") * col("pp2")))
+    dots
+      .join(broadcast(pinfo.select(col("p").as("p1"), col("pp").as("pp1"))), "p1")
+      .join(broadcast(pinfo.select(col("p").as("p2"), col("pp").as("pp2"))), "p2")
+      .select(col("p1").as(out1), col("p2").as(out2), denomGuarded.as("similarity"))
+      .where(col("similarity") =!= 0d) // keep negatives: recathon.c:1885
+  }
+
+  /** Self-join on the co-rating key; triangular convention p1 < p2 mirrors the
+    * reference's "only worry about half the model" (recathon.c:3053-3057).
+    */
+  private def coPairs(r: DataFrame, joinKey: String, pairKey: String,
+      rating: String): DataFrame = {
+    val a = r.select(col(joinKey).as("k"), col(pairKey).as("p1"), col(rating).as("r1"))
+    val b = r.select(col(joinKey).as("k"), col(pairKey).as("p2"), col(rating).as("r2"))
+    a.join(b, Seq("k")).where(col("p1") < col("p2"))
+  }
+}
