@@ -1,0 +1,198 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.recdb.{Scoring, Similarity}
+
+/** The RecDB query surface exposed to the driver gate: the four CF model
+  * builds (SURVEY.md §2.1 R6-R9), itemCF/userCF scoring (R12-R13) and top-k
+  * composition, each with a DuckDB-dialect oracle generated from the same
+  * parametrization so Spark and oracle can't drift apart structurally.
+  */
+object RecQueries {
+  private val c = Tables.ratingCols
+
+  def ratings(spark: SparkSession, dir: String): DataFrame =
+    Tables.ratings(spark, dir).cache()
+
+  private def round6(df: DataFrame, cols: Seq[String], value: String): DataFrame =
+    df.select((cols.map(col) :+ round(col(value), 6).as(value)): _*)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r_itemcos_model" -> ((s, d) =>
+      round6(Similarity.itemCosine(ratings(s, d), c), Seq("item1", "item2"), "similarity")),
+    "r_itempear_model" -> ((s, d) =>
+      round6(Similarity.itemPearson(ratings(s, d), c), Seq("item1", "item2"), "similarity")),
+    "r_usercos_model" -> ((s, d) =>
+      round6(Similarity.userCosine(ratings(s, d), c), Seq("user1", "user2"), "similarity")),
+    "r_userpear_model" -> ((s, d) =>
+      round6(Similarity.userPearson(ratings(s, d), c), Seq("user1", "user2"), "similarity")),
+    "r_itemcf_scores" -> ((s, d) => {
+      val r = ratings(s, d)
+      round6(Scoring.itemCF(r, Similarity.itemCosine(r, c), c),
+        Seq("userid", "itemid"), "score")
+    }),
+    "r_itemcf_pear_scores" -> ((s, d) => {
+      val r = ratings(s, d)
+      round6(Scoring.itemCF(r, Similarity.itemPearson(r, c), c),
+        Seq("userid", "itemid"), "score")
+    }),
+    "r_usercf_scores" -> ((s, d) => {
+      val r = ratings(s, d)
+      round6(Scoring.userCF(r, Similarity.userCosine(r, c), c),
+        Seq("userid", "itemid"), "score")
+    }),
+    "r_itemcf_topk" -> ((s, d) => {
+      val r = ratings(s, d)
+      val minUser = r.agg(min(col("userid"))).head().getLong(0)
+      // user-qual pre-filter BEFORE the user×item expansion — the reference's
+      // userqual pruning (execRecommend.c:442-468, SURVEY.md §4.2.4)
+      val users = r.select(col("userid")).where(col("userid") === minUser).distinct()
+      round6(Scoring.itemCF(r, Similarity.itemCosine(r, c), c, Some(users)),
+        Seq("userid", "itemid"), "score")
+        .orderBy(col("score").desc, col("itemid"))
+        .limit(10)
+    }),
+    "r_usercf_topk" -> ((s, d) => {
+      val r = ratings(s, d)
+      val minUser = r.agg(min(col("userid"))).head().getLong(0)
+      val users = r.select(col("userid")).where(col("userid") === minUser).distinct()
+      round6(Scoring.userCF(r, Similarity.userCosine(r, c), c, Some(users)),
+        Seq("userid", "itemid"), "score")
+        .orderBy(col("score").desc, col("itemid"))
+        .limit(10)
+    }),
+  )
+
+  // ---- oracle SQL (DuckDB dialect), generated from one parametrization ----
+
+  /** Triangular similarity model CTE chain ending in model(<e>1, <e>2, s).
+    * entity = "item" (join on userid) or "user" (join on itemid).
+    */
+  private def simCte(entity: String, pearson: Boolean): String = {
+    val (pairCol, joinCol) =
+      if (entity == "item") ("itemid", "userid") else ("userid", "itemid")
+    val (e1, e2) = (s"${entity}1", s"${entity}2")
+    if (!pearson)
+      s"""${Tables.ratingsSql},
+         |norms AS (
+         |  SELECT $pairCol AS p, sqrt(sum(rating*rating)) AS nrm FROM ratings GROUP BY 1
+         |),
+         |dots AS (
+         |  SELECT a.$pairCol AS p1, b.$pairCol AS p2, sum(a.rating*b.rating) AS dot
+         |  FROM ratings a JOIN ratings b
+         |    ON a.$joinCol = b.$joinCol AND a.$pairCol < b.$pairCol
+         |  GROUP BY 1, 2
+         |),
+         |model AS (
+         |  SELECT d.p1 AS $e1, d.p2 AS $e2, d.dot/(n1.nrm*n2.nrm) AS s
+         |  FROM dots d
+         |  JOIN norms n1 ON d.p1 = n1.p
+         |  JOIN norms n2 ON d.p2 = n2.p
+         |  WHERE d.dot/(n1.nrm*n2.nrm) > 0
+         |)""".stripMargin
+    else
+      s"""${Tables.ratingsSql},
+         |stats AS (
+         |  SELECT $pairCol AS p, avg(rating) AS mean FROM ratings GROUP BY 1
+         |),
+         |centered AS (
+         |  SELECT r.$joinCol AS k, r.$pairCol AS pk, r.rating - s.mean AS cv
+         |  FROM ratings r JOIN stats s ON r.$pairCol = s.p
+         |),
+         |pinfo AS (
+         |  SELECT pk AS p, sqrt(sum(cv*cv)) AS pp FROM centered GROUP BY 1
+         |),
+         |dots AS (
+         |  SELECT a.pk AS p1, b.pk AS p2, sum(a.cv*b.cv) AS dot
+         |  FROM centered a JOIN centered b ON a.k = b.k AND a.pk < b.pk
+         |  GROUP BY 1, 2
+         |),
+         |model AS (
+         |  SELECT d.p1 AS $e1, d.p2 AS $e2,
+         |    CASE WHEN i1.pp*i2.pp = 0 THEN NULL ELSE d.dot/(i1.pp*i2.pp) END AS s
+         |  FROM dots d
+         |  JOIN pinfo i1 ON d.p1 = i1.p
+         |  JOIN pinfo i2 ON d.p2 = i2.p
+         |  WHERE CASE WHEN i1.pp*i2.pp = 0 THEN NULL ELSE d.dot/(i1.pp*i2.pp) END <> 0
+         |)""".stripMargin
+  }
+
+  private def modelSelect(entity: String, pearson: Boolean): String =
+    s"""WITH ${simCte(entity, pearson)}
+       |SELECT ${entity}1, ${entity}2, round(s, 6) AS similarity FROM model""".stripMargin
+
+  /** itemCF scoring over an item model: sym sweep + Σ|sim| normalization +
+    * all-pairs expansion with 0 for no-neighbor items.
+    */
+  private def itemCfCte(pearson: Boolean): String =
+    s"""${simCte("item", pearson)},
+       |sym AS (
+       |  SELECT item1 AS i, item2 AS j, s FROM model
+       |  UNION ALL
+       |  SELECT item2 AS i, item1 AS j, s FROM model
+       |),
+       |scores AS (
+       |  SELECT r.userid, sym.i AS itemid, sum(sym.s*r.rating)/sum(abs(sym.s)) AS score
+       |  FROM sym JOIN ratings r ON sym.j = r.itemid
+       |  GROUP BY 1, 2
+       |),
+       |pairs AS (
+       |  SELECT u.userid, i.itemid
+       |  FROM (SELECT DISTINCT userid FROM ratings) u
+       |  CROSS JOIN (SELECT DISTINCT itemid FROM ratings) i
+       |)""".stripMargin
+
+  /** userCF scoring: ū is u's own average (recathon.c:4349-4360 quirk);
+    * no similar raters → 0.0, not ū.
+    */
+  private val userCfCte: String =
+    s"""${simCte("user", pearson = false)},
+       |sym AS (
+       |  SELECT user1 AS u, user2 AS v, s FROM model
+       |  UNION ALL
+       |  SELECT user2 AS u, user1 AS v, s FROM model
+       |),
+       |uavg AS (
+       |  SELECT userid AS u, avg(rating) AS ubar FROM ratings GROUP BY 1
+       |),
+       |scores AS (
+       |  SELECT sym.u AS userid, r.itemid,
+       |    ua.ubar + sum(sym.s*(r.rating - ua.ubar))/sum(abs(sym.s)) AS score
+       |  FROM sym
+       |  JOIN ratings r ON sym.v = r.userid
+       |  JOIN uavg ua ON sym.u = ua.u
+       |  GROUP BY 1, 2, ua.ubar
+       |),
+       |pairs AS (
+       |  SELECT u.userid, i.itemid
+       |  FROM (SELECT DISTINCT userid FROM ratings) u
+       |  CROSS JOIN (SELECT DISTINCT itemid FROM ratings) i
+       |)""".stripMargin
+
+  private def scoresSelect(cte: String, topk: Boolean): String = {
+    val base =
+      s"""WITH $cte
+         |SELECT p.userid, p.itemid, round(coalesce(sc.score, 0), 6) AS score
+         |FROM pairs p
+         |LEFT JOIN scores sc ON p.userid = sc.userid AND p.itemid = sc.itemid""".stripMargin
+    if (!topk) base
+    else
+      s"""$base
+         |WHERE p.userid = (SELECT min(userid) FROM ratings)
+         |ORDER BY round(coalesce(sc.score, 0), 6) DESC, p.itemid
+         |LIMIT 10""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "r_itemcos_model" -> modelSelect("item", pearson = false),
+    "r_itempear_model" -> modelSelect("item", pearson = true),
+    "r_usercos_model" -> modelSelect("user", pearson = false),
+    "r_userpear_model" -> modelSelect("user", pearson = true),
+    "r_itemcf_scores" -> scoresSelect(itemCfCte(pearson = false), topk = false),
+    "r_itemcf_pear_scores" -> scoresSelect(itemCfCte(pearson = true), topk = false),
+    "r_usercf_scores" -> scoresSelect(userCfCte, topk = false),
+    "r_itemcf_topk" -> scoresSelect(itemCfCte(pearson = false), topk = true),
+    "r_usercf_topk" -> scoresSelect(userCfCte, topk = true),
+  )
+}
