@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The inherited relational surface (SURVEY.md §2.2): RecDB ships stock
+  * PostgreSQL 9.2 executor operators — scans, joins (all types), hash/sort
+  * aggregation, window functions, set ops, subqueries, top-k, LIKE/ILIKE/IN —
+  * which this engine gets from Spark SQL/Catalyst. Each query here exercises
+  * one operator family end-to-end through spark.sql (full parser → Catalyst →
+  * Tungsten path) and carries a DuckDB oracle that is textually identical
+  * except where dialects genuinely diverge (noted inline).
+  *
+  * Scale notes: dimension tables (region/nation/customer/supplier/part) are
+  * broadcast by Spark automatically under the 10MB threshold; the fact table
+  * (lineitem/orders/events) is only shuffled for aggregations on its own keys.
+  * AQE re-plans joins at runtime; no hints needed at these shapes.
+  */
+object RelQueries {
+
+  /** (spark SQL, duckdb SQL) — usually the same text. */
+  private final case class Q(spark: String, duck: String)
+  private def q(sql: String): Q = Q(sql, sql)
+
+  private val defs: Map[String, Q] = Map(
+    // Scan + filter + hash aggregation (nodeAgg.c) — TPC-H Q1 shape; the
+    // shipdate filter reaches the parquet scan as a pushed predicate.
+    "q1_agg" -> q(
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_extendedprice), 4) AS sum_base,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  count(*) AS cnt
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin),
+    // 3-way join + agg + deterministic top-k (TakeOrderedAndProject).
+    "q3_join" -> q(
+      """SELECT o.o_orderkey, c.c_mktsegment,
+        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY o.o_orderkey, c.c_mktsegment
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 20""".stripMargin),
+    // 6-way snowflake join with a scalar subquery (TPC-H Q5 shape).
+    "q5_multijoin" -> q(
+      """SELECT n.n_name,
+        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+        |FROM region r
+        |JOIN nation n ON n.n_regionkey = r.r_regionkey
+        |JOIN customer c ON c.c_nationkey = n.n_nationkey
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+        |WHERE r.r_name = (SELECT min(r_name) FROM region)
+        |GROUP BY n.n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin),
+    // Window functions (nodeWindowAgg.c): rank within partition, deterministic.
+    "q_window" -> q(
+      """SELECT o_custkey, o_orderkey, rnk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) t
+        |WHERE rnk <= 3""".stripMargin),
+    // Set ops (nodeSetOp.c): EXCEPT = customers that never ordered.
+    "q_except" -> q(
+      """SELECT c_custkey AS custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders""".stripMargin),
+    "q_intersect" -> q(
+      """SELECT c_custkey AS custkey FROM customer
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders""".stripMargin),
+    // DISTINCT aggregation (Unique/HashAgg) — Expand-based in Spark.
+    "q_distinct_agg" -> q(
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supp
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+    // ILIKE + IN list + CASE — the regression script's composition surface
+    // (recdb_regression_test.sql:38-39).
+    "q_like_in_case" -> q(
+      """SELECT p_brand, p_type, count(*) AS cnt,
+        |  round(sum(CASE WHEN p_size IN (1, 5, 9) THEN p_retailprice ELSE 0 END), 4)
+        |    AS sel_price
+        |FROM part
+        |WHERE p_type ILIKE 'promo%' OR p_brand IN ('Brand#1', 'Brand#2')
+        |GROUP BY p_brand, p_type""".stripMargin),
+    // Correlated EXISTS (semi join) + uncorrelated scalar subquery.
+    "q_exists" -> q(
+      """SELECT c.c_custkey FROM customer c
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_totalprice > (SELECT avg(o_totalprice) FROM orders))""".stripMargin),
+    // LEFT JOIN + count semantics over null rows.
+    "q_left_join" -> q(
+      """SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+        |FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_custkey""".stripMargin),
+    // ROLLUP grouping sets.
+    "q_rollup" -> q(
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls, count(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin),
+    // Pure top-k over raw columns (TakeOrderedAndProject, nodeSort/nodeLimit).
+    "q_topk" -> q(
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 15""".stripMargin),
+    // Tumbling-window aggregation over the events stream table. Dialect split:
+    // Spark reads ts as LONG ns (nanosAsLong); DuckDB sees TIMESTAMP_NS.
+    "q_events_hourly" -> Q(
+      spark = """SELECT (ts DIV 3600000000000) * 3600 AS hour_epoch, event_type,
+                |  count(*) AS n, round(sum(value), 4) AS sum_value
+                |FROM events GROUP BY hour_epoch, event_type""".stripMargin,
+      duck = """SELECT CAST(floor(epoch(ts)/3600) AS BIGINT) * 3600 AS hour_epoch,
+               |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+               |FROM events GROUP BY hour_epoch, event_type""".stripMargin),
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map { case (name, qq) =>
+      name -> ((spark: SparkSession, dir: String) => {
+        Tables.registerAll(spark, dir)
+        spark.sql(qq.spark)
+      })
+    }
+
+  def oracleSql: Map[String, String] = defs.map { case (n, qq) => n -> qq.duck }
+}
