@@ -53,6 +53,18 @@ object RecQueries {
         .orderBy(col("score").desc, col("itemid"))
         .limit(10)
     }),
+    // SVD (ALS) — no DuckDB oracle (gradient trajectories are not
+    // SQL-expressible); the driver records a rows-only check, and
+    // RecommenderSpec gates ranking sanity in ScalaTest.
+    "r_svd_topk" -> ((s, d) => {
+      val r = ratings(s, d)
+      val minUser = r.agg(min(col("userid"))).head().getLong(0)
+      val users = r.select(col("userid")).where(col("userid") === minUser).distinct()
+      graft.recdb.Recommender
+        .recommend(s, r, s"events@$d", Tables.ratingCols, "svd", None, Some(users))
+        .orderBy(round(col("score"), 6).desc, col("itemid"))
+        .limit(10)
+    }),
     "r_usercf_topk" -> ((s, d) => {
       val r = ratings(s, d)
       val minUser = r.agg(min(col("userid"))).head().getLong(0)

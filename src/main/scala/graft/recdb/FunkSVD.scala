@@ -1,0 +1,45 @@
+package graft.recdb
+
+import org.apache.spark.ml.recommendation.ALS
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Matrix-factorization training for method `svd`.
+  *
+  * The reference trains Funk-SVD with sequential gradient descent — 50
+  * features × 100 epochs, lr 0.001, reg 0.002, init 0.1, residual caching
+  * (recathon.c:2699-2940). That trajectory is inherently sequential; the
+  * Spark-native equivalent is ALS at the same rank (documented divergence,
+  * SURVEY.md §7.3 "hard parts" (b)): same model family, same inference
+  * (dot product, R14), different optimizer, so correctness gates on SVD are
+  * metric-based (ranking agreement) rather than bitwise.
+  *
+  * Output: (userFactors, itemFactors), each (id LONG, features ARRAY<FLOAT>)
+  * — the Spark rendering of the reference's (users|items, feature, value)
+  * model tables (utility.c:310-317).
+  */
+object FunkSVD {
+  val Rank = 50 // recathon.c:2707 — the reference's feature count
+  val Seed = 42L
+
+  def train(events: DataFrame, c: EventCols,
+      rank: Int = Rank, maxIter: Int = 10, regParam: Double = 0.05)
+      : (DataFrame, DataFrame) = {
+    val df = events.select(
+      col(c.user).cast("int").as("user"),
+      col(c.item).cast("int").as("item"),
+      col(c.rating).cast("float").as("rating"))
+    val als = new ALS()
+      .setRank(rank)
+      .setMaxIter(maxIter)
+      .setRegParam(regParam)
+      .setSeed(Seed)
+      .setUserCol("user")
+      .setItemCol("item")
+      .setRatingCol("rating")
+      .setColdStartStrategy("drop")
+    val model = als.fit(df)
+    (model.userFactors.select(col("id").cast("long").as("id"), col("features")),
+      model.itemFactors.select(col("id").cast("long").as("id"), col("features")))
+  }
+}

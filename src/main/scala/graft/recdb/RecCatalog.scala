@@ -1,0 +1,85 @@
+package graft.recdb
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Properties
+import scala.jdk.CollectionConverters._
+
+/** One registered recommender — the union of the reference's
+  * RecModelsCatalogue row (utility.c:886) and its per-recommender RecIndex
+  * bookkeeping table (utility.c:916-921): model location(s), event total and
+  * the update/query counters that drive incremental maintenance (R17/R18).
+  */
+final case class RecEntry(
+    name: String,
+    eventsTag: String,
+    userCol: String,
+    itemCol: String,
+    ratingCol: String,
+    method: RecMethod,
+    modelPaths: Seq[String],
+    eventTotal: Long,
+    updateCounter: Long = 0L,
+    queryCounter: Long = 0L)
+
+/** File-backed catalog: one properties file per recommender under `dir`.
+  * Replaces the reference's RecModelsCatalogue/RecIndex SQL tables
+  * (SURVEY.md §1.1). Driver-side metadata only — never on the data path, so
+  * a single small directory is correct at any data scale.
+  */
+final class RecCatalog(dirStr: String) {
+  private val dir: Path = Paths.get(dirStr)
+  Files.createDirectories(dir)
+
+  private def file(name: String): Path = dir.resolve(s"$name.recommender")
+
+  def get(name: String): Option[RecEntry] = {
+    val f = file(name)
+    if (!Files.exists(f)) None
+    else {
+      val p = new Properties()
+      val in = Files.newInputStream(f)
+      try p.load(in) finally in.close()
+      Some(RecEntry(
+        name = p.getProperty("name"),
+        eventsTag = p.getProperty("eventsTag"),
+        userCol = p.getProperty("userCol"),
+        itemCol = p.getProperty("itemCol"),
+        ratingCol = p.getProperty("ratingCol"),
+        method = RecMethod.parse(p.getProperty("method")),
+        modelPaths = p.getProperty("modelPaths", "").split(',').toSeq.filter(_.nonEmpty),
+        eventTotal = p.getProperty("eventTotal", "0").toLong,
+        updateCounter = p.getProperty("updateCounter", "0").toLong,
+        queryCounter = p.getProperty("queryCounter", "0").toLong))
+    }
+  }
+
+  def list(): Seq[RecEntry] =
+    Files.list(dir).iterator().asScala
+      .filter(_.toString.endsWith(".recommender"))
+      .map(f => get(f.getFileName.toString.stripSuffix(".recommender")).get)
+      .toSeq.sortBy(_.name)
+
+  /** (eventsTag, method) uniqueness mirrors the duplicate-pair error of
+    * CREATE RECOMMENDER (recathon.c:832-844, SURVEY.md §2.3 #9).
+    */
+  def findByTagAndMethod(eventsTag: String, method: RecMethod): Option[RecEntry] =
+    list().find(e => e.eventsTag == eventsTag && e.method == method)
+
+  def put(e: RecEntry): Unit = {
+    val p = new Properties()
+    p.setProperty("name", e.name)
+    p.setProperty("eventsTag", e.eventsTag)
+    p.setProperty("userCol", e.userCol)
+    p.setProperty("itemCol", e.itemCol)
+    p.setProperty("ratingCol", e.ratingCol)
+    p.setProperty("method", e.method.name)
+    p.setProperty("modelPaths", e.modelPaths.mkString(","))
+    p.setProperty("eventTotal", e.eventTotal.toString)
+    p.setProperty("updateCounter", e.updateCounter.toString)
+    p.setProperty("queryCounter", e.queryCounter.toString)
+    val out = Files.newOutputStream(file(e.name))
+    try p.store(out, "graft recommender catalog entry") finally out.close()
+  }
+
+  def delete(name: String): Boolean = Files.deleteIfExists(file(name))
+}

@@ -1,0 +1,126 @@
+package graft.recdb
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The user-facing API mirroring RecDB's SQL surface (SURVEY.md §2.1):
+  *
+  *   - [[create]]    = CREATE RECOMMENDER (R4, utility.c:856-953): train the
+  *                     model, persist it as parquet, register a catalog entry
+  *                     with eventTotal.
+  *   - [[drop]]      = DROP RECOMMENDER (R5, utility.c:957-1091).
+  *   - [[recommend]] = the RECOMMEND clause (R1/R2): materialized-vs-on-the-fly
+  *                     dispatch is rule-based on a catalog hit, exactly like
+  *                     the parse-time OP_FILTER/OP_GENERATE classification
+  *                     (parse_rec.c:586-589, SURVEY.md §4.2.3); bumps the
+  *                     query counter like RecScan init (execRecommend.c:831).
+  *
+  * The `users` argument is the user-qual pre-filter (SURVEY.md §4.2.4) —
+  * pass the qualifying user ids to prune the user×item expansion BEFORE any
+  * per-user work, as the reference evaluates userqual before prepUserForRating
+  * (execRecommend.c:442-468).
+  *
+  * SVD divergence (documented, SURVEY.md §7.3): the reference trains Funk-SVD
+  * by sequential gradient descent with hard constants 50 features × 100 epochs
+  * (recathon.c:2707-2791). A sequential GD cannot be expressed as a scalable
+  * Spark job, so method `svd` trains ALS (same matrix-factorization semantics,
+  * different optimizer) at rank 50 with a fixed seed; prediction is the same
+  * dot(userF, itemF) with no baseline (R14).
+  */
+object Recommender {
+
+  /** Train + persist + register. Errors on duplicate name or duplicate
+    * (eventsTag, method) pair (recathon.c:832-844).
+    */
+  def create(spark: SparkSession, name: String, events: DataFrame,
+      eventsTag: String, c: EventCols, methodStr: String,
+      catalog: RecCatalog, modelsDir: String): RecEntry = {
+    val method = RecMethod.parse(methodStr)
+    require(catalog.get(name).isEmpty,
+      s"recommender '$name' already exists (recathon.c:836)")
+    require(catalog.findByTagAndMethod(eventsTag, method).isEmpty,
+      s"a recommender on ($eventsTag, ${method.name}) already exists (recathon.c:844)")
+    val eventTotal = events.count()
+    val paths = method match {
+      case RecMethod.SVD =>
+        val (uf, itf) = FunkSVD.train(events, c)
+        val up = s"$modelsDir/$name.userModel.parquet"
+        val ip = s"$modelsDir/$name.itemModel.parquet"
+        uf.write.mode("overwrite").parquet(up)
+        itf.write.mode("overwrite").parquet(ip)
+        Seq(up, ip)
+      case m =>
+        val model = buildSimilarity(events, c, m)
+        val p = s"$modelsDir/$name.model.parquet"
+        model.write.mode("overwrite").parquet(p)
+        Seq(p)
+    }
+    val entry = RecEntry(name, eventsTag, c.user, c.item, c.rating, method,
+      paths, eventTotal)
+    catalog.put(entry)
+    entry
+  }
+
+  /** Drop model files + catalog entry (utility.c:957-1091). */
+  def drop(name: String, catalog: RecCatalog): Boolean = {
+    catalog.get(name) match {
+      case None => false
+      case Some(e) =>
+        e.modelPaths.foreach { p =>
+          val dir = new java.io.File(p)
+          if (dir.exists()) {
+            Option(dir.listFiles()).foreach(_.foreach(_.delete()))
+            dir.delete()
+          }
+        }
+        catalog.delete(name)
+    }
+  }
+
+  /** Score (user, item, score) for every qualifying user × every item.
+    * Catalog hit on (eventsTag, method) → load persisted model (OP_FILTER);
+    * miss → build on the fly (OP_GENERATE, recathon.c:2948-3643) without
+    * persisting.
+    */
+  def recommend(spark: SparkSession, events: DataFrame, eventsTag: String,
+      c: EventCols, methodStr: String, catalog: Option[RecCatalog] = None,
+      users: Option[DataFrame] = None): DataFrame = {
+    val method = RecMethod.parse(methodStr)
+    val hit = catalog.flatMap(_.findByTagAndMethod(eventsTag, method))
+    hit.foreach { e => // R18 query-counter bookkeeping
+      catalog.get.put(e.copy(queryCounter = e.queryCounter + 1))
+    }
+    method match {
+      case RecMethod.SVD =>
+        val (uf, itf) = hit match {
+          case Some(e) =>
+            (spark.read.parquet(e.modelPaths.head),
+              spark.read.parquet(e.modelPaths(1)))
+          case None => FunkSVD.train(events, c)
+        }
+        val scoped = users match {
+          case Some(u) => uf.join(broadcast(
+            u.select(col(c.user).as("id")).distinct()), Seq("id"), "semi")
+          case None => uf
+        }
+        Scoring.factorScore(scoped, itf, c)
+      case m =>
+        val model = hit match {
+          case Some(e) => spark.read.parquet(e.modelPaths.head)
+          case None => buildSimilarity(events, c, m).cache()
+        }
+        if (RecMethod.isUserBased(m)) Scoring.userCF(events, model, c, users)
+        else Scoring.itemCF(events, model, c, users)
+    }
+  }
+
+  private def buildSimilarity(events: DataFrame, c: EventCols,
+      m: RecMethod): DataFrame = m match {
+    case RecMethod.ItemCosCF => Similarity.itemCosine(events, c)
+    case RecMethod.ItemPearCF => Similarity.itemPearson(events, c)
+    case RecMethod.UserCosCF => Similarity.userCosine(events, c)
+    case RecMethod.UserPearCF => Similarity.userPearson(events, c)
+    case RecMethod.SVD =>
+      throw new IllegalStateException("SVD handled separately")
+  }
+}
