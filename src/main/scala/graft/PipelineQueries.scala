@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Ann, Dedup, TextOps}
+
+/** Training-data pipeline operators exposed to the driver gate: dedup family,
+  * text analysis, similarity search (builder-prompt "beyond the reference"
+  * surface). Oracle notes:
+  *   - integer-ratio outputs (Jaccard, stop ratio) are exact in both engines;
+  *   - murmur3/xxhash64-based ops (minhash/simhash/LSH buckets) are not
+  *     DuckDB-reproducible, so their queries are either verified through an
+  *     exact-equivalent oracle (LSH verify step ⇒ output = exact pair set) or
+  *     rows-only + ScalaTest-gated;
+  *   - the char-polynomial fingerprint is mod 1e9+7, portable to DuckDB's
+  *     list_reduce exactly.
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.read(s, d, "documents")
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.read(s, d, "embeddings")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_dedup_exact" -> ((s, d) =>
+      Dedup.exact(docs(s, d), Seq("text"), "doc_id")
+        .select(col("doc_id"), col("n_copies"))),
+    "p_neardup_jaccard" -> ((s, d) =>
+      Dedup.jaccardPairs(docs(s, d), "doc_id", "text", n = 3, threshold = 0.5)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))),
+    "p_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLshPairs(docs(s, d), "doc_id", "text")
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))),
+    "p_simhash_pairs" -> ((s, d) => // rows-only: xxhash64 not in DuckDB
+      Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 3)),
+    "p_text_stats" -> ((s, d) => {
+      val t = col("text")
+      docs(s, d).select(col("doc_id"),
+        TextOps.charCount(t).cast("long").as("n_char"),
+        TextOps.tokenCount(t).cast("long").as("n_tok"),
+        round(TextOps.stopRatio(t), 6).as("stop_ratio"),
+        round(TextOps.meanTokenLen(t), 6).as("mean_tok_len"),
+        TextOps.qualityScore(t).as("quality"))
+    }),
+    "p_langid" -> ((s, d) =>
+      docs(s, d).select(TextOps.langId(col("text")).as("lang_detected"))
+        .groupBy("lang_detected").agg(count(lit(1)).as("n"))),
+    "p_fingerprint" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp"))),
+    "p_knn_brute" -> ((s, d) => {
+      val e = emb(s, d)
+      Ann.bruteTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding", k = 10,
+        rankOnRoundedTo = Some(6))
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
+          round(col("cos"), 6).as("cos"))
+    }),
+    "p_knn_ivf" -> ((s, d) => { // rows-only: KMeans centroids not in DuckDB
+      val e = emb(s, d)
+      Ann.ivfTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
+          round(col("cos"), 6).as("cos"))
+    }),
+    "p_embed_neardup" -> ((s, d) =>
+      Ann.cosinePairs(emb(s, d), "vec_id", "embedding", threshold = 0.45)
+        .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))),
+  )
+
+  private val jaccardOracle: String =
+    """WITH docsrc AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |),
+      |grams AS (
+      |  SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |    for i in generate_series(1, len(toks)-2)]) AS gs
+      |  FROM docsrc
+      |),
+      |ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+      |inter AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n
+      |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |),
+      |sizes AS (SELECT doc_id, len(gs) AS sz FROM grams)
+      |SELECT id1, id2, round(n*1.0/(s1.sz + s2.sz - n), 6) AS jaccard
+      |FROM inter
+      |JOIN sizes s1 ON id1 = s1.doc_id
+      |JOIN sizes s2 ON id2 = s2.doc_id
+      |WHERE n*1.0/(s1.sz + s2.sz - n) >= 0.5""".stripMargin
+
+  private val knnFlatCte: String =
+    """flat AS (
+      |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings
+      |),
+      |nrm AS (SELECT vec_id, sqrt(sum(v*v)) AS n FROM flat GROUP BY 1)""".stripMargin
+
+  private def langScoreSql(words: Seq[String]): String =
+    s"len(list_filter(string_split(text, ' '), t -> t IN (${
+      words.map(w => s"'$w'").mkString(", ")})))"
+
+  def oracleSql: Map[String, String] = Map(
+    "p_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY text""".stripMargin,
+    "p_neardup_jaccard" -> jaccardOracle,
+    // LSH verification makes precision exact, and at the data's Jaccard gap
+    // (≥0.9 or ≤0.07) the 16-band/4-row S-curve recall is 1 − 4e-8 ⇒ the
+    // verified LSH output equals the exact pair set.
+    "p_minhash_lsh" -> jaccardOracle,
+    "p_text_stats" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, length(text) AS n_char,
+         |         string_split(text, ' ') AS toks
+         |  FROM documents
+         |), s AS (
+         |  SELECT doc_id, n_char, len(toks) AS n_tok,
+         |    ${langScoreSql(TextOps.StopwordsEn).replace("string_split(text, ' ')", "toks")}*1.0/greatest(len(toks), 1) AS sr,
+         |    length(replace(text, ' ', ''))*1.0/greatest(len(toks), 1) AS ml
+         |  FROM t
+         |)
+         |SELECT doc_id, n_char, n_tok, round(sr, 6) AS stop_ratio,
+         |  round(ml, 6) AS mean_tok_len,
+         |  (CASE WHEN n_tok BETWEEN 10 AND 1000 THEN CAST(0.25 AS DOUBLE) ELSE 0 END
+         |   + CASE WHEN sr BETWEEN 0.05 AND 0.6 THEN CAST(0.25 AS DOUBLE) ELSE 0 END
+         |   + CASE WHEN ml BETWEEN 3.0 AND 10.0 THEN CAST(0.25 AS DOUBLE) ELSE 0 END
+         |   + CASE WHEN n_char <= 20000 THEN CAST(0.25 AS DOUBLE) ELSE 0 END) AS quality
+         |FROM s""".stripMargin,
+    "p_langid" -> {
+      val ss = TextOps.LangProfiles.map { case (l, ws) =>
+        s"${langScoreSql(ws)} AS s_$l"
+      }.mkString(",\n    ")
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    %s
+        |  FROM documents
+        |)
+        |SELECT CASE
+        |  WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+        |  WHEN s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+        |  WHEN s_es >= s_de AND s_es >= s_zh THEN 'es'
+        |  WHEN s_de >= s_zh THEN 'de'
+        |  ELSE 'zh' END AS lang_detected, count(*) AS n
+        |FROM s GROUP BY 1""".stripMargin.format(ss)
+    },
+    "p_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT)),
+        |    (acc, x) -> (acc*31 + x) % 1000000007) AS fp
+        |FROM documents""".stripMargin,
+    "p_knn_brute" ->
+      s"""WITH $knnFlatCte,
+         |q AS (SELECT * FROM flat WHERE vec_id < 5),
+         |dots AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, sum(q.v*c.v) AS dot
+         |  FROM q JOIN flat c ON q.i = c.i AND q.vec_id <> c.vec_id
+         |  GROUP BY 1, 2
+         |),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, round(dot/(n1.n*n2.n), 6) AS cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY round(dot/(n1.n*n2.n), 6) DESC, neighbor_id) AS rank
+         |  FROM dots
+         |  JOIN nrm n1 ON query_id = n1.vec_id
+         |  JOIN nrm n2 ON neighbor_id = n2.vec_id
+         |)
+         |SELECT query_id, neighbor_id, rank, cos FROM scored WHERE rank <= 10""".stripMargin,
+    "p_embed_neardup" ->
+      s"""WITH $knnFlatCte,
+         |dots AS (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2, sum(a.v*b.v) AS dot
+         |  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT id1, id2, round(dot/(n1.n*n2.n), 6) AS cos
+         |FROM dots
+         |JOIN nrm n1 ON id1 = n1.vec_id
+         |JOIN nrm n2 ON id2 = n2.vec_id
+         |WHERE dot/(n1.n*n2.n) >= 0.45""".stripMargin,
+  )
+}

@@ -1,0 +1,162 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH, and SimHash. Embedding-cosine near-dup lives in
+  * [[Ann.cosinePairs]].
+  *
+  * Scale design:
+  *   - exact dedup = one hash-shuffle on the key (map-side partial agg).
+  *   - Jaccard pairs = explode shingles → shuffle on shingle → pair counts.
+  *     Hot shingles are quadratic (a shingle shared by f docs emits f²/2
+  *     pairs); `maxShingleDocs` drops shingles above a document-frequency
+  *     ceiling — the standard web-dedup mitigation — at a small recall cost.
+  *   - MinHash+LSH replaces the all-pairs comparison with a band-bucket join:
+  *     cost is (#docs × #bands) rows, independent of pair count, then exact
+  *     verification only on candidates. This is THE 100 TB path.
+  *   - SimHash: 63-bit signature; candidates via 16-bit block match
+  *     (guaranteed complete for hamming ≤ 3), verified by bit_count(xor).
+  *
+  * All signatures are native Catalyst expressions (murmur3 `hash`, higher-
+  * order array functions) — no UDFs, no driver loops.
+  */
+object Dedup {
+
+  /** Exact dedup: one representative (min id) + multiplicity per key group. */
+  def exact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .select(col(idCol), col("n_copies"))
+
+  /** Distinct word n-grams ("shingles") from a token array. */
+  def wordNgrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " "))))
+      .otherwise(array_distinct(array(array_join(toks, " "))))
+
+  /** Exact n-gram Jaccard near-dup pairs: (id1, id2, jaccard ≥ threshold). */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+      threshold: Double, maxShingleDocs: Option[Int] = None): DataFrame = {
+    val docs = df.select(col(idCol).as("id"),
+      wordNgrams(TextOps.tokens(col(textCol)), n).as("grams"))
+    val ex0 = docs.select(col("id"), explode(col("grams")).as("g"))
+    val ex = maxShingleDocs match {
+      case Some(f) =>
+        val hot = ex0.groupBy("g").agg(count(lit(1)).as("df")).where(col("df") > f)
+        ex0.join(hot, Seq("g"), "anti")
+      case None => ex0
+    }
+    val inter = ex.select(col("g"), col("id").as("id1"))
+      .join(ex.select(col("g"), col("id").as("id2")), Seq("g"))
+      .where(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("n_inter"))
+    val sizes = docs.select(col("id"), size(col("grams")).as("sz"))
+    inter
+      .join(sizes.select(col("id").as("id1"), col("sz").as("sz1")), "id1")
+      .join(sizes.select(col("id").as("id2"), col("sz").as("sz2")), "id2")
+      .select(col("id1"), col("id2"),
+        (col("n_inter").cast("double") /
+          (col("sz1") + col("sz2") - col("n_inter"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  // MinHash machinery -------------------------------------------------------
+
+  /** Mersenne prime 2^31−1: universal-hash modulus. */
+  val MinhashP = 2147483647L
+
+  /** Deterministic permutation parameters (a·h + b) mod P, seeded once. */
+  def permutations(numPerm: Int, seed: Long = 42L): (Seq[Long], Seq[Long]) = {
+    val rnd = new scala.util.Random(seed)
+    val as = Seq.fill(numPerm)(1L + rnd.nextInt((MinhashP - 1).toInt).toLong)
+    val bs = Seq.fill(numPerm)(rnd.nextInt(MinhashP.toInt).toLong)
+    (as, bs)
+  }
+
+  /** MinHash signature (array of numPerm longs) from a shingle array. */
+  def minhashSignature(grams: Column, numPerm: Int, seed: Long = 42L): Column = {
+    val (as, bs) = permutations(numPerm, seed)
+    val aArr = typedLit(as)
+    val bArr = typedLit(bs)
+    val hashes = transform(grams, g => pmod(hash(g).cast("long"), lit(MinhashP)))
+    transform(sequence(lit(0), lit(numPerm - 1)), i =>
+      array_min(transform(hashes, h =>
+        pmod(element_at(aArr, i + 1) * h + element_at(bArr, i + 1), lit(MinhashP)))))
+  }
+
+  /** MinHash+LSH near-dup pairs with exact verification.
+    *
+    * shingle → minhash → band → bucket-join → verify: each doc emits `bands`
+    * rows keyed by xxhash64(band index, band slice); docs sharing any band
+    * bucket become candidates; candidates are verified with exact Jaccard on
+    * their shingle sets, so precision is 1.0 and recall is the LSH S-curve
+    * (≥ 1−(1−t^r)^b).
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      nGram: Int = 3, numPerm: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must be divisible by bands")
+    val r = numPerm / bands
+    val docs = df.select(col(idCol).as("id"),
+      wordNgrams(TextOps.tokens(col(textCol)), nGram).as("grams"))
+      .withColumn("sig", minhashSignature(col("grams"), numPerm, seed))
+    val banded = docs.select(col("id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, slice(col("sig"), b * r + 1, lit(r))))).as("bkey"))
+    val cands = banded.select(col("bkey"), col("id").as("id1"))
+      .join(banded.select(col("bkey"), col("id").as("id2")), Seq("bkey"))
+      .where(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val g1 = docs.select(col("id").as("id1"), col("grams").as("g1"))
+    val g2 = docs.select(col("id").as("id2"), col("grams").as("g2"))
+    cands.join(g1, "id1").join(g2, "id2")
+      .select(col("id1"), col("id2"),
+        (size(array_intersect(col("g1"), col("g2"))).cast("double") /
+          size(array_union(col("g1"), col("g2")))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  // SimHash machinery -------------------------------------------------------
+
+  private val SimBits = 63 // avoid the sign bit; keeps every power in a Long
+
+  /** 63-bit SimHash over word tokens: xxhash64 per token, per-bit ±1 vote
+    * sums, sign of each sum becomes the bit.
+    */
+  def simhash64(text: Column): Column = {
+    val powers = typedLit((0 until SimBits).map(b => 1L << b))
+    val toks = TextOps.tokens(text)
+    val votes = aggregate(toks,
+      typedLit(Seq.fill(SimBits)(0)),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, powers, (a, p) =>
+          a + when(h.bitwiseAND(p) =!= 0L, 1).otherwise(-1))
+      })
+    aggregate(zip_with(votes, powers,
+      (v, p) => when(v >= 0, p).otherwise(0L)), lit(0L), (acc, x) => acc + x)
+  }
+
+  /** SimHash near-dup pairs: 16-bit block bucketing (4 blocks over 63 bits →
+    * any pair with hamming ≤ 3 shares at least one block: pigeonhole),
+    * verified by exact hamming distance.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
+    val blocks = sigs.select(col("id"), col("sim"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("blk"),
+          shiftright(col("sim"), i * 16).bitwiseAND(lit(0xFFFFL)).as("v"))): _*)).as("b"))
+    val cands = blocks.select(col("b"), col("id").as("id1"), col("sim").as("s1"))
+      .join(blocks.select(col("b"), col("id").as("id2"), col("sim").as("s2")), Seq("b"))
+      .where(col("id1") < col("id2"))
+      .select("id1", "id2", "s1", "s2").distinct()
+    cands.select(col("id1"), col("id2"),
+      bit_count(col("s1").bitwiseXOR(col("s2"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (builder-prompt
+  * "beyond the reference" surface): token stats, stopword/punctuation ratios,
+  * a composable quality score, n-gram-heuristic language ID, and a
+  * deterministic polynomial fingerprint.
+  *
+  * Everything here is a native Catalyst column expression (higher-order
+  * functions, no UDFs) so it stays inside whole-stage codegen and scales as a
+  * pure map — no shuffle, no driver involvement, safe at 100 TB. Arithmetic is
+  * modular (mod 1e9+7) so ANSI overflow checking never fires.
+  */
+object TextOps {
+
+  /** Whitespace tokenization — the BPE-ish regex split is [[tokensRe]]. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Regex tokenization: words / numbers / single punctuation, a cheap BPE-ish
+    * pre-tokenizer split.
+    */
+  def tokensRe(text: Column): Column =
+    filter(split(text, """[^\p{L}\p{N}]+"""), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def charCount(text: Column): Column = length(text)
+
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, """[\p{Punct}]""", ""))).cast("double") /
+      greatest(length(text), lit(1))
+
+  /** English stopword core — shared with the DuckDB oracle (PipelineQueries). */
+  val StopwordsEn: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+  def stopRatio(text: Column, stopwords: Seq[String] = StopwordsEn): Column = {
+    val toks = tokens(text)
+    size(filter(toks, t => t.isin(stopwords: _*))).cast("double") /
+      greatest(size(toks), lit(1))
+  }
+
+  /** Mean token length over non-space characters. */
+  def meanTokenLen(text: Column): Column =
+    length(regexp_replace(text, " ", "")).cast("double") /
+      greatest(size(tokens(text)), lit(1))
+
+  /** Heuristic quality score in [0,1]: four equally-weighted gates (token
+    * count, stopword ratio, mean token length, document size) — the classic
+    * Gopher/C4-style rule shape, deterministic and SQL-portable.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val sr = stopRatio(text)
+    val ml = meanTokenLen(text)
+    val gate = (c: Column) => when(c, lit(0.25)).otherwise(lit(0.0))
+    gate(nTok.between(10, 1000)) +
+      gate(sr.between(0.05, 0.6)) +
+      gate(ml.between(3.0, 10.0)) +
+      gate(charCount(text) <= 20000)
+  }
+
+  /** Stopword profiles for the n-gram-heuristic language ID. Priority order on
+    * ties: en > fr > es > de > zh (mirrored in the oracle's CASE chain).
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in", "it"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "les", "des"),
+    "es" -> Seq("el", "la", "de", "y", "un", "es", "los", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "ist", "von", "zu"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  def langScore(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words: _*)))
+
+  /** argmax over profile scores with the fixed priority order (CASE chain so
+    * the DuckDB oracle is textually parallel).
+    */
+  def langId(text: Column): Column = {
+    val scores = LangProfiles.map { case (l, ws) => l -> langScore(text, ws) }
+    val chain = scores.zipWithIndex.foldRight(lit(scores.last._1)) {
+      case (((lang, s), i), els) =>
+        val rest = scores.drop(i + 1)
+        if (rest.isEmpty) els
+        else when(rest.map { case (_, s2) => s >= s2 }.reduce(_ && _), lit(lang))
+          .otherwise(els)
+    }
+    chain
+  }
+
+  /** Deterministic document fingerprint: polynomial rolling hash over
+    * characters, mod 1e9+7 (overflow-free under ANSI; identical arithmetic is
+    * expressible in DuckDB via list_reduce for the oracle).
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(filter(split(text, ""), ch => length(ch) > 0), lit(0L),
+      (acc, ch) => (acc * 31L + ascii(ch)) % 1000000007L)
+
+  /** Winnowing-style k-gram min-fingerprint (murmur3; not oracle-portable —
+    * gated by spec instead).
+    */
+  def minGramFingerprint(text: Column, k: Int = 5): Column =
+    array_min(transform(Dedup.wordNgrams(tokens(text), k), g => hash(g)))
+}

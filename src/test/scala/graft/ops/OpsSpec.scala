@@ -1,0 +1,115 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Property gates for the ops that have no DuckDB oracle (hash-based LSH,
+  * simhash, IVF, multimodal plumbing) plus spot checks for the text ops.
+  */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  val docsDir = "/root/testdata/sf0.01"
+  lazy val documents = spark.read.parquet(s"$docsDir/documents.parquet").cache()
+  lazy val embeddings = spark.read.parquet(s"$docsDir/embeddings.parquet").cache()
+
+  test("minhash LSH pairs == exact jaccard pairs on testdata (verified candidates)") {
+    val exact = Dedup.jaccardPairs(documents, "doc_id", "text", 3, 0.5)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(documents, "doc_id", "text")
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    lsh shouldBe exact // precision exact by construction; recall by S-curve
+    exact.size should be > 10
+  }
+
+  test("simhash: recalls most true near-dups within hamming bound") {
+    val pairs = Dedup.simhashPairs(documents, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    pairs.values.foreach(_ should be <= 3)
+    val exact = Dedup.jaccardPairs(documents, "doc_id", "text", 3, 0.5)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // simhash is order-insensitive and precision-lossy on a tiny vocabulary;
+    // the gate is recall of true near-dups (18/25 on this corpus)
+    val recall = pairs.keySet.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"simhash recall $recall")
+  }
+
+  test("hot-shingle cap preserves high-jaccard pairs") {
+    val capped = Dedup.jaccardPairs(documents, "doc_id", "text", 3, 0.5,
+      maxShingleDocs = Some(100)).select("id1", "id2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.jaccardPairs(documents, "doc_id", "text", 3, 0.5)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // no shingle in this corpus is shared by >100 docs, so cap is a no-op here
+    capped shouldBe exact
+  }
+
+  test("LSH bucketed cosine pairs: planted near-dups recalled, precision exact") {
+    // plant 10 near-identical pairs (cos > 0.99) among 100 random vectors —
+    // the regime multi-table hyperplane LSH is designed for
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0 until 100).map(i => (i.toLong, vec().toSeq))
+    val dups = (0 until 10).map { i =>
+      val v = base(i)._2.map(x => x + rnd.nextGaussian().toFloat * 0.02f)
+      ((100 + i).toLong, v)
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val brute = Ann.cosinePairs(df, "vec_id", "embedding", 0.9)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Ann.lshBucketPairs(df, "vec_id", "embedding", 0.9)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    brute.size should be >= 10
+    assert(lsh.subsetOf(brute)) // verify step makes precision exact
+    assert(lsh.size >= brute.size * 8 / 10, s"recall too low: ${lsh.size}/${brute.size}")
+  }
+
+  test("IVF topk: exact rerank, recall vs brute above floor") {
+    val qs = embeddings.where(col("vec_id") < 5)
+    val brute = Ann.bruteTopK(embeddings, qs, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ann.ivfTopK(embeddings, qs, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    ivf.size shouldBe 50 // k rows per query regardless of probes
+    assert(ivf.intersect(brute).size >= 25, // ≥50% recall at nprobe=4/nlist=16
+      s"IVF recall ${ivf.intersect(brute).size}/50")
+  }
+
+  test("text ops: deterministic, sane ranges; langid picks a profile language") {
+    val stats = documents.select(
+      TextOps.tokenCount(col("text")).as("nt"),
+      TextOps.stopRatio(col("text")).as("sr"),
+      TextOps.qualityScore(col("text")).as("q"),
+      TextOps.fingerprint(col("text")).as("fp"),
+      TextOps.langId(col("text")).as("lang")).collect()
+    stats.foreach { r =>
+      r.getInt(0) should be > 0
+      r.getDouble(1) should (be >= 0.0 and be <= 1.0)
+      r.getDouble(2) should (be >= 0.0 and be <= 1.0)
+      r.getLong(3) should (be >= 0L and be < 1000000007L)
+      Seq("en", "fr", "es", "de", "zh") should contain(r.getString(4))
+    }
+    // fingerprint: permutation-sensitive (rolling), equal strings equal fps
+    val fps = Seq("a b c", "a b c", "c b a").toDF("text")
+      .select(TextOps.fingerprint(col("text"))).collect().map(_.getLong(0))
+    fps(0) shouldBe fps(1)
+    fps(0) should not be fps(2)
+  }
+
+  test("multimodal: batched feature extraction is partition-parallel and deterministic") {
+    val media = Multimodal.syntheticMedia(spark, 100).repartition(8)
+    val f1 = Multimodal.extractFeatures(media, dim = 16, batchSize = 10)
+    f1.count() shouldBe 100
+    val row = f1.where(col("media_id") === 7L).head()
+    row.getSeq[Float](1).length shouldBe 16
+    // determinism across runs and partitionings
+    val f2 = Multimodal.extractFeatures(media.repartition(3), dim = 16, batchSize = 7)
+    val a = f1.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val b = f2.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    a shouldBe b
+    // frame sampling: stride arithmetic
+    Multimodal.sampleFrames(media, stride = 8).count() shouldBe 100 * 4
+  }
+}
