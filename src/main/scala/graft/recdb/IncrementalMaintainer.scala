@@ -1,0 +1,79 @@
+package graft.recdb
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Incremental model maintenance — the Spark-native form of RecDB's INSERT
+  * hook (R17, SURVEY.md §2.1): every ExecInsert bumps the recommender's
+  * updateCounter, and once the counter reaches
+  * `update_threshold × eventTotal` (default 0.5 from RecDBProperties,
+  * utility.c:907) the model is FULLY rebuilt and the counters reset
+  * (recathon.c:951-1203). The reference is batch-incremental — a full
+  * retrain, not online learning — and so is this.
+  *
+  * Spark shape: the events table is a stream; [[attach]] drives
+  * `foreachBatch`, each micro-batch appends to the events store, bumps the
+  * catalog counter (durable, driver-side — survives executor loss), and
+  * triggers the rebuild when the threshold crosses. Rebuild cost is the same
+  * one-shot distributed similarity/ALS job as create — no executor state.
+  */
+final class IncrementalMaintainer(
+    catalog: RecCatalog,
+    eventsPath: String,
+    updateThreshold: Double = IncrementalMaintainer.DefaultThreshold) {
+
+  /** Process one inserted micro-batch for `name`: append + count + maybe
+    * retrain. Returns true if a rebuild was triggered.
+    */
+  def processBatch(name: String, batch: DataFrame): Boolean = {
+    val entry = catalog.get(name).getOrElse(
+      throw new IllegalArgumentException(s"unknown recommender: $name"))
+    val n = batch.count()
+    if (n == 0) return false
+    batch.write.mode("append").parquet(eventsPath)
+    val counter = entry.updateCounter + n
+    // recathon.c:1089: counter >= update_threshold × eventtotal → full rebuild
+    if (counter >= updateThreshold * entry.eventTotal) {
+      rebuild(entry)
+      true
+    } else {
+      catalog.put(entry.copy(updateCounter = counter))
+      false
+    }
+  }
+
+  /** Full retrain over the current events store; counters reset and
+    * eventTotal re-recorded (recathon.c:1174-1180).
+    */
+  private def rebuild(entry: RecEntry): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val events = spark.read.parquet(eventsPath)
+    val c = EventCols(entry.userCol, entry.itemCol, entry.ratingCol)
+    entry.method match {
+      case RecMethod.SVD =>
+        val (uf, itf) = FunkSVD.train(events, c)
+        // write via temp + swap-free overwrite: paths are per-recommender
+        uf.write.mode("overwrite").parquet(entry.modelPaths.head)
+        itf.write.mode("overwrite").parquet(entry.modelPaths(1))
+      case m =>
+        Recommender.buildSimilarity(events, c, m)
+          .write.mode("overwrite").parquet(entry.modelPaths.head)
+    }
+    catalog.put(entry.copy(updateCounter = 0, eventTotal = events.count()))
+  }
+
+  /** Attach to a streaming events DataFrame: the R17 hook as a sink. */
+  def attach(stream: DataFrame, name: String,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(name, batch); ()
+      }
+      .start()
+}
+
+object IncrementalMaintainer {
+  /** RecDBProperties default update_threshold (utility.c:907). */
+  val DefaultThreshold = 0.5
+}

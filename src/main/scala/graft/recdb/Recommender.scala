@@ -114,7 +114,7 @@ object Recommender {
     }
   }
 
-  private def buildSimilarity(events: DataFrame, c: EventCols,
+  private[recdb] def buildSimilarity(events: DataFrame, c: EventCols,
       m: RecMethod): DataFrame = m match {
     case RecMethod.ItemCosCF => Similarity.itemCosine(events, c)
     case RecMethod.ItemPearCF => Similarity.itemPearson(events, c)
