@@ -18,10 +18,11 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** dot(a, b) for two array columns (double math regardless of input type). */
+  /** dot(a, b) for two array columns (double math regardless of input type) —
+    * a codegen'd native expression, see [[graft.functions.DotProduct]].
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"),
-      (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFns.dotNative(a, b)
 
   def l2(a: Column): Column = sqrt(dot(a, a))
 
@@ -30,18 +31,28 @@ object Ann {
   /** Exact brute-force cosine top-k: broadcast queries × corpus, window rank.
     * Output: (query_id, neighbor_id, rank, cos).
     */
+  /** (id, v double[], nrm) — norms computed ONCE per row; every pairwise op
+    * divides by the cached norms instead of re-deriving them per pair (an
+    * O(pairs·dim) → O(rows·dim) save, the dominant cost of naive pairwise
+    * cosine).
+    */
+  private def withNorm(df: DataFrame, idCol: String, vecCol: String,
+      id: String, v: String, nrm: String): DataFrame =
+    df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(v))
+      .withColumn(nrm, sqrt(aggregate(col(v), lit(0.0), (a, x) => a + x * x)))
+
   /** `rankOnRoundedTo`: rank on round(cos, d) with neighbor-id tie-break so
     * the ordering is reproducible across engines (oracle parity).
     */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, rankOnRoundedTo: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cs = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val qs = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val cs = withNorm(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
+    val qs = withNorm(queries, idCol, vecCol, "query_id", "qv", "qn")
     val scored = cs.crossJoin(broadcast(qs))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("cos"))
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
     val rankCol = rankOnRoundedTo.map(d => round(col("cos"), d)).getOrElse(col("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(rankCol.desc, col("neighbor_id"))
@@ -54,10 +65,11 @@ object Ann {
     */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id1"), col(vecCol).as("v1"))
-    val b = df.select(col(idCol).as("id2"), col(vecCol).as("v2"))
+    val a = withNorm(df, idCol, vecCol, "id1", "v1", "n1")
+    val b = withNorm(df, idCol, vecCol, "id2", "v2", "n2")
     a.crossJoin(b).where(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), cosine(col("v1"), col("v2")).as("cos"))
+      .select(col("id1"), col("id2"),
+        (dot(col("v1"), col("v2")) / (col("n1") * col("n2"))).as("cos"))
       .where(col("cos") >= threshold)
   }
 
@@ -86,17 +98,20 @@ object Ann {
   def lshBucketPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nTables: Int = 8, bitsPerTable: Int = 8,
       dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val base = withNorm(df, idCol, vecCol, "id", "v", "nm")
+    val sigs = base.select(col("id"), col("v"), col("nm"),
       explode(array((0 until nTables).map { t =>
         val planes = hyperplanes(bitsPerTable, dim, seed + t)
-        xxhash64(lit(t), lshSignature(col(vecCol), planes))
+        xxhash64(lit(t), lshSignature(col("v"), planes))
       }: _*)).as("bucket"))
-    val cands = sigs.select(col("bucket"), col("id").as("id1"), col("v").as("v1"))
-      .join(sigs.select(col("bucket"), col("id").as("id2"), col("v").as("v2")),
-        Seq("bucket"))
+    val cands = sigs.select(col("bucket"), col("id").as("id1"),
+      col("v").as("v1"), col("nm").as("n1"))
+      .join(sigs.select(col("bucket"), col("id").as("id2"),
+        col("v").as("v2"), col("nm").as("n2")), Seq("bucket"))
       .where(col("id1") < col("id2"))
-      .select("id1", "id2", "v1", "v2").distinct()
-    cands.select(col("id1"), col("id2"), cosine(col("v1"), col("v2")).as("cos"))
+      .select("id1", "id2", "v1", "v2", "n1", "n2").distinct()
+    cands.select(col("id1"), col("id2"),
+      (dot(col("v1"), col("v2")) / (col("n1") * col("n2"))).as("cos"))
       .where(col("cos") >= threshold)
   }
 

@@ -76,7 +76,11 @@ object Dedup {
     (as, bs)
   }
 
-  /** MinHash signature (array of numPerm longs) from a shingle array. */
+  /** MinHash signature (array of numPerm longs) from a shingle array —
+    * single-row expression form. For corpus-scale signature computation use
+    * [[minhashSignatures]] (aggregation form): a numPerm-wide nested
+    * transform is quadratic work per row and resists codegen.
+    */
   def minhashSignature(grams: Column, numPerm: Int, seed: Long = 42L): Column = {
     val (as, bs) = permutations(numPerm, seed)
     val aArr = typedLit(as)
@@ -85,6 +89,23 @@ object Dedup {
     transform(sequence(lit(0), lit(numPerm - 1)), i =>
       array_min(transform(hashes, h =>
         pmod(element_at(aArr, i + 1) * h + element_at(bArr, i + 1), lit(MinhashP)))))
+  }
+
+  /** Corpus-scale MinHash signatures: explode shingles once, then ONE
+    * hash-aggregate with numPerm `min` columns (vectorized, map-side
+    * partial) — (id, sig ARRAY<LONG>). This is the 100 TB formulation: cost
+    * is |corpus shingles| × numPerm fused multiply-mods inside codegen'd
+    * partial aggregation, one shuffle on doc id.
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, gramsCol: String,
+      numPerm: Int, seed: Long = 42L): DataFrame = {
+    val (as, bs) = permutations(numPerm, seed)
+    val ex = docs.select(col(idCol), explode(col(gramsCol)).as("g"))
+      .select(col(idCol), pmod(hash(col("g")).cast("long"), lit(MinhashP)).as("h"))
+    val mins = (0 until numPerm).map(i =>
+      min(pmod(lit(as(i)) * col("h") + lit(bs(i)), lit(MinhashP))).as(s"m$i"))
+    ex.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until numPerm).map(i => col(s"m$i")): _*).as("sig"))
   }
 
   /** MinHash+LSH near-dup pairs with exact verification.
@@ -102,8 +123,8 @@ object Dedup {
     val r = numPerm / bands
     val docs = df.select(col(idCol).as("id"),
       wordNgrams(TextOps.tokens(col(textCol)), nGram).as("grams"))
-      .withColumn("sig", minhashSignature(col("grams"), numPerm, seed))
-    val banded = docs.select(col("id"),
+    val sigs = minhashSignatures(docs, "id", "grams", numPerm, seed)
+    val banded = sigs.select(col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(b, slice(col("sig"), b * r + 1, lit(r))))).as("bkey"))
     val cands = banded.select(col("bkey"), col("id").as("id1"))
