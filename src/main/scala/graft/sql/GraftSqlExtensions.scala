@@ -1,0 +1,143 @@
+package graft.sql
+
+import org.apache.spark.sql.{Row, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructType}
+import graft.recdb.{EventCols, RecCatalog, Recommender}
+
+/** The RecDB SQL surface, re-expressed as a Spark session extension
+  * (SURVEY.md §7.3 / §3.1):
+  *
+  *   SELECT … FROM <events> RECOMMEND <item> TO <user> ON <event>
+  *     USING <method> [WHERE …] [ORDER BY …] [LIMIT n]       (gram.y:8934-8944)
+  *   CREATE RECOMMENDER <name> ON <tbl> USERS FROM <u> ITEMS FROM <i>
+  *     EVENTS FROM <e> [USING <method>]                      (gram.y:2444-2474)
+  *   DROP RECOMMENDER <name>                                 (gram.y:2482-2488)
+  *
+  * Enable with:
+  *   .config("spark.sql.extensions", "graft.sql.GraftSqlExtensions")
+  *   .config("spark.graft.catalogDir", …).config("spark.graft.modelsDir", …)
+  *
+  * Mechanics mirror the reference's transform pipeline: the injected parser
+  * recognizes the clause, binds it to the FROM table (getEventsTable,
+  * parse_rec.c:187-297), replaces the scan with the scoring subplan (the
+  * RecScan substitution of allpaths.c:395), and hands the REMAINING query —
+  * WHERE / ORDER BY / LIMIT / joins — to the delegate Spark parser, so all
+  * relational composition stays on the stock Catalyst path. Synthesized-tuple
+  * quirks preserved: the predicted score lands in the event column and every
+  * other column of the events table reads 0 (§2.3 #2, execRecommend.c:398-405).
+  */
+class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
+}
+
+object GraftSql {
+  val CatalogDirKey = "spark.graft.catalogDir"
+  val ModelsDirKey = "spark.graft.modelsDir"
+
+  def catalog(session: SparkSession): RecCatalog =
+    new RecCatalog(session.conf.get(CatalogDirKey, "/tmp/graft/catalog"))
+  def modelsDir(session: SparkSession): String =
+    session.conf.get(ModelsDirKey, "/tmp/graft/models")
+
+  private[sql] val RecommendRe =
+    ("""(?is)\bFROM\s+([\w.]+)\s+RECOMMEND\s+(\w+)\s+TO\s+(\w+)\s+ON\s+(\w+)""" +
+      """\s+USING\s+(\w+)""").r
+  private[sql] val CreateRe =
+    ("""(?is)^\s*CREATE\s+RECOMMENDER\s+(\w+)\s+ON\s+([\w.]+)\s+USERS\s+FROM\s+(\w+)""" +
+      """\s+ITEMS\s+FROM\s+(\w+)\s+EVENTS\s+FROM\s+(\w+)(?:\s+USING\s+(\w+))?\s*;?\s*$""").r
+  private[sql] val DropRe =
+    """(?is)^\s*DROP\s+RECOMMENDER\s+(\w+)\s*;?\s*$""".r
+
+  private val viewCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Rewrite a RECOMMEND query: build the scoring DataFrame, register it as a
+    * temp view carrying the full events-table schema (score in the event
+    * column, other columns zeroed), splice the view name into the SQL.
+    */
+  def rewriteRecommend(session: SparkSession, sqlText: String): Option[String] =
+    RecommendRe.findFirstMatchIn(sqlText).map { m =>
+      val (table, item, user, event, method) =
+        (m.group(1), m.group(2), m.group(3), m.group(4), m.group(5))
+      val events = session.table(table)
+      val c = EventCols(user, item, event)
+      val scored = Recommender.recommend(session, events, table, c, method,
+        Some(catalog(session)))
+      // synthesized tuple: (user, item, score-as-event, other columns = 0)
+      val others = events.columns.filterNot(Seq(user, item, event).contains)
+      val full = scored.select(
+        col(user) +: col(item) +: col("score").as(event) +:
+          others.map(o => lit(0).cast(events.schema(o).dataType).as(o)): _*)
+      val view = s"graft_rec_${viewCounter.incrementAndGet()}"
+      full.createOrReplaceTempView(view)
+      sqlText.substring(0, m.start) + s"FROM $view" + sqlText.substring(m.end)
+    }
+}
+
+final case class CreateRecommenderCommand(name: String, table: String,
+    user: String, item: String, event: String, method: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("result", StringType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    Recommender.create(session, name, session.table(table), table,
+      EventCols(user, item, event), method, GraftSql.catalog(session),
+      GraftSql.modelsDir(session))
+    Seq(Row(s"created recommender $name"))
+  }
+}
+
+final case class DropRecommenderCommand(name: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("result", StringType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val ok = Recommender.drop(name, GraftSql.catalog(session))
+    if (!ok) throw new IllegalArgumentException(
+      s"recommender $name does not exist (utility.c:968)")
+    Seq(Row(s"dropped recommender $name"))
+  }
+}
+
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+
+  @throws[ParseException]
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case GraftSql.CreateRe(name, table, user, item, event, method) =>
+      CreateRecommenderCommand(name, table, user, item, event,
+        Option(method).getOrElse(""))
+    case GraftSql.DropRe(name) =>
+      DropRecommenderCommand(name)
+    case _ =>
+      GraftSql.rewriteRecommend(session, sqlText) match {
+        case Some(rewritten) => delegate.parsePlan(rewritten)
+        case None => delegate.parsePlan(sqlText)
+      }
+  }
+
+  @throws[ParseException]
+  override def parseQuery(sqlText: String): LogicalPlan =
+    GraftSql.rewriteRecommend(session, sqlText) match {
+      case Some(rewritten) => delegate.parseQuery(rewritten)
+      case None => delegate.parseQuery(sqlText)
+    }
+
+  override def parseExpression(s: String): Expression = delegate.parseExpression(s)
+  override def parseTableIdentifier(s: String): TableIdentifier =
+    delegate.parseTableIdentifier(s)
+  override def parseFunctionIdentifier(s: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(s)
+  override def parseMultipartIdentifier(s: String): Seq[String] =
+    delegate.parseMultipartIdentifier(s)
+  override def parseTableSchema(s: String): StructType = delegate.parseTableSchema(s)
+  override def parseDataType(s: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(s)
+  override def parseRoutineParam(s: String): StructType =
+    delegate.parseRoutineParam(s)
+}

@@ -1,0 +1,91 @@
+package graft.sql
+
+import graft.SparkSpec
+import graft.recdb.{EventCols, MicroFixtureSpec, Scoring, Similarity}
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+
+/** The RECOMMEND / CREATE RECOMMENDER / DROP RECOMMENDER SQL surface through
+  * an extension-enabled session — the regression script's shapes
+  * (recdb_regression_test.sql:5-42) against the micro fixture.
+  */
+class SqlSurfaceSpec extends SparkSpec with BeforeAndAfterAll {
+
+  lazy val ext: SparkSession = {
+    SparkSpec.session // ensure the SparkContext exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val base = Files.createTempDirectory("graft-sql").toString
+    // `.config("spark.sql.extensions", ...)` is a static conf and only takes
+    // effect on a fresh SparkContext; withExtensions is the programmatic
+    // route that composes with an existing context (e.g. this shared one).
+    val s = SparkSession.builder()
+      .withExtensions(e => new GraftSqlExtensions()(e))
+      .config(GraftSql.CatalogDirKey, s"$base/catalog")
+      .config(GraftSql.ModelsDirKey, s"$base/models")
+      .getOrCreate()
+    s
+  }
+
+  override def afterAll(): Unit = {
+    SparkSession.setDefaultSession(SparkSpec.session)
+    SparkSession.setActiveSession(SparkSpec.session)
+    super.afterAll()
+  }
+
+  def fixture(s: SparkSession): Unit = {
+    val sq = s
+    import sq.implicits._
+    new MicroFixtureSpec {}.fixture.toDF("userid", "itemid", "rating")
+      .withColumn("other", org.apache.spark.sql.functions.lit(9.9))
+      .createOrReplaceTempView("ml_ratings")
+  }
+
+  test("RECOMMEND clause: on-the-fly scoring, synthesized-tuple quirks, top-k") {
+    fixture(ext)
+    val out = ext.sql(
+      """SELECT * FROM ml_ratings RECOMMEND itemid TO userid ON rating
+        |USING itemCosCF WHERE userid = 1 ORDER BY rating DESC LIMIT 2""".stripMargin)
+    val rows = out.collect()
+    rows.length shouldBe 2
+    out.columns.toSeq shouldBe Seq("userid", "itemid", "rating", "other")
+    rows.foreach { r =>
+      r.getLong(0) shouldBe 1L
+      r.getDouble(3) shouldBe 0.0 // non-RECOMMEND columns read 0 (§2.3 #2)
+    }
+    // scores agree with the API path
+    val c = EventCols("userid", "itemid", "rating")
+    val ratings = new MicroFixtureSpec {}.fixture
+      .map(t => (t._1, t._2, t._3))
+    val sq = ext
+    import sq.implicits._
+    val rdf = ratings.toDF("userid", "itemid", "rating")
+    val api = Scoring.itemCF(rdf, Similarity.itemCosine(rdf, c), c)
+      .where($"userid" === 1).orderBy($"score".desc).limit(2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    rows.map(r => (r.getLong(1), r.getDouble(2))).toSeq shouldBe api.toSeq
+  }
+
+  test("CREATE/DROP RECOMMENDER statements drive the catalog") {
+    fixture(ext)
+    ext.sql("""CREATE RECOMMENDER rec1 ON ml_ratings USERS FROM userid
+              |ITEMS FROM itemid EVENTS FROM rating USING itemCosCF""".stripMargin)
+      .collect()
+    GraftSql.catalog(ext).get("rec1").map(_.eventTotal) shouldBe Some(10L)
+    // materialized path now serves the same query
+    val out = ext.sql(
+      """SELECT * FROM ml_ratings RECOMMEND itemid TO userid ON rating
+        |USING itemCosCF WHERE userid = 2""".stripMargin).collect()
+    out.length shouldBe 4 // all items for user 2
+    GraftSql.catalog(ext).get("rec1").map(_.queryCounter) shouldBe Some(1L)
+    ext.sql("DROP RECOMMENDER rec1").collect()
+    GraftSql.catalog(ext).get("rec1") shouldBe None
+    an[Exception] should be thrownBy ext.sql("DROP RECOMMENDER rec1").collect()
+  }
+
+  test("non-RECOMMEND SQL is untouched by the injected parser") {
+    fixture(ext)
+    ext.sql("SELECT count(*) AS n FROM ml_ratings").head().getLong(0) shouldBe 10L
+  }
+}
