@@ -42,6 +42,11 @@ object RecQueries {
       round6(Scoring.userCF(r, Similarity.userCosine(r, c), c),
         Seq("userid", "itemid"), "score")
     }),
+    "r_usercf_pear_scores" -> ((s, d) => {
+      val r = ratings(s, d)
+      round6(Scoring.userCF(r, Similarity.userPearson(r, c), c),
+        Seq("userid", "itemid"), "score")
+    }),
     "r_itemcf_topk" -> ((s, d) => {
       val r = ratings(s, d)
       val minUser = r.agg(min(col("userid"))).head().getLong(0)
@@ -158,8 +163,8 @@ object RecQueries {
   /** userCF scoring: ū is u's own average (recathon.c:4349-4360 quirk);
     * no similar raters → 0.0, not ū.
     */
-  private val userCfCte: String =
-    s"""${simCte("user", pearson = false)},
+  private def userCfCte(pearson: Boolean): String =
+    s"""${simCte("user", pearson)},
        |sym AS (
        |  SELECT user1 AS u, user2 AS v, s FROM model
        |  UNION ALL
@@ -203,8 +208,9 @@ object RecQueries {
     "r_userpear_model" -> modelSelect("user", pearson = true),
     "r_itemcf_scores" -> scoresSelect(itemCfCte(pearson = false), topk = false),
     "r_itemcf_pear_scores" -> scoresSelect(itemCfCte(pearson = true), topk = false),
-    "r_usercf_scores" -> scoresSelect(userCfCte, topk = false),
+    "r_usercf_scores" -> scoresSelect(userCfCte(pearson = false), topk = false),
+    "r_usercf_pear_scores" -> scoresSelect(userCfCte(pearson = true), topk = false),
     "r_itemcf_topk" -> scoresSelect(itemCfCte(pearson = false), topk = true),
-    "r_usercf_topk" -> scoresSelect(userCfCte, topk = true),
+    "r_usercf_topk" -> scoresSelect(userCfCte(pearson = false), topk = true),
   )
 }
