@@ -1,0 +1,74 @@
+package graft.recdb
+
+import graft.SparkSpec
+
+/** SURVEY.md §5 property gates over randomized small event sets:
+  * permutation invariance, transpose duality, similarity bounds, CF score
+  * bounds. Deterministic seeds (Spark jobs per case are expensive; five
+  * seeded datasets give the coverage without a generator framework run).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  val c: EventCols = EventCols("userid", "itemid", "rating")
+
+  def randomEvents(seed: Int): Seq[(Long, Long, Double)] = {
+    val rnd = new scala.util.Random(seed)
+    // ~8 users × ~10 items, 60% fill, ratings 1..5
+    (for {
+      u <- 1L to 8L; i <- 1L to 10L
+      if rnd.nextDouble() < 0.6
+    } yield (u, i, (rnd.nextInt(5) + 1).toDouble)).toSeq
+  }
+
+  def modelMap(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+  test("permutation invariance: row order never changes a model") {
+    for (seed <- 1 to 3) {
+      val ev = randomEvents(seed)
+      val shuffled = new scala.util.Random(seed + 100).shuffle(ev)
+      val a = modelMap(Similarity.itemCosine(ev.toDF("userid", "itemid", "rating"), c))
+      val b = modelMap(Similarity.itemCosine(shuffled.toDF("userid", "itemid", "rating"), c))
+      a.keySet shouldBe b.keySet
+      a.foreach { case (k, v) => v shouldBe b(k) +- 1e-9 }
+    }
+  }
+
+  test("transpose duality: userCosine == itemCosine on swapped roles") {
+    for (seed <- 1 to 3) {
+      val df = randomEvents(seed).toDF("userid", "itemid", "rating")
+      val transposed = df.select($"itemid".as("userid"), $"userid".as("itemid"), $"rating")
+      val u = modelMap(Similarity.userCosine(df, c))
+      val i = modelMap(Similarity.itemCosine(transposed, c))
+      u.keySet shouldBe i.keySet
+      u.foreach { case (k, v) => v shouldBe i(k) +- 1e-12 }
+    }
+  }
+
+  test("bounds: cosine ∈ (0,1], Pearson ∈ [-1,1] \\ {0}") {
+    for (seed <- 1 to 5) {
+      val df = randomEvents(seed).toDF("userid", "itemid", "rating")
+      Similarity.itemCosine(df, c).collect().foreach { r =>
+        r.getDouble(2) should (be > 0.0 and be <= 1.0 + 1e-12)
+      }
+      Similarity.itemPearson(df, c).collect().foreach { r =>
+        r.getDouble(2) should (be >= -1.0 - 1e-12 and be <= 1.0 + 1e-12)
+        r.getDouble(2) should not be 0.0
+      }
+    }
+  }
+
+  test("itemCF score bounds: weighted average of ratings stays in rating range") {
+    for (seed <- 1 to 3) {
+      val df = randomEvents(seed).toDF("userid", "itemid", "rating")
+      val scores = Scoring.itemCF(df, Similarity.itemCosine(df, c), c).collect()
+      // cosine sims are positive ⇒ score is a convex combination of u's
+      // ratings (or exactly 0 for no-neighbor items)
+      scores.foreach { r =>
+        val s = r.getDouble(2)
+        assert(s == 0.0 || (s >= 1.0 - 1e-9 && s <= 5.0 + 1e-9), s"score $s")
+      }
+    }
+  }
+}
