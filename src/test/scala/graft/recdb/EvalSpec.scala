@@ -1,0 +1,44 @@
+package graft.recdb
+
+import graft.SparkSpec
+import graft.Tables
+
+/** Metric gate on real testdata: CF and SVD recommenders must beat a random
+  * ranker's expected hit-rate by a wide margin (the acc_test.c protocol).
+  */
+class EvalSpec extends SparkSpec {
+
+  val c: EventCols = EventCols("userid", "itemid", "rating")
+
+  test("holdout split is deterministic and disjoint") {
+    val ev = Tables.ratings(spark, "/root/testdata/sf0.001")
+    val (train, test) = Eval.holdoutSplit(ev, c, holdoutPerUser = 2)
+    train.count() + test.count() shouldBe ev.count()
+    test.join(train, Seq("userid", "itemid"), "semi").count() shouldBe 0
+    val again = Eval.holdoutSplit(ev, c, holdoutPerUser = 2)._2
+    again.except(test).count() shouldBe 0
+  }
+
+  test("itemCF beats random ranking at k=10; ALS reconstructs better than mean") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.ratings(spark, "/root/testdata/sf0.001").cache()
+    val (train, test) = Eval.holdoutSplit(ev, c)
+    val nItems = ev.select("itemid").distinct().count()
+    val randomBaseline = 10.0 / nItems // expected hit-rate of a random top-10
+    val cf = Scoring.itemCF(train, Similarity.itemCosine(train, c), c)
+    val cfHr = Eval.hitRateAtK(cf, train, test, c, 10)
+    info(s"hit-rate@10: itemCF=$cfHr random=$randomBaseline")
+    cfHr should be > randomBaseline
+    // ALS gate: factorization must fit the observed matrix far better than
+    // the global-mean predictor (rank-50 on a dense small matrix ⇒ near-exact)
+    val (uf, itf) = FunkSVD.train(train, c)
+    val pred = Scoring.factorScore(uf, itf, c)
+    val joined = train.join(pred, Seq("userid", "itemid")).cache()
+    val alsRmse = math.sqrt(joined
+      .select(avg(pow(col("rating") - col("score"), 2))).head().getDouble(0))
+    val meanRmse = math.sqrt(train
+      .select(var_pop(col("rating"))).head().getDouble(0))
+    info(s"train RMSE: als=$alsRmse meanPredictor=$meanRmse")
+    alsRmse should be < meanRmse * 0.5
+  }
+}
