@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.recdb.EventCols
+
+/** Event-table loaders mirroring the reference's ingestion paths: its
+  * example workloads bulk-load delimited text (COPY … DELIMITER ':' —
+  * examples/ml-100/script.py:49; MovieLens .dat files use ';'), and the
+  * engine validates that the three clause columns exist in the relation at
+  * parse time (recathon.c:846-865). Keys coerce to integral, events to
+  * numeric (getTupleInt/getTupleFloat, recathon.c:467-555 — here LONG/DOUBLE
+  * per FIXTURES.md).
+  */
+object EventSources {
+
+  def eventsSchema(c: EventCols): StructType = StructType(Seq(
+    StructField(c.user, LongType, nullable = false),
+    StructField(c.item, LongType, nullable = false),
+    StructField(c.rating, DoubleType, nullable = false)))
+
+  /** Delimited text (the ML-100K / MovieLens shape). Extra columns beyond the
+    * triple are permitted and ignored, like a wider events relation.
+    */
+  def csv(spark: SparkSession, path: String, c: EventCols = EventCols(),
+      delimiter: String = ",", header: Boolean = false): DataFrame = {
+    val raw =
+      if (header)
+        spark.read.option("header", "true").option("delimiter", delimiter).csv(path)
+      else
+        spark.read.option("delimiter", delimiter)
+          .schema(eventsSchema(c)).csv(path)
+    validate(coerce(raw, c), c)
+  }
+
+  def json(spark: SparkSession, path: String, c: EventCols = EventCols()): DataFrame =
+    validate(coerce(spark.read.json(path), c), c)
+
+  def parquet(spark: SparkSession, path: String, c: EventCols = EventCols()): DataFrame =
+    validate(coerce(spark.read.parquet(path), c), c)
+
+  /** Key/value coercion: int-like keys (floats truncate, recathon.c:487-506),
+    * numeric event values.
+    */
+  private def coerce(df: DataFrame, c: EventCols): DataFrame = {
+    val cols = df.columns.map {
+      case n if n == c.user || n == c.item => col(n).cast(LongType).as(n)
+      case n if n == c.rating => col(n).cast(DoubleType).as(n)
+      case n => col(n)
+    }
+    df.select(cols.toSeq: _*)
+  }
+
+  /** Parse-time column validation (recathon.c:846-865): all three columns
+    * must exist in ONE relation.
+    */
+  private def validate(df: DataFrame, c: EventCols): DataFrame = {
+    val missing = Seq(c.user, c.item, c.rating).filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"events table is missing column(s) ${missing.mkString(", ")} " +
+        "(recathon.c:865 'no events table column')")
+    df
+  }
+}

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the events stream table
+  * (event_id, ts, user_id, event_type, value, …). The reference has no
+  * streaming surface (SURVEY.md §2.2 "Streaming: None") — its only
+  * incremental behavior is the R17 retrain hook
+  * ([[graft.recdb.IncrementalMaintainer]]). These operators are the
+  * Spark-native streaming layer a training-data pipeline needs on top:
+  * watermarked tumbling/sliding aggregation and stateful sessionization.
+  *
+  * Scale: both are keyed-state operators — state is partitioned by group key
+  * across executors, bounded by the watermark (late data beyond it is
+  * dropped and state evicted), so they run indefinitely at any throughput.
+  */
+object EventStreams {
+
+  /** Watermarked tumbling-window counts/sums per event_type — the streaming
+    * twin of the q_events_hourly batch query.
+    */
+  def tumblingAgg(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class Session(user_id: Long, start: java.sql.Timestamp,
+      end: java.sql.Timestamp, events: Long, totalValue: Double)
+  final case class SessionState(startMs: Long, endMs: Long, cnt: Long, total: Double)
+
+  /** Gap-based sessionization via flatMapGroupsWithState: a session closes
+    * when no event arrives within `gapMs` (processing-time timeout flushes
+    * it). Emits one row per closed session.
+    */
+  def sessionize(events: Dataset[SessionEvent],
+      gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (user: Long, rows: Iterator[SessionEvent],
+            state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(user, new java.sql.Timestamp(s.startMs),
+              new java.sql.Timestamp(s.endMs), s.cnt, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.endMs <= gapMs =>
+                  cur = Some(s.copy(endMs = t max s.endMs, cnt = s.cnt + 1,
+                    total = s.total + e.value))
+                case Some(s) =>
+                  closed ::= Session(user, new java.sql.Timestamp(s.startMs),
+                    new java.sql.Timestamp(s.endMs), s.cnt, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import graft.SparkSpec
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  def ts(min: Int): Timestamp = new Timestamp(1700000000000L + min * 60000L)
+
+  test("watermarked tumbling aggregation emits finalized windows") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = EventStreams.tumblingAgg(df, window_ = "10 minutes",
+      watermark = "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData((ts(1), "click", 1.0), (ts(4), "click", 2.0), (ts(7), "view", 3.0))
+    q.processAllAvailable()
+    // advance event time far past the watermark to finalize the first window
+    mem.addData((ts(40), "click", 9.0))
+    q.processAllAvailable()
+    val out = spark.table("tumbling").collect()
+    q.stop()
+    val clicks = out.find(r => r.getString(1) == "click")
+    clicks.isDefined shouldBe true
+    clicks.get.getLong(2) shouldBe 2L  // two clicks in the first window
+    clicks.get.getDouble(3) shouldBe 3.0
+  }
+
+  test("sessionization: gap split semantics (batch-mode flatMapGroupsWithState)") {
+    // flatMapGroupsWithState runs identically over a batch Dataset (state
+    // scoped to the batch, timeouts never fire) — the deterministic way to
+    // exercise the fold; streaming-mode timeout flush needs a real trigger
+    // interval (a processing-time-timeout query under the default trigger
+    // re-batches continuously, so processAllAvailable never settles).
+    val events = Seq(
+      EventStreams.SessionEvent(1L, ts(0), 1.0),
+      EventStreams.SessionEvent(1L, ts(5), 2.0),
+      EventStreams.SessionEvent(1L, ts(30), 4.0),
+      EventStreams.SessionEvent(1L, ts(31), 8.0),
+      EventStreams.SessionEvent(2L, ts(2), 5.0),
+      EventStreams.SessionEvent(2L, ts(50), 6.0)).toDS()
+    val closed = EventStreams.sessionize(events, gapMs = 10 * 60000L)
+      .collect().sortBy(s => (s.user_id, s.start.getTime))
+    // user1: (0,5) closes when 30 arrives; (30,31) stays open (not emitted).
+    // user2: (2) closes when 50 arrives; (50) stays open.
+    closed.length shouldBe 2
+    closed(0).user_id shouldBe 1L
+    closed(0).events shouldBe 2L
+    closed(0).totalValue shouldBe 3.0
+    closed(0).start shouldBe ts(0)
+    closed(0).end shouldBe ts(5)
+    closed(1).user_id shouldBe 2L
+    closed(1).events shouldBe 1L
+    closed(1).totalValue shouldBe 5.0
+  }
+
+  test("event sources validate and coerce the events triple") {
+    import graft.sources.EventSources
+    import graft.recdb.EventCols
+    val dir = java.nio.file.Files.createTempDirectory("graft-src").toString
+    Seq((1L, 2L, 3.5, "x"), (4L, 5L, 6.0, "y"))
+      .toDF("userid", "itemid", "rating", "extra")
+      .write.parquet(s"$dir/events.parquet")
+    val df = EventSources.parquet(spark, s"$dir/events.parquet")
+    df.count() shouldBe 2
+    df.schema("userid").dataType.typeName shouldBe "long"
+    an[IllegalArgumentException] should be thrownBy
+      EventSources.parquet(spark, s"$dir/events.parquet",
+        EventCols("nouser", "itemid", "rating"))
+    // csv with ':' delimiter — the ML-100K shape (script.py:49)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/ml.csv"), "1:10:4.0\n2:20:3.0\n")
+    val ml = EventSources.csv(spark, s"$dir/ml.csv", delimiter = ":")
+    ml.collect().map(_.getLong(0)).sorted shouldBe Array(1L, 2L)
+  }
+}
