@@ -57,6 +57,33 @@ object GraftSql {
 
   private val viewCounter = new java.util.concurrent.atomic.AtomicLong()
 
+  private val WhereRe =
+    """(?is)\bWHERE\s+(.*?)(?=\bORDER\s+BY\b|\bLIMIT\b|\bGROUP\s+BY\b|\bHAVING\b|$)""".r
+
+  /** The reference's user-WHERE extraction (parse_rec.c:1100-1211): keep only
+    * conjuncts that reference the user column alone — an over-approximation
+    * used purely to prune the user×item expansion early; the FULL WHERE
+    * clause still applies above the scoring view, so results are identical
+    * either way (SURVEY.md §2.3 #8).
+    */
+  private[sql] def userQual(session: SparkSession, sqlText: String,
+      userCol: String): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    try WhereRe.findFirstMatchIn(sqlText).flatMap { m =>
+      val parsed = session.sessionState.sqlParser.parseExpression(m.group(1))
+      val userOnly = conjuncts(parsed).filter { c =>
+        val refs = c.references.map(_.name.toLowerCase).toSet
+        refs.nonEmpty && refs == Set(userCol.toLowerCase) && c.deterministic
+      }
+      userOnly.reduceOption(CAnd(_, _))
+        .map(org.apache.spark.sql.graft.ColumnShim.column)
+    } catch { case _: Exception => None } // prune is best-effort, never fatal
+  }
+
   /** Rewrite a RECOMMEND query: build the scoring DataFrame, register it as a
     * temp view carrying the full events-table schema (score in the event
     * column, other columns zeroed), splice the view name into the SQL.
@@ -67,8 +94,12 @@ object GraftSql {
         (m.group(1), m.group(2), m.group(3), m.group(4), m.group(5))
       val events = session.table(table)
       val c = EventCols(user, item, event)
+      // user-qual pre-filter: prune qualifying users BEFORE scoring
+      // (execRecommend.c:442-468) — the full WHERE still applies on top
+      val users = userQual(session, sqlText, user)
+        .map(p => events.select(col(user)).where(p).distinct())
       val scored = Recommender.recommend(session, events, table, c, method,
-        Some(catalog(session)))
+        Some(catalog(session)), users)
       // synthesized tuple: (user, item, score-as-event, other columns = 0)
       val others = events.columns.filterNot(Seq(user, item, event).contains)
       val full = scored.select(

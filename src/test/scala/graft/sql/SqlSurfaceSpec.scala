@@ -84,6 +84,35 @@ class SqlSurfaceSpec extends SparkSpec with BeforeAndAfterAll {
     an[Exception] should be thrownBy ext.sql("DROP RECOMMENDER rec1").collect()
   }
 
+  test("user-qual pre-filter: mixed WHERE prunes users yet keeps full filter") {
+    fixture(ext)
+    // userid = 2 is extractable (user-only); rating > 1.2 must still apply on
+    // top of the scored view (the reference's noFilter path, §2.3 #7/#8)
+    val out = ext.sql(
+      """SELECT userid, itemid, rating FROM ml_ratings
+        |RECOMMEND itemid TO userid ON rating USING itemCosCF
+        |WHERE userid = 2 AND rating > 1.2""".stripMargin).collect()
+    out.foreach { r =>
+      r.getLong(0) shouldBe 2L
+      r.getDouble(2) should be > 1.2
+    }
+    // parity with unpruned computation + post-filter
+    val sq = ext
+    import sq.implicits._
+    val rdf = new MicroFixtureSpec {}.fixture.toDF("userid", "itemid", "rating")
+    val c = EventCols("userid", "itemid", "rating")
+    val full = Scoring.itemCF(rdf, Similarity.itemCosine(rdf, c), c)
+      .where($"userid" === 2 && $"score" > 1.2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    val got = out.map(r => (r.getLong(1), r.getDouble(2))).toMap
+    got.keySet shouldBe full.keySet
+    got.foreach { case (k, v) => v shouldBe full(k) +- 1e-9 } // ULP-order drift
+    // and the extraction itself finds the user-only conjunct
+    val q = GraftSql.userQual(ext,
+      "SELECT * FROM t WHERE userid = 2 AND rating > 1.2 ORDER BY 1", "userid")
+    q.isDefined shouldBe true
+  }
+
   test("non-RECOMMEND SQL is untouched by the injected parser") {
     fixture(ext)
     ext.sql("SELECT count(*) AS n FROM ml_ratings").head().getLong(0) shouldBe 10L
