@@ -114,6 +114,46 @@ object RelQueries {
         |FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
         |LIMIT 15""".stripMargin),
+    // CTE (WorkTable/CteScan analog).
+    "q_cte" -> q(
+      """WITH big_orders AS (
+        |  SELECT o_custkey, o_totalprice FROM orders
+        |  WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        |)
+        |SELECT c.c_mktsegment, count(*) AS n,
+        |  round(sum(b.o_totalprice), 4) AS total
+        |FROM big_orders b JOIN customer c ON c.c_custkey = b.o_custkey
+        |GROUP BY c.c_mktsegment""".stripMargin),
+    // UNION ALL (Append) + dedup UNION via DISTINCT.
+    "q_union_all" -> q(
+      """SELECT n_nationkey AS k, n_name AS name FROM nation
+        |UNION ALL
+        |SELECT r_regionkey AS k, r_name AS name FROM region""".stripMargin),
+    // NOT EXISTS → anti join.
+    "q_anti" -> q(
+      """SELECT s.s_suppkey FROM supplier s
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey
+        |    AND l.l_quantity > 45)""".stripMargin),
+    // VALUES inline relation (ValuesScan).
+    "q_values" -> q(
+      """SELECT t.grp, count(*) AS n
+        |FROM part p
+        |JOIN (VALUES ('SMALL', 'light'), ('LARGE', 'heavy'),
+        |             ('ECONOMY', 'light')) AS t(ptype, grp)
+        |  ON p.p_type = t.ptype
+        |GROUP BY t.grp""".stripMargin),
+    // String scalar functions (PG adt/ analog).
+    "q_string_funcs" -> q(
+      """SELECT upper(substr(c_name, 1, 4)) AS pre,
+        |  count(*) AS n, max(length(c_name)) AS maxlen
+        |FROM customer GROUP BY upper(substr(c_name, 1, 4))""".stripMargin),
+    // Date-part extraction + grouping.
+    "q_date_funcs" -> q(
+      """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |  count(*) AS n, round(sum(o_totalprice), 4) AS total
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY year(o_orderdate), month(o_orderdate)""".stripMargin),
     // Tumbling-window aggregation over the events stream table. Dialect split:
     // Spark reads ts as LONG ns (nanosAsLong); DuckDB sees TIMESTAMP_NS.
     "q_events_hourly" -> Q(

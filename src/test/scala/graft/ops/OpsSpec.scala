@@ -98,6 +98,25 @@ class OpsSpec extends SparkSpec {
     fps(0) should not be fps(2)
   }
 
+  test("salted join and salted aggregation equal their unsalted forms") {
+    val large = (1 to 5000).map(i => (i % 3L, i.toDouble)).toDF("k", "v")
+    val small = Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("k", "name")
+    val plain = large.join(small, Seq("k")).groupBy("k", "name")
+      .agg(sum("v").as("s")).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val salted = Skew.saltedJoin(large, small, Seq("k"), salt = 8)
+      .groupBy("k", "name").agg(sum("v").as("s")).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    salted.keySet shouldBe plain.keySet
+    salted.foreach { case (k, v) => v shouldBe plain(k) +- 1e-6 }
+    val aggPlain = large.groupBy("k").agg(sum("v")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val aggSalted = Skew.saltedSum(large, Seq("k"), "v", salt = 8).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    aggSalted.keySet shouldBe aggPlain.keySet
+    aggSalted.foreach { case (k, v) => v shouldBe aggPlain(k) +- 1e-6 }
+  }
+
   test("multimodal: batched feature extraction is partition-parallel and deterministic") {
     val media = Multimodal.syntheticMedia(spark, 100).repartition(8)
     val f1 = Multimodal.extractFeatures(media, dim = 16, batchSize = 10)
