@@ -59,7 +59,16 @@ final class IncrementalMaintainer(
         Recommender.buildSimilarity(events, c, m)
           .write.mode("overwrite").parquet(entry.modelPaths.head)
     }
-    catalog.put(entry.copy(updateCounter = 0, eventTotal = events.count()))
+    // a rebuilt model invalidates any materialized prediction view
+    entry.viewPath.foreach { p =>
+      val dir = new java.io.File(p)
+      if (dir.exists()) {
+        Option(dir.listFiles()).foreach(_.foreach(_.delete()))
+        dir.delete()
+      }
+    }
+    catalog.put(entry.copy(updateCounter = 0, eventTotal = events.count(),
+      viewPath = None))
   }
 
   /** Attach to a streaming events DataFrame: the R17 hook as a sink. */

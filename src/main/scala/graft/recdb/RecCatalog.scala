@@ -19,7 +19,8 @@ final case class RecEntry(
     modelPaths: Seq[String],
     eventTotal: Long,
     updateCounter: Long = 0L,
-    queryCounter: Long = 0L)
+    queryCounter: Long = 0L,
+    viewPath: Option[String] = None)
 
 /** File-backed catalog: one properties file per recommender under `dir`.
   * Replaces the reference's RecModelsCatalogue/RecIndex SQL tables
@@ -49,7 +50,8 @@ final class RecCatalog(dirStr: String) {
         modelPaths = p.getProperty("modelPaths", "").split(',').toSeq.filter(_.nonEmpty),
         eventTotal = p.getProperty("eventTotal", "0").toLong,
         updateCounter = p.getProperty("updateCounter", "0").toLong,
-        queryCounter = p.getProperty("queryCounter", "0").toLong))
+        queryCounter = p.getProperty("queryCounter", "0").toLong,
+        viewPath = Option(p.getProperty("viewPath")).filter(_.nonEmpty)))
     }
   }
 
@@ -77,6 +79,7 @@ final class RecCatalog(dirStr: String) {
     p.setProperty("eventTotal", e.eventTotal.toString)
     p.setProperty("updateCounter", e.updateCounter.toString)
     p.setProperty("queryCounter", e.queryCounter.toString)
+    e.viewPath.foreach(p.setProperty("viewPath", _))
     val out = Files.newOutputStream(file(e.name))
     try p.store(out, "graft recommender catalog entry") finally out.close()
   }

@@ -114,6 +114,40 @@ object Recommender {
     }
   }
 
+  /** RecView materialization (SURVEY.md §1.1): cache the recommender's
+    * predictions — optionally top-k per user — as parquet, recorded on the
+    * catalog entry. The reference created the view table but left the read
+    * path dead (utility.c:146-157, execRecommend.c:935-940); here it is a
+    * live serving cache: [[recommend]] prefers a fresh view, and the R17
+    * rebuild invalidates it.
+    */
+  def materializeView(spark: SparkSession, name: String, events: DataFrame,
+      catalog: RecCatalog, viewsDir: String, topK: Option[Int] = None): String = {
+    val e = catalog.get(name).getOrElse(
+      throw new IllegalArgumentException(s"unknown recommender: $name"))
+    val c = EventCols(e.userCol, e.itemCol, e.ratingCol)
+    val scores = recommend(spark, events, e.eventsTag, c, e.method.name,
+      Some(catalog))
+    val out = topK match {
+      case Some(k) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col(c.user))
+          .orderBy(col("score").desc, col(c.item))
+        scores.withColumn("__rk", row_number().over(w))
+          .where(col("__rk") <= k).drop("__rk")
+      case None => scores
+    }
+    val path = s"$viewsDir/$name.view.parquet"
+    out.write.mode("overwrite").parquet(path)
+    catalog.put(catalog.get(name).get.copy(viewPath = Some(path)))
+    path
+  }
+
+  /** Serve predictions from the materialized view if present. */
+  def recommendFromView(spark: SparkSession, name: String,
+      catalog: RecCatalog): Option[DataFrame] =
+    catalog.get(name).flatMap(_.viewPath).map(spark.read.parquet(_))
+
   private[recdb] def buildSimilarity(events: DataFrame, c: EventCols,
       m: RecMethod): DataFrame = m match {
     case RecMethod.ItemCosCF => Similarity.itemCosine(events, c)

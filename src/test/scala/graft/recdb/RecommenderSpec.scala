@@ -51,6 +51,33 @@ class RecommenderSpec extends SparkSpec {
     new java.io.File(s"$models/r1.model.parquet").exists() shouldBe false
   }
 
+  test("materialized view: top-k cache serves, rebuild invalidates") {
+    val (cat, models) = freshDirs()
+    val r = ratings
+    Recommender.create(spark, "rv", r, "tbl", c, "itemcoscf", cat, models)
+    val path = Recommender.materializeView(spark, "rv", r, cat,
+      models + "/views", topK = Some(2))
+    val view = Recommender.recommendFromView(spark, "rv", cat)
+    view.isDefined shouldBe true
+    view.get.count() shouldBe 8 // 4 users × top-2
+    // parity with live scoring top-2
+    val live = Recommender.recommend(spark, r, "tbl", c, "itemcoscf", Some(cat))
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(col("userid")).orderBy(col("score").desc, col("itemid"))
+    val liveTop = live.withColumn("rk", row_number().over(w)).where(col("rk") <= 2)
+      .select("userid", "itemid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    view.get.select("userid", "itemid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe liveTop
+    // R17 rebuild invalidates the view
+    val evPath = java.nio.file.Files.createTempDirectory("graft-ev").toString + "/ev"
+    r.write.parquet(evPath)
+    val maint = new IncrementalMaintainer(cat, evPath)
+    maint.processBatch("rv", r.limit(5)) shouldBe true // 5 >= 0.5×10
+    cat.get("rv").get.viewPath shouldBe None
+    new java.io.File(path).exists() shouldBe false
+  }
+
   test("svd: rank-50 factors, all-pairs scores, reconstructs known ratings sanely") {
     val (cat, models) = freshDirs()
     val e = Recommender.create(spark, "s1", ratings, "tbl", c, "SVD", cat, models)
