@@ -21,10 +21,13 @@ import org.apache.spark.sql.functions._
   * always comes from the FULL events table — filtering users must not shrink
   * the item universe.
   *
-  * Scale design: the heavy aggregation shuffles on model keys only; the item
-  * dimension is broadcast into the expansion; a small `users` frame is
-  * broadcast-semi-joined into the events table so single-user top-k never
-  * scans per-user state for non-qualifying users.
+  * Scale design: the heavy aggregation shuffles on model keys only. The
+  * `users` pre-filter frame is structurally small (it exists because a
+  * predicate selected few users) and keeps an explicit broadcast hint; every
+  * unbounded dimension (per-user averages, the item dimension, factor
+  * frames) is left unhinted so AQE picks broadcast only when the runtime
+  * size allows — a forced broadcast of a 1e9-row dimension would OOM the
+  * driver on a real cluster.
   */
 object Scoring {
 
@@ -74,7 +77,7 @@ object Scoring {
     val scores = sym
       .join(ratings.select(col(c.user).as("v"), col(c.item).as("i"),
         col(c.rating).as("r")), Seq("v"))
-      .join(broadcast(uavg), Seq("u"))
+      .join(uavg, Seq("u"))
       .groupBy("u", "i", "ubar")
       .agg((col("ubar") +
         sum(col("s") * (col("r") - col("ubar"))) / sum(abs(col("s")))).as("score"))
@@ -87,8 +90,8 @@ object Scoring {
 
   /** SVD / matrix-factorization: score(u,i) = dot(userF[u], itemF[i]) — no
     * baseline at inference (recathon.c:4373-4433, SURVEY.md §2.1 R14).
-    * Factor frames: (id, features ARRAY<numeric>). Item factors are broadcast —
-    * the item dimension is small relative to users at scale.
+    * Factor frames: (id, features ARRAY<numeric>). The cross join is left
+    * unhinted — AQE broadcasts the item side when it is actually small.
     */
   def factorScore(userFactors: DataFrame, itemFactors: DataFrame,
       c: EventCols = EventCols()): DataFrame = {
@@ -96,7 +99,7 @@ object Scoring {
       col("features").cast("array<double>").as("ufeat"))
     val itf = itemFactors.select(col("id").as(c.item),
       col("features").cast("array<double>").as("ifeat"))
-    uf.crossJoin(broadcast(itf))
+    uf.crossJoin(itf)
       .select(col(c.user), col(c.item),
         aggregate(
           zip_with(col("ufeat"), col("ifeat"), (a, b) => a * b),
@@ -117,6 +120,6 @@ object Scoring {
       c: EventCols): DataFrame = {
     val users = uRatings.select(col(c.user).as("u")).distinct()
     val items = allRatings.select(col(c.item).as("i")).distinct()
-    users.crossJoin(broadcast(items))
+    users.crossJoin(items)
   }
 }

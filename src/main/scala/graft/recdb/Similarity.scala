@@ -30,9 +30,11 @@ final case class EventCols(
   * self-join on the co-rating key, so pairs only materialize where co-ratings
   * exist (the same sparsity the reference's sim_node walk exploits,
   * recathon.c:1331-1341). The join shuffles once on the co-rating key and the
-  * pair aggregation shuffles once on the pair key; per-entity stats (norms,
-  * means) are one row per item/user and are broadcast, never shuffled with the
-  * big side. For skewed co-rating keys (a user who rated millions of items
+  * pair aggregation shuffles once on the pair key. Per-entity stats joins
+  * (norms, means — one row per item/user) carry no broadcast hint: the entity
+  * count is unbounded for user-based models, and AQE promotes the join to
+  * broadcast at runtime whenever the aggregated side is actually small.
+  * For skewed co-rating keys (a user who rated millions of items
   * would emit quadratic pairs) callers can cap events per key with
   * [[capRatingsPerKey]] — the reference's dormant NBRHOOD knob (recathon.c:48)
   * made real.
@@ -72,8 +74,8 @@ object Similarity {
       .groupBy("p1", "p2")
       .agg(sum(col("r1") * col("r2")).as("dot"))
     dots
-      .join(broadcast(norms.select(col("p").as("p1"), col("nrm").as("nrm1"))), "p1")
-      .join(broadcast(norms.select(col("p").as("p2"), col("nrm").as("nrm2"))), "p2")
+      .join(norms.select(col("p").as("p1"), col("nrm").as("nrm1")), "p1")
+      .join(norms.select(col("p").as("p2"), col("nrm").as("nrm2")), "p2")
       .select(col("p1").as(out1), col("p2").as(out2),
         (col("dot") / (col("nrm1") * col("nrm2"))).as("similarity"))
       .where(col("similarity") > 0d) // drop sims <= 0: recathon.c:1493
@@ -88,7 +90,7 @@ object Similarity {
       rating: String, out1: String, out2: String): DataFrame = {
     val stats = r.groupBy(col(pairKey).as("p")).agg(avg(col(rating)).as("mean"))
     val centered = r
-      .join(broadcast(stats), col(pairKey) === col("p"))
+      .join(stats, col(pairKey) === col("p"))
       .select(col(joinKey).as("k"), col(pairKey).as("pk"),
         (col(rating) - col("mean")).as("c"))
     val pinfo = centered.groupBy(col("pk").as("p"))
@@ -101,8 +103,8 @@ object Similarity {
     val denomGuarded = when(col("pp1") * col("pp2") === 0d, lit(null))
       .otherwise(col("dot") / (col("pp1") * col("pp2")))
     dots
-      .join(broadcast(pinfo.select(col("p").as("p1"), col("pp").as("pp1"))), "p1")
-      .join(broadcast(pinfo.select(col("p").as("p2"), col("pp").as("pp2"))), "p2")
+      .join(pinfo.select(col("p").as("p1"), col("pp").as("pp1")), "p1")
+      .join(pinfo.select(col("p").as("p2"), col("pp").as("pp2")), "p2")
       .select(col("p1").as(out1), col("p2").as(out2), denomGuarded.as("similarity"))
       .where(col("similarity") =!= 0d) // keep negatives: recathon.c:1885
   }
