@@ -114,6 +114,21 @@ object RelQueries {
         |FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
         |LIMIT 15""".stripMargin),
+    // FULL OUTER JOIN with null-side grouping.
+    "q_full_join" -> q(
+      """SELECT coalesce(c.c_custkey, o.o_custkey) AS k,
+        |  count(o.o_orderkey) AS n_orders, count(c.c_name) AS n_cust
+        |FROM customer c FULL JOIN orders o ON o.o_custkey = c.c_custkey
+        |GROUP BY coalesce(c.c_custkey, o.o_custkey)""".stripMargin),
+    // HAVING over grouped aggregates.
+    "q_having" -> q(
+      """SELECT l_suppkey, count(*) AS n, round(sum(l_quantity), 4) AS qty
+        |FROM lineitem GROUP BY l_suppkey HAVING count(*) > 600""".stripMargin),
+    // EXCEPT ALL (multiset semantics).
+    "q_except_all" -> q(
+      """SELECT c_nationkey AS k FROM customer
+        |EXCEPT ALL
+        |SELECT s_nationkey AS k FROM supplier""".stripMargin),
     // CTE (WorkTable/CteScan analog).
     "q_cte" -> q(
       """WITH big_orders AS (

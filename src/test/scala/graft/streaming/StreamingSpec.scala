@@ -59,6 +59,32 @@ class StreamingSpec extends SparkSpec {
     closed(1).totalValue shouldBe 5.0
   }
 
+  test("bucketed tables join and aggregate without a shuffle exchange") {
+    import graft.sources.Bucketing
+    val events = spark.read
+      .parquet("/root/testdata/sf0.001/events.parquet")
+      .select($"event_id", $"user_id", $"value")
+    Bucketing.writeBucketed(events, "ev_bucketed", "user_id", 4)
+    Bucketing.writeBucketed(events.groupBy("user_id").count(),
+      "user_counts_bucketed", "user_id", 4)
+    // disable auto-broadcast so the sort-merge path exercises bucket
+    // co-location (with broadcast on, the planner rightly prefers BHJ here)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Bucketing.table(spark, "ev_bucketed")
+        .join(Bucketing.table(spark, "user_counts_bucketed"), "user_id")
+      joined.count() shouldBe events.count()
+      assert(Bucketing.isShuffleFree(joined),
+        joined.queryExecution.executedPlan.toString)
+      // aggregation on the bucket key is shuffle-free too
+      val agg = Bucketing.table(spark, "ev_bucketed")
+        .groupBy("user_id").sum("value")
+      agg.count() shouldBe 15
+      assert(Bucketing.isShuffleFree(agg))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("event sources validate and coerce the events triple") {
     import graft.sources.EventSources
     import graft.recdb.EventCols
