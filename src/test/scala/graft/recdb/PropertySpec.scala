@@ -59,6 +59,18 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("capRatingsPerKey: identity when under cap, bounded counts otherwise") {
+    val df = randomEvents(9).toDF("userid", "itemid", "rating")
+    val capped = Similarity.capRatingsPerKey(df, "userid", "itemid", "rating", 100)
+    capped.count() shouldBe df.count() // no key exceeds the cap → identity
+    val tight = Similarity.capRatingsPerKey(df, "userid", "itemid", "rating", 3)
+    val counts = tight.groupBy("userid").count().collect().map(_.getLong(1))
+    counts.foreach(_ should be <= 3L)
+    // kept rows are each user's highest-rated (deterministic tie-break)
+    tight.count() shouldBe df.groupBy("userid").count().collect()
+      .map(r => math.min(3L, r.getLong(1))).sum
+  }
+
   test("itemCF score bounds: weighted average of ratings stays in rating range") {
     for (seed <- 1 to 3) {
       val df = randomEvents(seed).toDF("userid", "itemid", "rating")
