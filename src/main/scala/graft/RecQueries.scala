@@ -29,22 +29,22 @@ object RecQueries {
       round6(Similarity.userPearson(ratings(s, d), c), Seq("user1", "user2"), "similarity")),
     "r_itemcf_scores" -> ((s, d) => {
       val r = ratings(s, d)
-      round6(Scoring.itemCF(r, Similarity.itemCosine(r, c), c),
+      round6(Scoring.itemCF(r, Similarity.itemCosine(r, c).cache(), c),
         Seq("userid", "itemid"), "score")
     }),
     "r_itemcf_pear_scores" -> ((s, d) => {
       val r = ratings(s, d)
-      round6(Scoring.itemCF(r, Similarity.itemPearson(r, c), c),
+      round6(Scoring.itemCF(r, Similarity.itemPearson(r, c).cache(), c),
         Seq("userid", "itemid"), "score")
     }),
     "r_usercf_scores" -> ((s, d) => {
       val r = ratings(s, d)
-      round6(Scoring.userCF(r, Similarity.userCosine(r, c), c),
+      round6(Scoring.userCF(r, Similarity.userCosine(r, c).cache(), c),
         Seq("userid", "itemid"), "score")
     }),
     "r_usercf_pear_scores" -> ((s, d) => {
       val r = ratings(s, d)
-      round6(Scoring.userCF(r, Similarity.userPearson(r, c), c),
+      round6(Scoring.userCF(r, Similarity.userPearson(r, c).cache(), c),
         Seq("userid", "itemid"), "score")
     }),
     "r_itemcf_topk" -> ((s, d) => {
@@ -53,7 +53,7 @@ object RecQueries {
       // user-qual pre-filter BEFORE the user×item expansion — the reference's
       // userqual pruning (execRecommend.c:442-468, SURVEY.md §4.2.4)
       val users = r.select(col("userid")).where(col("userid") === minUser).distinct()
-      round6(Scoring.itemCF(r, Similarity.itemCosine(r, c), c, Some(users)),
+      round6(Scoring.itemCF(r, Similarity.itemCosine(r, c).cache(), c, Some(users)),
         Seq("userid", "itemid"), "score")
         .orderBy(col("score").desc, col("itemid"))
         .limit(10)
@@ -74,7 +74,7 @@ object RecQueries {
       val r = ratings(s, d)
       val minUser = r.agg(min(col("userid"))).head().getLong(0)
       val users = r.select(col("userid")).where(col("userid") === minUser).distinct()
-      round6(Scoring.userCF(r, Similarity.userCosine(r, c), c, Some(users)),
+      round6(Scoring.userCF(r, Similarity.userCosine(r, c).cache(), c, Some(users)),
         Seq("userid", "itemid"), "score")
         .orderBy(col("score").desc, col("itemid"))
         .limit(10)
