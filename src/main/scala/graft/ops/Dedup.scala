@@ -30,12 +30,15 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col("n_copies"))
 
-  /** Distinct word n-grams ("shingles") from a token array. */
+  /** Distinct word n-grams ("shingles") from a token array. Documents with
+    * fewer than n tokens yield ZERO shingles (and thus never pair) — matching
+    * the SQL-oracle semantics of generate_series over token positions.
+    */
   def wordNgrams(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
         i => array_join(slice(toks, i, lit(n)), " "))))
-      .otherwise(array_distinct(array(array_join(toks, " "))))
+      .otherwise(array().cast("array<string>"))
 
   /** Exact n-gram Jaccard near-dup pairs: (id1, id2, jaccard ≥ threshold). */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,

@@ -15,9 +15,9 @@ import org.apache.spark.sql.types._
   * deterministic output schemas.
   *
   * The STUBBED part: actual media codecs are not available in this container,
-  * so [[decodeStub]] produces a deterministic fake feature vector derived
-  * from the payload bytes. Swap `decodeStub` for a real JNI/FFI decoder at
-  * deployment; nothing else changes.
+  * so [[decodeBatchStub]] produces deterministic fake feature vectors derived
+  * from the payload bytes. Swap `decodeBatchStub` for a real JNI/FFI batch
+  * decoder at deployment; nothing else changes.
   */
 object Multimodal {
 
@@ -44,22 +44,24 @@ object Multimodal {
       "sample_rate", "n_frames")
   }
 
-  /** STUB decoder: deterministic pseudo-features from payload bytes. A real
-    * implementation decodes the image/audio and pools features; the signature
-    * (bytes, targetW, targetH) → Array[Float](dim) is the deployment contract.
+  /** STUB batch decoder: deterministic pseudo-features from payload bytes.
+    * The deployment contract is the BATCH signature — a real codec (JNI/FFI)
+    * amortizes model/codec setup across the batch; each element carries its
+    * own source dims, resized to (targetW, targetH).
     */
-  def decodeStub(payload: Array[Byte], targetW: Int, targetH: Int,
-      dim: Int): Array[Float] = {
-    val out = new Array[Float](dim)
-    var acc = 17L
-    var i = 0
-    while (i < payload.length) {
-      acc = (acc * 31 + (payload(i) & 0xFF)) % 1000000007L
-      out(i % dim) += ((acc % 1024) / 1024.0f)
-      i += 1
+  def decodeBatchStub(batch: Seq[(Array[Byte], Int, Int)], targetW: Int,
+      targetH: Int, dim: Int): Seq[Array[Float]] =
+    batch.map { case (payload, _, _) =>
+      val out = new Array[Float](dim)
+      var acc = 17L
+      var i = 0
+      while (i < payload.length) {
+        acc = (acc * 31 + (payload(i) & 0xFF)) % 1000000007L
+        out(i % dim) += ((acc % 1024) / 1024.0f)
+        i += 1
+      }
+      out.map(v => v / (payload.length.max(1) / dim.toFloat))
     }
-    out.map(v => v / (payload.length.max(1) / dim.toFloat))
-  }
 
   /** Batched partition-parallel feature extraction — the `mapInPandas` shape
     * in Scala: each partition's rows are consumed as an iterator of
@@ -87,9 +89,12 @@ object Multimodal {
           if (ir.isNullAt(hIdx)) targetH else ir.getInt(hIdx))
       }
       rows.grouped(batchSize).flatMap { batch =>
-        // one decoder invocation per batch — the vectorized boundary
-        batch.map { case (id, payload, _, _) =>
-          Row(id, decodeStub(payload, targetW, targetH, dim).toSeq)
+        // ONE decoder invocation per batch — the vectorized boundary
+        val feats = decodeBatchStub(
+          batch.map { case (_, payload, w, h) => (payload, w, h) },
+          targetW, targetH, dim)
+        batch.lazyZip(feats).map { case ((id, _, _, _), f) =>
+          Row(id, f.toSeq)
         }
       }
     }
@@ -100,7 +105,7 @@ object Multimodal {
     * as (media_id, frame_idx) — a pure generator expression, no decode.
     */
   def sampleFrames(media: DataFrame, stride: Int): DataFrame =
-    media.where(col("n_frames").isNotNull)
+    media.where(col("n_frames").isNotNull && col("n_frames") > 0)
       .select(col("media_id"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
 }

@@ -1,7 +1,7 @@
 package graft.recdb
 
 import org.apache.spark.ml.recommendation.ALS
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Matrix-factorization training for method `svd`.
@@ -25,6 +25,18 @@ object FunkSVD {
   def train(events: DataFrame, c: EventCols,
       rank: Int = Rank, maxIter: Int = 10, regParam: Double = 0.05)
       : (DataFrame, DataFrame) = {
+    // ALS ids are Int; LONG keys are the engine contract (FIXTURES.md), so
+    // out-of-range ids must fail loudly here rather than wrap/throw mid-fit
+    val Row(maxU, maxI) = events
+      .select(max(abs(col(c.user))), max(abs(col(c.item)))).head()
+    def chk(v: Any, which: String): Unit = v match {
+      case n: Long if n > Int.MaxValue =>
+        throw new IllegalArgumentException(
+          s"svd: $which ids exceed Int range (max |id| = $n); " +
+            "re-index ids densely before training (ALS limitation)")
+      case _ =>
+    }
+    chk(maxU, "user"); chk(maxI, "item")
     val df = events.select(
       col(c.user).cast("int").as("user"),
       col(c.item).cast("int").as("item"),

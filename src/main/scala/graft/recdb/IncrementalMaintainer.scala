@@ -23,21 +23,28 @@ final class IncrementalMaintainer(
     updateThreshold: Double = IncrementalMaintainer.DefaultThreshold) {
 
   /** Process one inserted micro-batch for `name`: append + count + maybe
-    * retrain. Returns true if a rebuild was triggered.
+    * retrain. Returns true if a rebuild was triggered. `batchId` makes the
+    * at-least-once foreachBatch contract idempotent: a replayed batch (driver
+    * restart between append and checkpoint commit) is skipped instead of
+    * double-appending events and double-counting the update counter.
     */
-  def processBatch(name: String, batch: DataFrame): Boolean = {
+  def processBatch(name: String, batch: DataFrame,
+      batchId: Long = Long.MinValue): Boolean = {
     val entry = catalog.get(name).getOrElse(
       throw new IllegalArgumentException(s"unknown recommender: $name"))
+    if (batchId != Long.MinValue && batchId <= entry.lastBatchId) return false
+    def stamped(e: RecEntry): RecEntry =
+      if (batchId == Long.MinValue) e else e.copy(lastBatchId = batchId)
     val n = batch.count()
-    if (n == 0) return false
+    if (n == 0) { catalog.put(stamped(entry)); return false }
     batch.write.mode("append").parquet(eventsPath)
     val counter = entry.updateCounter + n
     // recathon.c:1089: counter >= update_threshold × eventtotal → full rebuild
     if (counter >= updateThreshold * entry.eventTotal) {
-      rebuild(entry)
+      rebuild(stamped(entry))
       true
     } else {
-      catalog.put(entry.copy(updateCounter = counter))
+      catalog.put(stamped(entry).copy(updateCounter = counter))
       false
     }
   }
@@ -60,13 +67,7 @@ final class IncrementalMaintainer(
           .write.mode("overwrite").parquet(entry.modelPaths.head)
     }
     // a rebuilt model invalidates any materialized prediction view
-    entry.viewPath.foreach { p =>
-      val dir = new java.io.File(p)
-      if (dir.exists()) {
-        Option(dir.listFiles()).foreach(_.foreach(_.delete()))
-        dir.delete()
-      }
-    }
+    entry.viewPath.foreach(Recommender.deleteDir)
     catalog.put(entry.copy(updateCounter = 0, eventTotal = events.count(),
       viewPath = None))
   }
@@ -76,8 +77,8 @@ final class IncrementalMaintainer(
       checkpointDir: String): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(name, batch); ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(name, batch, batchId); ()
       }
       .start()
 }

@@ -20,7 +20,8 @@ final case class RecEntry(
     eventTotal: Long,
     updateCounter: Long = 0L,
     queryCounter: Long = 0L,
-    viewPath: Option[String] = None)
+    viewPath: Option[String] = None,
+    lastBatchId: Long = -1L)
 
 /** File-backed catalog: one properties file per recommender under `dir`.
   * Replaces the reference's RecModelsCatalogue/RecIndex SQL tables
@@ -51,15 +52,19 @@ final class RecCatalog(dirStr: String) {
         eventTotal = p.getProperty("eventTotal", "0").toLong,
         updateCounter = p.getProperty("updateCounter", "0").toLong,
         queryCounter = p.getProperty("queryCounter", "0").toLong,
-        viewPath = Option(p.getProperty("viewPath")).filter(_.nonEmpty)))
+        viewPath = Option(p.getProperty("viewPath")).filter(_.nonEmpty),
+        lastBatchId = p.getProperty("lastBatchId", "-1").toLong))
     }
   }
 
-  def list(): Seq[RecEntry] =
-    Files.list(dir).iterator().asScala
+  def list(): Seq[RecEntry] = {
+    val stream = Files.list(dir)
+    try stream.iterator().asScala
       .filter(_.toString.endsWith(".recommender"))
       .map(f => get(f.getFileName.toString.stripSuffix(".recommender")).get)
       .toSeq.sortBy(_.name)
+    finally stream.close()
+  }
 
   /** (eventsTag, method) uniqueness mirrors the duplicate-pair error of
     * CREATE RECOMMENDER (recathon.c:832-844, SURVEY.md §2.3 #9).
@@ -80,6 +85,7 @@ final class RecCatalog(dirStr: String) {
     p.setProperty("updateCounter", e.updateCounter.toString)
     p.setProperty("queryCounter", e.queryCounter.toString)
     e.viewPath.foreach(p.setProperty("viewPath", _))
+    p.setProperty("lastBatchId", e.lastBatchId.toString)
     val out = Files.newOutputStream(file(e.name))
     try p.store(out, "graft recommender catalog entry") finally out.close()
   }

@@ -61,18 +61,24 @@ object Recommender {
     entry
   }
 
-  /** Drop model files + catalog entry (utility.c:957-1091). */
+  /** Recursive local-path delete (model/view parquet dirs). */
+  private[recdb] def deleteDir(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    val f = new java.io.File(path)
+    if (f.exists()) rm(f)
+  }
+
+  /** Drop model files, materialized view, and catalog entry
+    * (utility.c:957-1091).
+    */
   def drop(name: String, catalog: RecCatalog): Boolean = {
     catalog.get(name) match {
       case None => false
       case Some(e) =>
-        e.modelPaths.foreach { p =>
-          val dir = new java.io.File(p)
-          if (dir.exists()) {
-            Option(dir.listFiles()).foreach(_.foreach(_.delete()))
-            dir.delete()
-          }
-        }
+        (e.modelPaths ++ e.viewPath).foreach(deleteDir)
         catalog.delete(name)
     }
   }

@@ -55,7 +55,11 @@ object GraftSql {
   private[sql] val DropRe =
     """(?is)^\s*DROP\s+RECOMMENDER\s+(\w+)\s*;?\s*$""".r
 
-  private val viewCounter = new java.util.concurrent.atomic.AtomicLong()
+  // deterministic per-statement view name: re-issuing the same RECOMMEND
+  // statement replaces its view instead of leaking a fresh one per parse
+  private def viewName(sqlText: String): String =
+    "graft_rec_" + Integer.toHexString(
+      java.util.Arrays.hashCode(sqlText.trim.getBytes("UTF-8")))
 
   private val WhereRe =
     """(?is)\bWHERE\s+(.*?)(?=\bORDER\s+BY\b|\bLIMIT\b|\bGROUP\s+BY\b|\bHAVING\b|$)""".r
@@ -100,12 +104,14 @@ object GraftSql {
         .map(p => events.select(col(user)).where(p).distinct())
       val scored = Recommender.recommend(session, events, table, c, method,
         Some(catalog(session)), users)
-      // synthesized tuple: (user, item, score-as-event, other columns = 0)
-      val others = events.columns.filterNot(Seq(user, item, event).contains)
+      // synthesized tuple: (user, item, score-as-event, other columns = 0);
+      // identifier comparison is case-insensitive like Spark SQL resolution
+      val clauseCols = Seq(user, item, event).map(_.toLowerCase)
+      val others = events.columns.filterNot(c => clauseCols.contains(c.toLowerCase))
       val full = scored.select(
         col(user) +: col(item) +: col("score").as(event) +:
           others.map(o => lit(0).cast(events.schema(o).dataType).as(o)): _*)
-      val view = s"graft_rec_${viewCounter.incrementAndGet()}"
+      val view = viewName(sqlText)
       full.createOrReplaceTempView(view)
       sqlText.substring(0, m.start) + s"FROM $view" + sqlText.substring(m.end)
     }

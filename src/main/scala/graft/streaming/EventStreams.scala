@@ -60,9 +60,18 @@ object EventStreams {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.endMs <= gapMs =>
-                  cur = Some(s.copy(endMs = t max s.endMs, cnt = s.cnt + 1,
+                // within gap of the session span (late or in-order): merge,
+                // extending both bounds
+                case Some(s) if t >= s.startMs - gapMs && t <= s.endMs + gapMs =>
+                  cur = Some(s.copy(startMs = t min s.startMs,
+                    endMs = t max s.endMs, cnt = s.cnt + 1,
                     total = s.total + e.value))
+                // too-late straggler (beyond gap BEFORE the session): its own
+                // immediately-closed singleton session
+                case Some(s) if t < s.startMs - gapMs =>
+                  closed ::= Session(user, new java.sql.Timestamp(t),
+                    new java.sql.Timestamp(t), 1, e.value)
+                // beyond gap AFTER the session: close current, start new
                 case Some(s) =>
                   closed ::= Session(user, new java.sql.Timestamp(s.startMs),
                     new java.sql.Timestamp(s.endMs), s.cnt, s.total)
