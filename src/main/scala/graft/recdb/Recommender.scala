@@ -113,6 +113,11 @@ object Recommender {
       case m =>
         val model = hit match {
           case Some(e) => spark.read.parquet(e.modelPaths.head)
+          // on-the-fly model is cached because scoring consumes both triangle
+          // halves; Spark's cache manager dedupes by plan, so repeated
+          // identical OP_GENERATE queries share one entry. Long-lived
+          // services should CREATE the recommender (materialized path)
+          // rather than re-deriving per query.
           case None => buildSimilarity(events, c, m).cache()
         }
         if (RecMethod.isUserBased(m)) Scoring.userCF(events, model, c, users)

@@ -51,6 +51,18 @@ class RecommenderSpec extends SparkSpec {
     new java.io.File(s"$models/r1.model.parquet").exists() shouldBe false
   }
 
+  test("typed facade: Dataset[Event] in, typed models and predictions out") {
+    import spark.implicits._
+    val ds = new MicroFixtureSpec {}.fixture
+      .map(t => TypedApi.Event(t._1, t._2, t._3)).toDS()
+    val model = TypedApi.itemCosine(ds).collect()
+    model.length shouldBe Similarity.itemCosine(ratings, c).count()
+    model.foreach(m => assert(m.item1 < m.item2 && m.similarity > 0))
+    val preds = TypedApi.recommend(spark, ds, "typed", "itemcoscf").collect()
+    preds.length shouldBe 16
+    preds.map(_.score).foreach(s => assert(!s.isNaN))
+  }
+
   test("materialized view: top-k cache serves, rebuild invalidates") {
     val (cat, models) = freshDirs()
     val r = ratings
