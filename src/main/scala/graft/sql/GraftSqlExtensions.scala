@@ -104,13 +104,20 @@ object GraftSql {
         .map(p => events.select(col(user)).where(p).distinct())
       val scored = Recommender.recommend(session, events, table, c, method,
         Some(catalog(session)), users)
-      // synthesized tuple: (user, item, score-as-event, other columns = 0);
-      // identifier comparison is case-insensitive like Spark SQL resolution
+      // Output schema per SURVEY.md §2.3: materialized recommenders return
+      // ONLY the three clause columns (README.md:110, quirk #3); on-the-fly
+      // queries carry the full events schema with non-clause columns reading
+      // 0 (execRecommend.c:398-405, quirk #2). Identifier comparison is
+      // case-insensitive like Spark SQL resolution.
+      val materialized = catalog(session)
+        .findByTagAndMethod(table, graft.recdb.RecMethod.parse(method)).isDefined
       val clauseCols = Seq(user, item, event).map(_.toLowerCase)
-      val others = events.columns.filterNot(c => clauseCols.contains(c.toLowerCase))
+      val others =
+        if (materialized) Array.empty[String]
+        else events.columns.filterNot(c => clauseCols.contains(c.toLowerCase))
       val full = scored.select(
         col(user) +: col(item) +: col("score").as(event) +:
-          others.map(o => lit(0).cast(events.schema(o).dataType).as(o)): _*)
+          others.map(o => lit(0).cast(events.schema(o).dataType).as(o)).toSeq: _*)
       val view = viewName(sqlText)
       full.createOrReplaceTempView(view)
       sqlText.substring(0, m.start) + s"FROM $view" + sqlText.substring(m.end)

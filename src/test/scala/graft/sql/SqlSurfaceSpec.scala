@@ -73,10 +73,13 @@ class SqlSurfaceSpec extends SparkSpec with BeforeAndAfterAll {
               |ITEMS FROM itemid EVENTS FROM rating USING itemCosCF""".stripMargin)
       .collect()
     GraftSql.catalog(ext).get("rec1").map(_.eventTotal) shouldBe Some(10L)
-    // materialized path now serves the same query
-    val out = ext.sql(
+    // materialized path now serves the same query — and returns ONLY the
+    // three clause columns (README.md:110, SURVEY.md §2.3 #3)
+    val matDf = ext.sql(
       """SELECT * FROM ml_ratings RECOMMEND itemid TO userid ON rating
-        |USING itemCosCF WHERE userid = 2""".stripMargin).collect()
+        |USING itemCosCF WHERE userid = 2""".stripMargin)
+    matDf.columns.toSeq shouldBe Seq("userid", "itemid", "rating")
+    val out = matDf.collect()
     out.length shouldBe 4 // all items for user 2
     GraftSql.catalog(ext).get("rec1").map(_.queryCounter) shouldBe Some(1L)
     ext.sql("DROP RECOMMENDER rec1").collect()
