@@ -169,6 +169,18 @@ object RelQueries {
         |  count(*) AS n, round(sum(o_totalprice), 4) AS total
         |FROM orders WHERE o_orderstatus = 'F'
         |GROUP BY year(o_orderdate), month(o_orderdate)""".stripMargin),
+    // Ordered-set aggregates (percentiles). Dialect split: Spark `percentile`
+    // and DuckDB `quantile_cont` are both linear-interpolation on the sorted
+    // multiset.
+    "q_percentile" -> Q(
+      spark = """SELECT l_returnflag,
+                |  round(percentile(l_extendedprice, 0.5), 4) AS med,
+                |  round(percentile(l_extendedprice, 0.9), 4) AS p90
+                |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      duck = """SELECT l_returnflag,
+               |  round(quantile_cont(l_extendedprice, 0.5), 4) AS med,
+               |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+               |FROM lineitem GROUP BY l_returnflag""".stripMargin),
     // Tumbling-window aggregation over the events stream table. Dialect split:
     // Spark reads ts as LONG ns (nanosAsLong); DuckDB sees TIMESTAMP_NS.
     "q_events_hourly" -> Q(

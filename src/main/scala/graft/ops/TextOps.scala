@@ -103,4 +103,48 @@ object TextOps {
     */
   def minGramFingerprint(text: Column, k: Int = 5): Column =
     array_min(transform(Dedup.wordNgrams(tokens(text), k), g => hash(g)))
+
+  /** Distinct character n-grams — the classic near-dup shingle for text
+    * without reliable tokenization (CJK, code). SQL-portable (substr loop).
+    */
+  def charNgrams(text: Column, n: Int): Column =
+    when(length(text) >= n,
+      array_distinct(transform(sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+}
+
+/** TF-IDF over the tokenized corpus — pure DataFrame ops, one shuffle per
+  * aggregation level, no ML-pipeline state. Scale: term exploding is linear
+  * in corpus tokens; document frequency is a (term) aggregate; everything
+  * stays keyed by (doc, term) — no driver-side vocabulary.
+  */
+object TfIdf {
+  import org.apache.spark.sql.DataFrame
+
+  /** (id, term, tf, df, tfidf) with tfidf = tf · ln(N / df); raw term counts
+    * as tf (the reference-free, oracle-friendly convention).
+    */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = docs.count()
+    val terms = docs.select(col(idCol).as("id"),
+      explode(TextOps.tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(df, "term")
+      .select(col("id"), col("term"), col("tf"), col("df"),
+        (col("tf") * log(lit(n.toDouble) / col("df"))).as("tfidf"))
+  }
+
+  /** Top-k highest-tfidf terms per document (deterministic tie-break). */
+  def topTerms(docs: DataFrame, idCol: String, textCol: String, k: Int,
+      roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("id")
+      .orderBy(round(col("tfidf"), roundTo).desc, col("term"))
+    tfidf(docs, idCol, textCol)
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("id").as(idCol), col("term"), col("rank").cast("long").as("rank"),
+        round(col("tfidf"), roundTo).as("tfidf"))
+  }
 }

@@ -53,6 +53,25 @@ object Similarity {
       .where(col("__rn") <= max).drop("__rn")
   }
 
+  /** The reference's dormant NBRHOOD knob (recathon.c:48, shipped as 0 =
+    * unbounded) made real: keep only each entity's top-K strongest neighbors
+    * (by |similarity|, deterministic tie-break). Because the model is
+    * triangular, the rank is computed over the symmetric sweep and a pair
+    * survives if EITHER endpoint keeps it — the standard kNN-graph
+    * sparsification that bounds scoring cost at web scale.
+    */
+  def capNeighbors(model: DataFrame, e1: String, e2: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = model.select(col(e1).as("a"), col(e2).as("b"), col("similarity"))
+      .unionAll(model.select(col(e2).as("a"), col(e1).as("b"), col("similarity")))
+    val w = Window.partitionBy("a").orderBy(abs(col("similarity")).desc, col("b"))
+    val kept = sym.withColumn("__rk", row_number().over(w)).where(col("__rk") <= k)
+      .select(least(col("a"), col("b")).as(e1),
+        greatest(col("a"), col("b")).as(e2))
+      .distinct()
+    model.join(kept, Seq(e1, e2), "semi")
+  }
+
   def itemCosine(ratings: DataFrame, c: EventCols = EventCols()): DataFrame =
     cosine(ratings, joinKey = c.user, pairKey = c.item, c.rating, "item1", "item2")
 

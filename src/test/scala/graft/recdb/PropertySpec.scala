@@ -71,6 +71,24 @@ class PropertySpec extends SparkSpec {
       .map(r => math.min(3L, r.getLong(1))).sum
   }
 
+  test("capNeighbors: kNN sparsification keeps each entity's strongest pairs") {
+    val df = randomEvents(11).toDF("userid", "itemid", "rating")
+    val model = Similarity.itemCosine(df, c)
+    val capped = Similarity.capNeighbors(model, "item1", "item2", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact semantics: a pair survives iff EITHER endpoint ranks it within
+    // its own top-k by |sim| (tie-break by neighbor id) — the kNN-graph union
+    val sym = model.collect().flatMap(r => Seq(
+      (r.getLong(0), r.getLong(1), r.getDouble(2)),
+      (r.getLong(1), r.getLong(0), r.getDouble(2))))
+    val expect = sym.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      xs.sortBy(t => (-math.abs(t._3), t._2)).take(2)
+        .map(t => (t._1 min t._2, t._1 max t._2))
+    }.toSet
+    capped shouldBe expect
+    capped.size should be <= model.collect().length
+  }
+
   test("itemCF score bounds: weighted average of ratings stays in rating range") {
     for (seed <- 1 to 3) {
       val df = randomEvents(seed).toDF("userid", "itemid", "rating")
