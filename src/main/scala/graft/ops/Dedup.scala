@@ -24,9 +24,26 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact dedup: one representative (min id) + multiplicity per key group. */
+  /** Exact dedup: one representative (min id) + multiplicity per key group.
+    * Grouping by the raw key shuffles the full key bytes — fine for bounded
+    * keys; for document-scale text use [[exactByHash]].
+    */
   def exact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame =
     df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .select(col(idCol), col("n_copies"))
+
+  /** Exact dedup at corpus scale: shuffle a 128-bit content key
+    * (xxhash64 ⊕ length-salted xxhash64) instead of the full text — the
+    * shuffle carries 16 bytes per row regardless of document size. Collision
+    * probability across 2⁶⁴·2⁶⁴ key space is negligible for any real corpus
+    * (~n²/2¹²⁸ birthday bound).
+    */
+  def exactByHash(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol),
+      xxhash64(col(textCol)).as("__h1"),
+      xxhash64(length(col(textCol)), col(textCol)).as("__h2"))
+      .groupBy("__h1", "__h2")
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col("n_copies"))
 

@@ -98,6 +98,17 @@ class OpsSpec extends SparkSpec {
     fps(0) should not be fps(2)
   }
 
+  test("exactByHash matches exact dedup; tfidf top terms are sane") {
+    val byText = Dedup.exact(documents, Seq("text"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byHash = Dedup.exactByHash(documents, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byHash shouldBe byText
+    val top = TfIdf.topTerms(documents, "doc_id", "text", k = 3).collect()
+    top.length shouldBe 3 * documents.count()
+    top.foreach(r => r.getLong(2) should be <= 3L)
+  }
+
   test("salted join and salted aggregation equal their unsalted forms") {
     val large = (1 to 5000).map(i => (i % 3L, i.toDouble)).toDF("k", "v")
     val small = Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("k", "name")
