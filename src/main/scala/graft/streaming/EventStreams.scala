@@ -30,6 +30,16 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact dedup: drop repeated keys with bounded state — state for
+    * a key is evicted once the watermark passes it, so memory is bounded by
+    * the key arrival rate × watermark horizon (the streaming face of
+    * [[graft.ops.Dedup.exact]]).
+    */
+  def streamingDedup(events: DataFrame, keys: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class Session(user_id: Long, start: java.sql.Timestamp,
       end: java.sql.Timestamp, events: Long, totalValue: Double)

@@ -59,6 +59,22 @@ class StreamingSpec extends SparkSpec {
     closed(1).totalValue shouldBe 5.0
   }
 
+  test("streaming dedup drops repeats within the watermark horizon") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "event_id", "event_type")
+    val deduped = EventStreams.streamingDedup(df, Seq("event_id"), "30 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData((ts(0), 1L, "click"), (ts(1), 1L, "click"), (ts(2), 2L, "view"))
+    q.processAllAvailable()
+    mem.addData((ts(3), 2L, "view"), (ts(4), 3L, "buy"))
+    q.processAllAvailable()
+    val out = spark.table("dedup_out").collect()
+    q.stop()
+    out.map(_.getLong(1)).sorted shouldBe Array(1L, 2L, 3L)
+  }
+
   test("bucketed tables join and aggregate without a shuffle exchange") {
     import graft.sources.Bucketing
     val events = spark.read
