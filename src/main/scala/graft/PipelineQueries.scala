@@ -67,25 +67,6 @@ object PipelineQueries {
         .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))),
     "p_tfidf_top" -> ((s, d) =>
       TfIdf.topTerms(docs(s, d), "doc_id", "text", k = 3)),
-    "p_chargram_jaccard" -> ((s, d) => {
-      val grams = docs(s, d).select(col("doc_id").as("id"),
-        TextOps.charNgrams(col("text"), 4).as("grams"))
-      // reuse the exact-jaccard machinery over char shingles
-      val ex = grams.select(col("id"), explode(col("grams")).as("g"))
-      val inter = ex.select(col("g"), col("id").as("id1"))
-        .join(ex.select(col("g"), col("id").as("id2")), Seq("g"))
-        .where(col("id1") < col("id2"))
-        .groupBy("id1", "id2").agg(count(lit(1)).as("n_inter"))
-      val sizes = grams.select(col("id"), size(col("grams")).as("sz"))
-      inter
-        .join(sizes.select(col("id").as("id1"), col("sz").as("sz1")), "id1")
-        .join(sizes.select(col("id").as("id2"), col("sz").as("sz2")), "id2")
-        .select(col("id1"), col("id2"),
-          round(col("n_inter").cast("double") /
-            (col("sz1") + col("sz2") - col("n_inter")), 6).as("jaccard"))
-        .where(col("n_inter").cast("double") /
-          (col("sz1") + col("sz2") - col("n_inter")) >= 0.5)
-    }),
   )
 
   private val jaccardOracle: String =
@@ -206,24 +187,6 @@ object PipelineQueries {
         |  FROM ti
         |)
         |SELECT doc_id, term, rank, tfidf FROM rk WHERE rank <= 3""".stripMargin,
-    "p_chargram_jaccard" ->
-      """WITH grams AS (
-        |  SELECT doc_id, list_distinct([substr(text, i, 4)
-        |    for i in generate_series(1, length(text) - 3)]) AS gs
-        |  FROM documents
-        |),
-        |ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
-        |inter AS (
-        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n
-        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2
-        |),
-        |sizes AS (SELECT doc_id, len(gs) AS sz FROM grams)
-        |SELECT id1, id2, round(n*1.0/(s1.sz + s2.sz - n), 6) AS jaccard
-        |FROM inter
-        |JOIN sizes s1 ON id1 = s1.doc_id
-        |JOIN sizes s2 ON id2 = s2.doc_id
-        |WHERE n*1.0/(s1.sz + s2.sz - n) >= 0.5""".stripMargin,
     "p_embed_neardup" ->
       s"""WITH $knnFlatCte,
          |dots AS (

@@ -98,6 +98,30 @@ class OpsSpec extends SparkSpec {
     fps(0) should not be fps(2)
   }
 
+  test("char-shingle jaccard finds the same near-dup pairs as word shingles") {
+    // char shingles are the tokenizer-free path; on THIS whitespace corpus
+    // they must agree with the word-shingle result. (Kept out of the sf0.1
+    // gate: 5000 low-entropy docs make hot char-4-grams quadratic — the
+    // word-shingle query is the gate; this is the semantic check.)
+    val grams = documents.select(col("doc_id").as("id"),
+      TextOps.charNgrams(col("text"), 4).as("grams"))
+    val ex = grams.select(col("id"), explode(col("grams")).as("g"))
+    val inter = ex.select(col("g"), col("id").as("id1"))
+      .join(ex.select(col("g"), col("id").as("id2")), Seq("g"))
+      .where(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("n"))
+    val sizes = grams.select(col("id"),
+      org.apache.spark.sql.functions.size(col("grams")).as("sz"))
+    val charPairs = inter
+      .join(sizes.select(col("id").as("id1"), col("sz").as("sz1")), "id1")
+      .join(sizes.select(col("id").as("id2"), col("sz").as("sz2")), "id2")
+      .where(col("n").cast("double") / (col("sz1") + col("sz2") - col("n")) >= 0.5)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wordPairs = Dedup.jaccardPairs(documents, "doc_id", "text", 3, 0.5)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    charPairs shouldBe wordPairs
+  }
+
   test("exactByHash matches exact dedup; tfidf top terms are sane") {
     val byText = Dedup.exact(documents, Seq("text"), "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
