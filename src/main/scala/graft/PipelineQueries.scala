@@ -67,6 +67,9 @@ object PipelineQueries {
         .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))),
     "p_tfidf_top" -> ((s, d) =>
       TfIdf.topTerms(docs(s, d), "doc_id", "text", k = 3)),
+    "p_repetition" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        round(TextOps.repetitionRatio(col("text"), 3), 6).as("rep_ratio"))),
   )
 
   private val jaccardOracle: String =
@@ -170,6 +173,17 @@ object PipelineQueries {
          |  JOIN nrm n2 ON neighbor_id = n2.vec_id
          |)
          |SELECT query_id, neighbor_id, rank, cos FROM scored WHERE rank <= 10""".stripMargin,
+    "p_repetition" ->
+      """WITH g AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |      for i in generate_series(1, len(toks)-2)]) AS gs
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  round(CASE WHEN len(toks) - 2 <= 0 THEN 0
+        |    ELSE 1.0 - len(gs)*1.0/(len(toks) - 2) END, 6) AS rep_ratio
+        |FROM g""".stripMargin,
     "p_tfidf_top" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents

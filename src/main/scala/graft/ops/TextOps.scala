@@ -104,6 +104,28 @@ object TextOps {
   def minGramFingerprint(text: Column, k: Int = 5): Column =
     array_min(transform(Dedup.wordNgrams(tokens(text), k), g => hash(g)))
 
+  /** Within-document repetition: 1 − (distinct n-grams / total n-grams) —
+    * the Gopher-style duplication signal (high = boilerplate/looping text).
+    * SQL-portable; 0 for docs shorter than n tokens.
+    */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    val total = greatest(size(toks) - (n - 1), lit(0))
+    val distinctGrams = size(Dedup.wordNgrams(toks, n))
+    when(total <= 0, lit(0.0))
+      .otherwise(lit(1.0) - distinctGrams.cast("double") / total)
+  }
+
+  /** PII redaction: emails and long digit runs replaced with placeholder
+    * tokens. Patterns kept RE2-compatible so the same regex runs in the
+    * DuckDB oracle.
+    */
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text,
+      """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "<EMAIL>")
+    regexp_replace(noEmail, """[0-9][0-9 ()+.-]{7,}[0-9]""", "<PHONE>")
+  }
+
   /** Distinct character n-grams — the classic near-dup shingle for text
     * without reliable tokenization (CJK, code). SQL-portable (substr loop).
     */

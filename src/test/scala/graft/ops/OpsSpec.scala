@@ -133,6 +133,23 @@ class OpsSpec extends SparkSpec {
     top.foreach(r => r.getLong(2) should be <= 3L)
   }
 
+  test("repetition ratio and PII redaction behave on known strings") {
+    val df = Seq(
+      (1L, "a b c a b c a b c"),          // heavy 3-gram repetition
+      (2L, "one two three four five six"), // no repetition
+      (3L, "ab"),                          // shorter than n → 0
+      (4L, "mail me at jo.doe+x@test.org or call 044 123 456 789 now")
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+      TextOps.repetitionRatio(col("text"), 3).as("rep"),
+      TextOps.redactPii(col("text")).as("red"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+    out(1L)._1 should be > 0.5 // 7 grams, 3 distinct
+    out(2L)._1 shouldBe 0.0
+    out(3L)._1 shouldBe 0.0
+    out(4L)._2 shouldBe "mail me at <EMAIL> or call <PHONE> now"
+  }
+
   test("salted join and salted aggregation equal their unsalted forms") {
     val large = (1 to 5000).map(i => (i % 3L, i.toDouble)).toDF("k", "v")
     val small = Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("k", "name")
