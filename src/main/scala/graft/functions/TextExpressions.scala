@@ -1,0 +1,143 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnShim
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tight eval loops for the text hot path, shared by interpreted eval and
+  * generated code (objects get Java static forwarders, so Janino can call
+  * them directly).
+  *
+  * Why these exist: the higher-order-function forms in [[graft.ops.TextOps]] /
+  * [[graft.ops.Dedup]] (`transform`/`aggregate`/`zip_with`) are semantically
+  * right and SQL-portable, but HOFs evaluate through per-element lambda
+  * closures with no codegen — profiled at ~0.3 ms/doc for 3-gram shingling,
+  * which made expression evaluation (not the join!) the dominant cost of the
+  * dedup family. The semantics here are bit-identical to the HOF forms
+  * (OpsSpec asserts equality), just evaluated in one JVM loop per document.
+  */
+object TextExprUtil {
+
+  /** split(text, " ") with Java `split(re, -1)` semantics (trailing empties
+    * kept, "" → [""]) — byte-level scan; a 0x20 byte never occurs inside a
+    * multi-byte UTF-8 sequence, so this equals the regex split on " ".
+    */
+  def splitSpace(s: UTF8String): Array[UTF8String] = {
+    val bytes = s.getBytes
+    var cnt = 1
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == 0x20) cnt += 1
+      i += 1
+    }
+    val out = new Array[UTF8String](cnt)
+    var start = 0
+    var k = 0
+    i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == 0x20) {
+        out(k) = UTF8String.fromBytes(bytes, start, i - start)
+        k += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  private val Space = UTF8String.fromString(" ")
+
+  /** Distinct word n-grams of split-on-space tokens, first-occurrence order —
+    * same contract as [[graft.ops.Dedup.wordNgrams]] (docs with fewer than n
+    * tokens yield an empty array).
+    */
+  def wordShingles(text: UTF8String, n: Int): ArrayData = {
+    val toks = splitSpace(text)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]
+    var i = 0
+    val win = new Array[UTF8String](n)
+    while (i + n <= toks.length) {
+      var j = 0
+      while (j < n) { win(j) = toks(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(Space, win: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray)
+  }
+
+  /** 63-bit SimHash over split-on-space tokens (xxhash64 seed 42 per token,
+    * per-bit ±1 votes, sign → bit) — same contract as
+    * [[graft.ops.Dedup.simhash64]].
+    */
+  def simhash63(text: UTF8String): Long = {
+    val toks = splitSpace(text)
+    val votes = new Array[Int](63)
+    var i = 0
+    while (i < toks.length) {
+      val h = XxHash64Function.hash(toks(i), StringType, 42L)
+      var b = 0
+      while (b < 63) {
+        if (((h >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 63) {
+      if (votes(b) >= 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+}
+
+/** Codegen'd distinct word n-gram shingles: ARRAY<STRING> from a text column,
+  * one tight loop per row (vs the interpreted HOF chain — see TextExprUtil).
+  */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_shingles"
+
+  override def nullSafeEval(s: Any): Any =
+    TextExprUtil.wordShingles(s.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextExprUtil.wordShingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** Codegen'd 63-bit SimHash signature of a text column. */
+case class SimHash63(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash63"
+
+  override def nullSafeEval(s: Any): Any =
+    TextExprUtil.simhash63(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextExprUtil.simhash63($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash63 =
+    copy(child = newChild)
+}
+
+object TextFns {
+  /** Distinct word n-grams (split on single space), native fast path. */
+  def wordShinglesNative(text: Column, n: Int): Column =
+    ColumnShim.column(WordShingles(ColumnShim.expression(text), n))
+
+  /** 63-bit SimHash (split on single space), native fast path. */
+  def simhashNative(text: Column): Column =
+    ColumnShim.column(SimHash63(ColumnShim.expression(text)))
+}

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.TextFns
 
 /** Deduplication operators for training-data pipelines: exact, n-gram
   * Jaccard, MinHash+LSH, and SimHash. Embedding-cosine near-dup lives in
@@ -61,7 +62,7 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
       threshold: Double, maxShingleDocs: Option[Int] = None): DataFrame = {
     val docs = df.select(col(idCol).as("id"),
-      wordNgrams(TextOps.tokens(col(textCol)), n).as("grams"))
+      TextFns.wordShinglesNative(col(textCol), n).as("grams"))
     val ex0 = docs.select(col("id"), explode(col("grams")).as("g"))
     val ex = maxShingleDocs match {
       case Some(f) =>
@@ -142,7 +143,7 @@ object Dedup {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
     val r = numPerm / bands
     val docs = df.select(col(idCol).as("id"),
-      wordNgrams(TextOps.tokens(col(textCol)), nGram).as("grams"))
+      TextFns.wordShinglesNative(col(textCol), nGram).as("grams"))
     val sigs = minhashSignatures(docs, "id", "grams", numPerm, seed)
     val banded = sigs.select(col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
@@ -187,7 +188,8 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
+    val sigs = df.select(col(idCol).as("id"),
+      TextFns.simhashNative(col(textCol)).as("sim"))
     val blocks = sigs.select(col("id"), col("sim"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("blk"),

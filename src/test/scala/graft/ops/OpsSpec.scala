@@ -34,6 +34,34 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.6, s"simhash recall $recall")
   }
 
+  test("native shingle/simhash expressions == HOF reference forms") {
+    import graft.functions.TextFns
+    // shingles: same multiset of (id, gram) pairs as the portable HOF form
+    val hof = documents.select(col("doc_id"),
+      explode(Dedup.wordNgrams(TextOps.tokens(col("text")), 3)).as("g"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    val native = documents.select(col("doc_id"),
+      explode(TextFns.wordShinglesNative(col("text"), 3)).as("g"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    native shouldBe hof
+    // simhash: identical 63-bit signatures
+    val hofSim = documents.select(col("doc_id"), Dedup.simhash64(col("text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val natSim = documents.select(col("doc_id"), TextFns.simhashNative(col("text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    natSim shouldBe hofSim
+    // split edge cases: trailing space, empty string, double space
+    val edge = Seq("a b c ", "", "a  b", "x").toDF("text")
+    val h = edge.select(Dedup.simhash64(col("text"))).collect().map(_.getLong(0))
+    val nv = edge.select(TextFns.simhashNative(col("text"))).collect().map(_.getLong(0))
+    nv.toSeq shouldBe h.toSeq
+    val hg = edge.select(Dedup.wordNgrams(TextOps.tokens(col("text")), 2))
+      .collect().map(_.getSeq[String](0))
+    val ng = edge.select(TextFns.wordShinglesNative(col("text"), 2))
+      .collect().map(_.getSeq[String](0))
+    ng.toSeq shouldBe hg.toSeq
+  }
+
   test("hot-shingle cap preserves high-jaccard pairs") {
     val capped = Dedup.jaccardPairs(documents, "doc_id", "text", 3, 0.5,
       maxShingleDocs = Some(100)).select("id1", "id2")
