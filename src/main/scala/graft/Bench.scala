@@ -12,16 +12,21 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup at the smallest SF: drives every query's plan through
-    // Catalyst + Janino + C2 once so the timed pass measures steady-state
-    // data-dependent cost, not single-JVM compilation overhead (a real
-    // cluster amortizes codegen across thousands of tasks; a cold local
-    // run would charge it to whichever query runs first).
-    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    if (warmDir.nonEmpty)
+    // Untimed warmup at the SAME scale factor: drives every query's plan —
+    // including the exact physical strategies the data-dependent "auto"
+    // picks choose at this SF — through Catalyst + Janino + C2 once, so the
+    // timed pass measures steady-state data cost, not single-JVM compilation
+    // overhead (a real cluster amortizes codegen across thousands of tasks;
+    // a cold local run charges it to whichever query runs first). The cache
+    // is cleared afterwards so the timed pass still pays every real model
+    // build, shuffle, and scan.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", sfDir)
+    if (warmDir.nonEmpty) {
       SparkEntry.queries.foreach { case (_, fn) =>
         try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
       }
+      spark.catalog.clearCache()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

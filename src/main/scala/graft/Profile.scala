@@ -24,6 +24,8 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
     names.foreach {
       case "jaccard_stages" => jaccardStages(spark, sfDir, reps)
+      case s if s.startsWith("usercf:") => userCfStrategy(spark, sfDir, reps, s)
+      case "usercf_stages" => userCfStages(spark, sfDir, reps)
       case n =>
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
@@ -32,6 +34,82 @@ object Profile {
         }
         println(f"PROFILE $n: ${times.map(t => f"$t%.2f").mkString(" ")}")
     }
+
+  /** usercf:<modelStrategy>:<scoreStrategy> — isolated pearson userCF cost. */
+  def userCfStrategy(spark: SparkSession, sfDir: String, reps: Int,
+      spec: String): Unit = {
+    import graft.recdb.{Scoring, Similarity}
+    val Array(_, ms, ss) = spec.split(":")
+    val r = Tables.ratings(spark, sfDir).cache()
+    val times = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      val model = Similarity.userPearson(r, Tables.ratingCols, ms).cache()
+      val n = Scoring.userCF(r, model, Tables.ratingCols, strategy = ss).count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    println(f"PROFILE $spec rows=${times.head._2} " +
+      times.map(x => f"${x._1}%.2f").mkString(" "))
+  }
+
+  /** Decompose the dense userCF sweep: vectors, sim rows, cross join. */
+  def userCfStages(spark: SparkSession, sfDir: String, reps: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFns
+    import graft.recdb.{Scoring, Similarity}
+    val c = Tables.ratingCols
+    val r = Tables.ratings(spark, sfDir).cache()
+    val model = Similarity.userPearson(r, c, "dense").cache()
+    model.count()
+    def t(label: String)(body: => Long): Unit = {
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); val n = body
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      println(f"PROFILE ustage:$label rows=${times.head._2} " +
+        times.map(x => f"${x._1}%.2f").mkString(" "))
+    }
+    val idx = r.select(col(c.user).as("k"))
+      .distinct()
+      .withColumn("ki", (row_number().over(Window.orderBy("k")) - 1).cast("int"))
+    val dims = idx.count().toInt
+    val ivec = r.join(broadcast(idx), col(c.user) === col("k"))
+      .groupBy(col(c.item).as("i"))
+      .agg(collect_list(struct(col("ki"), col(c.rating).cast("double"))).as("re"),
+        collect_list(struct(col("ki"), lit(1.0).as("one"))).as("me"))
+      .select(col("i"), VectorFns.denseFromEntries(col("re"), dims).as("rv"),
+        VectorFns.denseFromEntries(col("me"), dims).as("mv"))
+    t("ivec")(ivec.count())
+    val sym = Scoring.symmetric(model, "user1", "user2")
+      .select(col("i").as("u"), col("j").as("v"), col("s"))
+    t("sym")(sym.count())
+    val srows = r.select(col(c.user).as("u")).distinct()
+      .join(sym, Seq("u"), "left")
+      .join(broadcast(idx.select(col("k").as("v"), col("ki").as("vi"))), Seq("v"), "left")
+      .groupBy(col("u"))
+      .agg(collect_list(when(col("s").isNotNull,
+          struct(col("vi"), col("s").cast("double")))).as("se"),
+        collect_list(when(col("s").isNotNull,
+          struct(col("vi"), abs(col("s")).cast("double")))).as("ae"))
+      .select(col("u"), VectorFns.denseFromEntries(col("se"), dims).as("sv"),
+        VectorFns.denseFromEntries(col("ae"), dims).as("av"))
+    t("srows")(srows.count())
+    val uavg = r.groupBy(col(c.user).as("u")).agg(avg(col(c.rating)).as("ubar"))
+    val den = VectorFns.dotNative(col("av"), col("mv"))
+    val num = VectorFns.dotNative(col("sv"), col("rv")) -
+      col("ubar") * VectorFns.dotNative(col("sv"), col("mv"))
+    val full = srows.join(uavg, Seq("u")).crossJoin(ivec)
+      .select(col("u"), col("i"),
+        when(den === 0d, lit(0.0)).otherwise(col("ubar") + num / den).as("score"))
+    t("cross_score")(full.count())
+    val cached = srows.join(uavg, Seq("u")).cache()
+    cached.count()
+    val iCached = ivec.cache(); iCached.count()
+    t("cross_score_precached")(cached.crossJoin(iCached)
+      .select(col("u"), col("i"),
+        when(den === 0d, lit(0.0)).otherwise(col("ubar") + num / den).as("score"))
+      .count())
+  }
 
   /** Decompose jaccardPairs cost: grams eval, explode, self-join, full. */
   def jaccardStages(spark: SparkSession, sfDir: String, reps: Int): Unit = {

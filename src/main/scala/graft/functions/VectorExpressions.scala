@@ -4,7 +4,8 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnaryExpression
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnShim
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
@@ -68,10 +69,56 @@ case class DotProduct(left: Expression, right: Expression)
       newRight: Expression): DotProduct = copy(left = newLeft, right = newRight)
 }
 
+/** Shared eval helpers callable from generated code (static forwarders). */
+object VectorExprUtil {
+  /** Zero-filled double[dims] scattered from (index, value) entries — the
+    * sparse→dense bridge for the bounded-dimension strategy. Entries with
+    * out-of-range indices are ignored (cannot occur for indices built by
+    * dense_rank over the same data).
+    */
+  def denseFromEntries(entries: ArrayData, dims: Int): ArrayData = {
+    val out = new Array[Double](dims)
+    val n = entries.numElements()
+    var k = 0
+    while (k < n) {
+      val row = entries.getStruct(k, 2)
+      val i = row.getInt(0)
+      if (i >= 0 && i < dims) out(i) = row.getDouble(1)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Codegen'd scatter of ARRAY<STRUCT<i:INT, v:DOUBLE>> into a zero-filled
+  * dense ARRAY<DOUBLE> of fixed width.
+  */
+case class DenseFromEntries(child: Expression, dims: Int)
+    extends UnaryExpression {
+  require(dims >= 1, "dims must be >= 1")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_dense_from_entries"
+
+  override def nullSafeEval(a: Any): Any =
+    VectorExprUtil.denseFromEntries(a.asInstanceOf[ArrayData], dims)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorExprUtil.denseFromEntries($c, $dims)")
+
+  override protected def withNewChildInternal(newChild: Expression): DenseFromEntries =
+    copy(child = newChild)
+}
+
 object VectorFns {
   /** Codegen'd dot(a, b) over two ARRAY<DOUBLE> columns. */
   def dotNative(a: Column, b: Column): Column =
     ColumnShim.column(DotProduct(
       ColumnShim.expression(a.cast("array<double>")),
       ColumnShim.expression(b.cast("array<double>"))))
+
+  /** Dense ARRAY<DOUBLE>(dims) from ARRAY<STRUCT<i INT, v DOUBLE>> entries. */
+  def denseFromEntries(entries: Column, dims: Int): Column =
+    ColumnShim.column(DenseFromEntries(ColumnShim.expression(entries), dims))
 }

@@ -2,6 +2,7 @@ package graft.recdb
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.functions.VectorFns
 
 /** Prediction formulas — the Spark re-expression of RecDB's RecScan tuple
   * generator (execRecommend.c:302-595) plus the per-method predict functions
@@ -43,7 +44,10 @@ object Scoring {
     * (recathon.c:4235-4295). Item with no rated neighbors → 0 (recathon.c:4291).
     */
   def itemCF(ratings: DataFrame, itemModel: DataFrame,
-      c: EventCols = EventCols(), users: Option[DataFrame] = None): DataFrame = {
+      c: EventCols = EventCols(), users: Option[DataFrame] = None,
+      strategy: String = "auto"): DataFrame = {
+    if (pickDense(ratings, itemModel, c.item, strategy))
+      return itemCFDense(ratings, itemModel, c, users)
     val uRatings = restrict(ratings, users, c)
     val sym = symmetric(itemModel, "item1", "item2")
     val scores = sym
@@ -57,13 +61,90 @@ object Scoring {
         coalesce(col("score"), lit(0.0)).as("score"))
   }
 
+  /** Strategy pick for the dense scoring sweep. The sparse path's cost is
+    * the sym-model × ratings join fan-out, estimated as
+    * 2·|model|·(|ratings| / dim-cardinality); below the fan-out threshold
+    * the join is cheap and dense fixed costs dominate. The vector width is
+    * the model's key side (items for itemCF, users for userCF) and must be
+    * bounded; the sweep's output is the user×item expansion either way.
+    */
+  private def pickDense(ratings: DataFrame, model: DataFrame, dimKey: String,
+      strategy: String): Boolean = strategy match {
+    case "dense" => true
+    case "join" => false
+    case "auto" =>
+      val key = (ratings.queryExecution.analyzed.canonicalized.hashCode() * 41 +
+        model.queryExecution.analyzed.canonicalized.hashCode(), s"score|$dimKey")
+      Similarity.memoized(key) {
+        val dims = ratings.agg(countDistinct(col(dimKey))).head().getLong(0)
+        if (dims > Similarity.DenseDimLimit || dims == 0L) false
+        else {
+          val est = 2.0 * model.count() * (ratings.count().toDouble / dims)
+          est > Similarity.DenseFanoutThreshold
+        }
+      }
+    case other => throw new IllegalArgumentException(
+      s"unknown strategy '$other' (auto|join|dense)")
+  }
+
+  /** Dense itemCF sweep: score(u,i) = dot(rvec_u, simcol_i) /
+    * dot(mask_u, |sim|col_i) with 0 on an empty denominator — the same
+    * Σ sim·r / Σ|sim| restricted to u's rated neighbors, evaluated as two
+    * codegen'd dot products per (user, item) cell instead of a model×ratings
+    * join fan-out. The user×item cross join IS the RecScan expansion, so no
+    * extra left join is needed; items with no model edges get zero vectors
+    * and score 0 (recathon.c:4291 semantics).
+    */
+  private def itemCFDense(ratings: DataFrame, itemModel: DataFrame,
+      c: EventCols, users: Option[DataFrame]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idx = ratings.select(col(c.item).as("k")).distinct()
+      .withColumn("ki", (row_number().over(Window.orderBy("k")) - 1).cast("int"))
+    val dims = idx.count().toInt
+    val uRatings = restrict(ratings, users, c)
+    val uvec = uRatings.join(broadcast(idx), col(c.item) === col("k"))
+      .groupBy(col(c.user).as("u"))
+      .agg(
+        collect_list(struct(col("ki"), col(c.rating).cast("double"))).as("re"),
+        collect_list(struct(col("ki"), lit(1.0).as("one"))).as("me"))
+      .select(col("u"),
+        VectorFns.denseFromEntries(col("re"), dims).as("rv"),
+        VectorFns.denseFromEntries(col("me"), dims).as("mv"))
+    val sym = symmetric(itemModel, "item1", "item2")
+    val scols = idx.select(col("k").as("i"), col("ki").as("ii"))
+      .join(sym, Seq("i"), "left")
+      .join(broadcast(idx.select(col("k").as("j"), col("ki").as("ji"))),
+        Seq("j"), "left")
+      .groupBy(col("i"))
+      .agg(
+        collect_list(when(col("s").isNotNull,
+          struct(col("ji"), col("s").cast("double")))).as("se"),
+        collect_list(when(col("s").isNotNull,
+          struct(col("ji"), abs(col("s")).cast("double")))).as("ae"))
+      .select(col("i"),
+        VectorFns.denseFromEntries(col("se"), dims).as("sv"),
+        VectorFns.denseFromEntries(col("ae"), dims).as("av"))
+    val den = VectorFns.dotNative(col("mv"), col("av"))
+    // broadcast the item side and keep the join type Inner (lit(true)
+    // condition) so BroadcastNestedLoopJoin stays in whole-stage codegen and
+    // the wide vectors never materialize into joined rows — only (u, i,
+    // score) comes out
+    uvec.join(broadcast(scols), lit(true))
+      .select(col("u").as(c.user), col("i").as(c.item),
+        when(den === 0d, lit(0.0))
+          .otherwise(VectorFns.dotNative(col("rv"), col("sv")) / den).as("score"))
+  }
+
   /** userCF: score(u,i) = ū + Σ_{v∈raters(i)} sim(u,v)·(r(v,i) − ū) / Σ|sim|,
     * where ū is **u's own** average — the reference's documented quirk vs the
     * standard Resnick formula (recathon.c:4349-4360, SURVEY.md §2.1 R13).
     * No similar raters → 0.0, not ū (recathon.c:4357).
     */
   def userCF(ratings: DataFrame, userModel: DataFrame,
-      c: EventCols = EventCols(), users: Option[DataFrame] = None): DataFrame = {
+      c: EventCols = EventCols(), users: Option[DataFrame] = None,
+      strategy: String = "auto"): DataFrame = {
+    if (pickDense(ratings, userModel, c.user, strategy))
+      return userCFDense(ratings, userModel, c, users)
     val uRatings = restrict(ratings, users, c)
     val uavg = uRatings.groupBy(col(c.user).as("u"))
       .agg(avg(col(c.rating)).as("ubar"))
@@ -86,6 +167,57 @@ object Scoring {
       .join(scores, Seq("u", "i"), "left")
       .select(col("u").as(c.user), col("i").as(c.item),
         coalesce(col("score"), lit(0.0)).as("score"))
+  }
+
+  /** Dense userCF sweep: with per-item vectors over the user index
+    * (ratings rvec_i, rater mask_i) and per-user model rows (simrow_u,
+    * |sim|row_u),
+    *   score(u,i) = ū + (dot(srow_u, rvec_i) − ū·dot(srow_u, mask_i))
+    *                  / dot(|s|row_u, mask_i)
+    * which is algebraically Σ s(u,v)·(r(v,i) − ū) / Σ|s(u,v)| over raters v
+    * of i — with 0 (not ū) on an empty denominator, the reference's quirk
+    * (recathon.c:4357). Raters come from the FULL ratings table; the
+    * user-qual pre-filter shrinks only the scored-user side.
+    */
+  private def userCFDense(ratings: DataFrame, userModel: DataFrame,
+      c: EventCols, users: Option[DataFrame]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idx = ratings.select(col(c.user).as("k")).distinct()
+      .withColumn("ki", (row_number().over(Window.orderBy("k")) - 1).cast("int"))
+    val dims = idx.count().toInt
+    val uRatings = restrict(ratings, users, c)
+    val ivec = ratings.join(broadcast(idx), col(c.user) === col("k"))
+      .groupBy(col(c.item).as("i"))
+      .agg(
+        collect_list(struct(col("ki"), col(c.rating).cast("double"))).as("re"),
+        collect_list(struct(col("ki"), lit(1.0).as("one"))).as("me"))
+      .select(col("i"),
+        VectorFns.denseFromEntries(col("re"), dims).as("rv"),
+        VectorFns.denseFromEntries(col("me"), dims).as("mv"))
+    val sym = symmetric(userModel, "user1", "user2")
+      .select(col("i").as("u"), col("j").as("v"), col("s"))
+    val srows = uRatings.select(col(c.user).as("u")).distinct()
+      .join(sym, Seq("u"), "left")
+      .join(broadcast(idx.select(col("k").as("v"), col("ki").as("vi"))),
+        Seq("v"), "left")
+      .groupBy(col("u"))
+      .agg(
+        collect_list(when(col("s").isNotNull,
+          struct(col("vi"), col("s").cast("double")))).as("se"),
+        collect_list(when(col("s").isNotNull,
+          struct(col("vi"), abs(col("s")).cast("double")))).as("ae"))
+      .select(col("u"),
+        VectorFns.denseFromEntries(col("se"), dims).as("sv"),
+        VectorFns.denseFromEntries(col("ae"), dims).as("av"))
+    val uavg = uRatings.groupBy(col(c.user).as("u"))
+      .agg(avg(col(c.rating)).as("ubar"))
+    val den = VectorFns.dotNative(col("av"), col("mv"))
+    val num = VectorFns.dotNative(col("sv"), col("rv")) -
+      col("ubar") * VectorFns.dotNative(col("sv"), col("mv"))
+    srows.join(uavg, Seq("u"))
+      .join(broadcast(ivec), lit(true)) // codegen'd BNLJ; see itemCFDense
+      .select(col("u").as(c.user), col("i").as(c.item),
+        when(den === 0d, lit(0.0)).otherwise(col("ubar") + num / den).as("score"))
   }
 
   /** SVD / matrix-factorization: score(u,i) = dot(userF[u], itemF[i]) — no

@@ -2,6 +2,7 @@ package graft.recdb
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.functions.VectorFns
 
 /** Column bindings for an events (ratings) table — the reference validates the
   * three columns at parse time (recathon.c:846-865); here it is a signature.
@@ -72,17 +73,131 @@ object Similarity {
     model.join(kept, Seq(e1, e2), "semi")
   }
 
-  def itemCosine(ratings: DataFrame, c: EventCols = EventCols()): DataFrame =
-    cosine(ratings, joinKey = c.user, pairKey = c.item, c.rating, "item1", "item2")
+  /** Strategy bounds for the dense-vector build (see [[build]]): the vector
+    * width (co-rating dimension) and the entity count (the dense path
+    * enumerates all n²/2 candidate pairs; the sparse join path only
+    * materializes pairs that actually co-rate).
+    */
+  val DenseDimLimit = 16384
+  val DenseEntityLimit = 16384
 
-  def userCosine(ratings: DataFrame, c: EventCols = EventCols()): DataFrame =
-    cosine(ratings, joinKey = c.item, pairKey = c.user, c.rating, "user1", "user2")
+  /** Sparse-join pair fan-out (Σ over co-rating keys of multiplicity²) above
+    * which the dense path wins. Measured crossover on local[32] at sf0.1:
+    * at fan-out ≈ 2.2e8 the join path still edges out dense (map-side
+    * partial aggregation keeps the shuffle small and the join plan stays in
+    * whole-stage codegen end-to-end), while the dense path's vector builds
+    * (collect_list is an ObjectHashAggregate, no codegen) and wide-array
+    * cross join dominate. Dense wins decisively when the pair fan-out can no
+    * longer be partially aggregated in memory — O(entities²) keys — hence
+    * the threshold sits above the measured tie.
+    */
+  val DenseFanoutThreshold = 5e8
 
-  def itemPearson(ratings: DataFrame, c: EventCols = EventCols()): DataFrame =
-    pearson(ratings, joinKey = c.user, pairKey = c.item, c.rating, "item1", "item2")
+  /** Strategy decisions are planning-time metadata: memoized per canonical
+    * input plan so repeated builds over the same (cached or not) frame don't
+    * re-run the stats jobs. Bounded: entries are tiny and keyed by plan.
+    */
+  private[recdb] val strategyMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), Boolean]()
 
-  def userPearson(ratings: DataFrame, c: EventCols = EventCols()): DataFrame =
-    pearson(ratings, joinKey = c.item, pairKey = c.user, c.rating, "user1", "user2")
+  private[recdb] def memoized(key: (Int, String))(decide: => Boolean): Boolean =
+    strategyMemo.computeIfAbsent(key, _ => decide)
+
+  def itemCosine(ratings: DataFrame, c: EventCols = EventCols(),
+      strategy: String = "auto"): DataFrame =
+    build(ratings, joinKey = c.user, pairKey = c.item, c.rating,
+      "item1", "item2", pearsonMode = false, strategy)
+
+  def userCosine(ratings: DataFrame, c: EventCols = EventCols(),
+      strategy: String = "auto"): DataFrame =
+    build(ratings, joinKey = c.item, pairKey = c.user, c.rating,
+      "user1", "user2", pearsonMode = false, strategy)
+
+  def itemPearson(ratings: DataFrame, c: EventCols = EventCols(),
+      strategy: String = "auto"): DataFrame =
+    build(ratings, joinKey = c.user, pairKey = c.item, c.rating,
+      "item1", "item2", pearsonMode = true, strategy)
+
+  def userPearson(ratings: DataFrame, c: EventCols = EventCols(),
+      strategy: String = "auto"): DataFrame =
+    build(ratings, joinKey = c.item, pairKey = c.user, c.rating,
+      "user1", "user2", pearsonMode = true, strategy)
+
+  /** Physical strategy dispatch. "join" = sparse co-rating self-join (the
+    * unbounded-scale path: cost tracks actual co-ratings, one shuffle on the
+    * co-rating key + one on the pair key). "dense" = scatter each entity's
+    * ratings into a zero-filled vector over the co-rating dimension and take
+    * pairwise codegen'd dot products — no 100M-row shuffle aggregation; valid
+    * because a cell where either side is unrated contributes 0 to the
+    * co-rated dot (for Pearson the vectors hold mean-CENTERED values, so
+    * zero-fill still equals the co-rated centered dot). "auto" picks dense
+    * when both the dimension and the entity count are bounded (the regime
+    * after hashing/bucketing items at 100 TB), sparse otherwise.
+    */
+  private def build(r: DataFrame, joinKey: String, pairKey: String,
+      rating: String, out1: String, out2: String, pearsonMode: Boolean,
+      strategy: String): DataFrame = {
+    val dense = strategy match {
+      case "dense" => true
+      case "join" => false
+      case "auto" =>
+        val key = (r.queryExecution.analyzed.canonicalized.hashCode(),
+          s"model|$joinKey|$pairKey")
+        memoized(key) {
+          // one stats job: sparse-join fan-out + the vector dimension
+          val row = r.groupBy(col(joinKey)).agg(count(lit(1)).as("m"))
+            .agg(sum(col("m") * col("m")).as("fanout"), count(lit(1)).as("d")).head()
+          row.getLong(0) > DenseFanoutThreshold.toLong &&
+            row.getLong(1) <= DenseDimLimit &&
+            (r.select(col(pairKey)).distinct().count() <= DenseEntityLimit)
+        }
+      case other => throw new IllegalArgumentException(
+        s"unknown strategy '$other' (auto|join|dense)")
+    }
+    if (dense) densePairs(r, joinKey, pairKey, rating, out1, out2, pearsonMode)
+    else if (pearsonMode) pearson(r, joinKey, pairKey, rating, out1, out2)
+    else cosine(r, joinKey, pairKey, rating, out1, out2)
+  }
+
+  /** Bounded-dimension dense build: per-entity zero-filled vector over the
+    * co-rating index (native scatter expression), pairwise dot in whole-stage
+    * codegen. Semantics identical to the join path, including the sign
+    * filters and the Pearson degenerate-norm drop.
+    */
+  private def densePairs(r: DataFrame, joinKey: String, pairKey: String,
+      rating: String, out1: String, out2: String,
+      pearsonMode: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idx = r.select(col(joinKey).as("k")).distinct()
+      .withColumn("ki", (row_number().over(Window.orderBy("k")) - 1).cast("int"))
+    val dims = idx.count().toInt
+    val base =
+      if (!pearsonMode)
+        r.select(col(pairKey).as("p"), col(joinKey).as("jk"),
+          col(rating).cast("double").as("rv"))
+      else {
+        val means = r.groupBy(col(pairKey).as("mp")).agg(avg(col(rating)).as("mean"))
+        r.join(means, col(pairKey) === col("mp"))
+          .select(col(pairKey).as("p"), col(joinKey).as("jk"),
+            (col(rating) - col("mean")).cast("double").as("rv"))
+      }
+    val vecs = base.join(broadcast(idx), col("jk") === col("k"))
+      .groupBy("p")
+      .agg(collect_list(struct(col("ki"), col("rv"))).as("ent"))
+      .select(col("p"), VectorFns.denseFromEntries(col("ent"), dims).as("vec"))
+      .withColumn("nrm", sqrt(VectorFns.dotNative(col("vec"), col("vec"))))
+    val a = vecs.select(col("p").as("p1"), col("vec").as("v1"), col("nrm").as("n1"))
+    val bb = vecs.select(col("p").as("p2"), col("vec").as("v2"), col("nrm").as("n2"))
+    val dot = VectorFns.dotNative(col("v1"), col("v2"))
+    val sim =
+      if (pearsonMode) when(col("n1") * col("n2") === 0d, lit(null))
+        .otherwise(dot / (col("n1") * col("n2")))
+      else dot / (col("n1") * col("n2"))
+    val pairs = a.join(bb, col("p1") < col("p2"))
+      .select(col("p1").as(out1), col("p2").as(out2), sim.as("similarity"))
+    if (pearsonMode) pairs.where(col("similarity") =!= 0d)
+    else pairs.where(col("similarity") > 0d)
+  }
 
   /** sim(a,b) = dot(a,b) / (‖a‖·‖b‖) over co-rating keys (recathon.c:1353-1367). */
   private def cosine(r: DataFrame, joinKey: String, pairKey: String,

@@ -46,6 +46,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("dense strategy == sparse join strategy: models and scoring sweeps") {
+    for (seed <- 1 to 3) {
+      val df = randomEvents(seed).toDF("userid", "itemid", "rating")
+      for ((bld, name) <- Seq(
+          (Similarity.itemCosine(_: org.apache.spark.sql.DataFrame, c, _: String), "itemCos"),
+          (Similarity.itemPearson(_: org.apache.spark.sql.DataFrame, c, _: String), "itemPear"),
+          (Similarity.userCosine(_: org.apache.spark.sql.DataFrame, c, _: String), "userCos"),
+          (Similarity.userPearson(_: org.apache.spark.sql.DataFrame, c, _: String), "userPear"))) {
+        val j = modelMap(bld(df, "join"))
+        val d = modelMap(bld(df, "dense"))
+        withClue(s"$name seed $seed: ") {
+          d.keySet shouldBe j.keySet
+          j.foreach { case (k, v) => d(k) shouldBe v +- 1e-9 }
+        }
+      }
+      def scoreMap(sdf: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+        sdf.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val im = Similarity.itemCosine(df, c, "join").cache()
+      val um = Similarity.userPearson(df, c, "join").cache()
+      val sj = scoreMap(Scoring.itemCF(df, im, c, strategy = "join"))
+      val sd = scoreMap(Scoring.itemCF(df, im, c, strategy = "dense"))
+      sd.keySet shouldBe sj.keySet
+      sj.foreach { case (k, v) => sd(k) shouldBe v +- 1e-9 }
+      val uj = scoreMap(Scoring.userCF(df, um, c, strategy = "join"))
+      val ud = scoreMap(Scoring.userCF(df, um, c, strategy = "dense"))
+      ud.keySet shouldBe uj.keySet
+      uj.foreach { case (k, v) => ud(k) shouldBe v +- 1e-9 }
+      // user-qual pre-filter engages the same way on both strategies
+      val users = df.select($"userid").where($"userid" <= 2L).distinct()
+      val fj = scoreMap(Scoring.itemCF(df, im, c, Some(users), strategy = "join"))
+      val fd = scoreMap(Scoring.itemCF(df, im, c, Some(users), strategy = "dense"))
+      fd.keySet shouldBe fj.keySet
+      fj.foreach { case (k, v) => fd(k) shouldBe v +- 1e-9 }
+    }
+  }
+
   test("bounds: cosine ∈ (0,1], Pearson ∈ [-1,1] \\ {0}") {
     for (seed <- 1 to 5) {
       val df = randomEvents(seed).toDF("userid", "itemid", "rating")
