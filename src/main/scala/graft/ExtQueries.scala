@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Joins, TextOps}
+
+/** Extended-operator gate queries built through the DataFrame API (the ops
+  * have no single-statement SQL form): as-of join, binned range join,
+  * deterministic hash sampling, and chunk-level span dedup. Each carries a
+  * DuckDB oracle (ASOF JOIN / BETWEEN join / md5 / list slicing are all
+  * portable).
+  */
+object ExtQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Point-in-time lookup: for every view event, the latest click event of
+    // the same user at or before the view instant (merge-sweep as-of join).
+    "q_asof" -> ((s, d) => {
+      val ev = Tables.read(s, d, "events")
+      val views = ev.where(col("event_type") === "view")
+        .select("user_id", "ts", "event_id")
+      val clicks = ev.where(col("event_type") === "click")
+        .select("user_id", "ts", "event_id", "value")
+      Joins.asofJoin(views, clicks, on = "ts", by = "user_id",
+        valueCols = Seq("event_id", "value"), tieBreak = "event_id")
+        // DuckDB reads this TIMESTAMP(NANOS) column at µs precision, so the
+        // comparable output grain is µs (sub-µs ties are invisible to it)
+        .select(col("user_id"), col("event_id"),
+          expr("ts DIV 1000").as("ts_us"),
+          col("asof_event_id").as("click_id"), col("asof_value").as("click_value"))
+    }),
+    // Point-in-interval range join: orders priced within ±1% of selected
+    // customers' maximum order price (binned equi-join + exact refine).
+    "q_range" -> ((s, d) => {
+      val orders = Tables.read(s, d, "orders")
+      val iv = orders.where(col("o_custkey") % 50 === 0)
+        .groupBy(col("o_custkey").as("cust"))
+        .agg((max(col("o_totalprice")) * 0.99).as("lo"),
+          (max(col("o_totalprice")) * 1.01).as("hi"))
+      val pts = orders.select(col("o_orderkey"), col("o_totalprice").as("price"))
+      Joins.rangeJoinBinned(pts, iv, "price", "lo", "hi", binWidth = 10000.0)
+        .select(col("cust"), col("o_orderkey"), col("price"))
+    }),
+    // Deterministic hash sampling: stable 1/16 sample keyed on md5(doc_id) —
+    // the reproducible train/eval split primitive (no RNG state, identical
+    // on any engine, any partitioning, any run).
+    "p_sample_hash" -> ((s, d) =>
+      Tables.read(s, d, "documents")
+        .where(substring(md5(col("doc_id").cast("string")), 1, 1) === "0")
+        .select(col("doc_id"), col("n_chars"))),
+    // Span-level dedup: non-overlapping 10-token chunks occurring in more
+    // than one document — the repeated-passage signal used for substring
+    // dedup of training corpora.
+    "p_chunk_dedup" -> ((s, d) => {
+      val toks = TextOps.tokens(col("text"))
+      val nchunks = floor(size(toks) / 10).cast("int")
+      val chunks = when(nchunks >= 1,
+        transform(sequence(lit(0), nchunks - 1),
+          i => array_join(slice(toks, i * 10 + 1, lit(10)), " ")))
+        .otherwise(array().cast("array<string>"))
+      Tables.read(s, d, "documents")
+        .select(col("doc_id"), explode(chunks).as("chunk"))
+        .distinct()
+        .groupBy("chunk")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .where(col("n_docs") > 1)
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_asof" ->
+      """WITH r0 AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'click'
+        |), r AS (SELECT user_id, ts, event_id, value FROM r0 WHERE rn = 1),
+        |l AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view')
+        |SELECT l.user_id, l.event_id, epoch_us(l.ts) AS ts_us,
+        |  r.event_id AS click_id, r.value AS click_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    "q_range" ->
+      """WITH iv AS (
+        |  SELECT o_custkey AS cust, max(o_totalprice)*0.99 AS lo,
+        |    max(o_totalprice)*1.01 AS hi
+        |  FROM orders WHERE o_custkey % 50 = 0 GROUP BY 1
+        |), p AS (SELECT o_orderkey, o_totalprice AS price FROM orders)
+        |SELECT cust, o_orderkey, price
+        |FROM p JOIN iv ON price BETWEEN lo AND hi""".stripMargin,
+    "p_sample_hash" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'""".stripMargin,
+    "p_chunk_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (
+        |  SELECT doc_id, unnest([array_to_string(toks[i*10+1 : i*10+10], ' ')
+        |    for i in generate_series(0, CAST(floor(len(toks)/10) AS INT) - 1)]) AS chunk
+        |  FROM t WHERE len(toks) >= 10
+        |), d AS (SELECT DISTINCT doc_id, chunk FROM c)
+        |SELECT chunk, count(*) AS n_docs, min(doc_id) AS first_doc
+        |FROM d GROUP BY chunk HAVING count(*) > 1""".stripMargin,
+  )
+}

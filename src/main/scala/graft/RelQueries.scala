@@ -190,6 +190,62 @@ object RelQueries {
       duck = """SELECT CAST(floor(epoch(ts)/3600) AS BIGINT) * 3600 AS hour_epoch,
                |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
                |FROM events GROUP BY hour_epoch, event_type""".stripMargin),
+    // CUBE grouping sets (all four combinations).
+    "q_cube" -> q(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 4) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin),
+    // Window navigation functions: lag/lead/first_value/ntile over a fully
+    // deterministic per-customer order (date + key tie-break).
+    "q_winnav" -> q(
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_totalprice) OVER w AS prev_price,
+        |  lead(o_totalprice) OVER w AS next_price,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  ntile(4) OVER w AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin),
+    // Statistical aggregates (two-pass-free streaming moments).
+    "q_stats" -> q(
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qe,
+        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qe,
+        |  round(stddev_samp(l_extendedprice), 4) AS sd_e,
+        |  round(var_samp(l_quantity), 6) AS var_q
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+    // Regex scalar functions. Dialect split: Spark regexp_replace is global
+    // by default; DuckDB needs the 'g' flag.
+    "q_regexp" -> Q(
+      spark = """SELECT p_partkey,
+                |  regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+                |  regexp_replace(p_name, '[aeiou]', '') AS devoweled
+                |FROM part WHERE p_partkey % 7 = 0""".stripMargin,
+      duck = """SELECT p_partkey,
+               |  regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+               |  regexp_replace(p_name, '[aeiou]', '', 'g') AS devoweled
+               |FROM part WHERE p_partkey % 7 = 0""".stripMargin),
+    // Semi-structured JSON extraction from the events props column.
+    "q_json" -> Q(
+      spark = """SELECT event_type,
+                |  sum(CAST(get_json_object(props, '$.k') AS BIGINT)) AS sum_k,
+                |  count(*) AS n
+                |FROM events GROUP BY event_type""".stripMargin,
+      duck = """SELECT event_type,
+               |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               |  count(*) AS n
+               |FROM events GROUP BY event_type""".stripMargin),
+    // Pivot as conditional aggregation (the portable PIVOT form).
+    "q_pivot_case" -> q(
+      """SELECT o_orderpriority,
+        |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 4) AS f_total,
+        |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 4) AS o_total,
+        |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 4) AS p_total
+        |FROM orders GROUP BY o_orderpriority""".stripMargin),
+    // Fixed-width histogram over document lengths.
+    "q_len_hist" -> q(
+      """SELECT CAST(floor(n_chars / 50) AS BIGINT) AS bucket, count(*) AS n
+        |FROM documents GROUP BY CAST(floor(n_chars / 50) AS BIGINT)""".stripMargin),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

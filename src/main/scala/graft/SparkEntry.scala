@@ -24,11 +24,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RecQueries.queries ++ RelQueries.queries ++ PipelineQueries.queries
+    RecQueries.queries ++ RelQueries.queries ++ PipelineQueries.queries ++ ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    RecQueries.oracleSql ++ RelQueries.oracleSql ++ PipelineQueries.oracleSql
+    RecQueries.oracleSql ++ RelQueries.oracleSql ++ PipelineQueries.oracleSql ++ ExtQueries.oracleSql
 }
