@@ -45,9 +45,74 @@ object EventStreams {
       end: java.sql.Timestamp, events: Long, totalValue: Double)
   final case class SessionState(startMs: Long, endMs: Long, cnt: Long, total: Double)
 
-  /** Gap-based sessionization via flatMapGroupsWithState: a session closes
-    * when no event arrives within `gapMs` (processing-time timeout flushes
-    * it). Emits one row per closed session.
+  /** Watermarked stream-stream interval join (attribution): each left event
+    * pairs with right events of the same key whose timestamp falls in
+    * [left.ts, left.ts + horizon]. Both sides carry watermarks and the join
+    * condition bounds event-time distance, so buffered state is evicted once
+    * the watermark passes — the only formulation of a stream-stream join
+    * that runs indefinitely. Column names are prefixed l_/r_ in the output.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      horizon: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(left.columns.map(c => col(c).as(s"l_$c")): _*)
+    val r = right.withWatermark("ts", watermark)
+      .select(right.columns.map(c => col(c).as(s"r_$c")): _*)
+    l.join(r, expr(
+      s"l_$key = r_$key AND r_ts >= l_ts AND r_ts <= l_ts + interval $horizon"))
+  }
+
+  /** The shared session fold: merge a batch of events into per-user session
+    * state, closing sessions on gap splits; emits closed sessions and leaves
+    * the open one in `state` with timeout armed by `arm`.
+    */
+  private def sessionFold(user: Long, rows: Iterator[SessionEvent],
+      state: GroupState[SessionState], gapMs: Long,
+      arm: (GroupState[SessionState], SessionState) => Unit): Iterator[Session] =
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      Iterator(Session(user, new java.sql.Timestamp(s.startMs),
+        new java.sql.Timestamp(s.endMs), s.cnt, s.total))
+    } else {
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      var closed = List.empty[Session]
+      var cur = state.getOption
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          // within gap of the session span (late or in-order): merge,
+          // extending both bounds
+          case Some(s) if t >= s.startMs - gapMs && t <= s.endMs + gapMs =>
+            cur = Some(s.copy(startMs = t min s.startMs,
+              endMs = t max s.endMs, cnt = s.cnt + 1,
+              total = s.total + e.value))
+          // too-late straggler (beyond gap BEFORE the session): its own
+          // immediately-closed singleton session
+          case Some(s) if t < s.startMs - gapMs =>
+            closed ::= Session(user, new java.sql.Timestamp(t),
+              new java.sql.Timestamp(t), 1, e.value)
+          // beyond gap AFTER the session: close current, start new
+          case Some(s) =>
+            closed ::= Session(user, new java.sql.Timestamp(s.startMs),
+              new java.sql.Timestamp(s.endMs), s.cnt, s.total)
+            cur = Some(SessionState(t, t, 1, e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        arm(state, s)
+      }
+      closed.reverseIterator
+    }
+
+  /** Gap-based sessionization via flatMapGroupsWithState with a
+    * processing-time timeout: a session closes when no event arrives within
+    * `gapMs` of wall clock. Simple, but not replay-deterministic — prefer
+    * [[sessionizeEventTime]] for production streams.
     */
   def sessionize(events: Dataset[SessionEvent],
       gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
@@ -58,44 +123,30 @@ object EventStreams {
         OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
         (user: Long, rows: Iterator[SessionEvent],
             state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator(Session(user, new java.sql.Timestamp(s.startMs),
-              new java.sql.Timestamp(s.endMs), s.cnt, s.total))
-          } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
-            var closed = List.empty[Session]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                // within gap of the session span (late or in-order): merge,
-                // extending both bounds
-                case Some(s) if t >= s.startMs - gapMs && t <= s.endMs + gapMs =>
-                  cur = Some(s.copy(startMs = t min s.startMs,
-                    endMs = t max s.endMs, cnt = s.cnt + 1,
-                    total = s.total + e.value))
-                // too-late straggler (beyond gap BEFORE the session): its own
-                // immediately-closed singleton session
-                case Some(s) if t < s.startMs - gapMs =>
-                  closed ::= Session(user, new java.sql.Timestamp(t),
-                    new java.sql.Timestamp(t), 1, e.value)
-                // beyond gap AFTER the session: close current, start new
-                case Some(s) =>
-                  closed ::= Session(user, new java.sql.Timestamp(s.startMs),
-                    new java.sql.Timestamp(s.endMs), s.cnt, s.total)
-                  cur = Some(SessionState(t, t, 1, e.value))
-                case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutDuration(gapMs)
-            }
-            closed.reverseIterator
-          }
+          sessionFold(user, rows, state, gapMs,
+            (st, _) => st.setTimeoutDuration(gapMs))
+      }
+  }
+
+  /** Event-time sessionization: the session closes when the WATERMARK passes
+    * its end + gap — deterministic under replay and independent of wall
+    * clock, so checkpoint recovery and backfill produce identical sessions.
+    * State is evicted by the same watermark that bounds every other keyed
+    * operator, so memory stays bounded at any throughput.
+    */
+  def sessionizeEventTime(events: Dataset[SessionEvent],
+      gapMs: Long = 30 * 60 * 1000L,
+      watermark: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[SessionEvent],
+            state: GroupState[SessionState]) =>
+          sessionFold(user, rows, state, gapMs,
+            (st, s) => st.setTimeoutTimestamp(s.endMs + gapMs))
       }
   }
 }

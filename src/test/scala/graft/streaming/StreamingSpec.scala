@@ -34,9 +34,11 @@ class StreamingSpec extends SparkSpec {
   test("sessionization: gap split semantics (batch-mode flatMapGroupsWithState)") {
     // flatMapGroupsWithState runs identically over a batch Dataset (state
     // scoped to the batch, timeouts never fire) — the deterministic way to
-    // exercise the fold; streaming-mode timeout flush needs a real trigger
-    // interval (a processing-time-timeout query under the default trigger
-    // re-batches continuously, so processAllAvailable never settles).
+    // exercise the gap-split fold; the streaming-mode timeout flush is
+    // covered by the event-time sessionize test below (a processing-time
+    // timeout under the default trigger re-batches continuously, so
+    // processAllAvailable never settles — use sessionizeEventTime in
+    // streams).
     val events = Seq(
       EventStreams.SessionEvent(1L, ts(0), 1.0),
       EventStreams.SessionEvent(1L, ts(5), 2.0),
@@ -57,6 +59,52 @@ class StreamingSpec extends SparkSpec {
     closed(1).user_id shouldBe 2L
     closed(1).events shouldBe 1L
     closed(1).totalValue shouldBe 5.0
+  }
+
+  test("event-time sessionize: watermark passing end+gap flushes the session") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.SessionEvent]
+    val sessions = EventStreams.sessionizeEventTime(mem.toDS(),
+      gapMs = 10 * 60000L, watermark = "1 minute")
+    val q = sessions.writeStream.format("memory").queryName("sess_et")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(EventStreams.SessionEvent(1L, ts(0), 1.0),
+      EventStreams.SessionEvent(1L, ts(5), 2.0))
+    q.processAllAvailable() // watermark ≈ 4min: session (0,5) still open
+    spark.table("sess_et").count() shouldBe 0L
+    mem.addData(EventStreams.SessionEvent(2L, ts(60), 5.0))
+    q.processAllAvailable() // watermark advances to ≈ 59min after this batch
+    mem.addData(EventStreams.SessionEvent(2L, ts(61), 1.0))
+    q.processAllAvailable() // timeout (5+10=15min < 59min) fires this batch
+    val out = spark.table("sess_et").collect()
+    q.stop()
+    out.length shouldBe 1
+    out(0).getLong(0) shouldBe 1L // user 1's idle session flushed by watermark
+    out(0).getTimestamp(1) shouldBe ts(0)
+    out(0).getTimestamp(2) shouldBe ts(5)
+    out(0).getLong(3) shouldBe 2L
+    out(0).getDouble(4) shouldBe 3.0
+  }
+
+  test("stream-stream interval join pairs events within the horizon only") {
+    implicit val ctx = spark.sqlContext
+    val views = MemoryStream[(Timestamp, Long, Long)]
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val v = views.toDF().toDF("ts", "user_id", "view_id")
+    val c = clicks.toDF().toDF("ts", "user_id", "click_id")
+    val joined = EventStreams.intervalJoin(v, c, key = "user_id",
+      horizon = "10 minutes", watermark = "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode(OutputMode.Append()).start()
+    views.addData((ts(0), 1L, 100L), (ts(0), 2L, 200L))
+    clicks.addData((ts(5), 1L, 900L), // within horizon of view 100
+      (ts(20), 1L, 901L), // beyond horizon
+      (ts(3), 3L, 902L)) // no matching user
+    q.processAllAvailable()
+    val out = spark.table("ssjoin").collect()
+    q.stop()
+    out.map(r => (r.getAs[Long]("l_view_id"), r.getAs[Long]("r_click_id"))).toSet shouldBe
+      Set((100L, 900L))
   }
 
   test("streaming dedup drops repeats within the watermark horizon") {
