@@ -70,10 +70,16 @@ object PipelineQueries {
     "p_repetition" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
         round(TextOps.repetitionRatio(col("text"), 3), 6).as("rep_ratio"))),
+    // Near-dup pairs → dedup GROUPS: distributed min-label propagation
+    // (keep rep, drop the rest of each component).
+    "p_dup_groups" -> ((s, d) =>
+      Dedup.connectedComponents(
+        Dedup.jaccardPairs(docs(s, d), "doc_id", "text", n = 3, threshold = 0.5))
+        .select(col("node").as("doc_id"), col("rep"))),
   )
 
-  private val jaccardOracle: String =
-    """WITH docsrc AS (
+  private val jaccardCtes: String =
+    """docsrc AS (
       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
       |),
       |grams AS (
@@ -87,12 +93,35 @@ object PipelineQueries {
       |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2
       |),
-      |sizes AS (SELECT doc_id, len(gs) AS sz FROM grams)
+      |sizes AS (SELECT doc_id, len(gs) AS sz FROM grams)""".stripMargin
+
+  private val jaccardOracle: String =
+    s"""WITH $jaccardCtes
       |SELECT id1, id2, round(n*1.0/(s1.sz + s2.sz - n), 6) AS jaccard
       |FROM inter
       |JOIN sizes s1 ON id1 = s1.doc_id
       |JOIN sizes s2 ON id2 = s2.doc_id
       |WHERE n*1.0/(s1.sz + s2.sz - n) >= 0.5""".stripMargin
+
+  /** Min-label transitive closure over the near-dup pair graph — the oracle
+    * for [[Dedup.connectedComponents]]'s distributed label propagation.
+    */
+  private val dupGroupsOracle: String =
+    s"""WITH RECURSIVE $jaccardCtes,
+      |pairs AS (
+      |  SELECT id1, id2 FROM inter
+      |  JOIN sizes s1 ON id1 = s1.doc_id
+      |  JOIN sizes s2 ON id2 = s2.doc_id
+      |  WHERE n*1.0/(s1.sz + s2.sz - n) >= 0.5
+      |),
+      |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+      |          UNION SELECT id2, id1 FROM pairs),
+      |reach(node, r) AS (
+      |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+      |  UNION
+      |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+      |)
+      |SELECT node AS doc_id, min(r) AS rep FROM reach GROUP BY node""".stripMargin
 
   private val knnFlatCte: String =
     """flat AS (
@@ -111,6 +140,7 @@ object PipelineQueries {
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
     "p_neardup_jaccard" -> jaccardOracle,
+    "p_dup_groups" -> dupGroupsOracle,
     // LSH verification makes precision exact, and at the data's Jaccard gap
     // (≥0.9 or ≤0.07) the 16-band/4-row S-curve recall is 1 − 4e-8 ⇒ the
     // verified LSH output equals the exact pair set.

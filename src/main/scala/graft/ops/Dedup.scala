@@ -161,6 +161,55 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Connected components over an undirected edge list (id1, id2) → one row
+    * per member node (id, rep) where rep is the smallest node id in its
+    * component — turns near-dup PAIRS into dedup GROUPS (keep rep, drop the
+    * rest).
+    *
+    * Algorithm: iterated min-label propagation. Each round joins every
+    * node's current label to its neighbors' labels and keeps the minimum;
+    * converges in O(diameter) rounds (near-dup components are
+    * star/clique-like, so a handful). Each round is one shuffle join + one
+    * aggregation — the alternating-star formulation of distributed CC, with
+    * AQE sizing the joins; `maxIter` bounds runaway graphs, and convergence
+    * is checked with a cheap count of changed labels.
+    */
+  def connectedComponents(pairs: DataFrame, id1: String = "id1",
+      id2: String = "id2", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(id1).as("a"), col(id2).as("b"))
+      .unionAll(pairs.select(col(id2).as("a"), col(id1).as("b")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("a").as("node"))
+      .distinct()
+      .select(col("node"), col("node").as("rep"))
+      .cache()
+    // labels only ever decrease, so Σ rep strictly decreases until the
+    // fixpoint — a single aggregate per round detects convergence without a
+    // change-detection join
+    var prevSum = labels.agg(sum(col("rep").cast("decimal(38,0)"))).head().getDecimal(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // each node adopts the min of its own label and its neighbors' labels
+      val next = edges
+        .join(labels.withColumnRenamed("node", "b").withColumnRenamed("rep", "nbrRep"), Seq("b"))
+        .groupBy(col("a").as("node"))
+        .agg(min(col("nbrRep")).as("nbrMin"))
+        .join(labels, Seq("node"))
+        .select(col("node"), least(col("rep"), col("nbrMin")).as("rep"))
+        .cache()
+      val curSum = next.agg(sum(col("rep").cast("decimal(38,0)"))).head().getDecimal(0)
+      labels.unpersist()
+      labels = next
+      converged = curSum == prevSum
+      prevSum = curSum
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   // SimHash machinery -------------------------------------------------------
 
   private val SimBits = 63 // avoid the sign bit; keeps every power in a Long

@@ -34,6 +34,31 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.6, s"simhash recall $recall")
   }
 
+  test("connectedComponents == reference union-find on random graphs") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val n = 80
+      val edges = (1 to 120).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // reference: union-find
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(ra max rb) = ra min rb
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = nodes.map { v =>
+        // rep = min node id in component
+        val root = find(v.toInt)
+        v -> nodes.filter(u => find(u.toInt) == root).min
+      }.toMap
+      val got = Dedup.connectedComponents(edges.toDF("id1", "id2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      withClue(s"seed $seed: ") { got shouldBe expected }
+    }
+  }
+
   test("native shingle/simhash expressions == HOF reference forms") {
     import graft.functions.TextFns
     // shingles: same multiset of (id, gram) pairs as the portable HOF form
