@@ -24,13 +24,24 @@ object Bucketing {
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
 
+  /** The concrete physical plan, unwrapped from the AQE shell —
+    * AdaptiveSparkPlanExec exposes no children, so a naive
+    * `executedPlan.collect` silently inspects nothing.
+    */
+  def concretePlan(df: DataFrame): org.apache.spark.sql.execution.SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+
   /** True iff the physical plan of `df` contains no SHUFFLE exchange (a
     * broadcast exchange moves no fact-table data) — the assertion that
     * bucketing actually co-located the computation.
     */
   def isShuffleFree(df: DataFrame): Boolean = {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    df.queryExecution.executedPlan.collect {
+    concretePlan(df).collect {
       case s: ShuffleExchangeLike => s
     }.isEmpty
   }

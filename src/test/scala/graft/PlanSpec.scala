@@ -1,0 +1,70 @@
+package graft
+
+import graft.SparkSpec
+import graft.ops.Joins
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.functions._
+
+/** Physical-plan regression gates: the properties that make these operators
+  * scale (pushdown, pruning, join strategy, shuffle count) asserted on the
+  * pre-adaptive plan so a refactor that silently loses them fails CI, not a
+  * 100 TB run.
+  */
+class PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // the post-EnsureRequirements plan (exchanges inserted), unwrapped from AQE
+  private def plan(df: DataFrame): SparkPlan =
+    graft.sources.Bucketing.concretePlan(df)
+
+  test("q1_agg: shipdate filter is pushed to the scan; projection is pruned") {
+    val p = plan(SparkEntry.queries("q1_agg")(spark, sf)).toString
+    p should include("PushedFilters")
+    p should include("l_shipdate")
+    // q1 reads 7 of lineitem's 11 columns; the scan schema must not carry
+    // the unused ones
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    readSchema should include("l_returnflag")
+    readSchema should not include "l_partkey"
+    readSchema should not include "l_tax"
+  }
+
+  test("asofJoin: two shuffles (right dedup + sweep), never a fan-out join") {
+    val ev = Tables.read(spark, sf, "events")
+    val df = Joins.asofJoin(
+      ev.where(col("event_type") === "view").select("user_id", "ts", "event_id"),
+      ev.where(col("event_type") === "click").select("user_id", "ts", "event_id", "value"),
+      on = "ts", by = "user_id", valueCols = Seq("value"), tieBreak = "event_id")
+    val p = plan(df)
+    p.collect { case s: ShuffleExchangeLike => s }.size shouldBe 2
+    p.collect { case c: CartesianProductExec => c } shouldBe empty
+    p.collect { case b: BroadcastNestedLoopJoinExec => b } shouldBe empty
+  }
+
+  test("rangeJoinBinned: equi-join on the bin key, no nested-loop join") {
+    val orders = Tables.read(spark, sf, "orders")
+    val iv = orders.groupBy(col("o_custkey").as("cust"))
+      .agg((max(col("o_totalprice")) * 0.99).as("lo"),
+        (max(col("o_totalprice")) * 1.01).as("hi"))
+    val pts = orders.select(col("o_orderkey"), col("o_totalprice").as("price"))
+    val p = plan(Joins.rangeJoinBinned(pts, iv, "price", "lo", "hi", 10000.0))
+    p.collect { case c: CartesianProductExec => c } shouldBe empty
+    p.collect { case b: BroadcastNestedLoopJoinExec => b } shouldBe empty
+  }
+
+  test("dedup family plans carry no cartesian products") {
+    import graft.ops.Dedup
+    val docs = Tables.read(spark, sf, "documents")
+    for (df <- Seq(
+        Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5),
+        Dedup.minhashLshPairs(docs, "doc_id", "text"),
+        Dedup.simhashPairs(docs, "doc_id", "text"))) {
+      plan(df).collect { case c: CartesianProductExec => c } shouldBe empty
+    }
+  }
+}

@@ -146,6 +146,11 @@ class StreamingSpec extends SparkSpec {
         .groupBy("user_id").sum("value")
       agg.count() shouldBe 15
       assert(Bucketing.isShuffleFree(agg))
+      // negative control: the same join over un-bucketed frames must show a
+      // shuffle, proving the assertion inspects the real plan
+      val unbucketed = events.join(events.groupBy("user_id").count(), "user_id")
+      unbucketed.count()
+      assert(!Bucketing.isShuffleFree(unbucketed))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
