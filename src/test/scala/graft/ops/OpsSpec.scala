@@ -87,6 +87,16 @@ class OpsSpec extends SparkSpec {
     ng.toSeq shouldBe hg.toSeq
   }
 
+  test("prefix-filtered jaccard == naive all-pairs jaccard at several thresholds") {
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val naive = Dedup.jaccardPairs(documents, "doc_id", "text", 3, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pref = Dedup.jaccardPairsPrefix(documents, "doc_id", "text", 3, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      withClue(s"threshold $t: ") { pref shouldBe naive }
+    }
+  }
+
   test("hot-shingle cap preserves high-jaccard pairs") {
     val capped = Dedup.jaccardPairs(documents, "doc_id", "text", 3, 0.5,
       maxShingleDocs = Some(100)).select("id1", "id2")
