@@ -33,13 +33,66 @@ import graft.recdb.{EventCols, RecCatalog, Recommender}
   * other column of the events table reads 0 (§2.3 #2, execRecommend.c:398-405).
   */
 class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
+    GraftSql.nativeFunctions.foreach(e.injectFunction)
+  }
 }
 
 object GraftSql {
   val CatalogDirKey = "spark.graft.catalogDir"
   val ModelsDirKey = "spark.graft.modelsDir"
+
+  /** The engine's native codegen expressions as SQL functions, so the pure
+    * SQL surface reaches them too:
+    *   graft_word_shingles(text, n), graft_simhash63(text),
+    *   graft_dot(a, b), graft_dense_from_entries(entries, dims).
+    * Int parameters must be literals (they parameterize codegen).
+    */
+  val nativeFunctions: Seq[(FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
+    import graft.functions.{DenseFromEntries, DotProduct, SimHash63, WordShingles}
+    def litInt(e: Expression, fn: String): Int = e match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: expected an integer literal, got $other")
+    }
+    def info(name: String, usage: String) =
+      new ExpressionInfo("graft.functions", name, usage)
+    Seq(
+      (FunctionIdentifier("graft_word_shingles"),
+        info("graft_word_shingles", "distinct word n-grams of split-on-space text"),
+        (args: Seq[Expression]) => args match {
+          case Seq(text, n) => WordShingles(text, litInt(n, "graft_word_shingles"))
+          case _ => throw new IllegalArgumentException(
+            "graft_word_shingles(text, n) takes 2 arguments")
+        }),
+      (FunctionIdentifier("graft_simhash63"),
+        info("graft_simhash63", "63-bit SimHash signature of text"),
+        (args: Seq[Expression]) => args match {
+          case Seq(text) => SimHash63(text)
+          case _ => throw new IllegalArgumentException(
+            "graft_simhash63(text) takes 1 argument")
+        }),
+      (FunctionIdentifier("graft_dot"),
+        info("graft_dot", "dense dot product of two ARRAY<DOUBLE>"),
+        (args: Seq[Expression]) => args match {
+          case Seq(a, b) => DotProduct(a, b)
+          case _ => throw new IllegalArgumentException(
+            "graft_dot(a, b) takes 2 arguments")
+        }),
+      (FunctionIdentifier("graft_dense_from_entries"),
+        info("graft_dense_from_entries",
+          "scatter ARRAY<STRUCT<i INT, v DOUBLE>> into a dense vector"),
+        (args: Seq[Expression]) => args match {
+          case Seq(entries, dims) =>
+            DenseFromEntries(entries, litInt(dims, "graft_dense_from_entries"))
+          case _ => throw new IllegalArgumentException(
+            "graft_dense_from_entries(entries, dims) takes 2 arguments")
+        }))
+  }
 
   def catalog(session: SparkSession): RecCatalog =
     new RecCatalog(session.conf.get(CatalogDirKey, "/tmp/graft/catalog"))

@@ -116,6 +116,27 @@ class SqlSurfaceSpec extends SparkSpec with BeforeAndAfterAll {
     q.isDefined shouldBe true
   }
 
+  test("native expressions are callable as SQL functions") {
+    val sq = ext
+    import sq.implicits._
+    Seq((1L, "a b c a b c"), (2L, "x y")).toDF("id", "text")
+      .createOrReplaceTempView("fn_docs")
+    val r = ext.sql(
+      """SELECT id, size(graft_word_shingles(text, 2)) AS n2,
+        |  graft_simhash63(text) AS sh,
+        |  graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dot
+        |FROM fn_docs ORDER BY id""".stripMargin).collect()
+    r(0).getInt(1) shouldBe 3 // distinct bigrams of "a b c a b c": ab, bc, ca
+    r(1).getInt(1) shouldBe 1 // "x y" -> one bigram
+    r(0).getLong(2) should not be 0L
+    r(0).getDouble(3) shouldBe 11.0
+    val dense = ext.sql(
+      """SELECT graft_dense_from_entries(
+        |  array(struct(1, 5.0d), struct(3, 7.0d)), 5) AS v""".stripMargin)
+      .head().getSeq[Double](0)
+    dense shouldBe Seq(0.0, 5.0, 0.0, 7.0, 0.0)
+  }
+
   test("non-RECOMMEND SQL is untouched by the injected parser") {
     fixture(ext)
     ext.sql("SELECT count(*) AS n FROM ml_ratings").head().getLong(0) shouldBe 10L
