@@ -18,7 +18,8 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq
-      else Seq("q1_agg", "q3_join", "r_itemcos_model", "r_itemcf_topk", "p_knn_brute")
+      else Seq("q1_agg", "q3_join", "r_itemcos_model", "r_itemcf_topk",
+        "p_knn_brute", "q_asof", "q_range", "p_dup_groups", "p_minhash_lsh")
     names.foreach { n =>
       println(s"\n======== $n ========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
