@@ -70,6 +70,18 @@ object PipelineQueries {
     "p_repetition" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
         round(TextOps.repetitionRatio(col("text"), 3), 6).as("rep_ratio"))),
+    // Char-shingle jaccard — the tokenization-free near-dup shape. Viable at
+    // corpus scale only through LSH: this corpus's char shingles are so hot
+    // (every "rare" 5-gram still hits 100+ docs) that both the naive
+    // self-join and AllPairs prefix filtering stay quadratic, while the
+    // band-bucket candidate volume is docs × bands regardless. Recall is
+    // exact here: true pairs sit at j ≥ 0.928 (miss prob ≈ 3e-10 on the
+    // 16×4 S-curve) and the verify step makes precision 1.0, so the output
+    // equals the exact pair set the oracle computes.
+    "p_chargram_jaccard" -> ((s, d) =>
+      Dedup.charMinhashLshPairs(docs(s, d), "doc_id", "text",
+        nGram = 5, threshold = 0.8)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))),
     // Near-dup pairs → dedup GROUPS: distributed min-label propagation
     // (keep rep, drop the rest of each component).
     "p_dup_groups" -> ((s, d) =>
@@ -141,6 +153,24 @@ object PipelineQueries {
         |FROM documents GROUP BY text""".stripMargin,
     "p_neardup_jaccard" -> jaccardOracle,
     "p_dup_groups" -> dupGroupsOracle,
+    "p_chargram_jaccard" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_distinct([substr(text, i, 5)
+        |    for i in generate_series(1, length(text)-4)]) AS gs
+        |  FROM documents WHERE length(text) >= 5
+        |),
+        |ex AS (SELECT doc_id, unnest(gs) AS g FROM g),
+        |inter AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |),
+        |sizes AS (SELECT doc_id, len(gs) AS sz FROM g)
+        |SELECT id1, id2, round(n*1.0/(s1.sz + s2.sz - n), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes s1 ON id1 = s1.doc_id
+        |JOIN sizes s2 ON id2 = s2.doc_id
+        |WHERE n*1.0/(s1.sz + s2.sz - n) >= 0.8""".stripMargin,
     // LSH verification makes precision exact, and at the data's Jaccard gap
     // (≥0.9 or ≤0.07) the 16-band/4-row S-curve recall is 1 − 4e-8 ⇒ the
     // verified LSH output equals the exact pair set.

@@ -70,6 +70,22 @@ object TextExprUtil {
     new GenericArrayData(seen.toArray)
   }
 
+  /** Distinct character n-grams (codepoint-aware windows), first-occurrence
+    * order — same contract as [[graft.ops.TextOps.charNgrams]] (texts shorter
+    * than n characters yield an empty array).
+    */
+  def charShingles(text: UTF8String, n: Int): ArrayData = {
+    val len = text.numChars()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]
+    var i = 0
+    while (i + n <= len) {
+      seen.add(text.substringSQL(i + 1, n))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray)
+  }
+
   /** 63-bit SimHash over split-on-space tokens (xxhash64 seed 42 per token,
     * per-bit ±1 votes, sign → bit) — same contract as
     * [[graft.ops.Dedup.simhash64]].
@@ -117,6 +133,24 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen'd distinct character n-grams of a text column. */
+case class CharShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_char_shingles"
+
+  override def nullSafeEval(s: Any): Any =
+    TextExprUtil.charShingles(s.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextExprUtil.charShingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharShingles =
+    copy(child = newChild)
+}
+
 /** Codegen'd 63-bit SimHash signature of a text column. */
 case class SimHash63(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -136,6 +170,10 @@ object TextFns {
   /** Distinct word n-grams (split on single space), native fast path. */
   def wordShinglesNative(text: Column, n: Int): Column =
     ColumnShim.column(WordShingles(ColumnShim.expression(text), n))
+
+  /** Distinct character n-grams, native fast path. */
+  def charShinglesNative(text: Column, n: Int): Column =
+    ColumnShim.column(CharShingles(ColumnShim.expression(text), n))
 
   /** 63-bit SimHash (split on single space), native fast path. */
   def simhashNative(text: Column): Column =

@@ -111,6 +111,46 @@ case class DenseFromEntries(child: Expression, dims: Int)
     copy(child = newChild)
 }
 
+/** Codegen'd count of positions where two ARRAY<LONG> agree — the MinHash
+  * signature-similarity estimator (matches/numPerm ≈ jaccard).
+  */
+case class LongMatchCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_match_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $c = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $c++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): LongMatchCount = copy(left = newLeft, right = newRight)
+}
+
 object VectorFns {
   /** Codegen'd dot(a, b) over two ARRAY<DOUBLE> columns. */
   def dotNative(a: Column, b: Column): Column =
@@ -121,4 +161,9 @@ object VectorFns {
   /** Dense ARRAY<DOUBLE>(dims) from ARRAY<STRUCT<i INT, v DOUBLE>> entries. */
   def denseFromEntries(entries: Column, dims: Int): Column =
     ColumnShim.column(DenseFromEntries(ColumnShim.expression(entries), dims))
+
+  /** Positions where two ARRAY<LONG> agree (MinHash similarity estimate). */
+  def matchCount(a: Column, b: Column): Column =
+    ColumnShim.column(LongMatchCount(
+      ColumnShim.expression(a), ColumnShim.expression(b)))
 }

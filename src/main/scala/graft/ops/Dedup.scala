@@ -102,9 +102,21 @@ object Dedup {
     * precision and recall both 1.0.
     */
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
-    val docs = df.select(col(idCol).as("id"),
-      TextFns.wordShinglesNative(col(textCol), n).as("grams"))
+      n: Int, threshold: Double): DataFrame =
+    jaccardPrefixFromGrams(df.select(col(idCol).as("id"),
+      TextFns.wordShinglesNative(col(textCol), n).as("grams")), threshold)
+
+  /** Character-shingle variant — the near-dup shape for text without
+    * reliable tokenization (CJK, code); same prefix-filter machinery.
+    */
+  def charJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame =
+    jaccardPrefixFromGrams(df.select(col(idCol).as("id"),
+      TextFns.charShinglesNative(col(textCol), n).as("grams")), threshold)
+
+  private def jaccardPrefixFromGrams(gramsDf: DataFrame,
+      threshold: Double): DataFrame = {
+    val docs = gramsDf
       .withColumn("sz", size(col("grams")))
       .where(col("sz") > 0)
     val ex = docs.select(col("id"), col("sz"), explode(col("grams")).as("g"))
@@ -188,11 +200,28 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       nGram: Int = 3, numPerm: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+      threshold: Double = 0.5, seed: Long = 42L): DataFrame =
+    minhashLshFromGrams(df.select(col(idCol).as("id"),
+      TextFns.wordShinglesNative(col(textCol), nGram).as("grams")),
+      numPerm, bands, threshold, seed)
+
+  /** Character-shingle LSH — the scale path for tokenization-free near-dup.
+    * Unlike prefix filtering, LSH candidate volume is independent of how
+    * hot the shingles are (docs × bands rows), which is what survives a
+    * low-entropy corpus where every char shingle is shared by hundreds of
+    * documents.
+    */
+  def charMinhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      nGram: Int = 5, numPerm: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, seed: Long = 42L): DataFrame =
+    minhashLshFromGrams(df.select(col(idCol).as("id"),
+      TextFns.charShinglesNative(col(textCol), nGram).as("grams")),
+      numPerm, bands, threshold, seed)
+
+  private def minhashLshFromGrams(docs: DataFrame, numPerm: Int, bands: Int,
+      threshold: Double, seed: Long, estMargin: Double = 0.2): DataFrame = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
     val r = numPerm / bands
-    val docs = df.select(col(idCol).as("id"),
-      TextFns.wordShinglesNative(col(textCol), nGram).as("grams"))
     val sigs = minhashSignatures(docs, "id", "grams", numPerm, seed)
     val banded = sigs.select(col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
@@ -201,9 +230,23 @@ object Dedup {
       .join(banded.select(col("bkey"), col("id").as("id2")), Seq("bkey"))
       .where(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
+    // signature-estimate screen before the exact verify: matching minhash
+    // positions / numPerm ≈ jaccard, so candidates estimating below
+    // threshold − estMargin can't verify (Hoeffding: a j ≥ threshold pair
+    // under-estimates by ≥ estMargin w.p. ≤ exp(−2·estMargin²·numPerm) ≈
+    // 0.6% at 64 perms, and band-collision already required one full band
+    // match). This bounds the expensive shingle-set intersection to
+    // near-duplicates instead of every band collision — on a low-entropy
+    // corpus band collisions from mid-jaccard pairs dominate otherwise.
+    val estMin = math.max(0.0, math.ceil((threshold - estMargin) * numPerm)).toInt
+    val screened = cands
+      .join(sigs.select(col("id").as("id1"), col("sig").as("sig1")), "id1")
+      .join(sigs.select(col("id").as("id2"), col("sig").as("sig2")), "id2")
+      .where(graft.functions.VectorFns.matchCount(col("sig1"), col("sig2")) >= estMin)
+      .select("id1", "id2")
     val g1 = docs.select(col("id").as("id1"), col("grams").as("g1"))
     val g2 = docs.select(col("id").as("id2"), col("grams").as("g2"))
-    cands.join(g1, "id1").join(g2, "id2")
+    screened.join(g1, "id1").join(g2, "id2")
       .select(col("id1"), col("id2"),
         (size(array_intersect(col("g1"), col("g2"))).cast("double") /
           size(array_union(col("g1"), col("g2")))).as("jaccard"))

@@ -85,6 +85,25 @@ class OpsSpec extends SparkSpec {
     val ng = edge.select(TextFns.wordShinglesNative(col("text"), 2))
       .collect().map(_.getSeq[String](0))
     ng.toSeq shouldBe hg.toSeq
+    // char shingles: native == HOF on the corpus + unicode edge cases
+    val hc = documents.select(col("doc_id"), TextOps.charNgrams(col("text"), 5))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).sortBy(_._1)
+    val nc = documents.select(col("doc_id"), TextFns.charShinglesNative(col("text"), 5))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).sortBy(_._1)
+    nc shouldBe hc
+    val uni = Seq("héllo wörld", "日本語のテキスト", "ab").toDF("text")
+    val hu = uni.select(TextOps.charNgrams(col("text"), 3)).collect().map(_.getSeq[String](0))
+    val nu = uni.select(TextFns.charShinglesNative(col("text"), 3)).collect().map(_.getSeq[String](0))
+    nu.toSeq shouldBe hu.toSeq
+  }
+
+  test("char-shingle LSH == exact prefix-filtered char jaccard at 0.8") {
+    val exact = Dedup.charJaccardPairsPrefix(documents, "doc_id", "text", 5, 0.8)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.charMinhashLshPairs(documents, "doc_id", "text", 5, threshold = 0.8)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    lsh shouldBe exact
+    exact.size should be > 10
   }
 
   test("prefix-filtered jaccard == naive all-pairs jaccard at several thresholds") {
