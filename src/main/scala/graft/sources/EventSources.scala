@@ -40,6 +40,18 @@ object EventSources {
   def parquet(spark: SparkSession, path: String, c: EventCols = EventCols()): DataFrame =
     validate(coerce(spark.read.parquet(path), c), c)
 
+  /** Date-partitioned event sink: Hive-style `day=YYYY-MM-DD` directories
+    * derived from the nanosecond timestamp column. At 100 TB this is the
+    * layout that makes time-ranged queries read only their partitions —
+    * a filter on `day` becomes a PartitionFilter (directory pruning, zero
+    * I/O for excluded days) instead of a row-level predicate.
+    */
+  def writePartitionedByDay(events: DataFrame, path: String,
+      tsCol: String = "ts"): Unit =
+    events
+      .withColumn("day", to_date(timestamp_micros(expr(s"$tsCol DIV 1000"))))
+      .write.mode("overwrite").partitionBy("day").parquet(path)
+
   /** Key/value coercion: int-like keys (floats truncate, recathon.c:487-506),
     * numeric event values.
     */

@@ -57,6 +57,24 @@ class PlanSpec extends SparkSpec {
     p.collect { case b: BroadcastNestedLoopJoinExec => b } shouldBe empty
   }
 
+  test("date-partitioned events: day filter prunes partitions at the scan") {
+    import graft.sources.EventSources
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val events = Tables.read(spark, sf, "events")
+    EventSources.writePartitionedByDay(events, s"$dir/events_by_day")
+    val back = spark.read.parquet(s"$dir/events_by_day")
+    val oneDay = back.where(col("day") === "2024-01-02")
+    val p = plan(oneDay).toString
+    p should include("PartitionFilters")
+    p.linesIterator.find(_.contains("PartitionFilters")).get should
+      include("day")
+    // pruned read returns exactly that day's rows, and the day derivation
+    // partitions the full table without loss
+    back.count() shouldBe events.count()
+    oneDay.count() shouldBe events
+      .where(expr("to_date(timestamp_micros(ts DIV 1000)) = '2024-01-02'")).count()
+  }
+
   test("dedup family plans carry no cartesian products") {
     import graft.ops.Dedup
     val docs = Tables.read(spark, sf, "documents")
