@@ -102,6 +102,10 @@ object GraftSql {
   private[sql] val RecommendRe =
     ("""(?is)\bFROM\s+([\w.]+)\s+RECOMMEND\s+(\w+)\s+TO\s+(\w+)\s+ON\s+(\w+)""" +
       """\s+USING\s+(\w+)""").r
+  // the older Recathon workload syntax the reference's experiments issue
+  // (rec_workload.c:226): SELECT itemid FROM <rec> RECOMMEND(10) userid = 42
+  private[sql] val LegacyRecommendRe =
+    """(?is)\bFROM\s+([\w.]+)\s+RECOMMEND\s*\(\s*(\d+)\s*\)\s+(\w+)\s*=\s*(\d+)""".r
   private[sql] val CreateRe =
     ("""(?is)^\s*CREATE\s+RECOMMENDER\s+(\w+)\s+ON\s+([\w.]+)\s+USERS\s+FROM\s+(\w+)""" +
       """\s+ITEMS\s+FROM\s+(\w+)\s+EVENTS\s+FROM\s+(\w+)(?:\s+USING\s+(\w+))?\s*;?\s*$""").r
@@ -140,6 +144,38 @@ object GraftSql {
         .map(org.apache.spark.sql.graft.ColumnShim.column)
     } catch { case _: Exception => None } // prune is best-effort, never fatal
   }
+
+  /** Rewrite the legacy `FROM <rec> RECOMMEND(k) <user> = <id>` workload
+    * form: resolve the NAMED recommender from the catalog (it must exist —
+    * this syntax queries a created recommender, rec_workload.c's setup), and
+    * splice in a view of that user's top-k rows (user, item, score-as-event)
+    * ordered by score with the item tie-break.
+    */
+  def rewriteLegacyRecommend(session: SparkSession,
+      sqlText: String): Option[String] =
+    LegacyRecommendRe.findFirstMatchIn(sqlText).map { m =>
+      val (recName, k, userColq, userId) =
+        (m.group(1), m.group(2).toInt, m.group(3), m.group(4).toLong)
+      val cat = catalog(session)
+      val e = cat.get(recName).getOrElse(throw new IllegalArgumentException(
+        s"recommender $recName does not exist (utility.c:968)"))
+      require(userColq.equalsIgnoreCase(e.userCol),
+        s"legacy RECOMMEND qualifier '$userColq' must be the recommender's " +
+          s"user column '${e.userCol}'")
+      val events = session.table(e.eventsTag)
+      val c = EventCols(e.userCol, e.itemCol, e.ratingCol)
+      val users = events.select(col(e.userCol))
+        .where(col(e.userCol) === userId).distinct()
+      val top = Recommender
+        .recommend(session, events, e.eventsTag, c, e.method.name,
+          Some(cat), Some(users))
+        .orderBy(col("score").desc, col(e.itemCol))
+        .limit(k)
+        .select(col(e.userCol), col(e.itemCol), col("score").as(e.ratingCol))
+      val view = viewName(sqlText)
+      top.createOrReplaceTempView(view)
+      sqlText.substring(0, m.start) + s"FROM $view" + sqlText.substring(m.end)
+    }
 
   /** Rewrite a RECOMMEND query: build the scoring DataFrame, register it as a
     * temp view carrying the full events-table schema (score in the event
@@ -212,15 +248,19 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case GraftSql.DropRe(name) =>
       DropRecommenderCommand(name)
     case _ =>
-      GraftSql.rewriteRecommend(session, sqlText) match {
+      rewrite(sqlText) match {
         case Some(rewritten) => delegate.parsePlan(rewritten)
         case None => delegate.parsePlan(sqlText)
       }
   }
 
+  private def rewrite(sqlText: String): Option[String] =
+    GraftSql.rewriteRecommend(session, sqlText)
+      .orElse(GraftSql.rewriteLegacyRecommend(session, sqlText))
+
   @throws[ParseException]
   override def parseQuery(sqlText: String): LogicalPlan =
-    GraftSql.rewriteRecommend(session, sqlText) match {
+    rewrite(sqlText) match {
       case Some(rewritten) => delegate.parseQuery(rewritten)
       case None => delegate.parseQuery(sqlText)
     }

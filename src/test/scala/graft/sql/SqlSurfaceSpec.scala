@@ -87,6 +87,28 @@ class SqlSurfaceSpec extends SparkSpec with BeforeAndAfterAll {
     an[Exception] should be thrownBy ext.sql("DROP RECOMMENDER rec1").collect()
   }
 
+  test("legacy Recathon workload syntax: FROM <rec> RECOMMEND(k) userid = r") {
+    fixture(ext)
+    ext.sql("""CREATE RECOMMENDER rec_legacy ON ml_ratings USERS FROM userid
+              |ITEMS FROM itemid EVENTS FROM rating USING itemCosCF""".stripMargin)
+      .collect()
+    // the reference's rec_workload.c query shape, verbatim
+    val out = ext.sql("SELECT itemid FROM rec_legacy RECOMMEND(3) userid = 2")
+      .collect().map(_.getLong(0))
+    out.length shouldBe 3
+    // equivalent modern-clause top-3 for the same user
+    val expected = ext.sql(
+      """SELECT itemid FROM ml_ratings RECOMMEND itemid TO userid ON rating
+        |USING itemCosCF WHERE userid = 2
+        |ORDER BY rating DESC, itemid LIMIT 3""".stripMargin)
+      .collect().map(_.getLong(0))
+    out.sorted shouldBe expected.sorted
+    // unknown recommender name fails like the reference
+    an[Exception] should be thrownBy
+      ext.sql("SELECT itemid FROM nope_rec RECOMMEND(3) userid = 2").collect()
+    ext.sql("DROP RECOMMENDER rec_legacy").collect()
+  }
+
   test("user-qual pre-filter: mixed WHERE prunes users yet keeps full filter") {
     fixture(ext)
     // userid = 2 is extractable (user-only); rating > 1.2 must still apply on
