@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The composed corpus-cleaning pipeline a training-data run actually
+  * executes — quality gate → language filter → exact dedup → near-dup group
+  * collapse — expressed over the operators in this package so every stage
+  * inherits their scale design (native expressions, LSH candidates, label
+  * propagation). Returns the kept corpus plus per-stage survivor counts
+  * (each count is one action; the pipeline is expected to be run, not
+  * embedded in a larger lazy plan).
+  */
+object Corpus {
+
+  final case class CleanStats(input: Long, afterQuality: Long,
+      afterLang: Long, afterExact: Long, afterNearDup: Long)
+
+  /** Clean `docs`, keeping one representative (min id) per duplicate group.
+    *
+    * @param minQuality   keep docs with [[TextOps.qualityScore]] ≥ this
+    * @param langs        keep docs whose [[TextOps.langId]] is in this set
+    *                     (empty = keep all languages)
+    * @param nGram        word-shingle size for near-dup detection
+    * @param threshold    near-dup Jaccard threshold
+    */
+  def clean(docs: DataFrame, idCol: String, textCol: String,
+      minQuality: Double = 0.5, langs: Seq[String] = Seq("en"),
+      nGram: Int = 3, threshold: Double = 0.8): (DataFrame, CleanStats) = {
+    val input = docs.count()
+
+    val q = docs.where(TextOps.qualityScore(col(textCol)) >= minQuality)
+    val afterQuality = q.count()
+
+    val lf = if (langs.isEmpty) q
+      else q.where(TextOps.langId(col(textCol)).isin(langs: _*))
+    val afterLang = lf.count()
+
+    // exact dedup on the 128-bit content key: keep each group's min id
+    val reps = Dedup.exactByHash(lf, textCol, idCol).select(col(idCol))
+    val ex = lf.join(reps, Seq(idCol), "semi").cache()
+    val afterExact = ex.count()
+
+    // near-dup groups via LSH pairs + label propagation; drop non-reps.
+    // Representatives of different components are non-adjacent by
+    // transitivity, so no pair at `threshold` survives the collapse
+    // (CorpusSpec asserts this).
+    val pairs = Dedup.minhashLshPairs(ex, idCol, textCol,
+      nGram = nGram, threshold = threshold)
+    val comps = Dedup.connectedComponents(pairs)
+    val drop = comps.where(col("node") =!= col("rep"))
+      .select(col("node").as(idCol))
+    val kept = ex.join(drop, Seq(idCol), "anti")
+    val afterNearDup = kept.count()
+
+    (kept, CleanStats(input, afterQuality, afterLang, afterExact, afterNearDup))
+  }
+}

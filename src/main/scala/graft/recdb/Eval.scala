@@ -47,4 +47,37 @@ object Eval {
     val total = test.count()
     if (total == 0) 0.0 else hits.toDouble / total
   }
+
+  /** NDCG@k with binary relevance (held-out items are the relevant set):
+    * per user, DCG = Σ 1/log2(rank+1) over held-out items found in the
+    * top-k (train items excluded from the ranking), IDCG = the same sum for
+    * a perfect ordering of min(k, |holdout_u|) items; returns mean
+    * DCG/IDCG over users with ≥1 held-out item.
+    */
+  def ndcgAtK(scores: DataFrame, train: DataFrame, test: DataFrame,
+      c: EventCols, k: Int): Double = {
+    import org.apache.spark.sql.expressions.Window
+    val unseen = scores.join(
+      train.select(col(c.user), col(c.item)), Seq(c.user, c.item), "anti")
+    val w = Window.partitionBy(col(c.user))
+      .orderBy(col("score").desc, col(c.item))
+    val topk = unseen.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k)
+      .select(col(c.user), col(c.item), col("__rk"))
+    val dcg = test.select(col(c.user), col(c.item))
+      .join(topk, Seq(c.user, c.item))
+      .groupBy(col(c.user))
+      .agg(sum(lit(1.0) / log2(col("__rk") + 1)).as("dcg"))
+    val ideal = test.groupBy(col(c.user))
+      .agg(count(lit(1)).as("nrel"))
+      .select(col(c.user),
+        // Σ_{i=1..min(k,nrel)} 1/log2(i+1) via a bounded sequence aggregate
+        aggregate(sequence(lit(1), least(col("nrel"), lit(k))),
+          lit(0.0), (acc, i) => acc + lit(1.0) / log2(i.cast("double") + 1))
+          .as("idcg"))
+    val joined = ideal.join(dcg, Seq(c.user), "left")
+      .select((coalesce(col("dcg"), lit(0.0)) / col("idcg")).as("ndcg"))
+    val row = joined.agg(avg(col("ndcg"))).head()
+    if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+  }
 }

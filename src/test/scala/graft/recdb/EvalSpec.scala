@@ -41,4 +41,21 @@ class EvalSpec extends SparkSpec {
     info(s"train RMSE: als=$alsRmse meanPredictor=$meanRmse")
     alsRmse should be < meanRmse * 0.5
   }
+
+  test("ndcg@k: bounded by 1, perfect ranking scores 1, beats random for itemCF") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.ratings(spark, "/root/testdata/sf0.001").cache()
+    val (train, test) = Eval.holdoutSplit(ev, c)
+    val cf = Scoring.itemCF(train, Similarity.itemCosine(train, c), c)
+    val n = Eval.ndcgAtK(cf, train, test, c, 10)
+    info(s"ndcg@10: itemCF=$n")
+    n should be > 0.0
+    n should be <= 1.0
+    // a scoring that ranks exactly the held-out items first gets NDCG 1
+    val oracleScores = ev.select(col("userid"), col("itemid"))
+      .join(test.select(col("userid"), col("itemid"))
+        .withColumn("score", lit(10.0)), Seq("userid", "itemid"), "left")
+      .select(col("userid"), col("itemid"), coalesce(col("score"), lit(0.0)).as("score"))
+    Eval.ndcgAtK(oracleScores, train, test, c, 10) shouldBe 1.0 +- 1e-9
+  }
 }
