@@ -26,6 +26,13 @@ object Profile {
       case "jaccard_stages" => jaccardStages(spark, sfDir, reps)
       case s if s.startsWith("usercf:") => userCfStrategy(spark, sfDir, reps, s)
       case "usercf_stages" => userCfStages(spark, sfDir, reps)
+      case "ivf_vs_brute" =>
+        val b = SparkEntry.queries("p_knn_brute")(spark, sfDir).collect()
+          .map(_.toString).toSet
+        val v = SparkEntry.queries("p_knn_ivf")(spark, sfDir).collect()
+          .map(_.toString).toSet
+        println(s"PROFILE ivf_vs_brute equal=${b == v} brute=${b.size} " +
+          s"ivf=${v.size} onlyBrute=${(b -- v).size}")
       case n =>
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()

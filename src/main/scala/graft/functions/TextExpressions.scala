@@ -86,6 +86,34 @@ object TextExprUtil {
     new GenericArrayData(seen.toArray)
   }
 
+  /** Unicode NFC normalization — canonical composition, the pre-dedup
+    * normalization every multi-source corpus needs (visually identical
+    * strings with different codepoint sequences must hash identically).
+    */
+  def nfcNormalize(text: UTF8String): UTF8String = {
+    val s = text.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  /** Accent folding: NFD decomposition with combining marks stripped
+    * ("café" → "cafe") — the aggressive fold for match keys, not for
+    * display text.
+    */
+  def foldAccents(text: UTF8String): UTF8String = {
+    val s = java.text.Normalizer.normalize(text.toString,
+      java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (Character.getType(ch) != Character.NON_SPACING_MARK) sb.append(ch)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** 63-bit SimHash over split-on-space tokens (xxhash64 seed 42 per token,
     * per-bit ±1 votes, sign → bit) — same contract as
     * [[graft.ops.Dedup.simhash64]].
@@ -151,6 +179,30 @@ case class CharShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen'd Unicode NFC normalization of a text column. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+  override def nullSafeEval(s: Any): Any =
+    TextExprUtil.nfcNormalize(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextExprUtil.nfcNormalize($c)")
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+/** Codegen'd accent folding (NFD minus combining marks) of a text column. */
+case class FoldAccents(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_fold_accents"
+  override def nullSafeEval(s: Any): Any =
+    TextExprUtil.foldAccents(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextExprUtil.foldAccents($c)")
+  override protected def withNewChildInternal(newChild: Expression): FoldAccents =
+    copy(child = newChild)
+}
+
 /** Codegen'd 63-bit SimHash signature of a text column. */
 case class SimHash63(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -178,4 +230,12 @@ object TextFns {
   /** 63-bit SimHash (split on single space), native fast path. */
   def simhashNative(text: Column): Column =
     ColumnShim.column(SimHash63(ColumnShim.expression(text)))
+
+  /** Unicode NFC canonical composition. */
+  def nfc(text: Column): Column =
+    ColumnShim.column(NfcNormalize(ColumnShim.expression(text)))
+
+  /** Accent folding (NFD, combining marks stripped). */
+  def foldAccents(text: Column): Column =
+    ColumnShim.column(FoldAccents(ColumnShim.expression(text)))
 }

@@ -34,6 +34,30 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.6, s"simhash recall $recall")
   }
 
+  test("unicode normalization: NFC composes, accent fold strips marks, idempotent") {
+    import graft.functions.TextFns
+    // "café" as NFD (e + combining acute) vs NFC (precomposed é)
+    val nfd = "café"
+    val nfc = "caf\u00e9"
+    val df = Seq((1L, nfd), (2L, nfc), (3L, "日本語"), (4L, "plain")).toDF("id", "text")
+    val out = df.select(col("id"), TextFns.nfc(col("text")).as("n"),
+      TextFns.foldAccents(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    out(1L)._1 shouldBe nfc // NFD input composes to NFC
+    out(2L)._1 shouldBe nfc // already-NFC unchanged
+    out(1L)._2 shouldBe "cafe"
+    out(2L)._2 shouldBe "cafe"
+    out(3L)._1 shouldBe "日本語"
+    out(4L)._2 shouldBe "plain"
+    // the pre-dedup use: visually identical strings hash identically after NFC
+    val hashes = df.where(col("id") <= 2)
+      .select(xxhash64(TextFns.nfc(col("text")))).collect().map(_.getLong(0))
+    hashes(0) shouldBe hashes(1)
+    // idempotence
+    df.select((TextFns.nfc(TextFns.nfc(col("text"))) === TextFns.nfc(col("text")))
+      .as("ok")).collect().forall(_.getBoolean(0)) shouldBe true
+  }
+
   test("connectedComponents == reference union-find on random graphs") {
     for (seed <- 1 to 3) {
       val rnd = new scala.util.Random(seed)
