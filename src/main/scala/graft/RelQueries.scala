@@ -242,6 +242,14 @@ object RelQueries {
         |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 4) AS o_total,
         |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 4) AS p_total
         |FROM orders GROUP BY o_orderpriority""".stripMargin),
+    // Correlated scalar subquery (Catalyst decorrelates to a left outer
+    // aggregate join; PG 9.2 runs it as a per-row SubPlan).
+    "q_scalar_corr" -> q(
+      """SELECT c_custkey,
+        |  (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |  (SELECT round(coalesce(max(o_totalprice), 0), 4) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS max_price
+        |FROM customer c WHERE c_custkey % 10 = 0""".stripMargin),
     // Fixed-width histogram over document lengths.
     "q_len_hist" -> q(
       """SELECT CAST(floor(n_chars / 50) AS BIGINT) AS bucket, count(*) AS n
