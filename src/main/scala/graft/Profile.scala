@@ -25,6 +25,7 @@ object Profile {
     names.foreach {
       case "jaccard_stages" => jaccardStages(spark, sfDir, reps)
       case s if s.startsWith("usercf:") => userCfStrategy(spark, sfDir, reps, s)
+      case s if s.startsWith("model:") => modelStrategy(spark, sfDir, reps, s)
       case "usercf_stages" => userCfStages(spark, sfDir, reps)
       case "ivf_vs_brute" =>
         val b = SparkEntry.queries("p_knn_brute")(spark, sfDir).collect()
@@ -41,6 +42,30 @@ object Profile {
         }
         println(f"PROFILE $n: ${times.map(t => f"$t%.2f").mkString(" ")}")
     }
+
+  /** model:<kind>:<strategy> — isolated model-build cost (no caching between
+    * reps), kind ∈ {itemcos, itempear, usercos, userpear}.
+    */
+  def modelStrategy(spark: SparkSession, sfDir: String, reps: Int,
+      spec: String): Unit = {
+    import graft.recdb.Similarity
+    val Array(_, kind, st) = spec.split(":")
+    val r = Tables.ratings(spark, sfDir).cache()
+    r.count()
+    val build = kind match {
+      case "itemcos" => () => Similarity.itemCosine(r, Tables.ratingCols, st)
+      case "itempear" => () => Similarity.itemPearson(r, Tables.ratingCols, st)
+      case "usercos" => () => Similarity.userCosine(r, Tables.ratingCols, st)
+      case "userpear" => () => Similarity.userPearson(r, Tables.ratingCols, st)
+    }
+    val times = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      val n = build().count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    println(f"PROFILE $spec rows=${times.head._2} " +
+      times.map(x => f"${x._1}%.2f").mkString(" "))
+  }
 
   /** usercf:<modelStrategy>:<scoreStrategy> — isolated pearson userCF cost. */
   def userCfStrategy(spark: SparkSession, sfDir: String, reps: Int,

@@ -46,9 +46,9 @@ object Scoring {
   def itemCF(ratings: DataFrame, itemModel: DataFrame,
       c: EventCols = EventCols(), users: Option[DataFrame] = None,
       strategy: String = "auto"): DataFrame = {
-    if (pickDense(ratings, itemModel, c.item, strategy))
-      return itemCFDense(ratings, itemModel, c, users)
     val uRatings = restrict(ratings, users, c)
+    if (pickDense(ratings, uRatings, itemModel, c.item, strategy))
+      return itemCFDense(ratings, itemModel, c, users)
     val sym = symmetric(itemModel, "item1", "item2")
     val scores = sym
       .join(uRatings.select(col(c.user).as("u"), col(c.item).as("j"),
@@ -63,23 +63,31 @@ object Scoring {
 
   /** Strategy pick for the dense scoring sweep. The sparse path's cost is
     * the sym-model × ratings join fan-out, estimated as
-    * 2·|model|·(|ratings| / dim-cardinality); below the fan-out threshold
-    * the join is cheap and dense fixed costs dominate. The vector width is
-    * the model's key side (items for itemCF, users for userCF) and must be
-    * bounded; the sweep's output is the user×item expansion either way.
+    * 2·|model|·(|uRatings| / dim-cardinality) where uRatings is the events
+    * frame AFTER the user-qual pre-filter — a selective RECOMMEND-style
+    * single-user query shrinks the join fan-out proportionally while the
+    * dense path's fixed costs (per-item vectors over ALL raters) do not
+    * shrink, so the filter must enter the estimate (and the memo key: the
+    * filtered and unfiltered sweeps genuinely want different strategies).
+    * The vector width is the model's key side (items for itemCF, users for
+    * userCF) and must be bounded; the sweep's output is the user×item
+    * expansion either way.
     */
-  private def pickDense(ratings: DataFrame, model: DataFrame, dimKey: String,
-      strategy: String): Boolean = strategy match {
+  private def pickDense(ratings: DataFrame, uRatings: DataFrame,
+      model: DataFrame, dimKey: String, strategy: String): Boolean =
+    strategy match {
     case "dense" => true
     case "join" => false
     case "auto" =>
       val key = (ratings.queryExecution.analyzed.canonicalized.hashCode() * 41 +
-        model.queryExecution.analyzed.canonicalized.hashCode(), s"score|$dimKey")
+        model.queryExecution.analyzed.canonicalized.hashCode() * 7 +
+        uRatings.queryExecution.analyzed.canonicalized.hashCode(),
+        s"score|$dimKey")
       Similarity.memoized(key) {
         val dims = ratings.agg(countDistinct(col(dimKey))).head().getLong(0)
         if (dims > Similarity.DenseDimLimit || dims == 0L) false
         else {
-          val est = 2.0 * model.count() * (ratings.count().toDouble / dims)
+          val est = 2.0 * model.count() * (uRatings.count().toDouble / dims)
           est > Similarity.DenseFanoutThreshold
         }
       }
@@ -105,11 +113,8 @@ object Scoring {
     val uvec = uRatings.join(broadcast(idx), col(c.item) === col("k"))
       .groupBy(col(c.user).as("u"))
       .agg(
-        collect_list(struct(col("ki"), col(c.rating).cast("double"))).as("re"),
-        collect_list(struct(col("ki"), lit(1.0).as("one"))).as("me"))
-      .select(col("u"),
-        VectorFns.denseFromEntries(col("re"), dims).as("rv"),
-        VectorFns.denseFromEntries(col("me"), dims).as("mv"))
+        VectorFns.denseVecAgg(col("ki"), col(c.rating), dims).as("rv"),
+        VectorFns.denseVecAgg(col("ki"), lit(1.0), dims).as("mv"))
     val sym = symmetric(itemModel, "item1", "item2")
     val scols = idx.select(col("k").as("i"), col("ki").as("ii"))
       .join(sym, Seq("i"), "left")
@@ -117,13 +122,8 @@ object Scoring {
         Seq("j"), "left")
       .groupBy(col("i"))
       .agg(
-        collect_list(when(col("s").isNotNull,
-          struct(col("ji"), col("s").cast("double")))).as("se"),
-        collect_list(when(col("s").isNotNull,
-          struct(col("ji"), abs(col("s")).cast("double")))).as("ae"))
-      .select(col("i"),
-        VectorFns.denseFromEntries(col("se"), dims).as("sv"),
-        VectorFns.denseFromEntries(col("ae"), dims).as("av"))
+        VectorFns.denseVecAgg(col("ji"), col("s"), dims).as("sv"),
+        VectorFns.denseVecAgg(col("ji"), abs(col("s")), dims).as("av"))
     val den = VectorFns.dotNative(col("mv"), col("av"))
     // broadcast the item side and keep the join type Inner (lit(true)
     // condition) so BroadcastNestedLoopJoin stays in whole-stage codegen and
@@ -143,9 +143,9 @@ object Scoring {
   def userCF(ratings: DataFrame, userModel: DataFrame,
       c: EventCols = EventCols(), users: Option[DataFrame] = None,
       strategy: String = "auto"): DataFrame = {
-    if (pickDense(ratings, userModel, c.user, strategy))
-      return userCFDense(ratings, userModel, c, users)
     val uRatings = restrict(ratings, users, c)
+    if (pickDense(ratings, uRatings, userModel, c.user, strategy))
+      return userCFDense(ratings, userModel, c, users)
     val uavg = uRatings.groupBy(col(c.user).as("u"))
       .agg(avg(col(c.rating)).as("ubar"))
     val sym0 = symmetric(userModel, "user1", "user2")
@@ -189,11 +189,8 @@ object Scoring {
     val ivec = ratings.join(broadcast(idx), col(c.user) === col("k"))
       .groupBy(col(c.item).as("i"))
       .agg(
-        collect_list(struct(col("ki"), col(c.rating).cast("double"))).as("re"),
-        collect_list(struct(col("ki"), lit(1.0).as("one"))).as("me"))
-      .select(col("i"),
-        VectorFns.denseFromEntries(col("re"), dims).as("rv"),
-        VectorFns.denseFromEntries(col("me"), dims).as("mv"))
+        VectorFns.denseVecAgg(col("ki"), col(c.rating), dims).as("rv"),
+        VectorFns.denseVecAgg(col("ki"), lit(1.0), dims).as("mv"))
     val sym = symmetric(userModel, "user1", "user2")
       .select(col("i").as("u"), col("j").as("v"), col("s"))
     val srows = uRatings.select(col(c.user).as("u")).distinct()
@@ -202,13 +199,8 @@ object Scoring {
         Seq("v"), "left")
       .groupBy(col("u"))
       .agg(
-        collect_list(when(col("s").isNotNull,
-          struct(col("vi"), col("s").cast("double")))).as("se"),
-        collect_list(when(col("s").isNotNull,
-          struct(col("vi"), abs(col("s")).cast("double")))).as("ae"))
-      .select(col("u"),
-        VectorFns.denseFromEntries(col("se"), dims).as("sv"),
-        VectorFns.denseFromEntries(col("ae"), dims).as("av"))
+        VectorFns.denseVecAgg(col("vi"), col("s"), dims).as("sv"),
+        VectorFns.denseVecAgg(col("vi"), abs(col("s")), dims).as("av"))
     val uavg = uRatings.groupBy(col(c.user).as("u"))
       .agg(avg(col(c.rating)).as("ubar"))
     val den = VectorFns.dotNative(col("av"), col("mv"))

@@ -83,15 +83,14 @@ object Similarity {
 
   /** Sparse-join pair fan-out (Σ over co-rating keys of multiplicity²) above
     * which the dense path wins. Measured crossover on local[32] at sf0.1:
-    * at fan-out ≈ 2.2e8 the join path still edges out dense (map-side
-    * partial aggregation keeps the shuffle small and the join plan stays in
-    * whole-stage codegen end-to-end), while the dense path's vector builds
-    * (collect_list is an ObjectHashAggregate, no codegen) and wide-array
-    * cross join dominate. Dense wins decisively when the pair fan-out can no
-    * longer be partially aggregated in memory — O(entities²) keys — hence
-    * the threshold sits above the measured tie.
+    * with the direct [[graft.functions.DenseVectorAgg]] vector build (no
+    * collect_list detour) the dense path beats the join at fan-out ≈ 2.2e8
+    * both cold (4.3s vs 18.6s) and steady-state (3.5s vs 4.6s); at ≈ 1.5e7
+    * (the item side of the same data) the join path's map-side partial
+    * aggregation keeps the shuffle trivial and dense fixed costs lose. The
+    * threshold sits between the two measured regimes.
     */
-  val DenseFanoutThreshold = 5e8
+  val DenseFanoutThreshold = 1e8
 
   /** Strategy decisions are planning-time metadata: memoized per canonical
     * input plan so repeated builds over the same (cached or not) frame don't
@@ -183,8 +182,7 @@ object Similarity {
       }
     val vecs = base.join(broadcast(idx), col("jk") === col("k"))
       .groupBy("p")
-      .agg(collect_list(struct(col("ki"), col("rv"))).as("ent"))
-      .select(col("p"), VectorFns.denseFromEntries(col("ent"), dims).as("vec"))
+      .agg(VectorFns.denseVecAgg(col("ki"), col("rv"), dims).as("vec"))
       .withColumn("nrm", sqrt(VectorFns.dotNative(col("vec"), col("vec"))))
     val a = vecs.select(col("p").as("p1"), col("vec").as("v1"), col("nrm").as("n1"))
     val bb = vecs.select(col("p").as("p2"), col("vec").as("v2"), col("nrm").as("n2"))
