@@ -26,6 +26,17 @@ object Profile {
       case "jaccard_stages" => jaccardStages(spark, sfDir, reps)
       case s if s.startsWith("usercf:") => userCfStrategy(spark, sfDir, reps, s)
       case s if s.startsWith("model:") => modelStrategy(spark, sfDir, reps, s)
+      case "modelstages" => modelStages(spark, sfDir, reps)
+      case "modelplan" =>
+        import graft.recdb.Similarity
+        val r = Tables.ratings(spark, sfDir).cache()
+        r.count()
+        val m = Similarity.userCosine(r, Tables.ratingCols, "dense")
+        m.count()
+        val p = graft.sources.Bucketing.concretePlan(m)
+        val kinds = p.collect { case n => n.nodeName }
+          .groupBy(identity).view.mapValues(_.size).toMap.toSeq.sortBy(-_._2)
+        println("PROFILE modelplan " + kinds.map { case (k, v) => s"$k=$v" }.mkString(" "))
       case "usercf_stages" => userCfStages(spark, sfDir, reps)
       case "ivf_vs_brute" =>
         val b = SparkEntry.queries("p_knn_brute")(spark, sfDir).collect()
@@ -65,6 +76,43 @@ object Profile {
     }
     println(f"PROFILE $spec rows=${times.head._2} " +
       times.map(x => f"${x._1}%.2f").mkString(" "))
+  }
+
+  /** Decompose the dense userCosine model build: index, vectors, pair join. */
+  def modelStages(spark: SparkSession, sfDir: String, reps: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFns
+    val c = Tables.ratingCols
+    val r = Tables.ratings(spark, sfDir).cache()
+    r.count()
+    def t(label: String)(body: => Long): Unit = {
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); val n = body
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      println(f"PROFILE mstage:$label rows=${times.head._2} " +
+        times.map(x => f"${x._1}%.2f").mkString(" "))
+    }
+    // userCosine: joinKey = item (dims), pairKey = user (entities)
+    val idx = r.select(col(c.item).as("k")).distinct()
+      .withColumn("ki", (row_number().over(Window.orderBy("k")) - 1).cast("int"))
+    t("idx")(idx.count())
+    val dims = idx.count().toInt
+    val vecs = r.join(broadcast(idx), col(c.item) === col("k"))
+      .groupBy(col(c.user).as("p"))
+      .agg(VectorFns.denseVecAgg(col("ki"), col(c.rating).cast("double"), dims).as("vec"))
+      .withColumn("nrm", sqrt(VectorFns.dotNative(col("vec"), col("vec"))))
+    t("vecs")(vecs.count())
+    val vc = vecs.cache(); vc.count()
+    val a = vc.select(col("p").as("p1"), col("vec").as("v1"), col("nrm").as("n1"))
+    val bb = vc.select(col("p").as("p2"), col("vec").as("v2"), col("nrm").as("n2"))
+    val dot = VectorFns.dotNative(col("v1"), col("v2"))
+    val pairs = a.join(bb, col("p1") < col("p2"))
+      .select(col("p1"), col("p2"), (dot / (col("n1") * col("n2"))).as("similarity"))
+    t("pairs_cached_vecs")(pairs.where(col("similarity") > 0d).count())
+    t("pairs_count_only")(a.join(bb, col("p1") < col("p2")).count())
+    vc.unpersist()
   }
 
   /** usercf:<modelStrategy>:<scoreStrategy> — isolated pearson userCF cost. */

@@ -258,16 +258,37 @@ object Dedup {
     * component — turns near-dup PAIRS into dedup GROUPS (keep rep, drop the
     * rest).
     *
-    * Algorithm: iterated min-label propagation. Each round joins every
-    * node's current label to its neighbors' labels and keeps the minimum;
-    * converges in O(diameter) rounds (near-dup components are
-    * star/clique-like, so a handful). Each round is one shuffle join + one
-    * aggregation — the alternating-star formulation of distributed CC, with
-    * AQE sizing the joins; `maxIter` bounds runaway graphs, and convergence
-    * is checked with a cheap count of changed labels.
+    * Algorithm, size-adaptive: near-dup edge sets are usually a vanishing
+    * fraction of the corpus (pairs above a high threshold), so when the edge
+    * list fits comfortably on the driver ([[LocalCcEdgeLimit]]) the
+    * components are solved in one collect with path-compressed union-find —
+    * an iterative dataflow loop over a few thousand edges is pure job-
+    * scheduling overhead. Above the limit: iterated min-label propagation —
+    * each round joins every node's current label to its neighbors' labels
+    * and keeps the minimum; converges in O(diameter) rounds (near-dup
+    * components are star/clique-like, so a handful), one shuffle join + one
+    * aggregation per round, AQE sizing the joins; `maxIter` bounds runaway
+    * graphs, and convergence is checked with a cheap aggregate.
     */
   def connectedComponents(pairs: DataFrame, id1: String = "id1",
       id2: String = "id2", maxIter: Int = 20): DataFrame = {
+    val keyType = pairs.schema(id1).dataType
+    val localOrd: Option[Ordering[Any]] = keyType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType =>
+        Some(Ordering.by((x: Any) => x.asInstanceOf[Number].longValue()))
+      case org.apache.spark.sql.types.StringType =>
+        Some(Ordering.by((x: Any) => x.toString))
+      case _ => None
+    }
+    if (localOrd.isDefined) {
+      val head = pairs.select(col(id1).as("a"), col(id2).as("b"))
+        .limit(LocalCcEdgeLimit + 1).collect()
+      if (head.length <= LocalCcEdgeLimit)
+        return localComponents(pairs.sparkSession, head, keyType, localOrd.get)
+    }
     val edges = pairs.select(col(id1).as("a"), col(id2).as("b"))
       .unionAll(pairs.select(col(id2).as("a"), col(id1).as("b")))
       .distinct()
@@ -300,6 +321,48 @@ object Dedup {
     }
     edges.unpersist()
     labels
+  }
+
+  /** Edge-count bound for the driver-local union-find path (~32 MB of rows). */
+  val LocalCcEdgeLimit: Int = 2 * 1000 * 1000
+
+  /** Path-compressed union-find over a collected edge list; rep = smallest
+    * node per component under `ord` — identical output contract to the
+    * distributed loop.
+    */
+  private def localComponents(spark: org.apache.spark.sql.SparkSession,
+      edges: Array[org.apache.spark.sql.Row],
+      keyType: org.apache.spark.sql.types.DataType,
+      ord: Ordering[Any]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val parent = new java.util.HashMap[Any, Any]()
+    def add(x: Any): Unit = if (!parent.containsKey(x)) parent.put(x, x)
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    edges.foreach { e =>
+      val a = e.get(0); val b = e.get(1)
+      add(a); add(b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent.put(ra, rb)
+    }
+    val nodes = parent.keySet().asScala.toArray
+    val minOf = new java.util.HashMap[Any, Any]()
+    nodes.foreach { n =>
+      val r = find(n)
+      val cur = minOf.get(r)
+      if (cur == null || ord.lt(n, cur)) minOf.put(r, n)
+    }
+    val rows = nodes.map(n =>
+      org.apache.spark.sql.Row(n, minOf.get(find(n)))).toSeq.asJava
+    spark.createDataFrame(rows,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", keyType),
+        org.apache.spark.sql.types.StructField("rep", keyType))))
   }
 
   // SimHash machinery -------------------------------------------------------

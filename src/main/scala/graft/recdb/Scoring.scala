@@ -105,10 +105,7 @@ object Scoring {
     */
   private def itemCFDense(ratings: DataFrame, itemModel: DataFrame,
       c: EventCols, users: Option[DataFrame]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val idx = ratings.select(col(c.item).as("k")).distinct()
-      .withColumn("ki", (row_number().over(Window.orderBy("k")) - 1).cast("int"))
-    val dims = idx.count().toInt
+    val (idx, dims) = Similarity.denseIndex(ratings, c.item)
     val uRatings = restrict(ratings, users, c)
     val uvec = uRatings.join(broadcast(idx), col(c.item) === col("k"))
       .groupBy(col(c.user).as("u"))
@@ -181,10 +178,7 @@ object Scoring {
     */
   private def userCFDense(ratings: DataFrame, userModel: DataFrame,
       c: EventCols, users: Option[DataFrame]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val idx = ratings.select(col(c.user).as("k")).distinct()
-      .withColumn("ki", (row_number().over(Window.orderBy("k")) - 1).cast("int"))
-    val dims = idx.count().toInt
+    val (idx, dims) = Similarity.denseIndex(ratings, c.user)
     val uRatings = restrict(ratings, users, c)
     val ivec = ratings.join(broadcast(idx), col(c.user) === col("k"))
       .groupBy(col(c.item).as("i"))

@@ -158,6 +158,29 @@ object Similarity {
     else cosine(r, joinKey, pairKey, rating, out1, out2)
   }
 
+  /** Dense slot index over a bounded dimension, built on the driver: the
+    * dimension is ≤ [[DenseDimLimit]] or the dense path is invalid, so one
+    * collect replaces a distinct-shuffle + single-partition global window
+    * (and every branch that references the index re-running them). Returns
+    * the (key → slot) frame and the vector width. Slot order is any stable
+    * order — it is invisible to the pairwise dots.
+    */
+  private[recdb] def denseIndex(r: DataFrame, key: String): (DataFrame, Int) = {
+    import scala.jdk.CollectionConverters._
+    val keys = r.select(col(key).as("k")).distinct().collect().map(_.get(0))
+    require(keys.length <= DenseDimLimit,
+      s"dense build needs <= $DenseDimLimit distinct $key values, " +
+        s"got ${keys.length}; use strategy=join")
+    val idxRows = keys.sortBy(_.toString).zipWithIndex
+      .map { case (k, i) => org.apache.spark.sql.Row(k, i) }.toSeq.asJava
+    val idx = r.sparkSession.createDataFrame(idxRows,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", r.schema(key).dataType),
+        org.apache.spark.sql.types.StructField("ki",
+          org.apache.spark.sql.types.IntegerType, nullable = false))))
+    (idx, keys.length)
+  }
+
   /** Bounded-dimension dense build: per-entity zero-filled vector over the
     * co-rating index (native scatter expression), pairwise dot in whole-stage
     * codegen. Semantics identical to the join path, including the sign
@@ -166,10 +189,7 @@ object Similarity {
   private def densePairs(r: DataFrame, joinKey: String, pairKey: String,
       rating: String, out1: String, out2: String,
       pearsonMode: Boolean): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val idx = r.select(col(joinKey).as("k")).distinct()
-      .withColumn("ki", (row_number().over(Window.orderBy("k")) - 1).cast("int"))
-    val dims = idx.count().toInt
+    val (idx, dims) = denseIndex(r, joinKey)
     val base =
       if (!pearsonMode)
         r.select(col(pairKey).as("p"), col(joinKey).as("jk"),
@@ -180,10 +200,17 @@ object Similarity {
           .select(col(pairKey).as("p"), col(joinKey).as("jk"),
             (col(rating) - col("mean")).cast("double").as("rv"))
       }
+    // localCheckpoint: the pair join references vecs from BOTH branches, and
+    // alias-divergent branches defeat exchange reuse — without materialization
+    // the whole scan → index join → vector aggregation pipeline executes
+    // twice. The frame is bounded (≤ DenseEntityLimit rows × dims doubles),
+    // so materializing it once in executor storage is the cheap side of the
+    // trade at any scale where the dense path is valid.
     val vecs = base.join(broadcast(idx), col("jk") === col("k"))
       .groupBy("p")
       .agg(VectorFns.denseVecAgg(col("ki"), col("rv"), dims).as("vec"))
       .withColumn("nrm", sqrt(VectorFns.dotNative(col("vec"), col("vec"))))
+      .localCheckpoint()
     val a = vecs.select(col("p").as("p1"), col("vec").as("v1"), col("nrm").as("n1"))
     val bb = vecs.select(col("p").as("p2"), col("vec").as("v2"), col("nrm").as("n2"))
     val dot = VectorFns.dotNative(col("v1"), col("v2"))
