@@ -27,6 +27,58 @@ object Profile {
       case s if s.startsWith("usercf:") => userCfStrategy(spark, sfDir, reps, s)
       case s if s.startsWith("model:") => modelStrategy(spark, sfDir, reps, s)
       case "modelstages" => modelStages(spark, sfDir, reps)
+      case "lshstages" =>
+        import org.apache.spark.sql.functions._
+        import graft.ops.Dedup
+        import graft.functions.TextFns
+        val docsDf = Tables.read(spark, sfDir, "documents")
+        def t(label: String)(body: => Long): Unit = {
+          val times = (1 to reps).map { _ =>
+            val t0 = System.nanoTime(); val n = body
+            ((System.nanoTime() - t0) / 1e9, n)
+          }
+          println(f"PROFILE lsh:$label rows=${times.head._2} " +
+            times.map(x => f"${x._1}%.2f").mkString(" "))
+        }
+        val docs = docsDf.select(col("doc_id").as("id"),
+          TextFns.charShinglesNative(col("text"), 5).as("grams"))
+        t("grams_size")(docs.select(sum(size(col("grams")))).head().getLong(0))
+        val wdocs = docsDf.select(col("doc_id").as("id"), col("text"))
+          .repartition(32, col("id"))
+          .select(col("id"), TextFns.charShinglesNative(col("text"), 5).as("grams"))
+        t("grams_wide")(wdocs.select(sum(size(col("grams")))).head().getLong(0))
+        t("sigs")(Dedup.minhashSignatures(wdocs, "id", "grams", 64).count())
+        val ex = wdocs.select(col("id"), explode(col("grams")).as("g"))
+        t("explode_hash")(ex.select(col("id"),
+          pmod(hash(col("g")).cast("long"), lit(2147483647L)).as("h"))
+          .agg(count(lit(1))).head().getLong(0))
+        t("explode_hashed_arr")(wdocs.select(col("id"),
+          explode(expr("transform(grams, g -> hash(g))")).as("h"))
+          .agg(count(lit(1))).head().getLong(0))
+        t("explode_noproj")(docsDf.select(col("doc_id").as("id"), col("text"))
+          .repartition(32, col("id"))
+          .select(col("id"),
+            explode(TextFns.charShinglesNative(col("text"), 5)).as("g"))
+          .agg(count(lit(1))).head().getLong(0))
+        t("sigs_inline") {
+          val base = docsDf.select(col("doc_id").as("id"), col("text"))
+            .repartition(32, col("id"))
+            .select(col("id"),
+              explode(TextFns.charShinglesNative(col("text"), 5)).as("g"))
+            .select(col("id"),
+              pmod(hash(col("g")).cast("long"), lit(2147483647L)).as("h"))
+          val mins = (0 until 64).map(i =>
+            min(pmod(lit(3 + 2 * i) * col("h") + lit(7 * i), lit(2147483647L))).as(s"m$i"))
+          base.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+            .select(col("id"), array((0 until 64).map(i => col(s"m$i")): _*).as("sig"))
+            .count()
+        }
+        val ck = wdocs.localCheckpoint()
+        t("explode_from_ck")(ck.select(col("id"), explode(col("grams")).as("g"))
+          .agg(count(lit(1))).head().getLong(0))
+        t("agg64_from_ck")(Dedup.minhashSignatures(ck, "id", "grams", 64).count())
+        t("agg8_from_ck")(Dedup.minhashSignatures(ck, "id", "grams", 8).count())
+        t("full")(Dedup.charMinhashLshPairs(docsDf, "doc_id", "text", 5, 64, 16, 0.8).count())
       case "modelplan" =>
         import graft.recdb.Similarity
         val r = Tables.ratings(spark, sfDir).cache()

@@ -235,6 +235,29 @@ object RelQueries {
                |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                |  count(*) AS n
                |FROM events GROUP BY event_type""".stripMargin),
+    // Explicit GROUPING SETS (the general form behind ROLLUP/CUBE; PG 9.2
+    // predates it but SetOp-composed reports are the same shape).
+    "q_grouping_sets" -> q(
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |  round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin),
+    // Set-returning function in FROM (PG 9.2 FunctionScan / LATERAL shape,
+    // nodeFunctionscan.c) — Spark's generator path (Generate/explode).
+    "q_explode" -> Q(
+      spark = """SELECT word, count(*) AS n
+                |FROM documents
+                |LATERAL VIEW explode(split(text, ' ')) t AS word
+                |WHERE length(word) >= 3
+                |GROUP BY word
+                |ORDER BY n DESC, word
+                |LIMIT 20""".stripMargin,
+      duck = """SELECT word, count(*) AS n
+               |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+               |WHERE length(word) >= 3
+               |GROUP BY word
+               |ORDER BY n DESC, word
+               |LIMIT 20""".stripMargin),
     // Pivot as conditional aggregation (the portable PIVOT form).
     "q_pivot_case" -> q(
       """SELECT o_orderpriority,

@@ -29,6 +29,20 @@ import graft.functions.TextFns
   */
 object Dedup {
 
+  /** Heavy per-document compute (shingling, minhashing, signature builds)
+    * must not inherit the scan's partition count: a compressed text corpus
+    * often arrives as fewer splits than cores (one, at bench scale), which
+    * serializes the whole pre-shuffle map stage. When the input has fewer
+    * partitions than the cluster's parallelism, hash-repartition on the doc
+    * id (hash, not round-robin — round-robin inserts a full-row local sort
+    * for deterministic retries). No-op at real scale, where splits ≫ cores.
+    */
+  private[ops] def widen(df: DataFrame, byCol: String): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target, col(byCol))
+    else df
+  }
+
   /** Exact dedup: one representative (min id) + multiplicity per key group.
     * Grouping by the raw key shuffles the full key bytes — fine for bounded
     * keys; for document-scale text use [[exactByHash]].
@@ -65,9 +79,14 @@ object Dedup {
   /** Exact n-gram Jaccard near-dup pairs: (id1, id2, jaccard ≥ threshold). */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
       threshold: Double, maxShingleDocs: Option[Int] = None): DataFrame = {
-    val docs = df.select(col(idCol).as("id"),
-      TextFns.wordShinglesNative(col(textCol), n).as("grams"))
-    val ex0 = docs.select(col("id"), explode(col("grams")).as("g"))
+    // widen BEFORE the shingle work (a projection below the exchange would
+    // still evaluate on the scan's — possibly single — partitions), and keep
+    // the shingle expression INLINE in the explode select: exploding a
+    // named array column drags the whole array through the Generate output
+    // row-by-row (measured 10× on this corpus).
+    val docs = widen(df.select(col(idCol).as("id"), col(textCol).as("__t")), "id")
+    val gramsExpr = TextFns.wordShinglesNative(col("__t"), n)
+    val ex0 = docs.select(col("id"), explode(gramsExpr).as("g"))
     val ex = maxShingleDocs match {
       case Some(f) =>
         val hot = ex0.groupBy("g").agg(count(lit(1)).as("df")).where(col("df") > f)
@@ -78,7 +97,7 @@ object Dedup {
       .join(ex.select(col("g"), col("id").as("id2")), Seq("g"))
       .where(col("id1") < col("id2"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("n_inter"))
-    val sizes = docs.select(col("id"), size(col("grams")).as("sz"))
+    val sizes = docs.select(col("id"), size(gramsExpr).as("sz"))
     inter
       .join(sizes.select(col("id").as("id1"), col("sz").as("sz1")), "id1")
       .join(sizes.select(col("id").as("id2"), col("sz").as("sz2")), "id2")
@@ -103,23 +122,27 @@ object Dedup {
     */
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame =
-    jaccardPrefixFromGrams(df.select(col(idCol).as("id"),
-      TextFns.wordShinglesNative(col(textCol), n).as("grams")), threshold)
+    jaccardPrefixImpl(
+      widen(df.select(col(idCol).as("id"), col(textCol).as("__t")), "id"),
+      TextFns.wordShinglesNative(col("__t"), n), threshold)
 
   /** Character-shingle variant — the near-dup shape for text without
     * reliable tokenization (CJK, code); same prefix-filter machinery.
     */
   def charJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame =
-    jaccardPrefixFromGrams(df.select(col(idCol).as("id"),
-      TextFns.charShinglesNative(col(textCol), n).as("grams")), threshold)
+    jaccardPrefixImpl(
+      widen(df.select(col(idCol).as("id"), col(textCol).as("__t")), "id"),
+      TextFns.charShinglesNative(col("__t"), n), threshold)
 
-  private def jaccardPrefixFromGrams(gramsDf: DataFrame,
+  /** `wdocs` is the widened (id, __t) frame; `gramsExpr` the shingle
+    * expression over __t, kept inline in every explode (see [[jaccardPairs]]
+    * on why a named array column is poison for Generate).
+    */
+  private def jaccardPrefixImpl(wdocs: DataFrame, gramsExpr: Column,
       threshold: Double): DataFrame = {
-    val docs = gramsDf
-      .withColumn("sz", size(col("grams")))
-      .where(col("sz") > 0)
-    val ex = docs.select(col("id"), col("sz"), explode(col("grams")).as("g"))
+    val ex = wdocs
+      .select(col("id"), size(gramsExpr).as("sz"), explode(gramsExpr).as("g"))
     val dfreq = ex.groupBy("g").agg(count(lit(1)).as("gdf"))
     // rank shingles rarest-first within each doc; epsilon guards a float
     // ceil overshoot (shorter prefix = unsafe; longer = just slower)
@@ -136,8 +159,15 @@ object Dedup {
         ceil(lit(threshold) * greatest(col("sz1"), col("sz2")) - lit(1e-9)) <=
           least(col("sz1"), col("sz2")))
       .select("id1", "id2").distinct()
-    val g1 = docs.select(col("id").as("id1"), col("grams").as("g1"))
-    val g2 = docs.select(col("id").as("id2"), col("grams").as("g2"))
+      .localCheckpoint() // read 3×: both candIds branches + the verify join
+    // exact verify only touches candidate docs: semi-join first, then
+    // re-evaluate the shingle sets for that (structurally small) universe
+    val candIds = cands.select(col("id1").as("id"))
+      .unionAll(cands.select(col("id2").as("id"))).distinct()
+    val vdocs = wdocs.join(candIds, Seq("id"), "semi")
+      .select(col("id"), gramsExpr.as("grams"))
+    val g1 = vdocs.select(col("id").as("id1"), col("grams").as("g1"))
+    val g2 = vdocs.select(col("id").as("id2"), col("grams").as("g2"))
     cands.join(g1, "id1").join(g2, "id2")
       .select(col("id1"), col("id2"),
         (size(array_intersect(col("g1"), col("g2"))).cast("double") /
@@ -201,8 +231,10 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       nGram: Int = 3, numPerm: Int = 64, bands: Int = 16,
       threshold: Double = 0.5, seed: Long = 42L): DataFrame =
-    minhashLshFromGrams(df.select(col(idCol).as("id"),
-      TextFns.wordShinglesNative(col(textCol), nGram).as("grams")),
+    minhashLshFromGrams(
+      widen(df.select(col(idCol).as("id"), col(textCol).as("__t")), "id")
+        .select(col("id"),
+          TextFns.wordShinglesNative(col("__t"), nGram).as("grams")),
       numPerm, bands, threshold, seed)
 
   /** Character-shingle LSH — the scale path for tokenization-free near-dup.
@@ -214,15 +246,23 @@ object Dedup {
   def charMinhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       nGram: Int = 5, numPerm: Int = 64, bands: Int = 16,
       threshold: Double = 0.8, seed: Long = 42L): DataFrame =
-    minhashLshFromGrams(df.select(col(idCol).as("id"),
-      TextFns.charShinglesNative(col(textCol), nGram).as("grams")),
+    minhashLshFromGrams(
+      widen(df.select(col(idCol).as("id"), col(textCol).as("__t")), "id")
+        .select(col("id"),
+          TextFns.charShinglesNative(col("__t"), nGram).as("grams")),
       numPerm, bands, threshold, seed)
 
   private def minhashLshFromGrams(docs: DataFrame, numPerm: Int, bands: Int,
       threshold: Double, seed: Long, estMargin: Double = 0.2): DataFrame = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
     val r = numPerm / bands
+    // The signature frame is read by three branches (band explode + both
+    // sides of the signature screen); without materialization each branch
+    // re-runs the shingle explode + numPerm-way min aggregation — the
+    // pipeline's dominant cost. One row of numPerm longs per doc, so the
+    // checkpoint is tiny relative to the corpus it summarizes.
     val sigs = minhashSignatures(docs, "id", "grams", numPerm, seed)
+      .localCheckpoint()
     val banded = sigs.select(col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(b, slice(col("sig"), b * r + 1, lit(r))))).as("bkey"))
@@ -244,8 +284,15 @@ object Dedup {
       .join(sigs.select(col("id").as("id2"), col("sig").as("sig2")), "id2")
       .where(graft.functions.VectorFns.matchCount(col("sig1"), col("sig2")) >= estMin)
       .select("id1", "id2")
-    val g1 = docs.select(col("id").as("id1"), col("grams").as("g1"))
-    val g2 = docs.select(col("id").as("id2"), col("grams").as("g2"))
+      .localCheckpoint() // read 3×: both candIds branches + the verify join
+    // Exact verify touches only candidate docs — semi-join the id set first
+    // so the shingle arrays are re-evaluated for the (structurally small)
+    // candidate universe, not the whole corpus.
+    val candIds = screened.select(col("id1").as("id"))
+      .unionAll(screened.select(col("id2").as("id"))).distinct()
+    val vdocs = docs.join(candIds, Seq("id"), "semi")
+    val g1 = vdocs.select(col("id").as("id1"), col("grams").as("g1"))
+    val g2 = vdocs.select(col("id").as("id2"), col("grams").as("g2"))
     screened.join(g1, "id1").join(g2, "id2")
       .select(col("id1"), col("id2"),
         (size(array_intersect(col("g1"), col("g2"))).cast("double") /
@@ -392,8 +439,8 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"),
-      TextFns.simhashNative(col(textCol)).as("sim"))
+    val sigs = widen(df.select(col(idCol).as("id"), col(textCol).as("__t")), "id")
+      .select(col("id"), TextFns.simhashNative(col("__t")).as("sim"))
     val blocks = sigs.select(col("id"), col("sim"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("blk"),

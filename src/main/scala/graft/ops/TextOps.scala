@@ -149,8 +149,9 @@ object TfIdf {
     */
   def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val n = docs.count()
-    val terms = docs.select(col(idCol).as("id"),
-      explode(TextOps.tokens(col(textCol))).as("term"))
+    val terms = Dedup.widen(docs.select(col(idCol).as("id"),
+      col(textCol).as("__text")), "id")
+      .select(col("id"), explode(TextOps.tokens(col("__text"))).as("term"))
     val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(df, "term")
