@@ -153,13 +153,14 @@ object Dedup {
       .withColumn("__rk", row_number().over(w))
       .where(col("__rk") <= prefixLen)
       .select(col("g"), col("id"), col("sz"))
-    val cands = pref.select(col("g"), col("id").as("id1"), col("sz").as("sz1"))
-      .join(pref.select(col("g"), col("id").as("id2"), col("sz").as("sz2")), Seq("g"))
-      .where(col("id1") < col("id2") &&
-        ceil(lit(threshold) * greatest(col("sz1"), col("sz2")) - lit(1e-9)) <=
-          least(col("sz1"), col("sz2")))
-      .select("id1", "id2").distinct()
-      .localCheckpoint() // read 3×: both candIds branches + the verify join
+    // materialized — read 3×: both candIds branches + the verify join
+    val cands = graft.Exec.materialize(
+      pref.select(col("g"), col("id").as("id1"), col("sz").as("sz1"))
+        .join(pref.select(col("g"), col("id").as("id2"), col("sz").as("sz2")), Seq("g"))
+        .where(col("id1") < col("id2") &&
+          ceil(lit(threshold) * greatest(col("sz1"), col("sz2")) - lit(1e-9)) <=
+            least(col("sz1"), col("sz2")))
+        .select("id1", "id2").distinct())
     // exact verify only touches candidate docs: semi-join first, then
     // re-evaluate the shingle sets for that (structurally small) universe
     val candIds = cands.select(col("id1").as("id"))
@@ -260,9 +261,9 @@ object Dedup {
     // sides of the signature screen); without materialization each branch
     // re-runs the shingle explode + numPerm-way min aggregation — the
     // pipeline's dominant cost. One row of numPerm longs per doc, so the
-    // checkpoint is tiny relative to the corpus it summarizes.
-    val sigs = minhashSignatures(docs, "id", "grams", numPerm, seed)
-      .localCheckpoint()
+    // materialized frame is tiny relative to the corpus it summarizes.
+    val sigs = graft.Exec.materialize(
+      minhashSignatures(docs, "id", "grams", numPerm, seed))
     val banded = sigs.select(col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(b, slice(col("sig"), b * r + 1, lit(r))))).as("bkey"))
@@ -279,12 +280,12 @@ object Dedup {
     // near-duplicates instead of every band collision — on a low-entropy
     // corpus band collisions from mid-jaccard pairs dominate otherwise.
     val estMin = math.max(0.0, math.ceil((threshold - estMargin) * numPerm)).toInt
-    val screened = cands
+    // materialized — read 3×: both candIds branches + the verify join
+    val screened = graft.Exec.materialize(cands
       .join(sigs.select(col("id").as("id1"), col("sig").as("sig1")), "id1")
       .join(sigs.select(col("id").as("id2"), col("sig").as("sig2")), "id2")
       .where(graft.functions.VectorFns.matchCount(col("sig1"), col("sig2")) >= estMin)
-      .select("id1", "id2")
-      .localCheckpoint() // read 3×: both candIds branches + the verify join
+      .select("id1", "id2"))
     // Exact verify touches only candidate docs — semi-join the id set first
     // so the shingle arrays are re-evaluated for the (structurally small)
     // candidate universe, not the whole corpus.
@@ -310,15 +311,20 @@ object Dedup {
     * list fits comfortably on the driver ([[LocalCcEdgeLimit]]) the
     * components are solved in one collect with path-compressed union-find —
     * an iterative dataflow loop over a few thousand edges is pure job-
-    * scheduling overhead. Above the limit: iterated min-label propagation —
-    * each round joins every node's current label to its neighbors' labels
-    * and keeps the minimum; converges in O(diameter) rounds (near-dup
-    * components are star/clique-like, so a handful), one shuffle join + one
-    * aggregation per round, AQE sizing the joins; `maxIter` bounds runaway
-    * graphs, and convergence is checked with a cheap aggregate.
+    * scheduling overhead. Above the limit: iterated min-label propagation
+    * with pointer jumping — each round (a) every node adopts the min of its
+    * own and its neighbors' labels, then (b) re-reads its (new) label's label
+    * (path halving), so label chains collapse in O(log diameter) rounds
+    * instead of O(diameter); one shuffle join + one aggregation + one label
+    * self-join per round, AQE sizing the joins. Convergence = zero rows
+    * changed labels this round — counted on the round's output frame, so the
+    * check is type-agnostic (works for string/any orderable key, unlike a
+    * numeric label-sum). If `maxIter` rounds pass without convergence the
+    * call THROWS rather than returning partially-propagated groups: silent
+    * wrong output from a correctness-gated operator is never acceptable.
     */
   def connectedComponents(pairs: DataFrame, id1: String = "id1",
-      id2: String = "id2", maxIter: Int = 20): DataFrame = {
+      id2: String = "id2", maxIter: Int = 25): DataFrame = {
     val keyType = pairs.schema(id1).dataType
     val localOrd: Option[Ordering[Any]] = keyType match {
       case org.apache.spark.sql.types.LongType |
@@ -344,29 +350,44 @@ object Dedup {
       .distinct()
       .select(col("node"), col("node").as("rep"))
       .cache()
-    // labels only ever decrease, so Σ rep strictly decreases until the
-    // fixpoint — a single aggregate per round detects convergence without a
-    // change-detection join
-    var prevSum = labels.agg(sum(col("rep").cast("decimal(38,0)"))).head().getDecimal(0)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // each node adopts the min of its own label and its neighbors' labels
-      val next = edges
-        .join(labels.withColumnRenamed("node", "b").withColumnRenamed("rep", "nbrRep"), Seq("b"))
+      // (a) each node adopts the min of its own label and its neighbors'
+      val prop = edges
+        .join(labels.select(col("node").as("b"), col("rep").as("nbrRep")), Seq("b"))
         .groupBy(col("a").as("node"))
         .agg(min(col("nbrRep")).as("nbrMin"))
         .join(labels, Seq("node"))
-        .select(col("node"), least(col("rep"), col("nbrMin")).as("rep"))
+        .select(col("node"), least(col("rep"), col("nbrMin")).as("rep"),
+          (col("nbrMin") < col("rep")).as("__chg"))
         .cache()
-      val curSum = next.agg(sum(col("rep").cast("decimal(38,0)"))).head().getDecimal(0)
+      // (b) pointer jump: rep ← rep's label. Every rep value IS a node of
+      // the graph (labels start as the node itself and only ever adopt other
+      // nodes' labels), so the left join never misses; coalesce is belt and
+      // braces.
+      val jump = prop.select(col("node").as("rep"), col("rep").as("rep2"))
+      val next = prop.join(jump, Seq("rep"), "left")
+        .select(col("node"),
+          coalesce(col("rep2"), col("rep")).as("rep"),
+          (col("__chg") ||
+            coalesce(col("rep2"), col("rep")) =!= col("rep")).as("__chg"))
+        .cache()
+      // one count materializes the round AND detects convergence — no label
+      // arithmetic, so any orderable key type (long, string, …) works
+      val changed = next.where(col("__chg")).count()
       labels.unpersist()
-      labels = next
-      converged = curSum == prevSum
-      prevSum = curSum
+      prop.unpersist()
+      labels = next.select("node", "rep")
+      converged = changed == 0L
       iter += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds; " +
+          "with pointer jumping this needs diameter > 2^" + maxIter +
+          " — raise maxIter or inspect the edge list for pathological input")
     labels
   }
 

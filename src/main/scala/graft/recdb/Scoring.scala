@@ -47,7 +47,7 @@ object Scoring {
       c: EventCols = EventCols(), users: Option[DataFrame] = None,
       strategy: String = "auto"): DataFrame = {
     val uRatings = restrict(ratings, users, c)
-    if (pickDense(ratings, uRatings, itemModel, c.item, strategy))
+    if (pickDense(ratings, uRatings, itemModel, c.item, c.item, strategy))
       return itemCFDense(ratings, itemModel, c, users)
     val sym = symmetric(itemModel, "item1", "item2")
     val scores = sym
@@ -61,6 +61,16 @@ object Scoring {
         coalesce(col("score"), lit(0.0)).as("score"))
   }
 
+  /** Hard ceiling on the dense sweep's broadcast payload, in vector CELLS
+    * (broadcast rows × vector width). Both dense sweeps broadcast one
+    * dims-wide vector pair per ITEM (itemCF: per-item similarity columns over
+    * the item index; userCF: per-item rating vectors over the user index), so
+    * the payload is ≈ items × dims × 8 B × 2 — bounding only the width would
+    * let an unbounded item count push the broadcast to TBs. 2²⁴ cells ≈
+    * 270 MB of broadcast vectors, comfortably inside executor memory.
+    */
+  private val DenseBroadcastCells = 1L << 24
+
   /** Strategy pick for the dense scoring sweep. The sparse path's cost is
     * the sym-model × ratings join fan-out, estimated as
     * 2·|model|·(|uRatings| / dim-cardinality) where uRatings is the events
@@ -70,22 +80,30 @@ object Scoring {
     * shrink, so the filter must enter the estimate (and the memo key: the
     * filtered and unfiltered sweeps genuinely want different strategies).
     * The vector width is the model's key side (items for itemCF, users for
-    * userCF) and must be bounded; the sweep's output is the user×item
-    * expansion either way.
+    * userCF) and must be bounded; the broadcast side is one vector pair per
+    * item and is bounded too ([[DenseBroadcastCells]] and
+    * [[Similarity.DenseEntityLimit]], mirroring the model build's check);
+    * the sweep's output is the user×item expansion either way.
     */
   private def pickDense(ratings: DataFrame, uRatings: DataFrame,
-      model: DataFrame, dimKey: String, strategy: String): Boolean =
+      model: DataFrame, dimKey: String, itemKey: String,
+      strategy: String): Boolean =
     strategy match {
     case "dense" => true
     case "join" => false
     case "auto" =>
-      val key = (ratings.queryExecution.analyzed.canonicalized.hashCode() * 41 +
-        model.queryExecution.analyzed.canonicalized.hashCode() * 7 +
-        uRatings.queryExecution.analyzed.canonicalized.hashCode(),
+      val key = (ratings.queryExecution.analyzed.canonicalized,
+        model.queryExecution.analyzed.canonicalized,
+        uRatings.queryExecution.analyzed.canonicalized,
         s"score|$dimKey")
       Similarity.memoized(key) {
-        val dims = ratings.agg(countDistinct(col(dimKey))).head().getLong(0)
-        if (dims > Similarity.DenseDimLimit || dims == 0L) false
+        val row = ratings.agg(countDistinct(col(dimKey)).as("dims"),
+          countDistinct(col(itemKey)).as("items")).head()
+        val dims = row.getLong(0)
+        val items = row.getLong(1)
+        if (dims > Similarity.DenseDimLimit || dims == 0L ||
+            items > Similarity.DenseEntityLimit ||
+            dims * items > DenseBroadcastCells) false
         else {
           val est = 2.0 * model.count() * (uRatings.count().toDouble / dims)
           est > Similarity.DenseFanoutThreshold
@@ -141,7 +159,7 @@ object Scoring {
       c: EventCols = EventCols(), users: Option[DataFrame] = None,
       strategy: String = "auto"): DataFrame = {
     val uRatings = restrict(ratings, users, c)
-    if (pickDense(ratings, uRatings, userModel, c.user, strategy))
+    if (pickDense(ratings, uRatings, userModel, c.user, c.item, strategy))
       return userCFDense(ratings, userModel, c, users)
     val uavg = uRatings.groupBy(col(c.user).as("u"))
       .agg(avg(col(c.rating)).as("ubar"))

@@ -94,13 +94,37 @@ object Similarity {
 
   /** Strategy decisions are planning-time metadata: memoized per canonical
     * input plan so repeated builds over the same (cached or not) frame don't
-    * re-run the stats jobs. Bounded: entries are tiny and keyed by plan.
+    * re-run the stats jobs. Keys hold the FULL canonicalized plans (equality
+    * via Catalyst's structural TreeNode equality — the same contract
+    * `sameResult` uses), so a hashCode collision can never silently reuse
+    * another plan's decision. The map is a small access-ordered LRU: entries
+    * can't accumulate unboundedly in a long-lived session. Decisions are
+    * still plan-keyed, not data-keyed — after rewriting the files under the
+    * same path call [[clearStrategyCache]] (a stale pick is a perf issue,
+    * never a correctness one: both strategies compute identical results).
     */
-  private[recdb] val strategyMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), Boolean]()
+  private[recdb] val strategyMemo: java.util.Map[AnyRef, java.lang.Boolean] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[AnyRef, java.lang.Boolean](32, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[AnyRef, java.lang.Boolean]): Boolean =
+          size() > 64
+      })
 
-  private[recdb] def memoized(key: (Int, String))(decide: => Boolean): Boolean =
-    strategyMemo.computeIfAbsent(key, _ => decide)
+  private[recdb] def memoized(key: AnyRef)(decide: => Boolean): Boolean = {
+    val hit = strategyMemo.get(key)
+    if (hit != null) hit.booleanValue()
+    else {
+      val v = decide
+      strategyMemo.put(key, java.lang.Boolean.valueOf(v))
+      v
+    }
+  }
+
+  /** Drop all memoized strategy decisions — call after the data under an
+    * input path changes so 'auto' re-measures.
+    */
+  def clearStrategyCache(): Unit = strategyMemo.clear()
 
   def itemCosine(ratings: DataFrame, c: EventCols = EventCols(),
       strategy: String = "auto"): DataFrame =
@@ -140,7 +164,7 @@ object Similarity {
       case "dense" => true
       case "join" => false
       case "auto" =>
-        val key = (r.queryExecution.analyzed.canonicalized.hashCode(),
+        val key = (r.queryExecution.analyzed.canonicalized,
           s"model|$joinKey|$pairKey")
         memoized(key) {
           // one stats job: sparse-join fan-out + the vector dimension
@@ -200,17 +224,17 @@ object Similarity {
           .select(col(pairKey).as("p"), col(joinKey).as("jk"),
             (col(rating) - col("mean")).cast("double").as("rv"))
       }
-    // localCheckpoint: the pair join references vecs from BOTH branches, and
+    // materialized: the pair join references vecs from BOTH branches, and
     // alias-divergent branches defeat exchange reuse — without materialization
     // the whole scan → index join → vector aggregation pipeline executes
     // twice. The frame is bounded (≤ DenseEntityLimit rows × dims doubles),
-    // so materializing it once in executor storage is the cheap side of the
+    // so persisting it once in executor storage is the cheap side of the
     // trade at any scale where the dense path is valid.
-    val vecs = base.join(broadcast(idx), col("jk") === col("k"))
-      .groupBy("p")
-      .agg(VectorFns.denseVecAgg(col("ki"), col("rv"), dims).as("vec"))
-      .withColumn("nrm", sqrt(VectorFns.dotNative(col("vec"), col("vec"))))
-      .localCheckpoint()
+    val vecs = graft.Exec.materialize(
+      base.join(broadcast(idx), col("jk") === col("k"))
+        .groupBy("p")
+        .agg(VectorFns.denseVecAgg(col("ki"), col("rv"), dims).as("vec"))
+        .withColumn("nrm", sqrt(VectorFns.dotNative(col("vec"), col("vec")))))
     val a = vecs.select(col("p").as("p1"), col("vec").as("v1"), col("nrm").as("n1"))
     val bb = vecs.select(col("p").as("p2"), col("vec").as("v2"), col("nrm").as("n2"))
     val dot = VectorFns.dotNative(col("v1"), col("v2"))
