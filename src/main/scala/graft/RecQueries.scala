@@ -18,15 +18,19 @@ object RecQueries {
   private def round6(df: DataFrame, cols: Seq[String], value: String): DataFrame =
     df.select((cols.map(col) :+ round(col(value), 6).as(value)): _*)
 
+  // Model queries cache the model frame: scoring/top-k queries over the same
+  // session build the identical canonical plan, so whichever runs first
+  // materializes the model ONCE and everyone else reads the InMemoryRelation
+  // — the session-scale analog of the reference's materialized recommenders.
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r_itemcos_model" -> ((s, d) =>
-      round6(Similarity.itemCosine(ratings(s, d), c), Seq("item1", "item2"), "similarity")),
+      round6(Similarity.itemCosine(ratings(s, d), c).cache(), Seq("item1", "item2"), "similarity")),
     "r_itempear_model" -> ((s, d) =>
-      round6(Similarity.itemPearson(ratings(s, d), c), Seq("item1", "item2"), "similarity")),
+      round6(Similarity.itemPearson(ratings(s, d), c).cache(), Seq("item1", "item2"), "similarity")),
     "r_usercos_model" -> ((s, d) =>
-      round6(Similarity.userCosine(ratings(s, d), c), Seq("user1", "user2"), "similarity")),
+      round6(Similarity.userCosine(ratings(s, d), c).cache(), Seq("user1", "user2"), "similarity")),
     "r_userpear_model" -> ((s, d) =>
-      round6(Similarity.userPearson(ratings(s, d), c), Seq("user1", "user2"), "similarity")),
+      round6(Similarity.userPearson(ratings(s, d), c).cache(), Seq("user1", "user2"), "similarity")),
     "r_itemcf_scores" -> ((s, d) => {
       val r = ratings(s, d)
       round6(Scoring.itemCF(r, Similarity.itemCosine(r, c).cache(), c),

@@ -47,7 +47,7 @@ object Scoring {
       c: EventCols = EventCols(), users: Option[DataFrame] = None,
       strategy: String = "auto"): DataFrame = {
     val uRatings = restrict(ratings, users, c)
-    if (pickDense(ratings, uRatings, itemModel, c.item, c.item, strategy))
+    if (pickDense(ratings, uRatings, itemModel, c.item, c, strategy))
       return itemCFDense(ratings, itemModel, c, users)
     val sym = symmetric(itemModel, "item1", "item2")
     val scores = sym
@@ -71,22 +71,30 @@ object Scoring {
     */
   private val DenseBroadcastCells = 1L << 24
 
-  /** Strategy pick for the dense scoring sweep. The sparse path's cost is
-    * the sym-model × ratings join fan-out, estimated as
+  /** Strategy pick for the dense scoring sweep — the same cost model as the
+    * model build's pick ([[Similarity.DenseJoinCostRatio]]), adapted to the
+    * sweep's shapes.
+    *
+    * Sparse cost: the sym-model × ratings join fan-out, estimated as
     * 2·|model|·(|uRatings| / dim-cardinality) where uRatings is the events
     * frame AFTER the user-qual pre-filter — a selective RECOMMEND-style
     * single-user query shrinks the join fan-out proportionally while the
     * dense path's fixed costs (per-item vectors over ALL raters) do not
     * shrink, so the filter must enter the estimate (and the memo key: the
     * filtered and unfiltered sweeps genuinely want different strategies).
-    * The vector width is the model's key side (items for itemCF, users for
-    * userCF) and must be bounded; the broadcast side is one vector pair per
-    * item and is bounded too ([[DenseBroadcastCells]] and
-    * [[Similarity.DenseEntityLimit]], mirroring the model build's check);
-    * the sweep's output is the user×item expansion either way.
+    *
+    * Dense cost: scoredUsers × items × dims codegen cells (the BNLJ dot
+    * products), discounted by the measured cell/row cost ratio, plus
+    * |ratings| rows for the vector builds over the full events table.
+    *
+    * Bounds: the vector width (model key side — items for itemCF, users for
+    * userCF) must fit [[Similarity.DenseDimLimit]]; the broadcast side is
+    * one vector pair per item and is bounded by
+    * [[Similarity.DenseEntityLimit]] and [[DenseBroadcastCells]], mirroring
+    * the model build's check.
     */
   private def pickDense(ratings: DataFrame, uRatings: DataFrame,
-      model: DataFrame, dimKey: String, itemKey: String,
+      model: DataFrame, dimKey: String, c: EventCols,
       strategy: String): Boolean =
     strategy match {
     case "dense" => true
@@ -98,15 +106,20 @@ object Scoring {
         s"score|$dimKey")
       Similarity.memoized(key) {
         val row = ratings.agg(countDistinct(col(dimKey)).as("dims"),
-          countDistinct(col(itemKey)).as("items")).head()
+          countDistinct(col(c.item)).as("items"),
+          count(lit(1)).as("n")).head()
         val dims = row.getLong(0)
         val items = row.getLong(1)
+        val n = row.getLong(2)
         if (dims > Similarity.DenseDimLimit || dims == 0L ||
             items > Similarity.DenseEntityLimit ||
             dims * items > DenseBroadcastCells) false
         else {
-          val est = 2.0 * model.count() * (uRatings.count().toDouble / dims)
-          est > Similarity.DenseFanoutThreshold
+          val scoredUsers = uRatings.select(col(c.user)).distinct().count()
+          val estJoinRows = 2.0 * model.count() * (uRatings.count().toDouble / dims)
+          val denseRowEquiv = scoredUsers.toDouble * items * dims /
+            Similarity.DenseJoinCostRatio + n
+          denseRowEquiv < estJoinRows
         }
       }
     case other => throw new IllegalArgumentException(
@@ -159,7 +172,7 @@ object Scoring {
       c: EventCols = EventCols(), users: Option[DataFrame] = None,
       strategy: String = "auto"): DataFrame = {
     val uRatings = restrict(ratings, users, c)
-    if (pickDense(ratings, uRatings, userModel, c.user, c.item, strategy))
+    if (pickDense(ratings, uRatings, userModel, c.user, c, strategy))
       return userCFDense(ratings, userModel, c, users)
     val uavg = uRatings.groupBy(col(c.user).as("u"))
       .agg(avg(col(c.rating)).as("ubar"))

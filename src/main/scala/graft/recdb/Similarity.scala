@@ -81,16 +81,18 @@ object Similarity {
   val DenseDimLimit = 16384
   val DenseEntityLimit = 16384
 
-  /** Sparse-join pair fan-out (Σ over co-rating keys of multiplicity²) above
-    * which the dense path wins. Measured crossover on local[32] at sf0.1:
-    * with the direct [[graft.functions.DenseVectorAgg]] vector build (no
-    * collect_list detour) the dense path beats the join at fan-out ≈ 2.2e8
-    * both cold (4.3s vs 18.6s) and steady-state (3.5s vs 4.6s); at ≈ 1.5e7
-    * (the item side of the same data) the join path's map-side partial
-    * aggregation keeps the shuffle trivial and dense fixed costs lose. The
-    * threshold sits between the two measured regimes.
+  /** Relative cost of pushing one co-rating pair row through the sparse
+    * join's shuffle + hash aggregation versus one fused multiply-add cell in
+    * the dense pair loop's whole-stage codegen. Measured on local[32] at
+    * sf0.1 (73k ratings, 1500 users × 100 items): the user models' join path
+    * runs ~7s over a 5.3e7-row fan-out while the dense path runs ~1.5-2.5s
+    * over 1.1e8 cells — shuffled-row cost ≈ 50× a codegen cell once both
+    * sides are steady-state. The pick compares entities²·dims/2 (dense
+    * cells) against ratio × fan-out (join rows), so the quadratic dense
+    * blow-up guards itself: at the entity/dim limits the dense estimate is
+    * ~2e15 cells and the join always wins unless the fan-out is astronomical.
     */
-  val DenseFanoutThreshold = 1e8
+  val DenseJoinCostRatio = 50L
 
   /** Strategy decisions are planning-time metadata: memoized per canonical
     * input plan so repeated builds over the same (cached or not) frame don't
@@ -170,9 +172,12 @@ object Similarity {
           // one stats job: sparse-join fan-out + the vector dimension
           val row = r.groupBy(col(joinKey)).agg(count(lit(1)).as("m"))
             .agg(sum(col("m") * col("m")).as("fanout"), count(lit(1)).as("d")).head()
-          row.getLong(0) > DenseFanoutThreshold.toLong &&
-            row.getLong(1) <= DenseDimLimit &&
-            (r.select(col(pairKey)).distinct().count() <= DenseEntityLimit)
+          val fanout = row.getLong(0)
+          val dims = row.getLong(1)
+          val entities = r.select(col(pairKey)).distinct().count()
+          dims <= DenseDimLimit && entities <= DenseEntityLimit &&
+            // cost model: dense pair-loop cells vs join rows × relative cost
+            entities * entities * dims / 2 < DenseJoinCostRatio * fanout
         }
       case other => throw new IllegalArgumentException(
         s"unknown strategy '$other' (auto|join|dense)")
