@@ -233,9 +233,8 @@ object Dedup {
       nGram: Int = 3, numPerm: Int = 64, bands: Int = 16,
       threshold: Double = 0.5, seed: Long = 42L): DataFrame =
     minhashLshFromGrams(
-      widen(df.select(col(idCol).as("id"), col(textCol).as("__t")), "id")
-        .select(col("id"),
-          TextFns.wordShinglesNative(col("__t"), nGram).as("grams")),
+      widen(df.select(col(idCol).as("id"), col(textCol).as("__t")), "id"),
+      TextFns.wordShinglesNative(col("__t"), nGram),
       numPerm, bands, threshold, seed)
 
   /** Character-shingle LSH — the scale path for tokenization-free near-dup.
@@ -248,13 +247,19 @@ object Dedup {
       nGram: Int = 5, numPerm: Int = 64, bands: Int = 16,
       threshold: Double = 0.8, seed: Long = 42L): DataFrame =
     minhashLshFromGrams(
-      widen(df.select(col(idCol).as("id"), col(textCol).as("__t")), "id")
-        .select(col("id"),
-          TextFns.charShinglesNative(col("__t"), nGram).as("grams")),
+      widen(df.select(col(idCol).as("id"), col(textCol).as("__t")), "id"),
+      TextFns.charShinglesNative(col("__t"), nGram),
       numPerm, bands, threshold, seed)
 
-  private def minhashLshFromGrams(docs: DataFrame, numPerm: Int, bands: Int,
-      threshold: Double, seed: Long, estMargin: Double = 0.2): DataFrame = {
+  /** `wdocs` is the widened (id, __t) frame; `gramsExpr` the shingle
+    * expression over __t. The expression stays INLINE in both the signature
+    * explode and the verify projection — naming the array column and
+    * exploding it drags the whole array through the Generate output row by
+    * row (measured 8× on the signature stage; see [[jaccardPairs]]).
+    */
+  private def minhashLshFromGrams(wdocs: DataFrame, gramsExpr: Column,
+      numPerm: Int, bands: Int, threshold: Double, seed: Long,
+      estMargin: Double = 0.2): DataFrame = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
     val r = numPerm / bands
     // The signature frame is read by three branches (band explode + both
@@ -262,8 +267,15 @@ object Dedup {
     // re-runs the shingle explode + numPerm-way min aggregation — the
     // pipeline's dominant cost. One row of numPerm longs per doc, so the
     // materialized frame is tiny relative to the corpus it summarizes.
+    val (as, bs) = permutations(numPerm, seed)
+    val hashed = wdocs.select(col("id"), explode(gramsExpr).as("g"))
+      .select(col("id"), pmod(hash(col("g")).cast("long"), lit(MinhashP)).as("h"))
+    val mins = (0 until numPerm).map(i =>
+      min(pmod(lit(as(i)) * col("h") + lit(bs(i)), lit(MinhashP))).as(s"m$i"))
     val sigs = graft.Exec.materialize(
-      minhashSignatures(docs, "id", "grams", numPerm, seed))
+      hashed.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+        .select(col("id"),
+          array((0 until numPerm).map(i => col(s"m$i")): _*).as("sig")))
     val banded = sigs.select(col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(b, slice(col("sig"), b * r + 1, lit(r))))).as("bkey"))
@@ -291,7 +303,8 @@ object Dedup {
     // candidate universe, not the whole corpus.
     val candIds = screened.select(col("id1").as("id"))
       .unionAll(screened.select(col("id2").as("id"))).distinct()
-    val vdocs = docs.join(candIds, Seq("id"), "semi")
+    val vdocs = wdocs.join(candIds, Seq("id"), "semi")
+      .select(col("id"), gramsExpr.as("grams"))
     val g1 = vdocs.select(col("id").as("id1"), col("grams").as("g1"))
     val g2 = vdocs.select(col("id").as("id2"), col("grams").as("g2"))
     screened.join(g1, "id1").join(g2, "id2")
