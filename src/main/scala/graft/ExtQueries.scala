@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Joins, TextOps}
+import graft.ops.{Joins, Sessions, TextOps}
 
 /** Extended-operator gate queries built through the DataFrame API (the ops
   * have no single-statement SQL form): as-of join, binned range join,
@@ -48,6 +48,26 @@ object ExtQueries {
       Tables.read(s, d, "documents")
         .where(substring(md5(col("doc_id").cast("string")), 1, 1) === "0")
         .select(col("doc_id"), col("n_chars"))),
+    // Batch gap-based sessionization: per-user 30-minute-gap sessions with
+    // bounds/duration/count — one shuffle on the user key, two windowed
+    // passes (the batch twin of the streaming sessionizer).
+    "q_sessions" -> ((s, d) => {
+      val ev = Tables.read(s, d, "events")
+        .select(col("user_id"), expr("ts DIV 1000").as("ts_us"))
+      Sessions.sessionStats(ev, "user_id", "ts_us", gap = 1800L * 1000000L)
+    }),
+    // Bloom-filter semi join: lineitem rows of high-value orders. The bloom
+    // pre-filter runs at the scan; the exact semi join removes false
+    // positives, so the output equals the plain semi join (the oracle).
+    "q_bloom_semi" -> ((s, d) => {
+      val li = Tables.read(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      val hi = Tables.read(s, d, "orders")
+        .where(col("o_totalprice") > 400000.0)
+        .select(col("o_orderkey"))
+      Joins.bloomSemiJoin(li, hi, "l_orderkey", "o_orderkey",
+        expectedItems = 100000L, fpp = 0.03)
+    }),
     // Span-level dedup: non-overlapping 10-token chunks occurring in more
     // than one document — the repeated-passage signal used for substring
     // dedup of training corpora.
@@ -90,6 +110,30 @@ object ExtQueries {
     "p_sample_hash" ->
       """SELECT doc_id, n_chars FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'""".stripMargin,
+    "q_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        |l AS (
+        |  SELECT user_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+        |         WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+        |         ELSE 0 END AS nw
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+        |),
+        |s AS (
+        |  SELECT user_id, ts_us,
+        |    CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_seq
+        |  FROM l
+        |)
+        |SELECT user_id, session_seq, min(ts_us) AS t_start,
+        |  max(ts_us) AS t_end, max(ts_us) - min(ts_us) AS duration,
+        |  count(*) AS n_events
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    "q_bloom_semi" ->
+      """SELECT l_orderkey, l_extendedprice FROM lineitem
+        |WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)""".stripMargin,
     "p_chunk_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |c AS (

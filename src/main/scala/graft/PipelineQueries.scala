@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Ann, Dedup, TextOps, TfIdf}
+import graft.ops.{Ann, Corpus, Dedup, Packing, Sampling, TextOps, TfIdf}
 
 /** Training-data pipeline operators exposed to the driver gate: dedup family,
   * text analysis, similarity search (builder-prompt "beyond the reference"
@@ -88,6 +88,27 @@ object PipelineQueries {
       Dedup.connectedComponents(
         Dedup.jaccardPairs(docs(s, d), "doc_id", "text", n = 3, threshold = 0.5))
         .select(col("node").as("doc_id"), col("rep"))),
+    // Stratified deterministic sampling: downsample the dominant language,
+    // keep half of everything else — one map-side hash filter, no shuffle.
+    "p_stratified" -> ((s, d) =>
+      Sampling.stratifiedHashSample(docs(s, d), "lang", "doc_id",
+        Map("en" -> 0.1), defaultRate = 0.5)
+        .select(col("doc_id"), col("lang"))),
+    // Benchmark decontamination: corpus docs (id ≥ 25) sharing any distinct
+    // word 5-gram with an eval doc (id < 25), with the shared-gram count.
+    "p_contamination" -> ((s, d) => {
+      val all = docs(s, d)
+      Corpus.contaminationPairs(
+        all.where(col("doc_id") >= 25), all.where(col("doc_id") < 25),
+        "doc_id", "text", n = 5)
+    }),
+    // Token-stream packing: per-source document order, cut every 512 tokens.
+    "p_pack_bins" -> ((s, d) =>
+      Packing.tokenStreamBins(
+        docs(s, d).select(col("doc_id"), col("source"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tok")),
+        "source", "doc_id", "n_tok", budget = 512)
+        .select(col("doc_id"), col("source"), col("n_tok"), col("bin"))),
   )
 
   private val jaccardCtes: String =
@@ -273,5 +294,35 @@ object PipelineQueries {
          |JOIN nrm n1 ON id1 = n1.vec_id
          |JOIN nrm n2 ON id2 = n2.vec_id
          |WHERE dot/(n1.n*n2.n) >= 0.45""".stripMargin,
+    "p_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+        |        / 16777216.0
+        |      < CASE WHEN lang = 'en' THEN 0.1 ELSE 0.5 END""".stripMargin,
+    "p_contamination" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+4], ' ')
+        |    for i in generate_series(1, len(toks)-4)]) AS gs
+        |  FROM t
+        |),
+        |cg AS (SELECT doc_id AS corpus_id, unnest(gs) AS g FROM g WHERE doc_id >= 25),
+        |eg AS (SELECT doc_id AS eval_id, unnest(gs) AS g FROM g WHERE doc_id < 25)
+        |SELECT corpus_id, eval_id, count(*) AS n_shared
+        |FROM cg JOIN eg USING (g)
+        |GROUP BY 1, 2""".stripMargin,
+    "p_pack_bins" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS n_tok
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT doc_id, source, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS cum
+        |  FROM t
+        |)
+        |SELECT doc_id, source, n_tok,
+        |  CAST(floor(cum / 512.0) AS BIGINT) AS bin FROM c""".stripMargin,
   )
 }

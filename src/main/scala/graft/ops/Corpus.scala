@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.functions.TextFns
 
 /** The composed corpus-cleaning pipeline a training-data run actually
   * executes — quality gate → language filter → exact dedup → near-dup group
@@ -54,5 +55,32 @@ object Corpus {
     val afterNearDup = kept.count()
 
     (kept, CleanStats(input, afterQuality, afterLang, afterExact, afterNearDup))
+  }
+
+  /** Benchmark decontamination: for every (corpus doc, eval doc) pair that
+    * shares at least one distinct word n-gram, the number of shared n-grams —
+    * the standard train/test-overlap audit run before every pretraining job
+    * (n = 8..13 word-gram overlap).
+    *
+    * Scale shape: the eval set is small by construction (a benchmark), so
+    * its exploded n-grams get an explicit broadcast — the corpus side
+    * streams map-side through the join with NO shuffle of corpus grams; the
+    * only shuffle is the pair aggregation, bounded by actually-contaminated
+    * pairs. Shingle expressions stay inline in the explode (see
+    * [[Dedup.jaccardPairs]]).
+    */
+  def contaminationPairs(corpus: DataFrame, evalDocs: DataFrame,
+      idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val cg = Dedup.widen(
+        corpus.select(col(idCol).as("corpus_id"), col(textCol).as("__t")),
+        "corpus_id")
+      .select(col("corpus_id"),
+        explode(TextFns.wordShinglesNative(col("__t"), n)).as("g"))
+    val eg = evalDocs.select(col(idCol).as("eval_id"), col(textCol).as("__t"))
+      .select(col("eval_id"),
+        explode(TextFns.wordShinglesNative(col("__t"), n)).as("g"))
+    cg.join(broadcast(eg), Seq("g"))
+      .groupBy("corpus_id", "eval_id")
+      .agg(count(lit(1)).as("n_shared"))
   }
 }

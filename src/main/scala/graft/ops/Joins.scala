@@ -101,4 +101,45 @@ object Joins {
   /** Convenience Column for callers composing their own exact refinement. */
   def between(point: Column, lo: Column, hi: Column): Column =
     point >= lo && point <= hi
+
+  /** Bloom-filter-accelerated semi join: `big` rows whose `bigKey` appears in
+    * `small`'s `smallKey` — an explicit, user-controllable rendition of the
+    * runtime-filter pattern (cf. Spark's InjectRuntimeFilter, which does the
+    * same thing automatically inside eligible shuffle joins).
+    *
+    * Plan shape: (1) ONE distributed aggregation over `small` builds a bloom
+    * filter with Spark's native `BloomFilterAggregate` (codegen'd hashing,
+    * map-side partial merge of bit vectors); (2) the serialized filter — a
+    * bounded `numBits`-bit payload regardless of row count — ships back as a
+    * literal into `BloomFilterMightContain`, a codegen'd predicate evaluated
+    * AT THE SCAN of `big`, before any shuffle; (3) an exact semi join removes
+    * the false positives. At 100 TB the win is step (2): the big side's
+    * shuffle carries only the ~fpp false-positive overhang plus true matches
+    * instead of every row.
+    *
+    * Output equals `big.join(small, bigKey === smallKey, "semi")` exactly —
+    * the bloom can only admit extra candidates and the final semi join
+    * removes them, so the operator is oracle-checkable against the plain
+    * semi join.
+    */
+  def bloomSemiJoin(big: DataFrame, small: DataFrame, bigKey: String,
+      smallKey: String, expectedItems: Long = 4000000L,
+      fpp: Double = 0.03): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnShim
+    import org.apache.spark.util.sketch.BloomFilter
+    val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    val agg = new BloomFilterAggregate(
+      ColumnShim.expression(col(smallKey)), Literal(expectedItems),
+      Literal(numBits)).toAggregateExpression()
+    val bytes = small.select(ColumnShim.column(agg).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val might = ColumnShim.column(BloomFilterMightContain(
+      Literal.create(bytes,
+        org.apache.spark.sql.types.BinaryType),
+      ColumnShim.expression(col(bigKey))))
+    big.where(might)
+      .join(small.select(col(smallKey).as(bigKey)), Seq(bigKey), "semi")
+  }
 }

@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * Every primitive here is a pure map-side filter on a content-derived hash:
+  * no RNG state, no `rand()` (whose draw depends on partitioning and retry
+  * order), no shuffle. The same row keeps the same fate on any engine, any
+  * partition layout, any run — the property that makes train/eval splits and
+  * per-stratum downsampling reproducible and auditable at 100 TB, and lets a
+  * DuckDB oracle recompute the exact sample.
+  */
+object Sampling {
+
+  /** Uniform [0,1) value derived from md5(key): the first 6 hex chars parsed
+    * as an integer over 2²⁴. md5 is engine-portable (identical text in Spark
+    * and DuckDB) and uniform enough for sampling; 24 bits bounds the rate
+    * resolution at ~6e-8, far below any practical sampling rate.
+    */
+  def hashUniform(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 6), 16, 10)
+      .cast("bigint") / lit((1 << 24).toDouble)
+
+  /** Keep each row with probability `rate`, deterministically by key. */
+  def hashSample(df: DataFrame, keyCol: String, rate: Double): DataFrame =
+    df.where(hashUniform(col(keyCol)) < lit(rate))
+
+  /** Stratified deterministic sampling: per-stratum rates (e.g. downsample
+    * the dominant language, keep the tail) with a default for strata not
+    * listed. One pass, no shuffle, no per-stratum job — the rate is just a
+    * CASE expression next to the hash filter.
+    */
+  def stratifiedHashSample(df: DataFrame, strataCol: String, keyCol: String,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when(col(strataCol) === lit(k), lit(v)).otherwise(acc)
+    }
+    df.where(hashUniform(col(keyCol)) < rate)
+  }
+
+  /** Disjoint deterministic train/eval split: eval = hash in [0, evalRate),
+    * train = the rest. Same key ⇒ same side, forever — the contamination
+    * guarantee a random split cannot give.
+    */
+  def trainEvalSplit(df: DataFrame, keyCol: String,
+      evalRate: Double): (DataFrame, DataFrame) = {
+    val h = hashUniform(col(keyCol))
+    (df.where(h >= lit(evalRate)), df.where(h < lit(evalRate)))
+  }
+}

@@ -1,0 +1,113 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-3 training-data pipeline operators: deterministic
+  * sampling, decontamination, sessionization, token packing, and the
+  * bloom-filter semi join.
+  */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  val docsDir = "/root/testdata/sf0.01"
+  lazy val documents = spark.read.parquet(s"$docsDir/documents.parquet").cache()
+
+  test("bloomSemiJoin == plain semi join (false positives removed exactly)") {
+    val big = (1L to 5000L).map(i => (i, i % 97)).toDF("k", "v")
+    val small = (1L to 5000L).filter(_ % 13 == 0).map(Tuple1(_)).toDF("sk")
+    val got = Joins.bloomSemiJoin(big, small, "k", "sk",
+      expectedItems = 1000L, fpp = 0.1)
+      .select("k").as[Long].collect().sorted
+    val want = big.join(small, col("k") === col("sk"), "semi")
+      .select("k").as[Long].collect().sorted
+    got shouldBe want
+    want.length shouldBe 384 // 5000/13
+  }
+
+  test("stratifiedHashSample: deterministic, a subset, near the target rates") {
+    val s1 = Sampling.stratifiedHashSample(documents, "lang", "doc_id",
+      Map("en" -> 0.1), defaultRate = 0.5)
+    val s2 = Sampling.stratifiedHashSample(documents, "lang", "doc_id",
+      Map("en" -> 0.1), defaultRate = 0.5)
+    val ids1 = s1.select("doc_id").as[Long].collect().sorted
+    ids1 shouldBe s2.select("doc_id").as[Long].collect().sorted
+    // per-stratum realized rate within a loose binomial tolerance
+    val byLang = documents.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enRate = kept.getOrElse("en", 0L).toDouble / byLang("en")
+    assert(enRate > 0.02 && enRate < 0.25, s"en rate $enRate")
+    byLang.keys.filterNot(_ == "en").foreach { l =>
+      val r = kept.getOrElse(l, 0L).toDouble / byLang(l)
+      assert(r > 0.25 && r < 0.75, s"$l rate $r")
+    }
+  }
+
+  test("trainEvalSplit: disjoint, covering, deterministic") {
+    val (train, eval) = Sampling.trainEvalSplit(documents, "doc_id", 0.2)
+    val t = train.select("doc_id").as[Long].collect().toSet
+    val e = eval.select("doc_id").as[Long].collect().toSet
+    t.intersect(e) shouldBe empty
+    (t ++ e).size.toLong shouldBe documents.count()
+  }
+
+  test("contaminationPairs: finds planted overlap, ignores disjoint docs") {
+    val evalSet = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("id", "text")
+    val corpus = Seq(
+      (10L, "prefix words alpha beta gamma delta epsilon zeta suffix"),
+      (11L, "alpha beta gamma delta epsilon"), // only 5 tokens < n+? shares 5-gram
+      (12L, "completely different content with no shared phrases at all"))
+      .toDF("id", "text")
+    val got = Corpus.contaminationPairs(corpus, evalSet, "id", "text", n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 10 shares the 5-grams of the full 6-token eval doc that survive its
+    // own shingling; doc 11 is exactly "alpha..epsilon" = one shared 5-gram
+    assert(got.exists(p => p._1 == 10L && p._2 == 1L))
+    assert(got.exists(p => p._1 == 11L && p._2 == 1L && p._3 == 1L))
+    assert(!got.exists(_._1 == 12L))
+  }
+
+  test("gapSessions/sessionStats == brute-force reference") {
+    val rnd = new scala.util.Random(7)
+    val events = (1 to 500).map { _ =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(10000).toLong)
+    }.toDF("user_id", "ts")
+    val got = Sessions.sessionStats(events, "user_id", "ts", gap = 300L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    // brute force: sort each user's timestamps, split on gap > 300
+    val want = events.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).flatMap { case (u, rows) =>
+        val ts = rows.map(_._2).sorted
+        val sessions = scala.collection.mutable.ArrayBuffer[Vector[Long]]()
+        ts.foreach { t =>
+          if (sessions.nonEmpty && t - sessions.last.last <= 300L)
+            sessions(sessions.size - 1) = sessions.last :+ t
+          else sessions += Vector(t)
+        }
+        sessions.zipWithIndex.map { case (s, i) =>
+          (u, (i + 1).toLong, s.head, s.last, s.last - s.head, s.size.toLong)
+        }
+      }.toSet
+    got shouldBe want
+  }
+
+  test("tokenStreamBins == brute-force exclusive-cumsum binning") {
+    val docs = Seq(
+      ("a", 1L, 100L), ("a", 2L, 400L), ("a", 3L, 50L), ("a", 4L, 600L),
+      ("b", 1L, 512L), ("b", 2L, 1L))
+      .toDF("shard", "id", "n_tok")
+    val got = Packing.tokenStreamBins(docs, "shard", "id", "n_tok", 512L)
+      .select("shard", "id", "bin")
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    got(("a", 1L)) shouldBe 0L // cum 0
+    got(("a", 2L)) shouldBe 0L // cum 100
+    got(("a", 3L)) shouldBe 0L // cum 500
+    got(("a", 4L)) shouldBe 1L // cum 550
+    got(("b", 1L)) shouldBe 0L // cum 0
+    got(("b", 2L)) shouldBe 1L // cum 512 → exactly at the boundary
+  }
+}
