@@ -121,13 +121,18 @@ object Ann {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, kmeansIter: Int = 8): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.sql.expressions.Window
     val train = corpus.select(array_to_vector(
       col(vecCol).cast("array<double>")).as("features"))
+    // A coarse quantizer does not need converged clustering — recall comes
+    // from nprobe, not centroid quality; bounded iterations + random init
+    // cut the fit's job count (each KMeans iteration is a full pass) while
+    // the seeded init keeps cell assignment deterministic.
     val km = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features")
+      .setMaxIter(kmeansIter).setInitMode("random")
     val model = km.fit(train)
     val cents = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.toSeq)
@@ -142,14 +147,17 @@ object Ann {
       })
       slice(transform(array_sort(scored), s => s.getField("cid")), 1, n)
     }
-    val cs = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      element_at(nearest(col(vecCol), 1), 1).as("cell"))
-    val qs = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      explode(nearest(col(vecCol), nprobe)).as("cell"))
+    // norms ride along from one per-row pass; the pairwise score is a single
+    // codegen'd dot over cached norms (see withNorm)
+    val cs = withNorm(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
+      .withColumn("cell", element_at(nearest(col("cv"), 1), 1))
+    val qs = withNorm(queries, idCol, vecCol, "query_id", "qv", "qn")
+      .select(col("query_id"), col("qv"), col("qn"),
+        explode(nearest(col("qv"), nprobe)).as("cell"))
     val scored = cs.join(broadcast(qs), Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("cos"))
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)

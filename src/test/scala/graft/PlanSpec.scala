@@ -85,4 +85,45 @@ class PlanSpec extends SparkSpec {
       plan(df).collect { case c: CartesianProductExec => c } shouldBe empty
     }
   }
+
+  test("stratified hash sample: pure map-side filter, zero exchanges") {
+    import graft.ops.Sampling
+    val docs = Tables.read(spark, sf, "documents")
+    val p = plan(Sampling.stratifiedHashSample(docs, "lang", "doc_id",
+      Map("en" -> 0.1), 0.5))
+    p.collect { case s: ShuffleExchangeLike => s } shouldBe empty
+  }
+
+  test("bloom semi join: might_contain predicate sits below the semi join") {
+    import graft.ops.Joins
+    val li = Tables.read(spark, sf, "lineitem").select("l_orderkey", "l_extendedprice")
+    val hi = Tables.read(spark, sf, "orders")
+      .where(col("o_totalprice") > 400000.0).select("o_orderkey")
+    val df = Joins.bloomSemiJoin(li, hi, "l_orderkey", "o_orderkey",
+      expectedItems = 10000L, fpp = 0.05)
+    val p = plan(df)
+    // the bloom predicate must appear in a Filter, not be lost to the join
+    p.toString should include("might_contain")
+    // and the big side's filter runs before any exchange feeding the join:
+    // every shuffle in the plan sees only bloom-filtered (or small-side) rows
+    val joins = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+    joins should not be empty
+    joins.head.left.toString should include("might_contain")
+  }
+
+  test("contamination pairs: eval n-gram side is broadcast, corpus side is not shuffled for the join") {
+    import graft.ops.Corpus
+    val docs = Tables.read(spark, sf, "documents")
+    val df = Corpus.contaminationPairs(
+      docs.where(col("doc_id") >= 25), docs.where(col("doc_id") < 25),
+      "doc_id", "text", n = 5)
+    val p = plan(df)
+    p.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    } should not be empty
+    // shuffles: corpus widen repartition + final pair aggregation only —
+    // the gram join itself must not shuffle the exploded corpus grams
+    p.collect { case s: ShuffleExchangeLike => s }.size should be <= 2
+  }
 }
