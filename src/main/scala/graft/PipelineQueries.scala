@@ -102,6 +102,15 @@ object PipelineQueries {
         all.where(col("doc_id") >= 25), all.where(col("doc_id") < 25),
         "doc_id", "text", n = 5)
     }),
+    // Int8 embedding quantization: per-vector scale + quantized payload,
+    // summarized as (scale, Σq, Σ|q|) so the gate checks every lane's value
+    // through order-insensitive exact-integer aggregates.
+    "p_embed_quant" -> ((s, d) =>
+      Ann.quantizeInt8(emb(s, d), "vec_id", "embedding")
+        .select(col("id").as("vec_id"), round(col("scale"), 6).as("scale"),
+          aggregate(col("qv"), lit(0L), (a, x) => a + x.cast("long")).as("qsum"),
+          aggregate(col("qv"), lit(0L),
+            (a, x) => a + abs(x.cast("long"))).as("qabs"))),
     // Token-stream packing: per-source document order, cut every 512 tokens.
     "p_pack_bins" -> ((s, d) =>
       Packing.tokenStreamBins(
@@ -311,6 +320,25 @@ object PipelineQueries {
         |SELECT corpus_id, eval_id, count(*) AS n_shared
         |FROM cg JOIN eg USING (g)
         |GROUP BY 1, 2""".stripMargin,
+    "p_embed_quant" ->
+      """WITH f AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |),
+        |s AS (
+        |  SELECT vec_id, v,
+        |    greatest(list_max(list_transform(v, x -> abs(x))), 1e-30)/127.0 AS scale
+        |  FROM f
+        |),
+        |q AS (
+        |  SELECT vec_id, scale,
+        |    list_transform(v, x -> CAST(floor(x/scale + 0.5) AS BIGINT)) AS qv
+        |  FROM s
+        |)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  CAST(list_sum(qv) AS BIGINT) AS qsum,
+        |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS qabs
+        |FROM q""".stripMargin,
     "p_pack_bins" ->
       """WITH t AS (
         |  SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS n_tok

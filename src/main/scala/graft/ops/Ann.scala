@@ -115,6 +115,48 @@ object Ann {
       .where(col("cos") >= threshold)
   }
 
+  /** Symmetric per-vector int8 quantization: scale = max|x|/127, q_i =
+    * floor(x_i/scale + 0.5) ∈ [-127, 127] stored as ARRAY<TINYINT> — 4-8×
+    * smaller at rest and on the shuffle wire than the float/double original,
+    * the standard memory lever for billion-vector ANN. floor(x + 0.5) (not
+    * round()) keeps the tie rule identical across engines, so the result is
+    * bit-reproducible anywhere. Cosine over quantized vectors needs no
+    * dequantization: the per-vector scales cancel in q·q/(|q||q|).
+    * Output: (id, scale, qv).
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col("__v")
+    df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("scale",
+        greatest(array_max(transform(v, x => abs(x))), lit(1e-30)) / 127.0)
+      .select(col("id"), col("scale"),
+        transform(v, x => floor(x / col("scale") + 0.5).cast("tinyint")).as("qv"))
+  }
+
+  /** Brute-force cosine top-k over int8-quantized vectors: same output shape
+    * as [[bruteTopK]] but every pairwise op runs on the 8-bit payload
+    * (cast to double lane-wise inside codegen; scales cancel in cosine).
+    * Approximation error is the quantization error only (~1/254 per lane).
+    */
+  def bruteTopKInt8(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def prep(df: DataFrame, id: String, v: String, nrm: String): DataFrame =
+      quantizeInt8(df, idCol, vecCol)
+        .select(col("id").as(id), col("qv").cast("array<double>").as(v))
+        .withColumn(nrm, sqrt(dot(col(v), col(v))))
+    val cs = prep(corpus, "neighbor_id", "cv", "cn")
+    val qs = prep(queries, "query_id", "qv", "qn")
+    val scored = cs.crossJoin(broadcast(qs))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
   /** IVF top-k: KMeans coarse quantizer (seeded), assign corpus to nearest
     * centroid, probe `nprobe` centroids per query, exact rerank inside probed
     * cells. Output: (query_id, neighbor_id, rank, cos).

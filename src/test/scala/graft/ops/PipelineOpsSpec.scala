@@ -95,6 +95,30 @@ class PipelineOpsSpec extends SparkSpec {
     got shouldBe want
   }
 
+  test("int8 quantization: bounded lane error, top-k survives quantization") {
+    val emb = spark.read.parquet(s"$docsDir/embeddings.parquet").cache()
+    // per-lane reconstruction error ≤ scale/2
+    val bad = Ann.quantizeInt8(emb, "vec_id", "embedding")
+      .join(emb.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("v")), Seq("id"))
+      .select(col("scale"),
+        aggregate(zip_with(col("qv").cast("array<double>"), col("v"),
+          (q, x) => abs(q * col("scale") - x)), lit(0.0),
+          (a, e) => greatest(a, e)).as("maxerr"))
+      .where(col("maxerr") > col("scale") * 0.5 + lit(1e-12)).count()
+    bad shouldBe 0L
+    // quantized brute top-10 overlaps the exact top-10 heavily
+    val qset = emb.where(col("vec_id") < 5)
+    val exact = Ann.bruteTopK(emb, qset, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Ann.bruteTopKInt8(emb, qset, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = exact.intersect(quant).size.toDouble / exact.size
+    assert(overlap >= 0.8, s"quantized top-k overlap $overlap")
+  }
+
   test("tokenStreamBins == brute-force exclusive-cumsum binning") {
     val docs = Seq(
       ("a", 1L, 100L), ("a", 2L, 400L), ("a", 3L, 50L), ("a", 4L, 600L),
