@@ -48,6 +48,21 @@ object ExtQueries {
       Tables.read(s, d, "documents")
         .where(substring(md5(col("doc_id").cast("string")), 1, 1) === "0")
         .select(col("doc_id"), col("n_chars"))),
+    // The SQL-function surface: the engine's native codegen expressions
+    // reached through plain spark.sql (the extension injects these at
+    // session build; here they register into the gate session's function
+    // registry at runtime — same builders, same expressions).
+    "q_sql_funcs" -> ((s, d) => {
+      graft.sql.GraftSql.nativeFunctions.foreach { case (ident, info, builder) =>
+        s.sessionState.functionRegistry.registerFunction(ident, info, builder)
+      }
+      Tables.read(s, d, "documents").createOrReplaceTempView("documents")
+      s.sql("""SELECT doc_id,
+              |  size(graft_word_shingles(text, 3)) AS n_sh,
+              |  round(graft_dot(array(cast(n_chars as double)),
+              |                  array(cast(n_chars as double))), 6) AS sq
+              |FROM documents""".stripMargin)
+    }),
     // Batch gap-based sessionization: per-user 30-minute-gap sessions with
     // bounds/duration/count — one shuffle on the user key, two windowed
     // passes (the batch twin of the streaming sessionizer).
@@ -110,6 +125,14 @@ object ExtQueries {
     "p_sample_hash" ->
       """SELECT doc_id, n_chars FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'""".stripMargin,
+    "q_sql_funcs" ->
+      """WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks
+        |           FROM documents)
+        |SELECT doc_id,
+        |  len(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |    for i in generate_series(1, len(toks)-2)])) AS n_sh,
+        |  round(CAST(n_chars AS DOUBLE) * n_chars, 6) AS sq
+        |FROM t""".stripMargin,
     "q_sessions" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
         |l AS (
