@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Joins, Sessions, TextOps}
+import graft.ops.{Joins, Sessions, Skew, TextOps}
 
 /** Extended-operator gate queries built through the DataFrame API (the ops
   * have no single-statement SQL form): as-of join, binned range join,
@@ -48,6 +48,15 @@ object ExtQueries {
       Tables.read(s, d, "documents")
         .where(substring(md5(col("doc_id").cast("string")), 1, 1) === "0")
         .select(col("doc_id"), col("n_chars"))),
+    // Salted two-phase aggregation on a hot key (3 distinct return flags
+    // over 600k rows — exactly the shape that melts one reducer unsalted):
+    // partial sums on (key, salt), merge per key. Integer-exact value so
+    // the result is bitwise order-independent and equals the plain SUM.
+    "q_salted_agg" -> ((s, d) => {
+      val li = Tables.read(s, d, "lineitem")
+        .select(col("l_returnflag"), floor(col("l_quantity")).cast("long").as("q"))
+      Skew.saltedSum(li, Seq("l_returnflag"), "q", salt = 8)
+    }),
     // The SQL-function surface: the engine's native codegen expressions
     // reached through plain spark.sql (the extension injects these at
     // session build; here they register into the gate session's function
@@ -125,6 +134,10 @@ object ExtQueries {
     "p_sample_hash" ->
       """SELECT doc_id, n_chars FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'""".stripMargin,
+    "q_salted_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_q
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q_sql_funcs" ->
       """WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks
         |           FROM documents)

@@ -69,6 +69,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!got.exists(_._1 == 12L))
   }
 
+  test("saltedJoin == plain join; saltedSum == plain sum") {
+    val rnd = new scala.util.Random(3)
+    // skewed: 80% of rows share key 0
+    val large = (1 to 2000).map { i =>
+      (if (rnd.nextDouble() < 0.8) 0L else rnd.nextInt(20).toLong, i.toLong)
+    }.toDF("k", "v")
+    val small = (0L to 19L).map(k => (k, s"name$k")).toDF("k", "name")
+    val gotJ = Skew.saltedJoin(large, small, Seq("k"), salt = 4)
+      .select("k", "v", "name").collect().map(_.toString).sorted
+    val wantJ = large.join(small, Seq("k"))
+      .select("k", "v", "name").collect().map(_.toString).sorted
+    gotJ shouldBe wantJ
+    val gotS = Skew.saltedSum(large, Seq("k"), "v", salt = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val wantS = large.groupBy("k").agg(sum("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    gotS shouldBe wantS
+  }
+
   test("gapSessions/sessionStats == brute-force reference") {
     val rnd = new scala.util.Random(7)
     val events = (1 to 500).map { _ =>
