@@ -337,7 +337,8 @@ object Dedup {
     * wrong output from a correctness-gated operator is never acceptable.
     */
   def connectedComponents(pairs: DataFrame, id1: String = "id1",
-      id2: String = "id2", maxIter: Int = 25): DataFrame = {
+      id2: String = "id2", maxIter: Int = 25,
+      localEdgeLimit: Int = LocalCcEdgeLimit): DataFrame = {
     val keyType = pairs.schema(id1).dataType
     val localOrd: Option[Ordering[Any]] = keyType match {
       case org.apache.spark.sql.types.LongType |
@@ -349,12 +350,23 @@ object Dedup {
         Some(Ordering.by((x: Any) => x.toString))
       case _ => None
     }
-    if (localOrd.isDefined) {
+    if (localOrd.isDefined && localEdgeLimit > 0) {
       val head = pairs.select(col(id1).as("a"), col(id2).as("b"))
-        .limit(LocalCcEdgeLimit + 1).collect()
-      if (head.length <= LocalCcEdgeLimit)
+        .limit(localEdgeLimit + 1).collect()
+      if (head.length <= localEdgeLimit)
         return localComponents(pairs.sparkSession, head, keyType, localOrd.get)
     }
+    val spark = pairs.sparkSession
+    // Iterative dataflow MUST truncate lineage every round: the pointer-jump
+    // self-join references the round's plan twice, so without truncation the
+    // logical tree DOUBLES per iteration (exponential analysis/toString cost
+    // long before any data moves). Reliable checkpoint when the session has
+    // a checkpoint dir (survives executor loss — set one in production);
+    // localCheckpoint otherwise (executor-loss tradeoff documented in
+    // graft.Exec.materialize).
+    val truncate: DataFrame => DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df => df.checkpoint()
+      else df => df.localCheckpoint()
     val edges = pairs.select(col(id1).as("a"), col(id2).as("b"))
       .unionAll(pairs.select(col(id2).as("a"), col(id1).as("b")))
       .distinct()
@@ -362,7 +374,6 @@ object Dedup {
     var labels = edges.select(col("a").as("node"))
       .distinct()
       .select(col("node"), col("node").as("rep"))
-      .cache()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -375,21 +386,19 @@ object Dedup {
         .select(col("node"), least(col("rep"), col("nbrMin")).as("rep"),
           (col("nbrMin") < col("rep")).as("__chg"))
         .cache()
-      // (b) pointer jump: rep ← rep's label. Every rep value IS a node of
-      // the graph (labels start as the node itself and only ever adopt other
-      // nodes' labels), so the left join never misses; coalesce is belt and
-      // braces.
+      // (b) pointer jump (path halving): rep ← rep's label. Every rep value
+      // IS a node of the graph (labels start as the node itself and only
+      // ever adopt other nodes' labels), so the left join never misses;
+      // coalesce is belt and braces.
       val jump = prop.select(col("node").as("rep"), col("rep").as("rep2"))
-      val next = prop.join(jump, Seq("rep"), "left")
+      val next = truncate(prop.join(jump, Seq("rep"), "left")
         .select(col("node"),
           coalesce(col("rep2"), col("rep")).as("rep"),
           (col("__chg") ||
-            coalesce(col("rep2"), col("rep")) =!= col("rep")).as("__chg"))
-        .cache()
-      // one count materializes the round AND detects convergence — no label
-      // arithmetic, so any orderable key type (long, string, …) works
+            coalesce(col("rep2"), col("rep")) =!= col("rep")).as("__chg")))
+      // one count over the (already materialized) round detects convergence —
+      // no label arithmetic, so any orderable key type (long, string, …) works
       val changed = next.where(col("__chg")).count()
-      labels.unpersist()
       prop.unpersist()
       labels = next.select("node", "rep")
       converged = changed == 0L

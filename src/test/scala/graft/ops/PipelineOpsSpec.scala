@@ -69,6 +69,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!got.exists(_._1 == 12L))
   }
 
+  test("connectedComponents distributed path: string keys (ANSI-safe) and long chains") {
+    // string node ids through the label-propagation loop — the old
+    // sum(cast(rep as decimal)) convergence check threw under ANSI here
+    val sEdges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"),
+      ("m", "n"), ("n", "o")).toDF("id1", "id2")
+    val sGot = Dedup.connectedComponents(sEdges, localEdgeLimit = 0)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    Seq("a", "b", "c", "d").foreach(n => sGot(n) shouldBe "a")
+    Seq("x", "y").foreach(n => sGot(n) shouldBe "x")
+    Seq("m", "n", "o").foreach(n => sGot(n) shouldBe "m")
+    // a 60-edge chain (diameter 60 > the old maxIter 20): pointer jumping
+    // must converge it within the default 25 rounds
+    val chain = (0L until 60L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val cGot = Dedup.connectedComponents(chain, localEdgeLimit = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    cGot.length shouldBe 61
+    cGot.foreach { case (_, rep) => rep shouldBe 0L }
+  }
+
   test("saltedJoin == plain join; saltedSum == plain sum") {
     val rnd = new scala.util.Random(3)
     // skewed: 80% of rows share key 0
