@@ -35,7 +35,62 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qps = workloadQps(spark, sfDir)
+    val ups = sweepUsersPerSec(spark, sfDir)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""workload_qps":$qps,"workload_sweep_users_per_sec":$ups,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** The throughput framing that matches Spark's execution model: ONE job
+    * scores every user's top-10 against the materialized model (the
+    * RecView materialization path); reported as users/second. The
+    * reference's per-user loop (rec_workload.c) pays its N+1 internal
+    * queries per user; the sweep amortizes everything across the cluster.
+    */
+  private def sweepUsersPerSec(spark: SparkSession, sfDir: String): Double = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    try {
+      val c = Tables.ratingCols
+      val r = Tables.ratings(spark, sfDir).cache()
+      val nUsers = r.select(col(c.user)).distinct().count()
+      val model = graft.recdb.Similarity.itemCosine(r, c).cache()
+      model.count()
+      val w = Window.partitionBy(col(c.user))
+        .orderBy(col("score").desc, col(c.item))
+      val t0 = System.nanoTime()
+      graft.recdb.Scoring.itemCF(r, model, c)
+        .withColumn("__rk", row_number().over(w))
+        .where(col("__rk") <= 10).count()
+      nUsers / ((System.nanoTime() - t0) / 1e9)
+    } catch { case _: Throwable => -1.0 }
+  }
+
+  /** The reference's rec_workload.c protocol (BASELINE.md metric 3): against
+    * a MATERIALIZED recommender (model built once — the reference queries a
+    * pre-built model table too), issue single-user top-10 RECOMMEND queries
+    * for seeded pseudo-random users and report queries/second.
+    */
+  private def workloadQps(spark: SparkSession, sfDir: String,
+      n: Int = 20): Double = {
+    import org.apache.spark.sql.functions._
+    try {
+      val c = Tables.ratingCols
+      val r = Tables.ratings(spark, sfDir).cache()
+      val users = r.select(col(c.user)).distinct()
+        .orderBy(col(c.user)).collect().map(_.getLong(0))
+      val model = graft.recdb.Similarity.itemCosine(r, c).cache()
+      model.count() // materialize: CREATE RECOMMENDER happened before the loop
+      val rnd = new scala.util.Random(42)
+      val t0 = System.nanoTime()
+      (1 to n).foreach { _ =>
+        val u = users(rnd.nextInt(users.length))
+        val uf = r.where(col(c.user) === u).select(col(c.user)).distinct()
+        graft.recdb.Scoring.itemCF(r, model, c, Some(uf))
+          .orderBy(col("score").desc, col(c.item)).limit(10).count()
+      }
+      n / ((System.nanoTime() - t0) / 1e9)
+    } catch { case _: Throwable => -1.0 }
   }
 }

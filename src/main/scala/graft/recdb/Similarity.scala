@@ -81,6 +81,12 @@ object Similarity {
   val DenseDimLimit = 16384
   val DenseEntityLimit = 16384
 
+  /** Ceiling on the dense vector frame (entities × dims cells ≈ 8 B each):
+    * the pair join broadcasts one side of it, so 'auto' must keep it inside
+    * executor/broadcast memory — 2²⁴ cells ≈ 135 MB.
+    */
+  val DenseVecCells: Long = 1L << 24
+
   /** Relative cost of pushing one co-rating pair row through the sparse
     * join's shuffle + hash aggregation versus one fused multiply-add cell in
     * the dense pair loop's whole-stage codegen. Measured on local[32] at
@@ -176,6 +182,9 @@ object Similarity {
           val dims = row.getLong(1)
           val entities = r.select(col(pairKey)).distinct().count()
           dims <= DenseDimLimit && entities <= DenseEntityLimit &&
+            // the pair join broadcasts one side of the vecs frame
+            // (entities × dims cells) — cap it like the scoring sweep does
+            entities * dims <= DenseVecCells &&
             // cost model: dense pair-loop cells vs join rows × relative cost
             entities * entities * dims / 2 < DenseJoinCostRatio * fanout
         }
