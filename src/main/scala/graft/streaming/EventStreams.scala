@@ -63,6 +63,16 @@ object EventStreams {
       s"l_$key = r_$key AND r_ts >= l_ts AND r_ts <= l_ts + interval $horizon"))
   }
 
+  /** Stream-static enrichment: join the event stream to a static dimension
+    * (item/user metadata) with an explicit broadcast — each micro-batch
+    * ships the dim to executors instead of shuffling the stream; the static
+    * side is re-read per batch, so an updated dim table is picked up without
+    * restarting the query. Left join: events never drop because metadata is
+    * missing.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** The shared session fold: merge a batch of events into per-user session
     * state, closing sessions on gap splits; emits closed sessions and leaves
     * the open one in `state` with timeout armed by `arm`.

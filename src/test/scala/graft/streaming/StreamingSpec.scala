@@ -123,6 +123,22 @@ class StreamingSpec extends SparkSpec {
     out.map(_.getLong(1)).sorted shouldBe Array(1L, 2L, 3L)
   }
 
+  test("stream-static enrichment joins the dim per micro-batch without dropping events") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val stream = mem.toDF().toDF("ts", "item_id", "value")
+    val dim = Seq((1L, "book"), (2L, "film")).toDF("item_id", "category")
+    val q = EventStreams.enrich(stream, dim, "item_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData((ts(1), 1L, 1.0), (ts(2), 2L, 2.0), (ts(3), 99L, 3.0))
+    q.processAllAvailable()
+    val out = spark.table("enriched").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(3)).getOrElse("∅")).toMap
+    q.stop()
+    out shouldBe Map(1L -> "book", 2L -> "film", 99L -> "∅")
+  }
+
   test("bucketed tables join and aggregate without a shuffle exchange") {
     import graft.sources.Bucketing
     val events = spark.read
