@@ -83,6 +83,31 @@ object RecQueries {
         .orderBy(col("score").desc, col("itemid"))
         .limit(10)
     }),
+    // The RECOMMEND SQL surface end-to-end: injected parser → scoring plan →
+    // hash-equal to the same DuckDB oracle as the API-path twin
+    // (r_itemcf_topk). The extension session shares the SparkContext
+    // (withExtensions is the programmatic route; static conf needs a fresh
+    // context), and the caller session is restored immediately.
+    "r_recommend_sql" -> ((s, d) => {
+      val ext = {
+        org.apache.spark.sql.SparkSession.clearActiveSession()
+        org.apache.spark.sql.SparkSession.clearDefaultSession()
+        val s2 = org.apache.spark.sql.SparkSession.builder()
+          .withExtensions(e => new graft.sql.GraftSqlExtensions()(e))
+          .getOrCreate()
+        org.apache.spark.sql.SparkSession.setDefaultSession(s)
+        org.apache.spark.sql.SparkSession.setActiveSession(s)
+        s2
+      }
+      val r = ratings(ext, d)
+      val minUser = r.agg(min(col("userid"))).head().getLong(0)
+      r.createOrReplaceTempView("ml_events")
+      ext.sql(
+        s"""SELECT userid, itemid, round(rating, 6) AS score
+           |FROM ml_events RECOMMEND itemid TO userid ON rating USING itemCosCF
+           |WHERE userid = $minUser
+           |ORDER BY round(rating, 6) DESC, itemid LIMIT 10""".stripMargin)
+    }),
   )
 
   // ---- oracle SQL (DuckDB dialect), generated from one parametrization ----
@@ -216,5 +241,6 @@ object RecQueries {
     "r_usercf_pear_scores" -> scoresSelect(userCfCte(pearson = true), topk = false),
     "r_itemcf_topk" -> scoresSelect(itemCfCte(pearson = false), topk = true),
     "r_usercf_topk" -> scoresSelect(userCfCte(pearson = false), topk = true),
+    "r_recommend_sql" -> scoresSelect(itemCfCte(pearson = false), topk = true),
   )
 }
