@@ -83,6 +83,20 @@ object RecQueries {
         .orderBy(col("score").desc, col("itemid"))
         .limit(10)
     }),
+    // Incremental model maintenance (beyond-reference): init the mergeable
+    // (dots, norms²) state from two-thirds of the events, merge the rest as
+    // a delta batch, and project the model — hash-equal to the FULL build's
+    // oracle, proving the merge reproduces the rebuild.
+    "r_itemcos_incr" -> ((s, d) => {
+      import graft.recdb.IncrementalSimilarity
+      val r = ratings(s, d)
+      val hist = r.where(col("userid") % 3 =!= 0)
+      val delta = r.where(col("userid") % 3 === 0)
+      val st = IncrementalSimilarity.updateItemCosineState(
+        IncrementalSimilarity.itemCosineState(hist, c), hist, delta, c)
+      round6(IncrementalSimilarity.cosineFromState(st, "item1", "item2"),
+        Seq("item1", "item2"), "similarity")
+    }),
     // The RECOMMEND SQL surface end-to-end: injected parser → scoring plan →
     // hash-equal to the same DuckDB oracle as the API-path twin
     // (r_itemcf_topk). The extension session shares the SparkContext
@@ -242,5 +256,6 @@ object RecQueries {
     "r_itemcf_topk" -> scoresSelect(itemCfCte(pearson = false), topk = true),
     "r_usercf_topk" -> scoresSelect(userCfCte(pearson = false), topk = true),
     "r_recommend_sql" -> scoresSelect(itemCfCte(pearson = false), topk = true),
+    "r_itemcos_incr" -> modelSelect("item", pearson = false),
   )
 }
