@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Ann, Corpus, Dedup, Packing, Sampling, TextOps, TfIdf}
+import graft.ops.{Ann, Corpus, Dedup, LangModel, Packing, Sampling, TextOps, TfIdf}
 
 /** Training-data pipeline operators exposed to the driver gate: dedup family,
   * text analysis, similarity search (builder-prompt "beyond the reference"
@@ -111,6 +111,11 @@ object PipelineQueries {
           aggregate(col("qv"), lit(0L), (a, x) => a + x.cast("long")).as("qsum"),
           aggregate(col("qv"), lit(0L),
             (a, x) => a + abs(x.cast("long"))).as("qabs"))),
+    // Corpus-trained bigram LM scoring: mean ln p(w2|w1) per document.
+    "p_bigram_lm" -> ((s, d) =>
+      LangModel.bigramLogProb(docs(s, d), "doc_id", "text")
+        .select(col("id").as("doc_id"), round(col("avg_logp"), 6).as("avg_logp"),
+          col("n_bigrams"))),
     // Token-stream packing: per-source document order, cut every 512 tokens.
     "p_pack_bins" -> ((s, d) =>
       Packing.tokenStreamBins(
@@ -339,6 +344,22 @@ object PipelineQueries {
         |  CAST(list_sum(qv) AS BIGINT) AS qsum,
         |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS qabs
         |FROM q""".stripMargin,
+    "p_bigram_lm" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |inst AS (
+        |  SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1]
+        |    for i in generate_series(1, len(toks)-1)]) AS bg
+        |  FROM t
+        |),
+        |c2 AS (SELECT bg, count(*) AS c2 FROM inst GROUP BY 1),
+        |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1
+        |       FROM inst GROUP BY 1)
+        |SELECT doc_id, round(avg(ln(c2.c2 * 1.0 / c1.c1)), 6) AS avg_logp,
+        |  count(*) AS n_bigrams
+        |FROM inst
+        |JOIN c2 USING (bg)
+        |JOIN c1 ON split_part(inst.bg, ' ', 1) = c1.w1
+        |GROUP BY doc_id""".stripMargin,
     "p_pack_bins" ->
       """WITH t AS (
         |  SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS n_tok

@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained n-gram language-model scoring — the KenLM-style quality
+  * filter of LLM data pipelines, reduced to its dataflow core: train bigram
+  * conditional probabilities on the corpus itself and score every document
+  * by its mean log-probability. Low scores = atypical/garbled text; the
+  * score feeds the same thresholding as [[TextOps.qualityScore]].
+  *
+  * p(w2 | w1) = c(w1 w2) / c(w1 ·), both counts over bigram INSTANCES
+  * (not distinct shingles — an LM counts occurrences), estimated from the
+  * corpus in two hash aggregations; scoring is two equi-joins back onto the
+  * instance stream and one per-doc average. Everything shuffles on
+  * bounded-cardinality keys (bigram vocabulary), never on documents.
+  */
+object LangModel {
+
+  /** All bigram instances of split-on-space text, in order, NON-distinct. */
+  def bigramInstances(text: Column): Column = {
+    val toks = TextOps.tokens(text)
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => array_join(slice(toks, i, lit(2)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** (id, avg_logp, n_bigrams) per document with ≥1 bigram: the mean
+    * ln p(w2|w1) under the corpus-estimated bigram model.
+    */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val inst = docs
+      .select(col(idCol).as("id"), explode(bigramInstances(col(textCol))).as("bg"))
+    val c2 = inst.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val c1 = inst
+      .select(split(col("bg"), " ").getItem(0).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    inst
+      .join(c2, "bg")
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .join(c1, "w1")
+      .groupBy(col("id"))
+      .agg(avg(log(col("c2").cast("double") / col("c1"))).as("avg_logp"),
+        count(lit(1)).as("n_bigrams"))
+  }
+}

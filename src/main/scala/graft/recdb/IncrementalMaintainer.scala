@@ -16,6 +16,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * catalog counter (durable, driver-side — survives executor loss), and
   * triggers the rebuild when the threshold crosses. Rebuild cost is the same
   * one-shot distributed similarity/ALS job as create — no executor state.
+  *
+  * For cosine models at scales where even the threshold-gated full rebuild
+  * is too expensive, [[IncrementalSimilarity]] maintains the model's
+  * sufficient statistics as mergeable state (delta-batch cost ∝ the delta
+  * users' activity) — the beyond-reference alternative to this hook's
+  * faithful rebuild semantics.
   */
 final class IncrementalMaintainer(
     catalog: RecCatalog,

@@ -133,6 +133,20 @@ class PipelineOpsSpec extends SparkSpec {
     got shouldBe want
   }
 
+  test("bigram LM: repeated corpus phrasing scores above scrambled text") {
+    val docs = (Seq.fill(20)("the quick brown fox jumps over the lazy dog")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) } :+
+      (99L, "dog the brown lazy jumps quick fox over the"))
+      .toDF("id", "text")
+    val scores = LangModel.bigramLogProb(docs, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // the template doc's bigrams dominate the corpus → high conditional
+    // probability; the scrambled doc shares tokens but not transitions
+    scores(0L) should be > scores(99L)
+    // near ln(1) except "the" → {quick, lazy} branching (2·ln ½ / 8 ≈ −0.17)
+    scores(0L) should be > -0.3
+  }
+
   test("int8 quantization: bounded lane error, top-k survives quantization") {
     val emb = spark.read.parquet(s"$docsDir/embeddings.parquet").cache()
     // per-lane reconstruction error ≤ scale/2
