@@ -25,4 +25,14 @@ object Exec {
     df.count()
     df
   }
+
+  /** Recursive local-path delete (model/state/sink swap dirs). */
+  def deletePath(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    val f = new java.io.File(path)
+    if (f.exists()) rm(f)
+  }
 }

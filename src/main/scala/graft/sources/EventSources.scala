@@ -52,6 +52,38 @@ object EventSources {
       .withColumn("day", to_date(timestamp_micros(expr(s"$tsCol DIV 1000"))))
       .write.mode("overwrite").partitionBy("day").parquet(path)
 
+  /** Keyed UPSERT into a parquet directory — the ModifyTable UPDATE/DELETE
+    * slot (SURVEY.md §2.2 sinks) for format-free parquet storage: merge the
+    * delta with the existing table, keep the highest-`versionCol` row per
+    * key (a null-payload delta row models a delete marker the caller can
+    * filter on read), and atomically swap via a temp directory — parquet
+    * reads are lazy, so overwriting the directory being read would corrupt
+    * the job.
+    *
+    * `versionCol` must be unique per key (a timestamp/batch id); ties would
+    * make the survivor nondeterministic. Scale note: this rewrites the whole
+    * table — at 100 TB partition the path (e.g. by day) and upsert only the
+    * touched partitions, or use a table format (Delta/Iceberg) whose
+    * metadata layer makes the swap transactional; the merge-by-window logic
+    * here is identical in both worlds.
+    */
+  def upsertByKey(spark: SparkSession, path: String, delta: DataFrame,
+      keys: Seq[String], versionCol: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val existing =
+      if (new java.io.File(path).exists()) Some(spark.read.parquet(path))
+      else None
+    val unioned = existing.map(_.unionByName(delta)).getOrElse(delta)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(versionCol).desc)
+    val merged = unioned.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+    val tmp = path + ".__tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    graft.Exec.deletePath(path)
+    if (!new java.io.File(tmp).renameTo(new java.io.File(path)))
+      throw new java.io.IOException(s"upsert swap failed: $tmp -> $path")
+  }
+
   /** Key/value coercion: int-like keys (floats truncate, recathon.c:487-506),
     * numeric event values.
     */
