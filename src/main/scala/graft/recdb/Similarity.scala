@@ -176,8 +176,10 @@ object Similarity {
           s"model|$joinKey|$pairKey")
         memoized(key) {
           // one stats job: sparse-join fan-out + the vector dimension
+          // (coalesce: sum over ZERO groups is NULL — empty events frame)
           val row = r.groupBy(col(joinKey)).agg(count(lit(1)).as("m"))
-            .agg(sum(col("m") * col("m")).as("fanout"), count(lit(1)).as("d")).head()
+            .agg(coalesce(sum(col("m") * col("m")), lit(0L)).as("fanout"),
+              count(lit(1)).as("d")).head()
           val fanout = row.getLong(0)
           val dims = row.getLong(1)
           val entities = r.select(col(pairKey)).distinct().count()

@@ -1,0 +1,72 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Degenerate-input behavior: empty frames, empty/short documents, and
+  * single-row inputs must flow through every operator family without
+  * errors — the difference between a library and a demo.
+  */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val emptyDocs = spark.createDataFrame(
+    new java.util.ArrayList[org.apache.spark.sql.Row](),
+    StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+
+  private val degenerate = Seq(
+    (1L, ""), (2L, "one"), (3L, "two words"), (4L, "two words")) // short + dup
+    .toDF("doc_id", "text")
+
+  test("dedup family on empty and degenerate docs") {
+    Dedup.exact(emptyDocs, Seq("text"), "doc_id").count() shouldBe 0L
+    Dedup.exactByHash(emptyDocs, "text", "doc_id").count() shouldBe 0L
+    Dedup.jaccardPairs(emptyDocs, "doc_id", "text", 3, 0.5).count() shouldBe 0L
+    Dedup.minhashLshPairs(emptyDocs, "doc_id", "text").count() shouldBe 0L
+    Dedup.simhashPairs(emptyDocs, "doc_id", "text").count() shouldBe 0L
+    // docs shorter than the shingle width never pair; the exact dup pairs
+    Dedup.jaccardPairs(degenerate, "doc_id", "text", 3, 0.5).count() shouldBe 0L
+    val two = Dedup.jaccardPairs(degenerate, "doc_id", "text", 2, 0.5).collect()
+    two.map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe Seq((3L, 4L))
+    Dedup.exact(degenerate, Seq("text"), "doc_id").count() shouldBe 3L
+  }
+
+  test("connectedComponents on empty edges (both paths)") {
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("id1", LongType), StructField("id2", LongType))))
+    Dedup.connectedComponents(empty).count() shouldBe 0L
+    Dedup.connectedComponents(empty, localEdgeLimit = 0).count() shouldBe 0L
+  }
+
+  test("text/LM/sampling ops on empty and degenerate docs") {
+    TfIdf.topTerms(emptyDocs, "doc_id", "text", 3).count() shouldBe 0L
+    LangModel.bigramLogProb(emptyDocs, "doc_id", "text").count() shouldBe 0L
+    // empty-string and single-token docs yield no bigrams; the two-token
+    // dups score ln(1)=0 for their deterministic transition
+    val lm = LangModel.bigramLogProb(degenerate, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    lm.keySet shouldBe Set(3L, 4L)
+    lm(3L) shouldBe 0.0 +- 1e-12
+    Sampling.hashSample(emptyDocs, "doc_id", 0.5).count() shouldBe 0L
+    val q = degenerate.select(TextOps.qualityScore(col("text")).as("q")).collect()
+    q.foreach(r => assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0))
+  }
+
+  test("similarity builds on empty and single-user events") {
+    val emptyEvents = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("userid", LongType),
+        StructField("itemid", LongType), StructField("rating", DoubleType))))
+    val c = graft.recdb.EventCols()
+    graft.recdb.Similarity.itemCosine(emptyEvents, c).count() shouldBe 0L
+    // one user, two items: a single positive co-rating pair
+    val one = Seq((1L, 10L, 3.0), (1L, 11L, 4.0)).toDF("userid", "itemid", "rating")
+    val m = graft.recdb.Similarity.itemCosine(one, c).collect()
+    m.length shouldBe 1
+    m.head.getDouble(2) shouldBe 1.0 +- 1e-12 // collinear single-user vectors
+    graft.recdb.Scoring.itemCF(one,
+      graft.recdb.Similarity.itemCosine(one, c), c).count() shouldBe 2L
+  }
+}
