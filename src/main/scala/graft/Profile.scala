@@ -79,6 +79,32 @@ object Profile {
         t("agg64_from_ck")(Dedup.minhashSignatures(ck, "id", "grams", 64).count())
         t("agg8_from_ck")(Dedup.minhashSignatures(ck, "id", "grams", 8).count())
         t("full")(Dedup.charMinhashLshPairs(docsDf, "doc_id", "text", 5, 64, 16, 0.8).count())
+      case s if s.startsWith("scaleprobe") =>
+        // similarity + scoring at generator scale (default 5M events,
+        // 50k users × 1k items — ~75× the sf0.1 ratings volume; usage:
+        // scaleprobe[:rows]). Validates the sparse join path and the
+        // all-users sweep well beyond the testdata sizes.
+        import org.apache.spark.sql.functions._
+        import graft.recdb.{Scoring, Similarity}
+        val rows = s.split(":").drop(1).headOption.map(_.toLong).getOrElse(5000000L)
+        val ev = spark.read.format("graft-events")
+          .option("rows", rows).option("users", rows / 100)
+          .option("items", 1000).option("numPartitions", 64).load()
+          .select(col("user_id").as("userid"), col("item_id").as("itemid"),
+            col("value").as("rating"))
+          .groupBy("userid", "itemid").agg(max("rating").as("rating"))
+          .cache()
+        val nEv = ev.count()
+        var t0 = System.nanoTime()
+        val model = Similarity.itemCosine(ev, Tables.ratingCols).cache()
+        val nModel = model.count()
+        val tModel = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        val nScores = Scoring.itemCF(ev, model, Tables.ratingCols).count()
+        val tScores = (System.nanoTime() - t0) / 1e9
+        println(f"PROFILE scaleprobe events=$nEv model_pairs=$nModel " +
+          f"build=$tModel%.1fs sweep_rows=$nScores sweep=$tScores%.1fs " +
+          f"users_per_sec=${(nScores / 1000.0) / tScores}%.0f")
       case "modelplan" =>
         import graft.recdb.Similarity
         val r = Tables.ratings(spark, sfDir).cache()
