@@ -123,6 +123,30 @@ object PipelineQueries {
           TextOps.tokenCount(col("text")).cast("long").as("n_tok")),
         "source", "doc_id", "n_tok", budget = 512)
         .select(col("doc_id"), col("source"), col("n_tok"), col("bin"))),
+    // Corpus token-frequency table (the Zipf profile + stopword-discovery
+    // primitive): one explode + one aggregation, top-100 by count.
+    "p_token_freq" -> ((s, d) =>
+      docs(s, d).select(explode(TextOps.tokens(col("text"))).as("token"))
+        .where(col("token") =!= "")
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(100)),
+    // Overlapping context-window chunking: 20-token windows every 10 tokens
+    // (map-side only — the pre-tokenization splitter for training shards).
+    "p_doc_chunks" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          explode(TextOps.slidingChunks(col("text"), width = 20, stride = 10))
+            .as("c"))
+        .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+          col("c.chunk").as("chunk"))),
+    // Per-document character entropy (native codegen expression; the
+    // noise/junk quality signal) — oracle = DuckDB's entropy() aggregate
+    // over the exploded codepoints.
+    "p_char_entropy" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        round(graft.functions.TextFns.charEntropy(col("text")), 6)
+          .as("entropy"))),
   )
 
   private val jaccardCtes: String =
@@ -373,5 +397,28 @@ object PipelineQueries {
         |)
         |SELECT doc_id, source, n_tok,
         |  CAST(floor(cum / 512.0) AS BIGINT) AS bin FROM c""".stripMargin,
+    "p_token_freq" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE token <> ''
+        |GROUP BY token
+        |ORDER BY n DESC, token
+        |LIMIT 100""".stripMargin,
+    "p_doc_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |x AS (
+        |  SELECT doc_id, unnest([{'chunk_idx': CAST(i AS BIGINT),
+        |      'chunk': array_to_string(toks[i*10+1 : i*10+20], ' ')}
+        |    for i in generate_series(0,
+        |      CASE WHEN len(toks) >= 20
+        |           THEN CAST(floor((len(toks) - 20 + 10) / 10.0) AS INT) - 1
+        |           ELSE 0 END)]) AS c
+        |  FROM t
+        |)
+        |SELECT doc_id, c.chunk_idx AS chunk_idx, c.chunk AS chunk FROM x""".stripMargin,
+    "p_char_entropy" ->
+      """SELECT doc_id, round(entropy(c), 6) AS entropy
+        |FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+        |GROUP BY doc_id""".stripMargin,
   )
 }

@@ -97,6 +97,44 @@ object RecQueries {
       round6(IncrementalSimilarity.cosineFromState(st, "item1", "item2"),
         Seq("item1", "item2"), "similarity")
     }),
+    // RecView serving path end-to-end (SURVEY.md §1.1): CREATE RECOMMENDER →
+    // materializeView → recommendFromView → filter/top-k over the parquet
+    // view. The reference created the view table but left its read path dead
+    // (utility.c:146-157, execRecommend.c:935-940); here it is live, and the
+    // served result hash-matches the same oracle as the direct scoring path.
+    "r_recview_topk" -> ((s, d) => {
+      import graft.recdb.{RecCatalog, Recommender}
+      val base = java.nio.file.Files.createDirectories(java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_recview",
+        java.lang.Integer.toHexString(d.hashCode))).toString
+      val catalog = new RecCatalog(s"$base/catalog")
+      Recommender.drop("rv", catalog) // idempotent across warmup/timed/verify
+      val r = ratings(s, d)
+      Recommender.create(s, "rv", r, s"events@$d", c, "itemCosCF",
+        catalog, s"$base/models")
+      Recommender.materializeView(s, "rv", r, catalog, s"$base/views")
+      val view = Recommender.recommendFromView(s, "rv", catalog).get
+      val minUser = r.agg(min(col("userid"))).head().getLong(0)
+      round6(view, Seq("userid", "itemid"), "score")
+        .where(col("userid") === minUser)
+        .orderBy(col("score").desc, col("itemid"))
+        .limit(10)
+    }),
+    // Multi-recommender composition (the numrecs.c experiment protocol,
+    // BASELINE.md "Multi-recommender workload"): two recommenders over the
+    // same events table joined on (user, item), scores blended 50/50.
+    "r_multirec" -> ((s, d) => {
+      val r = ratings(s, d)
+      val minUser = r.agg(min(col("userid"))).head().getLong(0)
+      val users = r.select(col("userid")).where(col("userid") === minUser).distinct()
+      val is = Scoring.itemCF(r, Similarity.itemCosine(r, c).cache(), c, Some(users))
+      val us = Scoring.userCF(r, Similarity.userCosine(r, c).cache(), c, Some(users))
+      is.as("a").join(us.as("b"), Seq("userid", "itemid"))
+        .select(col("userid"), col("itemid"),
+          round((is("score") + us("score")) / 2, 6).as("combined"))
+        .orderBy(col("combined").desc, col("itemid"))
+        .limit(10)
+    }),
     // The RECOMMEND SQL surface end-to-end: injected parser → scoring plan →
     // hash-equal to the same DuckDB oracle as the API-path twin
     // (r_itemcf_topk). The extension session shares the SparkContext
@@ -244,6 +282,85 @@ object RecQueries {
          |LIMIT 10""".stripMargin
   }
 
+  /** Blended two-recommender oracle (itemCos + userCos, 50/50): both cosine
+    * CTE chains inlined with i_/u_ prefixes so the names can't collide.
+    */
+  private def multirecSql: String =
+    s"""WITH ${Tables.ratingsSql},
+       |i_norms AS (
+       |  SELECT itemid AS p, sqrt(sum(rating*rating)) AS nrm FROM ratings GROUP BY 1
+       |),
+       |i_dots AS (
+       |  SELECT a.itemid AS p1, b.itemid AS p2, sum(a.rating*b.rating) AS dot
+       |  FROM ratings a JOIN ratings b
+       |    ON a.userid = b.userid AND a.itemid < b.itemid
+       |  GROUP BY 1, 2
+       |),
+       |i_model AS (
+       |  SELECT d.p1, d.p2, d.dot/(n1.nrm*n2.nrm) AS s
+       |  FROM i_dots d
+       |  JOIN i_norms n1 ON d.p1 = n1.p
+       |  JOIN i_norms n2 ON d.p2 = n2.p
+       |  WHERE d.dot/(n1.nrm*n2.nrm) > 0
+       |),
+       |i_sym AS (
+       |  SELECT p1 AS i, p2 AS j, s FROM i_model
+       |  UNION ALL
+       |  SELECT p2 AS i, p1 AS j, s FROM i_model
+       |),
+       |i_scores AS (
+       |  SELECT r.userid, i_sym.i AS itemid,
+       |    sum(i_sym.s*r.rating)/sum(abs(i_sym.s)) AS score
+       |  FROM i_sym JOIN ratings r ON i_sym.j = r.itemid
+       |  GROUP BY 1, 2
+       |),
+       |u_norms AS (
+       |  SELECT userid AS p, sqrt(sum(rating*rating)) AS nrm FROM ratings GROUP BY 1
+       |),
+       |u_dots AS (
+       |  SELECT a.userid AS p1, b.userid AS p2, sum(a.rating*b.rating) AS dot
+       |  FROM ratings a JOIN ratings b
+       |    ON a.itemid = b.itemid AND a.userid < b.userid
+       |  GROUP BY 1, 2
+       |),
+       |u_model AS (
+       |  SELECT d.p1, d.p2, d.dot/(n1.nrm*n2.nrm) AS s
+       |  FROM u_dots d
+       |  JOIN u_norms n1 ON d.p1 = n1.p
+       |  JOIN u_norms n2 ON d.p2 = n2.p
+       |  WHERE d.dot/(n1.nrm*n2.nrm) > 0
+       |),
+       |u_sym AS (
+       |  SELECT p1 AS u, p2 AS v, s FROM u_model
+       |  UNION ALL
+       |  SELECT p2 AS u, p1 AS v, s FROM u_model
+       |),
+       |u_avg AS (
+       |  SELECT userid AS u, avg(rating) AS ubar FROM ratings GROUP BY 1
+       |),
+       |u_scores AS (
+       |  SELECT u_sym.u AS userid, r.itemid,
+       |    ua.ubar + sum(u_sym.s*(r.rating - ua.ubar))/sum(abs(u_sym.s)) AS score
+       |  FROM u_sym
+       |  JOIN ratings r ON u_sym.v = r.userid
+       |  JOIN u_avg ua ON u_sym.u = ua.u
+       |  GROUP BY 1, 2, ua.ubar
+       |),
+       |pairs AS (
+       |  SELECT u.userid, i.itemid
+       |  FROM (SELECT DISTINCT userid FROM ratings) u
+       |  CROSS JOIN (SELECT DISTINCT itemid FROM ratings) i
+       |)
+       |SELECT p.userid, p.itemid,
+       |  round((coalesce(isc.score, 0) + coalesce(usc.score, 0))/2, 6) AS combined
+       |FROM pairs p
+       |LEFT JOIN i_scores isc ON p.userid = isc.userid AND p.itemid = isc.itemid
+       |LEFT JOIN u_scores usc ON p.userid = usc.userid AND p.itemid = usc.itemid
+       |WHERE p.userid = (SELECT min(userid) FROM ratings)
+       |ORDER BY round((coalesce(isc.score, 0) + coalesce(usc.score, 0))/2, 6) DESC,
+       |  p.itemid
+       |LIMIT 10""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "r_itemcos_model" -> modelSelect("item", pearson = false),
     "r_itempear_model" -> modelSelect("item", pearson = true),
@@ -257,5 +374,7 @@ object RecQueries {
     "r_usercf_topk" -> scoresSelect(userCfCte(pearson = false), topk = true),
     "r_recommend_sql" -> scoresSelect(itemCfCte(pearson = false), topk = true),
     "r_itemcos_incr" -> modelSelect("item", pearson = false),
+    "r_recview_topk" -> scoresSelect(itemCfCte(pearson = false), topk = true),
+    "r_multirec" -> multirecSql,
   )
 }

@@ -277,6 +277,36 @@ object RelQueries {
     "q_len_hist" -> q(
       """SELECT CAST(floor(n_chars / 50) AS BIGINT) AS bucket, count(*) AS n
         |FROM documents GROUP BY CAST(floor(n_chars / 50) AS BIGINT)""".stripMargin),
+    // Per-group top-k (row_number window + rank filter — the partitioned
+    // twin of TakeOrderedAndProject): top-3 customers by balance per nation.
+    "q_group_topk" -> q(
+      """SELECT n_name, c_custkey, c_acctbal FROM (
+        |  SELECT n.n_name, c.c_custkey, c.c_acctbal,
+        |    row_number() OVER (PARTITION BY n.n_name
+        |      ORDER BY c.c_acctbal DESC, c.c_custkey) AS rk
+        |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |) WHERE rk <= 3""".stripMargin),
+    // Recursive CTE (PG's RecursiveUnion / WorkTableScan, nodeRecursiveunion.c
+    // — Spark 4's UnionLoop): walk each nation key up its floor-halving
+    // ancestor chain to 0. Dialect split only in the integer-division
+    // operator (DIV vs //).
+    "q_recursive_cte" -> Q(
+      spark = """WITH RECURSIVE anc(node, ancestor) AS (
+                |  SELECT CAST(n_nationkey AS BIGINT), CAST(n_nationkey AS BIGINT)
+                |  FROM nation
+                |  UNION ALL
+                |  SELECT node, ancestor DIV 2 FROM anc WHERE ancestor > 0
+                |)
+                |SELECT node, ancestor, count(*) AS n
+                |FROM anc GROUP BY node, ancestor""".stripMargin,
+      duck = """WITH RECURSIVE anc(node, ancestor) AS (
+               |  SELECT CAST(n_nationkey AS BIGINT), CAST(n_nationkey AS BIGINT)
+               |  FROM nation
+               |  UNION ALL
+               |  SELECT node, ancestor // 2 FROM anc WHERE ancestor > 0
+               |)
+               |SELECT node, ancestor, count(*) AS n
+               |FROM anc GROUP BY node, ancestor""".stripMargin),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

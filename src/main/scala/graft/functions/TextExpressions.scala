@@ -114,6 +114,34 @@ object TextExprUtil {
     UTF8String.fromString(sb.toString)
   }
 
+  /** Base-2 Shannon entropy over the text's codepoints — the "does this look
+    * like natural text or noise/binary junk" quality signal (low entropy =
+    * repeated filler, high = random bytes). Matches DuckDB's
+    * `entropy(unnest(string_split(text, '')))` aggregate: probabilities over
+    * codepoint frequencies, log base 2; empty text → 0.
+    */
+  def charEntropy(text: UTF8String): Double = {
+    val s = text.toString
+    if (s.isEmpty) return 0.0
+    val counts = new java.util.HashMap[Integer, Array[Int]]()
+    var i = 0
+    var n = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      n += 1
+      val slot = counts.get(cp)
+      if (slot == null) counts.put(cp, Array(1)) else slot(0) += 1
+    }
+    var h = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next()(0).toDouble / n
+      h -= p * (math.log(p) / math.log(2.0))
+    }
+    h
+  }
+
   /** 63-bit SimHash over split-on-space tokens (xxhash64 seed 42 per token,
     * per-bit ±1 votes, sign → bit) — same contract as
     * [[graft.ops.Dedup.simhash64]].
@@ -203,6 +231,24 @@ case class FoldAccents(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen'd base-2 character-entropy of a text column (one counting pass
+  * per row; the HOF equivalent would explode every codepoint through a
+  * shuffle-side aggregate).
+  */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "graft_char_entropy"
+
+  override def nullSafeEval(s: Any): Any =
+    TextExprUtil.charEntropy(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextExprUtil.charEntropy($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
+}
+
 /** Codegen'd 63-bit SimHash signature of a text column. */
 case class SimHash63(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -238,4 +284,8 @@ object TextFns {
   /** Accent folding (NFD, combining marks stripped). */
   def foldAccents(text: Column): Column =
     ColumnShim.column(FoldAccents(ColumnShim.expression(text)))
+
+  /** Base-2 Shannon entropy of the text's codepoint distribution. */
+  def charEntropy(text: Column): Column =
+    ColumnShim.column(CharEntropy(ColumnShim.expression(text)))
 }

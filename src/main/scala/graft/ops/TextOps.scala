@@ -126,6 +126,25 @@ object TextOps {
     regexp_replace(noEmail, """[0-9][0-9 ()+.-]{7,}[0-9]""", "<PHONE>")
   }
 
+  /** Overlapping token-window chunking — the context-window splitter for
+    * training pipelines: windows of `size` tokens every `stride` tokens
+    * (stride < size ⇒ overlap). Only full windows are emitted; docs shorter
+    * than `size` tokens yield a single truncated chunk covering the whole
+    * doc, so no document disappears. Returns ARRAY<STRUCT<chunk_idx, chunk>>
+    * — explode downstream. Map-side only (no shuffle); SQL-portable (list
+    * slicing in the oracle).
+    */
+  def slidingChunks(text: Column, width: Int, stride: Int): Column = {
+    require(width >= 1 && stride >= 1, "width and stride must be >= 1")
+    val toks = tokens(text)
+    val nTok = size(toks)
+    val nWin = floor((nTok - width + stride) / stride).cast("int")
+    val idxs = when(nTok >= width, sequence(lit(0), nWin - 1))
+      .otherwise(sequence(lit(0), lit(0)))
+    transform(idxs, i => struct(i.cast("long").as("chunk_idx"),
+      array_join(slice(toks, i * stride + 1, lit(width)), " ").as("chunk")))
+  }
+
   /** Distinct character n-grams — the classic near-dup shingle for text
     * without reliable tokenization (CJK, code). SQL-portable (substr loop).
     */

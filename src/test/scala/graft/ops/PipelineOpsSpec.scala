@@ -186,4 +186,54 @@ class PipelineOpsSpec extends SparkSpec {
     got(("b", 1L)) shouldBe 0L // cum 0
     got(("b", 2L)) shouldBe 1L // cum 512 → exactly at the boundary
   }
+
+  test("slidingChunks: overlap layout, short-doc truncation, full coverage") {
+    val doc = (1 to 25).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, "a b c")).toDF("id", "text")
+    val chunks = df.select(col("id"),
+      explode(TextOps.slidingChunks(col("text"), width = 20, stride = 10)).as("c"))
+      .select(col("id"), col("c.chunk_idx"), col("c.chunk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // 25 tokens → floor((25-20+10)/10) = 1 full window: tokens 1-20
+    chunks.filter(_._1 == 1L).map(_._2).sorted shouldBe Seq(0L)
+    chunks.find(c => c._1 == 1L && c._2 == 0L).get._3 shouldBe
+      (1 to 20).map(i => s"w$i").mkString(" ")
+    // short doc → one truncated chunk covering the whole doc
+    chunks.filter(_._1 == 2L) shouldBe Array((2L, 0L, "a b c"))
+    // stride layout: 35 tokens → windows at 0 and 10
+    val d3 = Seq((3L, (1 to 35).map(i => s"w$i").mkString(" "))).toDF("id", "text")
+    val c3 = d3.select(explode(TextOps.slidingChunks(col("text"), 20, 10)).as("c"))
+      .select(col("c.chunk_idx"), col("c.chunk"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    c3.keySet shouldBe Set(0L, 1L)
+    c3(1L) shouldBe (11 to 30).map(i => s"w$i").mkString(" ")
+  }
+
+  test("charEntropy: closed-form values and HOF equivalence") {
+    import graft.functions.TextFns
+    val df = Seq("aabb", "abcd", "aaaa", "aab").toDF("t")
+    val got = df.select(TextFns.charEntropy(col("t"))).as[Double].collect()
+    got(0) shouldBe 1.0 +- 1e-12              // two symbols, equal p
+    got(1) shouldBe 2.0 +- 1e-12              // four symbols, equal p
+    got(2) shouldBe 0.0 +- 1e-12              // single symbol
+    val p = 2.0 / 3
+    got(3) shouldBe -(p * math.log(p) / math.log(2) +
+      (1 - p) * math.log(1 - p) / math.log(2)) +- 1e-12
+    // equivalence with the explode-and-aggregate form on real docs
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents.limit(50).select(col("doc_id"), col("text"))
+    val native = docs.select(col("doc_id"),
+      TextFns.charEntropy(col("text")).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val hof = docs.select(col("doc_id"),
+      explode(split(col("text"), "")).as("c"))
+      .where(col("c") =!= "")
+      .groupBy("doc_id", "c").agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum("n").over(Window.partitionBy("doc_id")))
+      .groupBy("doc_id")
+      .agg((-sum((col("n") / col("tot")) * log2(col("n") / col("tot")))).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    hof.keySet shouldBe native.keySet
+    hof.foreach { case (id, e) => native(id) shouldBe e +- 1e-9 }
+  }
 }
