@@ -114,6 +114,38 @@ object TextExprUtil {
     UTF8String.fromString(sb.toString)
   }
 
+  /** MinHash signature in one pass: for each gram, h = pmod(murmur3(g), P)
+    * (Spark's `hash()` semantics: 32-bit murmur3, seed 42, sign-extended),
+    * then sig_i = min over grams of (a_i·h + b_i) mod P — identical values
+    * to the explode + numPerm-way min-aggregate form in
+    * [[graft.ops.Dedup.minhashSignatures]], without materializing
+    * |grams| × numPerm rows through an exchange. Empty gram arrays yield an
+    * empty signature (callers filter those docs, matching the aggregation
+    * form where they simply have no rows).
+    */
+  def minhashSig(grams: ArrayData, as: Array[Long], bs: Array[Long]): ArrayData = {
+    val p = 2147483647L // Mersenne prime 2^31−1, matches Dedup.MinhashP
+    val nGrams = grams.numElements()
+    val nPerm = as.length
+    if (nGrams == 0) return new GenericArrayData(Array.empty[Any])
+    val sig = new Array[Long](nPerm)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var g = 0
+    while (g < nGrams) {
+      val h0 = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+        .hash(grams.getUTF8String(g), StringType, 42L).toInt.toLong
+      val h = ((h0 % p) + p) % p
+      var i = 0
+      while (i < nPerm) {
+        val v = (as(i) * h + bs(i)) % p // a,b < P and h < P: no overflow at 2^62
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      g += 1
+    }
+    new GenericArrayData(sig)
+  }
+
   /** Base-2 Shannon entropy over the text's codepoints — the "does this look
     * like natural text or noise/binary junk" quality signal (low entropy =
     * repeated filler, high = random bytes). Matches DuckDB's
@@ -231,6 +263,37 @@ case class FoldAccents(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen'd one-pass MinHash signature of a gram-array column: ARRAY<LONG>
+  * of `numPerm` mins. The permutation tables ride along as reference
+  * objects, so generated code calls straight into the same static loop the
+  * interpreted path uses.
+  */
+case class MinhashSig(child: Expression, numPerm: Int, seed: Long)
+    extends UnaryExpression {
+  require(numPerm >= 1, "numPerm must be >= 1")
+
+  private lazy val (asArr, bsArr) = {
+    val (a, b) = graft.ops.Dedup.permutations(numPerm, seed)
+    (a.toArray, b.toArray)
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  override def nullSafeEval(g: Any): Any =
+    TextExprUtil.minhashSig(g.asInstanceOf[ArrayData], asArr, bsArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashAs", asArr, "long[]")
+    val bRef = ctx.addReferenceObj("minhashBs", bsArr, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextExprUtil.minhashSig($c, $aRef, $bRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSig =
+    copy(child = newChild)
+}
+
 /** Codegen'd base-2 character-entropy of a text column (one counting pass
   * per row; the HOF equivalent would explode every codepoint through a
   * shuffle-side aggregate).
@@ -288,4 +351,8 @@ object TextFns {
   /** Base-2 Shannon entropy of the text's codepoint distribution. */
   def charEntropy(text: Column): Column =
     ColumnShim.column(CharEntropy(ColumnShim.expression(text)))
+
+  /** One-pass MinHash signature (numPerm longs) of a gram array. */
+  def minhashSigNative(grams: Column, numPerm: Int, seed: Long = 42L): Column =
+    ColumnShim.column(MinhashSig(ColumnShim.expression(grams), numPerm, seed))
 }

@@ -264,18 +264,18 @@ object Dedup {
     val r = numPerm / bands
     // The signature frame is read by three branches (band explode + both
     // sides of the signature screen); without materialization each branch
-    // re-runs the shingle explode + numPerm-way min aggregation — the
-    // pipeline's dominant cost. One row of numPerm longs per doc, so the
-    // materialized frame is tiny relative to the corpus it summarizes.
-    val (as, bs) = permutations(numPerm, seed)
-    val hashed = wdocs.select(col("id"), explode(gramsExpr).as("g"))
-      .select(col("id"), pmod(hash(col("g")).cast("long"), lit(MinhashP)).as("h"))
-    val mins = (0 until numPerm).map(i =>
-      min(pmod(lit(as(i)) * col("h") + lit(bs(i)), lit(MinhashP))).as(s"m$i"))
+    // re-runs the shingle + signature computation — the pipeline's dominant
+    // cost. One row of numPerm longs per doc, so the materialized frame is
+    // tiny relative to the corpus it summarizes. Signatures come from the
+    // one-pass native expression (same values as the explode + min-aggregate
+    // form in [[minhashSignatures]], minus the |shingles| × numPerm row
+    // explosion through an exchange); docs with no shingles are filtered
+    // exactly as the aggregation form drops them.
     val sigs = graft.Exec.materialize(
-      hashed.groupBy(col("id")).agg(mins.head, mins.tail: _*)
-        .select(col("id"),
-          array((0 until numPerm).map(i => col(s"m$i")): _*).as("sig")))
+      wdocs.select(col("id"),
+          graft.functions.TextFns.minhashSigNative(gramsExpr, numPerm, seed)
+            .as("sig"))
+        .where(size(col("sig")) > 0))
     val banded = sigs.select(col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(b, slice(col("sig"), b * r + 1, lit(r))))).as("bkey"))

@@ -30,18 +30,23 @@ object LangModel {
     * ln p(w2|w1) under the corpus-estimated bigram model.
     */
   def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val inst = docs
+    // The instance stream feeds three consumers (c2 counts, c1 counts, the
+    // scoring join); materialize it once instead of re-running the explode
+    // per branch. The trained model collapses to ONE vocabulary-sized
+    // (bg → ln p) frame joined back in a single (broadcast-eligible) join —
+    // scoring shuffles the corpus once on the doc id, never on vocabulary.
+    val inst = graft.Exec.materialize(docs
       .select(col(idCol).as("id"), explode(bigramInstances(col(textCol))).as("bg"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0)))
     val c2 = inst.groupBy("bg").agg(count(lit(1)).as("c2"))
-    val c1 = inst
-      .select(split(col("bg"), " ").getItem(0).as("w1"))
-      .groupBy("w1").agg(count(lit(1)).as("c1"))
-    inst
-      .join(c2, "bg")
+    val c1 = inst.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val model = c2
       .withColumn("w1", split(col("bg"), " ").getItem(0))
       .join(c1, "w1")
+      .select(col("bg"), log(col("c2").cast("double") / col("c1")).as("logp"))
+    inst
+      .join(model, "bg")
       .groupBy(col("id"))
-      .agg(avg(log(col("c2").cast("double") / col("c1"))).as("avg_logp"),
-        count(lit(1)).as("n_bigrams"))
+      .agg(avg(col("logp")).as("avg_logp"), count(lit(1)).as("n_bigrams"))
   }
 }

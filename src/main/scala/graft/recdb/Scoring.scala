@@ -105,18 +105,26 @@ object Scoring {
         uRatings.queryExecution.analyzed.canonicalized,
         s"score|$dimKey")
       Similarity.memoized(key) {
-        val row = ratings.agg(countDistinct(col(dimKey)).as("dims"),
-          countDistinct(col(c.item)).as("items"),
-          count(lit(1)).as("n")).head()
-        val dims = row.getLong(0)
-        val items = row.getLong(1)
-        val n = row.getLong(2)
+        // user-INDEPENDENT stats memoized on (ratings, model) alone: a
+        // RECOMMEND-workload stream of per-user queries re-keys only on the
+        // uRatings filter, so these two jobs must not re-run per user.
+        val statsKey = (ratings.queryExecution.analyzed.canonicalized,
+          model.queryExecution.analyzed.canonicalized, s"scorestats|$dimKey")
+        val (dims, items, n, modelRows) = Similarity.memoizedStats(statsKey) {
+          val row = ratings.agg(countDistinct(col(dimKey)).as("dims"),
+            countDistinct(col(c.item)).as("items"),
+            count(lit(1)).as("n")).head()
+          (row.getLong(0), row.getLong(1), row.getLong(2), model.count())
+        }
         if (dims > Similarity.DenseDimLimit || dims == 0L ||
             items > Similarity.DenseEntityLimit ||
             dims * items > DenseBroadcastCells) false
         else {
-          val scoredUsers = uRatings.select(col(c.user)).distinct().count()
-          val estJoinRows = 2.0 * model.count() * (uRatings.count().toDouble / dims)
+          // the only per-user-filter measurement, in ONE job
+          val urow = uRatings.agg(countDistinct(col(c.user)).as("u"),
+            count(lit(1)).as("cnt")).head()
+          val scoredUsers = urow.getLong(0)
+          val estJoinRows = 2.0 * modelRows * (urow.getLong(1).toDouble / dims)
           val denseRowEquiv = scoredUsers.toDouble * items * dims /
             Similarity.DenseJoinCostRatio + n
           denseRowEquiv < estJoinRows

@@ -129,10 +129,36 @@ object Similarity {
     }
   }
 
+  /** Measured plan statistics (same plan-keyed LRU contract as
+    * [[strategyMemo]]): holds the user-independent inputs of the scoring
+    * cost model so a stream of per-user RECOMMEND queries re-measures only
+    * its own tiny filter, not the corpus.
+    */
+  private[recdb] val statsMemo: java.util.Map[AnyRef, AnyRef] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[AnyRef, AnyRef](32, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[AnyRef, AnyRef]): Boolean =
+          size() > 64
+      })
+
+  private[recdb] def memoizedStats[T](key: AnyRef)(compute: => T): T = {
+    val hit = statsMemo.get(key)
+    if (hit != null) hit.asInstanceOf[T]
+    else {
+      val v = compute
+      statsMemo.put(key, v.asInstanceOf[AnyRef])
+      v
+    }
+  }
+
   /** Drop all memoized strategy decisions — call after the data under an
     * input path changes so 'auto' re-measures.
     */
-  def clearStrategyCache(): Unit = strategyMemo.clear()
+  def clearStrategyCache(): Unit = {
+    strategyMemo.clear()
+    statsMemo.clear()
+  }
 
   def itemCosine(ratings: DataFrame, c: EventCols = EventCols(),
       strategy: String = "auto"): DataFrame =

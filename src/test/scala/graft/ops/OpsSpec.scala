@@ -22,6 +22,19 @@ class OpsSpec extends SparkSpec {
     exact.size should be > 10
   }
 
+  test("native one-pass minhash signature == explode+aggregate signatures") {
+    import graft.functions.TextFns
+    val docs = documents.limit(100).select(col("doc_id").as("id"),
+      TextFns.wordShinglesNative(col("text"), 3).as("grams"))
+    val agg = Dedup.minhashSignatures(docs, "id", "grams", 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val nat = docs.select(col("id"),
+        TextFns.minhashSigNative(col("grams"), 64).as("sig"))
+      .where(org.apache.spark.sql.functions.size(col("sig")) > 0)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    nat shouldBe agg
+  }
+
   test("simhash: recalls most true near-dups within hamming bound") {
     val pairs = Dedup.simhashPairs(documents, "doc_id", "text", maxHamming = 3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
