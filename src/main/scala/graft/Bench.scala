@@ -37,8 +37,10 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val qps = workloadQps(spark, sfDir)
     val ups = sweepUsersPerSec(spark, sfDir)
+    val vqps = viewQps(spark, sfDir)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""workload_qps":$qps,"workload_sweep_users_per_sec":$ups,"sf":"$sfDir"}""")
+      s""""workload_qps":$qps,"workload_view_qps":$vqps,""" +
+      s""""workload_sweep_users_per_sec":$ups,"sf":"$sfDir"}""")
     spark.stop()
   }
 
@@ -64,6 +66,35 @@ object Bench {
         .withColumn("__rk", row_number().over(w))
         .where(col("__rk") <= 10).count()
       nUsers / ((System.nanoTime() - t0) / 1e9)
+    } catch { case _: Throwable => -1.0 }
+  }
+
+  /** Serving-path throughput: the same per-user top-10 queries answered from
+    * the materialized RecView (all-users scores computed once by the sweep and
+    * cached — the path `Recommender.materializeView`/`recommendFromView` makes
+    * live; SURVEY.md §1.1). Per query this is a filter + TakeOrderedAndProject
+    * over in-memory columnar state: the latency profile a serving deployment
+    * of this engine actually runs.
+    */
+  private def viewQps(spark: SparkSession, sfDir: String,
+      n: Int = 50): Double = {
+    import org.apache.spark.sql.functions._
+    try {
+      val c = Tables.ratingCols
+      val r = Tables.ratings(spark, sfDir).cache()
+      val users = r.select(col(c.user)).distinct()
+        .orderBy(col(c.user)).collect().map(_.getLong(0))
+      val model = graft.recdb.Similarity.itemCosine(r, c).cache()
+      val view = graft.recdb.Scoring.itemCF(r, model, c).cache()
+      view.count() // materializeView happened before the workload loop
+      val rnd = new scala.util.Random(42)
+      val t0 = System.nanoTime()
+      (1 to n).foreach { _ =>
+        val u = users(rnd.nextInt(users.length))
+        view.where(col(c.user) === u)
+          .orderBy(col("score").desc, col(c.item)).limit(10).count()
+      }
+      n / ((System.nanoTime() - t0) / 1e9)
     } catch { case _: Throwable => -1.0 }
   }
 

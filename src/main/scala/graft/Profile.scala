@@ -116,6 +116,71 @@ object Profile {
           .groupBy(identity).view.mapValues(_.size).toMap.toSeq.sortBy(-_._2)
         println("PROFILE modelplan " + kinds.map { case (k, v) => s"$k=$v" }.mkString(" "))
       case "usercf_stages" => userCfStages(spark, sfDir, reps)
+      case "serving" =>
+        // single-user latency variants: (a) from-model auto, (b) from-model
+        // join + fewer shuffle partitions, (c) from cached materialized view
+        import org.apache.spark.sql.functions._
+        import graft.recdb.{Scoring, Similarity}
+        val c = Tables.ratingCols
+        val r = Tables.ratings(spark, sfDir).cache()
+        val users = r.select(col(c.user)).distinct()
+          .orderBy(col(c.user)).collect().map(_.getLong(0))
+        val model = Similarity.itemCosine(r, c).cache()
+        model.count()
+        val rnd = new scala.util.Random(42)
+        def time(label: String)(body: Long => Unit): Unit = {
+          val ts = (1 to reps).map { _ =>
+            val u = users(rnd.nextInt(users.length))
+            val t0 = System.nanoTime(); body(u); (System.nanoTime() - t0) / 1e9
+          }
+          println(f"PROFILE serving:$label " + ts.map(t => f"$t%.3f").mkString(" "))
+        }
+        time("auto") { u =>
+          val uf = r.where(col(c.user) === u).select(col(c.user)).distinct()
+          Scoring.itemCF(r, model, c, Some(uf))
+            .orderBy(col("score").desc, col(c.item)).limit(10).count()
+        }
+        time("join") { u =>
+          val uf = r.where(col(c.user) === u).select(col(c.user)).distinct()
+          Scoring.itemCF(r, model, c, Some(uf), strategy = "join")
+            .orderBy(col("score").desc, col(c.item)).limit(10).count()
+        }
+        spark.conf.set("spark.sql.shuffle.partitions", 4)
+        time("join_p4") { u =>
+          val uf = r.where(col(c.user) === u).select(col(c.user)).distinct()
+          Scoring.itemCF(r, model, c, Some(uf), strategy = "join")
+            .orderBy(col("score").desc, col(c.item)).limit(10).count()
+        }
+        spark.conf.set("spark.sql.shuffle.partitions", cpus)
+        val view = Scoring.itemCF(r, model, c).cache()
+        view.count()
+        time("view") { u =>
+          view.where(col(c.user) === u)
+            .orderBy(col("score").desc, col(c.item)).limit(10).count()
+        }
+      case "workload" =>
+        // rec_workload.c per-query latency decomposition: plan-time (strategy
+        // stats jobs) vs execution for single-user top-10 RECOMMEND
+        import org.apache.spark.sql.functions._
+        import graft.recdb.{Scoring, Similarity}
+        val c = Tables.ratingCols
+        val r = Tables.ratings(spark, sfDir).cache()
+        val users = r.select(col(c.user)).distinct()
+          .orderBy(col(c.user)).collect().map(_.getLong(0))
+        val model = graft.recdb.Similarity.itemCosine(r, c).cache()
+        model.count()
+        val rnd = new scala.util.Random(42)
+        (1 to reps).foreach { _ =>
+          val u = users(rnd.nextInt(users.length))
+          var t0 = System.nanoTime()
+          val uf = r.where(col(c.user) === u).select(col(c.user)).distinct()
+          val df = Scoring.itemCF(r, model, c, Some(uf))
+          val tPlan = (System.nanoTime() - t0) / 1e9
+          t0 = System.nanoTime()
+          df.orderBy(col("score").desc, col(c.item)).limit(10).count()
+          val tExec = (System.nanoTime() - t0) / 1e9
+          println(f"PROFILE workload u=$u plan=$tPlan%.3f exec=$tExec%.3f")
+        }
       case "ivf_vs_brute" =>
         val b = SparkEntry.queries("p_knn_brute")(spark, sfDir).collect()
           .map(_.toString).toSet

@@ -47,7 +47,7 @@ object Scoring {
       c: EventCols = EventCols(), users: Option[DataFrame] = None,
       strategy: String = "auto"): DataFrame = {
     val uRatings = restrict(ratings, users, c)
-    if (pickDense(ratings, uRatings, itemModel, c.item, c, strategy))
+    if (pickDense(ratings, users, itemModel, c.item, c, strategy))
       return itemCFDense(ratings, itemModel, c, users)
     val sym = symmetric(itemModel, "item1", "item2")
     val scores = sym
@@ -76,16 +76,24 @@ object Scoring {
     * sweep's shapes.
     *
     * Sparse cost: the sym-model × ratings join fan-out, estimated as
-    * 2·|model|·(|uRatings| / dim-cardinality) where uRatings is the events
-    * frame AFTER the user-qual pre-filter — a selective RECOMMEND-style
-    * single-user query shrinks the join fan-out proportionally while the
-    * dense path's fixed costs (per-item vectors over ALL raters) do not
-    * shrink, so the filter must enter the estimate (and the memo key: the
-    * filtered and unfiltered sweeps genuinely want different strategies).
+    * 2·|model|·(cnt / dim-cardinality) where cnt is the event count AFTER
+    * the user-qual pre-filter — a selective RECOMMEND-style single-user
+    * query shrinks the join fan-out proportionally while the dense path's
+    * fixed costs (per-item vectors over ALL raters) do not shrink, so the
+    * filter must enter the estimate (and the memo key: the filtered and
+    * unfiltered sweeps genuinely want different strategies).
     *
     * Dense cost: scoredUsers × items × dims codegen cells (the BNLJ dot
     * products), discounted by the measured cell/row cost ratio, plus
     * |ratings| rows for the vector builds over the full events table.
+    *
+    * Serving-latency note: the per-filter quantities (scoredUsers, cnt) are
+    * ESTIMATED from one count() on the caller's users frame — typically one
+    * literal row in a RECOMMEND workload — scaled by the memoized corpus
+    * stats under a uniform-activity assumption. Measuring uRatings itself
+    * (semi-join + aggregation over the whole events frame) would charge a
+    * corpus-wide job to every single-user query; a skew-driven mispick here
+    * costs only the bounded gap between two correct strategies.
     *
     * Bounds: the vector width (model key side — items for itemCF, users for
     * userCF) must fit [[Similarity.DenseDimLimit]]; the broadcast side is
@@ -93,7 +101,7 @@ object Scoring {
     * [[Similarity.DenseEntityLimit]] and [[DenseBroadcastCells]], mirroring
     * the model build's check.
     */
-  private def pickDense(ratings: DataFrame, uRatings: DataFrame,
+  private def pickDense(ratings: DataFrame, users: Option[DataFrame],
       model: DataFrame, dimKey: String, c: EventCols,
       strategy: String): Boolean =
     strategy match {
@@ -102,29 +110,36 @@ object Scoring {
     case "auto" =>
       val key = (ratings.queryExecution.analyzed.canonicalized,
         model.queryExecution.analyzed.canonicalized,
-        uRatings.queryExecution.analyzed.canonicalized,
+        users.map(_.queryExecution.analyzed.canonicalized),
         s"score|$dimKey")
       Similarity.memoized(key) {
         // user-INDEPENDENT stats memoized on (ratings, model) alone: a
         // RECOMMEND-workload stream of per-user queries re-keys only on the
-        // uRatings filter, so these two jobs must not re-run per user.
+        // users filter, so these two jobs must not re-run per user.
         val statsKey = (ratings.queryExecution.analyzed.canonicalized,
           model.queryExecution.analyzed.canonicalized, s"scorestats|$dimKey")
-        val (dims, items, n, modelRows) = Similarity.memoizedStats(statsKey) {
-          val row = ratings.agg(countDistinct(col(dimKey)).as("dims"),
-            countDistinct(col(c.item)).as("items"),
-            count(lit(1)).as("n")).head()
-          (row.getLong(0), row.getLong(1), row.getLong(2), model.count())
-        }
-        if (dims > Similarity.DenseDimLimit || dims == 0L ||
+        val (dims, items, usersTot, n, modelRows) =
+          Similarity.memoizedStats(statsKey) {
+            val row = ratings.agg(countDistinct(col(dimKey)).as("dims"),
+              countDistinct(col(c.item)).as("items"),
+              countDistinct(col(c.user)).as("users"),
+              count(lit(1)).as("n")).head()
+            (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+              model.count())
+          }
+        if (dims > Similarity.DenseDimLimit || dims == 0L || usersTot == 0L ||
             items > Similarity.DenseEntityLimit ||
             dims * items > DenseBroadcastCells) false
         else {
-          // the only per-user-filter measurement, in ONE job
-          val urow = uRatings.agg(countDistinct(col(c.user)).as("u"),
-            count(lit(1)).as("cnt")).head()
-          val scoredUsers = urow.getLong(0)
-          val estJoinRows = 2.0 * modelRows * (urow.getLong(1).toDouble / dims)
+          // per-filter estimate from the (structurally small) users frame —
+          // the only non-memoized job, and it never touches the events frame
+          val scoredUsers = users match {
+            case Some(u) =>
+              math.min(u.select(col(c.user)).distinct().count(), usersTot)
+            case None => usersTot
+          }
+          val cntEst = n.toDouble * scoredUsers / usersTot
+          val estJoinRows = 2.0 * modelRows * (cntEst / dims)
           val denseRowEquiv = scoredUsers.toDouble * items * dims /
             Similarity.DenseJoinCostRatio + n
           denseRowEquiv < estJoinRows
@@ -180,7 +195,7 @@ object Scoring {
       c: EventCols = EventCols(), users: Option[DataFrame] = None,
       strategy: String = "auto"): DataFrame = {
     val uRatings = restrict(ratings, users, c)
-    if (pickDense(ratings, uRatings, userModel, c.user, c, strategy))
+    if (pickDense(ratings, users, userModel, c.user, c, strategy))
       return userCFDense(ratings, userModel, c, users)
     val uavg = uRatings.groupBy(col(c.user).as("u"))
       .agg(avg(col(c.rating)).as("ubar"))
