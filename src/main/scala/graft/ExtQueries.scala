@@ -92,6 +92,21 @@ object ExtQueries {
       Joins.bloomSemiJoin(li, hi, "l_orderkey", "o_orderkey",
         expectedItems = 100000L, fpp = 0.03)
     }),
+    // Z-order layout round-trip: write orders clustered by the Morton code
+    // of (custkey, totalprice), box-query the clustered copy. Results are
+    // layout-invariant (the oracle reads the original table); the pruning
+    // effect itself is asserted in LayoutSpec via scan metrics.
+    "q_zorder_scan" -> ((s, d) => {
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_zorder", java.lang.Integer.toHexString(d.hashCode)).toString
+      val orders = Tables.read(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      graft.sources.Layout.zorderWrite(orders,
+        Seq("o_custkey", "o_totalprice"), base, files = 16)
+      s.read.parquet(base)
+        .where(col("o_custkey") <= 150L && col("o_totalprice") <= 100000.0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
     // Span-level dedup: non-overlapping 10-token chunks occurring in more
     // than one document — the repeated-passage signal used for substring
     // dedup of training corpora.
@@ -170,6 +185,9 @@ object ExtQueries {
       """SELECT l_orderkey, l_extendedprice FROM lineitem
         |WHERE l_orderkey IN
         |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)""".stripMargin,
+    "q_zorder_scan" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey <= 150 AND o_totalprice <= 100000""".stripMargin,
     "p_chunk_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |c AS (

@@ -131,6 +131,15 @@ object PipelineQueries {
         .groupBy("token").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token"))
         .limit(100)),
+    // Sketch-screened exact heavy hitters: the count-min sketch bounds which
+    // tokens CAN reach the aggregation (no false negatives — CMS only
+    // over-counts), the exact re-count drops its false positives; the Zipf
+    // tail never shuffles. Result == plain GROUP BY ... HAVING.
+    "p_heavy_hitters" -> ((s, d) =>
+      graft.ops.Sketch.heavyValues(docs(s, d), TextOps.tokens(col("text")),
+        "token", minCount = 200)
+        .where(col("token") =!= "")
+        .select(col("token"), col("cnt"))),
     // Overlapping context-window chunking: 20-token windows every 10 tokens
     // (map-side only — the pre-tokenization splitter for training shards).
     "p_doc_chunks" -> ((s, d) =>
@@ -404,6 +413,12 @@ object PipelineQueries {
         |GROUP BY token
         |ORDER BY n DESC, token
         |LIMIT 100""".stripMargin,
+    "p_heavy_hitters" ->
+      """SELECT token, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE token <> ''
+        |GROUP BY token
+        |HAVING count(*) >= 200""".stripMargin,
     "p_doc_chunks" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |x AS (

@@ -97,6 +97,20 @@ object RecQueries {
       round6(IncrementalSimilarity.cosineFromState(st, "item1", "item2"),
         Seq("item1", "item2"), "similarity")
     }),
+    // Pearson incremental maintenance: entity means SHIFT under a delta, but
+    // the sufficient statistics (per-entity n/Σr/Σr², per-pair nco/Σab/Σa/Σb)
+    // merge; the projection re-reads the merged entity stats so the shift is
+    // free. Hash-equal to the full Pearson build's oracle.
+    "r_itempear_incr" -> ((s, d) => {
+      import graft.recdb.IncrementalSimilarity
+      val r = ratings(s, d)
+      val hist = r.where(col("userid") % 3 =!= 0)
+      val delta = r.where(col("userid") % 3 === 0)
+      val st = IncrementalSimilarity.updateItemPearsonState(
+        IncrementalSimilarity.itemPearsonState(hist, c), hist, delta, c)
+      round6(IncrementalSimilarity.pearsonFromState(st, "item1", "item2"),
+        Seq("item1", "item2"), "similarity")
+    }),
     // RecView serving path end-to-end (SURVEY.md §1.1): CREATE RECOMMENDER →
     // materializeView → recommendFromView → filter/top-k over the parquet
     // view. The reference created the view table but left its read path dead
@@ -374,6 +388,7 @@ object RecQueries {
     "r_usercf_topk" -> scoresSelect(userCfCte(pearson = false), topk = true),
     "r_recommend_sql" -> scoresSelect(itemCfCte(pearson = false), topk = true),
     "r_itemcos_incr" -> modelSelect("item", pearson = false),
+    "r_itempear_incr" -> modelSelect("item", pearson = true),
     "r_recview_topk" -> scoresSelect(itemCfCte(pearson = false), topk = true),
     "r_multirec" -> multirecSql,
   )

@@ -25,6 +25,30 @@ class PipelineOpsSpec extends SparkSpec {
     want.length shouldBe 384 // 5000/13
   }
 
+  test("heavyHitters == plain GROUP BY HAVING, including under a coarse sketch") {
+    // Zipf-ish key distribution: key i appears ~ 3000/i times
+    val rows = (1 to 300).flatMap(i => Seq.fill(3000 / i)(s"k$i")).toDF("k")
+    val want = rows.groupBy("k").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 100)
+      .as[(String, Long)].collect().sortBy(_._1)
+    val got = Sketch.heavyHitters(rows, "k", minCount = 100)
+      .as[(String, Long)].collect().sortBy(_._1)
+    got shouldBe want
+    // a deliberately coarse sketch (heavy over-counting) must still be exact:
+    // over-counting only adds false CANDIDATES, which the re-count removes
+    val coarse = Sketch.heavyHitters(rows, "k", minCount = 100,
+      eps = 0.05, confidence = 0.7)
+      .as[(String, Long)].collect().sortBy(_._1)
+    coarse shouldBe want
+    // long key type goes through the string cast path
+    val longKeys = (1 to 50).flatMap(i => Seq.fill(i * 4)(i.toLong)).toDF("k")
+    val gotL = Sketch.heavyHitters(longKeys, "k", minCount = 100)
+      .select(col("k").cast("long"), col("cnt"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    gotL shouldBe longKeys.groupBy("k").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 100).as[(Long, Long)].collect().sortBy(_._1)
+  }
+
   test("stratifiedHashSample: deterministic, a subset, near the target rates") {
     val s1 = Sampling.stratifiedHashSample(documents, "lang", "doc_id",
       Map("en" -> 0.1), defaultRate = 0.5)
