@@ -65,6 +65,40 @@ object Layout {
     }, bits)
   }
 
+  /** Compact a parquet directory to ~`targetFileBytes` output files — the
+    * small-file hygiene pass every long-running ingest needs: streaming
+    * sinks and per-batch appends accumulate thousands of KB-sized files
+    * whose open/footer overhead eventually dominates scans and whose count
+    * explodes driver file-listing memory. Sizing reads the CURRENT on-disk
+    * bytes (compressed) from the filesystem, not a row count, so it holds
+    * at any schema/scale; the rewrite swaps atomically via a temp dir (the
+    * same contract as [[EventSources.upsertByKey]] — at cluster scale a
+    * table format makes this a metadata transaction instead).
+    *
+    * Returns (filesBefore, filesAfter).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFileBytes: Long = 128L << 20): (Int, Int) = {
+    def parquetFiles(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(parquetFiles)
+      else if (f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+        Seq(f)
+      else Seq.empty
+    val before = parquetFiles(new java.io.File(path))
+    val bytes = before.map(_.length()).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val tmp = path + ".__compact"
+    // coalesce, not repartition: narrow dependency, no shuffle — compaction
+    // is an I/O rewrite, the data need not move between keys
+    spark.read.parquet(path).coalesce(n)
+      .write.mode("overwrite").parquet(tmp)
+    val after = parquetFiles(new java.io.File(tmp)).size
+    graft.Exec.deletePath(path)
+    if (!new java.io.File(tmp).renameTo(new java.io.File(path)))
+      throw new java.io.IOException(s"compact swap failed: $tmp -> $path")
+    (before.size, after)
+  }
+
   /** Write `df` as parquet clustered by the z-order of `cols`:
     * range-partition on the z-value (each output file covers a contiguous
     * z-range, i.e. a tight hyper-rectangle) and sort within partitions so

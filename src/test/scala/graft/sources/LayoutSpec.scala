@@ -40,6 +40,21 @@ class LayoutSpec extends SparkSpec {
     got shouldBe Array(0L, 1L, 2L, 3L, 14L, 55L)
   }
 
+  test("compact: many small files -> few, data identical, atomic swap") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val path = s"$base/t"
+    val data = (1L to 50000L).map(i => (i, i % 997)).toDF("id", "v")
+    data.repartition(64).write.parquet(path)
+    val (nb, na) = Layout.compact(spark, path, targetFileBytes = 1L << 20)
+    nb shouldBe 64
+    na should be < 8
+    val back = spark.read.parquet(path)
+    back.count() shouldBe 50000L
+    back.agg(sum("id"), sum("v")).head() shouldBe
+      data.agg(sum("id"), sum("v")).head()
+    graft.Exec.deletePath(base)
+  }
+
   test("z-ordered layout prunes a box query; results equal the random layout") {
     val rnd = new scala.util.Random(7)
     val data = (1 to 200000).map { i =>
