@@ -62,6 +62,12 @@ object PipelineQueries {
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
           round(col("cos"), 6).as("cos"))
     }),
+    "p_knn_pq" -> ((s, d) => { // rows-only: sample-trained codebooks not in DuckDB
+      val e = emb(s, d)
+      Ann.pqTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
+          round(col("cos"), 6).as("cos"))
+    }),
     "p_embed_neardup" -> ((s, d) =>
       Ann.cosinePairs(emb(s, d), "vec_id", "embedding", threshold = 0.45)
         .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))),

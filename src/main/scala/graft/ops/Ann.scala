@@ -157,6 +157,138 @@ object Ann {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** Product-quantization codebooks: the embedding dimension is split into
+    * `m` disjoint subspaces and each subspace gets its own `k`-centroid
+    * codebook, trained by seeded Lloyd iterations on a DRIVER-SIDE sample —
+    * PQ codebooks are sample-trained by design (FAISS trains on ≤ a few
+    * hundred thousand vectors regardless of corpus size), so the train step
+    * costs one bounded collect at any corpus scale.
+    * Returns codebooks(m)(k)(dim/m).
+    */
+  def pqTrain(corpus: DataFrame, vecCol: String, m: Int, k: Int,
+      sampleN: Int = 10000, iters: Int = 10,
+      seed: Long = 42L): Array[Array[Array[Double]]] = {
+    val sample = corpus.select(col(vecCol).cast("array<double>").as("v"))
+      .limit(sampleN).collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "pqTrain: empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"pqTrain: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val rnd = new scala.util.Random(seed)
+    Array.tabulate(m) { j =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      // seeded init from distinct sample points; classic Lloyd
+      var cents = rnd.shuffle(sub.toSeq).take(k).map(_.clone()).toArray
+      while (cents.length < k) cents :+= sub(rnd.nextInt(sub.length)).clone()
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(k)(new Array[Double](dsub))
+        val counts = new Array[Int](k)
+        sub.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue
+          for (c <- 0 until k) {
+            var d = 0.0; var i = 0
+            while (i < dsub) { val t = v(i) - cents(c)(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < dsub) { sums(best)(i) += v(i); i += 1 }
+        }
+        for (c <- 0 until k if counts(c) > 0; i <- 0 until dsub)
+          cents(c)(i) = sums(c)(i) / counts(c)
+      }
+      cents
+    }
+  }
+
+  /** PQ-encode: (id, codes ARRAY<INT> length m, rn2 = |reconstruction|²).
+    * Pure map-side codegen HOFs over the broadcast codebook literal — per
+    * row m·k·(dim/m) fused multiply-adds, then the 4-byte-per-subspace code
+    * is all that ever reaches state or the wire (dim/m × compression).
+    * rn2 is exact for the reconstruction because subspaces are disjoint
+    * coordinates: |x̂|² = Σ_j |cb_j[code_j]|².
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val k = codebooks.head.length
+    val dsub = codebooks.head.head.length
+    val cbLit = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val cbN2 = typedLit(codebooks.map(_.map(c => c.map(x => x * x).sum).toSeq).toSeq)
+    val v = col("__v")
+    def subv(j: Column) = slice(v, j * dsub + 1, lit(dsub))
+    val codes = transform(sequence(lit(0), lit(m - 1)), j => {
+      val cb = element_at(cbLit, j + 1)
+      // rank centroids by |c|² − 2·v_j·c (v_j² constant per row); struct
+      // ordering tie-breaks on centroid id — deterministic
+      val scored = transform(sequence(lit(0), lit(k - 1)), c => struct(
+        (element_at(element_at(cbN2, j + 1), c + 1) -
+          dot(subv(j), element_at(cb, c + 1)) * 2).as("d"), c.as("c")))
+      array_min(scored).getField("c")
+    })
+    df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("__v"))
+      .select(col("id"), codes.as("codes"))
+      .withColumn("rn2", aggregate(
+        zip_with(col("codes"), sequence(lit(0), lit(m - 1)), (c, j) =>
+          element_at(element_at(cbN2, j + 1), c + 1)), lit(0.0), (a, x) => a + x))
+  }
+
+  /** PQ top-k via asymmetric distance (ADC) + exact rerank: each query
+    * builds ONE m×k inner-product lookup table against the codebooks;
+    * scoring a corpus row is then m table lookups + adds over its codes —
+    * never touching the original vectors. The ADC pass keeps a
+    * `rerank`·k shortlist per query, whose ORIGINAL vectors (that tiny
+    * semi-joined subset only) are scored exactly for the final ranking —
+    * the standard IVF/PQ serving shape: compressed codes bound the scan
+    * cost, the exact pass restores precision on the shortlist.
+    * Output: (query_id, neighbor_id, rank, cos) — cos is exact.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 8, kcent: Int = 32,
+      rerank: Int = 4, codebooksOpt: Option[Array[Array[Array[Double]]]] = None,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cb = codebooksOpt.getOrElse(pqTrain(corpus, vecCol, m, kcent, seed = seed))
+    val kc = cb.head.length
+    val dsub = cb.head.head.length
+    val cbLit = typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+    val codes = pqEncode(corpus, idCol, vecCol, cb)
+      .select(col("id").as("neighbor_id"), col("codes"), sqrt(col("rn2")).as("cn"))
+    val qv = col("__q")
+    val table = transform(sequence(lit(0), lit(m - 1)), j =>
+      transform(sequence(lit(0), lit(kc - 1)), c =>
+        dot(slice(qv, j * dsub + 1, lit(dsub)),
+          element_at(element_at(cbLit, j + 1), c + 1))))
+    val qs = queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("__q"))
+      .withColumn("qn", sqrt(dot(qv, qv)))
+      .select(col("query_id"), col("qn"), table.as("t"))
+    val adc = codes.crossJoin(broadcast(qs))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (aggregate(zip_with(col("codes"), col("t"), (c, tj) =>
+          element_at(tj, c + 1)), lit(0.0), (a, x) => a + x) /
+          (col("qn") * col("cn"))).as("adc"))
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val shortlist = adc.withColumn("__r", row_number().over(wAdc))
+      .where(col("__r") <= k * rerank)
+      .select("query_id", "neighbor_id")
+    // exact pass over the shortlist only: original vectors are semi-joined
+    // in, never scanned corpus-wide
+    val cvs = withNorm(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
+    val qvs = withNorm(queries, idCol, vecCol, "query_id", "qv", "qn")
+    val exact = shortlist
+      .join(cvs, Seq("neighbor_id"))
+      .join(broadcast(qvs), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
   /** IVF top-k: KMeans coarse quantizer (seeded), assign corpus to nearest
     * centroid, probe `nprobe` centroids per query, exact rerank inside probed
     * cells. Output: (query_id, neighbor_id, rank, cos).

@@ -196,6 +196,29 @@ class OpsSpec extends SparkSpec {
       s"IVF recall ${ivf.intersect(brute).size}/50")
   }
 
+  test("PQ topk: ADC recall vs brute above floor; codes are m small ints") {
+    val qs = embeddings.where(col("vec_id") < 5)
+    val brute = Ann.bruteTopK(embeddings, qs, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Ann.pqTopK(embeddings, qs, "vec_id", "embedding", 10,
+      m = 8, kcent = 32)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    pq.size shouldBe 50
+    assert(pq.intersect(brute).size >= 25, // ≥50% recall at m=8,k=32
+      s"PQ recall ${pq.intersect(brute).size}/50")
+    // encode invariants: m codes in [0, k), reconstruction norm positive
+    val cb = Ann.pqTrain(embeddings, "embedding", m = 8, k = 32)
+    val enc = Ann.pqEncode(embeddings, "vec_id", "embedding", cb).collect()
+    enc.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      codes.length shouldBe 8
+      codes.foreach(c => assert(c >= 0 && c < 32))
+      r.getDouble(2) should be > 0.0
+    }
+  }
+
   test("text ops: deterministic, sane ranges; langid picks a profile language") {
     val stats = documents.select(
       TextOps.tokenCount(col("text")).as("nt"),
