@@ -219,12 +219,15 @@ object Ann {
     def subv(j: Column) = slice(v, j * dsub + 1, lit(dsub))
     val codes = transform(sequence(lit(0), lit(m - 1)), j => {
       val cb = element_at(cbLit, j + 1)
-      // rank centroids by |c|² − 2·v_j·c (v_j² constant per row); struct
-      // ordering tie-breaks on centroid id — deterministic
-      val scored = transform(sequence(lit(0), lit(k - 1)), c => struct(
-        (element_at(element_at(cbN2, j + 1), c + 1) -
-          dot(subv(j), element_at(cb, c + 1)) * 2).as("d"), c.as("c")))
-      array_min(scored).getField("c")
+      // rank centroids by |c|² − 2·v_j·c (v_j² constant per row);
+      // array_position of the min tie-breaks on the FIRST (lowest-id)
+      // centroid — deterministic, and a much smaller expression tree than a
+      // struct-ordering argmin (HOFs evaluate interpreted; tree size is the
+      // per-row cost)
+      val scored = transform(sequence(lit(0), lit(k - 1)), c =>
+        element_at(element_at(cbN2, j + 1), c + 1) -
+          dot(subv(j), element_at(cb, c + 1)) * 2)
+      (array_position(scored, array_min(scored)) - 1).cast("int")
     })
     df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("__v"))
       .select(col("id"), codes.as("codes"))
