@@ -155,16 +155,7 @@ object RecQueries {
     // (withExtensions is the programmatic route; static conf needs a fresh
     // context), and the caller session is restored immediately.
     "r_recommend_sql" -> ((s, d) => {
-      val ext = {
-        org.apache.spark.sql.SparkSession.clearActiveSession()
-        org.apache.spark.sql.SparkSession.clearDefaultSession()
-        val s2 = org.apache.spark.sql.SparkSession.builder()
-          .withExtensions(e => new graft.sql.GraftSqlExtensions()(e))
-          .getOrCreate()
-        org.apache.spark.sql.SparkSession.setDefaultSession(s)
-        org.apache.spark.sql.SparkSession.setActiveSession(s)
-        s2
-      }
+      val ext = extensionSession(s)
       val r = ratings(ext, d)
       val minUser = r.agg(min(col("userid"))).head().getLong(0)
       r.createOrReplaceTempView("ml_events")
@@ -175,6 +166,27 @@ object RecQueries {
            |ORDER BY round(rating, 6) DESC, itemid LIMIT 10""".stripMargin)
     }),
   )
+
+  /** One extension-enabled session per SparkContext, built lazily and
+    * reused — sessions are long-lived in a real deployment; rebuilding the
+    * parser-injected session (and re-registering its functions) per query
+    * only measures session setup. The caller session stays active/default.
+    */
+  @volatile private var extSession: org.apache.spark.sql.SparkSession = _
+  private def extensionSession(
+      s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
+    synchronized {
+      if (extSession == null || extSession.sparkContext != s.sparkContext) {
+        org.apache.spark.sql.SparkSession.clearActiveSession()
+        org.apache.spark.sql.SparkSession.clearDefaultSession()
+        extSession = org.apache.spark.sql.SparkSession.builder()
+          .withExtensions(e => new graft.sql.GraftSqlExtensions()(e))
+          .getOrCreate()
+        org.apache.spark.sql.SparkSession.setDefaultSession(s)
+        org.apache.spark.sql.SparkSession.setActiveSession(s)
+      }
+      extSession
+    }
 
   // ---- oracle SQL (DuckDB dialect), generated from one parametrization ----
 
