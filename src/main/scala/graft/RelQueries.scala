@@ -286,6 +286,58 @@ object RelQueries {
         |      ORDER BY c.c_acctbal DESC, c.c_custkey) AS rk
         |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
         |) WHERE rk <= 3""".stripMargin),
+    // Window FRAMES beyond rank/navigation (nodeWindowAgg.c frame options):
+    // numeric RANGE frame (peers by value distance), percent_rank/cume_dist
+    // distribution functions, nth_value over the full-partition frame.
+    "q_win_frames" -> q(
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice
+        |    RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW), 4) AS range_sum,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS second_key
+        |FROM orders
+        |WHERE o_custkey % 20 = 0
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)""".stripMargin),
+    // UNPIVOT (wide → long): Spark's generator form via stack(); the oracle
+    // spells it as the equivalent UNION ALL (both engines' portable core).
+    "q_unpivot" -> Q(
+      spark = """SELECT c_custkey, metric, round(value, 4) AS value FROM (
+                |  SELECT c_custkey,
+                |    stack(2, 'acctbal', c_acctbal,
+                |             'nationkey', CAST(c_nationkey AS DOUBLE))
+                |      AS (metric, value)
+                |  FROM customer) WHERE c_custkey % 25 = 0""".stripMargin,
+      duck = """SELECT c_custkey, metric, round(value, 4) AS value FROM (
+               |  SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value
+               |  FROM customer
+               |  UNION ALL
+               |  SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE)
+               |  FROM customer)
+               |WHERE c_custkey % 25 = 0""".stripMargin),
+    // Three-valued-logic corners: null-safe equality (Spark <=>, SQL
+    // standard IS NOT DISTINCT FROM), NULLS FIRST ordering, NULLIF/COALESCE.
+    "q_null_semantics" -> Q(
+      spark = """SELECT o_orderkey,
+                |  nullif(o_custkey % 7, 0) AS k7,
+                |  CASE WHEN (o_custkey % 5) <=> nullif(o_custkey % 7, 0)
+                |       THEN 1 ELSE 0 END AS nullsafe_eq,
+                |  coalesce(nullif(o_custkey % 7, 0), -1) AS k7_filled
+                |FROM orders
+                |ORDER BY k7 ASC NULLS FIRST, o_orderkey
+                |LIMIT 200""".stripMargin,
+      duck = """SELECT o_orderkey,
+               |  nullif(o_custkey % 7, 0) AS k7,
+               |  CASE WHEN (o_custkey % 5) IS NOT DISTINCT FROM nullif(o_custkey % 7, 0)
+               |       THEN 1 ELSE 0 END AS nullsafe_eq,
+               |  coalesce(nullif(o_custkey % 7, 0), -1) AS k7_filled
+               |FROM orders
+               |ORDER BY k7 ASC NULLS FIRST, o_orderkey
+               |LIMIT 200""".stripMargin),
     // Recursive CTE (PG's RecursiveUnion / WorkTableScan, nodeRecursiveunion.c
     // — Spark 4's UnionLoop): walk each nation key up its floor-halving
     // ancestor chain to 0. Dialect split only in the integer-division
