@@ -105,6 +105,42 @@ object Profile {
         println(f"PROFILE scaleprobe events=$nEv model_pairs=$nModel " +
           f"build=$tModel%.1fs sweep_rows=$nScores sweep=$tScores%.1fs " +
           f"users_per_sec=${(nScores / 1000.0) / tScores}%.0f")
+      case s if s.startsWith("deltaprobe") =>
+        // incremental-maintenance cost at generator scale: init the cosine
+        // state from N events, then merge a ~1% delta — the delta merge must
+        // cost a small fraction of the init (cost ∝ delta activity, the
+        // 100 TB argument for mergeable state). Usage: deltaprobe[:rows]
+        import org.apache.spark.sql.functions._
+        import graft.recdb.{EventCols, IncrementalSimilarity}
+        val rows = s.split(":").drop(1).headOption.map(_.toLong).getOrElse(5000000L)
+        val c = graft.Tables.ratingCols
+        val ev = spark.read.format("graft-events")
+          .option("rows", rows).option("users", rows / 100)
+          .option("items", 1000).option("numPartitions", 64).load()
+          .select(col("user_id").as("userid"), col("item_id").as("itemid"),
+            col("value").as("rating"))
+          .groupBy("userid", "itemid").agg(max("rating").as("rating"))
+          .cache()
+        val nEv = ev.count()
+        // split by CELL, not by user: delta events belong to users with
+        // existing history, so the delta×history join (the real merge path)
+        // is exercised, not just within-delta pairs
+        val hist = ev.where((col("userid") * 31 + col("itemid")) % 100 =!= 0).cache()
+        val delta = ev.where((col("userid") * 31 + col("itemid")) % 100 === 0).cache()
+        val (nh, nd) = (hist.count(), delta.count())
+        var t0 = System.nanoTime()
+        val st = IncrementalSimilarity.itemCosineState(hist, c)
+        val stC = graft.recdb.IncrementalSimilarity.SimState(
+          st.dots.cache(), st.norms2.cache())
+        val nPairs = stC.dots.count() + stC.norms2.count()
+        val tInit = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        val merged = IncrementalSimilarity.updateItemCosineState(stC, hist, delta, c)
+        val nMerged = merged.dots.count()
+        val tMerge = (System.nanoTime() - t0) / 1e9
+        println(f"PROFILE deltaprobe events=$nEv hist=$nh delta=$nd " +
+          f"state_rows=$nPairs init=$tInit%.1fs merged_pairs=$nMerged " +
+          f"merge=$tMerge%.1fs ratio=${tMerge / tInit}%.2f")
       case "modelplan" =>
         import graft.recdb.Similarity
         val r = Tables.ratings(spark, sfDir).cache()
