@@ -97,6 +97,26 @@ object RecQueries {
       round6(IncrementalSimilarity.cosineFromState(st, "item1", "item2"),
         Seq("item1", "item2"), "similarity")
     }),
+    // The reference regression file's "Miscellaneous" composition shapes in
+    // one gate (recdb_regression_test.sql:37-42): multi-user IN pre-filter,
+    // item predicate, predicate on the SCORE column (the noFilter quirk —
+    // scores computed before filtering, §2.3 #7), dimension join with ILIKE,
+    // deterministic ORDER BY/LIMIT.
+    "r_rec_compose" -> ((s, d) => {
+      val r = ratings(s, d)
+      val users = r.select(col("userid"))
+        .where(col("userid").isin(1L, 2L, 3L, 5L, 9L)).distinct()
+      val part = Tables.read(s, d, "part")
+        .select(col("p_partkey"), col("p_type"))
+      round6(Scoring.itemCF(r, Similarity.itemCosine(r, c).cache(), c, Some(users)),
+        Seq("userid", "itemid"), "score")
+        .where(col("itemid") < 50 && col("score") >= 10.0)
+        .join(part, col("itemid") === col("p_partkey"))
+        .where(col("p_type").ilike("%med%"))
+        .select(col("userid"), col("itemid"), col("score"), col("p_type"))
+        .orderBy(col("score").desc, col("itemid"), col("userid"))
+        .limit(20)
+    }),
     // Pearson incremental maintenance: entity means SHIFT under a delta, but
     // the sufficient statistics (per-entity n/Σr/Σr², per-pair nco/Σab/Σa/Σb)
     // merge; the projection re-reads the merged entity stats so the shift is
@@ -401,6 +421,18 @@ object RecQueries {
     "r_recommend_sql" -> scoresSelect(itemCfCte(pearson = false), topk = true),
     "r_itemcos_incr" -> modelSelect("item", pearson = false),
     "r_itempear_incr" -> modelSelect("item", pearson = true),
+    "r_rec_compose" ->
+      s"""WITH ${itemCfCte(pearson = false)}
+         |SELECT p.userid, p.itemid, round(coalesce(sc.score, 0), 6) AS score,
+         |  pt.p_type
+         |FROM pairs p
+         |LEFT JOIN scores sc ON p.userid = sc.userid AND p.itemid = sc.itemid
+         |JOIN part pt ON p.itemid = pt.p_partkey
+         |WHERE p.userid IN (1, 2, 3, 5, 9) AND p.itemid < 50
+         |  AND round(coalesce(sc.score, 0), 6) >= 10.0
+         |  AND pt.p_type ILIKE '%med%'
+         |ORDER BY round(coalesce(sc.score, 0), 6) DESC, p.itemid, p.userid
+         |LIMIT 20""".stripMargin,
     "r_recview_topk" -> scoresSelect(itemCfCte(pearson = false), topk = true),
     "r_multirec" -> multirecSql,
   )
