@@ -286,6 +286,47 @@ object RelQueries {
         |      ORDER BY c.c_acctbal DESC, c.c_custkey) AS rk
         |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
         |) WHERE rk <= 3""".stripMargin),
+    // LATERAL correlated subquery (PG 9.3 LATERAL arrived just after the
+    // fork's 9.2, but the SubPlan machinery is the same; Spark 3.2+ supports
+    // lateral subqueries natively): each nation's two highest-balance
+    // customers via a correlated inner LIMIT.
+    "q_lateral" -> q(
+      """SELECT n.n_name, t.c_custkey, t.c_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin),
+    // SQL higher-order functions over arrays (the list-processing surface;
+    // dialect split: Spark transform/filter/aggregate vs DuckDB list_*).
+    "q_array_funcs" -> Q(
+      spark = """SELECT doc_id,
+                |  size(filter(split(text, ' '), w -> length(w) > 4)) AS n_long,
+                |  round(aggregate(transform(split(text, ' '),
+                |    w -> CAST(length(w) AS DOUBLE)), CAST(0.0 AS DOUBLE),
+                |    (a, x) -> a + x), 4) AS total_len,
+                |  array_max(transform(split(text, ' '), w -> length(w))) AS max_len
+                |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
+      duck = """SELECT doc_id,
+               |  len(list_filter(string_split(text, ' '),
+               |    w -> length(w) > 4)) AS n_long,
+               |  round(list_aggregate(list_transform(string_split(text, ' '),
+               |    w -> CAST(length(w) AS DOUBLE)), 'sum'), 4) AS total_len,
+               |  list_max(list_transform(string_split(text, ' '),
+               |    w -> length(w))) AS max_len
+               |FROM documents WHERE doc_id % 10 = 0""".stripMargin),
+    // Ordered string aggregation (listagg/string_agg): deterministic via an
+    // explicit element sort on both engines.
+    "q_string_agg" -> Q(
+      spark = """SELECT c_nationkey,
+                |  array_join(array_sort(collect_list(CAST(c_custkey AS STRING))), ',')
+                |    AS custkeys
+                |FROM customer WHERE c_custkey % 100 = 0
+                |GROUP BY c_nationkey""".stripMargin,
+      duck = """SELECT c_nationkey,
+               |  string_agg(CAST(c_custkey AS VARCHAR), ','
+               |    ORDER BY CAST(c_custkey AS VARCHAR)) AS custkeys
+               |FROM customer WHERE c_custkey % 100 = 0
+               |GROUP BY c_nationkey""".stripMargin),
     // Window FRAMES beyond rank/navigation (nodeWindowAgg.c frame options):
     // numeric RANGE frame (peers by value distance), percent_rank/cume_dist
     // distribution functions, nth_value over the full-partition frame.
