@@ -112,6 +112,31 @@ class PlanSpec extends SparkSpec {
     joins.head.left.toString should include("might_contain")
   }
 
+  test("heavy hitters: sketch screen filters BELOW the aggregation exchange") {
+    // parquet-backed input: a LocalRelation would let Catalyst constant-fold
+    // the screen at optimize time and hide it from the plan
+    val rows = Tables.read(spark, sf, "documents").select(col("lang").as("k"))
+    val p = plan(graft.ops.Sketch.heavyHitters(rows, "k", minCount = 3))
+    // one exchange for the final per-key count — the screened candidates —
+    // and the UDF filter must sit under it (map-side), not above
+    val shuffles = p.collect { case s: ShuffleExchangeLike => s }
+    shuffles.size shouldBe 1
+    shuffles.head.child.toString should include("UDF")
+  }
+
+  test("zorder box query: both range predicates are pushed to the scan") {
+    val base = java.nio.file.Files.createTempDirectory("graft_planz").toString
+    val data = (1 to 5000).map(i => (i.toLong, (i % 97).toLong, (i % 89).toLong))
+      .toDF("id", "x", "y")
+    graft.sources.Layout.zorderWrite(data, Seq("x", "y"), s"$base/t", files = 4)
+    val p = plan(spark.read.parquet(s"$base/t")
+      .where(col("x") <= 10L && col("y") <= 10L).select("id")).toString
+    p should include("PushedFilters")
+    p should include("LessThanOrEqual(x,10)")
+    p should include("LessThanOrEqual(y,10)")
+    graft.Exec.deletePath(base)
+  }
+
   test("contamination pairs: eval n-gram side is broadcast, corpus side is not shuffled for the join") {
     import graft.ops.Corpus
     val docs = Tables.read(spark, sf, "documents")
