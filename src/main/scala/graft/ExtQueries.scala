@@ -80,6 +80,17 @@ object ExtQueries {
         .select(col("user_id"), expr("ts DIV 1000").as("ts_us"))
       Sessions.sessionStats(ev, "user_id", "ts_us", gap = 1800L * 1000000L)
     }),
+    // Fixed-grid resample with forward fill: hourly last-known value per
+    // user — irregular events onto a regular feature grid (gap-fill).
+    "q_resample" -> ((s, d) => {
+      val ev = Tables.read(s, d, "events")
+        .where(col("user_id") % 50 === 0)
+        .select(col("user_id"), expr("ts DIV 1000").as("ts_us"), col("value"))
+      Sessions.resampleLastKnown(ev, "user_id", "ts_us", "value",
+        step = 3600L * 1000000L)
+        .select(col("user_id"), col("bucket"),
+          round(col("v_fill"), 6).as("v_fill"), col("observed"))
+    }),
     // Bloom-filter semi join: lineitem rows of high-value orders. The bloom
     // pre-filter runs at the scan; the exact semi join removes false
     // positives, so the output equals the plain semi join (the oracle).
@@ -181,6 +192,28 @@ object ExtQueries {
         |  max(ts_us) AS t_end, max(ts_us) - min(ts_us) AS duration,
         |  count(*) AS n_events
         |FROM s GROUP BY 1, 2""".stripMargin,
+    "q_resample" ->
+      """WITH w AS (
+        |  SELECT user_id, epoch_us(ts) // 3600000000 AS b,
+        |    epoch_us(ts) AS ts_us, value
+        |  FROM events WHERE user_id % 50 = 0
+        |),
+        |m AS (SELECT user_id, b, max(ts_us) AS mts FROM w GROUP BY 1, 2),
+        |o AS (
+        |  SELECT w.user_id, w.b, max(w.value) AS v
+        |  FROM w JOIN m ON w.user_id = m.user_id AND w.b = m.b
+        |    AND w.ts_us = m.mts
+        |  GROUP BY 1, 2
+        |),
+        |span AS (SELECT user_id, min(b) AS b0, max(b) AS b1 FROM w GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(b0, b1)) AS b FROM span)
+        |SELECT g.user_id, g.b AS bucket,
+        |  round(last_value(o.v IGNORE NULLS) OVER (PARTITION BY g.user_id
+        |    ORDER BY g.b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+        |    AS v_fill,
+        |  CASE WHEN o.v IS NULL THEN 0 ELSE 1 END AS observed
+        |FROM grid g
+        |LEFT JOIN o ON g.user_id = o.user_id AND g.b = o.b""".stripMargin,
     "q_bloom_semi" ->
       """SELECT l_orderkey, l_extendedprice FROM lineitem
         |WHERE l_orderkey IN

@@ -46,4 +46,43 @@ object Sessions {
         max(col(tsCol)).as("t_end"),
         (max(col(tsCol)) - min(col(tsCol))).as("duration"),
         count(lit(1)).as("n_events"))
+
+  /** Resample an irregular per-key time series onto a fixed `step` grid with
+    * forward fill (last known value) — the gap-fill primitive for turning
+    * event streams into regular feature series. Per (key, bucket) the kept
+    * observation is the latest-by-ts (max value on exact-ts ties), a fully
+    * deterministic rule on any engine; each key's grid spans ITS OWN
+    * min..max bucket, so the first grid row is always observed and the fill
+    * never produces nulls.
+    *
+    * Output: (key, bucket, v_fill, observed 0|1).
+    *
+    * Scale: one shuffle keyed (key, bucket) for the per-bucket pick, one
+    * keyed (key) for span + the fill window; the grid explode is map-side.
+    * Size `step` against real spans — a key spanning years at second
+    * granularity explodes its own grid (use a coarser step or split the
+    * span).
+    */
+  def resampleLastKnown(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, step: Long): DataFrame = {
+    require(step > 0, "step must be positive")
+    val obs = df.select(col(keyCol).as("k"), col(tsCol).cast("long").as("t"),
+      col(valueCol).cast("double").as("v"))
+      .withColumn("b", expr(s"t DIV $step"))
+    val latest = obs.groupBy("k", "b").agg(max(col("t")).as("mt"))
+      .select(col("k").as("lk"), col("b").as("lb"), col("mt"))
+    val picked = obs.join(latest,
+        col("k") === col("lk") && col("b") === col("lb") &&
+          col("t") === col("mt"))
+      .groupBy("k", "b").agg(max(col("v")).as("v"))
+    val grid = obs.groupBy(col("k"))
+      .agg(min(col("b")).as("b0"), max(col("b")).as("b1"))
+      .select(col("k"), explode(sequence(col("b0"), col("b1"))).as("b"))
+    val fill = Window.partitionBy(col("k")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(picked, Seq("k", "b"), "left")
+      .select(col("k").as(keyCol), col("b").as("bucket"),
+        last(col("v"), ignoreNulls = true).over(fill).as("v_fill"),
+        when(col("v").isNotNull, 1).otherwise(0).as("observed"))
+  }
 }

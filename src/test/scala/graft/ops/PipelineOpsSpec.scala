@@ -131,6 +131,23 @@ class PipelineOpsSpec extends SparkSpec {
     gotS shouldBe wantS
   }
 
+  test("resampleLastKnown: grid coverage, forward fill, latest-per-bucket pick") {
+    val ev = Seq(
+      // key 1: buckets 0 (two obs, latest t=9 v=5.0), gap at 1-2, obs at 3
+      (1L, 4L, 1.0), (1L, 9L, 5.0), (1L, 31L, 7.0),
+      // key 2: single bucket
+      (2L, 100L, 2.5),
+      // key 1 bucket 0 exact-ts tie at t=9: max value wins -> 5.0 stays
+      (1L, 9L, 4.0))
+      .toDF("k", "t", "v")
+    val got = Sessions.resampleLastKnown(ev, "k", "t", "v", step = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._2))
+    got shouldBe Array(
+      (1L, 0L, 5.0, 1), (1L, 1L, 5.0, 0), (1L, 2L, 5.0, 0), (1L, 3L, 7.0, 1),
+      (2L, 10L, 2.5, 1))
+  }
+
   test("gapSessions/sessionStats == brute-force reference") {
     val rnd = new scala.util.Random(7)
     val events = (1 to 500).map { _ =>
