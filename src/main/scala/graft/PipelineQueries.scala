@@ -137,6 +137,20 @@ object PipelineQueries {
         .groupBy("token").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token"))
         .limit(100)),
+    // Multimodal plumbing end-to-end (rows-only: the batch decoder is the
+    // documented stub): synthetic binary payloads → batched partition-
+    // parallel feature extraction → per-media feature aggregate, plus the
+    // frame-sampling generator.
+    "p_media_features" -> ((s, d) => {
+      val media = graft.ops.Multimodal.syntheticMedia(s, 200)
+      val feats = graft.ops.Multimodal.extractFeatures(media, dim = 16)
+        .select(col("media_id"), size(col("features")).as("n_feat"),
+          round(aggregate(col("features"), lit(0.0d),
+            (a, x) => a + x.cast("double")), 4).as("feat_sum"))
+      val frames = graft.ops.Multimodal.sampleFrames(media, stride = 8)
+        .groupBy("media_id").agg(count(lit(1)).as("n_frames_sampled"))
+      feats.join(frames, Seq("media_id"))
+    }),
     // Sketch-screened exact heavy hitters: the count-min sketch bounds which
     // tokens CAN reach the aggregation (no false negatives — CMS only
     // over-counts), the exact re-count drops its false positives; the Zipf

@@ -61,7 +61,10 @@ object Layout {
       cols.flatMap(c => Seq(min(col(c)).cast("double"),
         max(col(c)).cast("double"))).tail: _*).head()
     interleaveBits(cols.zipWithIndex.map { case (c, i) =>
-      quantize(col(c), row.getDouble(2 * i), row.getDouble(2 * i + 1), bits)
+      // an empty frame has null min/max — any constant keeps the write a
+      // valid (empty) parquet dir instead of an NPE
+      if (row.isNullAt(2 * i)) lit(0L)
+      else quantize(col(c), row.getDouble(2 * i), row.getDouble(2 * i + 1), bits)
     }, bits)
   }
 

@@ -19,6 +19,28 @@ class EdgeCaseSpec extends SparkSpec {
     (1L, ""), (2L, "one"), (3L, "two words"), (4L, "two words")) // short + dup
     .toDF("doc_id", "text")
 
+  test("round-3 ops on empty and degenerate inputs") {
+    val emptyKV = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("k", LongType), StructField("t", LongType),
+        StructField("v", DoubleType))))
+    // resample: empty in, empty out; single row spans one bucket
+    Sessions.resampleLastKnown(emptyKV, "k", "t", "v", 10L).count() shouldBe 0L
+    val one = Sessions.resampleLastKnown(
+      Seq((1L, 7L, 2.0)).toDF("k", "t", "v"), "k", "t", "v", 10L).collect()
+    one.length shouldBe 1
+    one.head.getDouble(2) shouldBe 2.0
+    // heavy hitters: empty in, empty out; threshold above max count -> empty
+    Sketch.heavyHitters(emptyDocs, "text", 1).count() shouldBe 0L
+    Sketch.heavyHitters(degenerate, "text", 100L).count() shouldBe 0L
+    // z-order write of an EMPTY frame must produce a readable empty dir
+    val base = java.nio.file.Files.createTempDirectory("graft_edge_z").toString
+    graft.sources.Layout.zorderWrite(emptyKV.select("k", "t"),
+      Seq("k", "t"), s"$base/z", files = 2)
+    spark.read.parquet(s"$base/z").count() shouldBe 0L
+    graft.Exec.deletePath(base)
+  }
+
   test("dedup family on empty and degenerate docs") {
     Dedup.exact(emptyDocs, Seq("text"), "doc_id").count() shouldBe 0L
     Dedup.exactByHash(emptyDocs, "text", "doc_id").count() shouldBe 0L
