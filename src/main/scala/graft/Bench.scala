@@ -20,21 +20,25 @@ object Bench {
     // a cold local run charges it to whichever query runs first). The cache
     // is cleared afterwards so the timed pass still pays every real model
     // build, shuffle, and scan.
+    // Deterministic name order: Map iteration order shifts whenever the key
+    // set changes, silently reassigning which query pays each shared cache
+    // build — sorted order keeps per-query numbers comparable across rounds.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", sfDir)
     if (warmDir.nonEmpty) {
-      SparkEntry.queries.foreach { case (_, fn) =>
+      ordered.foreach { case (_, fn) =>
         try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
       }
       spark.catalog.clearCache()
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     val qps = workloadQps(spark, sfDir)
     val ups = sweepUsersPerSec(spark, sfDir)
     val vqps = viewQps(spark, sfDir)

@@ -80,6 +80,28 @@ object ExtQueries {
         .select(col("user_id"), expr("ts DIV 1000").as("ts_us"))
       Sessions.sessionStats(ev, "user_id", "ts_us", gap = 1800L * 1000000L)
     }),
+    // Keyed upsert sink round-trip (the ModifyTable UPDATE slot): base =
+    // view events, delta = click events re-keyed onto the same (user, day)
+    // keys with a higher version — read-back must hold exactly the
+    // latest-version row per key. Oracle = window dedup over the union.
+    "q_upsert" -> ((s, d) => {
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_upsert", java.lang.Integer.toHexString(d.hashCode)).toString
+      graft.Exec.deletePath(base) // idempotent across warmup/timed/verify
+      val ev = Tables.read(s, d, "events")
+        .select(col("user_id"), expr("ts DIV 86400000000000").as("day"),
+          expr("ts DIV 1000").as("ver"), col("value"))
+      val first = ev.groupBy("user_id", "day")
+        .agg(min(col("ver")).as("ver"), round(min(col("value")), 6).as("value"))
+      graft.sources.EventSources.upsertByKey(s, base, first,
+        Seq("user_id", "day"), "ver")
+      val delta = ev.groupBy("user_id", "day")
+        .agg(max(col("ver")).as("ver"), round(max(col("value")), 6).as("value"))
+        .where(col("user_id") % 2 === 0)
+      graft.sources.EventSources.upsertByKey(s, base, delta,
+        Seq("user_id", "day"), "ver")
+      s.read.parquet(base).select("user_id", "day", "ver", "value")
+    }),
     // Fixed-grid resample with forward fill: hourly last-known value per
     // user — irregular events onto a regular feature grid (gap-fill).
     "q_resample" -> ((s, d) => {
@@ -192,6 +214,27 @@ object ExtQueries {
         |  max(ts_us) AS t_end, max(ts_us) - min(ts_us) AS duration,
         |  count(*) AS n_events
         |FROM s GROUP BY 1, 2""".stripMargin,
+    "q_upsert" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    epoch_us(ts) AS ver, value
+        |  FROM events
+        |),
+        |firstb AS (
+        |  SELECT user_id, day, min(ver) AS ver, round(min(value), 6) AS value
+        |  FROM ev GROUP BY 1, 2
+        |),
+        |delta AS (
+        |  SELECT user_id, day, max(ver) AS ver, round(max(value), 6) AS value
+        |  FROM ev WHERE user_id % 2 = 0 GROUP BY 1, 2
+        |),
+        |u AS (SELECT * FROM firstb UNION ALL SELECT * FROM delta),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, day
+        |    ORDER BY ver DESC) AS rn
+        |  FROM u
+        |)
+        |SELECT user_id, day, ver, value FROM r WHERE rn = 1""".stripMargin,
     "q_resample" ->
       """WITH w AS (
         |  SELECT user_id, epoch_us(ts) // 3600000000 AS b,
