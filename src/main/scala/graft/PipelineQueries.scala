@@ -137,6 +137,16 @@ object PipelineQueries {
         .groupBy("token").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token"))
         .limit(100)),
+    // The composed cleaning pipeline end-to-end (rows-only: LSH grouping is
+    // not SQL-expressible): quality gate → language gate → exact dedup →
+    // near-dup collapse, emitting the surviving doc ids. CorpusSpec asserts
+    // the semantic invariants (monotone survivor counts, no surviving pair).
+    "p_corpus_clean" -> ((s, d) => {
+      val (cleaned, _) = graft.ops.Corpus.clean(
+        docs(s, d), "doc_id", "text", minQuality = 0.3,
+        langs = Seq.empty, threshold = 0.6)
+      cleaned.select(col("doc_id")).orderBy("doc_id")
+    }),
     // Multimodal plumbing end-to-end (rows-only: the batch decoder is the
     // documented stub): synthetic binary payloads → batched partition-
     // parallel feature extraction → per-media feature aggregate, plus the
