@@ -39,6 +39,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // The workload metrics build their own materialized state; the 90+ gate
+    // queries' leftover cached frames only add GC pressure and run-to-run
+    // noise, so measure from a clean cache.
+    spark.catalog.clearCache()
     val qps = workloadQps(spark, sfDir)
     val ups = sweepUsersPerSec(spark, sfDir)
     val vqps = viewQps(spark, sfDir)
