@@ -31,6 +31,36 @@ class StreamingSpec extends SparkSpec {
     clicks.get.getDouble(3) shouldBe 3.0
   }
 
+  test("late data beyond the watermark is dropped, not merged into closed windows") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = EventStreams.tumblingAgg(df, window_ = "10 minutes",
+      watermark = "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("late_drop")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData((ts(1), "click", 1.0), (ts(4), "click", 2.0))
+    q.processAllAvailable()
+    // advance the watermark far past window [0,10) so it finalizes…
+    mem.addData((ts(40), "view", 9.0))
+    q.processAllAvailable()
+    // …then replay a LATE click into the closed window: it must be DROPPED
+    // (bounded state is the contract that lets the 100 TB stream not grow
+    // state forever), so the emitted count for [0,10) stays 2
+    mem.addData((ts(2), "click", 100.0))
+    q.processAllAvailable()
+    mem.addData((ts(80), "view", 1.0))
+    q.processAllAvailable()
+    val out = spark.table("late_drop").collect()
+    q.stop()
+    val firstWindowClicks = out.filter(r =>
+      r.getString(1) == "click" && r.getTimestamp(0).getTime ==
+        1700000000000L - (1700000000000L % 600000L))
+    firstWindowClicks.length shouldBe 1
+    firstWindowClicks.head.getLong(2) shouldBe 2L
+    firstWindowClicks.head.getDouble(3) shouldBe 3.0 // 1.0 + 2.0, not +100
+  }
+
   test("sessionization: gap split semantics (batch-mode flatMapGroupsWithState)") {
     // flatMapGroupsWithState runs identically over a batch Dataset (state
     // scoped to the batch, timeouts never fire) — the deterministic way to
