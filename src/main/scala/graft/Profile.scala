@@ -105,6 +105,36 @@ object Profile {
         println(f"PROFILE scaleprobe events=$nEv model_pairs=$nModel " +
           f"build=$tModel%.1fs sweep_rows=$nScores sweep=$tScores%.1fs " +
           f"users_per_sec=${(nScores / 1000.0) / tScores}%.0f")
+      case s if s.startsWith("dedupprobe") =>
+        // near-dup detection at synthetic-corpus scale (default 100k docs,
+        // ~20x the sf0.1 documents table; usage: dedupprobe[:n]): docs with
+        // id%20 in {0,1} share a word sequence, the odd mate perturbed by a
+        // prefix word, so n/20 planted pairs sit at jaccard ~0.9. Reports
+        // LSH wall time + planted-pair recall — the MinHash path's cost and
+        // accuracy trajectory for a 100 TB corpus.
+        import org.apache.spark.sql.functions._
+        val n = s.split(":").drop(1).headOption.map(_.toLong).getOrElse(100000L)
+        val grp = when(col("id") % 20 < 2, (col("id") / 20).cast("long") * 20)
+          .otherwise(col("id"))
+        val words = array_join(transform(sequence(lit(0), lit(59)),
+          i => concat(lit("w"), pmod(hash(grp * 53 + i), lit(5000)))), " ")
+        val docs = spark.range(0, n, 1, 64)
+          .select(col("id").as("doc_id"),
+            concat(when(col("id") % 20 === 1, lit("salt ")).otherwise(lit("")),
+              words).as("text"))
+          .cache()
+        docs.count()
+        val t0 = System.nanoTime()
+        val pairs = graft.ops.Dedup.minhashLshPairs(docs, "doc_id", "text",
+          nGram = 3, numPerm = 64, bands = 16, threshold = 0.8)
+          .select(col("id1"), col("id2")).cache()
+        val nPairs = pairs.count()
+        val tLsh = (System.nanoTime() - t0) / 1e9
+        val planted = pairs.where(col("id1") % 20 === 0 &&
+          col("id2") === col("id1") + 1).count()
+        println(f"PROFILE dedupprobe docs=$n pairs=$nPairs " +
+          f"planted_found=$planted/${n / 20} lsh=$tLsh%.1fs " +
+          f"docs_per_sec=${n / tLsh}%.0f")
       case s if s.startsWith("deltaprobe") =>
         // incremental-maintenance cost at generator scale: init the cosine
         // state from N events, then merge a ~1% delta — the delta merge must
