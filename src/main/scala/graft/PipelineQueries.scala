@@ -100,6 +100,13 @@ object PipelineQueries {
       Sampling.stratifiedHashSample(docs(s, d), "lang", "doc_id",
         Map("en" -> 0.1), defaultRate = 0.5)
         .select(col("doc_id"), col("lang"))),
+    // Weight-proportional deterministic sampling: longer documents kept
+    // preferentially, P(keep) = min(1, n_chars/2000), same content-hash
+    // draw as the uniform sampler.
+    "p_weighted_sample" -> ((s, d) =>
+      Sampling.weightedHashSample(docs(s, d), "doc_id", "n_chars",
+        rate = 1.0 / 2000.0)
+        .select(col("doc_id"), col("n_chars"))),
     // Benchmark decontamination: corpus docs (id ≥ 25) sharing any distinct
     // word 5-gram with an eval doc (id < 25), with the shared-gram count.
     "p_contamination" -> ((s, d) => {
@@ -376,6 +383,11 @@ object PipelineQueries {
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
         |        / 16777216.0
         |      < CASE WHEN lang = 'en' THEN 0.1 ELSE 0.5 END""".stripMargin,
+    "p_weighted_sample" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+        |        / 16777216.0
+        |      < least(1.0, CAST(n_chars AS DOUBLE) / 2000.0)""".stripMargin,
     "p_contamination" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |g AS (

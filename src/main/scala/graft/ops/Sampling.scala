@@ -40,6 +40,17 @@ object Sampling {
     df.where(hashUniform(col(keyCol)) < rate)
   }
 
+  /** Weight-proportional deterministic sampling: keep each row with
+    * probability min(1, weight × rate), by the same content-hash draw as
+    * [[hashSample]] — the quality-weighted corpus downsampler (keep long /
+    * high-quality documents preferentially) with the same reproducibility
+    * contract: no RNG, engine-portable, partition-independent.
+    */
+  def weightedHashSample(df: DataFrame, keyCol: String, weightCol: String,
+      rate: Double): DataFrame =
+    df.where(hashUniform(col(keyCol)) <
+      least(lit(1.0), col(weightCol).cast("double") * lit(rate)))
+
   /** Disjoint deterministic train/eval split: eval = hash in [0, evalRate),
     * train = the rest. Same key ⇒ same side, forever — the contamination
     * guarantee a random split cannot give.

@@ -69,6 +69,21 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("weightedHashSample: deterministic subset, inclusion tracks weight") {
+    val rows = (1L to 20000L).map(i => (i, if (i % 2 == 0) 4.0 else 1.0))
+      .toDF("id", "w")
+    val s1 = Sampling.weightedHashSample(rows, "id", "w", rate = 0.1)
+    val s2 = Sampling.weightedHashSample(rows, "id", "w", rate = 0.1)
+    val got = s1.select("id").as[Long].collect().sorted
+    got shouldBe s2.select("id").as[Long].collect().sorted // deterministic
+    val heavy = s1.where(col("w") === 4.0).count().toDouble / 10000
+    val light = s1.where(col("w") === 1.0).count().toDouble / 10000
+    heavy shouldBe 0.4 +- 0.03 // P = w*rate
+    light shouldBe 0.1 +- 0.02
+    // weight >= 1/rate ⇒ certainty
+    Sampling.weightedHashSample(rows, "id", "w", rate = 1.0).count() shouldBe 20000L
+  }
+
   test("trainEvalSplit: disjoint, covering, deterministic") {
     val (train, eval) = Sampling.trainEvalSplit(documents, "doc_id", 0.2)
     val t = train.select("doc_id").as[Long].collect().toSet
