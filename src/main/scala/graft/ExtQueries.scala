@@ -94,12 +94,12 @@ object ExtQueries {
       val first = ev.groupBy("user_id", "day")
         .agg(min(col("ver")).as("ver"), round(min(col("value")), 6).as("value"))
       graft.sources.EventSources.upsertByKey(s, base, first,
-        Seq("user_id", "day"), "ver")
+        Seq("user_id", "day"), "ver", tieBreakCols = Seq("value"))
       val delta = ev.groupBy("user_id", "day")
         .agg(max(col("ver")).as("ver"), round(max(col("value")), 6).as("value"))
         .where(col("user_id") % 2 === 0)
       graft.sources.EventSources.upsertByKey(s, base, delta,
-        Seq("user_id", "day"), "ver")
+        Seq("user_id", "day"), "ver", tieBreakCols = Seq("value"))
       s.read.parquet(base).select("user_id", "day", "ver", "value")
     }),
     // Fixed-grid resample with forward fill: hourly last-known value per
@@ -231,7 +231,7 @@ object ExtQueries {
         |u AS (SELECT * FROM firstb UNION ALL SELECT * FROM delta),
         |r AS (
         |  SELECT *, row_number() OVER (PARTITION BY user_id, day
-        |    ORDER BY ver DESC) AS rn
+        |    ORDER BY ver DESC, value DESC) AS rn
         |  FROM u
         |)
         |SELECT user_id, day, ver, value FROM r WHERE rn = 1""".stripMargin,

@@ -168,7 +168,13 @@ object Ann {
   def pqTrain(corpus: DataFrame, vecCol: String, m: Int, k: Int,
       sampleN: Int = 10000, iters: Int = 10,
       seed: Long = 42L): Array[Array[Array[Double]]] = {
+    // deterministic sample: order by a value hash so the trained codebooks
+    // (and hence the ADC shortlist) don't depend on partition layout/scan
+    // order — xxhash64 over the vector is a pseudo-random but reproducible
+    // key, and limit-after-sort plans as TakeOrderedAndProject (top-N per
+    // partition, no full sort) at any corpus scale
     val sample = corpus.select(col(vecCol).cast("array<double>").as("v"))
+      .orderBy(xxhash64(col("v")), col("v"))
       .limit(sampleN).collect().map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "pqTrain: empty corpus")
     val dim = sample.head.length

@@ -35,10 +35,15 @@ object Sketch {
       eps: Double = 1e-4, confidence: Double = 0.99,
       seed: Int = 42): DataFrame = {
     val keyed = df.select(col(key).cast("string").as("__k"))
+      .where(col("__k").isNotNull) // CMS cannot sketch null keys
     val cms = keyed.stat.countMinSketch("__k", eps, confidence, seed)
     val bc = df.sparkSession.sparkContext.broadcast(cms)
+    // null keys pass the screen unconditionally so the exact re-count
+    // decides them — keeps the bit-identical-to-GROUP-BY/HAVING contract
+    // for null-bearing key columns (a null group is one key; letting it
+    // through costs one shuffled key, never correctness)
     val mightBeHeavy = udf((k: String) =>
-      k != null && bc.value.estimateCount(k) >= minCount)
+      k == null || bc.value.estimateCount(k) >= minCount)
     df.where(mightBeHeavy(col(key).cast("string")))
       .groupBy(col(key))
       .agg(count(lit(1)).as("cnt"))

@@ -80,8 +80,10 @@ final class DeltaSimilarityMaintainer(
   /** The model frame the equivalent full build would produce, from the
     * committed state.
     */
-  def model(spark: SparkSession): DataFrame = {
-    val fs = readFrames(spark, latestVersion)
+  def model(spark: SparkSession): DataFrame = modelAt(spark, latestVersion)
+
+  private def modelAt(spark: SparkSession, v: Long): DataFrame = {
+    val fs = readFrames(spark, v)
     if (pearson)
       IncrementalSimilarity.pearsonFromState(
         IncrementalSimilarity.PearsonState(fs.head, fs(1)), out1, out2)
@@ -90,8 +92,8 @@ final class DeltaSimilarityMaintainer(
         IncrementalSimilarity.SimState(fs.head, fs(1)), out1, out2)
   }
 
-  private def writeModel(spark: SparkSession): Unit =
-    model(spark).write.mode("overwrite").parquet(modelPath)
+  private def writeModel(spark: SparkSession, v: Long): Unit =
+    modelAt(spark, v).write.mode("overwrite").parquet(modelPath)
 
   /** Initialize from a base events snapshot (version 0). */
   def init(base: DataFrame): Unit = {
@@ -112,8 +114,8 @@ final class DeltaSimilarityMaintainer(
         Seq(s.dots, s.norms2)
       }
     writeState(st, 0L)
+    writeModel(spark, 0L)
     commit(0L)
-    writeModel(spark)
   }
 
   /** Merge one micro-batch (idempotent on `batchId`; foreachBatch ids start
@@ -146,8 +148,8 @@ final class DeltaSimilarityMaintainer(
       }
     writeState(merged, v)
     delta.write.mode("overwrite").parquet(s"$eventsDir/batch=$v")
+    writeModel(spark, v)
     commit(v)
-    writeModel(spark)
     true
   }
 

@@ -60,21 +60,24 @@ object EventSources {
     * reads are lazy, so overwriting the directory being read would corrupt
     * the job.
     *
-    * `versionCol` must be unique per key (a timestamp/batch id); ties would
-    * make the survivor nondeterministic. Scale note: this rewrites the whole
+    * `versionCol` should be unique per key (a timestamp/batch id); when it
+    * may tie, pass `tieBreakCols` — they extend the window ordering (DESC)
+    * so the survivor is deterministic. Scale note: this rewrites the whole
     * table — at 100 TB partition the path (e.g. by day) and upsert only the
     * touched partitions, or use a table format (Delta/Iceberg) whose
     * metadata layer makes the swap transactional; the merge-by-window logic
     * here is identical in both worlds.
     */
   def upsertByKey(spark: SparkSession, path: String, delta: DataFrame,
-      keys: Seq[String], versionCol: String): Unit = {
+      keys: Seq[String], versionCol: String,
+      tieBreakCols: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.expressions.Window
     val existing =
       if (new java.io.File(path).exists()) Some(spark.read.parquet(path))
       else None
     val unioned = existing.map(_.unionByName(delta)).getOrElse(delta)
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(versionCol).desc)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((versionCol +: tieBreakCols).map(col(_).desc): _*)
     val merged = unioned.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
     val tmp = path + ".__tmp"

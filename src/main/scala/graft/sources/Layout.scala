@@ -74,9 +74,12 @@ object Layout {
     * whose open/footer overhead eventually dominates scans and whose count
     * explodes driver file-listing memory. Sizing reads the CURRENT on-disk
     * bytes (compressed) from the filesystem, not a row count, so it holds
-    * at any schema/scale; the rewrite swaps atomically via a temp dir (the
-    * same contract as [[EventSources.upsertByKey]] — at cluster scale a
-    * table format makes this a metadata transaction instead).
+    * at any schema/scale; the rewrite swaps via temp dirs — the old dir is
+    * renamed ASIDE before the new one takes its place and deleted only
+    * after, so a crash mid-swap leaves the data recoverable in one of the
+    * two temp dirs rather than gone (same local-FS rendering as
+    * [[EventSources.upsertByKey]]; at cluster scale a table format makes
+    * this a metadata transaction instead).
     *
     * Returns (filesBefore, filesAfter).
     */
@@ -96,9 +99,17 @@ object Layout {
     spark.read.parquet(path).coalesce(n)
       .write.mode("overwrite").parquet(tmp)
     val after = parquetFiles(new java.io.File(tmp)).size
-    graft.Exec.deletePath(path)
-    if (!new java.io.File(tmp).renameTo(new java.io.File(path)))
+    // rename the old dir aside first; delete it only once the new dir is in
+    // place — never a window where the table exists nowhere
+    val old = new java.io.File(path + ".__old")
+    graft.Exec.deletePath(old.getPath)
+    if (!new java.io.File(path).renameTo(old))
+      throw new java.io.IOException(s"compact swap failed: $path -> $old")
+    if (!new java.io.File(tmp).renameTo(new java.io.File(path))) {
+      old.renameTo(new java.io.File(path)) // restore; best-effort
       throw new java.io.IOException(s"compact swap failed: $tmp -> $path")
+    }
+    graft.Exec.deletePath(old.getPath)
     (before.size, after)
   }
 
