@@ -15,6 +15,16 @@ object RecQueries {
   def ratings(spark: SparkSession, dir: String): DataFrame =
     Tables.ratings(spark, dir).cache()
 
+  /** Where r_svd_factor_topk persists its trained factor tables — keyed by
+    * the sf dir so concurrent runs at different scales can't clobber each
+    * other's artifacts between the dump and the DuckDB compare. The oracle
+    * SQL carries the `__SVD_FACTORS__` placeholder; [[graft.Verify]]
+    * substitutes this path when writing oracle_sql.json.
+    */
+  def svdFactorBase(dir: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_svd_factors",
+      java.lang.Integer.toHexString(dir.hashCode)).toString
+
   private def round6(df: DataFrame, cols: Seq[String], value: String): DataFrame =
     df.select((cols.map(col) :+ round(col(value), 6).as(value)): _*)
 
@@ -62,7 +72,7 @@ object RecQueries {
         .orderBy(col("score").desc, col("itemid"))
         .limit(10)
     }),
-    // SVD (ALS) — no DuckDB oracle (gradient trajectories are not
+    // SVD (ALS) TRAIN — no DuckDB oracle (gradient trajectories are not
     // SQL-expressible); the driver records a rows-only check, and
     // RecommenderSpec gates ranking sanity in ScalaTest.
     "r_svd_topk" -> ((s, d) => {
@@ -72,6 +82,30 @@ object RecQueries {
       graft.recdb.Recommender
         .recommend(s, r, s"events@$d", Tables.ratingCols, "svd", None, Some(users))
         .orderBy(round(col("score"), 6).desc, col("itemid"))
+        .limit(10)
+    }),
+    // SVD PREDICT (R14, recathon.c:4373-4433) — hash-gated: the gate trains
+    // once, PERSISTS the factor tables (as doubles), then scores from the
+    // persisted parquet via factorScore; the oracle reads the SAME parquet
+    // and does the dot product + top-k in DuckDB. Training determinism is
+    // irrelevant to the compare — both sides read identical factors — so
+    // this isolates exactly the prediction operator that was previously
+    // only metric-gated. __SVD_FACTORS__ is substituted by Verify/Bench
+    // with svdFactorBase(sfDir).
+    "r_svd_factor_topk" -> ((s, d) => {
+      val base = svdFactorBase(d)
+      val r = ratings(s, d)
+      val (uf, itf) = graft.recdb.FunkSVD.train(r, c)
+      uf.select(col("id"), col("features").cast("array<double>").as("features"))
+        .write.mode("overwrite").parquet(s"$base/user")
+      itf.select(col("id"), col("features").cast("array<double>").as("features"))
+        .write.mode("overwrite").parquet(s"$base/item")
+      val pu = s.read.parquet(s"$base/user")
+      val pi = s.read.parquet(s"$base/item")
+      val minUser = pu.agg(min(col("id"))).head().getLong(0)
+      round6(Scoring.factorScore(pu.where(col("id") === minUser), pi, c),
+        Seq("userid", "itemid"), "score")
+        .orderBy(col("score").desc, col("itemid"))
         .limit(10)
     }),
     "r_usercf_topk" -> ((s, d) => {
@@ -435,5 +469,17 @@ object RecQueries {
          |LIMIT 20""".stripMargin,
     "r_recview_topk" -> scoresSelect(itemCfCte(pearson = false), topk = true),
     "r_multirec" -> multirecSql,
+    // dot-product + top-k over the factor parquet the gate persisted —
+    // the pure-SQL rendering of Scoring.factorScore (R14)
+    "r_svd_factor_topk" ->
+      """WITH uf AS (SELECT * FROM '__SVD_FACTORS__/user/*.parquet'),
+        |itf AS (SELECT * FROM '__SVD_FACTORS__/item/*.parquet')
+        |SELECT u.id AS userid, i.id AS itemid,
+        |  round(list_inner_product(u.features, i.features), 6) AS score
+        |FROM uf u CROSS JOIN itf i
+        |WHERE u.id = (SELECT min(id) FROM uf)
+        |ORDER BY round(list_inner_product(u.features, i.features), 6) DESC,
+        |  i.id
+        |LIMIT 10""".stripMargin,
   )
 }

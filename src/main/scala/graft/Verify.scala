@@ -36,8 +36,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // late-bound artifact paths: some oracles read parquet the gate itself
+    // persisted (e.g. SVD factor tables), at a location keyed by the sf dir
+    // only known here
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace("__SVD_FACTORS__", RecQueries.svdFactorBase(sfDir)))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

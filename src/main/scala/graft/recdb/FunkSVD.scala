@@ -8,11 +8,28 @@ import org.apache.spark.sql.functions._
   *
   * The reference trains Funk-SVD with sequential gradient descent — 50
   * features × 100 epochs, lr 0.001, reg 0.002, init 0.1, residual caching
-  * (recathon.c:2699-2940). That trajectory is inherently sequential; the
-  * Spark-native equivalent is ALS at the same rank (documented divergence,
-  * SURVEY.md §7.3 "hard parts" (b)): same model family, same inference
-  * (dot product, R14), different optimizer, so correctness gates on SVD are
-  * metric-based (ranking agreement) rather than bitwise.
+  * (recathon.c:2699-2940, hard constants at recathon.c:2745,2788-2791).
+  * That trajectory is inherently sequential; the Spark-native equivalent is
+  * ALS at the same rank (documented divergence, SURVEY.md §7.3 "hard parts"
+  * (b)): same model family, same inference (dot product, R14), different
+  * optimizer. The remaining hyperparameters do NOT carry over one-to-one,
+  * deliberately:
+  *   - maxIter=10, not 100: one ALS iteration solves the full regularized
+  *     least-squares problem for every user and item factor in closed form;
+  *     an SGD "epoch" is one lr-0.001 pass over the ratings, so the counts
+  *     are not comparable units. Measured on the sf0.01 holdout split
+  *     (round 4): (10, 0.05) → train RMSE 0.55 / test 216 in 5.4 s;
+  *     the reference constants (100, 0.002) → train RMSE 0.03 / test 220
+  *     in 15.2 s — near-exact train interpolation, identical-within-noise
+  *     holdout error, 3× the cost, and >50 ALS sweeps needs
+  *     setCheckpointDir to avoid a lineage StackOverflow.
+  *   - regParam=0.05, not 0.002: ALS regularization is applied per
+  *     closed-form solve, not per gradient step, so the SGD value does not
+  *     transfer; the measurement above shows 0.002 only buys train-set
+  *     interpolation.
+  * TRAINING is therefore metric-gated (ranking agreement + RMSE floors,
+  * EvalSpec); PREDICTION (the dot product) is hash-gated against a DuckDB
+  * oracle over persisted factor tables (r_svd_factor_topk).
   *
   * Output: (userFactors, itemFactors), each (id LONG, features ARRAY<FLOAT>)
   * — the Spark rendering of the reference's (users|items, feature, value)
