@@ -219,6 +219,25 @@ object RecQueries {
            |WHERE userid = $minUser
            |ORDER BY round(rating, 6) DESC, itemid LIMIT 10""".stripMargin)
     }),
+    // The regression file's JOIN/ALIAS form (recdb_regression_test.sql:39,41)
+    // verbatim through the SQL surface: aliased FROM list, alias-qualified
+    // clause columns, dimension join + ILIKE + ORDER BY/LIMIT — hash-equal
+    // to the same composed DuckDB oracle as the API-path r_rec_compose.
+    "r_recommend_sql_join" -> ((s, d) => {
+      val ext = extensionSession(s)
+      val r = ratings(ext, d)
+      val minUser = r.agg(min(col("userid"))).head().getLong(0)
+      r.createOrReplaceTempView("ml_events")
+      Tables.read(ext, d, "part").select(col("p_partkey"), col("p_type"))
+        .createOrReplaceTempView("part_dim")
+      ext.sql(
+        s"""SELECT r.userid, r.itemid, round(r.rating, 6) AS score, i.p_type
+           |FROM ml_events r, part_dim i
+           |RECOMMEND r.itemid TO r.userid ON r.rating USING itemCosCF
+           |WHERE r.userid = $minUser AND r.itemid = i.p_partkey
+           |  AND i.p_type ILIKE '%med%'
+           |ORDER BY round(r.rating, 6) DESC, r.itemid LIMIT 10""".stripMargin)
+    }),
   )
 
   /** One extension-enabled session per SparkContext, built lazily and
@@ -468,6 +487,17 @@ object RecQueries {
          |ORDER BY round(coalesce(sc.score, 0), 6) DESC, p.itemid, p.userid
          |LIMIT 20""".stripMargin,
     "r_recview_topk" -> scoresSelect(itemCfCte(pearson = false), topk = true),
+    "r_recommend_sql_join" ->
+      s"""WITH ${itemCfCte(pearson = false)}
+         |SELECT p.userid, p.itemid, round(coalesce(sc.score, 0), 6) AS score,
+         |  pt.p_type
+         |FROM pairs p
+         |LEFT JOIN scores sc ON p.userid = sc.userid AND p.itemid = sc.itemid
+         |JOIN part pt ON p.itemid = pt.p_partkey
+         |WHERE p.userid = (SELECT min(userid) FROM ratings)
+         |  AND pt.p_type ILIKE '%med%'
+         |ORDER BY round(coalesce(sc.score, 0), 6) DESC, p.itemid
+         |LIMIT 10""".stripMargin,
     "r_multirec" -> multirecSql,
     // dot-product + top-k over the factor parquet the gate persisted —
     // the pure-SQL rendering of Scoring.factorScore (R14)

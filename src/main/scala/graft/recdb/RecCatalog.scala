@@ -21,7 +21,23 @@ final case class RecEntry(
     updateCounter: Long = 0L,
     queryCounter: Long = 0L,
     viewPath: Option[String] = None,
-    lastBatchId: Long = -1L)
+    lastBatchId: Long = -1L,
+    // corpus stats captured at CREATE time (-1 = unknown, pre-stats entry):
+    // they make the scoring strategy pick job-free on the catalog-hit path
+    nUsers: Long = -1L,
+    nItems: Long = -1L,
+    modelRows: Long = -1L) {
+
+  /** Stats for [[Scoring]]'s strategy pick, when this entry carries them.
+    * The dims orientation follows the method: item models span items,
+    * user models span users.
+    */
+  def scoreStats: Option[Scoring.ScoreStats] =
+    if (nUsers < 0 || nItems < 0 || modelRows < 0) None
+    else Some(Scoring.ScoreStats(
+      dims = if (RecMethod.isUserBased(method)) nUsers else nItems,
+      items = nItems, users = nUsers, n = eventTotal, modelRows = modelRows))
+}
 
 /** File-backed catalog: one properties file per recommender under `dir`.
   * Replaces the reference's RecModelsCatalogue/RecIndex SQL tables
@@ -53,7 +69,10 @@ final class RecCatalog(dirStr: String) {
         updateCounter = p.getProperty("updateCounter", "0").toLong,
         queryCounter = p.getProperty("queryCounter", "0").toLong,
         viewPath = Option(p.getProperty("viewPath")).filter(_.nonEmpty),
-        lastBatchId = p.getProperty("lastBatchId", "-1").toLong))
+        lastBatchId = p.getProperty("lastBatchId", "-1").toLong,
+        nUsers = p.getProperty("nUsers", "-1").toLong,
+        nItems = p.getProperty("nItems", "-1").toLong,
+        modelRows = p.getProperty("modelRows", "-1").toLong))
     }
   }
 
@@ -86,6 +105,9 @@ final class RecCatalog(dirStr: String) {
     p.setProperty("queryCounter", e.queryCounter.toString)
     e.viewPath.foreach(p.setProperty("viewPath", _))
     p.setProperty("lastBatchId", e.lastBatchId.toString)
+    p.setProperty("nUsers", e.nUsers.toString)
+    p.setProperty("nItems", e.nItems.toString)
+    p.setProperty("modelRows", e.modelRows.toString)
     val out = Files.newOutputStream(file(e.name))
     try p.store(out, "graft recommender catalog entry") finally out.close()
   }

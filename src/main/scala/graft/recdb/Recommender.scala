@@ -40,7 +40,12 @@ object Recommender {
       s"recommender '$name' already exists (recathon.c:836)")
     require(catalog.findByTagAndMethod(eventsTag, method).isEmpty,
       s"a recommender on ($eventsTag, ${method.name}) already exists (recathon.c:844)")
-    val eventTotal = events.count()
+    // corpus stats captured once here (one aggregation job) make every later
+    // catalog-hit scoring strategy pick pure — no stats jobs at query time
+    val statRow = events.agg(count(lit(1)),
+      countDistinct(col(c.user)), countDistinct(col(c.item))).head()
+    val (eventTotal, nUsers, nItems) =
+      (statRow.getLong(0), statRow.getLong(1), statRow.getLong(2))
     val paths = method match {
       case RecMethod.SVD =>
         val (uf, itf) = FunkSVD.train(events, c)
@@ -55,8 +60,15 @@ object Recommender {
         model.write.mode("overwrite").parquet(p)
         Seq(p)
     }
+    // model row count read back from the written parquet footers (metadata
+    // scan, no recompute of the model)
+    val modelRows = method match {
+      case RecMethod.SVD => 0L
+      case _ => spark.read.parquet(paths.head).count()
+    }
     val entry = RecEntry(name, eventsTag, c.user, c.item, c.rating, method,
-      paths, eventTotal)
+      paths, eventTotal, nUsers = nUsers, nItems = nItems,
+      modelRows = modelRows)
     catalog.put(entry)
     entry
   }
@@ -90,7 +102,8 @@ object Recommender {
     */
   def recommend(spark: SparkSession, events: DataFrame, eventsTag: String,
       c: EventCols, methodStr: String, catalog: Option[RecCatalog] = None,
-      users: Option[DataFrame] = None): DataFrame = {
+      users: Option[DataFrame] = None,
+      scoredUsersHint: Option[Long] = None): DataFrame = {
     val method = RecMethod.parse(methodStr)
     val hit = catalog.flatMap(_.findByTagAndMethod(eventsTag, method))
     hit.foreach { e => // R18 query-counter bookkeeping
@@ -100,8 +113,12 @@ object Recommender {
       case RecMethod.SVD =>
         val (uf, itf) = hit match {
           case Some(e) =>
-            (spark.read.parquet(e.modelPaths.head),
-              spark.read.parquet(e.modelPaths(1)))
+            // explicit schemas: the model layout is an engine contract
+            // (LONG ids, utility.c:310-317), and skipping parquet schema
+            // inference keeps the catalog-hit read job-free — EXPLAIN stays
+            // zero-job and per-query serving skips a footer-listing job
+            (spark.read.schema(factorSchema).parquet(e.modelPaths.head),
+              spark.read.schema(factorSchema).parquet(e.modelPaths(1)))
           case None => FunkSVD.train(events, c)
         }
         val scoped = users match {
@@ -112,7 +129,8 @@ object Recommender {
         Scoring.factorScore(scoped, itf, c)
       case m =>
         val model = hit match {
-          case Some(e) => spark.read.parquet(e.modelPaths.head)
+          case Some(e) =>
+            spark.read.schema(modelSchema(m)).parquet(e.modelPaths.head)
           // on-the-fly model is cached because scoring consumes both triangle
           // halves; Spark's cache manager dedupes by plan, so repeated
           // identical OP_GENERATE queries share one entry. Long-lived
@@ -120,8 +138,15 @@ object Recommender {
           // rather than re-deriving per query.
           case None => buildSimilarity(events, c, m).cache()
         }
-        if (RecMethod.isUserBased(m)) Scoring.userCF(events, model, c, users)
-        else Scoring.itemCF(events, model, c, users)
+        // catalog-hit entries carry corpus stats from CREATE time, making the
+        // strategy pick pure (no jobs at plan-construction/EXPLAIN time)
+        val stats = hit.flatMap(_.scoreStats)
+        if (RecMethod.isUserBased(m))
+          Scoring.userCF(events, model, c, users, stats = stats,
+            scoredUsersHint = scoredUsersHint)
+        else
+          Scoring.itemCF(events, model, c, users, stats = stats,
+            scoredUsersHint = scoredUsersHint)
     }
   }
 
@@ -158,6 +183,24 @@ object Recommender {
   def recommendFromView(spark: SparkSession, name: String,
       catalog: RecCatalog): Option[DataFrame] =
     catalog.get(name).flatMap(_.viewPath).map(spark.read.parquet(_))
+
+  /** Persisted model-table schemas — the engine contract for catalog-hit
+    * reads (LONG keys per FIXTURES.md; the reference's model tables are
+    * (entity1, entity2, similarity), utility.c:141-142).
+    */
+  private def modelSchema(m: RecMethod): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    val (a, b) =
+      if (RecMethod.isUserBased(m)) ("user1", "user2") else ("item1", "item2")
+    StructType(Seq(StructField(a, LongType), StructField(b, LongType),
+      StructField("similarity", DoubleType)))
+  }
+
+  private val factorSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("id", LongType),
+      StructField("features", ArrayType(FloatType))))
+  }
 
   private[recdb] def buildSimilarity(events: DataFrame, c: EventCols,
       m: RecMethod): DataFrame = m match {

@@ -32,6 +32,22 @@ import graft.functions.VectorFns
   */
 object Scoring {
 
+  /** Corpus statistics for the scoring strategy pick, when the caller already
+    * knows them (e.g. from the recommender catalog, computed once at CREATE
+    * time): providing them makes `pickDense` a PURE function — no stats jobs
+    * run during plan construction, which is what keeps EXPLAIN on a
+    * materialized RECOMMEND query job-free.
+    *
+    * @param dims      distinct values of the model's dimension key
+    *                  (items for itemCF, users for userCF)
+    * @param items     distinct items in the events table
+    * @param users     distinct users in the events table
+    * @param n         event count
+    * @param modelRows rows in the similarity model
+    */
+  final case class ScoreStats(dims: Long, items: Long, users: Long, n: Long,
+      modelRows: Long)
+
   /** Expand a triangular model to both directions for scoring sweeps —
     * replaces the reference's two-half probe (recathon.c:4025-4079).
     */
@@ -45,9 +61,11 @@ object Scoring {
     */
   def itemCF(ratings: DataFrame, itemModel: DataFrame,
       c: EventCols = EventCols(), users: Option[DataFrame] = None,
-      strategy: String = "auto"): DataFrame = {
+      strategy: String = "auto", stats: Option[ScoreStats] = None,
+      scoredUsersHint: Option[Long] = None): DataFrame = {
     val uRatings = restrict(ratings, users, c)
-    if (pickDense(ratings, users, itemModel, c.item, c, strategy))
+    if (pickDense(ratings, users, itemModel, c.item, c, strategy, stats,
+        scoredUsersHint))
       return itemCFDense(ratings, itemModel, c, users)
     val sym = symmetric(itemModel, "item1", "item2")
     val scores = sym
@@ -103,47 +121,57 @@ object Scoring {
     */
   private def pickDense(ratings: DataFrame, users: Option[DataFrame],
       model: DataFrame, dimKey: String, c: EventCols,
-      strategy: String): Boolean =
+      strategy: String, providedStats: Option[ScoreStats] = None,
+      scoredUsersHint: Option[Long] = None): Boolean =
     strategy match {
     case "dense" => true
     case "join" => false
     case "auto" =>
-      val key = (ratings.queryExecution.analyzed.canonicalized,
-        model.queryExecution.analyzed.canonicalized,
-        users.map(_.queryExecution.analyzed.canonicalized),
-        s"score|$dimKey")
-      Similarity.memoized(key) {
-        // user-INDEPENDENT stats memoized on (ratings, model) alone: a
-        // RECOMMEND-workload stream of per-user queries re-keys only on the
-        // users filter, so these two jobs must not re-run per user.
-        val statsKey = (ratings.queryExecution.analyzed.canonicalized,
-          model.queryExecution.analyzed.canonicalized, s"scorestats|$dimKey")
-        val (dims, items, usersTot, n, modelRows) =
-          Similarity.memoizedStats(statsKey) {
-            val row = ratings.agg(countDistinct(col(dimKey)).as("dims"),
-              countDistinct(col(c.item)).as("items"),
-              countDistinct(col(c.user)).as("users"),
-              count(lit(1)).as("n")).head()
-            (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
-              model.count())
-          }
-        if (dims > Similarity.DenseDimLimit || dims == 0L || usersTot == 0L ||
-            items > Similarity.DenseEntityLimit ||
-            dims * items > DenseBroadcastCells) false
+      def decide(st: ScoreStats, scoredUsersKnown: Option[Long]): Boolean =
+        if (st.dims > Similarity.DenseDimLimit || st.dims == 0L ||
+            st.users == 0L || st.items > Similarity.DenseEntityLimit ||
+            st.dims * st.items > DenseBroadcastCells) false
         else {
-          // per-filter estimate from the (structurally small) users frame —
-          // the only non-memoized job, and it never touches the events frame
-          val scoredUsers = users match {
-            case Some(u) =>
-              math.min(u.select(col(c.user)).distinct().count(), usersTot)
-            case None => usersTot
-          }
-          val cntEst = n.toDouble * scoredUsers / usersTot
-          val estJoinRows = 2.0 * modelRows * (cntEst / dims)
-          val denseRowEquiv = scoredUsers.toDouble * items * dims /
-            Similarity.DenseJoinCostRatio + n
+          val scoredUsers = scoredUsersKnown.map(math.min(_, st.users))
+            .getOrElse(st.users)
+          val cntEst = st.n.toDouble * scoredUsers / st.users
+          val estJoinRows = 2.0 * st.modelRows * (cntEst / st.dims)
+          val denseRowEquiv = scoredUsers.toDouble * st.items * st.dims /
+            Similarity.DenseJoinCostRatio + st.n
           denseRowEquiv < estJoinRows
         }
+      providedStats match {
+        case Some(st) =>
+          // caller-known stats (catalog entry): the decision is pure — no
+          // memo, no jobs. The hint stands in for the users-frame count; an
+          // absent hint rounds up to all users, biasing toward the sparse
+          // join, which is the scale-safe side.
+          decide(st, scoredUsersHint)
+        case None =>
+          val key = (ratings.queryExecution.analyzed.canonicalized,
+            model.queryExecution.analyzed.canonicalized,
+            users.map(_.queryExecution.analyzed.canonicalized),
+            s"score|$dimKey")
+          Similarity.memoized(key) {
+            // user-INDEPENDENT stats memoized on (ratings, model) alone: a
+            // RECOMMEND-workload stream of per-user queries re-keys only on
+            // the users filter, so these two jobs must not re-run per user.
+            val statsKey = (ratings.queryExecution.analyzed.canonicalized,
+              model.queryExecution.analyzed.canonicalized, s"scorestats|$dimKey")
+            val st = Similarity.memoizedStats(statsKey) {
+              val row = ratings.agg(countDistinct(col(dimKey)).as("dims"),
+                countDistinct(col(c.item)).as("items"),
+                countDistinct(col(c.user)).as("users"),
+                count(lit(1)).as("n")).head()
+              ScoreStats(row.getLong(0), row.getLong(1), row.getLong(2),
+                row.getLong(3), model.count())
+            }
+            // per-filter estimate from the (structurally small) users frame —
+            // the only non-memoized job; it never touches the events frame
+            val scoredUsers = scoredUsersHint.orElse(
+              users.map(u => u.select(col(c.user)).distinct().count()))
+            decide(st, scoredUsers)
+          }
       }
     case other => throw new IllegalArgumentException(
       s"unknown strategy '$other' (auto|join|dense)")
@@ -193,9 +221,11 @@ object Scoring {
     */
   def userCF(ratings: DataFrame, userModel: DataFrame,
       c: EventCols = EventCols(), users: Option[DataFrame] = None,
-      strategy: String = "auto"): DataFrame = {
+      strategy: String = "auto", stats: Option[ScoreStats] = None,
+      scoredUsersHint: Option[Long] = None): DataFrame = {
     val uRatings = restrict(ratings, users, c)
-    if (pickDense(ratings, users, userModel, c.user, c, strategy))
+    if (pickDense(ratings, users, userModel, c.user, c, strategy, stats,
+        scoredUsersHint))
       return userCFDense(ratings, userModel, c, users)
     val uavg = uRatings.groupBy(col(c.user).as("u"))
       .agg(avg(col(c.rating)).as("ubar"))

@@ -1,10 +1,12 @@
 package graft.sql
 
-import org.apache.spark.sql.{Row, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.{Column, Row, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedHaving, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression, In, Literal}
 import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Distinct, LogicalPlan, SubqueryAlias, UnresolvedWith, WithWindowDefinition}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StringType, StructType}
@@ -13,28 +15,47 @@ import graft.recdb.{EventCols, RecCatalog, Recommender}
 /** The RecDB SQL surface, re-expressed as a Spark session extension
   * (SURVEY.md §7.3 / §3.1):
   *
-  *   SELECT … FROM <events> RECOMMEND <item> TO <user> ON <event>
+  *   SELECT … FROM <from_list> RECOMMEND <item> TO <user> ON <event>
   *     USING <method> [WHERE …] [ORDER BY …] [LIMIT n]       (gram.y:8934-8944)
   *   CREATE RECOMMENDER <name> ON <tbl> USERS FROM <u> ITEMS FROM <i>
   *     EVENTS FROM <e> [USING <method>]                      (gram.y:2444-2474)
   *   DROP RECOMMENDER <name>                                 (gram.y:2482-2488)
   *
-  * Enable with:
-  *   .config("spark.sql.extensions", "graft.sql.GraftSqlExtensions")
-  *   .config("spark.graft.catalogDir", …).config("spark.graft.modelsDir", …)
+  * The from_list may hold several comma-joined tables with aliases and the
+  * clause columns may be alias-qualified — the reference regression file's
+  * join form (recdb_regression_test.sql:39,41) parses verbatim; the events
+  * table is located by matching the clause qualifiers against the FROM list,
+  * or by probing which table holds all three clause columns when they are
+  * unqualified (getEventsTable, parse_rec.c:187-297, same error messages).
   *
-  * Mechanics mirror the reference's transform pipeline: the injected parser
-  * recognizes the clause, binds it to the FROM table (getEventsTable,
-  * parse_rec.c:187-297), replaces the scan with the scoring subplan (the
-  * RecScan substitution of allpaths.c:395), and hands the REMAINING query —
-  * WHERE / ORDER BY / LIMIT / joins — to the delegate Spark parser, so all
-  * relational composition stays on the stock Catalyst path. Synthesized-tuple
-  * quirks preserved: the predicted score lands in the event column and every
-  * other column of the events table reads 0 (§2.3 #2, execRecommend.c:398-405).
+  * PARSING IS PURE (SURVEY §7.3 design, round-4 rework): the injected parser
+  * only REWRITES the statement text — the events-table entry is replaced by a
+  * placeholder relation name and the clause's parameters are recorded in a
+  * registry — then delegates to the stock parser. An injected RESOLUTION RULE
+  * ([[ResolveRecommend]]) replaces the placeholder with the scoring plan
+  * during analysis. Consequences:
+  *   - EXPLAIN of a RECOMMEND query plans but never executes scoring; on the
+  *     materialized (catalog-hit) path the strategy pick reads CREATE-time
+  *     stats from the catalog, so EXPLAIN runs ZERO Spark jobs;
+  *   - a RECOMMEND keyword inside a string literal cannot trigger the clause
+  *     (literals are masked before the clause patterns run);
+  *   - no temp views are registered — the splice is a plan substitution.
+  * The R18 query-counter bump happens at analysis time; the reference bumps
+  * it in ExecInitRecScan (execRecommend.c:831), which PostgreSQL also runs
+  * for plain EXPLAIN, so the observable behavior matches.
+  *
+  * Statement-level clause validation mirrors validateClauses
+  * (parse_rec.c:119-157): DISTINCT / GROUP BY / HAVING / WINDOW / WITH on
+  * the query block carrying RECOMMEND are rejected with the reference's
+  * error messages. Synthesized-tuple quirks preserved: the predicted score
+  * lands in the event column and every other column of the events table
+  * reads 0 (§2.3 #2, execRecommend.c:398-405); a materialized recommender
+  * returns only the three clause columns (§2.3 #3).
   */
 class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
+    e.injectResolutionRule(session => new ResolveRecommend(session))
     GraftSql.nativeFunctions.foreach(e.injectFunction)
   }
 }
@@ -52,7 +73,6 @@ object GraftSql {
   val nativeFunctions: Seq[(FunctionIdentifier,
       org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
       Seq[Expression] => Expression)] = {
-    import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
     import graft.functions.{DenseFromEntries, DotProduct, SimHash63, WordShingles}
     def litInt(e: Expression, fn: String): Int = e match {
       case Literal(v: Int, _) => v
@@ -60,7 +80,8 @@ object GraftSql {
         s"$fn: expected an integer literal, got $other")
     }
     def info(name: String, usage: String) =
-      new ExpressionInfo("graft.functions", name, usage)
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.functions", name, usage)
     Seq(
       (FunctionIdentifier("graft_word_shingles"),
         info("graft_word_shingles", "distinct word n-grams of split-on-space text"),
@@ -99,9 +120,72 @@ object GraftSql {
   def modelsDir(session: SparkSession): String =
     session.conf.get(ModelsDirKey, "/tmp/graft/models")
 
+  // ---- parse-time clause recognition (pure: text only) ----
+
+  /** One entry of a comma-joined FROM list: `tbl [AS] [alias]`. */
+  private[sql] final case class FromEntry(table: String, alias: Option[String])
+
+  /** What the parser recorded for one RECOMMEND statement; resolved into a
+    * scoring plan by [[ResolveRecommend]] at analysis time.
+    */
+  sealed trait RecSpec
+  final case class RecommendSpec(table: String, alias: Option[String],
+      user: String, item: String, event: String, method: String,
+      wherePart: Option[String]) extends RecSpec
+  final case class LegacyRecSpec(recName: String, k: Int, userCol: String,
+      userId: Long) extends RecSpec
+
+  /** Placeholder-relation registry, parse-side producer / analysis-side
+    * consumer. Keys are content hashes of the spec, so re-issuing a statement
+    * reuses its slot; LRU-bounded for long-lived sessions.
+    */
+  private val specs: java.util.Map[String, RecSpec] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, RecSpec](32, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, RecSpec]): Boolean = size() > 256
+      })
+
+  private[sql] def registerSpec(spec: RecSpec): String = {
+    val name = "graft_rec_" + Integer.toHexString(spec.hashCode()).toLowerCase
+    specs.put(name, spec)
+    name
+  }
+
+  private[sql] def lookupSpec(name: String): Option[RecSpec] =
+    Option(specs.get(name))
+
+  /** Mask the contents of quoted regions ('…', "…", `…`) with spaces,
+    * PRESERVING LENGTH so match offsets on the masked text apply to the
+    * original. A RECOMMEND inside a string literal can then never trigger
+    * the clause patterns. Doubled quotes inside a region ('it''s') stay
+    * masked because the region simply re-opens.
+    */
+  private[sql] def maskQuoted(sql: String): String = {
+    val out = sql.toCharArray
+    var i = 0
+    var quote: Char = 0
+    while (i < out.length) {
+      val ch = out(i)
+      if (quote == 0) {
+        if (ch == '\'' || ch == '"' || ch == '`') quote = ch
+      } else if (ch == quote) quote = 0
+      else out(i) = ' '
+      i += 1
+    }
+    new String(out)
+  }
+
+  // from_list = comma list of `tbl [AS] [alias]` — exactly the RangeVar
+  // shapes the reference's getEventsTable walks; anything fancier
+  // (subqueries, JOIN syntax) falls through to the delegate parser.
+  private val FromListPat = """[\w.]+(?:\s+(?:AS\s+)?\w+)?(?:\s*,\s*[\w.]+(?:\s+(?:AS\s+)?\w+)?)*"""
   private[sql] val RecommendRe =
-    ("""(?is)\bFROM\s+([\w.]+)\s+RECOMMEND\s+(\w+)\s+TO\s+(\w+)\s+ON\s+(\w+)""" +
-      """\s+USING\s+(\w+)""").r
+    ("""(?is)\bFROM\s+(""" + FromListPat + """)\s+RECOMMEND\s+([\w.]+)""" +
+      """\s+TO\s+([\w.]+)\s+ON\s+([\w.]+)\s+USING\s+(\w+)""").r
+  // a RECOMMEND clause shape with no recognizable FROM list ahead of it
+  private[sql] val BareRecommendRe =
+    """(?is)\bRECOMMEND\s+[\w.]+\s+TO\s+[\w.]+\s+ON\s+[\w.]+\s+USING\s+\w+""".r
   // the older Recathon workload syntax the reference's experiments issue
   // (rec_workload.c:226): SELECT itemid FROM <rec> RECOMMEND(10) userid = 42
   private[sql] val LegacyRecommendRe =
@@ -112,105 +196,286 @@ object GraftSql {
   private[sql] val DropRe =
     """(?is)^\s*DROP\s+RECOMMENDER\s+(\w+)\s*;?\s*$""".r
 
-  // deterministic per-statement view name: re-issuing the same RECOMMEND
-  // statement replaces its view instead of leaking a fresh one per parse
-  private def viewName(sqlText: String): String =
-    "graft_rec_" + Integer.toHexString(
-      java.util.Arrays.hashCode(sqlText.trim.getBytes("UTF-8")))
+  private val FromEntryRe = """(?is)^\s*([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s*$""".r
+
+  private[sql] def parseFromList(fromList: String): Seq[FromEntry] =
+    fromList.split(',').toSeq.map {
+      case FromEntryRe(t, a) => FromEntry(t, Option(a))
+      case other => throw new IllegalArgumentException(
+        s"unsupported FROM entry alongside RECOMMEND: '$other'")
+    }
+
+  /** Split `[qual.]col`; the qualifier is everything before the last dot. */
+  private def splitQual(ref: String): (Option[String], String) = {
+    val i = ref.lastIndexOf('.')
+    if (i < 0) (None, ref) else (Some(ref.substring(0, i)), ref.substring(i + 1))
+  }
+
+  private def syntaxError(msg: String): Nothing =
+    throw new IllegalArgumentException(msg)
+
+  /** getEventsTable (parse_rec.c:187-297): locate the events table in the
+    * FROM list from the clause columns' shared qualifier, or by probing
+    * which table holds all three columns when unqualified. Reference error
+    * messages verbatim.
+    */
+  private[sql] def findEventsEntry(session: SparkSession,
+      entries: Seq[FromEntry], itemRef: String, userRef: String,
+      eventRef: String): (FromEntry, String, String, String) = {
+    val (iq, item) = splitQual(itemRef)
+    val (uq, user) = splitQual(userRef)
+    val (eq, event) = splitQual(eventRef)
+    val quals = Seq(iq, uq, eq)
+    if (quals.exists(_.isDefined) != quals.forall(_.isDefined) ||
+        (iq.isDefined && (iq != uq || iq != eq)))
+      syntaxError("elements of RECOMMEND clause must have matching table references")
+    val entry = iq match {
+      case Some(q) =>
+        // tableMatch: alias first, else relation name (last path segment too)
+        entries.find(e => e.alias.exists(_.equalsIgnoreCase(q)) ||
+          (e.alias.isEmpty && (e.table.equalsIgnoreCase(q) ||
+            e.table.split('.').last.equalsIgnoreCase(q))))
+          .getOrElse(syntaxError("valid events table not found"))
+      case None if entries.length == 1 => entries.head
+      case None =>
+        // cross-reference the column names against each table's schema
+        // (columnExistsInRelation) — catalog metadata only, no Spark jobs
+        def hasCols(t: String): Boolean =
+          try {
+            val cols = session.table(t).columns.map(_.toLowerCase).toSet
+            Seq(item, user, event).forall(c => cols.contains(c.toLowerCase))
+          } catch { case _: Exception => false }
+        entries.filter(e => hasCols(e.table)) match {
+          case Seq(one) => one
+          case Seq() => syntaxError("valid events table not found")
+          case _ => syntaxError("ambiguous references in RECOMMEND clause")
+        }
+    }
+    (entry, item, user, event)
+  }
+
+  /** validateClauses (parse_rec.c:119-157) on the parsed plan: walk the
+    * ancestors of the placeholder relation up to its query-block boundary
+    * and reject the clauses the reference forbids, with its messages.
+    */
+  private[sql] def validateClauses(plan: LogicalPlan, placeholder: String): Unit = {
+    def pathTo(p: LogicalPlan): Option[List[LogicalPlan]] = p match {
+      case u: UnresolvedRelation if u.multipartIdentifier == Seq(placeholder) =>
+        Some(List(u))
+      case _ =>
+        p.children.iterator.map(pathTo).collectFirst { case Some(tail) =>
+          p :: tail
+        }
+    }
+    val path = pathTo(plan).getOrElse(return)
+    // the query block = ancestors below the last enclosing subquery boundary;
+    // the SubqueryAlias directly wrapping the placeholder (its FROM alias)
+    // is not a boundary
+    val ancestors = path.dropRight(1) match {
+      case ps if ps.nonEmpty && ps.last.isInstanceOf[SubqueryAlias] =>
+        ps.dropRight(1)
+      case ps => ps
+    }
+    val block = ancestors.reverse.takeWhile(!_.isInstanceOf[SubqueryAlias])
+    block.foreach {
+      case _: Distinct =>
+        syntaxError("RECOMMEND clause is not allowed with DISTINCT clause")
+      case _: UnresolvedHaving =>
+        syntaxError("RECOMMEND clause is not allowed with HAVING clause")
+      case _: Aggregate =>
+        syntaxError("RECOMMEND clause is not allowed with GROUP BY clause")
+      case _: WithWindowDefinition =>
+        syntaxError("RECOMMEND clause is not allowed with WINDOW clause")
+      case _: UnresolvedWith =>
+        syntaxError("RECOMMEND clause is not allowed with WITH clause")
+      case _ =>
+    }
+  }
 
   private val WhereRe =
-    """(?is)\bWHERE\s+(.*?)(?=\bORDER\s+BY\b|\bLIMIT\b|\bGROUP\s+BY\b|\bHAVING\b|$)""".r
+    """(?is)\bWHERE\s+(.*?)(?=\bORDER\s+BY\b|\bLIMIT\b|\bGROUP\s+BY\b|\bHAVING\b|\bWINDOW\b|$)""".r
+
+  /** Extract the WHERE expression text following the RECOMMEND clause.
+    * Boundaries are found on the MASKED text (a literal containing 'order
+    * by' must not truncate the predicate); content is taken from the
+    * original.
+    */
+  private[sql] def whereText(original: String, masked: String,
+      fromOffset: Int): Option[String] =
+    WhereRe.findFirstMatchIn(masked.substring(fromOffset)).map { m =>
+      original.substring(fromOffset + m.start(1), fromOffset + m.end(1))
+    }
 
   /** The reference's user-WHERE extraction (parse_rec.c:1100-1211): keep only
     * conjuncts that reference the user column alone — an over-approximation
     * used purely to prune the user×item expansion early; the FULL WHERE
     * clause still applies above the scoring view, so results are identical
-    * either way (SURVEY.md §2.3 #8).
+    * either way (SURVEY.md §2.3 #8). Qualified references (`r.userid`) match
+    * when the qualifier is the events entry's alias/name, and are stripped
+    * to bare columns so the predicate can run against the events frame.
+    *
+    * Also returns a job-free upper-bound ESTIMATE of how many users qualify
+    * (equality → 1, IN-list → its length) for the scoring strategy pick.
     */
-  private[sql] def userQual(session: SparkSession, sqlText: String,
-      userCol: String): Option[org.apache.spark.sql.Column] = {
+  private[sql] def userQual(session: SparkSession, whereSql: String,
+      userCol: String, qualifiers: Set[String]): (Option[Column], Option[Long]) = {
     import org.apache.spark.sql.catalyst.expressions.{And => CAnd}
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
     }
-    try WhereRe.findFirstMatchIn(sqlText).flatMap { m =>
-      val parsed = session.sessionState.sqlParser.parseExpression(m.group(1))
+    def isUserAttr(a: UnresolvedAttribute): Boolean = a.nameParts match {
+      case Seq(c) => c.equalsIgnoreCase(userCol)
+      case Seq(q, c) => c.equalsIgnoreCase(userCol) &&
+        qualifiers.exists(_.equalsIgnoreCase(q))
+      case _ => false
+    }
+    try {
+      val parsed = session.sessionState.sqlParser.parseExpression(whereSql)
       val userOnly = conjuncts(parsed).filter { c =>
-        val refs = c.references.map(_.name.toLowerCase).toSet
-        refs.nonEmpty && refs == Set(userCol.toLowerCase) && c.deterministic
+        val attrs = c.collect { case a: UnresolvedAttribute => a }
+        attrs.nonEmpty && attrs.forall(isUserAttr) && c.deterministic
       }
-      userOnly.reduceOption(CAnd(_, _))
-        .map(org.apache.spark.sql.graft.ColumnShim.column)
-    } catch { case _: Exception => None } // prune is best-effort, never fatal
+      // strip qualifiers so the predicate applies to the bare events frame
+      val stripped = userOnly.map(_.transform {
+        case a: UnresolvedAttribute if a.nameParts.length == 2 =>
+          UnresolvedAttribute(Seq(a.nameParts.last))
+      })
+      val estimate = stripped.flatMap {
+        case EqualTo(_: UnresolvedAttribute, _: Literal) => Some(1L)
+        case EqualTo(_: Literal, _: UnresolvedAttribute) => Some(1L)
+        case In(_: UnresolvedAttribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+          Some(vs.length.toLong)
+        case _ => None
+      }.minOption
+      (stripped.reduceOption(CAnd(_, _))
+        .map(org.apache.spark.sql.graft.ColumnShim.column), estimate)
+    } catch { case _: Exception => (None, None) } // prune is best-effort
   }
 
-  /** Rewrite the legacy `FROM <rec> RECOMMEND(k) <user> = <id>` workload
-    * form: resolve the NAMED recommender from the catalog (it must exist —
-    * this syntax queries a created recommender, rec_workload.c's setup), and
-    * splice in a view of that user's top-k rows (user, item, score-as-event)
-    * ordered by score with the item tie-break.
+  /** Parse-time rewrite (PURE — text manipulation plus catalog METADATA
+    * probes only): recognize the clause on literal-masked text, locate the
+    * events entry, register the spec, splice the placeholder into the FROM
+    * list. Returns None when the statement carries no RECOMMEND clause.
     */
-  def rewriteLegacyRecommend(session: SparkSession,
-      sqlText: String): Option[String] =
-    LegacyRecommendRe.findFirstMatchIn(sqlText).map { m =>
-      val (recName, k, userColq, userId) =
-        (m.group(1), m.group(2).toInt, m.group(3), m.group(4).toLong)
-      val cat = catalog(session)
-      val e = cat.get(recName).getOrElse(throw new IllegalArgumentException(
-        s"recommender $recName does not exist (utility.c:968)"))
-      require(userColq.equalsIgnoreCase(e.userCol),
-        s"legacy RECOMMEND qualifier '$userColq' must be the recommender's " +
-          s"user column '${e.userCol}'")
-      val events = session.table(e.eventsTag)
-      val c = EventCols(e.userCol, e.itemCol, e.ratingCol)
-      val users = events.select(col(e.userCol))
-        .where(col(e.userCol) === userId).distinct()
-      val top = Recommender
-        .recommend(session, events, e.eventsTag, c, e.method.name,
-          Some(cat), Some(users))
-        .orderBy(col("score").desc, col(e.itemCol))
-        .limit(k)
-        .select(col(e.userCol), col(e.itemCol), col("score").as(e.ratingCol))
-      val view = viewName(sqlText)
-      top.createOrReplaceTempView(view)
-      sqlText.substring(0, m.start) + s"FROM $view" + sqlText.substring(m.end)
+  private[sql] def rewriteRecommend(session: SparkSession,
+      sqlText: String): Option[(String, String)] = {
+    val masked = maskQuoted(sqlText)
+    RecommendRe.findFirstMatchIn(masked) match {
+      case None =>
+        if (BareRecommendRe.findFirstIn(masked).isDefined)
+          syntaxError("RECOMMEND clause is not allowed without FROM clause")
+        None
+      case Some(m) =>
+        val entries = parseFromList(sqlText.substring(m.start(1), m.end(1)))
+        val (entry, item, user, event) = findEventsEntry(session, entries,
+          m.group(2), m.group(3), m.group(4))
+        val method = m.group(5)
+        val where = whereText(sqlText, masked, m.end)
+        val spec = RecommendSpec(entry.table, entry.alias, user, item, event,
+          method, where)
+        val placeholder = registerSpec(spec)
+        // keep (or synthesize) the alias so qualified references still bind:
+        // a table-name qualifier becomes an alias of the same name
+        val alias = entry.alias.orElse(
+          if (Seq(m.group(2), m.group(3), m.group(4)).exists(_.contains('.')))
+            Some(entry.table.split('.').last)
+          else None)
+        val newEntries = entries.map { e =>
+          if (e eq entry) placeholder + alias.map(" " + _).getOrElse("")
+          else e.table + e.alias.map(" " + _).getOrElse("")
+        }
+        Some((sqlText.substring(0, m.start) +
+          "FROM " + newEntries.mkString(", ") +
+          sqlText.substring(m.end), placeholder))
     }
+  }
 
-  /** Rewrite a RECOMMEND query: build the scoring DataFrame, register it as a
-    * temp view carrying the full events-table schema (score in the event
-    * column, other columns zeroed), splice the view name into the SQL.
+  /** Parse-time rewrite of the legacy `FROM <rec> RECOMMEND(k) <user> = <id>`
+    * workload form — same lazy placeholder mechanics; the named recommender
+    * is resolved from the catalog at ANALYSIS time.
     */
-  def rewriteRecommend(session: SparkSession, sqlText: String): Option[String] =
-    RecommendRe.findFirstMatchIn(sqlText).map { m =>
-      val (table, item, user, event, method) =
-        (m.group(1), m.group(2), m.group(3), m.group(4), m.group(5))
-      val events = session.table(table)
-      val c = EventCols(user, item, event)
-      // user-qual pre-filter: prune qualifying users BEFORE scoring
-      // (execRecommend.c:442-468) — the full WHERE still applies on top
-      val users = userQual(session, sqlText, user)
-        .map(p => events.select(col(user)).where(p).distinct())
-      val scored = Recommender.recommend(session, events, table, c, method,
-        Some(catalog(session)), users)
-      // Output schema per SURVEY.md §2.3: materialized recommenders return
-      // ONLY the three clause columns (README.md:110, quirk #3); on-the-fly
-      // queries carry the full events schema with non-clause columns reading
-      // 0 (execRecommend.c:398-405, quirk #2). Identifier comparison is
-      // case-insensitive like Spark SQL resolution.
-      val materialized = catalog(session)
-        .findByTagAndMethod(table, graft.recdb.RecMethod.parse(method)).isDefined
-      val clauseCols = Seq(user, item, event).map(_.toLowerCase)
-      val others =
-        if (materialized) Array.empty[String]
-        else events.columns.filterNot(c => clauseCols.contains(c.toLowerCase))
-      val full = scored.select(
-        col(user) +: col(item) +: col("score").as(event) +:
-          others.map(o => lit(0).cast(events.schema(o).dataType).as(o)).toSeq: _*)
-      val view = viewName(sqlText)
-      full.createOrReplaceTempView(view)
-      sqlText.substring(0, m.start) + s"FROM $view" + sqlText.substring(m.end)
+  private[sql] def rewriteLegacyRecommend(session: SparkSession,
+      sqlText: String): Option[(String, String)] = {
+    val masked = maskQuoted(sqlText)
+    LegacyRecommendRe.findFirstMatchIn(masked).map { m =>
+      val spec = LegacyRecSpec(m.group(1), m.group(2).toInt, m.group(3),
+        m.group(4).toLong)
+      val placeholder = registerSpec(spec)
+      (sqlText.substring(0, m.start) + s"FROM $placeholder" +
+        sqlText.substring(m.end), placeholder)
     }
+  }
+
+  // ---- analysis-time plan construction (the splice) ----
+
+  /** Build the scoring plan a placeholder stands for. Runs at analysis time;
+    * on the materialized path the strategy pick is pure (CREATE-time stats
+    * from the catalog), so planning — including EXPLAIN — runs no jobs.
+    */
+  private[sql] def buildPlan(session: SparkSession, spec: RecSpec): LogicalPlan =
+    spec match {
+      case s: RecommendSpec =>
+        val events = session.table(s.table)
+        val c = EventCols(s.user, s.item, s.event)
+        val qualifiers: Set[String] =
+          s.alias.map(Set(_)).getOrElse(Set.empty) +
+            s.table + s.table.split('.').last
+        val (pred, userEst) = s.wherePart
+          .map(w => userQual(session, w, s.user, qualifiers))
+          .getOrElse((None, None))
+        // user-qual pre-filter: prune qualifying users BEFORE scoring
+        // (execRecommend.c:442-468) — the full WHERE still applies on top
+        val users = pred.map(p => events.select(col(s.user)).where(p).distinct())
+        val scored = Recommender.recommend(session, events, s.table, c,
+          s.method, Some(catalog(session)), users, scoredUsersHint = userEst)
+        // Output schema per SURVEY.md §2.3: materialized recommenders return
+        // ONLY the three clause columns (README.md:110, quirk #3); on-the-fly
+        // queries carry the full events schema with non-clause columns
+        // reading 0 (execRecommend.c:398-405, quirk #2).
+        val materialized = catalog(session)
+          .findByTagAndMethod(s.table, graft.recdb.RecMethod.parse(s.method))
+          .isDefined
+        val clauseCols = Seq(s.user, s.item, s.event).map(_.toLowerCase)
+        val others =
+          if (materialized) Array.empty[String]
+          else events.columns.filterNot(cn => clauseCols.contains(cn.toLowerCase))
+        val full = scored.select(
+          col(s.user) +: col(s.item) +: col("score").as(s.event) +:
+            others.map(o => lit(0).cast(events.schema(o).dataType).as(o)).toSeq: _*)
+        full.queryExecution.analyzed
+      case s: LegacyRecSpec =>
+        val cat = catalog(session)
+        val e = cat.get(s.recName).getOrElse(throw new IllegalArgumentException(
+          s"recommender ${s.recName} does not exist (utility.c:968)"))
+        require(s.userCol.equalsIgnoreCase(e.userCol),
+          s"legacy RECOMMEND qualifier '${s.userCol}' must be the " +
+            s"recommender's user column '${e.userCol}'")
+        val events = session.table(e.eventsTag)
+        val c = EventCols(e.userCol, e.itemCol, e.ratingCol)
+        val users = events.select(col(e.userCol))
+          .where(col(e.userCol) === s.userId).distinct()
+        val top = Recommender
+          .recommend(session, events, e.eventsTag, c, e.method.name,
+            Some(cat), Some(users), scoredUsersHint = Some(1L))
+          .orderBy(col("score").desc, col(e.itemCol))
+          .limit(s.k)
+          .select(col(e.userCol), col(e.itemCol), col("score").as(e.ratingCol))
+        top.queryExecution.analyzed
+    }
+}
+
+/** Analysis rule: substitute each registered placeholder relation with its
+  * scoring plan. Fires once per placeholder (the substituted subtree is
+  * resolved, so the pattern cannot rematch).
+  */
+class ResolveRecommend(session: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case u: UnresolvedRelation if u.multipartIdentifier.length == 1 &&
+        GraftSql.lookupSpec(u.multipartIdentifier.head).isDefined =>
+      GraftSql.buildPlan(session,
+        GraftSql.lookupSpec(u.multipartIdentifier.head).get)
+  }
 }
 
 final case class CreateRecommenderCommand(name: String, table: String,
@@ -249,19 +514,26 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       DropRecommenderCommand(name)
     case _ =>
       rewrite(sqlText) match {
-        case Some(rewritten) => delegate.parsePlan(rewritten)
+        case Some((rewritten, placeholder)) =>
+          val plan = delegate.parsePlan(rewritten)
+          GraftSql.validateClauses(plan, placeholder)
+          plan
         case None => delegate.parsePlan(sqlText)
       }
   }
 
-  private def rewrite(sqlText: String): Option[String] =
+  /** Returns the rewritten statement and the placeholder it introduced. */
+  private def rewrite(sqlText: String): Option[(String, String)] =
     GraftSql.rewriteRecommend(session, sqlText)
       .orElse(GraftSql.rewriteLegacyRecommend(session, sqlText))
 
   @throws[ParseException]
   override def parseQuery(sqlText: String): LogicalPlan =
     rewrite(sqlText) match {
-      case Some(rewritten) => delegate.parseQuery(rewritten)
+      case Some((rewritten, placeholder)) =>
+        val plan = delegate.parseQuery(rewritten)
+        GraftSql.validateClauses(plan, placeholder)
+        plan
       case None => delegate.parseQuery(sqlText)
     }
 

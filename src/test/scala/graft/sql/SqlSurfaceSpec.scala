@@ -40,6 +40,10 @@ class SqlSurfaceSpec extends SparkSpec with BeforeAndAfterAll {
     new MicroFixtureSpec {}.fixture.toDF("userid", "itemid", "rating")
       .withColumn("other", org.apache.spark.sql.functions.lit(9.9))
       .createOrReplaceTempView("ml_ratings")
+    // dimension table for the regression file's join form
+    Seq((1L, "Alpha", "drama"), (2L, "Beta", "action"), (3L, "Gamma", "drama"),
+      (4L, "Delta", "comedy"))
+      .toDF("itemid", "name", "genre").createOrReplaceTempView("ml_items")
   }
 
   test("RECOMMEND clause: on-the-fly scoring, synthesized-tuple quirks, top-k") {
@@ -132,10 +136,12 @@ class SqlSurfaceSpec extends SparkSpec with BeforeAndAfterAll {
     val got = out.map(r => (r.getLong(1), r.getDouble(2))).toMap
     got.keySet shouldBe full.keySet
     got.foreach { case (k, v) => v shouldBe full(k) +- 1e-9 } // ULP-order drift
-    // and the extraction itself finds the user-only conjunct
-    val q = GraftSql.userQual(ext,
-      "SELECT * FROM t WHERE userid = 2 AND rating > 1.2 ORDER BY 1", "userid")
+    // and the extraction itself finds the user-only conjunct, with a
+    // job-free single-user estimate from the equality shape
+    val (q, est) = GraftSql.userQual(ext,
+      "userid = 2 AND rating > 1.2", "userid", Set.empty)
     q.isDefined shouldBe true
+    est shouldBe Some(1L)
   }
 
   test("native expressions are callable as SQL functions") {
@@ -162,5 +168,126 @@ class SqlSurfaceSpec extends SparkSpec with BeforeAndAfterAll {
   test("non-RECOMMEND SQL is untouched by the injected parser") {
     fixture(ext)
     ext.sql("SELECT count(*) AS n FROM ml_ratings").head().getLong(0) shouldBe 10L
+  }
+
+  test("join/alias form: the regression file's Miscellaneous queries run verbatim") {
+    fixture(ext)
+    // recdb_regression_test.sql:39 (adapted only in table contents): aliased
+    // FROM list, alias-qualified clause columns, dimension join + ILIKE
+    val out = ext.sql(
+      """SELECT r.itemid,r.rating,i.name,i.genre FROM ml_ratings r, ml_items i
+        |RECOMMEND r.itemid TO r.userid ON r.rating USING itemcoscf
+        |WHERE r.userid = 1 AND r.itemid = i.itemid AND i.genre ILIKE '%drama%'"""
+        .stripMargin).collect()
+    out.map(_.getString(3)).distinct.toSeq shouldBe Seq("drama")
+    out.map(_.getLong(0)).sorted.toSeq shouldBe Seq(1L, 3L) // drama items
+    // recdb_regression_test.sql:41: same with ORDER BY/LIMIT on top
+    val top = ext.sql(
+      """SELECT r.itemid,r.rating,i.name,i.genre FROM ml_ratings r, ml_items i
+        |RECOMMEND r.itemid TO r.userid ON r.rating USING itemcoscf
+        |WHERE r.userid = 1 AND r.itemid = i.itemid AND i.genre ILIKE '%action%'
+        |ORDER BY rating DESC LIMIT 5""".stripMargin).collect()
+    top.map(_.getString(3)).distinct.toSeq shouldBe Seq("action")
+    // scores agree with the API path composed the same way
+    val sq = ext
+    import sq.implicits._
+    val rdf = new MicroFixtureSpec {}.fixture.toDF("userid", "itemid", "rating")
+    val c = EventCols("userid", "itemid", "rating")
+    val api = Scoring.itemCF(rdf, Similarity.itemCosine(rdf, c), c)
+      .where($"userid" === 1 && $"itemid".isin(1L, 3L))
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    out.map(r => r.getLong(0) -> r.getDouble(1)).toMap shouldBe api
+  }
+
+  test("RECOMMEND parse is pure: no temp views, no catalog bumps at parse") {
+    fixture(ext)
+    ext.sql("""CREATE RECOMMENDER rec_pure ON ml_ratings USERS FROM userid
+              |ITEMS FROM itemid EVENTS FROM rating USING itemCosCF""".stripMargin)
+      .collect()
+    val viewsBefore = ext.catalog.listTables().collect().map(_.name).toSet
+    // parsePlan directly — plan construction must not register views
+    ext.sessionState.sqlParser.parsePlan(
+      """SELECT * FROM ml_ratings RECOMMEND itemid TO userid ON rating
+        |USING itemCosCF WHERE userid = 2""".stripMargin)
+    val viewsAfter = ext.catalog.listTables().collect().map(_.name).toSet
+    viewsAfter shouldBe viewsBefore
+    ext.sql("DROP RECOMMENDER rec_pure").collect()
+  }
+
+  test("EXPLAIN of a materialized RECOMMEND query runs zero Spark jobs") {
+    fixture(ext)
+    ext.sql("""CREATE RECOMMENDER rec_explain ON ml_ratings USERS FROM userid
+              |ITEMS FROM itemid EVENTS FROM rating USING itemCosCF""".stripMargin)
+      .collect()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    val sc = ext.sparkContext
+    sc.addSparkListener(listener)
+    try {
+      ext.sql(
+        """EXPLAIN EXTENDED SELECT * FROM ml_ratings
+          |RECOMMEND itemid TO userid ON rating USING itemCosCF
+          |WHERE userid = 2 ORDER BY rating DESC LIMIT 3""".stripMargin)
+        .collect()
+      Thread.sleep(1000) // listener bus is async
+      jobs.get() shouldBe 0
+    } finally {
+      sc.removeSparkListener(listener)
+      ext.sql("DROP RECOMMENDER rec_explain").collect()
+    }
+  }
+
+  test("forbidden clauses are rejected with the reference's errors") {
+    fixture(ext)
+    def err(sql: String): String =
+      intercept[Exception](ext.sql(sql).collect()).getMessage
+    val base = "FROM ml_ratings RECOMMEND itemid TO userid ON rating USING itemcoscf"
+    err(s"SELECT DISTINCT itemid $base WHERE userid = 1") should
+      include("not allowed with DISTINCT clause")
+    err(s"SELECT userid, max(rating) $base GROUP BY userid") should
+      include("not allowed with GROUP BY clause")
+    err(s"SELECT userid, max(rating) $base GROUP BY userid HAVING max(rating) > 1") should
+      include("not allowed with")
+    err(s"WITH x AS (SELECT 1 AS one) SELECT itemid $base WHERE userid = 1") should
+      include("not allowed with WITH clause")
+    err("SELECT rank() OVER w AS r FROM ml_ratings RECOMMEND itemid TO userid " +
+      "ON rating USING itemcoscf WINDOW w AS (ORDER BY rating)") should
+      include("not allowed with WINDOW clause")
+  }
+
+  test("RECOMMEND inside a string literal does not trigger the clause") {
+    fixture(ext)
+    val out = ext.sql(
+      """SELECT 'FROM t RECOMMEND a TO b ON c USING d' AS s,
+        |count(*) AS n FROM ml_ratings GROUP BY 1""".stripMargin).collect()
+    out.length shouldBe 1
+    out.head.getLong(1) shouldBe 10L
+  }
+
+  test("unqualified clause columns with a multi-table FROM probe schemas") {
+    fixture(ext)
+    val sq = ext
+    import sq.implicits._
+    // a dimension table with NO overlapping column names, so the bare clause
+    // columns stay unambiguous after the splice (Spark resolution); the
+    // PROBE still has to pick ml_ratings as the events table
+    Seq((1L, "drama"), (2L, "action"), (3L, "drama"), (4L, "comedy"))
+      .toDF("gid", "g").createOrReplaceTempView("genre_dim")
+    val out = ext.sql(
+      """SELECT itemid, rating, g FROM ml_ratings, genre_dim d
+        |RECOMMEND itemid TO userid ON rating USING itemcoscf
+        |WHERE userid = 1 AND itemid = d.gid""".stripMargin)
+    out.collect().length shouldBe 4
+    // mismatched qualifiers error like the reference
+    val e = intercept[Exception](ext.sql(
+      """SELECT * FROM ml_ratings r, ml_items i
+        |RECOMMEND r.itemid TO i.userid ON r.rating USING itemcoscf"""
+        .stripMargin))
+    e.getMessage should include("matching table references")
   }
 }
