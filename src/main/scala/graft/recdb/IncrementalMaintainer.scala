@@ -72,10 +72,24 @@ final class IncrementalMaintainer(
         Recommender.buildSimilarity(events, c, m)
           .write.mode("overwrite").parquet(entry.modelPaths.head)
     }
-    // a rebuilt model invalidates any materialized prediction view
+    // a rebuilt model invalidates any materialized prediction view, and the
+    // CREATE-time corpus stats (they drive the job-free strategy pick) are
+    // re-measured against the grown events store
     entry.viewPath.foreach(Recommender.deleteDir)
-    catalog.put(entry.copy(updateCounter = 0, eventTotal = events.count(),
-      viewPath = None))
+    val st = events.agg(
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)),
+      org.apache.spark.sql.functions.countDistinct(
+        org.apache.spark.sql.functions.col(entry.userCol)),
+      org.apache.spark.sql.functions.countDistinct(
+        org.apache.spark.sql.functions.col(entry.itemCol))).head()
+    val modelRows = entry.method match {
+      case RecMethod.SVD => 0L
+      case _ => spark.read.parquet(entry.modelPaths.head).count()
+    }
+    catalog.put(entry.copy(updateCounter = 0, eventTotal = st.getLong(0),
+      viewPath = None, viewComplete = false,
+      nUsers = st.getLong(1), nItems = st.getLong(2), modelRows = modelRows))
   }
 
   /** Attach to a streaming events DataFrame: the R17 hook as a sink. */

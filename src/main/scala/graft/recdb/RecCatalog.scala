@@ -21,6 +21,9 @@ final case class RecEntry(
     updateCounter: Long = 0L,
     queryCounter: Long = 0L,
     viewPath: Option[String] = None,
+    // true when viewPath holds ALL (user, item) scores (no top-k cut), so
+    // any RECOMMEND query can be served from it verbatim
+    viewComplete: Boolean = false,
     lastBatchId: Long = -1L,
     // corpus stats captured at CREATE time (-1 = unknown, pre-stats entry):
     // they make the scoring strategy pick job-free on the catalog-hit path
@@ -69,6 +72,7 @@ final class RecCatalog(dirStr: String) {
         updateCounter = p.getProperty("updateCounter", "0").toLong,
         queryCounter = p.getProperty("queryCounter", "0").toLong,
         viewPath = Option(p.getProperty("viewPath")).filter(_.nonEmpty),
+        viewComplete = p.getProperty("viewComplete", "false").toBoolean,
         lastBatchId = p.getProperty("lastBatchId", "-1").toLong,
         nUsers = p.getProperty("nUsers", "-1").toLong,
         nItems = p.getProperty("nItems", "-1").toLong,
@@ -104,6 +108,7 @@ final class RecCatalog(dirStr: String) {
     p.setProperty("updateCounter", e.updateCounter.toString)
     p.setProperty("queryCounter", e.queryCounter.toString)
     e.viewPath.foreach(p.setProperty("viewPath", _))
+    p.setProperty("viewComplete", e.viewComplete.toString)
     p.setProperty("lastBatchId", e.lastBatchId.toString)
     p.setProperty("nUsers", e.nUsers.toString)
     p.setProperty("nItems", e.nItems.toString)

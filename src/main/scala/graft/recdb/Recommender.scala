@@ -103,12 +103,38 @@ object Recommender {
   def recommend(spark: SparkSession, events: DataFrame, eventsTag: String,
       c: EventCols, methodStr: String, catalog: Option[RecCatalog] = None,
       users: Option[DataFrame] = None,
-      scoredUsersHint: Option[Long] = None): DataFrame = {
+      scoredUsersHint: Option[Long] = None,
+      serveFromView: Boolean = true): DataFrame = {
     val method = RecMethod.parse(methodStr)
     val hit = catalog.flatMap(_.findByTagAndMethod(eventsTag, method))
     hit.foreach { e => // R18 query-counter bookkeeping
       catalog.get.put(e.copy(queryCounter = e.queryCounter + 1))
     }
+    // serving fast path: a FRESH, COMPLETE materialized view holds exactly
+    // the frame this call would compute — serve the filter from it instead
+    // of re-planning the scoring DAG per query. Freshness is catalog-driven:
+    // the R17 rebuild clears viewPath, so a stale view is never consulted.
+    // This is what turns the reference's per-user workload protocol from
+    // one scoring job per query into a pruned scan + top-k.
+    val freshView = if (serveFromView) hit.filter(e =>
+      e.viewComplete && e.viewPath.isDefined) else None
+    freshView match {
+      case Some(e) =>
+        val view = spark.read.schema(viewSchema(c)).parquet(e.viewPath.get)
+        users match {
+          case Some(u) => view.join(
+            broadcast(u.select(col(c.user)).distinct()), Seq(c.user), "semi")
+          case None => view
+        }
+      case None => recommendCompute(spark, events, c, method, hit, users,
+        scoredUsersHint)
+    }
+  }
+
+  private def recommendCompute(spark: SparkSession, events: DataFrame,
+      c: EventCols, method: RecMethod, hit: Option[RecEntry],
+      users: Option[DataFrame],
+      scoredUsersHint: Option[Long]): DataFrame = {
     method match {
       case RecMethod.SVD =>
         val (uf, itf) = hit match {
@@ -162,8 +188,10 @@ object Recommender {
     val e = catalog.get(name).getOrElse(
       throw new IllegalArgumentException(s"unknown recommender: $name"))
     val c = EventCols(e.userCol, e.itemCol, e.ratingCol)
+    // serveFromView=false: re-materialization must COMPUTE, not read the
+    // view it is about to replace
     val scores = recommend(spark, events, e.eventsTag, c, e.method.name,
-      Some(catalog))
+      Some(catalog), serveFromView = false)
     val out = topK match {
       case Some(k) =>
         import org.apache.spark.sql.expressions.Window
@@ -175,7 +203,8 @@ object Recommender {
     }
     val path = s"$viewsDir/$name.view.parquet"
     out.write.mode("overwrite").parquet(path)
-    catalog.put(catalog.get(name).get.copy(viewPath = Some(path)))
+    catalog.put(catalog.get(name).get.copy(viewPath = Some(path),
+      viewComplete = topK.isEmpty))
     path
   }
 
@@ -200,6 +229,12 @@ object Recommender {
     import org.apache.spark.sql.types._
     StructType(Seq(StructField("id", LongType),
       StructField("features", ArrayType(FloatType))))
+  }
+
+  private def viewSchema(c: EventCols): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField(c.user, LongType), StructField(c.item, LongType),
+      StructField("score", DoubleType)))
   }
 
   private[recdb] def buildSimilarity(events: DataFrame, c: EventCols,

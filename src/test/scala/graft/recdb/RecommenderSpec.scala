@@ -90,6 +90,37 @@ class RecommenderSpec extends SparkSpec {
     new java.io.File(path).exists() shouldBe false
   }
 
+  test("recommend auto-routes through a fresh COMPLETE view; top-k views don't serve") {
+    val (cat, models) = freshDirs()
+    val r = ratings
+    Recommender.create(spark, "ar", r, "tbl", c, "itemcoscf", cat, models)
+    import org.apache.spark.sql.functions._
+    val direct = Recommender.recommend(spark, r, "tbl", c, "itemcoscf", Some(cat))
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    // a top-k view is NOT complete — recommend must keep computing
+    Recommender.materializeView(spark, "ar", r, cat, models + "/views",
+      topK = Some(2))
+    Recommender.recommend(spark, r, "tbl", c, "itemcoscf", Some(cat))
+      .count() shouldBe 16
+    // a complete view serves every query, identically, through the view scan
+    Recommender.materializeView(spark, "ar", r, cat, models + "/views")
+    cat.get("ar").get.viewComplete shouldBe true
+    val served = Recommender.recommend(spark, r, "tbl", c, "itemcoscf", Some(cat))
+    // plan proof: the serving path reads the view parquet, not the events
+    served.queryExecution.executedPlan.toString should include(".view.parquet")
+    val got = served.collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    got.keySet shouldBe direct.keySet
+    got.foreach { case (k, v) => v shouldBe direct(k) +- 1e-12 }
+    // the users pre-filter applies on the view path too
+    val sq = spark
+    import sq.implicits._
+    val one = Recommender.recommend(spark, r, "tbl", c, "itemcoscf", Some(cat),
+      Some(Seq(2L).toDF("userid"))).collect()
+    one.map(_.getLong(0)).distinct.toSeq shouldBe Seq(2L)
+    one.length shouldBe 4
+  }
+
   test("svd: rank-50 factors, all-pairs scores, reconstructs known ratings sanely") {
     val (cat, models) = freshDirs()
     val e = Recommender.create(spark, "s1", ratings, "tbl", c, "SVD", cat, models)
