@@ -22,6 +22,18 @@ object PipelineQueries {
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.read(s, d, "embeddings")
 
+  /** Where p_knn_ivf / p_knn_pq persist their trained centroids / codebooks —
+    * keyed by the sf dir (same contract as [[RecQueries.svdFactorBase]]).
+    * The oracle SQL carries the `__ANN_ARTIFACTS__` placeholder;
+    * [[graft.Verify]] substitutes this path when writing oracle_sql.json, so
+    * the DuckDB side re-derives cell assignment / codes / ADC / rerank from
+    * the SAME persisted model the Spark scan used — isolating exactly the
+    * scan stages (train determinism is irrelevant to the compare).
+    */
+  def annArtifactBase(dir: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_ann_artifacts",
+      java.lang.Integer.toHexString(dir.hashCode)).toString
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_dedup_exact" -> ((s, d) =>
       Dedup.exact(docs(s, d), Seq("text"), "doc_id")
@@ -32,8 +44,14 @@ object PipelineQueries {
     "p_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLshPairs(docs(s, d), "doc_id", "text")
         .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))),
-    "p_simhash_pairs" -> ((s, d) => // rows-only: xxhash64 not in DuckDB
-      Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 3)),
+    // SimHash near-dup pairs — hash-gated end-to-end: the 60-bit signature
+    // uses an md5-prefix token hash that DuckDB reproduces exactly, and the
+    // 4×15-bit band bucketing has guaranteed recall at hamming ≤ 3
+    // (pigeonhole), so the banded output equals the oracle's exact all-pairs
+    // Hamming scan.
+    "p_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 3)
+        .select(col("id1"), col("id2"), col("hamming").cast("long").as("hamming"))),
     "p_text_stats" -> ((s, d) => {
       val t = col("text")
       docs(s, d).select(col("doc_id"),
@@ -56,15 +74,33 @@ object PipelineQueries {
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
           round(col("cos"), 6).as("cos"))
     }),
-    "p_knn_ivf" -> ((s, d) => { // rows-only: KMeans centroids not in DuckDB
+    // IVF — hash-gated via the train-once/scan-many split: centroids are
+    // trained (seeded KMeans) and PERSISTED, then the scan runs against the
+    // persisted model with rounded-rank determinism; the oracle re-derives
+    // assignment, probing, and the exact rerank from the same parquet.
+    "p_knn_ivf" -> ((s, d) => {
       val e = emb(s, d)
-      Ann.ivfTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+      val base = annArtifactBase(d)
+      Ann.ivfTrain(e, "embedding")
+        .write.mode("overwrite").parquet(s"$base/ivf_centroids")
+      val cents = Ann.ivfCentroidsFromDf(s.read.parquet(s"$base/ivf_centroids"))
+      Ann.ivfTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding", k = 10,
+        centroidsOpt = Some(cents), rankOnRoundedTo = Some(6))
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
           round(col("cos"), 6).as("cos"))
     }),
-    "p_knn_pq" -> ((s, d) => { // rows-only: sample-trained codebooks not in DuckDB
+    // PQ — same split: sample-trained codebooks persisted once; codes, the
+    // ADC pass, the shortlist cut, and the exact rerank are all re-derived
+    // by the oracle from the (codes ≡ f(codebook), codebook) parquet.
+    "p_knn_pq" -> ((s, d) => {
       val e = emb(s, d)
-      Ann.pqTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+      val base = annArtifactBase(d)
+      val trained = Ann.pqTrain(e, "embedding", m = 8, k = 32)
+      Ann.pqCodebookDf(s, trained)
+        .write.mode("overwrite").parquet(s"$base/pq_codebook")
+      val cb = Ann.pqCodebookFromDf(s.read.parquet(s"$base/pq_codebook"))
+      Ann.pqTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding", k = 10,
+        codebooksOpt = Some(cb), rankOnRoundedTo = Some(6))
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
           round(col("cos"), 6).as("cos"))
     }),
@@ -144,10 +180,13 @@ object PipelineQueries {
         .groupBy("token").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token"))
         .limit(100)),
-    // The composed cleaning pipeline end-to-end (rows-only: LSH grouping is
-    // not SQL-expressible): quality gate → language gate → exact dedup →
-    // near-dup collapse, emitting the surviving doc ids. CorpusSpec asserts
-    // the semantic invariants (monotone survivor counts, no surviving pair).
+    // The composed cleaning pipeline end-to-end — hash-gated: every stage is
+    // SQL-expressible (quality ratios, exact dedup = min-id per text group,
+    // near-dup collapse = exact-jaccard pairs at 0.6 + recursive min-label
+    // closure; the LSH candidate step is exact-recall at this corpus's
+    // jaccard gap, same argument as p_minhash_lsh). CorpusSpec additionally
+    // asserts the semantic invariants (monotone survivor counts, no
+    // surviving pair).
     "p_corpus_clean" -> ((s, d) => {
       val (cleaned, _) = graft.ops.Corpus.clean(
         docs(s, d), "doc_id", "text", minQuality = 0.3,
@@ -248,6 +287,65 @@ object PipelineQueries {
       |),
       |nrm AS (SELECT vec_id, sqrt(sum(v*v)) AS n FROM flat GROUP BY 1)""".stripMargin
 
+  /** The full cleaning pipeline as one DuckDB CTE chain — mirrors
+    * [[graft.ops.Corpus.clean]] stage by stage (minQuality 0.3, no language
+    * gate, word-3-gram jaccard ≥ 0.6, min-id representatives).
+    */
+  private def corpusCleanOracle: String = {
+    val stopCount = langScoreSql(TextOps.StopwordsEn)
+      .replace("string_split(text, ' ')", "toks")
+    s"""WITH RECURSIVE
+      |t AS (
+      |  SELECT doc_id, text, length(text) AS n_char,
+      |         string_split(text, ' ') AS toks
+      |  FROM documents
+      |),
+      |s AS (
+      |  SELECT doc_id, text, toks, n_char, len(toks) AS n_tok,
+      |    $stopCount*1.0/greatest(len(toks), 1) AS sr,
+      |    length(replace(text, ' ', ''))*1.0/greatest(len(toks), 1) AS ml
+      |  FROM t
+      |),
+      |q AS (
+      |  SELECT doc_id, text, toks FROM s
+      |  WHERE (CASE WHEN n_tok BETWEEN 10 AND 1000 THEN CAST(0.25 AS DOUBLE) ELSE 0 END
+      |    + CASE WHEN sr BETWEEN 0.05 AND 0.6 THEN CAST(0.25 AS DOUBLE) ELSE 0 END
+      |    + CASE WHEN ml BETWEEN 3.0 AND 10.0 THEN CAST(0.25 AS DOUBLE) ELSE 0 END
+      |    + CASE WHEN n_char <= 20000 THEN CAST(0.25 AS DOUBLE) ELSE 0 END) >= 0.3
+      |),
+      |ex AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text),
+      |exd AS (SELECT q.doc_id, q.toks FROM q JOIN ex USING (doc_id)),
+      |grams AS (
+      |  SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |    for i in generate_series(1, len(toks)-2)]) AS gs
+      |  FROM exd
+      |),
+      |exg AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+      |inter AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n
+      |  FROM exg a JOIN exg b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |),
+      |sizes AS (SELECT doc_id, len(gs) AS sz FROM grams),
+      |pairs AS (
+      |  SELECT id1, id2 FROM inter
+      |  JOIN sizes s1 ON id1 = s1.doc_id
+      |  JOIN sizes s2 ON id2 = s2.doc_id
+      |  WHERE n*1.0/(s1.sz + s2.sz - n) >= 0.6
+      |),
+      |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+      |          UNION SELECT id2, id1 FROM pairs),
+      |reach(node, r) AS (
+      |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t2
+      |  UNION
+      |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+      |),
+      |comps AS (SELECT node, min(r) AS rep FROM reach GROUP BY node),
+      |dropped AS (SELECT node AS doc_id FROM comps WHERE node <> rep)
+      |SELECT exd.doc_id FROM exd
+      |WHERE exd.doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin
+  }
+
   private def langScoreSql(words: Seq[String]): String =
     s"len(list_filter(string_split(text, ' '), t -> t IN (${
       words.map(w => s"'$w'").mkString(", ")})))"
@@ -280,6 +378,32 @@ object PipelineQueries {
     // (≥0.9 or ≤0.07) the 16-band/4-row S-curve recall is 1 − 4e-8 ⇒ the
     // verified LSH output equals the exact pair set.
     "p_minhash_lsh" -> jaccardOracle,
+    // exact all-pairs Hamming over the same 60-bit md5-prefix signatures the
+    // Spark side computes; the banded Spark plan has guaranteed recall at
+    // hamming ≤ 3 (4×15-bit blocks, pigeonhole) and verify-exact precision,
+    // so banded output == this exact scan
+    "p_simhash_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+        |),
+        |th AS (
+        |  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok
+        |),
+        |bits AS (SELECT unnest(generate_series(0, 59)) AS b),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th CROSS JOIN bits GROUP BY 1, 2
+        |),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN v >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS s
+        |  FROM votes GROUP BY doc_id
+        |)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.s, b.s)) <= 3""".stripMargin,
     "p_text_stats" ->
       s"""WITH t AS (
          |  SELECT doc_id, text, length(text) AS n_char,
@@ -338,6 +462,116 @@ object PipelineQueries {
          |  JOIN nrm n2 ON neighbor_id = n2.vec_id
          |)
          |SELECT query_id, neighbor_id, rank, cos FROM scored WHERE rank <= 10""".stripMargin,
+    // fixed persisted centroids → cell assignment (round(|c|²−2·v·c, 6),
+    // lowest-cid ties), nprobe=4 probing, exact rerank — the verbatim SQL
+    // rendering of Ann.ivfTopK's scan stage
+    "p_knn_ivf" ->
+      """WITH cents AS (
+        |  SELECT cid, c FROM '__ANN_ARTIFACTS__/ivf_centroids/*.parquet'
+        |),
+        |e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |),
+        |nrm AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS n FROM e),
+        |cd AS (
+        |  SELECT e.vec_id, ct.cid,
+        |    round(list_inner_product(ct.c, ct.c)
+        |      - 2*list_inner_product(e.v, ct.c), 6) AS d
+        |  FROM e CROSS JOIN cents ct
+        |),
+        |rk AS (
+        |  SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |  FROM cd
+        |),
+        |assign AS (SELECT vec_id, cid FROM rk WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, cid FROM rk
+        |           WHERE rn <= 4 AND vec_id < 5),
+        |cand AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id
+        |  FROM probes p JOIN assign a USING (cid)
+        |  WHERE a.vec_id <> p.query_id
+        |),
+        |sc AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    round(list_inner_product(qe.v, ne.v)/(n1.n*n2.n), 6) AS cos
+        |  FROM cand c
+        |  JOIN e qe ON c.query_id = qe.vec_id
+        |  JOIN e ne ON c.neighbor_id = ne.vec_id
+        |  JOIN nrm n1 ON c.query_id = n1.vec_id
+        |  JOIN nrm n2 ON c.neighbor_id = n2.vec_id
+        |),
+        |r2 AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM sc
+        |)
+        |SELECT query_id, neighbor_id, rank, cos FROM r2 WHERE rank <= 10""".stripMargin,
+    // fixed persisted codebooks → codes (per-subspace argmin on round 6,
+    // lowest-cid ties), ADC lookup-table scores, k·rerank=40 shortlist,
+    // exact rerank — the verbatim SQL rendering of Ann.pqTopK's scan stages
+    "p_knn_pq" ->
+      """WITH cb AS (
+        |  SELECT subspace, cid, c, n2 FROM '__ANN_ARTIFACTS__/pq_codebook/*.parquet'
+        |),
+        |p AS (SELECT CAST(len(c) AS INT) AS dsub FROM cb LIMIT 1),
+        |e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |),
+        |enc AS (
+        |  SELECT e.vec_id, cb.subspace, cb.cid, cb.n2,
+        |    round(cb.n2 - 2*list_inner_product(
+        |      e.v[cb.subspace*p.dsub+1 : (cb.subspace+1)*p.dsub], cb.c), 6) AS d
+        |  FROM e CROSS JOIN p CROSS JOIN cb
+        |),
+        |codes AS (
+        |  SELECT vec_id, subspace, cid, n2 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+        |      ORDER BY d, cid) AS rn
+        |    FROM enc)
+        |  WHERE rn = 1
+        |),
+        |cn AS (SELECT vec_id, sqrt(sum(n2)) AS n FROM codes GROUP BY 1),
+        |nrm AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS n FROM e),
+        |q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 5),
+        |adc AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    sum(list_inner_product(
+        |      q.v[c.subspace*p.dsub+1 : (c.subspace+1)*p.dsub], cb.c)) AS t
+        |  FROM q CROSS JOIN p
+        |  JOIN codes c ON c.vec_id <> q.query_id
+        |  JOIN cb ON cb.subspace = c.subspace AND cb.cid = c.cid
+        |  GROUP BY 1, 2
+        |),
+        |short AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT adc.query_id, adc.neighbor_id,
+        |      row_number() OVER (PARTITION BY adc.query_id
+        |        ORDER BY round(adc.t/(qn.n*cn.n), 6) DESC, adc.neighbor_id) AS rn
+        |    FROM adc
+        |    JOIN nrm qn ON adc.query_id = qn.vec_id
+        |    JOIN cn ON adc.neighbor_id = cn.vec_id)
+        |  WHERE rn <= 40
+        |),
+        |ex AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |    round(list_inner_product(qe.v, ne.v)/(n1.n*n2.n), 6) AS cos
+        |  FROM short s
+        |  JOIN e qe ON s.query_id = qe.vec_id
+        |  JOIN e ne ON s.neighbor_id = ne.vec_id
+        |  JOIN nrm n1 ON s.query_id = n1.vec_id
+        |  JOIN nrm n2 ON s.neighbor_id = n2.vec_id
+        |),
+        |rk AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM ex
+        |)
+        |SELECT query_id, neighbor_id, rank, cos FROM rk WHERE rank <= 10""".stripMargin,
     "p_repetition" ->
       """WITH g AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks,
@@ -455,6 +689,7 @@ object PipelineQueries {
         |GROUP BY token
         |ORDER BY n DESC, token
         |LIMIT 100""".stripMargin,
+    "p_corpus_clean" -> corpusCleanOracle,
     "p_heavy_hitters" ->
       """SELECT token, count(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)

@@ -41,7 +41,10 @@ object Verify {
     // only known here
     val json = SparkEntry.oracleSql
       .map { case (k, v) =>
-        s"${q(k)}: ${q(v.replace("__SVD_FACTORS__", RecQueries.svdFactorBase(sfDir)))}" }
+        val sql = v
+          .replace("__SVD_FACTORS__", RecQueries.svdFactorBase(sfDir))
+          .replace("__ANN_ARTIFACTS__", PipelineQueries.annArtifactBase(sfDir))
+        s"${q(k)}: ${q(sql)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

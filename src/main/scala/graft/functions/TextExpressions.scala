@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnShim
@@ -174,18 +174,41 @@ object TextExprUtil {
     h
   }
 
-  /** 63-bit SimHash over split-on-space tokens (xxhash64 seed 42 per token,
-    * per-bit ±1 votes, sign → bit) — same contract as
-    * [[graft.ops.Dedup.simhash64]].
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** High 60 bits of md5(token) — the value of the first 15 hex nibbles.
+    * Chosen over xxhash64 because every SQL engine exposes md5(), so the
+    * signature (and hence the whole SimHash operator) is reproducible
+    * outside the JVM: `('0x' || substr(md5(t), 1, 15))::BIGINT` in DuckDB,
+    * `conv(substr(md5(t), 1, 15), 16, 10)` in Spark SQL. 15 nibbles keep
+    * the value positive in a signed 64-bit integer on engines without
+    * unsigned types.
     */
-  def simhash63(text: UTF8String): Long = {
+  def md5Prefix60(t: UTF8String): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val h = d.digest(t.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (h(i) & 0xFFL); i += 1 }
+    v >>> 4
+  }
+
+  /** 60-bit SimHash over split-on-space tokens (md5-prefix hash per token,
+    * per-bit ±1 votes, sign → bit) — same contract as
+    * [[graft.ops.Dedup.simhash60]].
+    */
+  def simhash60(text: UTF8String): Long = {
     val toks = splitSpace(text)
-    val votes = new Array[Int](63)
+    val votes = new Array[Int](60)
     var i = 0
     while (i < toks.length) {
-      val h = XxHash64Function.hash(toks(i), StringType, 42L)
+      val h = md5Prefix60(toks(i))
       var b = 0
-      while (b < 63) {
+      while (b < 60) {
         if (((h >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
         b += 1
       }
@@ -193,7 +216,7 @@ object TextExprUtil {
     }
     var sig = 0L
     var b = 0
-    while (b < 63) {
+    while (b < 60) {
       if (votes(b) >= 0) sig |= 1L << b
       b += 1
     }
@@ -312,18 +335,20 @@ case class CharEntropy(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** Codegen'd 63-bit SimHash signature of a text column. */
-case class SimHash63(child: Expression) extends UnaryExpression {
+/** Codegen'd 60-bit SimHash signature of a text column (md5-prefix token
+  * hash — engine-portable, see [[TextExprUtil.md5Prefix60]]).
+  */
+case class SimHash60(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
-  override def prettyName: String = "graft_simhash63"
+  override def prettyName: String = "graft_simhash60"
 
   override def nullSafeEval(s: Any): Any =
-    TextExprUtil.simhash63(s.asInstanceOf[UTF8String])
+    TextExprUtil.simhash60(s.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.TextExprUtil.simhash63($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextExprUtil.simhash60($c)")
 
-  override protected def withNewChildInternal(newChild: Expression): SimHash63 =
+  override protected def withNewChildInternal(newChild: Expression): SimHash60 =
     copy(child = newChild)
 }
 
@@ -336,9 +361,9 @@ object TextFns {
   def charShinglesNative(text: Column, n: Int): Column =
     ColumnShim.column(CharShingles(ColumnShim.expression(text), n))
 
-  /** 63-bit SimHash (split on single space), native fast path. */
+  /** 60-bit SimHash (split on single space), native fast path. */
   def simhashNative(text: Column): Column =
-    ColumnShim.column(SimHash63(ColumnShim.expression(text)))
+    ColumnShim.column(SimHash60(ColumnShim.expression(text)))
 
   /** Unicode NFC canonical composition. */
   def nfc(text: Column): Column =

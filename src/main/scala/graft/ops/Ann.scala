@@ -207,15 +207,47 @@ object Ann {
     }
   }
 
+  /** Codebooks as a relational frame (subspace, cid, c, n2 = |c|²) — the
+    * persistence shape for [[pqTopK]]'s train-once/scan-many split: write
+    * this once, and any engine (this one or an external SQL verifier) can
+    * re-derive codes, ADC tables, and shortlists from the parquet alone.
+    */
+  def pqCodebookDf(spark: org.apache.spark.sql.SparkSession,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    codebooks.zipWithIndex.flatMap { case (cents, j) =>
+      cents.zipWithIndex.map { case (c, cid) =>
+        (j, cid, c.toSeq, c.map(x => x * x).sum)
+      }
+    }.toSeq.toDF("subspace", "cid", "c", "n2")
+  }
+
+  /** Read codebooks persisted via [[pqCodebookDf]] back into the in-memory
+    * train shape (small by construction: m × k rows).
+    */
+  def pqCodebookFromDf(df: DataFrame): Array[Array[Array[Double]]] =
+    df.select(col("subspace"), col("cid"), col("c").cast("array<double>"))
+      .collect()
+      .groupBy(_.getInt(0)).toArray.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
+      }
+
   /** PQ-encode: (id, codes ARRAY<INT> length m, rn2 = |reconstruction|²).
     * Pure map-side codegen HOFs over the broadcast codebook literal — per
     * row m·k·(dim/m) fused multiply-adds, then the 4-byte-per-subspace code
     * is all that ever reaches state or the wire (dim/m × compression).
     * rn2 is exact for the reconstruction because subspaces are disjoint
     * coordinates: |x̂|² = Σ_j |cb_j[code_j]|².
+    *
+    * `assignOnRoundedTo`: rank centroids on round(|c|² − 2·v·c, d) so the
+    * argmin (and hence the code) is reproducible bit-for-bit across engines
+    * whose float summation order differs (oracle parity); ties break to the
+    * lowest centroid id on every engine.
     */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
-      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+      codebooks: Array[Array[Array[Double]]],
+      assignOnRoundedTo: Option[Int] = None): DataFrame = {
     val m = codebooks.length
     val k = codebooks.head.length
     val dsub = codebooks.head.head.length
@@ -230,9 +262,11 @@ object Ann {
       // centroid — deterministic, and a much smaller expression tree than a
       // struct-ordering argmin (HOFs evaluate interpreted; tree size is the
       // per-row cost)
-      val scored = transform(sequence(lit(0), lit(k - 1)), c =>
-        element_at(element_at(cbN2, j + 1), c + 1) -
-          dot(subv(j), element_at(cb, c + 1)) * 2)
+      val scored = transform(sequence(lit(0), lit(k - 1)), c => {
+        val d = element_at(element_at(cbN2, j + 1), c + 1) -
+          dot(subv(j), element_at(cb, c + 1)) * 2
+        assignOnRoundedTo.map(p => round(d, p)).getOrElse(d)
+      })
       (array_position(scored, array_min(scored)) - 1).cast("int")
     })
     df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("__v"))
@@ -255,13 +289,15 @@ object Ann {
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, m: Int = 8, kcent: Int = 32,
       rerank: Int = 4, codebooksOpt: Option[Array[Array[Array[Double]]]] = None,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, rankOnRoundedTo: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cb = codebooksOpt.getOrElse(pqTrain(corpus, vecCol, m, kcent, seed = seed))
     val kc = cb.head.length
     val dsub = cb.head.head.length
     val cbLit = typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
-    val codes = pqEncode(corpus, idCol, vecCol, cb)
+    def rnd(c: Column): Column =
+      rankOnRoundedTo.map(p => round(c, p)).getOrElse(c)
+    val codes = pqEncode(corpus, idCol, vecCol, cb, rankOnRoundedTo)
       .select(col("id").as("neighbor_id"), col("codes"), sqrt(col("rn2")).as("cn"))
     val qv = col("__q")
     val table = transform(sequence(lit(0), lit(m - 1)), j =>
@@ -279,7 +315,7 @@ object Ann {
           element_at(tj, c + 1)), lit(0.0), (a, x) => a + x) /
           (col("qn") * col("cn"))).as("adc"))
     val wAdc = Window.partitionBy("query_id")
-      .orderBy(col("adc").desc, col("neighbor_id"))
+      .orderBy(rnd(col("adc")).desc, col("neighbor_id"))
     val shortlist = adc.withColumn("__r", row_number().over(wAdc))
       .where(col("__r") <= k * rerank)
       .select("query_id", "neighbor_id")
@@ -293,21 +329,22 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
     val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
+      .orderBy(rnd(col("cos")).desc, col("neighbor_id"))
     exact.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
-  /** IVF top-k: KMeans coarse quantizer (seeded), assign corpus to nearest
-    * centroid, probe `nprobe` centroids per query, exact rerank inside probed
-    * cells. Output: (query_id, neighbor_id, rank, cos).
+  /** Train the IVF coarse quantizer alone: seeded bounded-iteration KMeans,
+    * returned as (cid, c ARRAY<DOUBLE>) — the persistence shape for the
+    * train-once/scan-many split (write this once; scans and external SQL
+    * verifiers re-derive cell assignment from the parquet alone).
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+  def ivfTrain(corpus: DataFrame, vecCol: String, nlist: Int = 16,
       seed: Long = 42L, kmeansIter: Int = 8): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val train = corpus.select(array_to_vector(
       col(vecCol).cast("array<double>")).as("features"))
     // A coarse quantizer does not need converged clustering — recall comes
@@ -316,17 +353,44 @@ object Ann {
     // the seeded init keeps cell assignment deterministic.
     val km = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features")
       .setMaxIter(kmeansIter).setInitMode("random")
-    val model = km.fit(train)
-    val cents = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.toSeq)
-    }.toSeq
-    val centArr = typedLit(cents.map(_._2))
+    km.fit(train).clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq.toDF("cid", "c")
+  }
+
+  /** Centroids persisted via [[ivfTrain]] back to the in-memory shape,
+    * ordered by cid (small by construction: nlist rows).
+    */
+  def ivfCentroidsFromDf(df: DataFrame): Array[Array[Double]] =
+    df.select(col("cid"), col("c").cast("array<double>")).collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+
+  /** IVF top-k: KMeans coarse quantizer (seeded, or fixed pre-trained
+    * centroids), assign corpus to nearest centroid, probe `nprobe` centroids
+    * per query, exact rerank inside probed cells.
+    * Output: (query_id, neighbor_id, rank, cos).
+    *
+    * `rankOnRoundedTo`: rank cell assignment and the final cosine on values
+    * rounded to d decimals (lowest-cid / lowest-neighbor tie-breaks), so the
+    * full scan stage is reproducible across engines given the same centroids.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      seed: Long = 42L, kmeansIter: Int = 8,
+      centroidsOpt: Option[Array[Array[Double]]] = None,
+      rankOnRoundedTo: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = centroidsOpt.getOrElse(
+      ivfCentroidsFromDf(ivfTrain(corpus, vecCol, nlist, seed, kmeansIter)))
+    val nCells = cents.length
+    val centArr = typedLit(cents.map(_.toSeq).toSeq)
+    def rnd(c: Column): Column =
+      rankOnRoundedTo.map(p => round(c, p)).getOrElse(c)
     def nearest(vec: Column, n: Int): Column = {
       // rank centroids by squared euclidean distance (|v|² is constant per
       // vector, so |c|² − 2·v·c orders identically — matches KMeans assignment)
-      val scored = transform(sequence(lit(0), lit(nlist - 1)), i => {
+      val scored = transform(sequence(lit(0), lit(nCells - 1)), i => {
         val cent = element_at(centArr, i + 1)
-        struct((dot(cent, cent) - dot(vec, cent) * 2).as("d"), i.as("cid"))
+        struct(rnd(dot(cent, cent) - dot(vec, cent) * 2).as("d"), i.as("cid"))
       })
       slice(transform(array_sort(scored), s => s.getField("cid")), 1, n)
     }
@@ -342,7 +406,7 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
     val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
+      .orderBy(rnd(col("cos")).desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cos")
   }

@@ -457,18 +457,20 @@ object Dedup {
 
   // SimHash machinery -------------------------------------------------------
 
-  private val SimBits = 63 // avoid the sign bit; keeps every power in a Long
+  private val SimBits = 60 // 15 md5 hex nibbles; positive in a signed Long
 
-  /** 63-bit SimHash over word tokens: xxhash64 per token, per-bit ±1 vote
-    * sums, sign of each sum becomes the bit.
+  /** 60-bit SimHash over word tokens: md5-prefix hash per token (engine-
+    * portable — see [[graft.functions.TextExprUtil.md5Prefix60]]), per-bit
+    * ±1 vote sums, sign of each sum becomes the bit. HOF reference form of
+    * the codegen'd [[graft.functions.TextFns.simhashNative]].
     */
-  def simhash64(text: Column): Column = {
+  def simhash60(text: Column): Column = {
     val powers = typedLit((0 until SimBits).map(b => 1L << b))
     val toks = TextOps.tokens(text)
     val votes = aggregate(toks,
       typedLit(Seq.fill(SimBits)(0)),
       (acc, t) => {
-        val h = xxhash64(t)
+        val h = conv(substring(md5(t), 1, 15), 16, 10).cast("long")
         zip_with(acc, powers, (a, p) =>
           a + when(h.bitwiseAND(p) =!= 0L, 1).otherwise(-1))
       })
@@ -476,7 +478,7 @@ object Dedup {
       (v, p) => when(v >= 0, p).otherwise(0L)), lit(0L), (acc, x) => acc + x)
   }
 
-  /** SimHash near-dup pairs: 16-bit block bucketing (4 blocks over 63 bits →
+  /** SimHash near-dup pairs: 15-bit block bucketing (4 blocks over 60 bits →
     * any pair with hamming ≤ 3 shares at least one block: pigeonhole),
     * verified by exact hamming distance.
     */
@@ -487,7 +489,7 @@ object Dedup {
     val blocks = sigs.select(col("id"), col("sim"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("blk"),
-          shiftright(col("sim"), i * 16).bitwiseAND(lit(0xFFFFL)).as("v"))): _*)).as("b"))
+          shiftright(col("sim"), i * 15).bitwiseAND(lit(0x7FFFL)).as("v"))): _*)).as("b"))
     val cands = blocks.select(col("b"), col("id").as("id1"), col("sim").as("s1"))
       .join(blocks.select(col("b"), col("id").as("id2"), col("sim").as("s2")), Seq("b"))
       .where(col("id1") < col("id2"))

@@ -66,14 +66,14 @@ object GraftSql {
 
   /** The engine's native codegen expressions as SQL functions, so the pure
     * SQL surface reaches them too:
-    *   graft_word_shingles(text, n), graft_simhash63(text),
+    *   graft_word_shingles(text, n), graft_simhash60(text),
     *   graft_dot(a, b), graft_dense_from_entries(entries, dims).
     * Int parameters must be literals (they parameterize codegen).
     */
   val nativeFunctions: Seq[(FunctionIdentifier,
       org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
       Seq[Expression] => Expression)] = {
-    import graft.functions.{DenseFromEntries, DotProduct, SimHash63, WordShingles}
+    import graft.functions.{DenseFromEntries, DotProduct, SimHash60, WordShingles}
     def litInt(e: Expression, fn: String): Int = e match {
       case Literal(v: Int, _) => v
       case other => throw new IllegalArgumentException(
@@ -90,12 +90,12 @@ object GraftSql {
           case _ => throw new IllegalArgumentException(
             "graft_word_shingles(text, n) takes 2 arguments")
         }),
-      (FunctionIdentifier("graft_simhash63"),
-        info("graft_simhash63", "63-bit SimHash signature of text"),
+      (FunctionIdentifier("graft_simhash60"),
+        info("graft_simhash60", "60-bit SimHash signature of text"),
         (args: Seq[Expression]) => args match {
-          case Seq(text) => SimHash63(text)
+          case Seq(text) => SimHash60(text)
           case _ => throw new IllegalArgumentException(
-            "graft_simhash63(text) takes 1 argument")
+            "graft_simhash60(text) takes 1 argument")
         }),
       (FunctionIdentifier("graft_dot"),
         info("graft_dot", "dense dot product of two ARRAY<DOUBLE>"),

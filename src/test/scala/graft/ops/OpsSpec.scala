@@ -106,15 +106,15 @@ class OpsSpec extends SparkSpec {
       explode(TextFns.wordShinglesNative(col("text"), 3)).as("g"))
       .collect().map(r => (r.getLong(0), r.getString(1))).sorted
     native shouldBe hof
-    // simhash: identical 63-bit signatures
-    val hofSim = documents.select(col("doc_id"), Dedup.simhash64(col("text")))
+    // simhash: identical 60-bit signatures
+    val hofSim = documents.select(col("doc_id"), Dedup.simhash60(col("text")))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
     val natSim = documents.select(col("doc_id"), TextFns.simhashNative(col("text")))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
     natSim shouldBe hofSim
     // split edge cases: trailing space, empty string, double space
     val edge = Seq("a b c ", "", "a  b", "x").toDF("text")
-    val h = edge.select(Dedup.simhash64(col("text"))).collect().map(_.getLong(0))
+    val h = edge.select(Dedup.simhash60(col("text"))).collect().map(_.getLong(0))
     val nv = edge.select(TextFns.simhashNative(col("text"))).collect().map(_.getLong(0))
     nv.toSeq shouldBe h.toSeq
     val hg = edge.select(Dedup.wordNgrams(TextOps.tokens(col("text")), 2))

@@ -151,7 +151,7 @@ class SqlSurfaceSpec extends SparkSpec with BeforeAndAfterAll {
       .createOrReplaceTempView("fn_docs")
     val r = ext.sql(
       """SELECT id, size(graft_word_shingles(text, 2)) AS n2,
-        |  graft_simhash63(text) AS sh,
+        |  graft_simhash60(text) AS sh,
         |  graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dot
         |FROM fn_docs ORDER BY id""".stripMargin).collect()
     r(0).getInt(1) shouldBe 3 // distinct bigrams of "a b c a b c": ab, bc, ca
