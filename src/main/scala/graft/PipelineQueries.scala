@@ -193,19 +193,23 @@ object PipelineQueries {
         langs = Seq.empty, threshold = 0.6)
       cleaned.select(col("doc_id")).orderBy("doc_id")
     }),
-    // Multimodal plumbing end-to-end (rows-only: the batch decoder is the
-    // documented stub): synthetic binary payloads → batched partition-
-    // parallel feature extraction → per-media feature aggregate, plus the
-    // frame-sampling generator.
+    // Multimodal end-to-end — hash-gated with a REAL codec: deterministic
+    // synthetic PNGs (closed-form pixels) → batched partition-parallel
+    // javax.imageio decode → (dims, per-channel means), plus the
+    // frame-sampling generator; the oracle recomputes the same stats from
+    // the pixel formula alone, so a wrong decode cannot pass.
     "p_media_features" -> ((s, d) => {
       val media = graft.ops.Multimodal.syntheticMedia(s, 200)
-      val feats = graft.ops.Multimodal.extractFeatures(media, dim = 16)
-        .select(col("media_id"), size(col("features")).as("n_feat"),
-          round(aggregate(col("features"), lit(0.0d),
-            (a, x) => a + x.cast("double")), 4).as("feat_sum"))
+      val stats = graft.ops.Multimodal.imageStats(media)
+        .select(col("media_id"),
+          col("img_w").cast("long").as("img_w"),
+          col("img_h").cast("long").as("img_h"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"))
       val frames = graft.ops.Multimodal.sampleFrames(media, stride = 8)
         .groupBy("media_id").agg(count(lit(1)).as("n_frames_sampled"))
-      feats.join(frames, Seq("media_id"))
+      stats.join(frames, Seq("media_id"))
     }),
     // Sketch-screened exact heavy hitters: the count-min sketch bounds which
     // tokens CAN reach the aggregation (no false negatives — CMS only
@@ -690,6 +694,34 @@ object PipelineQueries {
         |ORDER BY n DESC, token
         |LIMIT 100""".stripMargin,
     "p_corpus_clean" -> corpusCleanOracle,
+    // closed-form rendering of Multimodal.synthPixel/synthDims: the Spark
+    // side must decode real PNG bytes to reproduce these numbers
+    "p_media_features" ->
+      """WITH m AS (SELECT unnest(generate_series(0, 199)) AS media_id),
+        |dims AS (
+        |  SELECT media_id, 8 + (media_id % 9) AS w,
+        |         8 + ((media_id * 7) % 9) AS h
+        |  FROM m
+        |),
+        |xs AS (SELECT unnest(generate_series(0, 16)) AS i),
+        |px AS (
+        |  SELECT d.media_id, d.w, d.h, x.i AS x, y.i AS y
+        |  FROM dims d, xs x, xs y
+        |  WHERE x.i < d.w AND y.i < d.h
+        |),
+        |agg AS (
+        |  SELECT media_id, w, h,
+        |    avg((x*31 + y*17 + media_id*13) % 256) AS mr,
+        |    avg((x*7 + y*29 + media_id*3) % 256) AS mg,
+        |    avg((x*11 + y*5 + media_id*23) % 256) AS mb
+        |  FROM px GROUP BY 1, 2, 3
+        |)
+        |SELECT CAST(media_id AS BIGINT) AS media_id,
+        |  CAST(w AS BIGINT) AS img_w, CAST(h AS BIGINT) AS img_h,
+        |  round(mr, 6) AS mean_r, round(mg, 6) AS mean_g,
+        |  round(mb, 6) AS mean_b,
+        |  CAST(4 AS BIGINT) AS n_frames_sampled
+        |FROM agg""".stripMargin,
     "p_heavy_hitters" ->
       """SELECT token, count(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)

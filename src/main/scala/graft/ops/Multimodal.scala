@@ -11,13 +11,16 @@ import org.apache.spark.sql.types._
   * The REAL parts (tested): the schema contract, the partition-parallel
   * batched execution shape (the Scala equivalent of `mapInPandas` — an
   * iterator of fixed-size batches per partition, so a vectorized decoder
-  * amortizes per-batch setup), resize/frame-sample parameter plumbing, and
-  * deterministic output schemas.
+  * amortizes per-batch setup), resize/frame-sample parameter plumbing,
+  * deterministic output schemas, and — for the image kind — an actual
+  * pure-JVM PNG/BMP decode ([[imageStats]] via `javax.imageio`), verified
+  * against a closed-form pixel oracle.
   *
-  * The STUBBED part: actual media codecs are not available in this container,
-  * so [[decodeBatchStub]] produces deterministic fake feature vectors derived
-  * from the payload bytes. Swap `decodeBatchStub` for a real JNI/FFI batch
-  * decoder at deployment; nothing else changes.
+  * The STUBBED part: learned-embedding extraction needs model weights +
+  * codecs this container doesn't ship, so [[decodeBatchStub]] produces
+  * deterministic fake feature vectors derived from the payload bytes. Swap
+  * `decodeBatchStub` for a real JNI/FFI batch decoder at deployment;
+  * nothing else changes.
   */
 object Multimodal {
 
@@ -31,17 +34,100 @@ object Multimodal {
     StructField("sample_rate", IntegerType, nullable = true),
     StructField("n_frames", IntegerType, nullable = true)))
 
-  /** Deterministic synthetic media table (payload bytes derived from id) for
-    * tests and benchmarks.
+  /** Deterministic RGB value of pixel (x, y) of synthetic image `i` — the
+    * closed form both the encoder and the correctness oracle compute, so a
+    * real decoder sitting between them is fully checkable.
+    */
+  def synthPixel(i: Long, x: Int, y: Int): (Int, Int, Int) = (
+    ((x * 31 + y * 17 + i * 13) % 256).toInt,
+    ((x * 7 + y * 29 + i * 3) % 256).toInt,
+    ((x * 11 + y * 5 + i * 23) % 256).toInt)
+
+  /** Dimensions of synthetic image `i` (varied so decode can't fake them). */
+  def synthDims(i: Long): (Int, Int) =
+    (8 + (i % 9).toInt, 8 + (i * 7 % 9).toInt)
+
+  /** Deterministic synthetic media table for tests and benchmarks. The
+    * `image` kind carries REAL PNG payloads (encoded losslessly from
+    * [[synthPixel]] via `javax.imageio`), so decode operators are exercised
+    * on genuine codec bytes; other kinds carry opaque deterministic bytes.
     */
   def syntheticMedia(spark: SparkSession, n: Int, kind: String = "image"): DataFrame = {
     import spark.implicits._
     val rows = (0 until n).map { i =>
-      val payload = Array.tabulate[Byte](256)(j => ((i * 31 + j * 7) % 251).toByte)
-      (i.toLong, kind, payload, 64, 48, 16000, 32)
+      if (kind == "image") {
+        val (w, h) = synthDims(i.toLong)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) {
+          val (r, g, b) = synthPixel(i.toLong, x, y)
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (i.toLong, kind, bos.toByteArray, w, h, 16000, 32)
+      } else {
+        val payload = Array.tabulate[Byte](256)(j => ((i * 31 + j * 7) % 251).toByte)
+        (i.toLong, kind, payload, 64, 48, 16000, 32)
+      }
     }
     rows.toDF("media_id", "kind", "payload", "width", "height",
       "sample_rate", "n_frames")
+  }
+
+  /** REAL batch image decode (pure JVM — PNG/BMP/GIF via `javax.imageio`):
+    * each payload is decoded once and summarized as
+    * (width, height, per-channel pixel means). Same batch contract as
+    * [[decodeBatchStub]]: one call per batch, results in input order.
+    */
+  def decodeImageBatch(batch: Seq[Array[Byte]]): Seq[(Int, Int, Double, Double, Double)] =
+    batch.map { bytes =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "payload is not a decodable image")
+      val w = img.getWidth
+      val h = img.getHeight
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toDouble
+      (w, h, sr / n, sg / n, sb / n)
+    }
+
+  /** Batched partition-parallel REAL image decode + per-image stats —
+    * the same execution shape as [[extractFeatures]] (iterator of
+    * `batchSize` groups per partition, one decoder call per batch, results
+    * streamed out), but with an actual codec behind it.
+    * Output: (media_id, img_w, img_h, mean_r, mean_g, mean_b).
+    */
+  def imageStats(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("img_w", IntegerType, nullable = false),
+      StructField("img_h", IntegerType, nullable = false),
+      StructField("mean_r", DoubleType, nullable = false),
+      StructField("mean_g", DoubleType, nullable = false),
+      StructField("mean_b", DoubleType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rdd = media.queryExecution.toRdd.mapPartitions { iter =>
+      val rows = iter.map(ir => (ir.getLong(idIdx), ir.getBinary(payloadIdx)))
+      rows.grouped(batchSize).flatMap { batch =>
+        val stats = decodeImageBatch(batch.map(_._2))
+        batch.lazyZip(stats).map { case ((id, _), (w, h, r, g, b)) =>
+          Row(id, w, h, r, g, b)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
   }
 
   /** STUB batch decoder: deterministic pseudo-features from payload bytes.

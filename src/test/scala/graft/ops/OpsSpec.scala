@@ -325,4 +325,27 @@ class OpsSpec extends SparkSpec {
     // frame sampling: stride arithmetic
     Multimodal.sampleFrames(media, stride = 8).count() shouldBe 100 * 4
   }
+
+  test("multimodal: real PNG decode reproduces the closed-form pixel stats") {
+    val media = Multimodal.syntheticMedia(spark, 30).repartition(5)
+    val got = Multimodal.imageStats(media, batchSize = 7).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    got.size shouldBe 30
+    for (i <- 0L until 30L) {
+      val (w, h) = Multimodal.synthDims(i)
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = Multimodal.synthPixel(i, x, y)
+        sr += r; sg += g; sb += b
+      }
+      val n = (w.toLong * h).toDouble
+      val (gw, gh, mr, mg, mb) = got(i)
+      (gw, gh) shouldBe ((w, h))
+      mr shouldBe (sr / n)
+      mg shouldBe (sg / n)
+      mb shouldBe (sb / n)
+    }
+  }
 }
