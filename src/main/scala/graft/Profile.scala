@@ -105,6 +105,58 @@ object Profile {
         println(f"PROFILE scaleprobe events=$nEv model_pairs=$nModel " +
           f"build=$tModel%.1fs sweep_rows=$nScores sweep=$tScores%.1fs " +
           f"users_per_sec=${(nScores / 1000.0) / tScores}%.0f")
+      case s if s.startsWith("flipprobe") =>
+        // Strategy-picker flip probe: the same 100-item catalog shape as
+        // sf0.1 with growing user bases (1×/10×/100×), forced-join vs
+        // forced-dense vs 'auto' item-model builds. Predicted behavior:
+        // dense wins at the sf0.1 shape (cost model), the cost model flips
+        // to the sparse join at ~10× (fan-out per dim shrinks while dense
+        // cells grow with dims), and at ~100× the dims bound
+        // (DenseDimLimit) forces sparse outright — whose memory must stay
+        // flat because only co-rating pairs materialize. Usage:
+        // flipprobe[:u1,u2,...]
+        import org.apache.spark.sql.functions._
+        import graft.recdb.Similarity
+        val userScales = s.split(":").drop(1).headOption
+          .map(_.split(",").toSeq.map(_.toLong))
+          .getOrElse(Seq(1500L, 15000L, 150000L))
+        userScales.foreach { users =>
+          val ev = spark.read.format("graft-events")
+            .option("rows", users * 50).option("users", users)
+            .option("items", 100).option("numPartitions", 64).load()
+            .select(col("user_id").as("userid"), col("item_id").as("itemid"),
+              col("value").as("rating"))
+            .groupBy("userid", "itemid").agg(max("rating").as("rating"))
+            .cache()
+          val nEv = ev.count()
+          def timed(strategy: String): (Double, Long) = {
+            val t0 = System.nanoTime()
+            val n = Similarity.itemCosine(ev, Tables.ratingCols, strategy).count()
+            ((System.nanoTime() - t0) / 1e9, n)
+          }
+          val (tJoin, nModel) = timed("join")
+          val denseStr =
+            if (users <= Similarity.DenseDimLimit) f"${timed("dense")._1}%.1fs"
+            else "skipped(dims>DenseDimLimit)"
+          val t0 = System.nanoTime()
+          val autoDf = Similarity.itemCosine(ev, Tables.ratingCols, "auto")
+          autoDf.count()
+          val tAuto = (System.nanoTime() - t0) / 1e9
+          // the dense path's p1 < p2 pair join is non-equi → nested-loop /
+          // cartesian in the physical plan; the sparse path is a pure
+          // equi-join — so the executed plan is the pick's witness
+          val plan = autoDf.queryExecution.executedPlan.toString
+          val picked =
+            if (plan.contains("NestedLoop") || plan.contains("Cartesian")) "dense"
+            else "join"
+          ev.unpersist()
+          System.gc()
+          val rt = Runtime.getRuntime
+          val usedMb = (rt.totalMemory - rt.freeMemory) / (1 << 20)
+          println(f"PROFILE flipprobe users=$users events=$nEv " +
+            f"model_pairs=$nModel join=$tJoin%.1fs dense=$denseStr " +
+            f"auto=$tAuto%.1fs auto_picked=$picked heap_used=${usedMb}MB")
+        }
       case s if s.startsWith("dedupprobe") =>
         // near-dup detection at synthetic-corpus scale (default 100k docs,
         // ~20x the sf0.1 documents table; usage: dedupprobe[:n]): docs with

@@ -104,6 +104,14 @@ final class IncrementalMaintainer(
 }
 
 object IncrementalMaintainer {
-  /** RecDBProperties default update_threshold (utility.c:907). */
+  /** RecDBProperties default update_threshold (utility.c:907).
+    *
+    * Of the reference's three RecDBProperties knobs (utility.c:903-908),
+    * only update_threshold is ported: `tail_length` and `verbose_queries`
+    * appear ONLY in the table's CREATE/INSERT — no reference code path ever
+    * reads either — so they are deliberately omitted rather than given
+    * Spark-conf equivalents (EXPLAIN covers what a verbose-queries toggle
+    * would have shown).
+    */
   val DefaultThreshold = 0.5
 }
