@@ -130,6 +130,52 @@ object PipelineQueries {
       Dedup.connectedComponents(
         Dedup.jaccardPairs(docs(s, d), "doc_id", "text", n = 3, threshold = 0.5))
         .select(col("node").as("doc_id"), col("rep"))),
+    // Incremental near-dup — the continuously-ingested-corpus shape: the
+    // "previous run" persists its MinHash signature index ONCE; the batch
+    // signs only the delta (doc_id % 3 == 0) and probes the index, plus
+    // within-delta pairs. Output == the exact jaccard pair set restricted
+    // to delta-touching pairs (same recall argument as p_minhash_lsh).
+    "p_incr_neardup" -> ((s, d) => {
+      val dd = docs(s, d)
+      val base = annArtifactBase(d)
+      val corpus = dd.where(col("doc_id") % 3 =!= 0)
+      Dedup.minhashSignatures(
+        corpus.select(col("doc_id").as("id"),
+          graft.functions.TextFns.wordShinglesNative(col("text"), 3).as("grams")),
+        "id", "grams", 64)
+        .write.mode("overwrite").parquet(s"$base/minhash_index")
+      val index = s.read.parquet(s"$base/minhash_index")
+      val delta = dd.where(col("doc_id") % 3 === 0).select(col("doc_id").as("id"))
+      Dedup.incrementalLshPairs(dd, "doc_id", "text", index, delta,
+        threshold = 0.5)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+    // Best-representative selection per near-dup group: real pipelines keep
+    // the highest-QUALITY member of each duplicate cluster, not the lowest
+    // id — argmax(quality, tie → lowest id) per connected component.
+    "p_dup_best" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dd = docs(s, d)
+      val comps = Dedup.connectedComponents(
+        Dedup.jaccardPairs(dd, "doc_id", "text", n = 3, threshold = 0.5))
+      val q = dd.select(col("doc_id").as("node"),
+        TextOps.qualityScore(col("text")).as("q"))
+      val w = Window.partitionBy("rep").orderBy(col("q").desc, col("node"))
+      comps.join(q, Seq("node"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_members", count(lit(1)).over(Window.partitionBy("rep")))
+        .where(col("rn") === 1)
+        .select(col("rep"), col("node").as("best"), col("q").as("best_quality"),
+          col("n_members"))
+    }),
+    // PII redaction over an augmented text (the synthetic corpus carries no
+    // PII, so both engines splice a derived email + phone into each doc and
+    // redact with the same RE2-compatible patterns).
+    "p_redact" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextOps.redactPii(concat(col("text"), lit(" contact user"),
+          col("doc_id"), lit("@mail.example.com or +1 555 01"),
+          col("doc_id"), lit(" now"))).as("redacted"))),
     // Stratified deterministic sampling: downsample the dominant language,
     // keep half of everything else — one map-side hash filter, no shuffle.
     "p_stratified" -> ((s, d) =>
@@ -350,6 +396,33 @@ object PipelineQueries {
       |WHERE exd.doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin
   }
 
+  /** DuckDB rendering of [[TextOps.qualityScore]] as CTEs `qs`/`q` over
+    * `documents` (same formula the p_text_stats oracle uses).
+    */
+  private def qualityCtes: String = {
+    val stopCount = langScoreSql(TextOps.StopwordsEn)
+      .replace("string_split(text, ' ')", "toks")
+    s"""qt AS (
+      |  SELECT doc_id, text, length(text) AS n_char,
+      |         string_split(text, ' ') AS toks
+      |  FROM documents
+      |),
+      |qs AS (
+      |  SELECT doc_id, n_char, len(toks) AS n_tok,
+      |    $stopCount*1.0/greatest(len(toks), 1) AS sr,
+      |    length(replace(text, ' ', ''))*1.0/greatest(len(toks), 1) AS ml
+      |  FROM qt
+      |),
+      |q AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN n_tok BETWEEN 10 AND 1000 THEN CAST(0.25 AS DOUBLE) ELSE 0 END
+      |     + CASE WHEN sr BETWEEN 0.05 AND 0.6 THEN CAST(0.25 AS DOUBLE) ELSE 0 END
+      |     + CASE WHEN ml BETWEEN 3.0 AND 10.0 THEN CAST(0.25 AS DOUBLE) ELSE 0 END
+      |     + CASE WHEN n_char <= 20000 THEN CAST(0.25 AS DOUBLE) ELSE 0 END) AS quality
+      |  FROM qs
+      |)""".stripMargin
+  }
+
   private def langScoreSql(words: Seq[String]): String =
     s"len(list_filter(string_split(text, ' '), t -> t IN (${
       words.map(w => s"'$w'").mkString(", ")})))"
@@ -382,6 +455,52 @@ object PipelineQueries {
     // (≥0.9 or ≤0.07) the 16-band/4-row S-curve recall is 1 − 4e-8 ⇒ the
     // verified LSH output equals the exact pair set.
     "p_minhash_lsh" -> jaccardOracle,
+    // exact jaccard pair set restricted to delta-touching pairs — what the
+    // index-probing incremental path must reproduce
+    "p_incr_neardup" ->
+      s"""WITH $jaccardCtes
+         |SELECT id1, id2, round(n*1.0/(s1.sz + s2.sz - n), 6) AS jaccard
+         |FROM inter
+         |JOIN sizes s1 ON id1 = s1.doc_id
+         |JOIN sizes s2 ON id2 = s2.doc_id
+         |WHERE n*1.0/(s1.sz + s2.sz - n) >= 0.5
+         |  AND (id1 % 3 = 0 OR id2 % 3 = 0)""".stripMargin,
+    // connected components + per-group argmax(quality, tie -> lowest id)
+    "p_dup_best" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |pairs AS (
+         |  SELECT id1, id2 FROM inter
+         |  JOIN sizes s1 ON id1 = s1.doc_id
+         |  JOIN sizes s2 ON id2 = s2.doc_id
+         |  WHERE n*1.0/(s1.sz + s2.sz - n) >= 0.5
+         |),
+         |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+         |          UNION SELECT id2, id1 FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t2
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+         |),
+         |comps AS (SELECT node, min(r) AS rep FROM reach GROUP BY node),
+         |$qualityCtes,
+         |ranked AS (
+         |  SELECT c.rep, c.node, q.quality,
+         |    row_number() OVER (PARTITION BY c.rep
+         |      ORDER BY q.quality DESC, c.node) AS rn,
+         |    count(*) OVER (PARTITION BY c.rep) AS n_members
+         |  FROM comps c JOIN q ON c.node = q.doc_id
+         |)
+         |SELECT rep, node AS best, quality AS best_quality, n_members
+         |FROM ranked WHERE rn = 1""".stripMargin,
+    "p_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      text || ' contact user' || doc_id || '@mail.example.com or +1 555 01'
+        |        || doc_id || ' now',
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9][0-9 ()+.-]{7,}[0-9]', '<PHONE>', 'g') AS redacted
+        |FROM documents""".stripMargin,
     // exact all-pairs Hamming over the same 60-bit md5-prefix signatures the
     // Spark side computes; the banded Spark plan has guaranteed recall at
     // hamming ≤ 3 (4×15-bit blocks, pigeonhole) and verify-exact precision,

@@ -314,6 +314,74 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Incremental near-dup detection: NEW docs (`deltaIds`, a subset of
+    * `docs`) against a PERSISTED signature index of the existing corpus
+    * (`index`: (id, sig ARRAY<LONG>) as written by [[minhashSignatures]]
+    * with the same (nGram, numPerm, seed)), plus within-delta pairs — the
+    * production shape for continuously-ingested corpora: ONLY the delta is
+    * shingled and signed each batch; the corpus side is probed through its
+    * precomputed signatures and never rebuilt, so per-batch cost is
+    * O(|delta| × bands) candidate probes + the exact verify on candidate
+    * docs, independent of corpus size at fixed collision rate.
+    *
+    * Returns (id1, id2, jaccard) with id1 < id2, jaccard ≥ threshold, and
+    * at least one side in the delta; precision 1.0 (exact verify), recall =
+    * the same LSH S-curve as [[minhashLshPairs]]. Caller contract: `index`
+    * covers exactly the docs NOT in `deltaIds`.
+    */
+  def incrementalLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      index: DataFrame, deltaIds: DataFrame, nGram: Int = 3,
+      numPerm: Int = 64, bands: Int = 16, threshold: Double = 0.5,
+      seed: Long = 42L, estMargin: Double = 0.2): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must be divisible by bands")
+    val r = numPerm / bands
+    val wdocs = widen(docs.select(col(idCol).as("id"), col(textCol).as("__t")), "id")
+    val gramsExpr = TextFns.wordShinglesNative(col("__t"), nGram)
+    val dIds = deltaIds.select(col(deltaIds.columns.head).as("id"))
+    val deltaSigs = graft.Exec.materialize(
+      wdocs.join(dIds, Seq("id"), "semi")
+        .select(col("id"),
+          graft.functions.TextFns.minhashSigNative(gramsExpr, numPerm, seed)
+            .as("sig"))
+        .where(size(col("sig")) > 0))
+    val idxSigs = index.select(col("id"), col("sig"))
+    def banded(s: DataFrame): DataFrame = s.select(col("id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, slice(col("sig"), b * r + 1, lit(r))))).as("bkey"))
+    val bd = graft.Exec.materialize(banded(deltaSigs)) // read twice
+    // corpus×delta: the (large) index side streams through ONE equi-join
+    // keyed by the delta's band keys — at scale, broadcast bd and the index
+    // never shuffles at all; delta×delta: self-join of the small frame
+    val crossCands = banded(idxSigs).select(col("bkey"), col("id").as("ia"))
+      .join(bd.select(col("bkey"), col("id").as("ib")), Seq("bkey"))
+      .select(least(col("ia"), col("ib")).as("id1"),
+        greatest(col("ia"), col("ib")).as("id2"))
+    val deltaCands = bd.select(col("bkey"), col("id").as("id1"))
+      .join(bd.select(col("bkey"), col("id").as("id2")), Seq("bkey"))
+      .where(col("id1") < col("id2"))
+      .select("id1", "id2")
+    val cands = crossCands.unionAll(deltaCands).distinct()
+    // signature screen + exact verify: same contract as the full LSH path
+    val sigs = idxSigs.unionAll(deltaSigs)
+    val estMin = math.max(0.0, math.ceil((threshold - estMargin) * numPerm)).toInt
+    val screened = graft.Exec.materialize(cands
+      .join(sigs.select(col("id").as("id1"), col("sig").as("sig1")), "id1")
+      .join(sigs.select(col("id").as("id2"), col("sig").as("sig2")), "id2")
+      .where(graft.functions.VectorFns.matchCount(col("sig1"), col("sig2")) >= estMin)
+      .select("id1", "id2"))
+    val candIds = screened.select(col("id1").as("id"))
+      .unionAll(screened.select(col("id2").as("id"))).distinct()
+    val vdocs = wdocs.join(candIds, Seq("id"), "semi")
+      .select(col("id"), gramsExpr.as("grams"))
+    screened
+      .join(vdocs.select(col("id").as("id1"), col("grams").as("g1")), "id1")
+      .join(vdocs.select(col("id").as("id2"), col("grams").as("g2")), "id2")
+      .select(col("id1"), col("id2"),
+        (size(array_intersect(col("g1"), col("g2"))).cast("double") /
+          size(array_union(col("g1"), col("g2")))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** Connected components over an undirected edge list (id1, id2) → one row
     * per member node (id, rep) where rep is the smallest node id in its
     * component — turns near-dup PAIRS into dedup GROUPS (keep rep, drop the

@@ -13,6 +13,24 @@ class OpsSpec extends SparkSpec {
   lazy val documents = spark.read.parquet(s"$docsDir/documents.parquet").cache()
   lazy val embeddings = spark.read.parquet(s"$docsDir/embeddings.parquet").cache()
 
+  test("incremental LSH pairs == full exact pairs restricted to the delta") {
+    import graft.functions.TextFns
+    val corpus = documents.where(col("doc_id") % 3 =!= 0)
+    val index = Dedup.minhashSignatures(
+      corpus.select(col("doc_id").as("id"),
+        TextFns.wordShinglesNative(col("text"), 3).as("grams")),
+      "id", "grams", 64)
+    val delta = documents.where(col("doc_id") % 3 === 0)
+      .select(col("doc_id").as("id"))
+    val incr = Dedup.incrementalLshPairs(documents, "doc_id", "text", index, delta)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.jaccardPairs(documents, "doc_id", "text", 3, 0.5)
+      .where(col("id1") % 3 === 0 || col("id2") % 3 === 0)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    incr shouldBe full
+    incr.size should be > 3
+  }
+
   test("minhash LSH pairs == exact jaccard pairs on testdata (verified candidates)") {
     val exact = Dedup.jaccardPairs(documents, "doc_id", "text", 3, 0.5)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
