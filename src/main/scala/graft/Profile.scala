@@ -306,6 +306,31 @@ object Profile {
           .map(_.toString).toSet
         println(s"PROFILE ivf_vs_brute equal=${b == v} brute=${b.size} " +
           s"ivf=${v.size} onlyBrute=${(b -- v).size}")
+      case "recviewstages" =>
+        // stage costs of the full create→materialize→serve cycle that
+        // r_recview_topk (and the bench workload protocol) pays
+        import graft.recdb.{RecCatalog, Recommender}
+        import org.apache.spark.sql.functions._
+        (1 to reps).foreach { _ =>
+          val base = java.nio.file.Files.createTempDirectory("graft_rvs").toString
+          val catalog = new RecCatalog(s"$base/catalog")
+          val r = Tables.ratings(spark, sfDir).cache()
+          r.count()
+          def t(body: => Any): Double = {
+            val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+          }
+          val tCreate = t(Recommender.create(spark, "rv", r, s"events@$sfDir",
+            Tables.ratingCols, "itemCosCF", catalog, s"$base/models"))
+          val tView = t(Recommender.materializeView(spark, "rv", r, catalog,
+            s"$base/views"))
+          val tServe = t {
+            val v = Recommender.recommendFromView(spark, "rv", catalog).get
+            v.where(col("userid") === 1L)
+              .orderBy(col("score").desc, col("itemid")).limit(10).collect()
+          }
+          println(f"PROFILE recviewstages create=$tCreate%.2f " +
+            f"view=$tView%.2f serve=$tServe%.2f")
+        }
       case n =>
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()

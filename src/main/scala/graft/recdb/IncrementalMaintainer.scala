@@ -76,12 +76,14 @@ final class IncrementalMaintainer(
     // CREATE-time corpus stats (they drive the job-free strategy pick) are
     // re-measured against the grown events store
     entry.viewPath.foreach(Recommender.deleteDir)
+    // exact total (threshold anchor) + approximate distincts (cost-model
+    // inputs only — same trade as Recommender.create)
     val st = events.agg(
       org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)),
-      org.apache.spark.sql.functions.countDistinct(
+      org.apache.spark.sql.functions.approx_count_distinct(
         org.apache.spark.sql.functions.col(entry.userCol)),
-      org.apache.spark.sql.functions.countDistinct(
+      org.apache.spark.sql.functions.approx_count_distinct(
         org.apache.spark.sql.functions.col(entry.itemCol))).head()
     val modelRows = entry.method match {
       case RecMethod.SVD => 0L

@@ -41,9 +41,13 @@ object Recommender {
     require(catalog.findByTagAndMethod(eventsTag, method).isEmpty,
       s"a recommender on ($eventsTag, ${method.name}) already exists (recathon.c:844)")
     // corpus stats captured once here (one aggregation job) make every later
-    // catalog-hit scoring strategy pick pure — no stats jobs at query time
+    // catalog-hit scoring strategy pick pure — no stats jobs at query time.
+    // eventTotal is EXACT (it anchors the R17 rebuild threshold,
+    // recathon.c:1089); the distinct counts only feed the strategy cost
+    // model and its bounds, where HLL's ~2% error is immaterial — so they
+    // use approx_count_distinct and skip the distinct-expand shuffle.
     val statRow = events.agg(count(lit(1)),
-      countDistinct(col(c.user)), countDistinct(col(c.item))).head()
+      approx_count_distinct(col(c.user)), approx_count_distinct(col(c.item))).head()
     val (eventTotal, nUsers, nItems) =
       (statRow.getLong(0), statRow.getLong(1), statRow.getLong(2))
     val paths = method match {

@@ -159,9 +159,13 @@ object Scoring {
             val statsKey = (ratings.queryExecution.analyzed.canonicalized,
               model.queryExecution.analyzed.canonicalized, s"scorestats|$dimKey")
             val st = Similarity.memoizedStats(statsKey) {
-              val row = ratings.agg(countDistinct(col(dimKey)).as("dims"),
-                countDistinct(col(c.item)).as("items"),
-                countDistinct(col(c.user)).as("users"),
+              // approx distincts: these feed only the cost model and its
+              // bounds (wide safety margins), so HLL error is immaterial
+              // and the distinct-expand shuffle is skipped
+              val row = ratings.agg(
+                approx_count_distinct(col(dimKey)).as("dims"),
+                approx_count_distinct(col(c.item)).as("items"),
+                approx_count_distinct(col(c.user)).as("users"),
                 count(lit(1)).as("n")).head()
               ScoreStats(row.getLong(0), row.getLong(1), row.getLong(2),
                 row.getLong(3), model.count())
