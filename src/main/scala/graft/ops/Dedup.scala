@@ -332,18 +332,23 @@ object Dedup {
   def incrementalLshPairs(docs: DataFrame, idCol: String, textCol: String,
       index: DataFrame, deltaIds: DataFrame, nGram: Int = 3,
       numPerm: Int = 64, bands: Int = 16, threshold: Double = 0.5,
-      seed: Long = 42L, estMargin: Double = 0.2): DataFrame = {
+      seed: Long = 42L, estMargin: Double = 0.2,
+      deltaSigsOpt: Option[DataFrame] = None): DataFrame = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
     val r = numPerm / bands
     val wdocs = widen(docs.select(col(idCol).as("id"), col(textCol).as("__t")), "id")
     val gramsExpr = TextFns.wordShinglesNative(col("__t"), nGram)
     val dIds = deltaIds.select(col(deltaIds.columns.head).as("id"))
-    val deltaSigs = graft.Exec.materialize(
-      wdocs.join(dIds, Seq("id"), "semi")
-        .select(col("id"),
-          graft.functions.TextFns.minhashSigNative(gramsExpr, numPerm, seed)
-            .as("sig"))
-        .where(size(col("sig")) > 0))
+    // deltaSigsOpt: a caller that already signed the batch (e.g. the
+    // streaming maintainer, which persists the signatures anyway) passes
+    // them in instead of paying the shingle+sign pass twice
+    val deltaSigs = deltaSigsOpt.map(_.select(col("id"), col("sig")))
+      .getOrElse(graft.Exec.materialize(
+        wdocs.join(dIds, Seq("id"), "semi")
+          .select(col("id"),
+            graft.functions.TextFns.minhashSigNative(gramsExpr, numPerm, seed)
+              .as("sig"))
+          .where(size(col("sig")) > 0)))
     val idxSigs = index.select(col("id"), col("sig"))
     def banded(s: DataFrame): DataFrame = s.select(col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFns
+import graft.ops.Dedup
+
+/** Streaming near-duplicate detection with a PERSISTENT signature index —
+  * the streaming face of [[graft.ops.Dedup.incrementalLshPairs]] (and the
+  * dedup analog of the R17 maintenance hook, recathon.c:951-1203): each
+  * micro-batch of documents is shingled and MinHash-signed ONCE, probed
+  * against the on-disk index of everything ingested before it, the batch's
+  * delta-touching near-dup pairs land in `pairsDir`, and the batch's own
+  * signatures join the index — so the corpus is never re-signed and
+  * per-batch cost tracks the batch, not the corpus.
+  *
+  * Index rows carry (id, sig, text): signatures drive candidate probing,
+  * and the text column exists solely so the exact-verify stage can fetch
+  * the (structurally few) candidate corpus docs by semi-join — columnar
+  * parquet reads only the matching rows' text. At warehouse scale the text
+  * column would be a pointer into the document store instead; nothing else
+  * changes.
+  *
+  * Durability layout (local-FS rendering, same contract as
+  * [[graft.recdb.DeltaSimilarityMaintainer]] — a transactional table format
+  * replaces it on a real cluster): both the index and the pairs output are
+  * written as one overwrite-idempotent `b<batchId>/` dir per batch, and a
+  * batch only ever READS index dirs with id strictly below its own — so a
+  * crash-replay rewrites its two dirs byte-identically and can neither
+  * double-append nor observe its own partial output.
+  */
+object NearDupMaintainer {
+
+  final case class Config(nGram: Int = 3, numPerm: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5, seed: Long = 42L)
+
+  private def indexSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("sig", ArrayType(LongType, containsNull = false)),
+    StructField("text", StringType)))
+
+  /** Index contents from batches strictly BEFORE `batchId` (empty frame with
+    * the index schema when none exist — the first-batch bootstrap).
+    */
+  def priorIndex(spark: SparkSession, indexDir: String,
+      batchId: Long): DataFrame = {
+    val dirs = Option(new java.io.File(indexDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("b"))
+      .filter(_.getName.stripPrefix("b").toLongOption.exists(_ < batchId))
+      .map(_.getPath)
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), indexSchema)
+    else spark.read.schema(indexSchema).parquet(dirs: _*)
+  }
+
+  /** One micro-batch: sign, persist signatures, probe, persist pairs.
+    * Exposed for direct (non-streaming) batch ingestion too.
+    */
+  def processBatch(batch: DataFrame, batchId: Long, idCol: String,
+      textCol: String, indexDir: String, pairsDir: String,
+      cfg: Config = Config()): Unit = {
+    val spark = batch.sparkSession
+    val delta = batch.select(col(idCol).cast("long").as("id"),
+      col(textCol).as("text"))
+    // sign once; the persisted frame is both the index entry and the
+    // probe-side signatures for this batch's pair computation
+    val sigs = delta.select(col("id"),
+        TextFns.minhashSigNative(
+          TextFns.wordShinglesNative(col("text"), cfg.nGram),
+          cfg.numPerm, cfg.seed).as("sig"),
+        col("text"))
+      .where(size(col("sig")) > 0)
+    sigs.write.mode("overwrite").parquet(s"$indexDir/b$batchId")
+    val written = spark.read.schema(indexSchema).parquet(s"$indexDir/b$batchId")
+    val prior = priorIndex(spark, indexDir, batchId)
+    val docs = written.select("id", "text")
+      .unionByName(prior.select("id", "text"))
+    val pairs = Dedup.incrementalLshPairs(docs, "id", "text",
+      prior.select("id", "sig"), written.select("id"),
+      cfg.nGram, cfg.numPerm, cfg.bands, cfg.threshold, cfg.seed,
+      deltaSigsOpt = Some(written.select("id", "sig")))
+    pairs.write.mode("overwrite").parquet(s"$pairsDir/b$batchId")
+  }
+
+  /** Attach to a streaming document source: (idCol LONG-castable,
+    * textCol STRING). Pairs accumulate under `pairsDir/b<batch>/`; the
+    * union over batches equals the full corpus pair set restricted to
+    * cross/within-batch-boundary pairs as batches arrive (StreamingSpec
+    * asserts union == the one-shot batch pair set).
+    */
+  def attach(docs: DataFrame, idCol: String, textCol: String,
+      indexDir: String, pairsDir: String, checkpointDir: String,
+      cfg: Config = Config()): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, idCol, textCol, indexDir, pairsDir, cfg)
+        ()
+      }
+      .start()
+}

@@ -91,4 +91,26 @@ class EdgeCaseSpec extends SparkSpec {
     graft.recdb.Scoring.itemCF(one,
       graft.recdb.Similarity.itemCosine(one, c), c).count() shouldBe 2L
   }
+
+  test("incremental LSH: empty index bootstrap and empty delta") {
+    val emptyIndex = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("id", LongType),
+        StructField("sig", ArrayType(LongType, containsNull = false)))))
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i j"),
+      (3L, "z y x w v u t s r q")).toDF("doc_id", "text")
+    // first batch: no index yet -> within-delta pairs only
+    val boot = Dedup.incrementalLshPairs(docs, "doc_id", "text",
+      emptyIndex, docs.select(col("doc_id")))
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    boot.toSet shouldBe Set((1L, 2L))
+    // empty delta: nothing to probe with -> empty output
+    val idx = Dedup.minhashSignatures(
+      docs.select(col("doc_id").as("id"),
+        graft.functions.TextFns.wordShinglesNative(col("text"), 3).as("grams")),
+      "id", "grams", 64)
+    Dedup.incrementalLshPairs(docs, "doc_id", "text", idx,
+      emptyDocs.select(col("doc_id"))).count() shouldBe 0L
+  }
 }

@@ -219,4 +219,40 @@ class StreamingSpec extends SparkSpec {
     val ml = EventSources.csv(spark, s"$dir/ml.csv", delimiter = ":")
     ml.collect().map(_.getLong(0)).sorted shouldBe Array(1L, 2L)
   }
+
+  test("streaming near-dup maintenance: batch-union pairs == one-shot pair set") {
+    import org.apache.spark.sql.functions.col
+    implicit val ctx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("text")).cache()
+    val base = java.nio.file.Files.createTempDirectory("graft-ndm").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = NearDupMaintainer.attach(mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", s"$base/index", s"$base/pairs", s"$base/ckpt")
+    // three arrival waves; processAllAvailable between adds forces batch
+    // boundaries, so pairs must accumulate across the index
+    (0 until 3).foreach { g =>
+      val wave = docs.where(col("doc_id") % 3 === g)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      mem.addData(wave.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.read.parquet(s"$base/pairs/b*")
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oneShot = graft.ops.Dedup
+      .jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    streamed shouldBe oneShot
+    streamed.size should be > 10
+    // replaying a batch (crash recovery) rewrites its dirs byte-identically
+    // rather than double-appending
+    val before = streamed.size
+    NearDupMaintainer.processBatch(
+      docs.where(col("doc_id") % 3 === 2).toDF("doc_id", "text"), 2L,
+      "doc_id", "text", s"$base/index", s"$base/pairs")
+    spark.read.parquet(s"$base/pairs/b*").count() shouldBe before.toLong
+  }
 }
