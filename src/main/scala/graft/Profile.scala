@@ -306,6 +306,49 @@ object Profile {
           .map(_.toString).toSet
         println(s"PROFILE ivf_vs_brute equal=${b == v} brute=${b.size} " +
           s"ivf=${v.size} onlyBrute=${(b -- v).size}")
+      case s if s.startsWith("annprobe") =>
+        // ANN at synthetic-corpus scale (default 300k vectors × 64 dims,
+        // ~60× the sf0.1 embeddings table; usage: annprobe[:n]): brute vs
+        // IVF vs PQ on the same 5-query batch, then IVF serving a 100-query
+        // batch — the scale story is that IVF cost is corpus_fraction ≈
+        // nprobe/nlist of brute's, and PQ scans m-byte codes instead of
+        // dim-double vectors.
+        import org.apache.spark.sql.functions._
+        import graft.ops.Ann
+        val n = s.split(":").drop(1).headOption.map(_.toLong).getOrElse(300000L)
+        val corpus = spark.range(n).select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)), j =>
+            (pmod(xxhash64(col("id"), j), lit(1000L)).cast("double") / 500.0) - 1.0)
+            .as("embedding"))
+          .repartition(64).cache()
+        corpus.count()
+        val q5 = corpus.where(col("vec_id") < 5)
+        def t(body: => Long): (Double, Long) = {
+          val t0 = System.nanoTime(); val r = body
+          ((System.nanoTime() - t0) / 1e9, r)
+        }
+        val (tB, nB) = t(Ann.bruteTopK(corpus, q5, "vec_id", "embedding", 10).count())
+        val (tI, nI) = t(Ann.ivfTopK(corpus, q5, "vec_id", "embedding", 10,
+          nlist = 64, nprobe = 8).count())
+        val (tP, nP) = t(Ann.pqTopK(corpus, q5, "vec_id", "embedding", 10).count())
+        val q100 = corpus.where(col("vec_id") < 100)
+        val (tI100, _) = t(Ann.ivfTopK(corpus, q100, "vec_id", "embedding", 10,
+          nlist = 64, nprobe = 8).count())
+        // serving shape: models trained/encoded ONCE, scans reuse them —
+        // what a deployed index pays per query batch
+        val cents = Ann.ivfCentroidsFromDf(
+          Ann.ivfTrain(corpus, "embedding", nlist = 64))
+        val cb = Ann.pqTrain(corpus, "embedding", 8, 32)
+        val codes = Ann.pqEncode(corpus, "vec_id", "embedding", cb).cache()
+        codes.count()
+        val (tIs, _) = t(Ann.ivfTopK(corpus, q100, "vec_id", "embedding", 10,
+          nlist = 64, nprobe = 8, centroidsOpt = Some(cents)).count())
+        val (tPs, _) = t(Ann.pqTopK(corpus, q100, "vec_id", "embedding", 10,
+          codebooksOpt = Some(cb), codesOpt = Some(codes)).count())
+        println(f"PROFILE annprobe n=$n brute5=$tB%.1fs($nB) ivf5=$tI%.1fs($nI) " +
+          f"pq5=$tP%.1fs($nP) ivf100=$tI100%.1fs ivf_qps=${100.0 / tI100}%.1f " +
+          f"ivf100_pretrained=$tIs%.1fs(${100.0 / tIs}%.1fq/s) " +
+          f"pq100_precoded=$tPs%.1fs(${100.0 / tPs}%.1fq/s)")
       case "recviewstages" =>
         // stage costs of the full create→materialize→serve cycle that
         // r_recview_topk (and the bench workload protocol) pays

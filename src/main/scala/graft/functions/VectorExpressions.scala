@@ -88,6 +88,87 @@ object VectorExprUtil {
     }
     new GenericArrayData(out)
   }
+
+  /** round(x, scale) with Spark's Round semantics for doubles (BigDecimal
+    * HALF_UP) — used so native argmin loops reproduce the HOF forms' rounded
+    * rankings bit-for-bit. scale < 0 → no rounding.
+    */
+  def roundTo(x: Double, scale: Int): Double =
+    if (scale < 0) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** PQ codes of one vector: for each of m disjoint subspaces, the id of the
+    * centroid minimizing round(|c|² − 2·v_j·c, roundScale); strict `<`
+    * keeps the LOWEST centroid id on ties (same contract as the HOF form in
+    * [[graft.ops.Ann.pqEncodeHof]]). `cb` is the codebook flattened as
+    * (j·k + c)·dsub + i; `n2` the per-centroid |c|² at j·k + c.
+    */
+  def pqEncode(vec: ArrayData, cb: Array[Double], n2: Array[Double],
+      m: Int, k: Int, dsub: Int, roundScale: Int): ArrayData = {
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      val vOff = j * dsub
+      var c = 0
+      while (c < k) {
+        val cbOff = (j * k + c) * dsub
+        var dot = 0.0
+        var i = 0
+        while (i < dsub) {
+          dot += vec.getDouble(vOff + i) * cb(cbOff + i)
+          i += 1
+        }
+        val d = roundTo(n2(j * k + c) - 2.0 * dot, roundScale)
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** ADC score: Σ_j table(j)(codes(j)) — m lookups into the per-query
+    * inner-product table, the whole PQ scan cost per candidate row.
+    */
+  def adcScore(codes: ArrayData, table: ArrayData): Double = {
+    val m = codes.numElements()
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      s += table.getArray(j).getDouble(codes.getInt(j))
+      j += 1
+    }
+    s
+  }
+
+  /** Nearest coarse-quantizer cell: argmin over round(|c|² − 2·v·c,
+    * roundScale) with lowest-cid ties — the IVF corpus-assignment loop
+    * (matches `nearest(vec, 1)`'s struct-sort ordering). `cents` flattened
+    * as cid·dim + i; `n2` the per-cell |c|².
+    */
+  def nearestCell(vec: ArrayData, cents: Array[Double], n2: Array[Double],
+      nCells: Int, dim: Int, roundScale: Int): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < nCells) {
+      val off = c * dim
+      var dot = 0.0
+      var i = 0
+      while (i < dim) {
+        dot += vec.getDouble(i) * cents(off + i)
+        i += 1
+      }
+      val d = roundTo(n2(c) - 2.0 * dot, roundScale)
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
 }
 
 /** Codegen'd scatter of ARRAY<STRUCT<i:INT, v:DOUBLE>> into a zero-filled
@@ -220,6 +301,96 @@ case class DenseVectorAgg(
     copy(idx = newChildren(0), value = newChildren(1))
 }
 
+/** Codegen'd PQ encode: ARRAY<DOUBLE> vector → ARRAY<INT> of m per-subspace
+  * centroid ids. The codebook rides along as a broadcast-in-plan reference
+  * object (ctx.addReferenceObj), so the m·k·dsub fused multiply-adds run in
+  * ONE JVM loop per row instead of an interpreted HOF lambda per centroid —
+  * the difference between PQ encoding being free at scan time and being the
+  * pipeline's bottleneck.
+  */
+case class PqEncodeExpr(child: Expression,
+    codebooks: Array[Array[Array[Double]]], roundScale: Int)
+    extends UnaryExpression {
+  private val m = codebooks.length
+  private val k = codebooks.head.length
+  private val dsub = codebooks.head.head.length
+  @transient private lazy val flatCb: Array[Double] =
+    codebooks.flatMap(_.flatMap(_.toSeq))
+  @transient private lazy val flatN2: Array[Double] =
+    codebooks.flatMap(_.map(c => c.map(x => x * x).sum))
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "graft_pq_encode"
+
+  override def nullSafeEval(v: Any): Any =
+    VectorExprUtil.pqEncode(v.asInstanceOf[ArrayData], flatCb, flatN2,
+      m, k, dsub, roundScale)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCb", flatCb, "double[]")
+    val n2Ref = ctx.addReferenceObj("pqN2", flatN2, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorExprUtil.pqEncode($c, $cbRef, $n2Ref, " +
+        s"$m, $k, $dsub, $roundScale)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
+    copy(child = newChild)
+}
+
+/** Codegen'd ADC lookup-sum: (codes ARRAY<INT>, table ARRAY<ARRAY<DOUBLE>>)
+  * → Σ_j table(j)(codes(j)).
+  */
+case class AdcScore(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_adc_score"
+
+  override def nullSafeEval(codes: Any, table: Any): Any =
+    VectorExprUtil.adcScore(codes.asInstanceOf[ArrayData],
+      table.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, t) =>
+      s"graft.functions.VectorExprUtil.adcScore($c, $t)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): AdcScore = copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd IVF cell assignment: ARRAY<DOUBLE> vector → INT id of the
+  * nearest centroid (centroids as a plan reference object — one tight loop
+  * per row over nCells·dim cells).
+  */
+case class NearestCellExpr(child: Expression,
+    centroids: Array[Array[Double]], roundScale: Int)
+    extends UnaryExpression {
+  private val nCells = centroids.length
+  private val dim = centroids.head.length
+  @transient private lazy val flat: Array[Double] = centroids.flatten
+  @transient private lazy val n2: Array[Double] =
+    centroids.map(c => c.map(x => x * x).sum)
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_nearest_cell"
+
+  override def nullSafeEval(v: Any): Any =
+    VectorExprUtil.nearestCell(v.asInstanceOf[ArrayData], flat, n2,
+      nCells, dim, roundScale)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("ivfCents", flat, "double[]")
+    val n2Ref = ctx.addReferenceObj("ivfN2", n2, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorExprUtil.nearestCell($c, $cRef, $n2Ref, " +
+        s"$nCells, $dim, $roundScale)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCellExpr =
+    copy(child = newChild)
+}
+
 object VectorFns {
   /** Codegen'd dot(a, b) over two ARRAY<DOUBLE> columns. */
   def dotNative(a: Column, b: Column): Column =
@@ -244,4 +415,21 @@ object VectorFns {
     ColumnShim.column(DenseVectorAgg(
       ColumnShim.expression(i.cast("int")),
       ColumnShim.expression(v.cast("double")), dims).toAggregateExpression())
+
+  /** Codegen'd PQ codes of an ARRAY<DOUBLE> vector (roundScale < 0 = exact). */
+  def pqEncodeNative(vec: Column, codebooks: Array[Array[Array[Double]]],
+      roundScale: Int): Column =
+    ColumnShim.column(PqEncodeExpr(
+      ColumnShim.expression(vec.cast("array<double>")), codebooks, roundScale))
+
+  /** Codegen'd ADC lookup-sum over (codes, per-query table). */
+  def adcNative(codes: Column, table: Column): Column =
+    ColumnShim.column(AdcScore(
+      ColumnShim.expression(codes), ColumnShim.expression(table)))
+
+  /** Codegen'd nearest-centroid id of an ARRAY<DOUBLE> vector. */
+  def nearestCellNative(vec: Column, centroids: Array[Array[Double]],
+      roundScale: Int): Column =
+    ColumnShim.column(NearestCellExpr(
+      ColumnShim.expression(vec.cast("array<double>")), centroids, roundScale))
 }

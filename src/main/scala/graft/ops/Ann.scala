@@ -234,11 +234,12 @@ object Ann {
       }
 
   /** PQ-encode: (id, codes ARRAY<INT> length m, rn2 = |reconstruction|²).
-    * Pure map-side codegen HOFs over the broadcast codebook literal — per
-    * row m·k·(dim/m) fused multiply-adds, then the 4-byte-per-subspace code
-    * is all that ever reaches state or the wire (dim/m × compression).
-    * rn2 is exact for the reconstruction because subspaces are disjoint
-    * coordinates: |x̂|² = Σ_j |cb_j[code_j]|².
+    * The per-row m·k·(dim/m) fused multiply-adds run in the codegen'd
+    * [[graft.functions.PqEncodeExpr]] loop (the codebook rides as a plan
+    * reference object), then the 4-byte-per-subspace code is all that ever
+    * reaches state or the wire (dim/m × compression). rn2 is exact for the
+    * reconstruction because subspaces are disjoint coordinates:
+    * |x̂|² = Σ_j |cb_j[code_j]|².
     *
     * `assignOnRoundedTo`: rank centroids on round(|c|² − 2·v·c, d) so the
     * argmin (and hence the code) is reproducible bit-for-bit across engines
@@ -246,6 +247,23 @@ object Ann {
     * lowest centroid id on every engine.
     */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Double]]],
+      assignOnRoundedTo: Option[Int] = None): DataFrame = {
+    val m = codebooks.length
+    val cbN2 = typedLit(codebooks.map(_.map(c => c.map(x => x * x).sum).toSeq).toSeq)
+    df.select(col(idCol).as("id"),
+        graft.functions.VectorFns.pqEncodeNative(col(vecCol), codebooks,
+          assignOnRoundedTo.getOrElse(-1)).as("codes"))
+      .withColumn("rn2", aggregate(
+        zip_with(col("codes"), sequence(lit(0), lit(m - 1)), (c, j) =>
+          element_at(element_at(cbN2, j + 1), c + 1)), lit(0.0), (a, x) => a + x))
+  }
+
+  /** HOF reference form of [[pqEncode]] (semantically identical; OpsSpec
+    * asserts equality) — kept because the `transform`/`array_min` rendering
+    * is the portable SQL documentation of the argmin contract.
+    */
+  def pqEncodeHof(df: DataFrame, idCol: String, vecCol: String,
       codebooks: Array[Array[Array[Double]]],
       assignOnRoundedTo: Option[Int] = None): DataFrame = {
     val m = codebooks.length
@@ -259,9 +277,7 @@ object Ann {
       val cb = element_at(cbLit, j + 1)
       // rank centroids by |c|² − 2·v_j·c (v_j² constant per row);
       // array_position of the min tie-breaks on the FIRST (lowest-id)
-      // centroid — deterministic, and a much smaller expression tree than a
-      // struct-ordering argmin (HOFs evaluate interpreted; tree size is the
-      // per-row cost)
+      // centroid — deterministic
       val scored = transform(sequence(lit(0), lit(k - 1)), c => {
         val d = element_at(element_at(cbN2, j + 1), c + 1) -
           dot(subv(j), element_at(cb, c + 1)) * 2
@@ -289,7 +305,8 @@ object Ann {
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, m: Int = 8, kcent: Int = 32,
       rerank: Int = 4, codebooksOpt: Option[Array[Array[Array[Double]]]] = None,
-      seed: Long = 42L, rankOnRoundedTo: Option[Int] = None): DataFrame = {
+      seed: Long = 42L, rankOnRoundedTo: Option[Int] = None,
+      codesOpt: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cb = codebooksOpt.getOrElse(pqTrain(corpus, vecCol, m, kcent, seed = seed))
     val kc = cb.head.length
@@ -297,7 +314,10 @@ object Ann {
     val cbLit = typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
     def rnd(c: Column): Column =
       rankOnRoundedTo.map(p => round(c, p)).getOrElse(c)
-    val codes = pqEncode(corpus, idCol, vecCol, cb, rankOnRoundedTo)
+    // codesOpt: a serving deployment encodes the corpus ONCE (pqEncode →
+    // parquet) and every query batch scans the persisted (id, codes, rn2) —
+    // pass that frame here to skip re-encoding per call
+    val codes = codesOpt.getOrElse(pqEncode(corpus, idCol, vecCol, cb, rankOnRoundedTo))
       .select(col("id").as("neighbor_id"), col("codes"), sqrt(col("rn2")).as("cn"))
     val qv = col("__q")
     val table = transform(sequence(lit(0), lit(m - 1)), j =>
@@ -311,8 +331,7 @@ object Ann {
     val adc = codes.crossJoin(broadcast(qs))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (aggregate(zip_with(col("codes"), col("t"), (c, tj) =>
-          element_at(tj, c + 1)), lit(0.0), (a, x) => a + x) /
+        (graft.functions.VectorFns.adcNative(col("codes"), col("t")) /
           (col("qn") * col("cn"))).as("adc"))
     val wAdc = Window.partitionBy("query_id")
       .orderBy(rnd(col("adc")).desc, col("neighbor_id"))
@@ -395,9 +414,13 @@ object Ann {
       slice(transform(array_sort(scored), s => s.getField("cid")), 1, n)
     }
     // norms ride along from one per-row pass; the pairwise score is a single
-    // codegen'd dot over cached norms (see withNorm)
+    // codegen'd dot over cached norms (see withNorm). Corpus cell assignment
+    // is the codegen'd NearestCellExpr loop (nCells·dim FMAs per row, no
+    // interpreted HOF) — the corpus-side cost of building the inverted file;
+    // query probing keeps the HOF top-n sort (queries are few).
     val cs = withNorm(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
-      .withColumn("cell", element_at(nearest(col("cv"), 1), 1))
+      .withColumn("cell", graft.functions.VectorFns.nearestCellNative(
+        col("cv"), cents, rankOnRoundedTo.getOrElse(-1)))
     val qs = withNorm(queries, idCol, vecCol, "query_id", "qv", "qn")
       .select(col("query_id"), col("qv"), col("qn"),
         explode(nearest(col("qv"), nprobe)).as("cell"))

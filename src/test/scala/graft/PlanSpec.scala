@@ -77,11 +77,19 @@ class PlanSpec extends SparkSpec {
 
   test("dedup family plans carry no cartesian products") {
     import graft.ops.Dedup
+    import org.apache.spark.sql.functions.col
     val docs = Tables.read(spark, sf, "documents")
+    val index = Dedup.minhashSignatures(
+      docs.where(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id").as("id"),
+          graft.functions.TextFns.wordShinglesNative(col("text"), 3).as("grams")),
+      "id", "grams", 64)
     for (df <- Seq(
         Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5),
         Dedup.minhashLshPairs(docs, "doc_id", "text"),
-        Dedup.simhashPairs(docs, "doc_id", "text"))) {
+        Dedup.simhashPairs(docs, "doc_id", "text"),
+        Dedup.incrementalLshPairs(docs, "doc_id", "text", index,
+          docs.where(col("doc_id") % 3 === 0).select(col("doc_id"))))) {
       plan(df).collect { case c: CartesianProductExec => c } shouldBe empty
     }
   }

@@ -235,6 +235,26 @@ class OpsSpec extends SparkSpec {
       codes.foreach(c => assert(c >= 0 && c < 32))
       r.getDouble(2) should be > 0.0
     }
+    // native codegen encode == the HOF reference form (rounded + exact), and
+    // the precomputed-codes serving path == the encode-per-call path
+    for (roundTo <- Seq(None, Some(6))) {
+      val nat = Ann.pqEncode(embeddings, "vec_id", "embedding", cb, roundTo)
+        .collect().map(r => r.getLong(0) -> (r.getSeq[Int](1), r.getDouble(2))).toMap
+      val hof = Ann.pqEncodeHof(embeddings, "vec_id", "embedding", cb, roundTo)
+        .collect().map(r => r.getLong(0) -> (r.getSeq[Int](1), r.getDouble(2))).toMap
+      nat shouldBe hof
+    }
+    val precomputed = Ann.pqEncode(embeddings, "vec_id", "embedding", cb, Some(6))
+    val viaCodes = Ann.pqTopK(embeddings, qs, "vec_id", "embedding", 10,
+      codebooksOpt = Some(cb), rankOnRoundedTo = Some(6),
+      codesOpt = Some(precomputed))
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = Ann.pqTopK(embeddings, qs, "vec_id", "embedding", 10,
+      codebooksOpt = Some(cb), rankOnRoundedTo = Some(6))
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    viaCodes shouldBe direct
   }
 
   test("text ops: deterministic, sane ranges; langid picks a profile language") {
