@@ -359,21 +359,34 @@ object Ann {
     * verifiers re-derive cell assignment from the parquet alone).
     */
   def ivfTrain(corpus: DataFrame, vecCol: String, nlist: Int = 16,
-      seed: Long = 42L, kmeansIter: Int = 8): DataFrame = {
+      seed: Long = 42L, kmeansIter: Int = 8,
+      sampleN: Int = 50000): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     import spark.implicits._
-    val train = corpus.select(array_to_vector(
-      col(vecCol).cast("array<double>")).as("features"))
-    // A coarse quantizer does not need converged clustering — recall comes
-    // from nprobe, not centroid quality; bounded iterations + random init
-    // cut the fit's job count (each KMeans iteration is a full pass) while
-    // the seeded init keeps cell assignment deterministic.
-    val km = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features")
-      .setMaxIter(kmeansIter).setInitMode("random")
-    km.fit(train).clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq.toDF("cid", "c")
+    // A coarse quantizer does not need converged clustering over the full
+    // corpus — recall comes from nprobe, not centroid quality — so the fit
+    // runs on a bounded DETERMINISTIC sample (value-hash order, the same
+    // contract as pqTrain's sample: layout-independent), making each KMeans
+    // iteration a fixed-size pass regardless of corpus scale; bounded
+    // iterations + seeded random init keep cell assignment deterministic.
+    val sample = corpus.select(col(vecCol).cast("array<double>").as("v"))
+      .orderBy(xxhash64(col("v")), col("v"))
+      .limit(sampleN)
+      // TakeOrderedAndProject leaves the sample in ONE partition; spread it
+      // back out or every KMeans pass runs on a single core
+      .repartition(spark.sparkContext.defaultParallelism)
+    // cached for the fit's duration: each KMeans iteration re-reads the
+    // training frame, and without the cache that re-runs the sample's
+    // sort-limit lineage per pass
+    val train = sample.select(array_to_vector(col("v")).as("features")).cache()
+    try {
+      val km = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features")
+        .setMaxIter(kmeansIter).setInitMode("random")
+      km.fit(train).clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq.toDF("cid", "c")
+    } finally train.unpersist()
   }
 
   /** Centroids persisted via [[ivfTrain]] back to the in-memory shape,
