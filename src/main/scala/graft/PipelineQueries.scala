@@ -282,6 +282,30 @@ object PipelineQueries {
       docs(s, d).select(col("doc_id"),
         round(graft.functions.TextFns.charEntropy(col("text")), 6)
           .as("entropy"))),
+    // Per-source document cap (the per-domain cap of web-crawl pipelines):
+    // at most 10 docs per source, picked by the deterministic md5 draw.
+    "p_source_cap" -> ((s, d) =>
+      Sampling.capPerKey(docs(s, d), "source", "doc_id", maxN = 10)
+        .select(col("doc_id"), col("source"))),
+    // Cross-document boilerplate fraction: share of each doc's distinct
+    // word 5-grams that appear in >= 2 distinct docs corpus-wide (the
+    // inter-document quality signal; within-doc repetition is p_repetition).
+    "p_boiler_frac" -> ((s, d) =>
+      Corpus.boilerplateFraction(docs(s, d), "doc_id", "text", n = 5,
+          minDocs = 2)
+        .select(col("doc_id"), round(col("boiler_frac"), 6)
+          .as("boiler_frac"))),
+    // Canonical ingest normalization (native NFC codegen expression +
+    // whitespace collapse + trim), exercised on a deterministically
+    // "dirtied" input: combining-accent sequence + tab/newline runs spliced
+    // into the real text so NFC and the collapse both do real work (the
+    // corpus itself is ASCII single-line). Oracle = DuckDB nfc_normalize.
+    "p_normalize" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextOps.normalizeText(concat(
+          lit("cafe\u0301 \t"), substring(col("text"), 1, 60),
+          lit("\n\n e\u0301le\u0300ve \t "), col("source")))
+          .as("norm_text"))),
   )
 
   private val jaccardCtes: String =
@@ -863,5 +887,40 @@ object PipelineQueries {
       """SELECT doc_id, round(entropy(c), 6) AS entropy
         |FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
         |GROUP BY doc_id""".stripMargin,
+    "p_source_cap" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10""".stripMargin,
+    "p_boiler_frac" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |),
+        |g AS (
+        |  SELECT doc_id, list_distinct([array_to_string(ts[i:i+4], ' ')
+        |    for i in generate_series(1, len(ts)-4)]) AS gs
+        |  FROM toks WHERE len(ts) >= 5
+        |),
+        |ex AS (SELECT doc_id, unnest(gs) AS g FROM g),
+        |gdf AS (SELECT g, count(DISTINCT doc_id) AS df FROM ex GROUP BY g),
+        |frac AS (
+        |  SELECT ex.doc_id,
+        |    round(sum(CASE WHEN gdf.df >= 2 THEN 1 ELSE 0 END) * 1.0
+        |      / count(*), 6) AS boiler_frac
+        |  FROM ex JOIN gdf USING (g) GROUP BY ex.doc_id
+        |)
+        |SELECT d.doc_id,
+        |  coalesce(frac.boiler_frac, CAST(0 AS DOUBLE)) AS boiler_frac
+        |FROM documents d LEFT JOIN frac ON d.doc_id = frac.doc_id""".stripMargin,
+    "p_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(nfc_normalize(
+        |    'cafe' || chr(769) || ' ' || chr(9) || substr(text, 1, 60)
+        |    || chr(10) || chr(10) || ' e' || chr(769) || 'le' || chr(768)
+        |    || 've ' || chr(9) || ' ' || source),
+        |    '\s+', ' ', 'g')) AS norm_text
+        |FROM documents""".stripMargin,
   )
 }

@@ -83,4 +83,40 @@ object Corpus {
       .groupBy("corpus_id", "eval_id")
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** Cross-document boilerplate fraction: for each doc, the share of its
+    * DISTINCT word `n`-grams that occur in at least `minDocs` distinct
+    * documents corpus-wide — the inter-document cousin of
+    * [[TextOps.repetitionRatio]] (which is within-doc) and the signal the
+    * C4/Gopher-family quality filters threshold on to drop template/
+    * navigation boilerplate. Docs with fewer than `n` tokens have no grams
+    * and report fraction 0.0.
+    *
+    * Scale shape: one shuffle aggregates gram document-frequency; grams
+    * reaching `minDocs` are by definition few relative to the gram universe
+    * (boilerplate is the head of the df distribution), so the boiler-gram
+    * set broadcasts back and the per-doc fraction is a map-side semi-probe
+    * plus one aggregation on the doc id — corpus text never shuffles twice.
+    */
+  def boilerplateFraction(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minDocs: Int = 2): DataFrame = {
+    val grams = Dedup.widen(
+        docs.select(col(idCol).as("__id"), col(textCol).as("__t")), "__id")
+      .select(col("__id"),
+        explode(TextFns.wordShinglesNative(col("__t"), n)).as("g"))
+    val boiler = grams.groupBy("g")
+      .agg(countDistinct(col("__id")).as("df"))
+      .where(col("df") >= minDocs)
+      .select("g")
+    val frac = grams
+      .join(broadcast(boiler).withColumn("__b", lit(1)), Seq("g"), "left")
+      .groupBy("__id")
+      .agg((sum(when(col("__b").isNotNull, 1L).otherwise(0L)) /
+        count(lit(1))).as("boiler_frac"))
+    // docs too short to shingle never reach `grams`; restore them at 0.0
+    docs.select(col(idCol).as("__id"))
+      .join(frac, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("boiler_frac"), lit(0.0)).as("boiler_frac"))
+  }
 }

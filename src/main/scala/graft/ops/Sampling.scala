@@ -60,4 +60,28 @@ object Sampling {
     val h = hashUniform(col(keyCol))
     (df.where(h >= lit(evalRate)), df.where(h < lit(evalRate)))
   }
+
+  /** Per-key document cap: keep at most `maxN` rows per `keyCol` group,
+    * picked deterministically by the same content-hash draw as
+    * [[hashSample]] (md5 of the id, ties broken by the id itself) — the
+    * per-domain cap every web-crawl pipeline applies so one mega-site
+    * cannot dominate the corpus, with the reproducibility contract of the
+    * rest of this module: which rows survive depends only on their ids,
+    * never on partition layout.
+    *
+    * Scale: one shuffle on `keyCol`; the per-group work is a sort-limit
+    * inside each hash partition. A pathologically hot key (one domain =
+    * half the corpus) serializes that key's sort on one task — for that
+    * shape, pre-filter with `hashUniform(id) < maxN × c / est(key count)`
+    * to shed the deep tail before the exact window (the filter is
+    * map-side; the window then ranks a bounded candidate set).
+    */
+  def capPerKey(df: DataFrame, keyCol: String, idCol: String,
+      maxN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= maxN).drop("__rn")
+  }
 }

@@ -116,6 +116,18 @@ object TextOps {
       .otherwise(lit(1.0) - distinctGrams.cast("double") / total)
   }
 
+  /** Canonical text normalization — the first stage of every ingest
+    * pipeline, and the precondition for hash-based dedup to work at all
+    * (NFC: visually-identical é as e+combining-accent vs precomposed é must
+    * hash equal): Unicode NFC (native codegen expression,
+    * [[graft.functions.TextFns.nfc]]) → whitespace runs (space/tab/CR/LF)
+    * collapsed to one space → edge-trimmed. Map-side only; each step is
+    * engine-portable (DuckDB `nfc_normalize` + `regexp_replace(..., 'g')` +
+    * `trim`).
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(graft.functions.TextFns.nfc(text), """\s+""", " "))
+
   /** PII redaction: emails and long digit runs replaced with placeholder
     * tokens. Patterns kept RE2-compatible so the same regex runs in the
     * DuckDB oracle.

@@ -159,4 +159,14 @@ class PlanSpec extends SparkSpec {
     // the gram join itself must not shuffle the exploded corpus grams
     p.collect { case s: ShuffleExchangeLike => s }.size should be <= 2
   }
+
+  test("boilerplate fraction: boiler-gram set is broadcast back to the gram stream") {
+    import graft.ops.Corpus
+    val docs = Tables.read(spark, sf, "documents")
+    val p = plan(Corpus.boilerplateFraction(docs, "doc_id", "text"))
+    // the df>=minDocs gram set joins back via broadcast, not a gram shuffle
+    p.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    } should not be empty
+  }
 }

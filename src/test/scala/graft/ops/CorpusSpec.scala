@@ -25,4 +25,57 @@ class CorpusSpec extends SparkSpec {
     // language filter really applied
     kept.where(TextOps.langId(col("text")) =!= "en").count() shouldBe 0L
   }
+
+  test("boilerplateFraction: closed-form values, short docs at 0, all docs kept") {
+    import spark.implicits._
+    // doc 1 and 2 share their first 5-gram ("a b c d e"); doc 3 is disjoint;
+    // doc 4 is too short to shingle (4 tokens < n=5)
+    val docs = Seq(
+      (1L, "a b c d e x y"),    // grams: abcde, bcdex, cdexy → 1/3 boiler
+      (2L, "a b c d e p q"),    // grams: abcde, bcdep, cdepq → 1/3 boiler
+      (3L, "m n o p q r"),      // grams: mnopq, nopqr → 0 boiler
+      (4L, "t u v w")           // no grams → 0.0
+    ).toDF("doc_id", "text")
+    val out = Corpus.boilerplateFraction(docs, "doc_id", "text", n = 5,
+        minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out.keySet shouldBe Set(1L, 2L, 3L, 4L)
+    out(1L) shouldBe (1.0 / 3.0) +- 1e-12
+    out(2L) shouldBe (1.0 / 3.0) +- 1e-12
+    out(3L) shouldBe 0.0
+    out(4L) shouldBe 0.0
+  }
+
+  test("capPerKey: bound holds, picks are deterministic across layouts") {
+    import spark.implicits._
+    val rows = (1L to 97L).map(i => (i, s"src${i % 3}"))
+    val df = rows.toDF("id", "src")
+    val picked = Sampling.capPerKey(df, "src", "id", maxN = 5)
+    val bySrc = picked.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySrc.values.foreach(_ shouldBe 5L)
+    // same survivors regardless of partition layout
+    val ids1 = picked.select("id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.capPerKey(df.repartition(7), "src", "id", maxN = 5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    ids2 shouldBe ids1
+    // a group smaller than the cap survives whole
+    val tiny = Seq((1L, "only"), (2L, "only")).toDF("id", "src")
+    Sampling.capPerKey(tiny, "src", "id", maxN = 5).count() shouldBe 2L
+  }
+
+  test("normalizeText: NFC + whitespace collapse + trim, idempotent") {
+    import spark.implicits._
+    val dirty = "  cafe\u0301 \t\t x\n\ny  "
+    val df = Seq((1L, dirty), (2L, "already clean")).toDF("id", "text")
+    val out = df.select(col("id"),
+        TextOps.normalizeText(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out(1L) shouldBe "caf\u00e9 x y"
+    out(2L) shouldBe "already clean"
+    // idempotence: normalizing a normalized string is the identity
+    df.select((TextOps.normalizeText(TextOps.normalizeText(col("text")))
+        === TextOps.normalizeText(col("text"))).as("ok"))
+      .collect().forall(_.getBoolean(0)) shouldBe true
+  }
 }
