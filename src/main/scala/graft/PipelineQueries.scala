@@ -257,6 +257,20 @@ object PipelineQueries {
         .groupBy("media_id").agg(count(lit(1)).as("n_frames_sampled"))
       stats.join(frames, Seq("media_id"))
     }),
+    // Audio twin of p_media_features: REAL RIFF/WAVE PCM16 payloads decoded
+    // by the pure-JVM chunk walker; rate/length/RMS/peak re-derived by the
+    // oracle from the closed-form sample formula — a wrong decode cannot
+    // pass.
+    "p_audio_features" -> ((s, d) => {
+      val media = graft.ops.Multimodal.syntheticMedia(s, 200, kind = "audio")
+      graft.ops.Multimodal.audioStats(media)
+        .select(col("media_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("n_samples").cast("long").as("n_samples"),
+          round(col("duration_ms"), 6).as("duration_ms"),
+          round(col("rms"), 6).as("rms"),
+          round(col("peak"), 6).as("peak"))
+    }),
     // Sketch-screened exact heavy hitters: the count-min sketch bounds which
     // tokens CAN reach the aggregation (no false negatives — CMS only
     // over-counts), the exact re-count drops its false positives; the Zipf
@@ -864,6 +878,31 @@ object PipelineQueries {
         |  round(mr, 6) AS mean_r, round(mg, 6) AS mean_g,
         |  round(mb, 6) AS mean_b,
         |  CAST(4 AS BIGINT) AS n_frames_sampled
+        |FROM agg""".stripMargin,
+    "p_audio_features" ->
+      """WITH m AS (SELECT unnest(generate_series(0, 199)) AS media_id),
+        |params AS (
+        |  SELECT media_id, 8000 + (media_id % 5) * 2000 AS rate,
+        |         200 + ((media_id * 37) % 300) AS n
+        |  FROM m
+        |),
+        |ts AS (SELECT unnest(generate_series(0, 499)) AS t),
+        |smp AS (
+        |  SELECT p.media_id, p.rate, p.n,
+        |    (((t*2957 + media_id*6151 + ((t*t) % 97) * 131) % 65536) - 32768)
+        |      / 32768.0 AS s
+        |  FROM params p, ts WHERE ts.t < p.n
+        |),
+        |agg AS (
+        |  SELECT media_id, rate, n, sqrt(avg(s*s)) AS rms,
+        |    max(abs(s)) AS peak
+        |  FROM smp GROUP BY 1, 2, 3
+        |)
+        |SELECT CAST(media_id AS BIGINT) AS media_id,
+        |  CAST(rate AS BIGINT) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  round(n * 1000.0 / rate, 6) AS duration_ms,
+        |  round(rms, 6) AS rms, round(peak, 6) AS peak
         |FROM agg""".stripMargin,
     "p_heavy_hitters" ->
       """SELECT token, count(*) AS cnt

@@ -12,9 +12,10 @@ import org.apache.spark.sql.types._
   * batched execution shape (the Scala equivalent of `mapInPandas` — an
   * iterator of fixed-size batches per partition, so a vectorized decoder
   * amortizes per-batch setup), resize/frame-sample parameter plumbing,
-  * deterministic output schemas, and — for the image kind — an actual
-  * pure-JVM PNG/BMP decode ([[imageStats]] via `javax.imageio`), verified
-  * against a closed-form pixel oracle.
+  * deterministic output schemas, and actual pure-JVM decodes for two kinds:
+  * image ([[imageStats]] via `javax.imageio` PNG/BMP) and audio
+  * ([[audioStats]] via a hand-rolled RIFF/WAVE PCM16 chunk walker), each
+  * verified against a closed-form oracle over the synthetic payloads.
   *
   * The STUBBED part: learned-embedding extraction needs model weights +
   * codecs this container doesn't ship, so [[decodeBatchStub]] produces
@@ -47,10 +48,44 @@ object Multimodal {
   def synthDims(i: Long): (Int, Int) =
     (8 + (i % 9).toInt, 8 + (i * 7 % 9).toInt)
 
+  /** Closed-form 16-bit PCM sample `t` of synthetic clip `i` — like
+    * [[synthPixel]], computable by both the encoder and a SQL oracle, so a
+    * real WAV decoder between them is fully checkable. All intermediate
+    * arithmetic is non-negative, keeping `%` semantics identical across
+    * engines.
+    */
+  def synthSample(i: Long, t: Int): Int =
+    (((t.toLong * 2957L + i * 6151L + (t.toLong * t % 97) * 131L) % 65536L)
+      - 32768L).toInt
+
+  /** (sampleRate, nSamples) of synthetic clip `i` (varied so a decoder
+    * cannot fake them from the id).
+    */
+  def synthAudioParams(i: Long): (Int, Int) =
+    (8000 + (i % 5).toInt * 2000, 200 + (i * 37 % 300).toInt)
+
+  /** Canonical 44-byte-header RIFF/WAVE encode of mono 16-bit PCM. */
+  def wavBytes(sampleRate: Int, samples: Array[Int]): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16) // block align, bits/sample
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach(s => buf.putShort(s.toShort))
+    buf.array()
+  }
+
   /** Deterministic synthetic media table for tests and benchmarks. The
     * `image` kind carries REAL PNG payloads (encoded losslessly from
-    * [[synthPixel]] via `javax.imageio`), so decode operators are exercised
-    * on genuine codec bytes; other kinds carry opaque deterministic bytes.
+    * [[synthPixel]] via `javax.imageio`) and the `audio` kind REAL RIFF/WAVE
+    * PCM16 payloads (from [[synthSample]]), so decode operators are
+    * exercised on genuine codec bytes; other kinds carry opaque
+    * deterministic bytes.
     */
   def syntheticMedia(spark: SparkSession, n: Int, kind: String = "image"): DataFrame = {
     import spark.implicits._
@@ -66,6 +101,10 @@ object Multimodal {
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "png", bos)
         (i.toLong, kind, bos.toByteArray, w, h, 16000, 32)
+      } else if (kind == "audio") {
+        val (rate, len) = synthAudioParams(i.toLong)
+        val samples = Array.tabulate(len)(t => synthSample(i.toLong, t))
+        (i.toLong, kind, wavBytes(rate, samples), 0, 0, rate, 0)
       } else {
         val payload = Array.tabulate[Byte](256)(j => ((i * 31 + j * 7) % 251).toByte)
         (i.toLong, kind, payload, 64, 48, 16000, 32)
@@ -124,6 +163,78 @@ object Multimodal {
         val stats = decodeImageBatch(batch.map(_._2))
         batch.lazyZip(stats).map { case ((id, _), (w, h, r, g, b)) =>
           Row(id, w, h, r, g, b)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** REAL batch WAV decode (pure JVM — a RIFF chunk walker, no codec libs
+    * needed for PCM): each payload is parsed once and summarized as
+    * (sample_rate, n_samples, rms, peak), amplitudes normalized by 2¹⁵.
+    * Rejects non-RIFF, non-PCM, and non-16-bit payloads. Same batch
+    * contract as [[decodeImageBatch]].
+    */
+  def decodeWavBatch(batch: Seq[Array[Byte]]): Seq[(Int, Int, Double, Double)] =
+    batch.map { bytes =>
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(off: Int): String =
+        new String(bytes, off, 4, "US-ASCII")
+      require(bytes.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE",
+        "payload is not a RIFF/WAVE file")
+      var off = 12
+      var rate = -1
+      var rms = 0.0; var peak = 0.0; var nSamples = -1
+      while (off + 8 <= bytes.length) {
+        val id = tag(off)
+        val sz = buf.getInt(off + 4)
+        if (id == "fmt ") {
+          require(buf.getShort(off + 8) == 1, "not PCM")
+          require(buf.getShort(off + 10) == 1, "not mono")
+          require(buf.getShort(off + 22) == 16, "not 16-bit")
+          rate = buf.getInt(off + 12)
+        } else if (id == "data") {
+          require(rate > 0, "data chunk before fmt")
+          nSamples = sz / 2
+          var t = 0
+          var sumSq = 0.0
+          while (t < nSamples) {
+            val s = buf.getShort(off + 8 + t * 2) / 32768.0
+            sumSq += s * s
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            t += 1
+          }
+          rms = if (nSamples > 0) math.sqrt(sumSq / nSamples) else 0.0
+        }
+        off += 8 + sz + (sz & 1) // RIFF chunks are 2-byte aligned
+      }
+      require(nSamples >= 0, "no data chunk")
+      (rate, nSamples, rms, peak)
+    }
+
+  /** Batched partition-parallel REAL audio decode + per-clip stats — the
+    * [[imageStats]] shape for the audio kind.
+    * Output: (media_id, sample_rate, n_samples, duration_ms, rms, peak).
+    */
+  def audioStats(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("n_samples", IntegerType, nullable = false),
+      StructField("duration_ms", DoubleType, nullable = false),
+      StructField("rms", DoubleType, nullable = false),
+      StructField("peak", DoubleType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rdd = media.queryExecution.toRdd.mapPartitions { iter =>
+      val rows = iter.map(ir => (ir.getLong(idIdx), ir.getBinary(payloadIdx)))
+      rows.grouped(batchSize).flatMap { batch =>
+        val stats = decodeWavBatch(batch.map(_._2))
+        batch.lazyZip(stats).map { case ((id, _), (rate, n, rms, peak)) =>
+          Row(id, rate, n, n * 1000.0 / rate, rms, peak)
         }
       }
     }

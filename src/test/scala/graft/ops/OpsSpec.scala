@@ -386,4 +386,27 @@ class OpsSpec extends SparkSpec {
       mb shouldBe (sb / n)
     }
   }
+
+  test("multimodal: real WAV decode reproduces the closed-form sample stats") {
+    val media = Multimodal.syntheticMedia(spark, 30, kind = "audio").repartition(5)
+    val got = Multimodal.audioStats(media, batchSize = 7).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    got.size shouldBe 30
+    for (i <- 0L until 30L) {
+      val (rate, n) = Multimodal.synthAudioParams(i)
+      val samples = Array.tabulate(n)(t => Multimodal.synthSample(i, t) / 32768.0)
+      val (grate, gn, gdur, grms, gpeak) = got(i)
+      (grate, gn) shouldBe ((rate, n))
+      gdur shouldBe (n * 1000.0 / rate)
+      grms shouldBe math.sqrt(samples.map(s => s * s).sum / n) +- 1e-12
+      gpeak shouldBe samples.map(math.abs).max
+    }
+    // malformed payloads are rejected, not silently mis-parsed
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.audioStats(
+        Multimodal.syntheticMedia(spark, 3, kind = "video")).collect()
+    }
+  }
 }
