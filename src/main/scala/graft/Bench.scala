@@ -137,9 +137,11 @@ object Bench {
       val t0 = System.nanoTime()
       (1 to n).foreach { _ =>
         val u = users(rnd.nextInt(users.length))
-        val uf = r.where(col(c.user) === u).select(col(c.user)).distinct()
-        Recommender.recommend(spark, r, tag, c, "itemCosCF", Some(cat), Some(uf))
-          .orderBy(col("score").desc, col(c.item)).limit(10).count()
+        // the protocol's query IS a single-user top-10 — served by the
+        // engine's point-query path (pushed user=? over the cached
+        // user-clustered view; falls back to scoring when no view is fresh)
+        Recommender.recommendTopK(spark, r, tag, c, "itemCosCF", Some(cat),
+          userId = u, k = 10).count()
       }
       n / ((System.nanoTime() - t0) / 1e9)
     } catch { case _: Throwable => -1.0 }

@@ -299,6 +299,54 @@ object Profile {
           val tExec = (System.nanoTime() - t0) / 1e9
           println(f"PROFILE workload u=$u plan=$tPlan%.3f exec=$tExec%.3f")
         }
+      case "serveprobe" =>
+        // cached-view vs parquet-view serving, interleaved in ONE JVM so
+        // machine drift can't masquerade as a regression: the full public
+        // recommend() flow (catalog hit + view route + semi join + top-10)
+        import org.apache.spark.sql.functions._
+        import graft.recdb.{RecCatalog, Recommender}
+        val c = Tables.ratingCols
+        val r = Tables.ratings(spark, sfDir).cache()
+        val users = r.select(col(c.user)).distinct()
+          .orderBy(col(c.user)).collect().map(_.getLong(0))
+        val base = java.nio.file.Files.createTempDirectory("serveprobe").toString
+        val cat = new RecCatalog(s"$base/catalog")
+        val tag = s"events@$sfDir"
+        Recommender.create(spark, "sp", r, tag, c, "itemCosCF", cat, s"$base/models")
+        Recommender.materializeView(spark, "sp", r, cat, s"$base/views")
+        val rnd = new scala.util.Random(42)
+        def run(n: Int, cached: Boolean): Double = {
+          val t0 = System.nanoTime()
+          (1 to n).foreach { _ =>
+            val u = users(rnd.nextInt(users.length))
+            val uf = r.where(col(c.user) === u).select(col(c.user)).distinct()
+            val df = if (cached)
+              Recommender.recommend(spark, r, tag, c, "itemCosCF", Some(cat), Some(uf))
+            else {
+              val e = cat.get("sp").get
+              val v = spark.read.parquet(e.viewPath.get)
+              v.join(broadcast(uf), Seq(c.user), "semi")
+            }
+            df.orderBy(col("score").desc, col(c.item)).limit(10).count()
+          }
+          n / ((System.nanoTime() - t0) / 1e9)
+        }
+        def runPoint(n: Int): Double = {
+          val t0 = System.nanoTime()
+          (1 to n).foreach { _ =>
+            val u = users(rnd.nextInt(users.length))
+            Recommender.recommendTopK(spark, r, tag, c, "itemCosCF",
+              Some(cat), userId = u, k = 10).count()
+          }
+          n / ((System.nanoTime() - t0) / 1e9)
+        }
+        run(5, cached = true); run(5, cached = false); runPoint(5) // warm all
+        for (_ <- 1 to reps) {
+          val qc = run(20, cached = true)
+          val qp = run(20, cached = false)
+          val pt = runPoint(20)
+          println(f"PROFILE serveprobe point=$pt%.2f q/s semijoin-cached=$qc%.2f q/s semijoin-parquet=$qp%.2f q/s")
+        }
       case "ivf_vs_brute" =>
         val b = SparkEntry.queries("p_knn_brute")(spark, sfDir).collect()
           .map(_.toString).toSet

@@ -75,7 +75,9 @@ final class IncrementalMaintainer(
     // a rebuilt model invalidates any materialized prediction view, and the
     // CREATE-time corpus stats (they drive the job-free strategy pick) are
     // re-measured against the grown events store
-    entry.viewPath.foreach(Recommender.deleteDir)
+    entry.viewPath.foreach { p =>
+      Recommender.invalidateServedView(p); Recommender.deleteDir(p)
+    }
     // exact total (threshold anchor) + approximate distincts (cost-model
     // inputs only — same trade as Recommender.create)
     val st = events.agg(

@@ -24,6 +24,9 @@ final case class RecEntry(
     // true when viewPath holds ALL (user, item) scores (no top-k cut), so
     // any RECOMMEND query can be served from it verbatim
     viewComplete: Boolean = false,
+    // bumps on every materializeView; the version is baked into viewPath so
+    // a cached served-view frame can never alias a newer materialization
+    viewVersion: Long = 0L,
     lastBatchId: Long = -1L,
     // corpus stats captured at CREATE time (-1 = unknown, pre-stats entry):
     // they make the scoring strategy pick job-free on the catalog-hit path
@@ -73,6 +76,7 @@ final class RecCatalog(dirStr: String) {
         queryCounter = p.getProperty("queryCounter", "0").toLong,
         viewPath = Option(p.getProperty("viewPath")).filter(_.nonEmpty),
         viewComplete = p.getProperty("viewComplete", "false").toBoolean,
+        viewVersion = p.getProperty("viewVersion", "0").toLong,
         lastBatchId = p.getProperty("lastBatchId", "-1").toLong,
         nUsers = p.getProperty("nUsers", "-1").toLong,
         nItems = p.getProperty("nItems", "-1").toLong,
@@ -109,6 +113,7 @@ final class RecCatalog(dirStr: String) {
     p.setProperty("queryCounter", e.queryCounter.toString)
     e.viewPath.foreach(p.setProperty("viewPath", _))
     p.setProperty("viewComplete", e.viewComplete.toString)
+    p.setProperty("viewVersion", e.viewVersion.toString)
     p.setProperty("lastBatchId", e.lastBatchId.toString)
     p.setProperty("nUsers", e.nUsers.toString)
     p.setProperty("nItems", e.nItems.toString)

@@ -94,6 +94,7 @@ object Recommender {
     catalog.get(name) match {
       case None => false
       case Some(e) =>
+        e.viewPath.foreach(invalidateServedView)
         (e.modelPaths ++ e.viewPath).foreach(deleteDir)
         catalog.delete(name)
     }
@@ -124,7 +125,7 @@ object Recommender {
       e.viewComplete && e.viewPath.isDefined) else None
     freshView match {
       case Some(e) =>
-        val view = spark.read.schema(viewSchema(c)).parquet(e.viewPath.get)
+        val view = servedView(spark, c, e.viewPath.get)
         users match {
           case Some(u) => view.join(
             broadcast(u.select(col(c.user)).distinct()), Seq(c.user), "semi")
@@ -132,6 +133,37 @@ object Recommender {
         }
       case None => recommendCompute(spark, events, c, method, hit, users,
         scoredUsersHint)
+    }
+  }
+
+  /** Serving cache: the per-query cost of the view fast path is re-decoding
+    * the same parquet bytes, so the view frame is cached per (session, path)
+    * and every query after the first scans Tungsten pages instead of files.
+    * Safe by construction: [[materializeView]] bakes the view VERSION into
+    * the path, so a re-materialization gets a new key and the old entry is
+    * explicitly invalidated (unpersist + remove) wherever a view dies —
+    * re-materialization, DROP, and the R17 rebuild. Spark's storage layer
+    * may evict blocks under pressure (MEMORY_AND_DISK → recompute from the
+    * parquet), so the cache is advisory, never correctness-bearing.
+    */
+  private val servedViews =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def servedView(spark: SparkSession, c: EventCols,
+      path: String): DataFrame = {
+    if (servedViews.size >= 16) { // crude bound: a serving tier rotates few views
+      servedViews.values.forEach { df => df.unpersist(); () }
+      servedViews.clear()
+    }
+    servedViews.computeIfAbsent(s"${System.identityHashCode(spark)}:$path",
+      _ => spark.read.schema(viewSchema(c)).parquet(path).cache())
+  }
+
+  private[recdb] def invalidateServedView(path: String): Unit = {
+    val it = servedViews.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.endsWith(s":$path")) { e.getValue.unpersist(); it.remove() }
     }
   }
 
@@ -205,10 +237,24 @@ object Recommender {
           .where(col("__rk") <= k).drop("__rk")
       case None => scores
     }
-    val path = s"$viewsDir/$name.view.parquet"
-    out.write.mode("overwrite").parquet(path)
+    val ver = e.viewVersion + 1
+    val path = s"$viewsDir/$name.view.v$ver.parquet"
+    // cluster by user on write: every user's rows land in one partition,
+    // contiguous — parquet row-group min/max stats then prune a
+    // `user = ?` point query to one file (and the in-memory cache's batch
+    // stats do the same), which is what makes [[recommendTopK]] O(k)-ish
+    // instead of a view-wide scan per query
+    out.repartition(
+        math.max(1, spark.sparkContext.defaultParallelism / 2), col(c.user))
+      .sortWithinPartitions(col(c.user), col("score").desc)
+      .write.mode("overwrite").parquet(path)
+    // the previous materialization (a different, older-versioned path) is
+    // dead the moment the catalog points at the new one
+    e.viewPath.filter(_ != path).foreach { old =>
+      invalidateServedView(old); deleteDir(old)
+    }
     catalog.put(catalog.get(name).get.copy(viewPath = Some(path),
-      viewComplete = topK.isEmpty))
+      viewComplete = topK.isEmpty, viewVersion = ver))
     path
   }
 
@@ -216,6 +262,35 @@ object Recommender {
   def recommendFromView(spark: SparkSession, name: String,
       catalog: RecCatalog): Option[DataFrame] =
     catalog.get(name).flatMap(_.viewPath).map(spark.read.parquet(_))
+
+  /** The reference's primary query shape (rec_workload.c: single-user top-k
+    * RECOMMEND) as a first-class point query. On a fresh COMPLETE view this
+    * is a pushed `user = ?` filter over the user-clustered (cached) view —
+    * row-group/batch stats prune to one user's rows, no join, one job —
+    * instead of the scoring DAG or a view-wide semi join. Falls back to the
+    * computed path ([[recommend]]) when no complete view exists.
+    */
+  def recommendTopK(spark: SparkSession, events: DataFrame, eventsTag: String,
+      c: EventCols, methodStr: String, catalog: Option[RecCatalog],
+      userId: Long, k: Int = 10): DataFrame = {
+    val method = RecMethod.parse(methodStr)
+    val hit = catalog.flatMap(_.findByTagAndMethod(eventsTag, method))
+    hit.foreach { e => // R18 bookkeeping, same as [[recommend]]
+      catalog.get.put(e.copy(queryCounter = e.queryCounter + 1))
+    }
+    val freshView = hit.filter(e => e.viewComplete && e.viewPath.isDefined)
+    val scores = freshView match {
+      // an equality predicate — not a semi join against a 1-row frame —
+      // is what reaches the parquet row-group / cached-batch stats
+      case Some(e) =>
+        servedView(spark, c, e.viewPath.get).where(col(c.user) === userId)
+      case None =>
+        import spark.implicits._
+        recommendCompute(spark, events, c, method, hit,
+          Some(Seq(userId).toDF(c.user)), None)
+    }
+    scores.orderBy(col("score").desc, col(c.item)).limit(k)
+  }
 
   /** Persisted model-table schemas — the engine contract for catalog-hit
     * reads (LONG keys per FIXTURES.md; the reference's model tables are

@@ -106,8 +106,22 @@ class RecommenderSpec extends SparkSpec {
     Recommender.materializeView(spark, "ar", r, cat, models + "/views")
     cat.get("ar").get.viewComplete shouldBe true
     val served = Recommender.recommend(spark, r, "tbl", c, "itemcoscf", Some(cat))
-    // plan proof: the serving path reads the view parquet, not the events
-    served.queryExecution.executedPlan.toString should include(".view.parquet")
+    // plan proof: the serving path reads the (cached) view parquet, not the
+    // events — the view relation appears in the analyzed plan, and after the
+    // first query the executed plan scans the in-memory cache of that
+    // relation rather than re-decoding files
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    served.queryExecution.analyzed.collect {
+      case l: LogicalRelation => l.relation match {
+        case f: HadoopFsRelation => f.location.rootPaths.map(_.toString)
+        case _ => Nil
+      }
+    }.flatten.exists(_.contains(".view.v")) shouldBe true
+    served.collect()
+    val again = Recommender.recommend(spark, r, "tbl", c, "itemcoscf", Some(cat))
+    again.queryExecution.executedPlan.collectWithSubqueries {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+    }.nonEmpty shouldBe true
     val got = served.collect()
       .map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
     got.keySet shouldBe direct.keySet
@@ -119,6 +133,28 @@ class RecommenderSpec extends SparkSpec {
       Some(Seq(2L).toDF("userid"))).collect()
     one.map(_.getLong(0)).distinct.toSeq shouldBe Seq(2L)
     one.length shouldBe 4
+  }
+
+  test("recommendTopK point query: join-free pushed filter on the view, parity with compute") {
+    val (cat, models) = freshDirs()
+    val r = ratings
+    Recommender.create(spark, "pq", r, "tblpq", c, "itemcoscf", cat, models)
+    // no view yet: the fallback computes, and is already the right top-k
+    val computed = Recommender.recommendTopK(spark, r, "tblpq", c, "itemcoscf",
+      Some(cat), userId = 2L, k = 3).collect()
+    computed.map(_.getLong(0)).distinct.toSeq shouldBe Seq(2L)
+    computed.length shouldBe 3
+    Recommender.materializeView(spark, "pq", r, cat, models + "/views")
+    val served = Recommender.recommendTopK(spark, r, "tblpq", c, "itemcoscf",
+      Some(cat), userId = 2L, k = 3)
+    // plan proof: a filter, not a join — the point query must never build
+    // a broadcast exchange
+    served.queryExecution.executedPlan.collectWithSubqueries {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    } shouldBe Nil
+    // identical rows, scores, and order
+    served.collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))) shouldBe
+      computed.map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
   }
 
   test("svd: rank-50 factors, all-pairs scores, reconstructs known ratings sanely") {
