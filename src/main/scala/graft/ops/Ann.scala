@@ -410,9 +410,44 @@ object Ann {
       seed: Long = 42L, kmeansIter: Int = 8,
       centroidsOpt: Option[Array[Array[Double]]] = None,
       rankOnRoundedTo: Option[Int] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cents = centroidsOpt.getOrElse(
       ivfCentroidsFromDf(ivfTrain(corpus, vecCol, nlist, seed, kmeansIter)))
+    // corpus cell assignment is the codegen'd NearestCellExpr loop
+    // (nCells·dim FMAs per row, no interpreted HOF) — the corpus-side cost
+    // of building the inverted file
+    val assigned = corpus.select(col(idCol), col(vecCol))
+      .withColumn("cell", graft.functions.VectorFns.nearestCellNative(
+        col(vecCol).cast("array<double>"), cents,
+        rankOnRoundedTo.getOrElse(-1)))
+    ivfSearchAssigned(assigned, queries, idCol, vecCol, k, nprobe, cents,
+      rankOnRoundedTo)
+  }
+
+  /** Driver-side mirror of the query-probe ranking: the `nprobe` nearest
+    * cells of one vector, ordered by (squared euclidean distance, cid) —
+    * the same |c|² − 2·v·c form the SQL probe uses, so both sides pick
+    * identical cells. Lets a serving layer compute probe lists locally and
+    * push a static `cell IN (...)` partition filter into the index scan.
+    */
+  def nearestCellsLocal(v: Array[Double], cents: Array[Array[Double]],
+      nprobe: Int): Seq[Int] =
+    cents.zipWithIndex.map { case (c, i) =>
+      var cc = 0.0; var vc = 0.0; var j = 0
+      while (j < c.length) { cc += c(j) * c(j); vc += v(j) * c(j); j += 1 }
+      (cc - 2 * vc, i)
+    }.sortBy(identity).take(nprobe).map(_._2).toSeq
+
+  /** IVF probe-and-score over an ALREADY-ASSIGNED corpus — `assigned` must
+    * carry (`idCol`, `vecCol`, "cell") where cell is the nearest-centroid id
+    * under `cents`. This is [[ivfTopK]]'s scan stage split out so a
+    * persistent inverted file (e.g. the streaming index of
+    * [[graft.streaming.AnnIndexMaintainer]]) can be probed without
+    * re-assigning the corpus per query.
+    */
+  def ivfSearchAssigned(assigned: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nprobe: Int, cents: Array[Array[Double]],
+      rankOnRoundedTo: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val nCells = cents.length
     val centArr = typedLit(cents.map(_.toSeq).toSeq)
     def rnd(c: Column): Column =
@@ -427,13 +462,11 @@ object Ann {
       slice(transform(array_sort(scored), s => s.getField("cid")), 1, n)
     }
     // norms ride along from one per-row pass; the pairwise score is a single
-    // codegen'd dot over cached norms (see withNorm). Corpus cell assignment
-    // is the codegen'd NearestCellExpr loop (nCells·dim FMAs per row, no
-    // interpreted HOF) — the corpus-side cost of building the inverted file;
-    // query probing keeps the HOF top-n sort (queries are few).
-    val cs = withNorm(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
-      .withColumn("cell", graft.functions.VectorFns.nearestCellNative(
-        col("cv"), cents, rankOnRoundedTo.getOrElse(-1)))
+    // codegen'd dot over cached norms (see withNorm). Query probing keeps
+    // the HOF top-n sort (queries are few).
+    val cs = assigned.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv"), col("cell"))
+      .withColumn("cn", sqrt(aggregate(col("cv"), lit(0.0), (a, x) => a + x * x)))
     val qs = withNorm(queries, idCol, vecCol, "query_id", "qv", "qn")
       .select(col("query_id"), col("qv"), col("qn"),
         explode(nearest(col("qv"), nprobe)).as("cell"))

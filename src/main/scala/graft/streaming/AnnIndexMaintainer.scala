@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+import graft.ops.Ann
+
+/** Streaming ANN index maintenance — the similarity-search face of the R17
+  * maintenance idea (recathon.c:951-1203) for a continuously-ingested
+  * embedding corpus: each micro-batch of vectors is assigned its IVF cell
+  * ONCE (codegen'd nearest-centroid loop against the fixed, pre-trained
+  * coarse quantizer) and appended to a persistent inverted file laid out as
+  * `cell=<id>/` parquet partitions, so a query probes `nprobe` cells of the
+  * whole accumulated corpus with static partition pruning — per-batch write
+  * cost tracks the batch, per-query read cost tracks nprobe/nlist of the
+  * corpus, and nothing is ever re-assigned or re-indexed.
+  *
+  * Centroids are deliberately FROZEN (trained once, e.g. on the bootstrap
+  * corpus via [[graft.ops.Ann.ivfTrain]]): a coarse quantizer's recall comes
+  * from nprobe, not centroid freshness, and FAISS-style practice is to
+  * re-train offline and rebuild rather than drift centroids under a live
+  * index (a moved centroid silently invalidates every already-assigned
+  * row's cell).
+  *
+  * Durability layout: same contract as [[NearDupMaintainer]] — one
+  * overwrite-idempotent `b<batchId>/` dir per batch (each internally
+  * partitioned by cell), so a crash-replay rewrites its dir byte-identically
+  * and can neither double-append nor observe its own partial output.
+  */
+object AnnIndexMaintainer {
+
+  private val indexSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("v", ArrayType(DoubleType), nullable = true),
+    StructField("cell", IntegerType)))
+
+  /** One micro-batch: assign cells, persist as a cell-partitioned batch dir.
+    * Exposed for direct (non-streaming) batch ingestion too.
+    */
+  def processBatch(batch: DataFrame, batchId: Long, idCol: String,
+      vecCol: String, cents: Array[Array[Double]], indexDir: String): Unit = {
+    batch.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("cell", graft.functions.VectorFns.nearestCellNative(
+        col("v"), cents, -1))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/b$batchId")
+  }
+
+  /** The accumulated inverted file: union of every batch dir, each read with
+    * its own basePath so the `cell=` directory column survives — a
+    * `cell IN (...)` filter prunes whole partition directories in every
+    * branch of the union.
+    */
+  def readIndex(spark: SparkSession, indexDir: String): DataFrame = {
+    val dirs = Option(new java.io.File(indexDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("b"))
+      .sortBy(_.getName.stripPrefix("b").toLongOption.getOrElse(Long.MaxValue))
+      .map(_.getPath)
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), indexSchema)
+    else dirs.map { d =>
+      spark.read.option("basePath", d).schema(indexSchema).parquet(d)
+    }.reduce(_ unionByName _)
+  }
+
+  /** Probe the persistent index: top-k cosine neighbors per query vector.
+    * Probe cells are computed DRIVER-SIDE ([[Ann.nearestCellsLocal]] — the
+    * same distance form the distributed probe uses) so the scan carries a
+    * static `cell IN (...)` predicate that prunes partition directories
+    * before any file is opened; scoring and ranking are
+    * [[Ann.ivfSearchAssigned]], identical to the one-shot IVF path.
+    */
+  def search(spark: SparkSession, indexDir: String,
+      cents: Array[Array[Double]], queryVecs: Seq[(Long, Array[Double])],
+      k: Int, nprobe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val probeCells = queryVecs
+      .flatMap(q => Ann.nearestCellsLocal(q._2, cents, nprobe)).distinct
+    val idx = readIndex(spark, indexDir)
+      .where(col("cell").isin(probeCells: _*))
+    val qdf = queryVecs.map { case (id, v) => (id, v.toSeq) }.toDF("id", "v")
+    Ann.ivfSearchAssigned(idx, qdf, "id", "v", k, nprobe, cents)
+  }
+
+  /** Attach to a streaming embedding source: (idCol LONG-castable, vecCol
+    * ARRAY<numeric>). The index accumulates under `indexDir/b<batch>/`;
+    * [[search]] over it equals [[Ann.ivfTopK]] over the union corpus with
+    * the same frozen centroids (StreamingSpec asserts exact parity).
+    */
+  def attach(embeddings: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]], indexDir: String,
+      checkpointDir: String): StreamingQuery =
+    embeddings.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, idCol, vecCol, cents, indexDir)
+        ()
+      }
+      .start()
+}

@@ -255,4 +255,50 @@ class StreamingSpec extends SparkSpec {
       "doc_id", "text", s"$base/index", s"$base/pairs")
     spark.read.parquet(s"$base/pairs/b*").count() shouldBe before.toLong
   }
+
+  test("streaming ANN index: search == one-shot IVF over the union corpus; pruned scan; replay-idempotent") {
+    import graft.ops.Ann
+    val base = java.nio.file.Files.createTempDirectory("annidx").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    // frozen coarse quantizer, trained once on the full corpus (the
+    // bootstrap-train step of a serving deployment)
+    val cents = Ann.ivfCentroidsFromDf(Ann.ivfTrain(emb, "embedding"))
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = AnnIndexMaintainer.attach(mem.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", cents, s"$base/index", s"$base/ckpt")
+    val rows = emb.selectExpr("vec_id", "cast(embedding as array<double>)")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    (0 until 3).foreach { g =>
+      mem.addData(rows.filter(_._1 % 3 == g).toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val queries = rows.filter(_._1 < 5)
+      .map { case (id, v) => (id, v.toArray) }.toSeq
+    val got = AnnIndexMaintainer.search(spark, s"$base/index", cents,
+      queries, k = 10)
+    // static partition pruning: every scan in the union carries the
+    // cell IN (...) predicate as a PARTITION filter
+    val scans = got.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.filter(_.relation.location.rootPaths.exists(_.toString.contains("annidx")))
+    scans.nonEmpty shouldBe true
+    scans.forall(_.partitionFilters.exists(_.toString.contains("cell"))) shouldBe true
+    // exact parity with the one-shot IVF scan given the same frozen centroids
+    val sq = spark
+    import sq.implicits._
+    val qdf = queries.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    val oneShot = Ann.ivfTopK(emb, qdf, "vec_id", "embedding", k = 10,
+      centroidsOpt = Some(cents))
+    val a = got.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val b = oneShot.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    a shouldBe b
+    // crash-replay of a batch rewrites its dir, never double-appends
+    val n0 = AnnIndexMaintainer.readIndex(spark, s"$base/index").count()
+    AnnIndexMaintainer.processBatch(
+      rows.filter(_._1 % 3 == 2).toSeq.toDF("vec_id", "embedding"), 2L,
+      "vec_id", "embedding", cents, s"$base/index")
+    AnnIndexMaintainer.readIndex(spark, s"$base/index").count() shouldBe n0
+  }
 }
