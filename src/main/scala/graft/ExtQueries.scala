@@ -66,11 +66,18 @@ object ExtQueries {
         s.sessionState.functionRegistry.registerFunction(ident, info, builder)
       }
       Tables.read(s, d, "documents").createOrReplaceTempView("documents")
-      s.sql("""SELECT doc_id,
-              |  size(graft_word_shingles(text, 3)) AS n_sh,
-              |  round(graft_dot(array(cast(n_chars as double)),
-              |                  array(cast(n_chars as double))), 6) AS sq
-              |FROM documents""".stripMargin)
+      // the fold/nfc column splices an NFD suffix (e + combining acute,
+      // U+0301) so normalization does real work on this ASCII corpus
+      val comb = "\u0301"
+      s.sql(s"""SELECT doc_id,
+               |  size(graft_word_shingles(text, 3)) AS n_sh,
+               |  size(graft_char_shingles(text, 5)) AS n_cs,
+               |  round(graft_dot(array(cast(n_chars as double)),
+               |                  array(cast(n_chars as double))), 6) AS sq,
+               |  graft_fold_accents(graft_nfc(
+               |    concat(substring(text, 1, 12), ' cafe$comb'))) AS folded,
+               |  round(graft_char_entropy(text), 6) AS ent
+               |FROM documents""".stripMargin)
     }),
     // Batch gap-based sessionization: per-user 30-minute-gap sessions with
     // bounds/duration/count — one shuffle on the user key, two windowed
@@ -187,13 +194,24 @@ object ExtQueries {
         |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_q
         |FROM lineitem GROUP BY 1""".stripMargin,
     "q_sql_funcs" ->
-      """WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks
-        |           FROM documents)
-        |SELECT doc_id,
+      """WITH t AS (SELECT doc_id, n_chars, text, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |ent AS (
+        |  SELECT doc_id, entropy(c) AS e
+        |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+        |        FROM documents)
+        |  GROUP BY doc_id
+        |)
+        |SELECT t.doc_id,
         |  len(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
         |    for i in generate_series(1, len(toks)-2)])) AS n_sh,
-        |  round(CAST(n_chars AS DOUBLE) * n_chars, 6) AS sq
-        |FROM t""".stripMargin,
+        |  len(list_distinct([substr(text, i, 5)
+        |    for i in generate_series(1, length(text)-4)])) AS n_cs,
+        |  round(CAST(n_chars AS DOUBLE) * n_chars, 6) AS sq,
+        |  strip_accents(nfc_normalize(substr(text, 1, 12) || ' cafe'
+        |    || chr(769))) AS folded,
+        |  round(ent.e, 6) AS ent
+        |FROM t JOIN ent ON t.doc_id = ent.doc_id""".stripMargin,
     "q_sessions" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
         |l AS (

@@ -112,6 +112,35 @@ object GraftSql {
             DenseFromEntries(entries, litInt(dims, "graft_dense_from_entries"))
           case _ => throw new IllegalArgumentException(
             "graft_dense_from_entries(entries, dims) takes 2 arguments")
+        }),
+      (FunctionIdentifier("graft_nfc"),
+        info("graft_nfc", "Unicode NFC normalization"),
+        (args: Seq[Expression]) => args match {
+          case Seq(text) => graft.functions.NfcNormalize(text)
+          case _ => throw new IllegalArgumentException(
+            "graft_nfc(text) takes 1 argument")
+        }),
+      (FunctionIdentifier("graft_fold_accents"),
+        info("graft_fold_accents", "NFD accent-mark fold (café → cafe)"),
+        (args: Seq[Expression]) => args match {
+          case Seq(text) => graft.functions.FoldAccents(text)
+          case _ => throw new IllegalArgumentException(
+            "graft_fold_accents(text) takes 1 argument")
+        }),
+      (FunctionIdentifier("graft_char_shingles"),
+        info("graft_char_shingles", "distinct character n-grams of text"),
+        (args: Seq[Expression]) => args match {
+          case Seq(text, n) =>
+            graft.functions.CharShingles(text, litInt(n, "graft_char_shingles"))
+          case _ => throw new IllegalArgumentException(
+            "graft_char_shingles(text, n) takes 2 arguments")
+        }),
+      (FunctionIdentifier("graft_char_entropy"),
+        info("graft_char_entropy", "Shannon entropy of the codepoint distribution"),
+        (args: Seq[Expression]) => args match {
+          case Seq(text) => graft.functions.CharEntropy(text)
+          case _ => throw new IllegalArgumentException(
+            "graft_char_entropy(text) takes 1 argument")
         }))
   }
 

@@ -41,6 +41,28 @@ class EdgeCaseSpec extends SparkSpec {
     graft.Exec.deletePath(base)
   }
 
+  test("round-4 ops on empty and degenerate inputs") {
+    // boilerplate fraction: empty in, empty out; degenerate docs all kept
+    // at 0.0 (too short to shingle at n=5 — never dropped, never NaN)
+    Corpus.boilerplateFraction(emptyDocs, "doc_id", "text").count() shouldBe 0L
+    val bf = Corpus.boilerplateFraction(degenerate, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    bf.keySet shouldBe Set(1L, 2L, 3L, 4L)
+    bf.values.foreach(_ shouldBe 0.0)
+    // per-key cap: empty in, empty out; cap above group size keeps all
+    Sampling.capPerKey(emptyDocs, "text", "doc_id", 3).count() shouldBe 0L
+    Sampling.capPerKey(degenerate, "text", "doc_id", 100).count() shouldBe 4L
+    // normalizeText: null-safe, empty-safe
+    val norm = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, " \t "))
+      .toDF("doc_id", "text")
+      .select(TextOps.normalizeText(col("text")).as("t")).collect()
+    norm.map(r => Option(r.getString(0))).toSeq shouldBe
+      Seq(None, Some(""), Some(""))
+    // audio decode: zero-sample WAV is valid (rms 0, peak 0, 0 ms)
+    val wav = Multimodal.wavBytes(8000, Array.empty[Int])
+    Multimodal.decodeWavBatch(Seq(wav)) shouldBe Seq((8000, 0, 0.0, 0.0))
+  }
+
   test("dedup family on empty and degenerate docs") {
     Dedup.exact(emptyDocs, Seq("text"), "doc_id").count() shouldBe 0L
     Dedup.exactByHash(emptyDocs, "text", "doc_id").count() shouldBe 0L

@@ -290,4 +290,14 @@ class SqlSurfaceSpec extends SparkSpec with BeforeAndAfterAll {
         .stripMargin))
     e.getMessage should include("matching table references")
   }
+
+  test("native text functions are injected into the extension session") {
+    val row = ext.sql(
+      "SELECT graft_fold_accents(graft_nfc('café')) AS f, " +
+        "size(graft_char_shingles('abcdef', 5)) AS n, " +
+        "round(graft_char_entropy('aabb'), 6) AS e").head()
+    row.getString(0) shouldBe "cafe"
+    row.getInt(1) shouldBe 2
+    row.getDouble(2) shouldBe 1.0
+  }
 }
