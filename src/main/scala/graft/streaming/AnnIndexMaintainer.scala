@@ -49,23 +49,26 @@ object AnnIndexMaintainer {
       .parquet(s"$indexDir/b$batchId")
   }
 
-  /** The accumulated inverted file: union of every batch dir, each read with
-    * its own basePath so the `cell=` directory column survives — a
-    * `cell IN (...)` filter prunes whole partition directories in every
-    * branch of the union.
+  /** The accumulated inverted file: the highest compacted dir (covering all
+    * batches ≤ its id) plus every batch dir above it, each read with its own
+    * basePath so the `cell=` directory column survives — a `cell IN (...)`
+    * filter prunes whole partition directories in every branch of the union.
     */
   def readIndex(spark: SparkSession, indexDir: String): DataFrame = {
-    val dirs = Option(new java.io.File(indexDir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("b"))
-      .sortBy(_.getName.stripPrefix("b").toLongOption.getOrElse(Long.MaxValue))
-      .map(_.getPath)
-    if (dirs.isEmpty)
-      spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), indexSchema)
-    else dirs.map { d =>
-      spark.read.option("basePath", d).schema(indexSchema).parquet(d)
-    }.reduce(_ unionByName _)
+    val maxC = BatchDirs.listDirs(indexDir, "c").lastOption
+    val dirs = maxC.map(_._2).toSeq ++ BatchDirs.listDirs(indexDir, "b")
+      .filter(_._1 > maxC.fold(-1L)(_._1)).map(_._2)
+    BatchDirs.readUnion(spark, dirs, indexSchema, partitioned = true)
+      .getOrElse(BatchDirs.emptyFrame(spark, indexSchema))
   }
+
+  /** Fold committed batch dirs into one consolidated, still-cell-partitioned
+    * `c<upTo>/` dir (default upTo: max batch − 1, keeping the newest batch
+    * replayable) — see [[BatchDirs.compact]] for the durability contract.
+    */
+  def compact(spark: SparkSession, indexDir: String,
+      upToOpt: Option[Long] = None): Unit =
+    BatchDirs.compact(spark, indexDir, indexSchema, Some("cell"), upToOpt)
 
   /** Probe the persistent index: top-k cosine neighbors per query vector.
     * Probe cells are computed DRIVER-SIDE ([[Ann.nearestCellsLocal]] — the

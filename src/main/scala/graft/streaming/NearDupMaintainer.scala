@@ -42,20 +42,36 @@ object NearDupMaintainer {
     StructField("sig", ArrayType(LongType, containsNull = false)),
     StructField("text", StringType)))
 
-  /** Index contents from batches strictly BEFORE `batchId` (empty frame with
-    * the index schema when none exist — the first-batch bootstrap).
+  /** Index contents from batches strictly BEFORE `batchId`: the highest
+    * compacted dir (covering all batches ≤ its id) plus the batch dirs
+    * between it and `batchId` (empty frame with the index schema when none
+    * exist — the first-batch bootstrap). A compaction horizon at or above
+    * `batchId` would hand the batch its own rows back (self-pairs on
+    * replay), so it is rejected — [[compact]]'s default keeps the newest
+    * batch out of the fold exactly for this.
     */
   def priorIndex(spark: SparkSession, indexDir: String,
       batchId: Long): DataFrame = {
-    val dirs = Option(new java.io.File(indexDir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("b"))
-      .filter(_.getName.stripPrefix("b").toLongOption.exists(_ < batchId))
-      .map(_.getPath)
-    if (dirs.isEmpty)
-      spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), indexSchema)
-    else spark.read.schema(indexSchema).parquet(dirs: _*)
+    val maxC = BatchDirs.listDirs(indexDir, "c").lastOption
+    maxC.foreach { case (k, _) =>
+      require(k < batchId,
+        s"replaying batch $batchId at or below compaction horizon $k — " +
+          "compact only durably-committed batches")
+    }
+    val dirs = maxC.map(_._2).toSeq ++ BatchDirs.listDirs(indexDir, "b")
+      .filter { case (id, _) => id > maxC.fold(-1L)(_._1) && id < batchId }
+      .map(_._2)
+    BatchDirs.readUnion(spark, dirs, indexSchema, partitioned = false)
+      .getOrElse(BatchDirs.emptyFrame(spark, indexSchema))
   }
+
+  /** Fold committed batch dirs into one consolidated `c<upTo>/` dir
+    * (default upTo: max batch − 1, keeping the newest batch replayable) —
+    * see [[BatchDirs.compact]] for the durability contract.
+    */
+  def compact(spark: SparkSession, indexDir: String,
+      upToOpt: Option[Long] = None): Unit =
+    BatchDirs.compact(spark, indexDir, indexSchema, None, upToOpt)
 
   /** One micro-batch: sign, persist signatures, probe, persist pairs.
     * Exposed for direct (non-streaming) batch ingestion too.

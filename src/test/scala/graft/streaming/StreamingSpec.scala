@@ -254,6 +254,21 @@ class StreamingSpec extends SparkSpec {
       docs.where(col("doc_id") % 3 === 2).toDF("doc_id", "text"), 2L,
       "doc_id", "text", s"$base/index", s"$base/pairs")
     spark.read.parquet(s"$base/pairs/b*").count() shouldBe before.toLong
+    // compaction folds committed batches (default horizon: max-1) and the
+    // next batch's probe sees the identical prior corpus
+    NearDupMaintainer.compact(spark, s"$base/index")
+    new java.io.File(s"$base/index/c1").exists() shouldBe true
+    new java.io.File(s"$base/index/b0").exists() shouldBe false
+    NearDupMaintainer.priorIndex(spark, s"$base/index", 2L).count() shouldBe
+      docs.where(col("doc_id") % 3 =!= 2).count()
+    // replaying the still-unfolded batch is fine; one below the horizon throws
+    NearDupMaintainer.processBatch(
+      docs.where(col("doc_id") % 3 === 2).toDF("doc_id", "text"), 2L,
+      "doc_id", "text", s"$base/index", s"$base/pairs")
+    spark.read.parquet(s"$base/pairs/b*").count() shouldBe before.toLong
+    intercept[IllegalArgumentException] {
+      NearDupMaintainer.priorIndex(spark, s"$base/index", 1L)
+    }
   }
 
   test("streaming ANN index: search == one-shot IVF over the union corpus; pruned scan; replay-idempotent") {
@@ -300,5 +315,18 @@ class StreamingSpec extends SparkSpec {
       rows.filter(_._1 % 3 == 2).toSeq.toDF("vec_id", "embedding"), 2L,
       "vec_id", "embedding", cents, s"$base/index")
     AnnIndexMaintainer.readIndex(spark, s"$base/index").count() shouldBe n0
+    // compaction (default horizon max-1, then full) keeps the index, the
+    // search results, and the partitioned layout identical
+    AnnIndexMaintainer.compact(spark, s"$base/index")
+    new java.io.File(s"$base/index/c1").exists() shouldBe true
+    new java.io.File(s"$base/index/b0").exists() shouldBe false
+    AnnIndexMaintainer.readIndex(spark, s"$base/index").count() shouldBe n0
+    AnnIndexMaintainer.compact(spark, s"$base/index", Some(2L))
+    new java.io.File(s"$base/index/c2").exists() shouldBe true
+    AnnIndexMaintainer.readIndex(spark, s"$base/index").count() shouldBe n0
+    val afterCompact = AnnIndexMaintainer.search(spark, s"$base/index", cents,
+      queries, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    afterCompact shouldBe b
   }
 }
