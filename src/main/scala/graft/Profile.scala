@@ -187,6 +187,47 @@ object Profile {
         println(f"PROFILE dedupprobe docs=$n pairs=$nPairs " +
           f"planted_found=$planted/${n / 20} lsh=$tLsh%.1fs " +
           f"docs_per_sec=${n / tLsh}%.0f")
+      case s if s.startsWith("textprobe") =>
+        // round-4 text-op cost at synthetic-corpus scale (default 200k docs,
+        // dedupprobe's generator: id%20∈{0,1} docs share their 60-word body,
+        // so boilerplate grams genuinely exist). Reports wall time for
+        // boilerplateFraction (df-aggregate + broadcast-back), normalizeText
+        // (pure map), and capPerKey (one shuffle on the key) — all linear
+        // passes, the 100 TB trajectory. Usage: textprobe[:n]
+        import org.apache.spark.sql.functions._
+        val n = s.split(":").drop(1).headOption.map(_.toLong).getOrElse(200000L)
+        val grp = when(col("id") % 20 < 2, (col("id") / 20).cast("long") * 20)
+          .otherwise(col("id"))
+        val words = array_join(transform(sequence(lit(0), lit(59)),
+          i => concat(lit("w"), pmod(hash(grp * 53 + i), lit(5000)))), " ")
+        val docs = spark.range(0, n, 1, 64)
+          .select(col("id").as("doc_id"),
+            concat(when(col("id") % 20 === 1, lit("salt ")).otherwise(lit("")),
+              words).as("text"),
+            concat(lit("src"), pmod(col("id"), lit(50))).as("source"))
+          .cache()
+        docs.count()
+        def time(label: String)(f: => Long): Unit = {
+          val t0 = System.nanoTime()
+          val rows = f
+          val t = (System.nanoTime() - t0) / 1e9
+          println(f"PROFILE textprobe docs=$n $label rows=$rows " +
+            f"t=$t%.1fs docs_per_sec=${n / t}%.0f")
+        }
+        time("boiler_frac") {
+          // aggregate the VALUE column — a bare count() lets the optimizer
+          // skip the df-aggregate + join entirely
+          val r = graft.ops.Corpus.boilerplateFraction(docs, "doc_id", "text")
+            .agg(sum(col("boiler_frac")), count(lit(1))).head()
+          r.getLong(1)
+        }
+        time("normalize") {
+          docs.select(graft.ops.TextOps.normalizeText(col("text")).as("t"))
+            .agg(sum(length(col("t")))).head(); n
+        }
+        time("cap_per_key") {
+          graft.ops.Sampling.capPerKey(docs, "source", "doc_id", 1000).count()
+        }
       case s if s.startsWith("deltaprobe") =>
         // incremental-maintenance cost at generator scale: init the cosine
         // state from N events, then merge a ~1% delta — the delta merge must

@@ -93,13 +93,18 @@ object Corpus {
     * and report fraction 0.0.
     *
     * Scale shape: one shuffle aggregates gram document-frequency; grams
-    * reaching `minDocs` are by definition few relative to the gram universe
+    * reaching `minDocs` are usually few relative to the gram universe
     * (boilerplate is the head of the df distribution), so the boiler-gram
     * set broadcasts back and the per-doc fraction is a map-side semi-probe
     * plus one aggregation on the doc id — corpus text never shuffles twice.
+    * The broadcast is guarded, not assumed: the set is counted first (it is
+    * cached, so the count is not wasted work) and a template-saturated
+    * corpus whose boiler set exceeds `broadcastLimit` falls back to a
+    * shuffle join rather than feeding an unbounded frame to the driver.
     */
   def boilerplateFraction(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 5, minDocs: Int = 2): DataFrame = {
+      n: Int = 5, minDocs: Int = 2,
+      broadcastLimit: Long = 5000000L): DataFrame = {
     val grams = Dedup.widen(
         docs.select(col(idCol).as("__id"), col(textCol).as("__t")), "__id")
       .select(col("__id"),
@@ -108,8 +113,11 @@ object Corpus {
       .agg(countDistinct(col("__id")).as("df"))
       .where(col("df") >= minDocs)
       .select("g")
+      .cache()
+    val boilerSide =
+      if (boiler.count() <= broadcastLimit) broadcast(boiler) else boiler
     val frac = grams
-      .join(broadcast(boiler).withColumn("__b", lit(1)), Seq("g"), "left")
+      .join(boilerSide.withColumn("__b", lit(1)), Seq("g"), "left")
       .groupBy("__id")
       .agg((sum(when(col("__b").isNotNull, 1L).otherwise(0L)) /
         count(lit(1))).as("boiler_frac"))
