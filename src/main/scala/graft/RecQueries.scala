@@ -108,6 +108,11 @@ object RecQueries {
         .orderBy(col("score").desc, col("itemid"))
         .limit(10)
     }),
+    // Deterministic negative sampling (BPR companion op): 5 unrated items
+    // per user in engine-portable md5 order; the rejection-sampling scale
+    // path is spec-gated against this exact form.
+    "r_negatives" -> ((s, d) =>
+      graft.recdb.Eval.negativeSamples(ratings(s, d), c, k = 5)),
     "r_usercf_topk" -> ((s, d) => {
       val r = ratings(s, d)
       val minUser = r.agg(min(col("userid"))).head().getLong(0)
@@ -511,5 +516,20 @@ object RecQueries {
         |ORDER BY round(list_inner_product(u.features, i.features), 6) DESC,
         |  i.id
         |LIMIT 10""".stripMargin,
+    "r_negatives" ->
+      s"""WITH ${Tables.ratingsSql},
+         |users AS (SELECT DISTINCT userid FROM ratings),
+         |items AS (SELECT DISTINCT itemid FROM ratings),
+         |neg AS (
+         |  SELECT u.userid, i.itemid FROM users u CROSS JOIN items i
+         |  WHERE NOT EXISTS (SELECT 1 FROM ratings r
+         |                    WHERE r.userid = u.userid AND r.itemid = i.itemid)
+         |)
+         |SELECT userid, itemid, neg_rank FROM (
+         |  SELECT userid, itemid, row_number() OVER (
+         |    PARTITION BY userid
+         |    ORDER BY md5(userid || ':' || itemid), itemid) AS neg_rank
+         |  FROM neg)
+         |WHERE neg_rank <= 5""".stripMargin,
   )
 }

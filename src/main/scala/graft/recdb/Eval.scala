@@ -80,4 +80,72 @@ object Eval {
     val row = joined.agg(avg(col("ndcg"))).head()
     if (row.isNullAt(0)) 0.0 else row.getDouble(0)
   }
+
+  /** Deterministic negative sampling — the implicit-feedback trainer's
+    * companion op (BPR/contrastive losses pair every positive with unseen
+    * items): for each user, the first `k` UNRATED items in the
+    * engine-portable md5((user,item)) order, so the same negatives come out
+    * on any engine, any layout, any run (the [[graft.ops.Sampling]]
+    * reproducibility contract).
+    *
+    * This exact form materializes users × items before the anti-join —
+    * correct and oracle-able, and the right tool when the item catalog is
+    * dimension-table-sized. For corpus-scale catalogs use
+    * [[negativeSamplesRejection]].
+    */
+  def negativeSamples(events: DataFrame, c: EventCols, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val users = events.select(col(c.user)).distinct()
+    val items = events.select(col(c.item)).distinct()
+    val neg = users.crossJoin(items)
+      .join(events.select(col(c.user), col(c.item)).distinct(),
+        Seq(c.user, c.item), "anti")
+    val w = Window.partitionBy(col(c.user))
+      .orderBy(md5(concat_ws(":", col(c.user), col(c.item))), col(c.item))
+    neg.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k)
+      .select(col(c.user), col(c.item), col("__rn").cast("long").as("neg_rank"))
+  }
+
+  /** Negative sampling at catalog scale: instead of users × items, each user
+    * draws `trials` candidate item INDEXES by hashing (user, trial) into the
+    * catalog (items get a dense, deterministic id-order index — one
+    * window pass), candidates join back to item ids, rated pairs are
+    * anti-joined away, and the first `k` per user in draw order survive.
+    * Linear in users × trials with no cross product; `trials` only needs to
+    * beat k + the user's rated count by a collision margin (hash draws are
+    * ~uniform, so trials = 4k + maxRated is already generous).
+    *
+    * Sampling is WITH collisions dropped (duplicate draws of one item keep
+    * the first), mirroring rejection sampling; a user can come up short of
+    * `k` only if trials is set too low for their rated count.
+    */
+  def negativeSamplesRejection(events: DataFrame, c: EventCols, k: Int,
+      trials: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = events.sparkSession
+    // dense deterministic id-order index without a global single-partition
+    // window: sort stays distributed, zipWithIndex stitches the per-partition
+    // offsets (one extra count job — the standard distributed dense-rank)
+    val base = events.select(col(c.item)).distinct().orderBy(col(c.item))
+    val items = spark.createDataFrame(
+      base.rdd.zipWithIndex.map { case (row, i) =>
+        org.apache.spark.sql.Row(row(0), i)
+      },
+      base.schema.add("__idx", org.apache.spark.sql.types.LongType))
+    val nItems = items.count()
+    val users = events.select(col(c.user)).distinct()
+    val cand = users
+      .select(col(c.user), explode(sequence(lit(0), lit(trials - 1))).as("__t"))
+      .select(col(c.user), col("__t"),
+        pmod(xxhash64(col(c.user), col("__t")), lit(nItems)).as("__idx"))
+    val wd = Window.partitionBy(col(c.user), col(c.item)).orderBy(col("__t"))
+    val drawn = cand.join(items, Seq("__idx"))
+      // collision drop: keep each (user, item)'s earliest draw
+      .withColumn("__dup", row_number().over(wd)).where(col("__dup") === 1)
+      .join(events.select(col(c.user), col(c.item)).distinct(),
+        Seq(c.user, c.item), "anti")
+    val w = Window.partitionBy(col(c.user)).orderBy(col("__t"))
+    drawn.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k)
+      .select(col(c.user), col(c.item), col("__rn").cast("long").as("neg_rank"))
+  }
 }

@@ -58,4 +58,26 @@ class EvalSpec extends SparkSpec {
       .select(col("userid"), col("itemid"), coalesce(col("score"), lit(0.0)).as("score"))
     Eval.ndcgAtK(oracleScores, train, test, c, 10) shouldBe 1.0 +- 1e-9
   }
+
+  test("negative sampling: never a positive, exactly k per user, layout-stable") {
+    val ev = graft.Tables.ratings(spark, "/root/testdata/sf0.01")
+    val c = graft.Tables.ratingCols
+    for (neg <- Seq(Eval.negativeSamples(ev, c, 5),
+        Eval.negativeSamplesRejection(ev, c, 5, trials = 64))) {
+      // a sampled negative must never be a rated pair
+      neg.join(ev, Seq(c.user, c.item), "semi").count() shouldBe 0L
+      // every user gets exactly k (catalog is far larger than any rated set)
+      val perUser = neg.groupBy(c.user).count().select("count")
+        .distinct().collect().map(_.getLong(0)).toSeq
+      perUser shouldBe Seq(5L)
+      neg.groupBy(c.user).count().count() shouldBe
+        ev.select(c.user).distinct().count()
+    }
+    // determinism across partition layouts (the md5/xxhash draw contract)
+    val a = Eval.negativeSamplesRejection(ev, c, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = Eval.negativeSamplesRejection(ev.repartition(7), c, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    a shouldBe b
+  }
 }
