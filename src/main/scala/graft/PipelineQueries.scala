@@ -309,6 +309,15 @@ object PipelineQueries {
           minDocs = 2)
         .select(col("doc_id"), round(col("boiler_frac"), 6)
           .as("boiler_frac"))),
+    // Token-budget corpus selection: best-quality docs first until the
+    // running token total would pass the budget (distributed prefix sum —
+    // range partitions + driver offsets, no single-partition window).
+    "p_budget_select" -> ((s, d) =>
+      Corpus.selectWithinBudget(
+        docs(s, d).select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tok"),
+          TextOps.qualityScore(col("text")).as("quality")),
+        "doc_id", "n_tok", "quality", budget = 20000L)),
     // Canonical ingest normalization (native NFC codegen expression +
     // whitespace collapse + trim), exercised on a deterministically
     // "dirtied" input: combining-accent sequence + tab/newline runs spliced
@@ -953,6 +962,13 @@ object PipelineQueries {
         |SELECT d.doc_id,
         |  coalesce(frac.boiler_frac, CAST(0 AS DOUBLE)) AS boiler_frac
         |FROM documents d LEFT JOIN frac ON d.doc_id = frac.doc_id""".stripMargin,
+    "p_budget_select" ->
+      s"""WITH $qualityCtes
+         |SELECT doc_id, CAST(cum_tok AS BIGINT) AS cum_tok FROM (
+         |  SELECT q.doc_id,
+         |    sum(qs.n_tok) OVER (ORDER BY q.quality DESC, q.doc_id) AS cum_tok
+         |  FROM q JOIN qs USING (doc_id))
+         |WHERE cum_tok <= 20000""".stripMargin,
     "p_normalize" ->
       """SELECT doc_id,
         |  trim(regexp_replace(nfc_normalize(

@@ -127,4 +127,41 @@ object Corpus {
       .select(col("__id").as(idCol),
         coalesce(col("boiler_frac"), lit(0.0)).as("boiler_frac"))
   }
+
+  /** Token-budget corpus selection — the data-curation step that picks the
+    * best documents that FIT: docs are taken in (quality desc, id) order
+    * until the running token total would exceed `budget`. Returns the kept
+    * docs with their running total (`cum_tok` ≤ budget).
+    *
+    * The global prefix sum is computed WITHOUT a single-partition window:
+    * range-repartition on the order key keeps the sort distributed, the
+    * per-partition token totals (≤ `buckets` rows) prefix-sum on the driver,
+    * and each partition's window adds its driver-computed offset. The kept
+    * set is a pure function of the global (quality desc, id) order — range
+    * boundary placement cannot change it.
+    */
+  def selectWithinBudget(docs: DataFrame, idCol: String, tokensCol: String,
+      qualityCol: String, budget: Long, buckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val keyed = docs.select(col(idCol), col(tokensCol).cast("long").as("__tok"),
+        (-col(qualityCol).cast("double")).as("__nq"))
+      .repartitionByRange(buckets, col("__nq"), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .cache()
+    val partSums = keyed.groupBy("__pid").agg(sum(col("__tok")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until buckets).scanLeft(0L) {
+      case (acc, pid) => acc + partSums.getOrElse(pid, 0L)
+    }
+    val offCol = offsets.init.zipWithIndex.foldLeft(lit(0L)) {
+      case (acc, (off, pid)) =>
+        when(col("__pid") === pid, lit(off)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("__pid"))
+      .orderBy(col("__nq"), col(idCol))
+    keyed.withColumn("cum_tok", sum(col("__tok")).over(w) + offCol)
+      .where(col("cum_tok") <= budget)
+      .select(col(idCol), col("cum_tok"))
+  }
 }

@@ -64,6 +64,34 @@ class CorpusSpec extends SparkSpec {
     Sampling.capPerKey(tiny, "src", "id", maxN = 5).count() shouldBe 2L
   }
 
+  test("selectWithinBudget: greedy by quality, exact boundary, distributed == naive") {
+    import spark.implicits._
+    // (id, tokens, quality): greedy order by (quality desc, id)
+    val d = Seq(
+      (1L, 40L, 0.75), (2L, 30L, 1.0), (3L, 50L, 0.5),
+      (4L, 30L, 1.0), (5L, 10L, 0.25)
+    ).toDF("doc_id", "n_tok", "quality")
+    // order: 2 (30), 4 (60), 1 (100), 3 (150), 5 (160)
+    val kept = Corpus.selectWithinBudget(d, "doc_id", "n_tok", "quality",
+        budget = 100L, buckets = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    kept shouldBe Map(2L -> 30L, 4L -> 60L, 1L -> 100L)
+    // distributed matches the naive single-window form on the real corpus
+    val scored = documents.select(col("doc_id"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_tok"),
+      TextOps.qualityScore(col("text")).as("quality"))
+    val dist = Corpus.selectWithinBudget(scored, "doc_id", "n_tok", "quality",
+        budget = 20000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("quality").desc, col("doc_id"))
+    val naive = scored.withColumn("cum", sum(col("n_tok")).over(w))
+      .where(col("cum") <= 20000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    dist shouldBe naive
+    dist.nonEmpty shouldBe true
+  }
+
   test("normalizeText: NFC + whitespace collapse + trim, idempotent") {
     import spark.implicits._
     val dirty = "  cafe\u0301 \t\t x\n\ny  "
