@@ -424,9 +424,24 @@ object Dedup {
       case _ => None
     }
     if (localOrd.isDefined && localEdgeLimit > 0) {
+      // rows are not bytes: string ids shrink the row bound by their
+      // sampled width so the collect stays inside LocalCcByteBudget
+      val effLimit = keyType match {
+        case org.apache.spark.sql.types.StringType =>
+          val sample = pairs.select(col(id1), col(id2)).limit(512).collect()
+          if (sample.isEmpty) localEdgeLimit
+          else {
+            val avgRow = sample.iterator.map(r =>
+              r.getString(0).length + r.getString(1).length + 64L).sum /
+              sample.length
+            math.max(1000L,
+              math.min(localEdgeLimit.toLong, LocalCcByteBudget / avgRow)).toInt
+          }
+        case _ => localEdgeLimit
+      }
       val head = pairs.select(col(id1).as("a"), col(id2).as("b"))
-        .limit(localEdgeLimit + 1).collect()
-      if (head.length <= localEdgeLimit)
+        .limit(effLimit + 1).collect()
+      if (head.length <= effLimit)
         return localComponents(pairs.sparkSession, head, keyType, localOrd.get)
     }
     val spark = pairs.sparkSession
@@ -486,8 +501,15 @@ object Dedup {
     labels
   }
 
-  /** Edge-count bound for the driver-local union-find path (~32 MB of rows). */
+  /** Edge-count bound for the driver-local union-find path — exact for
+    * fixed-width numeric ids (2M × 16 B = 32 MB); string-keyed graphs scale
+    * the row bound down by the sampled id width against
+    * [[LocalCcByteBudget]], so arbitrarily long ids cannot blow the driver.
+    */
   val LocalCcEdgeLimit: Int = 2 * 1000 * 1000
+
+  /** Driver-memory budget for string-keyed local union-find (bytes). */
+  val LocalCcByteBudget: Long = 64L << 20
 
   /** Path-compressed union-find over a collected edge list; rep = smallest
     * node per component under `ord` — identical output contract to the

@@ -112,6 +112,17 @@ class OpsSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       withClue(s"seed $seed: ") { got shouldBe expected }
     }
+    // string-keyed graphs (the byte-budgeted local path) agree with the
+    // distributed label-propagation path on the same long-id edges
+    val sEdges = Seq(("doc-" + "x" * 200 + "-1", "doc-" + "x" * 200 + "-2"),
+      ("doc-" + "x" * 200 + "-2", "doc-" + "x" * 200 + "-3"),
+      ("a", "b")).toDF("id1", "id2")
+    val local = Dedup.connectedComponents(sEdges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val dist = Dedup.connectedComponents(sEdges, localEdgeLimit = 0)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    local shouldBe dist
+    local("b") shouldBe "a"
   }
 
   test("native shingle/simhash expressions == HOF reference forms") {
