@@ -200,6 +200,16 @@ object PipelineQueries {
     // Int8 embedding quantization: per-vector scale + quantized payload,
     // summarized as (scale, Σq, Σ|q|) so the gate checks every lane's value
     // through order-insensitive exact-integer aggregates.
+    // Per-label embedding centroids (elementwise mean vectors), exploded to
+    // scalar rows for the hash compare.
+    "p_embed_centroids" -> ((s, d) =>
+      Ann.meanVectors(
+          emb(s, d).select(col("label").cast("long").as("label"),
+            col("embedding")), "label", "embedding")
+        .select(col("label"),
+          posexplode(col("centroid")).as(Seq("i", "m")))
+        .select(col("label"), col("i").cast("long").as("i"),
+          round(col("m"), 6).as("m"))),
     "p_embed_quant" -> ((s, d) =>
       Ann.quantizeInt8(emb(s, d), "vec_id", "embedding")
         .select(col("id").as("vec_id"), round(col("scale"), 6).as("scale"),
@@ -804,6 +814,15 @@ object PipelineQueries {
         |SELECT corpus_id, eval_id, count(*) AS n_shared
         |FROM cg JOIN eg USING (g)
         |GROUP BY 1, 2""".stripMargin,
+    "p_embed_centroids" ->
+      """WITH ex AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |    unnest(range(0, len(embedding))) AS i,
+        |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+        |  FROM embeddings
+        |)
+        |SELECT label, i, round(avg(v), 6) AS m
+        |FROM ex GROUP BY 1, 2""".stripMargin,
     "p_embed_quant" ->
       """WITH f AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -423,6 +423,20 @@ object Ann {
       rankOnRoundedTo)
   }
 
+  /** Per-key elementwise mean vectors — the class-centroid op (label
+    * centroids for classification heads, seed centroids for IVF, cluster
+    * summaries for diversity sampling). One shuffle on (key, dim-index),
+    * then per-key repack in index order; no vector is ever collected.
+    */
+  def meanVectors(df: DataFrame, keyCol: String, vecCol: String): DataFrame =
+    df.select(col(keyCol).as("key"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("i", "v")))
+      .groupBy("key", "i").agg(avg(col("v")).as("m"))
+      .groupBy("key")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+        s => s.getField("m")).as("centroid"))
+      .withColumnRenamed("key", keyCol)
+
   /** Driver-side mirror of the query-probe ranking: the `nprobe` nearest
     * cells of one vector, ordered by (squared euclidean distance, cid) —
     * the same |c|² − 2·v·c form the SQL probe uses, so both sides pick
