@@ -398,6 +398,19 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("meanVectors: closed-form centroids, layout-independent") {
+    val df = Seq(
+      (0L, Seq(1.0, 2.0, 3.0)), (0L, Seq(3.0, 4.0, 5.0)),
+      (1L, Seq(10.0, 0.0, -2.0))
+    ).toDF("label", "vec")
+    val got = Ann.meanVectors(df, "label", "vec")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    got(0L) shouldBe Seq(2.0, 3.0, 4.0)
+    got(1L) shouldBe Seq(10.0, 0.0, -2.0)
+    Ann.meanVectors(df.repartition(5), "label", "vec")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap shouldBe got
+  }
+
   test("multimodal: real WAV decode reproduces the closed-form sample stats") {
     val media = Multimodal.syntheticMedia(spark, 30, kind = "audio").repartition(5)
     val got = Multimodal.audioStats(media, batchSize = 7).collect()
