@@ -31,10 +31,27 @@ object Bench {
       }
       spark.catalog.clearCache()
     }
-    val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // TWO timed passes, report the per-query MIN: steady-state cost is the
+    // quantity tracked round-over-round, and min-of-2 is robust to transient
+    // machine load (round 4's committed artifact misreported three queries
+    // by 8× from exactly such contamination). The cache is cleared between
+    // passes so each pass pays every real model build, shuffle, and scan.
+    def timedPass(): Seq[(String, Double)] = {
+      spark.catalog.clearCache()
+      ordered.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    }
+    val pass1 = timedPass()
+    val pass2 = timedPass()
+    val results = pass1.zip(pass2).map { case ((n, a), (_, b)) =>
+      // divergence flag: a query whose two passes differ >2× was measured
+      // under load — the min is still reported, but the run is marked
+      if (math.max(a, b) > 2 * math.min(a, b) && math.max(a, b) > 1.0)
+        System.err.println(f"[bench] load-noise on $n: pass1=$a%.2fs pass2=$b%.2fs")
+      n -> math.min(a, b)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -44,10 +61,11 @@ object Bench {
     // noise, so measure from a clean cache.
     spark.catalog.clearCache()
     val qps = workloadQps(spark, sfDir)
+    val tkqps = workloadTopkQps(spark, sfDir)
     val ups = sweepUsersPerSec(spark, sfDir)
     val vqps = viewQps(spark, sfDir)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""workload_qps":$qps,"workload_view_qps":$vqps,""" +
+      s""""workload_qps":$qps,"workload_topk_qps":$tkqps,"workload_view_qps":$vqps,""" +
       s""""workload_sweep_users_per_sec":$ups,"sf":"$sfDir"}""")
     spark.stop()
   }
@@ -140,6 +158,42 @@ object Bench {
         // the protocol's query IS a single-user top-10 — served by the
         // engine's point-query path (pushed user=? over the cached
         // user-clustered view; falls back to scoring when no view is fresh)
+        Recommender.recommendTopK(spark, r, tag, c, "itemCosCF", Some(cat),
+          userId = u, k = 10).count()
+      }
+      n / ((System.nanoTime() - t0) / 1e9)
+    } catch { case _: Throwable => -1.0 }
+  }
+
+  /** The scale-path serving protocol: same single-user top-10 queries as
+    * [[workloadQps]], but against a **top-k materialized view** (topK=100)
+    * instead of the complete users×items view. At 100× data the complete
+    * view is O(users×items) rows — unmaterializable — while the top-k view
+    * is O(users×k): this metric proves the bounded artifact serves at
+    * complete-view speed, so the engine's serving story survives scale.
+    */
+  private def workloadTopkQps(spark: SparkSession, sfDir: String,
+      n: Int = 20): Double = {
+    import org.apache.spark.sql.functions._
+    import graft.recdb.{RecCatalog, Recommender}
+    try {
+      val c = Tables.ratingCols
+      val r = Tables.ratings(spark, sfDir).cache()
+      val users = r.select(col(c.user)).distinct()
+        .orderBy(col(c.user)).collect().map(_.getLong(0))
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_bench_workload_topk", Integer.toHexString(sfDir.hashCode)).toString
+      graft.Exec.deletePath(base)
+      val cat = new RecCatalog(s"$base/catalog")
+      val tag = s"events_tk@$sfDir"
+      Recommender.create(spark, "wltk", r, tag, c, "itemCosCF",
+        cat, s"$base/models")
+      Recommender.materializeView(spark, "wltk", r, cat, s"$base/views",
+        topK = Some(100))
+      val rnd = new scala.util.Random(42)
+      val t0 = System.nanoTime()
+      (1 to n).foreach { _ =>
+        val u = users(rnd.nextInt(users.length))
         Recommender.recommendTopK(spark, r, tag, c, "itemCosCF", Some(cat),
           userId = u, k = 10).count()
       }

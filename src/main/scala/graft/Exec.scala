@@ -26,6 +26,24 @@ object Exec {
     df
   }
 
+  private lazy val refCleaner = java.lang.ref.Cleaner.create()
+
+  /** Tie an operator-internal persisted frame's lifetime to the result frame
+    * handed to the caller: when the caller's last reference to `result` is
+    * GC'd, `internal` is unpersisted (non-blocking), so repeated calls in a
+    * long-lived session cannot accumulate storage blocks (CacheManager holds
+    * cached plans strongly — without this, only an explicit unpersist ever
+    * frees them). Safe by Spark's own cache contract: caches are advisory
+    * (eviction and executor loss already recompute), so an early release
+    * can only cost a recompute, never correctness.
+    */
+  def releaseOnUnreachable(result: DataFrame, internal: DataFrame): DataFrame = {
+    refCleaner.register(result,
+      () => try { internal.unpersist(blocking = false); () }
+            catch { case _: Throwable => () })
+    result
+  }
+
   /** Recursive local-path delete (model/state/sink swap dirs). */
   def deletePath(path: String): Unit = {
     def rm(f: java.io.File): Unit = {

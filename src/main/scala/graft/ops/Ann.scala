@@ -39,7 +39,9 @@ object Ann {
   private def withNorm(df: DataFrame, idCol: String, vecCol: String,
       id: String, v: String, nrm: String): DataFrame =
     df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(v))
-      .withColumn(nrm, sqrt(aggregate(col(v), lit(0.0), (a, x) => a + x * x)))
+      // l2 = sqrt(dotNative(v, v)): codegen'd, same summation order as the
+      // former HOF fold — bitwise-identical norms
+      .withColumn(nrm, l2(col(v)))
 
   /** `rankOnRoundedTo`: rank on round(cos, d) with neighbor-id tie-break so
     * the ordering is reproducible across engines (oracle parity).

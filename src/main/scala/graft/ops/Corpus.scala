@@ -122,10 +122,13 @@ object Corpus {
       .agg((sum(when(col("__b").isNotNull, 1L).otherwise(0L)) /
         count(lit(1))).as("boiler_frac"))
     // docs too short to shingle never reach `grams`; restore them at 0.0
-    docs.select(col(idCol).as("__id"))
+    val out = docs.select(col(idCol).as("__id"))
       .join(frac, Seq("__id"), "left")
       .select(col("__id").as(idCol),
         coalesce(col("boiler_frac"), lit(0.0)).as("boiler_frac"))
+    // the boiler cache lives exactly as long as the caller can still run
+    // this result — released on GC, so long-lived sessions don't accumulate
+    graft.Exec.releaseOnUnreachable(out, boiler)
   }
 
   /** Token-budget corpus selection — the data-curation step that picks the
@@ -160,8 +163,13 @@ object Corpus {
     }
     val w = Window.partitionBy(col("__pid"))
       .orderBy(col("__nq"), col(idCol))
-    keyed.withColumn("cum_tok", sum(col("__tok")).over(w) + offCol)
+    val out = keyed.withColumn("cum_tok", sum(col("__tok")).over(w) + offCol)
       .where(col("cum_tok") <= budget)
       .select(col(idCol), col("cum_tok"))
+    // keyed's cache is released when the caller drops the result (GC-tied);
+    // a post-release recompute re-derives identical range boundaries (the
+    // RangePartitioner's sampling seeds are deterministic per partition), so
+    // the __pid-keyed offsets stay valid
+    graft.Exec.releaseOnUnreachable(out, keyed)
   }
 }

@@ -426,23 +426,30 @@ object Dedup {
     if (localOrd.isDefined && localEdgeLimit > 0) {
       // rows are not bytes: string ids shrink the row bound by their
       // sampled width so the collect stays inside LocalCcByteBudget
+      // NO floor: if the byte budget admits fewer edges than any useful
+      // local graph (ids can be arbitrarily wide — the budget contract says
+      // wide ids cannot blow the driver), fall through to the distributed
+      // path instead of collecting over-budget. The 512-row sample is
+      // unordered and can underestimate width, so the widest sampled row —
+      // not the mean — bounds the estimate.
       val effLimit = keyType match {
         case org.apache.spark.sql.types.StringType =>
           val sample = pairs.select(col(id1), col(id2)).limit(512).collect()
           if (sample.isEmpty) localEdgeLimit
           else {
-            val avgRow = sample.iterator.map(r =>
-              r.getString(0).length + r.getString(1).length + 64L).sum /
-              sample.length
-            math.max(1000L,
-              math.min(localEdgeLimit.toLong, LocalCcByteBudget / avgRow)).toInt
+            val widths = sample.iterator.map(r =>
+              r.getString(0).length + r.getString(1).length + 64L).toSeq
+            val bound = (widths.sum / sample.length + widths.max) / 2
+            math.min(localEdgeLimit.toLong, LocalCcByteBudget / bound).toInt
           }
         case _ => localEdgeLimit
       }
-      val head = pairs.select(col(id1).as("a"), col(id2).as("b"))
-        .limit(effLimit + 1).collect()
-      if (head.length <= effLimit)
-        return localComponents(pairs.sparkSession, head, keyType, localOrd.get)
+      if (effLimit >= 64) { // below this the local path saves nothing
+        val head = pairs.select(col(id1).as("a"), col(id2).as("b"))
+          .limit(effLimit + 1).collect()
+        if (head.length <= effLimit)
+          return localComponents(pairs.sparkSession, head, keyType, localOrd.get)
+      }
     }
     val spark = pairs.sparkSession
     // Iterative dataflow MUST truncate lineage every round: the pointer-jump

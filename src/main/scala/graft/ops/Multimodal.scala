@@ -189,6 +189,10 @@ object Multimodal {
       while (off + 8 <= bytes.length) {
         val id = tag(off)
         val sz = buf.getInt(off + 4)
+        // a corrupt/hostile chunk size must FAIL like other malformed
+        // payloads, not walk the offset backwards into an infinite loop
+        require(sz >= 0 && off + 8 + sz <= bytes.length,
+          s"corrupt RIFF chunk '$id' at $off: size $sz exceeds payload")
         if (id == "fmt ") {
           require(buf.getShort(off + 8) == 1, "not PCM")
           require(buf.getShort(off + 10) == 1, "not mono")

@@ -76,7 +76,7 @@ final class IncrementalMaintainer(
     // CREATE-time corpus stats (they drive the job-free strategy pick) are
     // re-measured against the grown events store
     entry.viewPath.foreach { p =>
-      Recommender.invalidateServedView(p); Recommender.deleteDir(p)
+      Recommender.deleteViewVersions(p, keepFrom = Long.MaxValue)
     }
     // exact total (threshold anchor) + approximate distincts (cost-model
     // inputs only — same trade as Recommender.create)
@@ -92,7 +92,7 @@ final class IncrementalMaintainer(
       case _ => spark.read.parquet(entry.modelPaths.head).count()
     }
     catalog.put(entry.copy(updateCounter = 0, eventTotal = st.getLong(0),
-      viewPath = None, viewComplete = false,
+      viewPath = None, viewComplete = false, viewTopK = -1L,
       nUsers = st.getLong(1), nItems = st.getLong(2), modelRows = modelRows))
   }
 

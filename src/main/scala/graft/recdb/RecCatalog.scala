@@ -24,6 +24,13 @@ final case class RecEntry(
     // true when viewPath holds ALL (user, item) scores (no top-k cut), so
     // any RECOMMEND query can be served from it verbatim
     viewComplete: Boolean = false,
+    // when viewPath holds a per-user top-k cut, the k that was materialized
+    // (-1 = none). A point query asking for k' <= viewTopK is served from
+    // the view; larger k' falls back to compute. This is the bounded
+    // prediction cache the reference's RecView intended (utility.c:146-152)
+    // — at scale the O(users×items) complete view cannot be materialized,
+    // so the top-k view is THE serving artifact.
+    viewTopK: Long = -1L,
     // bumps on every materializeView; the version is baked into viewPath so
     // a cached served-view frame can never alias a newer materialization
     viewVersion: Long = 0L,
@@ -76,6 +83,7 @@ final class RecCatalog(dirStr: String) {
         queryCounter = p.getProperty("queryCounter", "0").toLong,
         viewPath = Option(p.getProperty("viewPath")).filter(_.nonEmpty),
         viewComplete = p.getProperty("viewComplete", "false").toBoolean,
+        viewTopK = p.getProperty("viewTopK", "-1").toLong,
         viewVersion = p.getProperty("viewVersion", "0").toLong,
         lastBatchId = p.getProperty("lastBatchId", "-1").toLong,
         nUsers = p.getProperty("nUsers", "-1").toLong,
@@ -113,6 +121,7 @@ final class RecCatalog(dirStr: String) {
     p.setProperty("queryCounter", e.queryCounter.toString)
     e.viewPath.foreach(p.setProperty("viewPath", _))
     p.setProperty("viewComplete", e.viewComplete.toString)
+    p.setProperty("viewTopK", e.viewTopK.toString)
     p.setProperty("viewVersion", e.viewVersion.toString)
     p.setProperty("lastBatchId", e.lastBatchId.toString)
     p.setProperty("nUsers", e.nUsers.toString)

@@ -94,8 +94,10 @@ object Recommender {
     catalog.get(name) match {
       case None => false
       case Some(e) =>
-        e.viewPath.foreach(invalidateServedView)
-        (e.modelPaths ++ e.viewPath).foreach(deleteDir)
+        // reap EVERY view version (the one-version grace of materializeView
+        // may have left version N-1 on disk besides the current one)
+        e.viewPath.foreach(deleteViewVersions(_, keepFrom = Long.MaxValue))
+        e.modelPaths.foreach(deleteDir)
         catalog.delete(name)
     }
   }
@@ -145,27 +147,69 @@ object Recommender {
     * re-materialization, DROP, and the R17 rebuild. Spark's storage layer
     * may evict blocks under pressure (MEMORY_AND_DISK → recompute from the
     * parquet), so the cache is advisory, never correctness-bearing.
+    *
+    * True LRU: access-ordered map, ONE cold entry evicted (unpersisted) at
+    * the bound — a tier rotating more than [[ServedViewBound]] recommenders
+    * must not thrash every hot view. Keyed by the session's stable UUID, not
+    * its identity hash (which can alias after a session is GC'd).
     */
+  private[recdb] val ServedViewBound: Int =
+    sys.env.getOrElse("GRAFT_SERVED_VIEW_BOUND", "16").toInt
+
   private val servedViews =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-
-  private def servedView(spark: SparkSession, c: EventCols,
-      path: String): DataFrame = {
-    if (servedViews.size >= 16) { // crude bound: a serving tier rotates few views
-      servedViews.values.forEach { df => df.unpersist(); () }
-      servedViews.clear()
+    new java.util.LinkedHashMap[String, DataFrame](32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, DataFrame]): Boolean =
+        if (size > ServedViewBound) { e.getValue.unpersist(); true } else false
     }
-    servedViews.computeIfAbsent(s"${System.identityHashCode(spark)}:$path",
-      _ => spark.read.schema(viewSchema(c)).parquet(path).cache())
+
+  // stable per-session key: a UUID minted once per live session object and
+  // weakly held — unlike identityHashCode it can never alias after a session
+  // is GC'd (a dead session's entry vanishes with the key)
+  private val sessionIds =
+    new java.util.WeakHashMap[SparkSession, String]()
+
+  private def sessionKey(spark: SparkSession): String =
+    sessionIds.synchronized {
+      sessionIds.computeIfAbsent(spark,
+        _ => java.util.UUID.randomUUID().toString)
+    }
+
+  private[recdb] def servedView(spark: SparkSession, c: EventCols,
+      path: String): DataFrame = servedViews.synchronized {
+    val key = s"${sessionKey(spark)}:$path"
+    val hit = servedViews.get(key)
+    if (hit != null) hit
+    else {
+      val df = spark.read.schema(viewSchema(c)).parquet(path).cache()
+      servedViews.put(key, df)
+      df
+    }
   }
 
-  private[recdb] def invalidateServedView(path: String): Unit = {
-    val it = servedViews.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.getKey.endsWith(s":$path")) { e.getValue.unpersist(); it.remove() }
+  private[recdb] def invalidateServedView(path: String): Unit =
+    servedViews.synchronized {
+      val it = servedViews.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey.endsWith(s":$path")) { e.getValue.unpersist(); it.remove() }
+      }
     }
-  }
+
+  /** Number of live served-view cache entries (spec/diagnostic hook). */
+  private[recdb] def servedViewCount: Int =
+    servedViews.synchronized(servedViews.size)
+
+  /** True if `path` currently has a cached served-view entry for any
+    * session (spec hook for the LRU behavior).
+    */
+  private[recdb] def servedViewCached(path: String): Boolean =
+    servedViews.synchronized {
+      val it = servedViews.keySet().iterator()
+      var found = false
+      while (it.hasNext && !found) found = it.next().endsWith(s":$path")
+      found
+    }
 
   private def recommendCompute(spark: SparkSession, events: DataFrame,
       c: EventCols, method: RecMethod, hit: Option[RecEntry],
@@ -248,14 +292,37 @@ object Recommender {
         math.max(1, spark.sparkContext.defaultParallelism / 2), col(c.user))
       .sortWithinPartitions(col(c.user), col("score").desc)
       .write.mode("overwrite").parquet(path)
-    // the previous materialization (a different, older-versioned path) is
-    // dead the moment the catalog points at the new one
-    e.viewPath.filter(_ != path).foreach { old =>
-      invalidateServedView(old); deleteDir(old)
-    }
+    // the previous materialization is dead the moment the catalog points at
+    // the new one — but an in-flight reader that obtained its DataFrame
+    // before the swap may still be draining from the old files, so only the
+    // cache entry is invalidated NOW; the parquet of version N-1 survives
+    // until version N+1 lands (one-version grace), and versions <= N-2 are
+    // reaped here.
+    e.viewPath.filter(_ != path).foreach(invalidateServedView)
+    deleteViewVersions(path, keepFrom = ver - 1)
     catalog.put(catalog.get(name).get.copy(viewPath = Some(path),
-      viewComplete = topK.isEmpty, viewVersion = ver))
+      viewComplete = topK.isEmpty,
+      viewTopK = topK.map(_.toLong).getOrElse(-1L), viewVersion = ver))
     path
+  }
+
+  /** Delete sibling versions of `currentPath` older than `keepFrom`
+    * (`.../name.view.vN.parquet` layout); pass `keepFrom = Long.MaxValue`
+    * to reap every version including the current one (DROP / R17 rebuild).
+    */
+  private[recdb] def deleteViewVersions(currentPath: String,
+      keepFrom: Long): Unit = {
+    val f = new java.io.File(currentPath)
+    val base = f.getName.replaceFirst("""\.view\.v\d+\.parquet$""", "")
+    val dir = f.getParentFile
+    val pat = s"""\\Q$base\\E\\.view\\.v(\\d+)\\.parquet""".r
+    Option(if (dir == null) null else dir.listFiles()).foreach(_.foreach { s =>
+      s.getName match {
+        case pat(v) if v.toLong < keepFrom =>
+          invalidateServedView(s.getPath); deleteDir(s.getPath)
+        case _ => ()
+      }
+    })
   }
 
   /** Serve predictions from the materialized view if present. */
@@ -278,7 +345,14 @@ object Recommender {
     hit.foreach { e => // R18 bookkeeping, same as [[recommend]]
       catalog.get.put(e.copy(queryCounter = e.queryCounter + 1))
     }
-    val freshView = hit.filter(e => e.viewComplete && e.viewPath.isDefined)
+    // a view serves the point query when it is COMPLETE, or when it is a
+    // top-k cut deep enough for this query (k <= materialized k) — the
+    // catalog-recorded viewTopK makes the routing decision pure. At 100×
+    // scale the top-k view is the only materializable serving artifact
+    // (O(users×k) rows, not O(users×items)), so this branch is the scale
+    // path, not an optimization.
+    val freshView = hit.filter(e => e.viewPath.isDefined &&
+      (e.viewComplete || e.viewTopK >= k))
     val scores = freshView match {
       // an equality predicate — not a semi join against a 1-row frame —
       // is what reaches the parquet row-group / cached-batch stats

@@ -307,9 +307,10 @@ object Scoring {
       col("features").cast("array<double>").as("ifeat"))
     uf.crossJoin(itf)
       .select(col(c.user), col(c.item),
-        aggregate(
-          zip_with(col("ufeat"), col("ifeat"), (a, b) => a * b),
-          lit(0.0), (acc, x) => acc + x).as("score"))
+        // codegen'd native dot (same left-to-right double summation the
+        // HOF fold produced — bitwise-identical scores, no per-row lambda)
+        graft.functions.VectorFns.dotNative(col("ufeat"), col("ifeat"))
+          .as("score"))
   }
 
   /** Events restricted to qualifying users (broadcast semi-join). */

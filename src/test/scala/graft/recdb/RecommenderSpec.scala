@@ -157,6 +157,109 @@ class RecommenderSpec extends SparkSpec {
       computed.map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
   }
 
+  test("recommendTopK serves from a top-k view when k <= stored k; deeper k falls back") {
+    val (cat, models) = freshDirs()
+    val r = ratings
+    Recommender.create(spark, "tk", r, "tbltk", c, "itemcoscf", cat, models)
+    val computed3 = Recommender.recommendTopK(spark, r, "tbltk", c, "itemcoscf",
+      Some(cat), userId = 2L, k = 3).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    Recommender.materializeView(spark, "tk", r, cat, models + "/views",
+      topK = Some(3))
+    cat.get("tk").get.viewTopK shouldBe 3L
+    cat.get("tk").get.viewComplete shouldBe false
+    def viewScanned(df: org.apache.spark.sql.DataFrame): Boolean = {
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      df.queryExecution.analyzed.collect {
+        case l: LogicalRelation => l.relation match {
+          case f: HadoopFsRelation => f.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+      }.flatten.exists(_.contains(".view.v"))
+    }
+    // k at/below the stored cut: served from the view, join-free, identical
+    val served = Recommender.recommendTopK(spark, r, "tbltk", c, "itemcoscf",
+      Some(cat), userId = 2L, k = 3)
+    viewScanned(served) shouldBe true
+    served.queryExecution.executedPlan.collectWithSubqueries {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    } shouldBe Nil
+    served.collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))) shouldBe
+      computed3
+    val served2 = Recommender.recommendTopK(spark, r, "tbltk", c, "itemcoscf",
+      Some(cat), userId = 2L, k = 2)
+    viewScanned(served2) shouldBe true
+    served2.collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))) shouldBe
+      computed3.take(2)
+    // k deeper than the stored cut: a 3-deep view cannot answer top-4 —
+    // must fall back to compute (and be right)
+    val deep = Recommender.recommendTopK(spark, r, "tbltk", c, "itemcoscf",
+      Some(cat), userId = 2L, k = 4)
+    viewScanned(deep) shouldBe false
+    deep.collect().length shouldBe 4
+    deep.collect().take(3).map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))) shouldBe
+      computed3
+    // R17 rebuild invalidates: back to the computed path for every k
+    val evPath = java.nio.file.Files.createTempDirectory("graft-ev2").toString + "/ev"
+    r.write.parquet(evPath)
+    new IncrementalMaintainer(cat, evPath).processBatch("tk", r.limit(5)) shouldBe true
+    cat.get("tk").get.viewTopK shouldBe -1L
+    val rebuilt = Recommender.recommendTopK(spark, r, "tbltk", c, "itemcoscf",
+      Some(cat), userId = 2L, k = 3)
+    viewScanned(rebuilt) shouldBe false
+    // the rebuild retrained on the grown events store, so scores may differ
+    // from the pre-rebuild model — assert the computed path's shape only
+    val rb = rebuilt.collect()
+    rb.length shouldBe 3
+    rb.map(_.getLong(0)).distinct.toSeq shouldBe Seq(2L)
+  }
+
+  test("servedViews is a true LRU: one cold entry evicted, hot entries stay cached") {
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft-lru").toString
+    val paths = (0 until Recommender.ServedViewBound + 1).map { i =>
+      val p = s"$base/r$i.view.v1.parquet"
+      Seq((i.toLong, 1L, 0.5)).toDF("userid", "itemid", "score")
+        .coalesce(1).write.parquet(p)
+      p
+    }
+    try {
+      // fill the cache to the bound; every entry cached
+      paths.dropRight(1).foreach(p => Recommender.servedView(spark, c, p).count())
+      paths.dropRight(1).foreach(p =>
+        Recommender.servedViewCached(p) shouldBe true)
+      // touch entry 0 so entry 1 becomes the LRU victim
+      Recommender.servedView(spark, c, paths.head).count()
+      // admit the (bound+1)-th view: exactly ONE eviction, the cold entry 1
+      Recommender.servedView(spark, c, paths.last).count()
+      Recommender.servedViewCached(paths(1)) shouldBe false
+      Recommender.servedViewCached(paths.head) shouldBe true
+      Recommender.servedViewCached(paths.last) shouldBe true
+      (2 until Recommender.ServedViewBound).foreach(i =>
+        Recommender.servedViewCached(paths(i)) shouldBe true)
+      Recommender.servedViewCount shouldBe Recommender.ServedViewBound
+    } finally paths.foreach(Recommender.invalidateServedView)
+  }
+
+  test("materializeView keeps one previous version for in-flight readers, reaps older") {
+    val (cat, models) = freshDirs()
+    val r = ratings
+    Recommender.create(spark, "gv", r, "tblgv", c, "itemcoscf", cat, models)
+    val v1 = Recommender.materializeView(spark, "gv", r, cat, models + "/views")
+    // a reader obtained BEFORE the swap must drain safely after it
+    val inFlight = spark.read.parquet(v1)
+    val v2 = Recommender.materializeView(spark, "gv", r, cat, models + "/views")
+    new java.io.File(v1).exists() shouldBe true // one-version grace
+    inFlight.count() shouldBe 16 // drains from the still-present v1
+    val v3 = Recommender.materializeView(spark, "gv", r, cat, models + "/views")
+    new java.io.File(v1).exists() shouldBe false // reaped at N+1
+    new java.io.File(v2).exists() shouldBe true
+    new java.io.File(v3).exists() shouldBe true
+    Recommender.drop("gv", cat) shouldBe true // drop reaps every version
+    new java.io.File(v2).exists() shouldBe false
+    new java.io.File(v3).exists() shouldBe false
+  }
+
   test("svd: rank-50 factors, all-pairs scores, reconstructs known ratings sanely") {
     val (cat, models) = freshDirs()
     val e = Recommender.create(spark, "s1", ratings, "tbl", c, "SVD", cat, models)
