@@ -32,7 +32,29 @@ object PipelineQueries {
     */
   def annArtifactBase(dir: String): String =
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_ann_artifacts",
-      java.lang.Integer.toHexString(dir.hashCode)).toString
+      Tables.runKey(dir)).toString
+
+  /** Where the BPE gates persist the learned merges table — same contract
+    * as [[annArtifactBase]]; the oracle SQL carries `__BPE_ARTIFACTS__`.
+    */
+  def bpeArtifactBase(dir: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_bpe_artifacts",
+      Tables.runKey(dir)).toString
+
+  /** One BPE learning run per (JVM, sf dir): the three BPE gates share the
+    * learned rules and the persisted artifact regardless of gate order.
+    */
+  private val bpeMergesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+
+  private def bpeMergesFor(s: SparkSession, d: String): Seq[(String, String)] =
+    bpeMergesCache.computeIfAbsent(d, _ => {
+      val m = graft.ops.Bpe.learnMerges(docs(s, d), "doc_id", "text",
+        numMerges = 40)
+      graft.ops.Bpe.mergesDf(s, m).coalesce(1).write.mode("overwrite")
+        .parquet(bpeArtifactBase(d) + "/merges")
+      m
+    })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_dedup_exact" -> ((s, d) =>
@@ -328,6 +350,32 @@ object PipelineQueries {
           TextOps.tokenCount(col("text")).cast("long").as("n_tok"),
           TextOps.qualityScore(col("text")).as("quality")),
         "doc_id", "n_tok", "quality", budget = 20000L)),
+    // BPE tokenization end-to-end — hash-gated: merges learned by
+    // distributed pair counting (one run per JVM+sf, persisted), encoding
+    // via the codegen'd rank-order expression over DISTINCT words only; the
+    // oracle re-applies the PERSISTED merges table in DuckDB (marker-
+    // delimited sequential replaces — provably the same algorithm), so a
+    // wrong learner artifact or a wrong encoder cannot pass.
+    "p_bpe_encode" -> ((s, d) =>
+      graft.ops.Bpe.docTokenCounts(docs(s, d), "doc_id", "text",
+        bpeMergesFor(s, d))),
+    // Corpus token frequency re-denominated in BPE tokens (the subword
+    // Zipf profile), top-30 by (count desc, token).
+    "p_bpe_token_freq" -> ((s, d) =>
+      graft.ops.Bpe.tokenFreq(docs(s, d), "doc_id", "text",
+        bpeMergesFor(s, d), topN = 30)),
+    // Token-budget selection re-denominated in BPE tokens — the budget a
+    // training pipeline actually spends. Same distributed prefix-sum
+    // machinery as p_budget_select; only the token denomination changes.
+    "p_bpe_budget_select" -> ((s, d) => {
+      val base = docs(s, d)
+      val withTok = graft.ops.Bpe.docTokenCounts(base, "doc_id", "text",
+        bpeMergesFor(s, d))
+      val q = base.select(col("doc_id"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      Corpus.selectWithinBudget(withTok.join(q, Seq("doc_id")),
+        "doc_id", "n_bpe_tok", "quality", budget = 20000L)
+    }),
     // Canonical ingest normalization (native NFC codegen expression +
     // whitespace collapse + trim), exercised on a deterministically
     // "dirtied" input: combining-accent sequence + tab/newline runs spliced
@@ -456,6 +504,40 @@ object PipelineQueries {
   /** DuckDB rendering of [[TextOps.qualityScore]] as CTEs `qs`/`q` over
     * `documents` (same formula the p_text_stats oracle uses).
     */
+  /** The shared DuckDB rendering of BPE encode: wrap each symbol as
+    * chr(2)·sym·chr(3) (markers can't collide with [a-z0-9] symbol text or
+    * match across symbol boundaries), then apply the persisted merges in
+    * rank order via a recursive CTE — one sequential replace per rank.
+    * Yields `occ` (doc_id, word occurrences) and `encoded` (word, final
+    * rendering).
+    */
+  private def bpeEncodeCtes: String =
+    """m AS (SELECT rank, l, r FROM '__BPE_ARTIFACTS__/merges/*.parquet'),
+      |occ AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      |  FROM documents
+      |),
+      |vocab AS (SELECT DISTINCT word FROM occ),
+      |wrapped AS (
+      |  SELECT word,
+      |    chr(2) ||
+      |    array_to_string(string_split(word, ''), chr(3)||chr(2)) ||
+      |    chr(3) AS s
+      |  FROM vocab
+      |),
+      |enc AS (
+      |  SELECT word, s, 0 AS rk FROM wrapped
+      |  UNION ALL
+      |  SELECT e.word,
+      |    replace(e.s, chr(2)||m.l||chr(3)||chr(2)||m.r||chr(3),
+      |            chr(2)||m.l||m.r||chr(3)),
+      |    e.rk + 1
+      |  FROM enc e JOIN m ON m.rank = e.rk + 1
+      |),
+      |encoded AS (SELECT word, s FROM enc WHERE rk = (SELECT count(*) FROM m))"""
+      .stripMargin
+
   private def qualityCtes: String = {
     val stopCount = langScoreSql(TextOps.StopwordsEn)
       .replace("string_split(text, ' ')", "toks")
@@ -987,6 +1069,57 @@ object PipelineQueries {
          |  SELECT q.doc_id,
          |    sum(qs.n_tok) OVER (ORDER BY q.quality DESC, q.doc_id) AS cum_tok
          |  FROM q JOIN qs USING (doc_id))
+         |WHERE cum_tok <= 20000""".stripMargin,
+    // BPE oracles: re-apply the PERSISTED merges table with sequential
+    // marker-delimited replaces — replace() continues scanning after each
+    // replacement, which is exactly the leftmost non-overlapping
+    // continue-after-match pass of the Spark-side expression, and rank-order
+    // application is provably identical to the priority loop (see
+    // graft.functions.BpeUtil).
+    "p_bpe_encode" ->
+      s"""WITH RECURSIVE $bpeEncodeCtes,
+         |ntok AS (
+         |  SELECT word, len(s) - len(replace(s, chr(2), '')) AS nt
+         |  FROM encoded
+         |),
+         |dc AS (
+         |  SELECT occ.doc_id, sum(nt) AS n
+         |  FROM occ JOIN ntok USING (word) GROUP BY 1
+         |)
+         |SELECT d.doc_id, CAST(coalesce(dc.n, 0) AS BIGINT) AS n_bpe_tok
+         |FROM documents d LEFT JOIN dc ON d.doc_id = dc.doc_id""".stripMargin,
+    "p_bpe_token_freq" ->
+      s"""WITH RECURSIVE $bpeEncodeCtes,
+         |toks AS (
+         |  SELECT word,
+         |    unnest(string_split(substr(s, 2, len(s) - 2), chr(3)||chr(2)))
+         |      AS token
+         |  FROM encoded
+         |)
+         |SELECT token, count(*) AS n
+         |FROM occ JOIN toks USING (word)
+         |GROUP BY token
+         |ORDER BY n DESC, token
+         |LIMIT 30""".stripMargin,
+    "p_bpe_budget_select" ->
+      s"""WITH RECURSIVE $qualityCtes,
+         |$bpeEncodeCtes,
+         |ntok AS (
+         |  SELECT word, len(s) - len(replace(s, chr(2), '')) AS nt
+         |  FROM encoded
+         |),
+         |dc AS (
+         |  SELECT occ.doc_id, sum(nt) AS n
+         |  FROM occ JOIN ntok USING (word) GROUP BY 1
+         |),
+         |dcall AS (
+         |  SELECT d.doc_id, coalesce(dc.n, 0) AS n
+         |  FROM documents d LEFT JOIN dc ON d.doc_id = dc.doc_id
+         |)
+         |SELECT doc_id, CAST(cum_tok AS BIGINT) AS cum_tok FROM (
+         |  SELECT q.doc_id,
+         |    sum(dcall.n) OVER (ORDER BY q.quality DESC, q.doc_id) AS cum_tok
+         |  FROM q JOIN dcall USING (doc_id))
          |WHERE cum_tok <= 20000""".stripMargin,
     "p_normalize" ->
       """SELECT doc_id,

@@ -16,14 +16,16 @@ object RecQueries {
     Tables.ratings(spark, dir).cache()
 
   /** Where r_svd_factor_topk persists its trained factor tables — keyed by
-    * the sf dir so concurrent runs at different scales can't clobber each
-    * other's artifacts between the dump and the DuckDB compare. The oracle
-    * SQL carries the `__SVD_FACTORS__` placeholder; [[graft.Verify]]
+    * the sf dir AND the process id ([[Tables.runKey]]), so concurrent runs
+    * at different scales *or at the same scale* can't clobber each other's
+    * artifacts between the dump and the DuckDB compare (the writer and the
+    * oracle-path substitution share one JVM, so the key always agrees). The
+    * oracle SQL carries the `__SVD_FACTORS__` placeholder; [[graft.Verify]]
     * substitutes this path when writing oracle_sql.json.
     */
   def svdFactorBase(dir: String): String =
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_svd_factors",
-      java.lang.Integer.toHexString(dir.hashCode)).toString
+      Tables.runKey(dir)).toString
 
   private def round6(df: DataFrame, cols: Seq[String], value: String): DataFrame =
     df.select((cols.map(col) :+ round(col(value), 6).as(value)): _*)

@@ -14,6 +14,15 @@ object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Per-(sf dir, process) key for gate-persisted artifacts under /tmp:
+    * concurrent runs — even at the same scale factor — get disjoint
+    * artifact dirs, and a run's oracle-path substitution (same JVM) always
+    * matches what its gates wrote.
+    */
+  def runKey(dir: String): String =
+    java.lang.Integer.toHexString(dir.hashCode) + "_" +
+      ProcessHandle.current().pid()
+
   /** Register every table as a temp view so queries can go through spark.sql
     * (full Catalyst path) with the same table names the DuckDB oracle sees.
     */

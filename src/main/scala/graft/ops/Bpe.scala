@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.BpeFns
+
+/** Distributed byte-pair-encoding tokenization — the subword tokenizer a
+  * training-data pipeline budgets in (beyond-reference op; the whitespace
+  * token ops in [[TextOps]] remain as the cheap pre-tokenizer).
+  *
+  * Scale shape:
+  *   - LEARNING runs on the DISTINCT-WORD frame, not the corpus: one
+  *     aggregation builds (word, freq), and every merge round is one
+  *     pair-explode + one aggregation over that vocabulary (corpus text is
+  *     touched exactly once, vocab ≪ corpus and grows sublinearly). The
+  *     only driver state is the ONE winning pair per round and the final
+  *     merge list — both bounded by `numMerges`, never a vocabulary.
+  *     Lineage is truncated every few rounds (localCheckpoint) so round
+  *     M's plan doesn't embed rounds 1..M-1.
+  *   - ENCODING is merge-table-driven: the bounded merges list embeds in a
+  *     codegen'd expression ([[graft.functions.BpeEncodeExpr]]), applied to
+  *     DISTINCT words only; occurrences join the encoded vocabulary back
+  *     (one shuffle on `word`, broadcast when small — AQE decides).
+  *
+  * Word model: lowercase [a-z0-9]+ runs (ASCII-only by construction, so the
+  * marker-delimited SQL rendering of the oracle can never collide with
+  * symbol text). No end-of-word sentinel — merges never cross word
+  * boundaries, and token counts are per-word sums either way; documented
+  * divergence from tokenizers that mark word endings.
+  */
+object Bpe {
+
+  val WordPattern = "[a-z0-9]+"
+
+  /** One row per word OCCURRENCE: (idCol, word). */
+  def words(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+        explode(expr(s"regexp_extract_all(lower($textCol), '$WordPattern', 0)"))
+          .as("word"))
+      .where(col("word") =!= "")
+
+  /** The distinct-word frame with occurrence counts: (word, freq). */
+  def wordFreq(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    words(docs, idCol, textCol).groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Learn `numMerges` merge rules by iterative pair counting. Per round:
+    * explode adjacent symbol pairs weighted by word frequency, aggregate,
+    * take the (count desc, left, right) top-1 — a ONE-ROW collect — apply
+    * the rule to the vocabulary map-side, repeat. Stops early when the best
+    * pair's count falls below `minCount` (subword-nmt's stopping rule).
+    * Returns rules in rank order.
+    */
+  def learnMerges(docs: DataFrame, idCol: String, textCol: String,
+      numMerges: Int, minCount: Long = 2L,
+      checkpointEvery: Int = 8): Seq[(String, String)] = {
+    var vocab = wordFreq(docs, idCol, textCol)
+      .select(col("freq"),
+        filter(split(col("word"), ""), x => x =!= "").as("syms"))
+      .where(size(col("syms")) >= 2)
+      .localCheckpoint() // one corpus pass, materialized once
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (!done && merges.length < numMerges) {
+      val top = vocab
+        .select(col("freq"),
+          slice(col("syms"), lit(1), size(col("syms")) - 1).as("ls"),
+          slice(col("syms"), lit(2), size(col("syms")) - 1).as("rs"))
+        .select(col("freq"), explode(arrays_zip(col("ls"), col("rs"))).as("p"))
+        .groupBy(col("p.ls").as("l"), col("p.rs").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty || top.head.getLong(2) < minCount) done = true
+      else {
+        val (l, r) = (top.head.getString(0), top.head.getString(1))
+        merges += ((l, r))
+        vocab = vocab.select(col("freq"),
+          BpeFns.mergePassNative(col("syms"), l, r).as("syms"))
+          .where(size(col("syms")) >= 2)
+        // truncate the growing merge-pass chain so round M's aggregation
+        // doesn't recompute rounds 1..M-1 (and the plan stays shallow)
+        if (merges.length % checkpointEvery == 0)
+          vocab = vocab.localCheckpoint()
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Rank-ordered merges as a frame (rank, l, r, merged) — the persistable
+    * artifact an oracle (or another engine) re-applies. Columns are `l`/`r`
+    * rather than left/right so plain SQL needs no keyword quoting.
+    */
+  def mergesDf(spark: SparkSession, merges: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((l, r), i) => (i + 1, l, r, l + r) }
+      .toDF("rank", "l", "r", "merged")
+  }
+
+  /** Read back a persisted merges table into rank order. */
+  def loadMerges(spark: SparkSession, path: String): Seq[(String, String)] =
+    spark.read.parquet(path).select("rank", "l", "r")
+      .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2)))
+      .toSeq
+
+  /** Encoded vocabulary: (word, toks ARRAY<STRING>, n_tok). Encoding runs
+    * once per DISTINCT word regardless of corpus size.
+    */
+  def encodeVocab(vocab: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    vocab.withColumn("toks", BpeFns.encodeNative(col("word"), merges))
+      .withColumn("n_tok", size(col("toks")))
+
+  /** Per-document BPE token counts: (idCol, n_bpe_tok); zero-word docs kept
+    * at 0.
+    */
+  def docTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val occ = words(docs, idCol, textCol)
+    val enc = encodeVocab(occ.select("word").distinct(), merges)
+      .select(col("word"), col("n_tok"))
+    val counts = occ.join(enc, Seq("word"))
+      .groupBy(idCol).agg(sum(col("n_tok")).as("n_bpe_tok"))
+    docs.select(col(idCol))
+      .join(counts, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bpe_tok"), lit(0L)).as("n_bpe_tok"))
+  }
+
+  /** Corpus BPE-token frequency, top-N by (count desc, token). */
+  def tokenFreq(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], topN: Int): DataFrame = {
+    val occ = words(docs, idCol, textCol)
+    val enc = encodeVocab(occ.select("word").distinct(), merges)
+      .select(col("word"), col("toks"))
+    occ.join(enc, Seq("word"))
+      .select(explode(col("toks")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(topN)
+  }
+}

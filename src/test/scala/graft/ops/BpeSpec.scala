@@ -1,0 +1,89 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import graft.functions.BpeFns
+
+/** Closed-form BPE fixture (the gate's learning is corpus-dependent; this
+  * pins the algorithm): corpus = "aaab"×3 ++ "aab"×2.
+  *
+  * Hand derivation:
+  *   round 1: pairs (a,a): 3·2 + 2·1 = 8, (a,b): 3+2 = 5 → merge (a,a)
+  *   round 2: aaab=[aa,a,b], aab=[aa,b] → (aa,a):3, (a,b):3, (aa,b):2;
+  *            count tie 3 broken by (l,r): "a" < "aa" → merge (a,b)
+  *   round 3: aaab=[aa,ab], aab=[aa,b] → (aa,ab):3, (aa,b):2 → merge (aa,ab)
+  *   round 4: aaab single-token (drops out) → (aa,b):2 ≥ minCount → merge
+  *   round 5: nothing left with ≥2 symbols → stop
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture =
+    (Seq.fill(3)("aaab") ++ Seq.fill(2)("aab")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("learnMerges reproduces the closed-form merge sequence, ties lexicographic") {
+    Bpe.learnMerges(fixture, "doc_id", "text", numMerges = 3) shouldBe
+      Seq(("a", "a"), ("a", "b"), ("aa", "ab"))
+    // unbounded: one more rule fires, then the vocab runs dry (early stop)
+    Bpe.learnMerges(fixture, "doc_id", "text", numMerges = 10) shouldBe
+      Seq(("a", "a"), ("a", "b"), ("aa", "ab"), ("aa", "b"))
+    // minCount stops the tail rule whose count is only 2
+    Bpe.learnMerges(fixture, "doc_id", "text", numMerges = 10, minCount = 3) shouldBe
+      Seq(("a", "a"), ("a", "b"), ("aa", "ab"))
+  }
+
+  test("merge pass: leftmost, non-overlapping, continue-after-match") {
+    val df = Seq(
+      (1L, Seq("a", "a", "a", "a")),
+      (2L, Seq("a", "a", "a")),
+      (3L, Seq("x", "a", "a", "y"))).toDF("id", "syms")
+    val out = df.select(col("id"),
+        BpeFns.mergePassNative(col("syms"), "a", "a").as("syms"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    out(1L) shouldBe Seq("aa", "aa") // NOT [aa, a, a]: scan continues past merge
+    out(2L) shouldBe Seq("aa", "a")
+    out(3L) shouldBe Seq("x", "aa", "y")
+  }
+
+  test("encode applies rules once each in rank order; equals the DuckDB-replace semantics") {
+    val merges = Seq(("a", "a"), ("a", "b"), ("aa", "ab"))
+    val words = Seq("aaab", "aab", "aaba", "aaaa", "b", "").toDF("word")
+    val enc = Bpe.encodeVocab(words, merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    enc("aaab") shouldBe Seq("aaab")
+    enc("aab") shouldBe Seq("aa", "b")
+    enc("aaba") shouldBe Seq("aa", "b", "a")
+    enc("aaaa") shouldBe Seq("aa", "aa") // the [a,a,a,a] continue-after-match case
+    enc("b") shouldBe Seq("b")
+    enc("") shouldBe Seq.empty
+  }
+
+  test("docTokenCounts: per-doc sums over occurrences, zero-word docs kept at 0") {
+    val docs = Seq(
+      (1L, "aaab aab aaab"), // 1 + 2 + 1 = 4 under the 3-rule table
+      (2L, "AAAB, aaba!"),   // lowercase + punctuation split: 1 + 3 = 4
+      (3L, "...")            // no [a-z0-9] word at all
+    ).toDF("doc_id", "text")
+    val merges = Seq(("a", "a"), ("a", "b"), ("aa", "ab"))
+    val got = Bpe.docTokenCounts(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(1L -> 4L, 2L -> 4L, 3L -> 0L)
+  }
+
+  test("tokenFreq counts token occurrences corpus-wide with deterministic order") {
+    val docs = Seq((1L, "aaab aab"), (2L, "aab b")).toDF("doc_id", "text")
+    val merges = Seq(("a", "a"), ("a", "b"), ("aa", "ab"))
+    // tokens: aaab→[aaab]; aab→[aa,b] ×2; b→[b]
+    val got = Bpe.tokenFreq(docs, "doc_id", "text", merges, topN = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    got shouldBe Seq(("b", 3L), ("aa", 2L), ("aaab", 1L))
+  }
+
+  test("learned merges survive a persist/load round-trip in rank order") {
+    val merges = Bpe.learnMerges(fixture, "doc_id", "text", numMerges = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    Bpe.mergesDf(spark, merges).write.parquet(s"$dir/merges")
+    Bpe.loadMerges(spark, s"$dir/merges") shouldBe merges
+  }
+}
