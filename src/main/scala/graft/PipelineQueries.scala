@@ -303,6 +303,22 @@ object PipelineQueries {
           round(col("rms"), 6).as("rms"),
           round(col("peak"), 6).as("peak"))
     }),
+    // Video twin of p_media_features: REAL animated-GIF payloads (gray
+    // palette — at most 256 colors, so the encode is exact by construction)
+    // decoded frame-by-frame by the javax.imageio sequence reader; frame
+    // count, dims, whole-clip and LAST-frame means re-derived by the oracle
+    // from the closed-form pixel formula — a fake decode, or one that stops
+    // at frame 0, cannot pass.
+    "p_video_features" -> ((s, d) => {
+      val media = graft.ops.Multimodal.syntheticMedia(s, 200, kind = "video")
+      graft.ops.Multimodal.videoStats(media)
+        .select(col("media_id"),
+          col("vid_w").cast("long").as("vid_w"),
+          col("vid_h").cast("long").as("vid_h"),
+          col("n_frames").cast("long").as("n_frames"),
+          round(col("mean_lum"), 6).as("mean_lum"),
+          round(col("mean_last"), 6).as("mean_last"))
+    }),
     // Sketch-screened exact heavy hitters: the count-min sketch bounds which
     // tokens CAN reach the aggregation (no false negatives — CMS only
     // over-counts), the exact re-count drops its false positives; the Zipf
@@ -961,6 +977,33 @@ object PipelineQueries {
         |ORDER BY n DESC, token
         |LIMIT 100""".stripMargin,
     "p_corpus_clean" -> corpusCleanOracle,
+    // closed-form rendering of synthVideoPixel/synthVideoParams: the Spark
+    // side must walk every frame of real GIF containers to reproduce these
+    "p_video_features" ->
+      """WITH m AS (SELECT unnest(generate_series(0, 199)) AS media_id),
+        |p AS (
+        |  SELECT media_id, 6 + media_id % 5 AS w, 6 + (media_id * 3) % 5 AS h,
+        |         2 + (media_id * 11) % 6 AS nf
+        |  FROM m
+        |),
+        |xs AS (SELECT unnest(generate_series(0, 9)) AS i),
+        |fs AS (SELECT unnest(generate_series(0, 6)) AS f),
+        |px AS (
+        |  SELECT p.media_id, p.w, p.h, p.nf, fs.f,
+        |         (x.i*31 + y.i*17 + fs.f*41 + p.media_id*13) % 256 AS v
+        |  FROM p, xs x, xs y, fs
+        |  WHERE x.i < p.w AND y.i < p.h AND fs.f < p.nf
+        |),
+        |agg AS (
+        |  SELECT media_id, w, h, nf, avg(v) AS mean_lum,
+        |         avg(CASE WHEN f = nf - 1 THEN v END) AS mean_last
+        |  FROM px GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT CAST(media_id AS BIGINT) AS media_id,
+        |  CAST(w AS BIGINT) AS vid_w, CAST(h AS BIGINT) AS vid_h,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  round(mean_lum, 6) AS mean_lum, round(mean_last, 6) AS mean_last
+        |FROM agg""".stripMargin,
     // closed-form rendering of Multimodal.synthPixel/synthDims: the Spark
     // side must decode real PNG bytes to reproduce these numbers
     "p_media_features" ->

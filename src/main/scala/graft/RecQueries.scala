@@ -27,6 +27,14 @@ object RecQueries {
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_svd_factors",
       Tables.runKey(dir)).toString
 
+  /** Where r_negatives_rej persists its collision-dropped hash draws —
+    * same contract as [[svdFactorBase]]; oracle placeholder
+    * `__NEG_DRAWS__`.
+    */
+  def negDrawsBase(dir: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_neg_draws",
+      Tables.runKey(dir)).toString
+
   private def round6(df: DataFrame, cols: Seq[String], value: String): DataFrame =
     df.select((cols.map(col) :+ round(col(value), 6).as(value)): _*)
 
@@ -115,6 +123,20 @@ object RecQueries {
     // path is spec-gated against this exact form.
     "r_negatives" -> ((s, d) =>
       graft.recdb.Eval.negativeSamples(ratings(s, d), c, k = 5)),
+    // The catalog-product-free scale path of negative sampling, hash-gated
+    // AND benched at every sf: the collision-dropped hash draws are
+    // persisted (xxhash64 has no DuckDB twin — isolating it is the SVD
+    // factor-gate pattern) and the result is computed FROM the persisted
+    // draws; the oracle re-derives the rated-pair anti-join + first-k-in-
+    // draw-order from the identical parquet.
+    "r_negatives_rej" -> ((s, d) => {
+      val r = ratings(s, d)
+      val base = negDrawsBase(d)
+      graft.recdb.Eval.negativeDraws(r, c, trials = 64)
+        .write.mode("overwrite").parquet(base)
+      graft.recdb.Eval.negativeSamplesFromDraws(
+        s.read.parquet(base), r, c, k = 5)
+    }),
     "r_usercf_topk" -> ((s, d) => {
       val r = ratings(s, d)
       val minUser = r.agg(min(col("userid"))).head().getLong(0)
@@ -532,6 +554,19 @@ object RecQueries {
          |    PARTITION BY userid
          |    ORDER BY md5(userid || ':' || itemid), itemid) AS neg_rank
          |  FROM neg)
+         |WHERE neg_rank <= 5""".stripMargin,
+    "r_negatives_rej" ->
+      s"""WITH ${Tables.ratingsSql},
+         |draws AS (SELECT * FROM '__NEG_DRAWS__/*.parquet'),
+         |surv AS (
+         |  SELECT d.userid, d.itemid, d.__t FROM draws d
+         |  WHERE NOT EXISTS (SELECT 1 FROM ratings r
+         |                    WHERE r.userid = d.userid AND r.itemid = d.itemid)
+         |)
+         |SELECT userid, itemid, neg_rank FROM (
+         |  SELECT userid, itemid, row_number() OVER (
+         |    PARTITION BY userid ORDER BY __t) AS neg_rank
+         |  FROM surv)
          |WHERE neg_rank <= 5""".stripMargin,
   )
 }

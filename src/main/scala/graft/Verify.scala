@@ -45,6 +45,7 @@ object Verify {
           .replace("__SVD_FACTORS__", RecQueries.svdFactorBase(sfDir))
           .replace("__ANN_ARTIFACTS__", PipelineQueries.annArtifactBase(sfDir))
           .replace("__BPE_ARTIFACTS__", PipelineQueries.bpeArtifactBase(sfDir))
+          .replace("__NEG_DRAWS__", RecQueries.negDrawsBase(sfDir))
         s"${q(k)}: ${q(sql)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

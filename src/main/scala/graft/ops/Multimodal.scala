@@ -12,10 +12,12 @@ import org.apache.spark.sql.types._
   * batched execution shape (the Scala equivalent of `mapInPandas` — an
   * iterator of fixed-size batches per partition, so a vectorized decoder
   * amortizes per-batch setup), resize/frame-sample parameter plumbing,
-  * deterministic output schemas, and actual pure-JVM decodes for two kinds:
-  * image ([[imageStats]] via `javax.imageio` PNG/BMP) and audio
-  * ([[audioStats]] via a hand-rolled RIFF/WAVE PCM16 chunk walker), each
-  * verified against a closed-form oracle over the synthetic payloads.
+  * deterministic output schemas, and actual pure-JVM decodes for all three
+  * kinds: image ([[imageStats]] via `javax.imageio` PNG/BMP), audio
+  * ([[audioStats]] via a hand-rolled RIFF/WAVE PCM16 chunk walker), and
+  * video ([[videoStats]] via the `javax.imageio` animated-GIF frame
+  * walker — a real multi-frame container, n_frames derived from content),
+  * each verified against a closed-form oracle over the synthetic payloads.
   *
   * The STUBBED part: learned-embedding extraction needs model weights +
   * codecs this container doesn't ship, so [[decodeBatchStub]] produces
@@ -64,6 +66,58 @@ object Multimodal {
   def synthAudioParams(i: Long): (Int, Int) =
     (8000 + (i % 5).toInt * 2000, 200 + (i * 37 % 300).toInt)
 
+  /** Closed-form GRAY value of pixel (x, y) in frame f of synthetic clip
+    * `i`. Video frames are grayscale by construction: a gray frame has at
+    * most 256 distinct colors, so the GIF palette represents it EXACTLY and
+    * the closed form survives a real encode→decode round trip (an RGB
+    * formula could exceed 256 colors and force lossy quantization).
+    */
+  def synthVideoPixel(i: Long, f: Int, x: Int, y: Int): Int =
+    ((x * 31 + y * 17 + f * 41 + i * 13) % 256).toInt
+
+  /** (width, height, nFrames) of synthetic clip `i` — all varied so a
+    * decoder cannot fake them from the id.
+    */
+  def synthVideoParams(i: Long): (Int, Int, Int) =
+    (6 + (i % 5).toInt, 6 + (i * 3 % 5).toInt, 2 + (i * 11 % 6).toInt)
+
+  /** Identity gray palette: index v renders as RGB (v, v, v). */
+  private lazy val grayPalette: java.awt.image.IndexColorModel = {
+    val ramp = Array.tabulate[Byte](256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+  }
+
+  /** REAL animated-GIF encode of a gray frame sequence (pure JVM — the
+    * `javax.imageio` sequence writer). The multi-frame container that makes
+    * `kind = video` a decodable modality, not opaque bytes.
+    */
+  def gifBytes(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach { img =>
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  private def synthVideoBytes(i: Long): Array[Byte] = {
+    val (w, h, nf) = synthVideoParams(i)
+    gifBytes((0 until nf).map { f =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+      val raster = img.getRaster
+      for (y <- 0 until h; x <- 0 until w)
+        raster.setSample(x, y, 0, synthVideoPixel(i, f, x, y))
+      img
+    })
+  }
+
   /** Canonical 44-byte-header RIFF/WAVE encode of mono 16-bit PCM. */
   def wavBytes(sampleRate: Int, samples: Array[Int]): Array[Byte] = {
     val dataSize = samples.length * 2
@@ -105,6 +159,9 @@ object Multimodal {
         val (rate, len) = synthAudioParams(i.toLong)
         val samples = Array.tabulate(len)(t => synthSample(i.toLong, t))
         (i.toLong, kind, wavBytes(rate, samples), 0, 0, rate, 0)
+      } else if (kind == "video") {
+        val (w, h, nf) = synthVideoParams(i.toLong)
+        (i.toLong, kind, synthVideoBytes(i.toLong), w, h, 0, nf)
       } else {
         val payload = Array.tabulate[Byte](256)(j => ((i * 31 + j * 7) % 251).toByte)
         (i.toLong, kind, payload, 64, 48, 16000, 32)
@@ -217,6 +274,72 @@ object Multimodal {
       require(nSamples >= 0, "no data chunk")
       (rate, nSamples, rms, peak)
     }
+
+  /** REAL batch video decode (pure JVM — the `javax.imageio` GIF reader
+    * walking every frame of the animated container): each payload yields
+    * (width, height, n_frames, mean luminance over all frames, mean of the
+    * LAST frame). n_frames comes from the container's frame count and the
+    * last-frame mean requires decoding frame rasters individually — a fake
+    * decode (or one that reads only frame 0) cannot produce them.
+    */
+  def decodeGifBatch(batch: Seq[Array[Byte]]): Seq[(Int, Int, Int, Double, Double)] =
+    batch.map { bytes =>
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "payload is not a decodable image container")
+      val reader = readers.next()
+      reader.setInput(iis)
+      try {
+        val nf = reader.getNumImages(true)
+        require(nf >= 1, "container holds no frames")
+        var w = 0; var h = 0
+        var total = 0L; var pixels = 0L; var lastSum = 0L; var lastN = 1L
+        var f = 0
+        while (f < nf) {
+          val img = reader.read(f)
+          w = img.getWidth; h = img.getHeight
+          var s = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { s += (img.getRGB(x, y) >> 16) & 0xFF; x += 1 }
+            y += 1
+          }
+          total += s; pixels += w.toLong * h
+          if (f == nf - 1) { lastSum = s; lastN = w.toLong * h }
+          f += 1
+        }
+        (w, h, nf, total.toDouble / pixels, lastSum.toDouble / lastN)
+      } finally { reader.dispose(); iis.close() }
+    }
+
+  /** Batched partition-parallel REAL video decode + per-clip stats — the
+    * [[imageStats]] shape for the video kind.
+    * Output: (media_id, vid_w, vid_h, n_frames, mean_lum, mean_last).
+    */
+  def videoStats(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("vid_w", IntegerType, nullable = false),
+      StructField("vid_h", IntegerType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("mean_lum", DoubleType, nullable = false),
+      StructField("mean_last", DoubleType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rdd = media.queryExecution.toRdd.mapPartitions { iter =>
+      val rows = iter.map(ir => (ir.getLong(idIdx), ir.getBinary(payloadIdx)))
+      rows.grouped(batchSize).flatMap { batch =>
+        val stats = decodeGifBatch(batch.map(_._2))
+        batch.lazyZip(stats).map { case ((id, _), (w, h, nf, mean, last)) =>
+          Row(id, w, h, nf, mean, last)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
 
   /** Batched partition-parallel REAL audio decode + per-clip stats — the
     * [[imageStats]] shape for the audio kind.

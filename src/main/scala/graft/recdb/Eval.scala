@@ -120,6 +120,17 @@ object Eval {
     * `k` only if trials is set too low for their rated count.
     */
   def negativeSamplesRejection(events: DataFrame, c: EventCols, k: Int,
+      trials: Int = 64): DataFrame =
+    negativeSamplesFromDraws(negativeDraws(events, c, trials), events, c, k)
+
+  /** The hash-draw half of [[negativeSamplesRejection]]: each user's
+    * `trials` candidate draws, collision-dropped (earliest trial per
+    * (user, item) kept), BEFORE the rated-pair anti-join. Output
+    * (user, item, __t) — persistable, so an oracle can re-derive the rest
+    * of the pipeline from the identical draws (xxhash64 itself has no
+    * cross-engine twin; isolating it here is the SVD-factor gate pattern).
+    */
+  def negativeDraws(events: DataFrame, c: EventCols,
       trials: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = events.sparkSession
@@ -139,13 +150,24 @@ object Eval {
       .select(col(c.user), col("__t"),
         pmod(xxhash64(col(c.user), col("__t")), lit(nItems)).as("__idx"))
     val wd = Window.partitionBy(col(c.user), col(c.item)).orderBy(col("__t"))
-    val drawn = cand.join(items, Seq("__idx"))
+    cand.join(items, Seq("__idx"))
       // collision drop: keep each (user, item)'s earliest draw
       .withColumn("__dup", row_number().over(wd)).where(col("__dup") === 1)
+      .select(col(c.user), col(c.item), col("__t"))
+  }
+
+  /** Rated-pair anti-join + first-k-in-draw-order over a draws frame
+    * ((user, item, __t) — from [[negativeDraws]] live, or read back from a
+    * persisted artifact).
+    */
+  def negativeSamplesFromDraws(draws: DataFrame, events: DataFrame,
+      c: EventCols, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(c.user)).orderBy(col("__t"))
+    draws
       .join(events.select(col(c.user), col(c.item)).distinct(),
         Seq(c.user, c.item), "anti")
-    val w = Window.partitionBy(col(c.user)).orderBy(col("__t"))
-    drawn.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k)
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") <= k)
       .select(col(c.user), col(c.item), col("__rn").cast("long").as("neg_rank"))
   }
 }

@@ -433,4 +433,36 @@ class OpsSpec extends SparkSpec {
         Multimodal.syntheticMedia(spark, 3, kind = "video")).collect()
     }
   }
+
+  test("multimodal: real GIF video decode reproduces closed-form frame stats") {
+    val media = Multimodal.syntheticMedia(spark, 30, kind = "video").repartition(5)
+    val got = Multimodal.videoStats(media, batchSize = 7).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    got.size shouldBe 30
+    for (i <- 0L until 30L) {
+      val (w, h, nf) = Multimodal.synthVideoParams(i)
+      val all = for (f <- 0 until nf; y <- 0 until h; x <- 0 until w)
+        yield Multimodal.synthVideoPixel(i, f, x, y)
+      val last = for (y <- 0 until h; x <- 0 until w)
+        yield Multimodal.synthVideoPixel(i, nf - 1, x, y)
+      val (gw, gh, gnf, gmean, glast) = got(i)
+      (gw, gh, gnf) shouldBe ((w, h, nf)) // n_frames from CONTENT, not metadata
+      gmean shouldBe (all.map(_.toLong).sum.toDouble / all.size) +- 1e-12
+      glast shouldBe (last.map(_.toLong).sum.toDouble / last.size) +- 1e-12
+    }
+    // a single-frame still is a valid 1-frame container
+    val still = Multimodal.decodeGifBatch(Seq(Multimodal.gifBytes(Seq({
+      val img = new java.awt.image.BufferedImage(
+        4, 3, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      img
+    }))))
+    still.head._3 shouldBe 1
+    // non-container payloads are rejected
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.videoStats(
+        Multimodal.syntheticMedia(spark, 3, kind = "audio")).collect()
+    }
+  }
 }
