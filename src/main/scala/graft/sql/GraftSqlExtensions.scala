@@ -382,6 +382,26 @@ object GraftSql {
     } catch { case _: Exception => (None, None) } // prune is best-effort
   }
 
+  // statement-level rejections the plan walk can't see because Spark SQL
+  // has no SELECT INTO / FOR UPDATE grammar at all — without this check
+  // they'd surface as generic Spark parse errors instead of the
+  // reference's messages (parse_rec.c:130-133 intoClause,
+  // parse_rec.c:147-150 lockingClause)
+  private val IntoRe = """(?is)\bINTO\s+\w""".r
+  private val LockingRe = """(?is)\bFOR\s+(UPDATE|SHARE)\b""".r
+
+  private[sql] def validateStatementText(masked: String, fromStart: Int,
+      clauseEnd: Int): Unit = {
+    // intoClause sits between SELECT and FROM; an INSERT INTO prefix is a
+    // different statement kind and not the reference's intoClause
+    if (!masked.matches("(?is)\\s*INSERT\\b.*") &&
+        IntoRe.findFirstIn(masked.substring(0, fromStart)).isDefined)
+      syntaxError("RECOMMEND clause is not allowed with INTO clause")
+    // lockingClause trails the statement
+    if (LockingRe.findFirstIn(masked.substring(clauseEnd)).isDefined)
+      syntaxError("RECOMMEND clause is not allowed with FOR clause")
+  }
+
   /** Parse-time rewrite (PURE — text manipulation plus catalog METADATA
     * probes only): recognize the clause on literal-masked text, locate the
     * events entry, register the spec, splice the placeholder into the FROM
@@ -396,6 +416,7 @@ object GraftSql {
           syntaxError("RECOMMEND clause is not allowed without FROM clause")
         None
       case Some(m) =>
+        validateStatementText(masked, m.start, m.end)
         val entries = parseFromList(sqlText.substring(m.start(1), m.end(1)))
         val (entry, item, user, event) = findEventsEntry(session, entries,
           m.group(2), m.group(3), m.group(4))
@@ -428,6 +449,7 @@ object GraftSql {
       sqlText: String): Option[(String, String)] = {
     val masked = maskQuoted(sqlText)
     LegacyRecommendRe.findFirstMatchIn(masked).map { m =>
+      validateStatementText(masked, m.start, m.end)
       val spec = LegacyRecSpec(m.group(1), m.group(2).toInt, m.group(3),
         m.group(4).toLong)
       val placeholder = registerSpec(spec)

@@ -258,6 +258,17 @@ class SqlSurfaceSpec extends SparkSpec with BeforeAndAfterAll {
     err("SELECT rank() OVER w AS r FROM ml_ratings RECOMMEND itemid TO userid " +
       "ON rating USING itemcoscf WINDOW w AS (ORDER BY rating)") should
       include("not allowed with WINDOW clause")
+    // parse_rec.c:130-133 / :147-150 — clauses Spark SQL cannot even parse
+    // still get the REFERENCE's messages, not a generic parser error
+    err(s"SELECT itemid INTO newtbl $base WHERE userid = 1") should
+      include("not allowed with INTO clause")
+    err(s"SELECT itemid $base WHERE userid = 1 FOR UPDATE") should
+      include("not allowed with FOR clause")
+    err(s"SELECT itemid $base WHERE userid = 1 FOR SHARE") should
+      include("not allowed with FOR clause")
+    // a column merely NAMED into/for must not trip the text check
+    ext.sql(s"SELECT itemid AS into_col $base WHERE userid = 1")
+      .collect().length should be > 0
   }
 
   test("RECOMMEND inside a string literal does not trigger the clause") {
