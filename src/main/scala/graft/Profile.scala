@@ -79,6 +79,43 @@ object Profile {
         t("agg64_from_ck")(Dedup.minhashSignatures(ck, "id", "grams", 64).count())
         t("agg8_from_ck")(Dedup.minhashSignatures(ck, "id", "grams", 8).count())
         t("full")(Dedup.charMinhashLshPairs(docsDf, "doc_id", "text", 5, 64, 16, 0.8).count())
+      case s if s.startsWith("fullgate") =>
+        // The whole SparkEntry.queries set at `mult`× the bench scale
+        // (usage: fullgate[:mult], default 10 — i.e. sf1-equivalent volume
+        // when SPARK_GRAFT_SF_DIR=sf0.1). The scaled tables are id-shifted
+        // replicas of the REAL driver data (FK-consistent shifts; document
+        // text gets a per-copy word suffix so each copy's vocabulary is
+        // disjoint — within-copy duplicate/near-dup structure is preserved
+        // and output grows linearly, without the artificial quadratic
+        // cross-copy pair blowup 10 verbatim clones would inject;
+        // embeddings get a per-copy epsilon so clones don't collapse).
+        // Every query is timed cold (cache cleared before each run) at both
+        // scales; ratio > `mult`×1.5 is flagged SUPERLINEAR.
+        val mult = s.split(':').drop(1).headOption.map(_.toInt).getOrElse(10)
+        val scaled = buildScaledDir(spark, sfDir, mult)
+        val ordered = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+        def timeq(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+            dir: String): (Double, Long) = {
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val n = try fn(spark, dir).count() catch { case _: Throwable => -1L }
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        val flagged = scala.collection.mutable.ArrayBuffer.empty[String]
+        var (tb, ts) = (0.0, 0.0)
+        ordered.foreach { case (name, fn) =>
+          val (b, _) = timeq(fn, sfDir)
+          val (sc, rows) = timeq(fn, scaled)
+          tb += b; ts += sc
+          val ratio = if (b > 0) sc / b else -1.0
+          val mark = if (ratio > mult * 1.5 && sc > 2.0) { // noise floor
+            flagged += name; " SUPERLINEAR"
+          } else ""
+          println(f"PROFILE fullgate $name base=$b%.2fs scaled=$sc%.2fs " +
+            f"rows=$rows ratio=$ratio%.1fx$mark")
+        }
+        println(f"PROFILE fullgate TOTAL base=$tb%.1fs scaled=$ts%.1fs " +
+          f"ratio=${ts / tb}%.1fx flagged=${flagged.mkString(",")}")
       case s if s.startsWith("scaleprobe") =>
         // similarity + scoring at generator scale (default 5M events,
         // 50k users × 1k items — ~75× the sf0.1 ratings volume; usage:
@@ -634,6 +671,73 @@ object Profile {
       .groupBy("id1", "id2").agg(count(lit(1)).as("n_inter"))
     t("selfjoin_agg")(inter.count())
     t("full")(Dedup.jaccardPairs(docsDf, "doc_id", "text", 3, 0.5).count())
+  }
+
+  /** FK-consistent `mult`× replica of the driver tables (see the fullgate
+    * mode's comment for the mutation rules). Idempotent per (sf, mult):
+    * a _DONE marker skips the rebuild.
+    */
+  def buildScaledDir(spark: SparkSession, sfDir: String, mult: Int): String = {
+    import org.apache.spark.sql.{DataFrame, functions => F}
+    import F.{col, lit, max => fmax}
+    val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_fullgate_${mult}x_" +
+        java.lang.Integer.toHexString(sfDir.hashCode)).toString
+    if (new java.io.File(s"$out/_DONE").exists()) return out
+    graft.Exec.deletePath(out)
+    new java.io.File(out).mkdirs()
+    def maxOf(df: DataFrame, c: String): Long =
+      df.agg(fmax(col(c).cast("long"))).head().getLong(0)
+    def replicate(name: String)(shift: (DataFrame, Int) => DataFrame): Unit = {
+      val df = Tables.read(spark, sfDir, name)
+      (0 until mult).map(c => shift(df, c)).reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+    }
+    // dimension tables stay single-copy (the realistic 100 TB shape:
+    // facts grow, dims don't)
+    Seq("region", "nation").foreach { n =>
+      Tables.read(spark, sfDir, n).write.mode("overwrite")
+        .parquet(s"$out/$n.parquet")
+    }
+    val sCust = maxOf(Tables.read(spark, sfDir, "customer"), "c_custkey") + 1
+    val sSupp = maxOf(Tables.read(spark, sfDir, "supplier"), "s_suppkey") + 1
+    val sPart = maxOf(Tables.read(spark, sfDir, "part"), "p_partkey") + 1
+    val sOrd = maxOf(Tables.read(spark, sfDir, "orders"), "o_orderkey") + 1
+    val ev = Tables.read(spark, sfDir, "events")
+    // event_id shift stays a multiple of 100 so the derived item catalog
+    // (itemid = event_id % 100) keeps its exact 100-item shape
+    val sEvt = (maxOf(ev, "event_id") / 100 + 1) * 100
+    val sUser = maxOf(ev, "user_id") + 1
+    val sDoc = maxOf(Tables.read(spark, sfDir, "documents"), "doc_id") + 1
+    val sVec = maxOf(Tables.read(spark, sfDir, "embeddings"), "vec_id") + 1
+    replicate("customer")((df, c) =>
+      df.withColumn("c_custkey", col("c_custkey") + lit(c * sCust)))
+    replicate("supplier")((df, c) =>
+      df.withColumn("s_suppkey", col("s_suppkey") + lit(c * sSupp)))
+    replicate("part")((df, c) =>
+      df.withColumn("p_partkey", col("p_partkey") + lit(c * sPart)))
+    replicate("orders")((df, c) => df
+      .withColumn("o_orderkey", col("o_orderkey") + lit(c * sOrd))
+      .withColumn("o_custkey", col("o_custkey") + lit(c * sCust)))
+    replicate("lineitem")((df, c) => df
+      .withColumn("l_orderkey", col("l_orderkey") + lit(c * sOrd))
+      .withColumn("l_partkey", col("l_partkey") + lit(c * sPart))
+      .withColumn("l_suppkey", col("l_suppkey") + lit(c * sSupp)))
+    replicate("events")((df, c) => df
+      .withColumn("event_id", col("event_id") + lit(c * sEvt))
+      .withColumn("user_id", col("user_id") + lit(c * sUser)))
+    replicate("documents")((df, c) =>
+      (if (c == 0) df
+       else df.withColumn("text", F.expr(
+         s"array_join(transform(split(text, ' '), w -> concat(w, '_$c')), ' ')")))
+        .withColumn("doc_id", col("doc_id") + lit(c * sDoc))
+        .withColumn("n_chars", F.length(col("text")).cast("long")))
+    replicate("embeddings")((df, c) => df
+      .withColumn("vec_id", col("vec_id") + lit(c * sVec))
+      .withColumn("embedding", F.expr(
+        s"transform(embedding, x -> cast(x + $c * 1e-4 AS float))")))
+    new java.io.FileOutputStream(s"$out/_DONE").close()
+    out
   }
     spark.stop()
   }

@@ -58,6 +58,12 @@ object Bpe {
         filter(split(col("word"), ""), x => x =!= "").as("syms"))
       .where(size(col("syms")) >= 2)
       .localCheckpoint() // one corpus pass, materialized once
+    // the iteration's per-round cost at SMALL vocabularies is pure task
+    // overhead (numMerges × a 32-task job over a handful of rows) — shrink
+    // the layout to one partition when the vocab fits it; large
+    // vocabularies keep the distributed layout
+    if (vocab.count() < 100000L)
+      vocab = vocab.coalesce(1).localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
     while (!done && merges.length < numMerges) {
