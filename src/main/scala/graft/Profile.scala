@@ -726,10 +726,22 @@ object Profile {
     replicate("events")((df, c) => df
       .withColumn("event_id", col("event_id") + lit(c * sEvt))
       .withColumn("user_id", col("user_id") + lit(c * sUser)))
+    // per-copy Caesar rotation of the alphanumeric alphabet: every char
+    // shingle AND every word differs across copies (disjoint vocabularies
+    // at both granularities) while lengths, whitespace structure and
+    // within-copy duplicate/near-dup relations are preserved exactly — a
+    // word-suffix mutation is NOT enough (char shingles from word
+    // interiors would still collide across copies, exploding the pair
+    // ops quadratically)
+    val alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    def rotated(c: Int): String = {
+      val k = c % alpha.length
+      alpha.substring(k) + alpha.substring(0, k)
+    }
     replicate("documents")((df, c) =>
       (if (c == 0) df
-       else df.withColumn("text", F.expr(
-         s"array_join(transform(split(text, ' '), w -> concat(w, '_$c')), ' ')")))
+       else df.withColumn("text",
+         F.translate(col("text"), alpha, rotated(c))))
         .withColumn("doc_id", col("doc_id") + lit(c * sDoc))
         .withColumn("n_chars", F.length(col("text")).cast("long")))
     replicate("embeddings")((df, c) => df
