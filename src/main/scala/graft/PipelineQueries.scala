@@ -303,6 +303,21 @@ object PipelineQueries {
           round(col("rms"), 6).as("rms"),
           round(col("peak"), 6).as("peak"))
     }),
+    // Decode + RESIZE + featurize (the normalize-before-featurize step of
+    // a multimodal pipeline): real PNG decode, nearest-neighbor resample
+    // to 8x8 (exact integer source indexing — SQL-reproducible, unlike
+    // interpolating kernels), per-channel means of the RESIZED grid; the
+    // oracle re-derives everything from the closed-form pixel formula.
+    "p_resize_features" -> ((s, d) => {
+      val media = graft.ops.Multimodal.syntheticMedia(s, 200)
+      graft.ops.Multimodal.resizeStats(media, tw = 8, th = 8)
+        .select(col("media_id"),
+          col("src_w").cast("long").as("src_w"),
+          col("src_h").cast("long").as("src_h"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"))
+    }),
     // Video twin of p_media_features: REAL animated-GIF payloads (gray
     // palette — at most 256 colors, so the encode is exact by construction)
     // decoded frame-by-frame by the javax.imageio sequence reader; frame
@@ -977,6 +992,33 @@ object PipelineQueries {
         |ORDER BY n DESC, token
         |LIMIT 100""".stripMargin,
     "p_corpus_clean" -> corpusCleanOracle,
+    // nearest-neighbor resample of the closed-form pixels: src index =
+    // (target * src_dim) // 8, exact in integer arithmetic on both engines
+    "p_resize_features" ->
+      """WITH m AS (SELECT unnest(generate_series(0, 199)) AS media_id),
+        |dims AS (
+        |  SELECT media_id, 8 + (media_id % 9) AS w,
+        |         8 + ((media_id * 7) % 9) AS h
+        |  FROM m
+        |),
+        |ts AS (SELECT unnest(generate_series(0, 7)) AS t),
+        |px AS (
+        |  SELECT d.media_id, d.w, d.h,
+        |         (tx.t * d.w) // 8 AS x, (ty.t * d.h) // 8 AS y
+        |  FROM dims d, ts tx, ts ty
+        |),
+        |agg AS (
+        |  SELECT media_id, w, h,
+        |    avg((x*31 + y*17 + media_id*13) % 256) AS mr,
+        |    avg((x*7 + y*29 + media_id*3) % 256) AS mg,
+        |    avg((x*11 + y*5 + media_id*23) % 256) AS mb
+        |  FROM px GROUP BY 1, 2, 3
+        |)
+        |SELECT CAST(media_id AS BIGINT) AS media_id,
+        |  CAST(w AS BIGINT) AS src_w, CAST(h AS BIGINT) AS src_h,
+        |  round(mr, 6) AS mean_r, round(mg, 6) AS mean_g,
+        |  round(mb, 6) AS mean_b
+        |FROM agg""".stripMargin,
     // closed-form rendering of synthVideoPixel/synthVideoParams: the Spark
     // side must walk every frame of real GIF containers to reproduce these
     "p_video_features" ->

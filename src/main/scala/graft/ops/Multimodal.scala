@@ -275,6 +275,68 @@ object Multimodal {
       (rate, nSamples, rms, peak)
     }
 
+  /** REAL batch image resize (decode via `javax.imageio`, then
+    * nearest-neighbor resample to (tw, th)): each payload yields the
+    * per-channel means of the RESIZED pixel grid. Nearest-neighbor with
+    * source index floor((t·src)/target) is exact integer arithmetic, so a
+    * SQL oracle can re-derive the result from the closed-form pixels —
+    * unlike interpolating kernels, whose float rounding is
+    * engine-specific. This is the normalize-before-featurize step of a
+    * multimodal training pipeline (decodeBatchStub's resize contract, now
+    * with a real codec + real resampling behind it).
+    */
+  def resizeImageBatch(batch: Seq[Array[Byte]], tw: Int,
+      th: Int): Seq[(Int, Int, Double, Double, Double)] =
+    batch.map { bytes =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "payload is not a decodable image")
+      val w = img.getWidth
+      val h = img.getHeight
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < th) {
+        val sy = y * h / th
+        var x = 0
+        while (x < tw) {
+          val p = img.getRGB(x * w / tw, sy)
+          sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+          x += 1
+        }
+        y += 1
+      }
+      val n = (tw.toLong * th).toDouble
+      (w, h, sr / n, sg / n, sb / n)
+    }
+
+  /** Batched partition-parallel decode + resize + stats — the
+    * [[imageStats]] shape with the resample step in the walker.
+    * Output: (media_id, src_w, src_h, mean_r, mean_g, mean_b) where the
+    * means are over the (tw × th) RESIZED grid.
+    */
+  def resizeStats(media: DataFrame, tw: Int, th: Int,
+      batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("src_w", IntegerType, nullable = false),
+      StructField("src_h", IntegerType, nullable = false),
+      StructField("mean_r", DoubleType, nullable = false),
+      StructField("mean_g", DoubleType, nullable = false),
+      StructField("mean_b", DoubleType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rdd = media.queryExecution.toRdd.mapPartitions { iter =>
+      val rows = iter.map(ir => (ir.getLong(idIdx), ir.getBinary(payloadIdx)))
+      rows.grouped(batchSize).flatMap { batch =>
+        val stats = resizeImageBatch(batch.map(_._2), tw, th)
+        batch.lazyZip(stats).map { case ((id, _), (w, h, r, g, b)) =>
+          Row(id, w, h, r, g, b)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** REAL batch video decode (pure JVM — the `javax.imageio` GIF reader
     * walking every frame of the animated container): each payload yields
     * (width, height, n_frames, mean luminance over all frames, mean of the
