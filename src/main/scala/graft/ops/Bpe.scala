@@ -52,8 +52,20 @@ object Bpe {
     */
   def learnMerges(docs: DataFrame, idCol: String, textCol: String,
       numMerges: Int, minCount: Long = 2L,
-      checkpointEvery: Int = 8): Seq[(String, String)] = {
-    var vocab = wordFreq(docs, idCol, textCol)
+      checkpointEvery: Int = 8): Seq[(String, String)] =
+    learnMergesFromWordFreq(wordFreq(docs, idCol, textCol), numMerges,
+      minCount, checkpointEvery)
+
+  /** Learn from an already-aggregated (word, freq) frame. The word-freq
+    * table is the EXACT sufficient statistic for BPE learning (pair counts
+    * are Σ freq(word) × pairs-in-word), which is what makes incremental
+    * maintenance exact: merge per-batch word counts, relearn from the
+    * merged state — never re-tokenize the corpus
+    * ([[graft.streaming.BpeMaintainer]]).
+    */
+  def learnMergesFromWordFreq(wf: DataFrame, numMerges: Int,
+      minCount: Long = 2L, checkpointEvery: Int = 8): Seq[(String, String)] = {
+    var vocab = wf
       .select(col("freq"),
         filter(split(col("word"), ""), x => x =!= "").as("syms"))
       .where(size(col("syms")) >= 2)

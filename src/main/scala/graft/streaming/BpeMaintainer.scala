@@ -1,0 +1,138 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+import graft.ops.Bpe
+
+/** Streaming BPE-tokenizer maintenance — the R17 threshold-retrain idea
+  * (recathon.c:951-1203) applied to the tokenizer: the (word, freq) table
+  * is the EXACT sufficient statistic for merge learning, so each
+  * micro-batch appends only its own word counts (one aggregation over the
+  * batch — the corpus is never re-tokenized), and when the corpus has
+  * grown by `growthFactor` × the size at the last learn, the merges
+  * relearn from the MERGED state — cost ∝ vocabulary, not corpus.
+  *
+  * Durability contract (the [[NearDupMaintainer]] / [[BatchDirs]] shape):
+  * per-batch overwrite-idempotent `b<batchId>/` word-count dirs with LSM
+  * compaction, and a versioned merges model (`v<N>/merges.parquet`)
+  * committed by an atomic `_LATEST` pointer AFTER the parquet lands — a
+  * crash mid-learn leaves the previous version serving. Replay is
+  * idempotent end to end: batch dirs rewrite byte-identically, the
+  * learn trigger derives from the (idempotent) state totals rather than
+  * counters, and learning itself is deterministic.
+  */
+object BpeMaintainer {
+
+  final case class Config(numMerges: Int = 40, minCount: Long = 2L,
+      growthFactor: Double = 0.5)
+
+  private def wfSchema: StructType = StructType(Seq(
+    StructField("word", StringType),
+    StructField("freq", LongType)))
+
+  /** Aggregated word counts from batches with id ≤ `upTo` (compacted dir +
+    * later batch dirs). Same replay-horizon guard as
+    * [[NearDupMaintainer.priorIndex]]: replaying a batch at or below the
+    * compaction horizon would double its rows inside the fold.
+    */
+  def stateWordFreq(spark: SparkSession, stateDir: String,
+      upTo: Long): DataFrame = {
+    val maxC = BatchDirs.listDirs(stateDir, "c").lastOption
+    maxC.foreach { case (k, _) =>
+      require(k <= upTo,
+        s"replaying batch below compaction horizon $k — " +
+          "compact only durably-committed batches")
+    }
+    val dirs = maxC.map(_._2).toSeq ++ BatchDirs.listDirs(stateDir, "b")
+      .filter { case (id, _) => id > maxC.fold(-1L)(_._1) && id <= upTo }
+      .map(_._2)
+    BatchDirs.readUnion(spark, dirs, wfSchema, partitioned = false)
+      .getOrElse(BatchDirs.emptyFrame(spark, wfSchema))
+      .groupBy("word").agg(sum(col("freq")).as("freq"))
+  }
+
+  def compact(spark: SparkSession, stateDir: String,
+      upToOpt: Option[Long] = None): Unit =
+    BatchDirs.compact(spark, stateDir, wfSchema, None, upToOpt)
+
+  private def latestPath(modelDir: String) = Paths.get(modelDir, "_LATEST")
+
+  /** (version, corpus word-occurrence total at learn time), or None. */
+  def latestMeta(modelDir: String): Option[(Long, Long)] =
+    if (!Files.exists(latestPath(modelDir))) None
+    else {
+      val Array(v, t) =
+        new String(Files.readAllBytes(latestPath(modelDir))).trim.split(' ')
+      Some((v.toLong, t.toLong))
+    }
+
+  /** The committed merge rules in rank order (empty before any learn). */
+  def latestMerges(spark: SparkSession,
+      modelDir: String): Seq[(String, String)] =
+    latestMeta(modelDir).map { case (v, _) =>
+      Bpe.loadMerges(spark, s"$modelDir/v$v/merges.parquet")
+    }.getOrElse(Seq.empty)
+
+  private def commit(modelDir: String, v: Long, total: Long): Unit = {
+    Files.createDirectories(Paths.get(modelDir))
+    val tmp = Paths.get(modelDir, s"_LATEST.tmp$v")
+    Files.write(tmp, s"$v $total".getBytes)
+    Files.move(tmp, latestPath(modelDir), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    val keep = Set(s"v$v", s"v${v - 1}")
+    Option(Paths.get(modelDir).toFile.listFiles()).foreach(_.foreach { f =>
+      if (f.getName.startsWith("v") && !f.getName.startsWith("_") &&
+          !keep(f.getName))
+        graft.Exec.deletePath(f.getPath)
+    })
+  }
+
+  /** One micro-batch: aggregate the batch's word counts into its state
+    * dir, then relearn iff the corpus total has grown past
+    * (1 + growthFactor) × the total at the last learn (first batch always
+    * learns). Returns true when a learn ran. Exposed for direct batch
+    * ingestion too.
+    */
+  def processBatch(batch: DataFrame, batchId: Long, idCol: String,
+      textCol: String, stateDir: String, modelDir: String,
+      cfg: Config = Config()): Boolean = {
+    val spark = batch.sparkSession
+    Bpe.wordFreq(batch, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$stateDir/b$batchId")
+    val state = stateWordFreq(spark, stateDir, upTo = batchId)
+      .localCheckpoint() // consumed by total + (maybe) the learning loop
+    val total = state.agg(coalesce(sum(col("freq")), lit(0L)))
+      .head().getLong(0)
+    val due = latestMeta(modelDir) match {
+      case None => total > 0
+      case Some((_, lastTotal)) =>
+        total >= ((1 + cfg.growthFactor) * lastTotal).toLong
+    }
+    if (due) {
+      val v = latestMeta(modelDir).fold(0L)(_._1 + 1)
+      val merges = Bpe.learnMergesFromWordFreq(state, cfg.numMerges,
+        cfg.minCount)
+      Bpe.mergesDf(spark, merges).coalesce(1)
+        .write.mode("overwrite").parquet(s"$modelDir/v$v/merges.parquet")
+      commit(modelDir, v, total)
+    }
+    due
+  }
+
+  /** Attach to a streaming document source. */
+  def attach(docs: DataFrame, idCol: String, textCol: String,
+      stateDir: String, modelDir: String, checkpointDir: String,
+      cfg: Config = Config()): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, idCol, textCol, stateDir, modelDir, cfg)
+        ()
+      }
+      .start()
+}
