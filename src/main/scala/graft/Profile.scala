@@ -116,6 +116,28 @@ object Profile {
         }
         println(f"PROFILE fullgate TOTAL base=$tb%.1fs scaled=$ts%.1fs " +
           f"ratio=${ts / tb}%.1fx flagged=${flagged.mkString(",")}")
+      case s if s.startsWith("bpeprobe") =>
+        // BPE merge learning at synthetic-vocabulary scale (usage:
+        // bpeprobe[:vocabRows], default 1M distinct words). The claim under
+        // test: per-round cost is ONE aggregation over the vocab frame +
+        // a one-row collect, so learning scales linearly in vocab size and
+        // is independent of corpus size (the word-freq aggregation that
+        // feeds it is the only corpus-touching pass).
+        import org.apache.spark.sql.functions._
+        val vocabRows = s.split(':').drop(1).headOption.map(_.toLong)
+          .getOrElse(1000000L)
+        Seq(vocabRows / 10, vocabRows).foreach { n =>
+          val wf = spark.range(n).select(
+            // md5-hex words, length 8..15, freq from a Zipf-ish tail
+            expr("substr(md5(cast(id AS string)), 1, 8 + cast(id % 8 AS int))")
+              .as("word"),
+            (lit(1L) + col("id") % 97).as("freq"))
+          val t0 = System.nanoTime()
+          val merges = graft.ops.Bpe.learnMergesFromWordFreq(wf, numMerges = 30)
+          val t = (System.nanoTime() - t0) / 1e9
+          println(f"PROFILE bpeprobe vocab=$n merges=${merges.length} " +
+            f"learn=$t%.1fs per_round=${t / 30}%.2fs")
+        }
       case s if s.startsWith("scaleprobe") =>
         // similarity + scoring at generator scale (default 5M events,
         // 50k users × 1k items — ~75× the sf0.1 ratings volume; usage:

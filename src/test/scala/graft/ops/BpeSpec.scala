@@ -80,6 +80,32 @@ class BpeSpec extends SparkSpec {
     got shouldBe Seq(("b", 3L), ("aa", 2L), ("aaab", 1L))
   }
 
+  test("encoding is lossless: concatenating tokens reproduces the word, no empty tokens") {
+    val merges = Bpe.learnMerges(fixture, "doc_id", "text", numMerges = 4)
+    val flat = merges.flatMap(p => Seq(p._1, p._2))
+      .map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray
+    val alphabet = "ab01".toCharArray
+    // every word over {a,b,0,1} up to length 5 (exhaustive) + seeded longer
+    val short = (0 to 5).flatMap(len =>
+      Seq.fill(len)(alphabet.toSeq).foldLeft(Seq("")) {
+        (acc, cs) => acc.flatMap(p => cs.map(c => p + c))
+      })
+    val rnd = new scala.util.Random(7)
+    val long = Seq.fill(200)(
+      (0 until (6 + rnd.nextInt(18)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    (short ++ long).foreach { w =>
+      val toks = graft.functions.BpeUtil.encode(
+        org.apache.spark.unsafe.types.UTF8String.fromString(w), flat)
+      val strs = (0 until toks.numElements())
+        .map(i => toks.getUTF8String(i).toString)
+      withClue(s"word: '$w'") {
+        strs.mkString shouldBe w // lossless
+        strs.foreach(_ should not be empty)
+      }
+    }
+  }
+
   test("learned merges survive a persist/load round-trip in rank order") {
     val merges = Bpe.learnMerges(fixture, "doc_id", "text", numMerges = 4)
     val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
