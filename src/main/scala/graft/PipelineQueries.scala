@@ -334,6 +334,18 @@ object PipelineQueries {
           round(col("mean_lum"), 6).as("mean_lum"),
           round(col("mean_last"), 6).as("mean_last"))
     }),
+    // Audio twin of p_resize_features: decode + nearest-sample resample to
+    // 4 kHz (exact integer indexing), RMS of the RESAMPLED signal; oracle
+    // re-derives everything from the closed-form sample formula.
+    "p_resample_features" -> ((s, d) => {
+      val media = graft.ops.Multimodal.syntheticMedia(s, 200, kind = "audio")
+      graft.ops.Multimodal.resampleStats(media, tgtRate = 4000)
+        .select(col("media_id"),
+          col("src_rate").cast("long").as("src_rate"),
+          col("n_src").cast("long").as("n_src"),
+          col("n_out").cast("long").as("n_out"),
+          round(col("rms_resampled"), 6).as("rms_resampled"))
+    }),
     // Sketch-screened exact heavy hitters: the count-min sketch bounds which
     // tokens CAN reach the aggregation (no false negatives — CMS only
     // over-counts), the exact re-count drops its false positives; the Zipf
@@ -1098,6 +1110,36 @@ object PipelineQueries {
         |  CAST(n AS BIGINT) AS n_samples,
         |  round(n * 1000.0 / rate, 6) AS duration_ms,
         |  round(rms, 6) AS rms, round(peak, 6) AS peak
+        |FROM agg""".stripMargin,
+    // nearest-sample resample of the closed-form samples: n_out =
+    // n·4000/rate, src index = (j·n)//n_out — exact on both engines
+    "p_resample_features" ->
+      """WITH m AS (SELECT unnest(generate_series(0, 199)) AS media_id),
+        |params AS (
+        |  SELECT media_id, 8000 + (media_id % 5) * 2000 AS rate,
+        |         200 + ((media_id * 37) % 300) AS n
+        |  FROM m
+        |),
+        |outp AS (
+        |  SELECT media_id, rate, n, (n * 4000) // rate AS n_out FROM params
+        |),
+        |js AS (SELECT unnest(generate_series(0, 499)) AS j),
+        |smp AS (
+        |  SELECT o.media_id, o.rate, o.n, o.n_out,
+        |    ((((((j * o.n) // o.n_out) * 2957
+        |        + media_id * 6151
+        |        + (((j * o.n) // o.n_out) * ((j * o.n) // o.n_out) % 97) * 131)
+        |       % 65536) - 32768) / 32768.0) AS s
+        |  FROM outp o, js WHERE js.j < o.n_out
+        |),
+        |agg AS (
+        |  SELECT media_id, rate, n, n_out, sqrt(avg(s*s)) AS rms
+        |  FROM smp GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT CAST(media_id AS BIGINT) AS media_id,
+        |  CAST(rate AS BIGINT) AS src_rate, CAST(n AS BIGINT) AS n_src,
+        |  CAST(n_out AS BIGINT) AS n_out,
+        |  round(rms, 6) AS rms_resampled
         |FROM agg""".stripMargin,
     "p_heavy_hitters" ->
       """SELECT token, count(*) AS cnt

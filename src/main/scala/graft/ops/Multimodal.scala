@@ -403,6 +403,80 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** REAL batch audio resample (decode via the RIFF walker, then
+    * nearest-sample resample to `tgtRate`): out length = n·tgt/src and
+    * out[j] = src[(j·n)/nOut], both exact integer arithmetic — the audio
+    * twin of [[resizeImageBatch]], SQL-checkable for the same reason
+    * (an interpolating resampler's float kernel would not be).
+    * Output per clip: (src_rate, n_src, n_out, rms of the resampled
+    * signal, 2¹⁵-normalized).
+    */
+  def resampleAudioBatch(batch: Seq[Array[Byte]],
+      tgtRate: Int): Seq[(Int, Int, Int, Double)] =
+    batch.map { bytes =>
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+      require(bytes.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE",
+        "payload is not a RIFF/WAVE file")
+      var off = 12
+      var rate = -1
+      var dataOff = -1; var nSrc = -1
+      while (off + 8 <= bytes.length) {
+        val id = tag(off)
+        val sz = buf.getInt(off + 4)
+        require(sz >= 0 && off + 8 + sz <= bytes.length,
+          s"corrupt RIFF chunk '$id' at $off: size $sz exceeds payload")
+        if (id == "fmt ") {
+          require(buf.getShort(off + 8) == 1 && buf.getShort(off + 10) == 1 &&
+            buf.getShort(off + 22) == 16, "not mono PCM16")
+          rate = buf.getInt(off + 12)
+        } else if (id == "data") {
+          require(rate > 0, "data chunk before fmt")
+          dataOff = off + 8; nSrc = sz / 2
+        }
+        off += 8 + sz + (sz & 1)
+      }
+      require(nSrc >= 0, "no data chunk")
+      val nOut = (nSrc.toLong * tgtRate / rate).toInt
+      var j = 0
+      var sumSq = 0.0
+      while (j < nOut) {
+        val srcIdx = (j.toLong * nSrc / nOut).toInt
+        val s = buf.getShort(dataOff + srcIdx * 2) / 32768.0
+        sumSq += s * s
+        j += 1
+      }
+      (rate, nSrc, nOut, if (nOut > 0) math.sqrt(sumSq / nOut) else 0.0)
+    }
+
+  /** Batched partition-parallel decode + resample + stats — the
+    * [[audioStats]] shape with the resample step in the walker.
+    * Output: (media_id, src_rate, n_src, n_out, rms_resampled).
+    */
+  def resampleStats(media: DataFrame, tgtRate: Int,
+      batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("src_rate", IntegerType, nullable = false),
+      StructField("n_src", IntegerType, nullable = false),
+      StructField("n_out", IntegerType, nullable = false),
+      StructField("rms_resampled", DoubleType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rdd = media.queryExecution.toRdd.mapPartitions { iter =>
+      val rows = iter.map(ir => (ir.getLong(idIdx), ir.getBinary(payloadIdx)))
+      rows.grouped(batchSize).flatMap { batch =>
+        val stats = resampleAudioBatch(batch.map(_._2), tgtRate)
+        batch.lazyZip(stats).map { case ((id, _), (r, ns, no, rms)) =>
+          Row(id, r, ns, no, rms)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Batched partition-parallel REAL audio decode + per-clip stats — the
     * [[imageStats]] shape for the audio kind.
     * Output: (media_id, sample_rate, n_samples, duration_ms, rms, peak).

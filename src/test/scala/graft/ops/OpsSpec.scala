@@ -434,6 +434,37 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: resize and resample reproduce closed-form transforms") {
+    val imgs = Multimodal.syntheticMedia(spark, 20).repartition(4)
+    val rz = Multimodal.resizeStats(imgs, tw = 8, th = 8, batchSize = 7)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    for (i <- 0L until 20L) {
+      val (w, h) = Multimodal.synthDims(i)
+      val px = for (y <- 0 until 8; x <- 0 until 8)
+        yield Multimodal.synthPixel(i, x * w / 8, y * h / 8)
+      val (gw, gh, mr, mg, mb) = rz(i)
+      (gw, gh) shouldBe ((w, h))
+      mr shouldBe (px.map(_._1.toLong).sum / 64.0) +- 1e-12
+      mg shouldBe (px.map(_._2.toLong).sum / 64.0) +- 1e-12
+      mb shouldBe (px.map(_._3.toLong).sum / 64.0) +- 1e-12
+    }
+    val auds = Multimodal.syntheticMedia(spark, 20, kind = "audio").repartition(4)
+    val rs = Multimodal.resampleStats(auds, tgtRate = 4000, batchSize = 7)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getDouble(4))).toMap
+    for (i <- 0L until 20L) {
+      val (rate, n) = Multimodal.synthAudioParams(i)
+      val nOut = (n.toLong * 4000 / rate).toInt
+      val ss = (0 until nOut).map { j =>
+        Multimodal.synthSample(i, (j.toLong * n / nOut).toInt) / 32768.0
+      }
+      val (gr, gn, gno, grms) = rs(i)
+      (gr, gn, gno) shouldBe ((rate, n, nOut))
+      grms shouldBe math.sqrt(ss.map(s => s * s).sum / nOut) +- 1e-12
+    }
+  }
+
   test("multimodal: real GIF video decode reproduces closed-form frame stats") {
     val media = Multimodal.syntheticMedia(spark, 30, kind = "video").repartition(5)
     val got = Multimodal.videoStats(media, batchSize = 7).collect()
