@@ -407,6 +407,13 @@ object PipelineQueries {
     "p_bpe_token_freq" -> ((s, d) =>
       graft.ops.Bpe.tokenFreq(docs(s, d), "doc_id", "text",
         bpeMergesFor(s, d), topN = 30)),
+    // Integer token ids — the (encode ∘ vocabulary) composition a training
+    // pipeline consumes: alphabet chars take the low ids, merged symbols
+    // follow in rank order (duplicate strings keep the lowest id); the
+    // order-free per-doc id summary pins both halves jointly.
+    "p_bpe_ids" -> ((s, d) =>
+      graft.ops.Bpe.docTokenIds(docs(s, d), "doc_id", "text",
+        bpeMergesFor(s, d))),
     // Token-budget selection re-denominated in BPE tokens — the budget a
     // training pipeline actually spends. Same distributed prefix-sum
     // machinery as p_budget_select; only the token denomination changes.
@@ -1215,6 +1222,38 @@ object PipelineQueries {
          |)
          |SELECT d.doc_id, CAST(coalesce(dc.n, 0) AS BIGINT) AS n_bpe_tok
          |FROM documents d LEFT JOIN dc ON d.doc_id = dc.doc_id""".stripMargin,
+    "p_bpe_ids" ->
+      s"""WITH RECURSIVE $bpeEncodeCtes,
+         |chars AS (
+         |  SELECT DISTINCT unnest(string_split(word, '')) AS token FROM vocab
+         |),
+         |cand AS (
+         |  SELECT 0 AS grp, token, token AS o1, 0 AS o2 FROM chars
+         |  UNION ALL
+         |  SELECT 1, l || r, '', rank FROM m
+         |),
+         |numbered AS (
+         |  SELECT token, row_number() OVER (ORDER BY grp, o2, o1) - 1 AS id
+         |  FROM cand
+         |),
+         |ids AS (SELECT token, min(id) AS id FROM numbered GROUP BY token),
+         |toks AS (
+         |  SELECT word,
+         |    unnest(string_split(substr(s, 2, len(s) - 2), chr(3)||chr(2)))
+         |      AS token
+         |  FROM encoded
+         |),
+         |dt AS (
+         |  SELECT occ.doc_id, count(*) AS n_tok, sum(ids.id) AS id_sum,
+         |         min(ids.id) AS id_min, max(ids.id) AS id_max
+         |  FROM occ JOIN toks USING (word) JOIN ids USING (token)
+         |  GROUP BY 1
+         |)
+         |SELECT d.doc_id, CAST(coalesce(dt.n_tok, 0) AS BIGINT) AS n_tok,
+         |  CAST(coalesce(dt.id_sum, 0) AS BIGINT) AS id_sum,
+         |  CAST(coalesce(dt.id_min, -1) AS BIGINT) AS id_min,
+         |  CAST(coalesce(dt.id_max, -1) AS BIGINT) AS id_max
+         |FROM documents d LEFT JOIN dt ON d.doc_id = dt.doc_id""".stripMargin,
     "p_bpe_token_freq" ->
       s"""WITH RECURSIVE $bpeEncodeCtes,
          |toks AS (

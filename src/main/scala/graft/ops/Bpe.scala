@@ -144,6 +144,52 @@ object Bpe {
         coalesce(col("n_bpe_tok"), lit(0L)).as("n_bpe_tok"))
   }
 
+  /** The integer-id vocabulary a training pipeline consumes: alphabet
+    * symbols (the corpus's distinct single characters, sorted) take the
+    * low ids, merged symbols follow in rank order. Two rules CAN produce
+    * the same string (e.g. (a,bc) and (ab,c) both yield "abc"), so every
+    * candidate occupies an id slot and duplicate tokens keep their lowest
+    * id — deterministic and re-derivable from (corpus chars, merges) alone,
+    * which is what makes it oracle-able. Driver state is bounded by
+    * |alphabet| + numMerges, never the corpus.
+    */
+  def vocabulary(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): Seq[(String, Int)] = {
+    val chars = words(docs, idCol, textCol)
+      .select(explode(filter(split(col("word"), ""), x => x =!= "")).as("c"))
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    (chars ++ merges.map(p => p._1 + p._2)).zipWithIndex
+      .groupBy(_._1).view.mapValues(_.map(_._2).min)
+      .toSeq.sortBy(_._2)
+  }
+
+  /** Per-document id-space summary: (idCol, n_tok, id_sum, id_min,
+    * id_max) over the document's BPE token ids — order-free, so it pins
+    * the (encode ∘ vocabulary) composition without needing positional
+    * reproduction. Docs with no words: (0, 0, -1, -1).
+    */
+  def docTokenIds(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ids = vocabulary(docs, idCol, textCol, merges).toDF("token", "id")
+    val occ = words(docs, idCol, textCol)
+    val enc = encodeVocab(occ.select("word").distinct(), merges)
+      .select(col("word"), col("toks"))
+    val perDoc = occ.join(enc, Seq("word"))
+      .select(col(idCol), explode(col("toks")).as("token"))
+      .join(broadcast(ids), Seq("token"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tok"), sum(col("id")).as("id_sum"),
+        min(col("id")).cast("long").as("id_min"),
+        max(col("id")).cast("long").as("id_max"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        coalesce(col("id_sum"), lit(0L)).as("id_sum"),
+        coalesce(col("id_min"), lit(-1L)).as("id_min"),
+        coalesce(col("id_max"), lit(-1L)).as("id_max"))
+  }
+
   /** Corpus BPE-token frequency, top-N by (count desc, token). */
   def tokenFreq(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)], topN: Int): DataFrame = {

@@ -106,6 +106,23 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("vocabulary: alphabet first (sorted), merges in rank order, duplicates keep lowest id") {
+    val docs = Seq((1L, "aaab aab b")).toDF("doc_id", "text")
+    val merges = Seq(("a", "a"), ("a", "b"), ("aa", "ab"))
+    Bpe.vocabulary(docs, "doc_id", "text", merges) shouldBe
+      Seq(("a", 0), ("b", 1), ("aa", 2), ("ab", 3), ("aaab", 4))
+    // duplicate merged string: (a,ab) and (aa,b) both yield "aab" — every
+    // candidate occupies a slot, the duplicate keeps the LOWER id
+    val dup = Seq(("a", "a"), ("a", "ab"), ("aa", "b"))
+    Bpe.vocabulary(docs, "doc_id", "text", dup) shouldBe
+      Seq(("a", 0), ("b", 1), ("aa", 2), ("aab", 3)) // id 4 slot consumed, hidden
+    // id summaries compose encode and vocabulary: "aaab aab b" under the
+    // 3-rule table → [aaab] [aa, b] [b] → ids [4] [2, 1] [1]
+    val got = Bpe.docTokenIds(docs, "doc_id", "text", merges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    got shouldBe Array((1L, 4L, 8L, 1L, 4L))
+  }
+
   test("learned merges survive a persist/load round-trip in rank order") {
     val merges = Bpe.learnMerges(fixture, "doc_id", "text", numMerges = 4)
     val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
