@@ -63,6 +63,39 @@ class EdgeCaseSpec extends SparkSpec {
     Multimodal.decodeWavBatch(Seq(wav)) shouldBe Seq((8000, 0, 0.0, 0.0))
   }
 
+  test("round-5 ops on corrupt and degenerate inputs") {
+    // hostile WAV: negative chunk size must FAIL, not loop the executor
+    val wav = Multimodal.wavBytes(8000,
+      Array.tabulate(16)(t => Multimodal.synthSample(0L, t)))
+    val evil = wav.clone()
+    val dataSzOff = 40 // canonical layout: 'data' size field
+    java.nio.ByteBuffer.wrap(evil).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(dataSzOff, -8)
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodeWavBatch(Seq(evil))
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.resampleAudioBatch(Seq(evil), 4000)
+    // resample of a zero-sample clip: n_out 0, rms 0 — never a div by zero
+    Multimodal.resampleAudioBatch(
+      Seq(Multimodal.wavBytes(8000, Array.empty[Int])), 4000) shouldBe
+      Seq((8000, 0, 0, 0.0))
+    // truncated GIF: header survives but frame data is gone — error, not hang
+    val gif = Multimodal.gifBytes(Seq(new java.awt.image.BufferedImage(
+      4, 3, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)))
+    an[Exception] should be thrownBy
+      Multimodal.decodeGifBatch(Seq(gif.take(16)))
+    // BPE on an empty / wordless corpus: no merges, zero counts, no crash
+    Bpe.learnMerges(emptyDocs, "doc_id", "text", 10) shouldBe Seq.empty
+    Bpe.learnMerges(Seq((1L, "!!! ...")).toDF("doc_id", "text"),
+      "doc_id", "text", 10) shouldBe Seq.empty
+    val counts = Bpe.docTokenCounts(degenerate, "doc_id", "text", Seq.empty)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    counts.keySet shouldBe Set(1L, 2L, 3L, 4L)
+    // encoding with ZERO merges tokenizes to single characters
+    Bpe.encodeVocab(Seq("abc").toDF("word"), Seq.empty)
+      .select("toks").head().getSeq[String](0) shouldBe Seq("a", "b", "c")
+  }
+
   test("dedup family on empty and degenerate docs") {
     Dedup.exact(emptyDocs, Seq("text"), "doc_id").count() shouldBe 0L
     Dedup.exactByHash(emptyDocs, "text", "doc_id").count() shouldBe 0L
