@@ -235,6 +235,21 @@ object RelQueries {
                |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                |  count(*) AS n
                |FROM events GROUP BY event_type""".stripMargin),
+    // The modern semi-structured path: Spark 4 VARIANT (parse_json +
+    // variant_get typed extraction) over the same props column — the
+    // engine-native encoding that replaces per-row string re-parsing; the
+    // oracle is the identical json extraction.
+    "q_variant" -> Q(
+      spark = """SELECT event_type,
+                |  sum(variant_get(parse_json(props), '$.k', 'bigint')) AS sum_k,
+                |  CAST(max(variant_get(parse_json(props), '$.k', 'bigint')) AS BIGINT) AS max_k,
+                |  count(*) AS n
+                |FROM events GROUP BY event_type""".stripMargin,
+      duck = """SELECT event_type,
+               |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+               |  count(*) AS n
+               |FROM events GROUP BY event_type""".stripMargin),
     // Explicit GROUPING SETS (the general form behind ROLLUP/CUBE; PG 9.2
     // predates it but SetOp-composed reports are the same shape).
     "q_grouping_sets" -> q(
