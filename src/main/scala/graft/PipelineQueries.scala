@@ -318,6 +318,17 @@ object PipelineQueries {
           round(col("mean_g"), 6).as("mean_g"),
           round(col("mean_b"), 6).as("mean_b"))
     }),
+    // Decoded frame sampling: every 2nd frame of each real GIF clip, mean
+    // luminance per sampled frame — the frame-sample op proven against
+    // decoded content (the metadata-driven generator plans it; this walks
+    // the frames). Oracle = closed-form per-frame means at the stride.
+    "p_video_frames" -> ((s, d) => {
+      val media = graft.ops.Multimodal.syntheticMedia(s, 200, kind = "video")
+      graft.ops.Multimodal.sampleVideoFrames(media, stride = 2)
+        .select(col("media_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          round(col("mean_lum"), 6).as("mean_lum"))
+    }),
     // Video twin of p_media_features: REAL animated-GIF payloads (gray
     // palette — at most 256 colors, so the encode is exact by construction)
     // decoded frame-by-frame by the javax.imageio sequence reader; frame
@@ -1038,6 +1049,25 @@ object PipelineQueries {
         |  round(mr, 6) AS mean_r, round(mg, 6) AS mean_g,
         |  round(mb, 6) AS mean_b
         |FROM agg""".stripMargin,
+    // per-frame means at stride 2 from the closed-form pixels
+    "p_video_frames" ->
+      """WITH m AS (SELECT unnest(generate_series(0, 199)) AS media_id),
+        |p AS (
+        |  SELECT media_id, 6 + media_id % 5 AS w, 6 + (media_id * 3) % 5 AS h,
+        |         2 + (media_id * 11) % 6 AS nf
+        |  FROM m
+        |),
+        |xs AS (SELECT unnest(generate_series(0, 9)) AS i),
+        |fs AS (SELECT unnest(generate_series(0, 6)) AS f),
+        |px AS (
+        |  SELECT p.media_id, fs.f,
+        |         (x.i*31 + y.i*17 + fs.f*41 + p.media_id*13) % 256 AS v
+        |  FROM p, xs x, xs y, fs
+        |  WHERE x.i < p.w AND y.i < p.h AND fs.f < p.nf AND fs.f % 2 = 0
+        |)
+        |SELECT CAST(media_id AS BIGINT) AS media_id,
+        |  CAST(f AS BIGINT) AS frame_idx, round(avg(v), 6) AS mean_lum
+        |FROM px GROUP BY 1, 2""".stripMargin,
     // closed-form rendering of synthVideoPixel/synthVideoParams: the Spark
     // side must walk every frame of real GIF containers to reproduce these
     "p_video_features" ->

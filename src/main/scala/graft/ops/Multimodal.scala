@@ -376,6 +376,54 @@ object Multimodal {
       } finally { reader.dispose(); iis.close() }
     }
 
+  /** REAL frame sampling: decode every `stride`-th frame of the animated
+    * container and emit its mean luminance — the decoded counterpart of
+    * the metadata-driven [[sampleFrames]] generator (which plans the
+    * sampling without touching payloads; this one proves the frames).
+    * Output rows: (media_id, frame_idx, mean_lum).
+    */
+  def sampleVideoFrames(media: DataFrame, stride: Int,
+      batchSize: Int = 64): DataFrame = {
+    require(stride >= 1, "stride must be >= 1")
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("mean_lum", DoubleType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rdd = media.queryExecution.toRdd.mapPartitions { iter =>
+      val rows = iter.map(ir => (ir.getLong(idIdx), ir.getBinary(payloadIdx)))
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { case (id, bytes) =>
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          require(readers.hasNext, "payload is not a decodable image container")
+          val reader = readers.next()
+          reader.setInput(iis)
+          try {
+            val nf = reader.getNumImages(true)
+            (0 until nf by stride).map { f =>
+              val img = reader.read(f)
+              var s = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  s += (img.getRGB(x, y) >> 16) & 0xFF; x += 1
+                }
+                y += 1
+              }
+              Row(id, f, s.toDouble / (img.getWidth.toLong * img.getHeight))
+            }
+          } finally { reader.dispose(); iis.close() }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Batched partition-parallel REAL video decode + per-clip stats — the
     * [[imageStats]] shape for the video kind.
     * Output: (media_id, vid_w, vid_h, n_frames, mean_lum, mean_last).
