@@ -116,6 +116,29 @@ object Profile {
         }
         println(f"PROFILE fullgate TOTAL base=$tb%.1fs scaled=$ts%.1fs " +
           f"ratio=${ts / tb}%.1fx flagged=${flagged.mkString(",")}")
+      case s if s.startsWith("queries:") =>
+        // Focused base-vs-scaled timing of named SparkEntry queries (usage:
+        // queries:<name1,name2,...>[:mult]) — the fullgate protocol (cold
+        // cache per run) restricted to a subset, for iterating on flagged
+        // outliers without a full 118-gate sweep.
+        val parts = s.split(':')
+        val wanted = parts(1).split(',').toSeq
+        val mult = parts.drop(2).headOption.map(_.toInt).getOrElse(10)
+        val scaled = buildScaledDir(spark, sfDir, mult)
+        wanted.foreach { name =>
+          val fn = graft.SparkEntry.queries(name)
+          def timeq(dir: String): (Double, Long) = {
+            spark.catalog.clearCache()
+            val t0 = System.nanoTime()
+            val n = fn(spark, dir).count()
+            ((System.nanoTime() - t0) / 1e9, n)
+          }
+          val b = (1 to reps).map(_ => timeq(sfDir)._1).min
+          val runs = (1 to reps).map(_ => timeq(scaled))
+          val (sc, rows) = (runs.map(_._1).min, runs.head._2)
+          println(f"PROFILE queries $name base=$b%.2fs scaled=$sc%.2fs " +
+            f"rows=$rows ratio=${sc / b}%.1fx")
+        }
       case s if s.startsWith("bpeprobe") =>
         // BPE merge learning at synthetic-vocabulary scale (usage:
         // bpeprobe[:vocabRows], default 1M distinct words). The claim under

@@ -141,7 +141,13 @@ object RecQueries {
       val r = ratings(s, d)
       val minUser = r.agg(min(col("userid"))).head().getLong(0)
       val users = r.select(col("userid")).where(col("userid") === minUser).distinct()
-      round6(Scoring.userCF(r, Similarity.userCosine(r, c).cache(), c, Some(users)),
+      // restricted build: only model pairs touching the queried user — the
+      // slice this point query consumes, with bit-identical values (norms
+      // over the FULL table; Similarity.pairJoin). A single-user top-k must
+      // not pay the all-pairs users² build.
+      round6(Scoring.userCF(r,
+          Similarity.userCosine(r, c, restrictTo = Some(users)).cache(),
+          c, Some(users)),
         Seq("userid", "itemid"), "score")
         .orderBy(col("score").desc, col("itemid"))
         .limit(10)
@@ -225,7 +231,11 @@ object RecQueries {
       val minUser = r.agg(min(col("userid"))).head().getLong(0)
       val users = r.select(col("userid")).where(col("userid") === minUser).distinct()
       val is = Scoring.itemCF(r, Similarity.itemCosine(r, c).cache(), c, Some(users))
-      val us = Scoring.userCF(r, Similarity.userCosine(r, c).cache(), c, Some(users))
+      // user-based side: restricted to the blended query's single user (the
+      // exact slice consumed — values identical; see r_usercf_topk)
+      val us = Scoring.userCF(r,
+        Similarity.userCosine(r, c, restrictTo = Some(users)).cache(),
+        c, Some(users))
       is.as("a").join(us.as("b"), Seq("userid", "itemid"))
         .select(col("userid"), col("itemid"),
           round((is("score") + us("score")) / 2, 6).as("combined"))

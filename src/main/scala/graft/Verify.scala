@@ -5,7 +5,13 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional third arg: comma-separated name-prefix filter (local fast
+    // checks of one gate family; the driver always runs the full set)
+    val (sfDir, outDir) = (args(0), args(1))
+    val only: Option[Seq[String]] =
+      args.drop(2).headOption.map(_.split(',').toSeq)
+    def wanted(name: String): Boolean =
+      only.forall(_.exists(name.startsWith))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -17,7 +23,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(e => wanted(e._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -40,6 +46,7 @@ object Verify {
     // persisted (e.g. SVD factor tables), at a location keyed by the sf dir
     // only known here
     val json = SparkEntry.oracleSql
+      .filter(e => wanted(e._1))
       .map { case (k, v) =>
         val sql = v
           .replace("__SVD_FACTORS__", RecQueries.svdFactorBase(sfDir))

@@ -242,7 +242,17 @@ object Recommender {
           // identical OP_GENERATE queries share one entry. Long-lived
           // services should CREATE the recommender (materialized path)
           // rather than re-deriving per query.
-          case None => buildSimilarity(events, c, m).cache()
+          //
+          // A user-based OP_GENERATE with a user-qual pre-filter builds only
+          // the model slice the query consumes (pairs touching qualifying
+          // users — bit-identical values, see Similarity.pairJoin): a point
+          // query must never pay the all-pairs users² build (the reference's
+          // materialized path exists precisely so OP_GENERATE isn't the
+          // serving plan, parse_rec.c:586-589).
+          case None =>
+            val restrict = users.filter(_ => RecMethod.isUserBased(m))
+              .map(_.select(col(c.user)))
+            buildSimilarity(events, c, m, restrict).cache()
         }
         // catalog-hit entries carry corpus stats from CREATE time, making the
         // strategy pick pure (no jobs at plan-construction/EXPLAIN time)
@@ -391,11 +401,11 @@ object Recommender {
   }
 
   private[recdb] def buildSimilarity(events: DataFrame, c: EventCols,
-      m: RecMethod): DataFrame = m match {
-    case RecMethod.ItemCosCF => Similarity.itemCosine(events, c)
-    case RecMethod.ItemPearCF => Similarity.itemPearson(events, c)
-    case RecMethod.UserCosCF => Similarity.userCosine(events, c)
-    case RecMethod.UserPearCF => Similarity.userPearson(events, c)
+      m: RecMethod, restrictTo: Option[DataFrame] = None): DataFrame = m match {
+    case RecMethod.ItemCosCF => Similarity.itemCosine(events, c, restrictTo = restrictTo)
+    case RecMethod.ItemPearCF => Similarity.itemPearson(events, c, restrictTo = restrictTo)
+    case RecMethod.UserCosCF => Similarity.userCosine(events, c, restrictTo = restrictTo)
+    case RecMethod.UserPearCF => Similarity.userPearson(events, c, restrictTo = restrictTo)
     case RecMethod.SVD =>
       throw new IllegalStateException("SVD handled separately")
   }

@@ -161,24 +161,24 @@ object Similarity {
   }
 
   def itemCosine(ratings: DataFrame, c: EventCols = EventCols(),
-      strategy: String = "auto"): DataFrame =
+      strategy: String = "auto", restrictTo: Option[DataFrame] = None): DataFrame =
     build(ratings, joinKey = c.user, pairKey = c.item, c.rating,
-      "item1", "item2", pearsonMode = false, strategy)
+      "item1", "item2", pearsonMode = false, strategy, restrictTo)
 
   def userCosine(ratings: DataFrame, c: EventCols = EventCols(),
-      strategy: String = "auto"): DataFrame =
+      strategy: String = "auto", restrictTo: Option[DataFrame] = None): DataFrame =
     build(ratings, joinKey = c.item, pairKey = c.user, c.rating,
-      "user1", "user2", pearsonMode = false, strategy)
+      "user1", "user2", pearsonMode = false, strategy, restrictTo)
 
   def itemPearson(ratings: DataFrame, c: EventCols = EventCols(),
-      strategy: String = "auto"): DataFrame =
+      strategy: String = "auto", restrictTo: Option[DataFrame] = None): DataFrame =
     build(ratings, joinKey = c.user, pairKey = c.item, c.rating,
-      "item1", "item2", pearsonMode = true, strategy)
+      "item1", "item2", pearsonMode = true, strategy, restrictTo)
 
   def userPearson(ratings: DataFrame, c: EventCols = EventCols(),
-      strategy: String = "auto"): DataFrame =
+      strategy: String = "auto", restrictTo: Option[DataFrame] = None): DataFrame =
     build(ratings, joinKey = c.item, pairKey = c.user, c.rating,
-      "user1", "user2", pearsonMode = true, strategy)
+      "user1", "user2", pearsonMode = true, strategy, restrictTo)
 
   /** Physical strategy dispatch. "join" = sparse co-rating self-join (the
     * unbounded-scale path: cost tracks actual co-ratings, one shuffle on the
@@ -193,7 +193,15 @@ object Similarity {
     */
   private def build(r: DataFrame, joinKey: String, pairKey: String,
       rating: String, out1: String, out2: String, pearsonMode: Boolean,
-      strategy: String): DataFrame = {
+      strategy: String, restrictTo: Option[DataFrame] = None): DataFrame = {
+    // A restricted build (only pairs touching `restrictTo` keys — the exact
+    // model slice a point query consumes) always takes the sparse join: the
+    // dense path's whole design is enumerating ALL n²/2 candidate pairs,
+    // which is precisely the work the restriction exists to avoid.
+    if (restrictTo.isDefined)
+      return (
+        if (pearsonMode) pearson(r, joinKey, pairKey, rating, out1, out2, restrictTo)
+        else cosine(r, joinKey, pairKey, rating, out1, out2, restrictTo))
     val dense = strategy match {
       case "dense" => true
       case "join" => false
@@ -292,10 +300,11 @@ object Similarity {
 
   /** sim(a,b) = dot(a,b) / (‖a‖·‖b‖) over co-rating keys (recathon.c:1353-1367). */
   private def cosine(r: DataFrame, joinKey: String, pairKey: String,
-      rating: String, out1: String, out2: String): DataFrame = {
+      rating: String, out1: String, out2: String,
+      restrictTo: Option[DataFrame] = None): DataFrame = {
     val norms = r.groupBy(col(pairKey).as("p"))
       .agg(sqrt(sum(col(rating) * col(rating))).as("nrm"))
-    val dots = coPairs(r, joinKey, pairKey, rating)
+    val dots = coPairs(r, joinKey, pairKey, rating, restrictTo)
       .groupBy("p1", "p2")
       .agg(sum(col("r1") * col("r2")).as("dot"))
     dots
@@ -312,7 +321,8 @@ object Similarity {
     * and is dropped by the != 0 filter, matching the reference's ==0 skip.
     */
   private def pearson(r: DataFrame, joinKey: String, pairKey: String,
-      rating: String, out1: String, out2: String): DataFrame = {
+      rating: String, out1: String, out2: String,
+      restrictTo: Option[DataFrame] = None): DataFrame = {
     val stats = r.groupBy(col(pairKey).as("p")).agg(avg(col(rating)).as("mean"))
     val centered = r
       .join(stats, col(pairKey) === col("p"))
@@ -320,11 +330,11 @@ object Similarity {
         (col(rating) - col("mean")).as("c"))
     val pinfo = centered.groupBy(col("pk").as("p"))
       .agg(sqrt(sum(col("c") * col("c"))).as("pp"))
-    val a = centered.select(col("k"), col("pk").as("p1"), col("c").as("c1"))
-    val b = centered.select(col("k"), col("pk").as("p2"), col("c").as("c2"))
-    val dots = a.join(b, Seq("k")).where(col("p1") < col("p2"))
+    val a = centered.select(col("k"), col("pk").as("p1"), col("c").as("r1"))
+    val b = centered.select(col("k"), col("pk").as("p2"), col("c").as("r2"))
+    val dots = pairJoin(a, b, restrictTo)
       .groupBy("p1", "p2")
-      .agg(sum(col("c1") * col("c2")).as("dot"))
+      .agg(sum(col("r1") * col("r2")).as("dot"))
     val denomGuarded = when(col("pp1") * col("pp2") === 0d, lit(null))
       .otherwise(col("dot") / (col("pp1") * col("pp2")))
     dots
@@ -338,9 +348,45 @@ object Similarity {
     * reference's "only worry about half the model" (recathon.c:3053-3057).
     */
   private def coPairs(r: DataFrame, joinKey: String, pairKey: String,
-      rating: String): DataFrame = {
+      rating: String, restrictTo: Option[DataFrame] = None): DataFrame = {
     val a = r.select(col(joinKey).as("k"), col(pairKey).as("p1"), col(rating).as("r1"))
     val b = r.select(col(joinKey).as("k"), col(pairKey).as("p2"), col(rating).as("r2"))
-    a.join(b, Seq("k")).where(col("p1") < col("p2"))
+    pairJoin(a, b, restrictTo)
+  }
+
+  /** The pairwise co-rating join, optionally RESTRICTED to pairs with at
+    * least one endpoint in `restrictTo` (first column = entity key) — the
+    * exact model slice a point query's scoring consumes (the user-qual
+    * pre-filter, SURVEY.md §4.2.4, applied to the MODEL build). Each kept
+    * unordered pair is emitted exactly once in triangular (p1 < p2) order:
+    * side `a` is pruned to restricted entities, side `b` carries a
+    * membership flag, and a directional row survives when p1 < p2 or when
+    * p2 is outside the restriction (so a (restricted, unrestricted) pair
+    * with the larger id on the restricted side isn't lost, and a
+    * (restricted, restricted) pair isn't double-counted). The value columns
+    * r1/r2 may swap entities under the least/greatest normalization —
+    * downstream only consumes the commutative product r1·r2.
+    *
+    * Aggregate values are computed from the SAME full-table stats as the
+    * unrestricted build (norms/means enter later), so every kept similarity
+    * is bit-identical to the full model's — restriction changes which rows
+    * exist, never their values. Cost: O(restricted events ⋈ events) instead
+    * of all-pairs; `restrictTo` is broadcast (it is structurally small — it
+    * exists because a point query selected few entities).
+    */
+  private def pairJoin(a: DataFrame, b: DataFrame,
+      restrictTo: Option[DataFrame]): DataFrame = restrictTo match {
+    case None => a.join(b, Seq("k")).where(col("p1") < col("p2"))
+    case Some(keys) =>
+      val ks = keys.select(col(keys.columns.head).as("p1")).distinct()
+      val ra = a.join(broadcast(ks), Seq("p1"), "semi")
+      val fb = b.join(
+        broadcast(ks.select(col("p1").as("p2"), lit(true).as("__ink"))),
+        Seq("p2"), "left")
+      ra.join(fb, Seq("k"))
+        .where(col("p1") =!= col("p2") &&
+          (col("p1") < col("p2") || col("__ink").isNull))
+        .select(col("k"), least(col("p1"), col("p2")).as("p1"),
+          greatest(col("p1"), col("p2")).as("p2"), col("r1"), col("r2"))
   }
 }

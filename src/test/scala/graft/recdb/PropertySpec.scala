@@ -82,6 +82,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("restricted build == full build filtered to pairs touching the keys") {
+    for (seed <- 1 to 3; keys <- Seq(Seq(1L), Seq(2L, 5L, 7L))) {
+      val df = randomEvents(seed).toDF("userid", "itemid", "rating")
+      val keyDf = keys.toDF("userid")
+      for ((full, restricted, name) <- Seq(
+          (Similarity.userCosine(df, c),
+            Similarity.userCosine(df, c, restrictTo = Some(keyDf)), "userCos"),
+          (Similarity.userPearson(df, c),
+            Similarity.userPearson(df, c, restrictTo = Some(keyDf)), "userPear"),
+          (Similarity.itemCosine(df, c),
+            Similarity.itemCosine(df, c, restrictTo = Some(keyDf)), "itemCos"),
+          (Similarity.itemPearson(df, c),
+            Similarity.itemPearson(df, c, restrictTo = Some(keyDf)), "itemPear"))) {
+        val f = modelMap(full).filter { case ((a, b), _) =>
+          keys.contains(a) || keys.contains(b) }
+        val r = modelMap(restricted)
+        withClue(s"$name seed $seed keys $keys: ") {
+          r.keySet shouldBe f.keySet
+          // same arithmetic over the same full-table stats; last-ULP slack
+          // only for the plan-dependent partial-aggregation order (the same
+          // slack the dense/sparse equivalence carries) — far inside the
+          // round-6 tolerance every gate hashes at
+          f.foreach { case (k, v) => r(k) shouldBe v +- 1e-12 }
+        }
+      }
+    }
+  }
+
   test("bounds: cosine ∈ (0,1], Pearson ∈ [-1,1] \\ {0}") {
     for (seed <- 1 to 5) {
       val df = randomEvents(seed).toDF("userid", "itemid", "rating")
