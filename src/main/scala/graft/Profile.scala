@@ -149,6 +149,7 @@ object Profile {
         import org.apache.spark.sql.functions._
         val vocabRows = s.split(':').drop(1).headOption.map(_.toLong)
           .getOrElse(1000000L)
+        val nMerges = s.split(':').drop(2).headOption.map(_.toInt).getOrElse(30)
         Seq(vocabRows / 10, vocabRows).foreach { n =>
           val wf = spark.range(n).select(
             // md5-hex words, length 8..15, freq from a Zipf-ish tail
@@ -156,10 +157,12 @@ object Profile {
               .as("word"),
             (lit(1L) + col("id") % 97).as("freq"))
           val t0 = System.nanoTime()
-          val merges = graft.ops.Bpe.learnMergesFromWordFreq(wf, numMerges = 30)
+          val merges = graft.ops.Bpe.learnMergesFromWordFreq(wf, nMerges)
           val t = (System.nanoTime() - t0) / 1e9
+          val rounds = graft.ops.Bpe.lastLearnRounds
           println(f"PROFILE bpeprobe vocab=$n merges=${merges.length} " +
-            f"learn=$t%.1fs per_round=${t / 30}%.2fs")
+            f"rounds=$rounds merges_per_round=${merges.length.toDouble / rounds}%.1f " +
+            f"learn=$t%.1fs per_merge=${t / merges.length}%.3fs")
         }
       case s if s.startsWith("scaleprobe") =>
         // similarity + scoring at generator scale (default 5M events,
@@ -728,7 +731,23 @@ object Profile {
     val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft_fullgate_${mult}x_" +
         java.lang.Integer.toHexString(sfDir.hashCode)).toString
-    if (new java.io.File(s"$out/_DONE").exists()) return out
+    // the _DONE marker carries a fingerprint of the SOURCE data (file
+    // names + sizes + mtimes — metadata only, no jobs): a regenerated sf
+    // dir must invalidate the replica, or the fullgate ratio silently
+    // compares against mismatched data
+    val fingerprint = Option(new java.io.File(sfDir).listFiles())
+      .map(_.filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .flatMap { f =>
+          val inner = Option(f.listFiles()).map(_.sortBy(_.getName).map(p =>
+            s"${p.getName}:${p.length}:${p.lastModified}").mkString(","))
+            .getOrElse(s"${f.length}:${f.lastModified}")
+          Seq(s"${f.getName}[$inner]")
+        }.mkString("|"))
+      .getOrElse("")
+    val marker = new java.io.File(s"$out/_DONE")
+    if (marker.exists() &&
+        java.nio.file.Files.readString(marker.toPath) == fingerprint)
+      return out
     graft.Exec.deletePath(out)
     new java.io.File(out).mkdirs()
     def maxOf(df: DataFrame, c: String): Long =
@@ -793,7 +812,8 @@ object Profile {
       .withColumn("vec_id", col("vec_id") + lit(c * sVec))
       .withColumn("embedding", F.expr(
         s"transform(embedding, x -> cast(x + $c * 1e-4 AS float))")))
-    new java.io.FileOutputStream(s"$out/_DONE").close()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$out/_DONE"), fingerprint)
     out
   }
     spark.stop()

@@ -113,11 +113,15 @@ case class BpeMergePassExpr(child: Expression, l: String, r: String)
   * with the learned merge table embedded — rules apply once each in rank
   * order (see [[BpeUtil]] for the equivalence argument).
   */
-case class BpeEncodeExpr(child: Expression, merges: Array[String])
+case class BpeEncodeExpr(child: Expression, merges: Seq[String])
     extends UnaryExpression {
+  // Seq, not Array: case-class equality on an Array field is by reference,
+  // which would make structurally identical encode expressions compare
+  // unequal — breaking canonicalization, subexpression elimination, and
+  // plan-level cache dedup for every BPE query.
   require(merges.length % 2 == 0, "merges must be flat (l, r) pairs")
   @transient private lazy val mergesU: Array[UTF8String] =
-    merges.map(UTF8String.fromString)
+    merges.iterator.map(UTF8String.fromString).toArray
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_bpe_encode"
@@ -146,5 +150,5 @@ object BpeFns {
     */
   def encodeNative(word: Column, merges: Seq[(String, String)]): Column =
     ColumnShim.column(BpeEncodeExpr(ColumnShim.expression(word),
-      merges.iterator.flatMap(p => Iterator(p._1, p._2)).toArray))
+      merges.iterator.flatMap(p => Iterator(p._1, p._2)).toVector))
 }

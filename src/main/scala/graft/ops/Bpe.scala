@@ -51,10 +51,10 @@ object Bpe {
     * Returns rules in rank order.
     */
   def learnMerges(docs: DataFrame, idCol: String, textCol: String,
-      numMerges: Int, minCount: Long = 2L,
-      checkpointEvery: Int = 8): Seq[(String, String)] =
+      numMerges: Int, minCount: Long = 2L, checkpointEvery: Int = 8,
+      batchLimit: Int = 64): Seq[(String, String)] =
     learnMergesFromWordFreq(wordFreq(docs, idCol, textCol), numMerges,
-      minCount, checkpointEvery)
+      minCount, checkpointEvery, batchLimit)
 
   /** Learn from an already-aggregated (word, freq) frame. The word-freq
     * table is the EXACT sufficient statistic for BPE learning (pair counts
@@ -62,23 +62,80 @@ object Bpe {
     * maintenance exact: merge per-batch word counts, relearn from the
     * merged state — never re-tokenize the corpus
     * ([[graft.streaming.BpeMaintainer]]).
+    *
+    * BATCHED rounds: one pair aggregation can safely yield MANY merges, not
+    * one — a 32k-merge production vocabulary must not cost 32k sequential
+    * driver round-trips. Per round the ranked pair list is scanned greedily
+    * and a prefix is accepted under rules that make the batch PROVABLY
+    * order-equivalent to applying the same rules in as many sequential
+    * rounds (`batchLimit = 1` degenerates to the classic loop):
+    *
+    *   1. accepted pairs are mutually SYMBOL-DISJOINT — merging (l,r)
+    *      only changes counts of pairs sharing l or r (their occurrences
+    *      overlap a merged occurrence), so each accepted pair still holds
+    *      its measured count at its virtual sequential step;
+    *   2. the scan STOPS AT THE FIRST CONFLICT — every pair whose count
+    *      can decrease, and every bound on a merge's OFFSPRING pairs
+    *      (count(X, lr) ≤ count(X, l); count(lr, Y) ≤ count(r, Y);
+    *      count(lr, lr) ≤ count(r, l) — each bounding pair shares a symbol
+    *      with (l,r)), then sits at or below the conflict's count;
+    *   3. a SELF-pair (l,l) is the one case where an offspring's bounding
+    *      pair is the accepted pair itself: greedy left-to-right merging of
+    *      an m-run leaves ≤ ⌈count/2⌉ offspring adjacencies ((ll,ll) and
+    *      trailing (ll,l)), so ⌈count(l,l)/2⌉ joins the bound;
+    *   4. accepted pairs after the first must exceed the bound STRICTLY —
+    *      a residual pair tie resolves by rank order exactly like the
+    *      sequential tie-break, but an offspring tie would compare against
+    *      a symbol string that did not exist at ranking time.
+    *
+    * Rule 2 is TIGHT, not conservative: a pair ranked below the first
+    * conflict cannot be accepted soundly from pair counts alone — the
+    * conflicting pair's count may have decreased by as little as zero
+    * occurrences (sharing a symbol does not force sharing occurrences), so
+    * the sequential argmax at that virtual step could still be the
+    * conflicting pair. Proving otherwise needs occurrence-level overlap
+    * (triple/quadruple adjacency counts), not the pair table. Exact
+    * batching therefore collapses rounds by the conflict-free prefix
+    * length (~3-5× on natural alphabets, where top pairs share letters).
+    *
+    * `exact = false` trades the equivalence guarantee for round count: the
+    * scan SKIPS conflicting pairs and keeps accepting lower-ranked disjoint
+    * pairs, so a round yields up to `batchLimit` merges (32k merges ≈
+    * hundreds of rounds, not 32k). The result is a valid BPE merge table —
+    * every rule's operands predate the batch, so rank-order encoding and
+    * losslessness hold unchanged — but merge RANKS can deviate from the
+    * sequential trainer's wherever a skipped pair would have out-counted a
+    * batch-mate after the preceding merges. Gates and specs pin the exact
+    * default; the aggressive mode is the documented 100 TB-scale option.
+    *
+    * BpeSpec checks batched == sequential on fixtures; the bpeprobe
+    * harness measures the round collapse at vocabulary scale.
     */
   def learnMergesFromWordFreq(wf: DataFrame, numMerges: Int,
-      minCount: Long = 2L, checkpointEvery: Int = 8): Seq[(String, String)] = {
+      minCount: Long = 2L, checkpointEvery: Int = 8,
+      batchLimit: Int = 64, exact: Boolean = true): Seq[(String, String)] = {
     var vocab = wf
       .select(col("freq"),
         filter(split(col("word"), ""), x => x =!= "").as("syms"))
       .where(size(col("syms")) >= 2)
       .localCheckpoint() // one corpus pass, materialized once
     // the iteration's per-round cost at SMALL vocabularies is pure task
-    // overhead (numMerges × a 32-task job over a handful of rows) — shrink
+    // overhead (rounds × a 32-task job over a handful of rows) — shrink
     // the layout to one partition when the vocab fits it; large
     // vocabularies keep the distributed layout
     if (vocab.count() < 100000L)
       vocab = vocab.coalesce(1).localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var sinceCheckpoint = 0
+    var rounds = 0
     var done = false
     while (!done && merges.length < numMerges) {
+      rounds += 1
+      val want = math.min(batchLimit, numMerges - merges.length)
+      // enough ranked rows to always see the first non-accepted pair (the
+      // bound) past a full batch; a truncated-list scan that accepts every
+      // collected row can only happen on a COMPLETE tiny pair table, where
+      // the bound is legitimately zero
       val top = vocab
         .select(col("freq"),
           slice(col("syms"), lit(1), size(col("syms")) - 1).as("ls"),
@@ -87,22 +144,62 @@ object Bpe {
         .groupBy(col("p.ls").as("l"), col("p.rs").as("r"))
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("l"), col("r"))
-        .limit(1).collect()
+        .limit(want * 3 + 8).collect()
       if (top.isEmpty || top.head.getLong(2) < minCount) done = true
       else {
-        val (l, r) = (top.head.getString(0), top.head.getString(1))
-        merges += ((l, r))
-        vocab = vocab.select(col("freq"),
-          BpeFns.mergePassNative(col("syms"), l, r).as("syms"))
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        val used = scala.collection.mutable.HashSet.empty[String]
+        var selfBound = 0L
+        var bound = 0L // count of the first non-accepted ranked pair
+        var stop = false
+        val it = top.iterator
+        while (!stop && it.hasNext) {
+          val row = it.next()
+          val (l, r, cnt) = (row.getString(0), row.getString(1), row.getLong(2))
+          if (cnt < minCount) stop = true // sub-minCount pairs never applied
+          else if (accepted.length >= want) { bound = cnt; stop = true }
+          else if (used(l) || used(r) ||
+              (accepted.nonEmpty && cnt <= selfBound)) {
+            if (exact) { bound = cnt; stop = true }
+            // aggressive mode: skip the conflict, keep scanning — the pair
+            // stays in the table for the next round's (updated) ranking
+          } else {
+            accepted += ((l, r, cnt))
+            used += l; used += r
+            if (l == r) selfBound = math.max(selfBound, (cnt + 1) / 2)
+          }
+        }
+        // rule 4 (exact mode): the batch head is the true argmax (real
+        // tie-break); the tail must beat the bound strictly
+        val batch =
+          if (exact) accepted.head +:
+            accepted.tail.takeWhile(_._3 > math.max(bound, selfBound))
+          else accepted.toSeq
+        batch.foreach { case (l, r, _) => merges += ((l, r)) }
+        // one map-side projection applies the whole batch in rank order
+        // (disjoint rules — identical to sequential passes)
+        val merged = batch.foldLeft(col("syms")) {
+          case (c, (l, r, _)) => BpeFns.mergePassNative(c, l, r)
+        }
+        vocab = vocab.select(col("freq"), merged.as("syms"))
           .where(size(col("syms")) >= 2)
-        // truncate the growing merge-pass chain so round M's aggregation
-        // doesn't recompute rounds 1..M-1 (and the plan stays shallow)
-        if (merges.length % checkpointEvery == 0)
+        // truncate the growing merge-pass chain so a round's aggregation
+        // doesn't recompute prior rounds (and codegen stays shallow)
+        sinceCheckpoint += batch.length
+        if (sinceCheckpoint >= checkpointEvery) {
           vocab = vocab.localCheckpoint()
+          sinceCheckpoint = 0
+        }
       }
     }
+    lastLearnRounds = rounds
     merges.toSeq
   }
+
+  /** Driver round-trips (pair aggregations) of the most recent learn on
+    * this thread — diagnostic hook for the batching probe/specs.
+    */
+  @volatile private[graft] var lastLearnRounds: Int = 0
 
   /** Rank-ordered merges as a frame (rank, l, r, merged) — the persistable
     * artifact an oracle (or another engine) re-applies. Columns are `l`/`r`

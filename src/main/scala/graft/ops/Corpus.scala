@@ -147,11 +147,18 @@ object Corpus {
       qualityCol: String, budget: Long, buckets: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
+    // localCheckpoint, NOT cache: the driver-computed offsets are baked
+    // into the plan per __pid, so the partitions the window later reads
+    // must be the EXACT materialized ones — a cache eviction would silently
+    // recompute, and range-boundary sampling + intra-partition row order
+    // after upstream shuffles are not guaranteed stable across recomputes
+    // (a mismatch would corrupt cum_tok, not fail). Checkpoint blocks are
+    // freed by the ContextCleaner when the result's plan is GC'd.
     val keyed = docs.select(col(idCol), col(tokensCol).cast("long").as("__tok"),
         (-col(qualityCol).cast("double")).as("__nq"))
       .repartitionByRange(buckets, col("__nq"), col(idCol))
       .withColumn("__pid", spark_partition_id())
-      .cache()
+      .localCheckpoint()
     val partSums = keyed.groupBy("__pid").agg(sum(col("__tok")).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 until buckets).scanLeft(0L) {
@@ -163,13 +170,8 @@ object Corpus {
     }
     val w = Window.partitionBy(col("__pid"))
       .orderBy(col("__nq"), col(idCol))
-    val out = keyed.withColumn("cum_tok", sum(col("__tok")).over(w) + offCol)
+    keyed.withColumn("cum_tok", sum(col("__tok")).over(w) + offCol)
       .where(col("cum_tok") <= budget)
       .select(col(idCol), col("cum_tok"))
-    // keyed's cache is released when the caller drops the result (GC-tied);
-    // a post-release recompute re-derives identical range boundaries (the
-    // RangePartitioner's sampling seeds are deterministic per partition), so
-    // the __pid-keyed offsets stay valid
-    graft.Exec.releaseOnUnreachable(out, keyed)
   }
 }

@@ -388,17 +388,40 @@ object GraftSql {
   // reference's messages (parse_rec.c:130-133 intoClause,
   // parse_rec.c:147-150 lockingClause)
   private val IntoRe = """(?is)\bINTO\s+\w""".r
-  private val LockingRe = """(?is)\bFOR\s+(UPDATE|SHARE)\b""".r
+  // PG's lockingClause trails the statement: FOR UPDATE/SHARE [OF cols]
+  // [NOWAIT] then end — the paren-free tail anchor keeps a
+  // `PIVOT (... FOR update IN (...))` after the clause from tripping it
+  private val LockingRe = """(?is)\bFOR\s+(UPDATE|SHARE)\b[\w\s.,]*;?\s*$""".r
+
+  /** Blank parenthesized regions (preserving length) so statement-LEVEL
+    * clause scans can't match inside subqueries or function arguments.
+    */
+  private[sql] def maskParens(s: String): String = {
+    val out = s.toCharArray
+    var depth = 0
+    var i = 0
+    while (i < out.length) {
+      val c = out(i)
+      if (c == '(') { depth += 1; out(i) = ' ' }
+      else if (c == ')') { depth = math.max(0, depth - 1); out(i) = ' ' }
+      else if (depth > 0) out(i) = ' '
+      i += 1
+    }
+    new String(out)
+  }
 
   private[sql] def validateStatementText(masked: String, fromStart: Int,
       clauseEnd: Int): Unit = {
+    // both scans look at TOP-LEVEL text only: a scalar subquery in the
+    // SELECT list carrying its own FROM/INTO must not shift the scan
+    val top = maskParens(masked)
     // intoClause sits between SELECT and FROM; an INSERT INTO prefix is a
     // different statement kind and not the reference's intoClause
-    if (!masked.matches("(?is)\\s*INSERT\\b.*") &&
-        IntoRe.findFirstIn(masked.substring(0, fromStart)).isDefined)
+    if (!top.matches("(?is)\\s*INSERT\\b.*") &&
+        IntoRe.findFirstIn(top.substring(0, fromStart)).isDefined)
       syntaxError("RECOMMEND clause is not allowed with INTO clause")
     // lockingClause trails the statement
-    if (LockingRe.findFirstIn(masked.substring(clauseEnd)).isDefined)
+    if (LockingRe.findFirstIn(top.substring(clauseEnd)).isDefined)
       syntaxError("RECOMMEND clause is not allowed with FOR clause")
   }
 

@@ -33,6 +33,38 @@ class BpeSpec extends SparkSpec {
       Seq(("a", "a"), ("a", "b"), ("aa", "ab"))
   }
 
+  test("batched merge rounds == sequential rounds (closed-form fixture)") {
+    // the fixture's pairs all interact (shared a/aa/b symbols), so batching
+    // must degenerate to near-sequential acceptance and still agree exactly
+    val seq1 = Bpe.learnMerges(fixture, "doc_id", "text", numMerges = 10,
+      batchLimit = 1)
+    val batched = Bpe.learnMerges(fixture, "doc_id", "text", numMerges = 10,
+      batchLimit = 64)
+    batched shouldBe seq1
+  }
+
+  test("batched merge rounds == sequential rounds (real text, 200 merges)") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val seq1 = Bpe.learnMerges(docs, "doc_id", "text", numMerges = 200,
+      batchLimit = 1)
+    val batched = Bpe.learnMerges(docs, "doc_id", "text", numMerges = 200)
+    batched shouldBe seq1
+  }
+
+  test("batched merges handle the self-pair offspring hazard") {
+    // 'b b b b ...' runs: merging (b,b) spawns (bb,bb) with up to half the
+    // count — a naive symbol-disjoint batch would also accept a weaker
+    // disjoint pair (x,y) that sequential BPE ranks BELOW the offspring
+    val docs = (Seq.fill(8)("b" * 9) ++ Seq.fill(3)("xy")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val seq1 = Bpe.learnMerges(docs, "doc_id", "text", numMerges = 6,
+      batchLimit = 1)
+    val batched = Bpe.learnMerges(docs, "doc_id", "text", numMerges = 6)
+    batched shouldBe seq1
+  }
+
   test("merge pass: leftmost, non-overlapping, continue-after-match") {
     val df = Seq(
       (1L, Seq("a", "a", "a", "a")),
