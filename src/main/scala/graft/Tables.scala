@@ -11,8 +11,29 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  def read(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def read(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** The driver's generated `events.ts` has shipped as both TIMESTAMP(NANOS)
+    * (read by Spark as LONG ns under nanosAsLong) and TIMESTAMP(MICROS)
+    * (read as TimestampType). Downstream queries assume a LONG of epoch
+    * nanoseconds, so widen a TimestampType ts to that representation; the
+    * DuckDB oracle's `epoch_us(ts)` is precision-agnostic on its side.
+    */
+  private def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampType) =>
+        df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case Some(TimestampNTZType) =>
+        // every entry point pins spark.sql.session.timeZone=UTC, so the
+        // NTZ→TZ cast is instant-preserving (wall time == UTC instant)
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case _ => df
+    }
+  }
 
   /** Per-(sf dir, process) key for gate-persisted artifacts under /tmp:
     * concurrent runs — even at the same scale factor — get disjoint
