@@ -53,8 +53,6 @@ object Bench {
         System.err.println(f"[bench] load-noise on $n: pass1=$a%.2fs pass2=$b%.2fs")
       n -> math.min(a, b)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // The workload metrics build their own materialized state; the 90+ gate
     // queries' leftover cached frames only add GC pressure and run-to-run
@@ -64,9 +62,36 @@ object Bench {
     val tkqps = workloadTopkQps(spark, sfDir)
     val ups = sweepUsersPerSec(spark, sfDir)
     val vqps = viewQps(spark, sfDir)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""workload_qps":$qps,"workload_topk_qps":$tkqps,"workload_view_qps":$vqps,""" +
-      s""""workload_sweep_users_per_sec":$ups,"sf":"$sfDir"}""")
+    val workloads = s""""workload_qps":$qps,"workload_topk_qps":$tkqps,""" +
+      s""""workload_view_qps":$vqps,"workload_sweep_users_per_sec":$ups"""
+    // Full-precision per-query map → a repo file (the end-of-round snapshot
+    // commits it), because the driver keeps only the LAST 2000 chars of
+    // stdout: the one-line-with-all-118-queries format overflowed that
+    // window every round, truncating the JSON head and leaving the driver's
+    // parse null. Stdout gets a compact line that provably fits: total,
+    // per-family subtotals, the full RecDB (r_*) per-query map — the
+    // family BASELINE.md's protocol actually describes — the 10 slowest
+    // queries overall, and the four workload metrics.
+    val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,""" +
+        s"""$workloads,"sf":"$sfDir"}""" + "\n")
+    def f3(v: Double): String = f"$v%.3f"
+    val recQs = results.filter(_._1.startsWith("r_"))
+      .map { case (k, v) => s"\"$k\":${f3(v)}" }.mkString("{", ",", "}")
+    val fams = results.groupBy(_._1.takeWhile(_ != '_'))
+      .toSeq.sortBy(_._1)
+      .map { case (p, rs) => s"\"$p\":${f3(rs.map(_._2).sum)}" }
+      .mkString("{", ",", "}")
+    val slowest = results.sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"$k\":${f3(v)}" }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
+      s""""queries":$recQs,"families":$fams,"slowest":$slowest,""" +
+      s"""$workloads,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
+    if (line.length > 1800) System.err.println(
+      s"[bench] WARNING compact line ${line.length} chars — may truncate")
+    println(line)
     spark.stop()
   }
 

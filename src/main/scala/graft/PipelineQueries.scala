@@ -56,6 +56,39 @@ object PipelineQueries {
       m
     })
 
+  /** Mixed-script corpus for the byte-level BPE gates: deterministic
+    * non-ASCII phrases (Latin diacritics, Cyrillic, CJK — 1-, 2- and 3-byte
+    * UTF-8) spliced per doc_id onto the ASCII documents, so byte fallback
+    * and multi-byte merges do real work. One Scala Seq is the single source
+    * of truth — the oracle SQL renders the SAME literals.
+    */
+  private[graft] val MixedPhrases = Seq(
+    " déjà vu café naïve café",
+    " москва и мир москва",
+    " 東京と京都と東京",
+    " münchen straße über münchen")
+
+  private def mixedDocs(s: SparkSession, d: String): DataFrame =
+    docs(s, d).withColumn("text",
+      concat(col("text"), element_at(
+        array(MixedPhrases.map(lit): _*),
+        (col("doc_id") % MixedPhrases.length + 1).cast("int"))))
+
+  private[graft] def mixedSqlList: String =
+    MixedPhrases.map(p => s"'$p'").mkString("[", ", ", "]")
+
+  private val bpeByteMergesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+
+  private def bpeByteMergesFor(s: SparkSession, d: String): Seq[(String, String)] =
+    bpeByteMergesCache.computeIfAbsent(d, _ => {
+      val m = graft.ops.Bpe.learnMerges(mixedDocs(s, d), "doc_id", "text",
+        numMerges = 40, byteLevel = true)
+      graft.ops.Bpe.mergesDf(s, m).coalesce(1).write.mode("overwrite")
+        .parquet(bpeArtifactBase(d) + "/merges_bytes")
+      m
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_dedup_exact" -> ((s, d) =>
       Dedup.exact(docs(s, d), Seq("text"), "doc_id")
@@ -437,6 +470,32 @@ object PipelineQueries {
       Corpus.selectWithinBudget(withTok.join(q, Seq("doc_id")),
         "doc_id", "n_bpe_tok", "quality", budget = 20000L)
     }),
+    // BYTE-LEVEL BPE over a mixed-script corpus — the tokenizer mode real
+    // training pipelines budget in: symbols are UTF-8 bytes (hex-pair
+    // rendering), so ANY script tokenizes (total byte fallback) and the
+    // alphabet is bounded at 256. Merges learned on the byte frame of the
+    // spliced corpus, persisted; oracle re-applies them over DuckDB's
+    // identical hex(encode(word)) rendering.
+    "p_bpe_bytes_encode" -> ((s, d) =>
+      graft.ops.Bpe.docTokenCounts(mixedDocs(s, d), "doc_id", "text",
+        bpeByteMergesFor(s, d), byteLevel = true)),
+    // Byte-token Zipf head: top-30 byte-level BPE tokens (hex strings —
+    // merged tokens span multi-byte UTF-8 sequences).
+    "p_bpe_bytes_freq" -> ((s, d) =>
+      graft.ops.Bpe.tokenFreq(mixedDocs(s, d), "doc_id", "text",
+        bpeByteMergesFor(s, d), topN = 30, byteLevel = true)),
+    // Token-budget selection denominated in byte-level BPE tokens: the
+    // non-ASCII splices contribute REAL token mass (the word model counted
+    // them as zero — exactly the gap this mode closes).
+    "p_bpe_bytes_budget" -> ((s, d) => {
+      val base = mixedDocs(s, d)
+      val withTok = graft.ops.Bpe.docTokenCounts(base, "doc_id", "text",
+        bpeByteMergesFor(s, d), byteLevel = true)
+      val q = docs(s, d).select(col("doc_id"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      Corpus.selectWithinBudget(withTok.join(q, Seq("doc_id")),
+        "doc_id", "n_bpe_tok", "quality", budget = 25000L)
+    }),
     // Canonical ingest normalization (native NFC codegen expression +
     // whitespace collapse + trim), exercised on a deterministically
     // "dirtied" input: combining-accent sequence + tab/newline runs spliced
@@ -597,6 +656,45 @@ object PipelineQueries {
       |  FROM enc e JOIN m ON m.rank = e.rk + 1
       |),
       |encoded AS (SELECT word, s FROM enc WHERE rk = (SELECT count(*) FROM m))"""
+      .stripMargin
+
+  /** Byte-level twin of [[bpeEncodeCtes]]: words are whitespace-delimited
+    * runs of the MIXED corpus (case/script preserved), symbols are UTF-8
+    * bytes via hex(encode(word)) chunked in twos — byte-identical to the
+    * Spark expression's rendering. Markers chr(2)/chr(3) cannot collide
+    * with hex text. Yields `mixed`, `occB`, `encodedB`.
+    */
+  private def bpeBytesCtes: String =
+    s"""mixed AS (
+      |  SELECT doc_id,
+      |    text || ($mixedSqlList)[CAST(doc_id % ${MixedPhrases.length} AS INT) + 1]
+      |      AS text
+      |  FROM documents
+      |),
+      |mB AS (SELECT rank, l, r FROM '__BPE_ARTIFACTS__/merges_bytes/*.parquet'),
+      |occB AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS word
+      |  FROM mixed
+      |),
+      |vocabB AS (SELECT DISTINCT word FROM occB),
+      |wrappedB AS (
+      |  SELECT word,
+      |    chr(2) ||
+      |    array_to_string(regexp_extract_all(hex(encode(word)), '..'),
+      |      chr(3)||chr(2)) ||
+      |    chr(3) AS s
+      |  FROM vocabB
+      |),
+      |encB AS (
+      |  SELECT word, s, 0 AS rk FROM wrappedB
+      |  UNION ALL
+      |  SELECT e.word,
+      |    replace(e.s, chr(2)||m.l||chr(3)||chr(2)||m.r||chr(3),
+      |            chr(2)||m.l||m.r||chr(3)),
+      |    e.rk + 1
+      |  FROM encB e JOIN mB m ON m.rank = e.rk + 1
+      |),
+      |encodedB AS (SELECT word, s FROM encB WHERE rk = (SELECT count(*) FROM mB))"""
       .stripMargin
 
   private def qualityCtes: String = {

@@ -54,12 +54,40 @@ object BpeUtil {
     */
   def encode(word: UTF8String, merges: Array[UTF8String]): ArrayData = {
     val s = word.toString
-    var syms: Array[UTF8String] = new Array[UTF8String](s.length)
+    val syms: Array[UTF8String] = new Array[UTF8String](s.length)
     var i = 0
     while (i < s.length) {
       syms(i) = UTF8String.fromString(String.valueOf(s.charAt(i)))
       i += 1
     }
+    new GenericArrayData(applyMerges(syms, merges).asInstanceOf[Array[Any]])
+  }
+
+  private val HexDigits = "0123456789ABCDEF".toCharArray
+
+  /** Byte-level encode: symbols are the word's UTF-8 bytes rendered as
+    * uppercase hex pairs ("C3", "A9", …) — a bounded 256-symbol alphabet
+    * with total byte fallback (ANY script tokenizes), and a rendering DuckDB
+    * reproduces exactly via hex(encode(word)). Merged symbols concatenate to
+    * longer even-length hex strings; the original word is recoverable by
+    * unhexing the concatenation, so encoding stays lossless.
+    */
+  def encodeBytes(word: UTF8String, merges: Array[UTF8String]): ArrayData = {
+    val bytes = word.getBytes
+    val syms: Array[UTF8String] = new Array[UTF8String](bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      syms(i) = UTF8String.fromString(
+        new String(Array(HexDigits(b >>> 4), HexDigits(b & 0xf))))
+      i += 1
+    }
+    new GenericArrayData(applyMerges(syms, merges).asInstanceOf[Array[Any]])
+  }
+
+  private def applyMerges(syms0: Array[UTF8String],
+      merges: Array[UTF8String]): Array[UTF8String] = {
+    var syms = syms0
     var m = 0
     while (m < merges.length && syms.length >= 2) {
       val l = merges(m); val r = merges(m + 1)
@@ -78,7 +106,7 @@ object BpeUtil {
       if (fired) syms = java.util.Arrays.copyOf(out, w)
       m += 2
     }
-    new GenericArrayData(syms.asInstanceOf[Array[Any]])
+    syms
   }
 }
 
@@ -113,7 +141,8 @@ case class BpeMergePassExpr(child: Expression, l: String, r: String)
   * with the learned merge table embedded — rules apply once each in rank
   * order (see [[BpeUtil]] for the equivalence argument).
   */
-case class BpeEncodeExpr(child: Expression, merges: Seq[String])
+case class BpeEncodeExpr(child: Expression, merges: Seq[String],
+    byteLevel: Boolean = false)
     extends UnaryExpression {
   // Seq, not Array: case-class equality on an Array field is by reference,
   // which would make structurally identical encode expressions compare
@@ -127,13 +156,15 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[String])
   override def prettyName: String = "graft_bpe_encode"
 
   override def nullSafeEval(a: Any): Any =
-    BpeUtil.encode(a.asInstanceOf[UTF8String], mergesU)
+    if (byteLevel) BpeUtil.encodeBytes(a.asInstanceOf[UTF8String], mergesU)
+    else BpeUtil.encode(a.asInstanceOf[UTF8String], mergesU)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val mRef = ctx.addReferenceObj("bpeMerges", mergesU,
       "org.apache.spark.unsafe.types.UTF8String[]")
+    val fn = if (byteLevel) "encodeBytes" else "encode"
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.BpeUtil.encode($c, $mRef)")
+      s"graft.functions.BpeUtil.$fn($c, $mRef)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeEncodeExpr =
@@ -146,9 +177,11 @@ object BpeFns {
     ColumnShim.column(BpeMergePassExpr(ColumnShim.expression(syms), l, r))
 
   /** Full BPE encode of a word column with an embedded rank-ordered merge
-    * table (flattened (l, r) pairs).
+    * table (flattened (l, r) pairs). `byteLevel` switches symbols from
+    * single characters to UTF-8 hex-pair bytes.
     */
-  def encodeNative(word: Column, merges: Seq[(String, String)]): Column =
+  def encodeNative(word: Column, merges: Seq[(String, String)],
+      byteLevel: Boolean = false): Column =
     ColumnShim.column(BpeEncodeExpr(ColumnShim.expression(word),
-      merges.iterator.flatMap(p => Iterator(p._1, p._2)).toVector))
+      merges.iterator.flatMap(p => Iterator(p._1, p._2)).toVector, byteLevel))
 }

@@ -32,16 +32,48 @@ object Bpe {
 
   val WordPattern = "[a-z0-9]+"
 
-  /** One row per word OCCURRENCE: (idCol, word). */
-  def words(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  /** Byte-level pre-tokenization: whitespace-delimited runs, case and
+    * script preserved (raw bytes ARE the alphabet — lowercasing would
+    * bake locale-dependent Unicode case folding into the byte stream).
+    * `\S` is ASCII-whitespace-complement in both Java regex and RE2, so
+    * the DuckDB oracle segments identically.
+    */
+  val ByteWordPattern = "\\S+"
+
+  /** One row per word OCCURRENCE: (idCol, word). Byte mode keeps raw
+    * whitespace-delimited runs; word mode keeps lowercase ASCII
+    * alphanumeric runs (the marker-delimited oracle rendering relies on
+    * symbol text never colliding with the control-char markers — hex pairs
+    * and [a-z0-9] both satisfy that).
+    */
+  def words(docs: DataFrame, idCol: String, textCol: String,
+      byteLevel: Boolean = false): DataFrame = {
+    // function API, not expr(): the \S in ByteWordPattern must reach the
+    // regex engine verbatim, and SQL string literals eat the backslash
+    val (src, pat) =
+      if (byteLevel) (col(textCol), ByteWordPattern)
+      else (lower(col(textCol)), WordPattern)
     docs.select(col(idCol),
-        explode(expr(s"regexp_extract_all(lower($textCol), '$WordPattern', 0)"))
-          .as("word"))
+        explode(regexp_extract_all(src, lit(pat), lit(0))).as("word"))
       .where(col("word") =!= "")
+  }
 
   /** The distinct-word frame with occurrence counts: (word, freq). */
-  def wordFreq(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    words(docs, idCol, textCol).groupBy("word").agg(count(lit(1)).as("freq"))
+  def wordFreq(docs: DataFrame, idCol: String, textCol: String,
+      byteLevel: Boolean = false): DataFrame =
+    words(docs, idCol, textCol, byteLevel)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** The word→symbol-sequence decomposition learning runs on: single
+    * characters (word mode) or UTF-8 bytes as uppercase hex pairs (byte
+    * mode — `hex(encode(word))` chunked in twos, exactly DuckDB's
+    * `hex(encode(word))` rendering, so oracles re-derive the same
+    * alphabet).
+    */
+  private def symsCol(byteLevel: Boolean) =
+    if (byteLevel)
+      expr("regexp_extract_all(hex(encode(word, 'UTF-8')), '..', 0)")
+    else filter(split(col("word"), ""), x => x =!= "")
 
   /** Learn `numMerges` merge rules by iterative pair counting. Per round:
     * explode adjacent symbol pairs weighted by word frequency, aggregate,
@@ -52,9 +84,10 @@ object Bpe {
     */
   def learnMerges(docs: DataFrame, idCol: String, textCol: String,
       numMerges: Int, minCount: Long = 2L, checkpointEvery: Int = 8,
-      batchLimit: Int = 64): Seq[(String, String)] =
-    learnMergesFromWordFreq(wordFreq(docs, idCol, textCol), numMerges,
-      minCount, checkpointEvery, batchLimit)
+      batchLimit: Int = 64, byteLevel: Boolean = false): Seq[(String, String)] =
+    learnMergesFromWordFreq(wordFreq(docs, idCol, textCol, byteLevel),
+      numMerges, minCount, checkpointEvery, batchLimit,
+      byteLevel = byteLevel)
 
   /** Learn from an already-aggregated (word, freq) frame. The word-freq
     * table is the EXACT sufficient statistic for BPE learning (pair counts
@@ -113,10 +146,10 @@ object Bpe {
     */
   def learnMergesFromWordFreq(wf: DataFrame, numMerges: Int,
       minCount: Long = 2L, checkpointEvery: Int = 8,
-      batchLimit: Int = 64, exact: Boolean = true): Seq[(String, String)] = {
+      batchLimit: Int = 64, exact: Boolean = true,
+      byteLevel: Boolean = false): Seq[(String, String)] = {
     var vocab = wf
-      .select(col("freq"),
-        filter(split(col("word"), ""), x => x =!= "").as("syms"))
+      .select(col("freq"), symsCol(byteLevel).as("syms"))
       .where(size(col("syms")) >= 2)
       .localCheckpoint() // one corpus pass, materialized once
     // the iteration's per-round cost at SMALL vocabularies is pure task
@@ -221,17 +254,19 @@ object Bpe {
   /** Encoded vocabulary: (word, toks ARRAY<STRING>, n_tok). Encoding runs
     * once per DISTINCT word regardless of corpus size.
     */
-  def encodeVocab(vocab: DataFrame, merges: Seq[(String, String)]): DataFrame =
-    vocab.withColumn("toks", BpeFns.encodeNative(col("word"), merges))
+  def encodeVocab(vocab: DataFrame, merges: Seq[(String, String)],
+      byteLevel: Boolean = false): DataFrame =
+    vocab.withColumn("toks",
+        BpeFns.encodeNative(col("word"), merges, byteLevel))
       .withColumn("n_tok", size(col("toks")))
 
   /** Per-document BPE token counts: (idCol, n_bpe_tok); zero-word docs kept
     * at 0.
     */
   def docTokenCounts(docs: DataFrame, idCol: String, textCol: String,
-      merges: Seq[(String, String)]): DataFrame = {
-    val occ = words(docs, idCol, textCol)
-    val enc = encodeVocab(occ.select("word").distinct(), merges)
+      merges: Seq[(String, String)], byteLevel: Boolean = false): DataFrame = {
+    val occ = words(docs, idCol, textCol, byteLevel)
+    val enc = encodeVocab(occ.select("word").distinct(), merges, byteLevel)
       .select(col("word"), col("n_tok"))
     val counts = occ.join(enc, Seq("word"))
       .groupBy(idCol).agg(sum(col("n_tok")).as("n_bpe_tok"))
@@ -289,9 +324,10 @@ object Bpe {
 
   /** Corpus BPE-token frequency, top-N by (count desc, token). */
   def tokenFreq(docs: DataFrame, idCol: String, textCol: String,
-      merges: Seq[(String, String)], topN: Int): DataFrame = {
-    val occ = words(docs, idCol, textCol)
-    val enc = encodeVocab(occ.select("word").distinct(), merges)
+      merges: Seq[(String, String)], topN: Int,
+      byteLevel: Boolean = false): DataFrame = {
+    val occ = words(docs, idCol, textCol, byteLevel)
+    val enc = encodeVocab(occ.select("word").distinct(), merges, byteLevel)
       .select(col("word"), col("toks"))
     occ.join(enc, Seq("word"))
       .select(explode(col("toks")).as("token"))
