@@ -1415,6 +1415,51 @@ object PipelineQueries {
          |    sum(dcall.n) OVER (ORDER BY q.quality DESC, q.doc_id) AS cum_tok
          |  FROM q JOIN dcall USING (doc_id))
          |WHERE cum_tok <= 20000""".stripMargin,
+    "p_bpe_bytes_encode" ->
+      s"""WITH RECURSIVE $bpeBytesCtes,
+         |ntok AS (
+         |  SELECT word, len(s) - len(replace(s, chr(2), '')) AS nt
+         |  FROM encodedB
+         |),
+         |dc AS (
+         |  SELECT occB.doc_id, sum(nt) AS n
+         |  FROM occB JOIN ntok USING (word) GROUP BY 1
+         |)
+         |SELECT d.doc_id, CAST(coalesce(dc.n, 0) AS BIGINT) AS n_bpe_tok
+         |FROM documents d LEFT JOIN dc ON d.doc_id = dc.doc_id""".stripMargin,
+    "p_bpe_bytes_freq" ->
+      s"""WITH RECURSIVE $bpeBytesCtes,
+         |toks AS (
+         |  SELECT word,
+         |    unnest(string_split(substr(s, 2, len(s) - 2), chr(3)||chr(2)))
+         |      AS token
+         |  FROM encodedB
+         |)
+         |SELECT token, count(*) AS n
+         |FROM occB JOIN toks USING (word)
+         |GROUP BY token
+         |ORDER BY n DESC, token
+         |LIMIT 30""".stripMargin,
+    "p_bpe_bytes_budget" ->
+      s"""WITH RECURSIVE $qualityCtes,
+         |$bpeBytesCtes,
+         |ntok AS (
+         |  SELECT word, len(s) - len(replace(s, chr(2), '')) AS nt
+         |  FROM encodedB
+         |),
+         |dc AS (
+         |  SELECT occB.doc_id, sum(nt) AS n
+         |  FROM occB JOIN ntok USING (word) GROUP BY 1
+         |),
+         |dcall AS (
+         |  SELECT d.doc_id, coalesce(dc.n, 0) AS n
+         |  FROM documents d LEFT JOIN dc ON d.doc_id = dc.doc_id
+         |)
+         |SELECT doc_id, CAST(cum_tok AS BIGINT) AS cum_tok FROM (
+         |  SELECT q.doc_id,
+         |    sum(dcall.n) OVER (ORDER BY q.quality DESC, q.doc_id) AS cum_tok
+         |  FROM q JOIN dcall USING (doc_id))
+         |WHERE cum_tok <= 25000""".stripMargin,
     "p_normalize" ->
       """SELECT doc_id,
         |  trim(regexp_replace(nfc_normalize(

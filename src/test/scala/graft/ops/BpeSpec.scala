@@ -161,4 +161,57 @@ class BpeSpec extends SparkSpec {
     Bpe.mergesDf(spark, merges).write.parquet(s"$dir/merges")
     Bpe.loadMerges(spark, s"$dir/merges") shouldBe merges
   }
+
+  // ---- byte-level mode ----
+
+  private def byteFixture =
+    // "ss" → UTF-8 73 73 dominates; "ß" (C3 9F) and "é" (C3 A9) share the
+    // C3 lead byte so multi-byte merges and shared prefixes both occur
+    (Seq.fill(4)("ssß") ++ Seq.fill(3)("ssé") ++ Seq.fill(2)("Straße"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("byte mode: closed-form merge sequence over UTF-8 hex symbols") {
+    // occurrences: ssß=4 [73 73 C3 9F], ssé=3 [73 73 C3 A9],
+    //              Straße=2 [53 74 72 61 C3 9F 65]
+    // round 1: (73,73) 4+3=7 wins (others ≤ 6)
+    val m = Bpe.learnMerges(byteFixture, "doc_id", "text", numMerges = 2,
+      byteLevel = true)
+    m.head shouldBe ("73", "73")
+    // (C3,9F): 4+2=6 beats (7373,C3): 7? no — (7373,C3) count is 7.
+    // pairs after r1: ssß=[7373,C3,9F], ssé=[7373,C3,A9] → (7373,C3)=7
+    m(1) shouldBe ("7373", "C3")
+  }
+
+  test("byte mode: total fallback — any script tokenizes, counts = UTF-8 bytes with no merges") {
+    val docs = Seq((0L, "東京 мир"), (1L, "𝄞 clef")).toDF("doc_id", "text")
+    val got = Bpe.docTokenCounts(docs, "doc_id", "text", Seq.empty,
+      byteLevel = true).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // 東京 = 2×3 bytes, мир = 3×2 bytes → 12; 𝄞 = 4 bytes, clef = 4 → 8
+    got shouldBe Array((0L, 12L), (1L, 8L))
+  }
+
+  test("byte mode: encoding is lossless — unhexing concatenated tokens reproduces the word") {
+    val merges = Bpe.learnMerges(byteFixture, "doc_id", "text",
+      numMerges = 6, byteLevel = true)
+    val enc = Bpe.encodeVocab(
+      Bpe.words(byteFixture, "doc_id", "text", byteLevel = true)
+        .select("word").distinct(),
+      merges, byteLevel = true)
+      .select(col("word"), concat_ws("", col("toks")).as("hexcat"))
+      .collect()
+    enc should not be empty
+    enc.foreach { r =>
+      val bytes = r.getString(1).grouped(2)
+        .map(Integer.parseInt(_, 16).toByte).toArray
+      new String(bytes, "UTF-8") shouldBe r.getString(0)
+    }
+  }
+
+  test("byte mode: case and script are preserved (no lowercasing of the byte stream)") {
+    val docs = Seq((0L, "AB ab")).toDF("doc_id", "text")
+    val words = Bpe.words(docs, "doc_id", "text", byteLevel = true)
+      .select("word").collect().map(_.getString(0)).sorted
+    words shouldBe Array("AB", "ab")
+  }
 }
