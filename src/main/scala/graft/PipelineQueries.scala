@@ -322,6 +322,21 @@ object PipelineQueries {
         .groupBy("media_id").agg(count(lit(1)).as("n_frames_sampled"))
       stats.join(frames, Seq("media_id"))
     }),
+    // REAL media featurizer — the embedding-extraction slot made live:
+    // seeded random projection of the DECODED raster (integer-exact
+    // accumulation, one final division), producing the ARRAY<DOUBLE>
+    // embedding frame ANN/centroids/quantization consume straight from raw
+    // media. The oracle recomputes the projection from the closed-form
+    // pixels — a fake decode or a wrong projection cannot pass. Exploded to
+    // (media_id, k, v) for the value-level hash compare.
+    "p_media_embed" -> ((s, d) => {
+      val media = graft.ops.Multimodal.syntheticMedia(s, 200)
+      graft.ops.Multimodal.imageEmbedding(media, dim = 8, seed = 42L)
+        .select(col("media_id"),
+          posexplode(col("embedding")).as(Seq("k", "v")))
+        .select(col("media_id"), col("k").cast("long").as("k"),
+          round(col("v"), 6).as("v"))
+    }),
     // Audio twin of p_media_features: REAL RIFF/WAVE PCM16 payloads decoded
     // by the pure-JVM chunk walker; rate/length/RMS/peak re-derived by the
     // oracle from the closed-form sample formula — a wrong decode cannot
@@ -1221,6 +1236,34 @@ object PipelineQueries {
         |  round(mb, 6) AS mean_b,
         |  CAST(4 AS BIGINT) AS n_frames_sampled
         |FROM agg""".stripMargin,
+    "p_media_embed" ->
+      """WITH m AS (SELECT unnest(generate_series(0, 199)) AS media_id),
+        |dims AS (
+        |  SELECT media_id, 8 + (media_id % 9) AS w,
+        |         8 + ((media_id * 7) % 9) AS h
+        |  FROM m
+        |),
+        |xs AS (SELECT unnest(generate_series(0, 16)) AS i),
+        |ks AS (SELECT unnest(generate_series(0, 7)) AS k),
+        |px AS (
+        |  SELECT d.media_id, d.w, d.h, x.i AS x, y.i AS y,
+        |    (x.i*31 + y.i*17 + d.media_id*13) % 256 AS pr,
+        |    (x.i*7 + y.i*29 + d.media_id*3) % 256 AS pg,
+        |    (x.i*11 + y.i*5 + d.media_id*23) % 256 AS pb
+        |  FROM dims d, xs x, xs y
+        |  WHERE x.i < d.w AND y.i < d.h
+        |),
+        |emb AS (
+        |  SELECT media_id, k,
+        |    sum(pr * (((x*1009 + y*2003 + k*4001 + 42) % 97) - 48)
+        |      + pg * (((x*1009 + y*2003 + 3001 + k*4001 + 42) % 97) - 48)
+        |      + pb * (((x*1009 + y*2003 + 6002 + k*4001 + 42) % 97) - 48))
+        |      / (48.0 * w * h) AS v
+        |  FROM px, ks GROUP BY media_id, k, w, h
+        |)
+        |SELECT CAST(media_id AS BIGINT) AS media_id, CAST(k AS BIGINT) AS k,
+        |  round(v, 6) AS v
+        |FROM emb""".stripMargin,
     "p_audio_features" ->
       """WITH m AS (SELECT unnest(generate_series(0, 199)) AS media_id),
         |params AS (

@@ -19,11 +19,14 @@ import org.apache.spark.sql.types._
   * walker — a real multi-frame container, n_frames derived from content),
   * each verified against a closed-form oracle over the synthetic payloads.
   *
-  * The STUBBED part: learned-embedding extraction needs model weights +
-  * codecs this container doesn't ship, so [[decodeBatchStub]] produces
-  * deterministic fake feature vectors derived from the payload bytes. Swap
-  * `decodeBatchStub` for a real JNI/FFI batch decoder at deployment;
-  * nothing else changes.
+  * Embedding extraction: [[imageEmbedding]] is a REAL featurizer — a
+  * seeded random projection of the decoded raster (integer-exact linear
+  * algebra, oracle-gated end-to-end), producing the `embedding
+  * ARRAY<DOUBLE>` frame the ANN / centroid / quantization ops consume
+  * directly from raw media. A LEARNED encoder still needs model weights
+  * this container doesn't ship: swap [[projWeight]] for model weights (or
+  * [[decodeBatchStub]] for a JNI/FFI codec+model call) at deployment;
+  * the decode, batch shape, and output contract don't change.
   */
 object Multimodal {
 
@@ -547,6 +550,78 @@ object Multimodal {
         batch.lazyZip(stats).map { case ((id, _), (rate, n, rms, peak)) =>
           Row(id, rate, n, n * 1000.0 / rate, rms, peak)
         }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Seeded-random-projection weight for (k, x, y, c) — the closed-form
+    * pseudo-random matrix the REAL featurizer projects decoded pixels
+    * through. Integer arithmetic with non-negative operands, so a SQL
+    * oracle reproduces it exactly: values span [-48, 48].
+    */
+  def projWeight(k: Int, x: Int, y: Int, c: Int, seed: Long): Long =
+    ((x.toLong * 1009L + y.toLong * 2003L + c.toLong * 3001L +
+      k.toLong * 4001L + seed) % 97L) - 48L
+
+  /** REAL deterministic featurizer over the DECODED raster — closes the
+    * learned-embedding stub with linear algebra instead of model weights:
+    * embedding[k] = Σ_{x,y,c} pixel(x,y,c) · projWeight(k,x,y,c) /
+    * (48 · w · h). The accumulation stays in INTEGER space (pixel and
+    * weight are both integers), so the sum is exact and order-free — one
+    * float division at the end makes the value reproducible bit-for-bit by
+    * any engine, any partitioning. A real learned encoder swaps in by
+    * replacing the weight function with model weights; the decode, batch
+    * shape, and output contract are already what it needs.
+    */
+  def imageEmbeddingBatch(batch: Seq[Array[Byte]], dim: Int,
+      seed: Long): Seq[Array[Double]] =
+    batch.map { bytes =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "payload is not a decodable image")
+      val w = img.getWidth
+      val h = img.getHeight
+      val acc = new Array[Long](dim)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          val r = (p >> 16) & 0xFF; val g = (p >> 8) & 0xFF; val b = p & 0xFF
+          var k = 0
+          while (k < dim) {
+            acc(k) += r * projWeight(k, x, y, 0, seed) +
+              g * projWeight(k, x, y, 1, seed) +
+              b * projWeight(k, x, y, 2, seed)
+            k += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      val norm = 48.0 * w * h
+      acc.map(_ / norm)
+    }
+
+  /** Batched partition-parallel REAL image embedding:
+    * (media_id, embedding ARRAY<DOUBLE>) from raw payloads — the frame the
+    * ANN / centroid / quantization ops consume, end-to-end from raw media.
+    * Same execution shape as [[extractFeatures]]; no shuffle, no driver
+    * payloads.
+    */
+  def imageEmbedding(media: DataFrame, dim: Int = 16, seed: Long = 42L,
+      batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(DoubleType, containsNull = false))))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rdd = media.queryExecution.toRdd.mapPartitions { iter =>
+      val rows = iter.map(ir => (ir.getLong(idIdx), ir.getBinary(payloadIdx)))
+      rows.grouped(batchSize).flatMap { batch =>
+        val embs = imageEmbeddingBatch(batch.map(_._2), dim, seed)
+        batch.lazyZip(embs).map { case ((id, _), e) => Row(id, e.toSeq) }
       }
     }
     spark.createDataFrame(rdd, outSchema)

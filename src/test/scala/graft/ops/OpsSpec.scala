@@ -496,4 +496,46 @@ class OpsSpec extends SparkSpec {
         Multimodal.syntheticMedia(spark, 3, kind = "audio")).collect()
     }
   }
+
+  test("multimodal: featurizer embeddings match the closed form and feed ANN end-to-end") {
+    val dim = 8; val seed = 42L
+    val media = Multimodal.syntheticMedia(spark, 40).repartition(6)
+    val emb = Multimodal.imageEmbedding(media, dim = dim, seed = seed,
+      batchSize = 7)
+    // closed-form expectation: integer-exact projection of synthPixel
+    def expected(i: Long): Array[Double] = {
+      val (w, h) = Multimodal.synthDims(i)
+      val acc = new Array[Long](dim)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = Multimodal.synthPixel(i, x, y)
+        for (k <- 0 until dim)
+          acc(k) += r * Multimodal.projWeight(k, x, y, 0, seed) +
+            g * Multimodal.projWeight(k, x, y, 1, seed) +
+            b * Multimodal.projWeight(k, x, y, 2, seed)
+      }
+      acc.map(_ / (48.0 * w * h))
+    }
+    val got = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    got.size shouldBe 40
+    // integer accumulation + one division → EXACT equality, any partitioning
+    for (i <- 0L until 40L) got(i) shouldBe expected(i)
+    // end-to-end from raw payloads: the featurizer frame drives brute-force
+    // ANN directly, and the neighbor sets equal the closed-form computation
+    val queries = emb.where(col("media_id") < 4)
+    val gotKnn = Ann.bruteTopK(emb, queries, "media_id", "embedding",
+      k = 3, rankOnRoundedTo = Some(9)).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    for (q <- 0L until 4L) {
+      val exp = (0L until 40L).filter(_ != q)
+        .map(n => n -> BigDecimal(cos(expected(q), expected(n)))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP))
+        .sortBy { case (n, c) => (-c, n) }.take(3).map(_._1)
+      (1 to 3).map(r => gotKnn((q, r))) shouldBe exp
+    }
+  }
 }
