@@ -205,6 +205,58 @@ object PipelineQueries {
         threshold = 0.5)
         .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
     }),
+    // STREAMING near-dup maintenance, driver-gated: the corpus arrives in
+    // three batch waves through the maintainer's exact foreachBatch body
+    // (sign delta → persist to the LSM index → probe prior + within-batch),
+    // with a mid-stream compaction fold. The accumulated per-batch pair
+    // dirs must union to EXACTLY the one-shot jaccard pair set — the same
+    // oracle as p_neardup_jaccard, so a maintainer that drops cross-batch
+    // pairs or double-counts a replay cannot pass.
+    "s_neardup_pairs" -> ((s, d) => {
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_ndm", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      val dd = docs(s, d).select(col("doc_id"), col("text"))
+      (0 until 3).foreach { g =>
+        graft.streaming.NearDupMaintainer.processBatch(
+          dd.where(col("doc_id") % 3 === g), g.toLong, "doc_id", "text",
+          s"$base/index", s"$base/pairs")
+      }
+      // LSM fold of committed batches — must not change the pair set
+      graft.streaming.NearDupMaintainer.compact(s, s"$base/index")
+      s.read.parquet(s"$base/pairs/b*")
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+    // STREAMING ANN index, driver-gated: embeddings arrive in three waves,
+    // each cell-assigned against frozen persisted centroids and written as
+    // a cell-partitioned batch dir; after an LSM fold the probe (pruned to
+    // probe cells across compacted + live dirs) must equal the one-shot IVF
+    // scan — the p_knn_ivf oracle re-derived from this gate's own persisted
+    // centroids.
+    "s_knn_ivf" -> ((s, d) => {
+      val e = emb(s, d)
+      val base = annArtifactBase(d)
+      Ann.ivfTrain(e, "embedding")
+        .write.mode("overwrite").parquet(s"$base/ivf_centroids_s")
+      val cents = Ann.ivfCentroidsFromDf(
+        s.read.parquet(s"$base/ivf_centroids_s"))
+      val idxBase = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_ann", Tables.runKey(d)).toString
+      graft.Exec.deletePath(idxBase)
+      (0 until 3).foreach { g =>
+        graft.streaming.AnnIndexMaintainer.processBatch(
+          e.where(col("vec_id") % 3 === g), g.toLong, "vec_id", "embedding",
+          cents, idxBase)
+      }
+      graft.streaming.AnnIndexMaintainer.compact(s, idxBase)
+      val queries = e.where(col("vec_id") < 5)
+        .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      graft.streaming.AnnIndexMaintainer.search(s, idxBase, cents, queries,
+        k = 10, rankOnRoundedTo = Some(6))
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
+    }),
     // Best-representative selection per near-dup group: real pipelines keep
     // the highest-QUALITY member of each duplicate cluster, not the lowest
     // id — argmax(quality, tie → lowest id) per connected component.
@@ -548,6 +600,57 @@ object PipelineQueries {
       |JOIN sizes s1 ON id1 = s1.doc_id
       |JOIN sizes s2 ON id2 = s2.doc_id
       |WHERE n*1.0/(s1.sz + s2.sz - n) >= 0.5""".stripMargin
+
+  /** Fixed persisted centroids → cell assignment (round(|c|²−2·v·c, 6),
+    * lowest-cid ties), nprobe=4 probing, exact rerank — the verbatim SQL
+    * rendering of Ann.ivfTopK's scan stage, parameterized by the centroids
+    * artifact subdirectory (one-shot vs streaming-index gates persist
+    * their own).
+    */
+  private def ivfOracle(centroidsDir: String): String =
+    s"""WITH cents AS (
+      |  SELECT cid, c FROM '__ANN_ARTIFACTS__/$centroidsDir/*.parquet'
+      |),
+      |e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |),
+      |nrm AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS n FROM e),
+      |cd AS (
+      |  SELECT e.vec_id, ct.cid,
+      |    round(list_inner_product(ct.c, ct.c)
+      |      - 2*list_inner_product(e.v, ct.c), 6) AS d
+      |  FROM e CROSS JOIN cents ct
+      |),
+      |rk AS (
+      |  SELECT vec_id, cid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |  FROM cd
+      |),
+      |assign AS (SELECT vec_id, cid FROM rk WHERE rn = 1),
+      |probes AS (SELECT vec_id AS query_id, cid FROM rk
+      |           WHERE rn <= 4 AND vec_id < 5),
+      |cand AS (
+      |  SELECT p.query_id, a.vec_id AS neighbor_id
+      |  FROM probes p JOIN assign a USING (cid)
+      |  WHERE a.vec_id <> p.query_id
+      |),
+      |sc AS (
+      |  SELECT c.query_id, c.neighbor_id,
+      |    round(list_inner_product(qe.v, ne.v)/(n1.n*n2.n), 6) AS cos
+      |  FROM cand c
+      |  JOIN e qe ON c.query_id = qe.vec_id
+      |  JOIN e ne ON c.neighbor_id = ne.vec_id
+      |  JOIN nrm n1 ON c.query_id = n1.vec_id
+      |  JOIN nrm n2 ON c.neighbor_id = n2.vec_id
+      |),
+      |r2 AS (
+      |  SELECT query_id, neighbor_id, cos,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, neighbor_id) AS rank
+      |  FROM sc
+      |)
+      |SELECT query_id, neighbor_id, rank, cos FROM r2 WHERE rank <= 10""".stripMargin
 
   /** Min-label transitive closure over the near-dup pair graph — the oracle
     * for [[Dedup.connectedComponents]]'s distributed label propagation.
@@ -901,50 +1004,11 @@ object PipelineQueries {
     // fixed persisted centroids → cell assignment (round(|c|²−2·v·c, 6),
     // lowest-cid ties), nprobe=4 probing, exact rerank — the verbatim SQL
     // rendering of Ann.ivfTopK's scan stage
-    "p_knn_ivf" ->
-      """WITH cents AS (
-        |  SELECT cid, c FROM '__ANN_ARTIFACTS__/ivf_centroids/*.parquet'
-        |),
-        |e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings
-        |),
-        |nrm AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS n FROM e),
-        |cd AS (
-        |  SELECT e.vec_id, ct.cid,
-        |    round(list_inner_product(ct.c, ct.c)
-        |      - 2*list_inner_product(e.v, ct.c), 6) AS d
-        |  FROM e CROSS JOIN cents ct
-        |),
-        |rk AS (
-        |  SELECT vec_id, cid,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-        |  FROM cd
-        |),
-        |assign AS (SELECT vec_id, cid FROM rk WHERE rn = 1),
-        |probes AS (SELECT vec_id AS query_id, cid FROM rk
-        |           WHERE rn <= 4 AND vec_id < 5),
-        |cand AS (
-        |  SELECT p.query_id, a.vec_id AS neighbor_id
-        |  FROM probes p JOIN assign a USING (cid)
-        |  WHERE a.vec_id <> p.query_id
-        |),
-        |sc AS (
-        |  SELECT c.query_id, c.neighbor_id,
-        |    round(list_inner_product(qe.v, ne.v)/(n1.n*n2.n), 6) AS cos
-        |  FROM cand c
-        |  JOIN e qe ON c.query_id = qe.vec_id
-        |  JOIN e ne ON c.neighbor_id = ne.vec_id
-        |  JOIN nrm n1 ON c.query_id = n1.vec_id
-        |  JOIN nrm n2 ON c.neighbor_id = n2.vec_id
-        |),
-        |r2 AS (
-        |  SELECT query_id, neighbor_id, cos,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY cos DESC, neighbor_id) AS rank
-        |  FROM sc
-        |)
-        |SELECT query_id, neighbor_id, rank, cos FROM r2 WHERE rank <= 10""".stripMargin,
+    "p_knn_ivf" -> ivfOracle("ivf_centroids"),
+    // the streaming gates replay the maintainers' exact batch bodies, so
+    // their oracles are the one-shot builds they must equal
+    "s_neardup_pairs" -> jaccardOracle,
+    "s_knn_ivf" -> ivfOracle("ivf_centroids_s"),
     // fixed persisted codebooks → codes (per-subspace argmin on round 6,
     // lowest-cid ties), ADC lookup-table scores, k·rerank=40 shortlist,
     // exact rerank — the verbatim SQL rendering of Ann.pqTopK's scan stages

@@ -79,14 +79,16 @@ object AnnIndexMaintainer {
     */
   def search(spark: SparkSession, indexDir: String,
       cents: Array[Array[Double]], queryVecs: Seq[(Long, Array[Double])],
-      k: Int, nprobe: Int = 4): DataFrame = {
+      k: Int, nprobe: Int = 4,
+      rankOnRoundedTo: Option[Int] = None): DataFrame = {
     import spark.implicits._
     val probeCells = queryVecs
       .flatMap(q => Ann.nearestCellsLocal(q._2, cents, nprobe)).distinct
     val idx = readIndex(spark, indexDir)
       .where(col("cell").isin(probeCells: _*))
     val qdf = queryVecs.map { case (id, v) => (id, v.toSeq) }.toDF("id", "v")
-    Ann.ivfSearchAssigned(idx, qdf, "id", "v", k, nprobe, cents)
+    Ann.ivfSearchAssigned(idx, qdf, "id", "v", k, nprobe, cents,
+      rankOnRoundedTo)
   }
 
   /** Attach to a streaming embedding source: (idCol LONG-castable, vecCol
