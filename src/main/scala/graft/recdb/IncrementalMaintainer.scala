@@ -69,7 +69,10 @@ final class IncrementalMaintainer(
         uf.write.mode("overwrite").parquet(entry.modelPaths.head)
         itf.write.mode("overwrite").parquet(entry.modelPaths(1))
       case m =>
-        Recommender.buildSimilarity(events, c, m)
+        // re-apply the CREATE-time NBRHOOD bound: a rebuild must not
+        // silently widen a sparsified model back to all pairs
+        Recommender.applyNeighborhood(
+            Recommender.buildSimilarity(events, c, m), m, entry.neighborhood)
           .write.mode("overwrite").parquet(entry.modelPaths.head)
     }
     // a rebuilt model invalidates any materialized prediction view, and the

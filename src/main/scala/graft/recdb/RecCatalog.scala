@@ -39,7 +39,13 @@ final case class RecEntry(
     // they make the scoring strategy pick job-free on the catalog-hit path
     nUsers: Long = -1L,
     nItems: Long = -1L,
-    modelRows: Long = -1L) {
+    modelRows: Long = -1L,
+    // the reference's dormant NBRHOOD knob (recathon.c:48) as a
+    // per-recommender bound: when > 0, the persisted similarity model keeps
+    // only each entity's `neighborhood` strongest neighbors (kNN-graph
+    // sparsification), making user-based serving O(users×K). 0 = unbounded,
+    // the reference's shipped default.
+    neighborhood: Long = 0L) {
 
   /** Stats for [[Scoring]]'s strategy pick, when this entry carries them.
     * The dims orientation follows the method: item models span items,
@@ -88,7 +94,8 @@ final class RecCatalog(dirStr: String) {
         lastBatchId = p.getProperty("lastBatchId", "-1").toLong,
         nUsers = p.getProperty("nUsers", "-1").toLong,
         nItems = p.getProperty("nItems", "-1").toLong,
-        modelRows = p.getProperty("modelRows", "-1").toLong))
+        modelRows = p.getProperty("modelRows", "-1").toLong,
+        neighborhood = p.getProperty("neighborhood", "0").toLong))
     }
   }
 
@@ -127,6 +134,7 @@ final class RecCatalog(dirStr: String) {
     p.setProperty("nUsers", e.nUsers.toString)
     p.setProperty("nItems", e.nItems.toString)
     p.setProperty("modelRows", e.modelRows.toString)
+    p.setProperty("neighborhood", e.neighborhood.toString)
     val out = Files.newOutputStream(file(e.name))
     try p.store(out, "graft recommender catalog entry") finally out.close()
   }

@@ -34,7 +34,10 @@ object Recommender {
     */
   def create(spark: SparkSession, name: String, events: DataFrame,
       eventsTag: String, c: EventCols, methodStr: String,
-      catalog: RecCatalog, modelsDir: String): RecEntry = {
+      catalog: RecCatalog, modelsDir: String,
+      neighborhood: Int = 0): RecEntry = {
+    require(neighborhood >= 0,
+      s"neighborhood must be >= 0 (0 = unbounded), got $neighborhood")
     val method = RecMethod.parse(methodStr)
     require(catalog.get(name).isEmpty,
       s"recommender '$name' already exists (recathon.c:836)")
@@ -59,7 +62,8 @@ object Recommender {
         itf.write.mode("overwrite").parquet(ip)
         Seq(up, ip)
       case m =>
-        val model = buildSimilarity(events, c, m)
+        val model = applyNeighborhood(buildSimilarity(events, c, m), m,
+          neighborhood.toLong)
         val p = s"$modelsDir/$name.model.parquet"
         model.write.mode("overwrite").parquet(p)
         Seq(p)
@@ -72,10 +76,23 @@ object Recommender {
     }
     val entry = RecEntry(name, eventsTag, c.user, c.item, c.rating, method,
       paths, eventTotal, nUsers = nUsers, nItems = nItems,
-      modelRows = modelRows)
+      modelRows = modelRows, neighborhood = neighborhood.toLong)
     catalog.put(entry)
     entry
   }
+
+  /** NBRHOOD bound (recathon.c:48; 0 = unbounded, the reference's shipped
+    * default): kNN-graph sparsification of a CF similarity model — the
+    * catalog records the bound so every rebuild re-applies it.
+    */
+  private[recdb] def applyNeighborhood(model: DataFrame, m: RecMethod,
+      nbr: Long): DataFrame =
+    if (nbr <= 0L) model
+    else {
+      val (e1, e2) =
+        if (RecMethod.isUserBased(m)) ("user1", "user2") else ("item1", "item2")
+      Similarity.capNeighbors(model, e1, e2, nbr.toInt)
+    }
 
   /** Recursive local-path delete (model/view parquet dirs). */
   private[recdb] def deleteDir(path: String): Unit = {

@@ -260,6 +260,27 @@ class RecommenderSpec extends SparkSpec {
     new java.io.File(v3).exists() shouldBe false
   }
 
+  test("NBRHOOD knob: create persists the kNN-sparsified model, catalog records it, rebuild re-applies") {
+    val (cat, models) = freshDirs()
+    val e = Recommender.create(spark, "nb", ratings, "tbl", c, "usercoscf",
+      cat, models, neighborhood = 1)
+    e.neighborhood shouldBe 1L
+    cat.get("nb").get.neighborhood shouldBe 1L // catalog round-trip
+    val persisted = spark.read.parquet(e.modelPaths.head)
+    val expected = Similarity.capNeighbors(
+      Similarity.userCosine(ratings, c), "user1", "user2", 1)
+    persisted.collect().toSet shouldBe expected.collect().toSet
+    persisted.count() should be < Similarity.userCosine(ratings, c).count()
+    // scoring flows through the sparsified model on the catalog-hit path
+    Recommender.recommendTopK(spark, ratings, "tbl", c, "usercoscf",
+      Some(cat), userId = 1L, k = 2).count() should be > 0L
+    // neighborhood=0 (reference default) stays unbounded
+    val e0 = Recommender.create(spark, "nb0", ratings, "tbl0", c, "usercoscf",
+      cat, models)
+    spark.read.parquet(e0.modelPaths.head).count() shouldBe
+      Similarity.userCosine(ratings, c).count()
+  }
+
   test("svd: rank-50 factors, all-pairs scores, reconstructs known ratings sanely") {
     val (cat, models) = freshDirs()
     val e = Recommender.create(spark, "s1", ratings, "tbl", c, "SVD", cat, models)
