@@ -27,6 +27,42 @@ object Profile {
       case s if s.startsWith("usercf:") => userCfStrategy(spark, sfDir, reps, s)
       case s if s.startsWith("model:") => modelStrategy(spark, sfDir, reps, s)
       case "modelstages" => modelStages(spark, sfDir, reps)
+      case "multirec" =>
+        // stage decomposition of the r_multirec gate (the one remaining
+        // above-bar sf1 outlier): which branch pays the 10s?
+        import org.apache.spark.sql.functions._
+        import graft.recdb.{Scoring, Similarity}
+        val c = Tables.ratingCols
+        def t(label: String)(body: => Long): Unit = {
+          val times = (1 to reps).map { _ =>
+            val t0 = System.nanoTime(); val n = body
+            ((System.nanoTime() - t0) / 1e9, n)
+          }
+          println(f"PROFILE multirec:$label rows=${times.head._2} " +
+            times.map(x => f"${x._1}%.2f").mkString(" "))
+        }
+        val r = Tables.ratings(spark, sfDir)
+        t("ratings")(r.count())
+        val rc = r.cache(); rc.count()
+        val minUser = rc.agg(min(col("userid"))).head().getLong(0)
+        val users = rc.select(col("userid"))
+          .where(col("userid") === minUser).distinct()
+        t("item_model")(Similarity.itemCosine(rc, c).count())
+        val im = Similarity.itemCosine(rc, c).cache(); im.count()
+        t("user_model_restricted")(
+          Similarity.userCosine(rc, c, restrictTo = Some(users)).count())
+        val um = Similarity.userCosine(rc, c, restrictTo = Some(users)).cache()
+        um.count()
+        t("itemcf_score")(Scoring.itemCF(rc, im, c, Some(users)).count())
+        t("usercf_score")(Scoring.userCF(rc, um, c, Some(users)).count())
+        val is = Scoring.itemCF(rc, im, c, Some(users))
+        val us = Scoring.userCF(rc, um, c, Some(users))
+        t("join_top10")(is.as("a").join(us.as("b"), Seq("userid", "itemid"))
+          .select(col("userid"), col("itemid"),
+            round((is("score") + us("score")) / 2, 6).as("combined"))
+          .orderBy(col("combined").desc, col("itemid")).limit(10).count())
+        t("gate_verbatim")(
+          graft.SparkEntry.queries("r_multirec")(spark, sfDir).count())
       case "lshstages" =>
         import org.apache.spark.sql.functions._
         import graft.ops.Dedup
