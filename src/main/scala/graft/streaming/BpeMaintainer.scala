@@ -29,7 +29,12 @@ import graft.ops.Bpe
 object BpeMaintainer {
 
   final case class Config(numMerges: Int = 40, minCount: Long = 2L,
-      growthFactor: Double = 0.5)
+      growthFactor: Double = 0.5,
+      // byte-level mode: the state is the byte-mode (word, freq) table
+      // (whitespace pre-tokenization, case preserved) and relearning runs
+      // over UTF-8 hex-pair symbols — the sufficient-statistic argument is
+      // mode-independent, so incremental maintenance stays exact
+      byteLevel: Boolean = false)
 
   private def wfSchema: StructType = StructType(Seq(
     StructField("word", StringType),
@@ -102,7 +107,7 @@ object BpeMaintainer {
       textCol: String, stateDir: String, modelDir: String,
       cfg: Config = Config()): Boolean = {
     val spark = batch.sparkSession
-    Bpe.wordFreq(batch, idCol, textCol)
+    Bpe.wordFreq(batch, idCol, textCol, cfg.byteLevel)
       .write.mode("overwrite").parquet(s"$stateDir/b$batchId")
     val state = stateWordFreq(spark, stateDir, upTo = batchId)
       .localCheckpoint() // consumed by total + (maybe) the learning loop
@@ -116,7 +121,7 @@ object BpeMaintainer {
     if (due) {
       val v = latestMeta(modelDir).fold(0L)(_._1 + 1)
       val merges = Bpe.learnMergesFromWordFreq(state, cfg.numMerges,
-        cfg.minCount)
+        cfg.minCount, byteLevel = cfg.byteLevel)
       Bpe.mergesDf(spark, merges).coalesce(1)
         .write.mode("overwrite").parquet(s"$modelDir/v$v/merges.parquet")
       commit(modelDir, v, total)

@@ -60,6 +60,29 @@ class BpeMaintainerSpec extends SparkSpec {
       BpeMaintainer.stateWordFreq(spark, st, 0L)
   }
 
+  test("byte-level mode: incremental relearn == one-shot byte-level learn (mixed scripts)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-bpemb").toString
+    val (st, md) = (s"$base/state", s"$base/model")
+    val cfg = BpeMaintainer.Config(numMerges = 8, growthFactor = 0.3,
+      byteLevel = true)
+    val b0 = Seq("ssß ssß ssé Straße", "ssß ssé café")
+    val b1 = Seq("café café Straße 東京 москва", "ssß 東京 東京")
+    BpeMaintainer.processBatch(corpusDf(b0), 0L, "doc_id", "text",
+      st, md, cfg) shouldBe true
+    BpeMaintainer.latestMerges(spark, md) shouldBe
+      Bpe.learnMerges(corpusDf(b0), "doc_id", "text", 8, byteLevel = true)
+    BpeMaintainer.processBatch(corpusDf(b1), 1L, "doc_id", "text",
+      st, md, cfg) shouldBe true
+    BpeMaintainer.latestMerges(spark, md) shouldBe
+      Bpe.learnMerges(corpusDf(b0 ++ b1), "doc_id", "text", 8,
+        byteLevel = true)
+    // byte-mode merges are hex-pair concatenations (even-length hex)
+    BpeMaintainer.latestMerges(spark, md).foreach { case (l, r) =>
+      (l + r).matches("[0-9A-F]+") shouldBe true
+      (l + r).length % 2 shouldBe 0
+    }
+  }
+
   test("streaming attach end-to-end: final model == one-shot learn over everything") {
     implicit val ctx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft-bpem2").toString
