@@ -224,7 +224,9 @@ object PipelineQueries {
       }
       // LSM fold of committed batches — must not change the pair set
       graft.streaming.NearDupMaintainer.compact(s, s"$base/index")
-      s.read.parquet(s"$base/pairs/b*")
+      // explicit batch dirs, not a glob: a glob path makes the reader's
+      // streaming-sink metadata probe log a spurious WARN stack every run
+      s.read.parquet((0 until 3).map(g => s"$base/pairs/b$g"): _*)
         .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
     }),
     // STREAMING ANN index, driver-gated: embeddings arrive in three waves,
@@ -551,6 +553,13 @@ object PipelineQueries {
     "p_bpe_bytes_freq" -> ((s, d) =>
       graft.ops.Bpe.tokenFreq(mixedDocs(s, d), "doc_id", "text",
         bpeByteMergesFor(s, d), topN = 30, byteLevel = true)),
+    // Byte-mode integer token ids — (encode ∘ vocabulary) with the byte
+    // alphabet taking the low ids (≤256 of them by construction) and merged
+    // byte runs following in rank order; same order-free per-doc id summary
+    // as p_bpe_ids.
+    "p_bpe_bytes_ids" -> ((s, d) =>
+      graft.ops.Bpe.docTokenIds(mixedDocs(s, d), "doc_id", "text",
+        bpeByteMergesFor(s, d), byteLevel = true)),
     // Token-budget selection denominated in byte-level BPE tokens: the
     // non-ASCII splices contribute REAL token mass (the word model counted
     // them as zero — exactly the gap this mode closes).
@@ -1547,6 +1556,40 @@ object PipelineQueries {
          |GROUP BY token
          |ORDER BY n DESC, token
          |LIMIT 30""".stripMargin,
+    "p_bpe_bytes_ids" ->
+      s"""WITH RECURSIVE $bpeBytesCtes,
+         |charsB AS (
+         |  SELECT DISTINCT unnest(regexp_extract_all(hex(encode(word)), '..'))
+         |    AS token
+         |  FROM vocabB
+         |),
+         |candB AS (
+         |  SELECT 0 AS grp, token, token AS o1, 0 AS o2 FROM charsB
+         |  UNION ALL
+         |  SELECT 1, l || r, '', rank FROM mB
+         |),
+         |numberedB AS (
+         |  SELECT token, row_number() OVER (ORDER BY grp, o2, o1) - 1 AS id
+         |  FROM candB
+         |),
+         |idsB AS (SELECT token, min(id) AS id FROM numberedB GROUP BY token),
+         |toksB AS (
+         |  SELECT word,
+         |    unnest(string_split(substr(s, 2, len(s) - 2), chr(3)||chr(2)))
+         |      AS token
+         |  FROM encodedB
+         |),
+         |dtB AS (
+         |  SELECT occB.doc_id, count(*) AS n_tok, sum(idsB.id) AS id_sum,
+         |         min(idsB.id) AS id_min, max(idsB.id) AS id_max
+         |  FROM occB JOIN toksB USING (word) JOIN idsB USING (token)
+         |  GROUP BY 1
+         |)
+         |SELECT d.doc_id, CAST(coalesce(dtB.n_tok, 0) AS BIGINT) AS n_tok,
+         |  CAST(coalesce(dtB.id_sum, 0) AS BIGINT) AS id_sum,
+         |  CAST(coalesce(dtB.id_min, -1) AS BIGINT) AS id_min,
+         |  CAST(coalesce(dtB.id_max, -1) AS BIGINT) AS id_max
+         |FROM documents d LEFT JOIN dtB ON d.doc_id = dtB.doc_id""".stripMargin,
     "p_bpe_bytes_budget" ->
       s"""WITH RECURSIVE $qualityCtes,
          |$bpeBytesCtes,

@@ -286,9 +286,9 @@ object Bpe {
     * |alphabet| + numMerges, never the corpus.
     */
   def vocabulary(docs: DataFrame, idCol: String, textCol: String,
-      merges: Seq[(String, String)]): Seq[(String, Int)] = {
-    val chars = words(docs, idCol, textCol)
-      .select(explode(filter(split(col("word"), ""), x => x =!= "")).as("c"))
+      merges: Seq[(String, String)], byteLevel: Boolean = false): Seq[(String, Int)] = {
+    val chars = words(docs, idCol, textCol, byteLevel)
+      .select(explode(symsCol(byteLevel)).as("c"))
       .distinct().collect().map(_.getString(0)).sorted.toSeq
     (chars ++ merges.map(p => p._1 + p._2)).zipWithIndex
       .groupBy(_._1).view.mapValues(_.map(_._2).min)
@@ -301,12 +301,13 @@ object Bpe {
     * reproduction. Docs with no words: (0, 0, -1, -1).
     */
   def docTokenIds(docs: DataFrame, idCol: String, textCol: String,
-      merges: Seq[(String, String)]): DataFrame = {
+      merges: Seq[(String, String)], byteLevel: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val ids = vocabulary(docs, idCol, textCol, merges).toDF("token", "id")
-    val occ = words(docs, idCol, textCol)
-    val enc = encodeVocab(occ.select("word").distinct(), merges)
+    val ids = vocabulary(docs, idCol, textCol, merges, byteLevel)
+      .toDF("token", "id")
+    val occ = words(docs, idCol, textCol, byteLevel)
+    val enc = encodeVocab(occ.select("word").distinct(), merges, byteLevel)
       .select(col("word"), col("toks"))
     val perDoc = occ.join(enc, Seq("word"))
       .select(col(idCol), explode(col("toks")).as("token"))

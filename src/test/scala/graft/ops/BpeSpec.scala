@@ -208,6 +208,21 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("byte mode: vocabulary = sorted byte alphabet first, merges in rank order") {
+    val merges = Bpe.learnMerges(byteFixture, "doc_id", "text", numMerges = 2,
+      byteLevel = true)
+    val vocab = Bpe.vocabulary(byteFixture, "doc_id", "text", merges,
+      byteLevel = true)
+    // distinct bytes of {ssß, ssé, Straße}: S t r a e s ß é = 53 74 72 61
+    // 65 73 C3 9F A9 — hex-string sort puts digit-leading pairs first
+    vocab.take(9).map(_._1) shouldBe
+      Seq("53", "61", "65", "72", "73", "74", "9F", "A9", "C3")
+    vocab.take(9).map(_._2) shouldBe (0 until 9)
+    vocab.drop(9).map(_._1) shouldBe merges.map(p => p._1 + p._2)
+    // ids bounded by alphabet (≤256) + numMerges — never the corpus
+    vocab.length shouldBe 9 + merges.length
+  }
+
   test("byte mode: case and script are preserved (no lowercasing of the byte stream)") {
     val docs = Seq((0L, "AB ab")).toDF("doc_id", "text")
     val words = Bpe.words(docs, "doc_id", "text", byteLevel = true)
