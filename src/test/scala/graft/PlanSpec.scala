@@ -169,4 +169,25 @@ class PlanSpec extends SparkSpec {
       case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
     } should not be empty
   }
+
+  test("media featurizer: pure map — zero exchanges, payloads never shuffle") {
+    import graft.ops.Multimodal
+    val media = Multimodal.syntheticMedia(spark, 20)
+    val p = plan(Multimodal.imageEmbedding(media, dim = 8))
+    p.collect { case s: ShuffleExchangeLike => s } shouldBe empty
+    p.collect { case c: CartesianProductExec => c } shouldBe empty
+  }
+
+  test("byte-BPE doc token counts: occurrence→vocab join needs no cartesian and at most the key shuffles") {
+    import graft.ops.Bpe
+    val docs = Tables.read(spark, sf, "documents")
+    val merges = Seq(("74", "68"), ("7468", "65"))
+    val p = plan(Bpe.docTokenCounts(docs, "doc_id", "text", merges,
+      byteLevel = true))
+    p.collect { case c: CartesianProductExec => c } shouldBe empty
+    p.collect { case b: BroadcastNestedLoopJoinExec => b } shouldBe empty
+    // word shuffle (occ⋈enc), per-doc aggregation, doc-id left join — the
+    // distinct on the vocab side reuses the word shuffle's partitioning
+    p.collect { case s: ShuffleExchangeLike => s }.size should be <= 5
+  }
 }
