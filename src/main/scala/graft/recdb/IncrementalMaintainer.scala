@@ -26,7 +26,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
 final class IncrementalMaintainer(
     catalog: RecCatalog,
     eventsPath: String,
-    updateThreshold: Double = IncrementalMaintainer.DefaultThreshold) {
+    // None = the reference's behavior: re-read update_threshold from the
+    // RecDBProperties store on every maintenance check
+    // (getUpdateThreshold, recathon.c:908-948)
+    updateThresholdOverride: Option[Double] = None) {
+
+  private def updateThreshold: Double =
+    updateThresholdOverride.getOrElse(catalog.properties.updateThreshold)
 
   /** Process one inserted micro-batch for `name`: append + count + maybe
     * retrain. Returns true if a rebuild was triggered. `batchId` makes the
@@ -111,14 +117,12 @@ final class IncrementalMaintainer(
 }
 
 object IncrementalMaintainer {
-  /** RecDBProperties default update_threshold (utility.c:907).
-    *
-    * Of the reference's three RecDBProperties knobs (utility.c:903-908),
-    * only update_threshold is ported: `tail_length` and `verbose_queries`
-    * appear ONLY in the table's CREATE/INSERT — no reference code path ever
-    * reads either — so they are deliberately omitted rather than given
-    * Spark-conf equivalents (EXPLAIN covers what a verbose-queries toggle
-    * would have shown).
+  /** RecDBProperties default update_threshold (utility.c:907). The full
+    * three-knob properties row lives in [[RecCatalog.properties]]:
+    * update_threshold is live-read per maintenance check (as the
+    * reference's getUpdateThreshold does); tail_length / verbose_queries
+    * round-trip with the reference's own vestigiality (no code path reads
+    * them there either).
     */
   val DefaultThreshold = 0.5
 }

@@ -58,6 +58,21 @@ final case class RecEntry(
       items = nItems, users = nUsers, n = eventTotal, modelRows = modelRows))
 }
 
+/** The reference's RecDBProperties singleton row (utility.c:903-908),
+  * created on first access with the shipped defaults (0.5, 0, true).
+  * `update_threshold` is LIVE — the reference's getUpdateThreshold re-reads
+  * the table on every maintenance check (recathon.c:908-948), and
+  * [[IncrementalMaintainer]] does the same against this store.
+  * `tail_length` and `verbose_queries` are persisted but consumed NOWHERE
+  * in the reference (grep-verified vestigial); they round-trip here with
+  * the same faithful vestigiality so a migrating user's property writes
+  * keep working.
+  */
+final case class RecDbProperties(
+    updateThreshold: Double = 0.5,
+    tailLength: Int = 0,
+    verboseQueries: Boolean = true)
+
 /** File-backed catalog: one properties file per recommender under `dir`.
   * Replaces the reference's RecModelsCatalogue/RecIndex SQL tables
   * (SURVEY.md §1.1). Driver-side metadata only — never on the data path, so
@@ -140,4 +155,35 @@ final class RecCatalog(dirStr: String) {
   }
 
   def delete(name: String): Boolean = Files.deleteIfExists(file(name))
+
+  private def propsFile: Path = dir.resolve("_recdbproperties")
+
+  /** Live read of the RecDBProperties row — auto-created with the
+    * reference's defaults when absent, mirroring the CREATE-if-missing in
+    * utility.c:901-908.
+    */
+  def properties: RecDbProperties =
+    if (!Files.exists(propsFile)) {
+      val d = RecDbProperties()
+      setProperties(d)
+      d
+    } else {
+      val p = new Properties()
+      val in = Files.newInputStream(propsFile)
+      try p.load(in) finally in.close()
+      RecDbProperties(
+        updateThreshold = p.getProperty("update_threshold", "0.5").toDouble,
+        tailLength = p.getProperty("tail_length", "0").toInt,
+        verboseQueries = p.getProperty("verbose_queries", "true").toBoolean)
+    }
+
+  def setProperties(v: RecDbProperties): Unit = {
+    val p = new Properties()
+    p.setProperty("update_threshold", v.updateThreshold.toString)
+    p.setProperty("tail_length", v.tailLength.toString)
+    p.setProperty("verbose_queries", v.verboseQueries.toString)
+    val out = Files.newOutputStream(propsFile)
+    try p.store(out, "graft RecDBProperties (utility.c:903-908)")
+    finally out.close()
+  }
 }

@@ -50,4 +50,35 @@ class MaintainerSpec extends SparkSpec {
     val expected = Similarity.itemCosine(full, c).count()
     modelAfter shouldBe expected
   }
+
+  test("RecDBProperties: live update_threshold drives maintenance; vestigial knobs round-trip") {
+    val base = Files.createTempDirectory("graft-props").toString
+    val catalog = new RecCatalog(s"$base/catalog")
+    // auto-created with the reference's defaults (utility.c:907)
+    catalog.properties shouldBe RecDbProperties(0.5, 0, true)
+    val eventsPath = s"$base/events.parquet"
+    val initial = new MicroFixtureSpec {}.fixture.toDF("userid", "itemid", "rating")
+    initial.write.parquet(eventsPath) // 10 events
+    Recommender.create(spark, "p1", spark.read.parquet(eventsPath), "tbl",
+      c, "itemcoscf", catalog, s"$base/models")
+    val maint = new IncrementalMaintainer(catalog, eventsPath)
+    // 2 events < 0.5×10: no rebuild under the default threshold
+    val d2 = Seq((7L, 1L, 4.0), (7L, 2L, 2.0)).toDF("userid", "itemid", "rating")
+    maint.processBatch("p1", d2, batchId = 0L) shouldBe false
+    catalog.get("p1").get.updateCounter shouldBe 2
+    // drop the threshold to 0.2 — the NEXT check reads it live
+    // (getUpdateThreshold re-reads per check, recathon.c:908-948)
+    catalog.setProperties(RecDbProperties(updateThreshold = 0.2,
+      tailLength = 7, verboseQueries = false))
+    val d1 = Seq((8L, 1L, 3.0)).toDF("userid", "itemid", "rating")
+    // counter 3 >= 0.2×10 → rebuild now
+    maint.processBatch("p1", d1, batchId = 1L) shouldBe true
+    catalog.get("p1").get.updateCounter shouldBe 0
+    // vestigial knobs persist verbatim (never consumed — same as reference)
+    catalog.properties shouldBe RecDbProperties(0.2, 7, false)
+    // explicit override ignores the store (embedding-deployment escape hatch)
+    val fixed = new IncrementalMaintainer(catalog, eventsPath, Some(0.9))
+    val d3 = Seq((9L, 1L, 1.0)).toDF("userid", "itemid", "rating")
+    fixed.processBatch("p1", d3, batchId = 2L) shouldBe false
+  }
 }
