@@ -486,6 +486,16 @@ object PipelineQueries {
           .as("entropy"))),
     // Per-source document cap (the per-domain cap of web-crawl pipelines):
     // at most 10 docs per source, picked by the deterministic md5 draw.
+    // Deterministic domain-mixture sampling — per-source target weights
+    // over a total document budget (the corpus-assembly mixing step):
+    // quota_s = floor(w_s/Σw × budget) docs per source in md5(id) order;
+    // short sources contribute everything (src0's quota of 48 exceeds its
+    // 25 docs at sf0.01), absent sources drop out.
+    "p_mixture_sample" -> ((s, d) =>
+      Sampling.mixtureSample(docs(s, d), "source", "doc_id",
+        Map("src0" -> 3.0, "src1" -> 1.0, "src2" -> 1.0,
+          "src5" -> 0.5, "src7" -> 2.0), budget = 120L)
+        .select(col("doc_id"), col("source"))),
     "p_source_cap" -> ((s, d) =>
       Sampling.capPerKey(docs(s, d), "source", "doc_id", maxN = 10)
         .select(col("doc_id"), col("source"))),
@@ -1414,6 +1424,19 @@ object PipelineQueries {
       """SELECT doc_id, round(entropy(c), 6) AS entropy
         |FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
         |GROUP BY doc_id""".stripMargin,
+    "p_mixture_sample" ->
+      """WITH qd AS (
+        |  SELECT * FROM (VALUES ('src0', 48), ('src1', 16), ('src2', 16),
+        |    ('src5', 8), ('src7', 32)) q(source, quota)
+        |),
+        |r AS (
+        |  SELECT d.doc_id, d.source,
+        |    row_number() OVER (PARTITION BY d.source
+        |      ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+        |  FROM documents d JOIN qd USING (source)
+        |)
+        |SELECT doc_id, source FROM r JOIN qd USING (source)
+        |WHERE rn <= quota""".stripMargin,
     "p_source_cap" ->
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source, row_number() OVER (

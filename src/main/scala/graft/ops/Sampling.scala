@@ -84,4 +84,32 @@ object Sampling {
     df.withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= maxN).drop("__rn")
   }
+
+  /** Deterministic mixture sampling — the domain-mixing step of corpus
+    * assembly: given target per-source weights and a total document
+    * budget, keep each source's quota = ⌊weight/Σweights × budget⌋ docs,
+    * picked in (md5(id), id) order so the draw is identical on any
+    * engine, partitioning, or run (the [[capPerKey]] determinism rule).
+    * Sources absent from `weights` are dropped; a source short of its
+    * quota contributes everything it has — quotas are FIXED, not
+    * redistributed, which keeps the op a single windowed pass with one
+    * shuffle on the source key and the output a pure function of
+    * (corpus, weights, budget).
+    */
+  def mixtureSample(df: DataFrame, keyCol: String, idCol: String,
+      weights: Map[String, Double], budget: Long): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 0.0) &&
+      weights.values.sum > 0.0, "weights must be non-negative, not all zero")
+    import org.apache.spark.sql.expressions.Window
+    val total = weights.values.sum
+    val quota = typedLit(weights.view.mapValues(w =>
+      math.floor(w / total * budget).toLong).toMap)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__q", element_at(quota, col(keyCol)))
+      .where(col("__q").isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= col("__q"))
+      .drop("__q", "__rn")
+  }
 }

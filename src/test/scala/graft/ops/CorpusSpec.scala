@@ -64,6 +64,33 @@ class CorpusSpec extends SparkSpec {
     Sampling.capPerKey(tiny, "src", "id", maxN = 5).count() shouldBe 2L
   }
 
+  test("mixtureSample: fixed quotas from weights×budget, short sources whole, absent sources dropped, layout-free") {
+    import spark.implicits._
+    val rows = (1L to 90L).map(i => (i, s"src${i % 3}")) // 30 docs each
+    val df = rows.toDF("id", "src")
+    // Σw = 6; budget 60 → quotas: src0 floor(3/6×60)=30, src1 floor(2/6×60)=20,
+    // src2 absent → dropped entirely
+    val got = Sampling.mixtureSample(df, "src", "id",
+      Map("src0" -> 3.0, "src1" -> 2.0, "srcX" -> 1.0), budget = 60L)
+    val bySrc = got.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySrc shouldBe Map("src0" -> 30L, "src1" -> 20L) // src0 short: all 30 kept
+    // the draw is a pure function of (corpus, weights, budget) — not layout
+    val ids1 = got.select("id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.mixtureSample(df.repartition(11), "src", "id",
+      Map("src0" -> 3.0, "src1" -> 2.0, "srcX" -> 1.0), budget = 60L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    ids2 shouldBe ids1
+    // and agrees with capPerKey under a uniform single-source quota
+    val uni = Sampling.mixtureSample(df, "src", "id",
+      Map("src1" -> 1.0), budget = 5L).select("id")
+      .collect().map(_.getLong(0)).toSet
+    uni shouldBe Sampling.capPerKey(df.where(col("src") === "src1"),
+      "src", "id", maxN = 5).select("id").collect().map(_.getLong(0)).toSet
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.mixtureSample(df, "src", "id", Map.empty, budget = 10L)
+  }
+
   test("selectWithinBudget: greedy by quality, exact boundary, distributed == naive") {
     import spark.implicits._
     // (id, tokens, quality): greedy order by (quality desc, id)
