@@ -496,6 +496,17 @@ object PipelineQueries {
         Map("src0" -> 3.0, "src1" -> 1.0, "src2" -> 1.0,
           "src5" -> 0.5, "src7" -> 2.0), budget = 120L)
         .select(col("doc_id"), col("source"))),
+    // Token-denominated mixture: per-source TOKEN quotas (the budget real
+    // training mixtures are specified in), kept while the source's
+    // md5-ordered cumulative token count stays within quota.
+    "p_mixture_tokens" -> ((s, d) =>
+      Sampling.mixtureSampleTokens(
+        docs(s, d).select(col("doc_id"), col("source"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tok")),
+        "source", "doc_id", "n_tok",
+        Map("src0" -> 3.0, "src1" -> 1.0, "src2" -> 1.0,
+          "src5" -> 0.5, "src7" -> 2.0), tokenBudget = 30000L)
+        .select(col("doc_id"), col("source"), col("cum_tok"))),
     "p_source_cap" -> ((s, d) =>
       Sampling.capPerKey(docs(s, d), "source", "doc_id", maxN = 10)
         .select(col("doc_id"), col("source"))),
@@ -1424,6 +1435,26 @@ object PipelineQueries {
       """SELECT doc_id, round(entropy(c), 6) AS entropy
         |FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
         |GROUP BY doc_id""".stripMargin,
+    "p_mixture_tokens" ->
+      """WITH qd AS (
+        |  SELECT * FROM (VALUES ('src0', 12000), ('src1', 4000),
+        |    ('src2', 4000), ('src5', 2000), ('src7', 8000)) q(source, quota)
+        |),
+        |t AS (
+        |  SELECT d.doc_id, d.source,
+        |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents d JOIN qd USING (source)
+        |),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    sum(n_tok) OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+        |  FROM t
+        |)
+        |SELECT doc_id, source, CAST(cum_tok AS BIGINT) AS cum_tok
+        |FROM r JOIN qd USING (source)
+        |WHERE cum_tok <= quota""".stripMargin,
     "p_mixture_sample" ->
       """WITH qd AS (
         |  SELECT * FROM (VALUES ('src0', 48), ('src1', 16), ('src2', 16),

@@ -98,18 +98,46 @@ object Sampling {
     */
   def mixtureSample(df: DataFrame, keyCol: String, idCol: String,
       weights: Map[String, Double], budget: Long): DataFrame = {
-    require(weights.nonEmpty && weights.values.forall(_ >= 0.0) &&
-      weights.values.sum > 0.0, "weights must be non-negative, not all zero")
-    import org.apache.spark.sql.expressions.Window
-    val total = weights.values.sum
-    val quota = typedLit(weights.view.mapValues(w =>
-      math.floor(w / total * budget).toLong).toMap)
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    df.withColumn("__q", element_at(quota, col(keyCol)))
+    val w = mixtureWindow(keyCol, idCol)
+    df.withColumn("__q", quotaCol(weights, budget, keyCol))
       .where(col("__q").isNotNull)
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= col("__q"))
       .drop("__q", "__rn")
+  }
+
+  /** Token-denominated mixture sampling — what training mixtures actually
+    * budget: per-source token quotas, docs kept while the source's
+    * cumulative token count (inclusive, md5(id) order) stays within
+    * quota_s = ⌊w_s/Σw × tokenBudget⌋ (the [[graft.ops.Corpus]]
+    * selectWithinBudget boundary rule, per source). Output carries
+    * `cum_tok` so the draw is audit-able. Per-source windows shard the
+    * cumsum naturally — no global single-partition window.
+    */
+  def mixtureSampleTokens(df: DataFrame, keyCol: String, idCol: String,
+      tokCol: String, weights: Map[String, Double],
+      tokenBudget: Long): DataFrame = {
+    val w = mixtureWindow(keyCol, idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("__q", quotaCol(weights, tokenBudget, keyCol))
+      .where(col("__q").isNotNull)
+      .withColumn("cum_tok", sum(col(tokCol)).over(w))
+      .where(col("cum_tok") <= col("__q"))
+      .drop("__q")
+  }
+
+  private def mixtureWindow(keyCol: String, idCol: String) = {
+    import org.apache.spark.sql.expressions.Window
+    Window.partitionBy(col(keyCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+  }
+
+  private def quotaCol(weights: Map[String, Double], budget: Long,
+      keyCol: String) = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 0.0) &&
+      weights.values.sum > 0.0, "weights must be non-negative, not all zero")
+    val total = weights.values.sum
+    element_at(typedLit(weights.view.mapValues(w =>
+      math.floor(w / total * budget).toLong).toMap), col(keyCol))
   }
 }

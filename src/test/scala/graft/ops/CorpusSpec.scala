@@ -91,6 +91,33 @@ class CorpusSpec extends SparkSpec {
       Sampling.mixtureSample(df, "src", "id", Map.empty, budget = 10L)
   }
 
+  test("mixtureSampleTokens: inclusive per-source cumsum boundary, layout-free") {
+    import spark.implicits._
+    // tokens: id 1..12 over 2 sources, each doc 10 tokens
+    val rows = (1L to 12L).map(i => (i, s"src${i % 2}", 10L))
+    val df = rows.toDF("id", "src", "n_tok")
+    // Σw = 3; budget 90 → src0 quota 60 (6 docs of 6), src1 quota 30 (3 of 6)
+    val got = Sampling.mixtureSampleTokens(df, "src", "id", "n_tok",
+      Map("src0" -> 2.0, "src1" -> 1.0), tokenBudget = 90L)
+    val bySrc = got.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySrc shouldBe Map("src0" -> 6L, "src1" -> 3L)
+    // cum_tok is the audit column: max per source == docs×10
+    got.groupBy("src").agg(max(col("cum_tok")).as("m")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap shouldBe
+      Map("src0" -> 60L, "src1" -> 30L)
+    // the inclusive boundary rule: a quota mid-doc drops that doc
+    val cut = Sampling.mixtureSampleTokens(df, "src", "id", "n_tok",
+      Map("src1" -> 1.0), tokenBudget = 25L)
+    cut.count() shouldBe 2L // 20 <= 25 < 30
+    // layout-free
+    val ids1 = got.select("id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.mixtureSampleTokens(df.repartition(5), "src", "id",
+      "n_tok", Map("src0" -> 2.0, "src1" -> 1.0), tokenBudget = 90L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    ids2 shouldBe ids1
+  }
+
   test("selectWithinBudget: greedy by quality, exact boundary, distributed == naive") {
     import spark.implicits._
     // (id, tokens, quality): greedy order by (quality desc, id)
