@@ -36,17 +36,24 @@ object Bench {
     // machine load (round 4's committed artifact misreported three queries
     // by 8× from exactly such contamination). The cache is cleared between
     // passes so each pass pays every real model build, shuffle, and scan.
-    def timedPass(): Seq[(String, Double)] = {
+    def timedPass(): Seq[(String, Double, Boolean)] = {
       spark.catalog.clearCache()
       ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        (name, (System.nanoTime() - t0) / 1e9, ok)
       }
     }
     val pass1 = timedPass()
     val pass2 = timedPass()
-    val results = pass1.zip(pass2).map { case ((n, a), (_, b)) =>
+    val failed = pass1.zip(pass2).collect {
+      case ((n, _, false), (_, _, false)) => n
+    }
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] FAILED in both passes: ${failed.mkString(",")}")
+    val results = pass1.zip(pass2).map { case ((n, a, _), (_, b, _)) =>
       // divergence flag: a query whose two passes differ >2× was measured
       // under load — the min is still reported, but the run is marked
       if (math.max(a, b) > 2 * math.min(a, b) && math.max(a, b) > 1.0)
@@ -86,7 +93,10 @@ object Bench {
       .mkString("{", ",", "}")
     val slowest = results.sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"$k\":${f3(v)}" }.mkString("{", ",", "}")
+    // n_queries + n_failed make a silent gate drop (a query erroring in
+    // both passes) visible in the artifact itself, round over round
     val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
+      s""""n_queries":${results.size},"n_failed":${failed.size},""" +
       s""""queries":$recQs,"families":$fams,"slowest":$slowest,""" +
       s"""$workloads,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
     if (line.length > 1800) System.err.println(
