@@ -424,6 +424,18 @@ object PipelineQueries {
     // luminance per sampled frame — the frame-sample op proven against
     // decoded content (the metadata-driven generator plans it; this walks
     // the frames). Oracle = closed-form per-frame means at the stride.
+    // Scene-change keyframe selection from the REAL multi-frame container:
+    // frame 0 + every frame whose mean abs per-pixel diff vs its
+    // predecessor exceeds the threshold. SAD is integer-exact, so the
+    // oracle re-derives the same selection from the closed-form pixels —
+    // a decode that fakes or reorders frames cannot pass.
+    "p_video_keyframes" -> ((s, d) => {
+      val media = graft.ops.Multimodal.syntheticMedia(s, 200, kind = "video")
+      graft.ops.Multimodal.keyframes(media, threshold = 68.0)
+        .select(col("media_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          round(col("mad"), 6).as("mad"))
+    }),
     "p_video_frames" -> ((s, d) => {
       val media = graft.ops.Multimodal.syntheticMedia(s, 200, kind = "video")
       graft.ops.Multimodal.sampleVideoFrames(media, stride = 2)
@@ -1257,6 +1269,30 @@ object PipelineQueries {
         |  round(mb, 6) AS mean_b
         |FROM agg""".stripMargin,
     // per-frame means at stride 2 from the closed-form pixels
+    "p_video_keyframes" ->
+      """WITH m AS (SELECT unnest(generate_series(0, 199)) AS i),
+        |p AS (SELECT i, 6 + (i % 5) AS w, 6 + ((i*3) % 5) AS h,
+        |             2 + ((i*11) % 6) AS nf FROM m),
+        |xs AS (SELECT unnest(generate_series(0, 9)) AS v),
+        |fs AS (
+        |  SELECT p.i, f.f, p.w, p.h
+        |  FROM p, (SELECT unnest(generate_series(1, 6)) AS f) f
+        |  WHERE f.f < p.nf
+        |),
+        |d AS (
+        |  SELECT fs.i, fs.f, fs.w, fs.h,
+        |    sum(abs(((x.v*31 + y.v*17 + fs.f*41 + fs.i*13) % 256)
+        |          - ((x.v*31 + y.v*17 + (fs.f-1)*41 + fs.i*13) % 256))) AS sad
+        |  FROM fs, xs x, xs y
+        |  WHERE x.v < fs.w AND y.v < fs.h
+        |  GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT CAST(i AS BIGINT) AS media_id, CAST(f AS BIGINT) AS frame_idx,
+        |  round(sad * 1.0 / (w*h), 6) AS mad
+        |FROM d WHERE sad * 1.0 / (w*h) > 68
+        |UNION ALL
+        |SELECT CAST(i AS BIGINT), CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE)
+        |FROM m""".stripMargin,
     "p_video_frames" ->
       """WITH m AS (SELECT unnest(generate_series(0, 199)) AS media_id),
         |p AS (

@@ -427,6 +427,73 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Scene-change keyframe selection over the REAL container decode — the
+    * frame-extraction step a video training pipeline runs before
+    * featurizing: frame 0 is always a keyframe (mad = 0); frame f > 0 is a
+    * keyframe when its mean absolute per-pixel luminance difference vs
+    * frame f−1 exceeds `threshold`. The SAD accumulates in integer space
+    * (gray rasters), so `mad = sad/(w·h)` is exact and the selection is a
+    * pure function of (payload, threshold) — fully closed-form-oracle-able
+    * on the synthetic clips. Pure map; one sequential decode pass per
+    * payload holding only two frames at a time.
+    * Output: (media_id, frame_idx, mad) — keyframes only.
+    */
+  def keyframes(media: DataFrame, threshold: Double,
+      batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("mad", DoubleType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rdd = media.queryExecution.toRdd.mapPartitions { iter =>
+      val rows = iter.map(ir => (ir.getLong(idIdx), ir.getBinary(payloadIdx)))
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { case (id, bytes) =>
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          require(readers.hasNext, "payload is not a decodable image container")
+          val reader = readers.next()
+          reader.setInput(iis)
+          try {
+            val nf = reader.getNumImages(true)
+            var prev: Array[Int] = null
+            (0 until nf).flatMap { f =>
+              val img = reader.read(f)
+              val w = img.getWidth; val h = img.getHeight
+              val cur = new Array[Int](w * h)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  cur(y * w + x) = (img.getRGB(x, y) >> 16) & 0xFF
+                  x += 1
+                }
+                y += 1
+              }
+              val out =
+                if (f == 0) Some(Row(id, 0, 0.0))
+                else {
+                  var sad = 0L
+                  var i = 0
+                  while (i < cur.length) {
+                    sad += math.abs(cur(i) - prev(i)); i += 1
+                  }
+                  val mad = sad.toDouble / cur.length
+                  if (mad > threshold) Some(Row(id, f, mad)) else None
+                }
+              prev = cur
+              out
+            }
+          } finally { reader.dispose(); iis.close() }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Batched partition-parallel REAL video decode + per-clip stats — the
     * [[imageStats]] shape for the video kind.
     * Output: (media_id, vid_w, vid_h, n_frames, mean_lum, mean_last).

@@ -497,6 +497,38 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: keyframe selection matches the closed-form SAD, frame 0 always kept") {
+    val media = Multimodal.syntheticMedia(spark, 30, kind = "video")
+      .repartition(5)
+    def expectedMad(i: Long, f: Int): Double = {
+      val (w, h, _) = Multimodal.synthVideoParams(i)
+      var sad = 0L
+      for (y <- 0 until h; x <- 0 until w)
+        sad += math.abs(Multimodal.synthVideoPixel(i, f, x, y) -
+          Multimodal.synthVideoPixel(i, f - 1, x, y))
+      sad.toDouble / (w * h)
+    }
+    val got = Multimodal.keyframes(media, threshold = 68.0).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val expected = (0L until 30L).flatMap { i =>
+      val (_, _, nf) = Multimodal.synthVideoParams(i)
+      ((i, 0) -> 0.0) +: (1 until nf).flatMap { f =>
+        val m = expectedMad(i, f)
+        if (m > 68.0) Some((i, f) -> m) else None
+      }
+    }.toMap
+    got shouldBe expected
+    // both classes exist at this threshold (the gate isn't vacuous)
+    expected.count(_._2 > 68.0) should be > 0
+    (0L until 30L).map { i =>
+      Multimodal.synthVideoParams(i)._3 - 1
+    }.sum should be > expected.count(_._2 > 68.0)
+    // threshold sweep: ∞ keeps only frame 0; -1 keeps every frame
+    Multimodal.keyframes(media, threshold = Double.MaxValue).count() shouldBe 30L
+    val total = (0L until 30L).map(i => Multimodal.synthVideoParams(i)._3).sum
+    Multimodal.keyframes(media, threshold = -1.0).count() shouldBe total.toLong
+  }
+
   test("multimodal: featurizer embeddings match the closed form and feed ANN end-to-end") {
     val dim = 8; val seed = 42L
     val media = Multimodal.syntheticMedia(spark, 40).repartition(6)
