@@ -56,6 +56,21 @@ object PipelineQueries {
       m
     })
 
+  /** One SemDeDup coarse-quantizer train per (JVM, sf dir), persisted so
+    * the oracle re-derives cluster assignment from the SAME centroids —
+    * the [[bpeMergesFor]] contract, for the embedding-cluster gates.
+    */
+  private val semDedupCentsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  private def semDedupCentsFor(s: SparkSession, d: String): Array[Array[Double]] =
+    semDedupCentsCache.computeIfAbsent(d, _ => {
+      val cdf = Ann.ivfTrain(emb(s, d), "embedding", nlist = 8)
+      cdf.coalesce(1).write.mode("overwrite")
+        .parquet(annArtifactBase(d) + "/semdedup_centroids")
+      Ann.ivfCentroidsFromDf(cdf)
+    })
+
   /** Mixed-script corpus for the byte-level BPE gates: deterministic
     * non-ASCII phrases (Latin diacritics, Cyrillic, CJK — 1-, 2- and 3-byte
     * UTF-8) spliced per doc_id onto the ASCII documents, so byte fallback
@@ -616,6 +631,40 @@ object PipelineQueries {
           lit("cafe\u0301 \t"), substring(col("text"), 1, 60),
           lit("\n\n e\u0301le\u0300ve \t "), col("source")))
           .as("norm_text"))),
+    // Gopher-style quality-rule audit (word count / mean word length /
+    // alpha fraction / stopword presence / duplication) with per-rule
+    // failure attribution \u2014 pure map-side integer arithmetic.
+    "p_gopher_filter" -> ((s, d) =>
+      TextOps.gopherAudit(docs(s, d), "doc_id", "text")),
+    // Exact-substring (cross-document span) dedup: stride-1 30-char
+    // windows occurring >= 2x corpus-wide, merged into maximal spans.
+    "p_substr_dedup" -> ((s, d) =>
+      Dedup.duplicateSpans(docs(s, d), "doc_id", "text", width = 30)),
+    // Held-out bigram-LM perplexity filter (CCNet shape): model trained on
+    // the deterministic md5 half, every doc scored with add-one smoothing.
+    "p_lm_ppl" -> ((s, d) =>
+      LangModel.perplexityScore(docs(s, d), "doc_id", "text",
+        keepBelow = 3.4)
+        .withColumnRenamed("id", "doc_id")),
+    // SemDeDup: nearest-centroid clustering (persisted coarse quantizer),
+    // within-cluster cosine >= 0.3 against any earlier id drops the row.
+    "p_semdedup" -> ((s, d) =>
+      Ann.semDedup(emb(s, d), "vec_id", "embedding",
+        semDedupCentsFor(s, d), tau = 0.3)),
+    // Fixed-length training-sequence packing over BPE token ids (EOS
+    // terminator = vocab size, 128-token sequences, global doc-id order).
+    "p_pack_tokens" -> ((s, d) =>
+      Packing.packTokenIds(docs(s, d), "doc_id", "text",
+        bpeMergesFor(s, d), seqLen = 128)),
+    // D4-style cluster-balanced diversity sampling: ≤ 20 rows per
+    // embedding cluster in the md5 draw order, same persisted quantizer
+    // as p_semdedup.
+    "p_cluster_sample" -> ((s, d) =>
+      Ann.clusterSample(emb(s, d), "vec_id", "embedding",
+        semDedupCentsFor(s, d), perCell = 20)),
+    // The ExactSubstr REMOVAL step: duplicated spans cut from every doc.
+    "p_substr_clean" -> ((s, d) =>
+      Dedup.removeSpans(docs(s, d), "doc_id", "text", width = 30)),
   )
 
   private val jaccardCtes: String =
@@ -1708,5 +1757,241 @@ object PipelineQueries {
         |    || 've ' || chr(9) || ' ' || source),
         |    '\s+', ' ', 'g')) AS norm_text
         |FROM documents""".stripMargin,
+    "p_gopher_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    [x for x in string_split(text, ' ') if x <> ''] AS toks
+        |  FROM documents
+        |),
+        |s AS (
+        |  SELECT doc_id, len(toks) AS nw,
+        |    length(replace(text, ' ', ''))*1.0/greatest(len(toks), 1) AS mwl,
+        |    len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+        |      *1.0/greatest(len(toks), 1) AS af,
+        |    len([s for s in ['the','a','of','and','to','in','is','it','for','on']
+        |         if list_contains(toks, s)]) AS ns,
+        |    len(list_distinct(toks))*1.0/greatest(len(toks), 1) AS uf
+        |  FROM t
+        |)
+        |SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+        |  round(mwl, 6) AS mean_wlen, round(af, 6) AS alpha_frac,
+        |  CAST(ns AS BIGINT) AS n_stop, round(uf, 6) AS uniq_frac,
+        |  CAST(CASE WHEN nw BETWEEN 25 AND 90 THEN 0 ELSE 1 END
+        |    + CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 0 ELSE 2 END
+        |    + CASE WHEN af >= 0.8 THEN 0 ELSE 4 END
+        |    + CASE WHEN ns >= 2 THEN 0 ELSE 8 END
+        |    + CASE WHEN uf >= 0.3 THEN 0 ELSE 16 END AS BIGINT) AS fail_mask
+        |FROM s""".stripMargin,
+    "p_substr_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, pos, md5(substr(text, pos, 30)) AS k FROM (
+        |    SELECT doc_id, text,
+        |      unnest(generate_series(1, len(text) - 29)) AS pos
+        |    FROM documents WHERE len(text) >= 30)
+        |),
+        |d AS (SELECT k FROM w GROUP BY k HAVING count(*) >= 2),
+        |p AS (SELECT doc_id, pos FROM w JOIN d USING (k)),
+        |f AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+        |           IS NULL
+        |         OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+        |           + 30
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM p
+        |),
+        |i AS (
+        |  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
+        |    ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
+        |  FROM f
+        |)
+        |SELECT doc_id, min(pos) AS span_start,
+        |  max(pos) - min(pos) + 30 AS span_len, count(*) AS n_windows
+        |FROM i GROUP BY doc_id, isl""".stripMargin,
+    "p_lm_ppl" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |inst AS (
+        |  SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1]
+        |    for i in generate_series(1, len(toks)-1)]) AS bg
+        |  FROM t
+        |),
+        |insts AS (
+        |  SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' AS tr
+        |  FROM inst
+        |),
+        |c2 AS (SELECT bg, count(*) AS c2 FROM insts WHERE tr GROUP BY 1),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM insts WHERE tr GROUP BY 1),
+        |v AS (SELECT count(*) AS v FROM c1),
+        |sc AS (
+        |  SELECT i.doc_id,
+        |    ln((coalesce(c2.c2, 0)+1)*1.0/(coalesce(c1.c1, 0)+v.v)) AS logp
+        |  FROM insts i LEFT JOIN c2 USING (bg) LEFT JOIN c1 USING (w1)
+        |  CROSS JOIN v
+        |)
+        |SELECT doc_id, round(-avg(logp), 6) AS avg_nll,
+        |  count(*) AS n_bigrams, round(-avg(logp), 6) <= 3.4 AS kept
+        |FROM sc GROUP BY doc_id""".stripMargin,
+    "p_semdedup" ->
+      """WITH cents AS (
+        |  SELECT cid, c FROM '__ANN_ARTIFACTS__/semdedup_centroids/*.parquet'
+        |),
+        |e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |),
+        |nrm AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS n FROM e),
+        |cd AS (
+        |  SELECT e.vec_id, ct.cid,
+        |    round(list_inner_product(ct.c, ct.c)
+        |      - 2*list_inner_product(e.v, ct.c), 6) AS d
+        |  FROM e CROSS JOIN cents ct
+        |),
+        |rk AS (
+        |  SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |  FROM cd
+        |),
+        |assign AS (SELECT vec_id, cid FROM rk WHERE rn = 1),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM assign a JOIN assign b
+        |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  JOIN e ea ON a.vec_id = ea.vec_id
+        |  JOIN e eb ON b.vec_id = eb.vec_id
+        |  JOIN nrm na ON a.vec_id = na.vec_id
+        |  JOIN nrm nb ON b.vec_id = nb.vec_id
+        |  WHERE round(list_inner_product(ea.v, eb.v)/(na.n*nb.n), 6) >= 0.3
+        |)
+        |SELECT s.vec_id, s.cid AS cell FROM assign s
+        |WHERE s.vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
+    "p_cluster_sample" ->
+      """WITH cents AS (
+        |  SELECT cid, c FROM '__ANN_ARTIFACTS__/semdedup_centroids/*.parquet'
+        |),
+        |e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |),
+        |cd AS (
+        |  SELECT e.vec_id, ct.cid,
+        |    round(list_inner_product(ct.c, ct.c)
+        |      - 2*list_inner_product(e.v, ct.c), 6) AS d
+        |  FROM e CROSS JOIN cents ct
+        |),
+        |rk AS (
+        |  SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |  FROM cd
+        |),
+        |assign AS (SELECT vec_id, cid FROM rk WHERE rn = 1),
+        |drawn AS (
+        |  SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY cid
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        |  FROM assign
+        |)
+        |SELECT vec_id, cid AS cell FROM drawn WHERE rn <= 20""".stripMargin,
+    "p_substr_clean" ->
+      """WITH w AS (
+        |  SELECT doc_id, pos, md5(substr(text, pos, 30)) AS k FROM (
+        |    SELECT doc_id, text,
+        |      unnest(generate_series(1, len(text) - 29)) AS pos
+        |    FROM documents WHERE len(text) >= 30)
+        |),
+        |d AS (SELECT k FROM w GROUP BY k HAVING count(*) >= 2),
+        |p AS (SELECT doc_id, pos FROM w JOIN d USING (k)),
+        |f AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+        |           IS NULL
+        |         OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+        |           + 30
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM p
+        |),
+        |i AS (
+        |  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
+        |    ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
+        |  FROM f
+        |),
+        |spans AS (
+        |  SELECT doc_id, min(pos) AS s, max(pos) + 29 AS e
+        |  FROM i GROUP BY doc_id, isl
+        |),
+        |chars AS (
+        |  SELECT doc_id, pos, substr(text, pos, 1) AS ch FROM (
+        |    SELECT doc_id, text, unnest(generate_series(1, len(text))) AS pos
+        |    FROM documents)
+        |),
+        |cov AS (
+        |  SELECT DISTINCT c.doc_id, c.pos
+        |  FROM chars c JOIN spans sp
+        |    ON c.doc_id = sp.doc_id AND c.pos BETWEEN sp.s AND sp.e
+        |),
+        |kept AS (
+        |  SELECT c.doc_id, c.pos, c.ch
+        |  FROM chars c LEFT JOIN cov
+        |    ON c.doc_id = cov.doc_id AND c.pos = cov.pos
+        |  WHERE cov.pos IS NULL
+        |),
+        |agg AS (
+        |  SELECT doc_id, string_agg(ch, '' ORDER BY pos) AS t,
+        |    count(*) AS nk
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT dd.doc_id, coalesce(a.t, '') AS clean_text,
+        |  CAST(len(dd.text) - coalesce(a.nk, 0) AS BIGINT) AS n_cut_chars
+        |FROM documents dd LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    "p_pack_tokens" ->
+      s"""WITH RECURSIVE $bpeEncodeCtes,
+         |occp AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word,
+         |    generate_subscripts(
+         |      regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS wpos
+         |  FROM documents
+         |),
+         |toks AS (
+         |  SELECT word,
+         |    unnest(string_split(substr(s, 2, len(s) - 2), chr(3)||chr(2)))
+         |      AS token,
+         |    generate_subscripts(
+         |      string_split(substr(s, 2, len(s) - 2), chr(3)||chr(2)), 1)
+         |      AS tpos
+         |  FROM encoded
+         |),
+         |chars AS (
+         |  SELECT DISTINCT unnest(string_split(word, '')) AS token FROM vocab
+         |),
+         |cand AS (
+         |  SELECT 0 AS grp, token, token AS o1, 0 AS o2 FROM chars
+         |  UNION ALL
+         |  SELECT 1, l || r, '', rank FROM m
+         |),
+         |numbered AS (
+         |  SELECT token, row_number() OVER (ORDER BY grp, o2, o1) - 1 AS id
+         |  FROM cand
+         |),
+         |ids AS (SELECT token, min(id) AS id FROM numbered GROUP BY token),
+         |v AS (SELECT max(id) + 1 AS eos FROM ids),
+         |stream AS (
+         |  SELECT o.doc_id, o.wpos, t.tpos, ids.id
+         |  FROM occp o JOIN toks t USING (word) JOIN ids USING (token)
+         |  UNION ALL
+         |  SELECT d.doc_id, 2147483647, 1, v.eos
+         |  FROM documents d CROSS JOIN v
+         |),
+         |g AS (
+         |  SELECT doc_id, id,
+         |    row_number() OVER (ORDER BY doc_id, wpos, tpos) - 1 AS gpos
+         |  FROM stream
+         |)
+         |SELECT CAST(gpos // 128 AS BIGINT) AS seq_id,
+         |  count(*) AS n_tok, count(DISTINCT doc_id) AS n_docs,
+         |  CAST(sum(id) AS BIGINT) AS id_sum,
+         |  min(doc_id) AS doc_min, max(doc_id) AS doc_max
+         |FROM g GROUP BY 1""".stripMargin,
   )
 }

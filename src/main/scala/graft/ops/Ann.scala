@@ -439,6 +439,59 @@ object Ann {
         s => s.getField("m")).as("centroid"))
       .withColumnRenamed("key", keyCol)
 
+  /** Semantic deduplication — SemDeDup (Abbas et al. 2023), the
+    * embedding-space near-duplicate pruning step of large-scale curation:
+    * assign every vector to its nearest centroid (the same coarse
+    * quantizer the IVF index trains), then WITHIN each cluster drop any
+    * vector that has an earlier (lower-id) cluster-mate with cosine ≥
+    * `tau`. The all-pairs comparison is confined to a cluster — the
+    * published cost model: cluster count grows with the corpus while
+    * per-cluster work stays bounded, so no global pairwise join ever runs.
+    *
+    * Keep rule ("earlier near-neighbor exists ⇒ drop") is a pure pairwise
+    * predicate — deterministic, order-free, and SQL-expressible — rather
+    * than a sequential greedy scan, so the kept set is reproducible by
+    * the DuckDB oracle. Cosines and cell assignment compare on values
+    * rounded to `roundTo` (lowest-cid tie-break) for cross-engine
+    * stability. Returns the KEPT rows as (idCol, cell).
+    */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]], tau: Double,
+      roundTo: Int = 6): DataFrame = {
+    val asn = emb.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("cell", graft.functions.VectorFns.nearestCellNative(
+        col("__v"), cents, roundTo))
+      .withColumn("__n", l2(col("__v")))
+    val a = asn.select(col("cell"), col(idCol).as("__id1"),
+      col("__v").as("__v1"), col("__n").as("__n1"))
+    val b = asn.select(col("cell"), col(idCol).as("__id2"),
+      col("__v").as("__v2"), col("__n").as("__n2"))
+    val dropped = a.join(b, Seq("cell"))
+      .where(col("__id1") < col("__id2") &&
+        round(graft.functions.VectorFns.dotNative(col("__v1"), col("__v2")) /
+          (col("__n1") * col("__n2")), roundTo) >= tau)
+      .select(col("__id2").as(idCol)).distinct()
+    asn.join(dropped, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cell"))
+  }
+
+  /** Cluster-balanced diversity sampling — the D4-style counterpart of
+    * [[semDedup]] (Tirumala et al. 2023): cap each embedding cluster at
+    * `perCell` rows, picked in the engine-portable (md5(id), id) order
+    * ([[Sampling.capPerKey]]'s determinism rule), so over-represented
+    * semantic regions are down-weighted instead of the corpus being
+    * sampled uniformly. Same persisted-coarse-quantizer contract as
+    * [[semDedup]]; one shuffle on the cell key; returns kept (idCol, cell).
+    */
+  def clusterSample(emb: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]], perCell: Int,
+      roundTo: Int = 6): DataFrame = {
+    val asn = emb.select(col(idCol),
+        graft.functions.VectorFns.nearestCellNative(
+          col(vecCol).cast("array<double>"), cents, roundTo).as("cell"))
+    Sampling.capPerKey(asn, "cell", idCol, perCell)
+  }
+
   /** Driver-side mirror of the query-probe ranking: the `nprobe` nearest
     * cells of one vector, ordered by (squared euclidean distance, cid) —
     * the same |c|² − 2·v·c form the SQL probe uses, so both sides pick

@@ -58,6 +58,21 @@ object Bpe {
       .where(col("word") =!= "")
   }
 
+  /** [[words]] with the word's 0-based position in its document:
+    * (idCol, wpos, word) — the order-preserving occurrence stream sequence
+    * packing consumes.
+    */
+  def wordsPos(docs: DataFrame, idCol: String, textCol: String,
+      byteLevel: Boolean = false): DataFrame = {
+    val (src, pat) =
+      if (byteLevel) (col(textCol), ByteWordPattern)
+      else (lower(col(textCol)), WordPattern)
+    docs.select(col(idCol),
+        posexplode(regexp_extract_all(src, lit(pat), lit(0)))
+          .as(Seq("wpos", "word")))
+      .where(col("word") =!= "")
+  }
+
   /** The distinct-word frame with occurrence counts: (word, freq). */
   def wordFreq(docs: DataFrame, idCol: String, textCol: String,
       byteLevel: Boolean = false): DataFrame =

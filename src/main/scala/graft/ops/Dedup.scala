@@ -66,6 +66,99 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col("n_copies"))
 
+  /** Exact-substring (cross-document span) dedup — the ExactSubstr
+    * deduplication of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better"), re-expressed for Spark: instead of a
+    * distributed suffix array, slide a stride-1 character window of
+    * `width` over every document and keep the positions whose window text
+    * occurs ≥ 2 times in the corpus (any second occurrence — cross- or
+    * intra-document). The union of surviving windows, merged into maximal
+    * islands per document, is EXACTLY the union of all duplicated
+    * substrings of length ≥ `width` — the same removal set the suffix
+    * array yields at resolution `width`.
+    *
+    * Returns one row per merged span: (idCol, span_start, span_len,
+    * n_windows), 1-based character positions.
+    *
+    * Scale: the window stream is O(total corpus chars) rows but each
+    * carries only (id, pos, 16-byte md5 digest) — the shuffle is bounded
+    * per input byte and never moves document text. The duplicate-key
+    * filter is one map-side-combinable count; island merging shuffles
+    * once on the doc id and windows per-document (bounded by doc length).
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      width: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(width >= 2, "width must be >= 2")
+    val wins = widen(df.select(col(idCol), col(textCol)), idCol)
+      .where(length(col(textCol)) >= width)
+      .select(col(idCol),
+        explode(sequence(lit(1), length(col(textCol)) - (width - 1)))
+          .as("pos"),
+        col(textCol))
+      .select(col(idCol), col("pos"),
+        md5(col(textCol).substr(col("pos"), lit(width))).as("__k"))
+    val dupKeys = wins.groupBy("__k").agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= 2).select("__k")
+    val dupPos = wins.join(dupKeys, Seq("__k")).select(col(idCol), col("pos"))
+    // gaps-and-islands: windows [pos, pos+width-1] merge while they overlap
+    // or touch; a break is a gap of more than `width` between starts
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val run = byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dupPos
+      .withColumn("__brk",
+        when(lag(col("pos"), 1).over(byDoc).isNull ||
+          col("pos") > lag(col("pos"), 1).over(byDoc) + width, 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum(col("__brk")).over(run))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) - min(col("pos")) + width).as("span_len"),
+        count(lit(1)).as("n_windows"))
+      .select(col(idCol), col("span_start"), col("span_len"),
+        col("n_windows"))
+  }
+
+  /** The removal step of exact-substring dedup: every duplicated span
+    * found by [[duplicateSpans]] is CUT from its document (all occurrences
+    * removed — Lee et al. 2022's ExactSubstr policy), returning
+    * (idCol, clean_text, n_cut_chars) for every input document.
+    *
+    * The cut itself is a map-side higher-order aggregate over the doc's
+    * (sorted, provably non-overlapping) span list: the accumulator walks
+    * (kept-prefix, next-uncut-position) and finishes with the tail — no
+    * explode of characters, no UDF. Only the span LIST joins back to the
+    * corpus (a few rows per affected doc), so the extra cost over
+    * [[duplicateSpans]] is one small left join.
+    */
+  def removeSpans(df: DataFrame, idCol: String, textCol: String,
+      width: Int = 30): DataFrame = {
+    val spans = duplicateSpans(df, idCol, textCol, width)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(
+        col("span_start").as("s"), col("span_len").as("l")))).as("__spans"))
+    val text = col(textCol)
+    // state: (kept prefix, 1-based position of the first uncut char);
+    // substr takes INT positions — span offsets are longs, cast down
+    // (document char offsets are < 2³¹ by construction)
+    val cut = aggregate(col("__spans"),
+      struct(lit("").as("acc"), lit(1).as("nxt")),
+      (st, sp) => struct(
+        concat(st.getField("acc"),
+          text.substr(st.getField("nxt"),
+            (sp.getField("s") - st.getField("nxt")).cast("int"))).as("acc"),
+        (sp.getField("s") + sp.getField("l")).cast("int").as("nxt")),
+      st => concat(st.getField("acc"),
+        text.substr(st.getField("nxt"),
+          (length(text) - st.getField("nxt") + 1).cast("int"))))
+    df.join(spans, Seq(idCol), "left")
+      .select(col(idCol), length(text).as("__len"),
+        when(col("__spans").isNull, text).otherwise(cut).as("clean_text"))
+      .select(col(idCol), col("clean_text"),
+        (col("__len") - length(col("clean_text"))).cast("long")
+          .as("n_cut_chars"))
+  }
+
   /** Distinct word n-grams ("shingles") from a token array. Documents with
     * fewer than n tokens yield ZERO shingles (and thus never pair) — matching
     * the SQL-oracle semantics of generate_series over token positions.

@@ -49,4 +49,47 @@ object LangModel {
       .groupBy(col("id"))
       .agg(avg(col("logp")).as("avg_logp"), count(lit(1)).as("n_bigrams"))
   }
+
+  /** Held-out perplexity filtering — the CCNet-style LM quality gate
+    * (Wenzek et al. 2020): train the bigram model on a REFERENCE SPLIT of
+    * the corpus (md5(id) first hex digit < '8' ≈ a deterministic,
+    * engine-portable 50%), then score EVERY document by its mean negative
+    * log-likelihood under add-one smoothing and keep those at or below
+    * `keepBelow`. Unlike [[bigramLogProb]] (self-trained, unsmoothed —
+    * unseen bigrams silently drop), the held-out model must score unseen
+    * events: p(w2|w1) = (c(w1 w2)+1) / (c(w1)+V), V = trained first-word
+    * vocabulary size, so every bigram gets a finite score and atypical
+    * text is penalized rather than ignored.
+    *
+    * Returns (id, avg_nll, n_bigrams, kept); `avg_nll` rounded to 6 and
+    * the threshold applied to the ROUNDED value, so the kept set is
+    * reproducible bit-for-bit across engines.
+    *
+    * Scale: identical dataflow to [[bigramLogProb]] — the model is one
+    * vocabulary-sized frame, V is a one-row aggregate joined as a scalar,
+    * and scoring shuffles the corpus once on the doc id.
+    */
+  def perplexityScore(docs: DataFrame, idCol: String, textCol: String,
+      keepBelow: Double = 4.0): DataFrame = {
+    val inst = graft.Exec.materialize(docs
+      .select(col(idCol).as("id"), explode(bigramInstances(col(textCol))).as("bg"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("__train",
+        substring(md5(col("id").cast("string")), 1, 1) < "8"))
+    val train = inst.where(col("__train"))
+    val c2 = train.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val c1 = train.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vdf = c1.agg(count(lit(1)).as("__v"))
+    val scored = inst
+      .join(c2, Seq("bg"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vdf))
+      .select(col("id"),
+        log((coalesce(col("c2"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("__v"))).as("logp"))
+    scored.groupBy("id")
+      .agg(round(-avg(col("logp")), 6).as("avg_nll"),
+        count(lit(1)).as("n_bigrams"))
+      .withColumn("kept", col("avg_nll") <= keepBelow)
+  }
 }

@@ -43,4 +43,91 @@ object Packing {
       .withColumn("bin", floor(col("__cum") / budget).cast("long"))
       .drop("__cum")
   }
+
+  /** Exclusive global prefix sum of `valueCol` in `orderCol` order, WITHOUT
+    * a single-partition window: range-repartition on the order key, driver
+    * prefix-sum of the ≤`buckets` per-partition totals, per-partition
+    * window + baked offset (the [[Corpus.selectWithinBudget]] machinery,
+    * factored for reuse). Returns (orderCol, __off). localCheckpoint, not
+    * cache: the driver offsets are baked per __pid, so the window must read
+    * the exact materialized partitions (see the note there).
+    */
+  private[ops] def prefixOffsets(df: DataFrame, orderCol: String,
+      valueCol: String, buckets: Int = 64): DataFrame = {
+    val keyed = df
+      .select(col(orderCol), col(valueCol).cast("long").as("__val"))
+      .repartitionByRange(buckets, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val partSums = keyed.groupBy("__pid").agg(sum(col("__val")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until buckets).scanLeft(0L) {
+      case (acc, pid) => acc + partSums.getOrElse(pid, 0L)
+    }
+    val offCol = offsets.init.zipWithIndex.foldLeft(lit(0L)) {
+      case (acc, (off, pid)) =>
+        when(col("__pid") === pid, lit(off)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keyed
+      .withColumn("__off", sum(col("__val")).over(w) - col("__val") + offCol)
+      .select(col(orderCol), col("__off"))
+  }
+
+  /** Fixed-length training-sequence packing over BPE token IDS — the step
+    * that turns a curated corpus into the (seq, position) → token grid a
+    * trainer consumes: documents are id-encoded with the learned `merges`
+    * ([[Bpe]]), terminated with an EOS id (= vocabulary size), concatenated
+    * in ascending doc-id order, and the token stream is cut every `seqLen`
+    * tokens. Returns one summary row per packed sequence:
+    * (seq_id, n_tok, n_docs, id_sum, doc_min, doc_max) — n_tok = seqLen
+    * everywhere except the final partial sequence.
+    *
+    * Scale: encoding runs once per DISTINCT word and joins back (the
+    * [[Bpe.docTokenCounts]] shape); the global token offsets come from
+    * [[prefixOffsets]] (distributed prefix sum — no global window, no
+    * driver data); position-within-document is a per-doc window (bounded
+    * by doc length). A sequence never materializes as an array — the grid
+    * stays relational (exploded) end to end, so seqLen and document size
+    * never hit executor memory limits.
+    */
+  def packTokenIds(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], seqLen: Int,
+      byteLevel: Boolean = false, buckets: Int = 64): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = Bpe.vocabulary(docs, idCol, textCol, merges, byteLevel)
+    val ids = vocab.toDF("token", "id")
+    val eosId = vocab.map(_._2).max.toLong + 1 // vocab ids are 0..V-1; EOS = V
+    val occ = Bpe.wordsPos(docs, idCol, textCol, byteLevel)
+    val enc = Bpe.encodeVocab(occ.select("word").distinct(), merges, byteLevel)
+      .select(col("word"), col("toks"))
+    val tok = occ.join(enc, Seq("word"))
+      .select(col(idCol), col("wpos"), posexplode(col("toks")))
+      .withColumnRenamed("pos", "tpos")
+      .withColumnRenamed("col", "token")
+      .join(broadcast(ids), Seq("token"))
+      .select(col(idCol), col("wpos"), col("tpos"),
+        col("id").cast("long").as("id"))
+    // per-doc EOS terminator rides at a position past any real word
+    val withEos = tok.unionByName(docs.select(col(idCol),
+      lit(Int.MaxValue).as("wpos"), lit(0).as("tpos"),
+      lit(eosId).as("id")))
+    val byDoc = Window.partitionBy(col(idCol))
+      .orderBy(col("wpos"), col("tpos"))
+    val seq = withEos.withColumn("__k", row_number().over(byDoc).cast("long"))
+    val counts = seq.groupBy(col(idCol)).agg(max(col("__k")).as("__n"))
+    val offs = prefixOffsets(counts, idCol, "__n", buckets)
+    seq.join(offs, Seq(idCol))
+      .withColumn("__g", col("__off") + col("__k") - 1)
+      .withColumn("seq_id", floor(col("__g") / seqLen).cast("long"))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        countDistinct(col(idCol)).as("n_docs"),
+        sum(col("id")).as("id_sum"),
+        min(col(idCol)).as("doc_min"),
+        max(col(idCol)).as("doc_max"))
+  }
 }

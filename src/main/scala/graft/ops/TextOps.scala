@@ -165,6 +165,47 @@ object TextOps {
       array_distinct(transform(sequence(lit(1), length(text) - (n - 1)),
         i => text.substr(i, lit(n)))))
       .otherwise(array().cast("array<string>"))
+
+  /** Gopher-style quality-rule audit (the published repetition/format
+    * heuristics of Rae et al. 2021 §A1.1.2, bounds recalibrated to this
+    * corpus profile): per-document measured stats plus a failed-rule
+    * bitmask, so downstream selection can both filter (`fail_mask = 0`)
+    * and attribute every rejection to the rule that fired. Bits:
+    *   1  word count outside [minWords, maxWords]
+    *   2  mean word length outside [3, 10]
+    *   4  alphabetic-word fraction < 0.8
+    *   8  fewer than 2 distinct stopwords present ("stop word" rule)
+    *   16 unique-word fraction < minUniqueFrac (duplication rule)
+    * Pure map-side column arithmetic over the token array — no shuffle, no
+    * UDF; every ratio is a quotient of integers, so the DuckDB oracle
+    * reproduces it bit-exactly (doubles rounded to 6 for the compare).
+    */
+  def gopherAudit(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minWords: Int = 25, maxWords: Int = 90,
+      minUniqueFrac: Double = 0.3): org.apache.spark.sql.DataFrame = {
+    val toks = filter(split(col(textCol), " "), t => length(t) > 0)
+    val nw = size(toks)
+    val denom = greatest(nw, lit(1))
+    val mwl = length(regexp_replace(col(textCol), " ", "")).cast("double") / denom
+    val af = size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("double") / denom
+    // count how many of the FIXED stopword list occur (distinct-stopword
+    // count, not token hits): iterate the constant list, not the document
+    val nStop = size(filter(
+      lit(StopwordsEn.toArray), s => array_contains(toks, s)))
+    val uf = size(array_distinct(toks)).cast("double") / denom
+    val bit = (c: Column, b: Int) => when(c, lit(0L)).otherwise(lit(b.toLong))
+    docs.select(col(idCol),
+      nw.cast("long").as("n_words"),
+      round(mwl, 6).as("mean_wlen"),
+      round(af, 6).as("alpha_frac"),
+      nStop.cast("long").as("n_stop"),
+      round(uf, 6).as("uniq_frac"),
+      (bit(nw.between(minWords, maxWords), 1) +
+        bit(mwl >= 3.0 && mwl <= 10.0, 2) +
+        bit(af >= 0.8, 4) +
+        bit(nStop >= 2, 8) +
+        bit(uf >= minUniqueFrac, 16)).as("fail_mask"))
+  }
 }
 
 /** TF-IDF over the tokenized corpus — pure DataFrame ops, one shuffle per

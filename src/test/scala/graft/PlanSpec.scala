@@ -190,4 +190,54 @@ class PlanSpec extends SparkSpec {
     // distinct on the vocab side reuses the word shuffle's partitioning
     p.collect { case s: ShuffleExchangeLike => s }.size should be <= 5
   }
+
+  test("gopherAudit: pure map — zero exchanges") {
+    import graft.ops.TextOps
+    val docs = Tables.read(spark, sf, "documents")
+    val p = plan(TextOps.gopherAudit(docs, "doc_id", "text"))
+    p.collect { case s: ShuffleExchangeLike => s } shouldBe empty
+  }
+
+  test("duplicateSpans: digest-keyed equi plan, document text never joins") {
+    import graft.ops.Dedup
+    val docs = Tables.read(spark, sf, "documents")
+    val p = plan(Dedup.duplicateSpans(docs, "doc_id", "text", width = 30))
+    p.collect { case c: CartesianProductExec => c } shouldBe empty
+    p.collect { case b: BroadcastNestedLoopJoinExec => b } shouldBe empty
+    // widen repartition, digest shuffle for the count + join-back, doc-id
+    // window, final island aggregation reusing the window's partitioning
+    p.collect { case s: ShuffleExchangeLike => s }.size should be <= 5
+  }
+
+  test("semDedup: within-cell equi-join, never an all-pairs product") {
+    import graft.ops.Ann
+    val emb = Tables.read(spark, sf, "embeddings")
+    val cents = Array(Array.fill(64)(0.1), Array.fill(64)(-0.1))
+    val p = plan(Ann.semDedup(emb, "vec_id", "embedding", cents, tau = 0.3))
+    p.collect { case c: CartesianProductExec => c } shouldBe empty
+    p.collect { case b: BroadcastNestedLoopJoinExec => b } shouldBe empty
+  }
+
+  test("packTokenIds: equi-joins only; vocab ids ride a broadcast") {
+    import graft.ops.{Bpe, Packing}
+    val docs = Tables.read(spark, sf, "documents")
+    val merges = Seq(("t", "h"), ("th", "e"))
+    val p = plan(Packing.packTokenIds(docs, "doc_id", "text", merges,
+      seqLen = 128))
+    p.collect { case c: CartesianProductExec => c } shouldBe empty
+    p.collect { case b: BroadcastNestedLoopJoinExec => b } shouldBe empty
+    p.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    } should not be empty
+  }
+
+  test("perplexityScore: model joins are equi; only the 1-row V scalar nest-loops") {
+    import graft.ops.LangModel
+    val docs = Tables.read(spark, sf, "documents")
+    val p = plan(LangModel.perplexityScore(docs, "doc_id", "text"))
+    p.collect { case c: CartesianProductExec => c } shouldBe empty
+    // the add-one denominator joins a ONE-ROW aggregate — the only
+    // (intentional, bounded) nested-loop in the plan
+    p.collect { case b: BroadcastNestedLoopJoinExec => b }.size should be <= 1
+  }
 }

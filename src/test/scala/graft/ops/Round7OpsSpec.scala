@@ -1,0 +1,237 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-7 pipeline operators: exact-substring span dedup,
+  * Gopher-rule quality audit, held-out perplexity filtering, SemDeDup, and
+  * fixed-length token-id sequence packing. Each op gets a closed-form
+  * fixture (expected output derivable by hand) plus a layout-independence
+  * check where partitioning could plausibly leak into the result.
+  */
+class Round7OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- spans
+
+  test("duplicateSpans: shared block across docs becomes exactly one span per doc") {
+    // "SHAREDBLOCK" (11 chars) embedded in different contexts; width 5 →
+    // only windows fully inside the block repeat, so the merged span is
+    // exactly the block: 7 windows, span_len 11.
+    val docs = Seq(
+      (1L, "xxxxSHAREDBLOCKqqqq"),
+      (2L, "ppSHAREDBLOCKrstuvw"),
+      (3L, "nothing in common here")).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(docs, "doc_id", "text", width = 5)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    got shouldBe Seq(
+      (1L, 5L, 11L, 7L), // "SHAREDBLOCK" starts at pos 5 (1-based)
+      (2L, 3L, 11L, 7L))
+  }
+
+  test("duplicateSpans: intra-document repetition and gap > width splits islands") {
+    // "abcdefgh" occurs twice inside ONE doc, separated by > width chars:
+    // two distinct spans in the same doc.
+    val docs = Seq((7L, "abcdefgh0123456789abcdefgh")).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(docs, "doc_id", "text", width = 5)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2)
+    got shouldBe Seq((7L, 1L, 8L, 4L), (7L, 19L, 8L, 4L))
+  }
+
+  test("duplicateSpans: span union == brute-force duplicated-window union, any layout") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "text")
+    val width = 30
+    val spans = Dedup.duplicateSpans(docs.repartition(13), "doc_id", "text", width)
+      .as[(Long, Long, Long, Long)].collect()
+    // brute force on the driver (sf0.01 is small): window text -> positions
+    val all = docs.as[(Long, String)].collect()
+    val counts = scala.collection.mutable.HashMap.empty[String, Int]
+    for ((_, t) <- all; i <- 0 to t.length - width)
+      counts.updateWith(t.substring(i, i + width))(c => Some(c.getOrElse(0) + 1))
+    val wantCovered = (for ((id, t) <- all; i <- 0 to t.length - width
+        if counts(t.substring(i, i + width)) >= 2;
+        p <- (i + 1) until (i + 1 + width)) yield (id, p)).toSet
+    val gotCovered = (for ((id, s, l, _) <- spans; p <- s until (s + l))
+      yield (id, p)).toSet
+    gotCovered shouldBe wantCovered
+    // islands are maximal: spans within a doc never overlap or touch
+    spans.groupBy(_._1).values.foreach { ss =>
+      ss.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) => assert(b._2 > a._2 + a._3) // next start past end+1
+        case _ =>
+      }
+    }
+  }
+
+  test("removeSpans cuts every duplicated span and nothing else") {
+    val docs = Seq(
+      (1L, "xxxxSHAREDBLOCKqqqq"),
+      (2L, "ppSHAREDBLOCKrstuvw"),
+      (3L, "nothing in common here"),
+      (7L, "abcdefgh0123456789abcdefgh")).toDF("doc_id", "text")
+    val got = Dedup.removeSpans(docs, "doc_id", "text", width = 5)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    got shouldBe Seq(
+      (1L, "xxxxqqqq", 11L),
+      (2L, "pprstuvw", 11L),
+      (3L, "nothing in common here", 0L),
+      (7L, "0123456789", 16L))
+  }
+
+  test("removeSpans on the corpus: cut chars == duplicated-window coverage") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, "doc_id", "text", 30)
+      .groupBy("doc_id").agg(sum("span_len").as("cov"))
+      .as[(Long, Long)].collect().toMap
+    val clean = Dedup.removeSpans(docs, "doc_id", "text", 30)
+      .as[(Long, String, Long)].collect()
+    clean.length shouldBe docs.count()
+    clean.foreach { case (id, _, cut) =>
+      cut shouldBe spans.getOrElse(id, 0L)
+    }
+  }
+
+  test("clusterSample: ≤ perCell rows per cell, drawn in the portable md5 order") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val cents = Ann.ivfCentroidsFromDf(Ann.ivfTrain(emb, "embedding", nlist = 8))
+    val kept = Ann.clusterSample(emb.repartition(11), "vec_id", "embedding",
+      cents, perCell = 20).as[(Long, Int)].collect()
+    // the kept set is the md5-order head of each cell of the assignment
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val asn = emb.select(col("vec_id"),
+        graft.functions.VectorFns.nearestCellNative(
+          col("embedding").cast("array<double>"), cents, 6).as("cell"))
+      .as[(Long, Int)].collect()
+    val want = asn.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy(r => (md5hex(r._1.toString), r._1)).take(20)
+    }.sortBy(_._1)
+    kept.sortBy(_._1).toSeq shouldBe want
+  }
+
+  // --------------------------------------------------------------- gopher
+
+  test("gopherAudit: each rule fires on its engineered document") {
+    val stop26 = "the quality of this document is high because it contains " +
+      "many distinct words alpha beta gamma delta epsilon zeta eta theta " +
+      "iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon phi chi " +
+      "psi omega"
+    val docs = Seq(
+      (1L, stop26), // passes all rules
+      (2L, "short text with the a of and stop words"), // < 25 words → bit 1
+      (3L, ("a " * 30).trim), // mean wlen 1 → bit 2; dup → bit 16; stop → bit 8
+      (4L, (1 to 30).map(i => s"$i$i").mkString(" ")) // digits → bits 4+8
+    ).toDF("doc_id", "text")
+    val got = TextOps.gopherAudit(docs, "doc_id", "text")
+      .select("doc_id", "fail_mask").as[(Long, Long)].collect().toMap
+    got(1L) shouldBe 0L
+    got(2L) shouldBe 1L
+    (got(3L) & 2L) shouldBe 2L
+    (got(3L) & 16L) shouldBe 16L
+    got(4L) shouldBe (4L | 8L) // all-numeric, no stopwords; fully distinct
+  }
+
+  // ------------------------------------------------------------ perplexity
+
+  test("perplexityScore matches an independent driver-side reimplementation") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "text").limit(120).cache()
+    val got = LangModel.perplexityScore(docs, "doc_id", "text", keepBelow = 3.4)
+      .as[(Long, Double, Long, Boolean)].collect().sortBy(_._1)
+    // independent oracle: plain Scala over collected rows
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val all = docs.as[(Long, String)].collect()
+    def bigrams(t: String): Seq[(String, String)] = {
+      val w = t.split(" ", -1).toSeq
+      if (w.length < 2) Seq.empty
+      else w.sliding(2).map(p => (p(0) + " " + p(1), p(0))).toSeq
+    }
+    val train = all.filter { case (id, _) => md5hex(id.toString).head < '8' }
+    val c2 = train.flatMap(d => bigrams(d._2)).groupBy(_._1).view
+      .mapValues(_.length).toMap
+    val c1 = train.flatMap(d => bigrams(d._2)).groupBy(_._2).view
+      .mapValues(_.length).toMap
+    val v = c1.size
+    val want = all.flatMap { case (id, t) =>
+      val bs = bigrams(t)
+      if (bs.isEmpty) None
+      else {
+        val nll = -bs.map { case (bg, w1) =>
+          math.log((c2.getOrElse(bg, 0) + 1).toDouble / (c1.getOrElse(w1, 0) + v))
+        }.sum / bs.length
+        Some((id, BigDecimal(nll).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble, bs.length.toLong))
+      }
+    }.sortBy(_._1)
+    got.map(r => (r._1, r._2, r._3)) shouldBe want
+    got.foreach(r => r._4 shouldBe (r._2 <= 3.4))
+  }
+
+  // -------------------------------------------------------------- semdedup
+
+  test("semDedup: within-cluster earlier near-neighbor drops, cross-cluster never") {
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)),   // cell 0, kept (no earlier)
+      (2L, Seq(0.995f, 0.1f)), // cell 0, cos(1,2) ≈ 0.995 → dropped
+      (3L, Seq(0.7f, 0.3f)),   // cell 0, cos vs 1 ≈ 0.92 → dropped at τ=0.9
+      (4L, Seq(0.0f, 1.0f)),   // cell 1, kept — v2/v3 are other-cluster
+      (5L, Seq(0.6f, 0.8f))    // cell 1, cos(4,5) = 0.8 < 0.9 → kept
+    ).toDF("vec_id", "embedding")
+    val got = Ann.semDedup(vecs, "vec_id", "embedding", cents, tau = 0.9)
+      .as[(Long, Int)].collect().sortBy(_._1)
+    got shouldBe Seq((1L, 0), (4L, 1), (5L, 1))
+  }
+
+  test("semDedup is layout-independent on the real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val cents = Ann.ivfCentroidsFromDf(Ann.ivfTrain(emb, "embedding", nlist = 8))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Ann.semDedup(df, "vec_id", "embedding", cents, tau = 0.3)
+        .as[(Long, Int)].collect().sortBy(_._1).toSeq
+    run(emb.repartition(17)) shouldBe run(emb.coalesce(1))
+  }
+
+  // --------------------------------------------------------------- packing
+
+  test("packTokenIds: closed-form merge/pack on a two-doc fixture") {
+    // merges [(a,b)] → vocab a=0 b=1 c=2 d=3 ab=4, EOS=5.
+    // doc1 "ab ab" → [4,4,5]; doc2 "ab cd" → [4,2,3,5].
+    // stream [4,4,5,4,2,3,5]; seqLen 3 → seqs [4,4,5] [4,2,3] [5].
+    val docs = Seq((1L, "ab ab"), (2L, "ab cd")).toDF("doc_id", "text")
+    val got = Packing.packTokenIds(docs, "doc_id", "text",
+      merges = Seq(("a", "b")), seqLen = 3)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    got shouldBe Seq(
+      (0L, 3L, 1L, 13L, 1L, 1L),
+      (1L, 3L, 1L, 9L, 2L, 2L),
+      (2L, 1L, 1L, 5L, 2L, 2L))
+  }
+
+  test("packTokenIds: full sequences except the last; layout-independent") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, "doc_id", "text", numMerges = 10)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Packing.packTokenIds(df, "doc_id", "text", merges, seqLen = 128)
+        .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val a = run(docs.repartition(13))
+    a shouldBe run(docs.coalesce(1))
+    // every sequence but the last is exactly full, and seq ids are dense
+    a.map(_._1) shouldBe a.indices.map(_.toLong)
+    a.init.foreach(_._2 shouldBe 128L)
+    assert(a.last._2 >= 1L && a.last._2 <= 128L)
+    // the stream is in ascending doc order: per-sequence doc ranges are
+    // monotone and consecutive sequences share at most a boundary doc
+    a.sliding(2).foreach {
+      case Seq(x, y) =>
+        assert(x._5 <= x._6); assert(y._5 >= x._6)
+      case _ =>
+    }
+  }
+}
