@@ -665,6 +665,13 @@ object PipelineQueries {
     // The ExactSubstr REMOVAL step: duplicated spans cut from every doc.
     "p_substr_clean" -> ((s, d) =>
       Dedup.removeSpans(docs(s, d), "doc_id", "text", width = 30)),
+    // Leakage-safe split: near-dup components assigned wholesale by the
+    // md5 draw of their representative (evalRate 0.25 = first hex < '4').
+    "p_leak_split" -> ((s, d) =>
+      Sampling.leakSafeSplit(docs(s, d), "doc_id",
+        Dedup.jaccardPairs(docs(s, d), "doc_id", "text", n = 3,
+          threshold = 0.5),
+        evalRate = 0.25)),
   )
 
   private val jaccardCtes: String =
@@ -1866,6 +1873,26 @@ object PipelineQueries {
         |)
         |SELECT s.vec_id, s.cid AS cell FROM assign s
         |WHERE s.vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
+    "p_leak_split" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+        |pairs AS (
+        |  SELECT id1, id2 FROM inter
+        |  JOIN sizes s1 ON id1 = s1.doc_id
+        |  JOIN sizes s2 ON id2 = s2.doc_id
+        |  WHERE n*1.0/(s1.sz + s2.sz - n) >= 0.5
+        |),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+        |          UNION SELECT id2, id1 FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+        |  UNION
+        |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+        |),
+        |comps AS (SELECT node, min(r) AS rep FROM reach GROUP BY node)
+        |SELECT d.doc_id, coalesce(c.rep, d.doc_id) AS rep_id,
+        |  substr(md5(CAST(coalesce(c.rep, d.doc_id) AS VARCHAR)), 1, 1)
+        |    < '4' AS is_eval
+        |FROM documents d LEFT JOIN comps c ON d.doc_id = c.node""".stripMargin,
     "p_cluster_sample" ->
       """WITH cents AS (
         |  SELECT cid, c FROM '__ANN_ARTIFACTS__/semdedup_centroids/*.parquet'

@@ -61,6 +61,29 @@ object Sampling {
     (df.where(h >= lit(evalRate)), df.where(h < lit(evalRate)))
   }
 
+  /** Leakage-safe train/eval split: [[trainEvalSplit]]'s determinism PLUS
+    * the rule an honest benchmark needs — near-duplicate documents must
+    * never straddle the split (a test doc with a train-side near-copy is
+    * leaked, and fuzzy dedup AFTER a random split cannot fix it). Every
+    * connected component of the near-dup `pairs` graph
+    * ([[Dedup.connectedComponents]]) is assigned wholesale by the md5 draw
+    * of its REPRESENTATIVE id; singletons draw on their own id, so for a
+    * dedup-clean corpus this degenerates to [[trainEvalSplit]] exactly.
+    * Returns (idCol, rep_id, is_eval) for every input row.
+    *
+    * Scale: the component frame is a vanishing fraction of the corpus
+    * (only docs with a near-dup pair appear); the join back is one
+    * shuffle (broadcast when small), and the draw is map-side.
+    */
+  def leakSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      evalRate: Double): DataFrame = {
+    val comps = Dedup.connectedComponents(pairs)
+      .select(col("node").as(idCol), col("rep"))
+    df.join(comps, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("rep"), col(idCol)).as("rep_id"))
+      .withColumn("is_eval", hashUniform(col("rep_id")) < evalRate)
+  }
+
   /** Per-key document cap: keep at most `maxN` rows per `keyCol` group,
     * picked deterministically by the same content-hash draw as
     * [[hashSample]] (md5 of the id, ties broken by the id itself) — the

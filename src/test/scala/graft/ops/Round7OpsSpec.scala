@@ -112,6 +112,30 @@ class Round7OpsSpec extends SparkSpec {
     kept.sortBy(_._1).toSeq shouldBe want
   }
 
+  test("leakSafeSplit: no near-dup pair straddles; singletons match the plain split") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "text").cache()
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.5).cache()
+    val split = Sampling.leakSafeSplit(docs, "doc_id", pairs, evalRate = 0.25)
+      .as[(Long, Long, Boolean)].collect()
+    split.length shouldBe docs.count()
+    val side = split.map(r => r._1 -> r._3).toMap
+    // the leakage guarantee itself
+    pairs.select("id1", "id2").as[(Long, Long)].collect().foreach {
+      case (a, b) => side(a) shouldBe side(b)
+    }
+    // docs in no component draw exactly like trainEvalSplit
+    val inPairs = pairs.select("id1").as[Long].collect().toSet ++
+      pairs.select("id2").as[Long].collect().toSet
+    val (_, eval) = Sampling.trainEvalSplit(docs, "doc_id", 0.25)
+    val plainEval = eval.select("doc_id").as[Long].collect().toSet
+    split.filterNot(r => inPairs(r._1)).foreach { case (id, rep, isEval) =>
+      rep shouldBe id
+      isEval shouldBe plainEval(id)
+    }
+  }
+
   // --------------------------------------------------------------- gopher
 
   test("gopherAudit: each rule fires on its engineered document") {
