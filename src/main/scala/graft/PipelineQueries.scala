@@ -665,6 +665,24 @@ object PipelineQueries {
     // The ExactSubstr REMOVAL step: duplicated spans cut from every doc.
     "p_substr_clean" -> ((s, d) =>
       Dedup.removeSpans(docs(s, d), "doc_id", "text", width = 30)),
+    // STREAMING exact-substring index, driver-gated: documents arrive in
+    // three waves, each window-hashed once into a per-batch dir; after a
+    // mid-stream LSM fold the derived span set must equal the one-shot
+    // duplicateSpans over the full corpus (the p_substr_dedup oracle) —
+    // including the RETROACTIVE spans wave 3 induces in wave-1 docs.
+    "s_substr_spans" -> ((s, d) => {
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_substr", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      val dd = docs(s, d).select(col("doc_id"), col("text"))
+      (0 until 3).foreach { g =>
+        graft.streaming.SubstrIndexMaintainer.processBatch(
+          dd.where(col("doc_id") % 3 === g), g.toLong, "doc_id", "text",
+          30, s"$base/index")
+      }
+      graft.streaming.SubstrIndexMaintainer.compact(s, s"$base/index")
+      graft.streaming.SubstrIndexMaintainer.spans(s, s"$base/index", 30)
+    }),
     // Leakage-safe split: near-dup components assigned wholesale by the
     // md5 draw of their representative (evalRate 0.25 = first hex < '4').
     "p_leak_split" -> ((s, d) =>
@@ -673,6 +691,37 @@ object PipelineQueries {
           threshold = 0.5),
         evalRate = 0.25)),
   )
+
+  /** One-shot duplicated-span derivation (windows → count ≥ 2 → islands) —
+    * the oracle for BOTH p_substr_dedup and the streaming s_substr_spans
+    * (the index must reproduce the one-shot set exactly).
+    */
+  private val substrSpansOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, pos, md5(substr(text, pos, 30)) AS k FROM (
+      |    SELECT doc_id, text,
+      |      unnest(generate_series(1, len(text) - 29)) AS pos
+      |    FROM documents WHERE len(text) >= 30)
+      |),
+      |d AS (SELECT k FROM w GROUP BY k HAVING count(*) >= 2),
+      |p AS (SELECT doc_id, pos FROM w JOIN d USING (k)),
+      |f AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+      |           IS NULL
+      |         OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+      |           + 30
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM p
+      |),
+      |i AS (
+      |  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
+      |    ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
+      |  FROM f
+      |)
+      |SELECT doc_id, min(pos) AS span_start,
+      |  max(pos) - min(pos) + 30 AS span_len, count(*) AS n_windows
+      |FROM i GROUP BY doc_id, isl""".stripMargin
 
   private val jaccardCtes: String =
     """docsrc AS (
@@ -1789,32 +1838,9 @@ object PipelineQueries {
         |    + CASE WHEN ns >= 2 THEN 0 ELSE 8 END
         |    + CASE WHEN uf >= 0.3 THEN 0 ELSE 16 END AS BIGINT) AS fail_mask
         |FROM s""".stripMargin,
-    "p_substr_dedup" ->
-      """WITH w AS (
-        |  SELECT doc_id, pos, md5(substr(text, pos, 30)) AS k FROM (
-        |    SELECT doc_id, text,
-        |      unnest(generate_series(1, len(text) - 29)) AS pos
-        |    FROM documents WHERE len(text) >= 30)
-        |),
-        |d AS (SELECT k FROM w GROUP BY k HAVING count(*) >= 2),
-        |p AS (SELECT doc_id, pos FROM w JOIN d USING (k)),
-        |f AS (
-        |  SELECT doc_id, pos,
-        |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-        |           IS NULL
-        |         OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-        |           + 30
-        |         THEN 1 ELSE 0 END AS brk
-        |  FROM p
-        |),
-        |i AS (
-        |  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
-        |    ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
-        |  FROM f
-        |)
-        |SELECT doc_id, min(pos) AS span_start,
-        |  max(pos) - min(pos) + 30 AS span_len, count(*) AS n_windows
-        |FROM i GROUP BY doc_id, isl""".stripMargin,
+    "p_substr_dedup" -> substrSpansOracle,
+    // the streaming index must reproduce the one-shot span set exactly
+    "s_substr_spans" -> substrSpansOracle,
     "p_lm_ppl" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
         |           FROM documents),

@@ -88,16 +88,35 @@ object Dedup {
     */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
       width: Int = 30): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(width >= 2, "width must be >= 2")
-    val wins = widen(df.select(col(idCol), col(textCol)), idCol)
-      .where(length(col(textCol)) >= width)
+    val wins = windowDigests(
+      widen(df.select(col(idCol), col(textCol)), idCol),
+      idCol, textCol, width)
+    dupSpansFromWindows(wins, idCol, width)
+  }
+
+  /** The stride-1 window-digest stream of [[duplicateSpans]]:
+    * (idCol, pos, __k) with __k = md5 of the `width`-char window at 1-based
+    * `pos`. Split out so a streaming index can persist windows per batch
+    * (the text is scanned and hashed ONCE per document, ever).
+    */
+  private[graft] def windowDigests(df: DataFrame, idCol: String,
+      textCol: String, width: Int): DataFrame =
+    df.where(length(col(textCol)) >= width)
       .select(col(idCol),
         explode(sequence(lit(1), length(col(textCol)) - (width - 1)))
           .as("pos"),
         col(textCol))
       .select(col(idCol), col("pos"),
         md5(col(textCol).substr(col("pos"), lit(width))).as("__k"))
+
+  /** Duplicated-window filter + gaps-and-islands merge over a window-digest
+    * stream (one-shot or read back from a persisted index): keys occurring
+    * ≥ 2 times survive, surviving positions merge into maximal spans.
+    */
+  private[graft] def dupSpansFromWindows(wins: DataFrame, idCol: String,
+      width: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val dupKeys = wins.groupBy("__k").agg(count(lit(1)).as("__n"))
       .where(col("__n") >= 2).select("__k")
     val dupPos = wins.join(dupKeys, Seq("__k")).select(col(idCol), col("pos"))

@@ -329,4 +329,58 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     afterCompact shouldBe b
   }
+
+  test("streaming substring index: spans == one-shot, retroactive growth, replay, compaction") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Dedup
+    implicit val ctx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("text")).cache()
+    val base = java.nio.file.Files.createTempDirectory("graft-ssm").toString
+    def spanSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.selectExpr("cast(doc_id as long)", "cast(span_start as long)",
+        "cast(span_len as long)").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val mem = MemoryStream[(Long, String)]
+    val q = SubstrIndexMaintainer.attach(mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", 30, s"$base/index", s"$base/ckpt")
+    var afterWave1 = Set.empty[(Long, Long, Long)]
+    (0 until 3).foreach { g =>
+      val wave = docs.where(col("doc_id") % 3 === g)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      mem.addData(wave.toIndexedSeq)
+      q.processAllAvailable()
+      if (g == 0)
+        afterWave1 = spanSet(SubstrIndexMaintainer.spans(spark,
+          s"$base/index", 30))
+    }
+    q.stop()
+    val streamed = spanSet(SubstrIndexMaintainer.spans(spark,
+      s"$base/index", 30))
+    val oneShot = spanSet(Dedup.duplicateSpans(docs, "doc_id", "text", 30)
+      .withColumnRenamed("doc_id", "doc_id"))
+    streamed shouldBe oneShot
+    streamed.size should be > 10
+    // duplication is retroactive: later waves must have grown the span set
+    // beyond what wave-1 docs alone could produce, including NEW spans on
+    // wave-1 docs (a wave-1 window duplicated for the first time by wave 3)
+    assert(afterWave1.subsetOf(streamed) === false ||
+      afterWave1.size < streamed.size)
+    val wave1Ids = docs.where(col("doc_id") % 3 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val retro = streamed.filter(s => wave1Ids(s._1)) -- afterWave1
+    retro should not be empty
+    // replay (crash recovery) is idempotent
+    SubstrIndexMaintainer.processBatch(
+      docs.where(col("doc_id") % 3 === 2).toDF("doc_id", "text"), 2L,
+      "doc_id", "text", 30, s"$base/index")
+    spanSet(SubstrIndexMaintainer.spans(spark, s"$base/index", 30)) shouldBe
+      streamed
+    // LSM fold changes nothing about the derived set
+    SubstrIndexMaintainer.compact(spark, s"$base/index")
+    new java.io.File(s"$base/index/c1").exists() shouldBe true
+    new java.io.File(s"$base/index/b0").exists() shouldBe false
+    spanSet(SubstrIndexMaintainer.spans(spark, s"$base/index", 30)) shouldBe
+      streamed
+  }
 }
