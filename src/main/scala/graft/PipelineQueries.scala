@@ -690,6 +690,11 @@ object PipelineQueries {
         Dedup.jaccardPairs(docs(s, d), "doc_id", "text", n = 3,
           threshold = 0.5),
         evalRate = 0.25)),
+    // The round-7 curation pipeline END TO END (gopher → exact dedup →
+    // span removal → held-out ppl on the CLEANED text → token budget):
+    // every stage bites at sf0.01 (500 → 366 → 366 → cleaned → 200 → 120).
+    "p_curate_pipeline" -> ((s, d) =>
+      Corpus.curate(docs(s, d), "doc_id", "text")),
   )
 
   /** One-shot duplicated-span derivation (windows → count ≥ 2 → islands) —
@@ -1997,6 +2002,91 @@ object PipelineQueries {
         |SELECT dd.doc_id, coalesce(a.t, '') AS clean_text,
         |  CAST(len(dd.text) - coalesce(a.nk, 0) AS BIGINT) AS n_cut_chars
         |FROM documents dd LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    "p_curate_pipeline" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    [x for x in string_split(text, ' ') if x <> ''] AS toks
+        |  FROM documents
+        |),
+        |s AS (
+        |  SELECT doc_id, text, len(toks) AS nw,
+        |    length(replace(text, ' ', ''))*1.0/greatest(len(toks), 1) AS mwl,
+        |    len([s for s in ['the','a','of','and','to','in','is','it','for','on']
+        |         if list_contains(toks, s)]) AS ns,
+        |    len(list_distinct(toks))*1.0/greatest(len(toks), 1) AS uf
+        |  FROM t
+        |),
+        |g AS (
+        |  SELECT doc_id, text FROM s
+        |  WHERE nw BETWEEN 25 AND 90 AND mwl >= 3.0 AND mwl <= 10.0
+        |    AND ns >= 1 AND uf >= 0.3
+        |),
+        |ex AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY text),
+        |surv AS (SELECT g.doc_id, g.text FROM g JOIN ex USING (doc_id)),
+        |w AS (
+        |  SELECT doc_id, pos, md5(substr(text, pos, 30)) AS k FROM (
+        |    SELECT doc_id, text,
+        |      unnest(generate_series(1, len(text) - 29)) AS pos
+        |    FROM surv WHERE len(text) >= 30)
+        |),
+        |dk AS (SELECT k FROM w GROUP BY k HAVING count(*) >= 2),
+        |dp AS (SELECT doc_id, pos FROM w JOIN dk USING (k)),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, pos + off AS cpos
+        |  FROM dp, LATERAL unnest(generate_series(0, 29)) u(off)
+        |),
+        |chars AS (
+        |  SELECT doc_id, pos, substr(text, pos, 1) AS ch FROM (
+        |    SELECT doc_id, text, unnest(generate_series(1, len(text))) AS pos
+        |    FROM surv)
+        |),
+        |kp AS (
+        |  SELECT c.doc_id, c.pos, c.ch FROM chars c
+        |  LEFT JOIN cov ON c.doc_id = cov.doc_id AND c.pos = cov.cpos
+        |  WHERE cov.cpos IS NULL
+        |),
+        |cleaned AS (
+        |  SELECT s2.doc_id, coalesce(a.t, '') AS ctext
+        |  FROM surv s2 LEFT JOIN (
+        |    SELECT doc_id, string_agg(ch, '' ORDER BY pos) AS t
+        |    FROM kp GROUP BY doc_id) a
+        |  USING (doc_id)
+        |),
+        |ct AS (SELECT doc_id, ctext, string_split(ctext, ' ') AS toks
+        |       FROM cleaned),
+        |inst AS (
+        |  SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1]
+        |    for i in generate_series(1, len(toks)-1)]) AS bg
+        |  FROM ct
+        |),
+        |insts AS (
+        |  SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' AS tr
+        |  FROM inst
+        |),
+        |c2 AS (SELECT bg, count(*) AS c2 FROM insts WHERE tr GROUP BY 1),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM insts WHERE tr GROUP BY 1),
+        |v AS (SELECT count(*) AS v FROM c1),
+        |sc AS (
+        |  SELECT i.doc_id,
+        |    ln((coalesce(c2.c2, 0)+1)*1.0/(coalesce(c1.c1, 0)+v.v)) AS logp
+        |  FROM insts i LEFT JOIN c2 USING (bg) LEFT JOIN c1 USING (w1)
+        |  CROSS JOIN v
+        |),
+        |ppl AS (SELECT doc_id, round(-avg(logp), 6) AS avg_nll
+        |        FROM sc GROUP BY 1),
+        |kept2 AS (
+        |  SELECT p.doc_id, p.avg_nll, len(ct.toks) AS n_tok
+        |  FROM ppl p JOIN ct USING (doc_id) WHERE p.avg_nll <= 3.43
+        |),
+        |sel AS (
+        |  SELECT doc_id, n_tok, avg_nll,
+        |    sum(n_tok) OVER (ORDER BY avg_nll, doc_id) AS cum_tok
+        |  FROM kept2
+        |)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, avg_nll,
+        |  CAST(cum_tok AS BIGINT) AS cum_tok
+        |FROM sel WHERE cum_tok <= 6000""".stripMargin,
     "p_pack_tokens" ->
       s"""WITH RECURSIVE $bpeEncodeCtes,
          |occp AS (

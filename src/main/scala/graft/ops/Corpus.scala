@@ -174,4 +174,48 @@ object Corpus {
       .where(col("cum_tok") <= budget)
       .select(col(idCol), col("cum_tok"))
   }
+
+  /** The modern curation pipeline end to end, one call — the composition a
+    * user of this engine actually ships:
+    *
+    *   1. Gopher rule filter ([[TextOps.gopherAudit]], stopword floor 1) —
+    *      format/repetition garbage out first, it is the cheapest stage;
+    *   2. exact dedup (min-id representative per identical text);
+    *   3. exact-substring span REMOVAL within the survivors
+    *      ([[Dedup.removeSpans]]) — cross-document boilerplate cut, not
+    *      just flagged;
+    *   4. held-out bigram-LM perplexity filter on the CLEANED text
+    *      ([[LangModel.perplexityScore]]) — scored after removal so
+    *      boilerplate cannot buy a doc a good score;
+    *   5. token-budget selection ([[selectWithinBudget]]) in
+    *      (perplexity asc, id) order.
+    *
+    * Returns (idCol, n_tok, avg_nll, cum_tok) for the selected docs.
+    * Stage order is load-bearing and each stage is the already-gated
+    * operator — this wrapper adds joins, not semantics.
+    */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      width: Int = 30, pplKeepBelow: Double = 3.43,
+      tokenBudget: Long = 6000L): DataFrame = {
+    val audit = TextOps.gopherAudit(docs, idCol, textCol, minStopwords = 1)
+    val passed = docs.select(col(idCol), col(textCol))
+      .join(audit.where(col("fail_mask") === 0).select(col(idCol)), Seq(idCol))
+    val reps = Dedup.exact(passed, Seq(textCol), idCol).select(col(idCol))
+    val surv = passed.join(reps, Seq(idCol), "semi")
+    val cleaned = Dedup.removeSpans(surv, idCol, textCol, width)
+    val scored = LangModel.perplexityScore(cleaned, idCol, "clean_text",
+      pplKeepBelow)
+    val withTok = cleaned
+      .join(scored.where(col("kept"))
+        .select(col("id").as(idCol), col("avg_nll")), Seq(idCol))
+      .select(col(idCol),
+        size(split(col("clean_text"), " ")).cast("long").as("n_tok"),
+        col("avg_nll"))
+    selectWithinBudget(
+        withTok.withColumn("__q", -col("avg_nll")),
+        idCol, "n_tok", "__q", tokenBudget)
+      .join(withTok, Seq(idCol))
+      .select(col(idCol), col("n_tok"), col("avg_nll"),
+        col("cum_tok").cast("long").as("cum_tok"))
+  }
 }

@@ -182,7 +182,8 @@ object TextOps {
     */
   def gopherAudit(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, minWords: Int = 25, maxWords: Int = 90,
-      minUniqueFrac: Double = 0.3): org.apache.spark.sql.DataFrame = {
+      minUniqueFrac: Double = 0.3,
+      minStopwords: Int = 2): org.apache.spark.sql.DataFrame = {
     val toks = filter(split(col(textCol), " "), t => length(t) > 0)
     val nw = size(toks)
     val denom = greatest(nw, lit(1))
@@ -203,7 +204,7 @@ object TextOps {
       (bit(nw.between(minWords, maxWords), 1) +
         bit(mwl >= 3.0 && mwl <= 10.0, 2) +
         bit(af >= 0.8, 4) +
-        bit(nStop >= 2, 8) +
+        bit(nStop >= minStopwords, 8) +
         bit(uf >= minUniqueFrac, 16)).as("fail_mask"))
   }
 }

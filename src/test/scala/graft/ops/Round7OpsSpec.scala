@@ -158,6 +158,35 @@ class Round7OpsSpec extends SparkSpec {
     got(4L) shouldBe (4L | 8L) // all-numeric, no stopwords; fully distinct
   }
 
+  test("curate: pipeline output equals the hand-staged composition") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "text").cache()
+    val got = Corpus.curate(docs, "doc_id", "text")
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._1)
+    // staged by hand from the gated building blocks
+    val audit = TextOps.gopherAudit(docs, "doc_id", "text", minStopwords = 1)
+    val passed = docs.join(
+      audit.where(col("fail_mask") === 0).select("doc_id"), Seq("doc_id"))
+    val surv = passed.join(
+      Dedup.exact(passed, Seq("text"), "doc_id").select("doc_id"),
+      Seq("doc_id"), "semi")
+    val cleaned = Dedup.removeSpans(surv, "doc_id", "text", 30)
+    val scored = LangModel.perplexityScore(cleaned, "doc_id", "clean_text",
+      keepBelow = 3.43)
+      .where(col("kept")).select(col("id").as("doc_id"), col("avg_nll"))
+    val want = cleaned.join(scored, Seq("doc_id"))
+      .select(col("doc_id"),
+        expr("cast(size(split(clean_text, ' ')) as long)").as("n_tok"),
+        col("avg_nll"))
+      .as[(Long, Long, Double)].collect()
+      .sortBy(r => (r._3, r._1))
+      .scanLeft((0L, 0L, 0.0, 0L)) { case ((_, _, _, cum), (id, n, nll)) =>
+        (id, n, nll, cum + n)
+      }.tail.takeWhile(_._4 <= 6000L).sortBy(_._1)
+    got shouldBe want
+    got.length shouldBe 120 // every stage bites at sf0.01
+  }
+
   // ------------------------------------------------------------ perplexity
 
   test("perplexityScore matches an independent driver-side reimplementation") {
