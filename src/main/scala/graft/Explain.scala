@@ -20,7 +20,8 @@ object Explain {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q1_agg", "q3_join", "r_itemcos_model", "r_itemcf_topk",
         "p_knn_brute", "q_asof", "q_range", "p_dup_groups", "p_minhash_lsh",
-        "p_bpe_encode", "r_negatives_rej", "p_resize_features")
+        "p_bpe_encode", "r_negatives_rej", "p_resize_features",
+        "p_substr_dedup", "p_semdedup", "p_pack_tokens", "p_curate_pipeline")
     names.foreach { n =>
       println(s"\n======== $n ========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -250,6 +250,48 @@ class Round7OpsSpec extends SparkSpec {
     run(emb.repartition(17)) shouldBe run(emb.coalesce(1))
   }
 
+  // ------------------------------------------------------------ edge cases
+
+  test("duplicateSpans/removeSpans edges: short docs, exact-width docs, total duplication") {
+    val docs = Seq(
+      (1L, "tiny"),                 // shorter than width: never windows
+      (2L, "exactlyfivewidthblock"),// no duplicate anywhere
+      (3L, "AAAAABBBBB"),           // whole text duplicated with doc 4
+      (4L, "AAAAABBBBB"),
+      (5L, "")                      // empty text
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, "doc_id", "text", width = 5)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // docs 3 and 4: every window duplicated → ONE span covering everything
+    spans shouldBe Seq((3L, 1L, 10L, 6L), (4L, 1L, 10L, 6L))
+    val clean = Dedup.removeSpans(docs, "doc_id", "text", width = 5)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    clean shouldBe Seq(
+      (1L, "tiny", 0L), (2L, "exactlyfivewidthblock", 0L),
+      (3L, "", 10L), (4L, "", 10L), (5L, "", 0L))
+  }
+
+  test("packTokenIds edges: wordless docs still emit EOS; seqLen 1 = one token per seq") {
+    // doc 2 has no [a-z0-9] words at all — its EOS must still be packed
+    val docs = Seq((1L, "ab"), (2L, "!!! ???")).toDF("doc_id", "text")
+    val got = Packing.packTokenIds(docs, "doc_id", "text",
+      merges = Seq(("a", "b")), seqLen = 1)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // vocab a=0 b=1 ab=2, EOS=3; stream = [2(d1), 3(d1), 3(d2)]
+    got shouldBe Seq(
+      (0L, 1L, 1L, 2L, 1L, 1L),
+      (1L, 1L, 1L, 3L, 1L, 1L),
+      (2L, 1L, 1L, 3L, 2L, 2L))
+  }
+
+  test("perplexityScore edge: single-word docs produce no score row") {
+    val docs = Seq((1L, "hello"), (2L, "hello world again"),
+      (3L, "hello world")).toDF("doc_id", "text")
+    val got = LangModel.perplexityScore(docs, "doc_id", "text")
+      .select("id").as[Long].collect().sorted
+    got shouldBe Seq(2L, 3L)
+  }
+
   // --------------------------------------------------------------- packing
 
   test("packTokenIds: closed-form merge/pack on a two-doc fixture") {
