@@ -198,11 +198,16 @@ object Corpus {
       width: Int = 30, pplKeepBelow: Double = 3.43,
       tokenBudget: Long = 6000L): DataFrame = {
     val audit = TextOps.gopherAudit(docs, idCol, textCol, minStopwords = 1)
-    val passed = docs.select(col(idCol), col(textCol))
-      .join(audit.where(col("fail_mask") === 0).select(col(idCol)), Seq(idCol))
+    // `passed` feeds both the dedup-rep build and the survivor join;
+    // `cleaned` feeds both the LM scoring and the token recount — each is
+    // materialized once so the expensive upstream (window-digest dedup
+    // especially) never re-runs per consumer
+    val passed = graft.Exec.materialize(docs.select(col(idCol), col(textCol))
+      .join(audit.where(col("fail_mask") === 0).select(col(idCol)), Seq(idCol)))
     val reps = Dedup.exact(passed, Seq(textCol), idCol).select(col(idCol))
     val surv = passed.join(reps, Seq(idCol), "semi")
-    val cleaned = Dedup.removeSpans(surv, idCol, textCol, width)
+    val cleaned = graft.Exec.materialize(
+      Dedup.removeSpans(surv, idCol, textCol, width))
     val scored = LangModel.perplexityScore(cleaned, idCol, "clean_text",
       pplKeepBelow)
     val withTok = cleaned
@@ -211,11 +216,13 @@ object Corpus {
       .select(col(idCol),
         size(split(col("clean_text"), " ")).cast("long").as("n_tok"),
         col("avg_nll"))
-    selectWithinBudget(
+    val out = selectWithinBudget(
         withTok.withColumn("__q", -col("avg_nll")),
         idCol, "n_tok", "__q", tokenBudget)
       .join(withTok, Seq(idCol))
       .select(col(idCol), col("n_tok"), col("avg_nll"),
         col("cum_tok").cast("long").as("cum_tok"))
+    graft.Exec.releaseOnUnreachable(
+      graft.Exec.releaseOnUnreachable(out, passed), cleaned)
   }
 }
