@@ -695,6 +695,29 @@ object PipelineQueries {
     // every stage bites at sf0.01 (500 → 366 → 366 → cleaned → 200 → 120).
     "p_curate_pipeline" -> ((s, d) =>
       Corpus.curate(docs(s, d), "doc_id", "text")),
+    // STREAMING BPE maintenance, driver-gated: three word-count waves with
+    // a relearn per batch (growthFactor 0); the FINAL model — learned from
+    // the merged sufficient statistic, never from re-tokenized text — is
+    // persisted and the corpus token frequency under it must hash-match
+    // the one-shot oracle re-applying those streamed merges.
+    "s_bpe_freq" -> ((s, d) => {
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_bpe", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      val dd = docs(s, d).select(col("doc_id"), col("text"))
+      (0 until 3).foreach { g =>
+        graft.streaming.BpeMaintainer.processBatch(
+          dd.where(col("doc_id") % 3 === g), g.toLong, "doc_id", "text",
+          s"$base/state", s"$base/model",
+          graft.streaming.BpeMaintainer.Config(growthFactor = 0.0))
+      }
+      graft.streaming.BpeMaintainer.compact(s, s"$base/state")
+      val merges = graft.streaming.BpeMaintainer.latestMerges(s, s"$base/model")
+      graft.ops.Bpe.mergesDf(s, merges).coalesce(1).write.mode("overwrite")
+        .parquet(bpeArtifactBase(d) + "/merges_s")
+      graft.ops.Bpe.tokenFreq(docs(s, d), "doc_id", "text", merges,
+        topN = 30)
+    }),
   )
 
   /** One-shot duplicated-span derivation (windows → count ≥ 2 → islands) —
@@ -901,8 +924,13 @@ object PipelineQueries {
     * Yields `occ` (doc_id, word occurrences) and `encoded` (word, final
     * rendering).
     */
-  private def bpeEncodeCtes: String =
-    """m AS (SELECT rank, l, r FROM '__BPE_ARTIFACTS__/merges/*.parquet'),
+  private def bpeEncodeCtes: String = bpeEncodeCtesFrom("merges")
+
+  /** [[bpeEncodeCtesFrom]] parameterized by the merges artifact subdir, so
+    * the streaming-learned model (merges_s) verifies through the same SQL.
+    */
+  private def bpeEncodeCtesFrom(dir: String): String =
+    s"""m AS (SELECT rank, l, r FROM '__BPE_ARTIFACTS__/$dir/*.parquet'),
       |occ AS (
       |  SELECT doc_id,
       |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
@@ -1700,6 +1728,20 @@ object PipelineQueries {
          |FROM documents d LEFT JOIN dt ON d.doc_id = dt.doc_id""".stripMargin,
     "p_bpe_token_freq" ->
       s"""WITH RECURSIVE $bpeEncodeCtes,
+         |toks AS (
+         |  SELECT word,
+         |    unnest(string_split(substr(s, 2, len(s) - 2), chr(3)||chr(2)))
+         |      AS token
+         |  FROM encoded
+         |)
+         |SELECT token, count(*) AS n
+         |FROM occ JOIN toks USING (word)
+         |GROUP BY token
+         |ORDER BY n DESC, token
+         |LIMIT 30""".stripMargin,
+    // identical derivation, but from the STREAMING-learned merges artifact
+    "s_bpe_freq" ->
+      s"""WITH RECURSIVE ${bpeEncodeCtesFrom("merges_s")},
          |toks AS (
          |  SELECT word,
          |    unnest(string_split(substr(s, 2, len(s) - 2), chr(3)||chr(2)))
