@@ -695,6 +695,29 @@ object PipelineQueries {
     // every stage bites at sf0.01 (500 → 366 → 366 → cleaned → 200 → 120).
     "p_curate_pipeline" -> ((s, d) =>
       Corpus.curate(docs(s, d), "doc_id", "text")),
+    // dHash perceptual image hash over the REAL PNG decode: 9×8
+    // nearest-neighbor integer-luma grid, 64 difference bits as two
+    // unsigned 32-bit halves (the image near-dup signature; hamming
+    // pairing composes downstream like SimHash).
+    "p_image_phash" -> ((s, d) => {
+      val media = graft.ops.Multimodal.syntheticMedia(s, 200)
+      graft.ops.Multimodal.dHashStats(media)
+        .select(col("media_id"),
+          col("img_w").cast("long").as("img_w"),
+          col("img_h").cast("long").as("img_h"),
+          col("dhash_hi"), col("dhash_lo"))
+    }),
+    // Energy-based audio segmentation (VAD shape) over the REAL WAV
+    // decode: 50-sample frames, mean-square threshold, islands merged —
+    // integer-exact dyadic energies so the activity decision is
+    // engine-reproducible.
+    "p_audio_segments" -> ((s, d) => {
+      val media = graft.ops.Multimodal.syntheticMedia(s, 200, kind = "audio")
+      graft.ops.Multimodal.audioSegments(media)
+        .select(col("media_id"),
+          col("seg_start_frame").cast("long").as("seg_start_frame"),
+          col("n_frames").cast("long").as("n_frames"))
+    }),
     // STREAMING BPE maintenance, driver-gated: three word-count waves with
     // a relearn per batch (growthFactor 0); the FINAL model — learned from
     // the merged sufficient statistic, never from re-tokenized text — is
@@ -1406,6 +1429,71 @@ object PipelineQueries {
         |  round(mr, 6) AS mean_r, round(mg, 6) AS mean_g,
         |  round(mb, 6) AS mean_b
         |FROM agg""".stripMargin,
+    "p_image_phash" ->
+      """WITH m AS (SELECT unnest(generate_series(0, 199)) AS media_id),
+        |dims AS (
+        |  SELECT media_id, 8 + (media_id % 9) AS w,
+        |         8 + ((media_id * 7) % 9) AS h
+        |  FROM m
+        |),
+        |xs AS (SELECT unnest(generate_series(0, 8)) AS gx),
+        |ys AS (SELECT unnest(generate_series(0, 7)) AS gy),
+        |g AS (
+        |  SELECT d.media_id, d.w, d.h, xs.gx, ys.gy,
+        |    ((((xs.gx*d.w)//9)*31 + ((ys.gy*d.h)//8)*17 + d.media_id*13)
+        |       % 256)*299
+        |    + ((((xs.gx*d.w)//9)*7 + ((ys.gy*d.h)//8)*29 + d.media_id*3)
+        |       % 256)*587
+        |    + ((((xs.gx*d.w)//9)*11 + ((ys.gy*d.h)//8)*5 + d.media_id*23)
+        |       % 256)*114 AS gray
+        |  FROM dims d, xs, ys
+        |),
+        |bits AS (
+        |  SELECT a.media_id, a.w, a.h, a.gy*8 + a.gx AS k,
+        |    CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
+        |  FROM g a JOIN g b ON a.media_id = b.media_id AND a.gy = b.gy
+        |    AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8
+        |)
+        |SELECT CAST(media_id AS BIGINT) AS media_id,
+        |  CAST(w AS BIGINT) AS img_w, CAST(h AS BIGINT) AS img_h,
+        |  CAST(sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32))
+        |           ELSE 0 END) AS BIGINT) AS dhash_hi,
+        |  CAST(sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k)
+        |           ELSE 0 END) AS BIGINT) AS dhash_lo
+        |FROM bits GROUP BY 1, 2, 3""".stripMargin,
+    "p_audio_segments" ->
+      """WITH m AS (SELECT unnest(generate_series(0, 199)) AS media_id),
+        |params AS (
+        |  SELECT media_id, 200 + ((media_id * 37) % 300) AS n FROM m
+        |),
+        |ts AS (SELECT unnest(generate_series(0, 499)) AS t),
+        |smp AS (
+        |  SELECT p.media_id, ts.t // 50 AS f,
+        |    (((t*2957 + media_id*6151 + ((t*t) % 97) * 131) % 65536) - 32768)
+        |      / 32768.0 AS s
+        |  FROM params p, ts WHERE ts.t < p.n
+        |),
+        |e AS (
+        |  SELECT media_id, f, avg(s*s) AS ms FROM smp GROUP BY 1, 2
+        |),
+        |act AS (SELECT media_id, f FROM e WHERE ms > 0.34),
+        |fl AS (
+        |  SELECT media_id, f,
+        |    CASE WHEN lag(f) OVER (PARTITION BY media_id ORDER BY f)
+        |           IS NULL
+        |         OR f > lag(f) OVER (PARTITION BY media_id ORDER BY f) + 1
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM act
+        |),
+        |isl AS (
+        |  SELECT media_id, f, sum(brk) OVER (PARTITION BY media_id
+        |    ORDER BY f ROWS UNBOUNDED PRECEDING) AS g
+        |  FROM fl
+        |)
+        |SELECT media_id, CAST(min(f) AS BIGINT) AS seg_start_frame,
+        |  CAST(count(*) AS BIGINT) AS n_frames
+        |FROM isl GROUP BY media_id, g""".stripMargin,
     // per-frame means at stride 2 from the closed-form pixels
     "p_video_keyframes" ->
       """WITH m AS (SELECT unnest(generate_series(0, 199)) AS i),

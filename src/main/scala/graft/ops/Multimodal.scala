@@ -235,6 +235,40 @@ object Multimodal {
     * Rejects non-RIFF, non-PCM, and non-16-bit payloads. Same batch
     * contract as [[decodeImageBatch]].
     */
+  /** The RIFF/WAVE PCM16 walker of [[decodeWavBatch]] returning the RAW
+    * sample array — shared by segmentation, which needs per-frame access.
+    * Same validation (non-PCM, corrupt chunk sizes, missing data → fail).
+    */
+  private[ops] def decodeWavSamples(bytes: Array[Byte]): (Int, Array[Short]) = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    require(bytes.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE",
+      "payload is not a RIFF/WAVE file")
+    var off = 12
+    var rate = -1
+    var samples: Array[Short] = null
+    while (off + 8 <= bytes.length) {
+      val id = tag(off)
+      val sz = buf.getInt(off + 4)
+      require(sz >= 0 && off + 8 + sz <= bytes.length,
+        s"corrupt RIFF chunk '$id' at $off: size $sz exceeds payload")
+      if (id == "fmt ") {
+        require(buf.getShort(off + 8) == 1, "not PCM")
+        require(buf.getShort(off + 10) == 1, "not mono")
+        require(buf.getShort(off + 22) == 16, "not 16-bit")
+        rate = buf.getInt(off + 12)
+      } else if (id == "data") {
+        require(rate > 0, "data chunk before fmt")
+        val n = sz / 2
+        samples = Array.tabulate(n)(t => buf.getShort(off + 8 + t * 2))
+      }
+      off += 8 + sz + (sz & 1)
+    }
+    require(samples != null, "no data chunk")
+    (rate, samples)
+  }
+
   def decodeWavBatch(batch: Seq[Array[Byte]]): Seq[(Int, Int, Double, Double)] =
     batch.map { bytes =>
       val buf = java.nio.ByteBuffer.wrap(bytes)
@@ -334,6 +368,131 @@ object Multimodal {
         val stats = resizeImageBatch(batch.map(_._2), tw, th)
         batch.lazyZip(stats).map { case ((id, _), (w, h, r, g, b)) =>
           Row(id, w, h, r, g, b)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** dHash perceptual image hash — the standard image near-dup signature
+    * (difference hash over a 9×8 nearest-neighbor grayscale grid; public
+    * algorithm): bit k = 1 iff gray(x+1, y) > gray(x, y), k = y*8+x.
+    * Grayscale is the integer luma 299·R + 587·G + 114·B (no division, no
+    * floats), and the grid uses the same exact nearest-neighbor indexing
+    * as [[resizeImageBatch]] — every step integer-exact, so a SQL oracle
+    * re-derives the hash from closed-form pixels. The 64 bits return as
+    * two unsigned 32-bit halves (hi = rows 4-7), because a BIGINT bit-63
+    * shift overflows in the oracle engine.
+    */
+  def dHashBatch(batch: Seq[Array[Byte]]): Seq[(Int, Int, Long, Long)] =
+    batch.map { bytes =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "payload is not a decodable image")
+      val w = img.getWidth
+      val h = img.getHeight
+      val g = Array.ofDim[Int](8, 9)
+      var y = 0
+      while (y < 8) {
+        val sy = y * h / 8
+        var x = 0
+        while (x < 9) {
+          val p = img.getRGB(x * w / 9, sy)
+          g(y)(x) = ((p >> 16) & 0xFF) * 299 + (((p >> 8) & 0xFF)) * 587 +
+            (p & 0xFF) * 114
+          x += 1
+        }
+        y += 1
+      }
+      var hash = 0L
+      var k = 0
+      y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (g(y)(x + 1) > g(y)(x)) hash |= (1L << k)
+          k += 1; x += 1
+        }
+        y += 1
+      }
+      (w, h, (hash >>> 32) & 0xFFFFFFFFL, hash & 0xFFFFFFFFL)
+    }
+
+  /** Batched partition-parallel dHash — the [[imageStats]] walker shape.
+    * Output: (media_id, img_w, img_h, dhash_hi, dhash_lo). Image near-dup
+    * detection composes downstream exactly like SimHash: hamming distance
+    * = bit_count(xor) over the halves, banded for candidates at scale.
+    */
+  def dHashStats(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("img_w", IntegerType, nullable = false),
+      StructField("img_h", IntegerType, nullable = false),
+      StructField("dhash_hi", LongType, nullable = false),
+      StructField("dhash_lo", LongType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rdd = media.queryExecution.toRdd.mapPartitions { iter =>
+      val rows = iter.map(ir => (ir.getLong(idIdx), ir.getBinary(payloadIdx)))
+      rows.grouped(batchSize).flatMap { batch =>
+        val stats = dHashBatch(batch.map(_._2))
+        batch.lazyZip(stats).map { case ((id, _), (w, h, hi, lo)) =>
+          Row(id, w, h, hi, lo)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Energy-based audio segmentation — the VAD-shaped curation step for
+    * speech corpora: the decoded PCM stream is cut into `frameLen`-sample
+    * frames, a frame is "active" when its mean square amplitude (samples
+    * normalized by 2¹⁵) exceeds `threshold`, and consecutive active frames
+    * merge into segments (the [[Dedup.duplicateSpans]] gaps-and-islands
+    * idea on the time axis). Frame energies are sums of exact dyadic
+    * rationals (int²/2³⁰, well inside double mantissa), so the activity
+    * decision is bit-reproducible in SQL regardless of summation order.
+    * Output: (media_id, seg_start_frame, n_frames).
+    */
+  def audioSegments(media: DataFrame, frameLen: Int = 50,
+      threshold: Double = 0.34, batchSize: Int = 64): DataFrame = {
+    require(frameLen >= 1, "frameLen must be >= 1")
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("seg_start_frame", IntegerType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rdd = media.queryExecution.toRdd.mapPartitions { iter =>
+      val rows = iter.map(ir => (ir.getLong(idIdx), ir.getBinary(payloadIdx)))
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { case (id, bytes) =>
+          val (_, samples) = decodeWavSamples(bytes)
+          val nFrames = (samples.length + frameLen - 1) / frameLen
+          val active = (0 until nFrames).map { f =>
+            val from = f * frameLen
+            val until = math.min(from + frameLen, samples.length)
+            var e = 0.0
+            var t = from
+            while (t < until) {
+              val s = samples(t) / 32768.0
+              e += s * s
+              t += 1
+            }
+            e / (until - from) > threshold
+          }
+          // islands over consecutive active frames
+          val segs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+          var f = 0
+          while (f < nFrames) {
+            if (active(f)) {
+              val start = f
+              while (f < nFrames && active(f)) f += 1
+              segs += ((start, f - start))
+            } else f += 1
+          }
+          segs.map { case (s0, n) => Row(id, s0, n) }
         }
       }
     }

@@ -250,6 +250,40 @@ class Round7OpsSpec extends SparkSpec {
     run(emb.repartition(17)) shouldBe run(emb.coalesce(1))
   }
 
+  // ------------------------------------------------------------ multimodal
+
+  test("dHash: duplicate payloads hash identically; a small edit stays hamming-near") {
+    def png(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val base = png(32, 32, (x, y) => ((x * 8) << 16) | ((y * 8) << 8) | 64)
+    val dup = png(32, 32, (x, y) => ((x * 8) << 16) | ((y * 8) << 8) | 64)
+    val edit = png(32, 32, (x, y) =>
+      if (x == 5 && y == 5) 0xFFFFFF
+      else ((x * 8) << 16) | ((y * 8) << 8) | 64)
+    val Seq(hb, hd, he) = Multimodal.dHashBatch(Seq(base, dup, edit))
+    hb shouldBe hd
+    def hamming(a: (Int, Int, Long, Long), b: (Int, Int, Long, Long)): Int =
+      java.lang.Long.bitCount(a._3 ^ b._3) + java.lang.Long.bitCount(a._4 ^ b._4)
+    hamming(hb, he) should be <= 4
+  }
+
+  test("audioSegments: closed-form loud/quiet/loud WAV splits into two segments") {
+    val loud = Array.fill(100)(29000)   // ms ≈ 0.78 > 0.34
+    val quiet = Array.fill(50)(0)
+    val samples = loud ++ quiet ++ loud.take(50)
+    val wav = Multimodal.wavBytes(8000, samples)
+    val media = Seq((1L, wav)).toDF("media_id", "payload")
+    val got = Multimodal.audioSegments(media)
+      .as[(Long, Int, Int)].collect().sortBy(_._2)
+    got shouldBe Seq((1L, 0, 2), (1L, 3, 1))
+  }
+
   // ------------------------------------------------------------ edge cases
 
   test("duplicateSpans/removeSpans edges: short docs, exact-width docs, total duplication") {
