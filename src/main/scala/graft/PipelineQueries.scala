@@ -695,6 +695,15 @@ object PipelineQueries {
     // every stage bites at sf0.01 (500 → 366 → 366 → cleaned → 200 → 120).
     "p_curate_pipeline" -> ((s, d) =>
       Corpus.curate(docs(s, d), "doc_id", "text")),
+    // Decontamination as a FILTER: drop corpus docs whose worst-case
+    // 5-gram overlap with any single eval doc reaches 10% of their own
+    // grams; every doc returned with its evidence.
+    "p_decontaminate" -> ((s, d) => {
+      val all = docs(s, d)
+      Corpus.decontaminate(
+        all.where(col("doc_id") >= 25), all.where(col("doc_id") < 25),
+        "doc_id", "text", n = 5, maxOverlapFrac = 0.1)
+    }),
     // dHash perceptual image hash over the REAL PNG decode: 9×8
     // nearest-neighbor integer-luma grid, 64 difference bits as two
     // unsigned 32-bit halves (the image near-dup signature; hamming
@@ -1429,6 +1438,26 @@ object PipelineQueries {
         |  round(mr, 6) AS mean_r, round(mg, 6) AS mean_g,
         |  round(mb, 6) AS mean_b
         |FROM agg""".stripMargin,
+    "p_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+4], ' ')
+        |    for i in generate_series(1, len(toks)-4)]) AS gs
+        |  FROM t
+        |),
+        |cg AS (SELECT doc_id AS corpus_id, unnest(gs) AS g FROM g
+        |       WHERE doc_id >= 25),
+        |eg AS (SELECT doc_id AS eval_id, unnest(gs) AS g FROM g
+        |       WHERE doc_id < 25),
+        |p AS (SELECT corpus_id, eval_id, count(*) AS n_shared
+        |      FROM cg JOIN eg USING (g) GROUP BY 1, 2),
+        |worst AS (SELECT corpus_id, max(n_shared) AS mx FROM p GROUP BY 1),
+        |ng AS (SELECT doc_id, len(gs) AS n_grams FROM g WHERE doc_id >= 25)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        |  CAST(coalesce(mx, 0) AS BIGINT) AS max_shared,
+        |  round(coalesce(mx, 0)*1.0/greatest(n_grams, 1), 6) AS overlap_frac,
+        |  coalesce(mx, 0)*1.0/greatest(n_grams, 1) < 0.1 AS kept
+        |FROM ng LEFT JOIN worst ON doc_id = corpus_id""".stripMargin,
     "p_image_phash" ->
       """WITH m AS (SELECT unnest(generate_series(0, 199)) AS media_id),
         |dims AS (

@@ -84,6 +84,35 @@ object Corpus {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Benchmark decontamination as a FILTER (the GPT-3-style rule): a
+    * corpus document is dropped when its worst-case n-gram overlap with
+    * any single eval document reaches `maxOverlapFrac` of the corpus
+    * document's own distinct grams. Built on [[contaminationPairs]] (the
+    * audit op); returns EVERY corpus doc with its evidence —
+    * (idCol, n_grams, max_shared, overlap_frac, kept) — so the drop is
+    * attributable, not silent. Integer-ratio arithmetic throughout
+    * (rounded to 6 for the compare); docs too short to shingle share
+    * nothing and are kept.
+    */
+  def decontaminate(corpus: DataFrame, evalDocs: DataFrame, idCol: String,
+      textCol: String, n: Int = 8,
+      maxOverlapFrac: Double = 0.1): DataFrame = {
+    val grams = corpus.select(col(idCol),
+      size(TextFns.wordShinglesNative(col(textCol), n)).cast("long")
+        .as("n_grams"))
+    val worst = contaminationPairs(corpus, evalDocs, idCol, textCol, n)
+      .groupBy(col("corpus_id"))
+      .agg(max(col("n_shared")).as("max_shared"))
+    val frac = col("max_shared").cast("double") /
+      greatest(col("n_grams"), lit(1L))
+    grams.join(worst, grams(idCol) === worst("corpus_id"), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("max_shared"), lit(0L)).as("max_shared"))
+      .select(col(idCol), col("n_grams"), col("max_shared"),
+        round(frac, 6).as("overlap_frac"),
+        (frac < maxOverlapFrac).as("kept"))
+  }
+
   /** Cross-document boilerplate fraction: for each doc, the share of its
     * DISTINCT word `n`-grams that occur in at least `minDocs` distinct
     * documents corpus-wide — the inter-document cousin of

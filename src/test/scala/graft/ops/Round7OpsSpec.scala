@@ -250,6 +250,20 @@ class Round7OpsSpec extends SparkSpec {
     run(emb.repartition(17)) shouldBe run(emb.coalesce(1))
   }
 
+  test("decontaminate: a copied eval passage drops the corpus doc, clean docs keep") {
+    val evalDocs = Seq((1L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "prefix words the quick brown fox jumps over the lazy dog today"),
+      (11L, "completely different content with no overlapping grams at all here")
+    ).toDF("doc_id", "text")
+    val got = Corpus.decontaminate(corpus, evalDocs, "doc_id", "text",
+      n = 5, maxOverlapFrac = 0.1)
+      .select("doc_id", "kept").as[(Long, Boolean)].collect().toMap
+    got(10L) shouldBe false
+    got(11L) shouldBe true
+  }
+
   // ------------------------------------------------------------ multimodal
 
   test("dHash: duplicate payloads hash identically; a small edit stays hamming-near") {
