@@ -727,6 +727,15 @@ object PipelineQueries {
           col("seg_start_frame").cast("long").as("seg_start_frame"),
           col("n_frames").cast("long").as("n_frames"))
     }),
+    // Per-frame dHash over the real GIF decode — the video near-dup
+    // signature (frame-hash sequence per clip).
+    "p_video_phash" -> ((s, d) => {
+      val media = graft.ops.Multimodal.syntheticMedia(s, 200, kind = "video")
+      graft.ops.Multimodal.videoFrameHashes(media)
+        .select(col("media_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          col("dhash_hi"), col("dhash_lo"))
+    }),
     // STREAMING BPE maintenance, driver-gated: three word-count waves with
     // a relearn per batch (growthFactor 0); the FINAL model — learned from
     // the merged sufficient statistic, never from re-tokenized text — is
@@ -1491,6 +1500,36 @@ object PipelineQueries {
         |  CAST(sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k)
         |           ELSE 0 END) AS BIGINT) AS dhash_lo
         |FROM bits GROUP BY 1, 2, 3""".stripMargin,
+    "p_video_phash" ->
+      """WITH m AS (SELECT unnest(generate_series(0, 199)) AS i),
+        |p AS (SELECT i, 6 + (i % 5) AS w, 6 + ((i*3) % 5) AS h,
+        |             2 + ((i*11) % 6) AS nf FROM m),
+        |fr AS (
+        |  SELECT p.i, p.w, p.h, f.f
+        |  FROM p, (SELECT unnest(generate_series(0, 7)) AS f) f
+        |  WHERE f.f < p.nf
+        |),
+        |xs AS (SELECT unnest(generate_series(0, 8)) AS gx),
+        |ys AS (SELECT unnest(generate_series(0, 7)) AS gy),
+        |g AS (
+        |  SELECT fr.i, fr.f, xs.gx, ys.gy,
+        |    ((((xs.gx*fr.w)//9)*31 + ((ys.gy*fr.h)//8)*17 + fr.f*41
+        |      + fr.i*13) % 256) AS gray
+        |  FROM fr, xs, ys
+        |),
+        |bits AS (
+        |  SELECT a.i, a.f, a.gy*8 + a.gx AS k,
+        |    CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
+        |  FROM g a JOIN g b ON a.i = b.i AND a.f = b.f AND a.gy = b.gy
+        |    AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8
+        |)
+        |SELECT CAST(i AS BIGINT) AS media_id, CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32))
+        |           ELSE 0 END) AS BIGINT) AS dhash_hi,
+        |  CAST(sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k)
+        |           ELSE 0 END) AS BIGINT) AS dhash_lo
+        |FROM bits GROUP BY 1, 2""".stripMargin,
     "p_audio_segments" ->
       """WITH m AS (SELECT unnest(generate_series(0, 199)) AS media_id),
         |params AS (

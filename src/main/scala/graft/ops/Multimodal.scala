@@ -538,6 +538,71 @@ object Multimodal {
       } finally { reader.dispose(); iis.close() }
     }
 
+  /** Per-frame dHash over the REAL video decode — the video near-dup
+    * signature: every frame of the animated container gets the same 9×8
+    * nearest-neighbor difference hash as [[dHashBatch]] (frames are
+    * grayscale by construction, so the red channel IS the luma — no
+    * weighting). A clip's signature is its frame-hash sequence; clip
+    * near-dup pairing composes downstream by hamming distance per aligned
+    * frame or set overlap, exactly like document SimHash.
+    * Output: (media_id, frame_idx, dhash_hi, dhash_lo).
+    */
+  def videoFrameHashes(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("dhash_hi", LongType, nullable = false),
+      StructField("dhash_lo", LongType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rdd = media.queryExecution.toRdd.mapPartitions { iter =>
+      val rows = iter.map(ir => (ir.getLong(idIdx), ir.getBinary(payloadIdx)))
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { case (id, bytes) =>
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          require(readers.hasNext, "payload is not a decodable image container")
+          val reader = readers.next()
+          reader.setInput(iis)
+          try {
+            val nf = reader.getNumImages(true)
+            (0 until nf).map { f =>
+              val img = reader.read(f)
+              val w = img.getWidth
+              val h = img.getHeight
+              val g = Array.ofDim[Int](8, 9)
+              var y = 0
+              while (y < 8) {
+                val sy = y * h / 8
+                var x = 0
+                while (x < 9) {
+                  g(y)(x) = (img.getRGB(x * w / 9, sy) >> 16) & 0xFF
+                  x += 1
+                }
+                y += 1
+              }
+              var hash = 0L
+              var k = 0
+              y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  if (g(y)(x + 1) > g(y)(x)) hash |= (1L << k)
+                  k += 1; x += 1
+                }
+                y += 1
+              }
+              Row(id, f, (hash >>> 32) & 0xFFFFFFFFL, hash & 0xFFFFFFFFL)
+            }
+          } finally { reader.dispose(); iis.close() }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** REAL frame sampling: decode every `stride`-th frame of the animated
     * container and emit its mean luminance — the decoded counterpart of
     * the metadata-driven [[sampleFrames]] generator (which plans the
