@@ -298,6 +298,19 @@ class Round7OpsSpec extends SparkSpec {
     got shouldBe Seq((1L, 0, 2), (1L, 3, 1))
   }
 
+  test("new decode paths reject corrupt payloads like the existing ones") {
+    val junk = Array.tabulate[Byte](64)(_.toByte)
+    intercept[Exception] { Multimodal.dHashBatch(Seq(junk)).head }
+    intercept[Exception] {
+      val media = Seq((1L, junk)).toDF("media_id", "payload")
+      Multimodal.audioSegments(media).collect()
+    }
+    intercept[Exception] {
+      val media = Seq((1L, junk)).toDF("media_id", "payload")
+      Multimodal.videoFrameHashes(media).collect()
+    }
+  }
+
   // ------------------------------------------------------------ edge cases
 
   test("duplicateSpans/removeSpans edges: short docs, exact-width docs, total duplication") {
