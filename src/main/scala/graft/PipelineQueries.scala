@@ -695,6 +695,21 @@ object PipelineQueries {
     // every stage bites at sf0.01 (500 → 366 → 366 → cleaned → 200 → 120).
     "p_curate_pipeline" -> ((s, d) =>
       Corpus.curate(docs(s, d), "doc_id", "text")),
+    // HTML → text extraction on a deterministically HTML-wrapped input
+    // (script/style subtrees, tags, entities, whitespace — the web-crawl
+    // ingest step; the corpus itself is plain text, so the gate builds
+    // the markup the same way p_normalize builds its dirt).
+    "p_html_extract" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextOps.extractHtmlText(concat(
+          lit("<html><head><style>p{margin:0}</style>"
+            + "<script>var x=1;</script></head><body><h1>"),
+          col("source"),
+          lit("</h1>\n<p class=\"c\">"),
+          substring(col("text"), 1, 80),
+          lit(" &amp; more &lt;stuff&gt;</p><div>Home | About</div>"
+            + "</body></html>")))
+          .as("extracted"))),
     // Decontamination as a FILTER: drop corpus docs whose worst-case
     // 5-gram overlap with any single eval doc reaches 10% of their own
     // grams; every doc returned with its evidence.
@@ -760,6 +775,35 @@ object PipelineQueries {
         topN = 30)
     }),
   )
+
+  /** The p_html_extract oracle, built by folding the SAME replacement
+    * chain [[graft.ops.TextOps.extractHtmlText]] applies — generated, not
+    * hand-nested, so the order and arity cannot drift from the Scala op.
+    */
+  private def htmlExtractOracle: String = {
+    val wrapped =
+      "'<html><head><style>p{margin:0}</style>" +
+        "<script>var x=1;</script></head><body><h1>' " +
+        "|| source || '</h1>' || chr(10) || '<p class=\"c\">' " +
+        "|| substr(text, 1, 80) " +
+        "|| ' &amp; more &lt;stuff&gt;</p><div>Home | About</div>" +
+        "</body></html>'"
+    val steps = Seq(
+      ("'<script.*?</script>'", "' '", "gs"),
+      ("'<style.*?</style>'", "' '", "gs"),
+      ("'<[^>]*>'", "' '", "g"),
+      ("'&amp;'", "'&'", "g"),
+      ("'&lt;'", "'<'", "g"),
+      ("'&gt;'", "'>'", "g"),
+      ("'&quot;'", "'\"'", "g"),
+      ("'&#39;'", "chr(39)", "g"),
+      ("'&nbsp;'", "' '", "g"),
+      ("'\\s+'", "' '", "g"))
+    val chain = steps.foldLeft(wrapped) { case (acc, (pat, rep, flags)) =>
+      s"regexp_replace($acc, $pat, $rep, '$flags')"
+    }
+    s"SELECT doc_id, trim($chain) AS extracted FROM documents"
+  }
 
   /** One-shot duplicated-span derivation (windows → count ≥ 2 → islands) —
     * the oracle for BOTH p_substr_dedup and the streaming s_substr_spans
@@ -1447,6 +1491,7 @@ object PipelineQueries {
         |  round(mr, 6) AS mean_r, round(mg, 6) AS mean_g,
         |  round(mb, 6) AS mean_b
         |FROM agg""".stripMargin,
+    "p_html_extract" -> htmlExtractOracle,
     "p_decontaminate" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |g AS (

@@ -116,6 +116,26 @@ object TextOps {
       .otherwise(lit(1.0) - distinctGrams.cast("double") / total)
   }
 
+  /** HTML → text extraction — the web-crawl ingest step upstream of every
+    * quality filter: drops <script>/<style> subtrees entirely (their text
+    * is code, not content), strips remaining tags to spaces, decodes the
+    * common entities, and collapses whitespace. Every pattern is
+    * RE2-compatible (no backreferences, inline (?s) only), so the DuckDB
+    * oracle runs the IDENTICAL chain; pure map-side codegen.
+    */
+  def extractHtmlText(html: Column): Column = {
+    val noScript = regexp_replace(html, """(?s)<script.*?</script>""", " ")
+    val noStyle = regexp_replace(noScript, """(?s)<style.*?</style>""", " ")
+    val noTags = regexp_replace(noStyle, """<[^>]*>""", " ")
+    // entity names contain no regex metacharacters — plain patterns
+    val ent = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ")
+      .foldLeft(noTags) { case (c, (from, to)) =>
+        regexp_replace(c, from, to)
+      }
+    trim(regexp_replace(ent, """\s+""", " "))
+  }
+
   /** Canonical text normalization — the first stage of every ingest
     * pipeline, and the precondition for hash-based dedup to work at all
     * (NFC: visually-identical é as e+combining-accent vs precomposed é must

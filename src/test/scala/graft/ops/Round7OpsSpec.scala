@@ -298,6 +298,16 @@ class Round7OpsSpec extends SparkSpec {
     got shouldBe Seq((1L, 0, 2), (1L, 3, 1))
   }
 
+  test("extractHtmlText: scripts/styles vanish, tags strip, entities decode") {
+    val html = Seq((1L,
+      """<html><head><style>p{x}</style><script>alert("hi")</script></head>""" +
+        """<body><h1>Title</h1><p>a &amp; b &lt;c&gt; &quot;d&quot;""" +
+        """ &#39;e&#39;&nbsp;f</p></body></html>""")).toDF("doc_id", "html")
+    val got = html.select(TextOps.extractHtmlText(col("html")).as("t"))
+      .as[String].head()
+    got shouldBe """Title a & b <c> "d" 'e' f"""
+  }
+
   test("new decode paths reject corrupt payloads like the existing ones") {
     val junk = Array.tabulate[Byte](64)(_.toByte)
     intercept[Exception] { Multimodal.dHashBatch(Seq(junk)).head }
