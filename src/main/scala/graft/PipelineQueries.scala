@@ -695,6 +695,13 @@ object PipelineQueries {
     // every stage bites at sf0.01 (500 → 366 → 366 → cleaned → 200 → 120).
     "p_curate_pipeline" -> ((s, d) =>
       Corpus.curate(docs(s, d), "doc_id", "text")),
+    // Model-based quality filtering: multinomial Naive Bayes trained on
+    // the md5-half split with WEAK labels from the rule-based quality
+    // score — integer sufficient statistics, so the trained classifier
+    // itself is hash-gated (unlike gradient-trained models).
+    "p_nb_quality" -> ((s, d) =>
+      graft.ops.Classify.nbQualityScore(docs(s, d), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
     // HTML → text extraction on a deterministically HTML-wrapped input
     // (script/style subtrees, tags, entities, whitespace — the web-crawl
     // ingest step; the corpus itself is plain text, so the gate builds
@@ -1492,6 +1499,45 @@ object PipelineQueries {
         |  round(mb, 6) AS mean_b
         |FROM agg""".stripMargin,
     "p_html_extract" -> htmlExtractOracle,
+    "p_nb_quality" ->
+      s"""WITH $qualityCtes,
+        |lab AS (
+        |  SELECT q.doc_id, q.quality >= 0.5 AS label,
+        |    substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 1) < '8' AS tr
+        |  FROM q
+        |),
+        |tk AS (
+        |  SELECT t.doc_id, t.x AS tok, lab.label, lab.tr
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS x
+        |        FROM documents) t
+        |  JOIN lab ON t.doc_id = lab.doc_id
+        |  WHERE t.x <> ''
+        |),
+        |tc AS (
+        |  SELECT tok,
+        |    sum(CASE WHEN label THEN 1 ELSE 0 END) AS c_pos,
+        |    sum(CASE WHEN NOT label THEN 1 ELSE 0 END) AS c_neg
+        |  FROM tk WHERE tr GROUP BY 1
+        |),
+        |tt AS (
+        |  SELECT sum(CASE WHEN label THEN 1 ELSE 0 END) AS t_pos,
+        |    sum(CASE WHEN NOT label THEN 1 ELSE 0 END) AS t_neg,
+        |    count(DISTINCT CASE WHEN label THEN doc_id END) AS d_pos,
+        |    count(DISTINCT CASE WHEN NOT label THEN doc_id END) AS d_neg
+        |  FROM tk WHERE tr
+        |),
+        |v AS (SELECT count(*) AS v FROM tc),
+        |sc AS (
+        |  SELECT tk.doc_id,
+        |    ln((coalesce(tc.c_pos, 0)+1)*1.0/(tt.t_pos+v.v))
+        |    - ln((coalesce(tc.c_neg, 0)+1)*1.0/(tt.t_neg+v.v)) AS dllr,
+        |    ln(tt.d_pos+1) - ln(tt.d_neg+1) AS dprior
+        |  FROM tk LEFT JOIN tc USING (tok) CROSS JOIN tt CROSS JOIN v
+        |)
+        |SELECT doc_id, round(any_value(dprior) + sum(dllr), 6) AS llr,
+        |  count(*) AS n_tokens,
+        |  round(any_value(dprior) + sum(dllr), 6) > 0.0 AS predicted
+        |FROM sc GROUP BY doc_id""".stripMargin,
     "p_decontaminate" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |g AS (

@@ -225,6 +225,25 @@ class Round7OpsSpec extends SparkSpec {
     got.foreach(r => r._4 shouldBe (r._2 <= 3.4))
   }
 
+  test("nbQualityScore separates classes with disjoint vocabularies") {
+    // positives speak "good" words, negatives "bad" words; only SOME land
+    // in the md5 train half, yet every doc must classify by its vocabulary
+    val good = "the data of this table is a clean and useful value " +
+      "with many genuinely distinct tokens present here"          // quality ≥ 0.5
+    val bad = "zz zz zz zz zz zz zz zz"   // 9 toks with suffix → quality 0.25
+    val docs = (0L until 40L).map { i =>
+      (i, if (i % 2 == 0) good + s" extra$i" else bad + s" odd$i")
+    }.toDF("doc_id", "text")
+    val got = Classify.nbQualityScore(docs, "doc_id", "text")
+      .as[(Long, Double, Long, Boolean)].collect()
+    got.length shouldBe 40
+    got.foreach { case (id, _, _, pred) => pred shouldBe (id % 2 == 0) }
+    // layout independence
+    val got13 = Classify.nbQualityScore(docs.repartition(13),
+      "doc_id", "text").as[(Long, Double, Long, Boolean)].collect()
+    got13.sortBy(_._1) shouldBe got.sortBy(_._1)
+  }
+
   // -------------------------------------------------------------- semdedup
 
   test("semDedup: within-cluster earlier near-neighbor drops, cross-cluster never") {
