@@ -695,6 +695,45 @@ object PipelineQueries {
     // every stage bites at sf0.01 (500 → 366 → 366 → cleaned → 200 → 120).
     "p_curate_pipeline" -> ((s, d) =>
       Corpus.curate(docs(s, d), "doc_id", "text")),
+    // Per-source attribution of the curated selection — the mixture
+    // report a data lead actually reads (which domains survived, with how
+    // many docs and tokens).
+    "p_curation_report" -> ((s, d) => {
+      val dd = docs(s, d)
+      Corpus.curate(dd, "doc_id", "text")
+        .join(dd.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok"),
+          round(sum(col("avg_nll")), 6).as("sum_nll"))
+    }),
+    // Per-document dedup AUDIT across the exact / near-dup / substring
+    // families — the verdict table a curation run publishes alongside the
+    // cleaned corpus: which docs are exact copies (and of whom), how many
+    // near-dup partners each has, and how many characters sit in
+    // duplicated spans.
+    "p_dedup_report" -> ((s, d) => {
+      val dd = docs(s, d)
+      val exactRep = dd.select(col("doc_id"), col("text"))
+        .join(dd.groupBy(col("text"))
+          .agg(min(col("doc_id")).as("__rep")), Seq("text"))
+        .select(col("doc_id"), col("__rep").as("exact_rep"))
+      val pairs = Dedup.jaccardPairs(dd, "doc_id", "text", n = 3,
+        threshold = 0.5)
+      val nearCounts = pairs.select(col("id1").as("doc_id"))
+        .unionAll(pairs.select(col("id2").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_near_dups"))
+      val spanChars = Dedup.duplicateSpans(dd, "doc_id", "text", width = 30)
+        .groupBy("doc_id").agg(sum(col("span_len")).as("dup_span_chars"))
+      dd.select(col("doc_id"))
+        .join(exactRep, Seq("doc_id"), "left")
+        .join(nearCounts, Seq("doc_id"), "left")
+        .join(spanChars, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          col("exact_rep"),
+          (col("exact_rep") =!= col("doc_id")).as("is_exact_dup"),
+          coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
+          coalesce(col("dup_span_chars"), lit(0L)).as("dup_span_chars"))
+    }),
     // Model-based quality filtering: multinomial Naive Bayes trained on
     // the md5-half split with WEAK labels from the rule-based quality
     // score — integer sufficient statistics, so the trained classifier
@@ -842,6 +881,95 @@ object PipelineQueries {
       |SELECT doc_id, min(pos) AS span_start,
       |  max(pos) - min(pos) + 30 AS span_len, count(*) AS n_windows
       |FROM i GROUP BY doc_id, isl""".stripMargin
+
+  /** The five-stage curate pipeline as one CTE chain — shared by
+    * p_curate_pipeline and the per-source report gate.
+    */
+  private val curateOracle: String =
+    """WITH t AS (
+        |  SELECT doc_id, text,
+        |    [x for x in string_split(text, ' ') if x <> ''] AS toks
+        |  FROM documents
+        |),
+        |s AS (
+        |  SELECT doc_id, text, len(toks) AS nw,
+        |    length(replace(text, ' ', ''))*1.0/greatest(len(toks), 1) AS mwl,
+        |    len([s for s in ['the','a','of','and','to','in','is','it','for','on']
+        |         if list_contains(toks, s)]) AS ns,
+        |    len(list_distinct(toks))*1.0/greatest(len(toks), 1) AS uf
+        |  FROM t
+        |),
+        |g AS (
+        |  SELECT doc_id, text FROM s
+        |  WHERE nw BETWEEN 25 AND 90 AND mwl >= 3.0 AND mwl <= 10.0
+        |    AND ns >= 1 AND uf >= 0.3
+        |),
+        |ex AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY text),
+        |surv AS (SELECT g.doc_id, g.text FROM g JOIN ex USING (doc_id)),
+        |w AS (
+        |  SELECT doc_id, pos, md5(substr(text, pos, 30)) AS k FROM (
+        |    SELECT doc_id, text,
+        |      unnest(generate_series(1, len(text) - 29)) AS pos
+        |    FROM surv WHERE len(text) >= 30)
+        |),
+        |dk AS (SELECT k FROM w GROUP BY k HAVING count(*) >= 2),
+        |dp AS (SELECT doc_id, pos FROM w JOIN dk USING (k)),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, pos + off AS cpos
+        |  FROM dp, LATERAL unnest(generate_series(0, 29)) u(off)
+        |),
+        |chars AS (
+        |  SELECT doc_id, pos, substr(text, pos, 1) AS ch FROM (
+        |    SELECT doc_id, text, unnest(generate_series(1, len(text))) AS pos
+        |    FROM surv)
+        |),
+        |kp AS (
+        |  SELECT c.doc_id, c.pos, c.ch FROM chars c
+        |  LEFT JOIN cov ON c.doc_id = cov.doc_id AND c.pos = cov.cpos
+        |  WHERE cov.cpos IS NULL
+        |),
+        |cleaned AS (
+        |  SELECT s2.doc_id, coalesce(a.t, '') AS ctext
+        |  FROM surv s2 LEFT JOIN (
+        |    SELECT doc_id, string_agg(ch, '' ORDER BY pos) AS t
+        |    FROM kp GROUP BY doc_id) a
+        |  USING (doc_id)
+        |),
+        |ct AS (SELECT doc_id, ctext, string_split(ctext, ' ') AS toks
+        |       FROM cleaned),
+        |inst AS (
+        |  SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1]
+        |    for i in generate_series(1, len(toks)-1)]) AS bg
+        |  FROM ct
+        |),
+        |insts AS (
+        |  SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' AS tr
+        |  FROM inst
+        |),
+        |c2 AS (SELECT bg, count(*) AS c2 FROM insts WHERE tr GROUP BY 1),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM insts WHERE tr GROUP BY 1),
+        |v AS (SELECT count(*) AS v FROM c1),
+        |sc AS (
+        |  SELECT i.doc_id,
+        |    ln((coalesce(c2.c2, 0)+1)*1.0/(coalesce(c1.c1, 0)+v.v)) AS logp
+        |  FROM insts i LEFT JOIN c2 USING (bg) LEFT JOIN c1 USING (w1)
+        |  CROSS JOIN v
+        |),
+        |ppl AS (SELECT doc_id, round(-avg(logp), 6) AS avg_nll
+        |        FROM sc GROUP BY 1),
+        |kept2 AS (
+        |  SELECT p.doc_id, p.avg_nll, len(ct.toks) AS n_tok
+        |  FROM ppl p JOIN ct USING (doc_id) WHERE p.avg_nll <= 3.43
+        |),
+        |sel AS (
+        |  SELECT doc_id, n_tok, avg_nll,
+        |    sum(n_tok) OVER (ORDER BY avg_nll, doc_id) AS cum_tok
+        |  FROM kept2
+        |)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, avg_nll,
+        |  CAST(cum_tok AS BIGINT) AS cum_tok
+        |FROM sel WHERE cum_tok <= 6000""".stripMargin
 
   private val jaccardCtes: String =
     """docsrc AS (
@@ -1499,6 +1627,45 @@ object PipelineQueries {
         |  round(mb, 6) AS mean_b
         |FROM agg""".stripMargin,
     "p_html_extract" -> htmlExtractOracle,
+    "p_curation_report" ->
+      s"""WITH sel AS (
+        |$curateOracle
+        |)
+        |SELECT d.source, count(*) AS n_docs,
+        |  CAST(sum(sel.n_tok) AS BIGINT) AS n_tok,
+        |  round(sum(sel.avg_nll), 6) AS sum_nll
+        |FROM sel JOIN documents d USING (doc_id)
+        |GROUP BY 1""".stripMargin,
+    "p_dedup_report" ->
+      s"""WITH $jaccardCtes,
+        |pairs AS (
+        |  SELECT id1, id2 FROM inter
+        |  JOIN sizes s1 ON id1 = s1.doc_id
+        |  JOIN sizes s2 ON id2 = s2.doc_id
+        |  WHERE n*1.0/(s1.sz + s2.sz - n) >= 0.5
+        |),
+        |nc AS (
+        |  SELECT doc_id, count(*) AS n FROM (
+        |    SELECT id1 AS doc_id FROM pairs
+        |    UNION ALL SELECT id2 FROM pairs)
+        |  GROUP BY 1
+        |),
+        |reps AS (SELECT text, min(doc_id) AS rep FROM documents GROUP BY text),
+        |rep AS (
+        |  SELECT d.doc_id, reps.rep AS exact_rep
+        |  FROM documents d JOIN reps ON d.text = reps.text
+        |),
+        |sp AS (
+        |$substrSpansOracle
+        |),
+        |spc AS (SELECT doc_id, sum(span_len) AS c FROM sp GROUP BY 1)
+        |SELECT r.doc_id, r.exact_rep,
+        |  r.exact_rep <> r.doc_id AS is_exact_dup,
+        |  CAST(coalesce(nc.n, 0) AS BIGINT) AS n_near_dups,
+        |  CAST(coalesce(spc.c, 0) AS BIGINT) AS dup_span_chars
+        |FROM rep r
+        |LEFT JOIN nc USING (doc_id)
+        |LEFT JOIN spc USING (doc_id)""".stripMargin,
     "p_nb_quality" ->
       s"""WITH $qualityCtes,
         |lab AS (
@@ -2291,91 +2458,7 @@ object PipelineQueries {
         |SELECT dd.doc_id, coalesce(a.t, '') AS clean_text,
         |  CAST(len(dd.text) - coalesce(a.nk, 0) AS BIGINT) AS n_cut_chars
         |FROM documents dd LEFT JOIN agg a USING (doc_id)""".stripMargin,
-    "p_curate_pipeline" ->
-      """WITH t AS (
-        |  SELECT doc_id, text,
-        |    [x for x in string_split(text, ' ') if x <> ''] AS toks
-        |  FROM documents
-        |),
-        |s AS (
-        |  SELECT doc_id, text, len(toks) AS nw,
-        |    length(replace(text, ' ', ''))*1.0/greatest(len(toks), 1) AS mwl,
-        |    len([s for s in ['the','a','of','and','to','in','is','it','for','on']
-        |         if list_contains(toks, s)]) AS ns,
-        |    len(list_distinct(toks))*1.0/greatest(len(toks), 1) AS uf
-        |  FROM t
-        |),
-        |g AS (
-        |  SELECT doc_id, text FROM s
-        |  WHERE nw BETWEEN 25 AND 90 AND mwl >= 3.0 AND mwl <= 10.0
-        |    AND ns >= 1 AND uf >= 0.3
-        |),
-        |ex AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY text),
-        |surv AS (SELECT g.doc_id, g.text FROM g JOIN ex USING (doc_id)),
-        |w AS (
-        |  SELECT doc_id, pos, md5(substr(text, pos, 30)) AS k FROM (
-        |    SELECT doc_id, text,
-        |      unnest(generate_series(1, len(text) - 29)) AS pos
-        |    FROM surv WHERE len(text) >= 30)
-        |),
-        |dk AS (SELECT k FROM w GROUP BY k HAVING count(*) >= 2),
-        |dp AS (SELECT doc_id, pos FROM w JOIN dk USING (k)),
-        |cov AS (
-        |  SELECT DISTINCT doc_id, pos + off AS cpos
-        |  FROM dp, LATERAL unnest(generate_series(0, 29)) u(off)
-        |),
-        |chars AS (
-        |  SELECT doc_id, pos, substr(text, pos, 1) AS ch FROM (
-        |    SELECT doc_id, text, unnest(generate_series(1, len(text))) AS pos
-        |    FROM surv)
-        |),
-        |kp AS (
-        |  SELECT c.doc_id, c.pos, c.ch FROM chars c
-        |  LEFT JOIN cov ON c.doc_id = cov.doc_id AND c.pos = cov.cpos
-        |  WHERE cov.cpos IS NULL
-        |),
-        |cleaned AS (
-        |  SELECT s2.doc_id, coalesce(a.t, '') AS ctext
-        |  FROM surv s2 LEFT JOIN (
-        |    SELECT doc_id, string_agg(ch, '' ORDER BY pos) AS t
-        |    FROM kp GROUP BY doc_id) a
-        |  USING (doc_id)
-        |),
-        |ct AS (SELECT doc_id, ctext, string_split(ctext, ' ') AS toks
-        |       FROM cleaned),
-        |inst AS (
-        |  SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1]
-        |    for i in generate_series(1, len(toks)-1)]) AS bg
-        |  FROM ct
-        |),
-        |insts AS (
-        |  SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1,
-        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' AS tr
-        |  FROM inst
-        |),
-        |c2 AS (SELECT bg, count(*) AS c2 FROM insts WHERE tr GROUP BY 1),
-        |c1 AS (SELECT w1, count(*) AS c1 FROM insts WHERE tr GROUP BY 1),
-        |v AS (SELECT count(*) AS v FROM c1),
-        |sc AS (
-        |  SELECT i.doc_id,
-        |    ln((coalesce(c2.c2, 0)+1)*1.0/(coalesce(c1.c1, 0)+v.v)) AS logp
-        |  FROM insts i LEFT JOIN c2 USING (bg) LEFT JOIN c1 USING (w1)
-        |  CROSS JOIN v
-        |),
-        |ppl AS (SELECT doc_id, round(-avg(logp), 6) AS avg_nll
-        |        FROM sc GROUP BY 1),
-        |kept2 AS (
-        |  SELECT p.doc_id, p.avg_nll, len(ct.toks) AS n_tok
-        |  FROM ppl p JOIN ct USING (doc_id) WHERE p.avg_nll <= 3.43
-        |),
-        |sel AS (
-        |  SELECT doc_id, n_tok, avg_nll,
-        |    sum(n_tok) OVER (ORDER BY avg_nll, doc_id) AS cum_tok
-        |  FROM kept2
-        |)
-        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, avg_nll,
-        |  CAST(cum_tok AS BIGINT) AS cum_tok
-        |FROM sel WHERE cum_tok <= 6000""".stripMargin,
+    "p_curate_pipeline" -> curateOracle,
     "p_pack_tokens" ->
       s"""WITH RECURSIVE $bpeEncodeCtes,
          |occp AS (
