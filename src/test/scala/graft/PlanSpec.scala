@@ -240,4 +240,22 @@ class PlanSpec extends SparkSpec {
     // (intentional, bounded) nested-loop in the plan
     p.collect { case b: BroadcastNestedLoopJoinExec => b }.size should be <= 1
   }
+
+  test("nbQualityScore: equi model joins; only the two 1-row scalars nest-loop") {
+    import graft.ops.Classify
+    val docs = Tables.read(spark, sf, "documents")
+    val p = plan(Classify.nbQualityScore(docs, "doc_id", "text"))
+    p.collect { case c: CartesianProductExec => c } shouldBe empty
+    p.collect { case b: BroadcastNestedLoopJoinExec => b }.size should be <= 2
+  }
+
+  test("leakSafeSplit: component join-back is equi, never a product") {
+    import graft.ops.{Dedup, Sampling}
+    val docs = Tables.read(spark, sf, "documents")
+    val p = plan(Sampling.leakSafeSplit(docs, "doc_id",
+      Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5),
+      evalRate = 0.25))
+    p.collect { case c: CartesianProductExec => c } shouldBe empty
+    p.collect { case b: BroadcastNestedLoopJoinExec => b } shouldBe empty
+  }
 }

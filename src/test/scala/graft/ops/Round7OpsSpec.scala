@@ -187,6 +187,11 @@ class Round7OpsSpec extends SparkSpec {
     got.length shouldBe 120 // every stage bites at sf0.01
   }
 
+  test("curate survives a degenerate corpus (everything filtered) without error") {
+    val docs = Seq((1L, "tiny"), (2L, "tiny"), (3L, "zz")).toDF("doc_id", "text")
+    Corpus.curate(docs, "doc_id", "text").collect() shouldBe empty
+  }
+
   // ------------------------------------------------------------ perplexity
 
   test("perplexityScore matches an independent driver-side reimplementation") {
