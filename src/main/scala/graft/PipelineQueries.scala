@@ -71,6 +71,23 @@ object PipelineQueries {
       Ann.ivfCentroidsFromDf(cdf)
     })
 
+  /** [[semDedupCentsFor]]'s twin for the raw-media path: the coarse
+    * quantizer trained on the featurizer's embeddings of the synthetic
+    * media corpus, persisted for the end-to-end oracle.
+    */
+  private val mediaSemCentsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  private def mediaSemCentsFor(s: SparkSession, d: String): Array[Array[Double]] =
+    mediaSemCentsCache.computeIfAbsent(d, _ => {
+      val media = graft.ops.Multimodal.syntheticMedia(s, 200)
+      val e = graft.ops.Multimodal.imageEmbedding(media, dim = 8)
+      val cdf = Ann.ivfTrain(e, "embedding", nlist = 4)
+      cdf.coalesce(1).write.mode("overwrite")
+        .parquet(annArtifactBase(d) + "/media_semdedup_centroids")
+      Ann.ivfCentroidsFromDf(cdf)
+    })
+
   /** Mixed-script corpus for the byte-level BPE gates: deterministic
     * non-ASCII phrases (Latin diacritics, Cyrillic, CJK — 1-, 2- and 3-byte
     * UTF-8) spliced per doc_id onto the ASCII documents, so byte fallback
@@ -733,6 +750,17 @@ object PipelineQueries {
           (col("exact_rep") =!= col("doc_id")).as("is_exact_dup"),
           coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
           coalesce(col("dup_span_chars"), lit(0L)).as("dup_span_chars"))
+    }),
+    // END-TO-END multimodal semantic dedup: raw PNG payloads → REAL
+    // decode → deterministic featurizer embeddings → coarse-quantizer
+    // clusters → within-cluster cosine pruning. The oracle recomputes the
+    // WHOLE chain (pixels → projection → assignment → pairwise) from the
+    // closed form + the persisted centroids — a fake anywhere breaks it.
+    "p_media_semdedup" -> ((s, d) => {
+      val media = graft.ops.Multimodal.syntheticMedia(s, 200)
+      val e = graft.ops.Multimodal.imageEmbedding(media, dim = 8)
+      Ann.semDedup(e, "media_id", "embedding",
+        mediaSemCentsFor(s, d), tau = 0.9)
     }),
     // Model-based quality filtering: multinomial Naive Bayes trained on
     // the md5-half split with WEAK labels from the rule-based quality
@@ -1666,6 +1694,61 @@ object PipelineQueries {
         |FROM rep r
         |LEFT JOIN nc USING (doc_id)
         |LEFT JOIN spc USING (doc_id)""".stripMargin,
+    "p_media_semdedup" ->
+      """WITH m AS (SELECT unnest(generate_series(0, 199)) AS media_id),
+        |dims AS (
+        |  SELECT media_id, 8 + (media_id % 9) AS w,
+        |         8 + ((media_id * 7) % 9) AS h
+        |  FROM m
+        |),
+        |xs AS (SELECT unnest(generate_series(0, 16)) AS i),
+        |ks AS (SELECT unnest(generate_series(0, 7)) AS k),
+        |px AS (
+        |  SELECT d.media_id, d.w, d.h, x.i AS x, y.i AS y,
+        |    (x.i*31 + y.i*17 + d.media_id*13) % 256 AS pr,
+        |    (x.i*7 + y.i*29 + d.media_id*3) % 256 AS pg,
+        |    (x.i*11 + y.i*5 + d.media_id*23) % 256 AS pb
+        |  FROM dims d, xs x, xs y
+        |  WHERE x.i < d.w AND y.i < d.h
+        |),
+        |emb AS (
+        |  SELECT media_id, k,
+        |    sum(pr * (((x*1009 + y*2003 + k*4001 + 42) % 97) - 48)
+        |      + pg * (((x*1009 + y*2003 + 3001 + k*4001 + 42) % 97) - 48)
+        |      + pb * (((x*1009 + y*2003 + 6002 + k*4001 + 42) % 97) - 48))
+        |      / (48.0 * w * h) AS v
+        |  FROM px, ks GROUP BY media_id, k, w, h
+        |),
+        |vec AS (SELECT media_id, list(v ORDER BY k) AS v FROM emb GROUP BY 1),
+        |cents AS (
+        |  SELECT cid, c
+        |  FROM '__ANN_ARTIFACTS__/media_semdedup_centroids/*.parquet'
+        |),
+        |nrm AS (SELECT media_id, sqrt(list_inner_product(v, v)) AS n FROM vec),
+        |cd AS (
+        |  SELECT e.media_id, ct.cid,
+        |    round(list_inner_product(ct.c, ct.c)
+        |      - 2*list_inner_product(e.v, ct.c), 6) AS d
+        |  FROM vec e CROSS JOIN cents ct
+        |),
+        |rk AS (
+        |  SELECT media_id, cid,
+        |    row_number() OVER (PARTITION BY media_id ORDER BY d, cid) AS rn
+        |  FROM cd
+        |),
+        |assign AS (SELECT media_id, cid FROM rk WHERE rn = 1),
+        |dropped AS (
+        |  SELECT DISTINCT b.media_id
+        |  FROM assign a JOIN assign b
+        |    ON a.cid = b.cid AND a.media_id < b.media_id
+        |  JOIN vec ea ON a.media_id = ea.media_id
+        |  JOIN vec eb ON b.media_id = eb.media_id
+        |  JOIN nrm na ON a.media_id = na.media_id
+        |  JOIN nrm nb ON b.media_id = nb.media_id
+        |  WHERE round(list_inner_product(ea.v, eb.v)/(na.n*nb.n), 6) >= 0.9
+        |)
+        |SELECT s.media_id, s.cid AS cell FROM assign s
+        |WHERE s.media_id NOT IN (SELECT media_id FROM dropped)""".stripMargin,
     "p_nb_quality" ->
       s"""WITH $qualityCtes,
         |lab AS (
