@@ -751,6 +751,30 @@ object PipelineQueries {
           coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
           coalesce(col("dup_span_chars"), lit(0L)).as("dup_span_chars"))
     }),
+    // Corpus-relative perplexity filtering: keep the best half by the
+    // exact interpolated median of the rounded scores (the way production
+    // filters are specified — a budget, not a constant).
+    "p_lm_ppl_quantile" -> ((s, d) =>
+      LangModel.perplexityFilterTopFrac(docs(s, d), "doc_id", "text",
+        keepFrac = 0.5)
+        .withColumnRenamed("id", "doc_id")),
+    // One-row corpus card — the dataset-summary table a curation run
+    // publishes: volume, vocabulary breadth, source/language spread,
+    // duplication and quality aggregates in a single glance.
+    "p_corpus_card" -> ((s, d) => {
+      val dd = docs(s, d)
+      val exactDups = Dedup.exact(dd, Seq("text"), "doc_id")
+        .agg(sum(col("n_copies") - 1).as("n_exact_dups"))
+      dd.select(col("doc_id"), col("source"), col("lang"),
+          TextOps.tokenCount(col("text")).cast("long").as("__nt"),
+          TextOps.qualityScore(col("text")).as("__q"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__nt")).as("n_tokens"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang")).as("n_langs"),
+          round(avg(col("__q")), 6).as("mean_quality"))
+        .crossJoin(broadcast(exactDups))
+    }),
     // END-TO-END multimodal semantic dedup: raw PNG payloads → REAL
     // decode → deterministic featurizer embeddings → coarse-quantizer
     // clusters → within-cluster cosine pruning. The oracle recomputes the
@@ -1694,6 +1718,52 @@ object PipelineQueries {
         |FROM rep r
         |LEFT JOIN nc USING (doc_id)
         |LEFT JOIN spc USING (doc_id)""".stripMargin,
+    "p_lm_ppl_quantile" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |inst AS (
+        |  SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1]
+        |    for i in generate_series(1, len(toks)-1)]) AS bg
+        |  FROM t
+        |),
+        |insts AS (
+        |  SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' AS tr
+        |  FROM inst
+        |),
+        |c2 AS (SELECT bg, count(*) AS c2 FROM insts WHERE tr GROUP BY 1),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM insts WHERE tr GROUP BY 1),
+        |v AS (SELECT count(*) AS v FROM c1),
+        |sc AS (
+        |  SELECT i.doc_id,
+        |    ln((coalesce(c2.c2, 0)+1)*1.0/(coalesce(c1.c1, 0)+v.v)) AS logp
+        |  FROM insts i LEFT JOIN c2 USING (bg) LEFT JOIN c1 USING (w1)
+        |  CROSS JOIN v
+        |),
+        |d AS (SELECT doc_id, round(-avg(logp), 6) AS avg_nll,
+        |             count(*) AS n_bigrams
+        |      FROM sc GROUP BY doc_id),
+        |cut AS (SELECT quantile_cont(avg_nll, 0.5) AS c FROM d)
+        |SELECT doc_id, avg_nll, n_bigrams, round(cut.c, 6) AS cutoff,
+        |  avg_nll <= round(cut.c, 6) AS kept
+        |FROM d CROSS JOIN cut""".stripMargin,
+    "p_corpus_card" ->
+      s"""WITH $qualityCtes,
+        |ed AS (
+        |  SELECT CAST(sum(n - 1) AS BIGINT) AS n_exact_dups FROM (
+        |    SELECT count(*) AS n FROM documents GROUP BY text)
+        |),
+        |agg AS (
+        |  SELECT count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |    count(DISTINCT source) AS n_sources,
+        |    count(DISTINCT lang) AS n_langs
+        |  FROM documents
+        |),
+        |mq AS (SELECT round(avg(quality), 6) AS mean_quality FROM q)
+        |SELECT agg.n_docs, agg.n_tokens, agg.n_sources, agg.n_langs,
+        |  mq.mean_quality, ed.n_exact_dups
+        |FROM agg CROSS JOIN mq CROSS JOIN ed""".stripMargin,
     "p_media_semdedup" ->
       """WITH m AS (SELECT unnest(generate_series(0, 199)) AS media_id),
         |dims AS (

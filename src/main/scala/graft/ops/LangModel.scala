@@ -92,4 +92,25 @@ object LangModel {
         count(lit(1)).as("n_bigrams"))
       .withColumn("kept", col("avg_nll") <= keepBelow)
   }
+
+  /** [[perplexityScore]] with a DYNAMIC threshold — keep the best
+    * `keepFrac` of documents by perplexity, the way production filters
+    * are actually specified (a corpus-relative budget, not a magic
+    * constant). The cutoff is the exact interpolated `keepFrac`-quantile
+    * of the ROUNDED scores (a scalar aggregate broadcast back), so the
+    * kept set is a pure function of the corpus: reproducible across
+    * engines, partitionings, and runs.
+    */
+  def perplexityFilterTopFrac(docs: DataFrame, idCol: String,
+      textCol: String, keepFrac: Double = 0.5): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0, "keepFrac must be in (0,1]")
+    val scoredAll = perplexityScore(docs, idCol, textCol)
+      .select(col("id"), col("avg_nll"), col("n_bigrams"))
+    val cut = scoredAll.agg(
+      expr(s"percentile(avg_nll, $keepFrac)").as("__cut"))
+    scoredAll.crossJoin(broadcast(cut))
+      .select(col("id"), col("avg_nll"), col("n_bigrams"),
+        round(col("__cut"), 6).as("cutoff"),
+        (col("avg_nll") <= round(col("__cut"), 6)).as("kept"))
+  }
 }
