@@ -682,6 +682,23 @@ object PipelineQueries {
     // The ExactSubstr REMOVAL step: duplicated spans cut from every doc.
     "p_substr_clean" -> ((s, d) =>
       Dedup.removeSpans(docs(s, d), "doc_id", "text", width = 30)),
+    // STREAMING exact dedup, driver-gated: three waves of mergeable
+    // (content-digest → min id, count) state + a mid-stream fold; the
+    // derived representative set must equal the one-shot group-by-text
+    // oracle.
+    "s_dedup_exact" -> ((s, d) => {
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_exact", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      val dd = docs(s, d).select(col("doc_id"), col("text"))
+      (0 until 3).foreach { g =>
+        graft.streaming.ExactDedupMaintainer.processBatch(
+          dd.where(col("doc_id") % 3 === g), g.toLong, "doc_id", "text",
+          s"$base/state")
+      }
+      graft.streaming.ExactDedupMaintainer.compact(s, s"$base/state")
+      graft.streaming.ExactDedupMaintainer.representatives(s, s"$base/state")
+    }),
     // STREAMING exact-substring index, driver-gated: documents arrive in
     // three waves, each window-hashed once into a per-batch dir; after a
     // mid-stream LSM fold the derived span set must equal the one-shot
@@ -1297,6 +1314,10 @@ object PipelineQueries {
 
   def oracleSql: Map[String, String] = Map(
     "p_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY text""".stripMargin,
+    // the streaming merged state must reproduce the one-shot set exactly
+    "s_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
     "p_neardup_jaccard" -> jaccardOracle,

@@ -330,6 +330,40 @@ class StreamingSpec extends SparkSpec {
     afterCompact shouldBe b
   }
 
+  test("streaming exact dedup: merged state == one-shot, replay, compaction") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Dedup
+    implicit val ctx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("text")).cache()
+    val base = java.nio.file.Files.createTempDirectory("graft-sed").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = ExactDedupMaintainer.attach(mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", s"$base/state", s"$base/ckpt")
+    (0 until 3).foreach { g =>
+      val wave = docs.where(col("doc_id") % 3 === g)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      mem.addData(wave.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    def reps(): Set[(Long, Long)] =
+      ExactDedupMaintainer.representatives(spark, s"$base/state")
+        .as[(Long, Long)].collect().toSet
+    val streamed = reps()
+    val oneShot = Dedup.exactByHash(docs, "text", "doc_id")
+      .as[(Long, Long)].collect().toSet
+    streamed shouldBe oneShot
+    // crash replay is idempotent; LSM fold does not change the derivation
+    ExactDedupMaintainer.processBatch(
+      docs.where(col("doc_id") % 3 === 2).toDF("doc_id", "text"), 2L,
+      "doc_id", "text", s"$base/state")
+    reps() shouldBe streamed
+    ExactDedupMaintainer.compact(spark, s"$base/state")
+    new java.io.File(s"$base/state/c1").exists() shouldBe true
+    reps() shouldBe streamed
+  }
+
   test("streaming substring index: spans == one-shot, retroactive growth, replay, compaction") {
     import org.apache.spark.sql.functions.col
     import graft.ops.Dedup
