@@ -768,6 +768,19 @@ object PipelineQueries {
           coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
           coalesce(col("dup_span_chars"), lit(0L)).as("dup_span_chars"))
     }),
+    // The scalar pipeline vocabulary through the PURE SQL surface: the
+    // injected graft_* functions build the same Catalyst trees as the
+    // DataFrame API, so a SQL-only user gets quality scoring, language id
+    // and content fingerprinting with no Scala.
+    "q_sql_pipeline" -> ((s, d) => {
+      val ext = RecQueries.extensionSession(s)
+      docs(ext, d).createOrReplaceTempView("docs_sqlp")
+      ext.sql(
+        """SELECT doc_id, graft_quality(text) AS quality,
+          |  graft_langid(text) AS lang_detected,
+          |  graft_fingerprint(text) AS fp
+          |FROM docs_sqlp""".stripMargin)
+    }),
     // Corpus-relative perplexity filtering: keep the best half by the
     // exact interpolated median of the rounded scores (the way production
     // filters are specified — a budget, not a constant).
@@ -1739,6 +1752,38 @@ object PipelineQueries {
         |FROM rep r
         |LEFT JOIN nc USING (doc_id)
         |LEFT JOIN spc USING (doc_id)""".stripMargin,
+    "q_sql_pipeline" -> {
+      val ss = TextOps.LangProfiles.map { case (l, ws) =>
+        s"${langScoreSql(ws)} AS s_$l"
+      }.mkString(",\n    ")
+      s"""WITH $qualityCtes,
+        |ls AS (
+        |  SELECT doc_id,
+        |    %s
+        |  FROM documents
+        |),
+        |lid AS (
+        |  SELECT doc_id, CASE
+        |    WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de
+        |      AND s_en >= s_zh THEN 'en'
+        |    WHEN s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+        |    WHEN s_es >= s_de AND s_es >= s_zh THEN 'es'
+        |    WHEN s_de >= s_zh THEN 'de'
+        |    ELSE 'zh' END AS lang_detected
+        |  FROM ls
+        |),
+        |fp AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_transform(string_split(text, ''),
+        |        ch -> CAST(ascii(ch) AS BIGINT)),
+        |      (acc, x) -> (acc*31 + x) %% 1000000007) AS fp
+        |  FROM documents
+        |)
+        |SELECT q.doc_id, q.quality, lid.lang_detected, fp.fp
+        |FROM q JOIN lid USING (doc_id) JOIN fp USING (doc_id)"""
+        .stripMargin.format(ss)
+    },
     "p_lm_ppl_quantile" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
         |           FROM documents),

@@ -285,7 +285,7 @@ object RecQueries {
     * only measures session setup. The caller session stays active/default.
     */
   @volatile private var extSession: org.apache.spark.sql.SparkSession = _
-  private def extensionSession(
+  private[graft] def extensionSession(
       s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
     synchronized {
       if (extSession == null || extSession.sparkContext != s.sparkContext) {

@@ -141,7 +141,43 @@ object GraftSql {
           case Seq(text) => graft.functions.CharEntropy(text)
           case _ => throw new IllegalArgumentException(
             "graft_char_entropy(text) takes 1 argument")
-        }))
+        })) ++ columnFunctions
+  }
+
+  /** The Column-composed pipeline operators as SQL functions: each builds
+    * the SAME Catalyst expression tree the DataFrame API builds (the
+    * Column wrapper is unwrapped around the call arguments), so the SQL
+    * surface reaches the whole scalar pipeline vocabulary with zero
+    * duplicated logic.
+    */
+  private def columnFunctions: Seq[(FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.graft.ColumnShim
+    def info(name: String, usage: String) =
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.ops", name, usage)
+    def unary(name: String, usage: String, f: Column => Column) =
+      (FunctionIdentifier(name), info(name, usage),
+        (args: Seq[Expression]) => args match {
+          case Seq(a) => ColumnShim.expressionNow(f(ColumnShim.column(a)))
+          case _ => throw new IllegalArgumentException(
+            s"$name(text) takes 1 argument")
+        })
+    Seq(
+      unary("graft_quality", "rule-based quality score in [0,1]",
+        graft.ops.TextOps.qualityScore),
+      unary("graft_langid", "n-gram-heuristic language id",
+        graft.ops.TextOps.langId),
+      unary("graft_fingerprint", "polynomial content fingerprint (mod 1e9+7)",
+        graft.ops.TextOps.fingerprint),
+      unary("graft_normalize", "NFC + whitespace-collapse + trim",
+        graft.ops.TextOps.normalizeText),
+      unary("graft_redact", "email/long-digit PII redaction",
+        graft.ops.TextOps.redactPii),
+      unary("graft_extract_html", "HTML tag/script strip + entity decode",
+        graft.ops.TextOps.extractHtmlText))
   }
 
   def catalog(session: SparkSession): RecCatalog =

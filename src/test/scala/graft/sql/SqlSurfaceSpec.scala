@@ -165,6 +165,30 @@ class SqlSurfaceSpec extends SparkSpec with BeforeAndAfterAll {
     dense shouldBe Seq(0.0, 5.0, 0.0, 7.0, 0.0)
   }
 
+  test("Column-composed pipeline operators are callable as SQL functions") {
+    val sq = ext
+    import sq.implicits._
+    Seq((1L, "the data of this table is a clean value with many words here now",
+        "<p>a &amp; b</p>",
+        "mail me at a@b.com or call 12345678901"))
+      .toDF("id", "text", "html", "pii")
+      .createOrReplaceTempView("pipe_docs")
+    val r = ext.sql(
+      """SELECT graft_quality(text) AS q, graft_langid(text) AS lang,
+        |  graft_fingerprint(text) AS fp,
+        |  graft_extract_html(html) AS ex,
+        |  graft_redact(pii) AS red,
+        |  graft_normalize('  a   b ') AS norm
+        |FROM pipe_docs""".stripMargin).head()
+    r.getDouble(0) should be >= 0.5
+    r.getString(1) shouldBe "en"
+    r.getLong(2) should not be 0L
+    r.getString(3) shouldBe "a & b"
+    r.getString(4) should not include "a@b.com"
+    r.getString(4) should not include "12345678901"
+    r.getString(5) shouldBe "a b"
+  }
+
   test("non-RECOMMEND SQL is untouched by the injected parser") {
     fixture(ext)
     ext.sql("SELECT count(*) AS n FROM ml_ratings").head().getLong(0) shouldBe 10L
