@@ -673,6 +673,12 @@ object PipelineQueries {
     "p_pack_tokens" -> ((s, d) =>
       Packing.packTokenIds(docs(s, d), "doc_id", "text",
         bpeMergesFor(s, d), seqLen = 128)),
+    // The packed sequences MATERIALIZED positionally (':'-joined id
+    // strings) — pins token ORDER within every training sequence, which
+    // the p_pack_tokens summary cannot.
+    "p_pack_rows" -> ((s, d) =>
+      Packing.packTokenIdRows(docs(s, d), "doc_id", "text",
+        bpeMergesFor(s, d), seqLen = 128)),
     // D4-style cluster-balanced diversity sampling: ≤ 20 rows per
     // embedding cluster in the md5 draw order, same persisted quantizer
     // as p_semdedup.
@@ -1052,6 +1058,55 @@ object PipelineQueries {
         |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, avg_nll,
         |  CAST(cum_tok AS BIGINT) AS cum_tok
         |FROM sel WHERE cum_tok <= 6000""".stripMargin
+
+  /** The packed-token (doc_id, id, gpos) grid CTE chain — shared by the
+    * summary and the positional packing oracles.
+    */
+  private def packOracle(finalSelect: String): String =
+    s"""WITH RECURSIVE $bpeEncodeCtes,
+         |occp AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word,
+         |    generate_subscripts(
+         |      regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS wpos
+         |  FROM documents
+         |),
+         |toks AS (
+         |  SELECT word,
+         |    unnest(string_split(substr(s, 2, len(s) - 2), chr(3)||chr(2)))
+         |      AS token,
+         |    generate_subscripts(
+         |      string_split(substr(s, 2, len(s) - 2), chr(3)||chr(2)), 1)
+         |      AS tpos
+         |  FROM encoded
+         |),
+         |chars AS (
+         |  SELECT DISTINCT unnest(string_split(word, '')) AS token FROM vocab
+         |),
+         |cand AS (
+         |  SELECT 0 AS grp, token, token AS o1, 0 AS o2 FROM chars
+         |  UNION ALL
+         |  SELECT 1, l || r, '', rank FROM m
+         |),
+         |numbered AS (
+         |  SELECT token, row_number() OVER (ORDER BY grp, o2, o1) - 1 AS id
+         |  FROM cand
+         |),
+         |ids AS (SELECT token, min(id) AS id FROM numbered GROUP BY token),
+         |v AS (SELECT max(id) + 1 AS eos FROM ids),
+         |stream AS (
+         |  SELECT o.doc_id, o.wpos, t.tpos, ids.id
+         |  FROM occp o JOIN toks t USING (word) JOIN ids USING (token)
+         |  UNION ALL
+         |  SELECT d.doc_id, 2147483647, 1, v.eos
+         |  FROM documents d CROSS JOIN v
+         |),
+         |g AS (
+         |  SELECT doc_id, id,
+         |    row_number() OVER (ORDER BY doc_id, wpos, tpos) - 1 AS gpos
+         |  FROM stream
+         |)
+         |__FINAL__""".stripMargin.replace("__FINAL__", finalSelect)
 
   private val jaccardCtes: String =
     """docsrc AS (
@@ -2678,54 +2733,16 @@ object PipelineQueries {
         |  CAST(len(dd.text) - coalesce(a.nk, 0) AS BIGINT) AS n_cut_chars
         |FROM documents dd LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "p_curate_pipeline" -> curateOracle,
-    "p_pack_tokens" ->
-      s"""WITH RECURSIVE $bpeEncodeCtes,
-         |occp AS (
-         |  SELECT doc_id,
-         |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word,
-         |    generate_subscripts(
-         |      regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS wpos
-         |  FROM documents
-         |),
-         |toks AS (
-         |  SELECT word,
-         |    unnest(string_split(substr(s, 2, len(s) - 2), chr(3)||chr(2)))
-         |      AS token,
-         |    generate_subscripts(
-         |      string_split(substr(s, 2, len(s) - 2), chr(3)||chr(2)), 1)
-         |      AS tpos
-         |  FROM encoded
-         |),
-         |chars AS (
-         |  SELECT DISTINCT unnest(string_split(word, '')) AS token FROM vocab
-         |),
-         |cand AS (
-         |  SELECT 0 AS grp, token, token AS o1, 0 AS o2 FROM chars
-         |  UNION ALL
-         |  SELECT 1, l || r, '', rank FROM m
-         |),
-         |numbered AS (
-         |  SELECT token, row_number() OVER (ORDER BY grp, o2, o1) - 1 AS id
-         |  FROM cand
-         |),
-         |ids AS (SELECT token, min(id) AS id FROM numbered GROUP BY token),
-         |v AS (SELECT max(id) + 1 AS eos FROM ids),
-         |stream AS (
-         |  SELECT o.doc_id, o.wpos, t.tpos, ids.id
-         |  FROM occp o JOIN toks t USING (word) JOIN ids USING (token)
-         |  UNION ALL
-         |  SELECT d.doc_id, 2147483647, 1, v.eos
-         |  FROM documents d CROSS JOIN v
-         |),
-         |g AS (
-         |  SELECT doc_id, id,
-         |    row_number() OVER (ORDER BY doc_id, wpos, tpos) - 1 AS gpos
-         |  FROM stream
-         |)
-         |SELECT CAST(gpos // 128 AS BIGINT) AS seq_id,
-         |  count(*) AS n_tok, count(DISTINCT doc_id) AS n_docs,
-         |  CAST(sum(id) AS BIGINT) AS id_sum,
-         |  min(doc_id) AS doc_min, max(doc_id) AS doc_max
-         |FROM g GROUP BY 1""".stripMargin,
+    "p_pack_tokens" -> packOracle(
+      """SELECT CAST(gpos // 128 AS BIGINT) AS seq_id,
+        |  count(*) AS n_tok, count(DISTINCT doc_id) AS n_docs,
+        |  CAST(sum(id) AS BIGINT) AS id_sum,
+        |  min(doc_id) AS doc_min, max(doc_id) AS doc_max
+        |FROM g GROUP BY 1""".stripMargin),
+    "p_pack_rows" -> packOracle(
+      """SELECT CAST(gpos // 128 AS BIGINT) AS seq_id,
+        |  string_agg(CAST(id AS VARCHAR), ':' ORDER BY gpos) AS ids_str,
+        |  count(*) AS n_tok
+        |FROM g GROUP BY 1""".stripMargin),
   )
 }

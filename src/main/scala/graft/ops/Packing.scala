@@ -92,9 +92,40 @@ object Packing {
     * stays relational (exploded) end to end, so seqLen and document size
     * never hit executor memory limits.
     */
+  /** [[packTokenIds]] with the sequences MATERIALIZED: one row per packed
+    * sequence carrying its token ids in position order, rendered as a
+    * ':'-joined string (engine-portable — array columns don't hash-compare
+    * across engines). This is the training-shard payload itself; the
+    * per-sequence array is bounded by seqLen, so the collect_list is safe
+    * at any corpus size.
+    */
+  def packTokenIdRows(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], seqLen: Int,
+      byteLevel: Boolean = false, buckets: Int = 64): DataFrame =
+    packedStream(docs, idCol, textCol, merges, seqLen, byteLevel, buckets)
+      .groupBy(col("seq_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__p"), col("id")))),
+        s => s.getField("id").cast("string")), ":").as("ids_str"),
+        count(lit(1)).as("n_tok"))
+
   def packTokenIds(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)], seqLen: Int,
-      byteLevel: Boolean = false, buckets: Int = 64): DataFrame = {
+      byteLevel: Boolean = false, buckets: Int = 64): DataFrame =
+    packedStream(docs, idCol, textCol, merges, seqLen, byteLevel, buckets)
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        countDistinct(col(idCol)).as("n_docs"),
+        sum(col("id")).as("id_sum"),
+        min(col(idCol)).as("doc_min"),
+        max(col(idCol)).as("doc_max"))
+
+  /** The shared (seq_id, position-in-seq, token id, doc id) grid behind
+    * both packing outputs.
+    */
+  private def packedStream(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], seqLen: Int,
+      byteLevel: Boolean, buckets: Int): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -123,11 +154,7 @@ object Packing {
     seq.join(offs, Seq(idCol))
       .withColumn("__g", col("__off") + col("__k") - 1)
       .withColumn("seq_id", floor(col("__g") / seqLen).cast("long"))
-      .groupBy(col("seq_id"))
-      .agg(count(lit(1)).as("n_tok"),
-        countDistinct(col(idCol)).as("n_docs"),
-        sum(col("id")).as("id_sum"),
-        min(col(idCol)).as("doc_min"),
-        max(col(idCol)).as("doc_max"))
+      .withColumn("__p", (col("__g") % seqLen).cast("int"))
+      .select(col("seq_id"), col("__p"), col("id"), col(idCol))
   }
 }
