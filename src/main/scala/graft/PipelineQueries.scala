@@ -688,6 +688,28 @@ object PipelineQueries {
     // The ExactSubstr REMOVAL step: duplicated spans cut from every doc.
     "p_substr_clean" -> ((s, d) =>
       Dedup.removeSpans(docs(s, d), "doc_id", "text", width = 30)),
+    // STREAMING semantic dedup, driver-gated: the cell-assigned inverted
+    // file accumulates over three waves (same persisted quantizer as
+    // p_semdedup, rounded assignment) and the kept set DERIVES from the
+    // index — retroactive drops (a late-arriving low id displacing an
+    // already-indexed vector) come free from derivation-over-state.
+    "s_semdedup" -> ((s, d) => {
+      val cents = semDedupCentsFor(s, d)
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_semdedup", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      val e = emb(s, d)
+      (0 until 3).foreach { g =>
+        graft.streaming.AnnIndexMaintainer.processBatch(
+          e.where(col("vec_id") % 3 === g), g.toLong, "vec_id", "embedding",
+          cents, s"$base/index", roundScale = 6)
+      }
+      graft.streaming.AnnIndexMaintainer.compact(s, s"$base/index")
+      Ann.semDedupAssigned(
+        graft.streaming.AnnIndexMaintainer.readIndex(s, s"$base/index")
+          .select(col("id").as("vec_id"), col("v").as("__v"), col("cell")),
+        "vec_id", tau = 0.3)
+    }),
     // STREAMING exact dedup, driver-gated: three waves of mergeable
     // (content-digest → min id, count) state + a mid-stream fold; the
     // derived representative set must equal the one-shot group-by-text
@@ -1107,6 +1129,44 @@ object PipelineQueries {
          |  FROM stream
          |)
          |__FINAL__""".stripMargin.replace("__FINAL__", finalSelect)
+
+  /** Within-cluster earlier-neighbor pruning from the persisted
+    * quantizer — the oracle for BOTH p_semdedup and the streaming
+    * s_semdedup (the index must reproduce the one-shot kept set).
+    */
+  private val semDedupOracle: String =
+    """WITH cents AS (
+        |  SELECT cid, c FROM '__ANN_ARTIFACTS__/semdedup_centroids/*.parquet'
+        |),
+        |e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |),
+        |nrm AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS n FROM e),
+        |cd AS (
+        |  SELECT e.vec_id, ct.cid,
+        |    round(list_inner_product(ct.c, ct.c)
+        |      - 2*list_inner_product(e.v, ct.c), 6) AS d
+        |  FROM e CROSS JOIN cents ct
+        |),
+        |rk AS (
+        |  SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |  FROM cd
+        |),
+        |assign AS (SELECT vec_id, cid FROM rk WHERE rn = 1),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM assign a JOIN assign b
+        |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  JOIN e ea ON a.vec_id = ea.vec_id
+        |  JOIN e eb ON b.vec_id = eb.vec_id
+        |  JOIN nrm na ON a.vec_id = na.vec_id
+        |  JOIN nrm nb ON b.vec_id = nb.vec_id
+        |  WHERE round(list_inner_product(ea.v, eb.v)/(na.n*nb.n), 6) >= 0.3
+        |)
+        |SELECT s.vec_id, s.cid AS cell FROM assign s
+        |WHERE s.vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin
 
   private val jaccardCtes: String =
     """docsrc AS (
@@ -2601,39 +2661,8 @@ object PipelineQueries {
         |SELECT doc_id, round(-avg(logp), 6) AS avg_nll,
         |  count(*) AS n_bigrams, round(-avg(logp), 6) <= 3.4 AS kept
         |FROM sc GROUP BY doc_id""".stripMargin,
-    "p_semdedup" ->
-      """WITH cents AS (
-        |  SELECT cid, c FROM '__ANN_ARTIFACTS__/semdedup_centroids/*.parquet'
-        |),
-        |e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings
-        |),
-        |nrm AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS n FROM e),
-        |cd AS (
-        |  SELECT e.vec_id, ct.cid,
-        |    round(list_inner_product(ct.c, ct.c)
-        |      - 2*list_inner_product(e.v, ct.c), 6) AS d
-        |  FROM e CROSS JOIN cents ct
-        |),
-        |rk AS (
-        |  SELECT vec_id, cid,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-        |  FROM cd
-        |),
-        |assign AS (SELECT vec_id, cid FROM rk WHERE rn = 1),
-        |dropped AS (
-        |  SELECT DISTINCT b.vec_id
-        |  FROM assign a JOIN assign b
-        |    ON a.cid = b.cid AND a.vec_id < b.vec_id
-        |  JOIN e ea ON a.vec_id = ea.vec_id
-        |  JOIN e eb ON b.vec_id = eb.vec_id
-        |  JOIN nrm na ON a.vec_id = na.vec_id
-        |  JOIN nrm nb ON b.vec_id = nb.vec_id
-        |  WHERE round(list_inner_product(ea.v, eb.v)/(na.n*nb.n), 6) >= 0.3
-        |)
-        |SELECT s.vec_id, s.cid AS cell FROM assign s
-        |WHERE s.vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
+    "p_semdedup" -> semDedupOracle,
+    "s_semdedup" -> semDedupOracle,
     "p_leak_split" ->
       s"""WITH RECURSIVE $jaccardCtes,
         |pairs AS (

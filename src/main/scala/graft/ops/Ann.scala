@@ -457,11 +457,21 @@ object Ann {
     */
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
       cents: Array[Array[Double]], tau: Double,
+      roundTo: Int = 6): DataFrame =
+    semDedupAssigned(
+      emb.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+        .withColumn("cell", graft.functions.VectorFns.nearestCellNative(
+          col("__v"), cents, roundTo)),
+      idCol, tau, roundTo)
+
+  /** [[semDedup]]'s pruning stage over an ALREADY-ASSIGNED frame
+    * (idCol, __v ARRAY<DOUBLE>, cell) — split out so a persistent
+    * cell-assigned index (the streaming inverted file) can derive the
+    * kept set without re-assigning the corpus.
+    */
+  def semDedupAssigned(asnIn: DataFrame, idCol: String, tau: Double,
       roundTo: Int = 6): DataFrame = {
-    val asn = emb.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
-      .withColumn("cell", graft.functions.VectorFns.nearestCellNative(
-        col("__v"), cents, roundTo))
-      .withColumn("__n", l2(col("__v")))
+    val asn = asnIn.withColumn("__n", l2(col("__v")))
     val a = asn.select(col("cell"), col(idCol).as("__id1"),
       col("__v").as("__v1"), col("__n").as("__n1"))
     val b = asn.select(col("cell"), col(idCol).as("__id2"),

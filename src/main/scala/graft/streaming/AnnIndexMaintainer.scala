@@ -40,11 +40,12 @@ object AnnIndexMaintainer {
     * Exposed for direct (non-streaming) batch ingestion too.
     */
   def processBatch(batch: DataFrame, batchId: Long, idCol: String,
-      vecCol: String, cents: Array[Array[Double]], indexDir: String): Unit = {
+      vecCol: String, cents: Array[Array[Double]], indexDir: String,
+      roundScale: Int = -1): Unit = {
     batch.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("cell", graft.functions.VectorFns.nearestCellNative(
-        col("v"), cents, -1))
+        col("v"), cents, roundScale))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexDir/b$batchId")
   }
