@@ -387,6 +387,22 @@ class Round7OpsSpec extends SparkSpec {
     got shouldBe Seq(2L, 3L)
   }
 
+  test("prefixOffsets == driver-computed exclusive prefix sum, seeded random inputs") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (1L to 200L).map(i => (i, rnd.nextInt(50).toLong))
+      // exclusive prefix in id order, computed on the driver
+      var acc = 0L
+      val expect = rows.sortBy(_._1).map { case (id, n) =>
+        val o = acc; acc += n; (id, o)
+      }.toMap
+      val got = Packing.prefixOffsets(
+        rows.toDF("id", "n").repartition(7), "id", "n", buckets = 16)
+        .as[(Long, Long)].collect().toMap
+      got shouldBe expect
+    }
+  }
+
   // --------------------------------------------------------------- packing
 
   test("packTokenIds: closed-form merge/pack on a two-doc fixture") {
