@@ -194,6 +194,26 @@ object PipelineQueries {
     "p_embed_neardup" -> ((s, d) =>
       Ann.cosinePairs(emb(s, d), "vec_id", "embedding", threshold = 0.45)
         .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))),
+    // Multi-probe hyperplane LSH — the scale path for embedding near-dup:
+    // probing each signature's 1-bit-flip neighbor buckets recovers recall
+    // without extra tables. Hash-gated via the persisted-planes contract:
+    // the oracle re-derives every signature bit, the hamming ≤ 1 candidate
+    // rule, and the exact verify from the planes parquet, so the output is
+    // a pure function of (data, planes) in both engines.
+    "p_lsh_multiprobe" -> ((s, d) => {
+      val e = emb(s, d)
+      val base = annArtifactBase(d)
+      // 8 tables × 6 bits: at this corpus's weak-pair regime (cos ≈ 0.45,
+      // p ≈ 0.65/bit) the hamming ≤ 1 probe gives ≈ 0.32 per-table hit
+      // probability → ≈ 0.95 recall; bits trade bucket occupancy for
+      // recall and are sized to the corpus at deploy time
+      Ann.lshPlanesDf(s, nTables = 8, bitsPerTable = 6, dim = 64)
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/lsh_planes")
+      val planes = Ann.lshPlanesFromDf(s.read.parquet(s"$base/lsh_planes"))
+      Ann.lshMultiProbePairs(e, "vec_id", "embedding", threshold = 0.45,
+        planes)
+        .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
+    }),
     "p_tfidf_top" -> ((s, d) =>
       TfIdf.topTerms(docs(s, d), "doc_id", "text", k = 3)),
     "p_repetition" -> ((s, d) =>
@@ -668,6 +688,21 @@ object PipelineQueries {
     "p_semdedup" -> ((s, d) =>
       Ann.semDedup(emb(s, d), "vec_id", "embedding",
         semDedupCentsFor(s, d), tau = 0.3)),
+    // PQ-coded SemDeDup — the billion-vector path: within-cell screening
+    // over m-byte codes (SDC lookup table), exact rerank of screened
+    // pairs only. Hash-gated via the same persisted-artifact contract:
+    // the oracle re-derives cells, codes, the SDC screen at tau−margin,
+    // and the exact drop rule from (centroids, codebooks) parquet.
+    "p_semdedup_pq" -> ((s, d) => {
+      val e = emb(s, d)
+      val base = annArtifactBase(d)
+      val trained = Ann.pqTrain(e, "embedding", m = 8, k = 32)
+      Ann.pqCodebookDf(s, trained)
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/pq_sd_codebook")
+      val cb = Ann.pqCodebookFromDf(s.read.parquet(s"$base/pq_sd_codebook"))
+      Ann.semDedupPq(e, "vec_id", "embedding", semDedupCentsFor(s, d), cb,
+        tau = 0.3, margin = 0.2)
+    }),
     // Fixed-length training-sequence packing over BPE token ids (EOS
     // terminator = vocab size, 128-token sequences, global doc-id order).
     "p_pack_tokens" -> ((s, d) =>
@@ -808,6 +843,17 @@ object PipelineQueries {
           |  graft_langid(text) AS lang_detected,
           |  graft_fingerprint(text) AS fp
           |FROM docs_sqlp""".stripMargin)
+    }),
+    // The COMPOSED curation pipeline through the PURE SQL surface: the
+    // CURATE statement (RECOMMEND's splice pattern applied to
+    // Corpus.curate) gives a SQL-only user the whole five-stage pipeline
+    // as one statement. Same oracle as p_curate_pipeline — the statement
+    // must add syntax, not semantics.
+    "q_sql_curate" -> ((s, d) => {
+      val ext = RecQueries.extensionSession(s)
+      docs(ext, d).createOrReplaceTempView("docs_curate")
+      ext.sql("CURATE docs_curate ID doc_id TEXT text " +
+        "WIDTH 30 PPL 3.43 BUDGET 6000")
     }),
     // Corpus-relative perplexity filtering: keep the best half by the
     // exact interpolated median of the rounded scores (the way production
@@ -1713,6 +1759,37 @@ object PipelineQueries {
          |JOIN nrm n1 ON id1 = n1.vec_id
          |JOIN nrm n2 ON id2 = n2.vec_id
          |WHERE dot/(n1.n*n2.n) >= 0.45""".stripMargin,
+    "p_lsh_multiprobe" ->
+      """WITH planes AS (
+        |  SELECT tbl, pid, p FROM '__ANN_ARTIFACTS__/lsh_planes/*.parquet'
+        |),
+        |e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |),
+        |bits AS (
+        |  SELECT e.vec_id, pl.tbl, pl.pid,
+        |    CASE WHEN round(list_inner_product(e.v, pl.p), 9) >= 0
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM e CROSS JOIN planes pl
+        |),
+        |cand AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2
+        |  FROM bits a JOIN bits b
+        |    ON a.tbl = b.tbl AND a.pid = b.pid AND a.vec_id < b.vec_id
+        |  GROUP BY a.tbl, a.vec_id, b.vec_id
+        |  HAVING sum(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) <= 1
+        |),
+        |cd AS (SELECT DISTINCT id1, id2 FROM cand),
+        |nrm AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS n FROM e)
+        |SELECT cd.id1, cd.id2,
+        |  round(list_inner_product(e1.v, e2.v)/(n1.n*n2.n), 6) AS cos
+        |FROM cd
+        |JOIN e e1 ON cd.id1 = e1.vec_id
+        |JOIN e e2 ON cd.id2 = e2.vec_id
+        |JOIN nrm n1 ON cd.id1 = n1.vec_id
+        |JOIN nrm n2 ON cd.id2 = n2.vec_id
+        |WHERE list_inner_product(e1.v, e2.v)/(n1.n*n2.n) >= 0.45""".stripMargin,
     "p_stratified" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
@@ -2662,6 +2739,76 @@ object PipelineQueries {
         |  count(*) AS n_bigrams, round(-avg(logp), 6) <= 3.4 AS kept
         |FROM sc GROUP BY doc_id""".stripMargin,
     "p_semdedup" -> semDedupOracle,
+    // cells from the persisted quantizer, codes from the persisted
+    // codebooks (per-subspace argmin on round 6, lowest-cid ties), SDC
+    // screen at tau−margin = 0.1, exact drop at tau = 0.3
+    "p_semdedup_pq" ->
+      """WITH cents AS (
+        |  SELECT cid, c FROM '__ANN_ARTIFACTS__/semdedup_centroids/*.parquet'
+        |),
+        |cb AS (
+        |  SELECT subspace, cid, c, n2
+        |  FROM '__ANN_ARTIFACTS__/pq_sd_codebook/*.parquet'
+        |),
+        |p AS (SELECT CAST(len(c) AS INT) AS dsub FROM cb LIMIT 1),
+        |e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |),
+        |nrm AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS n FROM e),
+        |cd AS (
+        |  SELECT e.vec_id, ct.cid,
+        |    round(list_inner_product(ct.c, ct.c)
+        |      - 2*list_inner_product(e.v, ct.c), 6) AS d
+        |  FROM e CROSS JOIN cents ct
+        |),
+        |rk AS (
+        |  SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |  FROM cd
+        |),
+        |assign AS (SELECT vec_id, cid AS cell FROM rk WHERE rn = 1),
+        |enc AS (
+        |  SELECT e.vec_id, cb.subspace, cb.cid, cb.n2,
+        |    round(cb.n2 - 2*list_inner_product(
+        |      e.v[cb.subspace*p.dsub+1 : (cb.subspace+1)*p.dsub], cb.c), 6) AS d
+        |  FROM e CROSS JOIN p CROSS JOIN cb
+        |),
+        |codes AS (
+        |  SELECT vec_id, subspace, cid, n2 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+        |      ORDER BY d, cid) AS rn
+        |    FROM enc)
+        |  WHERE rn = 1
+        |),
+        |cn AS (SELECT vec_id, sqrt(sum(n2)) AS n FROM codes GROUP BY 1),
+        |sdc AS (
+        |  SELECT sa.vec_id AS id1, sb.vec_id AS id2,
+        |    sum(list_inner_product(ca.c, cbb.c)) AS sdot
+        |  FROM assign sa JOIN assign sb
+        |    ON sa.cell = sb.cell AND sa.vec_id < sb.vec_id
+        |  JOIN codes a ON a.vec_id = sa.vec_id
+        |  JOIN codes b ON b.vec_id = sb.vec_id AND b.subspace = a.subspace
+        |  JOIN cb ca ON ca.subspace = a.subspace AND ca.cid = a.cid
+        |  JOIN cb cbb ON cbb.subspace = b.subspace AND cbb.cid = b.cid
+        |  GROUP BY 1, 2
+        |),
+        |cand AS (
+        |  SELECT s.id1, s.id2 FROM sdc s
+        |  JOIN cn c1 ON s.id1 = c1.vec_id
+        |  JOIN cn c2 ON s.id2 = c2.vec_id
+        |  WHERE round(s.sdot/(c1.n*c2.n), 6) >= 0.1
+        |),
+        |dropped AS (
+        |  SELECT DISTINCT c.id2 AS vec_id FROM cand c
+        |  JOIN e e1 ON c.id1 = e1.vec_id
+        |  JOIN e e2 ON c.id2 = e2.vec_id
+        |  JOIN nrm n1 ON c.id1 = n1.vec_id
+        |  JOIN nrm n2 ON c.id2 = n2.vec_id
+        |  WHERE round(list_inner_product(e1.v, e2.v)/(n1.n*n2.n), 6) >= 0.3
+        |)
+        |SELECT a2.vec_id, a2.cell FROM assign a2
+        |WHERE a2.vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
     "s_semdedup" -> semDedupOracle,
     "p_leak_split" ->
       s"""WITH RECURSIVE $jaccardCtes,
@@ -2762,6 +2909,7 @@ object PipelineQueries {
         |  CAST(len(dd.text) - coalesce(a.nk, 0) AS BIGINT) AS n_cut_chars
         |FROM documents dd LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "p_curate_pipeline" -> curateOracle,
+    "q_sql_curate" -> curateOracle,
     "p_pack_tokens" -> packOracle(
       """SELECT CAST(gpos // 128 AS BIGINT) AS seq_id,
         |  count(*) AS n_tok, count(DISTINCT doc_id) AS n_docs,

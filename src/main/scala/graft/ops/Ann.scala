@@ -117,6 +117,81 @@ object Ann {
       .where(col("cos") >= threshold)
   }
 
+  /** Hyperplane tables as a relational frame (tbl, pid, p ARRAY<DOUBLE>) —
+    * the persistence shape for [[lshMultiProbePairs]]'s train-once/scan-many
+    * split: write this once and any engine re-derives signatures, probe
+    * buckets, and the candidate rule from the parquet alone.
+    */
+  def lshPlanesDf(spark: org.apache.spark.sql.SparkSession, nTables: Int,
+      bitsPerTable: Int, dim: Int, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    (0 until nTables).flatMap { t =>
+      hyperplanes(bitsPerTable, dim, seed + t).zipWithIndex.map {
+        case (p, i) => (t, i, p)
+      }
+    }.toDF("tbl", "pid", "p")
+  }
+
+  /** Planes persisted via [[lshPlanesDf]] back to the in-memory shape
+    * planes(tbl)(pid)(dim) (small by construction: nTables × bits rows).
+    */
+  def lshPlanesFromDf(df: DataFrame): Seq[Seq[Seq[Double]]] =
+    df.select(col("tbl"), col("pid"), col("p").cast("array<double>"))
+      .collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toSeq).toSeq
+      }
+
+  /** MULTI-PROBE hyperplane-LSH near-dup pairs: a pair is a candidate when
+    * its signatures differ in AT MOST ONE bit in some table (probing the
+    * `bits` neighboring buckets recovers the recall extra tables would buy,
+    * without extra signature state — Lv et al. 2007's observation applied
+    * to hyperplane signatures); candidates verify exactly, so precision is
+    * 1.0 and recall ≈ 1 − (1 − p^b − b·p^(b−1)(1−p))^T vs the single-probe
+    * 1 − (1 − p^b)^T — at cos 0.9, 4 tables × 8 bits goes 0.67 → 0.94.
+    *
+    * Scale shape: each vector emits `bits + 1` probe keys per table (its
+    * own bucket plus one per flipped bit); the join stays key-equi on
+    * (tbl, bucket) — candidate volume is governed by bucket occupancy
+    * exactly like single-probe, with a (bits+1)× probe-side row factor,
+    * NOT an all-pairs blow-up. Signature bits compare on round(dot, 9) so
+    * assignment is reproducible across engines given the same planes.
+    * Output: (id1, id2, cos) — every multi-probe candidate pair at
+    * cos ≥ threshold, a pure function of (data, planes), hash-gateable.
+    */
+  def lshMultiProbePairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Seq[Seq[Seq[Double]]],
+      roundTo: Int = 9): DataFrame = {
+    val bits = planes.head.length
+    val base = withNorm(df, idCol, vecCol, "id", "v", "nm")
+    val tables = planes.zipWithIndex.map { case (ps, t) =>
+      val sig = ps.zipWithIndex.map { case (p, i) =>
+        when(round(dot(col("v"), typedLit(p)), roundTo) >= 0,
+          lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), sig.as("sig"))
+    }
+    val sigs = base
+      .select(col("id"), explode(array(tables: _*)).as("ts"))
+      .select(col("id"), col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
+    val probeCols = col("sig") +:
+      (0 until bits).map(i => col("sig").bitwiseXOR(lit(1L << i)))
+    val probes = sigs.select(col("id").as("id1"), col("tbl"),
+      explode(array(probeCols: _*)).as("sig"))
+    val cands = probes
+      .join(sigs.select(col("tbl"), col("sig"), col("id").as("id2")),
+        Seq("tbl", "sig"))
+      .where(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val a = withNorm(df, idCol, vecCol, "id1", "v1", "n1")
+    val b = withNorm(df, idCol, vecCol, "id2", "v2", "n2")
+    cands.join(a, Seq("id1")).join(b, Seq("id2"))
+      .select(col("id1"), col("id2"),
+        (dot(col("v1"), col("v2")) / (col("n1") * col("n2"))).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
   /** Symmetric per-vector int8 quantization: scale = max|x|/127, q_i =
     * floor(x_i/scale + 0.5) ∈ [-127, 127] stored as ARRAY<TINYINT> — 4-8×
     * smaller at rest and on the shuffle wire than the float/double original,
@@ -480,6 +555,75 @@ object Ann {
       .where(col("__id1") < col("__id2") &&
         round(graft.functions.VectorFns.dotNative(col("__v1"), col("__v2")) /
           (col("__n1") * col("__n2")), roundTo) >= tau)
+      .select(col("__id2").as(idCol)).distinct()
+    asn.join(dropped, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cell"))
+  }
+
+  /** PQ-coded SemDeDup — the billion-vector scale path for [[semDedup]]:
+    * within-cell pair screening runs on m-byte PQ codes instead of the
+    * raw vectors, so the quadratic-in-cell-size stage shuffles and
+    * compares dim/m× less data; only pairs the code-level screen flags
+    * fetch their ORIGINAL vectors for the exact keep/drop test.
+    *
+    * The screen is SYMMETRIC distance (SDC): dot(â, b̂) =
+    * Σ_j dot(cb_j[code_a_j], cb_j[code_b_j]) — a per-subspace k×k
+    * centroid-dot lookup table (m·k² doubles, plan-embedded), m lookups +
+    * adds per pair. Screened cosine = sdc / (|â|·|b̂|), compared against
+    * `tau − margin`: margin absorbs quantization error, trading screen
+    * volume for recall exactly like [[pqTopK]]'s `rerank` factor. A pair
+    * the screen misses is lost (documented approximation — the spec
+    * measures recall vs [[semDedup]]); a screened pair never drops
+    * wrongly, because the final predicate re-checks the EXACT cosine.
+    *
+    * Same artifact contract as [[semDedup]] + [[pqTopK]]: (centroids,
+    * codebooks) persist once and the kept set is a pure function of
+    * (data, centroids, codebooks, tau, margin) — hash-gateable. Returns
+    * kept (idCol, cell).
+    */
+  def semDedupPq(emb: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]], codebooks: Array[Array[Array[Double]]],
+      tau: Double, margin: Double = 0.2, roundTo: Int = 6): DataFrame = {
+    val m = codebooks.length
+    val sdc: Seq[Seq[Seq[Double]]] = codebooks.map { cb =>
+      cb.map(c1 => cb.map(c2 =>
+        c1.zip(c2).map { case (a, b) => a * b }.sum).toSeq).toSeq
+    }.toSeq
+    val sdcLit = typedLit(sdc)
+    val asn = emb
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("cell", graft.functions.VectorFns.nearestCellNative(
+        col("__v"), cents, roundTo))
+    val coded = pqEncode(asn, idCol, "__v", codebooks, Some(roundTo))
+      .withColumnRenamed("id", idCol)
+    val keyed = asn.select(col(idCol), col("cell"))
+      .join(coded, Seq(idCol))
+      .withColumn("__rn", sqrt(col("rn2")))
+    // the pair join carries (id, codes, |x̂|) ONLY — m ints + one double
+    // per row, never the vectors
+    val a = keyed.select(col("cell"), col(idCol).as("__id1"),
+      col("codes").as("__c1"), col("__rn").as("__rn1"))
+    val b = keyed.select(col("cell"), col(idCol).as("__id2"),
+      col("codes").as("__c2"), col("__rn").as("__rn2"))
+    val sdcDot = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
+      acc + element_at(element_at(element_at(sdcLit, j + 1),
+        element_at(col("__c1"), j + 1) + 1),
+        element_at(col("__c2"), j + 1) + 1))
+    val screened = a.join(b, Seq("cell"))
+      .where(col("__id1") < col("__id2"))
+      .where(round(sdcDot / (col("__rn1") * col("__rn2")), roundTo) >=
+        tau - margin)
+      .select(col("__id1"), col("__id2"))
+    // survivors (tiny by construction) fetch original vectors for the
+    // exact drop test
+    val vecs = asn.withColumn("__n", l2(col("__v")))
+    val dropped = screened
+      .join(vecs.select(col(idCol).as("__id1"), col("__v").as("__v1"),
+        col("__n").as("__n1")), Seq("__id1"))
+      .join(vecs.select(col(idCol).as("__id2"), col("__v").as("__v2"),
+        col("__n").as("__n2")), Seq("__id2"))
+      .where(round(dot(col("__v1"), col("__v2")) /
+        (col("__n1") * col("__n2")), roundTo) >= tau)
       .select(col("__id2").as(idCol)).distinct()
     asn.join(dropped, Seq(idCol), "left_anti")
       .select(col(idCol), col("cell"))

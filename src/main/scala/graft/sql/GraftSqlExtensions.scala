@@ -260,6 +260,25 @@ object GraftSql {
       """\s+ITEMS\s+FROM\s+(\w+)\s+EVENTS\s+FROM\s+(\w+)(?:\s+USING\s+(\w+))?\s*;?\s*$""").r
   private[sql] val DropRe =
     """(?is)^\s*DROP\s+RECOMMENDER\s+(\w+)\s*;?\s*$""".r
+  // the curation pipeline as a statement (the RECOMMEND splice pattern
+  // applied to Corpus.curate): CURATE <tbl> ID <col> TEXT <col>
+  // [WIDTH n] [PPL x] [BUDGET n]
+  private[sql] val CurateRe =
+    ("""(?is)^\s*CURATE\s+([\w.]+)\s+ID\s+(\w+)\s+TEXT\s+(\w+)""" +
+      """(?:\s+WIDTH\s+(\d+))?(?:\s+PPL\s+(\d+(?:\.\d+)?))?""" +
+      """(?:\s+BUDGET\s+(\d+))?\s*;?\s*$""").r
+
+  /** The CURATE statement's plan: [[graft.ops.Corpus.curate]] over the named
+    * table, spliced in as a plan substitution (the same mechanism
+    * [[ResolveRecommend]] uses for RECOMMEND). The pipeline's intermediate
+    * materializations run when the statement is built — CURATE is an
+    * action-shaped statement (its result is the budget-bounded selection),
+    * so eager staging is its semantics, not a surprise.
+    */
+  def curatePlan(session: SparkSession, table: String, idCol: String,
+      textCol: String, width: Int, ppl: Double, budget: Long): LogicalPlan =
+    graft.ops.Corpus.curate(session.table(table), idCol, textCol,
+      width, ppl, budget).queryExecution.logical
 
   private val FromEntryRe = """(?is)^\s*([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s*$""".r
 
@@ -622,6 +641,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         Option(method).getOrElse(""))
     case GraftSql.DropRe(name) =>
       DropRecommenderCommand(name)
+    case GraftSql.CurateRe(table, id, text, width, ppl, budget) =>
+      GraftSql.curatePlan(session, table, id, text,
+        Option(width).map(_.toInt).getOrElse(30),
+        Option(ppl).map(_.toDouble).getOrElse(3.43),
+        Option(budget).map(_.toLong).getOrElse(6000L))
     case _ =>
       rewrite(sqlText) match {
         case Some((rewritten, placeholder)) =>

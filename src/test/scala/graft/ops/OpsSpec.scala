@@ -212,6 +212,37 @@ class OpsSpec extends SparkSpec {
     assert(lsh.size >= brute.size * 8 / 10, s"recall too low: ${lsh.size}/${brute.size}")
   }
 
+  test("multi-probe LSH: superset of single-bucket candidates, recall up, precision exact") {
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0 until 100).map(i => (i.toLong, vec().toSeq))
+    val dups = (0 until 10).map { i =>
+      val v = base(i)._2.map(x => x + rnd.nextGaussian().toFloat * 0.02f)
+      ((100 + i).toLong, v)
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val planes = Ann.lshPlanesFromDf(
+      Ann.lshPlanesDf(spark, nTables = 4, bitsPerTable = 8, dim = 64))
+    val brute = Ann.cosinePairs(df, "vec_id", "embedding", 0.9)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = Ann.lshMultiProbePairs(df, "vec_id", "embedding", 0.9, planes)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // single-probe on the SAME 4 tables = pairs at hamming 0; multi-probe
+    // additionally admits hamming 1, so its pair set must contain it
+    val single = Ann.lshBucketPairs(df, "vec_id", "embedding", 0.9,
+      nTables = 4, bitsPerTable = 8)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(single.subsetOf(multi),
+      s"multi-probe lost single-probe pairs: ${single -- multi}")
+    assert(multi.subsetOf(brute)) // exact verify: precision 1.0
+    assert(multi.size >= brute.size * 9 / 10,
+      s"multi-probe recall too low: ${multi.size}/${brute.size}")
+    // plane round-trip through the persistence shape is lossless
+    planes.length shouldBe 4
+    planes.foreach(_.length shouldBe 8)
+    planes.foreach(_.foreach(_.length shouldBe 64))
+  }
+
   test("IVF topk: exact rerank, recall vs brute above floor") {
     val qs = embeddings.where(col("vec_id") < 5)
     val brute = Ann.bruteTopK(embeddings, qs, "vec_id", "embedding", 10)

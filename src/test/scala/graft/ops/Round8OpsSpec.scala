@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-8 operators: PQ-coded SemDeDup, composed IVF-PQ
+  * search, and the scale refinements of the streaming/byte-BPE surfaces.
+  */
+class Round8OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val embeddings =
+    spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
+
+  // ---------------------------------------------------------- semdedup-pq
+
+  test("semDedupPq with an all-pass screen == exact semDedup") {
+    // margin ≥ 1 + tau makes the SDC screen admit every within-cell pair
+    // (cos ≥ tau − margin ≤ −1 always holds), so the exact rerank is the
+    // whole predicate and the kept set must equal the uncoded operator's.
+    val cents = Ann.ivfCentroidsFromDf(
+      Ann.ivfTrain(embeddings, "embedding", nlist = 8))
+    val cb = Ann.pqTrain(embeddings, "embedding", m = 8, k = 32)
+    val exact = Ann.semDedup(embeddings, "vec_id", "embedding", cents, 0.3)
+      .as[(Long, Int)].collect().sortBy(_._1).toSeq
+    val pq = Ann.semDedupPq(embeddings, "vec_id", "embedding", cents, cb,
+      tau = 0.3, margin = 2.0)
+      .as[(Long, Int)].collect().sortBy(_._1).toSeq
+    pq shouldBe exact
+  }
+
+  test("semDedupPq: screened kept set ⊇ exact kept set; near-full drop recall at default margin") {
+    val cents = Ann.ivfCentroidsFromDf(
+      Ann.ivfTrain(embeddings, "embedding", nlist = 8))
+    val cb = Ann.pqTrain(embeddings, "embedding", m = 8, k = 32)
+    val exactKept = Ann.semDedup(embeddings, "vec_id", "embedding", cents, 0.3)
+      .select("vec_id").as[Long].collect().toSet
+    val pqKept = Ann.semDedupPq(embeddings, "vec_id", "embedding", cents, cb,
+      tau = 0.3, margin = 0.2)
+      .select("vec_id").as[Long].collect().toSet
+    // the screen can only MISS a drop, never invent one
+    assert(exactKept.subsetOf(pqKept),
+      s"PQ screen dropped rows the exact op kept: ${exactKept -- pqKept}")
+    val total = embeddings.count()
+    val exactDrops = total - exactKept.size
+    val pqDrops = total - pqKept.size
+    assert(exactDrops > 0, "fixture has no drops — test is vacuous")
+    // these embeddings are RANDOM 64-dim vectors — PQ's worst case (no
+    // low-dimensional manifold to learn); 0.2 margin still recovers ≥85%
+    // of drops here, and production tau ≈ 0.95 screens at 0.75
+    assert(pqDrops * 100 >= exactDrops * 85,
+      s"PQ drop recall too low: $pqDrops/$exactDrops")
+  }
+
+  test("semDedupPq is layout-independent") {
+    val cents = Ann.ivfCentroidsFromDf(
+      Ann.ivfTrain(embeddings, "embedding", nlist = 8))
+    val cb = Ann.pqTrain(embeddings, "embedding", m = 8, k = 32)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Ann.semDedupPq(df, "vec_id", "embedding", cents, cb, tau = 0.3)
+        .as[(Long, Int)].collect().sortBy(_._1).toSeq
+    run(embeddings.repartition(17)) shouldBe run(embeddings.coalesce(1))
+  }
+}

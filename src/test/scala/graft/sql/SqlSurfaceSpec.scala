@@ -335,4 +335,33 @@ class SqlSurfaceSpec extends SparkSpec with BeforeAndAfterAll {
     row.getInt(1) shouldBe 2
     row.getDouble(2) shouldBe 1.0
   }
+
+  test("CURATE statement: the composed pipeline as one SQL statement") {
+    val sq = ext
+    import sq.implicits._
+    val words = Seq("the", "quick", "brown", "fox", "jumps", "over", "lazy",
+      "dog", "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "omega",
+      "sigma")
+    def sentence(seed: Int): String = {
+      // per-doc RNG: docs share words but almost never 30-char runs, so
+      // span removal trims noise instead of erasing the corpus
+      val rnd = new scala.util.Random(seed)
+      ("the" +: (0 until 29).map(_ => words(rnd.nextInt(words.length))))
+        .mkString(" ")
+    }
+    val docsDf = (0L until 40L).map(i => (i, sentence(i.toInt)))
+      .toDF("doc_id", "text")
+    docsDf.createOrReplaceTempView("curate_docs")
+    val viaSql = ext.sql(
+      "CURATE curate_docs ID doc_id TEXT text WIDTH 30 PPL 9.0 BUDGET 400")
+    viaSql.columns.toSeq shouldBe Seq("doc_id", "n_tok", "avg_nll", "cum_tok")
+    val direct = graft.ops.Corpus.curate(docsDf, "doc_id", "text", 30, 9.0, 400L)
+    viaSql.collect().toSet shouldBe direct.collect().toSet
+    viaSql.count() should be > 0L
+    // omitted knobs take the documented defaults
+    val defaults = ext.sql("CURATE curate_docs ID doc_id TEXT text")
+    val explicit = ext.sql(
+      "CURATE curate_docs ID doc_id TEXT text WIDTH 30 PPL 3.43 BUDGET 6000")
+    defaults.collect().toSet shouldBe explicit.collect().toSet
+  }
 }
