@@ -430,6 +430,86 @@ object Ann {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** IVF-PQ composed search — the standard billion-vector serving index
+    * (coarse quantizer bounds WHICH rows are scored, PQ codes bound WHAT
+    * each scoring costs): assign the corpus to nearest-centroid cells and
+    * PQ-encode it ONCE (both artifacts persist; pass `indexOpt` to scan a
+    * prebuilt (id, cell, codes, rn2) frame), then per query probe the
+    * `nprobe` nearest cells, ADC-score only the probed cells' codes, keep
+    * a `rerank`·k shortlist, and score the shortlist's ORIGINAL vectors
+    * exactly. Cell pruning multiplies with the dim/m code compression:
+    * the ADC pass reads nprobe/nlist of the corpus at m bytes per row.
+    * Output: (query_id, neighbor_id, rank, cos) — cos exact.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, cents: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], nprobe: Int = 4,
+      rerank: Int = 4, rankOnRoundedTo: Option[Int] = None,
+      indexOpt: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = codebooks.length
+    val kc = codebooks.head.length
+    val dsub = codebooks.head.head.length
+    val nCells = cents.length
+    val cbLit = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val centArr = typedLit(cents.map(_.toSeq).toSeq)
+    def rnd(c: Column): Column =
+      rankOnRoundedTo.map(p => round(c, p)).getOrElse(c)
+    val index = indexOpt.getOrElse {
+      val asn = corpus
+        .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("__v"))
+        .withColumn("cell", graft.functions.VectorFns.nearestCellNative(
+          col("__v"), cents, rankOnRoundedTo.getOrElse(-1)))
+      asn.select(col("id"), col("cell"))
+        .join(pqEncode(corpus, idCol, vecCol, codebooks, rankOnRoundedTo),
+          Seq("id"))
+    }
+    val codes = index.select(col("id").as("neighbor_id"), col("cell"),
+      col("codes"), sqrt(col("rn2")).as("cn"))
+    // per-query probe list (same |c|²−2·v·c ranking as the index build)
+    // and ADC lookup table, built once per query
+    val qv = col("__q")
+    def nearest(vec: Column, n: Int): Column = {
+      val scored = transform(sequence(lit(0), lit(nCells - 1)), i => {
+        val cent = element_at(centArr, i + 1)
+        struct(rnd(dot(cent, cent) - dot(vec, cent) * 2).as("d"), i.as("cid"))
+      })
+      slice(transform(array_sort(scored), s => s.getField("cid")), 1, n)
+    }
+    val table = transform(sequence(lit(0), lit(m - 1)), j =>
+      transform(sequence(lit(0), lit(kc - 1)), c =>
+        dot(slice(qv, j * dsub + 1, lit(dsub)),
+          element_at(element_at(cbLit, j + 1), c + 1))))
+    val qs = queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("__q"))
+      .withColumn("qn", sqrt(dot(qv, qv)))
+      .select(col("query_id"), col("qn"), table.as("t"),
+        explode(nearest(col("__q"), nprobe)).as("cell"))
+    // key-equi join on the probed cell: at scale this is a partition-pruned
+    // scan of the cell-partitioned code index, not a full-corpus pass
+    val adc = codes.join(broadcast(qs), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (graft.functions.VectorFns.adcNative(col("codes"), col("t")) /
+          (col("qn") * col("cn"))).as("adc"))
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(rnd(col("adc")).desc, col("neighbor_id"))
+    val shortlist = adc.withColumn("__r", row_number().over(wAdc))
+      .where(col("__r") <= k * rerank)
+      .select("query_id", "neighbor_id")
+    val cvs = withNorm(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
+    val qvs = withNorm(queries, idCol, vecCol, "query_id", "qv", "qn")
+    val exact = shortlist
+      .join(cvs, Seq("neighbor_id"))
+      .join(broadcast(qvs), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(rnd(col("cos")).desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
   /** Train the IVF coarse quantizer alone: seeded bounded-iteration KMeans,
     * returned as (cid, c ARRAY<DOUBLE>) — the persistence shape for the
     * train-once/scan-many split (write this once; scans and external SQL

@@ -52,6 +52,39 @@ class Round8OpsSpec extends SparkSpec {
       s"PQ drop recall too low: $pqDrops/$exactDrops")
   }
 
+  // ------------------------------------------------------------- ivf-pq
+
+  test("ivfPqTopK: probing all cells degenerates to pqTopK exactly") {
+    val qs = embeddings.where(col("vec_id") < 5)
+    val cents = Ann.ivfCentroidsFromDf(
+      Ann.ivfTrain(embeddings, "embedding", nlist = 16))
+    val cb = Ann.pqTrain(embeddings, "embedding", m = 8, k = 32)
+    val full = Ann.ivfPqTopK(embeddings, qs, "vec_id", "embedding", k = 10,
+      cents, cb, nprobe = 16, rerank = 4, rankOnRoundedTo = Some(6))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val pq = Ann.pqTopK(embeddings, qs, "vec_id", "embedding", k = 10,
+      codebooksOpt = Some(cb), rankOnRoundedTo = Some(6))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    full shouldBe pq
+  }
+
+  test("ivfPqTopK: recall vs brute above floor at nprobe=4") {
+    val qs = embeddings.where(col("vec_id") < 5)
+    val cents = Ann.ivfCentroidsFromDf(
+      Ann.ivfTrain(embeddings, "embedding", nlist = 16))
+    val cb = Ann.pqTrain(embeddings, "embedding", m = 8, k = 32)
+    val brute = Ann.bruteTopK(embeddings, qs, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Ann.ivfPqTopK(embeddings, qs, "vec_id", "embedding", k = 10,
+      cents, cb, nprobe = 4, rerank = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    got.size shouldBe 50
+    assert(got.intersect(brute).size >= 20, // cell pruning × code loss
+      s"IVF-PQ recall ${got.intersect(brute).size}/50")
+  }
+
   test("semDedupPq is layout-independent") {
     val cents = Ann.ivfCentroidsFromDf(
       Ann.ivfTrain(embeddings, "embedding", nlist = 8))
