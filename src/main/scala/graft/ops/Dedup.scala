@@ -115,10 +115,20 @@ object Dedup {
     * ≥ 2 times survive, surviving positions merge into maximal spans.
     */
   private[graft] def dupSpansFromWindows(wins: DataFrame, idCol: String,
-      width: Int): DataFrame = {
+      width: Int): DataFrame =
+    dupSpansFromWindowsWithKeys(wins,
+      wins.groupBy("__k").agg(count(lit(1)).as("__n"))
+        .where(col("__n") >= 2).select("__k"),
+      idCol, width)
+
+  /** [[dupSpansFromWindows]] with the duplicated-key set supplied by the
+    * caller — the streaming index derives it from a PRE-AGGREGATED per-key
+    * count sidecar ([[graft.streaming.SubstrIndexMaintainer.compact]])
+    * instead of re-counting the full position index on every span read.
+    */
+  private[graft] def dupSpansFromWindowsWithKeys(wins: DataFrame,
+      dupKeys: DataFrame, idCol: String, width: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dupKeys = wins.groupBy("__k").agg(count(lit(1)).as("__n"))
-      .where(col("__n") >= 2).select("__k")
     val dupPos = wins.join(dupKeys, Seq("__k")).select(col(idCol), col("pos"))
     // gaps-and-islands: windows [pos, pos+width-1] merge while they overlap
     // or touch; a break is a gap of more than `width` between starts

@@ -46,33 +46,80 @@ object SubstrIndexMaintainer {
       .write.mode("overwrite").parquet(s"$indexDir/b$batchId")
   }
 
-  /** All committed index rows: the highest compacted dir plus the batch
-    * dirs above its horizon.
-    */
-  private def indexRows(spark: SparkSession, indexDir: String): DataFrame = {
-    val maxC = BatchDirs.listDirs(indexDir, "c").lastOption
-    val dirs = maxC.map(_._2).toSeq ++ BatchDirs.listDirs(indexDir, "b")
-      .filter { case (id, _) => id > maxC.fold(-1L)(_._1) }
-      .map(_._2)
-    BatchDirs.readUnion(spark, dirs, indexSchema, partitioned = false)
-      .getOrElse(BatchDirs.emptyFrame(spark, indexSchema))
-  }
+  private def keyCountSchema: StructType = StructType(Seq(
+    StructField("__k", StringType),
+    StructField("__n", LongType)))
 
   /** The corpus-wide duplicated-span set as of the last committed batch —
     * identical to a one-shot [[Dedup.duplicateSpans]] over everything
     * ingested (StreamingSpec asserts the equality), derived purely from
     * the persisted index.
+    *
+    * The duplicated-key filter is where a long-lived index's read cost
+    * concentrates (the count aggregation touches every position row ever
+    * written), so the compacted segment contributes its PRE-AGGREGATED
+    * per-key counts (`kc<upTo>/` sidecar, written by [[compact]]) and only
+    * the fresh post-horizon batches are counted at read time: per-read
+    * aggregation cost ∝ sidecar keys + delta, not index positions. Counts
+    * are mergeable (sum per key), so sidecar + delta counts are exactly
+    * the full recount; position rows still feed the island merge, which
+    * needs them regardless. A missing sidecar (pre-upgrade index, or a
+    * crash between the two compaction renames) falls back to counting the
+    * consolidated rows — never wrong, just unamortized.
     */
-  def spans(spark: SparkSession, indexDir: String, width: Int): DataFrame =
-    Dedup.dupSpansFromWindows(indexRows(spark, indexDir), "id", width)
+  def spans(spark: SparkSession, indexDir: String, width: Int): DataFrame = {
+    val maxC = BatchDirs.listDirs(indexDir, "c").lastOption
+    val bDirs = BatchDirs.listDirs(indexDir, "b")
+      .filter { case (id, _) => id > maxC.fold(-1L)(_._1) }.map(_._2)
+    val cRows = maxC.map { case (_, d) =>
+      spark.read.schema(indexSchema).parquet(d) }
+    val bRows = BatchDirs.readUnion(spark, bDirs, indexSchema,
+      partitioned = false)
+    val allRows = (cRows.toSeq ++ bRows.toSeq)
+      .reduceOption(_ unionByName _)
+      .getOrElse(BatchDirs.emptyFrame(spark, indexSchema))
+    val cCounts = maxC.map { case (cid, _) =>
+      val kd = new java.io.File(indexDir, s"kc$cid")
+      if (kd.exists())
+        spark.read.schema(keyCountSchema).parquet(kd.getPath)
+      else cRows.get.groupBy("__k").agg(count(lit(1)).as("__n"))
+    }
+    val bCounts = bRows.map(_.groupBy("__k").agg(count(lit(1)).as("__n")))
+    val dupKeys = (cCounts.toSeq ++ bCounts.toSeq)
+      .reduceOption(_ unionByName _)
+      .map(_.groupBy("__k").agg(sum(col("__n")).as("__n"))
+        .where(col("__n") >= 2).select("__k"))
+      .getOrElse(BatchDirs.emptyFrame(spark,
+        StructType(keyCountSchema.take(1))))
+    Dedup.dupSpansFromWindowsWithKeys(allRows, dupKeys, "id", width)
       .withColumnRenamed("id", "doc_id")
+  }
 
   /** Fold committed batch dirs into one consolidated `c<upTo>/` dir
-    * (default upTo: max batch − 1, keeping the newest batch replayable).
+    * (default upTo: max batch − 1, keeping the newest batch replayable),
+    * then write the segment's per-key count sidecar `kc<upTo>/` — the
+    * key-sized frame [[spans]] reads instead of re-counting positions.
+    * The sidecar is written tmp-then-rename AFTER the segment commits:
+    * a crash in between leaves a consolidated segment with no sidecar,
+    * which [[spans]] handles by recounting (fallback, not corruption).
     */
   def compact(spark: SparkSession, indexDir: String,
-      upToOpt: Option[Long] = None): Unit =
+      upToOpt: Option[Long] = None): Unit = {
     BatchDirs.compact(spark, indexDir, indexSchema, None, upToOpt)
+    BatchDirs.listDirs(indexDir, "c").lastOption.foreach { case (cid, cdir) =>
+      val kd = new java.io.File(indexDir, s"kc$cid")
+      if (!kd.exists()) {
+        val counts = spark.read.schema(indexSchema).parquet(cdir)
+          .groupBy("__k").agg(count(lit(1)).as("__n"))
+        val tmp = new java.io.File(indexDir, s".kc$cid.tmp")
+        counts.write.mode("overwrite").parquet(tmp.getPath)
+        require(tmp.renameTo(kd), s"rename $tmp -> $kd failed")
+      }
+      // superseded sidecars (their segment dirs are gone) are dead weight
+      BatchDirs.listDirs(indexDir, "kc").filter(_._1 < cid)
+        .foreach { case (_, d) => graft.Exec.deletePath(d) }
+    }
+  }
 
   /** Attach to a streaming document source: (idCol LONG-castable,
     * textCol STRING).

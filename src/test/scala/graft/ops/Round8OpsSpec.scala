@@ -85,6 +85,42 @@ class Round8OpsSpec extends SparkSpec {
       s"IVF-PQ recall ${got.intersect(brute).size}/50")
   }
 
+  // ------------------------------------------- substring index key sidecar
+
+  test("substring-index compaction writes a key-count sidecar; spans identical with or without it") {
+    import graft.streaming.{SubstrIndexMaintainer => SIM}
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val base = java.nio.file.Files.createTempDirectory("graft-substr-kc")
+      .toString
+    val indexDir = s"$base/index"
+    (0 until 3).foreach { g =>
+      SIM.processBatch(docs.where(col("doc_id") % 3 === g), g.toLong,
+        "doc_id", "text", 30, indexDir)
+    }
+    SIM.compact(spark, indexDir) // folds b0,b1 into c1 + writes kc1
+    val kc = new java.io.File(indexDir, "kc1")
+    assert(kc.exists(), "sidecar kc1 missing after compact")
+    val withSidecar = SIM.spans(spark, indexDir, 30)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // crash-window fallback: a segment without its sidecar recounts
+    graft.Exec.deletePath(kc.getPath)
+    val recounted = SIM.spans(spark, indexDir, 30)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    withSidecar shouldBe recounted
+    // and both equal the one-shot span derivation over everything ingested
+    val oneShot = Dedup.duplicateSpans(docs, "doc_id", "text", 30)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    withSidecar shouldBe oneShot
+    // re-compacting after more batches supersedes the old sidecar
+    SIM.processBatch(docs.where(col("doc_id") % 3 === 0), 3L,
+      "doc_id", "text", 30, indexDir) // replayed content, new batch id
+    SIM.compact(spark, indexDir, upToOpt = Some(2L))
+    assert(new java.io.File(indexDir, "kc2").exists())
+    assert(!new java.io.File(indexDir, "kc1").exists(),
+      "superseded sidecar not cleaned up")
+  }
+
   test("semDedupPq is layout-independent") {
     val cents = Ann.ivfCentroidsFromDf(
       Ann.ivfTrain(embeddings, "embedding", nlist = 8))
