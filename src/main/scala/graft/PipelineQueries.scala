@@ -734,6 +734,14 @@ object PipelineQueries {
     "p_pack_rows" -> ((s, d) =>
       Packing.packTokenIdRows(docs(s, d), "doc_id", "text",
         bpeMergesFor(s, d), seqLen = 128)),
+    // BYTE-LEVEL packing — the composed pipeline in byte mode: the mixed
+    // multilingual corpus id-encodes under the byte-mode merges (full
+    // UTF-8 byte fallback, case/script preserved) and packs into the same
+    // 128-token grid, so non-ASCII corpora budget and pack correctly
+    // end to end.
+    "p_pack_tokens_bytes" -> ((s, d) =>
+      Packing.packTokenIds(mixedDocs(s, d), "doc_id", "text",
+        bpeByteMergesFor(s, d), seqLen = 128, byteLevel = true)),
     // D4-style cluster-balanced diversity sampling: ≤ 20 rows per
     // embedding cluster in the md5 draw order, same persisted quantizer
     // as p_semdedup.
@@ -812,6 +820,13 @@ object PipelineQueries {
     // every stage bites at sf0.01 (500 → 366 → 366 → cleaned → 200 → 120).
     "p_curate_pipeline" -> ((s, d) =>
       Corpus.curate(docs(s, d), "doc_id", "text")),
+    // The curate pipeline with the budget denominated in BPE TOKENS (the
+    // unit a trainer actually budgets in): same five stages, but stage 5
+    // counts each cleaned doc under the learned merges — span-cut word
+    // fragments encode via character fallback, exactly the engine rule.
+    "p_curate_bpe" -> ((s, d) =>
+      Corpus.curate(docs(s, d), "doc_id", "text",
+        bpeMerges = Some(bpeMergesFor(s, d)))),
     // Per-source attribution of the curated selection — the mixture
     // report a data lead actually reads (which domains survived, with how
     // many docs and tokens).
@@ -1061,8 +1076,8 @@ object PipelineQueries {
   /** The five-stage curate pipeline as one CTE chain — shared by
     * p_curate_pipeline and the per-source report gate.
     */
-  private val curateOracle: String =
-    """WITH t AS (
+  private val curateCtesCore: String =
+    """t AS (
         |  SELECT doc_id, text,
         |    [x for x in string_split(text, ' ') if x <> ''] AS toks
         |  FROM documents
@@ -1133,19 +1148,77 @@ object PipelineQueries {
         |  CROSS JOIN v
         |),
         |ppl AS (SELECT doc_id, round(-avg(logp), 6) AS avg_nll
-        |        FROM sc GROUP BY 1),
-        |kept2 AS (
-        |  SELECT p.doc_id, p.avg_nll, len(ct.toks) AS n_tok
-        |  FROM ppl p JOIN ct USING (doc_id) WHERE p.avg_nll <= 3.43
-        |),
-        |sel AS (
-        |  SELECT doc_id, n_tok, avg_nll,
-        |    sum(n_tok) OVER (ORDER BY avg_nll, doc_id) AS cum_tok
-        |  FROM kept2
-        |)
-        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, avg_nll,
-        |  CAST(cum_tok AS BIGINT) AS cum_tok
-        |FROM sel WHERE cum_tok <= 6000""".stripMargin
+        |        FROM sc GROUP BY 1)""".stripMargin
+
+  /** Budget cut + final projection over a `kept2` CTE supplying
+    * (doc_id, avg_nll, n_tok) — shared by the word- and BPE-denominated
+    * curate oracles.
+    */
+  private val curateSel: String =
+    """sel AS (
+      |  SELECT doc_id, n_tok, avg_nll,
+      |    sum(n_tok) OVER (ORDER BY avg_nll, doc_id) AS cum_tok
+      |  FROM kept2
+      |)
+      |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, avg_nll,
+      |  CAST(cum_tok AS BIGINT) AS cum_tok
+      |FROM sel WHERE cum_tok <= 6000""".stripMargin
+
+  private val curateOracle: String =
+    s"""WITH $curateCtesCore,
+      |kept2 AS (
+      |  SELECT p.doc_id, p.avg_nll, len(ct.toks) AS n_tok
+      |  FROM ppl p JOIN ct USING (doc_id) WHERE p.avg_nll <= 3.43
+      |),
+      |$curateSel""".stripMargin
+
+  /** The curate chain with the budget stage denominated in BPE tokens:
+    * the persisted merges re-apply to the CLEANED text's vocabulary (new
+    * words created by span cuts encode via their characters, exactly the
+    * engine's fallback), per-doc token counts replace the whitespace
+    * count, everything else identical.
+    */
+  private val curateBpeOracle: String =
+    s"""WITH RECURSIVE $curateCtesCore,
+      |mC AS (SELECT rank, l, r FROM '__BPE_ARTIFACTS__/merges/*.parquet'),
+      |occC AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_extract_all(lower(ctext), '[a-z0-9]+')) AS word
+      |  FROM cleaned
+      |),
+      |vocabC AS (SELECT DISTINCT word FROM occC),
+      |wrappedC AS (
+      |  SELECT word,
+      |    chr(2) ||
+      |    array_to_string(string_split(word, ''), chr(3)||chr(2)) ||
+      |    chr(3) AS s
+      |  FROM vocabC
+      |),
+      |encC AS (
+      |  SELECT word, s, 0 AS rk FROM wrappedC
+      |  UNION ALL
+      |  SELECT e.word,
+      |    replace(e.s, chr(2)||m.l||chr(3)||chr(2)||m.r||chr(3),
+      |            chr(2)||m.l||m.r||chr(3)),
+      |    e.rk + 1
+      |  FROM encC e JOIN mC m ON m.rank = e.rk + 1
+      |),
+      |encodedC AS (
+      |  SELECT word, s FROM encC WHERE rk = (SELECT count(*) FROM mC)
+      |),
+      |ntokC AS (
+      |  SELECT word, len(s) - len(replace(s, chr(2), '')) AS nt
+      |  FROM encodedC
+      |),
+      |dtC AS (
+      |  SELECT occC.doc_id, sum(nt) AS n
+      |  FROM occC JOIN ntokC USING (word) GROUP BY 1
+      |),
+      |kept2 AS (
+      |  SELECT p.doc_id, p.avg_nll, coalesce(dtC.n, 0) AS n_tok
+      |  FROM ppl p LEFT JOIN dtC USING (doc_id) WHERE p.avg_nll <= 3.43
+      |),
+      |$curateSel""".stripMargin
 
   /** The packed-token (doc_id, id, gpos) grid CTE chain — shared by the
     * summary and the positional packing oracles.
@@ -3016,6 +3089,7 @@ object PipelineQueries {
         |FROM documents dd LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "p_curate_pipeline" -> curateOracle,
     "q_sql_curate" -> curateOracle,
+    "p_curate_bpe" -> curateBpeOracle,
     "p_pack_tokens" -> packOracle(
       """SELECT CAST(gpos // 128 AS BIGINT) AS seq_id,
         |  count(*) AS n_tok, count(DISTINCT doc_id) AS n_docs,
@@ -3027,5 +3101,58 @@ object PipelineQueries {
         |  string_agg(CAST(id AS VARCHAR), ':' ORDER BY gpos) AS ids_str,
         |  count(*) AS n_tok
         |FROM g GROUP BY 1""".stripMargin),
+    // byte-mode packing: the byte-BPE encode/vocabulary CTEs with word
+    // positions, EOS terminator, global (doc_id, wpos, tpos) order, cut
+    // every 128 tokens — the p_pack_tokens oracle in byte mode
+    "p_pack_tokens_bytes" ->
+      s"""WITH RECURSIVE $bpeBytesCtes,
+         |occpB AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_extract_all(text, '\\S+')) AS word,
+         |    generate_subscripts(regexp_extract_all(text, '\\S+'), 1) AS wpos
+         |  FROM mixed
+         |),
+         |toksB AS (
+         |  SELECT word,
+         |    unnest(string_split(substr(s, 2, len(s) - 2), chr(3)||chr(2)))
+         |      AS token,
+         |    generate_subscripts(
+         |      string_split(substr(s, 2, len(s) - 2), chr(3)||chr(2)), 1)
+         |      AS tpos
+         |  FROM encodedB
+         |),
+         |charsB AS (
+         |  SELECT DISTINCT unnest(regexp_extract_all(hex(encode(word)), '..'))
+         |    AS token
+         |  FROM vocabB
+         |),
+         |candB AS (
+         |  SELECT 0 AS grp, token, token AS o1, 0 AS o2 FROM charsB
+         |  UNION ALL
+         |  SELECT 1, l || r, '', rank FROM mB
+         |),
+         |numberedB AS (
+         |  SELECT token, row_number() OVER (ORDER BY grp, o2, o1) - 1 AS id
+         |  FROM candB
+         |),
+         |idsB AS (SELECT token, min(id) AS id FROM numberedB GROUP BY token),
+         |vB AS (SELECT max(id) + 1 AS eos FROM idsB),
+         |streamB AS (
+         |  SELECT o.doc_id, o.wpos, t.tpos, idsB.id
+         |  FROM occpB o JOIN toksB t USING (word) JOIN idsB USING (token)
+         |  UNION ALL
+         |  SELECT d.doc_id, 2147483647, 1, vB.eos
+         |  FROM documents d CROSS JOIN vB
+         |),
+         |gB AS (
+         |  SELECT doc_id, id,
+         |    row_number() OVER (ORDER BY doc_id, wpos, tpos) - 1 AS gpos
+         |  FROM streamB
+         |)
+         |SELECT CAST(gpos // 128 AS BIGINT) AS seq_id,
+         |  count(*) AS n_tok, count(DISTINCT doc_id) AS n_docs,
+         |  CAST(sum(id) AS BIGINT) AS id_sum,
+         |  min(doc_id) AS doc_min, max(doc_id) AS doc_max
+         |FROM gB GROUP BY 1""".stripMargin,
   )
 }

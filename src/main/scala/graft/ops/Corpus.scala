@@ -222,10 +222,18 @@ object Corpus {
     * Returns (idCol, n_tok, avg_nll, cum_tok) for the selected docs.
     * Stage order is load-bearing and each stage is the already-gated
     * operator — this wrapper adds joins, not semantics.
+    *
+    * `bpeMerges`: when supplied, the budget stage counts tokens under the
+    * learned BPE model ([[Bpe.docTokenCounts]] over the CLEANED text,
+    * optionally byte-level) instead of whitespace words — the denomination
+    * a trainer actually budgets in, and the byte mode is what makes the
+    * budget correct on multilingual corpora.
     */
   def curate(docs: DataFrame, idCol: String, textCol: String,
       width: Int = 30, pplKeepBelow: Double = 3.43,
-      tokenBudget: Long = 6000L): DataFrame = {
+      tokenBudget: Long = 6000L,
+      bpeMerges: Option[Seq[(String, String)]] = None,
+      byteLevel: Boolean = false): DataFrame = {
     val audit = TextOps.gopherAudit(docs, idCol, textCol, minStopwords = 1)
     // `passed` feeds both the dedup-rep build and the survivor join;
     // `cleaned` feeds both the LM scoring and the token recount — each is
@@ -239,12 +247,18 @@ object Corpus {
       Dedup.removeSpans(surv, idCol, textCol, width))
     val scored = LangModel.perplexityScore(cleaned, idCol, "clean_text",
       pplKeepBelow)
+    val tokCounts = bpeMerges match {
+      case Some(m) =>
+        Bpe.docTokenCounts(cleaned, idCol, "clean_text", m, byteLevel)
+          .select(col(idCol), col("n_bpe_tok").as("n_tok"))
+      case None => cleaned.select(col(idCol),
+        size(split(col("clean_text"), " ")).cast("long").as("n_tok"))
+    }
     val withTok = cleaned
       .join(scored.where(col("kept"))
         .select(col("id").as(idCol), col("avg_nll")), Seq(idCol))
-      .select(col(idCol),
-        size(split(col("clean_text"), " ")).cast("long").as("n_tok"),
-        col("avg_nll"))
+      .join(tokCounts, Seq(idCol))
+      .select(col(idCol), col("n_tok"), col("avg_nll"))
     val out = selectWithinBudget(
         withTok.withColumn("__q", -col("avg_nll")),
         idCol, "n_tok", "__q", tokenBudget)

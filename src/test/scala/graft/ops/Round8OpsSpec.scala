@@ -85,6 +85,39 @@ class Round8OpsSpec extends SparkSpec {
       s"IVF-PQ recall ${got.intersect(brute).size}/50")
   }
 
+  // ------------------------------------------------------ curate, BPE unit
+
+  test("curate with a BPE budget == hand-staged composition of the gated blocks") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val merges = Bpe.learnMerges(docs, "doc_id", "text", numMerges = 40)
+    val got = Corpus.curate(docs, "doc_id", "text",
+        bpeMerges = Some(merges))
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._1).toSeq
+    val audit = TextOps.gopherAudit(docs, "doc_id", "text", minStopwords = 1)
+    val passed = docs
+      .join(audit.where(col("fail_mask") === 0).select("doc_id"), Seq("doc_id"))
+    val reps = Dedup.exact(passed, Seq("text"), "doc_id").select("doc_id")
+    val surv = passed.join(reps, Seq("doc_id"), "semi")
+    val cleaned = Dedup.removeSpans(surv, "doc_id", "text", 30)
+    val scored = LangModel.perplexityScore(cleaned, "doc_id", "clean_text", 3.43)
+    val toks = Bpe.docTokenCounts(cleaned, "doc_id", "clean_text", merges)
+    val withTok = cleaned
+      .join(scored.where(col("kept"))
+        .select(col("id").as("doc_id"), col("avg_nll")), Seq("doc_id"))
+      .join(toks, Seq("doc_id"))
+    val staged = Corpus.selectWithinBudget(
+        withTok.withColumn("__q", -col("avg_nll")),
+        "doc_id", "n_bpe_tok", "__q", 6000L)
+      .join(withTok.select(col("doc_id"),
+        col("n_bpe_tok").cast("long").as("n_tok"), col("avg_nll")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_tok"), col("avg_nll"),
+        col("cum_tok").cast("long").as("cum_tok"))
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._1).toSeq
+    got shouldBe staged
+    assert(got.nonEmpty)
+  }
+
   // ------------------------------------------- substring index key sidecar
 
   test("substring-index compaction writes a key-count sidecar; spans identical with or without it") {
