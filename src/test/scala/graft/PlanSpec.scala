@@ -258,4 +258,54 @@ class PlanSpec extends SparkSpec {
     p.collect { case c: CartesianProductExec => c } shouldBe empty
     p.collect { case b: BroadcastNestedLoopJoinExec => b } shouldBe empty
   }
+
+  test("lshMultiProbePairs: candidate join is equi on (tbl, bucket), never a product") {
+    import graft.ops.Ann
+    val emb = Tables.read(spark, sf, "embeddings")
+    val planes = Ann.lshPlanesFromDf(
+      Ann.lshPlanesDf(spark, nTables = 2, bitsPerTable = 4, dim = 64))
+    val p = plan(Ann.lshMultiProbePairs(emb, "vec_id", "embedding", 0.9, planes))
+    p.collect { case c: CartesianProductExec => c } shouldBe empty
+    p.collect { case b: BroadcastNestedLoopJoinExec => b } shouldBe empty
+  }
+
+  test("semDedupPq: the within-cell screen join carries codes, never the vectors") {
+    import graft.ops.Ann
+    val emb = Tables.read(spark, sf, "embeddings")
+    val cents = Array(Array.fill(64)(0.1), Array.fill(64)(-0.1))
+    val cb = Array.fill(8)(Array.tabulate(4)(i =>
+      Array.fill(8)(0.05 * (i + 1))))
+    val df = Ann.semDedupPq(emb, "vec_id", "embedding", cents, cb, tau = 0.3)
+    val p = plan(df)
+    p.collect { case c: CartesianProductExec => c } shouldBe empty
+    p.collect { case b: BroadcastNestedLoopJoinExec => b } shouldBe empty
+    // the cell-keyed pair join must project to (cell, id, codes, |x̂|) on
+    // both sides — the embedding column must NOT be among its join inputs
+    val pairJoin = p.collect {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+        if j.leftKeys.exists(_.toString.contains("cell")) ||
+           j.output.exists(_.name == "__c1") => j
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+        if j.output.exists(_.name == "__c1") => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if j.output.exists(_.name == "__c1") => j
+    }
+    pairJoin should not be empty
+    pairJoin.foreach { j =>
+      j.output.map(_.name) should not contain "__v1"
+      j.output.map(_.name) should not contain "__v2"
+    }
+  }
+
+  test("ivfPqTopK: ADC join is equi on the probed cell; exact pass only semi-joins the shortlist") {
+    import graft.ops.Ann
+    val emb = Tables.read(spark, sf, "embeddings")
+    val cents = Array(Array.fill(64)(0.1), Array.fill(64)(-0.1))
+    val cb = Array.fill(8)(Array.tabulate(4)(i =>
+      Array.fill(8)(0.05 * (i + 1))))
+    val p = plan(Ann.ivfPqTopK(emb, emb.where(col("vec_id") < 2),
+      "vec_id", "embedding", k = 5, cents, cb, nprobe = 1))
+    p.collect { case c: CartesianProductExec => c } shouldBe empty
+    p.collect { case b: BroadcastNestedLoopJoinExec => b } shouldBe empty
+  }
 }
