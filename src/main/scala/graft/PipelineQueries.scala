@@ -331,6 +331,40 @@ object PipelineQueries {
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
     }),
+    // STREAMING IVF-PQ, driver-gated: the inverted file carries PQ codes
+    // (assigned + encoded once per batch against the frozen artifacts,
+    // LSM-folded mid-stream); the pruned-probe ADC search over the
+    // accumulated index must equal the one-shot Ann.ivfPqTopK scan the
+    // oracle re-derives from the same persisted centroids + codebooks.
+    "s_knn_ivfpq" -> ((s, d) => {
+      val e = emb(s, d)
+      val base = annArtifactBase(d)
+      Ann.ivfTrain(e, "embedding")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$base/ivfpq_centroids_s")
+      val cents = Ann.ivfCentroidsFromDf(
+        s.read.parquet(s"$base/ivfpq_centroids_s"))
+      Ann.pqCodebookDf(s, Ann.pqTrain(e, "embedding", m = 8, k = 32))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$base/ivfpq_codebook_s")
+      val cb = Ann.pqCodebookFromDf(s.read.parquet(s"$base/ivfpq_codebook_s"))
+      val idxBase = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_ivfpq", Tables.runKey(d)).toString
+      graft.Exec.deletePath(idxBase)
+      (0 until 3).foreach { g =>
+        graft.streaming.AnnIndexMaintainer.processBatchPq(
+          e.where(col("vec_id") % 3 === g), g.toLong, "vec_id", "embedding",
+          cents, cb, idxBase, roundScale = 6)
+      }
+      graft.streaming.AnnIndexMaintainer.compactPq(s, idxBase)
+      val queries = e.where(col("vec_id") < 5)
+        .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      graft.streaming.AnnIndexMaintainer.searchPq(s, idxBase, cents, cb,
+        queries, k = 10, rankOnRoundedTo = Some(6))
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
+    }),
     // Best-representative selection per near-dup group: real pipelines keep
     // the highest-QUALITY member of each duplicate cluster, not the lowest
     // id — argmax(quality, tie → lowest id) per connected component.
@@ -1338,6 +1372,96 @@ object PipelineQueries {
     * artifact subdirectory (one-shot vs streaming-index gates persist
     * their own).
     */
+  /** Fixed persisted centroids + codebooks → cells, codes (per-subspace
+    * argmin on round 6, lowest-cid ties), nprobe=4 probe lists, ADC over
+    * probed cells only, k·rerank=40 shortlist, exact rerank — the verbatim
+    * SQL rendering of Ann.ivfPqTopK, parameterized by the two artifact
+    * subdirectories so the one-shot and streaming-index gates share it.
+    */
+  private def ivfPqOracle(centroidsDir: String, codebookDir: String): String =
+    s"""WITH cents AS (
+      |  SELECT cid, c FROM '__ANN_ARTIFACTS__/$centroidsDir/*.parquet'
+      |),
+      |cb AS (
+      |  SELECT subspace, cid, c, n2
+      |  FROM '__ANN_ARTIFACTS__/$codebookDir/*.parquet'
+      |),
+      |p AS (SELECT CAST(len(c) AS INT) AS dsub FROM cb LIMIT 1),
+      |e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |),
+      |nrm AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS n FROM e),
+      |cd AS (
+      |  SELECT e.vec_id, ct.cid,
+      |    round(list_inner_product(ct.c, ct.c)
+      |      - 2*list_inner_product(e.v, ct.c), 6) AS d
+      |  FROM e CROSS JOIN cents ct
+      |),
+      |rk AS (
+      |  SELECT vec_id, cid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |  FROM cd
+      |),
+      |assign AS (SELECT vec_id, cid AS cell FROM rk WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, cid AS cell FROM rk
+      |  WHERE rn <= 4 AND vec_id < 5
+      |),
+      |enc AS (
+      |  SELECT e.vec_id, cb.subspace, cb.cid, cb.n2,
+      |    round(cb.n2 - 2*list_inner_product(
+      |      e.v[cb.subspace*p.dsub+1 : (cb.subspace+1)*p.dsub], cb.c), 6) AS d
+      |  FROM e CROSS JOIN p CROSS JOIN cb
+      |),
+      |codes AS (
+      |  SELECT vec_id, subspace, cid, n2 FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+      |      ORDER BY d, cid) AS rn
+      |    FROM enc)
+      |  WHERE rn = 1
+      |),
+      |cn AS (SELECT vec_id, sqrt(sum(n2)) AS n FROM codes GROUP BY 1),
+      |q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 5),
+      |adc AS (
+      |  SELECT q.query_id, c.vec_id AS neighbor_id,
+      |    sum(list_inner_product(
+      |      q.v[c.subspace*p.dsub+1 : (c.subspace+1)*p.dsub], cb2.c)) AS t
+      |  FROM q CROSS JOIN p
+      |  JOIN probes pr ON pr.query_id = q.query_id
+      |  JOIN assign a ON a.cell = pr.cell
+      |  JOIN codes c ON c.vec_id = a.vec_id AND c.vec_id <> q.query_id
+      |  JOIN cb cb2 ON cb2.subspace = c.subspace AND cb2.cid = c.cid
+      |  GROUP BY 1, 2
+      |),
+      |short AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT adc.query_id, adc.neighbor_id,
+      |      row_number() OVER (PARTITION BY adc.query_id
+      |        ORDER BY round(adc.t/(qn.n*cn.n), 6) DESC, adc.neighbor_id) AS rn
+      |    FROM adc
+      |    JOIN nrm qn ON adc.query_id = qn.vec_id
+      |    JOIN cn ON adc.neighbor_id = cn.vec_id)
+      |  WHERE rn <= 40
+      |),
+      |ex AS (
+      |  SELECT s.query_id, s.neighbor_id,
+      |    round(list_inner_product(qe.v, ne.v)/(n1.n*n2.n), 6) AS cos
+      |  FROM short s
+      |  JOIN e qe ON s.query_id = qe.vec_id
+      |  JOIN e ne ON s.neighbor_id = ne.vec_id
+      |  JOIN nrm n1 ON s.query_id = n1.vec_id
+      |  JOIN nrm n2 ON s.neighbor_id = n2.vec_id
+      |),
+      |rk2 AS (
+      |  SELECT query_id, neighbor_id, cos,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, neighbor_id) AS rank
+      |  FROM ex
+      |)
+      |SELECT query_id, neighbor_id, rank, cos FROM rk2
+      |WHERE rank <= 10""".stripMargin
+
   private def ivfOracle(centroidsDir: String): String =
     s"""WITH cents AS (
       |  SELECT cid, c FROM '__ANN_ARTIFACTS__/$centroidsDir/*.parquet'
@@ -1843,89 +1967,10 @@ object PipelineQueries {
     // fixed persisted centroids + codebooks → cells, codes, nprobe=4
     // probe lists, ADC over probed cells only, k·rerank=40 shortlist,
     // exact rerank — the verbatim SQL rendering of Ann.ivfPqTopK
-    "p_knn_ivfpq" ->
-      """WITH cents AS (
-        |  SELECT cid, c FROM '__ANN_ARTIFACTS__/ivfpq_centroids/*.parquet'
-        |),
-        |cb AS (
-        |  SELECT subspace, cid, c, n2
-        |  FROM '__ANN_ARTIFACTS__/ivfpq_codebook/*.parquet'
-        |),
-        |p AS (SELECT CAST(len(c) AS INT) AS dsub FROM cb LIMIT 1),
-        |e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings
-        |),
-        |nrm AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS n FROM e),
-        |cd AS (
-        |  SELECT e.vec_id, ct.cid,
-        |    round(list_inner_product(ct.c, ct.c)
-        |      - 2*list_inner_product(e.v, ct.c), 6) AS d
-        |  FROM e CROSS JOIN cents ct
-        |),
-        |rk AS (
-        |  SELECT vec_id, cid,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-        |  FROM cd
-        |),
-        |assign AS (SELECT vec_id, cid AS cell FROM rk WHERE rn = 1),
-        |probes AS (
-        |  SELECT vec_id AS query_id, cid AS cell FROM rk
-        |  WHERE rn <= 4 AND vec_id < 5
-        |),
-        |enc AS (
-        |  SELECT e.vec_id, cb.subspace, cb.cid, cb.n2,
-        |    round(cb.n2 - 2*list_inner_product(
-        |      e.v[cb.subspace*p.dsub+1 : (cb.subspace+1)*p.dsub], cb.c), 6) AS d
-        |  FROM e CROSS JOIN p CROSS JOIN cb
-        |),
-        |codes AS (
-        |  SELECT vec_id, subspace, cid, n2 FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
-        |      ORDER BY d, cid) AS rn
-        |    FROM enc)
-        |  WHERE rn = 1
-        |),
-        |cn AS (SELECT vec_id, sqrt(sum(n2)) AS n FROM codes GROUP BY 1),
-        |q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 5),
-        |adc AS (
-        |  SELECT q.query_id, c.vec_id AS neighbor_id,
-        |    sum(list_inner_product(
-        |      q.v[c.subspace*p.dsub+1 : (c.subspace+1)*p.dsub], cb2.c)) AS t
-        |  FROM q CROSS JOIN p
-        |  JOIN probes pr ON pr.query_id = q.query_id
-        |  JOIN assign a ON a.cell = pr.cell
-        |  JOIN codes c ON c.vec_id = a.vec_id AND c.vec_id <> q.query_id
-        |  JOIN cb cb2 ON cb2.subspace = c.subspace AND cb2.cid = c.cid
-        |  GROUP BY 1, 2
-        |),
-        |short AS (
-        |  SELECT query_id, neighbor_id FROM (
-        |    SELECT adc.query_id, adc.neighbor_id,
-        |      row_number() OVER (PARTITION BY adc.query_id
-        |        ORDER BY round(adc.t/(qn.n*cn.n), 6) DESC, adc.neighbor_id) AS rn
-        |    FROM adc
-        |    JOIN nrm qn ON adc.query_id = qn.vec_id
-        |    JOIN cn ON adc.neighbor_id = cn.vec_id)
-        |  WHERE rn <= 40
-        |),
-        |ex AS (
-        |  SELECT s.query_id, s.neighbor_id,
-        |    round(list_inner_product(qe.v, ne.v)/(n1.n*n2.n), 6) AS cos
-        |  FROM short s
-        |  JOIN e qe ON s.query_id = qe.vec_id
-        |  JOIN e ne ON s.neighbor_id = ne.vec_id
-        |  JOIN nrm n1 ON s.query_id = n1.vec_id
-        |  JOIN nrm n2 ON s.neighbor_id = n2.vec_id
-        |),
-        |rk2 AS (
-        |  SELECT query_id, neighbor_id, cos,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY cos DESC, neighbor_id) AS rank
-        |  FROM ex
-        |)
-        |SELECT query_id, neighbor_id, rank, cos FROM rk2
-        |WHERE rank <= 10""".stripMargin,
+    "p_knn_ivfpq" -> ivfPqOracle("ivfpq_centroids", "ivfpq_codebook"),
+    // the streaming code-bearing inverted file must reproduce the one-shot
+    // IVF-PQ scan from the same frozen artifacts
+    "s_knn_ivfpq" -> ivfPqOracle("ivfpq_centroids_s", "ivfpq_codebook_s"),
     "p_embed_neardup" ->
       s"""WITH $knnFlatCte,
          |dots AS (

@@ -92,6 +92,74 @@ object AnnIndexMaintainer {
       rankOnRoundedTo)
   }
 
+  // ---- IVF-PQ variant: the inverted file carries PQ codes alongside ----
+
+  private val indexPqSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("v", ArrayType(DoubleType), nullable = true),
+    StructField("codes", ArrayType(IntegerType), nullable = true),
+    StructField("rn2", DoubleType),
+    StructField("cell", IntegerType)))
+
+  /** [[processBatch]] with PQ codes: each row is cell-assigned AND encoded
+    * against the frozen codebooks in the same pass, so the accumulated
+    * inverted file serves [[searchPq]] (ADC over m-byte codes) without any
+    * re-encoding — the streaming face of [[Ann.ivfPqTopK]]. Codebooks are
+    * frozen for the same reason centroids are: a changed codebook silently
+    * invalidates every already-written code.
+    */
+  def processBatchPq(batch: DataFrame, batchId: Long, idCol: String,
+      vecCol: String, cents: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], indexDir: String,
+      roundScale: Int = -1): Unit = {
+    val asn = batch.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("cell", graft.functions.VectorFns.nearestCellNative(
+        col("v"), cents, roundScale))
+    asn.join(
+        Ann.pqEncode(asn, "id", "v", codebooks,
+          if (roundScale >= 0) Some(roundScale) else None),
+        Seq("id"))
+      .select(col("id"), col("v"), col("codes"), col("rn2"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/b$batchId")
+  }
+
+  /** The accumulated PQ inverted file ([[readIndex]]'s contract, code-bearing
+    * schema).
+    */
+  def readIndexPq(spark: SparkSession, indexDir: String): DataFrame = {
+    val maxC = BatchDirs.listDirs(indexDir, "c").lastOption
+    val dirs = maxC.map(_._2).toSeq ++ BatchDirs.listDirs(indexDir, "b")
+      .filter(_._1 > maxC.fold(-1L)(_._1)).map(_._2)
+    BatchDirs.readUnion(spark, dirs, indexPqSchema, partitioned = true)
+      .getOrElse(BatchDirs.emptyFrame(spark, indexPqSchema))
+  }
+
+  def compactPq(spark: SparkSession, indexDir: String,
+      upToOpt: Option[Long] = None): Unit =
+    BatchDirs.compact(spark, indexDir, indexPqSchema, Some("cell"), upToOpt)
+
+  /** Probe the PQ index: driver-computed `cell IN (...)` partition pruning,
+    * then [[Ann.ivfPqTopK]]'s ADC + exact-rerank stages over the persisted
+    * (id, cell, codes, rn2) — the original vectors are read only for the
+    * shortlist join, and nothing is re-assigned or re-encoded per query.
+    */
+  def searchPq(spark: SparkSession, indexDir: String,
+      cents: Array[Array[Double]], codebooks: Array[Array[Array[Double]]],
+      queryVecs: Seq[(Long, Array[Double])], k: Int, nprobe: Int = 4,
+      rerank: Int = 4, rankOnRoundedTo: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val probeCells = queryVecs
+      .flatMap(q => Ann.nearestCellsLocal(q._2, cents, nprobe)).distinct
+    val idx = readIndexPq(spark, indexDir)
+      .where(col("cell").isin(probeCells: _*))
+    val qdf = queryVecs.map { case (id, v) => (id, v.toSeq) }.toDF("id", "v")
+    Ann.ivfPqTopK(idx.select(col("id"), col("v")), qdf, "id", "v", k,
+      cents, codebooks, nprobe, rerank, rankOnRoundedTo,
+      indexOpt = Some(idx.select("id", "cell", "codes", "rn2")))
+  }
+
   /** Attach to a streaming embedding source: (idCol LONG-castable, vecCol
     * ARRAY<numeric>). The index accumulates under `indexDir/b<batch>/`;
     * [[search]] over it equals [[Ann.ivfTopK]] over the union corpus with

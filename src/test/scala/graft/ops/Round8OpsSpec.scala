@@ -85,6 +85,39 @@ class Round8OpsSpec extends SparkSpec {
       s"IVF-PQ recall ${got.intersect(brute).size}/50")
   }
 
+  test("streaming PQ inverted file: searchPq == one-shot ivfPqTopK; replay idempotent; fold invariant") {
+    import graft.streaming.{AnnIndexMaintainer => AIM}
+    val cents = Ann.ivfCentroidsFromDf(
+      Ann.ivfTrain(embeddings, "embedding", nlist = 16))
+    val cb = Ann.pqTrain(embeddings, "embedding", m = 8, k = 32)
+    val base = java.nio.file.Files.createTempDirectory("graft-ivfpq-s")
+      .toString
+    val idx = s"$base/index"
+    (0 until 3).foreach { g =>
+      AIM.processBatchPq(embeddings.where(col("vec_id") % 3 === g), g.toLong,
+        "vec_id", "embedding", cents, cb, idx, roundScale = 6)
+    }
+    val queries = embeddings.where(col("vec_id") < 5)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    def run() = AIM.searchPq(spark, idx, cents, cb, queries, k = 10,
+        rankOnRoundedTo = Some(6))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val streamed = run()
+    val oneShot = Ann.ivfPqTopK(embeddings,
+        embeddings.where(col("vec_id") < 5), "vec_id", "embedding", k = 10,
+        cents, cb, rankOnRoundedTo = Some(6))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    streamed shouldBe oneShot
+    // crash-replay of the newest batch rewrites its dir byte-identically
+    AIM.processBatchPq(embeddings.where(col("vec_id") % 3 === 2), 2L,
+      "vec_id", "embedding", cents, cb, idx, roundScale = 6)
+    run() shouldBe oneShot
+    // LSM fold must not change any search result
+    AIM.compactPq(spark, idx)
+    run() shouldBe oneShot
+  }
+
   // ------------------------------------------------------ curate, BPE unit
 
   test("curate with a BPE budget == hand-staged composition of the gated blocks") {
