@@ -56,6 +56,23 @@ object PipelineQueries {
       m
     })
 
+  /** One derived WordPiece vocabulary per (JVM, sf dir) — corpus alphabet
+    * + the shared BPE run's merge symbols, both piece forms — persisted as
+    * the one-column artifact the greedy-match oracle re-applies.
+    */
+  private val wpVocabCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  private def wpVocabFor(s: SparkSession, d: String): Seq[String] =
+    wpVocabCache.computeIfAbsent(d, _ => {
+      val v = graft.ops.WordPiece.vocabFromMerges(
+        graft.ops.WordPiece.corpusAlphabet(docs(s, d), "doc_id", "text"),
+        bpeMergesFor(s, d))
+      graft.ops.WordPiece.vocabDf(s, v).coalesce(1).write.mode("overwrite")
+        .parquet(bpeArtifactBase(d) + "/wp_vocab")
+      v
+    })
+
   /** One SemDeDup coarse-quantizer train per (JVM, sf dir), persisted so
     * the oracle re-derives cluster assignment from the SAME centroids —
     * the [[bpeMergesFor]] contract, for the embedding-cluster gates.
@@ -711,6 +728,25 @@ object PipelineQueries {
       Corpus.selectWithinBudget(withTok.join(q, Seq("doc_id")),
         "doc_id", "n_bpe_tok", "quality", budget = 25000L)
     }),
+    // WORDPIECE greedy longest-match encoding (the BERT-family inference
+    // rule) over a derived vocabulary (corpus alphabet + BPE-merge symbols,
+    // start + ## continuation forms, persisted). Gates the ENCODER as a
+    // distinct op from BPE merge-rank replay: the two disagree on real
+    // words given the same vocabulary. One row per distinct word with its
+    // canonical space-joined piece rendering.
+    "p_wordpiece_encode" -> ((s, d) =>
+      graft.ops.WordPiece.encodeVocab(
+          graft.ops.Bpe.wordFreq(docs(s, d), "doc_id", "text")
+            .select(col("word")),
+          wpVocabFor(s, d))
+        .select(col("word"), array_join(col("wp_toks"), " ").as("wp_toks"),
+          col("n_wp").cast("long").as("n_wp"))),
+    // Corpus piece frequency under WordPiece (encode once per distinct
+    // word, weight by word frequency), top-30 by (count desc, token).
+    "p_wordpiece_freq" -> ((s, d) =>
+      graft.ops.WordPiece.tokenFreq(docs(s, d), "doc_id", "text",
+        wpVocabFor(s, d))
+        .orderBy(col("cnt").desc, col("tok")).limit(30)),
     // Canonical ingest normalization (native NFC codegen expression +
     // whitespace collapse + trim), exercised on a deterministically
     // "dirtied" input: combining-accent sequence + tab/newline runs spliced
@@ -1635,6 +1671,65 @@ object PipelineQueries {
       |),
       |encoded AS (SELECT word, s FROM enc WHERE rk = (SELECT count(*) FROM m))"""
       .stripMargin
+
+  /** WordPiece greedy longest-match re-derivation from the persisted
+    * vocabulary: `best` precomputes the longest matching piece core per
+    * (word, position) — start positions match raw pieces, later positions
+    * match `##` continuations — and the recursive `walk` advances by that
+    * length, collapsing to a single `[UNK]` when any position has no
+    * match (the BERT whole-word fallback). Terminal rows sit at
+    * p = length(word) + 1. Yields `occ`, `words`, `wp`.
+    */
+  private def wordpieceCtes: String =
+    s"""occ AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      |  FROM documents
+      |),
+      |words AS (SELECT DISTINCT word FROM occ WHERE word <> ''),
+      |cores AS (
+      |  SELECT piece,
+      |    CASE WHEN piece LIKE '##%' THEN substr(piece, 3)
+      |         ELSE piece END AS core,
+      |    (piece NOT LIKE '##%') AS is_start
+      |  FROM '__BPE_ARTIFACTS__/wp_vocab/*.parquet'
+      |  WHERE piece <> '[UNK]'
+      |),
+      |pstn AS (
+      |  SELECT word,
+      |    unnest(generate_series(1, CAST(length(word) AS INT))) AS p
+      |  FROM words
+      |),
+      |best AS (
+      |  SELECT ps.word, ps.p, max(length(c.core)) AS blen
+      |  FROM pstn ps JOIN cores c
+      |    ON substr(ps.word, ps.p, length(c.core)) = c.core
+      |   AND c.is_start = (ps.p = 1)
+      |  GROUP BY ps.word, ps.p
+      |),
+      |walk AS (
+      |  SELECT word, 1 AS p, CAST('' AS VARCHAR) AS toks, false AS failed
+      |  FROM words
+      |  UNION ALL
+      |  SELECT w.word,
+      |    CAST(CASE WHEN b.blen IS NULL THEN length(w.word) + 1
+      |              ELSE w.p + b.blen END AS INT),
+      |    CASE WHEN b.blen IS NULL THEN w.toks
+      |         WHEN w.p = 1 THEN substr(w.word, w.p, b.blen)
+      |         ELSE w.toks || ' ##' || substr(w.word, w.p, b.blen) END,
+      |    b.blen IS NULL
+      |  FROM walk w LEFT JOIN best b ON w.word = b.word AND w.p = b.p
+      |  WHERE w.p <= length(w.word) AND NOT w.failed
+      |),
+      |wp AS (
+      |  SELECT word,
+      |    CASE WHEN failed THEN '[UNK]' ELSE toks END AS wp_toks,
+      |    CAST(CASE WHEN failed THEN 1
+      |         ELSE length(toks) - length(replace(toks, ' ', '')) + 1 END
+      |      AS BIGINT) AS n_wp
+      |  FROM walk
+      |  WHERE p = length(word) + 1
+      |)""".stripMargin
 
   /** Byte-level twin of [[bpeEncodeCtes]]: words are whitespace-delimited
     * runs of the MIXED corpus (case/script preserved), symbols are UTF-8
@@ -2731,6 +2826,19 @@ object PipelineQueries {
     // continue-after-match pass of the Spark-side expression, and rank-order
     // application is provably identical to the priority loop (see
     // graft.functions.BpeUtil).
+    "p_wordpiece_encode" ->
+      s"""WITH RECURSIVE $wordpieceCtes
+         |SELECT word, wp_toks, n_wp FROM wp""".stripMargin,
+    "p_wordpiece_freq" ->
+      s"""WITH RECURSIVE $wordpieceCtes,
+         |wf AS (SELECT word, count(*) AS freq FROM occ GROUP BY word),
+         |tk AS (
+         |  SELECT wf.freq, unnest(string_split(wp.wp_toks, ' ')) AS tok
+         |  FROM wp JOIN wf USING (word)
+         |)
+         |SELECT tok, CAST(sum(freq) AS BIGINT) AS cnt
+         |FROM tk GROUP BY tok
+         |ORDER BY cnt DESC, tok LIMIT 30""".stripMargin,
     "p_bpe_encode" ->
       s"""WITH RECURSIVE $bpeEncodeCtes,
          |ntok AS (

@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.ColumnShim
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** WordPiece greedy longest-match-first encoding (Wu et al. 2016; the
+  * BERT tokenizer's inference rule, as implemented publicly in
+  * huggingface/tokenizers WordPiece model): at each position take the
+  * LONGEST vocabulary piece matching the remaining word — the start
+  * position matches raw pieces, every later position matches `##`-prefixed
+  * continuation pieces — and if any position has no match the ENTIRE word
+  * encodes to the single `[UNK]` token.
+  *
+  * This is a different inference rule from BPE's merge-rank replay over
+  * the same vocabulary (greedy-by-length vs greedy-by-learned-rank), which
+  * is exactly why it gates separately: the two disagree on real words, and
+  * a pipeline that budgets in one must not encode in the other.
+  *
+  * The walk is deterministic and needs only (vocabulary, word), so a SQL
+  * oracle re-derives it from the persisted vocabulary with a precomputed
+  * longest-match table and a recursive position walk.
+  */
+object WordPieceUtil {
+
+  val Unk = "[UNK]"
+  private val UnkU = UTF8String.fromString(Unk)
+  private val ContU = UTF8String.fromString("##")
+
+  /** Build the lookup state once per plan: a hash set of vocabulary pieces
+    * plus the longest piece-core length (piece length net of the `##`
+    * prefix) bounding the greedy scan.
+    */
+  def buildVocab(pieces: Array[UTF8String]): java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](pieces.length * 2)
+    var i = 0
+    while (i < pieces.length) { s.add(pieces(i)); i += 1 }
+    s
+  }
+
+  /** Greedy longest-match encode of one word. `maxCore` bounds candidate
+    * lengths (the longest piece core in the vocabulary). Matching runs on
+    * java chars (UTF-16 code units) — identical to DuckDB's substr on this
+    * engine's word alphabets, which are ASCII by construction in word mode
+    * and arbitrary-but-consistent otherwise.
+    */
+  def encode(word: UTF8String, vocab: java.util.HashSet[UTF8String],
+      maxCore: Int): ArrayData = {
+    val s = word.toString
+    val n = s.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val out = new java.util.ArrayList[UTF8String](4)
+    var pos = 0
+    while (pos < n) {
+      var len = math.min(maxCore, n - pos)
+      var hit: UTF8String = null
+      while (hit == null && len >= 1) {
+        val core = UTF8String.fromString(s.substring(pos, pos + len))
+        val cand = if (pos == 0) core else UTF8String.concat(ContU, core)
+        if (vocab.contains(cand)) hit = cand else len -= 1
+      }
+      if (hit == null)
+        return new GenericArrayData(Array[Any](UnkU))
+      out.add(hit)
+      pos += len
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+}
+
+/** Codegen'd WordPiece encode of a single word (STRING → ARRAY<STRING>
+  * pieces, continuation pieces carrying their `##` prefix) with the
+  * vocabulary embedded. Vocab is a Seq for structural equality (the
+  * [[BpeEncodeExpr]] canonicalization argument).
+  */
+case class WordPieceEncodeExpr(child: Expression, vocab: Seq[String])
+    extends UnaryExpression {
+  @transient private lazy val vocabSet: java.util.HashSet[UTF8String] =
+    WordPieceUtil.buildVocab(vocab.iterator.map(UTF8String.fromString).toArray)
+  @transient private lazy val maxCore: Int =
+    if (vocab.isEmpty) 1
+    else vocab.iterator
+      .map(p => if (p.startsWith("##")) p.length - 2 else p.length).max
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_wordpiece_encode"
+
+  override def nullSafeEval(a: Any): Any =
+    WordPieceUtil.encode(a.asInstanceOf[UTF8String], vocabSet, maxCore)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vRef = ctx.addReferenceObj("wpVocab", vocabSet, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WordPieceUtil.encode($c, $vRef, $maxCore)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordPieceEncodeExpr =
+    copy(child = newChild)
+}
+
+object WordPieceFns {
+  /** WordPiece greedy encode of a word column against an embedded
+    * vocabulary (start pieces raw, continuation pieces `##`-prefixed).
+    */
+  def encodeNative(word: Column, vocab: Seq[String]): Column =
+    ColumnShim.column(WordPieceEncodeExpr(ColumnShim.expression(word),
+      vocab.toVector))
+}
