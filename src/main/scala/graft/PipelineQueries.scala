@@ -231,6 +231,34 @@ object PipelineQueries {
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
     }),
+    // All-pairs top-k neighbor GRAPH over the corpus (the SemDeDup /
+    // diversity-sampling / kNN-classification substrate): every vector
+    // probes its 2 nearest cells of the persisted coarse quantizer; both
+    // sides shuffle on the cell key — no broadcast, the query side IS the
+    // corpus. Oracle re-derives assignment, probing, and ranking from the
+    // same centroids parquet.
+    "p_knn_graph" -> ((s, d) =>
+      Ann.knnGraph(emb(s, d), "vec_id", "embedding", k = 5,
+        cents = semDedupCentsFor(s, d), nprobe = 2,
+        rankOnRoundedTo = Some(6))
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))),
+    // Recall@10 of the IVF probe against exact brute force over a 50-query
+    // set — the parameter-selection audit (nlist 8, nprobe 2 on this
+    // corpus). One hash-pinned row: approximate search quality is a
+    // MEASURED, reproducible number, not a claim.
+    "p_ann_recall" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.where(col("vec_id") < 50)
+      val cents = semDedupCentsFor(s, d)
+      Ann.recallAtK(
+        Ann.ivfTopK(e, q, "vec_id", "embedding", k = 10,
+          centroidsOpt = Some(cents), nprobe = 2,
+          rankOnRoundedTo = Some(6)),
+        Ann.bruteTopK(e, q, "vec_id", "embedding", k = 10,
+          rankOnRoundedTo = Some(6)), k = 10)
+        .select(col("n_exact"), col("n_hits"), col("recall"))
+    }),
     // Multi-probe hyperplane LSH — the scale path for embedding near-dup:
     // probing each signature's 1-bit-flip neighbor buckets recovers recall
     // without extra tables. Hash-gated via the persisted-planes contract:
@@ -1543,6 +1571,56 @@ object PipelineQueries {
       |)
       |SELECT query_id, neighbor_id, rank, cos FROM r2 WHERE rank <= 10""".stripMargin
 
+  /** [[ivfOracle]]'s CTE chain parameterized by (centroids artifact, probe
+    * fan-out, query-side predicate) — shared by the kNN-graph and recall
+    * oracles. Yields `e`, `nrm`, `rk`, `assign`, and ranked IVF results in
+    * `r2` (filter `rank <= k` at use site).
+    */
+  private def ivfChainCtes(centroidsDir: String, nprobe: Int,
+      queryPred: String): String =
+    s"""cents AS (
+      |  SELECT cid, c FROM '__ANN_ARTIFACTS__/$centroidsDir/*.parquet'
+      |),
+      |e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |),
+      |nrm AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS n FROM e),
+      |cd AS (
+      |  SELECT e.vec_id, ct.cid,
+      |    round(list_inner_product(ct.c, ct.c)
+      |      - 2*list_inner_product(e.v, ct.c), 6) AS d
+      |  FROM e CROSS JOIN cents ct
+      |),
+      |rk AS (
+      |  SELECT vec_id, cid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |  FROM cd
+      |),
+      |assign AS (SELECT vec_id, cid FROM rk WHERE rn = 1),
+      |probes AS (SELECT vec_id AS query_id, cid FROM rk
+      |           WHERE rn <= $nprobe AND ($queryPred)),
+      |cand AS (
+      |  SELECT p.query_id, a.vec_id AS neighbor_id
+      |  FROM probes p JOIN assign a USING (cid)
+      |  WHERE a.vec_id <> p.query_id
+      |),
+      |sc AS (
+      |  SELECT c.query_id, c.neighbor_id,
+      |    round(list_inner_product(qe.v, ne.v)/(n1.n*n2.n), 6) AS cos
+      |  FROM cand c
+      |  JOIN e qe ON c.query_id = qe.vec_id
+      |  JOIN e ne ON c.neighbor_id = ne.vec_id
+      |  JOIN nrm n1 ON c.query_id = n1.vec_id
+      |  JOIN nrm n2 ON c.neighbor_id = n2.vec_id
+      |),
+      |r2 AS (
+      |  SELECT query_id, neighbor_id, cos,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, neighbor_id) AS rank
+      |  FROM sc
+      |)""".stripMargin
+
   /** Min-label transitive closure over the near-dup pair graph — the oracle
     * for [[Dedup.connectedComponents]]'s distributed label propagation.
     */
@@ -1964,6 +2042,33 @@ object PipelineQueries {
     // lowest-cid ties), nprobe=4 probing, exact rerank — the verbatim SQL
     // rendering of Ann.ivfTopK's scan stage
     "p_knn_ivf" -> ivfOracle("ivf_centroids"),
+    "p_knn_graph" ->
+      s"""WITH ${ivfChainCtes("semdedup_centroids", 2, "TRUE")}
+         |SELECT query_id, neighbor_id, rank, cos FROM r2
+         |WHERE rank <= 5""".stripMargin,
+    "p_ann_recall" ->
+      s"""WITH ${ivfChainCtes("semdedup_centroids", 2, "vec_id < 50")},
+         |iv AS (SELECT query_id, neighbor_id FROM r2 WHERE rank <= 10),
+         |br AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round(list_inner_product(q.v, c.v)/(nq.n*nc.n), 6)
+         |        DESC, c.vec_id) AS rank
+         |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+         |  JOIN nrm nq ON q.vec_id = nq.vec_id
+         |  JOIN nrm nc ON c.vec_id = nc.vec_id
+         |  WHERE q.vec_id < 50
+         |),
+         |bt AS (SELECT query_id, neighbor_id FROM br WHERE rank <= 10),
+         |hits AS (
+         |  SELECT count(*) AS n_hits FROM bt
+         |  WHERE EXISTS (SELECT 1 FROM iv
+         |    WHERE iv.query_id = bt.query_id
+         |      AND iv.neighbor_id = bt.neighbor_id)
+         |)
+         |SELECT (SELECT count(*) FROM bt) AS n_exact, n_hits,
+         |  round(n_hits * 1.0 / (SELECT count(*) FROM bt), 6) AS recall
+         |FROM hits""".stripMargin,
     // the streaming gates replay the maintainers' exact batch bodies, so
     // their oracles are the one-shot builds they must equal
     "s_neardup_pairs" -> jaccardOracle,

@@ -145,6 +145,46 @@ object VectorExprUtil {
     s
   }
 
+  /** Top-`n` nearest cells ranked by (round(|c|² − 2·v·c, roundScale) asc,
+    * cid asc) — the multi-cell probe of [[nearestCell]] for corpus-scale
+    * query sides (kNN-graph construction), where the per-row HOF sort of
+    * the few-queries path would run once per corpus row. Bounded insertion
+    * into an n-slot window (n ≤ nprobe, small by construction).
+    */
+  def nearestCells(vec: ArrayData, cents: Array[Double], n2: Array[Double],
+      nCells: Int, dim: Int, roundScale: Int, n: Int): ArrayData = {
+    val keep = math.min(n, nCells)
+    val topD = new Array[Double](keep)
+    val topC = new Array[Int](keep)
+    var filled = 0
+    var c = 0
+    while (c < nCells) {
+      val off = c * dim
+      var dot = 0.0
+      var i = 0
+      while (i < dim) {
+        dot += vec.getDouble(i) * cents(off + i)
+        i += 1
+      }
+      val d = roundTo(n2(c) - 2.0 * dot, roundScale)
+      // insert (d, c) if it beats the current worst (ties keep lower cid —
+      // insertion order is ascending cid, so strict < on equal d suffices)
+      var j = if (filled < keep) { filled += 1; filled - 1 }
+        else if (d < topD(keep - 1)) keep - 1 else -1
+      if (j >= 0) {
+        while (j > 0 && d < topD(j - 1)) {
+          topD(j) = topD(j - 1); topC(j) = topC(j - 1); j -= 1
+        }
+        topD(j) = d; topC(j) = c
+      }
+      c += 1
+    }
+    val out = new Array[Any](filled)
+    var k = 0
+    while (k < filled) { out(k) = topC(k); k += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Nearest coarse-quantizer cell: argmin over round(|c|² − 2·v·c,
     * roundScale) with lowest-cid ties — the IVF corpus-assignment loop
     * (matches `nearest(vec, 1)`'s struct-sort ordering). `cents` flattened
@@ -359,6 +399,40 @@ case class AdcScore(left: Expression, right: Expression)
       newRight: Expression): AdcScore = copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd multi-cell probe: ARRAY<DOUBLE> vector → ARRAY<INT> of the
+  * `n` nearest centroid ids, (distance, cid)-ordered — the query-side
+  * assignment of kNN-graph construction, where the "query" set is the
+  * corpus itself and probing must stay in the codegen'd per-row loop.
+  */
+case class NearestCellsExpr(child: Expression,
+    centroids: Array[Array[Double]], roundScale: Int, n: Int)
+    extends UnaryExpression {
+  private val nCells = centroids.length
+  private val dim = centroids.head.length
+  @transient private lazy val flat: Array[Double] = centroids.flatten
+  @transient private lazy val n2: Array[Double] =
+    centroids.map(c => c.map(x => x * x).sum)
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "graft_nearest_cells"
+
+  override def nullSafeEval(v: Any): Any =
+    VectorExprUtil.nearestCells(v.asInstanceOf[ArrayData], flat, n2,
+      nCells, dim, roundScale, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("ivfCents", flat, "double[]")
+    val n2Ref = ctx.addReferenceObj("ivfN2", n2, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorExprUtil.nearestCells($c, $cRef, $n2Ref, " +
+        s"$nCells, $dim, $roundScale, $n)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCellsExpr =
+    copy(child = newChild)
+}
+
 /** Codegen'd IVF cell assignment: ARRAY<DOUBLE> vector → INT id of the
   * nearest centroid (centroids as a plan reference object — one tight loop
   * per row over nCells·dim cells).
@@ -432,4 +506,11 @@ object VectorFns {
       roundScale: Int): Column =
     ColumnShim.column(NearestCellExpr(
       ColumnShim.expression(vec.cast("array<double>")), centroids, roundScale))
+
+  /** Codegen'd top-n nearest-centroid ids ((distance, cid)-ordered). */
+  def nearestCellsNative(vec: Column, centroids: Array[Array[Double]],
+      roundScale: Int, n: Int): Column =
+    ColumnShim.column(NearestCellsExpr(
+      ColumnShim.expression(vec.cast("array<double>")), centroids,
+      roundScale, n))
 }

@@ -580,6 +580,60 @@ object Ann {
       rankOnRoundedTo)
   }
 
+  /** All-pairs top-k neighbor GRAPH over the corpus — the artifact
+    * SemDeDup-style pruning, graph-based diversity sampling, and kNN
+    * classification all consume. Unlike [[ivfSearchAssigned]] (few queries,
+    * broadcast), here the query side IS the corpus: both sides shuffle on
+    * the cell key (one co-partitioned join, cost Σ|cell|·|probes into it|),
+    * and probing runs in the codegen'd per-row loop
+    * ([[graft.functions.NearestCellsExpr]]) rather than a per-row HOF sort.
+    * Cell-size skew is AQE's skew-join case; nlist should grow with the
+    * corpus so per-cell work stays bounded (the IVF cost model).
+    */
+  def knnGraph(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      cents: Array[Array[Double]], nprobe: Int = 2,
+      rankOnRoundedTo: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rs = rankOnRoundedTo.getOrElse(-1)
+    def rnd(c: Column): Column =
+      rankOnRoundedTo.map(p => round(c, p)).getOrElse(c)
+    val base = emb.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__n",
+        sqrt(graft.functions.VectorFns.dotNative(col("__v"), col("__v"))))
+    val cs = base.select(col(idCol).as("neighbor_id"), col("__v").as("cv"),
+        col("__n").as("cn"))
+      .withColumn("cell", graft.functions.VectorFns.nearestCellNative(
+        col("cv"), cents, rs))
+    val qs = base.select(col(idCol).as("query_id"), col("__v").as("qv"),
+        col("__n").as("qn"))
+      .withColumn("cell", explode(graft.functions.VectorFns
+        .nearestCellsNative(col("qv"), cents, rs, nprobe)))
+    val scored = cs.join(qs, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (graft.functions.VectorFns.dotNative(col("qv"), col("cv")) /
+          (col("qn") * col("cn"))).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(rnd(col("cos")).desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** Recall@k of an approximate result against the exact one — the audit a
+    * pipeline owner runs to pick (nlist, nprobe, m): fraction of exact
+    * top-k edges the approximate search found. Both inputs are
+    * (query_id, neighbor_id, rank, …) frames; one row out.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val a = approx.where(col("rank") <= k).select("query_id", "neighbor_id")
+    val e = exact.where(col("rank") <= k).select("query_id", "neighbor_id")
+    val hits = e.join(a, Seq("query_id", "neighbor_id"), "semi")
+    e.agg(count(lit(1)).as("__n")).crossJoin(
+        hits.agg(count(lit(1)).as("n_hits")))
+      .select(col("__n").as("n_exact"), col("n_hits"),
+        round(col("n_hits") / col("__n"), 6).as("recall"))
+  }
+
   /** Per-key elementwise mean vectors — the class-centroid op (label
     * centroids for classification heads, seed centroids for IVF, cluster
     * summaries for diversity sampling). One shuffle on (key, dim-index),

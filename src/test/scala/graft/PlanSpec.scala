@@ -308,4 +308,22 @@ class PlanSpec extends SparkSpec {
     p.collect { case c: CartesianProductExec => c } shouldBe empty
     p.collect { case b: BroadcastNestedLoopJoinExec => b } shouldBe empty
   }
+
+  test("knnGraph: unhinted equi-join on the cell key — no forced broadcast, no product") {
+    import graft.ops.Ann
+    val emb = Tables.read(spark, sf, "embeddings")
+    val cents = Array(Array.fill(64)(0.1), Array.fill(64)(-0.1))
+    val p = plan(Ann.knnGraph(emb, "vec_id", "embedding", k = 3, cents,
+      nprobe = 2))
+    p.collect { case c: CartesianProductExec => c } shouldBe empty
+    p.collect { case b: BroadcastNestedLoopJoinExec => b } shouldBe empty
+    // the logical join must NOT carry a broadcast hint: the "query" side is
+    // the corpus itself, so the strategy has to stay size-based (AQE may
+    // still broadcast at spec scale — the HINT is what can't scale)
+    val lp = Ann.knnGraph(emb, "vec_id", "embedding", k = 3, cents,
+      nprobe = 2).queryExecution.analyzed
+    lp.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    } shouldBe empty
+  }
 }

@@ -196,4 +196,61 @@ class Round8OpsSpec extends SparkSpec {
         .as[(Long, Int)].collect().sortBy(_._1).toSeq
     run(embeddings.repartition(17)) shouldBe run(embeddings.coalesce(1))
   }
+
+  // ---------------------------------------------------------- knn graph
+
+  test("nearestCellsNative: head == nearestCellNative; full fan-out is a permutation") {
+    val cents = Ann.ivfCentroidsFromDf(
+      Ann.ivfTrain(embeddings, "embedding", nlist = 8))
+    val both = embeddings.select(
+      graft.functions.VectorFns.nearestCellNative(
+        col("embedding").cast("array<double>"), cents, 6).as("one"),
+      graft.functions.VectorFns.nearestCellsNative(
+        col("embedding").cast("array<double>"), cents, 6, 3).as("top3"),
+      graft.functions.VectorFns.nearestCellsNative(
+        col("embedding").cast("array<double>"), cents, 6, 8).as("all8"))
+      .collect()
+    both.foreach { r =>
+      r.getSeq[Int](1).head shouldBe r.getInt(0)
+      r.getSeq[Int](1) shouldBe r.getSeq[Int](2).take(3)
+      r.getSeq[Int](2).sorted shouldBe (0 until 8)
+    }
+  }
+
+  test("knnGraph probing all cells == bruteTopK with the corpus as queries") {
+    val cents = Ann.ivfCentroidsFromDf(
+      Ann.ivfTrain(embeddings, "embedding", nlist = 8))
+    val g = Ann.knnGraph(embeddings, "vec_id", "embedding", k = 5,
+      cents, nprobe = 8, rankOnRoundedTo = Some(6))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val b = Ann.bruteTopK(embeddings, embeddings, "vec_id", "embedding",
+      k = 5, rankOnRoundedTo = Some(6))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    g shouldBe b
+  }
+
+  test("knnGraph is layout-independent and self-edge-free") {
+    val cents = Ann.ivfCentroidsFromDf(
+      Ann.ivfTrain(embeddings, "embedding", nlist = 8))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Ann.knnGraph(df, "vec_id", "embedding", k = 5, cents, nprobe = 2,
+        rankOnRoundedTo = Some(6))
+        .select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3)).toSeq
+    val a = run(embeddings.repartition(17))
+    a shouldBe run(embeddings.coalesce(1))
+    a.foreach { case (q, n, _) => q should not be n }
+  }
+
+  test("recallAtK: self-recall is 1; disjoint approx is 0") {
+    val q = embeddings.where(col("vec_id") < 10)
+    val exact = Ann.bruteTopK(embeddings, q, "vec_id", "embedding", k = 5,
+      rankOnRoundedTo = Some(6))
+    val (ne, nh, rec) = Ann.recallAtK(exact, exact, 5)
+      .as[(Long, Long, Double)].collect().head
+    ne shouldBe 50L; nh shouldBe 50L; rec shouldBe 1.0
+    val shifted = exact.withColumn("neighbor_id", col("neighbor_id") + 100000L)
+    Ann.recallAtK(shifted, exact, 5)
+      .as[(Long, Long, Double)].collect().head._3 shouldBe 0.0
+  }
 }
