@@ -26,6 +26,16 @@ object Exec {
     df
   }
 
+  /** [[materialize]] WITHOUT CacheManager registration (eager
+    * localCheckpoint): the blocks live until the frame is GC'd, but the
+    * plan can never be cache-MATCHED by a later structurally-identical
+    * query. Required when the plan reads paths that are rewritten out of
+    * band (streaming state dirs): a later derivation matching the earlier
+    * entry would chase the previous write's part files
+    * (StreamingSpec's replay case).
+    */
+  def materializeLocal(df: DataFrame): DataFrame = df.localCheckpoint()
+
   private lazy val refCleaner = java.lang.ref.Cleaner.create()
 
   /** Tie an operator-internal persisted frame's lifetime to the result frame

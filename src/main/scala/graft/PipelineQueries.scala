@@ -875,6 +875,27 @@ object PipelineQueries {
     // (content-digest → min id, count) state + a mid-stream fold; the
     // derived representative set must equal the one-shot group-by-text
     // oracle.
+    // INCREMENTAL CURATION, driver-gated: documents arrive in three waves;
+    // the content-hash and window-digest scans run once per doc into
+    // persisted state (with a mid-stream LSM fold), and the curated
+    // selection derives from that state + one cheap batch pass for the
+    // map-side stages. Must hash-equal the ONE-SHOT curate oracle — the
+    // composed retroactivity (late dup arrivals, span growth on old docs,
+    // representative displacement) all has to come out exactly right.
+    "s_curate" -> ((s, d) => {
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_curate", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      val dd = docs(s, d).select(col("doc_id"), col("text"))
+      (0 until 3).foreach { g =>
+        graft.streaming.CurateMaintainer.processBatch(
+          dd.where(col("doc_id") % 3 === g), g.toLong, "doc_id", "text",
+          30, s"$base/state")
+        if (g == 1) graft.streaming.CurateMaintainer.compact(s, s"$base/state")
+      }
+      graft.streaming.CurateMaintainer.curated(dd, "doc_id", "text",
+        s"$base/state")
+    }),
     "s_dedup_exact" -> ((s, d) => {
       val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         "graft_stream_exact", Tables.runKey(d)).toString
@@ -3346,6 +3367,8 @@ object PipelineQueries {
         |  CAST(len(dd.text) - coalesce(a.nk, 0) AS BIGINT) AS n_cut_chars
         |FROM documents dd LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "p_curate_pipeline" -> curateOracle,
+    // incremental curation must equal the one-shot pipeline exactly
+    "s_curate" -> curateOracle,
     "q_sql_curate" -> curateOracle,
     "p_curate_bpe" -> curateBpeOracle,
     "p_pack_tokens" -> packOracle(

@@ -233,18 +233,39 @@ object Corpus {
       width: Int = 30, pplKeepBelow: Double = 3.43,
       tokenBudget: Long = 6000L,
       bpeMerges: Option[Seq[(String, String)]] = None,
-      byteLevel: Boolean = false): DataFrame = {
+      byteLevel: Boolean = false,
+      repsOpt: Option[DataFrame] = None,
+      spansOpt: Option[DataFrame] = None): DataFrame = {
     val audit = TextOps.gopherAudit(docs, idCol, textCol, minStopwords = 1)
     // `passed` feeds both the dedup-rep build and the survivor join;
     // `cleaned` feeds both the LM scoring and the token recount — each is
     // materialized once so the expensive upstream (window-digest dedup
-    // especially) never re-runs per consumer
-    val passed = graft.Exec.materialize(docs.select(col(idCol), col(textCol))
+    // especially) never re-runs per consumer.
+    // `repsOpt`/`spansOpt` are the incremental-derivation hooks
+    // ([[graft.streaming.CurateMaintainer]]): when the dedup
+    // representatives and duplicated spans have already been derived from
+    // persisted streaming state, the two expensive corpus scans (content
+    // hashing, window digesting) are skipped and only the cheap stages
+    // (gopher recompute, span cuts, LM scoring, budget) run here.
+    // derived mode reads state dirs that are REWRITTEN out of band between
+    // derivations (batch overwrite, replay, LSM fold): its intermediates
+    // must materialize cache-UNMATCHABLE (localCheckpoint), or a later
+    // derivation would plan-match this one's cached entry and chase the
+    // previous write's part files. One-shot mode keeps CacheManager
+    // materialization — its plans read only the immutable corpus, and
+    // cross-gate plan matching legitimately shares the expensive stages.
+    val derived = repsOpt.isDefined || spansOpt.isDefined
+    def mat(df: DataFrame): DataFrame =
+      if (derived) graft.Exec.materializeLocal(df) else graft.Exec.materialize(df)
+    val passed = mat(docs.select(col(idCol), col(textCol))
       .join(audit.where(col("fail_mask") === 0).select(col(idCol)), Seq(idCol)))
-    val reps = Dedup.exact(passed, Seq(textCol), idCol).select(col(idCol))
+    val reps = repsOpt.getOrElse(
+      Dedup.exact(passed, Seq(textCol), idCol).select(col(idCol)))
     val surv = passed.join(reps, Seq(idCol), "semi")
-    val cleaned = graft.Exec.materialize(
-      Dedup.removeSpans(surv, idCol, textCol, width))
+    val cleaned = mat(spansOpt match {
+      case Some(sp) => Dedup.removeSpansGiven(surv, idCol, textCol, sp)
+      case None => Dedup.removeSpans(surv, idCol, textCol, width)
+    })
     val scored = LangModel.perplexityScore(cleaned, idCol, "clean_text",
       pplKeepBelow)
     val tokCounts = bpeMerges match {

@@ -161,8 +161,19 @@ object Dedup {
     * [[duplicateSpans]] is one small left join.
     */
   def removeSpans(df: DataFrame, idCol: String, textCol: String,
-      width: Int = 30): DataFrame = {
-    val spans = duplicateSpans(df, idCol, textCol, width)
+      width: Int = 30): DataFrame =
+    removeSpansGiven(df, idCol, textCol,
+      duplicateSpans(df, idCol, textCol, width))
+
+  /** [[removeSpans]] with the span set supplied by the caller — the
+    * derivation path of incremental curation, where spans come from the
+    * persisted window index ([[graft.streaming.SubstrIndexMaintainer]])
+    * instead of a fresh corpus scan. `spansIn`: (idCol, span_start,
+    * span_len), non-overlapping per doc (what [[duplicateSpans]] emits).
+    */
+  def removeSpansGiven(df: DataFrame, idCol: String, textCol: String,
+      spansIn: DataFrame): DataFrame = {
+    val spans = spansIn
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(
         col("span_start").as("s"), col("span_len").as("l")))).as("__spans"))

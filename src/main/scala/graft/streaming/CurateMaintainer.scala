@@ -1,0 +1,146 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+import graft.ops.{Corpus, TextOps}
+
+/** Incremental curation: the streaming face of [[Corpus.curate]]. The two
+  * corpus-scan-heavy stages of the pipeline — exact-dedup content hashing
+  * and stride-1 window digesting — are maintained INCREMENTALLY per
+  * micro-batch (each document is hashed and window-scanned once, ever),
+  * and the curated selection DERIVES from the accumulated state plus one
+  * cheap batch pass for the map-side stages (gopher rules, span cuts, LM
+  * scoring, budget).
+  *
+  * Per batch:
+  *   1. gopher-filter the batch (stateless map) — failed docs never touch
+  *      state, matching one-shot stage order (a window duplicated only by
+  *      a rejected doc must NOT count);
+  *   2. find the batch texts whose content digest is NEW corpus-wide
+  *      (against the replay-safe pre-batch state view) and window-index
+  *      ONE doc per new digest (the batch's min id): identical text has
+  *      identical windows, so indexing one occurrence per distinct text
+  *      reproduces exactly the window multiset one-shot curate hashes
+  *      over its dedup survivors;
+  *   3. persist the (indexed id → digest) sidecar so derivation can
+  *      relabel index rows to the CURRENT representative (out-of-order
+  *      arrival can crown a lower id after the text was indexed);
+  *   4. update the exact-dedup digest state with the whole gopher-passed
+  *      batch.
+  *
+  * Every write is an overwrite-idempotent `b<batchId>/` dir ([[BatchDirs]]
+  * contract), so replaying a batch after a crash rewrites identical
+  * content — step 2's "new digest" view explicitly excludes the replayed
+  * batch's own prior write.
+  *
+  * The retroactivity of exact-substring dedup (a new doc can make an old
+  * doc's window duplicated) and of representative displacement (a lower
+  * id can arrive late) both come free from derivation-over-state: spans
+  * and reps are re-derived from the bounded index, never from the corpus.
+  */
+object CurateMaintainer {
+
+  private def mapSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("__h1", LongType),
+    StructField("__h2", LongType)))
+
+  def processBatch(batch: DataFrame, batchId: Long, idCol: String,
+      textCol: String, width: Int, stateDir: String): Unit = {
+    val spark = batch.sparkSession
+    val audit = TextOps.gopherAudit(batch, idCol, textCol, minStopwords = 1)
+    val passed = batch.select(col(idCol), col(textCol))
+      .join(audit.where(col("fail_mask") === 0).select(col(idCol)), Seq(idCol))
+      .persist()
+    try {
+      val keyed = passed.select(col(idCol).cast("long").as("id"),
+        xxhash64(col(textCol)).as("__h1"),
+        xxhash64(length(col(textCol)), col(textCol)).as("__h2"))
+      val newReps = keyed.groupBy("__h1", "__h2").agg(min(col("id")).as("id"))
+        .join(ExactDedupMaintainer.stateKeysBefore(
+            spark, s"$stateDir/exact", batchId),
+          Seq("__h1", "__h2"), "left_anti")
+        .persist()
+      try {
+        newReps.select(col("id"), col("__h1"), col("__h2"))
+          .write.mode("overwrite").parquet(s"$stateDir/map/b$batchId")
+        SubstrIndexMaintainer.processBatch(
+          passed.join(newReps.select(col("id").cast("long").as("__nid")),
+            col(idCol).cast("long") === col("__nid"), "semi"),
+          batchId, idCol, textCol, width, s"$stateDir/substr")
+        ExactDedupMaintainer.processBatch(passed, batchId, idCol, textCol,
+          s"$stateDir/exact")
+      } finally { newReps.unpersist(blocking = false); () }
+    } finally { passed.unpersist(blocking = false); () }
+  }
+
+  /** Fold all three state families (replay horizon: newest batch stays). */
+  def compact(spark: SparkSession, stateDir: String,
+      upToOpt: Option[Long] = None): Unit = {
+    ExactDedupMaintainer.compact(spark, s"$stateDir/exact", upToOpt)
+    SubstrIndexMaintainer.compact(spark, s"$stateDir/substr", upToOpt)
+    BatchDirs.compact(spark, s"$stateDir/map", mapSchema, None, upToOpt)
+  }
+
+  /** The duplicated-span set of the CURRENT dedup survivors, derived
+    * purely from state: index spans (keyed by the first-indexed id per
+    * distinct text) relabeled to the current representative through the
+    * digest sidecar. (doc_id, span_start, span_len).
+    */
+  def spans(spark: SparkSession, stateDir: String, width: Int): DataFrame = {
+    val m = readMap(spark, stateDir)
+    SubstrIndexMaintainer.spans(spark, s"$stateDir/substr", width)
+      .join(m.withColumnRenamed("id", "doc_id"), Seq("doc_id"))
+      .join(ExactDedupMaintainer.repsWithKeys(spark, s"$stateDir/exact")
+        .select(col("__h1"), col("__h2"), col("doc_id").as("__rep")),
+        Seq("__h1", "__h2"))
+      .select(col("__rep").as("doc_id"), col("span_start"), col("span_len"))
+  }
+
+  /** The curated selection as of the last committed batch — identical to
+    * one-shot [[Corpus.curate]] over everything ingested (the s_curate
+    * gate and StreamingSpec assert the equality). `docs` is the batch view
+    * of the ingested corpus (the cheap stages re-run over it; the
+    * hash/window scans do NOT).
+    */
+  def curated(docs: DataFrame, idCol: String, textCol: String,
+      stateDir: String, width: Int = 30, pplKeepBelow: Double = 3.43,
+      tokenBudget: Long = 6000L): DataFrame = {
+    val spark = docs.sparkSession
+    // state dirs are rewritten out-of-band (batch overwrite, replay, LSM
+    // fold): drop any cached listing/plan over them so a derivation after
+    // a rewrite cannot chase the previous write's part files
+    spark.catalog.refreshByPath(stateDir)
+    val reps = ExactDedupMaintainer
+      .representatives(spark, s"$stateDir/exact")
+      .select(col("doc_id").as(idCol))
+    Corpus.curate(docs, idCol, textCol, width, pplKeepBelow, tokenBudget,
+      repsOpt = Some(reps),
+      spansOpt = Some(spans(spark, stateDir, width)
+        .withColumnRenamed("doc_id", idCol)))
+  }
+
+  private def readMap(spark: SparkSession, stateDir: String): DataFrame = {
+    val dir = s"$stateDir/map"
+    val maxC = BatchDirs.listDirs(dir, "c").lastOption
+    val dirs = maxC.map(_._2).toSeq ++ BatchDirs.listDirs(dir, "b")
+      .filter { case (id, _) => id > maxC.fold(-1L)(_._1) }
+      .map(_._2)
+    BatchDirs.readUnion(spark, dirs, mapSchema, partitioned = false)
+      .getOrElse(BatchDirs.emptyFrame(spark, mapSchema))
+  }
+
+  /** Attach to a streaming document source. */
+  def attach(docs: DataFrame, idCol: String, textCol: String, width: Int,
+      stateDir: String, checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, idCol, textCol, width, stateDir)
+        ()
+      }
+      .start()
+}

@@ -41,7 +41,15 @@ object ExactDedupMaintainer {
     * batch — identical to a one-shot [[graft.ops.Dedup.exactByHash]] over
     * everything ingested. Returns (doc_id, n_copies).
     */
-  def representatives(spark: SparkSession, stateDir: String): DataFrame = {
+  def representatives(spark: SparkSession, stateDir: String): DataFrame =
+    repsWithKeys(spark, stateDir).select(col("doc_id"), col("n_copies"))
+
+  /** [[representatives]] keyed by the content digest —
+    * (__h1, __h2, doc_id, n_copies) — the relabeling frame incremental
+    * curation joins window-indexed ids through (indexed id → digest →
+    * CURRENT representative).
+    */
+  def repsWithKeys(spark: SparkSession, stateDir: String): DataFrame = {
     val maxC = BatchDirs.listDirs(stateDir, "c").lastOption
     val dirs = maxC.map(_._2).toSeq ++ BatchDirs.listDirs(stateDir, "b")
       .filter { case (id, _) => id > maxC.fold(-1L)(_._1) }
@@ -50,7 +58,26 @@ object ExactDedupMaintainer {
       .getOrElse(BatchDirs.emptyFrame(spark, stateSchema))
       .groupBy("__h1", "__h2")
       .agg(min(col("rep")).as("doc_id"), sum(col("n")).as("n_copies"))
-      .select(col("doc_id"), col("n_copies"))
+  }
+
+  /** Content keys present in state from batches BEFORE `batchId` — the
+    * replay-safe "is this digest new?" frame: re-running batch b must not
+    * see b's own prior write, so b-dirs at or past `batchId` are excluded.
+    * Requires the compaction horizon ≤ batchId − 1 (the [[BatchDirs]]
+    * replay contract already keeps the newest batch out of folds).
+    */
+  def stateKeysBefore(spark: SparkSession, stateDir: String,
+      batchId: Long): DataFrame = {
+    val maxC = BatchDirs.listDirs(stateDir, "c").lastOption
+    require(maxC.fold(-1L)(_._1) < batchId,
+      s"compaction horizon ${maxC.fold(-1L)(_._1)} has folded batch " +
+        s"$batchId — replay would see its own write")
+    val dirs = maxC.map(_._2).toSeq ++ BatchDirs.listDirs(stateDir, "b")
+      .filter { case (id, _) => id > maxC.fold(-1L)(_._1) && id < batchId }
+      .map(_._2)
+    BatchDirs.readUnion(spark, dirs, stateSchema, partitioned = false)
+      .getOrElse(BatchDirs.emptyFrame(spark, stateSchema))
+      .select(col("__h1"), col("__h2")).distinct()
   }
 
   /** Fold committed batch dirs (default horizon: max batch − 1). */

@@ -417,4 +417,63 @@ class StreamingSpec extends SparkSpec {
     spanSet(SubstrIndexMaintainer.spans(spark, s"$base/index", 30)) shouldBe
       streamed
   }
+
+  test("incremental curation: curated == one-shot under out-of-order ids, replay, compaction") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Corpus
+    implicit val ctx = spark.sqlContext
+    // the raw corpus has no exact duplicates, so splice in high-id CLONES
+    // and ingest them FIRST: the true (min-id) representative of every
+    // cloned text arrives LATE, forcing representative displacement — the
+    // text was window-indexed under the clone's id, and the digest-sidecar
+    // relabeling has to reassign those spans to the late-arriving rep
+    val raw = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val clones = raw.where(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 9000L).as("doc_id"), col("text"))
+    val docs = raw.unionByName(clones).cache()
+    val base = java.nio.file.Files.createTempDirectory("graft-scu").toString
+    val waves = Seq(
+      docs.where(col("doc_id") >= 9000L),
+      docs.where(col("doc_id") < 9000L && col("doc_id") % 2 === 1),
+      docs.where(col("doc_id") < 9000L && col("doc_id") % 2 === 0))
+    val mem = MemoryStream[(Long, String)]
+    val q = CurateMaintainer.attach(mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", 30, s"$base/state", s"$base/ckpt")
+    waves.foreach { w =>
+      mem.addData(w.collect().map(r => (r.getLong(0), r.getString(1)))
+        .toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    def curatedSet(): Set[(Long, Long, Double, Long)] =
+      CurateMaintainer.curated(docs, "doc_id", "text", s"$base/state")
+        .selectExpr("doc_id", "n_tok", "round(avg_nll, 6)", "cum_tok")
+        .as[(Long, Long, Double, Long)].collect().toSet
+    val streamed = curatedSet()
+    val oneShot = Corpus.curate(docs, "doc_id", "text")
+      .selectExpr("doc_id", "n_tok", "round(avg_nll, 6)", "cum_tok")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    streamed shouldBe oneShot
+    streamed.size should be > 50
+    // displacement really happened: every cloned text's representative is
+    // the LATE-arriving original (id < 9000), while its windows were
+    // indexed under the wave-0 clone id
+    val reps = ExactDedupMaintainer
+      .representatives(spark, s"$base/state/exact")
+      .where(col("n_copies") > 1)
+      .select("doc_id").as[Long].collect().toSet
+    reps should not be empty
+    all(reps) should be < 9000L
+    // crash replay of the newest batch is idempotent (its "new digest"
+    // view excludes its own prior write)
+    CurateMaintainer.processBatch(waves(2).toDF("doc_id", "text"), 2L,
+      "doc_id", "text", 30, s"$base/state")
+    curatedSet() shouldBe streamed
+    // LSM fold across all three state families changes nothing
+    CurateMaintainer.compact(spark, s"$base/state")
+    new java.io.File(s"$base/state/exact/c1").exists() shouldBe true
+    new java.io.File(s"$base/state/map/c1").exists() shouldBe true
+    curatedSet() shouldBe streamed
+  }
 }
