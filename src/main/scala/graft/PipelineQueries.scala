@@ -832,6 +832,12 @@ object PipelineQueries {
     "p_pack_rows" -> ((s, d) =>
       Packing.packTokenIdRows(docs(s, d), "doc_id", "text",
         bpeMergesFor(s, d), seqLen = 128)),
+    // Deterministic per-epoch training order (3 epochs over the corpus):
+    // a pure function of (item set, epoch) via md5 draws, globally ranked
+    // by the distributed prefix sum — the reproducible shuffle exact
+    // training resumption depends on.
+    "p_epoch_order" -> ((s, d) =>
+      Packing.epochOrder(docs(s, d), "doc_id", epochs = 3)),
     // BYTE-LEVEL packing — the composed pipeline in byte mode: the mixed
     // multilingual corpus id-encodes under the byte-mode merges (full
     // UTF-8 byte fallback, case/script preserved) and packs into the same
@@ -3371,6 +3377,17 @@ object PipelineQueries {
     "s_curate" -> curateOracle,
     "q_sql_curate" -> curateOracle,
     "p_curate_bpe" -> curateBpeOracle,
+    "p_epoch_order" ->
+      s"""WITH es AS (SELECT unnest(generate_series(1, 3)) AS epoch),
+         |eo AS (
+         |  SELECT CAST(es.epoch AS INT) AS epoch, d.doc_id,
+         |    row_number() OVER (PARTITION BY es.epoch
+         |      ORDER BY md5(CAST(d.doc_id AS VARCHAR) || ':' ||
+         |                   CAST(es.epoch AS VARCHAR)), d.doc_id)
+         |      - 1 AS ord
+         |  FROM documents d CROSS JOIN es
+         |)
+         |SELECT epoch, doc_id, CAST(ord AS BIGINT) AS ord FROM eo""".stripMargin,
     "p_pack_tokens" -> packOracle(
       """SELECT CAST(gpos // 128 AS BIGINT) AS seq_id,
         |  count(*) AS n_tok, count(DISTINCT doc_id) AS n_docs,

@@ -120,6 +120,40 @@ object Packing {
         min(col(idCol)).as("doc_min"),
         max(col(idCol)).as("doc_max"))
 
+  /** Deterministic per-epoch global training order — the reproducible
+    * shuffle a trainer needs for exact resumption and data-order
+    * debugging: epoch e's permutation ranks every item by
+    * md5(key ":" epoch), so the order is a pure function of (item set,
+    * epoch) — independent of layout, cluster size, and ingestion order,
+    * and different every epoch.
+    *
+    * Scale shape: the global 0-based rank comes from [[prefixOffsets]]
+    * over the composite (epoch, draw, key) sort key (distributed prefix
+    * sum of 1s — range partition + driver offsets, never a global
+    * window), rebased per epoch by the item count. Keys must be
+    * non-negative (zero-padded decimal rendering is the tie-break).
+    * Returns (epoch, keyCol, ord).
+    */
+  def epochOrder(items: DataFrame, keyCol: String, epochs: Int,
+      buckets: Int = 64): DataFrame = {
+    require(epochs >= 1, "epochs must be >= 1")
+    val spark = items.sparkSession
+    val n = items.count()
+    val es = spark.range(1, epochs + 1L)
+      .select(col("id").cast("int").as("epoch"))
+    val keyed = items.select(col(keyCol)).crossJoin(broadcast(es))
+      .withColumn("__key", concat(
+        lpad(col("epoch").cast("string"), 6, "0"), lit(":"),
+        md5(concat(col(keyCol).cast("string"), lit(":"),
+          col("epoch").cast("string"))),
+        lit(":"), lpad(col(keyCol).cast("string"), 20, "0")))
+    val offs = prefixOffsets(keyed.withColumn("__one", lit(1L)),
+      "__key", "__one", buckets)
+    keyed.join(offs, Seq("__key"))
+      .select(col("epoch"), col(keyCol),
+        (col("__off") - (col("epoch") - 1).cast("long") * n).as("ord"))
+  }
+
   /** The shared (seq_id, position-in-seq, token id, doc id) grid behind
     * both packing outputs.
     */

@@ -242,6 +242,31 @@ class Round8OpsSpec extends SparkSpec {
     a.foreach { case (q, n, _) => q should not be n }
   }
 
+  test("epochOrder: per-epoch bijection, epoch-distinct permutations, layout-independent, composes with packed seqs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Packing.epochOrder(df.select("doc_id"), "doc_id", epochs = 2)
+        .as[(Int, Long, Long)].collect().sortBy(r => (r._1, r._3))
+    val a = run(docs.repartition(13))
+    a shouldBe run(docs.coalesce(1)) // deterministic + layout-independent
+    val n = docs.count()
+    (1 to 2).foreach { e =>
+      val ep = a.filter(_._1 == e)
+      ep.map(_._3).toSeq shouldBe (0L until n) // ord is a dense 0-based rank
+      ep.map(_._2).distinct.length shouldBe n  // every item exactly once
+    }
+    // the two epochs draw genuinely different permutations
+    a.filter(_._1 == 1).map(_._2).toSeq should not be
+      a.filter(_._1 == 2).map(_._2).toSeq
+    // composes over packed training sequences (the intended consumer)
+    val seqs = Packing.packTokenIds(docs, "doc_id", "text",
+      Seq(("t", "h"), ("th", "e")), seqLen = 128).select(col("seq_id"))
+    val so = Packing.epochOrder(seqs, "seq_id", epochs = 1)
+      .as[(Int, Long, Long)].collect()
+    so.map(_._3).sorted.toSeq shouldBe (0L until seqs.count())
+  }
+
   test("recallAtK: self-recall is 1; disjoint approx is 0") {
     val q = embeddings.where(col("vec_id") < 10)
     val exact = Ann.bruteTopK(embeddings, q, "vec_id", "embedding", k = 5,
