@@ -1093,6 +1093,18 @@ object PipelineQueries {
           col("img_h").cast("long").as("img_h"),
           col("dhash_hi"), col("dhash_lo"))
     }),
+    // Image near-dup PAIRS: banded dHash buckets + exact hamming verify
+    // (pigeonhole-exact ≤ 3) over the synthetic corpus spliced with 25
+    // byte-identical clones — the billion-image dedup shape on real
+    // decodes. Oracle recomputes every hash from closed-form pixels and
+    // brute-forces the hamming filter (banding must lose nothing).
+    "p_image_neardup" -> ((s, d) => {
+      val m = graft.ops.Multimodal.syntheticMedia(s, 200)
+        .select(col("media_id"), col("payload"))
+      val withDups = m.unionByName(m.where(col("media_id") < 25)
+        .select((col("media_id") + 1000L).as("media_id"), col("payload")))
+      graft.ops.Multimodal.imageNearDupPairs(withDups)
+    }),
     // Energy-based audio segmentation (VAD shape) over the REAL WAV
     // decode: 50-sample frames, mean-square threshold, islands merged —
     // integer-exact dyadic energies so the activity decision is
@@ -1597,6 +1609,47 @@ object PipelineQueries {
       |  FROM sc
       |)
       |SELECT query_id, neighbor_id, rank, cos FROM r2 WHERE rank <= 10""".stripMargin
+
+  /** The closed-form 9×8 luma grid + 64-bit difference hash of the
+    * synthetic PNG corpus (the p_image_phash derivation), factored so the
+    * image near-dup oracle reuses it. Yields `hashes` (media_id, img_w,
+    * img_h, dhash_hi, dhash_lo).
+    */
+  private val imageHashCtes: String =
+    """m AS (SELECT unnest(generate_series(0, 199)) AS media_id),
+      |dims AS (
+      |  SELECT media_id, 8 + (media_id % 9) AS w,
+      |         8 + ((media_id * 7) % 9) AS h
+      |  FROM m
+      |),
+      |xs AS (SELECT unnest(generate_series(0, 8)) AS gx),
+      |ys AS (SELECT unnest(generate_series(0, 7)) AS gy),
+      |g AS (
+      |  SELECT d.media_id, d.w, d.h, xs.gx, ys.gy,
+      |    ((((xs.gx*d.w)//9)*31 + ((ys.gy*d.h)//8)*17 + d.media_id*13)
+      |       % 256)*299
+      |    + ((((xs.gx*d.w)//9)*7 + ((ys.gy*d.h)//8)*29 + d.media_id*3)
+      |       % 256)*587
+      |    + ((((xs.gx*d.w)//9)*11 + ((ys.gy*d.h)//8)*5 + d.media_id*23)
+      |       % 256)*114 AS gray
+      |  FROM dims d, xs, ys
+      |),
+      |bits AS (
+      |  SELECT a.media_id, a.w, a.h, a.gy*8 + a.gx AS k,
+      |    CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
+      |  FROM g a JOIN g b ON a.media_id = b.media_id AND a.gy = b.gy
+      |    AND b.gx = a.gx + 1
+      |  WHERE a.gx < 8
+      |),
+      |hashes AS (
+      |  SELECT CAST(media_id AS BIGINT) AS media_id,
+      |    CAST(w AS BIGINT) AS img_w, CAST(h AS BIGINT) AS img_h,
+      |    CAST(sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32))
+      |             ELSE 0 END) AS BIGINT) AS dhash_hi,
+      |    CAST(sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k)
+      |             ELSE 0 END) AS BIGINT) AS dhash_lo
+      |  FROM bits GROUP BY 1, 2, 3
+      |)""".stripMargin
 
   /** [[ivfOracle]]'s CTE chain parameterized by (centroids artifact, probe
     * fan-out, query-side predicate) — shared by the kNN-graph and recall
@@ -2588,38 +2641,23 @@ object PipelineQueries {
         |  coalesce(mx, 0)*1.0/greatest(n_grams, 1) < 0.1 AS kept
         |FROM ng LEFT JOIN worst ON doc_id = corpus_id""".stripMargin,
     "p_image_phash" ->
-      """WITH m AS (SELECT unnest(generate_series(0, 199)) AS media_id),
-        |dims AS (
-        |  SELECT media_id, 8 + (media_id % 9) AS w,
-        |         8 + ((media_id * 7) % 9) AS h
-        |  FROM m
-        |),
-        |xs AS (SELECT unnest(generate_series(0, 8)) AS gx),
-        |ys AS (SELECT unnest(generate_series(0, 7)) AS gy),
-        |g AS (
-        |  SELECT d.media_id, d.w, d.h, xs.gx, ys.gy,
-        |    ((((xs.gx*d.w)//9)*31 + ((ys.gy*d.h)//8)*17 + d.media_id*13)
-        |       % 256)*299
-        |    + ((((xs.gx*d.w)//9)*7 + ((ys.gy*d.h)//8)*29 + d.media_id*3)
-        |       % 256)*587
-        |    + ((((xs.gx*d.w)//9)*11 + ((ys.gy*d.h)//8)*5 + d.media_id*23)
-        |       % 256)*114 AS gray
-        |  FROM dims d, xs, ys
-        |),
-        |bits AS (
-        |  SELECT a.media_id, a.w, a.h, a.gy*8 + a.gx AS k,
-        |    CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
-        |  FROM g a JOIN g b ON a.media_id = b.media_id AND a.gy = b.gy
-        |    AND b.gx = a.gx + 1
-        |  WHERE a.gx < 8
+      s"""WITH $imageHashCtes
+        |SELECT media_id, img_w, img_h, dhash_hi, dhash_lo FROM hashes"""
+        .stripMargin,
+    "p_image_neardup" ->
+      s"""WITH $imageHashCtes,
+        |allh AS (
+        |  SELECT media_id, dhash_hi, dhash_lo FROM hashes
+        |  UNION ALL
+        |  SELECT media_id + 1000, dhash_hi, dhash_lo FROM hashes
+        |  WHERE media_id < 25
         |)
-        |SELECT CAST(media_id AS BIGINT) AS media_id,
-        |  CAST(w AS BIGINT) AS img_w, CAST(h AS BIGINT) AS img_h,
-        |  CAST(sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32))
-        |           ELSE 0 END) AS BIGINT) AS dhash_hi,
-        |  CAST(sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k)
-        |           ELSE 0 END) AS BIGINT) AS dhash_lo
-        |FROM bits GROUP BY 1, 2, 3""".stripMargin,
+        |SELECT a.media_id AS id1, b.media_id AS id2,
+        |  CAST(bit_count(xor(a.dhash_hi, b.dhash_hi))
+        |     + bit_count(xor(a.dhash_lo, b.dhash_lo)) AS BIGINT) AS hamming
+        |FROM allh a JOIN allh b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
+        |    + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 3""".stripMargin,
     "p_video_phash" ->
       """WITH m AS (SELECT unnest(generate_series(0, 199)) AS i),
         |p AS (SELECT i, 6 + (i % 5) AS w, 6 + ((i*3) % 5) AS h,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -442,6 +442,44 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Image near-duplicate PAIRS via banded dHash — the image face of
+    * [[Dedup.simhashPairs]]: each 64-bit difference hash splits into four
+    * 16-bit bands; a pair landing in the same (band index, band value)
+    * bucket is a candidate, verified by exact hamming distance. The
+    * banding is PIGEONHOLE-EXACT for `maxHamming` ≤ 3 (≤ 3 differing bits
+    * cannot touch all four bands), so the result equals the brute-force
+    * hamming filter while candidate volume stays bands × corpus — the
+    * billion-image dedup shape. Hashes are computed ONCE (the decode is
+    * the dominant cost) and materialized; only (id, two longs) shuffles.
+    * Returns (id1, id2, hamming).
+    */
+  def imageNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "4-band 16-bit blocking is pigeonhole-exact only to hamming 3")
+    val h = graft.Exec.materialize(dHashStats(media)
+      .select(col("media_id"), col("dhash_hi"), col("dhash_lo")))
+    def band(c: Column, i: Int): Column =
+      struct(lit(i).as("blk"),
+        shiftright(c, 16).bitwiseAND(lit(0xFFFFL)).as("v"))
+    def bandLo(c: Column, i: Int): Column =
+      struct(lit(i).as("blk"), c.bitwiseAND(lit(0xFFFFL)).as("v"))
+    val blocks = h.select(col("media_id"), col("dhash_hi"), col("dhash_lo"),
+      explode(array(band(col("dhash_hi"), 0), bandLo(col("dhash_hi"), 1),
+        band(col("dhash_lo"), 2), bandLo(col("dhash_lo"), 3))).as("b"))
+    val cands = blocks.select(col("b"), col("media_id").as("id1"),
+        col("dhash_hi").as("hi1"), col("dhash_lo").as("lo1"))
+      .join(blocks.select(col("b"), col("media_id").as("id2"),
+        col("dhash_hi").as("hi2"), col("dhash_lo").as("lo2")), Seq("b"))
+      .where(col("id1") < col("id2"))
+      .select("id1", "id2", "hi1", "lo1", "hi2", "lo2").distinct()
+    val out = cands.select(col("id1"), col("id2"),
+        (bit_count(col("hi1").bitwiseXOR(col("hi2"))) +
+          bit_count(col("lo1").bitwiseXOR(col("lo2")))).cast("long")
+          .as("hamming"))
+      .where(col("hamming") <= maxHamming)
+    graft.Exec.releaseOnUnreachable(out, h)
   }
 
   /** Energy-based audio segmentation — the VAD-shaped curation step for

@@ -311,6 +311,40 @@ class Round7OpsSpec extends SparkSpec {
     hamming(hb, he) should be <= 4
   }
 
+  test("imageNearDupPairs: banded candidates == brute-force hamming filter; dup and 1-pixel edit both pair") {
+    def png(seed: Int, edit: Boolean = false): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32)
+        img.setRGB(x, y,
+          if (edit && x == 5 && y == 5) 0xFFFFFF
+          else (((x * 8 + seed) % 256) << 16) | ((y * 8) << 8) | 64)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    import spark.implicits._
+    // 1&2 byte-identical, 3 a 1-pixel edit of 1, 4..9 unrelated gradients
+    val media = (Seq((1L, png(0)), (2L, png(0)), (3L, png(0, edit = true))) ++
+      (4L to 9L).map(i => (i, png(i.toInt * 37)))).toDF("media_id", "payload")
+    val banded = Multimodal.imageNearDupPairs(media, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    // brute force over the same hashes
+    val hs = Multimodal.dHashStats(media)
+      .select("media_id", "dhash_hi", "dhash_lo")
+      .as[(Long, Long, Long)].collect()
+    val brute = (for {
+      a <- hs; b <- hs if a._1 < b._1
+      h = java.lang.Long.bitCount(a._2 ^ b._2) +
+        java.lang.Long.bitCount(a._3 ^ b._3)
+      if h <= 3
+    } yield (a._1, b._1, h.toLong)).toSet
+    banded shouldBe brute
+    banded.map(p => (p._1, p._2)) should contain (1L -> 2L) // exact dup
+    assert(banded.exists(p => (p._1, p._2) == (1L, 3L) ||
+      (p._1, p._2) == (2L, 3L))) // the 1-pixel edit stays within hamming 3
+  }
+
   test("audioSegments: closed-form loud/quiet/loud WAV splits into two segments") {
     val loud = Array.fill(100)(29000)   // ms ≈ 0.78 > 0.34
     val quiet = Array.fill(50)(0)
