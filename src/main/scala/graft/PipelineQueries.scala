@@ -259,6 +259,30 @@ object PipelineQueries {
           rankOnRoundedTo = Some(6)), k = 10)
         .select(col("n_exact"), col("n_hits"), col("recall"))
     }),
+    // STREAMING kNN graph: the neighbor graph derived from the
+    // accumulated inverted file (3 ingestion waves against the frozen
+    // persisted quantizer, mid-stream LSM fold) — corpus cells come from
+    // state, only query-side probing recomputes. Same oracle as
+    // p_knn_graph: the streamed derivation must equal the one-shot graph.
+    "s_knn_graph" -> ((s, d) => {
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_knngraph", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      val e = emb(s, d)
+      val cents = semDedupCentsFor(s, d)
+      (0 until 3).foreach { g =>
+        graft.streaming.AnnIndexMaintainer.processBatch(
+          e.where(col("vec_id") % 3 === g), g.toLong, "vec_id", "embedding",
+          cents, s"$base/index", roundScale = 6)
+        if (g == 1)
+          graft.streaming.AnnIndexMaintainer.compact(s, s"$base/index")
+      }
+      Ann.knnGraphAssigned(
+        graft.streaming.AnnIndexMaintainer.readIndex(s, s"$base/index"),
+        "id", "v", k = 5, cents, nprobe = 2, rankOnRoundedTo = Some(6))
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
+    }),
     // Multi-probe hyperplane LSH — the scale path for embedding near-dup:
     // probing each signature's 1-bit-flip neighbor buckets recovers recall
     // without extra tables. Hash-gated via the persisted-planes contract:
@@ -2123,6 +2147,10 @@ object PipelineQueries {
     // rendering of Ann.ivfTopK's scan stage
     "p_knn_ivf" -> ivfOracle("ivf_centroids"),
     "p_knn_graph" ->
+      s"""WITH ${ivfChainCtes("semdedup_centroids", 2, "TRUE")}
+         |SELECT query_id, neighbor_id, rank, cos FROM r2
+         |WHERE rank <= 5""".stripMargin,
+    "s_knn_graph" ->
       s"""WITH ${ivfChainCtes("semdedup_centroids", 2, "TRUE")}
          |SELECT query_id, neighbor_id, rank, cos FROM r2
          |WHERE rank <= 5""".stripMargin,

@@ -593,17 +593,34 @@ object Ann {
   def knnGraph(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       cents: Array[Array[Double]], nprobe: Int = 2,
       rankOnRoundedTo: Option[Int] = None): DataFrame = {
+    val rs = rankOnRoundedTo.getOrElse(-1)
+    knnGraphAssigned(
+      emb.select(col(idCol), col(vecCol).cast("array<double>").as("__kv"))
+        .withColumn("cell", graft.functions.VectorFns.nearestCellNative(
+          col("__kv"), cents, rs)),
+      idCol, "__kv", k, cents, nprobe, rankOnRoundedTo)
+  }
+
+  /** [[knnGraph]] over an ALREADY-ASSIGNED frame (idCol, vecCol
+    * ARRAY<DOUBLE>, cell) — the corpus side trusts the stored cell, so a
+    * persistent inverted file (the streaming index of
+    * [[graft.streaming.AnnIndexMaintainer]]) can derive the neighbor
+    * graph without re-assigning the corpus; only query-side probing
+    * recomputes, in the codegen'd loop.
+    */
+  def knnGraphAssigned(assigned: DataFrame, idCol: String, vecCol: String,
+      k: Int, cents: Array[Array[Double]], nprobe: Int = 2,
+      rankOnRoundedTo: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val rs = rankOnRoundedTo.getOrElse(-1)
     def rnd(c: Column): Column =
       rankOnRoundedTo.map(p => round(c, p)).getOrElse(c)
-    val base = emb.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    val base = assigned.select(col(idCol),
+        col(vecCol).cast("array<double>").as("__v"), col("cell"))
       .withColumn("__n",
         sqrt(graft.functions.VectorFns.dotNative(col("__v"), col("__v"))))
     val cs = base.select(col(idCol).as("neighbor_id"), col("__v").as("cv"),
-        col("__n").as("cn"))
-      .withColumn("cell", graft.functions.VectorFns.nearestCellNative(
-        col("cv"), cents, rs))
+      col("__n").as("cn"), col("cell"))
     val qs = base.select(col(idCol).as("query_id"), col("__v").as("qv"),
         col("__n").as("qn"))
       .withColumn("cell", explode(graft.functions.VectorFns
