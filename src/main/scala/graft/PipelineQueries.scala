@@ -259,6 +259,25 @@ object PipelineQueries {
           rankOnRoundedTo = Some(6)), k = 10)
         .select(col("n_exact"), col("n_hits"), col("recall"))
     }),
+    // Hard-negative mining (contrastive-training batches): the 5 nearest
+    // DIFFERENT-label vectors per query over the 50-query set.
+    "p_hard_negatives" -> ((s, d) => {
+      val e = emb(s, d)
+      Ann.hardNegatives(e, e.where(col("vec_id") < 50), "vec_id",
+        "embedding", "label", k = 5, rankOnRoundedTo = Some(6))
+        .select(col("query_id"), col("neighbor_id"),
+          col("neg_label").cast("long").as("neg_label"),
+          col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
+    }),
+    // kNN weak labeling: majority vote over the 5 nearest neighbors,
+    // ties toward the smallest label — engine-reproducible predictions.
+    "p_knn_classify" -> ((s, d) => {
+      val e = emb(s, d)
+      Ann.knnClassify(e, e.where(col("vec_id") < 50), "vec_id",
+        "embedding", "label", k = 5, rankOnRoundedTo = Some(6))
+        .select(col("query_id"),
+          col("pred_label").cast("long").as("pred_label"), col("votes"))
+    }),
     // STREAMING kNN graph: the neighbor graph derived from the
     // accumulated inverted file (3 ingestion waves against the frozen
     // persisted quantizer, mid-stream LSM fold) — corpus cells come from
@@ -2154,6 +2173,64 @@ object PipelineQueries {
       s"""WITH ${ivfChainCtes("semdedup_centroids", 2, "TRUE")}
          |SELECT query_id, neighbor_id, rank, cos FROM r2
          |WHERE rank <= 5""".stripMargin,
+    "p_hard_negatives" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |),
+         |nrm AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS n FROM e),
+         |sc AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    c.label AS neg_label,
+         |    round(list_inner_product(q.v, c.v)/(nq.n*nc.n), 6) AS cos
+         |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+         |  JOIN nrm nq ON q.vec_id = nq.vec_id
+         |  JOIN nrm nc ON c.vec_id = nc.vec_id
+         |  WHERE q.vec_id < 50 AND c.label <> q.label
+         |),
+         |r AS (
+         |  SELECT query_id, neighbor_id, neg_label, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM sc
+         |)
+         |SELECT query_id, neighbor_id, CAST(neg_label AS BIGINT) AS neg_label,
+         |  rank, cos FROM r WHERE rank <= 5""".stripMargin,
+    "p_knn_classify" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |),
+         |nrm AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS n FROM e),
+         |sc AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    c.label AS l,
+         |    round(list_inner_product(q.v, c.v)/(nq.n*nc.n), 6) AS cos
+         |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+         |  JOIN nrm nq ON q.vec_id = nq.vec_id
+         |  JOIN nrm nc ON c.vec_id = nc.vec_id
+         |  WHERE q.vec_id < 50
+         |),
+         |br AS (
+         |  SELECT query_id, l,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM sc
+         |),
+         |v AS (
+         |  SELECT query_id, l, count(*) AS votes FROM br
+         |  WHERE rank <= 5 GROUP BY query_id, l
+         |),
+         |p AS (
+         |  SELECT query_id, l, votes,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY votes DESC, l) AS rn
+         |  FROM v
+         |)
+         |SELECT query_id, CAST(l AS BIGINT) AS pred_label, votes
+         |FROM p WHERE rn = 1""".stripMargin,
     "p_ann_recall" ->
       s"""WITH ${ivfChainCtes("semdedup_centroids", 2, "vec_id < 50")},
          |iv AS (SELECT query_id, neighbor_id FROM r2 WHERE rank <= 10),

@@ -636,6 +636,57 @@ object Ann {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** Hard-negative mining — the contrastive-training data op: for each
+    * query, the k nearest corpus vectors carrying a DIFFERENT label
+    * (the "hard" negatives a metric-learning batch wants next to its
+    * positives). Exact baseline with broadcast queries (the
+    * [[bruteTopK]] shape); at corpus-as-queries scale, compose
+    * [[knnGraphAssigned]] with a label anti-filter instead.
+    * Returns (query_id, neighbor_id, neg_label, rank, cos).
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int,
+      rankOnRoundedTo: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cs = withNorm(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("neg_label")), Seq("neighbor_id"))
+    val qs = withNorm(queries, idCol, vecCol, "query_id", "qv", "qn")
+      .join(queries.select(col(idCol).as("query_id"),
+        col(labelCol).as("__ql")), Seq("query_id"))
+    val scored = cs.crossJoin(broadcast(qs))
+      .where(col("query_id") =!= col("neighbor_id") &&
+        col("neg_label") =!= col("__ql"))
+      .select(col("query_id"), col("neighbor_id"), col("neg_label"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    val rankCol = rankOnRoundedTo.map(d => round(col("cos"), d))
+      .getOrElse(col("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(rankCol.desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "neg_label", "rank", "cos")
+  }
+
+  /** kNN classification by majority vote over the k nearest neighbors —
+    * the label-propagation / weak-labeling op (ties break toward the
+    * smallest label, so the prediction is engine-reproducible).
+    * Returns (query_id, pred_label, votes).
+    */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int,
+      rankOnRoundedTo: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nn = bruteTopK(corpus, queries, idCol, vecCol, k, rankOnRoundedTo)
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("__l")), Seq("neighbor_id"))
+    val votes = nn.groupBy(col("query_id"), col("__l"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("votes").desc, col("__l"))
+    votes.withColumn("__r", row_number().over(w)).where(col("__r") === 1)
+      .select(col("query_id"), col("__l").as("pred_label"), col("votes"))
+  }
+
   /** Recall@k of an approximate result against the exact one — the audit a
     * pipeline owner runs to pick (nlist, nprobe, m): fraction of exact
     * top-k edges the approximate search found. Both inputs are
