@@ -509,6 +509,28 @@ object Profile {
           val pt = runPoint(20)
           println(f"PROFILE serveprobe point=$pt%.2f q/s semijoin-cached=$qc%.2f q/s semijoin-parquet=$qp%.2f q/s")
         }
+      case s if s.startsWith("knngraph_nlist") =>
+        // The kNN-graph IVF cost model, demonstrated: at a FIXED quantizer
+        // the within-cell candidate volume grows quadratically with the
+        // corpus (the fullgate probe's 7.3× at 10× data); re-training with
+        // nlist ∝ corpus restores per-cell work — the sizing rule the
+        // operator's caller owns at deploy time.
+        // usage: knngraph_nlist[:mult] — times knnGraph on the scaled
+        // corpus with nlist ∈ {8, 8·√mult, 8·mult}.
+        import graft.ops.Ann
+        val mult = s.split(':').drop(1).headOption.map(_.toInt).getOrElse(10)
+        val scaled = buildScaledDir(spark, sfDir, mult)
+        val e = Tables.read(spark, scaled, "embeddings")
+        Seq(8, 8 * math.sqrt(mult).round.toInt, 8 * mult).distinct.foreach { nl =>
+          spark.catalog.clearCache()
+          val cents = Ann.ivfCentroidsFromDf(
+            Ann.ivfTrain(e, "embedding", nlist = nl))
+          val t0 = System.nanoTime()
+          val n = Ann.knnGraph(e, "vec_id", "embedding", k = 5, cents,
+            nprobe = 2, rankOnRoundedTo = Some(6)).count()
+          println(f"PROFILE knngraph_nlist nlist=$nl " +
+            f"t=${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+        }
       case "ivf_vs_brute" =>
         val b = SparkEntry.queries("p_knn_brute")(spark, sfDir).collect()
           .map(_.toString).toSet

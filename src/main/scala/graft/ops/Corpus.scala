@@ -235,7 +235,26 @@ object Corpus {
       bpeMerges: Option[Seq[(String, String)]] = None,
       byteLevel: Boolean = false,
       repsOpt: Option[DataFrame] = None,
-      spansOpt: Option[DataFrame] = None): DataFrame = {
+      spansOpt: Option[DataFrame] = None): DataFrame =
+    curateCore(docs, idCol, textCol, width, pplKeepBelow, tokenBudget,
+      bpeMerges, byteLevel, repsOpt, spansOpt)
+      .select(col(idCol), col("n_tok"), col("avg_nll"), col("cum_tok"))
+
+  /** [[curate]] carrying each selected doc's CLEANED text — the frame
+    * downstream tokenize/pack stages consume ([[trainManifest]]).
+    */
+  def curateWithText(docs: DataFrame, idCol: String, textCol: String,
+      width: Int = 30, pplKeepBelow: Double = 3.43,
+      tokenBudget: Long = 6000L): DataFrame =
+    curateCore(docs, idCol, textCol, width, pplKeepBelow, tokenBudget,
+      None, false, None, None)
+
+  private def curateCore(docs: DataFrame, idCol: String, textCol: String,
+      width: Int, pplKeepBelow: Double, tokenBudget: Long,
+      bpeMerges: Option[Seq[(String, String)]],
+      byteLevel: Boolean,
+      repsOpt: Option[DataFrame],
+      spansOpt: Option[DataFrame]): DataFrame = {
     val audit = TextOps.gopherAudit(docs, idCol, textCol, minStopwords = 1)
     // `passed` feeds both the dedup-rep build and the survivor join;
     // `cleaned` feeds both the LM scoring and the token recount — each is
@@ -284,9 +303,35 @@ object Corpus {
         withTok.withColumn("__q", -col("avg_nll")),
         idCol, "n_tok", "__q", tokenBudget)
       .join(withTok, Seq(idCol))
+      .join(cleaned.select(col(idCol), col("clean_text")), Seq(idCol))
       .select(col(idCol), col("n_tok"), col("avg_nll"),
-        col("cum_tok").cast("long").as("cum_tok"))
+        col("cum_tok").cast("long").as("cum_tok"), col("clean_text"))
     graft.Exec.releaseOnUnreachable(
       graft.Exec.releaseOnUnreachable(out, passed), cleaned)
+  }
+
+  /** Raw corpus → TRAINING BATCHES, one call: curate (gopher → exact
+    * dedup → span removal → perplexity filter → token budget), id-encode
+    * the selected docs' CLEANED text under the learned merges, pack into
+    * fixed-length sequences ([[Packing.packTokenIds]] — EOS terminators,
+    * distributed prefix-sum offsets), and assign the deterministic
+    * per-epoch training order ([[Packing.epochOrder]]). Every stage is
+    * the already-gated operator; the composition is what a trainer's
+    * data loader actually consumes. Returns one row per
+    * (epoch, sequence): (epoch, seq_id, ord, n_tok, n_docs, id_sum,
+    * doc_min, doc_max).
+    */
+  def trainManifest(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], seqLen: Int = 128,
+      epochs: Int = 2, width: Int = 30, pplKeepBelow: Double = 3.43,
+      tokenBudget: Long = 6000L): DataFrame = {
+    val sel = curateWithText(docs, idCol, textCol, width, pplKeepBelow,
+      tokenBudget)
+      .select(col(idCol), col("clean_text").as(textCol))
+    val seqs = Packing.packTokenIds(sel, idCol, textCol, merges, seqLen)
+    Packing.epochOrder(seqs.select(col("seq_id")), "seq_id", epochs)
+      .join(seqs, Seq("seq_id"))
+      .select(col("epoch"), col("seq_id"), col("ord"), col("n_tok"),
+        col("n_docs"), col("id_sum"), col("doc_min"), col("doc_max"))
   }
 }

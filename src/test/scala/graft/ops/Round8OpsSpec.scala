@@ -267,6 +267,31 @@ class Round8OpsSpec extends SparkSpec {
     so.map(_._3).sorted.toSeq shouldBe (0L until seqs.count())
   }
 
+  test("trainManifest invariants: token conservation, full sequences, per-epoch bijection") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val merges = Bpe.learnMerges(docs, "doc_id", "text", numMerges = 10)
+    val m = Corpus.trainManifest(docs, "doc_id", "text", merges,
+      seqLen = 128, epochs = 2)
+      .as[(Int, Long, Long, Long, Long, Long, Long, Long)].collect()
+    val e1 = m.filter(_._1 == 1)
+    // token conservation: Σ seq n_tok == Σ selected-doc BPE tokens + EOS/doc
+    val sel = Corpus.curateWithText(docs, "doc_id", "text")
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val expTok = Bpe.docTokenCounts(sel, "doc_id", "text", merges)
+      .agg(sum(col("n_bpe_tok"))).collect().head.getLong(0) + sel.count()
+    e1.map(_._4).sum shouldBe expTok
+    // every sequence full except at most the last
+    e1.map(_._4).count(_ != 128L) should be <= 1
+    // both epochs cover the same sequence set with a dense 0-based order,
+    // in genuinely different permutations
+    val e2 = m.filter(_._1 == 2)
+    e1.map(_._2).toSet shouldBe e2.map(_._2).toSet
+    e1.map(_._3).sorted.toSeq shouldBe (0L until e1.length)
+    e1.sortBy(_._3).map(_._2).toSeq should not be
+      e2.sortBy(_._3).map(_._2).toSeq
+  }
+
   test("recallAtK: self-recall is 1; disjoint approx is 0") {
     val q = embeddings.where(col("vec_id") < 10)
     val exact = Ann.bruteTopK(embeddings, q, "vec_id", "embedding", k = 5,
