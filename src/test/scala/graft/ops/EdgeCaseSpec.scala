@@ -168,4 +168,49 @@ class EdgeCaseSpec extends SparkSpec {
     Dedup.incrementalLshPairs(docs, "doc_id", "text", idx,
       emptyDocs.select(col("doc_id"))).count() shouldBe 0L
   }
+
+  test("round-9 ops on empty and degenerate inputs") {
+    import graft.functions.WordPieceFns
+    // WordPiece: empty word -> empty pieces; empty vocab -> [UNK]
+    val w = Seq("", "ab").toDF("word")
+    val enc = w.select(col("word"),
+      WordPieceFns.encodeNative(col("word"), Seq("a", "##b")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    enc("") shouldBe Seq()
+    enc("ab") shouldBe Seq("a", "##b")
+    w.where(col("word") === "ab")
+      .select(WordPieceFns.encodeNative(col("word"), Seq.empty).as("t"))
+      .collect().head.getSeq[String](0) shouldBe Seq("[UNK]")
+    // knnGraph on a single vector: no self-edges -> empty graph
+    val one = Seq((1L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    Ann.knnGraph(one, "vec_id", "embedding", k = 3, cents)
+      .count() shouldBe 0L
+    // nearestCells with n > nCells returns all cells, ranked
+    one.select(graft.functions.VectorFns.nearestCellsNative(
+        col("embedding").cast("array<double>"), cents, 6, 10).as("c"))
+      .collect().head.getSeq[Int](0) shouldBe Seq(0, 1)
+    // epochOrder on an empty frame: empty, not a crash
+    Packing.epochOrder(one.where(col("vec_id") < 0).select("vec_id"),
+      "vec_id", epochs = 2).count() shouldBe 0L
+    // hardNegatives when every label matches: no negatives exist
+    val same = Seq((1L, Seq(1.0, 0.0), 7), (2L, Seq(0.9, 0.1), 7))
+      .toDF("vec_id", "embedding", "label")
+    Ann.hardNegatives(same, same, "vec_id", "embedding", "label", k = 3)
+      .count() shouldBe 0L
+    // imageNearDupPairs on a single image: no pairs
+    val png = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    Multimodal.imageNearDupPairs(
+      Seq((1L, png)).toDF("media_id", "payload")).count() shouldBe 0L
+    // trainManifest when the budget selects nothing: empty manifest
+    val tiny = Seq((1L, "too short")).toDF("doc_id", "text")
+    Corpus.trainManifest(tiny, "doc_id", "text",
+      Seq(("t", "o")), seqLen = 8, epochs = 1).count() shouldBe 0L
+  }
 }
