@@ -309,6 +309,16 @@ class PlanSpec extends SparkSpec {
     p.collect { case b: BroadcastNestedLoopJoinExec => b } shouldBe empty
   }
 
+  test("epochOrder: no single-partition exchange — the global rank is the distributed prefix sum") {
+    import graft.ops.Packing
+    val docs = Tables.read(spark, sf, "documents")
+    val p = plan(Packing.epochOrder(docs.select("doc_id"), "doc_id", 2))
+    p.collect {
+      case s: ShuffleExchangeLike
+        if s.outputPartitioning.numPartitions == 1 => s
+    } shouldBe empty
+  }
+
   test("knnGraph: unhinted equi-join on the cell key — no forced broadcast, no product") {
     import graft.ops.Ann
     val emb = Tables.read(spark, sf, "embeddings")

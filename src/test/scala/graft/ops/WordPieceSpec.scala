@@ -69,6 +69,51 @@ class WordPieceSpec extends SparkSpec {
     out.foreach(r => r.getString(1) shouldBe r.getString(0))
   }
 
+  test("codegen encode == driver-side reference walk, seeded random words and vocabs") {
+    def refEncode(word: String, vocab: Set[String], maxCore: Int): Seq[String] = {
+      if (word.isEmpty) return Seq.empty
+      var pos = 0
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (pos < word.length) {
+        val hit = (math.min(maxCore, word.length - pos) to 1 by -1).iterator
+          .map { l =>
+            val core = word.substring(pos, pos + l)
+            if (pos == 0) core else "##" + core
+          }
+          .find(vocab.contains)
+        hit match {
+          case None => return Seq("[UNK]")
+          case Some(p) =>
+            out += p
+            pos += (if (p.startsWith("##")) p.length - 2 else p.length)
+        }
+      }
+      out.toSeq
+    }
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val alpha = "abcd"
+      def randStr(n: Int) =
+        (1 to n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      // vocab: a random subset of short strings in both forms (plus the
+      // full alphabet at start form only — [UNK] must fire mid-word too)
+      val pieces = (Seq("a", "b", "c") ++
+        (1 to 12).map(_ => randStr(1 + rnd.nextInt(3)))).distinct
+          .flatMap(s => Seq(s) ++
+            (if (rnd.nextBoolean()) Seq("##" + s) else Seq.empty))
+      val maxCore = pieces.map(p =>
+        if (p.startsWith("##")) p.length - 2 else p.length).max
+      val words = (1 to 60).map(_ => randStr(1 + rnd.nextInt(8))).distinct
+      val got = words.toDF("word")
+        .select(col("word"),
+          graft.functions.WordPieceFns.encodeNative(col("word"), pieces).as("t"))
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+      words.foreach { w =>
+        got(w) shouldBe refEncode(w, pieces.toSet, maxCore)
+      }
+    }
+  }
+
   test("tokenFreq weights distinct-word encodings by occurrence count") {
     val docs = Seq((1L, "aa aa b"), (2L, "aa")).toDF("doc_id", "text")
     val vocab = Seq("[UNK]", "a", "b", "aa", "##a", "##b", "##aa")
