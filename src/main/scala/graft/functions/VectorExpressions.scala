@@ -145,6 +145,21 @@ object VectorExprUtil {
     s
   }
 
+  /** SDC lookup-sum: Σ_j tables[j·k² + c1_j·k + c2_j], j ascending (the
+    * HOF-equivalent summation order).
+    */
+  def sdcScore(c1: ArrayData, c2: ArrayData, tables: Array[Double],
+      k: Int): Double = {
+    val m = c1.numElements()
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      s += tables(j * k * k + c1.getInt(j) * k + c2.getInt(j))
+      j += 1
+    }
+    s
+  }
+
   /** Top-`n` nearest cells ranked by (round(|c|² − 2·v·c, roundScale) asc,
     * cid asc) — the multi-cell probe of [[nearestCell]] for corpus-scale
     * query sides (kNN-graph construction), where the per-row HOF sort of
@@ -399,6 +414,36 @@ case class AdcScore(left: Expression, right: Expression)
       newRight: Expression): AdcScore = copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd symmetric-distance (SDC) lookup-sum over TWO code arrays —
+  * the per-PAIR screen of PQ-coded SemDeDup: Σ_j T_j[c1_j][c2_j] with the
+  * m×k×k subspace dot tables flattened as a plan reference object.
+  * Summation order matches the HOF form it replaces (j ascending), so the
+  * rounded screen values are bit-identical. `tables` is an IndexedSeq for
+  * structural equality (the [[BpeEncodeExpr]] canonicalization argument —
+  * an Array field would compare by reference and break plan-cache dedup).
+  */
+case class SdcScore(left: Expression, right: Expression,
+    tables: IndexedSeq[Double], k: Int)
+    extends BinaryExpression {
+  @transient private lazy val flat: Array[Double] = tables.toArray
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_sdc_score"
+
+  override def nullSafeEval(c1: Any, c2: Any): Any =
+    VectorExprUtil.sdcScore(c1.asInstanceOf[ArrayData],
+      c2.asInstanceOf[ArrayData], flat, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("sdcTables", flat, "double[]")
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorExprUtil.sdcScore($a, $b, $tRef, $k)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SdcScore = copy(left = newLeft, right = newRight)
+}
+
 /** Codegen'd multi-cell probe: ARRAY<DOUBLE> vector → ARRAY<INT> of the
   * `n` nearest centroid ids, (distance, cid)-ordered — the query-side
   * assignment of kNN-graph construction, where the "query" set is the
@@ -500,6 +545,16 @@ object VectorFns {
   def adcNative(codes: Column, table: Column): Column =
     ColumnShim.column(AdcScore(
       ColumnShim.expression(codes), ColumnShim.expression(table)))
+
+  /** Codegen'd SDC lookup-sum over two code columns with the m×k×k
+    * subspace dot tables embedded (flattened j·k²+a·k+b layout).
+    */
+  def sdcNative(c1: Column, c2: Column, tables: Seq[Seq[Seq[Double]]]): Column = {
+    val k = tables.head.length
+    ColumnShim.column(SdcScore(
+      ColumnShim.expression(c1), ColumnShim.expression(c2),
+      tables.flatMap(_.flatten).toVector, k))
+  }
 
   /** Codegen'd nearest-centroid id of an ARRAY<DOUBLE> vector. */
   def nearestCellNative(vec: Column, centroids: Array[Array[Double]],

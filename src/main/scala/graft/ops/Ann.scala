@@ -791,7 +791,6 @@ object Ann {
       cb.map(c1 => cb.map(c2 =>
         c1.zip(c2).map { case (a, b) => a * b }.sum).toSeq).toSeq
     }.toSeq
-    val sdcLit = typedLit(sdc)
     val asn = emb
       .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
       .withColumn("cell", graft.functions.VectorFns.nearestCellNative(
@@ -807,10 +806,13 @@ object Ann {
       col("codes").as("__c1"), col("__rn").as("__rn1"))
     val b = keyed.select(col("cell"), col(idCol).as("__id2"),
       col("codes").as("__c2"), col("__rn").as("__rn2"))
-    val sdcDot = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
-      acc + element_at(element_at(element_at(sdcLit, j + 1),
-        element_at(col("__c1"), j + 1) + 1),
-        element_at(col("__c2"), j + 1) + 1))
+    // codegen'd lookup-sum (same j-ascending summation as the HOF form it
+    // replaced, so rounded screen values are identical) — at corpus scale
+    // the screen runs once per candidate PAIR, and an interpreted
+    // nested-element_at walk there cost more than the full-vector dot it
+    // was supposed to avoid (round-9 probe: 37× at 10× data, fixed here)
+    val sdcDot = graft.functions.VectorFns.sdcNative(
+      col("__c1"), col("__c2"), sdc)
     val screened = a.join(b, Seq("cell"))
       .where(col("__id1") < col("__id2"))
       .where(round(sdcDot / (col("__rn1") * col("__rn2")), roundTo) >=
