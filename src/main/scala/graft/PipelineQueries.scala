@@ -954,6 +954,24 @@ object PipelineQueries {
       graft.streaming.CurateMaintainer.curated(dd, "doc_id", "text",
         s"$base/state")
     }),
+    // STREAMING training manifest: the full raw-corpus→training-batches
+    // composition with its two corpus-scan stages fed from the SAME
+    // accumulated curation state as s_curate (waves + mid-stream fold) —
+    // must hash-equal the one-shot p_train_manifest oracle.
+    "s_train_manifest" -> ((s, d) => {
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_manifest", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      val dd = docs(s, d).select(col("doc_id"), col("text"))
+      (0 until 3).foreach { g =>
+        graft.streaming.CurateMaintainer.processBatch(
+          dd.where(col("doc_id") % 3 === g), g.toLong, "doc_id", "text",
+          30, s"$base/state")
+        if (g == 1) graft.streaming.CurateMaintainer.compact(s, s"$base/state")
+      }
+      graft.streaming.CurateMaintainer.manifest(dd, "doc_id", "text",
+        s"$base/state", bpeMergesFor(s, d), seqLen = 128, epochs = 2)
+    }),
     "s_dedup_exact" -> ((s, d) => {
       val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         "graft_stream_exact", Tables.runKey(d)).toString
@@ -1881,6 +1899,106 @@ object PipelineQueries {
       |),
       |encoded AS (SELECT word, s FROM enc WHERE rk = (SELECT count(*) FROM m))"""
       .stripMargin
+
+  private def trainManifestOracle: String =
+    s"""WITH RECURSIVE $curateCtesCore,
+         |kept2 AS (
+         |  SELECT p.doc_id, p.avg_nll, len(ct.toks) AS n_tok
+         |  FROM ppl p JOIN ct USING (doc_id) WHERE p.avg_nll <= 3.43
+         |),
+         |selc AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |      sum(n_tok) OVER (ORDER BY avg_nll, doc_id) AS cum_tok
+         |    FROM kept2)
+         |  WHERE cum_tok <= 6000
+         |),
+         |pd AS (
+         |  SELECT c.doc_id, c.ctext AS ptext
+         |  FROM cleaned c JOIN selc USING (doc_id)
+         |),
+         |mP AS (SELECT rank, l, r FROM '__BPE_ARTIFACTS__/merges/*.parquet'),
+         |occP AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_extract_all(lower(ptext), '[a-z0-9]+')) AS word,
+         |    generate_subscripts(
+         |      regexp_extract_all(lower(ptext), '[a-z0-9]+'), 1) AS wpos
+         |  FROM pd
+         |),
+         |vocabP AS (SELECT DISTINCT word FROM occP),
+         |wrappedP AS (
+         |  SELECT word,
+         |    chr(2) ||
+         |    array_to_string(string_split(word, ''), chr(3)||chr(2)) ||
+         |    chr(3) AS s2
+         |  FROM vocabP
+         |),
+         |encP AS (
+         |  SELECT word, s2, 0 AS rk FROM wrappedP
+         |  UNION ALL
+         |  SELECT e.word,
+         |    replace(e.s2, chr(2)||mP.l||chr(3)||chr(2)||mP.r||chr(3),
+         |            chr(2)||mP.l||mP.r||chr(3)),
+         |    e.rk + 1
+         |  FROM encP e JOIN mP ON mP.rank = e.rk + 1
+         |),
+         |encodedP AS (
+         |  SELECT word, s2 FROM encP WHERE rk = (SELECT count(*) FROM mP)
+         |),
+         |toksP AS (
+         |  SELECT word,
+         |    unnest(string_split(substr(s2, 2, len(s2) - 2), chr(3)||chr(2)))
+         |      AS token,
+         |    generate_subscripts(
+         |      string_split(substr(s2, 2, len(s2) - 2), chr(3)||chr(2)), 1)
+         |      AS tposp
+         |  FROM encodedP
+         |),
+         |charsP AS (
+         |  SELECT DISTINCT unnest(string_split(word, '')) AS token FROM vocabP
+         |),
+         |candP AS (
+         |  SELECT 0 AS grp, token, token AS o1, 0 AS o2 FROM charsP
+         |  UNION ALL
+         |  SELECT 1, l || r, '', rank FROM mP
+         |),
+         |numberedP AS (
+         |  SELECT token, row_number() OVER (ORDER BY grp, o2, o1) - 1 AS tid
+         |  FROM candP
+         |),
+         |idsP AS (SELECT token, min(tid) AS tid FROM numberedP GROUP BY token),
+         |vP AS (SELECT max(tid) + 1 AS eos FROM idsP),
+         |streamP AS (
+         |  SELECT o.doc_id, o.wpos, t.tposp, idsP.tid
+         |  FROM occP o JOIN toksP t USING (word) JOIN idsP USING (token)
+         |  UNION ALL
+         |  SELECT pd.doc_id, 2147483647, 1, vP.eos
+         |  FROM pd CROSS JOIN vP
+         |),
+         |gP AS (
+         |  SELECT doc_id, tid,
+         |    row_number() OVER (ORDER BY doc_id, wpos, tposp) - 1 AS gpos
+         |  FROM streamP
+         |),
+         |seqsum AS (
+         |  SELECT CAST(gpos // 128 AS BIGINT) AS seq_id,
+         |    count(*) AS n_tok, count(DISTINCT doc_id) AS n_docs,
+         |    CAST(sum(tid) AS BIGINT) AS id_sum,
+         |    min(doc_id) AS doc_min, max(doc_id) AS doc_max
+         |  FROM gP GROUP BY 1
+         |),
+         |esM AS (SELECT unnest(generate_series(1, 2)) AS epoch),
+         |eoM AS (
+         |  SELECT CAST(esM.epoch AS INT) AS epoch, ss.seq_id,
+         |    row_number() OVER (PARTITION BY esM.epoch
+         |      ORDER BY md5(CAST(ss.seq_id AS VARCHAR) || ':' ||
+         |                   CAST(esM.epoch AS VARCHAR)), ss.seq_id)
+         |      - 1 AS ord
+         |  FROM seqsum ss CROSS JOIN esM
+         |)
+         |SELECT eoM.epoch, eoM.seq_id, CAST(eoM.ord AS BIGINT) AS ord,
+         |  ss.n_tok, ss.n_docs, ss.id_sum, ss.doc_min, ss.doc_max
+         |FROM eoM JOIN seqsum ss USING (seq_id)""".stripMargin
 
   /** WordPiece greedy longest-match re-derivation from the persisted
     * vocabulary: `best` precomputes the longest matching piece core per
@@ -3529,105 +3647,9 @@ object PipelineQueries {
     "s_curate" -> curateOracle,
     "q_sql_curate" -> curateOracle,
     "p_curate_bpe" -> curateBpeOracle,
-    "p_train_manifest" ->
-      s"""WITH RECURSIVE $curateCtesCore,
-         |kept2 AS (
-         |  SELECT p.doc_id, p.avg_nll, len(ct.toks) AS n_tok
-         |  FROM ppl p JOIN ct USING (doc_id) WHERE p.avg_nll <= 3.43
-         |),
-         |selc AS (
-         |  SELECT doc_id FROM (
-         |    SELECT doc_id,
-         |      sum(n_tok) OVER (ORDER BY avg_nll, doc_id) AS cum_tok
-         |    FROM kept2)
-         |  WHERE cum_tok <= 6000
-         |),
-         |pd AS (
-         |  SELECT c.doc_id, c.ctext AS ptext
-         |  FROM cleaned c JOIN selc USING (doc_id)
-         |),
-         |mP AS (SELECT rank, l, r FROM '__BPE_ARTIFACTS__/merges/*.parquet'),
-         |occP AS (
-         |  SELECT doc_id,
-         |    unnest(regexp_extract_all(lower(ptext), '[a-z0-9]+')) AS word,
-         |    generate_subscripts(
-         |      regexp_extract_all(lower(ptext), '[a-z0-9]+'), 1) AS wpos
-         |  FROM pd
-         |),
-         |vocabP AS (SELECT DISTINCT word FROM occP),
-         |wrappedP AS (
-         |  SELECT word,
-         |    chr(2) ||
-         |    array_to_string(string_split(word, ''), chr(3)||chr(2)) ||
-         |    chr(3) AS s2
-         |  FROM vocabP
-         |),
-         |encP AS (
-         |  SELECT word, s2, 0 AS rk FROM wrappedP
-         |  UNION ALL
-         |  SELECT e.word,
-         |    replace(e.s2, chr(2)||mP.l||chr(3)||chr(2)||mP.r||chr(3),
-         |            chr(2)||mP.l||mP.r||chr(3)),
-         |    e.rk + 1
-         |  FROM encP e JOIN mP ON mP.rank = e.rk + 1
-         |),
-         |encodedP AS (
-         |  SELECT word, s2 FROM encP WHERE rk = (SELECT count(*) FROM mP)
-         |),
-         |toksP AS (
-         |  SELECT word,
-         |    unnest(string_split(substr(s2, 2, len(s2) - 2), chr(3)||chr(2)))
-         |      AS token,
-         |    generate_subscripts(
-         |      string_split(substr(s2, 2, len(s2) - 2), chr(3)||chr(2)), 1)
-         |      AS tposp
-         |  FROM encodedP
-         |),
-         |charsP AS (
-         |  SELECT DISTINCT unnest(string_split(word, '')) AS token FROM vocabP
-         |),
-         |candP AS (
-         |  SELECT 0 AS grp, token, token AS o1, 0 AS o2 FROM charsP
-         |  UNION ALL
-         |  SELECT 1, l || r, '', rank FROM mP
-         |),
-         |numberedP AS (
-         |  SELECT token, row_number() OVER (ORDER BY grp, o2, o1) - 1 AS tid
-         |  FROM candP
-         |),
-         |idsP AS (SELECT token, min(tid) AS tid FROM numberedP GROUP BY token),
-         |vP AS (SELECT max(tid) + 1 AS eos FROM idsP),
-         |streamP AS (
-         |  SELECT o.doc_id, o.wpos, t.tposp, idsP.tid
-         |  FROM occP o JOIN toksP t USING (word) JOIN idsP USING (token)
-         |  UNION ALL
-         |  SELECT pd.doc_id, 2147483647, 1, vP.eos
-         |  FROM pd CROSS JOIN vP
-         |),
-         |gP AS (
-         |  SELECT doc_id, tid,
-         |    row_number() OVER (ORDER BY doc_id, wpos, tposp) - 1 AS gpos
-         |  FROM streamP
-         |),
-         |seqsum AS (
-         |  SELECT CAST(gpos // 128 AS BIGINT) AS seq_id,
-         |    count(*) AS n_tok, count(DISTINCT doc_id) AS n_docs,
-         |    CAST(sum(tid) AS BIGINT) AS id_sum,
-         |    min(doc_id) AS doc_min, max(doc_id) AS doc_max
-         |  FROM gP GROUP BY 1
-         |),
-         |esM AS (SELECT unnest(generate_series(1, 2)) AS epoch),
-         |eoM AS (
-         |  SELECT CAST(esM.epoch AS INT) AS epoch, ss.seq_id,
-         |    row_number() OVER (PARTITION BY esM.epoch
-         |      ORDER BY md5(CAST(ss.seq_id AS VARCHAR) || ':' ||
-         |                   CAST(esM.epoch AS VARCHAR)), ss.seq_id)
-         |      - 1 AS ord
-         |  FROM seqsum ss CROSS JOIN esM
-         |)
-         |SELECT eoM.epoch, eoM.seq_id, CAST(eoM.ord AS BIGINT) AS ord,
-         |  ss.n_tok, ss.n_docs, ss.id_sum, ss.doc_min, ss.doc_max
-         |FROM eoM JOIN seqsum ss USING (seq_id)""".stripMargin,
+    "p_train_manifest" -> trainManifestOracle,
+    // the streamed derivation must equal the one-shot manifest exactly
+    "s_train_manifest" -> trainManifestOracle,
     "p_epoch_order" ->
       s"""WITH es AS (SELECT unnest(generate_series(1, 3)) AS epoch),
          |eo AS (

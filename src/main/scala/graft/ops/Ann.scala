@@ -515,6 +515,24 @@ object Ann {
     * train-once/scan-many split (write this once; scans and external SQL
     * verifiers re-derive cell assignment from the parquet alone).
     */
+  /** [[ivfTrain]] with nlist picked FROM the corpus: ⌈N / targetPerCell⌉
+    * clamped to [2, maxNlist] — the IVF sizing rule as code. A quantizer
+    * whose cell count is pinned while the corpus grows makes every
+    * within-cell pairwise op (SemDeDup, kNN graph) quadratic; sizing
+    * cells to a bounded occupancy keeps them linear (measured:
+    * tools/probe_r9_new_sf1.log, 70.7s → 3.6s at 10× data). Returns
+    * (centroids frame, chosen nlist) so callers can persist both.
+    */
+  def ivfTrainSized(corpus: DataFrame, vecCol: String,
+      targetPerCell: Int = 256, maxNlist: Int = 65536, seed: Long = 42L,
+      kmeansIter: Int = 8): (DataFrame, Int) = {
+    require(targetPerCell >= 1, "targetPerCell must be >= 1")
+    val n = corpus.count()
+    val nlist = math.min(maxNlist.toLong,
+      math.max(2L, (n + targetPerCell - 1) / targetPerCell)).toInt
+    (ivfTrain(corpus, vecCol, nlist, seed, kmeansIter), nlist)
+  }
+
   def ivfTrain(corpus: DataFrame, vecCol: String, nlist: Int = 16,
       seed: Long = 42L, kmeansIter: Int = 8,
       sampleN: Int = 50000): DataFrame = {

@@ -242,12 +242,16 @@ object Corpus {
 
   /** [[curate]] carrying each selected doc's CLEANED text — the frame
     * downstream tokenize/pack stages consume ([[trainManifest]]).
+    * `repsOpt`/`spansOpt`: the same incremental-derivation hooks as
+    * [[curate]] (streamed state supplies dedup reps and duplicated spans).
     */
   def curateWithText(docs: DataFrame, idCol: String, textCol: String,
       width: Int = 30, pplKeepBelow: Double = 3.43,
-      tokenBudget: Long = 6000L): DataFrame =
+      tokenBudget: Long = 6000L,
+      repsOpt: Option[DataFrame] = None,
+      spansOpt: Option[DataFrame] = None): DataFrame =
     curateCore(docs, idCol, textCol, width, pplKeepBelow, tokenBudget,
-      None, false, None, None)
+      None, false, repsOpt, spansOpt)
 
   private def curateCore(docs: DataFrame, idCol: String, textCol: String,
       width: Int, pplKeepBelow: Double, tokenBudget: Long,
@@ -324,10 +328,18 @@ object Corpus {
   def trainManifest(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)], seqLen: Int = 128,
       epochs: Int = 2, width: Int = 30, pplKeepBelow: Double = 3.43,
-      tokenBudget: Long = 6000L): DataFrame = {
-    val sel = curateWithText(docs, idCol, textCol, width, pplKeepBelow,
-      tokenBudget)
-      .select(col(idCol), col("clean_text").as(textCol))
+      tokenBudget: Long = 6000L): DataFrame =
+    trainManifestFrom(
+      curateWithText(docs, idCol, textCol, width, pplKeepBelow, tokenBudget)
+        .select(col(idCol), col("clean_text").as(textCol)),
+      idCol, textCol, merges, seqLen, epochs)
+
+  /** [[trainManifest]]'s pack + epoch-order tail over an already-curated
+    * (idCol, textCol) selection — split out so the streamed derivation
+    * ([[graft.streaming.CurateMaintainer.manifest]]) shares it verbatim.
+    */
+  def trainManifestFrom(sel: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], seqLen: Int, epochs: Int): DataFrame = {
     val seqs = Packing.packTokenIds(sel, idCol, textCol, merges, seqLen)
     Packing.epochOrder(seqs.select(col("seq_id")), "seq_id", epochs)
       .join(seqs, Seq("seq_id"))

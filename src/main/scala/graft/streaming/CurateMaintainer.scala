@@ -123,6 +123,29 @@ object CurateMaintainer {
         .withColumnRenamed("doc_id", idCol)))
   }
 
+  /** The TRAINING MANIFEST as of the last committed batch — identical to
+    * one-shot [[Corpus.trainManifest]] over everything ingested: the
+    * curated selection (with cleaned text) derives from state, then the
+    * shared pack + epoch-order tail runs over it verbatim.
+    */
+  def manifest(docs: DataFrame, idCol: String, textCol: String,
+      stateDir: String, merges: Seq[(String, String)],
+      seqLen: Int = 128, epochs: Int = 2, width: Int = 30,
+      pplKeepBelow: Double = 3.43, tokenBudget: Long = 6000L): DataFrame = {
+    val spark = docs.sparkSession
+    spark.catalog.refreshByPath(stateDir)
+    val reps = ExactDedupMaintainer
+      .representatives(spark, s"$stateDir/exact")
+      .select(col("doc_id").as(idCol))
+    val sel = Corpus.curateWithText(docs, idCol, textCol, width,
+        pplKeepBelow, tokenBudget,
+        repsOpt = Some(reps),
+        spansOpt = Some(spans(spark, stateDir, width)
+          .withColumnRenamed("doc_id", idCol)))
+      .select(col(idCol), col("clean_text").as(textCol))
+    Corpus.trainManifestFrom(sel, idCol, textCol, merges, seqLen, epochs)
+  }
+
   private def readMap(spark: SparkSession, stateDir: String): DataFrame = {
     val dir = s"$stateDir/map"
     val maxC = BatchDirs.listDirs(dir, "c").lastOption

@@ -292,6 +292,21 @@ class Round8OpsSpec extends SparkSpec {
       e2.sortBy(_._3).map(_._2).toSeq
   }
 
+  test("ivfTrainSized: nlist tracks corpus size with clamps") {
+    val (c1, n1) = Ann.ivfTrainSized(embeddings, "embedding",
+      targetPerCell = 100)
+    n1 shouldBe 5 // 500 vectors / 100
+    c1.count() shouldBe 5L
+    val (_, n2) = Ann.ivfTrainSized(
+      embeddings.unionByName(embeddings.withColumn("vec_id",
+        col("vec_id") + 1000L)), "embedding", targetPerCell = 100)
+    n2 shouldBe 10 // cells grow with the corpus
+    Ann.ivfTrainSized(embeddings.limit(10), "embedding",
+      targetPerCell = 100)._2 shouldBe 2 // floor clamp
+    Ann.ivfTrainSized(embeddings, "embedding", targetPerCell = 1,
+      maxNlist = 32)._2 shouldBe 32 // ceiling clamp
+  }
+
   test("recallAtK: self-recall is 1; disjoint approx is 0") {
     val q = embeddings.where(col("vec_id") < 10)
     val exact = Ann.bruteTopK(embeddings, q, "vec_id", "embedding", k = 5,
