@@ -338,8 +338,14 @@ object Corpus {
     * (idCol, textCol) selection — split out so the streamed derivation
     * ([[graft.streaming.CurateMaintainer.manifest]]) shares it verbatim.
     */
-  def trainManifestFrom(sel: DataFrame, idCol: String, textCol: String,
+  def trainManifestFrom(selIn: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)], seqLen: Int, epochs: Int): DataFrame = {
+    // packing consumes the selection in several branches (vocabulary
+    // alphabet collect, distinct-word encode, per-doc EOS union) — each
+    // would re-run the whole curate tail (including LM scoring) without
+    // this; localCheckpoint so a state-derived selection stays
+    // cache-unmatchable (the CurateMaintainer rule)
+    val sel = graft.Exec.materializeLocal(selIn)
     val seqs = Packing.packTokenIds(sel, idCol, textCol, merges, seqLen)
     Packing.epochOrder(seqs.select(col("seq_id")), "seq_id", epochs)
       .join(seqs, Seq("seq_id"))
