@@ -322,6 +322,20 @@ object PipelineQueries {
         planes)
         .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
     }),
+    // Measured multi-probe LSH recall vs the exact cosine pair set — the
+    // p_ann_recall audit for the pair families, hash-pinned so the
+    // parameter claim in the comment above is a number, not prose.
+    "p_lsh_recall" -> ((s, d) => {
+      val e = emb(s, d)
+      val base = annArtifactBase(d)
+      Ann.lshPlanesDf(s, nTables = 8, bitsPerTable = 6, dim = 64)
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/lsh_planes")
+      val planes = Ann.lshPlanesFromDf(s.read.parquet(s"$base/lsh_planes"))
+      Ann.pairRecall(
+        Ann.lshMultiProbePairs(e, "vec_id", "embedding", threshold = 0.45,
+          planes),
+        Ann.cosinePairs(e, "vec_id", "embedding", threshold = 0.45))
+    }),
     "p_tfidf_top" -> ((s, d) =>
       TfIdf.topTerms(docs(s, d), "doc_id", "text", k = 3)),
     "p_repetition" -> ((s, d) =>
@@ -2495,6 +2509,53 @@ object PipelineQueries {
          |JOIN nrm n1 ON id1 = n1.vec_id
          |JOIN nrm n2 ON id2 = n2.vec_id
          |WHERE dot/(n1.n*n2.n) >= 0.45""".stripMargin,
+    "p_lsh_recall" ->
+      """WITH planes AS (
+        |  SELECT tbl, pid, p FROM '__ANN_ARTIFACTS__/lsh_planes/*.parquet'
+        |),
+        |e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |),
+        |bits AS (
+        |  SELECT e.vec_id, pl.tbl, pl.pid,
+        |    CASE WHEN round(list_inner_product(e.v, pl.p), 9) >= 0
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM e CROSS JOIN planes pl
+        |),
+        |cand AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2
+        |  FROM bits a JOIN bits b
+        |    ON a.tbl = b.tbl AND a.pid = b.pid AND a.vec_id < b.vec_id
+        |  GROUP BY a.tbl, a.vec_id, b.vec_id
+        |  HAVING sum(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) <= 1
+        |),
+        |cd AS (SELECT DISTINCT id1, id2 FROM cand),
+        |nrm AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS n FROM e),
+        |fnd AS (
+        |  SELECT cd.id1, cd.id2 FROM cd
+        |  JOIN e e1 ON cd.id1 = e1.vec_id
+        |  JOIN e e2 ON cd.id2 = e2.vec_id
+        |  JOIN nrm n1 ON cd.id1 = n1.vec_id
+        |  JOIN nrm n2 ON cd.id2 = n2.vec_id
+        |  WHERE list_inner_product(e1.v, e2.v)/(n1.n*n2.n) >= 0.45
+        |),
+        |tru AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  JOIN nrm na ON a.vec_id = na.vec_id
+        |  JOIN nrm nb ON b.vec_id = nb.vec_id
+        |  WHERE list_inner_product(a.v, b.v)/(na.n*nb.n) >= 0.45
+        |),
+        |hits AS (
+        |  SELECT count(*) AS n_hits FROM tru t
+        |  WHERE EXISTS (SELECT 1 FROM fnd
+        |    WHERE fnd.id1 = t.id1 AND fnd.id2 = t.id2)
+        |)
+        |SELECT (SELECT count(*) FROM tru) AS n_true,
+        |  (SELECT count(*) FROM fnd) AS n_found, n_hits,
+        |  round(n_hits * 1.0 / (SELECT count(*) FROM tru), 6) AS recall
+        |FROM hits""".stripMargin,
     "p_lsh_multiprobe" ->
       """WITH planes AS (
         |  SELECT tbl, pid, p FROM '__ANN_ARTIFACTS__/lsh_planes/*.parquet'

@@ -705,6 +705,22 @@ object Ann {
       .select(col("query_id"), col("__l").as("pred_label"), col("votes"))
   }
 
+  /** Pair-set recall of an approximate near-dup result against the exact
+    * one — the [[recallAtK]] audit for PAIR ops (LSH families): fraction
+    * of true pairs the approximate pass found. Inputs are (id1, id2)
+    * frames with id1 < id2; one row out.
+    */
+  def pairRecall(found: DataFrame, exact: DataFrame): DataFrame = {
+    val f = found.select(col("id1"), col("id2"))
+    val e = exact.select(col("id1"), col("id2"))
+    val hits = e.join(f, Seq("id1", "id2"), "semi")
+    e.agg(count(lit(1)).as("n_true"))
+      .crossJoin(f.agg(count(lit(1)).as("n_found")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .select(col("n_true"), col("n_found"), col("n_hits"),
+        round(col("n_hits") / col("n_true"), 6).as("recall"))
+  }
+
   /** Recall@k of an approximate result against the exact one — the audit a
     * pipeline owner runs to pick (nlist, nprobe, m): fraction of exact
     * top-k edges the approximate search found. Both inputs are
