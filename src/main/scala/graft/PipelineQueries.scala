@@ -73,6 +73,24 @@ object PipelineQueries {
       v
     })
 
+  /** Byte-mode WordPiece vocabulary (hex-pair alphabet of the mixed-script
+    * corpus + the byte-BPE merge symbols), persisted for the byte walk
+    * oracle.
+    */
+  private val wpByteVocabCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  private def wpByteVocabFor(s: SparkSession, d: String): Seq[String] =
+    wpByteVocabCache.computeIfAbsent(d, _ => {
+      val v = graft.ops.WordPiece.vocabFromMerges(
+        graft.ops.WordPiece.corpusAlphabet(mixedDocs(s, d), "doc_id", "text",
+          byteLevel = true),
+        bpeByteMergesFor(s, d))
+      graft.ops.WordPiece.vocabDf(s, v).coalesce(1).write.mode("overwrite")
+        .parquet(bpeArtifactBase(d) + "/wp_vocab_bytes")
+      v
+    })
+
   /** One SemDeDup coarse-quantizer train per (JVM, sf dir), persisted so
     * the oracle re-derives cluster assignment from the SAME centroids —
     * the [[bpeMergesFor]] contract, for the embedding-cluster gates.
@@ -832,6 +850,17 @@ object PipelineQueries {
       graft.ops.WordPiece.tokenFreq(docs(s, d), "doc_id", "text",
         wpVocabFor(s, d))
         .orderBy(col("cnt").desc, col("tok")).limit(30)),
+    // BYTE-LEVEL WordPiece over the mixed-script corpus: pieces are
+    // hex-pair byte strings (byte-BPE's alphabet), the greedy walk
+    // advances in whole bytes, any script tokenizes (256-symbol floor) —
+    // the WordPiece face of the byte-BPE story.
+    "p_wordpiece_bytes" -> ((s, d) =>
+      graft.ops.WordPiece.encodeVocab(
+          graft.ops.Bpe.wordFreq(mixedDocs(s, d), "doc_id", "text",
+            byteLevel = true).select(col("word")),
+          wpByteVocabFor(s, d), byteLevel = true)
+        .select(col("word"), array_join(col("wp_toks"), " ").as("wp_toks"),
+          col("n_wp").cast("long").as("n_wp"))),
     // Canonical ingest normalization (native NFC codegen expression +
     // whitespace collapse + trim), exercised on a deterministically
     // "dirtied" input: combining-accent sequence + tab/newline runs spliced
@@ -3292,6 +3321,60 @@ object PipelineQueries {
     "p_wordpiece_encode" ->
       s"""WITH RECURSIVE $wordpieceCtes
          |SELECT word, wp_toks, n_wp FROM wp""".stripMargin,
+    "p_wordpiece_bytes" ->
+      s"""WITH RECURSIVE mixed AS (
+         |  SELECT doc_id,
+         |    text || ($mixedSqlList)[CAST(doc_id % ${MixedPhrases.length} AS INT) + 1]
+         |      AS text
+         |  FROM documents
+         |),
+         |wordsB AS (
+         |  SELECT DISTINCT unnest(regexp_extract_all(text, '\\S+')) AS word
+         |  FROM mixed
+         |),
+         |hx AS (SELECT word, hex(encode(word)) AS h FROM wordsB),
+         |coresB AS (
+         |  SELECT piece,
+         |    CASE WHEN piece LIKE '##%' THEN substr(piece, 3)
+         |         ELSE piece END AS core,
+         |    (piece NOT LIKE '##%') AS is_start
+         |  FROM '__BPE_ARTIFACTS__/wp_vocab_bytes/*.parquet'
+         |  WHERE piece <> '[UNK]'
+         |),
+         |pstnB AS (
+         |  SELECT word, h,
+         |    unnest(generate_series(1, CAST(length(h) AS INT), 2)) AS p
+         |  FROM hx
+         |),
+         |bestB AS (
+         |  SELECT ps.word, ps.p, max(length(c.core)) AS blen
+         |  FROM pstnB ps JOIN coresB c
+         |    ON substr(ps.h, ps.p, length(c.core)) = c.core
+         |   AND c.is_start = (ps.p = 1)
+         |  GROUP BY ps.word, ps.p
+         |),
+         |walkB AS (
+         |  SELECT word, h, 1 AS p, CAST('' AS VARCHAR) AS toks,
+         |    false AS failed
+         |  FROM hx
+         |  UNION ALL
+         |  SELECT w.word, w.h,
+         |    CAST(CASE WHEN b.blen IS NULL THEN length(w.h) + 1
+         |              ELSE w.p + b.blen END AS INT),
+         |    CASE WHEN b.blen IS NULL THEN w.toks
+         |         WHEN w.p = 1 THEN substr(w.h, w.p, b.blen)
+         |         ELSE w.toks || ' ##' || substr(w.h, w.p, b.blen) END,
+         |    b.blen IS NULL
+         |  FROM walkB w LEFT JOIN bestB b ON w.word = b.word AND w.p = b.p
+         |  WHERE w.p <= length(w.h) AND NOT w.failed
+         |)
+         |SELECT word,
+         |  CASE WHEN failed THEN '[UNK]' ELSE toks END AS wp_toks,
+         |  CAST(CASE WHEN failed THEN 1
+         |       ELSE length(toks) - length(replace(toks, ' ', '')) + 1 END
+         |    AS BIGINT) AS n_wp
+         |FROM walkB
+         |WHERE p = length(h) + 1""".stripMargin,
     "p_wordpiece_freq" ->
       s"""WITH RECURSIVE $wordpieceCtes,
          |wf AS (SELECT word, count(*) AS freq FROM occ GROUP BY word),

@@ -70,6 +70,47 @@ object WordPieceUtil {
     }
     new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
   }
+
+  private val HexDigits = "0123456789ABCDEF".toCharArray
+
+  /** Byte-level greedy encode: the word's UTF-8 bytes render as the
+    * uppercase hex-pair string (byte-BPE's symbol alphabet — DuckDB's
+    * hex(encode(word))), and the walk advances in whole BYTES: candidate
+    * cores are even-length hex substrings at even offsets, longest first,
+    * continuation pieces `##`-prefixed, whole-word `[UNK]` on any miss.
+    * `maxCoreBytes` bounds candidates in bytes (core chars / 2).
+    */
+  def encodeBytes(word: UTF8String, vocab: java.util.HashSet[UTF8String],
+      maxCoreBytes: Int): ArrayData = {
+    val bytes = word.getBytes
+    val nb = bytes.length
+    if (nb == 0) return new GenericArrayData(Array.empty[Any])
+    val hex = new Array[Char](nb * 2)
+    var i = 0
+    while (i < nb) {
+      val b = bytes(i) & 0xff
+      hex(i * 2) = HexDigits(b >>> 4)
+      hex(i * 2 + 1) = HexDigits(b & 0xf)
+      i += 1
+    }
+    val s = new String(hex)
+    val out = new java.util.ArrayList[UTF8String](4)
+    var p = 0 // byte offset
+    while (p < nb) {
+      var len = math.min(maxCoreBytes, nb - p) // bytes
+      var hit: UTF8String = null
+      while (hit == null && len >= 1) {
+        val core = UTF8String.fromString(s.substring(p * 2, (p + len) * 2))
+        val cand = if (p == 0) core else UTF8String.concat(ContU, core)
+        if (vocab.contains(cand)) hit = cand else len -= 1
+      }
+      if (hit == null)
+        return new GenericArrayData(Array[Any](UnkU))
+      out.add(hit)
+      p += len
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
 }
 
 /** Codegen'd WordPiece encode of a single word (STRING → ARRAY<STRING>
@@ -77,25 +118,33 @@ object WordPieceUtil {
   * vocabulary embedded. Vocab is a Seq for structural equality (the
   * [[BpeEncodeExpr]] canonicalization argument).
   */
-case class WordPieceEncodeExpr(child: Expression, vocab: Seq[String])
+case class WordPieceEncodeExpr(child: Expression, vocab: Seq[String],
+    byteLevel: Boolean = false)
     extends UnaryExpression {
   @transient private lazy val vocabSet: java.util.HashSet[UTF8String] =
     WordPieceUtil.buildVocab(vocab.iterator.map(UTF8String.fromString).toArray)
-  @transient private lazy val maxCore: Int =
-    if (vocab.isEmpty) 1
-    else vocab.iterator
-      .map(p => if (p.startsWith("##")) p.length - 2 else p.length).max
+  @transient private lazy val maxCore: Int = {
+    val maxChars =
+      if (vocab.isEmpty) 2
+      else vocab.iterator
+        .map(p => if (p.startsWith("##")) p.length - 2 else p.length).max
+    if (byteLevel) math.max(1, maxChars / 2) else maxChars
+  }
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_wordpiece_encode"
 
   override def nullSafeEval(a: Any): Any =
-    WordPieceUtil.encode(a.asInstanceOf[UTF8String], vocabSet, maxCore)
+    if (byteLevel)
+      WordPieceUtil.encodeBytes(a.asInstanceOf[UTF8String], vocabSet, maxCore)
+    else
+      WordPieceUtil.encode(a.asInstanceOf[UTF8String], vocabSet, maxCore)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val vRef = ctx.addReferenceObj("wpVocab", vocabSet, "java.util.HashSet")
+    val fn = if (byteLevel) "encodeBytes" else "encode"
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.WordPieceUtil.encode($c, $vRef, $maxCore)")
+      s"graft.functions.WordPieceUtil.$fn($c, $vRef, $maxCore)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): WordPieceEncodeExpr =
@@ -105,8 +154,11 @@ case class WordPieceEncodeExpr(child: Expression, vocab: Seq[String])
 object WordPieceFns {
   /** WordPiece greedy encode of a word column against an embedded
     * vocabulary (start pieces raw, continuation pieces `##`-prefixed).
+    * `byteLevel`: pieces are hex-pair byte strings (byte-BPE's alphabet)
+    * and the walk advances in whole bytes.
     */
-  def encodeNative(word: Column, vocab: Seq[String]): Column =
+  def encodeNative(word: Column, vocab: Seq[String],
+      byteLevel: Boolean = false): Column =
     ColumnShim.column(WordPieceEncodeExpr(ColumnShim.expression(word),
-      vocab.toVector))
+      vocab.toVector, byteLevel))
 }

@@ -20,14 +20,23 @@ import graft.functions.{WordPieceFns, WordPieceUtil}
   */
 object WordPiece {
 
-  /** Distinct single characters across the corpus's words — the vocabulary
-    * floor that makes every in-alphabet word encodable.
+  /** Distinct single characters (or, byte mode, distinct hex-pair bytes)
+    * across the corpus's words — the vocabulary floor that makes every
+    * in-alphabet word encodable. Byte mode is bounded at 256 symbols by
+    * construction.
     */
-  def corpusAlphabet(docs: DataFrame, idCol: String, textCol: String): Seq[String] =
-    Bpe.words(docs, idCol, textCol)
-      .select(explode(filter(split(col("word"), ""), c => c =!= "")).as("c"))
-      .distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
+  def corpusAlphabet(docs: DataFrame, idCol: String, textCol: String,
+      byteLevel: Boolean = false): Seq[String] = {
+    val syms =
+      if (byteLevel)
+        Bpe.words(docs, idCol, textCol, byteLevel = true)
+          .select(explode(expr(
+            "regexp_extract_all(hex(encode(word, 'UTF-8')), '..', 0)")).as("c"))
+      else
+        Bpe.words(docs, idCol, textCol)
+          .select(explode(filter(split(col("word"), ""), c => c =!= "")).as("c"))
+    syms.distinct().collect().map(_.getString(0)).sorted.toSeq
+  }
 
   /** The derived vocabulary: `[UNK]`, then every symbol (alphabet chars +
     * each merge's concatenation) in start form and `##` continuation form.
@@ -54,17 +63,19 @@ object WordPiece {
     * Continuation pieces keep their `##` prefix, so `array_join(_, ' ')`
     * is the canonical rendering an oracle compares against.
     */
-  def encodeVocab(vocab: DataFrame, pieces: Seq[String]): DataFrame =
+  def encodeVocab(vocab: DataFrame, pieces: Seq[String],
+      byteLevel: Boolean = false): DataFrame =
     vocab.withColumn("wp_toks",
-        WordPieceFns.encodeNative(col("word"), pieces))
+        WordPieceFns.encodeNative(col("word"), pieces, byteLevel))
       .withColumn("n_wp", size(col("wp_toks")))
 
   /** Corpus piece frequency under the vocabulary: encode each DISTINCT
     * word once, weight by word frequency. (tok, cnt).
     */
   def tokenFreq(docs: DataFrame, idCol: String, textCol: String,
-      pieces: Seq[String]): DataFrame =
-    encodeVocab(Bpe.wordFreq(docs, idCol, textCol), pieces)
+      pieces: Seq[String], byteLevel: Boolean = false): DataFrame =
+    encodeVocab(Bpe.wordFreq(docs, idCol, textCol, byteLevel), pieces,
+        byteLevel)
       .select(col("freq"), explode(col("wp_toks")).as("tok"))
       .groupBy("tok").agg(sum(col("freq")).as("cnt"))
 }

@@ -114,6 +114,29 @@ class WordPieceSpec extends SparkSpec {
     }
   }
 
+  test("byte mode: hex-pair pieces, whole-byte alignment, total fallback on any script") {
+    def encB(word: String, vocab: Seq[String]): Seq[String] =
+      Seq(word).toDF("word")
+        .select(WordPieceFns.encodeNative(col("word"), vocab,
+          byteLevel = true).as("t"))
+        .collect().head.getSeq[String](0)
+    // "é" = C3 A9; with the full byte alphabet any script tokenizes
+    val full = (0 until 256).map(b => f"$b%02X".toUpperCase)
+    val vocab = WordPiece.vocabFromMerges(full, Seq(("C3", "A9")))
+    encB("é", vocab) shouldBe Seq("C3A9")
+    encB("aé", vocab) shouldBe Seq("61", "##C3A9")
+    // alignment: a piece may never split a byte — "3A" (the hex chars
+    // straddling C3|A9) must not match even if present in the vocabulary
+    val tricky = Seq("C3", "##3A", "##A9", "A9", "##C3")
+    encB("é", tricky) shouldBe Seq("C3", "##A9")
+    // no start piece for the first byte -> whole word [UNK]
+    encB("é", Seq("##C3", "##A9")) shouldBe Seq("[UNK]")
+    // unhex round-trip: pieces concatenate back to the exact byte stream
+    val joined = encB("héllo", vocab).map(_.stripPrefix("##")).mkString
+    new String(joined.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
+      "UTF-8") shouldBe "héllo"
+  }
+
   test("tokenFreq weights distinct-word encodings by occurrence count") {
     val docs = Seq((1L, "aa aa b"), (2L, "aa")).toDF("doc_id", "text")
     val vocab = Seq("[UNK]", "a", "b", "aa", "##a", "##b", "##aa")
