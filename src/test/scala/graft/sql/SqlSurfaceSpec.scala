@@ -223,6 +223,41 @@ class SqlSurfaceSpec extends SparkSpec with BeforeAndAfterAll {
     out.map(r => r.getLong(0) -> r.getDouble(1)).toMap shouldBe api
   }
 
+  test("example-script shape: three-table join (item + user dims), ILIKE, ORDER BY LIMIT") {
+    // the reference distribution's flagship usage
+    // (examples/MoiveLens/script.py: ratings r, moive i, users b RECOMMEND
+    // ... ILIKE ... ORDER BY rating DESC LIMIT n) — shape preserved
+    // verbatim over this fixture's tables
+    fixture(ext)
+    val sq = ext
+    import sq.implicits._
+    Seq((1L, "Ann", 34L), (2L, "Bob", 28L), (3L, "Cal", 41L))
+      .toDF("userid", "uname", "age").createOrReplaceTempView("ml_users")
+    val out = ext.sql(
+      """SELECT r.itemid, i.name, i.genre, r.rating, r.userid, b.age
+        |FROM ml_ratings r, ml_items i, ml_users b
+        |RECOMMEND r.itemid TO r.userid ON r.rating USING itemcoscf
+        |WHERE r.userid = 1 AND r.userid = b.userid AND r.itemid = i.itemid
+        |  AND i.genre ILIKE '%drama%'
+        |ORDER BY rating DESC LIMIT 10""".stripMargin).collect()
+    out should not be empty
+    out.foreach { r =>
+      r.getLong(4) shouldBe 1L // user qual
+      r.getLong(5) shouldBe 34L // user-dim join row
+      r.getString(2) shouldBe "drama" // item-dim ILIKE
+    }
+    // descending by predicted rating
+    val scores = out.map(_.getDouble(3)).toSeq
+    scores shouldBe scores.sorted.reverse
+    // scores agree with the API path composed the same way
+    val rdf = new MicroFixtureSpec {}.fixture.toDF("userid", "itemid", "rating")
+    val c = EventCols("userid", "itemid", "rating")
+    val api = Scoring.itemCF(rdf, Similarity.itemCosine(rdf, c), c)
+      .where($"userid" === 1 && $"itemid".isin(1L, 3L))
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    out.map(r => r.getLong(0) -> r.getDouble(3)).toMap shouldBe api
+  }
+
   test("RECOMMEND parse is pure: no temp views, no catalog bumps at parse") {
     fixture(ext)
     ext.sql("""CREATE RECOMMENDER rec_pure ON ml_ratings USERS FROM userid
