@@ -1218,6 +1218,27 @@ object PipelineQueries {
         .select((col("media_id") + 1000L).as("media_id"), col("payload")))
       graft.ops.Multimodal.imageNearDupPairs(withDups)
     }),
+    // STREAMING image near-dup: the dHash index maintained over three
+    // ingestion waves (each payload decoded + hashed ONCE, mid-stream LSM
+    // fold), pairs derived from state — must equal the one-shot banded
+    // result, i.e. the brute-force closed-form oracle.
+    "s_image_neardup" -> ((s, d) => {
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_imghash", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      val m = graft.ops.Multimodal.syntheticMedia(s, 200)
+        .select(col("media_id"), col("payload"))
+      val withDups = m.unionByName(m.where(col("media_id") < 25)
+        .select((col("media_id") + 1000L).as("media_id"), col("payload")))
+      (0 until 3).foreach { g =>
+        graft.streaming.ImageHashMaintainer.processBatch(
+          withDups.where(col("media_id") % 3 === g), g.toLong,
+          s"$base/state")
+        if (g == 1)
+          graft.streaming.ImageHashMaintainer.compact(s, s"$base/state")
+      }
+      graft.streaming.ImageHashMaintainer.pairs(s, s"$base/state")
+    }),
     // Energy-based audio segmentation (VAD shape) over the REAL WAV
     // decode: 50-sample frames, mean-square threshold, islands merged —
     // integer-exact dyadic energies so the activity decision is
@@ -1763,6 +1784,21 @@ object PipelineQueries {
       |             ELSE 0 END) AS BIGINT) AS dhash_lo
       |  FROM bits GROUP BY 1, 2, 3
       |)""".stripMargin
+
+  private def imageNearDupOracle: String =
+    s"""WITH $imageHashCtes,
+        |allh AS (
+        |  SELECT media_id, dhash_hi, dhash_lo FROM hashes
+        |  UNION ALL
+        |  SELECT media_id + 1000, dhash_hi, dhash_lo FROM hashes
+        |  WHERE media_id < 25
+        |)
+        |SELECT a.media_id AS id1, b.media_id AS id2,
+        |  CAST(bit_count(xor(a.dhash_hi, b.dhash_hi))
+        |     + bit_count(xor(a.dhash_lo, b.dhash_lo)) AS BIGINT) AS hamming
+        |FROM allh a JOIN allh b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
+        |    + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 3""".stripMargin
 
   /** [[ivfOracle]]'s CTE chain parameterized by (centroids artifact, probe
     * fan-out, query-side predicate) — shared by the kNN-graph and recall
@@ -2966,20 +3002,9 @@ object PipelineQueries {
       s"""WITH $imageHashCtes
         |SELECT media_id, img_w, img_h, dhash_hi, dhash_lo FROM hashes"""
         .stripMargin,
-    "p_image_neardup" ->
-      s"""WITH $imageHashCtes,
-        |allh AS (
-        |  SELECT media_id, dhash_hi, dhash_lo FROM hashes
-        |  UNION ALL
-        |  SELECT media_id + 1000, dhash_hi, dhash_lo FROM hashes
-        |  WHERE media_id < 25
-        |)
-        |SELECT a.media_id AS id1, b.media_id AS id2,
-        |  CAST(bit_count(xor(a.dhash_hi, b.dhash_hi))
-        |     + bit_count(xor(a.dhash_lo, b.dhash_lo)) AS BIGINT) AS hamming
-        |FROM allh a JOIN allh b ON a.media_id < b.media_id
-        |WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
-        |    + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 3""".stripMargin,
+    "p_image_neardup" -> imageNearDupOracle,
+    // streamed hash-index derivation must equal the one-shot pair set
+    "s_image_neardup" -> imageNearDupOracle,
     "p_video_phash" ->
       """WITH m AS (SELECT unnest(generate_series(0, 199)) AS i),
         |p AS (SELECT i, 6 + (i % 5) AS w, 6 + ((i*3) % 5) AS h,

@@ -456,10 +456,21 @@ object Multimodal {
     * Returns (id1, id2, hamming).
     */
   def imageNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3,
-      "4-band 16-bit blocking is pigeonhole-exact only to hamming 3")
     val h = graft.Exec.materialize(dHashStats(media)
       .select(col("media_id"), col("dhash_hi"), col("dhash_lo")))
+    graft.Exec.releaseOnUnreachable(
+      imageNearDupPairsFromHashes(h, maxHamming), h)
+  }
+
+  /** [[imageNearDupPairs]]'s banded pairing stage over an
+    * already-hashed frame (media_id, dhash_hi, dhash_lo) — split out so
+    * a persistent hash index ([[graft.streaming.ImageHashMaintainer]])
+    * can derive the pair set without re-decoding a single image.
+    */
+  def imageNearDupPairsFromHashes(h: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "4-band 16-bit blocking is pigeonhole-exact only to hamming 3")
     def band(c: Column, i: Int): Column =
       struct(lit(i).as("blk"),
         shiftright(c, 16).bitwiseAND(lit(0xFFFFL)).as("v"))
@@ -474,12 +485,11 @@ object Multimodal {
         col("dhash_hi").as("hi2"), col("dhash_lo").as("lo2")), Seq("b"))
       .where(col("id1") < col("id2"))
       .select("id1", "id2", "hi1", "lo1", "hi2", "lo2").distinct()
-    val out = cands.select(col("id1"), col("id2"),
+    cands.select(col("id1"), col("id2"),
         (bit_count(col("hi1").bitwiseXOR(col("hi2"))) +
           bit_count(col("lo1").bitwiseXOR(col("lo2")))).cast("long")
           .as("hamming"))
       .where(col("hamming") <= maxHamming)
-    graft.Exec.releaseOnUnreachable(out, h)
   }
 
   /** Energy-based audio segmentation — the VAD-shaped curation step for

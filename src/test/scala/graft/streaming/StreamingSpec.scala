@@ -418,6 +418,46 @@ class StreamingSpec extends SparkSpec {
       streamed
   }
 
+  test("streaming image-hash index: pairs == one-shot, cross-wave retroactivity, replay, compaction") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Multimodal
+    val m = Multimodal.syntheticMedia(spark, 60)
+      .select(col("media_id"), col("payload"))
+    // clones land in DIFFERENT waves than their originals (id+1000 shifts
+    // the %3 class for id%3 != 2·...), so pairing is cross-batch
+    val corpus = m.unionByName(m.where(col("media_id") < 20)
+      .select((col("media_id") + 1000L).as("media_id"), col("payload")))
+      .cache()
+    val base = java.nio.file.Files.createTempDirectory("graft-sih").toString
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val q = ImageHashMaintainer.attach(
+      mem.toDF().toDF("media_id", "payload"), s"$base/state", s"$base/ckpt")
+    (0 until 3).foreach { g =>
+      mem.addData(corpus.where(col("media_id") % 3 === g)
+        .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+        .toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    def pairSet(): Set[(Long, Long, Long)] =
+      ImageHashMaintainer.pairs(spark, s"$base/state")
+        .as[(Long, Long, Long)].collect().toSet
+    val streamed = pairSet()
+    streamed shouldBe Multimodal.imageNearDupPairs(corpus)
+      .as[(Long, Long, Long)].collect().toSet
+    // retroactivity: at least one pair straddles ingestion waves
+    streamed.exists { case (a, b, _) => a % 3 != b % 3 } shouldBe true
+    // replay idempotent; fold invariant
+    ImageHashMaintainer.processBatch(
+      corpus.where(col("media_id") % 3 === 2).toDF("media_id", "payload"),
+      2L, s"$base/state")
+    pairSet() shouldBe streamed
+    ImageHashMaintainer.compact(spark, s"$base/state")
+    new java.io.File(s"$base/state/c1").exists() shouldBe true
+    pairSet() shouldBe streamed
+  }
+
   test("incremental curation: curated == one-shot under out-of-order ids, replay, compaction") {
     import org.apache.spark.sql.functions.col
     import graft.ops.Corpus
