@@ -1239,6 +1239,18 @@ object PipelineQueries {
       }
       graft.streaming.ImageHashMaintainer.pairs(s, s"$base/state")
     }),
+    // Audio near-dup pairs via energy fingerprints over the REAL decode:
+    // per-frame mean-square energies quantize to digit sequences (exact
+    // dyadic sums, engine-reproducible), identical sequences pair — the
+    // exact-dedup shuffle shape on a content key, spliced with 25
+    // byte-identical clones.
+    "p_audio_neardup" -> ((s, d) => {
+      val m = graft.ops.Multimodal.syntheticMedia(s, 200, kind = "audio")
+        .select(col("media_id"), col("payload"))
+      val withDups = m.unionByName(m.where(col("media_id") < 25)
+        .select((col("media_id") + 1000L).as("media_id"), col("payload")))
+      graft.ops.Multimodal.audioNearDupPairs(withDups)
+    }),
     // Energy-based audio segmentation (VAD shape) over the REAL WAV
     // decode: 50-sample frames, mean-square threshold, islands merged —
     // integer-exact dyadic energies so the activity decision is
@@ -3035,6 +3047,36 @@ object PipelineQueries {
         |  CAST(sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k)
         |           ELSE 0 END) AS BIGINT) AS dhash_lo
         |FROM bits GROUP BY 1, 2""".stripMargin,
+    "p_audio_neardup" ->
+      """WITH m AS (SELECT unnest(generate_series(0, 199)) AS media_id),
+        |params AS (
+        |  SELECT media_id, 200 + ((media_id * 37) % 300) AS n FROM m
+        |),
+        |ts AS (SELECT unnest(generate_series(0, 499)) AS t),
+        |smp AS (
+        |  SELECT p.media_id, ts.t // 50 AS f,
+        |    (((t*2957 + media_id*6151 + ((t*t) % 97) * 131) % 65536) - 32768)
+        |      / 32768.0 AS s
+        |  FROM params p, ts WHERE ts.t < p.n
+        |),
+        |e AS (
+        |  SELECT media_id, f,
+        |    LEAST(7, CAST(floor(avg(s*s) * 8) AS INT)) AS d
+        |  FROM smp GROUP BY 1, 2
+        |),
+        |fp0 AS (
+        |  SELECT media_id,
+        |    string_agg(CAST(d AS VARCHAR), '' ORDER BY f) AS fp
+        |  FROM e GROUP BY 1
+        |),
+        |allf AS (
+        |  SELECT media_id, fp FROM fp0
+        |  UNION ALL
+        |  SELECT media_id + 1000, fp FROM fp0 WHERE media_id < 25
+        |)
+        |SELECT a.media_id AS id1, b.media_id AS id2, a.fp
+        |FROM allf a JOIN allf b
+        |  ON a.fp = b.fp AND a.media_id < b.media_id""".stripMargin,
     "p_audio_segments" ->
       """WITH m AS (SELECT unnest(generate_series(0, 199)) AS media_id),
         |params AS (

@@ -124,6 +124,12 @@ object RelQueries {
     "q_having" -> q(
       """SELECT l_suppkey, count(*) AS n, round(sum(l_quantity), 4) AS qty
         |FROM lineitem GROUP BY l_suppkey HAVING count(*) > 600""".stripMargin),
+    // GROUP BY ALL (modern SQL sugar, Spark 4 + DuckDB): every
+    // non-aggregate select item becomes a grouping key.
+    "q_group_by_all" -> q(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(avg(l_discount), 6) AS avg_disc
+        |FROM lineitem GROUP BY ALL""".stripMargin),
     // EXCEPT ALL (multiset semantics).
     "q_except_all" -> q(
       """SELECT c_nationkey AS k FROM customer

@@ -547,6 +547,72 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Audio FINGERPRINT over the real PCM decode — the audio face of
+    * content dedup: each `frameLen`-sample frame's mean-square energy
+    * quantizes to one of `levels` digits (floor(ms·levels), clamped), and
+    * the digit SEQUENCE is the fingerprint. Energies are exact dyadic
+    * sums (order-independent in double), so the digits — and therefore
+    * fingerprint equality — are engine- and partitioning-reproducible.
+    * Identical-content clips collide exactly; near-identical gain/noise
+    * edits collide at coarse `levels` (the robustness knob). Downstream,
+    * equality pairing is the exact-dedup shuffle shape: one key per clip.
+    * Returns (media_id, fp STRING, n_frames).
+    */
+  def audioFingerprints(media: DataFrame, frameLen: Int = 50,
+      levels: Int = 8, batchSize: Int = 64): DataFrame = {
+    require(frameLen >= 1 && levels >= 2, "frameLen >= 1, levels >= 2")
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("fp", StringType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rdd = media.queryExecution.toRdd.mapPartitions { iter =>
+      val rows = iter.map(ir => (ir.getLong(idIdx), ir.getBinary(payloadIdx)))
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { case (id, bytes) =>
+          val (_, samples) = decodeWavSamples(bytes)
+          val nFrames = (samples.length + frameLen - 1) / frameLen
+          val sb = new java.lang.StringBuilder(nFrames)
+          var f = 0
+          while (f < nFrames) {
+            val from = f * frameLen
+            val until = math.min(from + frameLen, samples.length)
+            var e = 0.0
+            var t = from
+            while (t < until) {
+              val s = samples(t) / 32768.0
+              e += s * s
+              t += 1
+            }
+            val ms = e / (until - from)
+            val d = math.min(levels - 1, math.floor(ms * levels).toInt)
+            sb.append(('0' + d).toChar)
+            f += 1
+          }
+          Row(id, sb.toString, nFrames)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Audio near-dup PAIRS: clips with identical fingerprints. The join is
+    * an equality self-join on the fingerprint key — the exact-dedup
+    * shuffle shape, not an all-pairs product. (id1, id2, fp).
+    */
+  def audioNearDupPairs(media: DataFrame, frameLen: Int = 50,
+      levels: Int = 8): DataFrame = {
+    val h = graft.Exec.materialize(audioFingerprints(media, frameLen, levels)
+      .select(col("media_id"), col("fp")))
+    val out = h.select(col("media_id").as("id1"), col("fp"))
+      .join(h.select(col("media_id").as("id2"), col("fp")), Seq("fp"))
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("fp"))
+    graft.Exec.releaseOnUnreachable(out, h)
+  }
+
   /** REAL batch video decode (pure JVM — the `javax.imageio` GIF reader
     * walking every frame of the animated container): each payload yields
     * (width, height, n_frames, mean luminance over all frames, mean of the

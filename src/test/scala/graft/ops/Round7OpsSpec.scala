@@ -356,6 +356,30 @@ class Round7OpsSpec extends SparkSpec {
     got shouldBe Seq((1L, 0, 2), (1L, 3, 1))
   }
 
+  test("audioFingerprints: clones collide; a small gain edit collides coarse but not fine") {
+    val base = Array.tabulate(200)(t => (math.sin(t * 0.3) * 20000).toInt)
+    val gained = base.map(s => (s * 1.1).toInt) // +10% gain
+    // loud enough that its frame energies land in a different coarse
+    // bucket than base's (~0.45 vs ~0.19 mean square)
+    val other = Array.tabulate(200)(t => (math.cos(t * 0.7) * 31000).toInt)
+    val media = Seq(
+      (1L, Multimodal.wavBytes(8000, base)),
+      (2L, Multimodal.wavBytes(8000, base)),   // byte-identical clone
+      (3L, Multimodal.wavBytes(8000, gained)),
+      (4L, Multimodal.wavBytes(8000, other))).toDF("media_id", "payload")
+    def pairs(levels: Int): Set[(Long, Long)] =
+      Multimodal.audioNearDupPairs(media, levels = levels)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val coarse = pairs(4)
+    coarse should contain ((1L, 2L))
+    coarse should contain ((1L, 3L)) // gain edit collides at 4 levels (ms 0.19 -> 0.23, same bucket)
+    coarse should not contain ((1L, 4L))
+    // at a fine quantization the gain edit separates, the clone never does
+    val fine = pairs(64)
+    fine should contain ((1L, 2L))
+    fine should not contain ((1L, 3L))
+  }
+
   test("extractHtmlText: scripts/styles vanish, tags strip, entities decode") {
     val html = Seq((1L,
       """<html><head><style>p{x}</style><script>alert("hi")</script></head>""" +
