@@ -1239,6 +1239,27 @@ object PipelineQueries {
       }
       graft.streaming.ImageHashMaintainer.pairs(s, s"$base/state")
     }),
+    // STREAMING audio-fingerprint index: three ingestion waves, each
+    // payload decoded + fingerprinted ONCE, mid-stream LSM fold; the
+    // identical-fingerprint pair set derives from state and must equal
+    // the one-shot closed-form oracle.
+    "s_audio_neardup" -> ((s, d) => {
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_audiofp", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      val m = graft.ops.Multimodal.syntheticMedia(s, 200, kind = "audio")
+        .select(col("media_id"), col("payload"))
+      val withDups = m.unionByName(m.where(col("media_id") < 25)
+        .select((col("media_id") + 1000L).as("media_id"), col("payload")))
+      (0 until 3).foreach { g =>
+        graft.streaming.AudioFingerprintMaintainer.processBatch(
+          withDups.where(col("media_id") % 3 === g), g.toLong,
+          s"$base/state")
+        if (g == 1)
+          graft.streaming.AudioFingerprintMaintainer.compact(s, s"$base/state")
+      }
+      graft.streaming.AudioFingerprintMaintainer.pairs(s, s"$base/state")
+    }),
     // Audio near-dup pairs via energy fingerprints over the REAL decode:
     // per-frame mean-square energies quantize to digit sequences (exact
     // dyadic sums, engine-reproducible), identical sequences pair — the
@@ -1796,6 +1817,37 @@ object PipelineQueries {
       |             ELSE 0 END) AS BIGINT) AS dhash_lo
       |  FROM bits GROUP BY 1, 2, 3
       |)""".stripMargin
+
+  private def audioNearDupOracle: String =
+    """WITH m AS (SELECT unnest(generate_series(0, 199)) AS media_id),
+        |params AS (
+        |  SELECT media_id, 200 + ((media_id * 37) % 300) AS n FROM m
+        |),
+        |ts AS (SELECT unnest(generate_series(0, 499)) AS t),
+        |smp AS (
+        |  SELECT p.media_id, ts.t // 50 AS f,
+        |    (((t*2957 + media_id*6151 + ((t*t) % 97) * 131) % 65536) - 32768)
+        |      / 32768.0 AS s
+        |  FROM params p, ts WHERE ts.t < p.n
+        |),
+        |e AS (
+        |  SELECT media_id, f,
+        |    LEAST(7, CAST(floor(avg(s*s) * 8) AS INT)) AS d
+        |  FROM smp GROUP BY 1, 2
+        |),
+        |fp0 AS (
+        |  SELECT media_id,
+        |    string_agg(CAST(d AS VARCHAR), '' ORDER BY f) AS fp
+        |  FROM e GROUP BY 1
+        |),
+        |allf AS (
+        |  SELECT media_id, fp FROM fp0
+        |  UNION ALL
+        |  SELECT media_id + 1000, fp FROM fp0 WHERE media_id < 25
+        |)
+        |SELECT a.media_id AS id1, b.media_id AS id2, a.fp
+        |FROM allf a JOIN allf b
+        |  ON a.fp = b.fp AND a.media_id < b.media_id""".stripMargin
 
   private def imageNearDupOracle: String =
     s"""WITH $imageHashCtes,
@@ -3047,36 +3099,9 @@ object PipelineQueries {
         |  CAST(sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k)
         |           ELSE 0 END) AS BIGINT) AS dhash_lo
         |FROM bits GROUP BY 1, 2""".stripMargin,
-    "p_audio_neardup" ->
-      """WITH m AS (SELECT unnest(generate_series(0, 199)) AS media_id),
-        |params AS (
-        |  SELECT media_id, 200 + ((media_id * 37) % 300) AS n FROM m
-        |),
-        |ts AS (SELECT unnest(generate_series(0, 499)) AS t),
-        |smp AS (
-        |  SELECT p.media_id, ts.t // 50 AS f,
-        |    (((t*2957 + media_id*6151 + ((t*t) % 97) * 131) % 65536) - 32768)
-        |      / 32768.0 AS s
-        |  FROM params p, ts WHERE ts.t < p.n
-        |),
-        |e AS (
-        |  SELECT media_id, f,
-        |    LEAST(7, CAST(floor(avg(s*s) * 8) AS INT)) AS d
-        |  FROM smp GROUP BY 1, 2
-        |),
-        |fp0 AS (
-        |  SELECT media_id,
-        |    string_agg(CAST(d AS VARCHAR), '' ORDER BY f) AS fp
-        |  FROM e GROUP BY 1
-        |),
-        |allf AS (
-        |  SELECT media_id, fp FROM fp0
-        |  UNION ALL
-        |  SELECT media_id + 1000, fp FROM fp0 WHERE media_id < 25
-        |)
-        |SELECT a.media_id AS id1, b.media_id AS id2, a.fp
-        |FROM allf a JOIN allf b
-        |  ON a.fp = b.fp AND a.media_id < b.media_id""".stripMargin,
+    "p_audio_neardup" -> audioNearDupOracle,
+    // streamed index derivation must equal the one-shot pair set
+    "s_audio_neardup" -> audioNearDupOracle,
     "p_audio_segments" ->
       """WITH m AS (SELECT unnest(generate_series(0, 199)) AS media_id),
         |params AS (
