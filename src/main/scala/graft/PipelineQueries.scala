@@ -927,6 +927,14 @@ object PipelineQueries {
     "p_train_manifest" -> ((s, d) =>
       Corpus.trainManifest(docs(s, d), "doc_id", "text",
         bpeMergesFor(s, d), seqLen = 128, epochs = 2)),
+    // Shard layout over the manifest: each epoch's ordered sequences map
+    // to fixed-size shards — the data-loader's on-disk unit, reproducible
+    // anywhere because the order underneath is.
+    "p_shard_manifest" -> ((s, d) =>
+      Corpus.shardManifest(
+        Corpus.trainManifest(docs(s, d), "doc_id", "text",
+          bpeMergesFor(s, d), seqLen = 128, epochs = 2),
+        shardSize = 2)),
     // Deterministic per-epoch training order (3 epochs over the corpus):
     // a pure function of (item set, epoch) via md5 draws, globally ranked
     // by the distributed prefix sum — the reproducible shuffle exact
@@ -2044,7 +2052,13 @@ object PipelineQueries {
       .stripMargin
 
   private def trainManifestOracle: String =
-    s"""WITH RECURSIVE $curateCtesCore,
+    s"""WITH RECURSIVE $trainManifestCtes
+       |SELECT eoM.epoch, eoM.seq_id, CAST(eoM.ord AS BIGINT) AS ord,
+       |  ss.n_tok, ss.n_docs, ss.id_sum, ss.doc_min, ss.doc_max
+       |FROM eoM JOIN seqsum ss USING (seq_id)""".stripMargin
+
+  private def trainManifestCtes: String =
+    s"""$curateCtesCore,
          |kept2 AS (
          |  SELECT p.doc_id, p.avg_nll, len(ct.toks) AS n_tok
          |  FROM ppl p JOIN ct USING (doc_id) WHERE p.avg_nll <= 3.43
@@ -2138,10 +2152,7 @@ object PipelineQueries {
          |                   CAST(esM.epoch AS VARCHAR)), ss.seq_id)
          |      - 1 AS ord
          |  FROM seqsum ss CROSS JOIN esM
-         |)
-         |SELECT eoM.epoch, eoM.seq_id, CAST(eoM.ord AS BIGINT) AS ord,
-         |  ss.n_tok, ss.n_docs, ss.id_sum, ss.doc_min, ss.doc_max
-         |FROM eoM JOIN seqsum ss USING (seq_id)""".stripMargin
+         |)""".stripMargin
 
   /** WordPiece greedy longest-match re-derivation from the persisted
     * vocabulary: `best` precomputes the longest matching piece core per
@@ -3884,6 +3895,12 @@ object PipelineQueries {
     "q_sql_curate" -> curateOracle,
     "p_curate_bpe" -> curateBpeOracle,
     "p_train_manifest" -> trainManifestOracle,
+    "p_shard_manifest" ->
+      s"""WITH RECURSIVE $trainManifestCtes
+         |SELECT eoM.epoch, CAST(eoM.ord // 2 AS BIGINT) AS shard_id,
+         |  count(*) AS n_seqs, CAST(sum(ss.n_tok) AS BIGINT) AS n_tok
+         |FROM eoM JOIN seqsum ss USING (seq_id)
+         |GROUP BY 1, 2""".stripMargin,
     // the streamed derivation must equal the one-shot manifest exactly
     "s_train_manifest" -> trainManifestOracle,
     "p_epoch_order" ->

@@ -334,6 +334,20 @@ object Corpus {
         .select(col(idCol), col("clean_text").as(textCol)),
       idCol, textCol, merges, seqLen, epochs)
 
+  /** Shard layout over a training manifest: each epoch's ordered
+    * sequences map to fixed-size shards (the trainer's on-disk file
+    * layout — shard = the unit a data-loader worker reads). Pure
+    * arithmetic over the already-deterministic order, so shard
+    * assignment is reproducible anywhere. (epoch, shard_id, n_seqs,
+    * n_tok).
+    */
+  def shardManifest(manifest: DataFrame, shardSize: Int): DataFrame = {
+    require(shardSize >= 1, "shardSize must be >= 1")
+    manifest.groupBy(col("epoch"),
+        floor(col("ord") / shardSize).cast("long").as("shard_id"))
+      .agg(count(lit(1)).as("n_seqs"), sum(col("n_tok")).as("n_tok"))
+  }
+
   /** [[trainManifest]]'s pack + epoch-order tail over an already-curated
     * (idCol, textCol) selection — split out so the streamed derivation
     * ([[graft.streaming.CurateMaintainer.manifest]]) shares it verbatim.
