@@ -850,6 +850,21 @@ object PipelineQueries {
       graft.ops.WordPiece.tokenFreq(docs(s, d), "doc_id", "text",
         wpVocabFor(s, d))
         .orderBy(col("cnt").desc, col("tok")).limit(30)),
+    // OPTIMAL (Viterbi) segmentation against the SAME persisted
+    // vocabulary as the greedy gate — the SentencePiece inference shape
+    // with a deterministic cost (min pieces, lexicographic tie-break).
+    // Gating both encoders over one vocabulary pins their divergence:
+    // optimal can succeed where greedy dead-ends, and ties resolve to a
+    // different segmentation than greedy's longest-first.
+    "p_unigram_encode" -> ((s, d) =>
+      graft.ops.Bpe.wordFreq(docs(s, d), "doc_id", "text")
+        .select(col("word"))
+        .select(col("word"),
+          graft.functions.WordPieceFns.encodeOptimalNative(col("word"),
+            wpVocabFor(s, d)).as("ug_toks"))
+        .withColumn("n_ug",
+          when(col("ug_toks") === "[UNK]", lit(1L))
+            .otherwise(size(split(col("ug_toks"), " ")).cast("long")))),
     // BYTE-LEVEL WordPiece over the mixed-script corpus: pieces are
     // hex-pair byte strings (byte-BPE's alphabet), the greedy walk
     // advances in whole bytes, any script tokenizes (256-symbol floor) —
@@ -3424,6 +3439,49 @@ object PipelineQueries {
     "p_wordpiece_encode" ->
       s"""WITH RECURSIVE $wordpieceCtes
          |SELECT word, wp_toks, n_wp FROM wp""".stripMargin,
+    "p_unigram_encode" ->
+      s"""WITH RECURSIVE occ AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+         |  FROM documents
+         |),
+         |words AS (SELECT DISTINCT word FROM occ WHERE word <> ''),
+         |cores AS (
+         |  SELECT piece,
+         |    CASE WHEN piece LIKE '##%' THEN substr(piece, 3)
+         |         ELSE piece END AS core,
+         |    (piece NOT LIKE '##%') AS is_start
+         |  FROM '__BPE_ARTIFACTS__/wp_vocab/*.parquet'
+         |  WHERE piece <> '[UNK]'
+         |),
+         |seg AS (
+         |  SELECT word, 0 AS pos, CAST('' AS VARCHAR) AS path, 0 AS k
+         |  FROM words
+         |  UNION ALL
+         |  SELECT s.word, s.pos + length(c.core),
+         |    CASE WHEN s.pos = 0 THEN c.core
+         |         ELSE s.path || ' ##' || c.core END,
+         |    s.k + 1
+         |  FROM seg s JOIN cores c
+         |    ON substr(s.word, s.pos + 1, length(c.core)) = c.core
+         |   AND c.is_start = (s.pos = 0)
+         |  WHERE s.pos < length(s.word)
+         |),
+         |term AS (
+         |  SELECT word, path, k FROM seg WHERE pos = length(word)
+         |),
+         |bst AS (
+         |  SELECT word, path,
+         |    row_number() OVER (PARTITION BY word ORDER BY k, path) AS rn
+         |  FROM term
+         |)
+         |SELECT w.word,
+         |  coalesce(b.path, '[UNK]') AS ug_toks,
+         |  CAST(CASE WHEN b.path IS NULL THEN 1
+         |       ELSE length(b.path) - length(replace(b.path, ' ', '')) + 1
+         |       END AS BIGINT) AS n_ug
+         |FROM words w LEFT JOIN (SELECT word, path FROM bst WHERE rn = 1) b
+         |  USING (word)""".stripMargin,
     "p_wordpiece_bytes" ->
       s"""WITH RECURSIVE mixed AS (
          |  SELECT doc_id,

@@ -71,6 +71,53 @@ object WordPieceUtil {
     new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
   }
 
+  /** OPTIMAL segmentation (the SentencePiece/unigram-LM inference shape
+    * with a deterministic cost): Viterbi DP minimizing the PIECE COUNT,
+    * ties broken by the lexicographically smallest rendered sequence —
+    * both total orders, so the segmentation is engine-reproducible
+    * without float scores. Same vocabulary contract as [[encode]] (start
+    * pieces raw, continuations `##`-prefixed); `[UNK]` only when NO
+    * segmentation exists — strictly more robust than greedy, which can
+    * dead-end on words the vocabulary does cover (the spec's fixture).
+    * Returns the rendered space-joined sequence per word.
+    */
+  def encodeOptimal(word: UTF8String, vocab: java.util.HashSet[UTF8String],
+      maxCore: Int): UTF8String = {
+    val s = word.toString
+    val n = s.length
+    if (n == 0) return UTF8String.fromString("")
+    // best(p) = (pieces, rendered path) reaching char p, or null
+    val bestK = new Array[Int](n + 1)
+    val bestPath = new Array[String](n + 1)
+    java.util.Arrays.fill(bestK, Int.MaxValue)
+    bestK(0) = 0
+    bestPath(0) = ""
+    var p = 1
+    while (p <= n) {
+      var start = math.max(0, p - maxCore)
+      while (start < p) {
+        if (bestK(start) != Int.MaxValue) {
+          val core = s.substring(start, p)
+          val cand = if (start == 0) core else "##" + core
+          if (vocab.contains(UTF8String.fromString(cand))) {
+            val k = bestK(start) + 1
+            val path =
+              if (start == 0) core else bestPath(start) + " ##" + core
+            if (k < bestK(p) ||
+                (k == bestK(p) && path.compareTo(bestPath(p)) < 0)) {
+              bestK(p) = k
+              bestPath(p) = path
+            }
+          }
+        }
+        start += 1
+      }
+      p += 1
+    }
+    if (bestK(n) == Int.MaxValue) UnkU
+    else UTF8String.fromString(bestPath(n))
+  }
+
   private val HexDigits = "0123456789ABCDEF".toCharArray
 
   /** Byte-level greedy encode: the word's UTF-8 bytes render as the
@@ -151,6 +198,35 @@ case class WordPieceEncodeExpr(child: Expression, vocab: Seq[String],
     copy(child = newChild)
 }
 
+/** Codegen'd optimal (Viterbi) segmentation of a single word against an
+  * embedded vocabulary — STRING → STRING (the rendered sequence; `[UNK]`
+  * when unreachable). Shares [[WordPieceEncodeExpr]]'s vocabulary shape.
+  */
+case class UnigramEncodeExpr(child: Expression, vocab: Seq[String])
+    extends UnaryExpression {
+  @transient private lazy val vocabSet: java.util.HashSet[UTF8String] =
+    WordPieceUtil.buildVocab(vocab.iterator.map(UTF8String.fromString).toArray)
+  @transient private lazy val maxCore: Int =
+    if (vocab.isEmpty) 1
+    else vocab.iterator
+      .map(p => if (p.startsWith("##")) p.length - 2 else p.length).max
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_unigram_encode"
+
+  override def nullSafeEval(a: Any): Any =
+    WordPieceUtil.encodeOptimal(a.asInstanceOf[UTF8String], vocabSet, maxCore)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vRef = ctx.addReferenceObj("ugVocab", vocabSet, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WordPieceUtil.encodeOptimal($c, $vRef, $maxCore)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramEncodeExpr =
+    copy(child = newChild)
+}
+
 object WordPieceFns {
   /** WordPiece greedy encode of a word column against an embedded
     * vocabulary (start pieces raw, continuation pieces `##`-prefixed).
@@ -161,4 +237,11 @@ object WordPieceFns {
       byteLevel: Boolean = false): Column =
     ColumnShim.column(WordPieceEncodeExpr(ColumnShim.expression(word),
       vocab.toVector, byteLevel))
+
+  /** Optimal (min-piece Viterbi, lexicographic tie-break) segmentation —
+    * rendered space-joined sequence, `[UNK]` when unreachable.
+    */
+  def encodeOptimalNative(word: Column, vocab: Seq[String]): Column =
+    ColumnShim.column(UnigramEncodeExpr(ColumnShim.expression(word),
+      vocab.toVector))
 }

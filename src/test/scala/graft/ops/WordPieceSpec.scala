@@ -114,6 +114,28 @@ class WordPieceSpec extends SparkSpec {
     }
   }
 
+  test("optimal (Viterbi) segmentation: succeeds where greedy dead-ends; deterministic ties; min pieces") {
+    def opt(word: String, vocab: Seq[String]): String =
+      Seq(word).toDF("word")
+        .select(WordPieceFns.encodeOptimalNative(col("word"), vocab).as("t"))
+        .collect().head.getString(0)
+    // the classic greedy failure: longest-first takes "ab", strands "c";
+    // the optimal segmenter backtracks to "a ##bc"
+    val v1 = Seq("a", "ab", "##bc")
+    enc("abc", v1) shouldBe Seq("[UNK]")
+    opt("abc", v1) shouldBe "a ##bc"
+    // equal piece counts tie-break lexicographically — a DIFFERENT (but
+    // equally sized) segmentation than greedy's longest-first
+    val v2 = Seq("a", "ab", "##b", "##c", "##bc")
+    enc("abc", v2) shouldBe Seq("ab", "##c")
+    opt("abc", v2) shouldBe "a ##bc"
+    // minimality: 2 pieces beat any 3+ decomposition
+    opt("abcd", Seq("a", "ab", "##b", "##c", "##d", "##cd")) shouldBe "ab ##cd"
+    // boundaries
+    opt("", v1) shouldBe ""
+    opt("zzz", v1) shouldBe "[UNK]"
+  }
+
   test("byte mode: hex-pair pieces, whole-byte alignment, total fallback on any script") {
     def encB(word: String, vocab: Seq[String]): Seq[String] =
       Seq(word).toDF("word")
