@@ -942,6 +942,15 @@ object PipelineQueries {
     "p_train_manifest" -> ((s, d) =>
       Corpus.trainManifest(docs(s, d), "doc_id", "text",
         bpeMergesFor(s, d), seqLen = 128, epochs = 2)),
+    // BYTE-MODE training manifest over the MIXED multilingual corpus:
+    // the same curate → pack → epoch composition with the packing stage
+    // id-encoding the cleaned selection under the byte-level merges
+    // (full UTF-8 fallback) — the non-ASCII splices contribute real
+    // token mass to every sequence, end to end.
+    "p_train_manifest_bytes" -> ((s, d) =>
+      Corpus.trainManifest(mixedDocs(s, d), "doc_id", "text",
+        bpeByteMergesFor(s, d), seqLen = 128, epochs = 2,
+        byteLevel = true)),
     // Shard layout over the manifest: each epoch's ordered sequences map
     // to fixed-size shards — the data-loader's on-disk unit, reproducible
     // anywhere because the order underneath is.
@@ -1403,11 +1412,16 @@ object PipelineQueries {
   /** The five-stage curate pipeline as one CTE chain — shared by
     * p_curate_pipeline and the per-source report gate.
     */
-  private val curateCtesCore: String =
-    """t AS (
+  private val curateCtesCore: String = curateCtesFrom("documents")
+
+  /** [[curateCtesCore]] parameterized by the source relation (doc_id,
+    * text) — the byte-mode manifest curates the MIXED corpus.
+    */
+  private def curateCtesFrom(rel: String): String =
+    s"""t AS (
         |  SELECT doc_id, text,
         |    [x for x in string_split(text, ' ') if x <> ''] AS toks
-        |  FROM documents
+        |  FROM $rel
         |),
         |s AS (
         |  SELECT doc_id, text, len(toks) AS nw,
@@ -3953,6 +3967,115 @@ object PipelineQueries {
     "q_sql_curate" -> curateOracle,
     "p_curate_bpe" -> curateBpeOracle,
     "p_train_manifest" -> trainManifestOracle,
+    "p_train_manifest_bytes" ->
+      s"""WITH RECURSIVE mixed AS (
+         |  SELECT doc_id,
+         |    text || ($mixedSqlList)[CAST(doc_id % ${MixedPhrases.length} AS INT) + 1]
+         |      AS text
+         |  FROM documents
+         |),
+         |${curateCtesFrom("mixed")},
+         |kept2 AS (
+         |  SELECT p.doc_id, p.avg_nll, len(ct.toks) AS n_tok
+         |  FROM ppl p JOIN ct USING (doc_id) WHERE p.avg_nll <= 3.43
+         |),
+         |selcB AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |      sum(n_tok) OVER (ORDER BY avg_nll, doc_id) AS cum_tok
+         |    FROM kept2)
+         |  WHERE cum_tok <= 6000
+         |),
+         |pdB AS (
+         |  SELECT c.doc_id, c.ctext FROM cleaned c JOIN selcB USING (doc_id)
+         |),
+         |mBM AS (SELECT rank, l, r
+         |        FROM '__BPE_ARTIFACTS__/merges_bytes/*.parquet'),
+         |occBM AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_extract_all(ctext, '\\S+')) AS word,
+         |    generate_subscripts(regexp_extract_all(ctext, '\\S+'), 1)
+         |      AS wpos
+         |  FROM pdB
+         |),
+         |vocabBM AS (SELECT DISTINCT word FROM occBM),
+         |wrappedBM AS (
+         |  SELECT word,
+         |    chr(2) ||
+         |    array_to_string(regexp_extract_all(hex(encode(word)), '..'),
+         |      chr(3)||chr(2)) ||
+         |    chr(3) AS sb
+         |  FROM vocabBM
+         |),
+         |encBM AS (
+         |  SELECT word, sb, 0 AS rk FROM wrappedBM
+         |  UNION ALL
+         |  SELECT e.word,
+         |    replace(e.sb, chr(2)||m.l||chr(3)||chr(2)||m.r||chr(3),
+         |            chr(2)||m.l||m.r||chr(3)),
+         |    e.rk + 1
+         |  FROM encBM e JOIN mBM m ON m.rank = e.rk + 1
+         |),
+         |encodedBM AS (
+         |  SELECT word, sb FROM encBM WHERE rk = (SELECT count(*) FROM mBM)
+         |),
+         |toksBM AS (
+         |  SELECT word,
+         |    unnest(string_split(substr(sb, 2, len(sb) - 2), chr(3)||chr(2)))
+         |      AS token,
+         |    generate_subscripts(
+         |      string_split(substr(sb, 2, len(sb) - 2), chr(3)||chr(2)), 1)
+         |      AS tpos
+         |  FROM encodedBM
+         |),
+         |charsBM AS (
+         |  SELECT DISTINCT unnest(regexp_extract_all(hex(encode(word)), '..'))
+         |    AS token
+         |  FROM vocabBM
+         |),
+         |candBM AS (
+         |  SELECT 0 AS grp, token, token AS o1, 0 AS o2 FROM charsBM
+         |  UNION ALL
+         |  SELECT 1, l || r, '', rank FROM mBM
+         |),
+         |numberedBM AS (
+         |  SELECT token, row_number() OVER (ORDER BY grp, o2, o1) - 1 AS tid
+         |  FROM candBM
+         |),
+         |idsBM AS (SELECT token, min(tid) AS tid FROM numberedBM
+         |          GROUP BY token),
+         |vBM AS (SELECT max(tid) + 1 AS eos FROM idsBM),
+         |streamBM AS (
+         |  SELECT o.doc_id, o.wpos, t.tpos, idsBM.tid
+         |  FROM occBM o JOIN toksBM t USING (word) JOIN idsBM USING (token)
+         |  UNION ALL
+         |  SELECT pdB.doc_id, 2147483647, 1, vBM.eos
+         |  FROM pdB CROSS JOIN vBM
+         |),
+         |gBM AS (
+         |  SELECT doc_id, tid,
+         |    row_number() OVER (ORDER BY doc_id, wpos, tpos) - 1 AS gpos
+         |  FROM streamBM
+         |),
+         |seqsumB AS (
+         |  SELECT CAST(gpos // 128 AS BIGINT) AS seq_id,
+         |    count(*) AS n_tok, count(DISTINCT doc_id) AS n_docs,
+         |    CAST(sum(tid) AS BIGINT) AS id_sum,
+         |    min(doc_id) AS doc_min, max(doc_id) AS doc_max
+         |  FROM gBM GROUP BY 1
+         |),
+         |esB AS (SELECT unnest(generate_series(1, 2)) AS epoch),
+         |eoB AS (
+         |  SELECT CAST(esB.epoch AS INT) AS epoch, ss.seq_id,
+         |    row_number() OVER (PARTITION BY esB.epoch
+         |      ORDER BY md5(CAST(ss.seq_id AS VARCHAR) || ':' ||
+         |                   CAST(esB.epoch AS VARCHAR)), ss.seq_id)
+         |      - 1 AS ord
+         |  FROM seqsumB ss CROSS JOIN esB
+         |)
+         |SELECT eoB.epoch, eoB.seq_id, CAST(eoB.ord AS BIGINT) AS ord,
+         |  ss.n_tok, ss.n_docs, ss.id_sum, ss.doc_min, ss.doc_max
+         |FROM eoB JOIN seqsumB ss USING (seq_id)""".stripMargin,
     "p_shard_manifest" ->
       s"""WITH RECURSIVE $trainManifestCtes
          |SELECT eoM.epoch, CAST(eoM.ord // 2 AS BIGINT) AS shard_id,

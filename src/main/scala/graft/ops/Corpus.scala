@@ -328,11 +328,11 @@ object Corpus {
   def trainManifest(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)], seqLen: Int = 128,
       epochs: Int = 2, width: Int = 30, pplKeepBelow: Double = 3.43,
-      tokenBudget: Long = 6000L): DataFrame =
+      tokenBudget: Long = 6000L, byteLevel: Boolean = false): DataFrame =
     trainManifestFrom(
       curateWithText(docs, idCol, textCol, width, pplKeepBelow, tokenBudget)
         .select(col(idCol), col("clean_text").as(textCol)),
-      idCol, textCol, merges, seqLen, epochs)
+      idCol, textCol, merges, seqLen, epochs, byteLevel)
 
   /** Shard layout over a training manifest: each epoch's ordered
     * sequences map to fixed-size shards (the trainer's on-disk file
@@ -353,14 +353,16 @@ object Corpus {
     * ([[graft.streaming.CurateMaintainer.manifest]]) shares it verbatim.
     */
   def trainManifestFrom(selIn: DataFrame, idCol: String, textCol: String,
-      merges: Seq[(String, String)], seqLen: Int, epochs: Int): DataFrame = {
+      merges: Seq[(String, String)], seqLen: Int, epochs: Int,
+      byteLevel: Boolean = false): DataFrame = {
     // packing consumes the selection in several branches (vocabulary
     // alphabet collect, distinct-word encode, per-doc EOS union) — each
     // would re-run the whole curate tail (including LM scoring) without
     // this; localCheckpoint so a state-derived selection stays
     // cache-unmatchable (the CurateMaintainer rule)
     val sel = graft.Exec.materializeLocal(selIn)
-    val seqs = Packing.packTokenIds(sel, idCol, textCol, merges, seqLen)
+    val seqs = Packing.packTokenIds(sel, idCol, textCol, merges, seqLen,
+      byteLevel)
     Packing.epochOrder(seqs.select(col("seq_id")), "seq_id", epochs)
       .join(seqs, Seq("seq_id"))
       .select(col("epoch"), col("seq_id"), col("ord"), col("n_tok"),
