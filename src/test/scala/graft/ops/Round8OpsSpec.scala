@@ -292,6 +292,28 @@ class Round8OpsSpec extends SparkSpec {
       e2.sortBy(_._3).map(_._2).toSeq
   }
 
+  test("byte-mode trainManifest: token conservation on a mixed-script corpus") {
+    val docs = Seq(
+      (1L, "the quick brown fox écrit 日本語 every day"),
+      (2L, "Привет the quick fox"),
+      (3L, "日本語 répète the brown fox")).toDF("doc_id", "text")
+    // minQuality gates would drop these tiny docs — drive the tail
+    // directly with the full set as the 'selection'
+    val merges = Bpe.learnMerges(docs, "doc_id", "text", numMerges = 6,
+      byteLevel = true)
+    val m = Corpus.trainManifestFrom(docs, "doc_id", "text", merges,
+      seqLen = 16, epochs = 1, byteLevel = true)
+      .as[(Int, Long, Long, Long, Long, Long, Long, Long)].collect()
+    val expTok = Bpe.docTokenCounts(docs, "doc_id", "text", merges,
+        byteLevel = true)
+      .agg(sum(col("n_bpe_tok"))).collect().head.getLong(0) + docs.count()
+    m.map(_._4).sum shouldBe expTok
+    m.map(_._4).count(_ != 16L) should be <= 1 // full sequences
+    // the non-ASCII words contributed real mass: byte tokens exceed the
+    // whitespace word count by a wide margin
+    expTok should be > 3L * 8L
+  }
+
   test("ivfTrainSized: nlist tracks corpus size with clamps") {
     val (c1, n1) = Ann.ivfTrainSized(embeddings, "embedding",
       targetPerCell = 100)
