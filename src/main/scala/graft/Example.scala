@@ -64,6 +64,31 @@ object Example {
 
     for (m <- Seq("itemCosCF", "itemPearCF", "userCosCF", "userPearCF", "svd"))
       spark.sql(s"DROP RECOMMENDER rec_$m").collect()
+
+    // ---- the training-data pipeline, raw corpus → training batches ----
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+
+    // curation as one SQL statement (gopher rules → exact dedup →
+    // duplicated-span removal → held-out perplexity filter → token budget)
+    docs.createOrReplaceTempView("documents_v")
+    println("CURATE (SQL): selected docs under a 6000-token budget:")
+    spark.sql("CURATE documents_v ID doc_id TEXT text").show(5)
+
+    // the same pipeline composed through to trainer input: BPE learned on
+    // the corpus, cleaned selection id-encoded, packed into 64-token
+    // sequences, deterministic 2-epoch order, sharded for data loaders
+    val merges = graft.ops.Bpe.learnMerges(docs, "doc_id", "text",
+      numMerges = 30)
+    val manifest = graft.ops.Corpus.trainManifest(docs, "doc_id", "text",
+      merges, seqLen = 64, epochs = 2)
+    println("training manifest (epoch, seq, ord, tokens, docs):")
+    manifest.orderBy("epoch", "ord").show(5)
+    println("shard layout (4 sequences per shard):")
+    graft.ops.Corpus.shardManifest(manifest, shardSize = 4)
+      .orderBy("epoch", "shard_id").show(5)
+
     println("example complete")
     spark.stop()
   }
