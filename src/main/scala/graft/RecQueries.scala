@@ -82,16 +82,29 @@ object RecQueries {
         .orderBy(col("score").desc, col("itemid"))
         .limit(10)
     }),
-    // SVD (ALS) TRAIN — no DuckDB oracle (gradient trajectories are not
-    // SQL-expressible); the driver records a rows-only check, and
-    // RecommenderSpec gates ranking sanity in ScalaTest.
+    // SVD end-to-end through the FULL recommender lifecycle, hash-gated:
+    // CREATE RECOMMENDER (train ALS, persist float factors — the reference's
+    // REAL model tables, utility.c:305-310) → catalog-hit recommend() reads
+    // the persisted factors → dot + top-k. Training determinism is irrelevant
+    // to the compare — the oracle reads the SAME persisted parquet and
+    // re-derives dot + top-k (float→double widening is exact on both sides,
+    // so the left-to-right double dots agree bitwise). This closes the one
+    // `no_oracle` row: the un-hashable part (the ALS trajectory) is isolated
+    // behind the persisted artifact, exactly like r_negatives_rej's draws.
     "r_svd_topk" -> ((s, d) => {
+      import graft.recdb.{RecCatalog, Recommender}
+      val base = svdFactorBase(d)
+      val catalog = new RecCatalog(s"$base/cat")
+      Recommender.drop("svdrec", catalog) // idempotent across warmup/timed/verify
       val r = ratings(s, d)
+      Recommender.create(s, "svdrec", r, s"events@$d", c, "svd",
+        catalog, s"$base/models")
       val minUser = r.agg(min(col("userid"))).head().getLong(0)
       val users = r.select(col("userid")).where(col("userid") === minUser).distinct()
-      graft.recdb.Recommender
-        .recommend(s, r, s"events@$d", Tables.ratingCols, "svd", None, Some(users))
-        .orderBy(round(col("score"), 6).desc, col("itemid"))
+      round6(Recommender
+          .recommend(s, r, s"events@$d", c, "svd", Some(catalog), Some(users)),
+        Seq("userid", "itemid"), "score")
+        .orderBy(col("score").desc, col("itemid"))
         .limit(10)
     }),
     // SVD PREDICT (R14, recathon.c:4373-4433) — hash-gated: the gate trains
@@ -538,6 +551,22 @@ object RecQueries {
          |ORDER BY round(coalesce(sc.score, 0), 6) DESC, p.itemid
          |LIMIT 10""".stripMargin,
     "r_multirec" -> multirecSql,
+    // dot + top-k over the CATALOG-persisted float factor tables the CREATE
+    // RECOMMENDER path wrote — float→double cast is exact widening, so the
+    // sequential double dot agrees bitwise with Scoring.factorScore's
+    "r_svd_topk" ->
+      """WITH uf AS (
+        |  SELECT id, CAST(features AS DOUBLE[]) AS f
+        |  FROM '__SVD_FACTORS__/models/svdrec.userModel.parquet/*.parquet'),
+        |itf AS (
+        |  SELECT id, CAST(features AS DOUBLE[]) AS f
+        |  FROM '__SVD_FACTORS__/models/svdrec.itemModel.parquet/*.parquet')
+        |SELECT u.id AS userid, i.id AS itemid,
+        |  round(list_inner_product(u.f, i.f), 6) AS score
+        |FROM uf u CROSS JOIN itf i
+        |WHERE u.id = (SELECT min(id) FROM uf)
+        |ORDER BY round(list_inner_product(u.f, i.f), 6) DESC, i.id
+        |LIMIT 10""".stripMargin,
     // dot-product + top-k over the factor parquet the gate persisted —
     // the pure-SQL rendering of Scoring.factorScore (R14)
     "r_svd_factor_topk" ->
