@@ -106,6 +106,27 @@ object PipelineQueries {
       Ann.ivfCentroidsFromDf(cdf)
     })
 
+  /** SIZED coarse quantizer for the corpus-wide graph gates: nlist grows
+    * with the corpus (⌈N/targetPerCell⌉ via [[Ann.ivfTrainSized]]) so cell
+    * occupancy — and with it the within-cell pairwise cost of the kNN
+    * graph — stays bounded as data scales. The gated plan IS the scale
+    * plan: the oracle re-derives assignment/probing from whatever centroids
+    * were persisted, so determinism survives the data-dependent nlist.
+    * (A pinned-nlist quantizer made the graph quadratic at 10× data:
+    * tools/fullgate_r9_sf1.log adjudication #3, 70.7s → 3.6s once sized.)
+    */
+  private val sizedCentsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  private def sizedCentsFor(s: SparkSession, d: String): Array[Array[Double]] =
+    sizedCentsCache.computeIfAbsent(d, _ => {
+      val (cdf, _) = Ann.ivfTrainSized(emb(s, d), "embedding",
+        targetPerCell = 256)
+      cdf.coalesce(1).write.mode("overwrite")
+        .parquet(annArtifactBase(d) + "/sized_centroids")
+      Ann.ivfCentroidsFromDf(cdf)
+    })
+
   /** [[semDedupCentsFor]]'s twin for the raw-media path: the coarse
     * quantizer trained on the featurizer's embeddings of the synthetic
     * media corpus, persisted for the end-to-end oracle.
@@ -257,7 +278,7 @@ object PipelineQueries {
     // same centroids parquet.
     "p_knn_graph" -> ((s, d) =>
       Ann.knnGraph(emb(s, d), "vec_id", "embedding", k = 5,
-        cents = semDedupCentsFor(s, d), nprobe = 2,
+        cents = sizedCentsFor(s, d), nprobe = 2,
         rankOnRoundedTo = Some(6))
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))),
@@ -306,7 +327,7 @@ object PipelineQueries {
         "graft_stream_knngraph", Tables.runKey(d)).toString
       graft.Exec.deletePath(base)
       val e = emb(s, d)
-      val cents = semDedupCentsFor(s, d)
+      val cents = sizedCentsFor(s, d)
       (0 until 3).foreach { g =>
         graft.streaming.AnnIndexMaintainer.processBatch(
           e.where(col("vec_id") % 3 === g), g.toLong, "vec_id", "embedding",
@@ -2476,11 +2497,11 @@ object PipelineQueries {
     // rendering of Ann.ivfTopK's scan stage
     "p_knn_ivf" -> ivfOracle("ivf_centroids"),
     "p_knn_graph" ->
-      s"""WITH ${ivfChainCtes("semdedup_centroids", 2, "TRUE")}
+      s"""WITH ${ivfChainCtes("sized_centroids", 2, "TRUE")}
          |SELECT query_id, neighbor_id, rank, cos FROM r2
          |WHERE rank <= 5""".stripMargin,
     "s_knn_graph" ->
-      s"""WITH ${ivfChainCtes("semdedup_centroids", 2, "TRUE")}
+      s"""WITH ${ivfChainCtes("sized_centroids", 2, "TRUE")}
          |SELECT query_id, neighbor_id, rank, cos FROM r2
          |WHERE rank <= 5""".stripMargin,
     "p_hard_negatives" ->
