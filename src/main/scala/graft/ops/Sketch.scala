@@ -41,10 +41,13 @@ object Sketch {
     // null keys pass the screen unconditionally so the exact re-count
     // decides them — keeps the bit-identical-to-GROUP-BY/HAVING contract
     // for null-bearing key columns (a null group is one key; letting it
-    // through costs one shuffled key, never correctness)
-    val mightBeHeavy = udf((k: String) =>
-      k == null || bc.value.estimateCount(k) >= minCount)
-    df.where(mightBeHeavy(col(key).cast("string")))
+    // through costs one shuffled key, never correctness). The probe itself
+    // is a codegen'd expression over the broadcast sketch — the screen is
+    // the one stage that sees every row, so it must stay inside
+    // whole-stage codegen, not a per-row lambda.
+    val ks = col(key).cast("string")
+    df.where(ks.isNull ||
+        graft.functions.SketchFns.cmsEstimateNative(ks, bc) >= minCount)
       .groupBy(col(key))
       .agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= minCount)
