@@ -127,6 +127,25 @@ object PipelineQueries {
       Ann.ivfCentroidsFromDf(cdf)
     })
 
+  /** One hyperplane-set persist per (JVM, sf dir): p_lsh_multiprobe and
+    * p_lsh_recall share the planes artifact, and a concurrent gate run
+    * must never race a reader against a same-content overwrite.
+    */
+  private val lshPlanesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Seq[Double]]]]()
+
+  private def lshPlanesFor(s: SparkSession, d: String): Seq[Seq[Seq[Double]]] =
+    lshPlanesCache.computeIfAbsent(d, _ => {
+      // 8 tables × 6 bits: at this corpus's weak-pair regime (cos ≈ 0.45,
+      // p ≈ 0.65/bit) the hamming ≤ 1 probe gives ≈ 0.32 per-table hit
+      // probability → ≈ 0.95 recall; bits trade bucket occupancy for
+      // recall and are sized to the corpus at deploy time
+      Ann.lshPlanesDf(s, nTables = 8, bitsPerTable = 6, dim = 64)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(annArtifactBase(d) + "/lsh_planes")
+      Ann.lshPlanesFromDf(s.read.parquet(annArtifactBase(d) + "/lsh_planes"))
+    })
+
   /** [[semDedupCentsFor]]'s twin for the raw-media path: the coarse
     * quantizer trained on the featurizer's embeddings of the synthetic
     * media corpus, persisted for the end-to-end oracle.
@@ -349,16 +368,8 @@ object PipelineQueries {
     // a pure function of (data, planes) in both engines.
     "p_lsh_multiprobe" -> ((s, d) => {
       val e = emb(s, d)
-      val base = annArtifactBase(d)
-      // 8 tables × 6 bits: at this corpus's weak-pair regime (cos ≈ 0.45,
-      // p ≈ 0.65/bit) the hamming ≤ 1 probe gives ≈ 0.32 per-table hit
-      // probability → ≈ 0.95 recall; bits trade bucket occupancy for
-      // recall and are sized to the corpus at deploy time
-      Ann.lshPlanesDf(s, nTables = 8, bitsPerTable = 6, dim = 64)
-        .coalesce(1).write.mode("overwrite").parquet(s"$base/lsh_planes")
-      val planes = Ann.lshPlanesFromDf(s.read.parquet(s"$base/lsh_planes"))
       Ann.lshMultiProbePairs(e, "vec_id", "embedding", threshold = 0.45,
-        planes)
+        lshPlanesFor(s, d))
         .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
     }),
     // Measured multi-probe LSH recall vs the exact cosine pair set — the
@@ -366,13 +377,9 @@ object PipelineQueries {
     // parameter claim in the comment above is a number, not prose.
     "p_lsh_recall" -> ((s, d) => {
       val e = emb(s, d)
-      val base = annArtifactBase(d)
-      Ann.lshPlanesDf(s, nTables = 8, bitsPerTable = 6, dim = 64)
-        .coalesce(1).write.mode("overwrite").parquet(s"$base/lsh_planes")
-      val planes = Ann.lshPlanesFromDf(s.read.parquet(s"$base/lsh_planes"))
       Ann.pairRecall(
         Ann.lshMultiProbePairs(e, "vec_id", "embedding", threshold = 0.45,
-          planes),
+          lshPlanesFor(s, d)),
         Ann.cosinePairs(e, "vec_id", "embedding", threshold = 0.45))
     }),
     "p_tfidf_top" -> ((s, d) =>

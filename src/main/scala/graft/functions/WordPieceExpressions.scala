@@ -171,10 +171,12 @@ case class WordPieceEncodeExpr(child: Expression, vocab: Seq[String],
   @transient private lazy val vocabSet: java.util.HashSet[UTF8String] =
     WordPieceUtil.buildVocab(vocab.iterator.map(UTF8String.fromString).toArray)
   @transient private lazy val maxCore: Int = {
-    val maxChars =
-      if (vocab.isEmpty) 2
-      else vocab.iterator
-        .map(p => if (p.startsWith("##")) p.length - 2 else p.length).max
+    // the [UNK] sentinel is emitted, never matched as a substring piece —
+    // including its 5-char core in the bound would only widen the greedy
+    // scan window past the longest REAL piece
+    val cores = vocab.iterator.filter(_ != WordPieceUtil.Unk)
+      .map(p => if (p.startsWith("##")) p.length - 2 else p.length)
+    val maxChars = if (cores.isEmpty) 2 else cores.max
     if (byteLevel) math.max(1, maxChars / 2) else maxChars
   }
 
@@ -206,10 +208,12 @@ case class UnigramEncodeExpr(child: Expression, vocab: Seq[String])
     extends UnaryExpression {
   @transient private lazy val vocabSet: java.util.HashSet[UTF8String] =
     WordPieceUtil.buildVocab(vocab.iterator.map(UTF8String.fromString).toArray)
-  @transient private lazy val maxCore: Int =
-    if (vocab.isEmpty) 1
-    else vocab.iterator
-      .map(p => if (p.startsWith("##")) p.length - 2 else p.length).max
+  @transient private lazy val maxCore: Int = {
+    // [UNK] excluded from the bound: sentinel, not a matchable piece
+    val cores = vocab.iterator.filter(_ != WordPieceUtil.Unk)
+      .map(p => if (p.startsWith("##")) p.length - 2 else p.length)
+    if (cores.isEmpty) 1 else cores.max
+  }
 
   override def dataType: DataType = StringType
   override def prettyName: String = "graft_unigram_encode"

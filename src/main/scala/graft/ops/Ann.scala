@@ -718,7 +718,9 @@ object Ann {
       .crossJoin(f.agg(count(lit(1)).as("n_found")))
       .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
       .select(col("n_true"), col("n_found"), col("n_hits"),
-        round(col("n_hits") / col("n_true"), 6).as("recall"))
+        // empty true-pair set → recall is vacuously 1.0, not 0/0 = null
+        coalesce(round(col("n_hits") / col("n_true"), 6), lit(1.0))
+          .as("recall"))
   }
 
   /** Recall@k of an approximate result against the exact one — the audit a
@@ -733,7 +735,9 @@ object Ann {
     e.agg(count(lit(1)).as("__n")).crossJoin(
         hits.agg(count(lit(1)).as("n_hits")))
       .select(col("__n").as("n_exact"), col("n_hits"),
-        round(col("n_hits") / col("__n"), 6).as("recall"))
+        // empty exact set → recall is vacuously 1.0, not 0/0 = null
+        coalesce(round(col("n_hits") / col("__n"), 6), lit(1.0))
+          .as("recall"))
   }
 
   /** Per-key elementwise mean vectors — the class-centroid op (label

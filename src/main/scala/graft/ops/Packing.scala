@@ -141,12 +141,19 @@ object Packing {
     val n = items.count()
     val es = spark.range(1, epochs + 1L)
       .select(col("id").cast("int").as("epoch"))
+    // validated fixed-width key rendering: lpad TRUNCATES anything longer
+    // than its width, so a negative or >20-char key would silently misorder
+    // instead of erroring — raise on violation rather than diverge
+    val kstr = col(keyCol).cast("string")
+    val kChecked = when(kstr.startsWith("-") || length(kstr) > 20,
+      raise_error(concat(
+        lit(s"epochOrder: key column '$keyCol' must render non-negative " +
+          "and <= 20 chars, got '"), kstr, lit("'")))).otherwise(kstr)
     val keyed = items.select(col(keyCol)).crossJoin(broadcast(es))
       .withColumn("__key", concat(
         lpad(col("epoch").cast("string"), 6, "0"), lit(":"),
-        md5(concat(col(keyCol).cast("string"), lit(":"),
-          col("epoch").cast("string"))),
-        lit(":"), lpad(col(keyCol).cast("string"), 20, "0")))
+        md5(concat(kstr, lit(":"), col("epoch").cast("string"))),
+        lit(":"), lpad(kChecked, 20, "0")))
     val offs = prefixOffsets(keyed.withColumn("__one", lit(1L)),
       "__key", "__one", buckets)
     keyed.join(offs, Seq("__key"))
