@@ -327,6 +327,19 @@ object PipelineQueries {
           col("neg_label").cast("long").as("neg_label"),
           col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
     }),
+    // Hard-negative mining at CORPUS scale: every vector mines its 5
+    // nearest different-label neighbors via the cell-partitioned graph
+    // join (both sides shuffle on the sized quantizer's cell key — the
+    // p_knn_graph plan with the label anti-filter applied before
+    // ranking). The broadcast-query p_hard_negatives is the mining-batch
+    // baseline; this is the whole-training-set path.
+    "p_hard_negatives_graph" -> ((s, d) =>
+      Ann.hardNegativesGraph(emb(s, d), "vec_id", "embedding", "label",
+        k = 5, cents = sizedCentsFor(s, d), nprobe = 2,
+        rankOnRoundedTo = Some(6))
+        .select(col("query_id"), col("neighbor_id"),
+          col("neg_label").cast("long").as("neg_label"),
+          col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))),
     // kNN weak labeling: majority vote over the 5 nearest neighbors,
     // ties toward the smallest label — engine-reproducible predictions.
     "p_knn_classify" -> ((s, d) => {
@@ -2510,6 +2523,26 @@ object PipelineQueries {
     "s_knn_graph" ->
       s"""WITH ${ivfChainCtes("sized_centroids", 2, "TRUE")}
          |SELECT query_id, neighbor_id, rank, cos FROM r2
+         |WHERE rank <= 5""".stripMargin,
+    // the graph chain's scored candidates (sc), label-filtered BEFORE the
+    // rank window — r2's unfiltered ranking is simply never referenced
+    "p_hard_negatives_graph" ->
+      s"""WITH ${ivfChainCtes("sized_centroids", 2, "TRUE")},
+         |lbl AS (SELECT vec_id, label FROM embeddings),
+         |fsc AS (
+         |  SELECT s.query_id, s.neighbor_id, lc.label AS neg_label, s.cos
+         |  FROM sc s
+         |  JOIN lbl lq ON s.query_id = lq.vec_id
+         |  JOIN lbl lc ON s.neighbor_id = lc.vec_id
+         |  WHERE lc.label <> lq.label
+         |),
+         |fr AS (
+         |  SELECT query_id, neighbor_id, neg_label, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM fsc
+         |)
+         |SELECT query_id, neighbor_id, neg_label, rank, cos FROM fr
          |WHERE rank <= 5""".stripMargin,
     "p_hard_negatives" ->
       s"""WITH e AS (

@@ -658,8 +658,8 @@ object Ann {
     * query, the k nearest corpus vectors carrying a DIFFERENT label
     * (the "hard" negatives a metric-learning batch wants next to its
     * positives). Exact baseline with broadcast queries (the
-    * [[bruteTopK]] shape); at corpus-as-queries scale, compose
-    * [[knnGraphAssigned]] with a label anti-filter instead.
+    * [[bruteTopK]] shape); at corpus-as-queries scale use
+    * [[hardNegativesGraph]], which shuffles both sides on the cell key.
     * Returns (query_id, neighbor_id, neg_label, rank, cos).
     */
   def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
@@ -681,6 +681,46 @@ object Ann {
       .getOrElse(col("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(rankCol.desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "neg_label", "rank", "cos")
+  }
+
+  /** [[hardNegatives]] at corpus scale — the [[knnGraphAssigned]] shape
+    * with the different-label filter applied BEFORE ranking: every vector
+    * mines its k nearest different-label neighbors among its nprobe
+    * nearest cells. Both sides shuffle on the cell key (no broadcast —
+    * the query side IS the corpus), so mining batch-construction
+    * negatives for the whole training set costs one co-partitioned join,
+    * exactly the graph build. Returns (query_id, neighbor_id, neg_label,
+    * rank, cos).
+    */
+  def hardNegativesGraph(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int, cents: Array[Array[Double]],
+      nprobe: Int = 2, rankOnRoundedTo: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rs = rankOnRoundedTo.getOrElse(-1)
+    def rnd(c: Column): Column =
+      rankOnRoundedTo.map(p => round(c, p)).getOrElse(c)
+    val base = emb.select(col(idCol),
+        col(vecCol).cast("array<double>").as("__v"), col(labelCol).as("__l"))
+      .withColumn("cell", graft.functions.VectorFns.nearestCellNative(
+        col("__v"), cents, rs))
+      .withColumn("__n",
+        sqrt(graft.functions.VectorFns.dotNative(col("__v"), col("__v"))))
+    val cs = base.select(col(idCol).as("neighbor_id"), col("__v").as("cv"),
+      col("__n").as("cn"), col("__l").as("neg_label"), col("cell"))
+    val qs = base.select(col(idCol).as("query_id"), col("__v").as("qv"),
+        col("__n").as("qn"), col("__l").as("__ql"))
+      .withColumn("cell", explode(graft.functions.VectorFns
+        .nearestCellsNative(col("qv"), cents, rs, nprobe)))
+    val scored = cs.join(qs, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id") &&
+        col("neg_label") =!= col("__ql"))
+      .select(col("query_id"), col("neighbor_id"), col("neg_label"),
+        (graft.functions.VectorFns.dotNative(col("qv"), col("cv")) /
+          (col("qn") * col("cn"))).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(rnd(col("cos")).desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select("query_id", "neighbor_id", "neg_label", "rank", "cos")
   }
