@@ -1000,6 +1000,24 @@ object PipelineQueries {
         Corpus.trainManifest(docs(s, d), "doc_id", "text",
           bpeMergesFor(s, d), seqLen = 128, epochs = 2),
         shardSize = 2)),
+    // Shard files MATERIALIZED: curate → pack → epoch order → one parquet
+    // file per (epoch, shard) on disk, then the gate re-reads the files
+    // and recomputes every statistic FROM THE PERSISTED PAYLOAD (token
+    // count = the ids actually in ids_str, id_sum = their sum) — the
+    // oracle re-derives the same numbers from the raw corpus, so a writer
+    // that loses or reorders a single token cannot hash-match.
+    "p_shard_files" -> ((s, d) => {
+      val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_shards", Tables.runKey(d)).toString
+      Corpus.trainShards(docs(s, d), "doc_id", "text", bpeMergesFor(s, d),
+          dir, seqLen = 128, epochs = 2, shardSize = 2)
+        .groupBy(col("epoch"), col("shard_id"))
+        .agg(count(lit(1)).as("n_seqs"),
+          sum(size(split(col("ids_str"), ":"))).cast("long").as("n_tok"),
+          sum(expr(
+            "aggregate(split(ids_str, ':'), 0L, (a, x) -> a + cast(x AS long))"))
+            .as("id_sum"))
+    }),
     // Deterministic per-epoch training order (3 epochs over the corpus):
     // a pure function of (item set, epoch) via md5 draws, globally ranked
     // by the distributed prefix sum — the reproducible shuffle exact
@@ -4141,6 +4159,15 @@ object PipelineQueries {
       s"""WITH RECURSIVE $trainManifestCtes
          |SELECT eoM.epoch, CAST(eoM.ord // 2 AS BIGINT) AS shard_id,
          |  count(*) AS n_seqs, CAST(sum(ss.n_tok) AS BIGINT) AS n_tok
+         |FROM eoM JOIN seqsum ss USING (seq_id)
+         |GROUP BY 1, 2""".stripMargin,
+    // same chain, with id_sum — the payload-derived conservation check of
+    // the materialized shard files
+    "p_shard_files" ->
+      s"""WITH RECURSIVE $trainManifestCtes
+         |SELECT eoM.epoch, CAST(eoM.ord // 2 AS BIGINT) AS shard_id,
+         |  count(*) AS n_seqs, CAST(sum(ss.n_tok) AS BIGINT) AS n_tok,
+         |  CAST(sum(ss.id_sum) AS BIGINT) AS id_sum
          |FROM eoM JOIN seqsum ss USING (seq_id)
          |GROUP BY 1, 2""".stripMargin,
     // the streamed derivation must equal the one-shot manifest exactly

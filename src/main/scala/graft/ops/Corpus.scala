@@ -348,6 +348,67 @@ object Corpus {
       .agg(count(lit(1)).as("n_seqs"), sum(col("n_tok")).as("n_tok"))
   }
 
+  /** MATERIALIZE the shard layout: one parquet file per (epoch, shard)
+    * under `dir` — the data-loader handoff artifact [[shardManifest]] only
+    * describes. `epochOrd` is [[Packing.epochOrder]]'s (epoch, seq_id,
+    * ord); `payload` is [[Packing.packTokenIdRows]]'s (seq_id, ids_str,
+    * n_tok). Rows land hive-partitioned (epoch=…/shard_id=…), exactly one
+    * file per shard (the repartition key IS the directory key), sequences
+    * in ord order within the file — partitionBy's required sort is a
+    * prefix of the sortWithinPartitions key, so no re-sort reorders them.
+    */
+  def writeShards(epochOrd: DataFrame, payload: DataFrame, shardSize: Int,
+      dir: String): Unit = {
+    require(shardSize >= 1, "shardSize must be >= 1")
+    val spark = epochOrd.sparkSession
+    epochOrd.select(col("epoch"), col("seq_id"), col("ord"),
+        floor(col("ord") / shardSize).cast("long").as("shard_id"))
+      .join(payload.select(col("seq_id"), col("ids_str"), col("n_tok")),
+        Seq("seq_id"))
+      .repartition(math.max(1, spark.sparkContext.defaultParallelism / 2),
+        col("epoch"), col("shard_id"))
+      .sortWithinPartitions(col("epoch"), col("shard_id"), col("ord"))
+      .write.mode("overwrite").partitionBy("epoch", "shard_id").parquet(dir)
+  }
+
+  /** Re-read a [[writeShards]] layout: (epoch, shard_id, seq_id, ord,
+    * n_tok, ids_str) with the partition-directory keys normalized to the
+    * manifest's types.
+    */
+  def readShards(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .select(col("epoch").cast("int").as("epoch"),
+        col("shard_id").cast("long").as("shard_id"),
+        col("seq_id"), col("ord"), col("n_tok"), col("ids_str"))
+
+  /** Raw corpus → SHARD FILES ON DISK, one call: curate, id-encode + pack
+    * the cleaned selection (payload rows carrying every token id), assign
+    * the deterministic epoch order, and [[writeShards]] the result; returns
+    * the re-read layout so callers consume what is actually on disk. The
+    * conservation gate recomputes token counts and id sums FROM the
+    * persisted payload — a writer that dropped or reordered bytes cannot
+    * pass.
+    */
+  def trainShards(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], dir: String, seqLen: Int = 128,
+      epochs: Int = 2, width: Int = 30, pplKeepBelow: Double = 3.43,
+      tokenBudget: Long = 6000L, shardSize: Int = 2,
+      byteLevel: Boolean = false): DataFrame = {
+    val sel = graft.Exec.materializeLocal(
+      curateWithText(docs, idCol, textCol, width, pplKeepBelow, tokenBudget)
+        .select(col(idCol), col("clean_text").as(textCol)))
+    // payload feeds both the epoch-order build and the shard join; the
+    // curate-derived lineage must not recompute (nor cache-poison —
+    // the CurateMaintainer localCheckpoint rule)
+    val payload = graft.Exec.materializeLocal(
+      Packing.packTokenIdRows(sel, idCol, textCol, merges, seqLen, byteLevel))
+    val ord = Packing.epochOrder(payload.select(col("seq_id")), "seq_id",
+      epochs)
+    writeShards(ord, payload, shardSize, dir)
+    readShards(docs.sparkSession, dir)
+  }
+
   /** [[trainManifest]]'s pack + epoch-order tail over an already-curated
     * (idCol, textCol) selection — split out so the streamed derivation
     * ([[graft.streaming.CurateMaintainer.manifest]]) shares it verbatim.

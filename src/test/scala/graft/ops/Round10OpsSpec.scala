@@ -32,6 +32,47 @@ class Round10OpsSpec extends SparkSpec {
     graph shouldBe exact
   }
 
+  // ------------------------------------------------------- shard writer
+
+  test("writeShards materializes one file per shard, ord-sorted, token-conserving") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "pack my box with five dozen liquor jugs for the trip"),
+      (3L, "sphinx of black quartz judge my vow said the old sage"),
+      (4L, "how vexingly quick daft zebras jump over fences all day"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, "doc_id", "text", numMerges = 10,
+      minCount = 1L)
+    val payload = Packing.packTokenIdRows(docs, "doc_id", "text", merges,
+      seqLen = 16).cache()
+    val ord = Packing.epochOrder(payload.select("seq_id"), "seq_id", 2)
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    Corpus.writeShards(ord, payload, shardSize = 2, dir)
+    // exactly one parquet file per (epoch, shard) directory
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("epoch=")).flatMap(_.listFiles())
+      .filter(_.getName.startsWith("shard_id="))
+    shardDirs should not be empty
+    all(shardDirs.map(_.listFiles()
+      .count(_.getName.endsWith(".parquet")))) shouldBe 1
+    val back = Corpus.readShards(spark, dir).cache()
+    // token + id-sum conservation: payload on disk == packed sequences,
+    // once per epoch
+    val diskTok = back.agg(
+      expr("sum(size(split(ids_str, ':')))")).head().getLong(0)
+    val srcTok = payload.agg(sum(col("n_tok"))).head().getLong(0)
+    diskTok shouldBe 2L * srcTok
+    back.select("seq_id", "ids_str").distinct().count() shouldBe
+      payload.count()
+    // within every shard file, rows are in ascending ord (file row order —
+    // read without sorting and check monotonicity per shard)
+    val perShard = back.select("epoch", "shard_id", "ord")
+      .as[(Int, Long, Long)].collect().toSeq
+      .groupBy(t => (t._1, t._2)).values
+    all(perShard.map(rs => rs.map(_._3) == rs.map(_._3).sorted)) shouldBe true
+    graft.Exec.deletePath(dir)
+  }
+
   test("hardNegativesGraph never returns a same-label neighbor and bounds rank") {
     val cents = Ann.ivfCentroidsFromDf(
       Ann.ivfTrain(embeddings, "embedding", nlist = 8))
