@@ -658,6 +658,20 @@ object PipelineQueries {
         .select(col("media_id"), col("k").cast("long").as("k"),
           round(col("v"), 6).as("v"))
     }),
+    // CLIP-style text–image PAIR table — the multimodal mandate end to
+    // end: documents pass the quality + langid gates, each kept doc pairs
+    // with an image via the deterministic md5-rank round-robin, and the
+    // image half carries the REAL decoded embedding's norm. The oracle
+    // re-derives the gates, the rank assignment, and the norm from the
+    // closed-form pixels — a fake decode, wrong gate, or broken join
+    // cannot pass.
+    "p_clip_pairs" -> ((s, d) => {
+      val media = graft.ops.Multimodal.syntheticMedia(s, 200)
+      graft.ops.Multimodal.clipPairs(docs(s, d), media, "doc_id", "text",
+          minQuality = 1.0, keepLang = "en", dim = 8, seed = 42L)
+        .select(col("doc_id"), col("media_id"), col("lang"), col("quality"),
+          round(col("emb_norm"), 6).as("emb_norm"))
+    }),
     // Audio twin of p_media_features: REAL RIFF/WAVE PCM16 payloads decoded
     // by the pure-JVM chunk walker; rate/length/RMS/peak re-derived by the
     // oracle from the closed-form sample formula — a wrong decode cannot
@@ -2364,6 +2378,36 @@ object PipelineQueries {
       |)""".stripMargin
   }
 
+  /** Closed-form synthetic-image embedding chain (the p_media_embed
+    * derivation): m → dims → px → emb(media_id, k, v) at dim 8, seed 42 —
+    * shared by every oracle that consumes the real image featurizer.
+    */
+  private def mediaEmbCtes: String =
+    """m AS (SELECT unnest(generate_series(0, 199)) AS media_id),
+      |dims AS (
+      |  SELECT media_id, 8 + (media_id % 9) AS w,
+      |         8 + ((media_id * 7) % 9) AS h
+      |  FROM m
+      |),
+      |xs AS (SELECT unnest(generate_series(0, 16)) AS i),
+      |ks AS (SELECT unnest(generate_series(0, 7)) AS k),
+      |px AS (
+      |  SELECT d.media_id, d.w, d.h, x.i AS x, y.i AS y,
+      |    (x.i*31 + y.i*17 + d.media_id*13) % 256 AS pr,
+      |    (x.i*7 + y.i*29 + d.media_id*3) % 256 AS pg,
+      |    (x.i*11 + y.i*5 + d.media_id*23) % 256 AS pb
+      |  FROM dims d, xs x, xs y
+      |  WHERE x.i < d.w AND y.i < d.h
+      |),
+      |emb AS (
+      |  SELECT media_id, k,
+      |    sum(pr * (((x*1009 + y*2003 + k*4001 + 42) % 97) - 48)
+      |      + pg * (((x*1009 + y*2003 + 3001 + k*4001 + 42) % 97) - 48)
+      |      + pb * (((x*1009 + y*2003 + 6002 + k*4001 + 42) % 97) - 48))
+      |      / (48.0 * w * h) AS v
+      |  FROM px, ks GROUP BY media_id, k, w, h
+      |)""".stripMargin
+
   private def langScoreSql(words: Seq[String]): String =
     s"len(list_filter(string_split(text, ' '), t -> t IN (${
       words.map(w => s"'$w'").mkString(", ")})))"
@@ -3352,33 +3396,60 @@ object PipelineQueries {
         |  CAST(4 AS BIGINT) AS n_frames_sampled
         |FROM agg""".stripMargin,
     "p_media_embed" ->
-      """WITH m AS (SELECT unnest(generate_series(0, 199)) AS media_id),
-        |dims AS (
-        |  SELECT media_id, 8 + (media_id % 9) AS w,
-        |         8 + ((media_id * 7) % 9) AS h
-        |  FROM m
-        |),
-        |xs AS (SELECT unnest(generate_series(0, 16)) AS i),
-        |ks AS (SELECT unnest(generate_series(0, 7)) AS k),
-        |px AS (
-        |  SELECT d.media_id, d.w, d.h, x.i AS x, y.i AS y,
-        |    (x.i*31 + y.i*17 + d.media_id*13) % 256 AS pr,
-        |    (x.i*7 + y.i*29 + d.media_id*3) % 256 AS pg,
-        |    (x.i*11 + y.i*5 + d.media_id*23) % 256 AS pb
-        |  FROM dims d, xs x, xs y
-        |  WHERE x.i < d.w AND y.i < d.h
-        |),
-        |emb AS (
-        |  SELECT media_id, k,
-        |    sum(pr * (((x*1009 + y*2003 + k*4001 + 42) % 97) - 48)
-        |      + pg * (((x*1009 + y*2003 + 3001 + k*4001 + 42) % 97) - 48)
-        |      + pb * (((x*1009 + y*2003 + 6002 + k*4001 + 42) % 97) - 48))
-        |      / (48.0 * w * h) AS v
-        |  FROM px, ks GROUP BY media_id, k, w, h
-        |)
-        |SELECT CAST(media_id AS BIGINT) AS media_id, CAST(k AS BIGINT) AS k,
-        |  round(v, 6) AS v
-        |FROM emb""".stripMargin,
+      s"""WITH $mediaEmbCtes
+         |SELECT CAST(media_id AS BIGINT) AS media_id, CAST(k AS BIGINT) AS k,
+         |  round(v, 6) AS v
+         |FROM emb""".stripMargin,
+    "p_clip_pairs" -> {
+      val ss = TextOps.LangProfiles.map { case (l, ws) =>
+        s"${langScoreSql(ws)} AS s_$l"
+      }.mkString(",\n    ")
+      s"""WITH t AS (
+         |  SELECT doc_id, text, length(text) AS n_char,
+         |         string_split(text, ' ') AS toks
+         |  FROM documents
+         |), sq AS (
+         |  SELECT doc_id, n_char, len(toks) AS n_tok,
+         |    ${langScoreSql(TextOps.StopwordsEn).replace("string_split(text, ' ')", "toks")}*1.0/greatest(len(toks), 1) AS sr,
+         |    length(replace(text, ' ', ''))*1.0/greatest(len(toks), 1) AS ml
+         |  FROM t
+         |), qual AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN n_tok BETWEEN 10 AND 1000 THEN CAST(0.25 AS DOUBLE) ELSE 0 END
+         |     + CASE WHEN sr BETWEEN 0.05 AND 0.6 THEN CAST(0.25 AS DOUBLE) ELSE 0 END
+         |     + CASE WHEN ml BETWEEN 3.0 AND 10.0 THEN CAST(0.25 AS DOUBLE) ELSE 0 END
+         |     + CASE WHEN n_char <= 20000 THEN CAST(0.25 AS DOUBLE) ELSE 0 END) AS quality
+         |  FROM sq
+         |), ls AS (
+         |  SELECT doc_id,
+         |    $ss
+         |  FROM documents
+         |), lng AS (
+         |  SELECT doc_id, CASE
+         |    WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+         |    WHEN s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+         |    WHEN s_es >= s_de AND s_es >= s_zh THEN 'es'
+         |    WHEN s_de >= s_zh THEN 'de'
+         |    ELSE 'zh' END AS lang
+         |  FROM ls
+         |), kept AS (
+         |  SELECT q.doc_id, q.quality, l.lang
+         |  FROM qual q JOIN lng l USING (doc_id)
+         |  WHERE q.quality >= 1.0 AND l.lang = 'en'
+         |), rk AS (
+         |  SELECT doc_id, quality, lang,
+         |    row_number() OVER (ORDER BY
+         |      md5(CAST(doc_id AS VARCHAR) || ':' || '1'), doc_id) - 1 AS ord
+         |  FROM kept
+         |),
+         |$mediaEmbCtes,
+         |nrm AS (
+         |  SELECT media_id, sqrt(sum(v*v)) AS emb_norm FROM emb GROUP BY 1
+         |)
+         |SELECT rk.doc_id, CAST(rk.ord % 200 AS BIGINT) AS media_id,
+         |  rk.lang, rk.quality, round(n.emb_norm, 6) AS emb_norm
+         |FROM rk JOIN nrm n ON rk.ord % 200 = n.media_id""".stripMargin
+    },
     "p_audio_features" ->
       """WITH m AS (SELECT unnest(generate_series(0, 199)) AS media_id),
         |params AS (

@@ -1096,4 +1096,43 @@ object Multimodal {
     media.where(col("n_frames").isNotNull && col("n_frames") > 0)
       .select(col("media_id"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+
+  /** CLIP-style text–image PAIR construction — the contrastive-training
+    * table: documents pass the quality + language gates, each kept doc is
+    * deterministically assigned an image (md5-rank round-robin via
+    * [[Packing.epochOrder]] — a pure function of the kept-doc set,
+    * layout- and cluster-independent), and the image half carries its REAL
+    * decoded embedding's norm so a broken decode or join cannot go
+    * unnoticed. In a crawl pipeline the assignment comes from alignment
+    * keys (page URL, alt-text anchor); the deterministic round-robin is
+    * the synthetic-fixture stand-in with the same join shape.
+    *
+    * Scale: the text side gates map-side; the rank is the distributed
+    * prefix sum (no global window); the pair join shuffles on media_id —
+    * both sides can be arbitrarily large (AQE broadcasts when the media
+    * side is actually small). Returns (idCol, media_id, lang, quality,
+    * emb_norm).
+    */
+  def clipPairs(docs: DataFrame, media: DataFrame, idCol: String,
+      textCol: String, minQuality: Double = 0.75, keepLang: String = "en",
+      dim: Int = 16, seed: Long = 42L): DataFrame = {
+    val nMedia = media.count()
+    require(nMedia > 0, "clipPairs: media frame is empty")
+    val kept = docs.select(col(idCol),
+        TextOps.qualityScore(col(textCol)).as("quality"),
+        TextOps.langId(col(textCol)).as("lang"))
+      .where(col("quality") >= minQuality && col("lang") === keepLang)
+      .cache()
+    val assigned = Packing.epochOrder(kept.select(col(idCol)), idCol,
+        epochs = 1)
+      .select(col(idCol), (col("ord") % nMedia).as("media_id"))
+    val embNorm = imageEmbedding(media, dim, seed)
+      .select(col("media_id"),
+        sqrt(graft.functions.VectorFns.dotNative(
+          col("embedding"), col("embedding"))).as("emb_norm"))
+    assigned.join(kept, Seq(idCol))
+      .join(embNorm, Seq("media_id"))
+      .select(col(idCol), col("media_id"), col("lang"), col("quality"),
+        col("emb_norm"))
+  }
 }

@@ -73,6 +73,36 @@ class Round10OpsSpec extends SparkSpec {
     graft.Exec.deletePath(dir)
   }
 
+  // --------------------------------------------------------- clip pairs
+
+  test("clipPairs gates on quality and language, pairs deterministically") {
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "walks back home across the quiet field with a steady pace today"
+    val docs = Seq(
+      (1L, good),
+      (2L, good + " again and again with more of the same words to say"),
+      (3L, "aa bb"), // too few tokens → quality gate drops it
+      (4L, "le chat et le chien et la maison et le pain et le vin et " +
+        "la rue et le jour et la nuit et les gens et les choses de la vie"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.syntheticMedia(spark, 3)
+    val out = Multimodal.clipPairs(docs, media, "doc_id", "text",
+      minQuality = 1.0, keepLang = "en", dim = 8).cache()
+    out.select("doc_id").as[Long].collect().toSet shouldBe Set(1L, 2L)
+    // assignment is a pure function of the kept set: re-derivation agrees
+    val again = Multimodal.clipPairs(docs, media, "doc_id", "text",
+      minQuality = 1.0, keepLang = "en", dim = 8)
+    again.select("doc_id", "media_id").as[(Long, Long)].collect().toSet shouldBe
+      out.select("doc_id", "media_id").as[(Long, Long)].collect().toSet
+    // the embedding norm is the real featurizer's, not a placeholder
+    val norms = Multimodal.imageEmbedding(media, dim = 8)
+      .select(col("media_id"), sqrt(graft.functions.VectorFns.dotNative(
+        col("embedding"), col("embedding"))).as("n"))
+      .as[(Long, Double)].collect().toMap
+    out.select("media_id", "emb_norm").as[(Long, Double)].collect()
+      .foreach { case (m, n) => n shouldBe norms(m) +- 1e-12 }
+  }
+
   test("hardNegativesGraph never returns a same-label neighbor and bounds rank") {
     val cents = Ann.ivfCentroidsFromDf(
       Ann.ivfTrain(embeddings, "embedding", nlist = 8))
