@@ -1006,6 +1006,23 @@ object PipelineQueries {
       Corpus.trainManifest(mixedDocs(s, d), "doc_id", "text",
         bpeByteMergesFor(s, d), seqLen = 128, epochs = 2,
         byteLevel = true)),
+    // INTERLEAVED MULTIMODAL manifest: the p_train_manifest composition
+    // with each selected doc's paired image spliced in as DISCRETE image
+    // tokens — PQ codes of the real decoded embedding, offset into the
+    // image vocabulary region (VQ-style tokenization). The codebook
+    // persists as the artifact; the oracle re-derives pixels → embedding →
+    // codes → token splice → grid → epoch order, all from closed form +
+    // the artifact. The byte-packing discipline applied cross-modally.
+    "p_mm_manifest" -> ((s, d) => {
+      val media = graft.ops.Multimodal.syntheticMedia(s, 200)
+      val e = graft.ops.Multimodal.imageEmbedding(media, dim = 8, seed = 42L)
+      val base = annArtifactBase(d)
+      Ann.pqCodebookDf(s, Ann.pqTrain(e, "embedding", m = 4, k = 8))
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/mm_codebook")
+      val cb = Ann.pqCodebookFromDf(s.read.parquet(s"$base/mm_codebook"))
+      Corpus.trainManifestMultimodal(docs(s, d), media, "doc_id", "text",
+        bpeMergesFor(s, d), cb, seqLen = 128, epochs = 2)
+    }),
     // Shard layout over the manifest: each epoch's ordered sequences map
     // to fixed-size shards — the data-loader's on-disk unit, reproducible
     // anywhere because the order underneath is.
@@ -2159,7 +2176,13 @@ object PipelineQueries {
        |  ss.n_tok, ss.n_docs, ss.id_sum, ss.doc_min, ss.doc_max
        |FROM eoM JOIN seqsum ss USING (seq_id)""".stripMargin
 
-  private def trainManifestCtes: String =
+  private def trainManifestCtes: String = trainManifestCtesWith("", "")
+
+  /** [[trainManifestCtes]] with injection points for the multimodal
+    * variant: `imgCtes` (extra CTEs, leading comma included) lands after
+    * vP; `imgUnion` (a leading `UNION ALL` branch) extends streamP.
+    */
+  private def trainManifestCtesWith(imgCtes: String, imgUnion: String): String =
     s"""$curateCtesCore,
          |kept2 AS (
          |  SELECT p.doc_id, p.avg_nll, len(ct.toks) AS n_tok
@@ -2226,13 +2249,13 @@ object PipelineQueries {
          |  FROM candP
          |),
          |idsP AS (SELECT token, min(tid) AS tid FROM numberedP GROUP BY token),
-         |vP AS (SELECT max(tid) + 1 AS eos FROM idsP),
+         |vP AS (SELECT max(tid) + 1 AS eos FROM idsP)$imgCtes,
          |streamP AS (
          |  SELECT o.doc_id, o.wpos, t.tposp, idsP.tid
          |  FROM occP o JOIN toksP t USING (word) JOIN idsP USING (token)
          |  UNION ALL
          |  SELECT pd.doc_id, 2147483647, 1, vP.eos
-         |  FROM pd CROSS JOIN vP
+         |  FROM pd CROSS JOIN vP$imgUnion
          |),
          |gP AS (
          |  SELECT doc_id, tid,
@@ -4243,6 +4266,46 @@ object PipelineQueries {
          |GROUP BY 1, 2""".stripMargin,
     // the streamed derivation must equal the one-shot manifest exactly
     "s_train_manifest" -> trainManifestOracle,
+    // the manifest chain with the image-token splice: pairing → closed-form
+    // embedding → PQ argmin (rounded, lowest-cid ties) from the persisted
+    // codebook → image rows at wpos -1 with ids in the V+1+j·k+c region
+    "p_mm_manifest" -> {
+      val imgCtes =
+        s""",
+           |pairedM AS (SELECT doc_id, doc_id % 200 AS media_id FROM pd),
+           |$mediaEmbCtes,
+           |mvM AS (SELECT media_id, list(v ORDER BY k) AS v FROM emb GROUP BY 1),
+           |cbM AS (
+           |  SELECT subspace, cid, c, n2
+           |  FROM '__ANN_ARTIFACTS__/mm_codebook/*.parquet'
+           |),
+           |pqM AS (SELECT CAST(len(c) AS INT) AS dsub FROM cbM LIMIT 1),
+           |kM AS (SELECT CAST(max(cid) + 1 AS BIGINT) AS kc FROM cbM),
+           |encM AS (
+           |  SELECT e.media_id, cb.subspace, cb.cid,
+           |    round(cb.n2 - 2*list_inner_product(
+           |      e.v[cb.subspace*p.dsub+1 : (cb.subspace+1)*p.dsub], cb.c), 6) AS dd
+           |  FROM mvM e CROSS JOIN pqM p CROSS JOIN cbM cb
+           |),
+           |codesM AS (
+           |  SELECT media_id, subspace, cid FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY media_id, subspace
+           |      ORDER BY dd, cid) AS rn
+           |    FROM encM)
+           |  WHERE rn = 1
+           |)""".stripMargin
+      val imgUnion =
+        """
+          |  UNION ALL
+          |  SELECT pr.doc_id, -1, CAST(c.subspace + 1 AS BIGINT),
+          |    vP.eos + 1 + c.subspace*kM.kc + c.cid
+          |  FROM pairedM pr JOIN codesM c USING (media_id)
+          |  CROSS JOIN vP CROSS JOIN kM""".stripMargin
+      s"""WITH RECURSIVE ${trainManifestCtesWith(imgCtes, imgUnion)}
+         |SELECT eoM.epoch, eoM.seq_id, CAST(eoM.ord AS BIGINT) AS ord,
+         |  ss.n_tok, ss.n_docs, ss.id_sum, ss.doc_min, ss.doc_max
+         |FROM eoM JOIN seqsum ss USING (seq_id)""".stripMargin
+    },
     "p_epoch_order" ->
       s"""WITH es AS (SELECT unnest(generate_series(1, 3)) AS epoch),
          |eo AS (

@@ -409,6 +409,52 @@ object Corpus {
     readShards(docs.sparkSession, dir)
   }
 
+  /** INTERLEAVED MULTIMODAL training manifest: [[trainManifest]]'s
+    * curate → pack → epoch-order composition with each selected document's
+    * paired image spliced into its token stream as DISCRETE image tokens —
+    * the PQ codes of the image's real decoded embedding, offset into the
+    * image region of the vocabulary (VQ-style tokenization: text ids
+    * 0..V-1, EOS = V, image token for (subspace j, code c) = V+1+j·k+c).
+    * Pairing is `doc_id % |media|` (the alignment key is given in a crawl
+    * pipeline; the modulus is the deterministic fixture stand-in). The
+    * byte-packing discipline applies cross-modally: image tokens are just
+    * tokens — same grid, same offsets, same sequence cuts, same epoch
+    * permutation.
+    *
+    * `codebooks` is the persisted PQ codebook ([[Ann.pqCodebookDf]] shape)
+    * so any engine re-derives the image tokens from the artifact alone;
+    * codes assign on round(d, 6) for cross-engine argmin parity.
+    */
+  def trainManifestMultimodal(docs: DataFrame, media: DataFrame,
+      idCol: String, textCol: String, merges: Seq[(String, String)],
+      codebooks: Array[Array[Array[Double]]], seqLen: Int = 128,
+      epochs: Int = 2, width: Int = 30, pplKeepBelow: Double = 3.43,
+      tokenBudget: Long = 6000L, embDim: Int = 8,
+      embSeed: Long = 42L): DataFrame = {
+    val nMedia = media.count()
+    require(nMedia > 0, "trainManifestMultimodal: media frame is empty")
+    val kCodes = codebooks.head.length
+    val sel = graft.Exec.materializeLocal(
+      curateWithText(docs, idCol, textCol, width, pplKeepBelow, tokenBudget)
+        .select(col(idCol), col("clean_text").as(textCol)))
+    val codes = Ann.pqEncode(
+        Multimodal.imageEmbedding(media, embDim, embSeed),
+        "media_id", "embedding", codebooks, assignOnRoundedTo = Some(6))
+      .select(col("id").as("media_id"), col("codes"))
+    val imgPrefix = sel.select(col(idCol),
+        (col(idCol) % nMedia).as("media_id"))
+      .join(codes, Seq("media_id"))
+      .select(col(idCol), posexplode(col("codes")).as(Seq("sub", "code")))
+      .select(col(idCol), (col("sub") + 1).as("tpos"),
+        (col("sub") * kCodes + col("code")).as("img_ord"))
+    val seqs = Packing.packTokenIdsInterleaved(sel, idCol, textCol, merges,
+      seqLen, imgPrefix)
+    Packing.epochOrder(seqs.select(col("seq_id")), "seq_id", epochs)
+      .join(seqs, Seq("seq_id"))
+      .select(col("epoch"), col("seq_id"), col("ord"), col("n_tok"),
+        col("n_docs"), col("id_sum"), col("doc_min"), col("doc_max"))
+  }
+
   /** [[trainManifest]]'s pack + epoch-order tail over an already-curated
     * (idCol, textCol) selection — split out so the streamed derivation
     * ([[graft.streaming.CurateMaintainer.manifest]]) shares it verbatim.

@@ -120,6 +120,28 @@ object Packing {
         min(col(idCol)).as("doc_min"),
         max(col(idCol)).as("doc_max"))
 
+  /** [[packTokenIds]] with a per-doc IMAGE-token prefix interleaved into
+    * the stream — the multimodal packing discipline: each document's
+    * discrete image tokens (`imgPrefix`: (idCol, tpos, img_ord) — e.g. PQ
+    * codes of its paired image, img_ord = subspace·k + code) ride
+    * immediately BEFORE the document's text, ids offset into the image
+    * region of the vocabulary (≥ EOS+1), then text, then EOS. The token
+    * grid, offsets, and sequence cuts are exactly the text path's —
+    * image tokens are just more tokens.
+    */
+  def packTokenIdsInterleaved(docs: DataFrame, idCol: String,
+      textCol: String, merges: Seq[(String, String)], seqLen: Int,
+      imgPrefix: DataFrame, byteLevel: Boolean = false,
+      buckets: Int = 64): DataFrame =
+    packedStream(docs, idCol, textCol, merges, seqLen, byteLevel, buckets,
+        Some(imgPrefix))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        countDistinct(col(idCol)).as("n_docs"),
+        sum(col("id")).as("id_sum"),
+        min(col(idCol)).as("doc_min"),
+        max(col(idCol)).as("doc_max"))
+
   /** Deterministic per-epoch global training order — the reproducible
     * shuffle a trainer needs for exact resumption and data-order
     * debugging: epoch e's permutation ranks every item by
@@ -166,7 +188,8 @@ object Packing {
     */
   private def packedStream(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)], seqLen: Int,
-      byteLevel: Boolean, buckets: Int): DataFrame = {
+      byteLevel: Boolean, buckets: Int,
+      imgPrefix: Option[DataFrame] = None): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -187,9 +210,18 @@ object Packing {
     val withEos = tok.unionByName(docs.select(col(idCol),
       lit(Int.MaxValue).as("wpos"), lit(0).as("tpos"),
       lit(eosId).as("id")))
+    // optional per-doc IMAGE-token prefix (idCol, tpos, img_ord): rides at
+    // wpos = -1 — before any text word — with ids in the image region of
+    // the vocabulary, EOS+1+img_ord (text 0..V-1, EOS = V, image ≥ V+1)
+    val withImg = imgPrefix match {
+      case Some(ip) => withEos.unionByName(ip.select(col(idCol),
+        lit(-1).as("wpos"), col("tpos").cast("int").as("tpos"),
+        (lit(eosId + 1L) + col("img_ord").cast("long")).as("id")))
+      case None => withEos
+    }
     val byDoc = Window.partitionBy(col(idCol))
       .orderBy(col("wpos"), col("tpos"))
-    val seq = withEos.withColumn("__k", row_number().over(byDoc).cast("long"))
+    val seq = withImg.withColumn("__k", row_number().over(byDoc).cast("long"))
     val counts = seq.groupBy(col(idCol)).agg(max(col("__k")).as("__n"))
     val offs = prefixOffsets(counts, idCol, "__n", buckets)
     seq.join(offs, Seq(idCol))

@@ -73,6 +73,36 @@ class Round10OpsSpec extends SparkSpec {
     graft.Exec.deletePath(dir)
   }
 
+  // ---------------------------------------------- interleaved packing
+
+  test("packTokenIdsInterleaved splices image tokens before text, conserving counts") {
+    val docs = Seq(
+      (1L, "aa bb aa"),
+      (2L, "bb cc bb aa"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, "doc_id", "text", numMerges = 4,
+      minCount = 1L)
+    // 3 image tokens per doc, img_ord 0..5
+    val imgPrefix = Seq(
+      (1L, 1, 0L), (1L, 2, 3L), (1L, 3, 1L),
+      (2L, 1, 5L), (2L, 2, 2L), (2L, 3, 4L))
+      .toDF("doc_id", "tpos", "img_ord")
+    val plain = Packing.packTokenIds(docs, "doc_id", "text", merges,
+      seqLen = 8).cache()
+    val mm = Packing.packTokenIdsInterleaved(docs, "doc_id", "text", merges,
+      seqLen = 8, imgPrefix).cache()
+    val plainTok = plain.agg(sum("n_tok")).head().getLong(0)
+    val mmTok = mm.agg(sum("n_tok")).head().getLong(0)
+    mmTok shouldBe plainTok + 6 // 3 image tokens per doc
+    // image ids live strictly above EOS: id_sum grows by exactly
+    // Σ (eos+1+img_ord) — re-derive eos from the vocabulary
+    val eos = Bpe.vocabulary(docs, "doc_id", "text", merges)
+      .map(_._2).max.toLong + 1
+    val plainSum = plain.agg(sum("id_sum")).head().getLong(0)
+    val mmSum = mm.agg(sum("id_sum")).head().getLong(0)
+    mmSum shouldBe plainSum + (0L to 5L).map(eos + 1 + _).sum
+  }
+
   // --------------------------------------------------------- clip pairs
 
   test("clipPairs gates on quality and language, pairs deterministically") {
