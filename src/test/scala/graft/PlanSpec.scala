@@ -126,10 +126,12 @@ class PlanSpec extends SparkSpec {
     val rows = Tables.read(spark, sf, "documents").select(col("lang").as("k"))
     val p = plan(graft.ops.Sketch.heavyHitters(rows, "k", minCount = 3))
     // one exchange for the final per-key count — the screened candidates —
-    // and the UDF filter must sit under it (map-side), not above
+    // and the codegen'd sketch-probe filter must sit under it (map-side),
+    // not above; no per-row UDF anywhere in the screen
     val shuffles = p.collect { case s: ShuffleExchangeLike => s }
     shuffles.size shouldBe 1
-    shuffles.head.child.toString should include("UDF")
+    shuffles.head.child.toString should include("graft_cms_estimate")
+    (shuffles.head.child.toString should not).include("UDF")
   }
 
   test("zorder box query: both range predicates are pushed to the scan") {
