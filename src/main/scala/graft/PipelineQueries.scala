@@ -988,6 +988,16 @@ object PipelineQueries {
     "p_pack_rows" -> ((s, d) =>
       Packing.packTokenIdRows(docs(s, d), "doc_id", "text",
         bpeMergesFor(s, d), seqLen = 128)),
+    // Attention-mask sidecar: where each doc starts within each packed
+    // sequence (and how many of its tokens land there) — the
+    // block-diagonal mask boundaries a trainer needs to stop cross-doc
+    // attention in packed batches. Pure projection of the same grid.
+    "p_pack_boundaries" -> ((s, d) =>
+      Packing.packBoundaries(docs(s, d), "doc_id", "text",
+        bpeMergesFor(s, d), seqLen = 128)
+        .select(col("seq_id"), col("doc_id"),
+          col("start_pos").cast("long").as("start_pos"),
+          col("n_tok_in_seq"))),
     // RAW CORPUS → TRAINING BATCHES, one call: curate → id-encode the
     // selected docs' CLEANED text under the persisted merges → pack into
     // 128-token sequences → 2-epoch deterministic order. The capstone
@@ -1022,6 +1032,29 @@ object PipelineQueries {
       val cb = Ann.pqCodebookFromDf(s.read.parquet(s"$base/mm_codebook"))
       Corpus.trainManifestMultimodal(docs(s, d), media, "doc_id", "text",
         bpeMergesFor(s, d), cb, seqLen = 128, epochs = 2)
+    }),
+    // MULTIMODAL shard files: the interleaved stream materialized on disk
+    // — persisted payload strings carry image tokens in-line with text;
+    // conservation recomputed from the bytes, oracle re-derives from the
+    // closed-form chain with the image splice.
+    "p_shard_files_mm" -> ((s, d) => {
+      val media = graft.ops.Multimodal.syntheticMedia(s, 200)
+      val e = graft.ops.Multimodal.imageEmbedding(media, dim = 8, seed = 42L)
+      val base = annArtifactBase(d)
+      Ann.pqCodebookDf(s, Ann.pqTrain(e, "embedding", m = 4, k = 8))
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/mm_codebook")
+      val cb = Ann.pqCodebookFromDf(s.read.parquet(s"$base/mm_codebook"))
+      val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_shards_mm", Tables.runKey(d)).toString
+      Corpus.trainShardsMultimodal(docs(s, d), media, "doc_id", "text",
+          bpeMergesFor(s, d), cb, dir, seqLen = 128, epochs = 2,
+          shardSize = 2)
+        .groupBy(col("epoch"), col("shard_id"))
+        .agg(count(lit(1)).as("n_seqs"),
+          sum(size(split(col("ids_str"), ":"))).cast("long").as("n_tok"),
+          sum(expr(
+            "aggregate(split(ids_str, ':'), 0L, (a, x) -> a + cast(x AS long))"))
+            .as("id_sum"))
     }),
     // Shard layout over the manifest: each epoch's ordered sequences map
     // to fixed-size shards — the data-loader's on-disk unit, reproducible
@@ -2430,6 +2463,43 @@ object PipelineQueries {
       |      / (48.0 * w * h) AS v
       |  FROM px, ks GROUP BY media_id, k, w, h
       |)""".stripMargin
+
+  /** Image-token CTE injections for [[trainManifestCtesWith]]: pairing →
+    * closed-form embedding vectors → PQ rounded-argmin codes from the
+    * persisted mm_codebook → image rows at wpos -1 with VQ-region ids.
+    */
+  private def mmImgCtes: String =
+    s""",
+       |pairedM AS (SELECT doc_id, doc_id % 200 AS media_id FROM pd),
+       |$mediaEmbCtes,
+       |mvM AS (SELECT media_id, list(v ORDER BY k) AS v FROM emb GROUP BY 1),
+       |cbM AS (
+       |  SELECT subspace, cid, c, n2
+       |  FROM '__ANN_ARTIFACTS__/mm_codebook/*.parquet'
+       |),
+       |pqM AS (SELECT CAST(len(c) AS INT) AS dsub FROM cbM LIMIT 1),
+       |kM AS (SELECT CAST(max(cid) + 1 AS BIGINT) AS kc FROM cbM),
+       |encM AS (
+       |  SELECT e.media_id, cb.subspace, cb.cid,
+       |    round(cb.n2 - 2*list_inner_product(
+       |      e.v[cb.subspace*p.dsub+1 : (cb.subspace+1)*p.dsub], cb.c), 6) AS dd
+       |  FROM mvM e CROSS JOIN pqM p CROSS JOIN cbM cb
+       |),
+       |codesM AS (
+       |  SELECT media_id, subspace, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY media_id, subspace
+       |      ORDER BY dd, cid) AS rn
+       |    FROM encM)
+       |  WHERE rn = 1
+       |)""".stripMargin
+
+  private def mmImgUnion: String =
+    """
+      |  UNION ALL
+      |  SELECT pr.doc_id, -1, CAST(c.subspace + 1 AS BIGINT),
+      |    vP.eos + 1 + c.subspace*kM.kc + c.cid
+      |  FROM pairedM pr JOIN codesM c USING (media_id)
+      |  CROSS JOIN vP CROSS JOIN kM""".stripMargin
 
   private def langScoreSql(words: Seq[String]): String =
     s"len(list_filter(string_split(text, ' '), t -> t IN (${
@@ -4269,43 +4339,20 @@ object PipelineQueries {
     // the manifest chain with the image-token splice: pairing → closed-form
     // embedding → PQ argmin (rounded, lowest-cid ties) from the persisted
     // codebook → image rows at wpos -1 with ids in the V+1+j·k+c region
-    "p_mm_manifest" -> {
-      val imgCtes =
-        s""",
-           |pairedM AS (SELECT doc_id, doc_id % 200 AS media_id FROM pd),
-           |$mediaEmbCtes,
-           |mvM AS (SELECT media_id, list(v ORDER BY k) AS v FROM emb GROUP BY 1),
-           |cbM AS (
-           |  SELECT subspace, cid, c, n2
-           |  FROM '__ANN_ARTIFACTS__/mm_codebook/*.parquet'
-           |),
-           |pqM AS (SELECT CAST(len(c) AS INT) AS dsub FROM cbM LIMIT 1),
-           |kM AS (SELECT CAST(max(cid) + 1 AS BIGINT) AS kc FROM cbM),
-           |encM AS (
-           |  SELECT e.media_id, cb.subspace, cb.cid,
-           |    round(cb.n2 - 2*list_inner_product(
-           |      e.v[cb.subspace*p.dsub+1 : (cb.subspace+1)*p.dsub], cb.c), 6) AS dd
-           |  FROM mvM e CROSS JOIN pqM p CROSS JOIN cbM cb
-           |),
-           |codesM AS (
-           |  SELECT media_id, subspace, cid FROM (
-           |    SELECT *, row_number() OVER (PARTITION BY media_id, subspace
-           |      ORDER BY dd, cid) AS rn
-           |    FROM encM)
-           |  WHERE rn = 1
-           |)""".stripMargin
-      val imgUnion =
-        """
-          |  UNION ALL
-          |  SELECT pr.doc_id, -1, CAST(c.subspace + 1 AS BIGINT),
-          |    vP.eos + 1 + c.subspace*kM.kc + c.cid
-          |  FROM pairedM pr JOIN codesM c USING (media_id)
-          |  CROSS JOIN vP CROSS JOIN kM""".stripMargin
-      s"""WITH RECURSIVE ${trainManifestCtesWith(imgCtes, imgUnion)}
+    "p_mm_manifest" ->
+      s"""WITH RECURSIVE ${trainManifestCtesWith(mmImgCtes, mmImgUnion)}
          |SELECT eoM.epoch, eoM.seq_id, CAST(eoM.ord AS BIGINT) AS ord,
          |  ss.n_tok, ss.n_docs, ss.id_sum, ss.doc_min, ss.doc_max
-         |FROM eoM JOIN seqsum ss USING (seq_id)""".stripMargin
-    },
+         |FROM eoM JOIN seqsum ss USING (seq_id)""".stripMargin,
+    // the multimodal chain grouped per shard, id_sum included — the
+    // payload-derived conservation check of the on-disk cross-modal stream
+    "p_shard_files_mm" ->
+      s"""WITH RECURSIVE ${trainManifestCtesWith(mmImgCtes, mmImgUnion)}
+         |SELECT eoM.epoch, CAST(eoM.ord // 2 AS BIGINT) AS shard_id,
+         |  count(*) AS n_seqs, CAST(sum(ss.n_tok) AS BIGINT) AS n_tok,
+         |  CAST(sum(ss.id_sum) AS BIGINT) AS id_sum
+         |FROM eoM JOIN seqsum ss USING (seq_id)
+         |GROUP BY 1, 2""".stripMargin,
     "p_epoch_order" ->
       s"""WITH es AS (SELECT unnest(generate_series(1, 3)) AS epoch),
          |eo AS (
@@ -4328,6 +4375,11 @@ object PipelineQueries {
         |  string_agg(CAST(id AS VARCHAR), ':' ORDER BY gpos) AS ids_str,
         |  count(*) AS n_tok
         |FROM g GROUP BY 1""".stripMargin),
+    "p_pack_boundaries" -> packOracle(
+      """SELECT CAST(gpos // 128 AS BIGINT) AS seq_id, doc_id,
+        |  CAST(min(gpos % 128) AS BIGINT) AS start_pos,
+        |  count(*) AS n_tok_in_seq
+        |FROM g GROUP BY 1, 2""".stripMargin),
     // byte-mode packing: the byte-BPE encode/vocabulary CTEs with word
     // positions, EOS terminator, global (doc_id, wpos, tpos) order, cut
     // every 128 tokens — the p_pack_tokens oracle in byte mode

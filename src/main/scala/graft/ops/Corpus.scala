@@ -431,28 +431,60 @@ object Corpus {
       epochs: Int = 2, width: Int = 30, pplKeepBelow: Double = 3.43,
       tokenBudget: Long = 6000L, embDim: Int = 8,
       embSeed: Long = 42L): DataFrame = {
-    val nMedia = media.count()
-    require(nMedia > 0, "trainManifestMultimodal: media frame is empty")
-    val kCodes = codebooks.head.length
     val sel = graft.Exec.materializeLocal(
       curateWithText(docs, idCol, textCol, width, pplKeepBelow, tokenBudget)
         .select(col(idCol), col("clean_text").as(textCol)))
-    val codes = Ann.pqEncode(
-        Multimodal.imageEmbedding(media, embDim, embSeed),
-        "media_id", "embedding", codebooks, assignOnRoundedTo = Some(6))
-      .select(col("id").as("media_id"), col("codes"))
-    val imgPrefix = sel.select(col(idCol),
-        (col(idCol) % nMedia).as("media_id"))
-      .join(codes, Seq("media_id"))
-      .select(col(idCol), posexplode(col("codes")).as(Seq("sub", "code")))
-      .select(col(idCol), (col("sub") + 1).as("tpos"),
-        (col("sub") * kCodes + col("code")).as("img_ord"))
     val seqs = Packing.packTokenIdsInterleaved(sel, idCol, textCol, merges,
-      seqLen, imgPrefix)
+      seqLen, mmImgPrefix(sel, media, idCol, codebooks, embDim, embSeed))
     Packing.epochOrder(seqs.select(col("seq_id")), "seq_id", epochs)
       .join(seqs, Seq("seq_id"))
       .select(col("epoch"), col("seq_id"), col("ord"), col("n_tok"),
         col("n_docs"), col("id_sum"), col("doc_min"), col("doc_max"))
+  }
+
+  /** The per-doc image-token stream behind the multimodal manifest/shards:
+    * pair (doc_id % |media|), PQ-encode each paired image's real decoded
+    * embedding (rounded argmin — engine-reproducible), explode codes to
+    * (idCol, tpos, img_ord = subspace·k + code).
+    */
+  private def mmImgPrefix(sel: DataFrame, media: DataFrame, idCol: String,
+      codebooks: Array[Array[Array[Double]]], embDim: Int,
+      embSeed: Long): DataFrame = {
+    val nMedia = media.count()
+    require(nMedia > 0, "multimodal packing: media frame is empty")
+    val kCodes = codebooks.head.length
+    val codes = Ann.pqEncode(
+        Multimodal.imageEmbedding(media, embDim, embSeed),
+        "media_id", "embedding", codebooks, assignOnRoundedTo = Some(6))
+      .select(col("id").as("media_id"), col("codes"))
+    sel.select(col(idCol), (col(idCol) % nMedia).as("media_id"))
+      .join(codes, Seq("media_id"))
+      .select(col(idCol), posexplode(col("codes")).as(Seq("sub", "code")))
+      .select(col(idCol), (col("sub") + 1).as("tpos"),
+        (col("sub") * kCodes + col("code")).as("img_ord"))
+  }
+
+  /** [[trainShards]] for the INTERLEAVED MULTIMODAL stream: the persisted
+    * shard payloads carry the image tokens in-line with the text, so the
+    * on-disk handoff artifact is the full cross-modal training stream.
+    * Returns the re-read layout.
+    */
+  def trainShardsMultimodal(docs: DataFrame, media: DataFrame,
+      idCol: String, textCol: String, merges: Seq[(String, String)],
+      codebooks: Array[Array[Array[Double]]], dir: String,
+      seqLen: Int = 128, epochs: Int = 2, width: Int = 30,
+      pplKeepBelow: Double = 3.43, tokenBudget: Long = 6000L,
+      shardSize: Int = 2, embDim: Int = 8, embSeed: Long = 42L): DataFrame = {
+    val sel = graft.Exec.materializeLocal(
+      curateWithText(docs, idCol, textCol, width, pplKeepBelow, tokenBudget)
+        .select(col(idCol), col("clean_text").as(textCol)))
+    val payload = graft.Exec.materializeLocal(
+      Packing.packTokenIdRowsInterleaved(sel, idCol, textCol, merges,
+        seqLen, mmImgPrefix(sel, media, idCol, codebooks, embDim, embSeed)))
+    val ord = Packing.epochOrder(payload.select(col("seq_id")), "seq_id",
+      epochs)
+    writeShards(ord, payload, shardSize, dir)
+    readShards(docs.sparkSession, dir)
   }
 
   /** [[trainManifest]]'s pack + epoch-order tail over an already-curated

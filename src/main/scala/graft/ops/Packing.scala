@@ -120,6 +120,23 @@ object Packing {
         min(col(idCol)).as("doc_min"),
         max(col(idCol)).as("doc_max"))
 
+  /** ATTENTION-MASK sidecar of the packed grid: where each document
+    * STARTS inside each sequence — (seq_id, idCol, start_pos, n_tok_in_seq)
+    * — so a trainer can mask cross-document attention in packed batches
+    * (block-diagonal mask boundaries) and weight losses per doc. A doc
+    * spanning a sequence boundary contributes a row per sequence it
+    * touches (start_pos 0 on the continuation). Pure projection of the
+    * same token grid [[packTokenIds]] cuts — no extra encode, one
+    * aggregation.
+    */
+  def packBoundaries(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], seqLen: Int,
+      byteLevel: Boolean = false, buckets: Int = 64): DataFrame =
+    packedStream(docs, idCol, textCol, merges, seqLen, byteLevel, buckets)
+      .groupBy(col("seq_id"), col(idCol))
+      .agg(min(col("__p")).as("start_pos"),
+        count(lit(1)).as("n_tok_in_seq"))
+
   /** [[packTokenIds]] with a per-doc IMAGE-token prefix interleaved into
     * the stream — the multimodal packing discipline: each document's
     * discrete image tokens (`imgPrefix`: (idCol, tpos, img_ord) — e.g. PQ
@@ -141,6 +158,23 @@ object Packing {
         sum(col("id")).as("id_sum"),
         min(col(idCol)).as("doc_min"),
         max(col(idCol)).as("doc_max"))
+
+  /** [[packTokenIdRows]] with the image-token splice — the MATERIALIZED
+    * multimodal payload (seq_id, ids_str, n_tok): image token ids appear
+    * in ids_str at their positions, so the persisted shard bytes carry
+    * the full cross-modal stream.
+    */
+  def packTokenIdRowsInterleaved(docs: DataFrame, idCol: String,
+      textCol: String, merges: Seq[(String, String)], seqLen: Int,
+      imgPrefix: DataFrame, byteLevel: Boolean = false,
+      buckets: Int = 64): DataFrame =
+    packedStream(docs, idCol, textCol, merges, seqLen, byteLevel, buckets,
+        Some(imgPrefix))
+      .groupBy(col("seq_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__p"), col("id")))),
+        s => s.getField("id").cast("string")), ":").as("ids_str"),
+        count(lit(1)).as("n_tok"))
 
   /** Deterministic per-epoch global training order — the reproducible
     * shuffle a trainer needs for exact resumption and data-order

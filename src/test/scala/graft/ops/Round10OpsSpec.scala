@@ -103,6 +103,31 @@ class Round10OpsSpec extends SparkSpec {
     mmSum shouldBe plainSum + (0L to 5L).map(eos + 1 + _).sum
   }
 
+  test("packBoundaries partitions every sequence's tokens among its docs") {
+    val docs = Seq(
+      (1L, "aa bb aa bb aa"),
+      (2L, "bb cc bb aa cc aa"),
+      (3L, "cc aa"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, "doc_id", "text", numMerges = 4,
+      minCount = 1L)
+    val seqs = Packing.packTokenIds(docs, "doc_id", "text", merges,
+      seqLen = 8).cache()
+    val b = Packing.packBoundaries(docs, "doc_id", "text", merges,
+      seqLen = 8).cache()
+    // the sidecar partitions each sequence's tokens exactly
+    val bySeq = b.groupBy("seq_id")
+      .agg(sum("n_tok_in_seq").as("t"), min("start_pos").as("mn"))
+    bySeq.join(seqs, Seq("seq_id"))
+      .where(col("t") =!= col("n_tok")).count() shouldBe 0L
+    // every sequence's earliest boundary is position 0 (a doc or its
+    // continuation always begins the sequence)
+    bySeq.where(col("mn") =!= 0).count() shouldBe 0L
+    // doc spans are contiguous: start_pos + n_tok_in_seq never exceeds
+    // the sequence length
+    b.where(col("start_pos") + col("n_tok_in_seq") > 8).count() shouldBe 0L
+  }
+
   // --------------------------------------------------------- clip pairs
 
   test("clipPairs gates on quality and language, pairs deterministically") {
