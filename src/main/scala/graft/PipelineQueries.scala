@@ -672,6 +672,25 @@ object PipelineQueries {
         .select(col("doc_id"), col("media_id"), col("lang"), col("quality"),
           round(col("emb_norm"), 6).as("emb_norm"))
     }),
+    // CROSS-MODAL retrieval: text-side deterministic embeddings (the
+    // word-fingerprint projection) searched against the REAL decoded image
+    // embeddings — text→image nearest neighbor, the retrieval eval of a
+    // CLIP pipeline. Query ids offset out of the media id range so the
+    // engine's same-id self-exclusion can't collide across modalities.
+    "p_xmodal_topk" -> ((s, d) => {
+      val media = graft.ops.Multimodal.syntheticMedia(s, 200)
+      val imgs = graft.ops.Multimodal.imageEmbedding(media, dim = 8,
+          seed = 42L)
+        .select(col("media_id").as("vec_id"), col("embedding"))
+      val q = docs(s, d).where(col("doc_id") < 50)
+        .select((col("doc_id") + 10000L).as("vec_id"),
+          TextOps.textEmbedding(col("text"), 8).as("embedding"))
+      Ann.bruteTopK(imgs, q, "vec_id", "embedding", k = 5,
+          rankOnRoundedTo = Some(6))
+        .select((col("query_id") - 10000L).as("doc_id"),
+          col("neighbor_id").as("media_id"),
+          col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
+    }),
     // Audio twin of p_media_features: REAL RIFF/WAVE PCM16 payloads decoded
     // by the pure-JVM chunk walker; rate/length/RMS/peak re-derived by the
     // oracle from the closed-form sample formula — a wrong decode cannot
@@ -3493,6 +3512,53 @@ object PipelineQueries {
          |SELECT CAST(media_id AS BIGINT) AS media_id, CAST(k AS BIGINT) AS k,
          |  round(v, 6) AS v
          |FROM emb""".stripMargin,
+    // text fingerprint-projection embeddings vs closed-form image
+    // embeddings, exact brute top-k — integer-space sums with one final
+    // division on both sides, so only the final cos needs rounding
+    "p_xmodal_topk" ->
+      s"""WITH $mediaEmbCtes,
+         |iv AS (SELECT media_id, list(v ORDER BY k) AS v FROM emb GROUP BY 1),
+         |inrm AS (
+         |  SELECT media_id, sqrt(list_inner_product(v, v)) AS n FROM iv
+         |),
+         |tw AS (
+         |  SELECT doc_id, word FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |    FROM documents WHERE doc_id < 50)
+         |  WHERE len(word) > 0
+         |),
+         |tf AS (
+         |  SELECT doc_id, list_reduce(
+         |      list_transform(string_split(word, ''),
+         |        ch -> CAST(ascii(ch) AS BIGINT)),
+         |      (acc, x) -> (acc*31 + x) % 1000000007) AS fp
+         |  FROM tw
+         |),
+         |tn AS (SELECT doc_id, greatest(count(*), 1) AS nw FROM tf GROUP BY 1),
+         |ks2 AS (SELECT unnest(generate_series(0, 7)) AS k2),
+         |tv0 AS (
+         |  SELECT f.doc_id, k2,
+         |    sum((f.fp + k2*4001) % 97 - 48) / (48.0 * tn.nw) AS v
+         |  FROM tf f JOIN tn USING (doc_id) CROSS JOIN ks2
+         |  GROUP BY f.doc_id, k2, tn.nw
+         |),
+         |tv AS (SELECT doc_id, list(v ORDER BY k2) AS v FROM tv0 GROUP BY 1),
+         |tnrm AS (SELECT doc_id, sqrt(list_inner_product(v, v)) AS n FROM tv),
+         |sc AS (
+         |  SELECT t.doc_id, i.media_id,
+         |    round(list_inner_product(t.v, i.v)/(tq.n*inr.n), 6) AS cos
+         |  FROM tv t
+         |  JOIN tnrm tq USING (doc_id)
+         |  CROSS JOIN iv i
+         |  JOIN inrm inr ON i.media_id = inr.media_id
+         |),
+         |rk2 AS (
+         |  SELECT doc_id, media_id, cos,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY cos DESC, media_id) AS rank
+         |  FROM sc
+         |)
+         |SELECT doc_id, media_id, rank, cos FROM rk2 WHERE rank <= 5""".stripMargin,
     "p_clip_pairs" -> {
       val ss = TextOps.LangProfiles.map { case (l, ws) =>
         s"${langScoreSql(ws)} AS s_$l"

@@ -98,6 +98,28 @@ object TextOps {
     aggregate(filter(split(text, ""), ch => length(ch) > 0), lit(0L),
       (acc, ch) => (acc * 31L + ascii(ch)) % 1000000007L)
 
+  /** Deterministic bag-of-words TEXT EMBEDDING into R^dim — the text side
+    * of cross-modal retrieval plumbing: each word's polynomial fingerprint
+    * (the [[fingerprint]] fold) seeds a modular projection weight per
+    * output coordinate, summed in exact integer space with ONE final
+    * division (order-free, engine-reproducible — the
+    * [[Multimodal.imageEmbeddingBatch]] discipline applied to text). A
+    * learned text tower swaps in by replacing the weight function; the
+    * pure-map shape, output contract, and downstream ANN machinery are
+    * already what it needs.
+    */
+  def textEmbedding(text: Column, dim: Int): Column = {
+    val toks = filter(tokens(text), t => length(t) > 0)
+    val fps = transform(toks, w =>
+      aggregate(filter(split(w, ""), ch => length(ch) > 0), lit(0L),
+        (acc, ch) => (acc * 31L + ascii(ch)) % 1000000007L))
+    val n = greatest(size(toks), lit(1))
+    transform(sequence(lit(0), lit(dim - 1)), k =>
+      aggregate(fps, lit(0L),
+        (acc, f) => acc + ((f + k.cast("long") * 4001L) % 97L - 48L))
+        .cast("double") / (lit(48.0) * n))
+  }
+
   /** Winnowing-style k-gram min-fingerprint (murmur3; not oracle-portable —
     * gated by spec instead).
     */

@@ -12,6 +12,27 @@ class Round10OpsSpec extends SparkSpec {
   lazy val embeddings =
     spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
 
+  // --------------------------------------------------- cross-modal plumbing
+
+  test("textEmbedding: deterministic, dim-sized, word-order-free per bag") {
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "gamma beta alpha"), // same bag, different order
+      (3L, "alpha beta delta"))
+      .toDF("id", "text")
+      .select(col("id"), TextOps.textEmbedding(col("text"), 8).as("v"))
+      .cache()
+    val rows = df.as[(Long, Seq[Double])].collect().toMap
+    rows(1L).length shouldBe 8
+    rows(1L) shouldBe rows(2L) // bag-of-words: order-free
+    rows(1L) should not be rows(3L)
+    // re-derivation is bit-identical
+    val again = Seq((1L, "alpha beta gamma")).toDF("id", "text")
+      .select(TextOps.textEmbedding(col("text"), 8))
+      .head().getSeq[Double](0)
+    again shouldBe rows(1L)
+  }
+
   // ------------------------------------------------- hard-negatives graph
 
   test("hardNegativesGraph probing ALL cells == exact corpus-as-queries hardNegatives") {
