@@ -691,6 +691,30 @@ object PipelineQueries {
           col("neighbor_id").as("media_id"),
           col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
     }),
+    // STREAMING CLIP pairs: documents arrive in three waves, each scored
+    // once into gated state (mid-stream LSM fold); the pair table derives
+    // from the accumulated state — retroactive reassignment (the md5 rank
+    // over the grown kept set) comes free. Same oracle as p_clip_pairs:
+    // the streamed derivation must equal the one-shot table.
+    "s_clip_pairs" -> ((s, d) => {
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_clip", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      val dd = docs(s, d)
+      (0 until 3).foreach { g =>
+        graft.streaming.ClipPairMaintainer.processBatch(
+          dd.where(col("doc_id") % 3 === g), g.toLong, "doc_id", "text",
+          minQuality = 1.0, keepLang = "en", s"$base/state")
+        if (g == 1)
+          graft.streaming.ClipPairMaintainer.compact(s, "doc_id",
+            s"$base/state")
+      }
+      val media = graft.ops.Multimodal.syntheticMedia(s, 200)
+      graft.streaming.ClipPairMaintainer.pairs(s, s"$base/state", media,
+          "doc_id", dim = 8, seed = 42L)
+        .select(col("doc_id"), col("media_id"), col("lang"), col("quality"),
+          round(col("emb_norm"), 6).as("emb_norm"))
+    }),
     // Audio twin of p_media_features: REAL RIFF/WAVE PCM16 payloads decoded
     // by the pure-JVM chunk walker; rate/length/RMS/peak re-derived by the
     // oracle from the closed-form sample formula — a wrong decode cannot
@@ -2520,6 +2544,57 @@ object PipelineQueries {
       |  FROM pairedM pr JOIN codesM c USING (media_id)
       |  CROSS JOIN vP CROSS JOIN kM""".stripMargin
 
+  private def clipPairsOracle: String = {
+      val ss = TextOps.LangProfiles.map { case (l, ws) =>
+        s"${langScoreSql(ws)} AS s_$l"
+      }.mkString(",\n    ")
+      s"""WITH t AS (
+         |  SELECT doc_id, text, length(text) AS n_char,
+         |         string_split(text, ' ') AS toks
+         |  FROM documents
+         |), sq AS (
+         |  SELECT doc_id, n_char, len(toks) AS n_tok,
+         |    ${langScoreSql(TextOps.StopwordsEn).replace("string_split(text, ' ')", "toks")}*1.0/greatest(len(toks), 1) AS sr,
+         |    length(replace(text, ' ', ''))*1.0/greatest(len(toks), 1) AS ml
+         |  FROM t
+         |), qual AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN n_tok BETWEEN 10 AND 1000 THEN CAST(0.25 AS DOUBLE) ELSE 0 END
+         |     + CASE WHEN sr BETWEEN 0.05 AND 0.6 THEN CAST(0.25 AS DOUBLE) ELSE 0 END
+         |     + CASE WHEN ml BETWEEN 3.0 AND 10.0 THEN CAST(0.25 AS DOUBLE) ELSE 0 END
+         |     + CASE WHEN n_char <= 20000 THEN CAST(0.25 AS DOUBLE) ELSE 0 END) AS quality
+         |  FROM sq
+         |), ls AS (
+         |  SELECT doc_id,
+         |    $ss
+         |  FROM documents
+         |), lng AS (
+         |  SELECT doc_id, CASE
+         |    WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+         |    WHEN s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+         |    WHEN s_es >= s_de AND s_es >= s_zh THEN 'es'
+         |    WHEN s_de >= s_zh THEN 'de'
+         |    ELSE 'zh' END AS lang
+         |  FROM ls
+         |), kept AS (
+         |  SELECT q.doc_id, q.quality, l.lang
+         |  FROM qual q JOIN lng l USING (doc_id)
+         |  WHERE q.quality >= 1.0 AND l.lang = 'en'
+         |), rk AS (
+         |  SELECT doc_id, quality, lang,
+         |    row_number() OVER (ORDER BY
+         |      md5(CAST(doc_id AS VARCHAR) || ':' || '1'), doc_id) - 1 AS ord
+         |  FROM kept
+         |),
+         |$mediaEmbCtes,
+         |nrm AS (
+         |  SELECT media_id, sqrt(sum(v*v)) AS emb_norm FROM emb GROUP BY 1
+         |)
+         |SELECT rk.doc_id, CAST(rk.ord % 200 AS BIGINT) AS media_id,
+         |  rk.lang, rk.quality, round(n.emb_norm, 6) AS emb_norm
+         |FROM rk JOIN nrm n ON rk.ord % 200 = n.media_id""".stripMargin
+  }
+
   private def langScoreSql(words: Seq[String]): String =
     s"len(list_filter(string_split(text, ' '), t -> t IN (${
       words.map(w => s"'$w'").mkString(", ")})))"
@@ -3559,56 +3634,9 @@ object PipelineQueries {
          |  FROM sc
          |)
          |SELECT doc_id, media_id, rank, cos FROM rk2 WHERE rank <= 5""".stripMargin,
-    "p_clip_pairs" -> {
-      val ss = TextOps.LangProfiles.map { case (l, ws) =>
-        s"${langScoreSql(ws)} AS s_$l"
-      }.mkString(",\n    ")
-      s"""WITH t AS (
-         |  SELECT doc_id, text, length(text) AS n_char,
-         |         string_split(text, ' ') AS toks
-         |  FROM documents
-         |), sq AS (
-         |  SELECT doc_id, n_char, len(toks) AS n_tok,
-         |    ${langScoreSql(TextOps.StopwordsEn).replace("string_split(text, ' ')", "toks")}*1.0/greatest(len(toks), 1) AS sr,
-         |    length(replace(text, ' ', ''))*1.0/greatest(len(toks), 1) AS ml
-         |  FROM t
-         |), qual AS (
-         |  SELECT doc_id,
-         |    (CASE WHEN n_tok BETWEEN 10 AND 1000 THEN CAST(0.25 AS DOUBLE) ELSE 0 END
-         |     + CASE WHEN sr BETWEEN 0.05 AND 0.6 THEN CAST(0.25 AS DOUBLE) ELSE 0 END
-         |     + CASE WHEN ml BETWEEN 3.0 AND 10.0 THEN CAST(0.25 AS DOUBLE) ELSE 0 END
-         |     + CASE WHEN n_char <= 20000 THEN CAST(0.25 AS DOUBLE) ELSE 0 END) AS quality
-         |  FROM sq
-         |), ls AS (
-         |  SELECT doc_id,
-         |    $ss
-         |  FROM documents
-         |), lng AS (
-         |  SELECT doc_id, CASE
-         |    WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de AND s_en >= s_zh THEN 'en'
-         |    WHEN s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
-         |    WHEN s_es >= s_de AND s_es >= s_zh THEN 'es'
-         |    WHEN s_de >= s_zh THEN 'de'
-         |    ELSE 'zh' END AS lang
-         |  FROM ls
-         |), kept AS (
-         |  SELECT q.doc_id, q.quality, l.lang
-         |  FROM qual q JOIN lng l USING (doc_id)
-         |  WHERE q.quality >= 1.0 AND l.lang = 'en'
-         |), rk AS (
-         |  SELECT doc_id, quality, lang,
-         |    row_number() OVER (ORDER BY
-         |      md5(CAST(doc_id AS VARCHAR) || ':' || '1'), doc_id) - 1 AS ord
-         |  FROM kept
-         |),
-         |$mediaEmbCtes,
-         |nrm AS (
-         |  SELECT media_id, sqrt(sum(v*v)) AS emb_norm FROM emb GROUP BY 1
-         |)
-         |SELECT rk.doc_id, CAST(rk.ord % 200 AS BIGINT) AS media_id,
-         |  rk.lang, rk.quality, round(n.emb_norm, 6) AS emb_norm
-         |FROM rk JOIN nrm n ON rk.ord % 200 = n.media_id""".stripMargin
-    },
+    "p_clip_pairs" -> clipPairsOracle,
+    // the streamed derivation must equal the one-shot pair table exactly
+    "s_clip_pairs" -> clipPairsOracle,
     "p_audio_features" ->
       """WITH m AS (SELECT unnest(generate_series(0, 199)) AS media_id),
         |params AS (

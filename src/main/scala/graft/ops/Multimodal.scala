@@ -1115,14 +1115,31 @@ object Multimodal {
     */
   def clipPairs(docs: DataFrame, media: DataFrame, idCol: String,
       textCol: String, minQuality: Double = 0.75, keepLang: String = "en",
-      dim: Int = 16, seed: Long = 42L): DataFrame = {
-    val nMedia = media.count()
-    require(nMedia > 0, "clipPairs: media frame is empty")
-    val kept = docs.select(col(idCol),
+      dim: Int = 16, seed: Long = 42L): DataFrame =
+    clipPairsFromKept(
+      gateDocs(docs, idCol, textCol, minQuality, keepLang).cache(),
+      media, idCol, dim, seed)
+
+  /** The text-side gate of [[clipPairs]], split out so a streaming
+    * maintainer can persist scored survivors once per batch: one map-side
+    * pass scoring quality + langid, keeping (idCol, quality, lang).
+    */
+  def gateDocs(docs: DataFrame, idCol: String, textCol: String,
+      minQuality: Double, keepLang: String): DataFrame =
+    docs.select(col(idCol),
         TextOps.qualityScore(col(textCol)).as("quality"),
         TextOps.langId(col(textCol)).as("lang"))
       .where(col("quality") >= minQuality && col("lang") === keepLang)
-      .cache()
+
+  /** [[clipPairs]]' pair derivation over an ALREADY-GATED kept frame
+    * (idCol, quality, lang) — the md5-rank assignment is a pure function
+    * of the kept-doc SET, so a late-arriving doc reassigns earlier pairs
+    * for free when this re-derives from accumulated state.
+    */
+  def clipPairsFromKept(kept: DataFrame, media: DataFrame, idCol: String,
+      dim: Int = 16, seed: Long = 42L): DataFrame = {
+    val nMedia = media.count()
+    require(nMedia > 0, "clipPairs: media frame is empty")
     val assigned = Packing.epochOrder(kept.select(col(idCol)), idCol,
         epochs = 1)
       .select(col(idCol), (col("ord") % nMedia).as("media_id"))

@@ -33,6 +33,40 @@ class Round10OpsSpec extends SparkSpec {
     again shouldBe rows(1L)
   }
 
+  test("ClipPairMaintainer: streamed state == one-shot pairs; reassignment is retroactive") {
+    import graft.streaming.ClipPairMaintainer
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "walks back home across the quiet field with a steady pace today"
+    val docs = (0L until 9L).map(i => (i, good + s" tail$i")).toDF("doc_id", "text")
+    val media = Multimodal.syntheticMedia(spark, 4)
+    val dir = java.nio.file.Files.createTempDirectory("clipstream").toString
+    (0 until 3).foreach { g =>
+      ClipPairMaintainer.processBatch(docs.where(col("doc_id") % 3 === g),
+        g.toLong, "doc_id", "text", 1.0, "en", s"$dir/state")
+      if (g == 1) ClipPairMaintainer.compact(spark, "doc_id", s"$dir/state")
+    }
+    val streamed = ClipPairMaintainer.pairs(spark, s"$dir/state", media,
+        "doc_id", dim = 8)
+      .select("doc_id", "media_id").as[(Long, Long)].collect().toSet
+    val oneShot = Multimodal.clipPairs(docs, media, "doc_id", "text",
+        minQuality = 1.0, keepLang = "en", dim = 8)
+      .select("doc_id", "media_id").as[(Long, Long)].collect().toSet
+    streamed shouldBe oneShot
+    // retroactivity: the 2-wave state assigns at least one doc a different
+    // image than the full 3-wave state (the md5 rank shifts as docs land)
+    val dir2 = java.nio.file.Files.createTempDirectory("clipstream2").toString
+    (0 until 2).foreach { g =>
+      ClipPairMaintainer.processBatch(docs.where(col("doc_id") % 3 === g),
+        g.toLong, "doc_id", "text", 1.0, "en", s"$dir2/state")
+    }
+    val partial = ClipPairMaintainer.pairs(spark, s"$dir2/state", media,
+        "doc_id", dim = 8)
+      .select("doc_id", "media_id").as[(Long, Long)].collect().toMap
+    val full = oneShot.toMap
+    partial.keySet.exists(k => partial(k) != full(k)) shouldBe true
+    graft.Exec.deletePath(dir); graft.Exec.deletePath(dir2)
+  }
+
   // ------------------------------------------------- hard-negatives graph
 
   test("hardNegativesGraph probing ALL cells == exact corpus-as-queries hardNegatives") {
