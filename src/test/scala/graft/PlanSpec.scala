@@ -338,4 +338,29 @@ class PlanSpec extends SparkSpec {
       case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
     } shouldBe empty
   }
+
+  test("hardNegativesGraph: the same cell-keyed shape — no product, no broadcast hint") {
+    import graft.ops.Ann
+    val emb = Tables.read(spark, sf, "embeddings")
+    val cents = Array(Array.fill(64)(0.1), Array.fill(64)(-0.1))
+    val df = Ann.hardNegativesGraph(emb, "vec_id", "embedding", "label",
+      k = 3, cents, nprobe = 2)
+    val p = plan(df)
+    p.collect { case c: CartesianProductExec => c } shouldBe empty
+    p.collect { case b: BroadcastNestedLoopJoinExec => b } shouldBe empty
+    df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    } shouldBe empty
+  }
+
+  test("clipPairs: no single-partition exchange — the rank is the prefix sum, not a global window") {
+    val docs = Tables.read(spark, sf, "documents")
+    val media = graft.ops.Multimodal.syntheticMedia(spark, 8)
+    val p = plan(graft.ops.Multimodal.clipPairs(docs, media, "doc_id",
+      "text", minQuality = 0.0, keepLang = "en", dim = 8))
+    p.collect {
+      case s: ShuffleExchangeLike
+        if s.outputPartitioning.numPartitions == 1 => s
+    } shouldBe empty
+  }
 }
