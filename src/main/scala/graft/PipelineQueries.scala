@@ -397,6 +397,12 @@ object PipelineQueries {
     }),
     "p_tfidf_top" -> ((s, d) =>
       TfIdf.topTerms(docs(s, d), "doc_id", "text", k = 3)),
+    // BM25 keyword retrieval — corpus mining/search: postings filter to
+    // the query terms before any shuffle; Lucene-form idf; top-20 with
+    // deterministic ties.
+    "p_bm25_search" -> ((s, d) =>
+      TfIdf.bm25Search(docs(s, d), "doc_id", "text",
+        query = Seq("spark", "vector", "merge"), k = 20)),
     "p_repetition" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
         round(TextOps.repetitionRatio(col("text"), 3), 6).as("rep_ratio"))),
@@ -2969,6 +2975,38 @@ object PipelineQueries {
         |  FROM ti
         |)
         |SELECT doc_id, term, rank, tfidf FROM rk WHERE rank <= 3""".stripMargin,
+    "p_bm25_search" ->
+      """WITH tq AS (
+        |  SELECT unnest(['spark', 'vector', 'merge']) AS term
+        |),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |),
+        |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
+        |st AS (SELECT count(*) AS n, sum(len) AS sl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM tok JOIN tq USING (term) GROUP BY 1, 2
+        |),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    sum(ln((st.n - dfq.df + 0.5)/(dfq.df + 0.5) + 1)
+        |        * tf.tf * (1.2 + 1)
+        |        / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.len/(st.sl*1.0/st.n))))
+        |      AS score
+        |  FROM tf
+        |  JOIN dfq USING (term)
+        |  JOIN dl USING (doc_id)
+        |  CROSS JOIN st
+        |  GROUP BY 1
+        |),
+        |rk AS (
+        |  SELECT doc_id, round(score, 6) AS score,
+        |    row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+        |  FROM sc
+        |)
+        |SELECT doc_id, score, rank FROM rk WHERE rank <= 20""".stripMargin,
     // fixed persisted centroids + codebooks → cells, codes, nprobe=4
     // probe lists, ADC over probed cells only, k·rerank=40 shortlist,
     // exact rerank — the verbatim SQL rendering of Ann.ivfPqTopK

@@ -274,6 +274,45 @@ object TfIdf {
         (col("tf") * log(lit(n.toDouble) / col("df"))).as("tfidf"))
   }
 
+  /** BM25-scored keyword retrieval — the corpus-mining search op (seed-set
+    * expansion, decontamination sweeps, topical slicing): score(d, Q) =
+    * Σ_{t∈Q} ln((N−df+0.5)/(df+0.5)+1) · tf·(k1+1)/(tf + k1·(1−b+b·len/avgdl))
+    * (the Robertson idf with Lucene's +1 floor). The term stream filters to
+    * the query's terms BEFORE any aggregation, so the shuffle carries only
+    * matching postings — corpus scale costs one map-side filtered pass
+    * plus a query-sized join. Returns the top-k (idCol, score, rank).
+    */
+  def bm25Search(docs: DataFrame, idCol: String, textCol: String,
+      query: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75,
+      roundTo: Int = 6): DataFrame = {
+    require(query.nonEmpty, "bm25Search: empty query")
+    import org.apache.spark.sql.expressions.Window
+    val statRow = docs
+      .agg(count(lit(1)), sum(size(TextOps.tokens(col(textCol))))).head()
+    val n = statRow.getLong(0)
+    val avgdl = statRow.getLong(1).toDouble / n
+    val toks = docs.select(col(idCol).as("id"),
+      explode(TextOps.tokens(col(textCol))).as("term"))
+    val dl = toks.groupBy("id").agg(count(lit(1)).as("len"))
+    val tf = toks.where(col("term").isin(query: _*))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1)
+    val scored = tf.join(broadcast(df), Seq("term")).join(dl, Seq("id"))
+      .groupBy("id")
+      .agg(sum(idf * col("tf") * lit(k1 + 1) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("len") / avgdl)))
+        .as("score"))
+    // top-k FIRST (TakeOrderedAndProject — no corpus-wide single-partition
+    // exchange), then rank the k survivors; the window sees k rows only
+    val top = scored
+      .orderBy(round(col("score"), roundTo).desc, col("id")).limit(k)
+    val w = Window.orderBy(round(col("score"), roundTo).desc, col("id"))
+    top.withColumn("rank", row_number().over(w))
+      .select(col("id").as(idCol), round(col("score"), roundTo).as("score"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Top-k highest-tfidf terms per document (deterministic tie-break). */
   def topTerms(docs: DataFrame, idCol: String, textCol: String, k: Int,
       roundTo: Int = 6): DataFrame = {

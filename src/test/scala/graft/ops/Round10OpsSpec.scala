@@ -12,6 +12,27 @@ class Round10OpsSpec extends SparkSpec {
   lazy val embeddings =
     spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
 
+  // --------------------------------------------------------------- bm25
+
+  test("bm25Search: non-matching docs never surface; tf and brevity raise rank") {
+    val docs = Seq(
+      (1L, "spark spark spark query"),           // high tf, short
+      (2L, "spark table table table table table table table table table"),
+      (3L, "table scan filter join"),            // no match
+      (4L, "spark query"))                       // tf 1, shortest
+      .toDF("doc_id", "text")
+    val out = TfIdf.bm25Search(docs, "doc_id", "text", Seq("spark"), k = 10)
+      .cache()
+    out.select("doc_id").as[Long].collect().toSet shouldBe Set(1L, 2L, 4L)
+    val ranks = out.select("doc_id", "rank").as[(Long, Long)].collect().toMap
+    ranks(1L) shouldBe 1L            // most occurrences, short doc
+    (ranks(4L) < ranks(2L)) shouldBe true // same tf=1: shorter doc wins
+    // deterministic re-derivation
+    TfIdf.bm25Search(docs, "doc_id", "text", Seq("spark"), k = 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toSet shouldBe
+      out.select("doc_id", "score").as[(Long, Double)].collect().toSet
+  }
+
   // --------------------------------------------------- cross-modal plumbing
 
   test("textEmbedding: deterministic, dim-sized, word-order-free per bag") {
