@@ -697,6 +697,30 @@ object PipelineQueries {
           col("neighbor_id").as("media_id"),
           col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
     }),
+    // Cross-modal retrieval, SCALE PATH: the text queries probe an IVF
+    // over the image tower (persisted centroids, cell-pruned scan) instead
+    // of the brute cross product — the plan that survives a billion-image
+    // corpus. Same towers, same rounded ranking discipline.
+    "p_xmodal_ivf" -> ((s, d) => {
+      val media = graft.ops.Multimodal.syntheticMedia(s, 200)
+      val imgs = graft.ops.Multimodal.imageEmbedding(media, dim = 8,
+          seed = 42L)
+        .select(col("media_id").as("vec_id"), col("embedding"))
+      val base = annArtifactBase(d)
+      Ann.ivfTrain(imgs, "embedding", nlist = 4)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$base/xmodal_centroids")
+      val cents = Ann.ivfCentroidsFromDf(
+        s.read.parquet(s"$base/xmodal_centroids"))
+      val q = docs(s, d).where(col("doc_id") < 50)
+        .select((col("doc_id") + 10000L).as("vec_id"),
+          TextOps.textEmbedding(col("text"), 8).as("embedding"))
+      Ann.ivfTopK(imgs, q, "vec_id", "embedding", k = 5,
+          centroidsOpt = Some(cents), nprobe = 2, rankOnRoundedTo = Some(6))
+        .select((col("query_id") - 10000L).as("doc_id"),
+          col("neighbor_id").as("media_id"),
+          col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
+    }),
     // STREAMING CLIP pairs: documents arrive in three waves, each scored
     // once into gated state (mid-stream LSM fold); the pair table derives
     // from the accumulated state — retroactive reassignment (the md5 rank
@@ -2513,6 +2537,41 @@ object PipelineQueries {
       |  FROM px, ks GROUP BY media_id, k, w, h
       |)""".stripMargin
 
+  /** Both retrieval towers as CTEs: image vectors + norms (iv, inrm —
+    * closed-form pixels) and the word-fingerprint text embeddings of the
+    * 50-doc query set (tv, tnrm) — shared by the brute and IVF cross-modal
+    * oracles.
+    */
+  private def xmodalTowerCtes: String =
+    s"""$mediaEmbCtes,
+       |iv AS (SELECT media_id, list(v ORDER BY k) AS v FROM emb GROUP BY 1),
+       |inrm AS (
+       |  SELECT media_id, sqrt(list_inner_product(v, v)) AS n FROM iv
+       |),
+       |tw AS (
+       |  SELECT doc_id, word FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |    FROM documents WHERE doc_id < 50)
+       |  WHERE len(word) > 0
+       |),
+       |tf AS (
+       |  SELECT doc_id, list_reduce(
+       |      list_transform(string_split(word, ''),
+       |        ch -> CAST(ascii(ch) AS BIGINT)),
+       |      (acc, x) -> (acc*31 + x) % 1000000007) AS fp
+       |  FROM tw
+       |),
+       |tn AS (SELECT doc_id, greatest(count(*), 1) AS nw FROM tf GROUP BY 1),
+       |ks2 AS (SELECT unnest(generate_series(0, 7)) AS k2),
+       |tv0 AS (
+       |  SELECT f.doc_id, k2,
+       |    sum((f.fp + k2*4001) % 97 - 48) / (48.0 * tn.nw) AS v
+       |  FROM tf f JOIN tn USING (doc_id) CROSS JOIN ks2
+       |  GROUP BY f.doc_id, k2, tn.nw
+       |),
+       |tv AS (SELECT doc_id, list(v ORDER BY k2) AS v FROM tv0 GROUP BY 1),
+       |tnrm AS (SELECT doc_id, sqrt(list_inner_product(v, v)) AS n FROM tv)""".stripMargin
+
   /** Image-token CTE injections for [[trainManifestCtesWith]]: pairing →
     * closed-form embedding vectors → PQ rounded-argmin codes from the
     * persisted mm_codebook → image rows at wpos -1 with VQ-region ids.
@@ -3629,34 +3688,7 @@ object PipelineQueries {
     // embeddings, exact brute top-k — integer-space sums with one final
     // division on both sides, so only the final cos needs rounding
     "p_xmodal_topk" ->
-      s"""WITH $mediaEmbCtes,
-         |iv AS (SELECT media_id, list(v ORDER BY k) AS v FROM emb GROUP BY 1),
-         |inrm AS (
-         |  SELECT media_id, sqrt(list_inner_product(v, v)) AS n FROM iv
-         |),
-         |tw AS (
-         |  SELECT doc_id, word FROM (
-         |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
-         |    FROM documents WHERE doc_id < 50)
-         |  WHERE len(word) > 0
-         |),
-         |tf AS (
-         |  SELECT doc_id, list_reduce(
-         |      list_transform(string_split(word, ''),
-         |        ch -> CAST(ascii(ch) AS BIGINT)),
-         |      (acc, x) -> (acc*31 + x) % 1000000007) AS fp
-         |  FROM tw
-         |),
-         |tn AS (SELECT doc_id, greatest(count(*), 1) AS nw FROM tf GROUP BY 1),
-         |ks2 AS (SELECT unnest(generate_series(0, 7)) AS k2),
-         |tv0 AS (
-         |  SELECT f.doc_id, k2,
-         |    sum((f.fp + k2*4001) % 97 - 48) / (48.0 * tn.nw) AS v
-         |  FROM tf f JOIN tn USING (doc_id) CROSS JOIN ks2
-         |  GROUP BY f.doc_id, k2, tn.nw
-         |),
-         |tv AS (SELECT doc_id, list(v ORDER BY k2) AS v FROM tv0 GROUP BY 1),
-         |tnrm AS (SELECT doc_id, sqrt(list_inner_product(v, v)) AS n FROM tv),
+      s"""WITH $xmodalTowerCtes,
          |sc AS (
          |  SELECT t.doc_id, i.media_id,
          |    round(list_inner_product(t.v, i.v)/(tq.n*inr.n), 6) AS cos
@@ -3672,6 +3704,53 @@ object PipelineQueries {
          |  FROM sc
          |)
          |SELECT doc_id, media_id, rank, cos FROM rk2 WHERE rank <= 5""".stripMargin,
+    // same towers, IVF path: media assignment + text probing re-derived
+    // from the persisted centroids (rounded distance, lowest-cid ties)
+    "p_xmodal_ivf" ->
+      s"""WITH $xmodalTowerCtes,
+         |cents2 AS (
+         |  SELECT cid, c FROM '__ANN_ARTIFACTS__/xmodal_centroids/*.parquet'
+         |),
+         |cd2 AS (
+         |  SELECT iv.media_id, ct.cid,
+         |    round(list_inner_product(ct.c, ct.c)
+         |      - 2*list_inner_product(iv.v, ct.c), 6) AS d
+         |  FROM iv CROSS JOIN cents2 ct
+         |),
+         |asg AS (
+         |  SELECT media_id, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY media_id
+         |      ORDER BY d, cid) AS rn
+         |    FROM cd2)
+         |  WHERE rn = 1
+         |),
+         |qp AS (
+         |  SELECT t.doc_id, ct.cid,
+         |    row_number() OVER (PARTITION BY t.doc_id
+         |      ORDER BY round(list_inner_product(ct.c, ct.c)
+         |        - 2*list_inner_product(t.v, ct.c), 6), ct.cid) AS rn
+         |  FROM tv t CROSS JOIN cents2 ct
+         |),
+         |cand AS (
+         |  SELECT q.doc_id, a.media_id
+         |  FROM qp q JOIN asg a USING (cid) WHERE q.rn <= 2
+         |),
+         |sc2 AS (
+         |  SELECT c.doc_id, c.media_id,
+         |    round(list_inner_product(t.v, i.v)/(tq.n*inr.n), 6) AS cos
+         |  FROM cand c
+         |  JOIN tv t USING (doc_id)
+         |  JOIN tnrm tq USING (doc_id)
+         |  JOIN iv i USING (media_id)
+         |  JOIN inrm inr ON i.media_id = inr.media_id
+         |),
+         |rk3 AS (
+         |  SELECT doc_id, media_id, cos,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY cos DESC, media_id) AS rank
+         |  FROM sc2
+         |)
+         |SELECT doc_id, media_id, rank, cos FROM rk3 WHERE rank <= 5""".stripMargin,
     "p_clip_pairs" -> clipPairsOracle,
     // the streamed derivation must equal the one-shot pair table exactly
     "s_clip_pairs" -> clipPairsOracle,

@@ -528,9 +528,45 @@ object Ann {
       kmeansIter: Int = 8): (DataFrame, Int) = {
     require(targetPerCell >= 1, "targetPerCell must be >= 1")
     val n = corpus.count()
-    val nlist = math.min(maxNlist.toLong,
+    if (n < 2) return (degenerateCentroids(corpus, vecCol), math.max(1, n.toInt))
+    // upper clamp at N: KMeans cannot place more centroids than points
+    val nlist = math.min(math.min(maxNlist.toLong, n),
       math.max(2L, (n + targetPerCell - 1) / targetPerCell)).toInt
     (ivfTrain(corpus, vecCol, nlist, seed, kmeansIter), nlist)
+  }
+
+  /** [[ivfTrainSized]] with the √N balance instead of fixed occupancy:
+    * nlist = c·⌈√N⌉ clamped. Bounded-occupancy sizing (nlist ∝ N) keeps
+    * in-cell work flat but makes flat-quantizer ASSIGNMENT O(N·nlist) =
+    * O(N²/target) — fine through ~10⁷ vectors, quadratic past it. The
+    * √N rule equalizes the two costs (assignment and in-cell scan both
+    * O(N^1.5·dim), the FAISS guidance of nlist ≈ 4√N..16√N), which is
+    * the right quantizer for the billion-vector regime.
+    */
+  def ivfTrainBalanced(corpus: DataFrame, vecCol: String,
+      cellsPerSqrtN: Int = 4, maxNlist: Int = 262144, seed: Long = 42L,
+      kmeansIter: Int = 8): (DataFrame, Int) = {
+    require(cellsPerSqrtN >= 1, "cellsPerSqrtN must be >= 1")
+    val n = corpus.count()
+    if (n < 2) return (degenerateCentroids(corpus, vecCol), math.max(1, n.toInt))
+    // upper clamp at N: KMeans cannot place more centroids than points
+    val nlist = math.min(math.min(maxNlist.toLong, n),
+      math.max(2L,
+        cellsPerSqrtN * math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+    (ivfTrain(corpus, vecCol, nlist, seed, kmeansIter), nlist)
+  }
+
+  /** Sub-2-point corpus: the points themselves are the quantizer (Spark
+    * KMeans requires k >= 2 and k <= |points|). An empty corpus yields an
+    * all-zero single centroid so downstream assignment stays total.
+    */
+  private def degenerateCentroids(corpus: DataFrame, vecCol: String): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val pts = corpus.select(col(vecCol).cast("array<double>").as("c"))
+      .limit(1).collect()
+    if (pts.isEmpty) Seq((0, Seq(0.0))).toDF("cid", "c")
+    else Seq((0, pts.head.getSeq[Double](0))).toDF("cid", "c")
   }
 
   def ivfTrain(corpus: DataFrame, vecCol: String, nlist: Int = 16,

@@ -12,6 +12,22 @@ class Round10OpsSpec extends SparkSpec {
   lazy val embeddings =
     spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
 
+  // ------------------------------------------------------ quantizer sizing
+
+  test("ivfTrainBalanced sizes nlist by sqrt(N), clamped") {
+    val (_, n1) = Ann.ivfTrainBalanced(embeddings.limit(100), "embedding",
+      cellsPerSqrtN = 4)
+    n1 shouldBe 40 // 4 * ceil(sqrt(100))
+    val (_, n2) = Ann.ivfTrainBalanced(embeddings.limit(100), "embedding",
+      cellsPerSqrtN = 4, maxNlist = 16)
+    n2 shouldBe 16
+    // degenerate corpus: nlist clamps to N (KMeans can't exceed the points)
+    val (_, n3) = Ann.ivfTrainBalanced(embeddings.limit(1), "embedding")
+    n3 shouldBe 1
+    val (_, n4) = Ann.ivfTrainSized(embeddings.limit(1), "embedding")
+    n4 shouldBe 1
+  }
+
   // --------------------------------------------------------------- bm25
 
   test("bm25Search: non-matching docs never surface; tf and brevity raise rank") {
