@@ -127,6 +127,23 @@ object PipelineQueries {
       Ann.ivfCentroidsFromDf(cdf)
     })
 
+  /** One curate run per (JVM, sf dir): the five manifest/shard gates all
+    * consume the SAME curated selection (the bpeMergesFor memoization
+    * pattern) — each still exercises its full downstream composition; the
+    * curate stage itself is hash-gated by p_curate_pipeline and the
+    * streamed s_curate. localCheckpoint'ed so the shared lineage can never
+    * cache-poison across gates.
+    */
+  private val curatedSelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def curatedSelFor(s: SparkSession, d: String): DataFrame =
+    curatedSelCache.computeIfAbsent(d, _ =>
+      graft.Exec.materializeLocal(
+        Corpus.curateWithText(docs(s, d), "doc_id", "text",
+            width = 30, pplKeepBelow = 3.43, tokenBudget = 6000L)
+          .select(col("doc_id"), col("clean_text").as("text"))))
+
   /** One hyperplane-set persist per (JVM, sf dir): p_lsh_multiprobe and
     * p_lsh_recall share the planes artifact, and a concurrent gate run
     * must never race a reader against a same-content overwrite.
@@ -1078,7 +1095,7 @@ object PipelineQueries {
     // every stage (curate CTE chain → merge replay over the selection's
     // vocabulary → EOS/global-order packing → md5 epoch permutations).
     "p_train_manifest" -> ((s, d) =>
-      Corpus.trainManifest(docs(s, d), "doc_id", "text",
+      Corpus.trainManifestFrom(curatedSelFor(s, d), "doc_id", "text",
         bpeMergesFor(s, d), seqLen = 128, epochs = 2)),
     // BYTE-MODE training manifest over the MIXED multilingual corpus:
     // the same curate → pack → epoch composition with the packing stage
@@ -1103,8 +1120,8 @@ object PipelineQueries {
       Ann.pqCodebookDf(s, Ann.pqTrain(e, "embedding", m = 4, k = 8))
         .coalesce(1).write.mode("overwrite").parquet(s"$base/mm_codebook")
       val cb = Ann.pqCodebookFromDf(s.read.parquet(s"$base/mm_codebook"))
-      Corpus.trainManifestMultimodal(docs(s, d), media, "doc_id", "text",
-        bpeMergesFor(s, d), cb, seqLen = 128, epochs = 2)
+      Corpus.trainManifestMultimodalFrom(curatedSelFor(s, d), media,
+        "doc_id", "text", bpeMergesFor(s, d), cb, seqLen = 128, epochs = 2)
     }),
     // MULTIMODAL shard files: the interleaved stream materialized on disk
     // — persisted payload strings carry image tokens in-line with text;
@@ -1119,9 +1136,9 @@ object PipelineQueries {
       val cb = Ann.pqCodebookFromDf(s.read.parquet(s"$base/mm_codebook"))
       val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         "graft_shards_mm", Tables.runKey(d)).toString
-      Corpus.trainShardsMultimodal(docs(s, d), media, "doc_id", "text",
-          bpeMergesFor(s, d), cb, dir, seqLen = 128, epochs = 2,
-          shardSize = 2)
+      Corpus.trainShardsMultimodalFrom(curatedSelFor(s, d), media,
+          "doc_id", "text", bpeMergesFor(s, d), cb, dir, seqLen = 128,
+          epochs = 2, shardSize = 2)
         .groupBy(col("epoch"), col("shard_id"))
         .agg(count(lit(1)).as("n_seqs"),
           sum(size(split(col("ids_str"), ":"))).cast("long").as("n_tok"),
@@ -1134,7 +1151,7 @@ object PipelineQueries {
     // anywhere because the order underneath is.
     "p_shard_manifest" -> ((s, d) =>
       Corpus.shardManifest(
-        Corpus.trainManifest(docs(s, d), "doc_id", "text",
+        Corpus.trainManifestFrom(curatedSelFor(s, d), "doc_id", "text",
           bpeMergesFor(s, d), seqLen = 128, epochs = 2),
         shardSize = 2)),
     // Shard files MATERIALIZED: curate → pack → epoch order → one parquet
@@ -1146,8 +1163,8 @@ object PipelineQueries {
     "p_shard_files" -> ((s, d) => {
       val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         "graft_shards", Tables.runKey(d)).toString
-      Corpus.trainShards(docs(s, d), "doc_id", "text", bpeMergesFor(s, d),
-          dir, seqLen = 128, epochs = 2, shardSize = 2)
+      Corpus.trainShardsFrom(curatedSelFor(s, d), "doc_id", "text",
+          bpeMergesFor(s, d), dir, seqLen = 128, epochs = 2, shardSize = 2)
         .groupBy(col("epoch"), col("shard_id"))
         .agg(count(lit(1)).as("n_seqs"),
           sum(size(split(col("ids_str"), ":"))).cast("long").as("n_tok"),

@@ -394,10 +394,19 @@ object Corpus {
       merges: Seq[(String, String)], dir: String, seqLen: Int = 128,
       epochs: Int = 2, width: Int = 30, pplKeepBelow: Double = 3.43,
       tokenBudget: Long = 6000L, shardSize: Int = 2,
-      byteLevel: Boolean = false): DataFrame = {
-    val sel = graft.Exec.materializeLocal(
-      curateWithText(docs, idCol, textCol, width, pplKeepBelow, tokenBudget)
-        .select(col(idCol), col("clean_text").as(textCol)))
+      byteLevel: Boolean = false): DataFrame =
+    trainShardsFrom(graft.Exec.materializeLocal(
+        curateWithText(docs, idCol, textCol, width, pplKeepBelow, tokenBudget)
+          .select(col(idCol), col("clean_text").as(textCol))),
+      idCol, textCol, merges, dir, seqLen, epochs, shardSize, byteLevel)
+
+  /** [[trainShards]]' pack + order + write tail over an already-curated
+    * (idCol, textCol) selection (the [[trainManifestFrom]] split — callers
+    * holding a memoized selection skip the curate stage).
+    */
+  def trainShardsFrom(sel: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], dir: String, seqLen: Int,
+      epochs: Int, shardSize: Int, byteLevel: Boolean = false): DataFrame = {
     // payload feeds both the epoch-order build and the shard join; the
     // curate-derived lineage must not recompute (nor cache-poison —
     // the CurateMaintainer localCheckpoint rule)
@@ -406,7 +415,7 @@ object Corpus {
     val ord = Packing.epochOrder(payload.select(col("seq_id")), "seq_id",
       epochs)
     writeShards(ord, payload, shardSize, dir)
-    readShards(docs.sparkSession, dir)
+    readShards(sel.sparkSession, dir)
   }
 
   /** INTERLEAVED MULTIMODAL training manifest: [[trainManifest]]'s
@@ -431,9 +440,20 @@ object Corpus {
       epochs: Int = 2, width: Int = 30, pplKeepBelow: Double = 3.43,
       tokenBudget: Long = 6000L, embDim: Int = 8,
       embSeed: Long = 42L): DataFrame = {
-    val sel = graft.Exec.materializeLocal(
-      curateWithText(docs, idCol, textCol, width, pplKeepBelow, tokenBudget)
-        .select(col(idCol), col("clean_text").as(textCol)))
+    trainManifestMultimodalFrom(graft.Exec.materializeLocal(
+        curateWithText(docs, idCol, textCol, width, pplKeepBelow, tokenBudget)
+          .select(col(idCol), col("clean_text").as(textCol))),
+      media, idCol, textCol, merges, codebooks, seqLen, epochs, embDim,
+      embSeed)
+  }
+
+  /** [[trainManifestMultimodal]]'s splice + pack + order tail over an
+    * already-curated selection.
+    */
+  def trainManifestMultimodalFrom(sel: DataFrame, media: DataFrame,
+      idCol: String, textCol: String, merges: Seq[(String, String)],
+      codebooks: Array[Array[Array[Double]]], seqLen: Int, epochs: Int,
+      embDim: Int = 8, embSeed: Long = 42L): DataFrame = {
     val seqs = Packing.packTokenIdsInterleaved(sel, idCol, textCol, merges,
       seqLen, mmImgPrefix(sel, media, idCol, codebooks, embDim, embSeed))
     Packing.epochOrder(seqs.select(col("seq_id")), "seq_id", epochs)
@@ -475,16 +495,26 @@ object Corpus {
       seqLen: Int = 128, epochs: Int = 2, width: Int = 30,
       pplKeepBelow: Double = 3.43, tokenBudget: Long = 6000L,
       shardSize: Int = 2, embDim: Int = 8, embSeed: Long = 42L): DataFrame = {
-    val sel = graft.Exec.materializeLocal(
-      curateWithText(docs, idCol, textCol, width, pplKeepBelow, tokenBudget)
-        .select(col(idCol), col("clean_text").as(textCol)))
+    trainShardsMultimodalFrom(graft.Exec.materializeLocal(
+        curateWithText(docs, idCol, textCol, width, pplKeepBelow, tokenBudget)
+          .select(col(idCol), col("clean_text").as(textCol))),
+      media, idCol, textCol, merges, codebooks, dir, seqLen, epochs,
+      shardSize, embDim, embSeed)
+  }
+
+  /** [[trainShardsMultimodal]]'s tail over an already-curated selection. */
+  def trainShardsMultimodalFrom(sel: DataFrame, media: DataFrame,
+      idCol: String, textCol: String, merges: Seq[(String, String)],
+      codebooks: Array[Array[Array[Double]]], dir: String, seqLen: Int,
+      epochs: Int, shardSize: Int, embDim: Int = 8,
+      embSeed: Long = 42L): DataFrame = {
     val payload = graft.Exec.materializeLocal(
       Packing.packTokenIdRowsInterleaved(sel, idCol, textCol, merges,
         seqLen, mmImgPrefix(sel, media, idCol, codebooks, embDim, embSeed)))
     val ord = Packing.epochOrder(payload.select(col("seq_id")), "seq_id",
       epochs)
     writeShards(ord, payload, shardSize, dir)
-    readShards(docs.sparkSession, dir)
+    readShards(sel.sparkSession, dir)
   }
 
   /** [[trainManifest]]'s pack + epoch-order tail over an already-curated
