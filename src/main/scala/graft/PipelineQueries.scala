@@ -695,6 +695,27 @@ object PipelineQueries {
         .select(col("doc_id"), col("media_id"), col("lang"), col("quality"),
           round(col("emb_norm"), 6).as("emb_norm"))
     }),
+    // STREAMING BM25: documents arrive in three waves, each tokenized
+    // once into persisted postings (mid-stream LSM fold); the query
+    // derives ranking from the accumulated index — N, avgdl, and df shift
+    // retroactively exactly as a one-shot rebuild. Same oracle as
+    // p_bm25_search.
+    "s_bm25_search" -> ((s, d) => {
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_bm25", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      val dd = docs(s, d)
+      (0 until 3).foreach { g =>
+        graft.streaming.SearchIndexMaintainer.processBatch(
+          dd.where(col("doc_id") % 3 === g), g.toLong, "doc_id", "text",
+          s"$base/state")
+        if (g == 1)
+          graft.streaming.SearchIndexMaintainer.compact(s, "doc_id",
+            s"$base/state")
+      }
+      graft.streaming.SearchIndexMaintainer.search(s, s"$base/state",
+        "doc_id", query = Seq("spark", "vector", "merge"), k = 20)
+    }),
     // CROSS-MODAL retrieval: text-side deterministic embeddings (the
     // word-fingerprint projection) searched against the REAL decoded image
     // embeddings — text→image nearest neighbor, the retrieval eval of a
@@ -1145,6 +1166,22 @@ object PipelineQueries {
           sum(expr(
             "aggregate(split(ids_str, ':'), 0L, (a, x) -> a + cast(x AS long))"))
             .as("id_sum"))
+    }),
+    // Attention-mask sidecar of the MULTIMODAL grid: a doc's span covers
+    // its image tokens + text + EOS, so the trainer's block-diagonal mask
+    // isolates full cross-modal documents.
+    "p_mm_boundaries" -> ((s, d) => {
+      val media = graft.ops.Multimodal.syntheticMedia(s, 200)
+      val e = graft.ops.Multimodal.imageEmbedding(media, dim = 8, seed = 42L)
+      val base = annArtifactBase(d)
+      Ann.pqCodebookDf(s, Ann.pqTrain(e, "embedding", m = 4, k = 8))
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/mm_codebook")
+      val cb = Ann.pqCodebookFromDf(s.read.parquet(s"$base/mm_codebook"))
+      Corpus.mmBoundariesFrom(curatedSelFor(s, d), media, "doc_id", "text",
+          bpeMergesFor(s, d), cb, seqLen = 128)
+        .select(col("seq_id"), col("doc_id"),
+          col("start_pos").cast("long").as("start_pos"),
+          col("n_tok_in_seq"))
     }),
     // Shard layout over the manifest: each epoch's ordered sequences map
     // to fixed-size shards — the data-loader's on-disk unit, reproducible
@@ -3083,6 +3120,39 @@ object PipelineQueries {
         |  FROM sc
         |)
         |SELECT doc_id, score, rank FROM rk WHERE rank <= 20""".stripMargin,
+    // the streamed index must rank identically to the one-shot scan
+    "s_bm25_search" ->
+      """WITH tq AS (
+        |  SELECT unnest(['spark', 'vector', 'merge']) AS term
+        |),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |),
+        |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
+        |st AS (SELECT count(*) AS n, sum(len) AS sl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM tok JOIN tq USING (term) GROUP BY 1, 2
+        |),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    sum(ln((st.n - dfq.df + 0.5)/(dfq.df + 0.5) + 1)
+        |        * tf.tf * (1.2 + 1)
+        |        / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.len/(st.sl*1.0/st.n))))
+        |      AS score
+        |  FROM tf
+        |  JOIN dfq USING (term)
+        |  JOIN dl USING (doc_id)
+        |  CROSS JOIN st
+        |  GROUP BY 1
+        |),
+        |rk AS (
+        |  SELECT doc_id, round(score, 6) AS score,
+        |    row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+        |  FROM sc
+        |)
+        |SELECT doc_id, score, rank FROM rk WHERE rank <= 20""".stripMargin,
     // fixed persisted centroids + codebooks → cells, codes, nprobe=4
     // probe lists, ADC over probed cells only, k·rerank=40 shortlist,
     // exact rerank — the verbatim SQL rendering of Ann.ivfPqTopK
@@ -4572,6 +4642,14 @@ object PipelineQueries {
          |SELECT eoM.epoch, eoM.seq_id, CAST(eoM.ord AS BIGINT) AS ord,
          |  ss.n_tok, ss.n_docs, ss.id_sum, ss.doc_min, ss.doc_max
          |FROM eoM JOIN seqsum ss USING (seq_id)""".stripMargin,
+    // the multimodal chain's grid grouped by (sequence, doc) — the
+    // cross-modal span sidecar
+    "p_mm_boundaries" ->
+      s"""WITH RECURSIVE ${trainManifestCtesWith(mmImgCtes, mmImgUnion)}
+         |SELECT CAST(gpos // 128 AS BIGINT) AS seq_id, doc_id,
+         |  CAST(min(gpos % 128) AS BIGINT) AS start_pos,
+         |  count(*) AS n_tok_in_seq
+         |FROM gP GROUP BY 1, 2""".stripMargin,
     // the multimodal chain grouped per shard, id_sum included — the
     // payload-derived conservation check of the on-disk cross-modal stream
     "p_shard_files_mm" ->

@@ -517,6 +517,17 @@ object Corpus {
     readShards(sel.sparkSession, dir)
   }
 
+  /** Attention-mask sidecar of the INTERLEAVED multimodal grid: each doc's
+    * span covers its image tokens + text + EOS ([[Packing.packBoundaries]]
+    * over the spliced stream).
+    */
+  def mmBoundariesFrom(sel: DataFrame, media: DataFrame, idCol: String,
+      textCol: String, merges: Seq[(String, String)],
+      codebooks: Array[Array[Array[Double]]], seqLen: Int,
+      embDim: Int = 8, embSeed: Long = 42L): DataFrame =
+    Packing.packBoundariesInterleaved(sel, idCol, textCol, merges, seqLen,
+      mmImgPrefix(sel, media, idCol, codebooks, embDim, embSeed))
+
   /** [[trainManifest]]'s pack + epoch-order tail over an already-curated
     * (idCol, textCol) selection — split out so the streamed derivation
     * ([[graft.streaming.CurateMaintainer.manifest]]) shares it verbatim.

@@ -137,6 +137,20 @@ object Packing {
       .agg(min(col("__p")).as("start_pos"),
         count(lit(1)).as("n_tok_in_seq"))
 
+  /** [[packBoundaries]] of the INTERLEAVED multimodal stream: a document's
+    * span in a sequence covers its image tokens, text, and EOS — the mask
+    * a multimodal trainer blocks cross-document attention with.
+    */
+  def packBoundariesInterleaved(docs: DataFrame, idCol: String,
+      textCol: String, merges: Seq[(String, String)], seqLen: Int,
+      imgPrefix: DataFrame, byteLevel: Boolean = false,
+      buckets: Int = 64): DataFrame =
+    packedStream(docs, idCol, textCol, merges, seqLen, byteLevel, buckets,
+        Some(imgPrefix))
+      .groupBy(col("seq_id"), col(idCol))
+      .agg(min(col("__p")).as("start_pos"),
+        count(lit(1)).as("n_tok_in_seq"))
+
   /** [[packTokenIds]] with a per-doc IMAGE-token prefix interleaved into
     * the stream — the multimodal packing discipline: each document's
     * discrete image tokens (`imgPrefix`: (idCol, tpos, img_ord) — e.g. PQ

@@ -284,18 +284,37 @@ object TfIdf {
     */
   def bm25Search(docs: DataFrame, idCol: String, textCol: String,
       query: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75,
+      roundTo: Int = 6): DataFrame =
+    bm25FromPostings(postings(docs, idCol, textCol), idCol, query, k, k1,
+      b, roundTo)
+
+  /** The inverted-index rows BM25 consumes: (idCol, term, tf) — one row
+    * per (document, distinct term). Every doc contributes ≥ 1 row (the
+    * whitespace split of any string is non-empty), so document count and
+    * length derive FROM the postings (len = Σ tf).
+    */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+
+  /** BM25 over an ALREADY-BUILT postings frame (idCol, term, tf) — the
+    * derivation a persistent search index serves queries from: corpus
+    * stats (N, avgdl), document lengths, and query-term df all come from
+    * the postings alone, so an incrementally-maintained index answers
+    * identically to a one-shot scan.
+    */
+  def bm25FromPostings(post: DataFrame, idCol: String, query: Seq[String],
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
       roundTo: Int = 6): DataFrame = {
-    require(query.nonEmpty, "bm25Search: empty query")
+    require(query.nonEmpty, "bm25: empty query")
     import org.apache.spark.sql.expressions.Window
-    val statRow = docs
-      .agg(count(lit(1)), sum(size(TextOps.tokens(col(textCol))))).head()
+    val dl = post.groupBy(col(idCol).as("id"))
+      .agg(sum(col("tf")).as("len")).cache()
+    val statRow = dl.agg(count(lit(1)), sum(col("len"))).head()
     val n = statRow.getLong(0)
     val avgdl = statRow.getLong(1).toDouble / n
-    val toks = docs.select(col(idCol).as("id"),
-      explode(TextOps.tokens(col(textCol))).as("term"))
-    val dl = toks.groupBy("id").agg(count(lit(1)).as("len"))
-    val tf = toks.where(col("term").isin(query: _*))
-      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val tf = post.where(col("term").isin(query: _*))
+      .select(col(idCol).as("id"), col("term"), col("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val idf = log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1)
     val scored = tf.join(broadcast(df), Seq("term")).join(dl, Seq("id"))

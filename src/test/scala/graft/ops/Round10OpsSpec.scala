@@ -49,6 +49,31 @@ class Round10OpsSpec extends SparkSpec {
       out.select("doc_id", "score").as[(Long, Double)].collect().toSet
   }
 
+  test("SearchIndexMaintainer: streamed postings rank == one-shot bm25Search") {
+    import graft.streaming.SearchIndexMaintainer
+    val docs = Seq(
+      (1L, "spark spark query table"),
+      (2L, "spark table scan"),
+      (3L, "table scan filter join merge"),
+      (4L, "merge spark merge"),
+      (5L, "query query query"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25stream").toString
+    (0 until 3).foreach { g =>
+      SearchIndexMaintainer.processBatch(docs.where(col("doc_id") % 3 === g),
+        g.toLong, "doc_id", "text", s"$dir/state")
+      if (g == 1) SearchIndexMaintainer.compact(spark, "doc_id", s"$dir/state")
+    }
+    val streamed = SearchIndexMaintainer.search(spark, s"$dir/state",
+        "doc_id", Seq("spark", "merge"), k = 10)
+      .as[(Long, Double, Long)].collect().toSeq.sorted
+    val oneShot = TfIdf.bm25Search(docs, "doc_id", "text",
+        Seq("spark", "merge"), k = 10)
+      .as[(Long, Double, Long)].collect().toSeq.sorted
+    streamed shouldBe oneShot
+    graft.Exec.deletePath(dir)
+  }
+
   // --------------------------------------------------- cross-modal plumbing
 
   test("textEmbedding: deterministic, dim-sized, word-order-free per bag") {
