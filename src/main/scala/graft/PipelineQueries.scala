@@ -1215,6 +1215,14 @@ object PipelineQueries {
     // training resumption depends on.
     "p_epoch_order" -> ((s, d) =>
       Packing.epochOrder(docs(s, d), "doc_id", epochs = 3)),
+    // CURRICULUM order: epoch 1 shortest-doc-first (length warmup),
+    // epochs 2-3 the standard md5 shuffle — the curriculum-then-shuffle
+    // schedule as a deterministic, layout-independent rank.
+    "p_curriculum" -> ((s, d) =>
+      Packing.curriculumOrder(
+        docs(s, d).select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tok")),
+        "doc_id", "n_tok", epochs = 3)),
     // BYTE-LEVEL packing — the composed pipeline in byte mode: the mixed
     // multilingual corpus id-encodes under the byte-mode merges (full
     // UTF-8 byte fallback, case/script preserved) and packs into the same
@@ -4659,6 +4667,25 @@ object PipelineQueries {
          |  CAST(sum(ss.id_sum) AS BIGINT) AS id_sum
          |FROM eoM JOIN seqsum ss USING (seq_id)
          |GROUP BY 1, 2""".stripMargin,
+    // epoch 1 ranks by (token count, id); later epochs are the md5 draw
+    "p_curriculum" ->
+      s"""WITH es AS (SELECT unnest(generate_series(1, 3)) AS epoch),
+         |dn AS (
+         |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+         |  FROM documents
+         |),
+         |eo AS (
+         |  SELECT CAST(es.epoch AS INT) AS epoch, d.doc_id,
+         |    row_number() OVER (PARTITION BY es.epoch
+         |      ORDER BY
+         |        CASE WHEN es.epoch = 1
+         |          THEN lpad(CAST(d.n_tok AS VARCHAR), 20, '0')
+         |          ELSE md5(CAST(d.doc_id AS VARCHAR) || ':' ||
+         |                   CAST(es.epoch AS VARCHAR)) END,
+         |        d.doc_id) - 1 AS ord
+         |  FROM dn d CROSS JOIN es
+         |)
+         |SELECT epoch, doc_id, CAST(ord AS BIGINT) AS ord FROM eo""".stripMargin,
     "p_epoch_order" ->
       s"""WITH es AS (SELECT unnest(generate_series(1, 3)) AS epoch),
          |eo AS (

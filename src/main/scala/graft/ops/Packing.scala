@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -224,6 +224,48 @@ object Packing {
         lpad(col("epoch").cast("string"), 6, "0"), lit(":"),
         md5(concat(kstr, lit(":"), col("epoch").cast("string"))),
         lit(":"), lpad(kChecked, 20, "0")))
+    val offs = prefixOffsets(keyed.withColumn("__one", lit(1L)),
+      "__key", "__one", buckets)
+    keyed.join(offs, Seq("__key"))
+      .select(col("epoch"), col(keyCol),
+        (col("__off") - (col("epoch") - 1).cast("long") * n).as("ord"))
+  }
+
+  /** CURRICULUM training order: epoch 1 presents items easiest-first
+    * (ascending `scoreCol` — e.g. token count for length warmup, quantized
+    * perplexity for difficulty warmup), epochs ≥ 2 fall back to
+    * [[epochOrder]]'s md5 permutation — the standard curriculum-then-
+    * shuffle schedule. Same scale shape as epochOrder: the global rank is
+    * the distributed prefix sum over a composite fixed-width key, never a
+    * global window. `scoreCol` and `keyCol` must render non-negative and
+    * ≤ 20 chars (guarded). Returns (epoch, keyCol, ord).
+    */
+  def curriculumOrder(items: DataFrame, keyCol: String, scoreCol: String,
+      epochs: Int, buckets: Int = 64): DataFrame = {
+    require(epochs >= 1, "epochs must be >= 1")
+    val spark = items.sparkSession
+    val n = items.count()
+    val es = spark.range(1, epochs + 1L)
+      .select(col("id").cast("int").as("epoch"))
+    def checked(c: Column, what: String): Column = {
+      val str = c.cast("string")
+      when(str.startsWith("-") || length(str) > 20,
+        raise_error(concat(
+          lit(s"curriculumOrder: $what must render non-negative and " +
+            "<= 20 chars, got '"), str, lit("'")))).otherwise(str)
+    }
+    val kstr = col(keyCol).cast("string")
+    val keyed = items.select(col(keyCol), col(scoreCol))
+      .crossJoin(broadcast(es))
+      .withColumn("__key", concat(
+        lpad(col("epoch").cast("string"), 6, "0"), lit(":"),
+        when(col("epoch") === 1, concat(
+          lpad(checked(col(scoreCol), s"score column '$scoreCol'"), 20, "0"),
+          lit(":"), lpad(checked(col(keyCol), s"key column '$keyCol'"), 20, "0")))
+          .otherwise(concat(
+            md5(concat(kstr, lit(":"), col("epoch").cast("string"))),
+            lit(":"),
+            lpad(checked(col(keyCol), s"key column '$keyCol'"), 20, "0")))))
     val offs = prefixOffsets(keyed.withColumn("__one", lit(1L)),
       "__key", "__one", buckets)
     keyed.join(offs, Seq("__key"))

@@ -28,6 +28,29 @@ class Round10OpsSpec extends SparkSpec {
     n4 shouldBe 1
   }
 
+  test("curriculumOrder: epoch 1 easiest-first; later epochs equal the md5 shuffle") {
+    val items = Seq((1L, 30L), (2L, 10L), (3L, 20L), (4L, 10L))
+      .toDF("id", "difficulty")
+    val out = Packing.curriculumOrder(items, "id", "difficulty", epochs = 2)
+      .cache()
+    val e1 = out.where(col("epoch") === 1).orderBy("ord")
+      .select("id").as[Long].collect().toSeq
+    e1 shouldBe Seq(2L, 4L, 3L, 1L) // ascending difficulty, id tie-break
+    // epoch 2 is exactly epochOrder's epoch-2 permutation
+    val e2 = out.where(col("epoch") === 2)
+      .select("id", "ord").as[(Long, Long)].collect().toSet
+    val ref = Packing.epochOrder(items.select("id"), "id", epochs = 2)
+      .where(col("epoch") === 2)
+      .select("id", "ord").as[(Long, Long)].collect().toSet
+    e2 shouldBe ref
+    // a negative score raises rather than silently misordering
+    val bad = Seq((1L, -5L)).toDF("id", "difficulty")
+    intercept[Exception] {
+      Packing.curriculumOrder(bad, "id", "difficulty", epochs = 1)
+        .collect()
+    }
+  }
+
   // --------------------------------------------------------------- bm25
 
   test("bm25Search: non-matching docs never surface; tf and brevity raise rank") {
