@@ -1167,6 +1167,19 @@ object PipelineQueries {
             "aggregate(split(ids_str, ':'), 0L, (a, x) -> a + cast(x AS long))"))
             .as("id_sum"))
     }),
+    // MULTIMODAL curriculum: text-first modality warmup — epoch 1 ranks
+    // the interleaved sequences ascending by image-token count, epoch 2
+    // is the md5 shuffle; curriculumOrder composed over the spliced grid.
+    "p_mm_curriculum" -> ((s, d) => {
+      val media = graft.ops.Multimodal.syntheticMedia(s, 200)
+      val e = graft.ops.Multimodal.imageEmbedding(media, dim = 8, seed = 42L)
+      val base = annArtifactBase(d)
+      Ann.pqCodebookDf(s, Ann.pqTrain(e, "embedding", m = 4, k = 8))
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/mm_codebook")
+      val cb = Ann.pqCodebookFromDf(s.read.parquet(s"$base/mm_codebook"))
+      Corpus.mmCurriculumFrom(curatedSelFor(s, d), media, "doc_id", "text",
+        bpeMergesFor(s, d), cb, seqLen = 128, epochs = 2)
+    }),
     // Attention-mask sidecar of the MULTIMODAL grid: a doc's span covers
     // its image tokens + text + EOS, so the trainer's block-diagonal mask
     // isolates full cross-modal documents.
@@ -4650,6 +4663,30 @@ object PipelineQueries {
          |SELECT eoM.epoch, eoM.seq_id, CAST(eoM.ord AS BIGINT) AS ord,
          |  ss.n_tok, ss.n_docs, ss.id_sum, ss.doc_min, ss.doc_max
          |FROM eoM JOIN seqsum ss USING (seq_id)""".stripMargin,
+    // the spliced grid's per-sequence image-token counts (tid > eos),
+    // epoch 1 ranked ascending by that count, epoch 2 the md5 draw
+    "p_mm_curriculum" ->
+      s"""WITH RECURSIVE ${trainManifestCtesWith(mmImgCtes, mmImgUnion)},
+         |imgc AS (
+         |  SELECT CAST(g.gpos // 128 AS BIGINT) AS seq_id,
+         |    sum(CASE WHEN g.tid > v.eos THEN 1 ELSE 0 END) AS n_img
+         |  FROM gP g CROSS JOIN vP v GROUP BY 1
+         |),
+         |esC AS (SELECT unnest(generate_series(1, 2)) AS epoch),
+         |eoC AS (
+         |  SELECT CAST(esC.epoch AS INT) AS epoch, ic.seq_id, ic.n_img,
+         |    row_number() OVER (PARTITION BY esC.epoch
+         |      ORDER BY
+         |        CASE WHEN esC.epoch = 1
+         |          THEN lpad(CAST(ic.n_img AS VARCHAR), 20, '0')
+         |          ELSE md5(CAST(ic.seq_id AS VARCHAR) || ':' ||
+         |                   CAST(esC.epoch AS VARCHAR)) END,
+         |        ic.seq_id) - 1 AS ord
+         |  FROM imgc ic CROSS JOIN esC
+         |)
+         |SELECT epoch, seq_id, CAST(ord AS BIGINT) AS ord,
+         |  CAST(n_img AS BIGINT) AS n_img
+         |FROM eoC""".stripMargin,
     // the multimodal chain's grid grouped by (sequence, doc) — the
     // cross-modal span sidecar
     "p_mm_boundaries" ->

@@ -517,6 +517,25 @@ object Corpus {
     readShards(sel.sparkSession, dir)
   }
 
+  /** MULTIMODAL curriculum: the interleaved sequences ordered text-first —
+    * epoch 1 ranks ascending by image-token count (pure-text warmup before
+    * image-heavy sequences, the modality-mixing schedule), later epochs
+    * the md5 shuffle ([[Packing.curriculumOrder]] over the spliced grid).
+    * Returns (epoch, seq_id, ord, n_img).
+    */
+  def mmCurriculumFrom(sel: DataFrame, media: DataFrame, idCol: String,
+      textCol: String, merges: Seq[(String, String)],
+      codebooks: Array[Array[Array[Double]]], seqLen: Int, epochs: Int,
+      embDim: Int = 8, embSeed: Long = 42L): DataFrame = {
+    val seqs = graft.Exec.materializeLocal(
+      Packing.packTokenIdsInterleaved(sel, idCol, textCol, merges, seqLen,
+          mmImgPrefix(sel, media, idCol, codebooks, embDim, embSeed))
+        .select(col("seq_id"), col("n_img")))
+    Packing.curriculumOrder(seqs, "seq_id", "n_img", epochs)
+      .join(seqs, Seq("seq_id"))
+      .select(col("epoch"), col("seq_id"), col("ord"), col("n_img"))
+  }
+
   /** Attention-mask sidecar of the INTERLEAVED multimodal grid: each doc's
     * span covers its image tokens + text + EOS ([[Packing.packBoundaries]]
     * over the spliced stream).

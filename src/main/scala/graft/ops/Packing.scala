@@ -171,7 +171,8 @@ object Packing {
         countDistinct(col(idCol)).as("n_docs"),
         sum(col("id")).as("id_sum"),
         min(col(idCol)).as("doc_min"),
-        max(col(idCol)).as("doc_max"))
+        max(col(idCol)).as("doc_max"),
+        sum(when(col("__img"), 1L).otherwise(0L)).as("n_img"))
 
   /** [[packTokenIdRows]] with the image-token splice — the MATERIALIZED
     * multimodal payload (seq_id, ids_str, n_tok): image token ids appear
@@ -318,6 +319,9 @@ object Packing {
       .withColumn("__g", col("__off") + col("__k") - 1)
       .withColumn("seq_id", floor(col("__g") / seqLen).cast("long"))
       .withColumn("__p", (col("__g") % seqLen).cast("int"))
-      .select(col("seq_id"), col("__p"), col("id"), col(idCol))
+      // __img marks spliced image-prefix rows (they ride at wpos -1) so
+      // consumers can count modality mass without knowing the id layout
+      .select(col("seq_id"), col("__p"), col("id"), col(idCol),
+        (col("wpos") === -1).as("__img"))
   }
 }
