@@ -420,6 +420,22 @@ object PipelineQueries {
     "p_bm25_search" -> ((s, d) =>
       TfIdf.bm25Search(docs(s, d), "doc_id", "text",
         query = Seq("spark", "vector", "merge"), k = 20)),
+    // PASSAGE-level BM25 — the RAG retrieval unit: the corpus is the
+    // overlapping chunk frame (slidingChunks), ranked with the same
+    // engine; passage ids pack (doc, chunk) so provenance survives the
+    // top-k.
+    "p_bm25_passages" -> ((s, d) => {
+      val passages = docs(s, d)
+        .select(col("doc_id"),
+          explode(TextOps.slidingChunks(col("text"), width = 20,
+            stride = 10)).as("c"))
+        .select((col("doc_id") * 100000L + col("c.chunk_idx")).as("pid"),
+          col("c.chunk").as("text"))
+      TfIdf.bm25Search(passages, "pid", "text",
+          query = Seq("spark", "vector", "merge"), k = 20)
+        .select(expr("pid div 100000").as("doc_id"),
+          (col("pid") % 100000L).as("chunk_idx"), col("score"), col("rank"))
+    }),
     "p_repetition" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
         round(TextOps.repetitionRatio(col("text"), 3), 6).as("rep_ratio"))),
@@ -3141,6 +3157,52 @@ object PipelineQueries {
         |  FROM sc
         |)
         |SELECT doc_id, score, rank FROM rk WHERE rank <= 20""".stripMargin,
+    // the chunk chain feeding the same BM25 formula, passage-id packed
+    "p_bm25_passages" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |x AS (
+        |  SELECT doc_id, unnest([{'chunk_idx': CAST(i AS BIGINT),
+        |      'chunk': array_to_string(toks[i*10+1 : i*10+20], ' ')}
+        |    for i in generate_series(0,
+        |      CASE WHEN len(toks) >= 20
+        |           THEN CAST(floor((len(toks) - 20 + 10) / 10.0) AS INT) - 1
+        |           ELSE 0 END)]) AS c
+        |  FROM t
+        |),
+        |p AS (
+        |  SELECT doc_id*100000 + c.chunk_idx AS pid, c.chunk AS ptext FROM x
+        |),
+        |tq AS (SELECT unnest(['spark', 'vector', 'merge']) AS term),
+        |tok AS (
+        |  SELECT pid, unnest(string_split(ptext, ' ')) AS term FROM p
+        |),
+        |dl AS (SELECT pid, count(*) AS len FROM tok GROUP BY 1),
+        |st AS (SELECT count(*) AS n, sum(len) AS sl FROM dl),
+        |tf AS (
+        |  SELECT pid, term, count(*) AS tf
+        |  FROM tok JOIN tq USING (term) GROUP BY 1, 2
+        |),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT tf.pid,
+        |    sum(ln((st.n - dfq.df + 0.5)/(dfq.df + 0.5) + 1)
+        |        * tf.tf * (1.2 + 1)
+        |        / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.len/(st.sl*1.0/st.n))))
+        |      AS score
+        |  FROM tf
+        |  JOIN dfq USING (term)
+        |  JOIN dl USING (pid)
+        |  CROSS JOIN st
+        |  GROUP BY 1
+        |),
+        |rk AS (
+        |  SELECT pid, round(score, 6) AS score,
+        |    row_number() OVER (ORDER BY round(score, 6) DESC, pid) AS rank
+        |  FROM sc
+        |)
+        |SELECT CAST(pid // 100000 AS BIGINT) AS doc_id,
+        |  CAST(pid % 100000 AS BIGINT) AS chunk_idx, score, rank
+        |FROM rk WHERE rank <= 20""".stripMargin,
     // the streamed index must rank identically to the one-shot scan
     "s_bm25_search" ->
       """WITH tq AS (
