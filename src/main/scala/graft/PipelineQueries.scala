@@ -357,6 +357,16 @@ object PipelineQueries {
         .select(col("query_id"), col("neighbor_id"),
           col("neg_label").cast("long").as("neg_label"),
           col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))),
+    // BALANCED corpus-scale hard negatives: at most 2 negatives per
+    // (query, label) before the final top-k — one adjacent class cannot
+    // crowd out the contrastive batch.
+    "p_hard_negatives_bal" -> ((s, d) =>
+      Ann.hardNegativesGraphBalanced(emb(s, d), "vec_id", "embedding",
+        "label", k = 5, perLabel = 2, cents = sizedCentsFor(s, d),
+        nprobe = 2, rankOnRoundedTo = Some(6))
+        .select(col("query_id"), col("neighbor_id"),
+          col("neg_label").cast("long").as("neg_label"),
+          col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))),
     // kNN weak labeling: majority vote over the 5 nearest neighbors,
     // ties toward the smallest label — engine-reproducible predictions.
     "p_knn_classify" -> ((s, d) => {
@@ -2946,6 +2956,34 @@ object PipelineQueries {
          |    row_number() OVER (PARTITION BY query_id
          |      ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM fsc
+         |)
+         |SELECT query_id, neighbor_id, neg_label, rank, cos FROM fr
+         |WHERE rank <= 5""".stripMargin,
+    // the same chain with the per-(query, label) quota window applied
+    // BEFORE the final rank
+    "p_hard_negatives_bal" ->
+      s"""WITH ${ivfChainCtes("sized_centroids", 2, "TRUE")},
+         |lbl AS (SELECT vec_id, label FROM embeddings),
+         |fsc AS (
+         |  SELECT s.query_id, s.neighbor_id, lc.label AS neg_label, s.cos
+         |  FROM sc s
+         |  JOIN lbl lq ON s.query_id = lq.vec_id
+         |  JOIN lbl lc ON s.neighbor_id = lc.vec_id
+         |  WHERE lc.label <> lq.label
+         |),
+         |capped AS (
+         |  SELECT query_id, neighbor_id, neg_label, cos FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY query_id, neg_label
+         |      ORDER BY cos DESC, neighbor_id) AS lr
+         |    FROM fsc)
+         |  WHERE lr <= 2
+         |),
+         |fr AS (
+         |  SELECT query_id, neighbor_id, neg_label, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM capped
          |)
          |SELECT query_id, neighbor_id, neg_label, rank, cos FROM fr
          |WHERE rank <= 5""".stripMargin,

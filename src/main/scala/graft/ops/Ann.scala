@@ -734,9 +734,49 @@ object Ann {
       labelCol: String, k: Int, cents: Array[Array[Double]],
       nprobe: Int = 2, rankOnRoundedTo: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val rs = rankOnRoundedTo.getOrElse(-1)
     def rnd(c: Column): Column =
       rankOnRoundedTo.map(p => round(c, p)).getOrElse(c)
+    val scored = hardNegScored(emb, idCol, vecCol, labelCol, cents, nprobe,
+      rankOnRoundedTo)
+    val w = Window.partitionBy("query_id")
+      .orderBy(rnd(col("cos")).desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "neg_label", "rank", "cos")
+  }
+
+  /** [[hardNegativesGraph]] with PER-LABEL quotas — balanced contrastive
+    * batches: each query keeps at most `perLabel` negatives from any one
+    * label before the final top-k, so one adjacent class cannot crowd out
+    * the rest of the batch. Returns (query_id, neighbor_id, neg_label,
+    * rank, cos).
+    */
+  def hardNegativesGraphBalanced(emb: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int, perLabel: Int,
+      cents: Array[Array[Double]], nprobe: Int = 2,
+      rankOnRoundedTo: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(perLabel >= 1, "perLabel must be >= 1")
+    def rnd(c: Column): Column =
+      rankOnRoundedTo.map(p => round(c, p)).getOrElse(c)
+    val scored = hardNegScored(emb, idCol, vecCol, labelCol, cents, nprobe,
+      rankOnRoundedTo)
+    val wl = Window.partitionBy("query_id", "neg_label")
+      .orderBy(rnd(col("cos")).desc, col("neighbor_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(rnd(col("cos")).desc, col("neighbor_id"))
+    scored.withColumn("__lr", row_number().over(wl))
+      .where(col("__lr") <= perLabel)
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "neg_label", "rank", "cos")
+  }
+
+  /** The shared candidate-scoring stage of the graph miners: both sides
+    * shuffle on the cell key, different-label filter BEFORE any ranking.
+    */
+  private def hardNegScored(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, cents: Array[Array[Double]], nprobe: Int,
+      rankOnRoundedTo: Option[Int]): DataFrame = {
+    val rs = rankOnRoundedTo.getOrElse(-1)
     val base = emb.select(col(idCol),
         col(vecCol).cast("array<double>").as("__v"), col(labelCol).as("__l"))
       .withColumn("cell", graft.functions.VectorFns.nearestCellNative(
@@ -749,16 +789,12 @@ object Ann {
         col("__n").as("qn"), col("__l").as("__ql"))
       .withColumn("cell", explode(graft.functions.VectorFns
         .nearestCellsNative(col("qv"), cents, rs, nprobe)))
-    val scored = cs.join(qs, Seq("cell"))
+    cs.join(qs, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id") &&
         col("neg_label") =!= col("__ql"))
       .select(col("query_id"), col("neighbor_id"), col("neg_label"),
         (graft.functions.VectorFns.dotNative(col("qv"), col("cv")) /
           (col("qn") * col("cn"))).as("cos"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(rnd(col("cos")).desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "neg_label", "rank", "cos")
   }
 
   /** kNN classification by majority vote over the k nearest neighbors —

@@ -298,6 +298,28 @@ class Round10OpsSpec extends SparkSpec {
       .foreach { case (m, n) => n shouldBe norms(m) +- 1e-12 }
   }
 
+  test("hardNegativesGraphBalanced enforces the per-label quota") {
+    val cents = Ann.ivfCentroidsFromDf(
+      Ann.ivfTrain(embeddings, "embedding", nlist = 8))
+    val out = Ann.hardNegativesGraphBalanced(embeddings, "vec_id",
+      "embedding", "label", k = 5, perLabel = 1, cents, nprobe = 2,
+      rankOnRoundedTo = Some(6)).cache()
+    // perLabel = 1: labels never repeat within a query's batch
+    out.groupBy("query_id", "neg_label").agg(count(lit(1)).as("n"))
+      .where(col("n") > 1).count() shouldBe 0L
+    // with a huge quota the balanced variant degenerates to the plain graph
+    val loose = Ann.hardNegativesGraphBalanced(embeddings, "vec_id",
+        "embedding", "label", k = 5, perLabel = 1000, cents, nprobe = 2,
+        rankOnRoundedTo = Some(6))
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    val plain = Ann.hardNegativesGraph(embeddings, "vec_id", "embedding",
+        "label", k = 5, cents, nprobe = 2, rankOnRoundedTo = Some(6))
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    loose shouldBe plain
+  }
+
   test("hardNegativesGraph never returns a same-label neighbor and bounds rank") {
     val cents = Ann.ivfCentroidsFromDf(
       Ann.ivfTrain(embeddings, "embedding", nlist = 8))
