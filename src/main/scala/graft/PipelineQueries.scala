@@ -785,6 +785,30 @@ object PipelineQueries {
           col("neighbor_id").as("media_id"),
           col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
     }),
+    // Cross-modal recall audit: recall@5 of the IVF text→image path
+    // against the brute tower — the nprobe parameter-selection number for
+    // the cross-modal index, hash-pinned (the p_ann_recall pattern).
+    "p_xmodal_recall" -> ((s, d) => {
+      val media = graft.ops.Multimodal.syntheticMedia(s, 200)
+      val imgs = graft.ops.Multimodal.imageEmbedding(media, dim = 8,
+          seed = 42L)
+        .select(col("media_id").as("vec_id"), col("embedding"))
+      val base = annArtifactBase(d)
+      Ann.ivfTrain(imgs, "embedding", nlist = 4)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$base/xmodal_centroids")
+      val cents = Ann.ivfCentroidsFromDf(
+        s.read.parquet(s"$base/xmodal_centroids"))
+      val q = docs(s, d).where(col("doc_id") < 50)
+        .select((col("doc_id") + 10000L).as("vec_id"),
+          TextOps.textEmbedding(col("text"), 8).as("embedding"))
+      Ann.recallAtK(
+        Ann.ivfTopK(imgs, q, "vec_id", "embedding", k = 5,
+          centroidsOpt = Some(cents), nprobe = 2, rankOnRoundedTo = Some(6)),
+        Ann.bruteTopK(imgs, q, "vec_id", "embedding", k = 5,
+          rankOnRoundedTo = Some(6)), k = 5)
+        .select(col("n_exact"), col("n_hits"), col("recall"))
+    }),
     // STREAMING CLIP pairs: documents arrive in three waves, each scored
     // once into gated state (mid-stream LSM fold); the pair table derives
     // from the accumulated state — retroactive reassignment (the md5 rank
@@ -3959,6 +3983,76 @@ object PipelineQueries {
          |  FROM sc2
          |)
          |SELECT doc_id, media_id, rank, cos FROM rk3 WHERE rank <= 5""".stripMargin,
+    // recall@5 of the IVF chain (rk3) against the brute chain (rk2), both
+    // from the shared towers
+    "p_xmodal_recall" ->
+      s"""WITH $xmodalTowerCtes,
+         |sc AS (
+         |  SELECT t.doc_id, i.media_id,
+         |    round(list_inner_product(t.v, i.v)/(tq.n*inr.n), 6) AS cos
+         |  FROM tv t
+         |  JOIN tnrm tq USING (doc_id)
+         |  CROSS JOIN iv i
+         |  JOIN inrm inr ON i.media_id = inr.media_id
+         |),
+         |rk2 AS (
+         |  SELECT doc_id, media_id, cos,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY cos DESC, media_id) AS rank
+         |  FROM sc
+         |),
+         |cents2 AS (
+         |  SELECT cid, c FROM '__ANN_ARTIFACTS__/xmodal_centroids/*.parquet'
+         |),
+         |cd2 AS (
+         |  SELECT iv.media_id, ct.cid,
+         |    round(list_inner_product(ct.c, ct.c)
+         |      - 2*list_inner_product(iv.v, ct.c), 6) AS d
+         |  FROM iv CROSS JOIN cents2 ct
+         |),
+         |asg AS (
+         |  SELECT media_id, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY media_id
+         |      ORDER BY d, cid) AS rn
+         |    FROM cd2)
+         |  WHERE rn = 1
+         |),
+         |qp AS (
+         |  SELECT t.doc_id, ct.cid,
+         |    row_number() OVER (PARTITION BY t.doc_id
+         |      ORDER BY round(list_inner_product(ct.c, ct.c)
+         |        - 2*list_inner_product(t.v, ct.c), 6), ct.cid) AS rn
+         |  FROM tv t CROSS JOIN cents2 ct
+         |),
+         |cand AS (
+         |  SELECT q.doc_id, a.media_id
+         |  FROM qp q JOIN asg a USING (cid) WHERE q.rn <= 2
+         |),
+         |sc2 AS (
+         |  SELECT c.doc_id, c.media_id,
+         |    round(list_inner_product(t.v, i.v)/(tq.n*inr.n), 6) AS cos
+         |  FROM cand c
+         |  JOIN tv t USING (doc_id)
+         |  JOIN tnrm tq USING (doc_id)
+         |  JOIN iv i USING (media_id)
+         |  JOIN inrm inr ON i.media_id = inr.media_id
+         |),
+         |rk3 AS (
+         |  SELECT doc_id, media_id, cos,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY cos DESC, media_id) AS rank
+         |  FROM sc2
+         |),
+         |xb AS (SELECT doc_id, media_id FROM rk2 WHERE rank <= 5),
+         |xa AS (SELECT doc_id, media_id FROM rk3 WHERE rank <= 5),
+         |hits AS (
+         |  SELECT count(*) AS n_hits FROM xb
+         |  WHERE EXISTS (SELECT 1 FROM xa
+         |    WHERE xa.doc_id = xb.doc_id AND xa.media_id = xb.media_id)
+         |)
+         |SELECT (SELECT count(*) FROM xb) AS n_exact, n_hits,
+         |  round(n_hits * 1.0 / (SELECT count(*) FROM xb), 6) AS recall
+         |FROM hits""".stripMargin,
     "p_clip_pairs" -> clipPairsOracle,
     // the streamed derivation must equal the one-shot pair table exactly
     "s_clip_pairs" -> clipPairsOracle,
