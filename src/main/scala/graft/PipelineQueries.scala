@@ -106,13 +106,15 @@ object PipelineQueries {
       Ann.ivfCentroidsFromDf(cdf)
     })
 
-  /** SIZED coarse quantizer for the corpus-wide graph gates: nlist grows
-    * with the corpus (⌈N/targetPerCell⌉ via [[Ann.ivfTrainSized]]) so cell
-    * occupancy — and with it the within-cell pairwise cost of the kNN
-    * graph — stays bounded as data scales. The gated plan IS the scale
-    * plan: the oracle re-derives assignment/probing from whatever centroids
-    * were persisted, so determinism survives the data-dependent nlist.
-    * (A pinned-nlist quantizer made the graph quadratic at 10× data:
+  /** BALANCED coarse quantizer for the corpus-wide graph gates: nlist =
+    * 4·⌈√N⌉ via [[Ann.ivfTrainBalanced]] — the FAISS √N law that equalizes
+    * flat-assignment cost (O(N·nlist)) and in-cell scan cost, both
+    * O(N^1.5·dim). The earlier bounded-occupancy rule (nlist ∝ N,
+    * [[Ann.ivfTrainSized]]) kept cells flat but made assignment quadratic
+    * past ~10⁷ vectors; √N is the billion-vector regime. The gated plan IS
+    * the scale plan: the oracle re-derives assignment/probing from whatever
+    * centroids were persisted, so determinism survives the data-dependent
+    * nlist. (A pinned-nlist quantizer made the graph quadratic at 10× data:
     * tools/fullgate_r9_sf1.log adjudication #3, 70.7s → 3.6s once sized.)
     */
   private val sizedCentsCache =
@@ -120,8 +122,8 @@ object PipelineQueries {
 
   private def sizedCentsFor(s: SparkSession, d: String): Array[Array[Double]] =
     sizedCentsCache.computeIfAbsent(d, _ => {
-      val (cdf, _) = Ann.ivfTrainSized(emb(s, d), "embedding",
-        targetPerCell = 256)
+      val (cdf, _) = Ann.ivfTrainBalanced(emb(s, d), "embedding",
+        cellsPerSqrtN = 4)
       cdf.coalesce(1).write.mode("overwrite")
         .parquet(annArtifactBase(d) + "/sized_centroids")
       Ann.ivfCentroidsFromDf(cdf)
@@ -260,7 +262,7 @@ object PipelineQueries {
     "p_knn_ivf" -> ((s, d) => {
       val e = emb(s, d)
       val base = annArtifactBase(d)
-      Ann.ivfTrain(e, "embedding")
+      Ann.ivfTrainBalanced(e, "embedding")._1
         .write.mode("overwrite").parquet(s"$base/ivf_centroids")
       val cents = Ann.ivfCentroidsFromDf(s.read.parquet(s"$base/ivf_centroids"))
       Ann.ivfTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding", k = 10,
@@ -293,7 +295,7 @@ object PipelineQueries {
     "p_knn_ivfpq" -> ((s, d) => {
       val e = emb(s, d)
       val base = annArtifactBase(d)
-      Ann.ivfTrain(e, "embedding")
+      Ann.ivfTrainBalanced(e, "embedding")._1
         .coalesce(1).write.mode("overwrite").parquet(s"$base/ivfpq_centroids")
       val cents = Ann.ivfCentroidsFromDf(
         s.read.parquet(s"$base/ivfpq_centroids"))
@@ -520,7 +522,7 @@ object PipelineQueries {
     "s_knn_ivf" -> ((s, d) => {
       val e = emb(s, d)
       val base = annArtifactBase(d)
-      Ann.ivfTrain(e, "embedding")
+      Ann.ivfTrainBalanced(e, "embedding")._1
         .write.mode("overwrite").parquet(s"$base/ivf_centroids_s")
       val cents = Ann.ivfCentroidsFromDf(
         s.read.parquet(s"$base/ivf_centroids_s"))
@@ -549,7 +551,7 @@ object PipelineQueries {
     "s_knn_ivfpq" -> ((s, d) => {
       val e = emb(s, d)
       val base = annArtifactBase(d)
-      Ann.ivfTrain(e, "embedding")
+      Ann.ivfTrainBalanced(e, "embedding")._1
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$base/ivfpq_centroids_s")
       val cents = Ann.ivfCentroidsFromDf(
@@ -621,6 +623,18 @@ object PipelineQueries {
       Corpus.contaminationPairs(
         all.where(col("doc_id") >= 25), all.where(col("doc_id") < 25),
         "doc_id", "text", n = 5)
+    }),
+    // BM25-DRIVEN decontamination: each eval doc (id < 25) queries the
+    // passage-level BM25 index over the train split (id >= 25) with its
+    // own distinct terms — paraphrase leakage still shares rare
+    // vocabulary and ranks high here even where the exact n-gram audits
+    // (p_contamination / p_decontaminate) read zero overlap. Top-5
+    // passages per eval doc, provenance packed in the passage id.
+    "p_bm25_decontam" -> ((s, d) => {
+      val all = docs(s, d)
+      Corpus.bm25Decontaminate(
+        all.where(col("doc_id") >= 25), all.where(col("doc_id") < 25),
+        "doc_id", "text", k = 5)
     }),
     // Int8 embedding quantization: per-vector scale + quantized payload,
     // summarized as (scale, Σq, Σ|q|) so the gate checks every lane's value
@@ -1272,6 +1286,34 @@ object PipelineQueries {
             "aggregate(split(ids_str, ':'), 0L, (a, x) -> a + cast(x AS long))"))
             .as("id_sum"))
     }),
+    // STREAMING shard files, driver-gated: the packed payload arrives in
+    // three waves and the ShardMaintainer EXTENDS the on-disk layout per
+    // batch (boundary-shard merge + strictly-new files only) under the
+    // append-stable batch-major order — ingested ords are immutable, so
+    // per-batch write cost ∝ delta instead of a full corpus rewrite.
+    // Same conservation shape as p_shard_files, recomputed FROM the
+    // persisted payload; the oracle re-derives the batch-major rank law
+    // in SQL over the same manifest chain.
+    "s_shard_files" -> ((s, d) => {
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_shards", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      val payload = graft.Exec.materializeLocal(
+        Packing.packTokenIdRows(curatedSelFor(s, d), "doc_id", "text",
+          bpeMergesFor(s, d), seqLen = 128))
+      (0 until 3).foreach { g =>
+        graft.streaming.ShardMaintainer.processBatch(
+          payload.where(col("seq_id") % 3 === g), g.toLong, epochs = 2,
+          shardSize = 2, base)
+      }
+      graft.streaming.ShardMaintainer.readShards(s, base)
+        .groupBy(col("epoch"), col("shard_id"))
+        .agg(count(lit(1)).as("n_seqs"),
+          sum(size(split(col("ids_str"), ":"))).cast("long").as("n_tok"),
+          sum(expr(
+            "aggregate(split(ids_str, ':'), 0L, (a, x) -> a + cast(x AS long))"))
+            .as("id_sum"))
+    }),
     // Deterministic per-epoch training order (3 epochs over the corpus):
     // a pure function of (item set, epoch) via md5 draws, globally ranked
     // by the distributed prefix sum — the reproducible shuffle exact
@@ -1286,6 +1328,23 @@ object PipelineQueries {
         docs(s, d).select(col("doc_id"),
           TextOps.tokenCount(col("text")).as("n_tok")),
         "doc_id", "n_tok", epochs = 3)),
+    // PERPLEXITY-SCORED curriculum: the difficulty schedule as a MEASURED
+    // quantity — epoch 1 orders documents by the bigram-LM avg NLL the
+    // corpus-relative quality filter already computes (quantized to
+    // integer micro-nats via floor(x·10⁶+0.5), satisfying the guarded
+    // non-negative key contract), epochs 2-3 the md5 shuffle. The
+    // length-proxy schedule is p_curriculum; this replaces the proxy
+    // with the model score.
+    "p_curriculum_ppl" -> ((s, d) => {
+      val scored = graft.Exec.materializeLocal(
+        LangModel.perplexityScore(docs(s, d), "doc_id", "text")
+          .select(col("id").as("doc_id"),
+            floor(round(col("avg_nll"), 6) * lit(1000000d) + lit(0.5d))
+              .cast("long").as("ppl_micro")))
+      Packing.curriculumOrder(scored, "doc_id", "ppl_micro", epochs = 3)
+        .join(scored, Seq("doc_id"))
+        .select(col("epoch"), col("doc_id"), col("ord"), col("ppl_micro"))
+    }),
     // BYTE-LEVEL packing — the composed pipeline in byte mode: the mixed
     // multilingual corpus id-encodes under the byte-mode merges (full
     // UTF-8 byte fallback, case/script preserved) and packs into the same
@@ -2409,6 +2468,36 @@ object PipelineQueries {
 
   private def trainManifestCtes: String = trainManifestCtesWith("", "")
 
+  /** The bigram-LM scoring chain (the p_lm_ppl_quantile scorer) through
+    * CTE `d` (doc_id, avg_nll, n_bigrams) — shared by the quantile filter
+    * and the perplexity-scored curriculum.
+    */
+  private def pplNllCtes: String =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents),
+      |inst AS (
+      |  SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1]
+      |    for i in generate_series(1, len(toks)-1)]) AS bg
+      |  FROM t
+      |),
+      |insts AS (
+      |  SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1,
+      |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' AS tr
+      |  FROM inst
+      |),
+      |c2 AS (SELECT bg, count(*) AS c2 FROM insts WHERE tr GROUP BY 1),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM insts WHERE tr GROUP BY 1),
+      |v AS (SELECT count(*) AS v FROM c1),
+      |sc AS (
+      |  SELECT i.doc_id,
+      |    ln((coalesce(c2.c2, 0)+1)*1.0/(coalesce(c1.c1, 0)+v.v)) AS logp
+      |  FROM insts i LEFT JOIN c2 USING (bg) LEFT JOIN c1 USING (w1)
+      |  CROSS JOIN v
+      |),
+      |d AS (SELECT doc_id, round(-avg(logp), 6) AS avg_nll,
+      |             count(*) AS n_bigrams
+      |      FROM sc GROUP BY doc_id)""".stripMargin
+
   /** [[trainManifestCtes]] with injection points for the multimodal
     * variant: `imgCtes` (extra CTEs, leading comma included) lands after
     * vP; `imgUnion` (a leading `UNION ALL` branch) extends streamP.
@@ -3417,6 +3506,60 @@ object PipelineQueries {
         |SELECT corpus_id, eval_id, count(*) AS n_shared
         |FROM cg JOIN eg USING (g)
         |GROUP BY 1, 2""".stripMargin,
+    // the passage BM25 chain with the eval split as the query batch:
+    // per-eval distinct terms, shared corpus stats, per-eval top-5
+    "p_bm25_decontam" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |x AS (
+        |  SELECT doc_id, unnest([{'chunk_idx': CAST(i AS BIGINT),
+        |      'chunk': array_to_string(toks[i*10+1 : i*10+20], ' ')}
+        |    for i in generate_series(0,
+        |      CASE WHEN len(toks) >= 20
+        |           THEN CAST(floor((len(toks) - 20 + 10) / 10.0) AS INT) - 1
+        |           ELSE 0 END)]) AS c
+        |  FROM t WHERE doc_id >= 25
+        |),
+        |p AS (
+        |  SELECT doc_id*100000 + c.chunk_idx AS pid, c.chunk AS ptext FROM x
+        |),
+        |q AS (
+        |  SELECT DISTINCT eval_id, term FROM (
+        |    SELECT doc_id AS eval_id, unnest(toks) AS term
+        |    FROM t WHERE doc_id < 25)
+        |),
+        |qterms AS (SELECT DISTINCT term FROM q),
+        |tok AS (
+        |  SELECT pid, unnest(string_split(ptext, ' ')) AS term FROM p
+        |),
+        |dl AS (SELECT pid, count(*) AS len FROM tok GROUP BY 1),
+        |st AS (SELECT count(*) AS n, sum(len) AS sl FROM dl),
+        |tf AS (
+        |  SELECT pid, term, count(*) AS tf
+        |  FROM tok JOIN qterms USING (term) GROUP BY 1, 2
+        |),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT q.eval_id, tf.pid,
+        |    sum(ln((st.n - dfq.df + 0.5)/(dfq.df + 0.5) + 1)
+        |        * tf.tf * (1.2 + 1)
+        |        / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.len/(st.sl*1.0/st.n))))
+        |      AS score
+        |  FROM tf
+        |  JOIN dfq USING (term)
+        |  JOIN dl USING (pid)
+        |  JOIN q USING (term)
+        |  CROSS JOIN st
+        |  GROUP BY 1, 2
+        |),
+        |rk AS (
+        |  SELECT eval_id, pid, round(score, 6) AS score,
+        |    row_number() OVER (PARTITION BY eval_id
+        |      ORDER BY round(score, 6) DESC, pid) AS rank
+        |  FROM sc
+        |)
+        |SELECT eval_id, CAST(pid // 100000 AS BIGINT) AS doc_id,
+        |  CAST(pid % 100000 AS BIGINT) AS chunk_idx, score, rank
+        |FROM rk WHERE rank <= 5""".stripMargin,
     "p_embed_centroids" ->
       """WITH ex AS (
         |  SELECT CAST(label AS BIGINT) AS label,
@@ -3582,34 +3725,37 @@ object PipelineQueries {
         .stripMargin.format(ss)
     },
     "p_lm_ppl_quantile" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-        |           FROM documents),
-        |inst AS (
-        |  SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1]
-        |    for i in generate_series(1, len(toks)-1)]) AS bg
-        |  FROM t
-        |),
-        |insts AS (
-        |  SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1,
-        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' AS tr
-        |  FROM inst
-        |),
-        |c2 AS (SELECT bg, count(*) AS c2 FROM insts WHERE tr GROUP BY 1),
-        |c1 AS (SELECT w1, count(*) AS c1 FROM insts WHERE tr GROUP BY 1),
-        |v AS (SELECT count(*) AS v FROM c1),
-        |sc AS (
-        |  SELECT i.doc_id,
-        |    ln((coalesce(c2.c2, 0)+1)*1.0/(coalesce(c1.c1, 0)+v.v)) AS logp
-        |  FROM insts i LEFT JOIN c2 USING (bg) LEFT JOIN c1 USING (w1)
-        |  CROSS JOIN v
-        |),
-        |d AS (SELECT doc_id, round(-avg(logp), 6) AS avg_nll,
-        |             count(*) AS n_bigrams
-        |      FROM sc GROUP BY doc_id),
+      s"""WITH $pplNllCtes,
         |cut AS (SELECT quantile_cont(avg_nll, 0.5) AS c FROM d)
         |SELECT doc_id, avg_nll, n_bigrams, round(cut.c, 6) AS cutoff,
         |  avg_nll <= round(cut.c, 6) AS kept
         |FROM d CROSS JOIN cut""".stripMargin,
+    // the ppl chain's avg_nll quantized to integer micro-nats (floor(x+.5)
+    // — both engines' floor is exact; a direct double→int cast would
+    // round-vs-truncate differently), then the curriculum rank law:
+    // epoch 1 ascending by measured difficulty, epochs 2-3 the md5 draw
+    "p_curriculum_ppl" ->
+      s"""WITH $pplNllCtes,
+        |p AS (
+        |  SELECT doc_id,
+        |    CAST(floor(round(avg_nll, 6) * 1000000 + 0.5) AS BIGINT)
+        |      AS ppl_micro
+        |  FROM d
+        |),
+        |es AS (SELECT unnest(generate_series(1, 3)) AS epoch),
+        |eo AS (
+        |  SELECT CAST(es.epoch AS INT) AS epoch, p.doc_id, p.ppl_micro,
+        |    row_number() OVER (PARTITION BY es.epoch
+        |      ORDER BY
+        |        CASE WHEN es.epoch = 1
+        |          THEN lpad(CAST(p.ppl_micro AS VARCHAR), 20, '0')
+        |          ELSE md5(CAST(p.doc_id AS VARCHAR) || ':' ||
+        |                   CAST(es.epoch AS VARCHAR)) END,
+        |        p.doc_id) - 1 AS ord
+        |  FROM p CROSS JOIN es
+        |)
+        |SELECT epoch, doc_id, CAST(ord AS BIGINT) AS ord, ppl_micro
+        |FROM eo""".stripMargin,
     "p_corpus_card" ->
       s"""WITH $qualityCtes,
         |ed AS (
@@ -4846,6 +4992,25 @@ object PipelineQueries {
          |  count(*) AS n_seqs, CAST(sum(ss.n_tok) AS BIGINT) AS n_tok,
          |  CAST(sum(ss.id_sum) AS BIGINT) AS id_sum
          |FROM eoM JOIN seqsum ss USING (seq_id)
+         |GROUP BY 1, 2""".stripMargin,
+    // the shard grouping under the APPEND-STABLE batch-major rank law
+    // (batch = seq_id % 3 wave, md5 draw within batch) the maintainer
+    // ingests by — earlier batches' ords provably precede later ones
+    "s_shard_files" ->
+      s"""WITH RECURSIVE $trainManifestCtes,
+         |eoA AS (
+         |  SELECT CAST(esM.epoch AS INT) AS epoch, ss.seq_id,
+         |    row_number() OVER (PARTITION BY esM.epoch
+         |      ORDER BY ss.seq_id % 3,
+         |        md5(CAST(ss.seq_id AS VARCHAR) || ':' ||
+         |            CAST(esM.epoch AS VARCHAR)), ss.seq_id)
+         |      - 1 AS ord
+         |  FROM seqsum ss CROSS JOIN esM
+         |)
+         |SELECT eoA.epoch, CAST(eoA.ord // 2 AS BIGINT) AS shard_id,
+         |  count(*) AS n_seqs, CAST(sum(ss.n_tok) AS BIGINT) AS n_tok,
+         |  CAST(sum(ss.id_sum) AS BIGINT) AS id_sum
+         |FROM eoA JOIN seqsum ss USING (seq_id)
          |GROUP BY 1, 2""".stripMargin,
     // the streamed derivation must equal the one-shot manifest exactly
     "s_train_manifest" -> trainManifestOracle,

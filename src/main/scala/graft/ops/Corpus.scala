@@ -113,6 +113,33 @@ object Corpus {
         (frac < maxOverlapFrac).as("kept"))
   }
 
+  /** BM25-DRIVEN decontamination — the paraphrase-level audit the exact
+    * n-gram rule ([[decontaminate]]) cannot do: each eval document queries
+    * the corpus's PASSAGE-level BM25 index ([[TextOps.slidingChunks]] +
+    * [[TfIdf.bm25SearchBatch]]) with its own distinct terms, and the
+    * report lists each eval doc's top-`k` scoring corpus passages with
+    * provenance — reworded leakage still shares rare vocabulary even when
+    * no 8-gram survives, so it ranks high here while n-gram overlap reads
+    * zero. Returns (eval_id, idCol, chunk_idx, score, rank). Scale shape
+    * is bm25SearchBatch's: the eval vocabulary is the broadcast dim side,
+    * only matching postings shuffle, and ranking is a per-eval-doc
+    * partitioned top-k.
+    */
+  def bm25Decontaminate(corpus: DataFrame, evalDocs: DataFrame,
+      idCol: String, textCol: String, k: Int = 5, width: Int = 20,
+      stride: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val passages = corpus.select(col(idCol),
+        explode(TextOps.slidingChunks(col(textCol), width, stride)).as("c"))
+      .select((col(idCol) * 100000L + col("c.chunk_idx")).as("pid"),
+        col("c.chunk").as("__ptext"))
+    val post = TfIdf.postings(passages, "pid", "__ptext")
+    val q = evalDocs.select(col(idCol).as("eval_id"),
+      explode(TextOps.tokens(col(textCol))).as("term")).distinct()
+    TfIdf.bm25SearchBatch(post, "pid", q, "eval_id", "term", k, k1, b)
+      .select(col("eval_id"), expr("pid div 100000").as(idCol),
+        (col("pid") % 100000L).as("chunk_idx"), col("score"), col("rank"))
+  }
+
   /** Cross-document boilerplate fraction: for each doc, the share of its
     * DISTINCT word `n`-grams that occur in at least `minDocs` distinct
     * documents corpus-wide — the inter-document cousin of

@@ -232,6 +232,66 @@ object Packing {
         (col("__off") - (col("epoch") - 1).cast("long") * n).as("ord"))
   }
 
+  /** [[epochOrder]] in BATCH-MAJOR form — the APPEND-STABLE training
+    * order: items rank first by their arrival batch, then by the md5 draw
+    * within the batch. An already-ingested item's ord can therefore never
+    * change when new data arrives (later batches only append ranks), which
+    * is what lets [[graft.streaming.ShardMaintainer]] extend on-disk shard
+    * files instead of rewriting the corpus — the global md5 shuffle
+    * ([[epochOrder]]) reshuffles every ord retroactively on any growth.
+    * Tradeoff, documented: epoch-level mixing happens within each arrival
+    * batch (plus whatever shard-level sampling the data loader does), not
+    * across the whole corpus; each epoch still gets a distinct
+    * within-batch permutation. Returns (epoch, keyCol, ord). `batchCol`
+    * must render as a non-negative integer of ≤ 6 digits (guarded, the
+    * fixed-width key discipline).
+    */
+  def epochOrderBatchMajor(items: DataFrame, keyCol: String,
+      batchCol: String, epochs: Int, buckets: Int = 64): DataFrame = {
+    require(epochs >= 1, "epochs must be >= 1")
+    val spark = items.sparkSession
+    val n = items.count()
+    val es = spark.range(1, epochs + 1L)
+      .select(col("id").cast("int").as("epoch"))
+    def checked(c: Column, width: Int, what: String): Column = {
+      val str = c.cast("string")
+      when(str.startsWith("-") || length(str) > width,
+        raise_error(concat(
+          lit(s"epochOrderBatchMajor: $what must render non-negative " +
+            s"and <= $width chars, got '"), str, lit("'")))).otherwise(str)
+    }
+    val kstr = col(keyCol).cast("string")
+    val keyed = items.select(col(keyCol), col(batchCol))
+      .crossJoin(broadcast(es))
+      .withColumn("__key", concat(
+        lpad(col("epoch").cast("string"), 6, "0"), lit(":"),
+        lpad(checked(col(batchCol), 6, s"batch column '$batchCol'"), 6, "0"),
+        lit(":"),
+        md5(concat(kstr, lit(":"), col("epoch").cast("string"))),
+        lit(":"),
+        lpad(checked(col(keyCol), 20, s"key column '$keyCol'"), 20, "0")))
+    val offs = prefixOffsets(keyed.withColumn("__one", lit(1L)),
+      "__key", "__one", buckets)
+    keyed.join(offs, Seq("__key"))
+      .select(col("epoch"), col(keyCol),
+        (col("__off") - (col("epoch") - 1).cast("long") * n).as("ord"))
+  }
+
+  /** The per-delta increment of [[epochOrderBatchMajor]]: rank ONLY the
+    * arriving batch's items (cost ∝ delta, never the corpus) and rebase
+    * every epoch's ord by `baseOffset` — the count of all previously
+    * ingested items. Feeding batches b₀,b₁,… through this with cumulative
+    * offsets reproduces [[epochOrderBatchMajor]] over the union exactly
+    * (within a batch both rank by the same (md5 draw, key) order;
+    * batch-major concatenation IS the offset rebase).
+    */
+  def epochOrderAppended(delta: DataFrame, keyCol: String, epochs: Int,
+      baseOffset: Long, buckets: Int = 64): DataFrame = {
+    require(baseOffset >= 0L, "baseOffset must be >= 0")
+    epochOrder(delta, keyCol, epochs, buckets)
+      .withColumn("ord", col("ord") + lit(baseOffset))
+  }
+
   /** CURRICULUM training order: epoch 1 presents items easiest-first
     * (ascending `scoreCol` — e.g. token count for length warmup, quantized
     * perplexity for difficulty warmup), epochs ≥ 2 fall back to

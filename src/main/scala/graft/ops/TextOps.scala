@@ -332,6 +332,50 @@ object TfIdf {
         col("rank").cast("long").as("rank"))
   }
 
+  /** [[bm25FromPostings]] for a BATCH of queries — the decontamination /
+    * eval-retrieval shape: `queries` is a (qidCol, termCol) frame, one row
+    * per query term (re-distincted defensively). Corpus stats (N, avgdl,
+    * lengths, per-term df) derive from the postings exactly as in the
+    * single-query form, and every query ranks against the same index in
+    * ONE pass. Scale shape: the query vocabulary (an eval suite — the
+    * bounded dim side) broadcasts, postings are filtered to queried terms
+    * BEFORE any shuffle so the shuffle carries only matching postings,
+    * and the top-k is a per-query PARTITIONED window (each partition
+    * holds one query's matches) — never a corpus-wide global sort.
+    */
+  def bm25SearchBatch(post: DataFrame, idCol: String, queries: DataFrame,
+      qidCol: String, termCol: String, k: Int, k1: Double = 1.2,
+      b: Double = 0.75, roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dl = post.groupBy(col(idCol).as("id"))
+      .agg(sum(col("tf")).as("len")).cache()
+    val statRow = dl.agg(count(lit(1)), sum(col("len"))).head()
+    val n = statRow.getLong(0)
+    val avgdl = statRow.getLong(1).toDouble / n
+    val q = queries.select(col(qidCol).as("__qid"),
+      col(termCol).as("term")).distinct()
+    val qterms = q.select("term").distinct()
+    val tfq = post.join(broadcast(qterms), Seq("term"))
+      .select(col(idCol).as("id"), col("term"), col("tf"))
+    val df = tfq.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1)
+    val contrib = tfq.join(broadcast(df), Seq("term")).join(dl, Seq("id"))
+      .select(col("term"), col("id"),
+        (idf * col("tf") * lit(k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("len") / avgdl)))
+          .as("__c"))
+    val scored = contrib.join(broadcast(q), Seq("term"))
+      .groupBy(col("__qid"), col("id"))
+      .agg(sum(col("__c")).as("score"))
+    val w = Window.partitionBy("__qid")
+      .orderBy(round(col("score"), roundTo).desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("__qid").as(qidCol), col("id").as(idCol),
+        round(col("score"), roundTo).as("score"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Top-k highest-tfidf terms per document (deterministic tie-break). */
   def topTerms(docs: DataFrame, idCol: String, textCol: String, k: Int,
       roundTo: Int = 6): DataFrame = {

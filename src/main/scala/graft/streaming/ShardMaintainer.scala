@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Packing
+
+/** Append-stable shard-file maintenance — the streaming face of
+  * [[graft.ops.Corpus.writeShards]]: packed payload rows (seq_id, ids_str,
+  * n_tok) arrive in micro-batches and EXTEND the on-disk hive-partitioned
+  * shard layout (`epoch=…/shard_id=…`) instead of rewriting it.
+  *
+  * The order law is [[Packing.epochOrderBatchMajor]] (batch-major, md5
+  * draw within batch): an ingested sequence's (epoch, ord) never changes
+  * when later data arrives, so a batch touches exactly
+  *   - the boundary shard (the last, possibly partial, pre-batch shard),
+  *     whose surviving rows are merged with the delta's head, and
+  *   - the strictly-new shards the delta fills —
+  * ≤ ⌈nΔ/shardSize⌉ + 1 partitions per epoch, cost ∝ delta. The global
+  * md5 shuffle ([[Packing.epochOrder]], used by the one-shot
+  * [[graft.ops.Corpus.trainShards]]) would reshuffle every ord on any
+  * growth and force a full-corpus rewrite per batch; batch-major trades
+  * corpus-wide epoch mixing for that append-stability (documented on
+  * [[Packing.epochOrderBatchMajor]]).
+  *
+  * Replay safety (the [[BatchDirs]] `b<batchId>/` discipline, rendered
+  * here as one sidecar dir per batch plus a `batch_id` column in the data
+  * files): the base offset counts only batches STRICTLY before the
+  * current id, and the boundary merge drops rows the crashed attempt
+  * itself wrote — replaying a batch rewrites byte-identical content.
+  * Partition updates use dynamic partition overwrite, the same move a
+  * transactional table format (or a rename-based commit) supplies on a
+  * real cluster.
+  */
+object ShardMaintainer {
+
+  private def dataDir(dir: String) = s"$dir/data"
+  private def metaDir(dir: String) = s"$dir/meta"
+
+  /** Items ingested by batches strictly before `batchId` (replay-safe:
+    * a crashed attempt's own sidecar is excluded by the strict bound). */
+  def countBefore(spark: SparkSession, dir: String, batchId: Long): Long = {
+    val metas = BatchDirs.listDirs(metaDir(dir), "b")
+      .filter(_._1 < batchId).map(_._2)
+    if (metas.isEmpty) 0L
+    else spark.read.parquet(metas: _*)
+      .agg(coalesce(sum(col("n")), lit(0L))).head.getLong(0)
+  }
+
+  /** Ingest one micro-batch of payload rows (seq_id, ids_str, n_tok).
+    * `epochs` and `shardSize` are layout constants of the directory and
+    * must be identical across every batch fed to it.
+    */
+  def processBatch(payload: DataFrame, batchId: Long, epochs: Int,
+      shardSize: Int, dir: String): Unit = {
+    require(shardSize >= 1, "shardSize must be >= 1")
+    val spark = payload.sparkSession
+    // eager-materialized: the delta feeds both the order build and the
+    // shard join (the CurateMaintainer localCheckpoint rule)
+    val p = graft.Exec.materializeLocal(
+      payload.select(col("seq_id"), col("ids_str"), col("n_tok")))
+    val nDelta = p.count()
+    val base = countBefore(spark, dir, batchId)
+    if (nDelta == 0L) { writeMeta(spark, dir, batchId, 0L); return }
+    val fresh = Packing.epochOrderAppended(p.select(col("seq_id")),
+        "seq_id", epochs, base)
+      .withColumn("shard_id",
+        floor(col("ord") / shardSize).cast("long"))
+      .join(p, Seq("seq_id"))
+      .select(col("epoch"), col("shard_id"), col("seq_id"), col("ord"),
+        col("n_tok"), col("ids_str"), lit(batchId).as("batch_id"))
+    val boundary = base / shardSize
+    val withPrev =
+      if (base % shardSize == 0L) fresh
+      else fresh.unionByName(
+        spark.read.parquet(dataDir(dir))
+          .where(col("shard_id") === boundary &&
+            col("batch_id") < batchId)
+          .select(col("epoch").cast("int").as("epoch"),
+            col("shard_id").cast("long").as("shard_id"),
+            col("seq_id").cast("long").as("seq_id"),
+            col("ord").cast("long").as("ord"),
+            col("n_tok").cast("long").as("n_tok"), col("ids_str"),
+            col("batch_id").cast("long").as("batch_id")))
+    // eager checkpoint: the write replaces partitions its own lineage
+    // read (the boundary shard) — rows must be off those files first
+    val rows = graft.Exec.materializeLocal(withPrev)
+    rows.repartition(
+        math.max(1, spark.sparkContext.defaultParallelism / 2),
+        col("epoch"), col("shard_id"))
+      .sortWithinPartitions(col("epoch"), col("shard_id"), col("ord"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("epoch", "shard_id").parquet(dataDir(dir))
+    writeMeta(spark, dir, batchId, nDelta)
+  }
+
+  /** Re-read the maintained layout in [[graft.ops.Corpus.readShards]]'
+    * shape (the `batch_id` bookkeeping column stays internal).
+    */
+  def readShards(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dataDir(dir))
+      .select(col("epoch").cast("int").as("epoch"),
+        col("shard_id").cast("long").as("shard_id"),
+        col("seq_id").cast("long").as("seq_id"),
+        col("ord").cast("long").as("ord"),
+        col("n_tok").cast("long").as("n_tok"), col("ids_str"))
+
+  private def writeMeta(spark: SparkSession, dir: String, batchId: Long,
+      n: Long): Unit = {
+    import spark.implicits._
+    Seq((batchId, n)).toDF("batch_id", "n")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${metaDir(dir)}/b$batchId")
+  }
+}
