@@ -305,11 +305,24 @@ object TfIdf {
     */
   def bm25FromPostings(post: DataFrame, idCol: String, query: Seq[String],
       k: Int, k1: Double = 1.2, b: Double = 0.75,
-      roundTo: Int = 6): DataFrame = {
+      roundTo: Int = 6): DataFrame =
+    bm25FromPostingsWithLengths(post,
+      post.groupBy(col(idCol)).agg(sum(col("tf")).as("len")),
+      idCol, query, k, k1, b, roundTo)
+
+  /** [[bm25FromPostings]] with the per-document lengths SUPPLIED —
+    * the serving split: a persistent index keeps (idCol, len) as a
+    * compacted sidecar ([[graft.streaming.SearchIndexMaintainer]]), so a
+    * query aggregates a one-row-per-doc frame for (N, avgdl) instead of
+    * re-collapsing the full per-(doc, term) postings every request.
+    * Lengths MUST cover exactly the documents in `post` (len = Σ tf).
+    */
+  def bm25FromPostingsWithLengths(post: DataFrame, lengths: DataFrame,
+      idCol: String, query: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75, roundTo: Int = 6): DataFrame = {
     require(query.nonEmpty, "bm25: empty query")
     import org.apache.spark.sql.expressions.Window
-    val dl = post.groupBy(col(idCol).as("id"))
-      .agg(sum(col("tf")).as("len")).cache()
+    val dl = lengths.select(col(idCol).as("id"), col("len")).cache()
     val statRow = dl.agg(count(lit(1)), sum(col("len"))).head()
     val n = statRow.getLong(0)
     val avgdl = statRow.getLong(1).toDouble / n

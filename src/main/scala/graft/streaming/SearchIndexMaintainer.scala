@@ -46,18 +46,76 @@ object SearchIndexMaintainer {
 
   /** BM25 top-k over everything ingested — identical to a one-shot
     * [[TfIdf.bm25Search]] over the full corpus, derived purely from the
-    * persisted postings.
+    * persisted postings. When a compacted lengths sidecar covers the
+    * folded horizon, per-doc lengths (and with them N, avgdl) come from
+    * STATE plus the un-folded delta batches — a query never re-collapses
+    * the full per-(doc, term) postings into lengths again.
     */
   def search(spark: SparkSession, stateDir: String, idCol: String,
       query: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75,
-      roundTo: Int = 6): DataFrame =
-    TfIdf.bm25FromPostings(readPostings(spark, idCol, stateDir), idCol,
-      query, k, k1, b, roundTo)
+      roundTo: Int = 6): DataFrame = {
+    val post = readPostings(spark, idCol, stateDir)
+    lengthsFromState(spark, idCol, stateDir) match {
+      case Some(dl) => TfIdf.bm25FromPostingsWithLengths(post, dl, idCol,
+        query, k, k1, b, roundTo)
+      case None => TfIdf.bm25FromPostings(post, idCol, query, k, k1, b,
+        roundTo)
+    }
+  }
 
-  /** Fold committed batch dirs (default horizon: max batch − 1). */
+  private def lenSchema(idCol: String): StructType = StructType(Seq(
+    StructField(idCol, LongType),
+    StructField("len", LongType)))
+
+  /** Per-doc lengths from state: the compacted `len_c<upTo>` sidecar plus
+    * a fold of only the batches newer than the horizon (cost ∝ delta).
+    * None — with fallback to full re-aggregation — when no sidecar
+    * matches the current compaction horizon.
+    */
+  def lengthsFromState(spark: SparkSession, idCol: String,
+      stateDir: String): Option[DataFrame] = {
+    val maxC = BatchDirs.listDirs(stateDir, "c").lastOption.map(_._1)
+    val side = Option(new java.io.File(stateDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("len_c"))
+      .flatMap(f => f.getName.stripPrefix("len_c").toLongOption
+        .map(_ -> f.getPath))
+      .sortBy(_._1).lastOption
+    side.collect { case (upTo, p) if maxC.contains(upTo) =>
+      val base = spark.read.schema(lenSchema(idCol)).parquet(p)
+      val deltaDirs = BatchDirs.listDirs(stateDir, "b")
+        .filter(_._1 > upTo).map(_._2)
+      BatchDirs.readUnion(spark, deltaDirs, postSchema(idCol),
+          partitioned = false)
+        .map(d => base.unionByName(
+          d.groupBy(col(idCol)).agg(sum(col("tf")).as("len"))))
+        .getOrElse(base)
+    }
+  }
+
+  /** Fold committed batch dirs (default horizon: max batch − 1), then
+    * derive the lengths sidecar FROM the folded postings (temp-write +
+    * rename, the BatchDirs crash discipline; superseded sidecars are
+    * dropped). A doc's postings land wholly in its ingest batch, so the
+    * sidecar is exact for everything at or below the horizon.
+    */
   def compact(spark: SparkSession, idCol: String, stateDir: String,
-      upToOpt: Option[Long] = None): Unit =
+      upToOpt: Option[Long] = None): Unit = {
     BatchDirs.compact(spark, stateDir, postSchema(idCol), None, upToOpt)
+    BatchDirs.listDirs(stateDir, "c").lastOption.foreach {
+      case (upTo, dir) =>
+        val tmp = new java.io.File(stateDir, s".len_c$upTo.tmp")
+        spark.read.schema(postSchema(idCol)).parquet(dir)
+          .groupBy(col(idCol)).agg(sum(col("tf")).as("len"))
+          .write.mode("overwrite").parquet(tmp.getPath)
+        val dest = new java.io.File(stateDir, s"len_c$upTo")
+        if (dest.exists()) graft.Exec.deletePath(dest.getPath)
+        require(tmp.renameTo(dest), s"rename $tmp -> $dest failed")
+        Option(new java.io.File(stateDir).listFiles()).toSeq.flatten
+          .filter(f => f.getName.startsWith("len_c") &&
+            f.getName != s"len_c$upTo")
+          .foreach(f => graft.Exec.deletePath(f.getPath))
+    }
+  }
 
   /** Attach to a streaming document source: (idCol LONG, textCol STRING). */
   def attach(docs: DataFrame, idCol: String, textCol: String,

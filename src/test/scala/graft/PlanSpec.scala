@@ -363,4 +363,16 @@ class PlanSpec extends SparkSpec {
         if s.outputPartitioning.numPartitions == 1 => s
     } shouldBe empty
   }
+
+  test("p_curation_report: reads the memoized curate checkpoint, never re-runs the pipeline") {
+    // the 3.2↔8.7 s bench bimodality was this gate re-running curate
+    // whenever the shared CacheManager entry had been GC-released; the fix
+    // pins it to the localCheckpoint memo, so the plan must scan
+    // checkpointed rows (RDDScan) and contain NONE of the curate stages
+    // (no window-digest explode, no LM scoring aggregate on bigrams)
+    val p = plan(SparkEntry.queries("p_curation_report")(spark, sf)).toString
+    p should include("Scan ExistingRDD")
+    p should not include "bigram"
+    p should not include "fail_mask"
+  }
 }

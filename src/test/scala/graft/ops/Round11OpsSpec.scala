@@ -122,6 +122,41 @@ class Round11OpsSpec extends SparkSpec {
     batch shouldBe single
   }
 
+  test("SearchIndexMaintainer: compacted lengths sidecar serves identically, delta batches fold in") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25_side").toString
+    (0 until 3).foreach { g =>
+      graft.streaming.SearchIndexMaintainer.processBatch(
+        docs.where(col("doc_id") % 3 === g), g.toLong, "doc_id", "text",
+        dir)
+      if (g == 1)
+        graft.streaming.SearchIndexMaintainer.compact(spark, "doc_id", dir)
+    }
+    // sidecar exists at the compaction horizon (upTo = max batch − 1 = 0)
+    new java.io.File(dir, "len_c0").exists() shouldBe true
+    // state-derived lengths (sidecar + b1/b2 deltas) == full re-aggregation
+    val dl = graft.streaming.SearchIndexMaintainer
+      .lengthsFromState(spark, "doc_id", dir)
+    dl.isDefined shouldBe true
+    val fromState = dl.get.as[(Long, Long)].collect().toSet
+    val full = TfIdf.postings(docs, "doc_id", "text")
+      .groupBy("doc_id").agg(sum("tf").as("len"))
+      .as[(Long, Long)].collect().toSet
+    fromState shouldBe full
+    // the served ranking equals the one-shot scan
+    val served = graft.streaming.SearchIndexMaintainer.search(spark, dir,
+        "doc_id", query = Seq("quick", "jugs"), k = 5)
+      .as[(Long, Double, Long)].collect().toSet
+    val oneShot = TfIdf.bm25Search(docs, "doc_id", "text",
+        query = Seq("quick", "jugs"), k = 5)
+      .as[(Long, Double, Long)].collect().toSet
+    served shouldBe oneShot
+    // a later compact supersedes the sidecar (old one dropped)
+    graft.streaming.SearchIndexMaintainer.compact(spark, "doc_id", dir)
+    new java.io.File(dir, "len_c0").exists() shouldBe false
+    new java.io.File(dir, "len_c1").exists() shouldBe true
+    graft.Exec.deletePath(dir)
+  }
+
   test("bm25Decontaminate surfaces paraphrase leakage the n-gram audit misses") {
     val corpus = Seq(
       (25L, "the zorblax theorem proves quixotic manifolds collapse " +
