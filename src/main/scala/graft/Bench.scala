@@ -23,7 +23,13 @@ object Bench {
     // Deterministic name order: Map iteration order shifts whenever the key
     // set changes, silently reassigning which query pays each shared cache
     // build — sorted order keeps per-query numbers comparable across rounds.
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // "workloads" arg: serving metrics ONLY, in a fresh JVM — separates
+    // the serving path's own cost from the heap/GC state 200 gate
+    // queries × 3 passes leave behind (the driver's no-arg run is
+    // unchanged; this mode is for attributing qps movement).
+    val servingOnly = args.headOption.contains("workloads")
+    val ordered =
+      if (servingOnly) Seq.empty else SparkEntry.queries.toSeq.sortBy(_._1)
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", sfDir)
     if (warmDir.nonEmpty) {
       ordered.foreach { case (_, fn) =>
@@ -65,6 +71,13 @@ object Bench {
     // queries' leftover cached frames only add GC pressure and run-to-run
     // noise, so measure from a clean cache.
     spark.catalog.clearCache()
+    // an explicit collection here: the serving loops measure ~60 ms point
+    // queries, and the retained garbage of 200 gates × 3 passes otherwise
+    // taxes them with GC pauses that read as qps drift round over round
+    // (attribution: a fresh-JVM workloads-only run scores LOWER — C2 cold
+    // — so the movement is JVM state, not the serving path; see the
+    // "workloads" arg)
+    System.gc()
     val qps = workloadQps(spark, sfDir)
     val tkqps = workloadTopkQps(spark, sfDir)
     val ups = sweepUsersPerSec(spark, sfDir)
@@ -81,9 +94,11 @@ object Bench {
     // queries overall, and the four workload metrics.
     val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,""" +
-        s"""$workloads,"sf":"$sfDir"}""" + "\n")
+    if (!servingOnly) // don't clobber the committed artifact from a
+      // workloads-only attribution run
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"),
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,""" +
+          s"""$workloads,"sf":"$sfDir"}""" + "\n")
     def f3(v: Double): String = f"$v%.3f"
     val recQs = results.filter(_._1.startsWith("r_"))
       .map { case (k, v) => s"\"$k\":${f3(v)}" }.mkString("{", ",", "}")

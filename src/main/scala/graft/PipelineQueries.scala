@@ -644,6 +644,40 @@ object PipelineQueries {
         all.where(col("doc_id") >= 25), all.where(col("doc_id") < 25),
         "doc_id", "text", k = 5)
     }),
+    // STREAMING BM25 decontamination, driver-gated: the train split's
+    // PASSAGES arrive in three waves into the maintained postings index
+    // (chunking is per-doc, so a doc's passages land wholly in its ingest
+    // batch and the fold is exact); after a mid-stream compact — and with
+    // it the lengths sidecar — the whole eval suite ranks against STATE
+    // in one batch pass. Decontamination stays continuous as the corpus
+    // grows; must equal the one-shot p_bm25_decontam derivation.
+    "s_bm25_decontam" -> ((s, d) => {
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_bm25dc", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      val all = docs(s, d)
+      val train = all.where(col("doc_id") >= 25)
+      (0 until 3).foreach { g =>
+        val passages = train.where(col("doc_id") % 3 === g)
+          .select(col("doc_id"),
+            explode(TextOps.slidingChunks(col("text"), width = 20,
+              stride = 10)).as("c"))
+          .select((col("doc_id") * 100000L + col("c.chunk_idx")).as("pid"),
+            col("c.chunk").as("ptext"))
+        graft.streaming.SearchIndexMaintainer.processBatch(
+          passages, g.toLong, "pid", "ptext", s"$base/state")
+        if (g == 1)
+          graft.streaming.SearchIndexMaintainer.compact(s, "pid",
+            s"$base/state")
+      }
+      val q = all.where(col("doc_id") < 25)
+        .select(col("doc_id").as("eval_id"),
+          explode(TextOps.tokens(col("text"))).as("term")).distinct()
+      graft.streaming.SearchIndexMaintainer.searchBatch(s, s"$base/state",
+          "pid", q, "eval_id", "term", k = 5)
+        .select(col("eval_id"), expr("pid div 100000").as("doc_id"),
+          (col("pid") % 100000L).as("chunk_idx"), col("score"), col("rank"))
+    }),
     // Int8 embedding quantization: per-vector scale + quantized payload,
     // summarized as (scale, Σq, Σ|q|) so the gate checks every lane's value
     // through order-insensitive exact-integer aggregates.
@@ -1019,6 +1053,24 @@ object PipelineQueries {
     "p_source_cap" -> ((s, d) =>
       Sampling.capPerKey(docs(s, d), "source", "doc_id", maxN = 10)
         .select(col("doc_id"), col("source"))),
+    // MIXTURE-WEIGHTED training manifest: per-source token quotas
+    // (mixtureSampleTokens — the DoReMi-style static mixing knob) SELECT
+    // the corpus, then the standard pack → epoch-order tail. The mixture
+    // is a pipeline stage, not just a report: what lands in training
+    // sequences is exactly the weighted selection, verified through the
+    // full id-encode/pack/order conservation chain.
+    "p_mixture_manifest" -> ((s, d) => {
+      val dd = docs(s, d)
+      val sel = Sampling.mixtureSampleTokens(
+        dd.select(col("doc_id"), col("source"), col("text"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tok")),
+        "source", "doc_id", "n_tok",
+        Map("src0" -> 3.0, "src1" -> 1.0, "src2" -> 1.0,
+          "src5" -> 0.5, "src7" -> 2.0), tokenBudget = 30000L)
+        .select(col("doc_id"), col("text"))
+      Corpus.trainManifestFrom(sel, "doc_id", "text", bpeMergesFor(s, d),
+        seqLen = 128, epochs = 2)
+    }),
     // Cross-document boilerplate fraction: share of each doc's distinct
     // word 5-grams that appear in >= 2 distinct docs corpus-wide (the
     // inter-document quality signal; within-doc repetition is p_repetition).
@@ -2514,6 +2566,63 @@ object PipelineQueries {
 
   private def trainManifestCtes: String = trainManifestCtesWith("", "")
 
+  /** The BM25-decontamination derivation — the train split's passage
+    * index queried by each eval doc's distinct terms, per-eval top-5 —
+    * shared by the one-shot gate and its streamed-index twin.
+    */
+  private def bm25DecontamOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |x AS (
+      |  SELECT doc_id, unnest([{'chunk_idx': CAST(i AS BIGINT),
+      |      'chunk': array_to_string(toks[i*10+1 : i*10+20], ' ')}
+      |    for i in generate_series(0,
+      |      CASE WHEN len(toks) >= 20
+      |           THEN CAST(floor((len(toks) - 20 + 10) / 10.0) AS INT) - 1
+      |           ELSE 0 END)]) AS c
+      |  FROM t WHERE doc_id >= 25
+      |),
+      |p AS (
+      |  SELECT doc_id*100000 + c.chunk_idx AS pid, c.chunk AS ptext FROM x
+      |),
+      |q AS (
+      |  SELECT DISTINCT eval_id, term FROM (
+      |    SELECT doc_id AS eval_id, unnest(toks) AS term
+      |    FROM t WHERE doc_id < 25)
+      |),
+      |qterms AS (SELECT DISTINCT term FROM q),
+      |tok AS (
+      |  SELECT pid, unnest(string_split(ptext, ' ')) AS term FROM p
+      |),
+      |dl AS (SELECT pid, count(*) AS len FROM tok GROUP BY 1),
+      |st AS (SELECT count(*) AS n, sum(len) AS sl FROM dl),
+      |tf AS (
+      |  SELECT pid, term, count(*) AS tf
+      |  FROM tok JOIN qterms USING (term) GROUP BY 1, 2
+      |),
+      |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |sc AS (
+      |  SELECT q.eval_id, tf.pid,
+      |    sum(ln((st.n - dfq.df + 0.5)/(dfq.df + 0.5) + 1)
+      |        * tf.tf * (1.2 + 1)
+      |        / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.len/(st.sl*1.0/st.n))))
+      |      AS score
+      |  FROM tf
+      |  JOIN dfq USING (term)
+      |  JOIN dl USING (pid)
+      |  JOIN q USING (term)
+      |  CROSS JOIN st
+      |  GROUP BY 1, 2
+      |),
+      |rk AS (
+      |  SELECT eval_id, pid, round(score, 6) AS score,
+      |    row_number() OVER (PARTITION BY eval_id
+      |      ORDER BY round(score, 6) DESC, pid) AS rank
+      |  FROM sc
+      |)
+      |SELECT eval_id, CAST(pid // 100000 AS BIGINT) AS doc_id,
+      |  CAST(pid % 100000 AS BIGINT) AS chunk_idx, score, rank
+      |FROM rk WHERE rank <= 5""".stripMargin
+
   /** The bigram-LM scoring chain (the p_lm_ppl_quantile scorer) through
     * CTE `d` (doc_id, avg_nll, n_bigrams) — shared by the quantile filter
     * and the perplexity-scored curriculum.
@@ -2549,7 +2658,7 @@ object PipelineQueries {
     * vP; `imgUnion` (a leading `UNION ALL` branch) extends streamP.
     */
   private def trainManifestCtesWith(imgCtes: String, imgUnion: String): String =
-    s"""$curateCtesCore,
+    packChainCtesFrom(s"""$curateCtesCore,
          |kept2 AS (
          |  SELECT p.doc_id, p.avg_nll, len(ct.toks) AS n_tok
          |  FROM ppl p JOIN ct USING (doc_id) WHERE p.avg_nll <= 3.43
@@ -2564,7 +2673,18 @@ object PipelineQueries {
          |pd AS (
          |  SELECT c.doc_id, c.ctext AS ptext
          |  FROM cleaned c JOIN selc USING (doc_id)
-         |),
+         |)""", imgCtes, imgUnion)
+
+  /** The pack → epoch-order CTE chain over ANY `pd(doc_id, ptext)`
+    * selection prefix: BPE-merge replay on the selection's vocabulary,
+    * EOS/global-offset packing, per-epoch md5 permutation. This is how a
+    * second selection policy (the mixture sampler, a future curriculum
+    * source) reuses the whole manifest derivation without duplicating
+    * its 60-line chain.
+    */
+  private def packChainCtesFrom(pdPrefix: String, imgCtes: String,
+      imgUnion: String): String =
+    s"""$pdPrefix,
          |mP AS (SELECT rank, l, r FROM '__BPE_ARTIFACTS__/merges/*.parquet'),
          |occP AS (
          |  SELECT doc_id,
@@ -3638,58 +3758,10 @@ object PipelineQueries {
         |GROUP BY 1, 2""".stripMargin,
     // the passage BM25 chain with the eval split as the query batch:
     // per-eval distinct terms, shared corpus stats, per-eval top-5
-    "p_bm25_decontam" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |x AS (
-        |  SELECT doc_id, unnest([{'chunk_idx': CAST(i AS BIGINT),
-        |      'chunk': array_to_string(toks[i*10+1 : i*10+20], ' ')}
-        |    for i in generate_series(0,
-        |      CASE WHEN len(toks) >= 20
-        |           THEN CAST(floor((len(toks) - 20 + 10) / 10.0) AS INT) - 1
-        |           ELSE 0 END)]) AS c
-        |  FROM t WHERE doc_id >= 25
-        |),
-        |p AS (
-        |  SELECT doc_id*100000 + c.chunk_idx AS pid, c.chunk AS ptext FROM x
-        |),
-        |q AS (
-        |  SELECT DISTINCT eval_id, term FROM (
-        |    SELECT doc_id AS eval_id, unnest(toks) AS term
-        |    FROM t WHERE doc_id < 25)
-        |),
-        |qterms AS (SELECT DISTINCT term FROM q),
-        |tok AS (
-        |  SELECT pid, unnest(string_split(ptext, ' ')) AS term FROM p
-        |),
-        |dl AS (SELECT pid, count(*) AS len FROM tok GROUP BY 1),
-        |st AS (SELECT count(*) AS n, sum(len) AS sl FROM dl),
-        |tf AS (
-        |  SELECT pid, term, count(*) AS tf
-        |  FROM tok JOIN qterms USING (term) GROUP BY 1, 2
-        |),
-        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |sc AS (
-        |  SELECT q.eval_id, tf.pid,
-        |    sum(ln((st.n - dfq.df + 0.5)/(dfq.df + 0.5) + 1)
-        |        * tf.tf * (1.2 + 1)
-        |        / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.len/(st.sl*1.0/st.n))))
-        |      AS score
-        |  FROM tf
-        |  JOIN dfq USING (term)
-        |  JOIN dl USING (pid)
-        |  JOIN q USING (term)
-        |  CROSS JOIN st
-        |  GROUP BY 1, 2
-        |),
-        |rk AS (
-        |  SELECT eval_id, pid, round(score, 6) AS score,
-        |    row_number() OVER (PARTITION BY eval_id
-        |      ORDER BY round(score, 6) DESC, pid) AS rank
-        |  FROM sc
-        |)
-        |SELECT eval_id, CAST(pid // 100000 AS BIGINT) AS doc_id,
-        |  CAST(pid % 100000 AS BIGINT) AS chunk_idx, score, rank
-        |FROM rk WHERE rank <= 5""".stripMargin,
+    "p_bm25_decontam" -> bm25DecontamOracle,
+    // the streamed passage index + lengths sidecar must rank the eval
+    // suite identically to the one-shot derivation
+    "s_bm25_decontam" -> bm25DecontamOracle,
     "p_embed_centroids" ->
       """WITH ex AS (
         |  SELECT CAST(label AS BIGINT) AS label,
@@ -4371,6 +4443,37 @@ object PipelineQueries {
         |SELECT doc_id, source, CAST(cum_tok AS BIGINT) AS cum_tok
         |FROM r JOIN qd USING (source)
         |WHERE cum_tok <= quota""".stripMargin,
+    // the mixture selection feeding the SAME pack/order chain as the
+    // curate-selected manifest (packChainCtesFrom's pd injection point)
+    "p_mixture_manifest" ->
+      s"""WITH RECURSIVE ${packChainCtesFrom(
+        """qd AS (
+          |  SELECT * FROM (VALUES ('src0', 12000), ('src1', 4000),
+          |    ('src2', 4000), ('src5', 2000), ('src7', 8000)) q(source, quota)
+          |),
+          |tmx AS (
+          |  SELECT d.doc_id, d.source,
+          |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+          |  FROM documents d JOIN qd USING (source)
+          |),
+          |rmx AS (
+          |  SELECT doc_id, source,
+          |    sum(n_tok) OVER (PARTITION BY source
+          |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+          |  FROM tmx
+          |),
+          |selm AS (
+          |  SELECT doc_id FROM rmx JOIN qd USING (source)
+          |  WHERE cum_tok <= quota
+          |),
+          |pd AS (
+          |  SELECT d.doc_id, d.text AS ptext
+          |  FROM documents d JOIN selm USING (doc_id)
+          |)""", "", "")}
+         |SELECT eoM.epoch, eoM.seq_id, CAST(eoM.ord AS BIGINT) AS ord,
+         |  ss.n_tok, ss.n_docs, ss.id_sum, ss.doc_min, ss.doc_max
+         |FROM eoM JOIN seqsum ss USING (seq_id)""".stripMargin,
     "p_mixture_sample" ->
       """WITH qd AS (
         |  SELECT * FROM (VALUES ('src0', 48), ('src1', 16), ('src2', 16),

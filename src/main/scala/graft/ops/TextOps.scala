@@ -358,10 +358,21 @@ object TfIdf {
     */
   def bm25SearchBatch(post: DataFrame, idCol: String, queries: DataFrame,
       qidCol: String, termCol: String, k: Int, k1: Double = 1.2,
+      b: Double = 0.75, roundTo: Int = 6): DataFrame =
+    bm25SearchBatchWithLengths(post,
+      post.groupBy(col(idCol)).agg(sum(col("tf")).as("len")),
+      idCol, queries, qidCol, termCol, k, k1, b, roundTo)
+
+  /** [[bm25SearchBatch]] with the per-document lengths SUPPLIED — the
+    * serving split ([[bm25FromPostingsWithLengths]]) for the batch form:
+    * a maintained index answers a whole eval suite from state.
+    */
+  def bm25SearchBatchWithLengths(post: DataFrame, lengths: DataFrame,
+      idCol: String, queries: DataFrame,
+      qidCol: String, termCol: String, k: Int, k1: Double = 1.2,
       b: Double = 0.75, roundTo: Int = 6): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dl = post.groupBy(col(idCol).as("id"))
-      .agg(sum(col("tf")).as("len")).cache()
+    val dl = lengths.select(col(idCol).as("id"), col("len")).cache()
     val statRow = dl.agg(count(lit(1)), sum(col("len"))).head()
     val n = statRow.getLong(0)
     val avgdl = statRow.getLong(1).toDouble / n

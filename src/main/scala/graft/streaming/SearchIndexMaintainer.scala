@@ -63,6 +63,23 @@ object SearchIndexMaintainer {
     }
   }
 
+  /** [[search]] for a BATCH of queries ([[TfIdf.bm25SearchBatch]]) — the
+    * continuous-decontamination shape: a whole eval suite ranks against
+    * the maintained index in one pass, lengths from the compacted sidecar
+    * plus un-folded deltas when available.
+    */
+  def searchBatch(spark: SparkSession, stateDir: String, idCol: String,
+      queries: DataFrame, qidCol: String, termCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75, roundTo: Int = 6): DataFrame = {
+    val post = readPostings(spark, idCol, stateDir)
+    lengthsFromState(spark, idCol, stateDir) match {
+      case Some(dl) => TfIdf.bm25SearchBatchWithLengths(post, dl, idCol,
+        queries, qidCol, termCol, k, k1, b, roundTo)
+      case None => TfIdf.bm25SearchBatch(post, idCol, queries, qidCol,
+        termCol, k, k1, b, roundTo)
+    }
+  }
+
   private def lenSchema(idCol: String): StructType = StructType(Seq(
     StructField(idCol, LongType),
     StructField("len", LongType)))

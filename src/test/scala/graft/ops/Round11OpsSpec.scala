@@ -157,6 +157,37 @@ class Round11OpsSpec extends SparkSpec {
     graft.Exec.deletePath(dir)
   }
 
+  test("streamed passage index + sidecar ranks the eval suite == one-shot bm25Decontaminate") {
+    val corpus = docs.where(col("doc_id") >= 3)
+    val eval = docs.where(col("doc_id") < 3)
+    val dir = java.nio.file.Files.createTempDirectory("bm25_dc").toString
+    (0 until 3).foreach { g =>
+      val passages = corpus.where(col("doc_id") % 3 === g)
+        .select(col("doc_id"),
+          explode(TextOps.slidingChunks(col("text"), width = 6,
+            stride = 3)).as("c"))
+        .select((col("doc_id") * 100000L + col("c.chunk_idx")).as("pid"),
+          col("c.chunk").as("ptext"))
+      graft.streaming.SearchIndexMaintainer.processBatch(passages,
+        g.toLong, "pid", "ptext", dir)
+      if (g == 1)
+        graft.streaming.SearchIndexMaintainer.compact(spark, "pid", dir)
+    }
+    val q = eval.select(col("doc_id").as("eval_id"),
+      explode(TextOps.tokens(col("text"))).as("term")).distinct()
+    val streamed = graft.streaming.SearchIndexMaintainer.searchBatch(
+        spark, dir, "pid", q, "eval_id", "term", k = 3)
+      .select(col("eval_id"), expr("pid div 100000").as("doc_id"),
+        (col("pid") % 100000L).as("chunk_idx"), col("score"), col("rank"))
+      .as[(Long, Long, Long, Double, Long)].collect().toSet
+    val oneShot = Corpus.bm25Decontaminate(corpus, eval, "doc_id", "text",
+        k = 3, width = 6, stride = 3)
+      .as[(Long, Long, Long, Double, Long)].collect().toSet
+    streamed shouldBe oneShot
+    streamed should not be empty
+    graft.Exec.deletePath(dir)
+  }
+
   test("bm25Decontaminate surfaces paraphrase leakage the n-gram audit misses") {
     val corpus = Seq(
       (25L, "the zorblax theorem proves quixotic manifolds collapse " +
