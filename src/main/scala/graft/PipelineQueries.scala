@@ -1407,6 +1407,36 @@ object PipelineQueries {
             "aggregate(split(ids_str, ':'), 0L, (a, x) -> a + cast(x AS long))"))
             .as("id_sum"))
     }),
+    // RECONCILED shard layout, driver-gated: each wave carries the
+    // CURRENT full selection, and wave 2 retroactively DE-selects every
+    // 7th sequence (the late-duplicate-displacement shape incremental
+    // curation produces). New sequences append under the batch-major
+    // order; de-selected ones become read-time TOMBSTONES — no shard
+    // rewrite, and every surviving ord keeps its position (holes remain
+    // where the dropped sequences sat).
+    "s_shard_reconcile" -> ((s, d) => {
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_shardrec", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      val payload = graft.Exec.materializeLocal(
+        Packing.packTokenIdRows(curatedSelFor(s, d), "doc_id", "text",
+          bpeMergesFor(s, d), seqLen = 128))
+      (0 until 3).foreach { g =>
+        val sel =
+          if (g < 2) payload.where(col("seq_id") % 3 <= g)
+          else payload.where(col("seq_id") % 3 <= 2 &&
+            col("seq_id") % 7 =!= 0)
+        graft.streaming.ShardMaintainer.reconcile(sel, g.toLong,
+          epochs = 2, shardSize = 2, base)
+      }
+      graft.streaming.ShardMaintainer.readShardsLive(s, base)
+        .groupBy(col("epoch"), col("shard_id"))
+        .agg(count(lit(1)).as("n_seqs"),
+          sum(size(split(col("ids_str"), ":"))).cast("long").as("n_tok"),
+          sum(expr(
+            "aggregate(split(ids_str, ':'), 0L, (a, x) -> a + cast(x AS long))"))
+            .as("id_sum"))
+    }),
     // Deterministic per-epoch training order (3 epochs over the corpus):
     // a pure function of (item set, epoch) via md5 draws, globally ranked
     // by the distributed prefix sum — the reproducible shuffle exact
@@ -5186,6 +5216,27 @@ object PipelineQueries {
          |  count(*) AS n_seqs, CAST(sum(ss.n_tok) AS BIGINT) AS n_tok,
          |  CAST(sum(ss.id_sum) AS BIGINT) AS id_sum
          |FROM eoA JOIN seqsum ss USING (seq_id)
+         |GROUP BY 1, 2""".stripMargin,
+    // the batch-major rank over every ARRIVED sequence (wave-2 arrivals
+    // exclude the de-selected %7 rows — they never rank), then the
+    // tombstone filter: survivors keep their ords, holes where dropped
+    "s_shard_reconcile" ->
+      s"""WITH RECURSIVE $trainManifestCtes,
+         |eoR AS (
+         |  SELECT CAST(esM.epoch AS INT) AS epoch, ss.seq_id,
+         |    row_number() OVER (PARTITION BY esM.epoch
+         |      ORDER BY ss.seq_id % 3,
+         |        md5(CAST(ss.seq_id AS VARCHAR) || ':' ||
+         |            CAST(esM.epoch AS VARCHAR)), ss.seq_id)
+         |      - 1 AS ord
+         |  FROM seqsum ss CROSS JOIN esM
+         |  WHERE NOT (ss.seq_id % 3 = 2 AND ss.seq_id % 7 = 0)
+         |)
+         |SELECT eoR.epoch, CAST(eoR.ord // 2 AS BIGINT) AS shard_id,
+         |  count(*) AS n_seqs, CAST(sum(ss.n_tok) AS BIGINT) AS n_tok,
+         |  CAST(sum(ss.id_sum) AS BIGINT) AS id_sum
+         |FROM eoR JOIN seqsum ss USING (seq_id)
+         |WHERE eoR.seq_id % 7 <> 0
          |GROUP BY 1, 2""".stripMargin,
     // the streamed derivation must equal the one-shot manifest exactly
     "s_train_manifest" -> trainManifestOracle,

@@ -95,6 +95,69 @@ object ShardMaintainer {
     writeMeta(spark, dir, batchId, nDelta)
   }
 
+  /** RECONCILE the layout against the CURRENT full selection — the
+    * retroactivity policy for curation-fed shards: incremental curation
+    * can retroactively DE-select an already-sharded sequence (a late
+    * duplicate displaces it, a budget re-ranking drops it). Policy:
+    *   - sequences in `selection` but not yet ingested are appended via
+    *     [[processBatch]] (their ords extend the batch-major order);
+    *   - sequences ingested but no longer selected are TOMBSTONED
+    *     (`tomb/b<batchId>` sidecars, a read-time anti-join in
+    *     [[readShardsLive]]) — never a shard rewrite, so write cost stays
+    *     ∝ delta and surviving ords never move (holes remain where
+    *     tombstoned ords were; the data loader skips them).
+    * A tombstone-heavy layout can be compacted by a full rewrite when the
+    * dead fraction warrants it (the LSM trade; not needed while removal
+    * rates are curation-typical). Replay-safe: the current batch's own
+    * prior tombstone write is excluded from the "already tombstoned"
+    * view, so a crashed reconcile rewrites identical content.
+    */
+  def reconcile(selection: DataFrame, batchId: Long, epochs: Int,
+      shardSize: Int, dir: String): Unit = {
+    val spark = selection.sparkSession
+    val p = graft.Exec.materializeLocal(
+      selection.select(col("seq_id"), col("ids_str"), col("n_tok")))
+    val have = ingestedSeqIds(spark, dir)
+    val fresh = p.join(have, Seq("seq_id"), "left_anti")
+    val removed = have
+      .join(p.select("seq_id"), Seq("seq_id"), "left_anti")
+      .join(tombstonesBefore(spark, dir, batchId), Seq("seq_id"),
+        "left_anti")
+    graft.Exec.materializeLocal(removed).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/tomb/b$batchId")
+    processBatch(fresh, batchId, epochs, shardSize, dir)
+  }
+
+  /** Every seq id ever ingested (live + tombstoned) — epoch 1's rows,
+    * partition-pruned. Empty before the first batch. */
+  private def ingestedSeqIds(spark: SparkSession,
+      dir: String): DataFrame =
+    if (!new java.io.File(dataDir(dir)).exists())
+      spark.range(0).select(col("id").as("seq_id"))
+    else spark.read.parquet(dataDir(dir)).where(col("epoch") === 1)
+      .select(col("seq_id").cast("long").as("seq_id"))
+
+  private def tombstonesBefore(spark: SparkSession, dir: String,
+      batchId: Long): DataFrame = {
+    val dirs = BatchDirs.listDirs(s"$dir/tomb", "b")
+      .filter(_._1 < batchId).map(_._2)
+    if (dirs.isEmpty) spark.range(0).select(col("id").as("seq_id"))
+    else spark.read.parquet(dirs: _*)
+      .select(col("seq_id").cast("long").as("seq_id"))
+  }
+
+  /** All tombstoned seq ids. */
+  def tombstones(spark: SparkSession, dir: String): DataFrame =
+    tombstonesBefore(spark, dir, Long.MaxValue)
+
+  /** [[readShards]] minus tombstoned sequences — what the data loader
+    * consumes after reconciles (surviving ords unchanged, holes where
+    * de-selected sequences sat).
+    */
+  def readShardsLive(spark: SparkSession, dir: String): DataFrame =
+    readShards(spark, dir)
+      .join(tombstones(spark, dir), Seq("seq_id"), "left_anti")
+
   /** Re-read the maintained layout in [[graft.ops.Corpus.readShards]]'
     * shape (the `batch_id` bookkeeping column stays internal).
     */

@@ -101,6 +101,44 @@ class Round11OpsSpec extends SparkSpec {
     graft.Exec.deletePath(dir); graft.Exec.deletePath(oneDir)
   }
 
+  test("ShardMaintainer.reconcile: appends new, tombstones de-selected, never moves a surviving ord") {
+    val merges = Bpe.learnMerges(docs, "doc_id", "text", numMerges = 10,
+      minCount = 1L)
+    val payload = Packing.packTokenIdRows(docs, "doc_id", "text", merges,
+      seqLen = 8).cache()
+    val n = payload.count()
+    n should be >= 5L
+    val dir = java.nio.file.Files.createTempDirectory("shards_r").toString
+    graft.streaming.ShardMaintainer.reconcile(
+      payload.where(col("seq_id") < 4), 0L, epochs = 2, shardSize = 2, dir)
+    val before = graft.streaming.ShardMaintainer.readShardsLive(spark, dir)
+      .select("epoch", "seq_id", "ord")
+      .as[(Int, Long, Long)].collect()
+      .map { case (e, s0, o) => ((e, s0), o) }.toMap
+    // wave 1: seq 1 is retroactively DE-selected; seqs >= 4 arrive
+    graft.streaming.ShardMaintainer.reconcile(
+      payload.where(col("seq_id") =!= 1), 1L, epochs = 2, shardSize = 2, dir)
+    val live = graft.streaming.ShardMaintainer.readShardsLive(spark, dir)
+      .select("epoch", "seq_id", "ord")
+      .as[(Int, Long, Long)].collect()
+    live.map(_._2).toSet shouldBe
+      payload.where(col("seq_id") =!= 1).select("seq_id")
+        .as[Long].collect().toSet
+    // surviving wave-0 ords are untouched; seq 1's ord is a hole
+    live.filter(t => t._2 < 4).foreach { case (e, s0, o) =>
+      o shouldBe before((e, s0))
+    }
+    val beforeOrd1 = before((1, 1L))
+    live.filter(_._1 == 1).map(_._3) should not contain beforeOrd1
+    // replay of the reconcile is idempotent
+    graft.streaming.ShardMaintainer.reconcile(
+      payload.where(col("seq_id") =!= 1), 1L, epochs = 2, shardSize = 2, dir)
+    graft.streaming.ShardMaintainer.readShardsLive(spark, dir)
+      .select("epoch", "seq_id", "ord")
+      .as[(Int, Long, Long)].collect().toSet shouldBe live.toSet
+    graft.Exec.deletePath(dir)
+  }
+
   // --------------------------------------------- batch BM25
 
   test("bm25SearchBatch == per-query bm25FromPostings") {
