@@ -841,6 +841,37 @@ object PipelineQueries {
           col("neighbor_id").as("media_id"),
           col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
     }),
+    // Cross-modal IVF-PQ: text queries probe the image tower's cells AND
+    // the in-cell scan runs over m-byte PQ codes (ADC) with an exact
+    // shortlist rerank — cell pruning × code compression composed across
+    // modalities, the billion-image serving index. Both artifacts
+    // persist; the oracle re-derives assignment, codes, probing, ADC,
+    // shortlist, and rerank from the two parquet files plus both towers.
+    "p_xmodal_ivfpq" -> ((s, d) => {
+      val media = graft.ops.Multimodal.syntheticMedia(s, 200)
+      val imgs = graft.ops.Multimodal.imageEmbedding(media, dim = 8,
+          seed = 42L)
+        .select(col("media_id").as("vec_id"), col("embedding"))
+      val base = annArtifactBase(d)
+      Ann.ivfTrain(imgs, "embedding", nlist = 4)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$base/xmodal_centroids")
+      val cents = Ann.ivfCentroidsFromDf(
+        s.read.parquet(s"$base/xmodal_centroids"))
+      Ann.pqCodebookDf(s, Ann.pqTrain(imgs, "embedding", m = 4, k = 16))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$base/xmodal_pq_codebook")
+      val cb = Ann.pqCodebookFromDf(
+        s.read.parquet(s"$base/xmodal_pq_codebook"))
+      val q = docs(s, d).where(col("doc_id") < 50)
+        .select((col("doc_id") + 10000L).as("vec_id"),
+          TextOps.textEmbedding(col("text"), 8).as("embedding"))
+      Ann.ivfPqTopK(imgs, q, "vec_id", "embedding", k = 5, cents, cb,
+          nprobe = 2, rerank = 4, rankOnRoundedTo = Some(6))
+        .select((col("query_id") - 10000L).as("doc_id"),
+          col("neighbor_id").as("media_id"),
+          col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
+    }),
     // Cross-modal recall audit: recall@5 of the IVF text→image path
     // against the brute tower — the nprobe parameter-selection number for
     // the cross-modal index, hash-pinned (the p_ann_recall pattern).
@@ -4363,6 +4394,94 @@ object PipelineQueries {
          |SELECT doc_id, media_id, rank, cos FROM rk3 WHERE rank <= 5""".stripMargin,
     // recall@5 of the IVF chain (rk3) against the brute chain (rk2), both
     // from the shared towers
+    // both towers + persisted centroids/codebook: image assignment and
+    // codes, text probes, ADC over code subvectors, shortlist (k·rerank),
+    // exact rerank on the true vectors
+    "p_xmodal_ivfpq" ->
+      s"""WITH $xmodalTowerCtes,
+         |cents3 AS (
+         |  SELECT cid, c FROM '__ANN_ARTIFACTS__/xmodal_centroids/*.parquet'
+         |),
+         |cb3 AS (
+         |  SELECT subspace, cid, c, n2
+         |  FROM '__ANN_ARTIFACTS__/xmodal_pq_codebook/*.parquet'
+         |),
+         |pp AS (SELECT CAST(len(c) AS INT) AS dsub FROM cb3 LIMIT 1),
+         |cdI AS (
+         |  SELECT iv.media_id, ct.cid,
+         |    round(list_inner_product(ct.c, ct.c)
+         |      - 2*list_inner_product(iv.v, ct.c), 6) AS d
+         |  FROM iv CROSS JOIN cents3 ct
+         |),
+         |asgI AS (
+         |  SELECT media_id, cid AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY media_id
+         |      ORDER BY d, cid) AS rn
+         |    FROM cdI)
+         |  WHERE rn = 1
+         |),
+         |qpT AS (
+         |  SELECT t.doc_id, ct.cid AS cell,
+         |    row_number() OVER (PARTITION BY t.doc_id
+         |      ORDER BY round(list_inner_product(ct.c, ct.c)
+         |        - 2*list_inner_product(t.v, ct.c), 6), ct.cid) AS rn
+         |  FROM tv t CROSS JOIN cents3 ct
+         |),
+         |encI AS (
+         |  SELECT iv.media_id, cb3.subspace, cb3.cid, cb3.n2,
+         |    round(cb3.n2 - 2*list_inner_product(
+         |      iv.v[cb3.subspace*pp.dsub+1 : (cb3.subspace+1)*pp.dsub],
+         |      cb3.c), 6) AS d
+         |  FROM iv CROSS JOIN pp CROSS JOIN cb3
+         |),
+         |codesI AS (
+         |  SELECT media_id, subspace, cid, n2 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY media_id, subspace
+         |      ORDER BY d, cid) AS rn
+         |    FROM encI)
+         |  WHERE rn = 1
+         |),
+         |cnI AS (SELECT media_id, sqrt(sum(n2)) AS n FROM codesI GROUP BY 1),
+         |adcX AS (
+         |  SELECT t.doc_id, c.media_id,
+         |    sum(list_inner_product(
+         |      t.v[c.subspace*pp.dsub+1 : (c.subspace+1)*pp.dsub],
+         |      cbq.c)) AS tt
+         |  FROM tv t CROSS JOIN pp
+         |  JOIN qpT pr ON pr.doc_id = t.doc_id AND pr.rn <= 2
+         |  JOIN asgI a ON a.cell = pr.cell
+         |  JOIN codesI c ON c.media_id = a.media_id
+         |  JOIN cb3 cbq ON cbq.subspace = c.subspace AND cbq.cid = c.cid
+         |  GROUP BY 1, 2
+         |),
+         |shortX AS (
+         |  SELECT doc_id, media_id FROM (
+         |    SELECT adcX.doc_id, adcX.media_id,
+         |      row_number() OVER (PARTITION BY adcX.doc_id
+         |        ORDER BY round(adcX.tt/(tq.n*cnI.n), 6) DESC,
+         |          adcX.media_id) AS rn
+         |    FROM adcX
+         |    JOIN tnrm tq ON adcX.doc_id = tq.doc_id
+         |    JOIN cnI ON adcX.media_id = cnI.media_id)
+         |  WHERE rn <= 20
+         |),
+         |exX AS (
+         |  SELECT s.doc_id, s.media_id,
+         |    round(list_inner_product(t.v, i.v)/(tq.n*inr.n), 6) AS cos
+         |  FROM shortX s
+         |  JOIN tv t USING (doc_id)
+         |  JOIN tnrm tq USING (doc_id)
+         |  JOIN iv i USING (media_id)
+         |  JOIN inrm inr ON i.media_id = inr.media_id
+         |),
+         |rkX AS (
+         |  SELECT doc_id, media_id, cos,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY cos DESC, media_id) AS rank
+         |  FROM exX
+         |)
+         |SELECT doc_id, media_id, CAST(rank AS BIGINT) AS rank, cos
+         |FROM rkX WHERE rank <= 5""".stripMargin,
     "p_xmodal_recall" ->
       s"""WITH $xmodalProbeCtes,
          |${xmodalSweepTail(2)}
