@@ -1438,6 +1438,35 @@ object PipelineQueries {
             "aggregate(split(ids_str, ':'), 0L, (a, x) -> a + cast(x AS long))"))
             .as("id_sum"))
     }),
+    // EXACT-RESUMPTION slice: everything STRICTLY AFTER an (epoch, ord)
+    // checkpoint in training order — the query a restarted data loader
+    // issues against the shard layout. epochOrder's determinism is what
+    // makes the slice exact; hive partitioning on (epoch, shard_id)
+    // makes it a tail scan, not a full-layout read.
+    "p_shard_resume" -> ((s, d) => {
+      val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_shards_resume", Tables.runKey(d)).toString
+      Corpus.trainShardsFrom(curatedSelFor(s, d), "doc_id", "text",
+          bpeMergesFor(s, d), dir, seqLen = 128, epochs = 2, shardSize = 2)
+        .where(col("epoch") > 1 || col("ord") >= 50)
+        .select(col("epoch"), col("seq_id"), col("ord"), col("n_tok"))
+    }),
+    // Per-shard integrity CHECKSUMS — the manifest a data loader verifies
+    // against before training: md5 over the shard's payload strings in
+    // ord order (any dropped, reordered, or altered token changes it);
+    // engine-portable, so the oracle recomputes every checksum from
+    // scratch.
+    "p_shard_checksums" -> ((s, d) => {
+      val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_shards_cksum", Tables.runKey(d)).toString
+      Corpus.trainShardsFrom(curatedSelFor(s, d), "doc_id", "text",
+          bpeMergesFor(s, d), dir, seqLen = 128, epochs = 2, shardSize = 2)
+        .groupBy(col("epoch"), col("shard_id"))
+        .agg(count(lit(1)).as("n_seqs"),
+          md5(concat_ws("|", transform(
+            array_sort(collect_list(struct(col("ord"), col("ids_str")))),
+            x => x.getField("ids_str")))).as("checksum"))
+    }),
     // RECONCILED shard layout, driver-gated: each wave carries the
     // CURRENT full selection, and wave 2 retroactively DE-selects every
     // 7th sequence (the late-duplicate-displacement shape incremental
@@ -5335,6 +5364,27 @@ object PipelineQueries {
          |  count(*) AS n_seqs, CAST(sum(ss.n_tok) AS BIGINT) AS n_tok,
          |  CAST(sum(ss.id_sum) AS BIGINT) AS id_sum
          |FROM eoA JOIN seqsum ss USING (seq_id)
+         |GROUP BY 1, 2""".stripMargin,
+    // training order strictly after the checkpoint, re-derived end to end
+    "p_shard_resume" ->
+      s"""WITH RECURSIVE $trainManifestCtes
+         |SELECT eoM.epoch, eoM.seq_id, CAST(eoM.ord AS BIGINT) AS ord,
+         |  ss.n_tok
+         |FROM eoM JOIN seqsum ss USING (seq_id)
+         |WHERE eoM.epoch > 1 OR eoM.ord >= 50""".stripMargin,
+    // every checksum recomputed from scratch: per-seq id strings in gpos
+    // order, then md5 over the shard's strings in ord order
+    "p_shard_checksums" ->
+      s"""WITH RECURSIVE $trainManifestCtes,
+         |rows2 AS (
+         |  SELECT CAST(gpos // 128 AS BIGINT) AS seq_id,
+         |    string_agg(CAST(tid AS VARCHAR), ':' ORDER BY gpos) AS ids_str
+         |  FROM gP GROUP BY 1
+         |)
+         |SELECT eoM.epoch, CAST(eoM.ord // 2 AS BIGINT) AS shard_id,
+         |  count(*) AS n_seqs,
+         |  md5(string_agg(r.ids_str, '|' ORDER BY eoM.ord)) AS checksum
+         |FROM eoM JOIN rows2 r USING (seq_id)
          |GROUP BY 1, 2""".stripMargin,
     // the batch-major rank over every ARRIVED sequence (wave-2 arrivals
     // exclude the de-selected %7 rows — they never rank), then the
