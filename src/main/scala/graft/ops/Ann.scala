@@ -571,7 +571,8 @@ object Ann {
 
   def ivfTrain(corpus: DataFrame, vecCol: String, nlist: Int = 16,
       seed: Long = 42L, kmeansIter: Int = 8,
-      sampleN: Int = 50000): DataFrame = {
+      sampleN: Int = 0, trainPerCell: Int = 256,
+      maxTrainN: Int = 1000000): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
@@ -582,9 +583,22 @@ object Ann {
     // contract as pqTrain's sample: layout-independent), making each KMeans
     // iteration a fixed-size pass regardless of corpus scale; bounded
     // iterations + seeded random init keep cell assignment deterministic.
+    //
+    // sampleN <= 0 → the FAISS training-budget rule: ~256 points per
+    // centroid (faiss max_points_per_centroid) — beyond that, extra
+    // points buy cost, not recall (recall comes from nprobe). The budget
+    // GROWS with nlist (floored at nlist so k <= points always holds,
+    // capped at maxTrainN), so training cost is O(256·nlist²·iter·dim) —
+    // under the √N law that's O(N·iter·dim), linear in corpus size. A
+    // fixed-size sample regime instead breaks outright once nlist
+    // exceeds the sample (KMeans k > training points), exactly the
+    // billion-vector regime ivfTrainBalanced exists for.
+    val budget = if (sampleN > 0) sampleN
+      else math.max(nlist.toLong,
+        math.min(maxTrainN.toLong, trainPerCell.toLong * nlist)).toInt
     val sample = corpus.select(col(vecCol).cast("array<double>").as("v"))
       .orderBy(xxhash64(col("v")), col("v"))
-      .limit(sampleN)
+      .limit(budget)
       // TakeOrderedAndProject leaves the sample in ONE partition; spread it
       // back out or every KMeans pass runs on a single core
       .repartition(spark.sparkContext.defaultParallelism)
