@@ -1119,6 +1119,34 @@ object PipelineQueries {
           TextOps.tokenCount(col("text")).cast("long").as("n_tok"),
           TextOps.qualityScore(col("text")).as("quality")),
         "doc_id", "n_tok", "quality", budget = 20000L)),
+    // LENGTH-BUCKETED DYNAMIC BATCHING: variable-length items into
+    // 16-wide length buckets, (len, id)-ordered, cut into batches of 8,
+    // each batch padded to its own max — with the padded-token waste per
+    // batch as a measured table. The serving/SFT loader counterpart of
+    // the fixed-grid packers; rank is the distributed prefix sum, never a
+    // per-bucket window.
+    "p_pack_batches" -> ((s, d) =>
+      Packing.lengthBucketBatches(
+        docs(s, d).select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tok")),
+        "doc_id", "n_tok", bucketWidth = 16, batchSize = 8)),
+    // DATASET-VERSION DIFF: the budget selection over the previous crawl
+    // (doc_id % 3 < 2) vs over the grown corpus — which docs entered the
+    // release, which were retroactively evicted (selection is corpus-
+    // relative: new higher-quality docs displace old ones under the same
+    // budget), and which survivors shifted position. The release audit a
+    // manifest publisher ships with every corpus version.
+    "p_manifest_diff" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tok"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      Corpus.manifestDiff(
+        Corpus.selectWithinBudget(base.where(col("doc_id") % 3 < 2),
+          "doc_id", "n_tok", "quality", budget = 20000L),
+        Corpus.selectWithinBudget(base, "doc_id", "n_tok", "quality",
+          budget = 20000L),
+        "doc_id", "cum_tok")
+    }),
     // BPE tokenization end-to-end — hash-gated: merges learned by
     // distributed pair counting (one run per JVM+sf, persisted), encoding
     // via the codegen'd rank-order expression over DISTINCT words only; the
@@ -1466,6 +1494,26 @@ object PipelineQueries {
           md5(concat_ws("|", transform(
             array_sort(collect_list(struct(col("ord"), col("ids_str")))),
             x => x.getField("ids_str")))).as("checksum"))
+    }),
+    // DECODE audit: shard files + the attention-mask boundary sidecar +
+    // the integer vocabulary reconstruct every curated document's
+    // normalized character stream EXACTLY — the proof the on-disk loader
+    // artifacts are a lossless encoding of the corpus they were cut from.
+    // The oracle re-derives the reconstruction from the packed grid (id →
+    // token inversion, gpos order) and compares it against the curated
+    // text itself.
+    "p_detok_roundtrip" -> ((s, d) => {
+      val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_shards_detok", Tables.runKey(d)).toString
+      val sel = curatedSelFor(s, d)
+      val merges = bpeMergesFor(s, d)
+      Corpus.trainShardsFrom(sel, "doc_id", "text", merges, dir,
+        seqLen = 128, epochs = 2, shardSize = 2)
+      Corpus.detokenizeShards(s, dir,
+        Packing.packBoundaries(sel, "doc_id", "text", merges, seqLen = 128),
+        sel, "doc_id", "text",
+        graft.ops.Bpe.vocabulary(sel, "doc_id", "text", merges),
+        seqLen = 128)
     }),
     // RECONCILED shard layout, driver-gated: each wave carries the
     // CURRENT full selection, and wave 2 retroactively DE-selects every
@@ -4699,6 +4747,57 @@ object PipelineQueries {
          |    sum(qs.n_tok) OVER (ORDER BY q.quality DESC, q.doc_id) AS cum_tok
          |  FROM q JOIN qs USING (doc_id))
          |WHERE cum_tok <= 20000""".stripMargin,
+    // the bucket-major rank replayed as a per-bucket row_number (the
+    // oracle may use the window the distributed side must not)
+    "p_pack_batches" ->
+      s"""WITH $qualityCtes,
+         |b AS (
+         |  SELECT doc_id, n_tok, CAST(n_tok // 16 AS BIGINT) AS bucket
+         |  FROM qs
+         |),
+         |r AS (
+         |  SELECT doc_id, n_tok, bucket,
+         |    row_number() OVER (PARTITION BY bucket
+         |      ORDER BY n_tok, doc_id) - 1 AS lr
+         |  FROM b
+         |)
+         |SELECT bucket, CAST(lr // 8 AS BIGINT) AS batch_id,
+         |  count(*) AS n_items, CAST(max(n_tok) AS BIGINT) AS pad_len,
+         |  CAST(sum(n_tok) AS BIGINT) AS actual_tok,
+         |  CAST(count(*) * max(n_tok) AS BIGINT) AS padded_tok,
+         |  CASE WHEN count(*) * max(n_tok) = 0 THEN 0.0
+         |       ELSE round(1 - sum(n_tok)*1.0/(count(*) * max(n_tok)), 6)
+         |  END AS waste_frac
+         |FROM r GROUP BY 1, 2""".stripMargin,
+    // both versions share the per-doc scores (quality is corpus-
+    // independent); only the candidate set — and with it every cumulative
+    // position — differs between the crawls
+    "p_manifest_diff" ->
+      s"""WITH $qualityCtes,
+         |ranked AS (
+         |  SELECT q.doc_id, q.quality, qs.n_tok FROM q JOIN qs USING (doc_id)
+         |),
+         |v1 AS (
+         |  SELECT doc_id, CAST(cum_tok AS BIGINT) AS old_val FROM (
+         |    SELECT doc_id,
+         |      sum(n_tok) OVER (ORDER BY quality DESC, doc_id) AS cum_tok
+         |    FROM ranked WHERE doc_id % 3 < 2)
+         |  WHERE cum_tok <= 20000
+         |),
+         |v2 AS (
+         |  SELECT doc_id, CAST(cum_tok AS BIGINT) AS new_val FROM (
+         |    SELECT doc_id,
+         |      sum(n_tok) OVER (ORDER BY quality DESC, doc_id) AS cum_tok
+         |    FROM ranked)
+         |  WHERE cum_tok <= 20000
+         |)
+         |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+         |  CASE WHEN v1.doc_id IS NULL THEN 'added'
+         |       WHEN v2.doc_id IS NULL THEN 'removed'
+         |       ELSE 'kept' END AS status,
+         |  v1.old_val, v2.new_val,
+         |  coalesce(v1.old_val <> v2.new_val, TRUE) AS changed
+         |FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id""".stripMargin,
     // BPE oracles: re-apply the PERSISTED merges table with sequential
     // marker-delimited replaces — replace() continues scanning after each
     // replacement, which is exactly the leftmost non-overlapping
@@ -5386,6 +5485,25 @@ object PipelineQueries {
          |  md5(string_agg(r.ids_str, '|' ORDER BY eoM.ord)) AS checksum
          |FROM eoM JOIN rows2 r USING (seq_id)
          |GROUP BY 1, 2""".stripMargin,
+    // the decode audit re-derived end to end: packed grid → id→token
+    // inversion → per-doc char stream in gpos order, compared against the
+    // curated selection's own normalized text
+    "p_detok_roundtrip" ->
+      s"""WITH RECURSIVE $trainManifestCtes,
+         |revP AS (SELECT tid, token FROM idsP),
+         |rec AS (
+         |  SELECT g.doc_id, count(*) AS n_tok,
+         |    string_agg(r.token, '' ORDER BY g.gpos) AS recon
+         |  FROM gP g JOIN revP r USING (tid) CROSS JOIN vP
+         |  WHERE g.tid <> vP.eos
+         |  GROUP BY 1
+         |)
+         |SELECT rec.doc_id, CAST(rec.n_tok AS BIGINT) AS n_tok,
+         |  md5(rec.recon) AS recon_md5,
+         |  (rec.recon = array_to_string(
+         |     regexp_extract_all(lower(pd.ptext), '[a-z0-9]+'), ''))
+         |    AS lossless
+         |FROM rec JOIN pd USING (doc_id)""".stripMargin,
     // the batch-major rank over every ARRIVED sequence (wave-2 arrivals
     // exclude the de-selected %7 rows — they never rank), then the
     // tombstone filter: survivors keep their ords, holes where dropped

@@ -231,6 +231,33 @@ object Corpus {
       .select(col(idCol), col("cum_tok"))
   }
 
+  /** DATASET-VERSION DIFF between two manifest snapshots — the corpus-
+    * release audit: which documents entered, which left, which survived,
+    * and whether a survivor's position moved. Selection at 100 TB is
+    * corpus-RELATIVE (quality ranks, dedup winners, token budgets), so
+    * ingesting new data retroactively evicts previously-selected
+    * documents; the diff is the artifact a release pipeline publishes
+    * alongside the new manifest so downstream consumers know exactly what
+    * to invalidate. Inputs are any two (idCol, cmpCol) selections; output
+    * is one row per id present in either: (idCol, status ∈
+    * added|removed|kept, old_val, new_val, changed) — changed is true for
+    * added/removed and for kept ids whose cmpCol moved. One full outer
+    * join keyed on the id — a single shuffle, no window, no collect.
+    */
+  def manifestDiff(oldSel: DataFrame, newSel: DataFrame, idCol: String,
+      cmpCol: String): DataFrame = {
+    val o = oldSel.select(col(idCol), col(cmpCol).as("old_val"))
+    val n = newSel.select(col(idCol), col(cmpCol).as("new_val"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("old_val").isNull, "added")
+          .when(col("new_val").isNull, "removed")
+          .otherwise("kept").as("status"),
+        col("old_val"), col("new_val"),
+        coalesce(col("old_val") =!= col("new_val"), lit(true))
+          .as("changed"))
+  }
+
   /** The modern curation pipeline end to end, one call — the composition a
     * user of this engine actually ships:
     *
@@ -408,6 +435,55 @@ object Corpus {
       .select(col("epoch").cast("int").as("epoch"),
         col("shard_id").cast("long").as("shard_id"),
         col("seq_id"), col("ord"), col("n_tok"), col("ids_str"))
+
+  /** DECODE the persisted shard layout back to per-document text — the
+    * loader-side invertibility audit: (shard payloads + the attention-mask
+    * boundary sidecar + the integer vocabulary) are SUFFICIENT to
+    * reconstruct every selected document's normalized character stream
+    * exactly, so the on-disk training artifacts are a lossless encoding of
+    * the corpus they were cut from. Epoch 1 only (every epoch carries the
+    * same payload). Output per document: (idCol, n_tok, recon_md5,
+    * lossless) — n_tok excludes the EOS terminator; lossless compares the
+    * reconstruction against `sel`'s live text re-normalized through the
+    * same word regex the encoder used.
+    *
+    * Scale shape: payload rows explode to (seq_id, pos, id); document
+    * attribution is a seq-LOCAL range probe against the boundary sidecar
+    * (both sides shuffle on seq_id; spans per sequence are bounded by
+    * seqLen); the id→token map is a broadcast (|alphabet| + merges rows);
+    * reassembly groups on idCol — per-group state is one document's
+    * tokens, bounded by document length like every per-doc text op here.
+    */
+  def detokenizeShards(spark: org.apache.spark.sql.SparkSession,
+      dir: String, bounds: DataFrame, sel: DataFrame, idCol: String,
+      textCol: String, vocab: Seq[(String, Int)], seqLen: Int): DataFrame = {
+    import spark.implicits._
+    require(seqLen > 0, "seqLen must be positive")
+    val eosId = vocab.map(_._2).max.toLong + 1
+    val ids = vocab.toDF("token", "tid")
+      .select(col("token"), col("tid").cast("long").as("tid"))
+    val toks = readShards(spark, dir).where(col("epoch") === 1)
+      .select(col("seq_id"), posexplode(split(col("ids_str"), ":")))
+      .select(col("seq_id"), col("pos").cast("int").as("p"),
+        col("col").cast("long").as("tid"))
+    val attributed = toks
+      .join(bounds.select(col("seq_id"), col(idCol), col("start_pos"),
+        col("n_tok_in_seq")), Seq("seq_id"))
+      .where(col("p") >= col("start_pos") &&
+        col("p") < col("start_pos") + col("n_tok_in_seq"))
+      .where(col("tid") =!= eosId)
+      .join(broadcast(ids), Seq("tid"))
+    val rec = attributed.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"),
+        array_join(transform(array_sort(collect_list(struct(
+            (col("seq_id") * seqLen + col("p")).as("g"), col("token")))),
+          x => x.getField("token")), "").as("recon"))
+    rec.join(sel.select(col(idCol), col(textCol)), Seq(idCol))
+      .select(col(idCol), col("n_tok"), md5(col("recon")).as("recon_md5"),
+        (col("recon") === array_join(
+          regexp_extract_all(lower(col(textCol)), lit(Bpe.WordPattern),
+            lit(0)), "")).as("lossless"))
+  }
 
   /** Raw corpus → SHARD FILES ON DISK, one call: curate, id-encode + pack
     * the cleaned selection (payload rows carrying every token id), assign

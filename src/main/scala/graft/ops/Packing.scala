@@ -334,6 +334,65 @@ object Packing {
         (col("__off") - (col("epoch") - 1).cast("long") * n).as("ord"))
   }
 
+  /** LENGTH-BUCKETED DYNAMIC BATCHING with padding-waste accounting — the
+    * inference/SFT loader discipline for VARIABLE-length items (where the
+    * fixed-grid packers above are the pretraining discipline): items land
+    * in fixed-width length buckets (bucket = ⌊len/bucketWidth⌋), order
+    * deterministically within their bucket by (len, key), and cut into
+    * batches of `batchSize`; each batch pads to its own max length.
+    * Returns one row per batch: (bucket, batch_id, n_items, pad_len,
+    * actual_tok, padded_tok, waste_frac) — the padded-token waste a
+    * serving fleet actually pays, as a measured, reproducible table.
+    *
+    * Scale shape: the within-bucket rank is the global bucket-major
+    * prefix-sum rank minus the bucket's start offset — BOTH from
+    * [[prefixOffsets]] (range-repartition + driver-bounded partial sums),
+    * so no per-bucket single-reducer window ever forms; one aggregation
+    * keyed on (bucket, batch) finishes the job. Keys are guarded
+    * fixed-width renders (raise_error on negative lengths/keys, buckets
+    * past 6 digits) — the epochOrder discipline.
+    */
+  def lengthBucketBatches(items: DataFrame, keyCol: String,
+      tokensCol: String, bucketWidth: Int, batchSize: Int,
+      buckets: Int = 64): DataFrame = {
+    require(bucketWidth >= 1, "bucketWidth must be >= 1")
+    require(batchSize >= 1, "batchSize must be >= 1")
+    def checked(c: Column, width: Int, what: String): Column = {
+      val str = c.cast("string")
+      when(str.startsWith("-") || length(str) > width,
+        raise_error(concat(
+          lit(s"lengthBucketBatches: $what must render non-negative and " +
+            s"<= $width chars, got '"), str, lit("'")))).otherwise(str)
+    }
+    val base = items.select(col(keyCol),
+        col(tokensCol).cast("long").as("__len"))
+      .withColumn("__bucket", floor(col("__len") / bucketWidth).cast("long"))
+    val keyed = base.withColumn("__key", concat(
+      lpad(checked(col("__bucket"), 6, "length bucket"), 6, "0"), lit(":"),
+      lpad(checked(col("__len"), 20, s"tokens column '$tokensCol'"), 20, "0"),
+      lit(":"),
+      lpad(checked(col(keyCol), 20, s"key column '$keyCol'"), 20, "0")))
+    val ranked = keyed.join(
+      prefixOffsets(keyed.withColumn("__one", lit(1L)), "__key", "__one",
+        buckets), Seq("__key"))
+    val bucketStart = prefixOffsets(
+      base.groupBy(col("__bucket")).agg(count(lit(1)).as("__n")),
+      "__bucket", "__n", buckets)
+      .withColumnRenamed("__off", "__bstart")
+    ranked.join(bucketStart, Seq("__bucket"))
+      .withColumn("__batch",
+        floor((col("__off") - col("__bstart")) / batchSize).cast("long"))
+      .groupBy(col("__bucket"), col("__batch"))
+      .agg(count(lit(1)).as("n_items"), max(col("__len")).as("pad_len"),
+        sum(col("__len")).as("actual_tok"))
+      .withColumn("padded_tok", col("n_items") * col("pad_len"))
+      .select(col("__bucket").as("bucket"), col("__batch").as("batch_id"),
+        col("n_items"), col("pad_len"), col("actual_tok"), col("padded_tok"),
+        when(col("padded_tok") === 0, lit(0.0))
+          .otherwise(round(lit(1.0) - col("actual_tok") / col("padded_tok"),
+            6)).as("waste_frac"))
+  }
+
   /** The shared (seq_id, position-in-seq, token id, doc id) grid behind
     * both packing outputs.
     */

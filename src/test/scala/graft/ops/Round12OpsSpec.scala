@@ -1,0 +1,97 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-12 operators: shard-layout detokenization (the
+  * loader-side invertibility audit), dataset-version diff, and
+  * length-bucketed dynamic batching.
+  */
+class Round12OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------- detokenizeShards
+
+  test("detokenizeShards reconstructs every document exactly from the persisted artifacts") {
+    val sel = Seq((1L, "ab ab ba"), (2L, "ba")).toDF("doc_id", "text")
+    val merges = Seq(("a", "b"))
+    val dir = java.nio.file.Files.createTempDirectory("detok").toString
+    Corpus.trainShardsFrom(sel, "doc_id", "text", merges, dir,
+      seqLen = 4, epochs = 2, shardSize = 2)
+    val out = Corpus.detokenizeShards(spark, dir,
+      Packing.packBoundaries(sel, "doc_id", "text", merges, seqLen = 4),
+      sel, "doc_id", "text",
+      Bpe.vocabulary(sel, "doc_id", "text", merges), seqLen = 4)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tok", "lossless")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    // doc 1: "ab","ab","ba" → [ab],[ab],[b,a] = 4 ids; doc 2: "ba" → 2
+    out shouldBe Seq((1L, 4L, true), (2L, 2L, true))
+  }
+
+  test("detokenizeShards flags a corrupted payload as lossy") {
+    val sel = Seq((1L, "ab ab ba"), (2L, "ba")).toDF("doc_id", "text")
+    val merges = Seq(("a", "b"))
+    val dir = java.nio.file.Files.createTempDirectory("detok2").toString
+    Corpus.trainShardsFrom(sel, "doc_id", "text", merges, dir,
+      seqLen = 4, epochs = 1, shardSize = 2)
+    // a "loader" whose text drifted from what was sharded must not pass
+    val drifted = Seq((1L, "ab ab ba"), (2L, "bb")).toDF("doc_id", "text")
+    val out = Corpus.detokenizeShards(spark, dir,
+      Packing.packBoundaries(sel, "doc_id", "text", merges, seqLen = 4),
+      drifted, "doc_id", "text",
+      Bpe.vocabulary(sel, "doc_id", "text", merges), seqLen = 4)
+      .orderBy("doc_id").select("doc_id", "lossless")
+      .as[(Long, Boolean)].collect().toSeq
+    out shouldBe Seq((1L, true), (2L, false))
+  }
+
+  // ----------------------------------------------------- manifestDiff
+
+  test("manifestDiff labels added/removed/kept and detects moved positions") {
+    val oldSel = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("doc_id", "cum")
+    val newSel = Seq((2L, 20L), (3L, 25L), (4L, 40L)).toDF("doc_id", "cum")
+    val out = Corpus.manifestDiff(oldSel, newSel, "doc_id", "cum")
+      .orderBy("doc_id")
+      .select("doc_id", "status", "changed")
+      .as[(Long, String, Boolean)].collect().toSeq
+    out shouldBe Seq(
+      (1L, "removed", true),
+      (2L, "kept", false),
+      (3L, "kept", true),
+      (4L, "added", true))
+  }
+
+  // ---------------------------------------------- lengthBucketBatches
+
+  test("lengthBucketBatches cuts (len, key)-ordered buckets and accounts padding") {
+    // bucketWidth 4: lens 1,2,3 → bucket 0; lens 5,6 → bucket 1
+    val items = Seq((1L, 3L), (2L, 1L), (3L, 2L), (4L, 6L), (5L, 5L))
+      .toDF("id", "len")
+    val out = Packing.lengthBucketBatches(items, "id", "len",
+        bucketWidth = 4, batchSize = 2)
+      .orderBy("bucket", "batch_id")
+      .select("bucket", "batch_id", "n_items", "pad_len", "actual_tok",
+        "padded_tok")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    out shouldBe Seq(
+      // bucket 0 ordered [1,2,3]: batch {1,2} pads to 2, batch {3} exact
+      (0L, 0L, 2L, 2L, 3L, 4L),
+      (0L, 1L, 1L, 3L, 3L, 3L),
+      // bucket 1 ordered [5,6]: one batch padded to 6
+      (1L, 0L, 2L, 6L, 11L, 12L))
+    val waste = Packing.lengthBucketBatches(items, "id", "len",
+        bucketWidth = 4, batchSize = 2)
+      .where(col("bucket") === 0 && col("batch_id") === 0)
+      .select("waste_frac").as[Double].head()
+    waste shouldBe 0.25
+  }
+
+  test("lengthBucketBatches raises on a negative length instead of misordering") {
+    val bad = Seq((1L, -3L)).toDF("id", "len")
+    intercept[Exception] {
+      Packing.lengthBucketBatches(bad, "id", "len", bucketWidth = 4,
+        batchSize = 2).collect()
+    }
+  }
+}
