@@ -1130,6 +1130,14 @@ object PipelineQueries {
         docs(s, d).select(col("doc_id"),
           TextOps.tokenCount(col("text")).cast("long").as("n_tok")),
         "doc_id", "n_tok", bucketWidth = 16, batchSize = 8)),
+    // TOKEN-DISTRIBUTION DRIFT: the top-30 unigram probability movers
+    // (Laplace-smoothed over the union vocabulary) between the previous
+    // crawl and the grown corpus, with per-token KL(new||old)
+    // contributions — the drift monitor a release pipeline alerts on,
+    // paired with p_manifest_diff's membership audit.
+    "p_token_drift" -> ((s, d) =>
+      Corpus.tokenDrift(docs(s, d).where(col("doc_id") % 3 < 2),
+        docs(s, d), "doc_id", "text", topN = 30)),
     // DATASET-VERSION DIFF: the budget selection over the previous crawl
     // (doc_id % 3 < 2) vs over the grown corpus — which docs entered the
     // release, which were retroactively evicted (selection is corpus-
@@ -4769,6 +4777,38 @@ object PipelineQueries {
          |       ELSE round(1 - sum(n_tok)*1.0/(count(*) * max(n_tok)), 6)
          |  END AS waste_frac
          |FROM r GROUP BY 1, 2""".stripMargin,
+    // smoothed probabilities over the union vocabulary, re-derived from
+    // both snapshots' raw word counts
+    "p_token_drift" ->
+      """WITH wo AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+        |  FROM documents WHERE doc_id % 3 < 2
+        |),
+        |wn AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+        |  FROM documents
+        |),
+        |co AS (SELECT word, count(*) AS n_old FROM wo GROUP BY 1),
+        |cn AS (SELECT word, count(*) AS n_new FROM wn GROUP BY 1),
+        |u AS (
+        |  SELECT coalesce(co.word, cn.word) AS word,
+        |    coalesce(co.n_old, 0) AS n_old, coalesce(cn.n_new, 0) AS n_new
+        |  FROM co FULL JOIN cn ON co.word = cn.word
+        |),
+        |t AS (SELECT sum(n_old) AS so, sum(n_new) AS sn, count(*) AS v FROM u),
+        |p AS (
+        |  SELECT word, n_old, n_new,
+        |    (n_old + 1.0)/(t.so + t.v) AS po, (n_new + 1.0)/(t.sn + t.v) AS pn
+        |  FROM u CROSS JOIN t
+        |)
+        |SELECT word, CAST(n_old AS BIGINT) AS n_old,
+        |  CAST(n_new AS BIGINT) AS n_new,
+        |  round(po, 6) AS p_old, round(pn, 6) AS p_new,
+        |  round(pn - po, 6) AS delta,
+        |  round(pn * ln(pn/po), 6) AS kl_term
+        |FROM p
+        |ORDER BY abs(round(pn - po, 6)) DESC, word
+        |LIMIT 30""".stripMargin,
     // both versions share the per-doc scores (quality is corpus-
     // independent); only the candidate set — and with it every cumulative
     // position — differs between the crawls

@@ -258,6 +258,43 @@ object Corpus {
           .as("changed"))
   }
 
+  /** TOKEN-DISTRIBUTION DRIFT between two corpus versions — the release
+    * monitor paired with [[manifestDiff]]: the top word-probability movers
+    * between the old and new corpus, with each mover's contribution to
+    * KL(new‖old). Laplace-smoothed over the UNION vocabulary (so a token
+    * absent from one side gets a finite, deterministic probability), all
+    * floats rounded to 6 decimals, ordered by |Δp| then word — a
+    * reproducible drift table a pipeline can alert on before a tokenizer
+    * or mixture silently shifts under a new crawl.
+    *
+    * Scale shape: two word-count aggregations (map-side combined), one
+    * full outer join on the word, a single-row totals aggregate broadcast
+    * back, and a top-N via global sort-limit (TakeOrderedAndProject — N
+    * rows per partition, never a global window).
+    */
+  def tokenDrift(oldDocs: DataFrame, newDocs: DataFrame, idCol: String,
+      textCol: String, topN: Int = 30): DataFrame = {
+    require(topN >= 1, "topN must be >= 1")
+    val co = Bpe.words(oldDocs, idCol, textCol)
+      .groupBy("word").agg(count(lit(1)).as("n_old"))
+    val cn = Bpe.words(newDocs, idCol, textCol)
+      .groupBy("word").agg(count(lit(1)).as("n_new"))
+    val u = co.join(cn, Seq("word"), "full_outer")
+      .select(col("word"), coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val tot = u.agg(sum(col("n_old")).as("__so"), sum(col("n_new")).as("__sn"),
+      count(lit(1)).as("__v"))
+    val pOld = (col("n_old") + 1).cast("double") / (col("__so") + col("__v"))
+    val pNew = (col("n_new") + 1).cast("double") / (col("__sn") + col("__v"))
+    u.crossJoin(broadcast(tot))
+      .withColumn("delta", round(pNew - pOld, 6))
+      .orderBy(abs(col("delta")).desc, col("word"))
+      .limit(topN)
+      .select(col("word"), col("n_old"), col("n_new"),
+        round(pOld, 6).as("p_old"), round(pNew, 6).as("p_new"),
+        col("delta"), round(pNew * log(pNew / pOld), 6).as("kl_term"))
+  }
+
   /** The modern curation pipeline end to end, one call — the composition a
     * user of this engine actually ships:
     *

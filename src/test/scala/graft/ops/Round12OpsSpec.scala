@@ -62,6 +62,21 @@ class Round12OpsSpec extends SparkSpec {
       (4L, "added", true))
   }
 
+  // ------------------------------------------------------- tokenDrift
+
+  test("tokenDrift ranks smoothed probability movers with KL contributions") {
+    val oldDocs = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val newDocs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = Corpus.tokenDrift(oldDocs, newDocs, "doc_id", "text")
+      .select("word", "n_old", "n_new", "delta")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // union vocab {a,b,c}: p_old = (n+1)/6, p_new = (n+1)/8
+    out shouldBe Seq(
+      ("a", 2L, 2L, -0.125),
+      ("c", 0L, 1L, 0.083333),
+      ("b", 1L, 2L, 0.041667))
+  }
+
   // ---------------------------------------------- lengthBucketBatches
 
   test("lengthBucketBatches cuts (len, key)-ordered buckets and accounts padding") {
