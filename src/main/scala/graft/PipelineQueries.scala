@@ -1130,6 +1130,19 @@ object PipelineQueries {
         docs(s, d).select(col("doc_id"),
           TextOps.tokenCount(col("text")).cast("long").as("n_tok")),
         "doc_id", "n_tok", bucketWidth = 16, batchSize = 8)),
+    // TEMPERATURE-SCALED mixture (the mT5/XLM-R rule): per-source weights
+    // n_s^0.3 measured FROM the corpus, then the token-quota selection —
+    // low-resource sources up-sampled relative to natural share, the
+    // whole mixture a function of (corpus, alpha, budget) with no
+    // hand-set weights.
+    "p_mixture_temp" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+      Sampling.mixtureSampleTokens(base, "source", "doc_id", "n_tok",
+        Sampling.temperatureWeights(base, "source", "n_tok", alpha = 0.3),
+        tokenBudget = 15000L)
+        .select(col("doc_id"), col("source"), col("cum_tok"))
+    }),
     // TOKEN-DISTRIBUTION DRIFT: the top-30 unigram probability movers
     // (Laplace-smoothed over the union vocabulary) between the previous
     // crawl and the grown corpus, with per-token KL(new||old)
@@ -1969,6 +1982,31 @@ object PipelineQueries {
       graft.ops.Bpe.mergesDf(s, merges).coalesce(1).write.mode("overwrite")
         .parquet(bpeArtifactBase(d) + "/merges_s")
       graft.ops.Bpe.tokenFreq(docs(s, d), "doc_id", "text", merges,
+        topN = 30)
+    }),
+    // STREAMING token drift: the SAME drift table as p_token_drift, but
+    // served from the maintained word-frequency state at two ingest
+    // horizons (batches ≤ 1 vs ≤ 2) — two state reads, never a corpus
+    // re-scan; the oracle replays both snapshots from the raw documents,
+    // so the maintained counts must agree exactly.
+    "s_token_drift" -> ((s, d) => {
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_drift", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      val dd = docs(s, d).select(col("doc_id"), col("text"))
+      (0 until 3).foreach { g =>
+        // growthFactor far past any real growth: state aggregates per
+        // wave, the (irrelevant-here) relearn fires only on wave 0
+        graft.streaming.BpeMaintainer.processBatch(
+          dd.where(col("doc_id") % 3 === g), g.toLong, "doc_id", "text",
+          s"$base/state", s"$base/model",
+          graft.streaming.BpeMaintainer.Config(growthFactor = 1e9))
+      }
+      Corpus.tokenDriftFromCounts(
+        graft.streaming.BpeMaintainer.stateWordFreq(s, s"$base/state",
+          upTo = 1L),
+        graft.streaming.BpeMaintainer.stateWordFreq(s, s"$base/state",
+          upTo = 2L),
         topN = 30)
     }),
   )
@@ -3008,6 +3046,41 @@ object PipelineQueries {
       |),
       |encodedB AS (SELECT word, s FROM encB WHERE rk = (SELECT count(*) FROM mB))"""
       .stripMargin
+
+  /** The drift-table derivation shared by the one-shot gate and its
+    * streamed-state twin: Laplace-smoothed unigram probabilities over the
+    * union vocabulary between the %3<2 snapshot and the full corpus.
+    */
+  private val tokenDriftOracle: String =
+    """WITH wo AS (
+      |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      |  FROM documents WHERE doc_id % 3 < 2
+      |),
+      |wn AS (
+      |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      |  FROM documents
+      |),
+      |co AS (SELECT word, count(*) AS n_old FROM wo GROUP BY 1),
+      |cn AS (SELECT word, count(*) AS n_new FROM wn GROUP BY 1),
+      |u AS (
+      |  SELECT coalesce(co.word, cn.word) AS word,
+      |    coalesce(co.n_old, 0) AS n_old, coalesce(cn.n_new, 0) AS n_new
+      |  FROM co FULL JOIN cn ON co.word = cn.word
+      |),
+      |t AS (SELECT sum(n_old) AS so, sum(n_new) AS sn, count(*) AS v FROM u),
+      |p AS (
+      |  SELECT word, n_old, n_new,
+      |    (n_old + 1.0)/(t.so + t.v) AS po, (n_new + 1.0)/(t.sn + t.v) AS pn
+      |  FROM u CROSS JOIN t
+      |)
+      |SELECT word, CAST(n_old AS BIGINT) AS n_old,
+      |  CAST(n_new AS BIGINT) AS n_new,
+      |  round(po, 6) AS p_old, round(pn, 6) AS p_new,
+      |  round(pn - po, 6) AS delta,
+      |  round(pn * ln(pn/po), 6) AS kl_term
+      |FROM p
+      |ORDER BY abs(round(pn - po, 6)) DESC, word
+      |LIMIT 30""".stripMargin
 
   private def qualityCtes: String = {
     val stopCount = langScoreSql(TextOps.StopwordsEn)
@@ -4777,38 +4850,38 @@ object PipelineQueries {
          |       ELSE round(1 - sum(n_tok)*1.0/(count(*) * max(n_tok)), 6)
          |  END AS waste_frac
          |FROM r GROUP BY 1, 2""".stripMargin,
-    // smoothed probabilities over the union vocabulary, re-derived from
-    // both snapshots' raw word counts
-    "p_token_drift" ->
-      """WITH wo AS (
-        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
-        |  FROM documents WHERE doc_id % 3 < 2
-        |),
-        |wn AS (
-        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+    // quotas re-derived from scratch: per-source token totals, n^0.3
+    // weights, floor(w/sum·budget), then the same windowed draw
+    "p_mixture_temp" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
         |  FROM documents
         |),
-        |co AS (SELECT word, count(*) AS n_old FROM wo GROUP BY 1),
-        |cn AS (SELECT word, count(*) AS n_new FROM wn GROUP BY 1),
-        |u AS (
-        |  SELECT coalesce(co.word, cn.word) AS word,
-        |    coalesce(co.n_old, 0) AS n_old, coalesce(cn.n_new, 0) AS n_new
-        |  FROM co FULL JOIN cn ON co.word = cn.word
+        |s AS (SELECT source, sum(n_tok) AS n FROM t GROUP BY 1),
+        |w AS (SELECT source, pow(n, 0.3) AS w FROM s),
+        |q AS (
+        |  SELECT source,
+        |    CAST(floor(w / (SELECT sum(w) FROM w) * 15000) AS BIGINT)
+        |      AS quota
+        |  FROM w
         |),
-        |t AS (SELECT sum(n_old) AS so, sum(n_new) AS sn, count(*) AS v FROM u),
-        |p AS (
-        |  SELECT word, n_old, n_new,
-        |    (n_old + 1.0)/(t.so + t.v) AS po, (n_new + 1.0)/(t.sn + t.v) AS pn
-        |  FROM u CROSS JOIN t
+        |r AS (
+        |  SELECT doc_id, source,
+        |    sum(n_tok) OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+        |  FROM t
         |)
-        |SELECT word, CAST(n_old AS BIGINT) AS n_old,
-        |  CAST(n_new AS BIGINT) AS n_new,
-        |  round(po, 6) AS p_old, round(pn, 6) AS p_new,
-        |  round(pn - po, 6) AS delta,
-        |  round(pn * ln(pn/po), 6) AS kl_term
-        |FROM p
-        |ORDER BY abs(round(pn - po, 6)) DESC, word
-        |LIMIT 30""".stripMargin,
+        |SELECT doc_id, source, CAST(cum_tok AS BIGINT) AS cum_tok
+        |FROM r JOIN q USING (source)
+        |WHERE cum_tok <= quota""".stripMargin,
+    // smoothed probabilities over the union vocabulary, re-derived from
+    // both snapshots' raw word counts
+    "p_token_drift" -> tokenDriftOracle,
+    // identical replay: the maintained word-freq state at horizons 1/2
+    // must equal the raw-document snapshots (%3 < 2 vs all)
+    "s_token_drift" -> tokenDriftOracle,
     // both versions share the per-doc scores (quality is corpus-
     // independent); only the candidate set — and with it every cumulative
     // position — differs between the crawls

@@ -273,12 +273,24 @@ object Corpus {
     * rows per partition, never a global window).
     */
   def tokenDrift(oldDocs: DataFrame, newDocs: DataFrame, idCol: String,
-      textCol: String, topN: Int = 30): DataFrame = {
+      textCol: String, topN: Int = 30): DataFrame =
+    tokenDriftFromCounts(
+      Bpe.words(oldDocs, idCol, textCol)
+        .groupBy("word").agg(count(lit(1)).as("freq")),
+      Bpe.words(newDocs, idCol, textCol)
+        .groupBy("word").agg(count(lit(1)).as("freq")),
+      topN)
+
+  /** [[tokenDrift]] from already-aggregated (word, freq) tables — the
+    * form the STREAMING word-frequency state serves directly
+    * ([[graft.streaming.BpeMaintainer.stateWordFreq]]), so drift between
+    * two ingest horizons costs two state reads, never a corpus re-scan.
+    */
+  def tokenDriftFromCounts(oldCounts: DataFrame, newCounts: DataFrame,
+      topN: Int = 30): DataFrame = {
     require(topN >= 1, "topN must be >= 1")
-    val co = Bpe.words(oldDocs, idCol, textCol)
-      .groupBy("word").agg(count(lit(1)).as("n_old"))
-    val cn = Bpe.words(newDocs, idCol, textCol)
-      .groupBy("word").agg(count(lit(1)).as("n_new"))
+    val co = oldCounts.select(col("word"), col("freq").as("n_old"))
+    val cn = newCounts.select(col("word"), col("freq").as("n_new"))
     val u = co.join(cn, Seq("word"), "full_outer")
       .select(col("word"), coalesce(col("n_old"), lit(0L)).as("n_old"),
         coalesce(col("n_new"), lit(0L)).as("n_new"))

@@ -149,6 +149,25 @@ object Sampling {
       .drop("__q")
   }
 
+  /** TEMPERATURE-SCALED mixture weights derived FROM the corpus — the
+    * mT5/XLM-R multilingual sampling rule: w_s ∝ n_s^alpha, so low-
+    * resource sources are up-sampled relative to their natural share
+    * (alpha = 1 reproduces natural proportions, alpha = 0 uniform;
+    * 0.2–0.5 is the published range). Feed the result straight into
+    * [[mixtureSample]]/[[mixtureSampleTokens]] — their quota formula
+    * normalizes, so unnormalized n^alpha weights are exactly right.
+    * Driver state is one row per SOURCE (domains, not documents —
+    * bounded by construction, the ivfCentroidsFromDf rule).
+    */
+  def temperatureWeights(df: DataFrame, keyCol: String, tokCol: String,
+      alpha: Double): Map[String, Double] = {
+    require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0, 1]")
+    df.groupBy(col(keyCol)).agg(sum(col(tokCol).cast("long")).as("__n"))
+      .collect()
+      .map(r => r.getString(0) -> math.pow(r.getLong(1).toDouble, alpha))
+      .toMap
+  }
+
   private def mixtureWindow(keyCol: String, idCol: String) = {
     import org.apache.spark.sql.expressions.Window
     Window.partitionBy(col(keyCol))

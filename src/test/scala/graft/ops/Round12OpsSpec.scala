@@ -77,6 +77,32 @@ class Round12OpsSpec extends SparkSpec {
       ("b", 1L, 2L, 0.041667))
   }
 
+  test("tokenDriftFromCounts equals tokenDrift over the same snapshots") {
+    val oldDocs = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val newDocs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val fromDocs = Corpus.tokenDrift(oldDocs, newDocs, "doc_id", "text")
+      .collect().toSeq
+    val fromCounts = Corpus.tokenDriftFromCounts(
+      Seq(("a", 2L), ("b", 1L)).toDF("word", "freq"),
+      Seq(("a", 2L), ("b", 2L), ("c", 1L)).toDF("word", "freq"))
+      .collect().toSeq
+    fromCounts shouldBe fromDocs
+  }
+
+  // ----------------------------------------------- temperatureWeights
+
+  test("temperatureWeights follows the n^alpha rule") {
+    val df = Seq(("A", 1L, 16L), ("A", 2L, 0L), ("B", 3L, 81L))
+      .toDF("source", "id", "n_tok")
+    val w5 = Sampling.temperatureWeights(df, "source", "n_tok", alpha = 0.5)
+    w5("A") shouldBe 4.0 +- 1e-12
+    w5("B") shouldBe 9.0 +- 1e-12
+    // alpha = 0: uniform regardless of size
+    val w0 = Sampling.temperatureWeights(df, "source", "n_tok", alpha = 0.0)
+    w0("A") shouldBe 1.0
+    w0("B") shouldBe 1.0
+  }
+
   // ---------------------------------------------- lengthBucketBatches
 
   test("lengthBucketBatches cuts (len, key)-ordered buckets and accounts padding") {
