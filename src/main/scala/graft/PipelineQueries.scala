@@ -440,6 +440,30 @@ object PipelineQueries {
     "p_bm25_search" -> ((s, d) =>
       TfIdf.bm25Search(docs(s, d), "doc_id", "text",
         query = Seq("spark", "vector", "merge"), k = 20)),
+    // HYBRID retrieval: BM25 over the train split and the dense text
+    // tower, fused per query with reciprocal-rank fusion — the RAG
+    // serving composition (sparse catches exact terms, dense catches
+    // paraphrase; RRF needs no score calibration). Queries are the five
+    // eval docs; both sides take their own top-10, the fusion re-ranks.
+    "p_hybrid_search" -> ((s, d) => {
+      val corpus = docs(s, d).where(col("doc_id") >= 25)
+      val evalQ = docs(s, d).where(col("doc_id") < 5)
+      val sparse = TfIdf.bm25SearchBatch(
+        TfIdf.postings(corpus, "doc_id", "text"), "doc_id",
+        evalQ.select(col("doc_id").as("qid"),
+          explode(TextOps.tokens(col("text"))).as("term")).distinct(),
+        "qid", "term", k = 10)
+        .select(col("qid"), col("doc_id"), col("rank"))
+      val dense = Ann.bruteTopK(
+        corpus.select(col("doc_id").as("vec_id"),
+          TextOps.textEmbedding(col("text"), 8).as("embedding")),
+        evalQ.select(col("doc_id").as("vec_id"),
+          TextOps.textEmbedding(col("text"), 8).as("embedding")),
+        "vec_id", "embedding", k = 10, rankOnRoundedTo = Some(6))
+        .select(col("query_id").as("qid"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      TfIdf.rrfFuse(sparse, dense, "qid", "doc_id", k = 10)
+    }),
     // PASSAGE-level BM25 — the RAG retrieval unit: the corpus is the
     // overlapping chunk frame (slidingChunks), ranked with the same
     // engine; passage ids pack (doc, chunk) so provenance survives the
@@ -3777,6 +3801,118 @@ object PipelineQueries {
         |  FROM sc
         |)
         |SELECT doc_id, score, rank FROM rk WHERE rank <= 20""".stripMargin,
+    // both retrieval legs re-derived from scratch (the BM25 formula over
+    // the train split; the closed-form text tower for both query and
+    // corpus), then the same 1/(60+rank) fusion and per-query re-rank
+    "p_hybrid_search" ->
+      """WITH cd AS (SELECT doc_id, text FROM documents WHERE doc_id >= 25),
+        |qd AS (SELECT doc_id, text FROM documents WHERE doc_id < 5),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM cd
+        |),
+        |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
+        |st AS (SELECT count(*) AS n, sum(len) AS sl FROM dl),
+        |q AS (
+        |  SELECT DISTINCT qid, term FROM (
+        |    SELECT doc_id AS qid, unnest(string_split(text, ' ')) AS term
+        |    FROM qd)
+        |),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM tok JOIN (SELECT DISTINCT term FROM q) USING (term)
+        |  GROUP BY 1, 2
+        |),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT q.qid, tf.doc_id,
+        |    sum(ln((st.n - dfq.df + 0.5)/(dfq.df + 0.5) + 1)
+        |        * tf.tf * (1.2 + 1)
+        |        / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.len/(st.sl*1.0/st.n))))
+        |      AS score
+        |  FROM tf
+        |  JOIN dfq USING (term)
+        |  JOIN dl USING (doc_id)
+        |  JOIN q USING (term)
+        |  CROSS JOIN st
+        |  GROUP BY 1, 2
+        |),
+        |sa AS (
+        |  SELECT qid, doc_id, ra FROM (
+        |    SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY round(score, 6) DESC, doc_id) AS ra
+        |    FROM sc)
+        |  WHERE ra <= 10
+        |),
+        |ctw AS (
+        |  SELECT doc_id, word FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM cd)
+        |  WHERE len(word) > 0
+        |),
+        |ctf AS (
+        |  SELECT doc_id, list_reduce(
+        |      list_transform(string_split(word, ''),
+        |        ch -> CAST(ascii(ch) AS BIGINT)),
+        |      (acc, x) -> (acc*31 + x) % 1000000007) AS fp
+        |  FROM ctw
+        |),
+        |ctn AS (SELECT doc_id, greatest(count(*), 1) AS nw FROM ctf GROUP BY 1),
+        |ks AS (SELECT unnest(generate_series(0, 7)) AS k2),
+        |cv0 AS (
+        |  SELECT f.doc_id, k2,
+        |    sum((f.fp + k2*4001) % 97 - 48) / (48.0 * ctn.nw) AS v
+        |  FROM ctf f JOIN ctn USING (doc_id) CROSS JOIN ks
+        |  GROUP BY f.doc_id, k2, ctn.nw
+        |),
+        |cv AS (SELECT doc_id, list(v ORDER BY k2) AS v FROM cv0 GROUP BY 1),
+        |cn2 AS (SELECT doc_id, sqrt(list_inner_product(v, v)) AS n FROM cv),
+        |qtw AS (
+        |  SELECT doc_id, word FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM qd)
+        |  WHERE len(word) > 0
+        |),
+        |qtf AS (
+        |  SELECT doc_id, list_reduce(
+        |      list_transform(string_split(word, ''),
+        |        ch -> CAST(ascii(ch) AS BIGINT)),
+        |      (acc, x) -> (acc*31 + x) % 1000000007) AS fp
+        |  FROM qtw
+        |),
+        |qtn AS (SELECT doc_id, greatest(count(*), 1) AS nw FROM qtf GROUP BY 1),
+        |qv0 AS (
+        |  SELECT f.doc_id, k2,
+        |    sum((f.fp + k2*4001) % 97 - 48) / (48.0 * qtn.nw) AS v
+        |  FROM qtf f JOIN qtn USING (doc_id) CROSS JOIN ks
+        |  GROUP BY f.doc_id, k2, qtn.nw
+        |),
+        |qv AS (SELECT doc_id, list(v ORDER BY k2) AS v FROM qv0 GROUP BY 1),
+        |qn2 AS (SELECT doc_id, sqrt(list_inner_product(v, v)) AS n FROM qv),
+        |den AS (
+        |  SELECT qv.doc_id AS qid, cv.doc_id,
+        |    round(list_inner_product(qv.v, cv.v) / (qn2.n * cn2.n), 6) AS cos
+        |  FROM qv JOIN qn2 ON qv.doc_id = qn2.doc_id
+        |  CROSS JOIN cv
+        |  JOIN cn2 ON cv.doc_id = cn2.doc_id
+        |),
+        |da AS (
+        |  SELECT qid, doc_id, rb FROM (
+        |    SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, doc_id) AS rb
+        |    FROM den)
+        |  WHERE rb <= 10
+        |),
+        |f AS (
+        |  SELECT coalesce(sa.qid, da.qid) AS qid,
+        |    coalesce(sa.doc_id, da.doc_id) AS doc_id,
+        |    round(coalesce(1.0/(60 + sa.ra), 0)
+        |      + coalesce(1.0/(60 + da.rb), 0), 6) AS rrf
+        |  FROM sa FULL JOIN da
+        |    ON sa.qid = da.qid AND sa.doc_id = da.doc_id
+        |)
+        |SELECT qid, doc_id, rrf, rank FROM (
+        |  SELECT qid, doc_id, rrf, row_number() OVER (PARTITION BY qid
+        |    ORDER BY rrf DESC, doc_id) AS rank
+        |  FROM f)
+        |WHERE rank <= 10""".stripMargin,
     // the chunk chain feeding the same BM25 formula, passage-id packed
     "p_bm25_passages" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -400,6 +400,35 @@ object TfIdf {
         col("rank").cast("long").as("rank"))
   }
 
+  /** HYBRID retrieval fusion — reciprocal-rank fusion (RRF, the standard
+    * score-free combiner) of two ranked lists, e.g. BM25 and a dense
+    * tower: rrf(q, d) = Σ_lists 1/(c + rank), absent membership
+    * contributing 0. Rank-based, so the two retrievers' incomparable
+    * score scales never need calibration. Inputs are (queryCol, idCol,
+    * rank) frames; output the fused per-query top-k: (queryCol, idCol,
+    * rrf, rank).
+    *
+    * Scale shape: both inputs are already per-query top-k' (bounded), so
+    * the fusion join and the per-query re-rank window touch ≤ 2k'
+    * candidates per query — never a corpus-sized frame.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, queryCol: String, idCol: String,
+      k: Int, c: Int = 60, roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k must be >= 1")
+    val fa = a.select(col(queryCol), col(idCol), col("rank").as("__ra"))
+    val fb = b.select(col(queryCol), col(idCol), col("rank").as("__rb"))
+    val fused = fa.join(fb, Seq(queryCol, idCol), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(c) + col("__ra")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("__rb")), lit(0.0)), roundTo))
+    val w = Window.partitionBy(col(queryCol))
+      .orderBy(col("rrf").desc, col(idCol))
+    fused.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col(queryCol), col(idCol), col("rrf"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Top-k highest-tfidf terms per document (deterministic tie-break). */
   def topTerms(docs: DataFrame, idCol: String, textCol: String, k: Int,
       roundTo: Int = 6): DataFrame = {

@@ -89,6 +89,23 @@ class Round12OpsSpec extends SparkSpec {
     fromCounts shouldBe fromDocs
   }
 
+  // ----------------------------------------------------------- rrfFuse
+
+  test("rrfFuse combines ranked lists by reciprocal rank with stable ties") {
+    val a = Seq((1L, 10L, 1L), (1L, 20L, 2L)).toDF("qid", "doc_id", "rank")
+    val b = Seq((1L, 20L, 1L), (1L, 30L, 2L)).toDF("qid", "doc_id", "rank")
+    val out = TfIdf.rrfFuse(a, b, "qid", "doc_id", k = 10)
+      .orderBy("rank")
+      .select("doc_id", "rrf", "rank")
+      .as[(Long, Double, Long)].collect().toSeq
+    // doc 20 in both lists: 1/62 + 1/61; doc 10 only sparse: 1/61; doc 30
+    // only dense: 1/62
+    out shouldBe Seq(
+      (20L, 0.032522, 1L),
+      (10L, 0.016393, 2L),
+      (30L, 0.016129, 3L))
+  }
+
   // ----------------------------------------------- temperatureWeights
 
   test("temperatureWeights follows the n^alpha rule") {
