@@ -1590,6 +1590,35 @@ object PipelineQueries {
             "aggregate(split(ids_str, ':'), 0L, (a, x) -> a + cast(x AS long))"))
             .as("id_sum"))
     }),
+    // TIME-TRAVEL shard read: the same reconciled layout as
+    // s_shard_reconcile (3 waves, wave-2 retroactive de-selection), read
+    // AS OF batch 1 — the corpus exactly as a loader saw it before wave 2
+    // arrived or tombstoned anything, reproduced from the current files
+    // alone (batch_id is the version axis). The oracle re-derives the
+    // historical state from scratch: waves 0-1 arrivals, no tombstones.
+    "s_shard_asof" -> ((s, d) => {
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_shardasof", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      val payload = graft.Exec.materializeLocal(
+        Packing.packTokenIdRows(curatedSelFor(s, d), "doc_id", "text",
+          bpeMergesFor(s, d), seqLen = 128))
+      (0 until 3).foreach { g =>
+        val sel =
+          if (g < 2) payload.where(col("seq_id") % 3 <= g)
+          else payload.where(col("seq_id") % 3 <= 2 &&
+            col("seq_id") % 7 =!= 0)
+        graft.streaming.ShardMaintainer.reconcile(sel, g.toLong,
+          epochs = 2, shardSize = 2, base)
+      }
+      graft.streaming.ShardMaintainer.readShardsAsOf(s, base, asOf = 1L)
+        .groupBy(col("epoch"), col("shard_id"))
+        .agg(count(lit(1)).as("n_seqs"),
+          sum(size(split(col("ids_str"), ":"))).cast("long").as("n_tok"),
+          sum(expr(
+            "aggregate(split(ids_str, ':'), 0L, (a, x) -> a + cast(x AS long))"))
+            .as("id_sum"))
+    }),
     // Deterministic per-epoch training order (3 epochs over the corpus):
     // a pure function of (item set, epoch) via md5 draws, globally ranked
     // by the distributed prefix sum — the reproducible shuffle exact
@@ -5773,6 +5802,26 @@ object PipelineQueries {
          |  CAST(sum(ss.id_sum) AS BIGINT) AS id_sum
          |FROM eoR JOIN seqsum ss USING (seq_id)
          |WHERE eoR.seq_id % 7 <> 0
+         |GROUP BY 1, 2""".stripMargin,
+    // the historical state from scratch: batch-major rank over waves 0-1
+    // only (later batches only append ranks, so the as-of slice is
+    // exactly the state that existed at horizon 1), no tombstone filter
+    "s_shard_asof" ->
+      s"""WITH RECURSIVE $trainManifestCtes,
+         |eoA2 AS (
+         |  SELECT CAST(esM.epoch AS INT) AS epoch, ss.seq_id,
+         |    row_number() OVER (PARTITION BY esM.epoch
+         |      ORDER BY ss.seq_id % 3,
+         |        md5(CAST(ss.seq_id AS VARCHAR) || ':' ||
+         |            CAST(esM.epoch AS VARCHAR)), ss.seq_id)
+         |      - 1 AS ord
+         |  FROM seqsum ss CROSS JOIN esM
+         |  WHERE ss.seq_id % 3 <= 1
+         |)
+         |SELECT eoA2.epoch, CAST(eoA2.ord // 2 AS BIGINT) AS shard_id,
+         |  count(*) AS n_seqs, CAST(sum(ss.n_tok) AS BIGINT) AS n_tok,
+         |  CAST(sum(ss.id_sum) AS BIGINT) AS id_sum
+         |FROM eoA2 JOIN seqsum ss USING (seq_id)
          |GROUP BY 1, 2""".stripMargin,
     // the streamed derivation must equal the one-shot manifest exactly
     "s_train_manifest" -> trainManifestOracle,

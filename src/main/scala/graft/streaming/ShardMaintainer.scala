@@ -158,6 +158,31 @@ object ShardMaintainer {
     readShards(spark, dir)
       .join(tombstones(spark, dir), Seq("seq_id"), "left_anti")
 
+  /** TIME-TRAVEL read: the layout exactly as a data loader saw it after
+    * batch `asOf` committed — data rows written by batches ≤ asOf minus
+    * tombstones written by batches ≤ asOf. Every historical corpus
+    * version stays addressable from the SAME files (`batch_id` is the
+    * version axis; no snapshot copies), which is the data-versioning
+    * contract a training run pins its exact corpus with: re-reading at
+    * the run's recorded horizon reproduces its input bit-for-bit, however
+    * much the layout has grown or reconciled since. Batch-major ords make
+    * this exact — later batches only APPEND ranks, so the as-of slice IS
+    * the state that existed then. Cost: the batch_id predicate prunes
+    * row groups; the tombstone anti-join is sized by removals, not the
+    * corpus.
+    */
+  def readShardsAsOf(spark: SparkSession, dir: String,
+      asOf: Long): DataFrame =
+    spark.read.parquet(dataDir(dir))
+      .where(col("batch_id") <= asOf)
+      .select(col("epoch").cast("int").as("epoch"),
+        col("shard_id").cast("long").as("shard_id"),
+        col("seq_id").cast("long").as("seq_id"),
+        col("ord").cast("long").as("ord"),
+        col("n_tok").cast("long").as("n_tok"), col("ids_str"))
+      .join(tombstonesBefore(spark, dir, asOf + 1L), Seq("seq_id"),
+        "left_anti")
+
   /** Re-read the maintained layout in [[graft.ops.Corpus.readShards]]'
     * shape (the `batch_id` bookkeeping column stays internal).
     */

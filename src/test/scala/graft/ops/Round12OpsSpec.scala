@@ -89,6 +89,27 @@ class Round12OpsSpec extends SparkSpec {
     fromCounts shouldBe fromDocs
   }
 
+  // ----------------------------------------------------- readShardsAsOf
+
+  test("readShardsAsOf reproduces each historical layout from the same files") {
+    import graft.streaming.ShardMaintainer
+    val dir = java.nio.file.Files.createTempDirectory("asof").toString
+    val b0 = Seq((1L, "1:2", 2L), (2L, "3", 1L))
+      .toDF("seq_id", "ids_str", "n_tok")
+    ShardMaintainer.reconcile(b0, 0L, epochs = 1, shardSize = 2, dir)
+    // wave 1 retroactively de-selects seq 2 and adds seq 3
+    val b1 = Seq((1L, "1:2", 2L), (3L, "4:5", 2L))
+      .toDF("seq_id", "ids_str", "n_tok")
+    ShardMaintainer.reconcile(b1, 1L, epochs = 1, shardSize = 2, dir)
+    def seqsAt(asOf: Long) =
+      ShardMaintainer.readShardsAsOf(spark, dir, asOf)
+        .select("seq_id").as[Long].collect().toSet
+    seqsAt(0L) shouldBe Set(1L, 2L) // before the de-selection existed
+    seqsAt(1L) shouldBe Set(1L, 3L)
+    ShardMaintainer.readShardsLive(spark, dir)
+      .select("seq_id").as[Long].collect().toSet shouldBe Set(1L, 3L)
+  }
+
   // ----------------------------------------------------------- rrfFuse
 
   test("rrfFuse combines ranked lists by reciprocal rank with stable ties") {
