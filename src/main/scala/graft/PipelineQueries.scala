@@ -1590,6 +1590,36 @@ object PipelineQueries {
             "aggregate(split(ids_str, ':'), 0L, (a, x) -> a + cast(x AS long))"))
             .as("id_sum"))
     }),
+    // TOMBSTONE COMPACTION: the reconciled layout (wave-2 retroactive
+    // de-selection) compacted — dead rows physically dropped, folded
+    // tombstone sidecars retired — then read LIVE: the view must be
+    // bit-identical to the uncompacted reconcile (same oracle), proving
+    // the LSM rewrite preserves every surviving (epoch, ord, payload)
+    // verbatim while shrinking the scan.
+    "s_shard_compact" -> ((s, d) => {
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_shardcmp", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      val payload = graft.Exec.materializeLocal(
+        Packing.packTokenIdRows(curatedSelFor(s, d), "doc_id", "text",
+          bpeMergesFor(s, d), seqLen = 128))
+      (0 until 3).foreach { g =>
+        val sel =
+          if (g < 2) payload.where(col("seq_id") % 3 <= g)
+          else payload.where(col("seq_id") % 3 <= 2 &&
+            col("seq_id") % 7 =!= 0)
+        graft.streaming.ShardMaintainer.reconcile(sel, g.toLong,
+          epochs = 2, shardSize = 2, base)
+      }
+      graft.streaming.ShardMaintainer.compactTombstones(s, base, upTo = 2L)
+      graft.streaming.ShardMaintainer.readShardsLive(s, base)
+        .groupBy(col("epoch"), col("shard_id"))
+        .agg(count(lit(1)).as("n_seqs"),
+          sum(size(split(col("ids_str"), ":"))).cast("long").as("n_tok"),
+          sum(expr(
+            "aggregate(split(ids_str, ':'), 0L, (a, x) -> a + cast(x AS long))"))
+            .as("id_sum"))
+    }),
     // TIME-TRAVEL shard read: the same reconciled layout as
     // s_shard_reconcile (3 waves, wave-2 retroactive de-selection), read
     // AS OF batch 1 — the corpus exactly as a loader saw it before wave 2
@@ -3099,6 +3129,30 @@ object PipelineQueries {
       |),
       |encodedB AS (SELECT word, s FROM encB WHERE rk = (SELECT count(*) FROM mB))"""
       .stripMargin
+
+  /** The reconciled-layout derivation — batch-major rank over every
+    * ARRIVED sequence, then the tombstone filter — shared by the
+    * reconcile gate and its compacted twin (compaction must not change
+    * the live view by a single byte).
+    */
+  private def shardReconcileOracle: String =
+    s"""WITH RECURSIVE $trainManifestCtes,
+       |eoR AS (
+       |  SELECT CAST(esM.epoch AS INT) AS epoch, ss.seq_id,
+       |    row_number() OVER (PARTITION BY esM.epoch
+       |      ORDER BY ss.seq_id % 3,
+       |        md5(CAST(ss.seq_id AS VARCHAR) || ':' ||
+       |            CAST(esM.epoch AS VARCHAR)), ss.seq_id)
+       |      - 1 AS ord
+       |  FROM seqsum ss CROSS JOIN esM
+       |  WHERE NOT (ss.seq_id % 3 = 2 AND ss.seq_id % 7 = 0)
+       |)
+       |SELECT eoR.epoch, CAST(eoR.ord // 2 AS BIGINT) AS shard_id,
+       |  count(*) AS n_seqs, CAST(sum(ss.n_tok) AS BIGINT) AS n_tok,
+       |  CAST(sum(ss.id_sum) AS BIGINT) AS id_sum
+       |FROM eoR JOIN seqsum ss USING (seq_id)
+       |WHERE eoR.seq_id % 7 <> 0
+       |GROUP BY 1, 2""".stripMargin
 
   /** The drift-table derivation shared by the one-shot gate and its
     * streamed-state twin: Laplace-smoothed unigram probabilities over the
@@ -5785,24 +5839,9 @@ object PipelineQueries {
     // the batch-major rank over every ARRIVED sequence (wave-2 arrivals
     // exclude the de-selected %7 rows — they never rank), then the
     // tombstone filter: survivors keep their ords, holes where dropped
-    "s_shard_reconcile" ->
-      s"""WITH RECURSIVE $trainManifestCtes,
-         |eoR AS (
-         |  SELECT CAST(esM.epoch AS INT) AS epoch, ss.seq_id,
-         |    row_number() OVER (PARTITION BY esM.epoch
-         |      ORDER BY ss.seq_id % 3,
-         |        md5(CAST(ss.seq_id AS VARCHAR) || ':' ||
-         |            CAST(esM.epoch AS VARCHAR)), ss.seq_id)
-         |      - 1 AS ord
-         |  FROM seqsum ss CROSS JOIN esM
-         |  WHERE NOT (ss.seq_id % 3 = 2 AND ss.seq_id % 7 = 0)
-         |)
-         |SELECT eoR.epoch, CAST(eoR.ord // 2 AS BIGINT) AS shard_id,
-         |  count(*) AS n_seqs, CAST(sum(ss.n_tok) AS BIGINT) AS n_tok,
-         |  CAST(sum(ss.id_sum) AS BIGINT) AS id_sum
-         |FROM eoR JOIN seqsum ss USING (seq_id)
-         |WHERE eoR.seq_id % 7 <> 0
-         |GROUP BY 1, 2""".stripMargin,
+    "s_shard_reconcile" -> shardReconcileOracle,
+    // compaction must not change the live view by a single byte
+    "s_shard_compact" -> shardReconcileOracle,
     // the historical state from scratch: batch-major rank over waves 0-1
     // only (later batches only append ranks, so the as-of slice is
     // exactly the state that existed at horizon 1), no tombstone filter

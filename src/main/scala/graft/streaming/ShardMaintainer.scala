@@ -158,6 +158,57 @@ object ShardMaintainer {
     readShards(spark, dir)
       .join(tombstones(spark, dir), Seq("seq_id"), "left_anti")
 
+  /** COMPACT a tombstone-heavy layout: rewrite the data dir with every
+    * row tombstoned by batches ≤ `upTo` physically dropped, then retire
+    * those tombstone sidecars — the LSM rewrite the reconcile policy
+    * defers until the dead fraction warrants it ([[deadFraction]] is the
+    * trigger measurement). The live view is BIT-IDENTICAL before and
+    * after (surviving rows rewrite verbatim, batch_id included, ords
+    * never move), and as-of reads at horizons ≥ upTo still answer
+    * exactly. HISTORY SEAL, documented: horizons < upTo can no longer
+    * resurrect rows whose tombstones were folded — compaction trades
+    * time-travel depth for scan width, the same trade a table format's
+    * VACUUM makes; compact only below your oldest pinned corpus version.
+    * Crash-safe via the rename-aside swap ([[graft.sources.Layout]]'s
+    * compact discipline); sidecars are deleted only after the swap lands.
+    */
+  def compactTombstones(spark: SparkSession, dir: String,
+      upTo: Long): Unit = {
+    val d = dataDir(dir)
+    if (!new java.io.File(d).exists()) return
+    val tmp = d + ".__compact"
+    graft.Exec.deletePath(tmp)
+    spark.read.parquet(d)
+      .join(tombstonesBefore(spark, dir, upTo + 1L), Seq("seq_id"),
+        "left_anti")
+      .repartition(math.max(1, spark.sparkContext.defaultParallelism / 2),
+        col("epoch"), col("shard_id"))
+      .sortWithinPartitions(col("epoch"), col("shard_id"), col("ord"))
+      .write.mode("overwrite").partitionBy("epoch", "shard_id").parquet(tmp)
+    val old = new java.io.File(d + ".__old")
+    graft.Exec.deletePath(old.getPath)
+    if (!new java.io.File(d).renameTo(old))
+      throw new java.io.IOException(s"compact swap failed: $d -> $old")
+    if (!new java.io.File(tmp).renameTo(new java.io.File(d))) {
+      old.renameTo(new java.io.File(d)) // restore; best-effort
+      throw new java.io.IOException(s"compact swap failed: $tmp -> $d")
+    }
+    graft.Exec.deletePath(old.getPath)
+    BatchDirs.listDirs(s"$dir/tomb", "b").filter(_._1 <= upTo)
+      .foreach { case (_, p) => graft.Exec.deletePath(p) }
+  }
+
+  /** Dead fraction of the layout — tombstoned seq ids over ingested seq
+    * ids (epoch 1 counts; every epoch carries the same seq set). The
+    * measured quantity a maintenance loop thresholds to decide when
+    * [[compactTombstones]] pays for itself.
+    */
+  def deadFraction(spark: SparkSession, dir: String): Double = {
+    val n = ingestedSeqIds(spark, dir).count()
+    if (n == 0L) 0.0
+    else tombstones(spark, dir).count().toDouble / n
+  }
+
   /** TIME-TRAVEL read: the layout exactly as a data loader saw it after
     * batch `asOf` committed — data rows written by batches ≤ asOf minus
     * tombstones written by batches ≤ asOf. Every historical corpus

@@ -110,6 +110,33 @@ class Round12OpsSpec extends SparkSpec {
       .select("seq_id").as[Long].collect().toSet shouldBe Set(1L, 3L)
   }
 
+  test("compactTombstones preserves the live view, retires sidecars, keeps later as-of horizons") {
+    import graft.streaming.ShardMaintainer
+    val dir = java.nio.file.Files.createTempDirectory("cmpt").toString
+    val b0 = Seq((1L, "1:2", 2L), (2L, "3", 1L), (4L, "9", 1L))
+      .toDF("seq_id", "ids_str", "n_tok")
+    ShardMaintainer.reconcile(b0, 0L, epochs = 1, shardSize = 2, dir)
+    val b1 = Seq((1L, "1:2", 2L), (3L, "4:5", 2L), (4L, "9", 1L))
+      .toDF("seq_id", "ids_str", "n_tok") // drops seq 2
+    ShardMaintainer.reconcile(b1, 1L, epochs = 1, shardSize = 2, dir)
+    val before = ShardMaintainer.readShardsLive(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    ShardMaintainer.deadFraction(spark, dir) shouldBe 0.25 +- 1e-12
+    ShardMaintainer.compactTombstones(spark, dir, upTo = 1L)
+    val after = ShardMaintainer.readShardsLive(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    after shouldBe before
+    // folded sidecars retired; dead rows physically gone
+    new java.io.File(s"$dir/tomb").listFiles() match {
+      case null => ()
+      case fs => fs.count(_.getName.startsWith("b")) shouldBe 0
+    }
+    ShardMaintainer.deadFraction(spark, dir) shouldBe 0.0
+    // as-of at the compaction horizon still answers exactly
+    ShardMaintainer.readShardsAsOf(spark, dir, 1L)
+      .select("seq_id").as[Long].collect().toSet shouldBe Set(1L, 3L, 4L)
+  }
+
   // ----------------------------------------------------------- rrfFuse
 
   test("rrfFuse combines ranked lists by reciprocal rank with stable ties") {
