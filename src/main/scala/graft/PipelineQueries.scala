@@ -94,13 +94,20 @@ object PipelineQueries {
   /** One SemDeDup coarse-quantizer train per (JVM, sf dir), persisted so
     * the oracle re-derives cluster assignment from the SAME centroids —
     * the [[bpeMergesFor]] contract, for the embedding-cluster gates.
+    * Keyed on the √N law ([[Ann.ivfTrainBalanced]], nlist = 4·⌈√N⌉) like
+    * the kNN family: [[Ann.semDedupAssigned]] is an all-pairs join WITHIN
+    * each cell, so a pinned nlist makes within-cell candidates O(N²/nlist)
+    * — the exact quadratic the kNN re-key closed. Under √N cells the
+    * expected per-cell occupancy is O(√N), so the pairwise stage is
+    * O(N^1.5·dim) — the same balance point as assignment.
     */
   private val semDedupCentsCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
 
   private def semDedupCentsFor(s: SparkSession, d: String): Array[Array[Double]] =
     semDedupCentsCache.computeIfAbsent(d, _ => {
-      val cdf = Ann.ivfTrain(emb(s, d), "embedding", nlist = 8)
+      val (cdf, _) = Ann.ivfTrainBalanced(emb(s, d), "embedding",
+        cellsPerSqrtN = 4)
       cdf.coalesce(1).write.mode("overwrite")
         .parquet(annArtifactBase(d) + "/semdedup_centroids")
       Ann.ivfCentroidsFromDf(cdf)
@@ -128,6 +135,44 @@ object PipelineQueries {
         .parquet(annArtifactBase(d) + "/sized_centroids")
       Ann.ivfCentroidsFromDf(cdf)
     })
+
+  /** The sized quantizer re-persisted under a gate's OWN artifact subdir
+    * without retraining: every oracle keeps reading its own path (the
+    * per-gate artifact contract stays intact), but the gates consuming the
+    * √N quantizer over `embeddings` share ONE KMeans run — previously the
+    * ivf/ivfpq one-shot + streaming gates each re-derived an identical
+    * bootstrap train (~3 of the 5 slowest bench queries). Doubles
+    * round-trip parquet exactly, so the copy serves the memoized array
+    * verbatim.
+    */
+  private def sizedCentsCopy(s: SparkSession, d: String,
+      subdir: String): Array[Array[Double]] = {
+    val cents = sizedCentsFor(s, d)
+    import s.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cid", "c").coalesce(1)
+      .write.mode("overwrite").parquet(annArtifactBase(d) + "/" + subdir)
+    cents
+  }
+
+  /** One PQ codebook train (m=8, k=32 over `embeddings`) per (JVM, sf
+    * dir), re-persisted per consuming gate via [[pqCodebookCopy]] — the
+    * [[sizedCentsCopy]] amortization for the code-compression artifacts.
+    */
+  private val pqCodebookCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+
+  private def pqCodebookFor(s: SparkSession, d: String): Array[Array[Array[Double]]] =
+    pqCodebookCache.computeIfAbsent(d, _ =>
+      Ann.pqTrain(emb(s, d), "embedding", m = 8, k = 32))
+
+  private def pqCodebookCopy(s: SparkSession, d: String,
+      subdir: String): Array[Array[Array[Double]]] = {
+    val cb = pqCodebookFor(s, d)
+    Ann.pqCodebookDf(s, cb).coalesce(1).write.mode("overwrite")
+      .parquet(annArtifactBase(d) + "/" + subdir)
+    cb
+  }
 
   /** One curate run per (JVM, sf dir): the manifest/shard gates and the
     * curation report all consume the SAME curated frame (the bpeMergesFor
@@ -184,7 +229,7 @@ object PipelineQueries {
     mediaSemCentsCache.computeIfAbsent(d, _ => {
       val media = graft.ops.Multimodal.syntheticMedia(s, 200)
       val e = graft.ops.Multimodal.imageEmbedding(media, dim = 8)
-      val cdf = Ann.ivfTrain(e, "embedding", nlist = 4)
+      val (cdf, _) = Ann.ivfTrainBalanced(e, "embedding", cellsPerSqrtN = 4)
       cdf.coalesce(1).write.mode("overwrite")
         .parquet(annArtifactBase(d) + "/media_semdedup_centroids")
       Ann.ivfCentroidsFromDf(cdf)
@@ -269,10 +314,7 @@ object PipelineQueries {
     // assignment, probing, and the exact rerank from the same parquet.
     "p_knn_ivf" -> ((s, d) => {
       val e = emb(s, d)
-      val base = annArtifactBase(d)
-      Ann.ivfTrainBalanced(e, "embedding")._1
-        .write.mode("overwrite").parquet(s"$base/ivf_centroids")
-      val cents = Ann.ivfCentroidsFromDf(s.read.parquet(s"$base/ivf_centroids"))
+      val cents = sizedCentsCopy(s, d, "ivf_centroids")
       Ann.ivfTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding", k = 10,
         centroidsOpt = Some(cents), rankOnRoundedTo = Some(6))
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
@@ -283,11 +325,7 @@ object PipelineQueries {
     // by the oracle from the (codes ≡ f(codebook), codebook) parquet.
     "p_knn_pq" -> ((s, d) => {
       val e = emb(s, d)
-      val base = annArtifactBase(d)
-      val trained = Ann.pqTrain(e, "embedding", m = 8, k = 32)
-      Ann.pqCodebookDf(s, trained)
-        .write.mode("overwrite").parquet(s"$base/pq_codebook")
-      val cb = Ann.pqCodebookFromDf(s.read.parquet(s"$base/pq_codebook"))
+      val cb = pqCodebookCopy(s, d, "pq_codebook")
       Ann.pqTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding", k = 10,
         codebooksOpt = Some(cb), rankOnRoundedTo = Some(6))
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
@@ -302,14 +340,8 @@ object PipelineQueries {
     // shortlist cut, and the exact rerank from the two parquet files.
     "p_knn_ivfpq" -> ((s, d) => {
       val e = emb(s, d)
-      val base = annArtifactBase(d)
-      Ann.ivfTrainBalanced(e, "embedding")._1
-        .coalesce(1).write.mode("overwrite").parquet(s"$base/ivfpq_centroids")
-      val cents = Ann.ivfCentroidsFromDf(
-        s.read.parquet(s"$base/ivfpq_centroids"))
-      Ann.pqCodebookDf(s, Ann.pqTrain(e, "embedding", m = 8, k = 32))
-        .coalesce(1).write.mode("overwrite").parquet(s"$base/ivfpq_codebook")
-      val cb = Ann.pqCodebookFromDf(s.read.parquet(s"$base/ivfpq_codebook"))
+      val cents = sizedCentsCopy(s, d, "ivfpq_centroids")
+      val cb = pqCodebookCopy(s, d, "ivfpq_codebook")
       Ann.ivfPqTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
         k = 10, cents, cb, nprobe = 4, rerank = 4,
         rankOnRoundedTo = Some(6))
@@ -329,8 +361,8 @@ object PipelineQueries {
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))),
     // Recall@10 of the IVF probe against exact brute force over a 50-query
-    // set — the parameter-selection audit (nlist 8, nprobe 2 on this
-    // corpus). One hash-pinned row: approximate search quality is a
+    // set — the parameter-selection audit (the √N semdedup quantizer,
+    // nprobe 2). One hash-pinned row: approximate search quality is a
     // MEASURED, reproducible number, not a claim.
     "p_ann_recall" -> ((s, d) => {
       val e = emb(s, d)
@@ -553,11 +585,7 @@ object PipelineQueries {
     // centroids.
     "s_knn_ivf" -> ((s, d) => {
       val e = emb(s, d)
-      val base = annArtifactBase(d)
-      Ann.ivfTrainBalanced(e, "embedding")._1
-        .write.mode("overwrite").parquet(s"$base/ivf_centroids_s")
-      val cents = Ann.ivfCentroidsFromDf(
-        s.read.parquet(s"$base/ivf_centroids_s"))
+      val cents = sizedCentsCopy(s, d, "ivf_centroids_s")
       val idxBase = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         "graft_stream_ann", Tables.runKey(d)).toString
       graft.Exec.deletePath(idxBase)
@@ -582,16 +610,8 @@ object PipelineQueries {
     // oracle re-derives from the same persisted centroids + codebooks.
     "s_knn_ivfpq" -> ((s, d) => {
       val e = emb(s, d)
-      val base = annArtifactBase(d)
-      Ann.ivfTrainBalanced(e, "embedding")._1
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"$base/ivfpq_centroids_s")
-      val cents = Ann.ivfCentroidsFromDf(
-        s.read.parquet(s"$base/ivfpq_centroids_s"))
-      Ann.pqCodebookDf(s, Ann.pqTrain(e, "embedding", m = 8, k = 32))
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"$base/ivfpq_codebook_s")
-      val cb = Ann.pqCodebookFromDf(s.read.parquet(s"$base/ivfpq_codebook_s"))
+      val cents = sizedCentsCopy(s, d, "ivfpq_centroids_s")
+      val cb = pqCodebookCopy(s, d, "ivfpq_codebook_s")
       val idxBase = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         "graft_stream_ivfpq", Tables.runKey(d)).toString
       graft.Exec.deletePath(idxBase)
@@ -821,6 +841,59 @@ object PipelineQueries {
       }
       graft.streaming.SearchIndexMaintainer.search(s, s"$base/state",
         "doc_id", query = Seq("spark", "vector", "merge"), k = 20)
+    }),
+    // SERVING-SCALE HYBRID retrieval, driver-gated: BOTH legs answer from
+    // maintained state — the sparse leg from the streamed postings index
+    // (compacted lengths sidecar + un-folded delta), the dense leg from
+    // the streamed cell-partitioned IVF tower over the corpus text
+    // embeddings (frozen persisted quantizer, driver-computed probe cells
+    // → static partition pruning) — fused with the same RRF re-rank as
+    // the one-shot p_hybrid_search. Per-query cost tracks (matching
+    // postings, nprobe/nlist of the tower), independent of corpus growth.
+    // The oracle re-derives the BM25 formula, the closed-form text tower,
+    // the IVF cell assignment/probing from the persisted centroids, and
+    // the fusion — entirely from scratch.
+    "s_hybrid_search" -> ((s, d) => {
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_hybrid", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      val corpus = docs(s, d).where(col("doc_id") >= 25)
+      val evalQ = docs(s, d).where(col("doc_id") < 5)
+      val embCorpus = corpus.select(col("doc_id").as("vec_id"),
+        TextOps.textEmbedding(col("text"), 8).as("embedding"))
+      Ann.ivfTrainBalanced(embCorpus, "embedding")._1
+        .coalesce(1).write.mode("overwrite")
+        .parquet(annArtifactBase(d) + "/hybrid_centroids_s")
+      val cents = Ann.ivfCentroidsFromDf(
+        s.read.parquet(annArtifactBase(d) + "/hybrid_centroids_s"))
+      (0 until 3).foreach { g =>
+        graft.streaming.SearchIndexMaintainer.processBatch(
+          corpus.where(col("doc_id") % 3 === g), g.toLong, "doc_id", "text",
+          s"$base/postings")
+        graft.streaming.AnnIndexMaintainer.processBatch(
+          embCorpus.where(col("vec_id") % 3 === g), g.toLong, "vec_id",
+          "embedding", cents, s"$base/index", roundScale = 6)
+      }
+      // fold at max−1: the newest batch stays replayable, so serving runs
+      // off (sidecar + delta) on the sparse leg and (c-dir + b-dir) on the
+      // dense leg — the production read shape, not the all-folded one
+      graft.streaming.SearchIndexMaintainer.compact(s, "doc_id",
+        s"$base/postings")
+      graft.streaming.AnnIndexMaintainer.compact(s, s"$base/index")
+      val sparse = graft.streaming.SearchIndexMaintainer.searchBatch(
+        s, s"$base/postings", "doc_id",
+        evalQ.select(col("doc_id").as("qid"),
+          explode(TextOps.tokens(col("text"))).as("term")).distinct(),
+        "qid", "term", k = 10)
+        .select(col("qid"), col("doc_id"), col("rank"))
+      val qvecs = evalQ
+        .select(col("doc_id"), TextOps.textEmbedding(col("text"), 8).as("v"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      val dense = graft.streaming.AnnIndexMaintainer.search(s, s"$base/index",
+        cents, qvecs, k = 10, rankOnRoundedTo = Some(6))
+        .select(col("query_id").as("qid"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      TfIdf.rrfFuse(sparse, dense, "qid", "doc_id", k = 10)
     }),
     // CROSS-MODAL retrieval: text-side deterministic embeddings (the
     // word-fingerprint projection) searched against the REAL decoded image
@@ -1341,11 +1414,7 @@ object PipelineQueries {
     // and the exact drop rule from (centroids, codebooks) parquet.
     "p_semdedup_pq" -> ((s, d) => {
       val e = emb(s, d)
-      val base = annArtifactBase(d)
-      val trained = Ann.pqTrain(e, "embedding", m = 8, k = 32)
-      Ann.pqCodebookDf(s, trained)
-        .coalesce(1).write.mode("overwrite").parquet(s"$base/pq_sd_codebook")
-      val cb = Ann.pqCodebookFromDf(s.read.parquet(s"$base/pq_sd_codebook"))
+      val cb = pqCodebookCopy(s, d, "pq_sd_codebook")
       Ann.semDedupPq(e, "vec_id", "embedding", semDedupCentsFor(s, d), cb,
         tau = 0.3, margin = 0.2)
     }),
@@ -1649,6 +1718,77 @@ object PipelineQueries {
             "aggregate(split(ids_str, ':'), 0L, (a, x) -> a + cast(x AS long))"))
             .as("id_sum"))
     }),
+    // RESURRECTION: wave 2 retroactively DE-selects every 5th sequence,
+    // wave 3 re-selects the full set — a budget re-ranking dropping docs
+    // and later re-admitting them. Tombstones are batch-versioned (a
+    // tombstone kills only rows appended BEFORE it), so the re-selected
+    // sequences re-enter under NEW ords appended by wave 3 while their
+    // pre-tombstone rows stay dead; the live view must equal the
+    // from-scratch derivation in which every %5 sequence's arrival wave
+    // is 3. (Under seq-id-only tombstoning this silently diverges — the
+    // re-selected seq is neither re-appended nor served.)
+    "s_shard_resurrect" -> ((s, d) => {
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_shardres", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      val payload = graft.Exec.materializeLocal(
+        Packing.packTokenIdRows(curatedSelFor(s, d), "doc_id", "text",
+          bpeMergesFor(s, d), seqLen = 128))
+      (0 until 4).foreach { g =>
+        val sel =
+          if (g < 2) payload.where(col("seq_id") % 3 <= g)
+          else if (g == 2) payload.where(col("seq_id") % 3 <= 2 &&
+            col("seq_id") % 5 =!= 0)
+          else payload
+        graft.streaming.ShardMaintainer.reconcile(sel, g.toLong,
+          epochs = 2, shardSize = 2, base)
+      }
+      graft.streaming.ShardMaintainer.readShardsLive(s, base)
+        .groupBy(col("epoch"), col("shard_id"))
+        .agg(count(lit(1)).as("n_seqs"),
+          sum(size(split(col("ids_str"), ":"))).cast("long").as("n_tok"),
+          sum(expr(
+            "aggregate(split(ids_str, ':'), 0L, (a, x) -> a + cast(x AS long))"))
+            .as("id_sum"))
+    }),
+    // HISTORY-RETENTION ERROR CONTRACT: after tombstone compaction seals
+    // horizon 2, an as-of read BELOW the seal must fail EXPLICITLY (the
+    // folded tombstones can no longer reproduce that corpus version) —
+    // never return silently-wrong history — while the floor itself still
+    // answers exactly. The gate pins the floor, the error path, and the
+    // at-floor row count in one hash-compared row.
+    "s_shard_seal" -> ((s, d) => {
+      import s.implicits._
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_shardseal", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      val payload = graft.Exec.materializeLocal(
+        Packing.packTokenIdRows(curatedSelFor(s, d), "doc_id", "text",
+          bpeMergesFor(s, d), seqLen = 128))
+      (0 until 3).foreach { g =>
+        val sel =
+          if (g < 2) payload.where(col("seq_id") % 3 <= g)
+          else payload.where(col("seq_id") % 3 <= 2 &&
+            col("seq_id") % 7 =!= 0)
+        graft.streaming.ShardMaintainer.reconcile(sel, g.toLong,
+          epochs = 2, shardSize = 2, base)
+      }
+      graft.streaming.ShardMaintainer.compactTombstones(s, base, upTo = 2L)
+      val floor = graft.streaming.ShardMaintainer.sealedHorizon(base)
+      val belowFails =
+        try {
+          graft.streaming.ShardMaintainer.readShardsAsOf(s, base, 1L)
+            .count()
+          false
+        } catch {
+          case e: IllegalArgumentException =>
+            e.getMessage.contains("sealed compaction floor")
+        }
+      val atFloor = graft.streaming.ShardMaintainer
+        .readShardsAsOf(s, base, 2L).count()
+      Seq((floor, belowFails, atFloor))
+        .toDF("sealed_floor", "asof_below_fails", "n_rows_at_floor")
+    }),
     // Deterministic per-epoch training order (3 epochs over the corpus):
     // a pure function of (item set, epoch) via md5 draws, globally ranked
     // by the distributed prefix sum — the reproducible shuffle exact
@@ -1688,12 +1828,13 @@ object PipelineQueries {
     "p_pack_tokens_bytes" -> ((s, d) =>
       Packing.packTokenIds(mixedDocs(s, d), "doc_id", "text",
         bpeByteMergesFor(s, d), seqLen = 128, byteLevel = true)),
-    // D4-style cluster-balanced diversity sampling: ≤ 20 rows per
-    // embedding cluster in the md5 draw order, same persisted quantizer
-    // as p_semdedup.
+    // D4-style cluster-balanced diversity sampling: ≤ 3 rows per
+    // embedding cluster in the md5 draw order, same persisted √N
+    // quantizer as p_semdedup (perCell sized below the ~√N expected
+    // occupancy so the cap still does real sampling work).
     "p_cluster_sample" -> ((s, d) =>
       Ann.clusterSample(emb(s, d), "vec_id", "embedding",
-        semDedupCentsFor(s, d), perCell = 20)),
+        semDedupCentsFor(s, d), perCell = 3)),
     // The ExactSubstr REMOVAL step: duplicated spans cut from every doc.
     "p_substr_clean" -> ((s, d) =>
       Dedup.removeSpans(docs(s, d), "doc_id", "text", width = 30)),
@@ -4075,6 +4216,144 @@ object PipelineQueries {
         |  FROM sc
         |)
         |SELECT doc_id, score, rank FROM rk WHERE rank <= 20""".stripMargin,
+    // the maintained two-leg serving path must equal one-shot hybrid
+    // retrieval with the dense leg probed through the persisted quantizer:
+    // sparse = the BM25 formula over the train split; dense = closed-form
+    // text tower → round-6 cell assignment → nprobe=4 probe cells per
+    // query (unrounded, matching the driver-side probe) → within-cell
+    // cosine top-10; then the same 1/(60+rank) fusion
+    "s_hybrid_search" ->
+      """WITH cd AS (SELECT doc_id, text FROM documents WHERE doc_id >= 25),
+        |qd AS (SELECT doc_id, text FROM documents WHERE doc_id < 5),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM cd
+        |),
+        |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
+        |st AS (SELECT count(*) AS n, sum(len) AS sl FROM dl),
+        |q AS (
+        |  SELECT DISTINCT qid, term FROM (
+        |    SELECT doc_id AS qid, unnest(string_split(text, ' ')) AS term
+        |    FROM qd)
+        |),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM tok JOIN (SELECT DISTINCT term FROM q) USING (term)
+        |  GROUP BY 1, 2
+        |),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT q.qid, tf.doc_id,
+        |    sum(ln((st.n - dfq.df + 0.5)/(dfq.df + 0.5) + 1)
+        |        * tf.tf * (1.2 + 1)
+        |        / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.len/(st.sl*1.0/st.n))))
+        |      AS score
+        |  FROM tf
+        |  JOIN dfq USING (term)
+        |  JOIN dl USING (doc_id)
+        |  JOIN q USING (term)
+        |  CROSS JOIN st
+        |  GROUP BY 1, 2
+        |),
+        |sa AS (
+        |  SELECT qid, doc_id, ra FROM (
+        |    SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY round(score, 6) DESC, doc_id) AS ra
+        |    FROM sc)
+        |  WHERE ra <= 10
+        |),
+        |ctw AS (
+        |  SELECT doc_id, word FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM cd)
+        |  WHERE len(word) > 0
+        |),
+        |ctf AS (
+        |  SELECT doc_id, list_reduce(
+        |      list_transform(string_split(word, ''),
+        |        ch -> CAST(ascii(ch) AS BIGINT)),
+        |      (acc, x) -> (acc*31 + x) % 1000000007) AS fp
+        |  FROM ctw
+        |),
+        |ctn AS (SELECT doc_id, greatest(count(*), 1) AS nw FROM ctf GROUP BY 1),
+        |ks AS (SELECT unnest(generate_series(0, 7)) AS k2),
+        |cv0 AS (
+        |  SELECT f.doc_id, k2,
+        |    sum((f.fp + k2*4001) % 97 - 48) / (48.0 * ctn.nw) AS v
+        |  FROM ctf f JOIN ctn USING (doc_id) CROSS JOIN ks
+        |  GROUP BY f.doc_id, k2, ctn.nw
+        |),
+        |cv AS (SELECT doc_id, list(v ORDER BY k2) AS v FROM cv0 GROUP BY 1),
+        |cn2 AS (SELECT doc_id, sqrt(list_inner_product(v, v)) AS n FROM cv),
+        |qtw AS (
+        |  SELECT doc_id, word FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM qd)
+        |  WHERE len(word) > 0
+        |),
+        |qtf AS (
+        |  SELECT doc_id, list_reduce(
+        |      list_transform(string_split(word, ''),
+        |        ch -> CAST(ascii(ch) AS BIGINT)),
+        |      (acc, x) -> (acc*31 + x) % 1000000007) AS fp
+        |  FROM qtw
+        |),
+        |qtn AS (SELECT doc_id, greatest(count(*), 1) AS nw FROM qtf GROUP BY 1),
+        |qv0 AS (
+        |  SELECT f.doc_id, k2,
+        |    sum((f.fp + k2*4001) % 97 - 48) / (48.0 * qtn.nw) AS v
+        |  FROM qtf f JOIN qtn USING (doc_id) CROSS JOIN ks
+        |  GROUP BY f.doc_id, k2, qtn.nw
+        |),
+        |qv AS (SELECT doc_id, list(v ORDER BY k2) AS v FROM qv0 GROUP BY 1),
+        |qn2 AS (SELECT doc_id, sqrt(list_inner_product(v, v)) AS n FROM qv),
+        |cents AS (
+        |  SELECT cid, c FROM '__ANN_ARTIFACTS__/hybrid_centroids_s/*.parquet'
+        |),
+        |asn AS (
+        |  SELECT doc_id, cid FROM (
+        |    SELECT cv.doc_id, ct.cid,
+        |      row_number() OVER (PARTITION BY cv.doc_id ORDER BY
+        |        round(list_inner_product(ct.c, ct.c)
+        |          - 2*list_inner_product(cv.v, ct.c), 6), ct.cid) AS rn
+        |    FROM cv CROSS JOIN cents ct)
+        |  WHERE rn = 1
+        |),
+        |qpr AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT qv.doc_id AS qid, ct.cid,
+        |      row_number() OVER (PARTITION BY qv.doc_id ORDER BY
+        |        list_inner_product(ct.c, ct.c)
+        |          - 2*list_inner_product(qv.v, ct.c), ct.cid) AS rn
+        |    FROM qv CROSS JOIN cents ct)
+        |  WHERE rn <= 4
+        |),
+        |den AS (
+        |  SELECT p.qid, a.doc_id,
+        |    round(list_inner_product(qv.v, cv.v) / (qn2.n * cn2.n), 6) AS cos
+        |  FROM qpr p JOIN asn a USING (cid)
+        |  JOIN cv ON a.doc_id = cv.doc_id
+        |  JOIN cn2 ON a.doc_id = cn2.doc_id
+        |  JOIN qv ON p.qid = qv.doc_id
+        |  JOIN qn2 ON p.qid = qn2.doc_id
+        |),
+        |da AS (
+        |  SELECT qid, doc_id, rb FROM (
+        |    SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, doc_id) AS rb
+        |    FROM den)
+        |  WHERE rb <= 10
+        |),
+        |f AS (
+        |  SELECT coalesce(sa.qid, da.qid) AS qid,
+        |    coalesce(sa.doc_id, da.doc_id) AS doc_id,
+        |    round(coalesce(1.0/(60 + sa.ra), 0)
+        |      + coalesce(1.0/(60 + da.rb), 0), 6) AS rrf
+        |  FROM sa FULL JOIN da
+        |    ON sa.qid = da.qid AND sa.doc_id = da.doc_id
+        |)
+        |SELECT qid, doc_id, rrf, rank FROM (
+        |  SELECT qid, doc_id, rrf, row_number() OVER (PARTITION BY qid
+        |    ORDER BY rrf DESC, doc_id) AS rank
+        |  FROM f)
+        |WHERE rank <= 10""".stripMargin,
     // fixed persisted centroids + codebooks → cells, codes, nprobe=4
     // probe lists, ADC over probed cells only, k·rerank=40 shortlist,
     // exact rerank — the verbatim SQL rendering of Ann.ivfPqTopK
@@ -5595,7 +5874,7 @@ object PipelineQueries {
         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
         |  FROM assign
         |)
-        |SELECT vec_id, cid AS cell FROM drawn WHERE rn <= 20""".stripMargin,
+        |SELECT vec_id, cid AS cell FROM drawn WHERE rn <= 3""".stripMargin,
     "p_substr_clean" ->
       """WITH w AS (
         |  SELECT doc_id, pos, md5(substr(text, pos, 30)) AS k FROM (
@@ -5862,6 +6141,57 @@ object PipelineQueries {
          |  CAST(sum(ss.id_sum) AS BIGINT) AS id_sum
          |FROM eoA2 JOIN seqsum ss USING (seq_id)
          |GROUP BY 1, 2""".stripMargin,
+    // from-scratch derivation of the resurrected layout. Ords are
+    // append-stable, so waves 0-2 arrivals (eoRa: everything except the
+    // %3=2 ∧ %5=0 seqs, which never arrived) keep their batch-major
+    // ranks — the %5 arrivals among them die as HOLES — and the wave-3
+    // re-admissions (every %5 seq) append AFTER base = |all prior
+    // arrivals, dead included| (eoRr). Live = non-%5 originals ∪ all %5
+    // re-appends.
+    "s_shard_resurrect" ->
+      s"""WITH RECURSIVE $trainManifestCtes,
+         |eoRa AS (
+         |  SELECT CAST(esM.epoch AS INT) AS epoch, ss.seq_id,
+         |    row_number() OVER (PARTITION BY esM.epoch
+         |      ORDER BY ss.seq_id % 3,
+         |        md5(CAST(ss.seq_id AS VARCHAR) || ':' ||
+         |            CAST(esM.epoch AS VARCHAR)), ss.seq_id)
+         |      - 1 AS ord
+         |  FROM seqsum ss CROSS JOIN esM
+         |  WHERE NOT (ss.seq_id % 3 = 2 AND ss.seq_id % 5 = 0)
+         |),
+         |nbase AS (
+         |  SELECT count(*) AS base FROM seqsum
+         |  WHERE NOT (seq_id % 3 = 2 AND seq_id % 5 = 0)
+         |),
+         |eoRr AS (
+         |  SELECT CAST(esM.epoch AS INT) AS epoch, ss.seq_id,
+         |    nbase.base + row_number() OVER (PARTITION BY esM.epoch
+         |      ORDER BY md5(CAST(ss.seq_id AS VARCHAR) || ':' ||
+         |                   CAST(esM.epoch AS VARCHAR)), ss.seq_id)
+         |      - 1 AS ord
+         |  FROM seqsum ss CROSS JOIN esM CROSS JOIN nbase
+         |  WHERE ss.seq_id % 5 = 0
+         |),
+         |eoRz AS (
+         |  SELECT epoch, seq_id, ord FROM eoRa WHERE seq_id % 5 <> 0
+         |  UNION ALL
+         |  SELECT epoch, seq_id, ord FROM eoRr
+         |)
+         |SELECT eoRz.epoch, CAST(eoRz.ord // 2 AS BIGINT) AS shard_id,
+         |  count(*) AS n_seqs, CAST(sum(ss.n_tok) AS BIGINT) AS n_tok,
+         |  CAST(sum(ss.id_sum) AS BIGINT) AS id_sum
+         |FROM eoRz JOIN seqsum ss USING (seq_id)
+         |GROUP BY 1, 2""".stripMargin,
+    // the error contract as data: floor = the compaction horizon, the
+    // below-floor read fails, and the at-floor read serves exactly the
+    // live sequences (2 epochs each)
+    "s_shard_seal" ->
+      s"""WITH RECURSIVE $trainManifestCtes
+         |SELECT CAST(2 AS BIGINT) AS sealed_floor,
+         |  true AS asof_below_fails,
+         |  (SELECT count(*) * 2 FROM seqsum WHERE seq_id % 7 <> 0)
+         |    AS n_rows_at_floor""".stripMargin,
     // the streamed derivation must equal the one-shot manifest exactly
     "s_train_manifest" -> trainManifestOracle,
     // the manifest chain with the image-token splice: pairing → closed-form

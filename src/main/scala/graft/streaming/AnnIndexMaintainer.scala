@@ -46,6 +46,11 @@ object AnnIndexMaintainer {
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("cell", graft.functions.VectorFns.nearestCellNative(
         col("v"), cents, roundScale))
+      // cluster by cell before the partitioned write: without this every
+      // task emits a file per distinct cell it holds (≈ tasks × nlist tiny
+      // files per batch — quadratic-feeling FS overhead once nlist follows
+      // the √N law); clustered, the batch writes ≈ one file per cell
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexDir/b$batchId")
   }
@@ -121,6 +126,7 @@ object AnnIndexMaintainer {
           if (roundScale >= 0) Some(roundScale) else None),
         Seq("id"))
       .select(col("id"), col("v"), col("codes"), col("rn2"), col("cell"))
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexDir/b$batchId")
   }

@@ -54,7 +54,11 @@ private[streaming] object BatchDirs {
     val merged = readUnion(spark, absorb.map(_._2), schema,
       partitioned = partitionCol.isDefined).get
     val tmp = new java.io.File(indexDir, s".c$upTo.tmp")
-    val writer = merged.write.mode("overwrite")
+    // cluster rows by the layout column first so the fold writes ≈ one
+    // file per partition value instead of one per (task, value) pair
+    val clustered = partitionCol.fold(merged)(c =>
+      merged.repartition(org.apache.spark.sql.functions.col(c)))
+    val writer = clustered.write.mode("overwrite")
     partitionCol.fold(writer)(c => writer.partitionBy(c)).parquet(tmp.getPath)
     val dest = new java.io.File(indexDir, s"c$upTo")
     // crash recovery: an existing c<upTo> is in `absorb` (its rows are

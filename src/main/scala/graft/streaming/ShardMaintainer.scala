@@ -99,64 +99,118 @@ object ShardMaintainer {
     * retroactivity policy for curation-fed shards: incremental curation
     * can retroactively DE-select an already-sharded sequence (a late
     * duplicate displaces it, a budget re-ranking drops it). Policy:
-    *   - sequences in `selection` but not yet ingested are appended via
-    *     [[processBatch]] (their ords extend the batch-major order);
-    *   - sequences ingested but no longer selected are TOMBSTONED
-    *     (`tomb/b<batchId>` sidecars, a read-time anti-join in
-    *     [[readShardsLive]]) — never a shard rewrite, so write cost stays
-    *     ∝ delta and surviving ords never move (holes remain where
-    *     tombstoned ords were; the data loader skips them).
+    *   - sequences in `selection` not currently LIVE are appended via
+    *     [[processBatch]] (their ords extend the batch-major order) —
+    *     this includes RESURRECTIONS: a seq tombstoned by an earlier
+    *     reconcile and later re-selected re-enters under a NEW ord with
+    *     this batch's id, which out-ranks its old tombstone (tombstones
+    *     are batch-versioned: a tombstone kills only rows APPENDED
+    *     before it);
+    *   - live sequences no longer selected are TOMBSTONED
+    *     (`tomb/b<batchId>` sidecars, a batch-versioned read-time
+    *     anti-join in [[readShardsLive]]) — never a shard rewrite, so
+    *     write cost stays ∝ delta and surviving ords never move (holes
+    *     remain where tombstoned ords were; the data loader skips them).
     * A tombstone-heavy layout can be compacted by a full rewrite when the
     * dead fraction warrants it (the LSM trade; not needed while removal
-    * rates are curation-typical). Replay-safe: the current batch's own
-    * prior tombstone write is excluded from the "already tombstoned"
-    * view, so a crashed reconcile rewrites identical content.
+    * rates are curation-typical). Replay-safe like [[processBatch]]'s
+    * boundary merge: live-ness is computed ONLY from rows and tombstones
+    * committed strictly before this batch, so a crashed reconcile — even
+    * one whose data/tombstone writes landed — recomputes the identical
+    * delta and rewrites identical content.
     */
   def reconcile(selection: DataFrame, batchId: Long, epochs: Int,
       shardSize: Int, dir: String): Unit = {
     val spark = selection.sparkSession
     val p = graft.Exec.materializeLocal(
       selection.select(col("seq_id"), col("ids_str"), col("n_tok")))
-    val have = ingestedSeqIds(spark, dir)
-    val fresh = p.join(have, Seq("seq_id"), "left_anti")
-    val removed = have
-      .join(p.select("seq_id"), Seq("seq_id"), "left_anti")
-      .join(tombstonesBefore(spark, dir, batchId), Seq("seq_id"),
-        "left_anti")
+    val live = liveSeqIdsBefore(spark, dir, batchId)
+    val fresh = p.join(live, Seq("seq_id"), "left_anti")
+    val removed = live.join(p.select("seq_id"), Seq("seq_id"), "left_anti")
     graft.Exec.materializeLocal(removed).coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/tomb/b$batchId")
     processBatch(fresh, batchId, epochs, shardSize, dir)
   }
 
-  /** Every seq id ever ingested (live + tombstoned) — epoch 1's rows,
-    * partition-pruned. Empty before the first batch. */
-  private def ingestedSeqIds(spark: SparkSession,
-      dir: String): DataFrame =
+  /** Per-seq LAST APPEND batch over rows committed strictly before
+    * `batchId` (epoch 1's rows, partition-pruned; every epoch carries the
+    * same seq set). Empty before the first batch. */
+  private def ingestedSeqBatchesBefore(spark: SparkSession, dir: String,
+      batchId: Long): DataFrame =
     if (!new java.io.File(dataDir(dir)).exists())
-      spark.range(0).select(col("id").as("seq_id"))
-    else spark.read.parquet(dataDir(dir)).where(col("epoch") === 1)
-      .select(col("seq_id").cast("long").as("seq_id"))
+      spark.range(0).select(col("id").as("seq_id"),
+        col("id").as("last_append"))
+    else spark.read.parquet(dataDir(dir)).where(col("epoch") === 1 &&
+        col("batch_id") < batchId)
+      .groupBy(col("seq_id").cast("long").as("seq_id"))
+      .agg(max(col("batch_id").cast("long")).as("last_append"))
 
-  private def tombstonesBefore(spark: SparkSession, dir: String,
+  /** Seq ids LIVE as of state committed strictly before `batchId`: last
+    * append out-ranks the last tombstone (or no tombstone at all). */
+  private def liveSeqIdsBefore(spark: SparkSession, dir: String,
+      batchId: Long): DataFrame =
+    ingestedSeqBatchesBefore(spark, dir, batchId)
+      .join(tombstoneBatchesBefore(spark, dir, batchId)
+        .groupBy("seq_id").agg(max(col("tomb_batch")).as("__mt")),
+        Seq("seq_id"), "left_outer")
+      .where(col("__mt").isNull || col("last_append") > col("__mt"))
+      .select("seq_id")
+
+  /** Tombstones written by batches strictly before `batchId`, each tagged
+    * with the batch that wrote it — the version axis that lets a later
+    * re-append out-rank an older tombstone. Sidecar count ∝ reconciles
+    * (bounded; [[compactTombstones]] retires them).
+    */
+  private def tombstoneBatchesBefore(spark: SparkSession, dir: String,
       batchId: Long): DataFrame = {
     val dirs = BatchDirs.listDirs(s"$dir/tomb", "b")
-      .filter(_._1 < batchId).map(_._2)
-    if (dirs.isEmpty) spark.range(0).select(col("id").as("seq_id"))
-    else spark.read.parquet(dirs: _*)
-      .select(col("seq_id").cast("long").as("seq_id"))
+      .filter(_._1 < batchId)
+    if (dirs.isEmpty)
+      spark.range(0).select(col("id").as("seq_id"),
+        col("id").as("tomb_batch"))
+    else dirs.map { case (id, p) =>
+      spark.read.parquet(p)
+        .select(col("seq_id").cast("long").as("seq_id"),
+          lit(id).as("tomb_batch"))
+    }.reduce(_ unionByName _)
   }
 
-  /** All tombstoned seq ids. */
+  /** All tombstoned seq ids (seqs whose latest tombstone out-ranks any
+    * later re-append are dead; see [[readShardsLive]]). */
   def tombstones(spark: SparkSession, dir: String): DataFrame =
-    tombstonesBefore(spark, dir, Long.MaxValue)
+    tombstoneBatchesBefore(spark, dir, Long.MaxValue).select("seq_id")
+      .distinct()
 
-  /** [[readShards]] minus tombstoned sequences — what the data loader
-    * consumes after reconciles (surviving ords unchanged, holes where
-    * de-selected sequences sat).
+  /** [[readShards]] minus dead rows — what the data loader consumes after
+    * reconciles (surviving ords unchanged, holes where tombstoned ords
+    * sat). Batch-versioned: a row is dead iff SOME tombstone is newer
+    * than the row's appending batch, so a de-selected-then-re-selected
+    * seq serves its resurrected row while its pre-tombstone row stays
+    * dead.
     */
   def readShardsLive(spark: SparkSession, dir: String): DataFrame =
-    readShards(spark, dir)
-      .join(tombstones(spark, dir), Seq("seq_id"), "left_anti")
+    dropDeadRows(readShardsWithBatch(spark, dir),
+      tombstoneBatchesBefore(spark, dir, Long.MaxValue))
+
+  /** The batch-versioned kill rule shared by live, as-of, and compaction
+    * reads: keep a row unless the seq's newest (visible) tombstone
+    * out-ranks the row's appending batch. */
+  private def dropDeadRows(rows: DataFrame, tombs: DataFrame): DataFrame =
+    rows.join(tombs.groupBy("seq_id").agg(max(col("tomb_batch")).as("__mt")),
+        Seq("seq_id"), "left_outer")
+      .where(col("__mt").isNull || col("batch_id") > col("__mt"))
+      .select(col("epoch"), col("shard_id"), col("seq_id"), col("ord"),
+        col("n_tok"), col("ids_str"))
+
+  private def readShardsWithBatch(spark: SparkSession,
+      dir: String): DataFrame =
+    spark.read.parquet(dataDir(dir))
+      .select(col("epoch").cast("int").as("epoch"),
+        col("shard_id").cast("long").as("shard_id"),
+        col("seq_id").cast("long").as("seq_id"),
+        col("ord").cast("long").as("ord"),
+        col("n_tok").cast("long").as("n_tok"), col("ids_str"),
+        col("batch_id").cast("long").as("batch_id"))
 
   /** COMPACT a tombstone-heavy layout: rewrite the data dir with every
     * row tombstoned by batches ≤ `upTo` physically dropped, then retire
@@ -178,9 +232,12 @@ object ShardMaintainer {
     if (!new java.io.File(d).exists()) return
     val tmp = d + ".__compact"
     graft.Exec.deletePath(tmp)
-    spark.read.parquet(d)
-      .join(tombstonesBefore(spark, dir, upTo + 1L), Seq("seq_id"),
-        "left_anti")
+    val rows = spark.read.parquet(d)
+    val folded = tombstoneBatchesBefore(spark, dir, upTo + 1L)
+    rows.join(folded.groupBy("seq_id").agg(max(col("tomb_batch")).as("__mt")),
+        Seq("seq_id"), "left_outer")
+      .where(col("__mt").isNull || col("batch_id") > col("__mt"))
+      .drop("__mt")
       .repartition(math.max(1, spark.sparkContext.defaultParallelism / 2),
         col("epoch"), col("shard_id"))
       .sortWithinPartitions(col("epoch"), col("shard_id"), col("ord"))
@@ -194,9 +251,24 @@ object ShardMaintainer {
       throw new java.io.IOException(s"compact swap failed: $tmp -> $d")
     }
     graft.Exec.deletePath(old.getPath)
+    // SEAL the history below the folded horizon BEFORE retiring the
+    // sidecars: once the marker exists, readShardsAsOf refuses horizons
+    // the folded tombstones can no longer reproduce — an explicit error,
+    // never silently wrong history. (Marker first, deletion second: a
+    // crash in between over-seals, which is safe.)
+    new java.io.File(dir, s"sealed$upTo").mkdirs()
     BatchDirs.listDirs(s"$dir/tomb", "b").filter(_._1 <= upTo)
       .foreach { case (_, p) => graft.Exec.deletePath(p) }
   }
+
+  /** The layout's sealed time-travel floor: the highest compaction
+    * horizon, −1 when never compacted. As-of reads strictly below this
+    * fail explicitly ([[readShardsAsOf]]). */
+  def sealedHorizon(dir: String): Long =
+    Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("sealed"))
+      .flatMap(_.getName.stripPrefix("sealed").toLongOption)
+      .sorted.lastOption.getOrElse(-1L)
 
   /** Dead fraction of the layout — tombstoned seq ids over ingested seq
     * ids (epoch 1 counts; every epoch carries the same seq set). The
@@ -204,9 +276,15 @@ object ShardMaintainer {
     * [[compactTombstones]] pays for itself.
     */
   def deadFraction(spark: SparkSession, dir: String): Double = {
-    val n = ingestedSeqIds(spark, dir).count()
+    val ingested = ingestedSeqBatchesBefore(spark, dir, Long.MaxValue)
+    val n = ingested.count()
     if (n == 0L) 0.0
-    else tombstones(spark, dir).count().toDouble / n
+    else (n - ingested
+      .join(tombstoneBatchesBefore(spark, dir, Long.MaxValue)
+        .groupBy("seq_id").agg(max(col("tomb_batch")).as("__mt")),
+        Seq("seq_id"), "left_outer")
+      .where(col("__mt").isNull || col("last_append") > col("__mt"))
+      .count()).toDouble / n
   }
 
   /** TIME-TRAVEL read: the layout exactly as a data loader saw it after
@@ -221,18 +299,25 @@ object ShardMaintainer {
     * the state that existed then. Cost: the batch_id predicate prunes
     * row groups; the tombstone anti-join is sized by removals, not the
     * corpus.
+    *
+    * ERROR CONTRACT: horizons strictly below the sealed compaction floor
+    * ([[sealedHorizon]]) throw — [[compactTombstones]] physically dropped
+    * rows and retired the tombstones those horizons need, so the request
+    * is unanswerable and failing loudly beats silently-wrong history.
     */
   def readShardsAsOf(spark: SparkSession, dir: String,
-      asOf: Long): DataFrame =
-    spark.read.parquet(dataDir(dir))
-      .where(col("batch_id") <= asOf)
-      .select(col("epoch").cast("int").as("epoch"),
-        col("shard_id").cast("long").as("shard_id"),
-        col("seq_id").cast("long").as("seq_id"),
-        col("ord").cast("long").as("ord"),
-        col("n_tok").cast("long").as("n_tok"), col("ids_str"))
-      .join(tombstonesBefore(spark, dir, asOf + 1L), Seq("seq_id"),
-        "left_anti")
+      asOf: Long): DataFrame = {
+    val floor = sealedHorizon(dir)
+    if (asOf < floor)
+      throw new IllegalArgumentException(
+        s"as-of horizon $asOf is below the sealed compaction floor " +
+          s"$floor of $dir: tombstone sidecars <= $floor were folded and " +
+          "retired, so this corpus version is no longer reproducible " +
+          "(compact only below your oldest pinned version)")
+    dropDeadRows(
+      readShardsWithBatch(spark, dir).where(col("batch_id") <= asOf),
+      tombstoneBatchesBefore(spark, dir, asOf + 1L))
+  }
 
   /** Re-read the maintained layout in [[graft.ops.Corpus.readShards]]'
     * shape (the `batch_id` bookkeeping column stays internal).
