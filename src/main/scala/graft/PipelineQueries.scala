@@ -199,6 +199,51 @@ object PipelineQueries {
   private def curatedSelFor(s: SparkSession, d: String): DataFrame =
     curatedFullFor(s, d).select(col("doc_id"), col("clean_text").as("text"))
 
+  /** The wave-2 splice of the drift-trigger gates: two high-mass synthetic
+    * tokens appended to every wave-2 doc, moving the corpus's token
+    * distribution far past the trigger threshold while waves 0→1 (plain
+    * thirds of the same corpus) stay far below it. Measured KL at both
+    * test scales: wave 1 ≈ 0.0009 (sf0.01) / 0.0001 (sf0.1); wave 2 ≈
+    * 0.148 / 0.228 — threshold 0.05 sits two orders of magnitude above
+    * the null movement and ≥3× below the shift, at BOTH scales. One
+    * Scala literal is the single source of truth; the oracle renders it.
+    */
+  private[graft] val DriftPhrase =
+    " zzdrift zzshift zzdrift zzshift zzdrift zzshift"
+
+  /** One drift-triggered-curation run per (JVM, sf dir): three waves
+    * through [[graft.streaming.CurateMaintainer.processBatchDriftTriggered]]
+    * (wave 2 spliced with [[DriftPhrase]]); returns the selection being
+    * SERVED after wave 1 (must still be wave 0's — the KL stayed under
+    * threshold, so no re-derivation) and after wave 2 (re-derived — the
+    * splice crossed it). Both localCheckpoint'ed (the cache-poison rule).
+    */
+  private val driftRunCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+
+  private def driftRunFor(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    driftRunCache.computeIfAbsent(d, _ => {
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_curatedrift", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      val spliced = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") % 3 === 2, concat(col("text"), lit(DriftPhrase)))
+          .otherwise(col("text")).as("text"))
+      var held: DataFrame = null
+      (0 until 3).foreach { g =>
+        graft.streaming.CurateMaintainer.processBatchDriftTriggered(
+          spliced.where(col("doc_id") % 3 === g),
+          spliced.where(col("doc_id") % 3 <= g), g.toLong,
+          "doc_id", "text", 30, s"$base/state", klThreshold = 0.05)
+        if (g == 1)
+          held = graft.Exec.materializeLocal(
+            graft.streaming.CurateMaintainer.currentSelection(s,
+              s"$base/state"))
+      }
+      (held, graft.Exec.materializeLocal(
+        graft.streaming.CurateMaintainer.currentSelection(s, s"$base/state")))
+    })
+
   /** One hyperplane-set persist per (JVM, sf dir): p_lsh_multiprobe and
     * p_lsh_recall share the planes artifact, and a concurrent gate run
     * must never race a reader against a same-content overwrite.
@@ -496,6 +541,40 @@ object PipelineQueries {
           col("rank"))
       TfIdf.rrfFuse(sparse, dense, "qid", "doc_id", k = 10)
     }),
+    // HYBRID RECALL AUDIT: recall@k of the FUSED ranking against the
+    // dense leg's exact brute-cosine ground truth at k ∈ {5, 10} — the
+    // p_xmodal_recall_sweep discipline applied to RRF, so hybrid quality
+    // is a measured, hash-pinned curve (how much the sparse leg's
+    // exact-term matches displace dense neighbors) before a learned
+    // tower swaps in.
+    "p_hybrid_recall" -> ((s, d) => {
+      val corpus = docs(s, d).where(col("doc_id") >= 25)
+      val evalQ = docs(s, d).where(col("doc_id") < 5)
+      val sparse = TfIdf.bm25SearchBatch(
+        TfIdf.postings(corpus, "doc_id", "text"), "doc_id",
+        evalQ.select(col("doc_id").as("qid"),
+          explode(TextOps.tokens(col("text"))).as("term")).distinct(),
+        "qid", "term", k = 10)
+        .select(col("qid"), col("doc_id"), col("rank"))
+      val dense = graft.Exec.materializeLocal(Ann.bruteTopK(
+        corpus.select(col("doc_id").as("vec_id"),
+          TextOps.textEmbedding(col("text"), 8).as("embedding")),
+        evalQ.select(col("doc_id").as("vec_id"),
+          TextOps.textEmbedding(col("text"), 8).as("embedding")),
+        "vec_id", "embedding", k = 10, rankOnRoundedTo = Some(6))
+        .select(col("query_id").as("qid"), col("neighbor_id").as("doc_id"),
+          col("rank")))
+      val fused = TfIdf.rrfFuse(sparse, dense, "qid", "doc_id", k = 10)
+        .select(col("qid").as("query_id"), col("doc_id").as("neighbor_id"),
+          col("rank"))
+      val truth = dense.select(col("qid").as("query_id"),
+        col("doc_id").as("neighbor_id"), col("rank"))
+      Seq(5, 10).map { k =>
+        Ann.recallAtK(fused, truth, k)
+          .select(lit(k.toLong).as("k"), col("n_exact"), col("n_hits"),
+            col("recall"))
+      }.reduce(_ unionByName _)
+    }),
     // PASSAGE-level BM25 — the RAG retrieval unit: the corpus is the
     // overlapping chunk frame (slidingChunks), ranked with the same
     // engine; passage ids pack (doc, chunk) so provenance survives the
@@ -628,6 +707,55 @@ object PipelineQueries {
         queries, k = 10, rankOnRoundedTo = Some(6))
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
+    }),
+    // TIME-TRAVEL ANN probe, driver-gated: three ingestion waves, then
+    // the WHOLE index folded into one compacted dir — and the search
+    // as-of wave 1 must still reproduce the historical top-k exactly,
+    // from the current files alone (each inverted-file row carries its
+    // ingest batch; the file is append-only, so batch_id ≤ asOf IS the
+    // historical index). The s_shard_asof versioning discipline applied
+    // to the retrieval artifact.
+    "s_knn_asof" -> ((s, d) => {
+      val e = emb(s, d)
+      val cents = sizedCentsCopy(s, d, "asof_centroids_s")
+      val idxBase = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_annasof", Tables.runKey(d)).toString
+      graft.Exec.deletePath(idxBase)
+      (0 until 3).foreach { g =>
+        graft.streaming.AnnIndexMaintainer.processBatch(
+          e.where(col("vec_id") % 3 === g), g.toLong, "vec_id", "embedding",
+          cents, idxBase)
+      }
+      // fold EVERYTHING (upTo = the newest batch): the as-of slice must
+      // come out of the consolidated dir, not surviving batch dirs
+      graft.streaming.AnnIndexMaintainer.compact(s, idxBase, Some(2L))
+      val queries = e.where(col("vec_id") < 5)
+        .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      graft.streaming.AnnIndexMaintainer.searchAsOf(s, idxBase, cents,
+        queries, k = 10, asOf = 1L, rankOnRoundedTo = Some(6))
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
+    }),
+    // TIME-TRAVEL BM25, driver-gated: the postings index folded whole,
+    // then searched as of wave 1 — ranking stats (N, avgdl, df, lengths)
+    // all re-derive from the batch_id ≤ 1 postings slice, reproducing
+    // exactly what the index answered before wave 2 arrived.
+    "s_bm25_asof" -> ((s, d) => {
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_bm25asof", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      val dd = docs(s, d)
+      (0 until 3).foreach { g =>
+        graft.streaming.SearchIndexMaintainer.processBatch(
+          dd.where(col("doc_id") % 3 === g), g.toLong, "doc_id", "text",
+          s"$base/state")
+      }
+      graft.streaming.SearchIndexMaintainer.compact(s, "doc_id",
+        s"$base/state", Some(2L))
+      graft.streaming.SearchIndexMaintainer.searchAsOf(s, s"$base/state",
+        "doc_id", query = Seq("spark", "vector", "merge"), k = 20,
+        asOf = 1L)
     }),
     // Best-representative selection per near-dup group: real pipelines keep
     // the highest-QUALITY member of each duplicate cluster, not the lowest
@@ -1885,6 +2013,20 @@ object PipelineQueries {
       graft.streaming.CurateMaintainer.curated(dd, "doc_id", "text",
         s"$base/state")
     }),
+    // DRIFT-TRIGGERED re-curation, hold leg: after wave 1 (a plain third
+    // of the corpus, KL vs the wave-0 baseline ≈ 1e-3, far under the
+    // 0.05 threshold) the maintainer must still be SERVING wave 0's
+    // persisted selection — the oracle is one-shot curate over the
+    // wave-0 docs alone. A trigger that fires on volume instead of drift
+    // re-derives here and hash-fails.
+    "s_curate_drift_hold" -> ((s, d) => driftRunFor(s, d)._1),
+    // DRIFT-TRIGGERED re-curation, fire leg: wave 2's splice moves the
+    // token distribution past the threshold (KL ≈ 0.15), the selection
+    // re-derives from the accumulated curation state, and must equal
+    // one-shot curate over the FULL spliced corpus. A trigger that
+    // sleeps through the shift serves the stale wave-0 selection and
+    // hash-fails.
+    "s_curate_drift" -> ((s, d) => driftRunFor(s, d)._2),
     // STREAMING training manifest: the full raw-corpus→training-batches
     // composition with its two corpus-scan stages fed from the SAME
     // accumulated curation state as s_curate (waves + mid-stream fold) —
@@ -2559,6 +2701,156 @@ object PipelineQueries {
       |JOIN sizes s2 ON id2 = s2.doc_id
       |WHERE n*1.0/(s1.sz + s2.sz - n) >= 0.5""".stripMargin
 
+  /** The hybrid-retrieval fusion chain — sparse BM25 leg (`sa`), dense
+    * brute-tower leg (`da`), RRF-fused `f` — shared by the search oracle
+    * and the recall audit (which measures the fused ranking against the
+    * dense leg's exact cosine ground truth).
+    */
+  private val hybridFusionCtes: String =
+    """cd AS (SELECT doc_id, text FROM documents WHERE doc_id >= 25),
+      |qd AS (SELECT doc_id, text FROM documents WHERE doc_id < 5),
+      |tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM cd
+      |),
+      |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
+      |st AS (SELECT count(*) AS n, sum(len) AS sl FROM dl),
+      |q AS (
+      |  SELECT DISTINCT qid, term FROM (
+      |    SELECT doc_id AS qid, unnest(string_split(text, ' ')) AS term
+      |    FROM qd)
+      |),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf
+      |  FROM tok JOIN (SELECT DISTINCT term FROM q) USING (term)
+      |  GROUP BY 1, 2
+      |),
+      |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |sc AS (
+      |  SELECT q.qid, tf.doc_id,
+      |    sum(ln((st.n - dfq.df + 0.5)/(dfq.df + 0.5) + 1)
+      |        * tf.tf * (1.2 + 1)
+      |        / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.len/(st.sl*1.0/st.n))))
+      |      AS score
+      |  FROM tf
+      |  JOIN dfq USING (term)
+      |  JOIN dl USING (doc_id)
+      |  JOIN q USING (term)
+      |  CROSS JOIN st
+      |  GROUP BY 1, 2
+      |),
+      |sa AS (
+      |  SELECT qid, doc_id, ra FROM (
+      |    SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+      |      ORDER BY round(score, 6) DESC, doc_id) AS ra
+      |    FROM sc)
+      |  WHERE ra <= 10
+      |),
+      |ctw AS (
+      |  SELECT doc_id, word FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM cd)
+      |  WHERE len(word) > 0
+      |),
+      |ctf AS (
+      |  SELECT doc_id, list_reduce(
+      |      list_transform(string_split(word, ''),
+      |        ch -> CAST(ascii(ch) AS BIGINT)),
+      |      (acc, x) -> (acc*31 + x) % 1000000007) AS fp
+      |  FROM ctw
+      |),
+      |ctn AS (SELECT doc_id, greatest(count(*), 1) AS nw FROM ctf GROUP BY 1),
+      |ks AS (SELECT unnest(generate_series(0, 7)) AS k2),
+      |cv0 AS (
+      |  SELECT f.doc_id, k2,
+      |    sum((f.fp + k2*4001) % 97 - 48) / (48.0 * ctn.nw) AS v
+      |  FROM ctf f JOIN ctn USING (doc_id) CROSS JOIN ks
+      |  GROUP BY f.doc_id, k2, ctn.nw
+      |),
+      |cv AS (SELECT doc_id, list(v ORDER BY k2) AS v FROM cv0 GROUP BY 1),
+      |cn2 AS (SELECT doc_id, sqrt(list_inner_product(v, v)) AS n FROM cv),
+      |qtw AS (
+      |  SELECT doc_id, word FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM qd)
+      |  WHERE len(word) > 0
+      |),
+      |qtf AS (
+      |  SELECT doc_id, list_reduce(
+      |      list_transform(string_split(word, ''),
+      |        ch -> CAST(ascii(ch) AS BIGINT)),
+      |      (acc, x) -> (acc*31 + x) % 1000000007) AS fp
+      |  FROM qtw
+      |),
+      |qtn AS (SELECT doc_id, greatest(count(*), 1) AS nw FROM qtf GROUP BY 1),
+      |qv0 AS (
+      |  SELECT f.doc_id, k2,
+      |    sum((f.fp + k2*4001) % 97 - 48) / (48.0 * qtn.nw) AS v
+      |  FROM qtf f JOIN qtn USING (doc_id) CROSS JOIN ks
+      |  GROUP BY f.doc_id, k2, qtn.nw
+      |),
+      |qv AS (SELECT doc_id, list(v ORDER BY k2) AS v FROM qv0 GROUP BY 1),
+      |qn2 AS (SELECT doc_id, sqrt(list_inner_product(v, v)) AS n FROM qv),
+      |den AS (
+      |  SELECT qv.doc_id AS qid, cv.doc_id,
+      |    round(list_inner_product(qv.v, cv.v) / (qn2.n * cn2.n), 6) AS cos
+      |  FROM qv JOIN qn2 ON qv.doc_id = qn2.doc_id
+      |  CROSS JOIN cv
+      |  JOIN cn2 ON cv.doc_id = cn2.doc_id
+      |),
+      |da AS (
+      |  SELECT qid, doc_id, rb FROM (
+      |    SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+      |      ORDER BY cos DESC, doc_id) AS rb
+      |    FROM den)
+      |  WHERE rb <= 10
+      |),
+      |f AS (
+      |  SELECT coalesce(sa.qid, da.qid) AS qid,
+      |    coalesce(sa.doc_id, da.doc_id) AS doc_id,
+      |    round(coalesce(1.0/(60 + sa.ra), 0)
+      |      + coalesce(1.0/(60 + da.rb), 0), 6) AS rrf
+      |  FROM sa FULL JOIN da
+      |    ON sa.qid = da.qid AND sa.doc_id = da.doc_id
+      |)""".stripMargin
+
+  private val hybridSearchOracle: String =
+    s"""WITH $hybridFusionCtes
+      |SELECT qid, doc_id, rrf, rank FROM (
+      |  SELECT qid, doc_id, rrf, row_number() OVER (PARTITION BY qid
+      |    ORDER BY rrf DESC, doc_id) AS rank
+      |  FROM f)
+      |WHERE rank <= 10""".stripMargin
+
+  /** Recall@k of the FUSED ranking against the dense leg's brute-cosine
+    * ground truth at k ∈ {5, 10} — the p_xmodal_recall_sweep discipline
+    * applied to hybrid retrieval, so fused quality is a measured,
+    * hash-pinned curve before a learned tower swaps in.
+    */
+  private val hybridRecallOracle: String =
+    s"""WITH $hybridFusionCtes,
+      |fz AS (
+      |  SELECT qid, doc_id, rank FROM (
+      |    SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+      |      ORDER BY rrf DESC, doc_id) AS rank
+      |    FROM f)
+      |  WHERE rank <= 10
+      |),
+      |ks2 AS (SELECT unnest([5, 10]) AS k),
+      |cnt AS (
+      |  SELECT ks2.k, count(*) AS n_exact
+      |  FROM ks2 JOIN da ON da.rb <= ks2.k GROUP BY 1
+      |),
+      |hit AS (
+      |  SELECT ks2.k, count(*) AS n_hits
+      |  FROM ks2
+      |  JOIN da ON da.rb <= ks2.k
+      |  JOIN fz ON fz.qid = da.qid AND fz.doc_id = da.doc_id
+      |    AND fz.rank <= ks2.k
+      |  GROUP BY 1
+      |)
+      |SELECT CAST(cnt.k AS BIGINT) AS k, cnt.n_exact,
+      |  coalesce(hit.n_hits, 0) AS n_hits,
+      |  round(coalesce(hit.n_hits, 0)*1.0/cnt.n_exact, 6) AS recall
+      |FROM cnt LEFT JOIN hit USING (k)""".stripMargin
+
   /** Fixed persisted centroids → cell assignment (round(|c|²−2·v·c, 6),
     * lowest-cid ties), nprobe=4 probing, exact rerank — the verbatim SQL
     * rendering of Ann.ivfTopK's scan stage, parameterized by the centroids
@@ -2655,7 +2947,8 @@ object PipelineQueries {
       |SELECT query_id, neighbor_id, rank, cos FROM rk2
       |WHERE rank <= 10""".stripMargin
 
-  private def ivfOracle(centroidsDir: String): String =
+  private def ivfOracle(centroidsDir: String,
+      corpusWhere: String = "TRUE"): String =
     s"""WITH cents AS (
       |  SELECT cid, c FROM '__ANN_ARTIFACTS__/$centroidsDir/*.parquet'
       |),
@@ -2675,7 +2968,8 @@ object PipelineQueries {
       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
       |  FROM cd
       |),
-      |assign AS (SELECT vec_id, cid FROM rk WHERE rn = 1),
+      |assign AS (SELECT vec_id, cid FROM rk WHERE rn = 1
+      |           AND ($corpusWhere)),
       |probes AS (SELECT vec_id AS query_id, cid FROM rk
       |           WHERE rn <= 4 AND vec_id < 5),
       |cand AS (
@@ -3902,6 +4196,10 @@ object PipelineQueries {
     // their oracles are the one-shot builds they must equal
     "s_neardup_pairs" -> jaccardOracle,
     "s_knn_ivf" -> ivfOracle("ivf_centroids_s"),
+    // the as-of probe = the one-shot IVF scan over ONLY the waves-0/1
+    // corpus slice, same persisted quantizer (queries still the full
+    // vec_id < 5 set)
+    "s_knn_asof" -> ivfOracle("asof_centroids_s", "vec_id % 3 <= 1"),
     // fixed persisted codebooks → codes (per-subspace argmin on round 6,
     // lowest-cid ties), ADC lookup-table scores, k·rerank=40 shortlist,
     // exact rerank — the verbatim SQL rendering of Ann.pqTopK's scan stages
@@ -4028,115 +4326,8 @@ object PipelineQueries {
     // both retrieval legs re-derived from scratch (the BM25 formula over
     // the train split; the closed-form text tower for both query and
     // corpus), then the same 1/(60+rank) fusion and per-query re-rank
-    "p_hybrid_search" ->
-      """WITH cd AS (SELECT doc_id, text FROM documents WHERE doc_id >= 25),
-        |qd AS (SELECT doc_id, text FROM documents WHERE doc_id < 5),
-        |tok AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM cd
-        |),
-        |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
-        |st AS (SELECT count(*) AS n, sum(len) AS sl FROM dl),
-        |q AS (
-        |  SELECT DISTINCT qid, term FROM (
-        |    SELECT doc_id AS qid, unnest(string_split(text, ' ')) AS term
-        |    FROM qd)
-        |),
-        |tf AS (
-        |  SELECT doc_id, term, count(*) AS tf
-        |  FROM tok JOIN (SELECT DISTINCT term FROM q) USING (term)
-        |  GROUP BY 1, 2
-        |),
-        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |sc AS (
-        |  SELECT q.qid, tf.doc_id,
-        |    sum(ln((st.n - dfq.df + 0.5)/(dfq.df + 0.5) + 1)
-        |        * tf.tf * (1.2 + 1)
-        |        / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.len/(st.sl*1.0/st.n))))
-        |      AS score
-        |  FROM tf
-        |  JOIN dfq USING (term)
-        |  JOIN dl USING (doc_id)
-        |  JOIN q USING (term)
-        |  CROSS JOIN st
-        |  GROUP BY 1, 2
-        |),
-        |sa AS (
-        |  SELECT qid, doc_id, ra FROM (
-        |    SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
-        |      ORDER BY round(score, 6) DESC, doc_id) AS ra
-        |    FROM sc)
-        |  WHERE ra <= 10
-        |),
-        |ctw AS (
-        |  SELECT doc_id, word FROM (
-        |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM cd)
-        |  WHERE len(word) > 0
-        |),
-        |ctf AS (
-        |  SELECT doc_id, list_reduce(
-        |      list_transform(string_split(word, ''),
-        |        ch -> CAST(ascii(ch) AS BIGINT)),
-        |      (acc, x) -> (acc*31 + x) % 1000000007) AS fp
-        |  FROM ctw
-        |),
-        |ctn AS (SELECT doc_id, greatest(count(*), 1) AS nw FROM ctf GROUP BY 1),
-        |ks AS (SELECT unnest(generate_series(0, 7)) AS k2),
-        |cv0 AS (
-        |  SELECT f.doc_id, k2,
-        |    sum((f.fp + k2*4001) % 97 - 48) / (48.0 * ctn.nw) AS v
-        |  FROM ctf f JOIN ctn USING (doc_id) CROSS JOIN ks
-        |  GROUP BY f.doc_id, k2, ctn.nw
-        |),
-        |cv AS (SELECT doc_id, list(v ORDER BY k2) AS v FROM cv0 GROUP BY 1),
-        |cn2 AS (SELECT doc_id, sqrt(list_inner_product(v, v)) AS n FROM cv),
-        |qtw AS (
-        |  SELECT doc_id, word FROM (
-        |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM qd)
-        |  WHERE len(word) > 0
-        |),
-        |qtf AS (
-        |  SELECT doc_id, list_reduce(
-        |      list_transform(string_split(word, ''),
-        |        ch -> CAST(ascii(ch) AS BIGINT)),
-        |      (acc, x) -> (acc*31 + x) % 1000000007) AS fp
-        |  FROM qtw
-        |),
-        |qtn AS (SELECT doc_id, greatest(count(*), 1) AS nw FROM qtf GROUP BY 1),
-        |qv0 AS (
-        |  SELECT f.doc_id, k2,
-        |    sum((f.fp + k2*4001) % 97 - 48) / (48.0 * qtn.nw) AS v
-        |  FROM qtf f JOIN qtn USING (doc_id) CROSS JOIN ks
-        |  GROUP BY f.doc_id, k2, qtn.nw
-        |),
-        |qv AS (SELECT doc_id, list(v ORDER BY k2) AS v FROM qv0 GROUP BY 1),
-        |qn2 AS (SELECT doc_id, sqrt(list_inner_product(v, v)) AS n FROM qv),
-        |den AS (
-        |  SELECT qv.doc_id AS qid, cv.doc_id,
-        |    round(list_inner_product(qv.v, cv.v) / (qn2.n * cn2.n), 6) AS cos
-        |  FROM qv JOIN qn2 ON qv.doc_id = qn2.doc_id
-        |  CROSS JOIN cv
-        |  JOIN cn2 ON cv.doc_id = cn2.doc_id
-        |),
-        |da AS (
-        |  SELECT qid, doc_id, rb FROM (
-        |    SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
-        |      ORDER BY cos DESC, doc_id) AS rb
-        |    FROM den)
-        |  WHERE rb <= 10
-        |),
-        |f AS (
-        |  SELECT coalesce(sa.qid, da.qid) AS qid,
-        |    coalesce(sa.doc_id, da.doc_id) AS doc_id,
-        |    round(coalesce(1.0/(60 + sa.ra), 0)
-        |      + coalesce(1.0/(60 + da.rb), 0), 6) AS rrf
-        |  FROM sa FULL JOIN da
-        |    ON sa.qid = da.qid AND sa.doc_id = da.doc_id
-        |)
-        |SELECT qid, doc_id, rrf, rank FROM (
-        |  SELECT qid, doc_id, rrf, row_number() OVER (PARTITION BY qid
-        |    ORDER BY rrf DESC, doc_id) AS rank
-        |  FROM f)
-        |WHERE rank <= 10""".stripMargin,
+    "p_hybrid_search" -> hybridSearchOracle,
+    "p_hybrid_recall" -> hybridRecallOracle,
     // the chunk chain feeding the same BM25 formula, passage-id packed
     "p_bm25_passages" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -4190,6 +4381,41 @@ object PipelineQueries {
         |),
         |tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |),
+        |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
+        |st AS (SELECT count(*) AS n, sum(len) AS sl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM tok JOIN tq USING (term) GROUP BY 1, 2
+        |),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    sum(ln((st.n - dfq.df + 0.5)/(dfq.df + 0.5) + 1)
+        |        * tf.tf * (1.2 + 1)
+        |        / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.len/(st.sl*1.0/st.n))))
+        |      AS score
+        |  FROM tf
+        |  JOIN dfq USING (term)
+        |  JOIN dl USING (doc_id)
+        |  CROSS JOIN st
+        |  GROUP BY 1
+        |),
+        |rk AS (
+        |  SELECT doc_id, round(score, 6) AS score,
+        |    row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+        |  FROM sc
+        |)
+        |SELECT doc_id, score, rank FROM rk WHERE rank <= 20""".stripMargin,
+    // the as-of ranking = one-shot BM25 over ONLY the waves-0/1 document
+    // slice (idf, avgdl, lengths all from the historical corpus)
+    "s_bm25_asof" ->
+      """WITH tq AS (
+        |  SELECT unnest(['spark', 'vector', 'merge']) AS term
+        |),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE doc_id % 3 <= 1
         |),
         |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
         |st AS (SELECT count(*) AS n, sum(len) AS sl FROM dl),
@@ -5929,6 +6155,27 @@ object PipelineQueries {
     "p_curate_pipeline" -> curateOracle,
     // incremental curation must equal the one-shot pipeline exactly
     "s_curate" -> curateOracle,
+    // the selection SERVED after the low-drift wave = one-shot curate
+    // over the wave-0 docs alone (the baseline snapshot's corpus)
+    "s_curate_drift_hold" ->
+      s"""WITH ${curateCtesFrom(
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0)")},
+        |kept2 AS (
+        |  SELECT p.doc_id, p.avg_nll, len(ct.toks) AS n_tok
+        |  FROM ppl p JOIN ct USING (doc_id) WHERE p.avg_nll <= 3.43
+        |),
+        |$curateSel""".stripMargin,
+    // the selection after the threshold-crossing wave = one-shot curate
+    // over the FULL corpus with the wave-2 splice applied
+    "s_curate_drift" ->
+      s"""WITH ${curateCtesFrom(
+        "(SELECT doc_id, CASE WHEN doc_id % 3 = 2 THEN text || '" +
+          DriftPhrase + "' ELSE text END AS text FROM documents)")},
+        |kept2 AS (
+        |  SELECT p.doc_id, p.avg_nll, len(ct.toks) AS n_tok
+        |  FROM ppl p JOIN ct USING (doc_id) WHERE p.avg_nll <= 3.43
+        |),
+        |$curateSel""".stripMargin,
     "q_sql_curate" -> curateOracle,
     "p_curate_bpe" -> curateBpeOracle,
     "p_train_manifest" -> trainManifestOracle,

@@ -128,10 +128,22 @@ object Corpus {
   def bm25Decontaminate(corpus: DataFrame, evalDocs: DataFrame,
       idCol: String, textCol: String, k: Int = 5, width: Int = 20,
       stride: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // provenance packs as pid = id·100000 + chunk_idx; a doc with ≥100000
+    // chunks (~1M tokens at the default width/stride) or an id past
+    // Long.MaxValue/100000 would silently collide/overflow and
+    // misattribute leakage — fail loudly instead (the raise_error
+    // fixed-width key discipline)
+    val guarded = when(col("c.chunk_idx") < 100000L &&
+        abs(col(idCol).cast("long")) < lit(Long.MaxValue / 100000L),
+        col(idCol) * 100000L + col("c.chunk_idx"))
+      .otherwise(raise_error(concat(
+        lit("bm25Decontaminate: provenance key overflow (id "),
+        col(idCol).cast("string"), lit(", chunk_idx "),
+        col("c.chunk_idx").cast("string"),
+        lit(") — split the document or widen the key"))))
     val passages = corpus.select(col(idCol),
         explode(TextOps.slidingChunks(col(textCol), width, stride)).as("c"))
-      .select((col(idCol) * 100000L + col("c.chunk_idx")).as("pid"),
-        col("c.chunk").as("__ptext"))
+      .select(guarded.as("pid"), col("c.chunk").as("__ptext"))
     val post = TfIdf.postings(passages, "pid", "__ptext")
     val q = evalDocs.select(col(idCol).as("eval_id"),
       explode(TextOps.tokens(col(textCol))).as("term")).distinct()
@@ -246,16 +258,21 @@ object Corpus {
     */
   def manifestDiff(oldSel: DataFrame, newSel: DataFrame, idCol: String,
       cmpCol: String): DataFrame = {
-    val o = oldSel.select(col(idCol), col(cmpCol).as("old_val"))
-    val n = newSel.select(col(idCol), col(cmpCol).as("new_val"))
+    // status derives from ROW PRESENCE (explicit flags), not value
+    // nullness: a kept id whose cmpCol is legitimately NULL on one side
+    // must read as kept-with-changed, never as added/removed
+    val o = oldSel.select(col(idCol), col(cmpCol).as("old_val"),
+      lit(true).as("__po"))
+    val n = newSel.select(col(idCol), col(cmpCol).as("new_val"),
+      lit(true).as("__pn"))
     o.join(n, Seq(idCol), "full_outer")
       .select(col(idCol),
-        when(col("old_val").isNull, "added")
-          .when(col("new_val").isNull, "removed")
+        when(col("__po").isNull, "added")
+          .when(col("__pn").isNull, "removed")
           .otherwise("kept").as("status"),
         col("old_val"), col("new_val"),
-        coalesce(col("old_val") =!= col("new_val"), lit(true))
-          .as("changed"))
+        (col("__po").isNull || col("__pn").isNull ||
+          !(col("old_val") <=> col("new_val"))).as("changed"))
   }
 
   /** TOKEN-DISTRIBUTION DRIFT between two corpus versions — the release
@@ -305,6 +322,31 @@ object Corpus {
       .select(col("word"), col("n_old"), col("n_new"),
         round(pOld, 6).as("p_old"), round(pNew, 6).as("p_new"),
         col("delta"), round(pNew * log(pNew / pOld), 6).as("kl_term"))
+  }
+
+  /** Total KL(new‖old) between two (word, freq) tables — the SCALAR the
+    * drift-triggered maintenance loop thresholds
+    * ([[graft.streaming.CurateMaintainer.processBatchDriftTriggered]]);
+    * [[tokenDriftFromCounts]] is its per-word diagnostic view. Same
+    * Laplace smoothing over the union vocabulary; one full-outer join +
+    * one aggregate — cost ∝ vocabulary, never the corpus. An EMPTY old
+    * side yields KL against the uniform prior — small for a near-uniform
+    * corpus — so a maintenance loop must fire its FIRST derivation
+    * unconditionally rather than lean on this value.
+    */
+  def klTotal(oldCounts: DataFrame, newCounts: DataFrame): Double = {
+    val co = oldCounts.select(col("word"), col("freq").as("n_old"))
+    val cn = newCounts.select(col("word"), col("freq").as("n_new"))
+    val u = co.join(cn, Seq("word"), "full_outer")
+      .select(coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val tot = u.agg(sum(col("n_old")).as("__so"),
+      sum(col("n_new")).as("__sn"), count(lit(1)).as("__v"))
+    val pOld = (col("n_old") + 1).cast("double") / (col("__so") + col("__v"))
+    val pNew = (col("n_new") + 1).cast("double") / (col("__sn") + col("__v"))
+    u.crossJoin(broadcast(tot))
+      .agg(coalesce(sum(pNew * log(pNew / pOld)), lit(0.0)))
+      .head().getDouble(0)
   }
 
   /** The modern curation pipeline end to end, one call — the composition a

@@ -34,16 +34,23 @@ object AnnIndexMaintainer {
   private val indexSchema: StructType = StructType(Seq(
     StructField("id", LongType),
     StructField("v", ArrayType(DoubleType), nullable = true),
+    StructField("batch_id", LongType),
     StructField("cell", IntegerType)))
 
   /** One micro-batch: assign cells, persist as a cell-partitioned batch dir.
-    * Exposed for direct (non-streaming) batch ingestion too.
+    * Exposed for direct (non-streaming) batch ingestion too. Each row
+    * carries its ingest batch id — the version axis [[searchAsOf]]
+    * time-travels on: the inverted file is append-only, so every
+    * historical index version stays addressable from the CURRENT files
+    * even after [[compact]] folds batch dirs (the fold preserves
+    * `batch_id`).
     */
   def processBatch(batch: DataFrame, batchId: Long, idCol: String,
       vecCol: String, cents: Array[Array[Double]], indexDir: String,
       roundScale: Int = -1): Unit = {
     batch.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"))
+      .withColumn("batch_id", lit(batchId))
       .withColumn("cell", graft.functions.VectorFns.nearestCellNative(
         col("v"), cents, roundScale))
       // cluster by cell before the partitioned write: without this every
@@ -97,6 +104,27 @@ object AnnIndexMaintainer {
       rankOnRoundedTo)
   }
 
+  /** TIME-TRAVEL probe: the top-k exactly as the index answered after
+    * batch `asOf` committed — the scan sees only rows with
+    * `batch_id <= asOf` (read from the CURRENT files; exact through
+    * compaction because the inverted file is append-only). Partition
+    * pruning is unchanged: the `cell IN (...)` filter lands before the
+    * version predicate.
+    */
+  def searchAsOf(spark: SparkSession, indexDir: String,
+      cents: Array[Array[Double]], queryVecs: Seq[(Long, Array[Double])],
+      k: Int, asOf: Long, nprobe: Int = 4,
+      rankOnRoundedTo: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val probeCells = queryVecs
+      .flatMap(q => Ann.nearestCellsLocal(q._2, cents, nprobe)).distinct
+    val idx = readIndex(spark, indexDir)
+      .where(col("cell").isin(probeCells: _*) && col("batch_id") <= asOf)
+    val qdf = queryVecs.map { case (id, v) => (id, v.toSeq) }.toDF("id", "v")
+    Ann.ivfSearchAssigned(idx, qdf, "id", "v", k, nprobe, cents,
+      rankOnRoundedTo)
+  }
+
   // ---- IVF-PQ variant: the inverted file carries PQ codes alongside ----
 
   private val indexPqSchema: StructType = StructType(Seq(
@@ -104,6 +132,7 @@ object AnnIndexMaintainer {
     StructField("v", ArrayType(DoubleType), nullable = true),
     StructField("codes", ArrayType(IntegerType), nullable = true),
     StructField("rn2", DoubleType),
+    StructField("batch_id", LongType),
     StructField("cell", IntegerType)))
 
   /** [[processBatch]] with PQ codes: each row is cell-assigned AND encoded
@@ -125,7 +154,8 @@ object AnnIndexMaintainer {
         Ann.pqEncode(asn, "id", "v", codebooks,
           if (roundScale >= 0) Some(roundScale) else None),
         Seq("id"))
-      .select(col("id"), col("v"), col("codes"), col("rn2"), col("cell"))
+      .select(col("id"), col("v"), col("codes"), col("rn2"),
+        lit(batchId).as("batch_id"), col("cell"))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexDir/b$batchId")

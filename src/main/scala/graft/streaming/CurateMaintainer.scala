@@ -146,6 +146,75 @@ object CurateMaintainer {
     Corpus.trainManifestFrom(sel, idCol, textCol, merges, seqLen, epochs)
   }
 
+  /** DRIFT-TRIGGERED re-curation — the reference's R17 threshold-
+    * maintenance idea (recathon.c:1089 rebuilds a recommender once
+    * inserts cross 0.5× the build-time event total) applied to
+    * DISTRIBUTION SHIFT instead of insert volume: every batch maintains
+    * the cheap incremental state (curation scans via [[processBatch]],
+    * word-frequency counts), but the EXPENSIVE selection re-derivation
+    * runs only when the corpus's token distribution has actually moved —
+    * KL(current ‖ baseline snapshot) ≥ `klThreshold`, computed from two
+    * state reads ([[graft.ops.Corpus.klTotal]]), never a corpus re-scan.
+    * When it fires, the selection re-derives from state ([[curated]] over
+    * `ingested`, the batch view of everything so far), persists to
+    * `stateDir/selection`, and the baseline advances to this batch; when
+    * it does not, the persisted selection keeps serving unchanged.
+    * Volume-only triggering re-curates on every growth spurt even when
+    * the new data is distributionally identical (wasted derivations) and
+    * sleeps through a same-size drift (stale selection) — the KL trigger
+    * keys on the thing curation actually depends on.
+    *
+    * Replay-safe: word-freq/state writes are overwrite-idempotent batch
+    * dirs, and the baseline marker is written AFTER the selection lands —
+    * a crashed firing replays with the old baseline, recomputes the same
+    * KL, and rewrites the identical selection. Returns true iff this
+    * batch re-derived.
+    */
+  def processBatchDriftTriggered(batch: DataFrame, ingested: DataFrame,
+      batchId: Long, idCol: String, textCol: String, width: Int,
+      stateDir: String, klThreshold: Double = 0.05,
+      pplKeepBelow: Double = 3.43, tokenBudget: Long = 6000L): Boolean = {
+    val spark = batch.sparkSession
+    processBatch(batch, batchId, idCol, textCol, width, s"$stateDir/cur")
+    graft.ops.Bpe.wordFreq(batch, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$stateDir/freq/b$batchId")
+    val baseline = selectionBaseline(stateDir)
+    // first firing is unconditional (R17's initial build); after that,
+    // the KL between the baseline snapshot and now decides
+    val fire = baseline < 0L || graft.ops.Corpus.klTotal(
+      BpeMaintainer.stateWordFreq(spark, s"$stateDir/freq", baseline),
+      BpeMaintainer.stateWordFreq(spark, s"$stateDir/freq", batchId)) >=
+      klThreshold
+    if (fire) {
+      val sel = curated(ingested, idCol, textCol, s"$stateDir/cur", width,
+        pplKeepBelow, tokenBudget)
+      val tmp = new java.io.File(stateDir, ".selection.tmp")
+      graft.Exec.deletePath(tmp.getPath)
+      sel.write.mode("overwrite").parquet(tmp.getPath)
+      val dest = new java.io.File(stateDir, "selection")
+      graft.Exec.deletePath(dest.getPath)
+      require(tmp.renameTo(dest), s"selection swap failed in $stateDir")
+      new java.io.File(stateDir, s"selbase$batchId").mkdirs()
+    }
+    fire
+  }
+
+  /** The batch at which the selection was last re-derived (−1 before the
+    * first firing). */
+  def selectionBaseline(stateDir: String): Long =
+    Option(new java.io.File(stateDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("selbase"))
+      .flatMap(_.getName.stripPrefix("selbase").toLongOption)
+      .sorted.lastOption.getOrElse(-1L)
+
+  /** The selection currently being served — whatever the last firing
+    * persisted (callers between firings read a stable artifact, not a
+    * recomputation). */
+  def currentSelection(spark: SparkSession, stateDir: String): DataFrame = {
+    spark.catalog.refreshByPath(s"$stateDir/selection")
+    spark.read.parquet(s"$stateDir/selection")
+  }
+
   private def readMap(spark: SparkSession, stateDir: String): DataFrame = {
     val dir = s"$stateDir/map"
     val maxC = BatchDirs.listDirs(dir, "c").lastOption

@@ -24,12 +24,20 @@ object SearchIndexMaintainer {
   private def postSchema(idCol: String): StructType = StructType(Seq(
     StructField(idCol, LongType),
     StructField("term", StringType),
-    StructField("tf", LongType)))
+    StructField("tf", LongType),
+    StructField("batch_id", LongType)))
 
-  /** One micro-batch: tokenize + persist the postings. */
+  /** One micro-batch: tokenize + persist the postings. Each row carries
+    * its ingest batch id — the version axis [[searchAsOf]] time-travels
+    * on: postings are append-only (no tombstones), so every historical
+    * index version stays addressable from the CURRENT files even after
+    * [[compact]] folds batch dirs (the fold is a pure row union that
+    * preserves `batch_id`).
+    */
   def processBatch(batch: DataFrame, batchId: Long, idCol: String,
       textCol: String, stateDir: String): Unit =
     TfIdf.postings(batch, idCol, textCol)
+      .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite").parquet(s"$stateDir/b$batchId")
 
   /** The accumulated postings as of the last committed batch. */
@@ -80,6 +88,22 @@ object SearchIndexMaintainer {
     }
   }
 
+  /** TIME-TRAVEL search: the top-k exactly as the index answered after
+    * batch `asOf` committed — ranking (N, avgdl, df, lengths included)
+    * derives from postings rows with `batch_id <= asOf` only, read from
+    * the CURRENT files ([[processBatch]]'s version axis; exact through
+    * compaction because postings are append-only). Lengths re-aggregate
+    * from the as-of postings slice — the current sidecar covers the
+    * current horizon, not a historical one; an audit read pays that
+    * one-pass collapse.
+    */
+  def searchAsOf(spark: SparkSession, stateDir: String, idCol: String,
+      query: Seq[String], k: Int, asOf: Long, k1: Double = 1.2,
+      b: Double = 0.75, roundTo: Int = 6): DataFrame =
+    TfIdf.bm25FromPostings(
+      readPostings(spark, idCol, stateDir).where(col("batch_id") <= asOf),
+      idCol, query, k, k1, b, roundTo)
+
   private def lenSchema(idCol: String): StructType = StructType(Seq(
     StructField(idCol, LongType),
     StructField("len", LongType)))
@@ -104,7 +128,11 @@ object SearchIndexMaintainer {
       BatchDirs.readUnion(spark, deltaDirs, postSchema(idCol),
           partitioned = false)
         .map(d => base.unionByName(
-          d.groupBy(col(idCol)).agg(sum(col("tf")).as("len"))))
+            d.groupBy(col(idCol)).agg(sum(col("tf")).as("len")))
+          // a doc whose postings straddle the sidecar and a delta batch
+          // would otherwise surface two (id, len) rows and inflate
+          // N/avgdl — re-collapse the union (cheap: one row per doc)
+          .groupBy(col(idCol)).agg(sum(col("len")).as("len")))
         .getOrElse(base)
     }
   }
