@@ -375,4 +375,24 @@ class PlanSpec extends SparkSpec {
     p should not include "bigram"
     p should not include "fail_mask"
   }
+
+  test("AnnIndexMaintainer.searchAsOf: cell pruning stays a partition filter; batch_id is a pushed data filter") {
+    import graft.streaming.AnnIndexMaintainer
+    val dir = java.nio.file.Files.createTempDirectory("asofplan").toString
+    val vecs = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)),
+      (2L, Seq(0.9, 0.1))).toDF("vec_id", "embedding")
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    AnnIndexMaintainer.processBatch(vecs, 0L, "vec_id", "embedding", cents,
+      dir)
+    AnnIndexMaintainer.processBatch(vecs.limit(0), 1L, "vec_id",
+      "embedding", cents, dir)
+    val p = plan(AnnIndexMaintainer.searchAsOf(spark, dir, cents,
+      Seq((9L, Array(1.0, 0.0))), k = 2, asOf = 0L, nprobe = 1)).toString
+    // the probe-cell predicate must land on the `cell=` DIRECTORY column
+    // (directories never opened), the version predicate on the data rows
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    pf should include("cell")
+    p.linesIterator.find(_.contains("PushedFilters")).getOrElse("") should
+      include("batch_id")
+  }
 }
