@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Ann, Corpus, Dedup, LangModel, Packing, Sampling, TextOps, TfIdf}
+import graft.ops.{Ann, Corpus, Dedup, LangModel, Packing, Sampling, TextOps, TfIdf, Tower}
 
 /** Training-data pipeline operators exposed to the driver gate: dedup family,
   * text analysis, similarity search (builder-prompt "beyond the reference"
@@ -211,6 +211,20 @@ object PipelineQueries {
   private[graft] val DriftPhrase =
     " zzdrift zzshift zzdrift zzshift zzdrift zzshift"
 
+  /** The wave-2 splice of the EMBEDDING drift gates (s_knn_retrain):
+    * +[[EmbShift]] on every component moves the spliced vectors ‖shift‖² ≈
+    * EmbShift²·64 away from the unit sphere the quantizer was trained on,
+    * so post-baseline mean distortion explodes (measured 227× baseline
+    * at sf0.01) while the hold run's plain waves stay low
+    * (wave-0-trained quantizer scoring waves 1-2 of the same
+    * distribution: train-vs-test distortion, measured 1.87×). Threshold
+    * [[RetrainRatio]] sits ≥ 50× below the shift and ≥ 2× above the null
+    * at both test scales — the [[DriftPhrase]] margin discipline. One
+    * Scala literal; the oracle renders it.
+    */
+  private[graft] val EmbShift = 2.0
+  private[graft] val RetrainRatio = 4.0
+
   /** One drift-triggered-curation run per (JVM, sf dir): three waves
     * through [[graft.streaming.CurateMaintainer.processBatchDriftTriggered]]
     * (wave 2 spliced with [[DriftPhrase]]); returns the selection being
@@ -242,6 +256,23 @@ object PipelineQueries {
       }
       (held, graft.Exec.materializeLocal(
         graft.streaming.CurateMaintainer.currentSelection(s, s"$base/state")))
+    })
+
+  /** One LEARNED-TOWER train per (JVM, sf dir): the ridge head
+    * ([[Tower.ridgeHead]], embedding → label) persisted as the (j, k, w)
+    * artifact, consumed read-back by every tower gate — train
+    * determinism is irrelevant to the compare because both engines
+    * project through the SAME persisted weights (the centroid contract).
+    */
+  private val towerWeightsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  private def towerWeightsFor(s: SparkSession, d: String): Array[Array[Double]] =
+    towerWeightsCache.computeIfAbsent(d, _ => {
+      Tower.ridgeHead(emb(s, d), "embedding", "label")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(annArtifactBase(d) + "/tower_weights")
+      Tower.weightsFromDf(s.read.parquet(annArtifactBase(d) + "/tower_weights"))
     })
 
   /** One hyperplane-set persist per (JVM, sf dir): p_lsh_multiprobe and
@@ -734,6 +765,136 @@ object PipelineQueries {
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
       graft.streaming.AnnIndexMaintainer.searchAsOf(s, idxBase, cents,
         queries, k = 10, asOf = 1L, rankOnRoundedTo = Some(6))
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
+    }),
+    // LEARNED-TOWER swap, brute arm: every retrieval consumer takes an
+    // embedding column, so swapping the closed-form tower for TRAINED
+    // weights (ridge head, embedding → label, persisted (j,k,w)) is a
+    // column substitution — this gate proves it on the exact baseline:
+    // brute cosine top-k IN THE LEARNED SPACE. The oracle re-derives the
+    // projection from the persisted weights (sequential inner products —
+    // bitwise-equal before rounding) and the full ranking from scratch.
+    "p_learned_tower" -> ((s, d) => {
+      val w = towerWeightsFor(s, d)
+      val proj = emb(s, d).select(col("vec_id"),
+        Tower.project(col("embedding"), w).as("pv"))
+      Ann.bruteTopK(proj, proj.where(col("vec_id") < 5), "vec_id", "pv",
+          k = 10, rankOnRoundedTo = Some(6))
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
+    }),
+    // LEARNED-TOWER swap, maintained arm: the streamed cell-partitioned
+    // IVF index built OVER THE LEARNED SPACE — quantizer trained on the
+    // projected corpus (√N law), three ingest waves, mid-stream fold,
+    // pruned-probe search — proving the maintained plumbing is
+    // model-agnostic end to end. Oracle: projection CTEs from the
+    // persisted weights feeding the standard IVF re-derivation from the
+    // persisted learned-space centroids.
+    "s_knn_learned" -> ((s, d) => {
+      val w = towerWeightsFor(s, d)
+      val proj = emb(s, d).select(col("vec_id"),
+        Tower.project(col("embedding"), w).as("pv"))
+      val (cdf, _) = Ann.ivfTrainBalanced(proj, "pv")
+      cdf.coalesce(1).write.mode("overwrite")
+        .parquet(annArtifactBase(d) + "/learned_cents")
+      val cents = Ann.ivfCentroidsFromDf(
+        s.read.parquet(annArtifactBase(d) + "/learned_cents"))
+      val idxBase = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_annlearned", Tables.runKey(d)).toString
+      graft.Exec.deletePath(idxBase)
+      (0 until 3).foreach { g =>
+        graft.streaming.AnnIndexMaintainer.processBatch(
+          proj.where(col("vec_id") % 3 === g), g.toLong, "vec_id", "pv",
+          cents, idxBase)
+        if (g == 1) graft.streaming.AnnIndexMaintainer.compact(s, idxBase)
+      }
+      val queries = proj.where(col("vec_id") < 5)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      graft.streaming.AnnIndexMaintainer.search(s, idxBase, cents, queries,
+        k = 10, rankOnRoundedTo = Some(6))
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
+    }),
+    // DRIFT-TRIGGERED QUANTIZER RETRAIN, driver-gated — the maintenance
+    // loop the frozen-centroid policy requires: three monitored waves
+    // (wave 2 spliced +EmbShift per component — far off the unit sphere
+    // the wave-0-trained quantizer knows), the per-batch distortion
+    // sidecar crosses RetrainRatio, and the OFFLINE retrain+rebuild
+    // (fresh √N quantizer over the accumulated index, one re-assignment
+    // pass into a new-generation dir) swaps in. The search over the
+    // rebuilt index must equal the one-shot IVF scan over the full
+    // spliced corpus with the RETRAINED persisted centroids — proving the
+    // rebuild is a real from-scratch-equivalent index, not a patched one.
+    "s_knn_retrain" -> ((s, d) => {
+      val spliced = emb(s, d).select(col("vec_id"),
+        when(col("vec_id") % 3 === 2,
+          transform(col("embedding").cast("array<double>"),
+            x => x + lit(EmbShift)))
+        .otherwise(col("embedding").cast("array<double>")).as("embedding"))
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_annretrain", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      val (c0df, _) = Ann.ivfTrainBalanced(
+        spliced.where(col("vec_id") % 3 === 0), "embedding")
+      val cents0 = Ann.ivfCentroidsFromDf(c0df)
+      (0 until 3).foreach { g =>
+        graft.streaming.AnnIndexMaintainer.processBatchMonitored(
+          spliced.where(col("vec_id") % 3 === g), g.toLong, "vec_id",
+          "embedding", cents0, s"$base/idx")
+        if (g == 0)
+          graft.streaming.AnnIndexMaintainer.markTrained(s"$base/idx", 0L)
+      }
+      require(graft.streaming.AnnIndexMaintainer.shouldRetrain(
+        s, s"$base/idx", RetrainRatio),
+        s"distribution shift undetected (ratio ${graft.streaming
+          .AnnIndexMaintainer.driftRatio(s, s"$base/idx")})")
+      graft.streaming.AnnIndexMaintainer.retrain(s, s"$base/idx",
+          s"$base/idx2")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(annArtifactBase(d) + "/retrain_cents")
+      val cents1 = Ann.ivfCentroidsFromDf(
+        s.read.parquet(annArtifactBase(d) + "/retrain_cents"))
+      val queries = spliced.where(col("vec_id") < 5)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      graft.streaming.AnnIndexMaintainer.search(s, s"$base/idx2", cents1,
+        queries, k = 10, rankOnRoundedTo = Some(6))
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
+    }),
+    // The HOLD arm: plain waves (no shift) through the same monitored
+    // loop must NOT fire — the search keeps answering from the original
+    // index under the original quantizer, and the oracle reads the
+    // BOOTSTRAP persisted centroids, so a spurious retrain (which would
+    // serve from a different quantizer) hash-fails.
+    "s_knn_retrain_hold" -> ((s, d) => {
+      val e = emb(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>")
+          .as("embedding"))
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_annretrainh", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      val (c0df, _) = Ann.ivfTrainBalanced(
+        e.where(col("vec_id") % 3 === 0), "embedding")
+      c0df.coalesce(1).write.mode("overwrite")
+        .parquet(annArtifactBase(d) + "/retrain_hold_cents")
+      val cents0 = Ann.ivfCentroidsFromDf(
+        s.read.parquet(annArtifactBase(d) + "/retrain_hold_cents"))
+      (0 until 3).foreach { g =>
+        graft.streaming.AnnIndexMaintainer.processBatchMonitored(
+          e.where(col("vec_id") % 3 === g), g.toLong, "vec_id",
+          "embedding", cents0, s"$base/idx")
+        if (g == 0)
+          graft.streaming.AnnIndexMaintainer.markTrained(s"$base/idx", 0L)
+      }
+      require(!graft.streaming.AnnIndexMaintainer.shouldRetrain(
+        s, s"$base/idx", RetrainRatio),
+        s"spurious retrain trigger (ratio ${graft.streaming
+          .AnnIndexMaintainer.driftRatio(s, s"$base/idx")})")
+      val queries = e.where(col("vec_id") < 5)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      graft.streaming.AnnIndexMaintainer.search(s, s"$base/idx", cents0,
+        queries, k = 10, rankOnRoundedTo = Some(6))
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
     }),
@@ -2947,14 +3108,42 @@ object PipelineQueries {
       |SELECT query_id, neighbor_id, rank, cos FROM rk2
       |WHERE rank <= 10""".stripMargin
 
+  /** The plain double-cast corpus CTE body of [[ivfOracle]]; gates that
+    * scan a TRANSFORMED corpus (the drift-retrain splice) inject their own.
+    */
+  private val ivfPlainCorpusSql: String =
+    """SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings""".stripMargin
+
+  /** The learned-space corpus: projection through the persisted ridge-head
+    * weights, sequential inner products per output dim (bitwise-equal to
+    * the Spark codegen dots before the shared round-6). Yields `proj`
+    * (vec_id, v).
+    */
+  private val towerProjCtes: String =
+    """tw AS (SELECT j, k, w FROM '__ANN_ARTIFACTS__/tower_weights/*.parquet'),
+      |twc AS (SELECT k, list(w ORDER BY j) AS wv FROM tw GROUP BY k),
+      |rawe AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+      |  FROM embeddings
+      |),
+      |pf AS (
+      |  SELECT r.vec_id, t.k AS dim,
+      |    round(list_inner_product(r.ev, t.wv), 6) AS pv
+      |  FROM rawe r CROSS JOIN twc t
+      |),
+      |proj AS (SELECT vec_id, list(pv ORDER BY dim) AS v FROM pf GROUP BY 1)"""
+      .stripMargin
+
   private def ivfOracle(centroidsDir: String,
-      corpusWhere: String = "TRUE"): String =
-    s"""WITH cents AS (
+      corpusWhere: String = "TRUE",
+      corpusSql: String = ivfPlainCorpusSql,
+      preCtes: String = ""): String =
+    s"""WITH ${if (preCtes.isEmpty) "" else preCtes + ",\n"}cents AS (
       |  SELECT cid, c FROM '__ANN_ARTIFACTS__/$centroidsDir/*.parquet'
       |),
       |e AS (
-      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      |  FROM embeddings
+      |  $corpusSql
       |),
       |nrm AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS n FROM e),
       |cd AS (
@@ -4200,6 +4389,41 @@ object PipelineQueries {
     // corpus slice, same persisted quantizer (queries still the full
     // vec_id < 5 set)
     "s_knn_asof" -> ivfOracle("asof_centroids_s", "vec_id % 3 <= 1"),
+    // the rebuilt index must answer exactly like a from-scratch IVF scan
+    // of the full SPLICED corpus under the retrained persisted quantizer
+    "s_knn_retrain" -> ivfOracle("retrain_cents", "TRUE",
+      s"""SELECT vec_id, CASE WHEN vec_id % 3 = 2
+         |    THEN list_transform(embedding, x -> CAST(x AS DOUBLE) + $EmbShift)
+         |    ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS v
+         |  FROM embeddings""".stripMargin),
+    // the hold arm keeps serving under the BOOTSTRAP quantizer — a
+    // spurious retrain would answer from different centroids and hash-fail
+    "s_knn_retrain_hold" -> ivfOracle("retrain_hold_cents"),
+    // brute cosine top-k entirely in the learned space: projection from
+    // the persisted ridge-head weights, then the full from-scratch ranking
+    "p_learned_tower" ->
+      s"""WITH $towerProjCtes,
+         |nrm AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS n FROM proj),
+         |sc AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(list_inner_product(q.v, c.v)/(nq.n*nc.n), 6) AS cos
+         |  FROM proj q JOIN proj c ON c.vec_id <> q.vec_id
+         |  JOIN nrm nq ON q.vec_id = nq.vec_id
+         |  JOIN nrm nc ON c.vec_id = nc.vec_id
+         |  WHERE q.vec_id < 5
+         |),
+         |rk AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM sc
+         |)
+         |SELECT query_id, neighbor_id, rank, cos FROM rk
+         |WHERE rank <= 10""".stripMargin,
+    // the standard IVF re-derivation, run over the learned-space corpus
+    // and the learned-space persisted centroids
+    "s_knn_learned" -> ivfOracle("learned_cents", "TRUE",
+      "SELECT vec_id, v FROM proj", towerProjCtes),
     // fixed persisted codebooks → codes (per-subspace argmin on round 6,
     // lowest-cid ties), ADC lookup-table scores, k·rerank=40 shortlist,
     // exact rerank — the verbatim SQL rendering of Ann.pqTopK's scan stages

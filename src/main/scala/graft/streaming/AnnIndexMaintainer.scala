@@ -125,6 +125,138 @@ object AnnIndexMaintainer {
       rankOnRoundedTo)
   }
 
+  // ---- drift-monitored maintenance: distortion metrics + offline retrain --
+
+  private val metricsSchema: StructType = StructType(Seq(
+    StructField("batch_id", LongType),
+    StructField("n", LongType),
+    StructField("sum_d2", DoubleType)))
+
+  /** [[processBatch]] plus a per-batch QUANTIZATION-DISTORTION record — the
+    * drift signal for the frozen-quantizer policy. The batch's rows (read
+    * back from the dir the batch just wrote — the metric measures what the
+    * index actually holds) join the broadcast centroid frame on their
+    * assigned cell and accumulate Σ‖v − c(cell)‖² = Σ(v·v − 2·v·c + c·c)
+    * (three codegen dots, one map-side agg) into
+    * `indexDir/m/b<batchId>` as (batch_id, n, sum_d2). The sufficient
+    * statistic is mergeable, so the drift decision ([[driftRatio]]) is two
+    * sums over a per-batch-sized sidecar — never a corpus re-scan — and
+    * the write is overwrite-idempotent (replay recomputes the identical
+    * row from the identically-rewritten batch dir).
+    */
+  def processBatchMonitored(batch: DataFrame, batchId: Long, idCol: String,
+      vecCol: String, cents: Array[Array[Double]], indexDir: String,
+      roundScale: Int = -1): Unit = {
+    processBatch(batch, batchId, idCol, vecCol, cents, indexDir, roundScale)
+    val spark = batch.sparkSession
+    val written = spark.read.schema(indexSchema)
+      .option("basePath", s"$indexDir/b$batchId")
+      .parquet(s"$indexDir/b$batchId")
+    writeMetrics(spark, written, batchId, cents, indexDir)
+  }
+
+  private def writeMetrics(spark: SparkSession, rows: DataFrame,
+      batchId: Long, cents: Array[Array[Double]], indexDir: String): Unit = {
+    import spark.implicits._
+    val centsDf = cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "c")
+    rows.join(broadcast(centsDf), Seq("cell"))
+      .select((graft.functions.VectorFns.dotNative(col("v"), col("v"))
+        - lit(2.0) * graft.functions.VectorFns.dotNative(col("v"), col("c"))
+        + graft.functions.VectorFns.dotNative(col("c"), col("c"))).as("d2"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        coalesce(sum(col("d2")), lit(0.0)).as("sum_d2"))
+      .select(lit(batchId).as("batch_id"), col("n"), col("sum_d2"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/m/b$batchId")
+  }
+
+  /** Record that the active quantizer was trained with batch `batchId` as
+    * the last batch of its training-era data — the baseline horizon
+    * [[driftRatio]] splits the metrics at. Marker-dir rendering (the
+    * [[CurateMaintainer]] `selbase` pattern): crash-safe because it is
+    * written AFTER the quantizer artifact exists.
+    */
+  def markTrained(indexDir: String, batchId: Long): Unit = {
+    new java.io.File(indexDir, s"trainbase$batchId").mkdirs()
+    ()
+  }
+
+  /** The baseline horizon (−1 when never marked). */
+  def trainedBatch(indexDir: String): Long =
+    Option(new java.io.File(indexDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("trainbase"))
+      .flatMap(_.getName.stripPrefix("trainbase").toLongOption)
+      .sorted.lastOption.getOrElse(-1L)
+
+  /** mean ‖v−c‖² of data ingested AFTER the baseline horizon, over the
+    * same mean for the training-era data — the FAISS-practice drift
+    * signal for a frozen coarse quantizer: recall comes from nprobe while
+    * the data distribution holds, but data that lands far from every
+    * centroid (ratio ≫ 1) concentrates into few cells and degrades both
+    * recall and probe cost, and the remedy is an OFFLINE retrain+rebuild
+    * ([[retrain]]), never in-place centroid movement. None while either
+    * side of the split is empty or the baseline distortion is zero.
+    */
+  def driftRatio(spark: SparkSession, indexDir: String): Option[Double] = {
+    val base = trainedBatch(indexDir)
+    if (base < 0L) return None
+    val dirs = BatchDirs.listDirs(s"$indexDir/m", "b").map(_._2)
+    val m = BatchDirs.readUnion(spark, dirs, metricsSchema,
+      partitioned = false)
+      .getOrElse(return None)
+    val r = m.agg(
+      sum(when(col("batch_id") <= base, col("sum_d2"))).as("bd2"),
+      sum(when(col("batch_id") <= base, col("n"))).as("bn"),
+      sum(when(col("batch_id") > base, col("sum_d2"))).as("pd2"),
+      sum(when(col("batch_id") > base, col("n"))).as("pn")).head()
+    if (r.isNullAt(0) || r.isNullAt(2)) return None
+    val (bd2, bn, pd2, pn) =
+      (r.getDouble(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+    if (bn == 0L || pn == 0L || bd2 <= 0.0) None
+    else Some((pd2 / pn) / (bd2 / bn))
+  }
+
+  /** The maintenance decision: retrain when post-baseline distortion has
+    * drifted past `ratioThreshold`× the training-era distortion. */
+  def shouldRetrain(spark: SparkSession, indexDir: String,
+      ratioThreshold: Double): Boolean =
+    driftRatio(spark, indexDir).exists(_ >= ratioThreshold)
+
+  /** Offline re-train + REBUILD — the remedy side of the frozen-centroid
+    * policy (class doc): train a fresh √N-law quantizer
+    * ([[graft.ops.Ann.ivfTrainBalanced]]) on the ACCUMULATED corpus, then
+    * re-assign every row in one pass and land the rebuilt inverted file in
+    * `newIndexDir` as a single consolidated `c<maxBatch>/` dir. Rows keep
+    * their ingest `batch_id`, so [[searchAsOf]] reproduces every
+    * historical answer through the rebuild; the metrics sidecar restarts
+    * with the whole-corpus distortion under the fresh quantizer as the new
+    * baseline, and the caller swaps serving to `newIndexDir` (the
+    * previous-generation dir stays readable while in-flight queries
+    * drain — the served-view re-materialization discipline). Returns the
+    * retrained centroid frame for the caller to persist.
+    */
+  def retrain(spark: SparkSession, indexDir: String, newIndexDir: String,
+      cellsPerSqrtN: Int = 4, roundScale: Int = -1): DataFrame = {
+    val idx = readIndex(spark, indexDir).select("id", "v", "batch_id")
+    val (cdf, _) = graft.ops.Ann.ivfTrainBalanced(idx, "v", cellsPerSqrtN)
+    val cents = graft.ops.Ann.ivfCentroidsFromDf(cdf)
+    val maxB = (BatchDirs.listDirs(indexDir, "b") ++
+      BatchDirs.listDirs(indexDir, "c")).map(_._1).max
+    graft.Exec.deletePath(newIndexDir)
+    idx.withColumn("cell", graft.functions.VectorFns.nearestCellNative(
+        col("v"), cents, roundScale))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$newIndexDir/c$maxB")
+    val rebuilt = spark.read.schema(indexSchema)
+      .option("basePath", s"$newIndexDir/c$maxB")
+      .parquet(s"$newIndexDir/c$maxB")
+    writeMetrics(spark, rebuilt, maxB, cents, newIndexDir)
+    markTrained(newIndexDir, maxB)
+    cdf
+  }
+
   // ---- IVF-PQ variant: the inverted file carries PQ codes alongside ----
 
   private val indexPqSchema: StructType = StructType(Seq(
