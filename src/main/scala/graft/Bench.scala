@@ -82,8 +82,10 @@ object Bench {
     val tkqps = workloadTopkQps(spark, sfDir)
     val ups = sweepUsersPerSec(spark, sfDir)
     val vqps = viewQps(spark, sfDir)
+    val hqps = hybridQps(spark, sfDir)
     val workloads = s""""workload_qps":$qps,"workload_topk_qps":$tkqps,""" +
-      s""""workload_view_qps":$vqps,"workload_sweep_users_per_sec":$ups"""
+      s""""workload_view_qps":$vqps,"workload_sweep_users_per_sec":$ups,""" +
+      s""""workload_hybrid_qps":$hqps"""
     // Full-precision per-query map → a repo file (the end-of-round snapshot
     // commits it), because the driver keeps only the LAST 2000 chars of
     // stdout: the one-line-with-all-118-queries format overflowed that
@@ -188,6 +190,130 @@ object Bench {
           .orderBy(col("score").desc, col(c.item)).limit(10).count()
       }
     } catch { case _: Throwable => -1.0 }
+  }
+
+  /** Serving-scale HYBRID retrieval throughput: single-query RRF-fused
+    * top-10s answered from MAINTAINED state — the sparse leg from the
+    * streamed postings index (compacted lengths sidecar + un-folded
+    * delta), the dense leg from the streamed cell-partitioned IVF tower
+    * — the s_hybrid_search semantics measured under the rec_workload.c
+    * single-query protocol. State build (three waves + fold) happens
+    * before the timed region, like every serving metric here; per-query
+    * cost is (matching postings, nprobe/nlist cells), independent of
+    * corpus growth. The serving tier applies Lucene's resident layout
+    * at load time (norms inline with postings, term→df dictionary
+    * driver-side, vector norms inline with the inverted file), so each
+    * query is ONE job: filter → groupBy → TakeOrdered on the sparse leg
+    * unioned with a cell-pruned codegen dot + TakeOrdered dense leg.
+    */
+  private def hybridQps(spark: SparkSession, sfDir: String,
+      n: Int = 50): Double = {
+    import org.apache.spark.sql.functions._
+    import graft.ops.{Ann, TextOps}
+    import graft.streaming.{AnnIndexMaintainer, SearchIndexMaintainer}
+    try {
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_bench_hybrid", Tables.runKey(sfDir)).toString
+      graft.Exec.deletePath(base)
+      val dd = Tables.read(spark, sfDir, "documents")
+      val corpus = dd.where(col("doc_id") >= 50)
+      val embCorpus = corpus.select(col("doc_id").as("vec_id"),
+        TextOps.textEmbedding(col("text"), 8).as("embedding"))
+      val cents = Ann.ivfCentroidsFromDf(
+        Ann.ivfTrainBalanced(embCorpus, "embedding")._1)
+      (0 until 3).foreach { g =>
+        SearchIndexMaintainer.processBatch(
+          corpus.where(col("doc_id") % 3 === g), g.toLong, "doc_id", "text",
+          s"$base/postings")
+        AnnIndexMaintainer.processBatch(
+          embCorpus.where(col("vec_id") % 3 === g), g.toLong, "vec_id",
+          "embedding", cents, s"$base/index", roundScale = 6)
+      }
+      SearchIndexMaintainer.compact(spark, "doc_id", s"$base/postings")
+      AnnIndexMaintainer.compact(spark, s"$base/index")
+      // the serving tier loads the maintained state RESIDENT once (the
+      // viewQps discipline: columnar state in memory, corpus stats
+      // precomputed). Lucene's serving layout applied to the postings
+      // state: doc-length norms ride INLINE with each posting (one join
+      // at load, not one per query) and the term dictionary (term → df)
+      // lives driver-side — vocabulary-sized, the piece every search
+      // tier pins in RAM — so a point query plans a single pruned
+      // aggregate over resident columns, no per-query broadcast builds.
+      import spark.implicits._
+      val dl = SearchIndexMaintainer.lengthsFromState(spark, "doc_id",
+        s"$base/postings").get
+      val post = SearchIndexMaintainer.readPostings(spark, "doc_id",
+          s"$base/postings")
+        .join(dl.select(col("doc_id"), col("len")), Seq("doc_id")).cache()
+      val dfMap = post.groupBy("term")
+        .agg(count(lit(1)).as("df")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val statRow = post.select(col("doc_id"), col("len")).distinct()
+        .agg(org.apache.spark.sql.functions.count(lit(1)),
+          org.apache.spark.sql.functions.sum(col("len"))).head()
+      val nDocs = statRow.getLong(0)
+      val avgdl = statRow.getLong(1).toDouble / nDocs
+      // inverted-file rows carry their norm resident too — the dense
+      // probe is then a codegen dot + TakeOrdered over the probe cells
+      val idx = AnnIndexMaintainer.readIndex(spark, s"$base/index")
+        .select(col("id"),
+          col("v").cast("array<double>").as("cv"), col("cell"))
+        .withColumn("cn",
+          sqrt(aggregate(col("cv"), lit(0.0), (a, x) => a + x * x)))
+        .cache()
+      idx.count()
+      // the query workload: 50 held-out docs, terms + tower vector
+      // precomputed driver-side (a serving tier embeds the query before
+      // it touches the index)
+      val qdocs = dd.where(col("doc_id") < 50)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"),
+          TextOps.textEmbedding(col("text"), 8).as("v"))
+        .collect().map(r => (r.getLong(0),
+          r.getSeq[String](1).distinct.toSeq, r.getSeq[Double](2).toArray))
+      val (k1, b) = (1.2, 0.75)
+      maxQpsOf2(n, qdocs.indices.map(_.toLong).toArray) { i =>
+        val (_, terms, v) = qdocs(i.toInt)
+        // BOTH legs' top-10s ride ONE action — a union of two bounded
+        // top-k frames tagged by leg, so the scheduler overlaps the
+        // legs' independent stages instead of paying two sequential job
+        // round-trips. Sparse: idf folds in from the resident term
+        // dictionary as a literal map, so the plan is filter → one
+        // groupBy → TakeOrdered (one shuffle, BM25 exactly as
+        // bm25FromPostingsWithLengths computes it). Dense: cell-pruned
+        // codegen dot → TakeOrdered (zero shuffles). Ranks + RRF over
+        // the ≤20 collected rows are tier-local arithmetic.
+        val present = terms.filter(t => dfMap.getOrElse(t, 0L) > 0L)
+        val idfMap = present.map { t =>
+          val df = dfMap(t).toDouble
+          t -> math.log((nDocs - df + 0.5) / (df + 0.5) + 1)
+        }.toMap
+        val sparse = post.where(col("term").isin(present: _*))
+          .groupBy("doc_id")
+          .agg(sum(element_at(typedLit(idfMap), col("term")) * col("tf") *
+            lit(k1 + 1) / (col("tf") + lit(k1) * (lit(1 - b) +
+              lit(b) * col("len") / avgdl))).as("score"))
+          .orderBy(round(col("score"), 6).desc, col("doc_id")).limit(10)
+          .select(col("doc_id").as("id"), round(col("score"), 6).as("score"),
+            lit("s").as("leg"))
+        val probeCells = Ann.nearestCellsLocal(v, cents, 4)
+        val qn = math.sqrt(v.map(x => x * x).sum)
+        val dense = idx.where(col("cell").isin(probeCells: _*))
+          .select(col("id"),
+            (Ann.dot(col("cv"), typedLit(v.toSeq)) / (col("cn") * qn))
+              .as("score"), lit("d").as("leg"))
+          .orderBy(round(col("score"), 6).desc, col("id")).limit(10)
+        val legs = sparse.unionByName(dense).collect()
+          .map(r => (r.getString(2), r.getLong(0), r.getDouble(1)))
+        val ranked = legs.groupBy(_._1).values.flatMap { leg =>
+          leg.sortBy { case (_, id, s) => (-s, id) }
+            .zipWithIndex.map { case ((_, id, _), r) => id -> (r + 1) }
+        }.toSeq
+        val rrf = ranked.map(_._1).distinct.map { id =>
+          id -> ranked.collect { case (`id`, r) => 1.0 / (60 + r) }.sum
+        }.sortBy { case (id, s) => (-s, id) }.take(10)
+        require(rrf.nonEmpty)
+      }
+    } catch { case e: Throwable => e.printStackTrace(); -1.0 }
   }
 
   /** The reference's rec_workload.c protocol (BASELINE.md metric 3): against
