@@ -174,6 +174,111 @@ object PipelineQueries {
     cb
   }
 
+  /** One monitored ANN drift state per (JVM, sf dir, arm), shared by the
+    * retrain gates and p_maint_plan (the sizedCentsCopy amortization
+    * applied to whole state builds): the spliced arm ingests wave-2
+    * vectors shifted by [[EmbShift]], the hold arm the plain corpus; both
+    * train the bootstrap quantizer on wave 0, persist it
+    * (`retrain_boot_cents` / `retrain_hold_cents` — the oracles re-derive
+    * distortion and assignment from these), and mark wave 0 as the
+    * training baseline. Consumers only READ the returned state dir
+    * (retrain writes a NEW generation dir), so sharing is mutation-safe.
+    */
+  private val annDriftStateCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Boolean), String]()
+
+  private def annDriftStateFor(s: SparkSession, d: String,
+      spliced: Boolean): String =
+    annDriftStateCache.computeIfAbsent((d, spliced), _ => {
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        if (spliced) "graft_stream_annretrain" else "graft_stream_annretrainh",
+        Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      val e0 = emb(s, d)
+      val e =
+        if (spliced) e0.select(col("vec_id"),
+          when(col("vec_id") % 3 === 2,
+            transform(col("embedding").cast("array<double>"),
+              x => x + lit(EmbShift)))
+          .otherwise(col("embedding").cast("array<double>")).as("embedding"))
+        else e0.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+      val sub = if (spliced) "retrain_boot_cents" else "retrain_hold_cents"
+      val (c0df, _) = Ann.ivfTrainBalanced(
+        e.where(col("vec_id") % 3 === 0), "embedding")
+      c0df.coalesce(1).write.mode("overwrite")
+        .parquet(annArtifactBase(d) + "/" + sub)
+      val cents0 = Ann.ivfCentroidsFromDf(
+        s.read.parquet(annArtifactBase(d) + "/" + sub))
+      (0 until 3).foreach { g =>
+        graft.streaming.AnnIndexMaintainer.processBatchMonitored(
+          e.where(col("vec_id") % 3 === g), g.toLong, "vec_id",
+          "embedding", cents0, s"$base/idx")
+        if (g == 0)
+          graft.streaming.AnnIndexMaintainer.markTrained(s"$base/idx", 0L)
+      }
+      s"$base/idx"
+    })
+
+  /** The bootstrap quantizer of a monitored drift state, re-read from its
+    * persisted artifact (exact double round trip). */
+  private def annDriftCents(s: SparkSession, d: String,
+      spliced: Boolean): Array[Array[Double]] =
+    Ann.ivfCentroidsFromDf(s.read.parquet(annArtifactBase(d) + "/" +
+      (if (spliced) "retrain_boot_cents" else "retrain_hold_cents")))
+
+  /** One reconciled shard layout per (JVM, sf dir) — the 3-wave
+    * construction with wave-2 retroactive de-selection (%7 sequences
+    * dropped) shared by s_shard_reconcile, s_shard_asof, and
+    * p_maint_plan. All consumers only read (live/as-of views,
+    * deadFraction); the compaction/seal gates build their own dirs.
+    */
+  private val shardRecStateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def shardRecStateFor(s: SparkSession, d: String): String =
+    shardRecStateCache.computeIfAbsent(d, _ => {
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_shardrec", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      val payload = graft.Exec.materializeLocal(
+        Packing.packTokenIdRows(curatedSelFor(s, d), "doc_id", "text",
+          bpeMergesFor(s, d), seqLen = 128))
+      (0 until 3).foreach { g =>
+        val sel =
+          if (g < 2) payload.where(col("seq_id") % 3 <= g)
+          else payload.where(col("seq_id") % 3 <= 2 &&
+            col("seq_id") % 7 =!= 0)
+        graft.streaming.ShardMaintainer.reconcile(sel, g.toLong,
+          epochs = 2, shardSize = 2, base)
+      }
+      base
+    })
+
+  /** One streamed postings state per (JVM, sf dir) — 3 waves with the
+    * mid-stream fold after wave 1 (layout c0 + b1 + b2), shared by
+    * s_bm25_search and p_maint_plan (both read-only consumers).
+    */
+  private val bm25StateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def bm25StateFor(s: SparkSession, d: String): String =
+    bm25StateCache.computeIfAbsent(d, _ => {
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_bm25", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      val dd = docs(s, d)
+      (0 until 3).foreach { g =>
+        graft.streaming.SearchIndexMaintainer.processBatch(
+          dd.where(col("doc_id") % 3 === g), g.toLong, "doc_id", "text",
+          s"$base/state")
+        if (g == 1)
+          graft.streaming.SearchIndexMaintainer.compact(s, "doc_id",
+            s"$base/state")
+      }
+      s"$base/state"
+    })
+
   /** One curate run per (JVM, sf dir): the manifest/shard gates and the
     * curation report all consume the SAME curated frame (the bpeMergesFor
     * memoization pattern) — each still exercises its full downstream
@@ -827,37 +932,26 @@ object PipelineQueries {
     // spliced corpus with the RETRAINED persisted centroids — proving the
     // rebuild is a real from-scratch-equivalent index, not a patched one.
     "s_knn_retrain" -> ((s, d) => {
-      val spliced = emb(s, d).select(col("vec_id"),
-        when(col("vec_id") % 3 === 2,
-          transform(col("embedding").cast("array<double>"),
-            x => x + lit(EmbShift)))
-        .otherwise(col("embedding").cast("array<double>")).as("embedding"))
-      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_stream_annretrain", Tables.runKey(d)).toString
-      graft.Exec.deletePath(base)
-      val (c0df, _) = Ann.ivfTrainBalanced(
-        spliced.where(col("vec_id") % 3 === 0), "embedding")
-      val cents0 = Ann.ivfCentroidsFromDf(c0df)
-      (0 until 3).foreach { g =>
-        graft.streaming.AnnIndexMaintainer.processBatchMonitored(
-          spliced.where(col("vec_id") % 3 === g), g.toLong, "vec_id",
-          "embedding", cents0, s"$base/idx")
-        if (g == 0)
-          graft.streaming.AnnIndexMaintainer.markTrained(s"$base/idx", 0L)
-      }
+      val idxDir = annDriftStateFor(s, d, spliced = true)
       require(graft.streaming.AnnIndexMaintainer.shouldRetrain(
-        s, s"$base/idx", RetrainRatio),
+        s, idxDir, RetrainRatio),
         s"distribution shift undetected (ratio ${graft.streaming
-          .AnnIndexMaintainer.driftRatio(s, s"$base/idx")})")
-      graft.streaming.AnnIndexMaintainer.retrain(s, s"$base/idx",
-          s"$base/idx2")
+          .AnnIndexMaintainer.driftRatio(s, idxDir)})")
+      val gen2 = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_annretrain", Tables.runKey(d), "idx2").toString
+      graft.streaming.AnnIndexMaintainer.retrain(s, idxDir, gen2)
         .coalesce(1).write.mode("overwrite")
         .parquet(annArtifactBase(d) + "/retrain_cents")
       val cents1 = Ann.ivfCentroidsFromDf(
         s.read.parquet(annArtifactBase(d) + "/retrain_cents"))
-      val queries = spliced.where(col("vec_id") < 5)
+      val queries = emb(s, d).select(col("vec_id"),
+          when(col("vec_id") % 3 === 2,
+            transform(col("embedding").cast("array<double>"),
+              x => x + lit(EmbShift)))
+          .otherwise(col("embedding").cast("array<double>")).as("embedding"))
+        .where(col("vec_id") < 5)
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
-      graft.streaming.AnnIndexMaintainer.search(s, s"$base/idx2", cents1,
+      graft.streaming.AnnIndexMaintainer.search(s, gen2, cents1,
         queries, k = 10, rankOnRoundedTo = Some(6))
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
@@ -868,35 +962,65 @@ object PipelineQueries {
     // BOOTSTRAP persisted centroids, so a spurious retrain (which would
     // serve from a different quantizer) hash-fails.
     "s_knn_retrain_hold" -> ((s, d) => {
-      val e = emb(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>")
-          .as("embedding"))
-      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_stream_annretrainh", Tables.runKey(d)).toString
-      graft.Exec.deletePath(base)
-      val (c0df, _) = Ann.ivfTrainBalanced(
-        e.where(col("vec_id") % 3 === 0), "embedding")
-      c0df.coalesce(1).write.mode("overwrite")
-        .parquet(annArtifactBase(d) + "/retrain_hold_cents")
-      val cents0 = Ann.ivfCentroidsFromDf(
-        s.read.parquet(annArtifactBase(d) + "/retrain_hold_cents"))
-      (0 until 3).foreach { g =>
-        graft.streaming.AnnIndexMaintainer.processBatchMonitored(
-          e.where(col("vec_id") % 3 === g), g.toLong, "vec_id",
-          "embedding", cents0, s"$base/idx")
-        if (g == 0)
-          graft.streaming.AnnIndexMaintainer.markTrained(s"$base/idx", 0L)
-      }
+      val idxDir = annDriftStateFor(s, d, spliced = false)
       require(!graft.streaming.AnnIndexMaintainer.shouldRetrain(
-        s, s"$base/idx", RetrainRatio),
+        s, idxDir, RetrainRatio),
         s"spurious retrain trigger (ratio ${graft.streaming
-          .AnnIndexMaintainer.driftRatio(s, s"$base/idx")})")
-      val queries = e.where(col("vec_id") < 5)
+          .AnnIndexMaintainer.driftRatio(s, idxDir)})")
+      val cents0 = annDriftCents(s, d, spliced = false)
+      val queries = emb(s, d)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+        .where(col("vec_id") < 5)
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
-      graft.streaming.AnnIndexMaintainer.search(s, s"$base/idx", cents0,
+      graft.streaming.AnnIndexMaintainer.search(s, idxDir, cents0,
         queries, k = 10, rankOnRoundedTo = Some(6))
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
+    }),
+    // AUTONOMOUS-MAINTENANCE PLAN, driver-gated: ONE metadata-cost sweep
+    // across four kinds of maintained state emits the (state, metric,
+    // value, threshold, decision) table an operations loop executes from —
+    // the reference's threshold-maintenance idea (recathon.c:1089)
+    // generalized fleet-wide. Fixture: the shared drift/hold monitored ANN
+    // states (distortion fires retrain on the spliced arm, holds on the
+    // plain one), the reconciled shard layout with its wave-2 retroactive
+    // de-selection left uncompacted (dead mass), the postings index folded
+    // at wave 1 with two un-folded delta waves, and a curation state whose
+    // inline trigger never re-fired after wave 0 while wave 2 shifted the
+    // token distribution (the out-of-band-planner scenario: the sweep must
+    // flag the stale selection the sleeping trigger missed). Expected
+    // decisions: {retrain, none, recurate, compact, compact}. The oracle
+    // re-derives every metric from the source tables + the persisted
+    // bootstrap quantizers and applies the same thresholds — a planner
+    // that mis-measures any signal or mis-applies any threshold hash-fails.
+    "p_maint_plan" -> ((s, d) => {
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_maint_plan", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      val spliced = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") % 3 === 2, concat(col("text"), lit(DriftPhrase)))
+          .otherwise(col("text")).as("text"))
+      (0 until 3).foreach { g =>
+        graft.ops.Bpe.wordFreq(
+          spliced.where(col("doc_id") % 3 === g), "doc_id", "text")
+          .write.mode("overwrite").parquet(s"$base/cur/freq/b$g")
+      }
+      new java.io.File(s"$base/cur", "selbase0").mkdirs()
+      import graft.streaming.MaintenancePlanner.{AnnSpec, CurateSpec,
+        DeltaSpec, ShardSpec}
+      graft.streaming.MaintenancePlanner.plan(s, Seq(
+        AnnSpec("ann_drift", annDriftStateFor(s, d, spliced = true),
+          RetrainRatio),
+        AnnSpec("ann_hold", annDriftStateFor(s, d, spliced = false),
+          RetrainRatio),
+        CurateSpec("curate", s"$base/cur", 0.05),
+        DeltaSpec("postings", bm25StateFor(s, d), 0.4),
+        ShardSpec("shards", shardRecStateFor(s, d), 0.05)))
+        .select(col("state"), col("metric"),
+          round(col("value"), 6).as("value"), col("threshold"),
+          col("decision"))
+        .orderBy("state")
     }),
     // TIME-TRAVEL BM25, driver-gated: the postings index folded whole,
     // then searched as of wave 1 — ranking stats (N, avgdl, df, lengths)
@@ -1115,22 +1239,9 @@ object PipelineQueries {
     // derives ranking from the accumulated index — N, avgdl, and df shift
     // retroactively exactly as a one-shot rebuild. Same oracle as
     // p_bm25_search.
-    "s_bm25_search" -> ((s, d) => {
-      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_stream_bm25", Tables.runKey(d)).toString
-      graft.Exec.deletePath(base)
-      val dd = docs(s, d)
-      (0 until 3).foreach { g =>
-        graft.streaming.SearchIndexMaintainer.processBatch(
-          dd.where(col("doc_id") % 3 === g), g.toLong, "doc_id", "text",
-          s"$base/state")
-        if (g == 1)
-          graft.streaming.SearchIndexMaintainer.compact(s, "doc_id",
-            s"$base/state")
-      }
-      graft.streaming.SearchIndexMaintainer.search(s, s"$base/state",
-        "doc_id", query = Seq("spark", "vector", "merge"), k = 20)
-    }),
+    "s_bm25_search" -> ((s, d) =>
+      graft.streaming.SearchIndexMaintainer.search(s, bm25StateFor(s, d),
+        "doc_id", query = Seq("spark", "vector", "merge"), k = 20)),
     // SERVING-SCALE HYBRID retrieval, driver-gated: BOTH legs answer from
     // maintained state — the sparse leg from the streamed postings index
     // (compacted lengths sidecar + un-folded delta), the dense leg from
@@ -1926,21 +2037,8 @@ object PipelineQueries {
     // rewrite, and every surviving ord keeps its position (holes remain
     // where the dropped sequences sat).
     "s_shard_reconcile" -> ((s, d) => {
-      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_stream_shardrec", Tables.runKey(d)).toString
-      graft.Exec.deletePath(base)
-      val payload = graft.Exec.materializeLocal(
-        Packing.packTokenIdRows(curatedSelFor(s, d), "doc_id", "text",
-          bpeMergesFor(s, d), seqLen = 128))
-      (0 until 3).foreach { g =>
-        val sel =
-          if (g < 2) payload.where(col("seq_id") % 3 <= g)
-          else payload.where(col("seq_id") % 3 <= 2 &&
-            col("seq_id") % 7 =!= 0)
-        graft.streaming.ShardMaintainer.reconcile(sel, g.toLong,
-          epochs = 2, shardSize = 2, base)
-      }
-      graft.streaming.ShardMaintainer.readShardsLive(s, base)
+      graft.streaming.ShardMaintainer.readShardsLive(s,
+          shardRecStateFor(s, d))
         .groupBy(col("epoch"), col("shard_id"))
         .agg(count(lit(1)).as("n_seqs"),
           sum(size(split(col("ids_str"), ":"))).cast("long").as("n_tok"),
@@ -1985,21 +2083,8 @@ object PipelineQueries {
     // alone (batch_id is the version axis). The oracle re-derives the
     // historical state from scratch: waves 0-1 arrivals, no tombstones.
     "s_shard_asof" -> ((s, d) => {
-      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_stream_shardasof", Tables.runKey(d)).toString
-      graft.Exec.deletePath(base)
-      val payload = graft.Exec.materializeLocal(
-        Packing.packTokenIdRows(curatedSelFor(s, d), "doc_id", "text",
-          bpeMergesFor(s, d), seqLen = 128))
-      (0 until 3).foreach { g =>
-        val sel =
-          if (g < 2) payload.where(col("seq_id") % 3 <= g)
-          else payload.where(col("seq_id") % 3 <= 2 &&
-            col("seq_id") % 7 =!= 0)
-        graft.streaming.ShardMaintainer.reconcile(sel, g.toLong,
-          epochs = 2, shardSize = 2, base)
-      }
-      graft.streaming.ShardMaintainer.readShardsAsOf(s, base, asOf = 1L)
+      graft.streaming.ShardMaintainer.readShardsAsOf(s,
+          shardRecStateFor(s, d), asOf = 1L)
         .groupBy(col("epoch"), col("shard_id"))
         .agg(count(lit(1)).as("n_seqs"),
           sum(size(split(col("ids_str"), ":"))).cast("long").as("n_tok"),
@@ -4399,6 +4484,118 @@ object PipelineQueries {
     // the hold arm keeps serving under the BOOTSTRAP quantizer — a
     // spurious retrain would answer from different centroids and hash-fail
     "s_knn_retrain_hold" -> ivfOracle("retrain_hold_cents"),
+    // every planner metric re-derived from scratch: dead mass from the
+    // packed-sequence derivation, distortion ratios from the persisted
+    // bootstrap quantizers (min cell distance per vector, era split at
+    // the wave-0 training baseline), delta mass from the postings row
+    // counts beyond the wave-1 fold, KL from the wave-0 vs cumulative
+    // spliced word distributions (Laplace-smoothed over the union vocab,
+    // Corpus.klTotal's exact formula) — then the same threshold CASEs
+    "p_maint_plan" ->
+      s"""WITH RECURSIVE $trainManifestCtes,
+         |mp_shard AS (
+         |  SELECT CAST(count(*) FILTER (
+         |      WHERE seq_id % 7 = 0 AND seq_id % 3 <= 1) AS DOUBLE)
+         |    / count(*) AS v
+         |  FROM seqsum WHERE NOT (seq_id % 3 = 2 AND seq_id % 7 = 0)
+         |),
+         |mp_centsD AS (
+         |  SELECT cid, c FROM '__ANN_ARTIFACTS__/retrain_boot_cents/*.parquet'
+         |),
+         |mp_centsH AS (
+         |  SELECT cid, c FROM '__ANN_ARTIFACTS__/retrain_hold_cents/*.parquet'
+         |),
+         |mp_eD AS (
+         |  SELECT vec_id, CASE WHEN vec_id % 3 = 2
+         |    THEN list_transform(embedding, x -> CAST(x AS DOUBLE) + $EmbShift)
+         |    ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS v
+         |  FROM embeddings
+         |),
+         |mp_eH AS ($ivfPlainCorpusSql),
+         |mp_dD AS (
+         |  SELECT e.vec_id % 3 AS era,
+         |    min(list_inner_product(e.v, e.v)
+         |      - 2*list_inner_product(e.v, ct.c)
+         |      + list_inner_product(ct.c, ct.c)) AS d2
+         |  FROM mp_eD e CROSS JOIN mp_centsD ct GROUP BY e.vec_id
+         |),
+         |mp_annD AS (
+         |  SELECT (sum(d2) FILTER (WHERE era > 0)
+         |      / count(*) FILTER (WHERE era > 0))
+         |    / (sum(d2) FILTER (WHERE era = 0)
+         |      / count(*) FILTER (WHERE era = 0)) AS v
+         |  FROM mp_dD
+         |),
+         |mp_dH AS (
+         |  SELECT e.vec_id % 3 AS era,
+         |    min(list_inner_product(e.v, e.v)
+         |      - 2*list_inner_product(e.v, ct.c)
+         |      + list_inner_product(ct.c, ct.c)) AS d2
+         |  FROM mp_eH e CROSS JOIN mp_centsH ct GROUP BY e.vec_id
+         |),
+         |mp_annH AS (
+         |  SELECT (sum(d2) FILTER (WHERE era > 0)
+         |      / count(*) FILTER (WHERE era > 0))
+         |    / (sum(d2) FILTER (WHERE era = 0)
+         |      / count(*) FILTER (WHERE era = 0)) AS v
+         |  FROM mp_dH
+         |),
+         |mp_tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |  FROM documents
+         |),
+         |mp_pr AS (SELECT DISTINCT doc_id, term FROM mp_tok),
+         |mp_post AS (
+         |  SELECT CAST(count(*) FILTER (WHERE doc_id % 3 >= 1) AS DOUBLE)
+         |    / count(*) AS v
+         |  FROM mp_pr
+         |),
+         |mp_wB AS (
+         |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+         |  FROM documents WHERE doc_id % 3 = 0
+         |),
+         |mp_wC AS (
+         |  SELECT unnest(regexp_extract_all(lower(CASE WHEN doc_id % 3 = 2
+         |    THEN text || '$DriftPhrase' ELSE text END), '[a-z0-9]+')) AS word
+         |  FROM documents
+         |),
+         |mp_cB AS (SELECT word, count(*) AS n_old FROM mp_wB GROUP BY 1),
+         |mp_cC AS (SELECT word, count(*) AS n_new FROM mp_wC GROUP BY 1),
+         |mp_u AS (
+         |  SELECT coalesce(mp_cB.n_old, 0) AS n_old,
+         |    coalesce(mp_cC.n_new, 0) AS n_new
+         |  FROM mp_cB FULL JOIN mp_cC ON mp_cB.word = mp_cC.word
+         |),
+         |mp_t AS (
+         |  SELECT sum(n_old) AS so, sum(n_new) AS sn, count(*) AS nv FROM mp_u
+         |),
+         |mp_kl AS (
+         |  SELECT sum(((n_new + 1.0)/(mp_t.sn + mp_t.nv)) *
+         |    ln(((n_new + 1.0)/(mp_t.sn + mp_t.nv))
+         |      / ((n_old + 1.0)/(mp_t.so + mp_t.nv)))) AS v
+         |  FROM mp_u CROSS JOIN mp_t
+         |),
+         |mp_rows AS (
+         |  SELECT 'ann_drift' AS state, 'drift_ratio' AS metric, v,
+         |    $RetrainRatio AS threshold,
+         |    CASE WHEN v >= $RetrainRatio THEN 'retrain' ELSE 'none' END
+         |      AS decision
+         |  FROM mp_annD
+         |  UNION ALL SELECT 'ann_hold', 'drift_ratio', v, $RetrainRatio,
+         |    CASE WHEN v >= $RetrainRatio THEN 'retrain' ELSE 'none' END
+         |  FROM mp_annH
+         |  UNION ALL SELECT 'curate', 'kl_drift', v, 0.05,
+         |    CASE WHEN v >= 0.05 THEN 'recurate' ELSE 'none' END
+         |  FROM mp_kl
+         |  UNION ALL SELECT 'postings', 'delta_fraction', v, 0.4,
+         |    CASE WHEN v >= 0.4 THEN 'compact' ELSE 'none' END
+         |  FROM mp_post
+         |  UNION ALL SELECT 'shards', 'dead_fraction', v, 0.05,
+         |    CASE WHEN v >= 0.05 THEN 'compact' ELSE 'none' END
+         |  FROM mp_shard
+         |)
+         |SELECT state, metric, round(v, 6) AS value, threshold, decision
+         |FROM mp_rows ORDER BY state""".stripMargin,
     // brute cosine top-k entirely in the learned space: projection from
     // the persisted ridge-head weights, then the full from-scratch ranking
     "p_learned_tower" ->
