@@ -279,6 +279,34 @@ object PipelineQueries {
       s"$base/state"
     })
 
+  /** One streamed near-dup signature index per (JVM, sf dir) — 3 waves
+    * through the maintainer, then a FULL fold (upTo = 2: every batch dir
+    * absorbed into c2), shared by s_neardup_pairs (reads the recorded
+    * per-batch pair dirs, untouched by index compaction) and
+    * s_neardup_asof (probes the folded index at a historical horizon —
+    * the full fold makes the gate prove the version axis survives on row
+    * stamps alone, with no batch dirs left to fall back on).
+    */
+  private val ndmStateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ndmStateFor(s: SparkSession, d: String): String =
+    ndmStateCache.computeIfAbsent(d, _ => {
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_ndm", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      val dd = docs(s, d).select(col("doc_id"), col("text"))
+      (0 until 3).foreach { g =>
+        graft.streaming.NearDupMaintainer.processBatch(
+          dd.where(col("doc_id") % 3 === g), g.toLong, "doc_id", "text",
+          s"$base/index", s"$base/pairs")
+      }
+      // LSM fold — must change neither the pair set nor any as-of view
+      graft.streaming.NearDupMaintainer.compact(s, s"$base/index",
+        upToOpt = Some(2L))
+      base
+    })
+
   /** One curate run per (JVM, sf dir): the manifest/shard gates and the
     * curation report all consume the SAME curated frame (the bpeMergesFor
     * memoization pattern) — each still exercises its full downstream
@@ -776,20 +804,25 @@ object PipelineQueries {
     // oracle as p_neardup_jaccard, so a maintainer that drops cross-batch
     // pairs or double-counts a replay cannot pass.
     "s_neardup_pairs" -> ((s, d) => {
-      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_stream_ndm", Tables.runKey(d)).toString
-      graft.Exec.deletePath(base)
-      val dd = docs(s, d).select(col("doc_id"), col("text"))
-      (0 until 3).foreach { g =>
-        graft.streaming.NearDupMaintainer.processBatch(
-          dd.where(col("doc_id") % 3 === g), g.toLong, "doc_id", "text",
-          s"$base/index", s"$base/pairs")
-      }
-      // LSM fold of committed batches — must not change the pair set
-      graft.streaming.NearDupMaintainer.compact(s, s"$base/index")
+      val base = ndmStateFor(s, d)
       // explicit batch dirs, not a glob: a glob path makes the reader's
       // streaming-sink metadata probe log a spurious WARN stack every run
       s.read.parquet((0 until 3).map(g => s"$base/pairs/b$g"): _*)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+    // TIME-TRAVEL near-dup screening, driver-gated: wave-2 docs probed
+    // against the signature index AS OF wave 1 — after the index was
+    // folded whole (no batch dirs left), so the historical corpus view
+    // re-derives purely from per-row ingest stamps. Must reproduce
+    // exactly the pair output batch 2 recorded live (= the exact jaccard
+    // pair set with at least one side in wave 2): a fold that loses the
+    // version axis, or a probe that sees rows ingested after the horizon,
+    // hash-fails.
+    "s_neardup_asof" -> ((s, d) => {
+      val base = ndmStateFor(s, d)
+      graft.streaming.NearDupMaintainer.probeAsOf(s, s"$base/index",
+        docs(s, d).where(col("doc_id") % 3 === 2), "doc_id", "text",
+        asOf = 1L)
         .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
     }),
     // STREAMING ANN index, driver-gated: embeddings arrive in three waves,
@@ -4469,6 +4502,17 @@ object PipelineQueries {
     // the streaming gates replay the maintainers' exact batch bodies, so
     // their oracles are the one-shot builds they must equal
     "s_neardup_pairs" -> jaccardOracle,
+    // the probe-at-horizon pair set = the exact jaccard pairs with at
+    // least one side in the probe wave (both-historical pairs are the
+    // index's business, not the probe's)
+    "s_neardup_asof" ->
+      s"""WITH $jaccardCtes
+        |SELECT id1, id2, round(n*1.0/(s1.sz + s2.sz - n), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes s1 ON id1 = s1.doc_id
+        |JOIN sizes s2 ON id2 = s2.doc_id
+        |WHERE n*1.0/(s1.sz + s2.sz - n) >= 0.5
+        |  AND (id1 % 3 = 2 OR id2 % 3 = 2)""".stripMargin,
     "s_knn_ivf" -> ivfOracle("ivf_centroids_s"),
     // the as-of probe = the one-shot IVF scan over ONLY the waves-0/1
     // corpus slice, same persisted quantizer (queries still the full

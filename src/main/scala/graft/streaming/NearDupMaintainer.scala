@@ -17,12 +17,17 @@ import graft.ops.Dedup
   * signatures join the index — so the corpus is never re-signed and
   * per-batch cost tracks the batch, not the corpus.
   *
-  * Index rows carry (id, sig, text): signatures drive candidate probing,
-  * and the text column exists solely so the exact-verify stage can fetch
-  * the (structurally few) candidate corpus docs by semi-join — columnar
-  * parquet reads only the matching rows' text. At warehouse scale the text
-  * column would be a pointer into the document store instead; nothing else
-  * changes.
+  * Index rows carry (id, sig, text, batch_id): signatures drive candidate
+  * probing, and the text column exists solely so the exact-verify stage
+  * can fetch the (structurally few) candidate corpus docs by semi-join —
+  * columnar parquet reads only the matching rows' text. At warehouse scale
+  * the text column would be a pointer into the document store instead;
+  * nothing else changes. `batch_id` is the version axis: each doc is
+  * signed once, ever, stamped with its ingest batch, so [[probeAsOf]]
+  * reproduces any historical screening decision from the CURRENT files —
+  * exact through compaction because the index is append-only (the same
+  * discipline as [[AnnIndexMaintainer.searchAsOf]] /
+  * [[SearchIndexMaintainer.searchAsOf]]).
   *
   * Durability layout (local-FS rendering, same contract as
   * [[graft.recdb.DeltaSimilarityMaintainer]] — a transactional table format
@@ -40,7 +45,8 @@ object NearDupMaintainer {
   private def indexSchema: StructType = StructType(Seq(
     StructField("id", LongType),
     StructField("sig", ArrayType(LongType, containsNull = false)),
-    StructField("text", StringType)))
+    StructField("text", StringType),
+    StructField("batch_id", LongType)))
 
   /** Index contents from batches strictly BEFORE `batchId`: the highest
     * compacted dir (covering all batches ≤ its id) plus the batch dirs
@@ -73,6 +79,54 @@ object NearDupMaintainer {
       upToOpt: Option[Long] = None): Unit =
     BatchDirs.compact(spark, indexDir, indexSchema, None, upToOpt)
 
+  /** The signature index exactly as it stood after batch `asOf` committed
+    * — rows with `batch_id <= asOf`, read from the CURRENT files (the
+    * highest compacted dir plus the live batch dirs beyond it). Exact
+    * through compaction: folding only relocates rows, each of which keeps
+    * its ingest stamp.
+    */
+  def indexAsOf(spark: SparkSession, indexDir: String,
+      asOf: Long): DataFrame = {
+    val maxC = BatchDirs.listDirs(indexDir, "c").lastOption
+    val dirs = maxC.map(_._2).toSeq ++ BatchDirs.listDirs(indexDir, "b")
+      .filter { case (id, _) => id > maxC.fold(-1L)(_._1) }.map(_._2)
+    BatchDirs.readUnion(spark, dirs, indexSchema, partitioned = false)
+      .getOrElse(BatchDirs.emptyFrame(spark, indexSchema))
+      .where(col("batch_id") <= asOf)
+  }
+
+  /** TIME-TRAVEL screening: the near-dup pairs that ingesting `queries`
+    * right after batch `asOf` WOULD have produced — the same probe body
+    * [[processBatch]] runs (sign the queries once, LSH-probe the
+    * historical index, exact-verify candidates, plus within-query pairs),
+    * against [[indexAsOf]] instead of the live index. Reproduces any
+    * batch's recorded pair output from current files (replay audit), and
+    * answers the point-in-time question "would this doc have been flagged
+    * a duplicate at version N?" without touching the live state. Returns
+    * (id1, id2, jaccard), id1 < id2, jaccard ≥ cfg.threshold, at least
+    * one side a query. Query ids must be disjoint from historical ids
+    * (the [[Dedup.incrementalLshPairs]] caller contract).
+    */
+  def probeAsOf(spark: SparkSession, indexDir: String, queries: DataFrame,
+      idCol: String, textCol: String, asOf: Long,
+      cfg: Config = Config()): DataFrame = {
+    val hist = indexAsOf(spark, indexDir, asOf)
+    val delta = queries.select(col(idCol).cast("long").as("id"),
+      col(textCol).as("text"))
+    val sigs = graft.Exec.materialize(delta.select(col("id"),
+        TextFns.minhashSigNative(
+          TextFns.wordShinglesNative(col("text"), cfg.nGram),
+          cfg.numPerm, cfg.seed).as("sig"),
+        col("text"))
+      .where(size(col("sig")) > 0))
+    val docs = sigs.select("id", "text")
+      .unionByName(hist.select("id", "text"))
+    Dedup.incrementalLshPairs(docs, "id", "text",
+      hist.select("id", "sig"), sigs.select("id"),
+      cfg.nGram, cfg.numPerm, cfg.bands, cfg.threshold, cfg.seed,
+      deltaSigsOpt = Some(sigs.select("id", "sig")))
+  }
+
   /** One micro-batch: sign, persist signatures, probe, persist pairs.
     * Exposed for direct (non-streaming) batch ingestion too.
     */
@@ -90,6 +144,7 @@ object NearDupMaintainer {
           cfg.numPerm, cfg.seed).as("sig"),
         col("text"))
       .where(size(col("sig")) > 0)
+      .withColumn("batch_id", lit(batchId))
     sigs.write.mode("overwrite").parquet(s"$indexDir/b$batchId")
     val written = spark.read.schema(indexSchema).parquet(s"$indexDir/b$batchId")
     val prior = priorIndex(spark, indexDir, batchId)

@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.SparkSpec
 import graft.streaming.{AnnIndexMaintainer, MaintenancePlanner,
-  ShardMaintainer}
+  NearDupMaintainer, ShardMaintainer}
 import graft.streaming.MaintenancePlanner.{AnnSpec, CurateSpec, DeltaSpec,
   ShardSpec}
 import org.apache.spark.sql.functions._
@@ -86,6 +86,49 @@ class Round15OpsSpec extends SparkSpec {
     plan("sh")._2 shouldBe 0.25 +- 1e-12
     plan("sh")._3 shouldBe "compact"
     plan("sh_lenient")._3 shouldBe "none"
+  }
+
+  test("near-dup probeAsOf: reproduces a batch's recorded pair output " +
+      "from current files after a full fold; horizon excludes later rows") {
+    val base = tmp("ndasof")
+    def waveBase(wave: Int): String =
+      (0 until 8).map(j => s"w${wave}t$j").mkString(" ")
+    val w = Seq.tabulate(9) { i =>
+      // three waves of three docs; doc 3k+1 exactly duplicates the
+      // PREVIOUS wave's base doc 3(k-1), everything else fully distinct
+      val wave = i / 3
+      val text = (i % 3) match {
+        case 0 => waveBase(wave)
+        case 1 if wave > 0 => waveBase(wave - 1)
+        case _ => (0 until 8).map(j => s"u${i}x$j").mkString(" ")
+      }
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    (0 until 3).foreach { g =>
+      NearDupMaintainer.processBatch(w.where(col("doc_id") >= g * 3 &&
+        col("doc_id") < (g + 1) * 3), g.toLong, "doc_id", "text",
+        s"$base/index", s"$base/pairs")
+    }
+    val recorded = spark.read.parquet(s"$base/pairs/b2")
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    recorded should not be empty
+    // full fold: no batch dirs remain, the version axis lives on row stamps
+    NearDupMaintainer.compact(spark, s"$base/index", upToOpt = Some(2L))
+    NearDupMaintainer.indexAsOf(spark, s"$base/index", 1L)
+      .select("id").collect().map(_.getLong(0)).toSet shouldBe
+      (0L to 5L).toSet
+    val replayed = NearDupMaintainer.probeAsOf(spark, s"$base/index",
+      w.where(col("doc_id") >= 6), "doc_id", "text", asOf = 1L)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    replayed should contain ((3L, 7L))
+    replayed shouldBe recorded
+    // at horizon 0 the wave-1 rows vanish: doc 7's exact twin (doc 3) is
+    // not yet ingested, so the probe finds nothing
+    NearDupMaintainer.probeAsOf(spark, s"$base/index",
+      w.where(col("doc_id") >= 6), "doc_id", "text", asOf = 0L)
+      .count() shouldBe 0L
   }
 
   test("plan: delta and curate specs route to their readers") {
