@@ -85,8 +85,13 @@ object LangModel {
       .join(c1, Seq("w1"), "left")
       .crossJoin(broadcast(vdf))
       .select(col("id"),
+        // greatest(…, 1): a degenerate corpus whose md5 train split is
+        // EMPTY (V = 0, possible only on a handful of docs) scores
+        // against a unit denominator instead of dividing by zero; any
+        // real corpus has a train side and is unaffected
         log((coalesce(col("c2"), lit(0L)) + 1).cast("double") /
-          (coalesce(col("c1"), lit(0L)) + col("__v"))).as("logp"))
+          greatest(coalesce(col("c1"), lit(0L)) + col("__v"),
+            lit(1L))).as("logp"))
     scored.groupBy("id")
       .agg(round(-avg(col("logp")), 6).as("avg_nll"),
         count(lit(1)).as("n_bigrams"))

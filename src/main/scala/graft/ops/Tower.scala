@@ -51,6 +51,13 @@ object Tower {
       .rdd.map(r => (r.getSeq[Double](0).toArray, labelIdx(r.getInt(1))))
       .treeAggregate((new Array[Double](d * d), new Array[Double](d * L)))(
         seqOp = { case ((a, b), (x, y)) =>
+          // d was inferred from one row; ragged input would otherwise
+          // silently truncate longer vectors into the Gram accumulation
+          // (and crash opaquely on shorter ones)
+          require(x.length == d,
+            s"ridgeHead: non-uniform vector length ${x.length} (expected " +
+              s"$d, inferred from the first row) — every $vecCol value " +
+              "must have the same dimensionality")
           var i = 0
           while (i < d) {
             val xi = x(i)

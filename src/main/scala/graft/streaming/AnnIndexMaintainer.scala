@@ -238,11 +238,24 @@ object AnnIndexMaintainer {
     */
   def retrain(spark: SparkSession, indexDir: String, newIndexDir: String,
       cellsPerSqrtN: Int = 4, roundScale: Int = -1): DataFrame = {
+    // guards BEFORE any destructive step: the rebuild must land in a NEW
+    // generation (the old dir stays readable while in-flight queries
+    // drain — same-path retrain would destroy the live index), and an
+    // empty state has nothing to rebuild (and would otherwise surface as
+    // an opaque empty-max error below)
+    require(new java.io.File(newIndexDir).getCanonicalPath !=
+        new java.io.File(indexDir).getCanonicalPath,
+      s"retrain target '$newIndexDir' must be a new generation dir, not " +
+        s"the live index dir '$indexDir'")
+    val gens = BatchDirs.listDirs(indexDir, "b") ++
+      BatchDirs.listDirs(indexDir, "c")
+    require(gens.nonEmpty,
+      s"retrain: no batch or compacted dirs under '$indexDir' — nothing " +
+        "to rebuild")
+    val maxB = gens.map(_._1).max
     val idx = readIndex(spark, indexDir).select("id", "v", "batch_id")
     val (cdf, _) = graft.ops.Ann.ivfTrainBalanced(idx, "v", cellsPerSqrtN)
     val cents = graft.ops.Ann.ivfCentroidsFromDf(cdf)
-    val maxB = (BatchDirs.listDirs(indexDir, "b") ++
-      BatchDirs.listDirs(indexDir, "c")).map(_._1).max
     graft.Exec.deletePath(newIndexDir)
     idx.withColumn("cell", graft.functions.VectorFns.nearestCellNative(
         col("v"), cents, roundScale))

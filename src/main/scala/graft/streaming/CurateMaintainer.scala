@@ -185,18 +185,41 @@ object CurateMaintainer {
       BpeMaintainer.stateWordFreq(spark, s"$stateDir/freq", baseline),
       BpeMaintainer.stateWordFreq(spark, s"$stateDir/freq", batchId)) >=
       klThreshold
-    if (fire) {
-      val sel = curated(ingested, idCol, textCol, s"$stateDir/cur", width,
+    if (fire)
+      deriveSelection(ingested, batchId, idCol, textCol, width, stateDir,
         pplKeepBelow, tokenBudget)
-      val tmp = new java.io.File(stateDir, ".selection.tmp")
-      graft.Exec.deletePath(tmp.getPath)
-      sel.write.mode("overwrite").parquet(tmp.getPath)
-      val dest = new java.io.File(stateDir, "selection")
-      graft.Exec.deletePath(dest.getPath)
-      require(tmp.renameTo(dest), s"selection swap failed in $stateDir")
-      new java.io.File(stateDir, s"selbase$batchId").mkdirs()
-    }
     fire
+  }
+
+  /** Re-derive the selection from state and land it as generation
+    * `selection/s<batchId>` — the firing body of
+    * [[processBatchDriftTriggered]], exposed so an out-of-band executor
+    * ([[MaintenancePlanner]]'s `recurate` decision) can run the same
+    * re-derivation. Generations are APPEND-ONLY and committed by a
+    * single rename (written aside as `.s<batchId>.tmp` first), so a
+    * reader always finds a complete selection — the previous generation
+    * stays in place until the new one's rename lands, and a crash in
+    * between leaves only an ignored temp dir (no window where
+    * [[currentSelection]] has nothing to serve). The generation id IS
+    * the version axis: [[selectionAsOf]] re-reads any historical
+    * selection from the current files, the same `batch_id ≤ asOf`
+    * discipline the shard/postings/ANN states time-travel on. The
+    * baseline marker advances only after the generation is durable
+    * (crash replays re-derive the identical selection).
+    */
+  def deriveSelection(ingested: DataFrame, batchId: Long, idCol: String,
+      textCol: String, width: Int, stateDir: String,
+      pplKeepBelow: Double = 3.43, tokenBudget: Long = 6000L): Unit = {
+    val sel = curated(ingested, idCol, textCol, s"$stateDir/cur", width,
+      pplKeepBelow, tokenBudget)
+    val selDir = new java.io.File(stateDir, "selection")
+    val tmp = new java.io.File(selDir, s".s$batchId.tmp")
+    graft.Exec.deletePath(tmp.getPath)
+    sel.write.mode("overwrite").parquet(tmp.getPath)
+    val dest = new java.io.File(selDir, s"s$batchId")
+    graft.Exec.deletePath(dest.getPath) // replay rewrites its own generation
+    require(tmp.renameTo(dest), s"selection commit failed in $stateDir")
+    new java.io.File(stateDir, s"selbase$batchId").mkdirs()
   }
 
   /** The batch at which the selection was last re-derived (−1 before the
@@ -210,9 +233,29 @@ object CurateMaintainer {
   /** The selection currently being served — whatever the last firing
     * persisted (callers between firings read a stable artifact, not a
     * recomputation). */
-  def currentSelection(spark: SparkSession, stateDir: String): DataFrame = {
-    spark.catalog.refreshByPath(s"$stateDir/selection")
-    spark.read.parquet(s"$stateDir/selection")
+  def currentSelection(spark: SparkSession, stateDir: String): DataFrame =
+    selectionAsOf(spark, stateDir, Long.MaxValue)
+
+  /** TIME-TRAVEL read of the curation selection: the generation the
+    * state was serving after batch `asOf` committed — the newest
+    * `selection/s<b>` with b ≤ asOf, re-read from the CURRENT files
+    * (generations are append-only; nothing is snapshotted or replayed).
+    * Answers "which documents was I training on at version N?" for the
+    * selection itself, completing the version axis the shard, postings,
+    * ANN, and near-dup states already carry. Horizons before the first
+    * firing throw (there was no selection to serve then) — the explicit
+    * error contract, never silently-wrong history.
+    */
+  def selectionAsOf(spark: SparkSession, stateDir: String,
+      asOf: Long): DataFrame = {
+    val gens = BatchDirs.listDirs(s"$stateDir/selection", "s")
+      .filter(_._1 <= asOf)
+    require(gens.nonEmpty,
+      s"no selection generation at or below batch $asOf in $stateDir " +
+        "(the first firing had not happened at that horizon)")
+    val dir = gens.last._2
+    spark.catalog.refreshByPath(dir)
+    spark.read.parquet(dir)
   }
 
   private def readMap(spark: SparkSession, stateDir: String): DataFrame = {

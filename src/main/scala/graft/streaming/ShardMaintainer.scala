@@ -36,6 +36,7 @@ object ShardMaintainer {
 
   private def dataDir(dir: String) = s"$dir/data"
   private def metaDir(dir: String) = s"$dir/meta"
+  private def seqsDir(dir: String) = s"$dir/seqs"
 
   /** Items ingested by batches strictly before `batchId` (replay-safe:
     * a crashed attempt's own sidecar is excluded by the strict bound). */
@@ -61,7 +62,11 @@ object ShardMaintainer {
       payload.select(col("seq_id"), col("ids_str"), col("n_tok")))
     val nDelta = p.count()
     val base = countBefore(spark, dir, batchId)
-    if (nDelta == 0L) { writeMeta(spark, dir, batchId, 0L); return }
+    if (nDelta == 0L) {
+      writeSeqs(p, dir, batchId)
+      writeMeta(spark, dir, batchId, 0L)
+      return
+    }
     val fresh = Packing.epochOrderAppended(p.select(col("seq_id")),
         "seq_id", epochs, base)
       .withColumn("shard_id",
@@ -92,8 +97,23 @@ object ShardMaintainer {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("epoch", "shard_id").parquet(dataDir(dir))
+    writeSeqs(p, dir, batchId)
     writeMeta(spark, dir, batchId, nDelta)
   }
+
+  /** The batch's appended seq ids as a `seqs/b<batchId>` sidecar — the
+    * seq-id-sized append log [[liveSeqIdsBefore]] and [[deadFraction]]
+    * derive last-append horizons from, so neither ever scans the data
+    * dir (whose size is the corpus, not the membership history). One row
+    * per appended seq per batch; overwrite-idempotent like every other
+    * sidecar. [[compactTombstones]] leaves it untouched: append history
+    * is what makes a physically-dropped seq's liveness derivable without
+    * its tombstone.
+    */
+  private def writeSeqs(p: DataFrame, dir: String, batchId: Long): Unit =
+    p.select(col("seq_id").cast("long").as("seq_id"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${seqsDir(dir)}/b$batchId")
 
   /** RECONCILE the layout against the CURRENT full selection — the
     * retroactivity policy for curation-fed shards: incremental curation
@@ -132,18 +152,25 @@ object ShardMaintainer {
     processBatch(fresh, batchId, epochs, shardSize, dir)
   }
 
-  /** Per-seq LAST APPEND batch over rows committed strictly before
-    * `batchId` (epoch 1's rows, partition-pruned; every epoch carries the
-    * same seq set). Empty before the first batch. */
+  /** Per-seq LAST APPEND batch over batches committed strictly before
+    * `batchId`, derived from the `seqs/b*` append sidecars — a
+    * seq-id-sized read (one row per append event), never a data-dir
+    * scan, so liveness joins and [[deadFraction]] stay metadata-cost on
+    * a corpus-sized layout. Empty before the first batch.
+    */
   private def ingestedSeqBatchesBefore(spark: SparkSession, dir: String,
-      batchId: Long): DataFrame =
-    if (!new java.io.File(dataDir(dir)).exists())
+      batchId: Long): DataFrame = {
+    val dirs = BatchDirs.listDirs(seqsDir(dir), "b").filter(_._1 < batchId)
+    if (dirs.isEmpty)
       spark.range(0).select(col("id").as("seq_id"),
         col("id").as("last_append"))
-    else spark.read.parquet(dataDir(dir)).where(col("epoch") === 1 &&
-        col("batch_id") < batchId)
-      .groupBy(col("seq_id").cast("long").as("seq_id"))
-      .agg(max(col("batch_id").cast("long")).as("last_append"))
+    else dirs.map { case (id, p) =>
+        spark.read.parquet(p)
+          .select(col("seq_id").cast("long").as("seq_id"),
+            lit(id).as("last_append"))
+      }.reduce(_ unionByName _)
+      .groupBy("seq_id").agg(max(col("last_append")).as("last_append"))
+  }
 
   /** Seq ids LIVE as of state committed strictly before `batchId`: last
     * append out-ranks the last tombstone (or no tombstone at all). */
@@ -271,9 +298,11 @@ object ShardMaintainer {
       .sorted.lastOption.getOrElse(-1L)
 
   /** Dead fraction of the layout — tombstoned seq ids over ingested seq
-    * ids (epoch 1 counts; every epoch carries the same seq set). The
-    * measured quantity a maintenance loop thresholds to decide when
-    * [[compactTombstones]] pays for itself.
+    * ids, both derived from sidecars (`seqs/b*` append log, `tomb/b*`
+    * tombstones): the measurement is membership-history-sized, never a
+    * data scan, so a fleet-wide planner sweep ([[MaintenancePlanner]])
+    * can threshold it on a schedule at corpus scale. The measured
+    * quantity decides when [[compactTombstones]] pays for itself.
     */
   def deadFraction(spark: SparkSession, dir: String): Double = {
     val ingested = ingestedSeqBatchesBefore(spark, dir, Long.MaxValue)

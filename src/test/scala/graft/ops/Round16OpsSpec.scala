@@ -1,0 +1,133 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.streaming.{AnnIndexMaintainer, CurateMaintainer, ShardMaintainer}
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-16 additions: versioned curation selections
+  * (time-travel + crash-atomic generations), the retrain safety guards,
+  * the ridge-head ragged-input guard, and the sidecar-derived shard
+  * liveness metrics.
+  */
+class Round16OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  // ------------------------------------- versioned curation selection
+
+  // passes every gopher rule: 26 words, ~0.96 unique fraction, alpha
+  // tokens, several stopwords
+  private def doc(id: Long, extra: String) = (id,
+    "the quick brown fox jumps over a lazy dog while many other animals " +
+      "watch quietly from the tall grass near slowly running water today " +
+      extra)
+
+  test("selectionAsOf: every firing is an append-only generation; " +
+      "historical horizons re-read from current files; pre-first-firing " +
+      "horizons throw") {
+    val dir = tmp("selasof")
+    // ids 6/9/11/17 sit in the LM's md5 train split (first hex < '8'),
+    // so the ppl stage scores against a non-empty model
+    val w0 = Seq(doc(6L, "alpha beta"), doc(9L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val w1 = Seq(doc(11L, "alpha gamma"), doc(17L, "beta delta"))
+      .toDF("doc_id", "text")
+    val w2 = Seq(doc(2L, ("zz " * 30).trim), doc(5L, ("qq " * 30).trim))
+      .toDF("doc_id", "text")
+    CurateMaintainer.processBatchDriftTriggered(w0, w0, 0L, "doc_id",
+      "text", 30, dir, klThreshold = 0.05,
+      pplKeepBelow = 1000.0) shouldBe true
+    val sel0 = CurateMaintainer.currentSelection(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    sel0 should not be empty
+    CurateMaintainer.processBatchDriftTriggered(w1, w0.unionByName(w1), 1L,
+      "doc_id", "text", 30, dir, klThreshold = 0.05,
+      pplKeepBelow = 1000.0) shouldBe false
+    val all = w0.unionByName(w1).unionByName(w2)
+    CurateMaintainer.processBatchDriftTriggered(w2, all, 2L, "doc_id",
+      "text", 30, dir, klThreshold = 0.05,
+      pplKeepBelow = 1000.0) shouldBe true
+    val sel2 = CurateMaintainer.currentSelection(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    sel2 should not be sel0
+    // as-of 0 and 1 both resolve to the wave-0 generation (no firing at 1)
+    CurateMaintainer.selectionAsOf(spark, dir, 0L)
+      .collect().map(_.toString).sorted.toSeq shouldBe sel0
+    CurateMaintainer.selectionAsOf(spark, dir, 1L)
+      .collect().map(_.toString).sorted.toSeq shouldBe sel0
+    CurateMaintainer.selectionAsOf(spark, dir, 2L)
+      .collect().map(_.toString).sorted.toSeq shouldBe sel2
+    // before the first firing there was nothing being served
+    val e = intercept[IllegalArgumentException] {
+      CurateMaintainer.selectionAsOf(spark, dir, -1L)
+    }
+    e.getMessage should include("no selection generation")
+    // a stray crash-leftover temp dir is never picked up as a generation
+    new java.io.File(s"$dir/selection", ".s9.tmp").mkdirs()
+    CurateMaintainer.currentSelection(spark, dir)
+      .collect().map(_.toString).sorted.toSeq shouldBe sel2
+  }
+
+  // ------------------------------------------------- retrain guards
+
+  test("retrain refuses the live index dir as its target and refuses an " +
+      "empty state, before deleting anything") {
+    val dir = tmp("retrg")
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val vecs = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    AnnIndexMaintainer.processBatch(vecs, 0L, "vec_id", "embedding",
+      cents, dir)
+    val same = intercept[IllegalArgumentException] {
+      AnnIndexMaintainer.retrain(spark, dir, dir + "/../" +
+        new java.io.File(dir).getName)
+    }
+    same.getMessage should include("new generation")
+    // the live index must be untouched by the refused call
+    AnnIndexMaintainer.readIndex(spark, dir).count() shouldBe 2L
+    val empty = intercept[IllegalArgumentException] {
+      AnnIndexMaintainer.retrain(spark, tmp("retrempty"), tmp("retrnew"))
+    }
+    empty.getMessage should include("nothing to rebuild")
+  }
+
+  // --------------------------------------------- ridge head hardening
+
+  test("ridgeHead fails fast with a clear message on ragged vectors") {
+    val ragged = Seq((Seq(1.0, 2.0), 0), (Seq(1.0, 2.0, 3.0), 1))
+      .toDF("v", "label")
+    val e = intercept[org.apache.spark.SparkException] {
+      Tower.ridgeHead(ragged, "v", "label")
+    }
+    e.getMessage should include("non-uniform vector length")
+  }
+
+  // -------------------------------- sidecar-derived shard liveness
+
+  test("deadFraction derives from append/tombstone sidecars and matches " +
+      "the reconcile history; compaction drops it back toward zero") {
+    val dir = tmp("shardside")
+    def payload(ids: Seq[Long]) =
+      ids.map(i => (i, s"ids$i", 4L)).toDF("seq_id", "ids_str", "n_tok")
+    ShardMaintainer.reconcile(payload(Seq(0L, 1L, 2L, 3L)), 0L,
+      epochs = 1, shardSize = 2, dir)
+    ShardMaintainer.deadFraction(spark, dir) shouldBe 0.0
+    // drop half the selection
+    ShardMaintainer.reconcile(payload(Seq(0L, 1L)), 1L,
+      epochs = 1, shardSize = 2, dir)
+    ShardMaintainer.deadFraction(spark, dir) shouldBe 0.5 +- 1e-12
+    // a resurrection re-appends under a new batch and revives liveness
+    ShardMaintainer.reconcile(payload(Seq(0L, 1L, 2L)), 2L,
+      epochs = 1, shardSize = 2, dir)
+    ShardMaintainer.deadFraction(spark, dir) shouldBe 0.25 +- 1e-12
+    val liveBefore = ShardMaintainer.readShardsLive(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    ShardMaintainer.compactTombstones(spark, dir, upTo = 2L)
+    // live view bit-identical, dead mass physically gone
+    ShardMaintainer.readShardsLive(spark, dir)
+      .collect().map(_.toString).sorted.toSeq shouldBe liveBefore
+    ShardMaintainer.deadFraction(spark, dir) shouldBe 0.0
+  }
+}
