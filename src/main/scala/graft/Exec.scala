@@ -54,6 +54,30 @@ object Exec {
     result
   }
 
+  /** Recursive local-path copy (overwrites `dst`) — snapshot a maintained
+    * state dir so a destructive operation (compaction, executor runs) can
+    * act on a private copy while shared read-only consumers keep their
+    * original. Local-FS rendering of a cheap table-format CLONE.
+    */
+  def copyPath(src: String, dst: String): Unit = {
+    deletePath(dst)
+    val sp = java.nio.file.Paths.get(src)
+    val dp = java.nio.file.Paths.get(dst)
+    if (!java.nio.file.Files.exists(sp)) return
+    val it = java.nio.file.Files.walk(sp)
+    try it.forEach { p =>
+      val t = dp.resolve(sp.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) {
+        java.nio.file.Files.createDirectories(t); ()
+      } else {
+        java.nio.file.Files.createDirectories(t.getParent)
+        java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+    } finally it.close()
+  }
+
   /** Recursive local-path delete (model/state/sink swap dirs). */
   def deletePath(path: String): Unit = {
     def rm(f: java.io.File): Unit = {

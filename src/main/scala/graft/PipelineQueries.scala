@@ -255,6 +255,246 @@ object PipelineQueries {
       base
     })
 
+  /** One streamed ROUNDED-assignment inverted file per (JVM, sf dir) —
+    * 3 waves against the frozen √N quantizer, mid-stream LSM fold after
+    * wave 1 (layout c01 + b2, the read-across-compacted-and-live shape)
+    * — consumed read-only by the graph derivation gate. Construction is
+    * amortized across bench passes (the [[bm25StateFor]] pattern);
+    * s_knn_ivf stays the per-call construction-measuring gate for this
+    * state kind, so the build cost itself remains a benchmarked number.
+    */
+  private val knnGraphStateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def knnGraphStateFor(s: SparkSession, d: String): String =
+    knnGraphStateCache.computeIfAbsent(d, _ => {
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_knngraph", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      val e = emb(s, d)
+      val cents = sizedCentsFor(s, d)
+      (0 until 3).foreach { g =>
+        graft.streaming.AnnIndexMaintainer.processBatch(
+          e.where(col("vec_id") % 3 === g), g.toLong, "vec_id", "embedding",
+          cents, s"$base/index", roundScale = 6)
+        if (g == 1)
+          graft.streaming.AnnIndexMaintainer.compact(s, s"$base/index")
+      }
+      s"$base/index"
+    })
+
+  /** One FULLY-FOLDED streamed inverted file per (JVM, sf dir) — 3
+    * waves, then everything absorbed into one consolidated dir (upTo =
+    * the newest batch), so the time-travel gate proves the version axis
+    * survives on row stamps alone. Persists the `asof_centroids_s`
+    * artifact its oracle re-derives from. Read-only consumers:
+    * s_knn_asof and the SQL as-of surface.
+    */
+  private val annAsofStateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def annAsofStateFor(s: SparkSession, d: String): String =
+    annAsofStateCache.computeIfAbsent(d, _ => {
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_annasof", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      val e = emb(s, d)
+      val cents = sizedCentsCopy(s, d, "asof_centroids_s")
+      (0 until 3).foreach { g =>
+        graft.streaming.AnnIndexMaintainer.processBatch(
+          e.where(col("vec_id") % 3 === g), g.toLong, "vec_id", "embedding",
+          cents, s"$base/index")
+      }
+      // fold EVERYTHING (upTo = the newest batch): the as-of slice must
+      // come out of the consolidated dir, not surviving batch dirs
+      graft.streaming.AnnIndexMaintainer.compact(s, s"$base/index", Some(2L))
+      s"$base/index"
+    })
+
+  /** One learned-space IVF state per (JVM, sf dir): the ridge-head
+    * projection of the corpus ([[towerWeightsFor]]), a √N quantizer
+    * trained IN THE LEARNED SPACE (persisted as `learned_cents`), three
+    * ingest waves with the mid-stream fold. Returns (weights, centroids,
+    * index dir); consumers only read.
+    */
+  private val learnedStateCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Array[Double]], Array[Array[Double]], String)]()
+
+  private def learnedStateFor(s: SparkSession, d: String)
+      : (Array[Array[Double]], Array[Array[Double]], String) =
+    learnedStateCache.computeIfAbsent(d, _ => {
+      val w = towerWeightsFor(s, d)
+      val proj = emb(s, d).select(col("vec_id"),
+        Tower.project(col("embedding"), w).as("pv"))
+      val (cdf, _) = Ann.ivfTrainBalanced(proj, "pv")
+      cdf.coalesce(1).write.mode("overwrite")
+        .parquet(annArtifactBase(d) + "/learned_cents")
+      val cents = Ann.ivfCentroidsFromDf(
+        s.read.parquet(annArtifactBase(d) + "/learned_cents"))
+      val idxBase = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_annlearned", Tables.runKey(d)).toString
+      graft.Exec.deletePath(idxBase)
+      (0 until 3).foreach { g =>
+        graft.streaming.AnnIndexMaintainer.processBatch(
+          proj.where(col("vec_id") % 3 === g), g.toLong, "vec_id", "pv",
+          cents, idxBase)
+        if (g == 1) graft.streaming.AnnIndexMaintainer.compact(s, idxBase)
+      }
+      (w, cents, idxBase)
+    })
+
+  /** One maintained HYBRID serving state per (JVM, sf dir): the streamed
+    * postings index and the streamed cell-partitioned IVF tower over the
+    * corpus text embeddings, both folded at max−1 (the production read
+    * shape: sidecar + delta on the sparse leg, c-dir + b-dir on the
+    * dense leg). Persists `hybrid_centroids_s`; returns (state base,
+    * centroids). Consumers (s_hybrid_search, s_hybrid_learned's sparse
+    * leg) only read — construction amortized across bench passes.
+    */
+  private val hybridStateCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Array[Array[Double]])]()
+
+  private def hybridStateFor(s: SparkSession, d: String)
+      : (String, Array[Array[Double]]) =
+    hybridStateCache.computeIfAbsent(d, _ => {
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_hybrid", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      val corpus = docs(s, d).where(col("doc_id") >= 25)
+      val embCorpus = corpus.select(col("doc_id").as("vec_id"),
+        TextOps.textEmbedding(col("text"), 8).as("embedding"))
+      Ann.ivfTrainBalanced(embCorpus, "embedding")._1
+        .coalesce(1).write.mode("overwrite")
+        .parquet(annArtifactBase(d) + "/hybrid_centroids_s")
+      val cents = Ann.ivfCentroidsFromDf(
+        s.read.parquet(annArtifactBase(d) + "/hybrid_centroids_s"))
+      (0 until 3).foreach { g =>
+        graft.streaming.SearchIndexMaintainer.processBatch(
+          corpus.where(col("doc_id") % 3 === g), g.toLong, "doc_id", "text",
+          s"$base/postings")
+        graft.streaming.AnnIndexMaintainer.processBatch(
+          embCorpus.where(col("vec_id") % 3 === g), g.toLong, "vec_id",
+          "embedding", cents, s"$base/index", roundScale = 6)
+      }
+      // fold at max−1: the newest batch stays replayable, so serving runs
+      // off (sidecar + delta) on the sparse leg and (c-dir + b-dir) on the
+      // dense leg — the production read shape, not the all-folded one
+      graft.streaming.SearchIndexMaintainer.compact(s, "doc_id",
+        s"$base/postings")
+      graft.streaming.AnnIndexMaintainer.compact(s, s"$base/index")
+      (base, cents)
+    })
+
+  /** One LEARNED-TOWER hybrid dense leg per (JVM, sf dir): a ridge head
+    * trained on the corpus text embeddings against the documents' lang
+    * labels (sorted-lang index — a real text-classification head, not a
+    * synthetic target), persisted as `hybrid_tower_w`; the corpus
+    * projected through the trained weights; a √N quantizer trained IN
+    * THE LEARNED SPACE (persisted `hybrid_learned_cents`); three ingest
+    * waves into a cell-partitioned inverted file folded at max−1 (the
+    * [[hybridStateFor]] production shape). Returns (weights, centroids,
+    * index dir). Training determinism is irrelevant to the compare —
+    * both engines project through the SAME persisted weights (the
+    * centroid contract).
+    */
+  private val hybridLearnedStateCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (Array[Array[Double]], Array[Array[Double]], String)]()
+
+  private def hybridLearnedStateFor(s: SparkSession, d: String)
+      : (Array[Array[Double]], Array[Array[Double]], String) =
+    hybridLearnedStateCache.computeIfAbsent(d, _ => {
+      val corpus = docs(s, d).where(col("doc_id") >= 25)
+      val langs = corpus.select(col("lang")).distinct()
+        .collect().map(_.getString(0)).sorted
+      val lbl = langs.zipWithIndex.tail.foldLeft(lit(0)) {
+        case (acc, (lg, i)) => when(col("lang") === lg, lit(i)).otherwise(acc)
+      }
+      val embCorpus = corpus.select(col("doc_id").as("vec_id"),
+        TextOps.textEmbedding(col("text"), 8).as("embedding"),
+        lbl.as("label"))
+      Tower.ridgeHead(embCorpus, "embedding", "label")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(annArtifactBase(d) + "/hybrid_tower_w")
+      val w = Tower.weightsFromDf(
+        s.read.parquet(annArtifactBase(d) + "/hybrid_tower_w"))
+      val proj = embCorpus.select(col("vec_id"),
+        Tower.project(col("embedding"), w).as("pv"))
+      val (cdf, _) = Ann.ivfTrainBalanced(proj, "pv")
+      cdf.coalesce(1).write.mode("overwrite")
+        .parquet(annArtifactBase(d) + "/hybrid_learned_cents")
+      val cents = Ann.ivfCentroidsFromDf(
+        s.read.parquet(annArtifactBase(d) + "/hybrid_learned_cents"))
+      val idxBase = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_hyblearned", Tables.runKey(d)).toString
+      graft.Exec.deletePath(idxBase)
+      (0 until 3).foreach { g =>
+        graft.streaming.AnnIndexMaintainer.processBatch(
+          proj.where(col("vec_id") % 3 === g), g.toLong, "vec_id", "pv",
+          cents, idxBase, roundScale = 6)
+      }
+      graft.streaming.AnnIndexMaintainer.compact(s, idxBase)
+      (w, cents, idxBase)
+    })
+
+  /** The executor gate's drift-stale curation fixture, built ONCE per
+    * (JVM, sf dir) and COPIED per gate call (the destructive recurate
+    * acts on the copy): the even-doc_id sub-corpus, waves keyed on
+    * doc_id % 6, wave 2 spliced with [[DriftPhrase]], and the INLINE
+    * trigger asleep (threshold 1e9 — only wave 0's unconditional firing
+    * lands), so the out-of-band sweep must flag the stale selection.
+    * Returns the spliced ingested view (the recurate context); the
+    * pristine state lives at [[execCurateBase]].
+    */
+  private def execCurateBase(d: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft_maint_curbase", Tables.runKey(d)).toString
+
+  private val execCurateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def execCurateStateFor(s: SparkSession, d: String): DataFrame =
+    execCurateCache.computeIfAbsent(d, _ => {
+      val base = execCurateBase(d)
+      graft.Exec.deletePath(base)
+      val spliced = graft.Exec.materializeLocal(
+        docs(s, d).where(col("doc_id") % 2 === 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 6 === 4,
+              concat(col("text"), lit(DriftPhrase)))
+            .otherwise(col("text")).as("text")))
+      (0 until 3).foreach { g =>
+        graft.streaming.CurateMaintainer.processBatchDriftTriggered(
+          spliced.where(col("doc_id") % 6 === g * 2),
+          spliced.where(col("doc_id") % 6 <= g * 2), g.toLong,
+          "doc_id", "text", 30, base, klThreshold = 1e9)
+      }
+      spliced
+    })
+
+  /** One FULLY-FOLDED streamed postings state per (JVM, sf dir) — the
+    * [[annAsofStateFor]] discipline on the sparse index: 3 waves, whole
+    * fold, consumed read-only by the BM25 time-travel gate.
+    */
+  private val bm25AsofStateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def bm25AsofStateFor(s: SparkSession, d: String): String =
+    bm25AsofStateCache.computeIfAbsent(d, _ => {
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_bm25asof", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      val dd = docs(s, d)
+      (0 until 3).foreach { g =>
+        graft.streaming.SearchIndexMaintainer.processBatch(
+          dd.where(col("doc_id") % 3 === g), g.toLong, "doc_id", "text",
+          s"$base/state")
+      }
+      graft.streaming.SearchIndexMaintainer.compact(s, "doc_id",
+        s"$base/state", Some(2L))
+      s"$base/state"
+    })
+
   /** One streamed postings state per (JVM, sf dir) — 3 waves with the
     * mid-stream fold after wave 1 (layout c0 + b1 + b2), shared by
     * s_bm25_search and p_maint_plan (both read-only consumers).
@@ -368,10 +608,16 @@ object PipelineQueries {
   private val driftRunCache =
     new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
 
+  /** The drift-curation state dir of [[driftRunFor]] — deterministic per
+    * (sf dir), so the as-of gate can re-open the maintained state the
+    * shared run left behind. */
+  private def curateDriftBase(d: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft_stream_curatedrift", Tables.runKey(d)).toString
+
   private def driftRunFor(s: SparkSession, d: String): (DataFrame, DataFrame) =
     driftRunCache.computeIfAbsent(d, _ => {
-      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_stream_curatedrift", Tables.runKey(d)).toString
+      val base = curateDriftBase(d)
       graft.Exec.deletePath(base)
       val spliced = docs(s, d).select(col("doc_id"),
         when(col("doc_id") % 3 === 2, concat(col("text"), lit(DriftPhrase)))
@@ -633,20 +879,10 @@ object PipelineQueries {
     // state, only query-side probing recomputes. Same oracle as
     // p_knn_graph: the streamed derivation must equal the one-shot graph.
     "s_knn_graph" -> ((s, d) => {
-      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_stream_knngraph", Tables.runKey(d)).toString
-      graft.Exec.deletePath(base)
-      val e = emb(s, d)
+      val idx = knnGraphStateFor(s, d)
       val cents = sizedCentsFor(s, d)
-      (0 until 3).foreach { g =>
-        graft.streaming.AnnIndexMaintainer.processBatch(
-          e.where(col("vec_id") % 3 === g), g.toLong, "vec_id", "embedding",
-          cents, s"$base/index", roundScale = 6)
-        if (g == 1)
-          graft.streaming.AnnIndexMaintainer.compact(s, s"$base/index")
-      }
       Ann.knnGraphAssigned(
-        graft.streaming.AnnIndexMaintainer.readIndex(s, s"$base/index"),
+        graft.streaming.AnnIndexMaintainer.readIndex(s, idx),
         "id", "v", k = 5, cents, nprobe = 2, rankOnRoundedTo = Some(6))
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
@@ -886,18 +1122,8 @@ object PipelineQueries {
     // to the retrieval artifact.
     "s_knn_asof" -> ((s, d) => {
       val e = emb(s, d)
-      val cents = sizedCentsCopy(s, d, "asof_centroids_s")
-      val idxBase = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_stream_annasof", Tables.runKey(d)).toString
-      graft.Exec.deletePath(idxBase)
-      (0 until 3).foreach { g =>
-        graft.streaming.AnnIndexMaintainer.processBatch(
-          e.where(col("vec_id") % 3 === g), g.toLong, "vec_id", "embedding",
-          cents, idxBase)
-      }
-      // fold EVERYTHING (upTo = the newest batch): the as-of slice must
-      // come out of the consolidated dir, not surviving batch dirs
-      graft.streaming.AnnIndexMaintainer.compact(s, idxBase, Some(2L))
+      val idxBase = annAsofStateFor(s, d)
+      val cents = sizedCentsFor(s, d)
       val queries = e.where(col("vec_id") < 5)
         .selectExpr("vec_id", "cast(embedding as array<double>) as v")
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
@@ -930,23 +1156,9 @@ object PipelineQueries {
     // persisted weights feeding the standard IVF re-derivation from the
     // persisted learned-space centroids.
     "s_knn_learned" -> ((s, d) => {
-      val w = towerWeightsFor(s, d)
+      val (w, cents, idxBase) = learnedStateFor(s, d)
       val proj = emb(s, d).select(col("vec_id"),
         Tower.project(col("embedding"), w).as("pv"))
-      val (cdf, _) = Ann.ivfTrainBalanced(proj, "pv")
-      cdf.coalesce(1).write.mode("overwrite")
-        .parquet(annArtifactBase(d) + "/learned_cents")
-      val cents = Ann.ivfCentroidsFromDf(
-        s.read.parquet(annArtifactBase(d) + "/learned_cents"))
-      val idxBase = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_stream_annlearned", Tables.runKey(d)).toString
-      graft.Exec.deletePath(idxBase)
-      (0 until 3).foreach { g =>
-        graft.streaming.AnnIndexMaintainer.processBatch(
-          proj.where(col("vec_id") % 3 === g), g.toLong, "vec_id", "pv",
-          cents, idxBase)
-        if (g == 1) graft.streaming.AnnIndexMaintainer.compact(s, idxBase)
-      }
       val queries = proj.where(col("vec_id") < 5)
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
       graft.streaming.AnnIndexMaintainer.search(s, idxBase, cents, queries,
@@ -1055,26 +1267,63 @@ object PipelineQueries {
           col("decision"))
         .orderBy("state")
     }),
+    // MAINTENANCE-PLAN EXECUTION, driver-gated — the closed operations
+    // loop p_maint_plan only recommends: one sweep measures five
+    // heterogeneous maintained states, the executor APPLIES every
+    // non-none decision (offline quantizer retrain into a new
+    // generation, tombstone compaction on a snapshot of the shard
+    // layout, LSM fold of the postings delta, selection re-derivation on
+    // a drift-stale curation state), and the second sweep must come back
+    // all-none with the acted-on metrics at their healthy values. The
+    // destructive actions run on per-call copies/new generations, so the
+    // shared read-only states other gates consume are never mutated and
+    // the gate is pass-idempotent. The oracle re-derives every PRE metric
+    // from source tables + persisted quantizers (the p_maint_plan
+    // derivations; the curation state is an even-doc_id sub-corpus with
+    // its own wave-2 splice and a deliberately-sleeping inline trigger)
+    // and every POST metric from the action semantics: a fresh-baseline
+    // retrain and an advanced selection baseline measure 0, full folds
+    // and full tombstone retirement measure 0, and the untouched hold arm
+    // re-measures its pre value.
+    "s_maint_execute" -> ((s, d) => {
+      import graft.streaming.MaintenancePlanner
+      import graft.streaming.MaintenancePlanner.{AnnSpec, CurateRun,
+        CurateSpec, DeltaSpec, ShardSpec}
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_maint_exec", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      // destructive targets act on COPIES of the shared/memoized states
+      graft.Exec.copyPath(shardRecStateFor(s, d), s"$base/shards")
+      graft.Exec.copyPath(bm25StateFor(s, d), s"$base/postings")
+      val spliced = execCurateStateFor(s, d)
+      graft.Exec.copyPath(execCurateBase(d), s"$base/cur")
+      val (table, _) = MaintenancePlanner.execute(s, Seq(
+          AnnSpec("ann_drift", annDriftStateFor(s, d, spliced = true),
+            RetrainRatio),
+          AnnSpec("ann_hold", annDriftStateFor(s, d, spliced = false),
+            RetrainRatio),
+          CurateSpec("curate", s"$base/cur", 0.05),
+          DeltaSpec("postings", s"$base/postings", 0.4),
+          ShardSpec("shards", s"$base/shards", 0.05)),
+        annNewDirs = Map("ann_drift" -> s"$base/ann_gen2"),
+        curateRuns = Map("curate" ->
+          CurateRun(spliced, "doc_id", "text", 30)),
+        deltaCompactors = Map("postings" -> ((sp, dir) =>
+          graft.streaming.SearchIndexMaintainer.compact(sp, "doc_id", dir,
+            Some(2L)))))
+      table.select(col("phase"), col("state"), col("metric"),
+          round(col("value"), 6).as("value"), col("threshold"),
+          col("decision"))
+        .orderBy(col("phase").desc, col("state"))
+    }),
     // TIME-TRAVEL BM25, driver-gated: the postings index folded whole,
     // then searched as of wave 1 — ranking stats (N, avgdl, df, lengths)
     // all re-derive from the batch_id ≤ 1 postings slice, reproducing
     // exactly what the index answered before wave 2 arrived.
-    "s_bm25_asof" -> ((s, d) => {
-      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_stream_bm25asof", Tables.runKey(d)).toString
-      graft.Exec.deletePath(base)
-      val dd = docs(s, d)
-      (0 until 3).foreach { g =>
-        graft.streaming.SearchIndexMaintainer.processBatch(
-          dd.where(col("doc_id") % 3 === g), g.toLong, "doc_id", "text",
-          s"$base/state")
-      }
-      graft.streaming.SearchIndexMaintainer.compact(s, "doc_id",
-        s"$base/state", Some(2L))
-      graft.streaming.SearchIndexMaintainer.searchAsOf(s, s"$base/state",
-        "doc_id", query = Seq("spark", "vector", "merge"), k = 20,
-        asOf = 1L)
-    }),
+    "s_bm25_asof" -> ((s, d) =>
+      graft.streaming.SearchIndexMaintainer.searchAsOf(s,
+        bm25AsofStateFor(s, d), "doc_id",
+        query = Seq("spark", "vector", "merge"), k = 20, asOf = 1L)),
     // Best-representative selection per near-dup group: real pipelines keep
     // the highest-QUALITY member of each duplicate cluster, not the lowest
     // id — argmax(quality, tie → lowest id) per connected component.
@@ -1287,32 +1536,8 @@ object PipelineQueries {
     // the IVF cell assignment/probing from the persisted centroids, and
     // the fusion — entirely from scratch.
     "s_hybrid_search" -> ((s, d) => {
-      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_stream_hybrid", Tables.runKey(d)).toString
-      graft.Exec.deletePath(base)
-      val corpus = docs(s, d).where(col("doc_id") >= 25)
+      val (base, cents) = hybridStateFor(s, d)
       val evalQ = docs(s, d).where(col("doc_id") < 5)
-      val embCorpus = corpus.select(col("doc_id").as("vec_id"),
-        TextOps.textEmbedding(col("text"), 8).as("embedding"))
-      Ann.ivfTrainBalanced(embCorpus, "embedding")._1
-        .coalesce(1).write.mode("overwrite")
-        .parquet(annArtifactBase(d) + "/hybrid_centroids_s")
-      val cents = Ann.ivfCentroidsFromDf(
-        s.read.parquet(annArtifactBase(d) + "/hybrid_centroids_s"))
-      (0 until 3).foreach { g =>
-        graft.streaming.SearchIndexMaintainer.processBatch(
-          corpus.where(col("doc_id") % 3 === g), g.toLong, "doc_id", "text",
-          s"$base/postings")
-        graft.streaming.AnnIndexMaintainer.processBatch(
-          embCorpus.where(col("vec_id") % 3 === g), g.toLong, "vec_id",
-          "embedding", cents, s"$base/index", roundScale = 6)
-      }
-      // fold at max−1: the newest batch stays replayable, so serving runs
-      // off (sidecar + delta) on the sparse leg and (c-dir + b-dir) on the
-      // dense leg — the production read shape, not the all-folded one
-      graft.streaming.SearchIndexMaintainer.compact(s, "doc_id",
-        s"$base/postings")
-      graft.streaming.AnnIndexMaintainer.compact(s, s"$base/index")
       val sparse = graft.streaming.SearchIndexMaintainer.searchBatch(
         s, s"$base/postings", "doc_id",
         evalQ.select(col("doc_id").as("qid"),
@@ -1324,6 +1549,39 @@ object PipelineQueries {
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
       val dense = graft.streaming.AnnIndexMaintainer.search(s, s"$base/index",
         cents, qvecs, k = 10, rankOnRoundedTo = Some(6))
+        .select(col("query_id").as("qid"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      TfIdf.rrfFuse(sparse, dense, "qid", "doc_id", k = 10)
+    }),
+    // LEARNED-TOWER hybrid retrieval, driver-gated: the fused serving
+    // composition with its dense leg swapped to the TRAINED projection —
+    // sparse answers from the same maintained postings index as
+    // s_hybrid_search, dense from a maintained IVF built over the
+    // ridge-head projection of the corpus (quantizer trained in the
+    // learned space, frozen + persisted), queries projected through the
+    // same persisted weights, RRF re-rank unchanged. Closes the
+    // model-agnostic story: every leg of the serving path is a column
+    // contract, so swapping the embedding model is a training step plus
+    // an index rebuild, never a query rewrite. The oracle re-derives the
+    // BM25 leg, the closed-form text embeddings, the projection from the
+    // persisted (j,k,w) weights, IVF assignment/probing from the
+    // persisted learned-space centroids, and the fusion — from scratch.
+    "s_hybrid_learned" -> ((s, d) => {
+      val (base, _) = hybridStateFor(s, d)
+      val (w, lcents, lIdx) = hybridLearnedStateFor(s, d)
+      val evalQ = docs(s, d).where(col("doc_id") < 5)
+      val sparse = graft.streaming.SearchIndexMaintainer.searchBatch(
+        s, s"$base/postings", "doc_id",
+        evalQ.select(col("doc_id").as("qid"),
+          explode(TextOps.tokens(col("text"))).as("term")).distinct(),
+        "qid", "term", k = 10)
+        .select(col("qid"), col("doc_id"), col("rank"))
+      val qvecs = evalQ
+        .select(col("doc_id"), Tower.project(
+          TextOps.textEmbedding(col("text"), 8), w).as("v"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      val dense = graft.streaming.AnnIndexMaintainer.search(s, lIdx,
+        lcents, qvecs, k = 10, rankOnRoundedTo = Some(6))
         .select(col("query_id").as("qid"), col("neighbor_id").as("doc_id"),
           col("rank"))
       TfIdf.rrfFuse(sparse, dense, "qid", "doc_id", k = 10)
@@ -2306,6 +2564,19 @@ object PipelineQueries {
     // sleeps through the shift serves the stale wave-0 selection and
     // hash-fails.
     "s_curate_drift" -> ((s, d) => driftRunFor(s, d)._2),
+    // TIME-TRAVEL read of the curation selection: after the full 3-wave
+    // drift run (wave-0 firing, wave-1 hold, wave-2 re-derivation), the
+    // selection AS OF batch 1 must still be the wave-0 generation —
+    // re-read from the CURRENT files (`selection/s<b>` generations are
+    // append-only), not a replay. Same oracle as the hold leg: one-shot
+    // curate over the wave-0 corpus. A maintainer that overwrote its
+    // selection in place (losing history) or mis-resolved the horizon to
+    // the wave-2 generation hash-fails.
+    "s_curate_asof" -> ((s, d) => {
+      driftRunFor(s, d) // ensure the shared drift state exists
+      graft.streaming.CurateMaintainer.selectionAsOf(s,
+        s"${curateDriftBase(d)}/state", asOf = 1L)
+    }),
     // STREAMING training manifest: the full raw-corpus→training-batches
     // composition with its two corpus-scan stages fed from the SAME
     // accumulated curation state as s_curate (waves + mid-stream fold) —
@@ -2441,6 +2712,24 @@ object PipelineQueries {
       docs(ext, d).createOrReplaceTempView("docs_curate")
       ext.sql("CURATE docs_curate ID doc_id TEXT text " +
         "WIDTH 30 PPL 3.43 BUDGET 6000")
+    }),
+    // SQL TIME TRAVEL over a maintained state: the reconciled shard
+    // layout read at the wave-1 horizon through the injected
+    // `GRAFT_SHARDS('<dir>') VERSION AS OF <batch>` relation — the as-of
+    // API lifted to the pure SQL surface (the CURATE lifting applied to
+    // the version axis), composing with ordinary SQL on top (the gate
+    // aggregates per shard). Same oracle as s_shard_asof: the SQL path
+    // must hash-equal the API path's from-scratch re-derivation.
+    "q_sql_asof" -> ((s, d) => {
+      val dir = shardRecStateFor(s, d)
+      val ext = RecQueries.extensionSession(s)
+      ext.sql(
+        s"""SELECT epoch, shard_id, count(1) AS n_seqs,
+           |  cast(sum(size(split(ids_str, ':'))) AS bigint) AS n_tok,
+           |  sum(aggregate(split(ids_str, ':'),
+           |      0L, (a, x) -> a + cast(x AS long))) AS id_sum
+           |FROM GRAFT_SHARDS('$dir') VERSION AS OF 1
+           |GROUP BY epoch, shard_id""".stripMargin)
     }),
     // Corpus-relative perplexity filtering: keep the best half by the
     // exact interpolated median of the rounded scores (the way production
@@ -4640,6 +4929,130 @@ object PipelineQueries {
          |)
          |SELECT state, metric, round(v, 6) AS value, threshold, decision
          |FROM mp_rows ORDER BY state""".stripMargin,
+    // pre phase: the p_maint_plan derivations (drift/hold distortion from
+    // the persisted bootstrap quantizers, shard dead mass from the
+    // reconcile history, postings delta from the wave split, curation KL
+    // over the even-doc_id sub-corpus's wave-0 vs spliced-full counts);
+    // post phase: action semantics — fresh-baseline retrain, advanced
+    // selection baseline, full folds and tombstone retirement all measure
+    // 0; the untouched hold arm re-measures its pre value
+    "s_maint_execute" ->
+      s"""WITH RECURSIVE $trainManifestCtes,
+         |mp_shard AS (
+         |  SELECT CAST(count(*) FILTER (
+         |      WHERE seq_id % 7 = 0 AND seq_id % 3 <= 1) AS DOUBLE)
+         |    / count(*) AS v
+         |  FROM seqsum WHERE NOT (seq_id % 3 = 2 AND seq_id % 7 = 0)
+         |),
+         |mp_centsD AS (
+         |  SELECT cid, c FROM '__ANN_ARTIFACTS__/retrain_boot_cents/*.parquet'
+         |),
+         |mp_centsH AS (
+         |  SELECT cid, c FROM '__ANN_ARTIFACTS__/retrain_hold_cents/*.parquet'
+         |),
+         |mp_eD AS (
+         |  SELECT vec_id, CASE WHEN vec_id % 3 = 2
+         |    THEN list_transform(embedding, x -> CAST(x AS DOUBLE) + $EmbShift)
+         |    ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS v
+         |  FROM embeddings
+         |),
+         |mp_eH AS ($ivfPlainCorpusSql),
+         |mp_dD AS (
+         |  SELECT e.vec_id % 3 AS era,
+         |    min(list_inner_product(e.v, e.v)
+         |      - 2*list_inner_product(e.v, ct.c)
+         |      + list_inner_product(ct.c, ct.c)) AS d2
+         |  FROM mp_eD e CROSS JOIN mp_centsD ct GROUP BY e.vec_id
+         |),
+         |mp_annD AS (
+         |  SELECT (sum(d2) FILTER (WHERE era > 0)
+         |      / count(*) FILTER (WHERE era > 0))
+         |    / (sum(d2) FILTER (WHERE era = 0)
+         |      / count(*) FILTER (WHERE era = 0)) AS v
+         |  FROM mp_dD
+         |),
+         |mp_dH AS (
+         |  SELECT e.vec_id % 3 AS era,
+         |    min(list_inner_product(e.v, e.v)
+         |      - 2*list_inner_product(e.v, ct.c)
+         |      + list_inner_product(ct.c, ct.c)) AS d2
+         |  FROM mp_eH e CROSS JOIN mp_centsH ct GROUP BY e.vec_id
+         |),
+         |mp_annH AS (
+         |  SELECT (sum(d2) FILTER (WHERE era > 0)
+         |      / count(*) FILTER (WHERE era > 0))
+         |    / (sum(d2) FILTER (WHERE era = 0)
+         |      / count(*) FILTER (WHERE era = 0)) AS v
+         |  FROM mp_dH
+         |),
+         |mp_tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |  FROM documents
+         |),
+         |mp_pr AS (SELECT DISTINCT doc_id, term FROM mp_tok),
+         |mp_post AS (
+         |  SELECT CAST(count(*) FILTER (WHERE doc_id % 3 >= 1) AS DOUBLE)
+         |    / count(*) AS v
+         |  FROM mp_pr
+         |),
+         |mp_wB AS (
+         |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+         |  FROM documents WHERE doc_id % 6 = 0
+         |),
+         |mp_wC AS (
+         |  SELECT unnest(regexp_extract_all(lower(CASE WHEN doc_id % 6 = 4
+         |    THEN text || '$DriftPhrase' ELSE text END), '[a-z0-9]+')) AS word
+         |  FROM documents WHERE doc_id % 2 = 0
+         |),
+         |mp_cB AS (SELECT word, count(*) AS n_old FROM mp_wB GROUP BY 1),
+         |mp_cC AS (SELECT word, count(*) AS n_new FROM mp_wC GROUP BY 1),
+         |mp_u AS (
+         |  SELECT coalesce(mp_cB.n_old, 0) AS n_old,
+         |    coalesce(mp_cC.n_new, 0) AS n_new
+         |  FROM mp_cB FULL JOIN mp_cC ON mp_cB.word = mp_cC.word
+         |),
+         |mp_t AS (
+         |  SELECT sum(n_old) AS so, sum(n_new) AS sn, count(*) AS nv FROM mp_u
+         |),
+         |mp_kl AS (
+         |  SELECT sum(((n_new + 1.0)/(mp_t.sn + mp_t.nv)) *
+         |    ln(((n_new + 1.0)/(mp_t.sn + mp_t.nv))
+         |      / ((n_old + 1.0)/(mp_t.so + mp_t.nv)))) AS v
+         |  FROM mp_u CROSS JOIN mp_t
+         |),
+         |mp_rows AS (
+         |  SELECT 'pre' AS phase, 'ann_drift' AS state,
+         |    'drift_ratio' AS metric, v, $RetrainRatio AS threshold,
+         |    CASE WHEN v >= $RetrainRatio THEN 'retrain' ELSE 'none' END
+         |      AS decision
+         |  FROM mp_annD
+         |  UNION ALL SELECT 'pre', 'ann_hold', 'drift_ratio', v,
+         |    $RetrainRatio,
+         |    CASE WHEN v >= $RetrainRatio THEN 'retrain' ELSE 'none' END
+         |  FROM mp_annH
+         |  UNION ALL SELECT 'pre', 'curate', 'kl_drift', v, 0.05,
+         |    CASE WHEN v >= 0.05 THEN 'recurate' ELSE 'none' END
+         |  FROM mp_kl
+         |  UNION ALL SELECT 'pre', 'postings', 'delta_fraction', v, 0.4,
+         |    CASE WHEN v >= 0.4 THEN 'compact' ELSE 'none' END
+         |  FROM mp_post
+         |  UNION ALL SELECT 'pre', 'shards', 'dead_fraction', v, 0.05,
+         |    CASE WHEN v >= 0.05 THEN 'compact' ELSE 'none' END
+         |  FROM mp_shard
+         |  UNION ALL SELECT 'post', 'ann_drift', 'drift_ratio', 0.0,
+         |    $RetrainRatio, 'none'
+         |  UNION ALL SELECT 'post', 'ann_hold', 'drift_ratio', v,
+         |    $RetrainRatio, 'none'
+         |  FROM mp_annH
+         |  UNION ALL SELECT 'post', 'curate', 'kl_drift', 0.0, 0.05, 'none'
+         |  UNION ALL SELECT 'post', 'postings', 'delta_fraction', 0.0, 0.4,
+         |    'none'
+         |  UNION ALL SELECT 'post', 'shards', 'dead_fraction', 0.0, 0.05,
+         |    'none'
+         |)
+         |SELECT phase, state, metric, round(v, 6) AS value, threshold,
+         |  decision
+         |FROM mp_rows ORDER BY phase DESC, state""".stripMargin,
     // brute cosine top-k entirely in the learned space: projection from
     // the persisted ridge-head weights, then the full from-scratch ranking
     "p_learned_tower" ->
@@ -5024,6 +5437,157 @@ object PipelineQueries {
         |  JOIN cn2 ON a.doc_id = cn2.doc_id
         |  JOIN qv ON p.qid = qv.doc_id
         |  JOIN qn2 ON p.qid = qn2.doc_id
+        |),
+        |da AS (
+        |  SELECT qid, doc_id, rb FROM (
+        |    SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, doc_id) AS rb
+        |    FROM den)
+        |  WHERE rb <= 10
+        |),
+        |f AS (
+        |  SELECT coalesce(sa.qid, da.qid) AS qid,
+        |    coalesce(sa.doc_id, da.doc_id) AS doc_id,
+        |    round(coalesce(1.0/(60 + sa.ra), 0)
+        |      + coalesce(1.0/(60 + da.rb), 0), 6) AS rrf
+        |  FROM sa FULL JOIN da
+        |    ON sa.qid = da.qid AND sa.doc_id = da.doc_id
+        |)
+        |SELECT qid, doc_id, rrf, rank FROM (
+        |  SELECT qid, doc_id, rrf, row_number() OVER (PARTITION BY qid
+        |    ORDER BY rrf DESC, doc_id) AS rank
+        |  FROM f)
+        |WHERE rank <= 10""".stripMargin,
+    // the learned-leg fusion: same sparse derivation, dense leg projected
+    // through the persisted ridge weights (sequential inner products —
+    // bitwise-equal before rounding), IVF re-derived from the persisted
+    // learned-space centroids (rounded assignment, the engine's
+    // roundScale=6 discipline), same RRF
+    "s_hybrid_learned" ->
+      """WITH cd AS (SELECT doc_id, text FROM documents WHERE doc_id >= 25),
+        |qd AS (SELECT doc_id, text FROM documents WHERE doc_id < 5),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM cd
+        |),
+        |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
+        |st AS (SELECT count(*) AS n, sum(len) AS sl FROM dl),
+        |q AS (
+        |  SELECT DISTINCT qid, term FROM (
+        |    SELECT doc_id AS qid, unnest(string_split(text, ' ')) AS term
+        |    FROM qd)
+        |),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM tok JOIN (SELECT DISTINCT term FROM q) USING (term)
+        |  GROUP BY 1, 2
+        |),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT q.qid, tf.doc_id,
+        |    sum(ln((st.n - dfq.df + 0.5)/(dfq.df + 0.5) + 1)
+        |        * tf.tf * (1.2 + 1)
+        |        / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.len/(st.sl*1.0/st.n))))
+        |      AS score
+        |  FROM tf
+        |  JOIN dfq USING (term)
+        |  JOIN dl USING (doc_id)
+        |  JOIN q USING (term)
+        |  CROSS JOIN st
+        |  GROUP BY 1, 2
+        |),
+        |sa AS (
+        |  SELECT qid, doc_id, ra FROM (
+        |    SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY round(score, 6) DESC, doc_id) AS ra
+        |    FROM sc)
+        |  WHERE ra <= 10
+        |),
+        |ctw AS (
+        |  SELECT doc_id, word FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM cd)
+        |  WHERE len(word) > 0
+        |),
+        |ctf AS (
+        |  SELECT doc_id, list_reduce(
+        |      list_transform(string_split(word, ''),
+        |        ch -> CAST(ascii(ch) AS BIGINT)),
+        |      (acc, x) -> (acc*31 + x) % 1000000007) AS fp
+        |  FROM ctw
+        |),
+        |ctn AS (SELECT doc_id, greatest(count(*), 1) AS nw FROM ctf GROUP BY 1),
+        |ks AS (SELECT unnest(generate_series(0, 7)) AS k2),
+        |cv0 AS (
+        |  SELECT f.doc_id, k2,
+        |    sum((f.fp + k2*4001) % 97 - 48) / (48.0 * ctn.nw) AS v
+        |  FROM ctf f JOIN ctn USING (doc_id) CROSS JOIN ks
+        |  GROUP BY f.doc_id, k2, ctn.nw
+        |),
+        |cv AS (SELECT doc_id, list(v ORDER BY k2) AS v FROM cv0 GROUP BY 1),
+        |qtw AS (
+        |  SELECT doc_id, word FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM qd)
+        |  WHERE len(word) > 0
+        |),
+        |qtf AS (
+        |  SELECT doc_id, list_reduce(
+        |      list_transform(string_split(word, ''),
+        |        ch -> CAST(ascii(ch) AS BIGINT)),
+        |      (acc, x) -> (acc*31 + x) % 1000000007) AS fp
+        |  FROM qtw
+        |),
+        |qtn AS (SELECT doc_id, greatest(count(*), 1) AS nw FROM qtf GROUP BY 1),
+        |qv0 AS (
+        |  SELECT f.doc_id, k2,
+        |    sum((f.fp + k2*4001) % 97 - 48) / (48.0 * qtn.nw) AS v
+        |  FROM qtf f JOIN qtn USING (doc_id) CROSS JOIN ks
+        |  GROUP BY f.doc_id, k2, qtn.nw
+        |),
+        |qv AS (SELECT doc_id, list(v ORDER BY k2) AS v FROM qv0 GROUP BY 1),
+        |tw AS (SELECT j, k, w FROM '__ANN_ARTIFACTS__/hybrid_tower_w/*.parquet'),
+        |twc AS (SELECT k, list(w ORDER BY j) AS wv FROM tw GROUP BY k),
+        |cpf AS (
+        |  SELECT cv.doc_id, t.k AS dim,
+        |    round(list_inner_product(cv.v, t.wv), 6) AS pv
+        |  FROM cv CROSS JOIN twc t
+        |),
+        |cp AS (SELECT doc_id, list(pv ORDER BY dim) AS v FROM cpf GROUP BY 1),
+        |cpn AS (SELECT doc_id, sqrt(list_inner_product(v, v)) AS n FROM cp),
+        |qpf AS (
+        |  SELECT qv.doc_id, t.k AS dim,
+        |    round(list_inner_product(qv.v, t.wv), 6) AS pv
+        |  FROM qv CROSS JOIN twc t
+        |),
+        |qp AS (SELECT doc_id, list(pv ORDER BY dim) AS v FROM qpf GROUP BY 1),
+        |qpn AS (SELECT doc_id, sqrt(list_inner_product(v, v)) AS n FROM qp),
+        |cents AS (
+        |  SELECT cid, c FROM '__ANN_ARTIFACTS__/hybrid_learned_cents/*.parquet'
+        |),
+        |asn AS (
+        |  SELECT doc_id, cid FROM (
+        |    SELECT cp.doc_id, ct.cid,
+        |      row_number() OVER (PARTITION BY cp.doc_id ORDER BY
+        |        round(list_inner_product(ct.c, ct.c)
+        |          - 2*list_inner_product(cp.v, ct.c), 6), ct.cid) AS rn
+        |    FROM cp CROSS JOIN cents ct)
+        |  WHERE rn = 1
+        |),
+        |qpr AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT qp.doc_id AS qid, ct.cid,
+        |      row_number() OVER (PARTITION BY qp.doc_id ORDER BY
+        |        list_inner_product(ct.c, ct.c)
+        |          - 2*list_inner_product(qp.v, ct.c), ct.cid) AS rn
+        |    FROM qp CROSS JOIN cents ct)
+        |  WHERE rn <= 4
+        |),
+        |den AS (
+        |  SELECT p.qid, a.doc_id,
+        |    round(list_inner_product(qp.v, cp.v) / (qpn.n * cpn.n), 6) AS cos
+        |  FROM qpr p JOIN asn a USING (cid)
+        |  JOIN cp ON a.doc_id = cp.doc_id
+        |  JOIN cpn ON a.doc_id = cpn.doc_id
+        |  JOIN qp ON p.qid = qp.doc_id
+        |  JOIN qpn ON p.qid = qpn.doc_id
         |),
         |da AS (
         |  SELECT qid, doc_id, rb FROM (
@@ -6630,6 +7194,16 @@ object PipelineQueries {
         |  FROM ppl p JOIN ct USING (doc_id) WHERE p.avg_nll <= 3.43
         |),
         |$curateSel""".stripMargin,
+    // the selection AS OF batch 1 = the wave-0 generation (the hold
+    // leg's corpus): one-shot curate over the wave-0 docs alone
+    "s_curate_asof" ->
+      s"""WITH ${curateCtesFrom(
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0)")},
+        |kept2 AS (
+        |  SELECT p.doc_id, p.avg_nll, len(ct.toks) AS n_tok
+        |  FROM ppl p JOIN ct USING (doc_id) WHERE p.avg_nll <= 3.43
+        |),
+        |$curateSel""".stripMargin,
     // the selection after the threshold-crossing wave = one-shot curate
     // over the FULL corpus with the wave-2 splice applied
     "s_curate_drift" ->
@@ -6642,6 +7216,25 @@ object PipelineQueries {
         |),
         |$curateSel""".stripMargin,
     "q_sql_curate" -> curateOracle,
+    // the SQL time-travel relation must reproduce the API as-of read
+    // (same from-scratch derivation as s_shard_asof)
+    "q_sql_asof" ->
+      s"""WITH RECURSIVE $trainManifestCtes,
+         |eoQ2 AS (
+         |  SELECT CAST(esM.epoch AS INT) AS epoch, ss.seq_id,
+         |    row_number() OVER (PARTITION BY esM.epoch
+         |      ORDER BY ss.seq_id % 3,
+         |        md5(CAST(ss.seq_id AS VARCHAR) || ':' ||
+         |            CAST(esM.epoch AS VARCHAR)), ss.seq_id)
+         |      - 1 AS ord
+         |  FROM seqsum ss CROSS JOIN esM
+         |  WHERE ss.seq_id % 3 <= 1
+         |)
+         |SELECT eoQ2.epoch, CAST(eoQ2.ord // 2 AS BIGINT) AS shard_id,
+         |  count(*) AS n_seqs, CAST(sum(ss.n_tok) AS BIGINT) AS n_tok,
+         |  CAST(sum(ss.id_sum) AS BIGINT) AS id_sum
+         |FROM eoQ2 JOIN seqsum ss USING (seq_id)
+         |GROUP BY 1, 2""".stripMargin,
     "p_curate_bpe" -> curateBpeOracle,
     "p_train_manifest" -> trainManifestOracle,
     "p_train_manifest_bytes" ->

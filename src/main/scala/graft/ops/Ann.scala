@@ -542,10 +542,18 @@ object Ann {
     * √N rule equalizes the two costs (assignment and in-cell scan both
     * O(N^1.5·dim), the FAISS guidance of nlist ≈ 4√N..16√N), which is
     * the right quantizer for the billion-vector regime.
+    *
+    * TRAINING stays bounded under the √N law by [[ivfTrain]]'s sample
+    * ceiling (FAISS's max_points_per_centroid budget, hard-capped at
+    * `maxTrainN`): once the corpus passes the ceiling, each KMeans
+    * iteration is a fixed-size pass and total training cost grows only
+    * with nlist — O(√N) — while assignment/scan stay the O(N^1.5)
+    * balance point. Below the ceiling the fit sees the whole corpus
+    * (more data than FAISS practice needs, but free at that scale).
     */
   def ivfTrainBalanced(corpus: DataFrame, vecCol: String,
       cellsPerSqrtN: Int = 4, maxNlist: Int = 262144, seed: Long = 42L,
-      kmeansIter: Int = 8): (DataFrame, Int) = {
+      kmeansIter: Int = 8, maxTrainN: Int = 262144): (DataFrame, Int) = {
     require(cellsPerSqrtN >= 1, "cellsPerSqrtN must be >= 1")
     val n = corpus.count()
     if (n < 2) return (degenerateCentroids(corpus, vecCol), math.max(1, n.toInt))
@@ -553,7 +561,8 @@ object Ann {
     val nlist = math.min(math.min(maxNlist.toLong, n),
       math.max(2L,
         cellsPerSqrtN * math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
-    (ivfTrain(corpus, vecCol, nlist, seed, kmeansIter), nlist)
+    (ivfTrain(corpus, vecCol, nlist, seed, kmeansIter,
+      maxTrainN = maxTrainN), nlist)
   }
 
   /** Sub-2-point corpus: the points themselves are the quantizer (Spark
@@ -572,7 +581,7 @@ object Ann {
   def ivfTrain(corpus: DataFrame, vecCol: String, nlist: Int = 16,
       seed: Long = 42L, kmeansIter: Int = 8,
       sampleN: Int = 0, trainPerCell: Int = 256,
-      maxTrainN: Int = 1000000): DataFrame = {
+      maxTrainN: Int = 262144): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
@@ -587,12 +596,17 @@ object Ann {
     // sampleN <= 0 → the FAISS training-budget rule: ~256 points per
     // centroid (faiss max_points_per_centroid) — beyond that, extra
     // points buy cost, not recall (recall comes from nprobe). The budget
-    // GROWS with nlist (floored at nlist so k <= points always holds,
-    // capped at maxTrainN), so training cost is O(256·nlist²·iter·dim) —
-    // under the √N law that's O(N·iter·dim), linear in corpus size. A
-    // fixed-size sample regime instead breaks outright once nlist
-    // exceeds the sample (KMeans k > training points), exactly the
-    // billion-vector regime ivfTrainBalanced exists for.
+    // GROWS with nlist (floored at nlist so k <= points always holds)
+    // but is HARD-CAPPED at maxTrainN: past the cap each KMeans
+    // iteration is a fixed-size pass and training cost is
+    // O(maxTrainN·nlist·iter·dim) — under the √N law that grows only
+    // O(√N), keeping quantizer training strictly sublinear while
+    // assignment/scan carry the O(N^1.5) balance. (Uncapped 256·nlist
+    // growth would make training itself the dominant linear-cost stage
+    // of every index build; a fixed-size sample with no nlist floor
+    // instead breaks outright once nlist exceeds the sample — KMeans
+    // k > training points — exactly the billion-vector regime
+    // ivfTrainBalanced exists for.)
     val budget = if (sampleN > 0) sampleN
       else math.max(nlist.toLong,
         math.min(maxTrainN.toLong, trainPerCell.toLong * nlist)).toInt

@@ -200,6 +200,26 @@ object GraftSql {
   final case class LegacyRecSpec(recName: String, k: Int, userCol: String,
       userId: Long) extends RecSpec
 
+  /** A maintained-state read lifted to SQL — the time-travel surface over
+    * the persistent streaming states, so reproducibility audits are
+    * writable by a SQL-only user (the CURATE lifting applied to the
+    * version axis):
+    *
+    *   GRAFT_SHARDS('<dir>')                  [VERSION AS OF <batch>]
+    *   GRAFT_SELECTION('<stateDir>')          [VERSION AS OF <batch>]
+    *   GRAFT_BM25('<stateDir>', '<terms>', k) [VERSION AS OF <batch>]
+    *   GRAFT_KNN('<indexDir>', '<centroids parquet>', <queryView>, k)
+    *                                          [VERSION AS OF <batch>]
+    *
+    * Each appears as a relation in FROM; without the version clause it
+    * reads the live state. The sealed-history contracts surface
+    * unchanged: an as-of below a shard layout's compaction floor, or
+    * before a curation state's first firing, throws the maintainer's own
+    * error through SQL.
+    */
+  final case class StateReadSpec(kind: String, args: Seq[String],
+      asOf: Option[Long]) extends RecSpec
+
   /** Placeholder-relation registry, parse-side producer / analysis-side
     * consumer. Keys are content hashes of the spec, so re-issuing a statement
     * reuses its slot; LRU-bounded for long-lived sessions.
@@ -485,6 +505,58 @@ object GraftSql {
     * events entry, register the spec, splice the placeholder into the FROM
     * list. Returns None when the statement carries no RECOMMEND clause.
     */
+  private[sql] val StateReadRe =
+    ("""(?is)\bGRAFT_(SHARDS|BM25|KNN|SELECTION)\s*\(([^()]*)\)""" +
+      """(?:\s+VERSION\s+AS\s+OF\s+(-?\d+))?""").r
+
+  /** Split a GRAFT_* argument list on top-level commas (quoted regions
+    * opaque), stripping surrounding single quotes from string arguments.
+    */
+  private def splitArgs(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var quote: Char = 0
+    s.foreach { ch =>
+      if (quote == 0 && (ch == '\'' || ch == '"')) { quote = ch; cur += ch }
+      else if (quote != 0 && ch == quote) { quote = 0; cur += ch }
+      else if (quote == 0 && ch == ',') { out += cur.toString; cur.clear() }
+      else cur += ch
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq.map(_.trim).map { a =>
+      if (a.length >= 2 && a.head == '\'' && a.last == '\'')
+        a.substring(1, a.length - 1)
+      else a
+    }
+  }
+
+  /** Replace every GRAFT_* state-read clause (and its optional
+    * VERSION AS OF) with a placeholder relation, recording the spec for
+    * [[ResolveRecommend]] — the RECOMMEND rewrite mechanics applied to
+    * the maintained-state surface. Pure text rewriting; args are
+    * extracted from the ORIGINAL text at the masked match's offsets, so
+    * quoted paths survive and a GRAFT_ keyword inside a string literal
+    * never triggers.
+    */
+  private[sql] def rewriteStateReads(sqlText: String): String = {
+    var text = sqlText
+    var continue = true
+    while (continue) {
+      val masked = maskQuoted(text)
+      StateReadRe.findFirstMatchIn(masked) match {
+        case None => continue = false
+        case Some(m) =>
+          val kind = m.group(1).toLowerCase
+          val args = splitArgs(text.substring(m.start(2), m.end(2)))
+          val asOf = Option(m.group(3)).map(_.toLong)
+          val placeholder = registerSpec(StateReadSpec(kind, args, asOf))
+          text = text.substring(0, m.start) + placeholder +
+            text.substring(m.end)
+      }
+    }
+    text
+  }
+
   private[sql] def rewriteRecommend(session: SparkSession,
       sqlText: String): Option[(String, String)] = {
     val masked = maskQuoted(sqlText)
@@ -591,6 +663,49 @@ object GraftSql {
           .limit(s.k)
           .select(col(e.userCol), col(e.itemCol), col("score").as(e.ratingCol))
         top.queryExecution.analyzed
+      case s: StateReadSpec =>
+        import graft.streaming.{AnnIndexMaintainer, CurateMaintainer,
+          SearchIndexMaintainer, ShardMaintainer}
+        def wrongArgs(usage: String): Nothing =
+          throw new IllegalArgumentException(
+            s"GRAFT_${s.kind.toUpperCase}: expected $usage, " +
+              s"got ${s.args.size} arguments")
+        val df = (s.kind, s.args) match {
+          case ("shards", Seq(dir)) =>
+            s.asOf.map(v => ShardMaintainer.readShardsAsOf(session, dir, v))
+              .getOrElse(ShardMaintainer.readShardsLive(session, dir))
+          case ("shards", _) => wrongArgs("('<dir>')")
+          case ("selection", Seq(dir)) =>
+            s.asOf.map(v => CurateMaintainer.selectionAsOf(session, dir, v))
+              .getOrElse(CurateMaintainer.currentSelection(session, dir))
+          case ("selection", _) => wrongArgs("('<stateDir>')")
+          case ("bm25", Seq(dir, q, k)) =>
+            val terms = q.split("\\s+").toSeq.filter(_.nonEmpty)
+            s.asOf.map(v => SearchIndexMaintainer.searchAsOf(session, dir,
+                "doc_id", terms, k.toInt, asOf = v))
+              .getOrElse(SearchIndexMaintainer.search(session, dir,
+                "doc_id", terms, k.toInt))
+          case ("bm25", _) => wrongArgs("('<stateDir>', '<terms>', k)")
+          case ("knn", Seq(idxDir, centsDir, qTable, k)) =>
+            val cents = graft.ops.Ann.ivfCentroidsFromDf(
+              session.read.parquet(centsDir))
+            val qdf = session.table(qTable)
+            val qc = qdf.columns
+            require(qc.length >= 2,
+              s"GRAFT_KNN query view '$qTable' must have (id, vector) columns")
+            val qv = qdf.select(col(qc(0)).cast("long"),
+                col(qc(1)).cast("array<double>")).collect()
+              .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+            s.asOf.map(v => AnnIndexMaintainer.searchAsOf(session, idxDir,
+                cents, qv, k.toInt, asOf = v, rankOnRoundedTo = Some(6)))
+              .getOrElse(AnnIndexMaintainer.search(session, idxDir, cents,
+                qv, k.toInt, rankOnRoundedTo = Some(6)))
+          case ("knn", _) =>
+            wrongArgs("('<indexDir>', '<centroids parquet>', <queryView>, k)")
+          case (other, _) => throw new IllegalArgumentException(
+            s"unknown GRAFT state-read kind '$other'")
+        }
+        df.queryExecution.analyzed
     }
 }
 
@@ -647,12 +762,15 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         Option(ppl).map(_.toDouble).getOrElse(3.43),
         Option(budget).map(_.toLong).getOrElse(6000L))
     case _ =>
-      rewrite(sqlText) match {
+      // state reads first (no clause restrictions — any SQL may consume
+      // the relation), then the RECOMMEND rewrite with its validation
+      val pre = GraftSql.rewriteStateReads(sqlText)
+      rewrite(pre) match {
         case Some((rewritten, placeholder)) =>
           val plan = delegate.parsePlan(rewritten)
           GraftSql.validateClauses(plan, placeholder)
           plan
-        case None => delegate.parsePlan(sqlText)
+        case None => delegate.parsePlan(pre)
       }
   }
 
@@ -662,14 +780,16 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       .orElse(GraftSql.rewriteLegacyRecommend(session, sqlText))
 
   @throws[ParseException]
-  override def parseQuery(sqlText: String): LogicalPlan =
-    rewrite(sqlText) match {
+  override def parseQuery(sqlText: String): LogicalPlan = {
+    val pre = GraftSql.rewriteStateReads(sqlText)
+    rewrite(pre) match {
       case Some((rewritten, placeholder)) =>
         val plan = delegate.parseQuery(rewritten)
         GraftSql.validateClauses(plan, placeholder)
         plan
-      case None => delegate.parseQuery(sqlText)
+      case None => delegate.parseQuery(pre)
     }
+  }
 
   override def parseExpression(s: String): Expression = delegate.parseExpression(s)
   override def parseTableIdentifier(s: String): TableIdentifier =

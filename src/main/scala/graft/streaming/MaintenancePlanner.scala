@@ -34,8 +34,10 @@ import org.apache.spark.sql.functions._
   *
   * Decisions are threshold comparisons on the driver — the table is
   * bounded by the number of states, not data. Callers act on the
-  * decisions with the respective maintainers' own operations; the planner
-  * only measures and recommends (idempotent, safe to run on a schedule).
+  * decisions with the respective maintainers' own operations — either
+  * directly, or through [[execute]], the closed loop that applies every
+  * non-none decision and re-sweeps; [[plan]] itself only measures and
+  * recommends (idempotent, safe to run on a schedule).
   */
 object MaintenancePlanner {
 
@@ -92,6 +94,96 @@ object MaintenancePlanner {
     else graft.ops.Corpus.klTotal(
       BpeMaintainer.stateWordFreq(spark, s"$stateDir/freq", base),
       BpeMaintainer.stateWordFreq(spark, s"$stateDir/freq", cur))
+  }
+
+  /** Per-state context the EXECUTOR needs beyond the spec itself —
+    * things only the caller can supply:
+    *   - `annNewDirs`: where each ANN state's retrained generation lands
+    *     (the rebuild is a NEW dir by [[AnnIndexMaintainer.retrain]]'s
+    *     contract; serving swaps after it returns);
+    *   - `curateRuns`: the ingested-corpus view a re-curation derives its
+    *     selection over (state alone holds the scan-heavy stages, the
+    *     cheap map-side stages re-run over the corpus view);
+    *   - `deltaCompactors`: the fold operation of each generic LSM state
+    *     (the planner treats them uniformly, but folding needs the
+    *     state's own schema/sidecar logic — e.g.
+    *     [[SearchIndexMaintainer.compact]] rebuilds a lengths sidecar).
+    */
+  final case class CurateRun(ingested: DataFrame, idCol: String,
+      textCol: String, width: Int, pplKeepBelow: Double = 3.43,
+      tokenBudget: Long = 6000L)
+
+  /** EXECUTE a maintenance plan — the closed operations loop over
+    * [[plan]]'s decisions, the acting half of the reference's
+    * threshold-maintenance idea (recathon.c:1089 doesn't just measure the
+    * insert counter, it REBUILDS when it trips): one sweep measures, the
+    * executor applies each non-`none` decision with the state's own
+    * maintainer operation, and a second sweep proves the fleet is healthy
+    * again. Actions per state kind:
+    *   - shard `compact` → [[ShardMaintainer.compactTombstones]] up to the
+    *     newest tombstone batch (live view bit-identical by that
+    *     operation's contract);
+    *   - ANN `retrain` → [[AnnIndexMaintainer.retrain]] into the caller's
+    *     new-generation dir; the retrained centroids persist to
+    *     `<newDir>/cents` (a non-numeric name, invisible to the `b*`/`c*`
+    *     listing) and the post-sweep measures the NEW generation;
+    *   - delta `compact` → the caller's compactor for that state;
+    *   - curate `recurate` → [[CurateMaintainer.deriveSelection]] at the
+    *     newest word-frequency batch (selection == the one-shot curate
+    *     over the ingested view, baseline advances).
+    * Returns (pre ∪ post sweep table with a `phase` column, post specs —
+    * ANN specs re-pointed at their new generations). Idempotent in the
+    * fixed point sense: a plan of all-`none` executes nothing and post ==
+    * pre.
+    */
+  def execute(spark: SparkSession, specs: Seq[StateSpec],
+      annNewDirs: Map[String, String] = Map.empty,
+      curateRuns: Map[String, CurateRun] = Map.empty,
+      deltaCompactors: Map[String, (SparkSession, String) => Unit] =
+        Map.empty): (DataFrame, Seq[StateSpec]) = {
+    val pre = plan(spark, specs)
+    val decisions = pre.select("state", "decision").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val postSpecs: Seq[StateSpec] = specs.map {
+      case sp @ ShardSpec(n, dir, _) if decisions(n) == "compact" =>
+        val upTo = BatchDirs.listDirs(s"$dir/tomb", "b").map(_._1)
+          .maxOption.getOrElse(-1L)
+        if (upTo >= 0L) ShardMaintainer.compactTombstones(spark, dir, upTo)
+        sp
+      case sp @ AnnSpec(n, dir, t) if decisions(n) == "retrain" =>
+        val newDir = annNewDirs.getOrElse(n,
+          throw new IllegalArgumentException(
+            s"execute: ANN state '$n' decided retrain but no new-generation " +
+              "dir was supplied in annNewDirs"))
+        AnnIndexMaintainer.retrain(spark, dir, newDir)
+          .coalesce(1).write.mode("overwrite").parquet(s"$newDir/cents")
+        AnnSpec(n, newDir, t)
+      case sp @ DeltaSpec(n, dir, _) if decisions(n) == "compact" =>
+        deltaCompactors.getOrElse(n,
+          throw new IllegalArgumentException(
+            s"execute: delta state '$n' decided compact but no compactor " +
+              "was supplied in deltaCompactors"))(spark, dir)
+        sp
+      case sp @ CurateSpec(n, dir, _) if decisions(n) == "recurate" =>
+        val c = curateRuns.getOrElse(n,
+          throw new IllegalArgumentException(
+            s"execute: curate state '$n' decided recurate but no ingested " +
+              "view was supplied in curateRuns"))
+        val cur = BatchDirs.listDirs(s"$dir/freq", "b").map(_._1)
+          .maxOption.getOrElse(
+            throw new IllegalStateException(
+              s"execute: curate state '$n' has no word-frequency batches"))
+        CurateMaintainer.deriveSelection(c.ingested, cur, c.idCol,
+          c.textCol, c.width, dir, c.pplKeepBelow, c.tokenBudget)
+        sp
+      case sp => sp
+    }
+    val post = plan(spark, postSpecs)
+    (pre.select(lit("pre").as("phase"), col("state"), col("metric"),
+        col("value"), col("threshold"), col("decision"))
+      .unionByName(post.select(lit("post").as("phase"), col("state"),
+        col("metric"), col("value"), col("threshold"), col("decision"))),
+      postSpecs)
   }
 
   /** The decision sweep: one row per state, value measured by the

@@ -1,7 +1,10 @@
 package graft.ops
 
 import graft.SparkSpec
-import graft.streaming.{AnnIndexMaintainer, CurateMaintainer, ShardMaintainer}
+import graft.streaming.{AnnIndexMaintainer, CurateMaintainer,
+  MaintenancePlanner, SearchIndexMaintainer, ShardMaintainer}
+import graft.streaming.MaintenancePlanner.{AnnSpec, CurateRun, CurateSpec,
+  DeltaSpec, ShardSpec}
 import org.apache.spark.sql.functions._
 
 /** Specs for the round-16 additions: versioned curation selections
@@ -102,6 +105,108 @@ class Round16OpsSpec extends SparkSpec {
       Tower.ridgeHead(ragged, "v", "label")
     }
     e.getMessage should include("non-uniform vector length")
+  }
+
+  // ------------------------------------------- maintenance executor
+
+  test("execute: applies every non-none decision with the state's own " +
+      "maintainer op, second sweep reports all-none, live views survive " +
+      "bit-identical") {
+    // ANN arm: monitored drift state whose wave 1 is far off the
+    // bootstrap quantizer
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    def vecs(ids: Seq[Long], shift: Double = 0.0) =
+      ids.map(i => (i, Seq(
+        (if (i % 2 == 0) 1.0 else 0.0) + 0.01 * (i % 3) + shift,
+        (if (i % 2 == 0) 0.0 else 1.0) + shift)))
+        .toDF("vec_id", "embedding")
+    val ann = tmp("execann")
+    AnnIndexMaintainer.processBatchMonitored(vecs(0L to 9L), 0L, "vec_id",
+      "embedding", cents, ann)
+    AnnIndexMaintainer.markTrained(ann, 0L)
+    AnnIndexMaintainer.processBatchMonitored(vecs(10L to 19L, shift = 5.0),
+      1L, "vec_id", "embedding", cents, ann)
+    // shard arm: a reconcile history with dead mass
+    val sh = tmp("execsh")
+    val rows = Seq((0L, "1:2", 2L), (1L, "3:4", 2L), (2L, "5:6", 2L),
+      (3L, "7:8", 2L)).toDF("seq_id", "ids_str", "n_tok")
+    ShardMaintainer.reconcile(rows, 0L, epochs = 1, shardSize = 2, sh)
+    ShardMaintainer.reconcile(rows.where(col("seq_id") =!= 0L), 1L,
+      epochs = 1, shardSize = 2, sh)
+    val liveBefore = ShardMaintainer.readShardsLive(spark, sh)
+      .collect().map(_.toString).sorted.toSeq
+    // delta arm: postings with an un-folded majority
+    val post = tmp("execpost")
+    val dd = Seq((0L, "alpha beta"), (1L, "alpha gamma"), (2L, "beta delta"))
+      .toDF("doc_id", "text")
+    (0 until 3).foreach { g =>
+      SearchIndexMaintainer.processBatch(dd.where(col("doc_id") === g),
+        g.toLong, "doc_id", "text", post)
+    }
+    // curate arm: asleep inline trigger (fires only at wave 0), wave 2
+    // shifts the distribution
+    val cur = tmp("execcur")
+    val w0 = Seq(doc(6L, "alpha beta")).toDF("doc_id", "text")
+    val w1 = Seq(doc(9L, "gamma delta")).toDF("doc_id", "text")
+    val w2 = Seq(doc(11L, ("drift " * 40).trim)).toDF("doc_id", "text")
+    var ingested = w0
+    CurateMaintainer.processBatchDriftTriggered(w0, ingested, 0L, "doc_id",
+      "text", 30, cur, klThreshold = 1e9, pplKeepBelow = 1000.0)
+    ingested = ingested.unionByName(w1)
+    CurateMaintainer.processBatchDriftTriggered(w1, ingested, 1L, "doc_id",
+      "text", 30, cur, klThreshold = 1e9, pplKeepBelow = 1000.0)
+    ingested = ingested.unionByName(w2)
+    CurateMaintainer.processBatchDriftTriggered(w2, ingested, 2L, "doc_id",
+      "text", 30, cur, klThreshold = 1e9, pplKeepBelow = 1000.0)
+    CurateMaintainer.selectionBaseline(cur) shouldBe 0L
+    val specs = Seq(
+      AnnSpec("idx", ann, 4.0),
+      ShardSpec("sh", sh, 0.2),
+      DeltaSpec("post", post, 0.4),
+      CurateSpec("cur", cur, 0.05))
+    // a retrain decision without a target dir is an explicit error
+    intercept[IllegalArgumentException] {
+      MaintenancePlanner.execute(spark, specs)
+    }.getMessage should include("annNewDirs")
+    val gen2 = tmp("execann2") + "/gen2"
+    val (table, postSpecs) = MaintenancePlanner.execute(spark, specs,
+      annNewDirs = Map("idx" -> gen2),
+      curateRuns = Map("cur" ->
+        CurateRun(ingested, "doc_id", "text", 30, pplKeepBelow = 1000.0)),
+      deltaCompactors = Map("post" -> ((sp, dir) =>
+        SearchIndexMaintainer.compact(sp, "doc_id", dir, Some(2L)))))
+    val rowsOut = table.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(5)).toMap
+    rowsOut(("pre", "idx")) shouldBe "retrain"
+    rowsOut(("pre", "sh")) shouldBe "compact"
+    rowsOut(("pre", "post")) shouldBe "compact"
+    rowsOut(("pre", "cur")) shouldBe "recurate"
+    Seq("idx", "sh", "post", "cur").foreach { n =>
+      rowsOut(("post", n)) shouldBe "none"
+    }
+    // acted-on states measure healthy; a fresh sweep over the post specs
+    // stays all-none (the fixed point)
+    MaintenancePlanner.plan(spark, postSpecs).collect()
+      .map(_.getString(4)).toSeq shouldBe Seq.fill(4)("none")
+    // shard live view bit-identical through the compaction
+    ShardMaintainer.readShardsLive(spark, sh)
+      .collect().map(_.toString).sorted.toSeq shouldBe liveBefore
+    // the retrained generation serves the full corpus under its
+    // persisted centroids and starts a fresh baseline
+    val cents2 = graft.ops.Ann.ivfCentroidsFromDf(
+      spark.read.parquet(s"$gen2/cents"))
+    AnnIndexMaintainer.readIndex(spark, gen2).count() shouldBe 20L
+    AnnIndexMaintainer.driftRatio(spark, gen2) shouldBe None
+    cents2.length should be >= 2
+    // the re-derived selection is the one-shot curate over everything
+    // ingested, served as the newest generation
+    val sel = CurateMaintainer.currentSelection(spark, cur)
+      .collect().map(_.toString).sorted.toSeq
+    val oneShot = CurateMaintainer.curated(ingested, "doc_id", "text",
+        s"$cur/cur", 30, pplKeepBelow = 1000.0)
+      .collect().map(_.toString).sorted.toSeq
+    sel shouldBe oneShot
+    CurateMaintainer.selectionBaseline(cur) shouldBe 2L
   }
 
   // -------------------------------- sidecar-derived shard liveness

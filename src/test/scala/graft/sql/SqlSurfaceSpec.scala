@@ -399,4 +399,118 @@ class SqlSurfaceSpec extends SparkSpec with BeforeAndAfterAll {
       "CURATE curate_docs ID doc_id TEXT text WIDTH 30 PPL 3.43 BUDGET 6000")
     defaults.collect().toSet shouldBe explicit.collect().toSet
   }
+
+  // ------------------------- maintained-state reads / SQL time travel
+
+  test("GRAFT_SHARDS: live and VERSION AS OF reads equal the API; the " +
+      "sealed compaction floor surfaces through SQL") {
+    val sq = ext
+    import sq.implicits._
+    val dir = Files.createTempDirectory("sqlsh").toString
+    val rows = Seq((0L, "1:2", 2L), (1L, "3:4", 2L), (2L, "5:6", 2L),
+      (3L, "7:8", 2L)).toDF("seq_id", "ids_str", "n_tok")
+    graft.streaming.ShardMaintainer.reconcile(rows, 0L, epochs = 1,
+      shardSize = 2, dir)
+    graft.streaming.ShardMaintainer.reconcile(
+      rows.where(org.apache.spark.sql.functions.col("seq_id") =!= 0L), 1L,
+      epochs = 1, shardSize = 2, dir)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    rowsOf(ext.sql(s"SELECT * FROM GRAFT_SHARDS('$dir')")) shouldBe
+      rowsOf(graft.streaming.ShardMaintainer.readShardsLive(ext, dir))
+    rowsOf(ext.sql(
+      s"SELECT * FROM GRAFT_SHARDS('$dir') VERSION AS OF 0")) shouldBe
+      rowsOf(graft.streaming.ShardMaintainer.readShardsAsOf(ext, dir, 0L))
+    // ordinary SQL composes on top of the relation
+    ext.sql(s"SELECT count(1) AS n FROM GRAFT_SHARDS('$dir') WHERE epoch = 1")
+      .head().getLong(0) shouldBe 3L
+    // seal the history, then the floor error surfaces through SQL
+    graft.streaming.ShardMaintainer.compactTombstones(ext, dir, upTo = 1L)
+    val e = intercept[Exception] {
+      ext.sql(s"SELECT * FROM GRAFT_SHARDS('$dir') VERSION AS OF 0").collect()
+    }
+    e.getMessage should include("sealed compaction floor")
+    // a GRAFT_ keyword inside a string literal never triggers the rewrite
+    ext.sql("SELECT 'FROM GRAFT_SHARDS(''x'')' AS s")
+      .head().getString(0) shouldBe "FROM GRAFT_SHARDS('x')"
+  }
+
+  test("GRAFT_SELECTION / GRAFT_BM25 / GRAFT_KNN: SQL reads equal their " +
+      "API paths, live and as-of") {
+    val sq = ext
+    import sq.implicits._
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // --- bm25 postings state
+    val post = Files.createTempDirectory("sqlbm").toString
+    val dd = Seq((0L, "alpha beta spark"), (1L, "alpha gamma"),
+      (2L, "beta delta spark"), (3L, "spark spark merge"))
+      .toDF("doc_id", "text")
+    (0 until 2).foreach { g =>
+      graft.streaming.SearchIndexMaintainer.processBatch(
+        dd.where(org.apache.spark.sql.functions.col("doc_id") % 2 === g),
+        g.toLong, "doc_id", "text", post)
+    }
+    rowsOf(ext.sql(
+      s"SELECT * FROM GRAFT_BM25('$post', 'spark merge', 3)")) shouldBe
+      rowsOf(graft.streaming.SearchIndexMaintainer.search(ext, post,
+        "doc_id", Seq("spark", "merge"), k = 3))
+    rowsOf(ext.sql(
+      s"SELECT * FROM GRAFT_BM25('$post', 'spark merge', 3) " +
+        "VERSION AS OF 0")) shouldBe
+      rowsOf(graft.streaming.SearchIndexMaintainer.searchAsOf(ext, post,
+        "doc_id", Seq("spark", "merge"), k = 3, asOf = 0L))
+    // --- ann inverted file + persisted centroids + a query view
+    val idx = Files.createTempDirectory("sqlknn").toString
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val vecs = (0L to 9L).map(i => (i, Seq(
+      (if (i % 2 == 0) 1.0 else 0.0) + 0.01 * i,
+      (if (i % 2 == 0) 0.0 else 1.0))))
+      .toDF("vec_id", "embedding")
+    (0 until 2).foreach { g =>
+      graft.streaming.AnnIndexMaintainer.processBatch(
+        vecs.where(org.apache.spark.sql.functions.col("vec_id") % 2 === g),
+        g.toLong, "vec_id", "embedding", cents, idx)
+    }
+    val centsDir = Files.createTempDirectory("sqlcents").toString + "/c"
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cid", "c").coalesce(1).write.parquet(centsDir)
+    vecs.where(org.apache.spark.sql.functions.col("vec_id") < 2)
+      .createOrReplaceTempView("knn_queries")
+    val qv = (0L to 1L).map(i => (i,
+      vecs.where(org.apache.spark.sql.functions.col("vec_id") === i)
+        .head().getSeq[Double](1).toArray)).toSeq
+    rowsOf(ext.sql(
+      s"SELECT * FROM GRAFT_KNN('$idx', '$centsDir', knn_queries, 3)")) shouldBe
+      rowsOf(graft.streaming.AnnIndexMaintainer.search(ext, idx, cents, qv,
+        k = 3, rankOnRoundedTo = Some(6)))
+    rowsOf(ext.sql(
+      s"SELECT * FROM GRAFT_KNN('$idx', '$centsDir', knn_queries, 3) " +
+        "VERSION AS OF 0")) shouldBe
+      rowsOf(graft.streaming.AnnIndexMaintainer.searchAsOf(ext, idx, cents,
+        qv, k = 3, asOf = 0L, rankOnRoundedTo = Some(6)))
+    // --- curation selection generations
+    val cur = Files.createTempDirectory("sqlcur").toString
+    def doc(id: Long, extra: String) = (id,
+      "the quick brown fox jumps over a lazy dog while many other animals " +
+        "watch quietly from the tall grass near slowly running water " +
+        "today " + extra)
+    val w0 = Seq(doc(6L, "alpha beta")).toDF("doc_id", "text")
+    val w1 = Seq(doc(9L, ("zz " * 30).trim)).toDF("doc_id", "text")
+    graft.streaming.CurateMaintainer.processBatchDriftTriggered(w0, w0, 0L,
+      "doc_id", "text", 30, cur, klThreshold = 0.05, pplKeepBelow = 1000.0)
+    graft.streaming.CurateMaintainer.processBatchDriftTriggered(w1,
+      w0.unionByName(w1), 1L, "doc_id", "text", 30, cur,
+      klThreshold = 0.05, pplKeepBelow = 1000.0)
+    rowsOf(ext.sql(s"SELECT * FROM GRAFT_SELECTION('$cur')")) shouldBe
+      rowsOf(graft.streaming.CurateMaintainer.currentSelection(ext, cur))
+    rowsOf(ext.sql(
+      s"SELECT * FROM GRAFT_SELECTION('$cur') VERSION AS OF 0")) shouldBe
+      rowsOf(graft.streaming.CurateMaintainer.selectionAsOf(ext, cur, 0L))
+    val e = intercept[Exception] {
+      ext.sql(s"SELECT * FROM GRAFT_SELECTION('$cur') VERSION AS OF -1")
+        .collect()
+    }
+    e.getMessage should include("no selection generation")
+  }
 }
