@@ -1316,6 +1316,120 @@ object PipelineQueries {
           col("decision"))
         .orderBy(col("phase").desc, col("state"))
     }),
+    // CROSS-STATE CONSISTENT SNAPSHOT, driver-gated: the training-run
+    // version object — one manifest pins the wave-1 horizon across all
+    // four maintained state kinds (shard layout, curation selection,
+    // postings index, ANN inverted file; pin-time validation, atomic
+    // rename commit), and the composed as-of reads must reproduce the
+    // historical training input from CURRENT files. The gate emits one
+    // (n_rows, integer checksum) row per pinned state; the oracle
+    // re-derives each from the source tables at the wave-1 prefix —
+    // a manifest that resolves any leg to the wrong version hash-fails.
+    "p_run_snapshot" -> ((s, d) => {
+      import graft.streaming.SnapshotManifest
+      import graft.streaming.SnapshotManifest.Pin
+      driftRunFor(s, d) // ensure the versioned selection generations exist
+      val mdir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_snapshot", Tables.runKey(d), "m").toString
+      SnapshotManifest.pin(s, Seq(
+        Pin("ann_vectors", "ann", annAsofStateFor(s, d), 1L),
+        Pin("postings", "postings", bm25AsofStateFor(s, d), 1L, "doc_id"),
+        Pin("selection", "curate", s"${curateDriftBase(d)}/state", 1L),
+        Pin("shards", "shards", shardRecStateFor(s, d), 1L)), mdir)
+      def leg(state: String,
+          checksum: org.apache.spark.sql.Column): DataFrame =
+        SnapshotManifest.readState(s, mdir, state)
+          .agg(count(lit(1)).as("n_rows"),
+            checksum.cast("long").as("checksum"))
+          .select(lit(state).as("state"), col("n_rows"), col("checksum"))
+      leg("ann_vectors", sum(col("id")))
+        .unionByName(leg("postings", sum(col("tf"))))
+        .unionByName(leg("selection", sum(col("doc_id") + col("n_tok"))))
+        .unionByName(leg("shards", sum(col("seq_id") + col("n_tok"))))
+        .orderBy("state")
+    }),
+    // SERVING FRESHNESS, sparse leg, driver-gated — the read-your-writes
+    // contract a near-real-time index owes its callers: a query issued
+    // BETWEEN micro-batches must see exactly the committed prefix (not a
+    // stale snapshot, not a partial batch), including ACROSS the
+    // mid-stream LSM fold that rewrites the physical layout between two
+    // serves. Three waves, a serve after each; every serve's top-k must
+    // equal the one-shot BM25 over precisely that prefix — N, avgdl, df
+    // all shifting retroactively per wave. Each serve is materialized
+    // eagerly (the fold deletes batch dirs a lazy plan would chase).
+    "s_bm25_fresh" -> ((s, d) => {
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_bm25fresh", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      val dd = docs(s, d)
+      (0 until 3).map { g =>
+        graft.streaming.SearchIndexMaintainer.processBatch(
+          dd.where(col("doc_id") % 3 === g), g.toLong, "doc_id", "text",
+          s"$base/state")
+        if (g == 1)
+          graft.streaming.SearchIndexMaintainer.compact(s, "doc_id",
+            s"$base/state")
+        graft.Exec.materializeLocal(
+          graft.streaming.SearchIndexMaintainer.search(s, s"$base/state",
+            "doc_id", query = Seq("spark", "vector", "merge"), k = 10)
+            .select(lit(g.toLong).as("wave"), col("doc_id"), col("score"),
+              col("rank")))
+      }.reduce(_ unionByName _)
+    }),
+    // SERVING FRESHNESS, dense leg — the same contract on the
+    // cell-partitioned inverted file: each wave's probe must rank exactly
+    // the committed prefix under the frozen persisted quantizer, across
+    // the wave-1 fold.
+    "s_knn_fresh" -> ((s, d) => {
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_annfresh", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      val e = emb(s, d)
+      val cents = sizedCentsCopy(s, d, "fresh_centroids_s")
+      val queries = e.where(col("vec_id") < 5)
+        .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      (0 until 3).map { g =>
+        graft.streaming.AnnIndexMaintainer.processBatch(
+          e.where(col("vec_id") % 3 === g), g.toLong, "vec_id", "embedding",
+          cents, s"$base/index")
+        if (g == 1)
+          graft.streaming.AnnIndexMaintainer.compact(s, s"$base/index")
+        graft.Exec.materializeLocal(
+          graft.streaming.AnnIndexMaintainer.search(s, s"$base/index",
+            cents, queries, k = 10, rankOnRoundedTo = Some(6))
+            .select(lit(g.toLong).as("wave"), col("query_id"),
+              col("neighbor_id"), col("rank").cast("long").as("rank"),
+              round(col("cos"), 6).as("cos")))
+      }.reduce(_ unionByName _)
+    }),
+    // the pinned snapshot read through SQL: GRAFT_SNAPSHOT resolves each
+    // leg's horizon FROM the manifest (no VERSION clause — the pin IS the
+    // version), and the same aggregates must hash-equal the API path's
+    // oracle.
+    "q_sql_snapshot" -> ((s, d) => {
+      import graft.streaming.SnapshotManifest
+      import graft.streaming.SnapshotManifest.Pin
+      driftRunFor(s, d)
+      val mdir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_snapshot", Tables.runKey(d), "msql").toString
+      SnapshotManifest.pin(s, Seq(
+        Pin("ann_vectors", "ann", annAsofStateFor(s, d), 1L),
+        Pin("postings", "postings", bm25AsofStateFor(s, d), 1L, "doc_id"),
+        Pin("selection", "curate", s"${curateDriftBase(d)}/state", 1L),
+        Pin("shards", "shards", shardRecStateFor(s, d), 1L)), mdir)
+      val ext = RecQueries.extensionSession(s)
+      def leg(state: String, checksum: String): String =
+        s"""SELECT '$state' AS state, count(1) AS n_rows,
+           |  cast($checksum AS bigint) AS checksum
+           |FROM GRAFT_SNAPSHOT('$mdir', '$state')""".stripMargin
+      ext.sql(Seq(
+        leg("ann_vectors", "sum(id)"),
+        leg("postings", "sum(tf)"),
+        leg("selection", "sum(doc_id + n_tok)"),
+        leg("shards", "sum(seq_id + n_tok)"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY state"))
+    }),
     // TIME-TRAVEL BM25, driver-gated: the postings index folded whole,
     // then searched as of wave 1 — ranking stats (N, avgdl, df, lengths)
     // all re-derive from the batch_id ≤ 1 postings slice, reproducing
@@ -3542,6 +3656,86 @@ object PipelineQueries {
       |proj AS (SELECT vec_id, list(pv ORDER BY dim) AS v FROM pf GROUP BY 1)"""
       .stripMargin
 
+  /** Shared by p_run_snapshot (API path) and q_sql_snapshot (SQL path):
+    * each pinned leg re-derived from the source tables at the wave-1
+    * prefix.
+    */
+  private val runSnapshotOracle: String =
+    s"""SELECT * FROM (
+         |  SELECT 'ann_vectors' AS state, count(*) AS n_rows,
+         |    CAST(sum(vec_id) AS BIGINT) AS checksum
+         |  FROM embeddings WHERE vec_id % 3 <= 1)
+         |UNION ALL
+         |SELECT * FROM (
+         |  WITH pr AS (
+         |    SELECT doc_id, term, count(*) AS tf FROM (
+         |      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |      FROM documents WHERE doc_id % 3 <= 1)
+         |    GROUP BY 1, 2)
+         |  SELECT 'postings', count(*), CAST(sum(tf) AS BIGINT) FROM pr)
+         |UNION ALL
+         |SELECT * FROM (
+         |  WITH ${curateCtesFrom(
+               "(SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0)")},
+         |  kept2 AS (
+         |    SELECT p.doc_id, p.avg_nll, len(ct.toks) AS n_tok
+         |    FROM ppl p JOIN ct USING (doc_id) WHERE p.avg_nll <= 3.43
+         |  ),
+         |  selS AS (
+         |    SELECT doc_id, n_tok,
+         |      sum(n_tok) OVER (ORDER BY avg_nll, doc_id) AS cum_tok
+         |    FROM kept2
+         |  )
+         |  SELECT 'selection', count(*), CAST(sum(doc_id + n_tok) AS BIGINT)
+         |  FROM selS WHERE cum_tok <= 6000)
+         |UNION ALL
+         |SELECT * FROM (
+         |  WITH RECURSIVE $trainManifestCtes
+         |  SELECT 'shards', count(*), CAST(sum(ss.seq_id + ss.n_tok) AS BIGINT)
+         |  FROM seqsum ss CROSS JOIN esM WHERE ss.seq_id % 3 <= 1)
+         |ORDER BY state""".stripMargin
+
+  /** One wave of the sparse freshness oracle: the p_bm25_search chain
+    * over the committed prefix (doc_id % 3 ≤ wave), k=10, wave-tagged —
+    * scoped inside its own subquery so the three legs' CTE names never
+    * collide.
+    */
+  private def bm25FreshLegSql(wave: Int): String =
+    s"""SELECT * FROM (
+       |WITH tq AS (
+       |  SELECT unnest(['spark', 'vector', 'merge']) AS term
+       |),
+       |tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents WHERE doc_id % 3 <= $wave
+       |),
+       |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
+       |st AS (SELECT count(*) AS n, sum(len) AS sl FROM dl),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf
+       |  FROM tok JOIN tq USING (term) GROUP BY 1, 2
+       |),
+       |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |sc AS (
+       |  SELECT tf.doc_id,
+       |    sum(ln((st.n - dfq.df + 0.5)/(dfq.df + 0.5) + 1)
+       |        * tf.tf * (1.2 + 1)
+       |        / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.len/(st.sl*1.0/st.n))))
+       |      AS score
+       |  FROM tf
+       |  JOIN dfq USING (term)
+       |  JOIN dl USING (doc_id)
+       |  CROSS JOIN st
+       |  GROUP BY 1
+       |),
+       |rk AS (
+       |  SELECT doc_id, round(score, 6) AS score,
+       |    row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+       |  FROM sc
+       |)
+       |SELECT CAST($wave AS BIGINT) AS wave, doc_id, score, rank
+       |FROM rk WHERE rank <= 10)""".stripMargin
+
   private def ivfOracle(centroidsDir: String,
       corpusWhere: String = "TRUE",
       corpusSql: String = ivfPlainCorpusSql,
@@ -4929,6 +5123,13 @@ object PipelineQueries {
          |)
          |SELECT state, metric, round(v, 6) AS value, threshold, decision
          |FROM mp_rows ORDER BY state""".stripMargin,
+    // each pinned leg re-derived from the source tables at the wave-1
+    // prefix: ann/postings are direct prefix slices, the selection is the
+    // one-shot curate over the wave-0 corpus (the generation served at
+    // horizon 1), shards the batch-major layout over the arrived seqs —
+    // scoped subquery CTEs keep the two curate chains from colliding
+    "p_run_snapshot" -> runSnapshotOracle,
+    "q_sql_snapshot" -> runSnapshotOracle,
     // pre phase: the p_maint_plan derivations (drift/hold distortion from
     // the persisted bootstrap quantizers, shard dead mass from the
     // reconcile history, postings delta from the wave split, curation KL
@@ -5201,6 +5402,19 @@ object PipelineQueries {
         |  FROM sc
         |)
         |SELECT doc_id, score, rank FROM rk WHERE rank <= 20""".stripMargin,
+    // every serve re-derived as the one-shot BM25 over exactly the
+    // committed prefix — scoped subquery CTEs, one leg per wave
+    "s_bm25_fresh" ->
+      (0 until 3).map(bm25FreshLegSql).mkString(
+        "", "\nUNION ALL\n", "\nORDER BY wave, rank"),
+    // each wave's probe re-derived as the prefix IVF scan from the same
+    // persisted quantizer
+    "s_knn_fresh" ->
+      (0 until 3).map(g =>
+        s"""SELECT CAST($g AS BIGINT) AS wave, t.* FROM (
+           |${ivfOracle("fresh_centroids_s", s"vec_id % 3 <= $g")}
+           |) t""".stripMargin).mkString(
+        "", "\nUNION ALL\n", "\nORDER BY wave, query_id, rank"),
     // both retrieval legs re-derived from scratch (the BM25 formula over
     // the train split; the closed-form text tower for both query and
     // corpus), then the same 1/(60+rank) fusion and per-query re-rank

@@ -210,6 +210,7 @@ object GraftSql {
     *   GRAFT_BM25('<stateDir>', '<terms>', k) [VERSION AS OF <batch>]
     *   GRAFT_KNN('<indexDir>', '<centroids parquet>', <queryView>, k)
     *                                          [VERSION AS OF <batch>]
+    *   GRAFT_SNAPSHOT('<manifestDir>', '<state>')   (horizon from the pin)
     *
     * Each appears as a relation in FROM; without the version clause it
     * reads the live state. The sealed-history contracts surface
@@ -506,7 +507,7 @@ object GraftSql {
     * list. Returns None when the statement carries no RECOMMEND clause.
     */
   private[sql] val StateReadRe =
-    ("""(?is)\bGRAFT_(SHARDS|BM25|KNN|SELECTION)\s*\(([^()]*)\)""" +
+    ("""(?is)\bGRAFT_(SHARDS|BM25|KNN|SELECTION|SNAPSHOT)\s*\(([^()]*)\)""" +
       """(?:\s+VERSION\s+AS\s+OF\s+(-?\d+))?""").r
 
   /** Split a GRAFT_* argument list on top-level commas (quoted regions
@@ -665,7 +666,7 @@ object GraftSql {
         top.queryExecution.analyzed
       case s: StateReadSpec =>
         import graft.streaming.{AnnIndexMaintainer, CurateMaintainer,
-          SearchIndexMaintainer, ShardMaintainer}
+          SearchIndexMaintainer, ShardMaintainer, SnapshotManifest}
         def wrongArgs(usage: String): Nothing =
           throw new IllegalArgumentException(
             s"GRAFT_${s.kind.toUpperCase}: expected $usage, " +
@@ -702,6 +703,13 @@ object GraftSql {
                 qv, k.toInt, rankOnRoundedTo = Some(6)))
           case ("knn", _) =>
             wrongArgs("('<indexDir>', '<centroids parquet>', <queryView>, k)")
+          case ("snapshot", Seq(mdir, state)) =>
+            require(s.asOf.isEmpty,
+              "GRAFT_SNAPSHOT: the horizon comes from the pinned manifest; " +
+                "VERSION AS OF is not applicable")
+            SnapshotManifest.readState(session, mdir, state)
+          case ("snapshot", _) =>
+            wrongArgs("('<manifestDir>', '<state>')")
           case (other, _) => throw new IllegalArgumentException(
             s"unknown GRAFT state-read kind '$other'")
         }

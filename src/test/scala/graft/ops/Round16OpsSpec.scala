@@ -209,6 +209,80 @@ class Round16OpsSpec extends SparkSpec {
     CurateMaintainer.selectionBaseline(cur) shouldBe 2L
   }
 
+  // ------------------------------------- cross-state snapshot manifest
+
+  test("SnapshotManifest: pin validates at pin time, reads dispatch to " +
+      "each state's as-of, verify catches a later seal") {
+    import graft.streaming.SnapshotManifest
+    import graft.streaming.SnapshotManifest.Pin
+    val sh = tmp("snapsh")
+    def payload(ids: Seq[Long]) =
+      ids.map(i => (i, s"ids$i", 4L)).toDF("seq_id", "ids_str", "n_tok")
+    ShardMaintainer.reconcile(payload(Seq(0L, 1L, 2L, 3L)), 0L,
+      epochs = 1, shardSize = 2, sh)
+    ShardMaintainer.reconcile(payload(Seq(0L, 1L)), 1L,
+      epochs = 1, shardSize = 2, sh)
+    val post = tmp("snappost")
+    val dd = Seq((0L, "alpha beta"), (1L, "alpha gamma"), (2L, "beta delta"))
+      .toDF("doc_id", "text")
+    (0 until 3).foreach { g =>
+      SearchIndexMaintainer.processBatch(dd.where(col("doc_id") === g),
+        g.toLong, "doc_id", "text", post)
+    }
+    val ann = tmp("snapann")
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val vecs = (0L to 5L).map(i => (i, Seq(
+      if (i % 2 == 0) 1.0 else 0.0, if (i % 2 == 0) 0.0 else 1.0)))
+      .toDF("vec_id", "embedding")
+    (0 until 2).foreach { g =>
+      AnnIndexMaintainer.processBatch(
+        vecs.where(col("vec_id") % 2 === g), g.toLong, "vec_id",
+        "embedding", cents, ann)
+    }
+    val mdir = tmp("snapman") + "/m"
+    // a horizon before a curate state's first firing fails the PIN
+    val curEmpty = tmp("snapcur")
+    intercept[IllegalArgumentException] {
+      SnapshotManifest.pin(spark, Seq(
+        Pin("sel", "curate", curEmpty, 0L)), mdir)
+    }.getMessage should include("no selection generation")
+    SnapshotManifest.pin(spark, Seq(
+      Pin("shards", "shards", sh, 0L),
+      Pin("postings", "postings", post, 1L, "doc_id"),
+      Pin("vectors", "ann", ann, 0L)), mdir)
+    // reads dispatch to the as-of views
+    SnapshotManifest.readState(spark, mdir, "shards")
+      .collect().map(_.toString).sorted.toSeq shouldBe
+      ShardMaintainer.readShardsAsOf(spark, sh, 0L)
+        .collect().map(_.toString).sorted.toSeq
+    SnapshotManifest.readState(spark, mdir, "postings")
+      .select("doc_id").distinct().collect().map(_.getLong(0))
+      .toSet shouldBe Set(0L, 1L)
+    SnapshotManifest.readState(spark, mdir, "vectors")
+      .select("id").collect().map(_.getLong(0)).toSet shouldBe
+      Set(0L, 2L, 4L)
+    SnapshotManifest.verify(spark, mdir)
+      .select("ok").collect().map(_.getBoolean(0)).toSeq shouldBe
+      Seq(true, true, true)
+    // a later compaction seals history below the pinned shard horizon —
+    // verify reports exactly which pin broke and why
+    ShardMaintainer.compactTombstones(spark, sh, upTo = 1L)
+    val v = SnapshotManifest.verify(spark, mdir).collect()
+      .map(r => r.getString(0) -> (r.getBoolean(3), r.getString(4))).toMap
+    v("shards")._1 shouldBe false
+    v("shards")._2 should include("sealed compaction floor")
+    v("postings")._1 shouldBe true
+    v("vectors")._1 shouldBe true
+    // duplicate names and unknown kinds fail fast
+    intercept[IllegalArgumentException] {
+      SnapshotManifest.pin(spark, Seq(
+        Pin("a", "ann", ann, 0L), Pin("a", "ann", ann, 1L)), tmp("dup"))
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotManifest.pin(spark, Seq(Pin("x", "nope", ann, 0L)), tmp("uk"))
+    }
+  }
+
   // -------------------------------- sidecar-derived shard liveness
 
   test("deadFraction derives from append/tombstone sidecars and matches " +

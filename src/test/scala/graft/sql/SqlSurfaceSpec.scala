@@ -513,4 +513,32 @@ class SqlSurfaceSpec extends SparkSpec with BeforeAndAfterAll {
     }
     e.getMessage should include("no selection generation")
   }
+
+  test("GRAFT_SNAPSHOT: reads the pinned manifest's horizon; a VERSION " +
+      "clause is rejected (the pin IS the version)") {
+    val sq = ext
+    import sq.implicits._
+    import graft.streaming.SnapshotManifest
+    import graft.streaming.SnapshotManifest.Pin
+    val ann = Files.createTempDirectory("snapsqlann").toString
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val vecs = (0L to 5L).map(i => (i, Seq(
+      if (i % 2 == 0) 1.0 else 0.0, if (i % 2 == 0) 0.0 else 1.0)))
+      .toDF("vec_id", "embedding")
+    (0 until 2).foreach { g =>
+      graft.streaming.AnnIndexMaintainer.processBatch(
+        vecs.where(org.apache.spark.sql.functions.col("vec_id") % 2 === g),
+        g.toLong, "vec_id", "embedding", cents, ann)
+    }
+    val mdir = Files.createTempDirectory("snapsqlm").toString + "/m"
+    SnapshotManifest.pin(ext, Seq(Pin("vectors", "ann", ann, 0L)), mdir)
+    ext.sql(s"SELECT id FROM GRAFT_SNAPSHOT('$mdir', 'vectors')")
+      .collect().map(_.getLong(0)).toSet shouldBe Set(0L, 2L, 4L)
+    val e = intercept[Exception] {
+      ext.sql(
+        s"SELECT * FROM GRAFT_SNAPSHOT('$mdir', 'vectors') VERSION AS OF 1")
+        .collect()
+    }
+    e.getMessage should include("not applicable")
+  }
 }
