@@ -1201,6 +1201,44 @@ object PipelineQueries {
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
     }),
+    // INCREMENTAL QUANTIZER GROWTH, driver-gated — the delta-cost remedy
+    // when drift is ADDITIVE: instead of retrain's full re-assignment +
+    // corpus rewrite, grow() trains EXTRA centroids on the post-baseline
+    // rows only and re-homes exactly the rows a new centroid wins (old
+    // centroids never move, so one (1+kNew)-distance pass decides every
+    // move EXACTLY); pre-growth copies are hidden by a batch-stamped
+    // exclusion sidecar, so time travel stays exact through the growth.
+    // The search over the grown index must equal the one-shot IVF scan
+    // over the full spliced corpus under the persisted UNION centroid
+    // set — a from-scratch assignment that knows nothing about movers:
+    // any missed or spurious move hash-fails. Acts on a per-call COPY of
+    // the shared monitored state (growth mutates its dir).
+    "s_knn_grow" -> ((s, d) => {
+      val src = annDriftStateFor(s, d, spliced = true)
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_anngrow", Tables.runKey(d)).toString
+      graft.Exec.copyPath(src, s"$base/idx")
+      val cents0 = annDriftCents(s, d, spliced = true)
+      require(graft.streaming.AnnIndexMaintainer.shouldRetrain(
+        s, s"$base/idx", RetrainRatio), "distribution shift undetected")
+      graft.streaming.AnnIndexMaintainer.grow(s, s"$base/idx", cents0,
+          kNew = 8, roundScale = 6)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(annArtifactBase(d) + "/grow_cents")
+      val cents1 = Ann.ivfCentroidsFromDf(
+        s.read.parquet(annArtifactBase(d) + "/grow_cents"))
+      val queries = emb(s, d).select(col("vec_id"),
+          when(col("vec_id") % 3 === 2,
+            transform(col("embedding").cast("array<double>"),
+              x => x + lit(EmbShift)))
+          .otherwise(col("embedding").cast("array<double>")).as("embedding"))
+        .where(col("vec_id") < 5)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      graft.streaming.AnnIndexMaintainer.search(s, s"$base/idx", cents1,
+        queries, k = 10, rankOnRoundedTo = Some(6))
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
+    }),
     // The HOLD arm: plain waves (no shift) through the same monitored
     // loop must NOT fire — the search keeps answering from the original
     // index under the original quantizer, and the oracle reads the
@@ -5004,6 +5042,13 @@ object PipelineQueries {
     // the rebuilt index must answer exactly like a from-scratch IVF scan
     // of the full SPLICED corpus under the retrained persisted quantizer
     "s_knn_retrain" -> ivfOracle("retrain_cents", "TRUE",
+      s"""SELECT vec_id, CASE WHEN vec_id % 3 = 2
+         |    THEN list_transform(embedding, x -> CAST(x AS DOUBLE) + $EmbShift)
+         |    ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS v
+         |  FROM embeddings""".stripMargin),
+    // the grown index must answer exactly like a from-scratch assignment
+    // against the persisted UNION centroid set over the spliced corpus
+    "s_knn_grow" -> ivfOracle("grow_cents", "TRUE",
       s"""SELECT vec_id, CASE WHEN vec_id % 3 = 2
          |    THEN list_transform(embedding, x -> CAST(x AS DOUBLE) + $EmbShift)
          |    ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS v

@@ -97,8 +97,9 @@ object AnnIndexMaintainer {
     import spark.implicits._
     val probeCells = queryVecs
       .flatMap(q => Ann.nearestCellsLocal(q._2, cents, nprobe)).distinct
-    val idx = readIndex(spark, indexDir)
-      .where(col("cell").isin(probeCells: _*))
+    val idx = excludeMoved(spark, indexDir,
+      readIndex(spark, indexDir).where(col("cell").isin(probeCells: _*)),
+      Long.MaxValue)
     val qdf = queryVecs.map { case (id, v) => (id, v.toSeq) }.toDF("id", "v")
     Ann.ivfSearchAssigned(idx, qdf, "id", "v", k, nprobe, cents,
       rankOnRoundedTo)
@@ -107,9 +108,10 @@ object AnnIndexMaintainer {
   /** TIME-TRAVEL probe: the top-k exactly as the index answered after
     * batch `asOf` committed — the scan sees only rows with
     * `batch_id <= asOf` (read from the CURRENT files; exact through
-    * compaction because the inverted file is append-only). Partition
-    * pruning is unchanged: the `cell IN (...)` filter lands before the
-    * version predicate.
+    * compaction because the inverted file is append-only, and through
+    * quantizer GROWTH because move exclusions are batch-stamped too).
+    * Partition pruning is unchanged: the `cell IN (...)` filter lands
+    * before the version predicate.
     */
   def searchAsOf(spark: SparkSession, indexDir: String,
       cents: Array[Array[Double]], queryVecs: Seq[(Long, Array[Double])],
@@ -118,8 +120,10 @@ object AnnIndexMaintainer {
     import spark.implicits._
     val probeCells = queryVecs
       .flatMap(q => Ann.nearestCellsLocal(q._2, cents, nprobe)).distinct
-    val idx = readIndex(spark, indexDir)
-      .where(col("cell").isin(probeCells: _*) && col("batch_id") <= asOf)
+    val idx = excludeMoved(spark, indexDir,
+      readIndex(spark, indexDir)
+        .where(col("cell").isin(probeCells: _*) && col("batch_id") <= asOf),
+      asOf)
     val qdf = queryVecs.map { case (id, v) => (id, v.toSeq) }.toDF("id", "v")
     Ann.ivfSearchAssigned(idx, qdf, "id", "v", k, nprobe, cents,
       rankOnRoundedTo)
@@ -253,7 +257,8 @@ object AnnIndexMaintainer {
       s"retrain: no batch or compacted dirs under '$indexDir' — nothing " +
         "to rebuild")
     val maxB = gens.map(_._1).max
-    val idx = readIndex(spark, indexDir).select("id", "v", "batch_id")
+    val idx = excludeMoved(spark, indexDir, readIndex(spark, indexDir),
+      Long.MaxValue).select("id", "v", "batch_id")
     val (cdf, _) = graft.ops.Ann.ivfTrainBalanced(idx, "v", cellsPerSqrtN)
     val cents = graft.ops.Ann.ivfCentroidsFromDf(cdf)
     graft.Exec.deletePath(newIndexDir)
@@ -268,6 +273,136 @@ object AnnIndexMaintainer {
     writeMetrics(spark, rebuilt, maxB, cents, newIndexDir)
     markTrained(newIndexDir, maxB)
     cdf
+  }
+
+  // ---- incremental quantizer GROWTH: the delta-cost retrain remedy ----
+
+  private val movesSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("cell", IntegerType),
+    StructField("batch_id", LongType)))
+
+  /** Rows displaced by quantizer growths, visible at `horizon`: the
+    * (id, old cell) pairs whose copies must be hidden once the growth
+    * batch is at or below the read horizon. Bounded by movers, not the
+    * corpus. */
+  private def movedPairs(spark: SparkSession, indexDir: String,
+      horizon: Long): Option[DataFrame] = {
+    val dirs = BatchDirs.listDirs(indexDir, "mv").filter(_._1 <= horizon)
+      .map(_._2)
+    BatchDirs.readUnion(spark, dirs, movesSchema, partitioned = false)
+      .map(_.where(col("batch_id") <= horizon).select(col("id"), col("cell")))
+  }
+
+  /** Hide pre-growth copies of moved rows from a slice of the inverted
+    * file — the read-time half of [[grow]]'s contract. The anti-join is
+    * movers-sized and horizon-aware: a read below a growth's batch sees
+    * the ORIGINAL assignment (the growth never happened yet on that
+    * timeline), exactly like every other row on the version axis.
+    */
+  private def excludeMoved(spark: SparkSession, indexDir: String,
+      rows: DataFrame, horizon: Long): DataFrame =
+    movedPairs(spark, indexDir, horizon) match {
+      case None => rows
+      case Some(mv) => rows.join(mv, Seq("id", "cell"), "left_anti")
+    }
+
+  /** INCREMENTAL quantizer growth — the delta-cost alternative to
+    * [[retrain]]'s full rebuild when drift is ADDITIVE (a new data region
+    * the frozen quantizer has no cells for, rather than wholesale
+    * movement): train `kNew` EXTRA centroids on the post-baseline rows
+    * only, and re-home exactly the rows a new centroid wins. Because the
+    * OLD centroids never move, a row's nearest cell changes iff some new
+    * centroid beats its current assignment — one pass with
+    * (1 + kNew)-centroid work per row decides every move EXACTLY (the
+    * result is bit-equal to a from-scratch assignment against the union
+    * centroid set; rounded-distance compare, lowest-cid ties keep the old
+    * cell, matching the oracle's re-derivation order since old cids sort
+    * below new ones). Write cost ∝ movers:
+    *   - moved rows land as a regular `b<growBatch>/` dir under their new
+    *     cells (folded by [[compact]] like any batch);
+    *   - their pre-growth copies are hidden by an `mv<growBatch>/`
+    *     exclusion sidecar (id, old cell, growth batch) applied at read
+    *     time — batch-stamped, so [[searchAsOf]] below the growth still
+    *     serves the ORIGINAL assignment and time travel stays exact
+    *     through the growth;
+    *   - the metrics sidecar gets the whole-index distortion under the
+    *     grown quantizer as the new baseline and [[markTrained]]
+    *     advances (a drifted state measures healthy after the remedy).
+    * Offline operation like [[retrain]] (not a replayable batch): run it
+    * once per maintenance decision. Within the generation, every horizon
+    * stays exact; moved rows carry the GROWTH batch as their stamp, so a
+    * LATER full [[retrain]] (which keeps only surviving copies) can
+    * reproduce horizons at or above the growth — read deeper horizons
+    * from the pre-rebuild generation, which retrain's contract keeps on
+    * disk. Returns the UNION centroid frame
+    * (old cids 0..n−1, new cids n..n+kNew−1) for the caller to persist —
+    * every subsequent ingest and probe uses the grown quantizer.
+    * Cost: O(N·(1+kNew)·dim) scan + movers-sized writes, vs the full
+    * rebuild's O(N·nlist·dim) re-assignment + corpus-sized rewrite.
+    */
+  def grow(spark: SparkSession, indexDir: String,
+      cents: Array[Array[Double]], kNew: Int, seed: Long = 42L,
+      kmeansIter: Int = 8, roundScale: Int = -1): DataFrame = {
+    import spark.implicits._
+    require(kNew >= 1, "grow: kNew must be >= 1")
+    val base = trainedBatch(indexDir)
+    require(base >= 0L,
+      s"grow: no training baseline under '$indexDir' (markTrained) — " +
+        "growth extends a trained quantizer")
+    val gens = BatchDirs.listDirs(indexDir, "b") ++
+      BatchDirs.listDirs(indexDir, "c") ++ BatchDirs.listDirs(indexDir, "mv")
+    require(gens.nonEmpty, s"grow: no index dirs under '$indexDir'")
+    val growB = gens.map(_._1).max + 1L
+    val idx = excludeMoved(spark, indexDir, readIndex(spark, indexDir),
+      Long.MaxValue)
+    val post = idx.where(col("batch_id") > base).select(col("v"))
+    require(post.limit(1).count() > 0L,
+      s"grow: no post-baseline rows under '$indexDir' — nothing drifted " +
+        "to grow cells for")
+    val newCents = graft.ops.Ann.ivfCentroidsFromDf(
+      graft.ops.Ann.ivfTrain(post, "v", kNew, seed, kmeansIter))
+    val oldDf = cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toSeq.toDF("cell", "__oc")
+    val newDf = newCents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toSeq.toDF("__ncell", "__nc")
+    def d2(v: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) = {
+      val raw = graft.functions.VectorFns.dotNative(v, v) -
+        lit(2.0) * graft.functions.VectorFns.dotNative(v, c) +
+        graft.functions.VectorFns.dotNative(c, c)
+      if (roundScale >= 0) round(raw, roundScale) else raw
+    }
+    // one assignment pass: d to the CURRENT cell + argmin over the new
+    // centroids only (old centroids unmoved ⇒ old argmin unchanged)
+    def scored = idx
+      .withColumn("__ncell", graft.functions.VectorFns.nearestCellNative(
+        col("v"), newCents, roundScale))
+      .join(broadcast(oldDf), Seq("cell"))
+      .join(broadcast(newDf), Seq("__ncell"))
+      .withColumn("__dold", d2(col("v"), col("__oc")))
+      .withColumn("__dnew", d2(col("v"), col("__nc")))
+    // movers-sized frames: sidecar + metrics from a v-free projection
+    // (bounded memory); the mover rewrite re-runs the scan once with v
+    val small = graft.Exec.materializeLocal(scored.select(col("id"),
+      col("cell"), col("__ncell"), col("__dold"), col("__dnew")))
+    val movers = small.where(col("__dnew") < col("__dold"))
+    scored.where(col("__dnew") < col("__dold"))
+      .select(col("id"), col("v"), lit(growB).as("batch_id"),
+        (col("__ncell") + lit(cents.length)).cast("int").as("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/b$growB")
+    movers.select(col("id"), col("cell"), lit(growB).as("batch_id"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/mv$growB")
+    // whole-index distortion under the grown quantizer = the new baseline
+    small.select(least(col("__dold"), col("__dnew")).as("__d"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        coalesce(sum(col("__d")), lit(0.0)).as("sum_d2"))
+      .select(lit(growB).as("batch_id"), col("n"), col("sum_d2"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/m/b$growB")
+    markTrained(indexDir, growB)
+    (cents ++ newCents).zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cid", "c")
   }
 
   // ---- IVF-PQ variant: the inverted file carries PQ codes alongside ----

@@ -209,6 +209,65 @@ class Round16OpsSpec extends SparkSpec {
     CurateMaintainer.selectionBaseline(cur) shouldBe 2L
   }
 
+  // --------------------------------------- incremental quantizer growth
+
+  test("grow: union assignment exact vs a from-scratch scan, time travel " +
+      "intact through the growth, drift measures healthy after") {
+    val dir = tmp("grow")
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    def vecs(ids: Seq[Long], shift: Double = 0.0) =
+      ids.map(i => (i, Seq(
+        (if (i % 2 == 0) 1.0 else 0.0) + 0.01 * (i % 3) + shift,
+        (if (i % 2 == 0) 0.0 else 1.0) + shift)))
+        .toDF("vec_id", "embedding")
+    val w0 = vecs(0L to 9L)
+    val w1 = vecs(10L to 19L, shift = 5.0)
+    AnnIndexMaintainer.processBatchMonitored(w0, 0L, "vec_id", "embedding",
+      cents, dir)
+    AnnIndexMaintainer.markTrained(dir, 0L)
+    AnnIndexMaintainer.processBatchMonitored(w1, 1L, "vec_id", "embedding",
+      cents, dir)
+    AnnIndexMaintainer.shouldRetrain(spark, dir, 4.0) shouldBe true
+    val grown = AnnIndexMaintainer.grow(spark, dir, cents, kNew = 2,
+      roundScale = 6)
+    val cents1 = graft.ops.Ann.ivfCentroidsFromDf(grown)
+    cents1.length shouldBe 4
+    cents1.take(2).map(_.toSeq) shouldBe cents.map(_.toSeq) // old cids keep
+    // every shifted row re-homed into a grown cell, originals untouched
+    val all = w0.unionByName(w1)
+    val qids = Seq(0L, 1L, 10L, 11L)
+    val queries = all.where(col("vec_id").isin(qids: _*))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val served = AnnIndexMaintainer.search(spark, dir, cents1, queries,
+        k = 3, rankOnRoundedTo = Some(6))
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(_.toString).sorted.toSeq
+    val oneShot = graft.ops.Ann.ivfTopK(all,
+        all.where(col("vec_id").isin(qids: _*)), "vec_id", "embedding",
+        k = 3, centroidsOpt = Some(cents1), rankOnRoundedTo = Some(6))
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(_.toString).sorted.toSeq
+    served shouldBe oneShot
+    // time travel below the growth: the ORIGINAL assignment answers
+    val asOf0 = AnnIndexMaintainer.searchAsOf(spark, dir, cents,
+        queries.take(2), k = 3, asOf = 0L, rankOnRoundedTo = Some(6))
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(_.toString).sorted.toSeq
+    val w0Only = graft.ops.Ann.ivfTopK(w0,
+        w0.where(col("vec_id") < 2), "vec_id", "embedding", k = 3,
+        centroidsOpt = Some(cents), rankOnRoundedTo = Some(6))
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(_.toString).sorted.toSeq
+    asOf0 shouldBe w0Only
+    // the remedy resets the drift signal: fresh baseline, nothing after
+    AnnIndexMaintainer.driftRatio(spark, dir) shouldBe None
+    AnnIndexMaintainer.shouldRetrain(spark, dir, 4.0) shouldBe false
+    // growth without a drifted tail is an explicit error
+    intercept[IllegalArgumentException] {
+      AnnIndexMaintainer.grow(spark, dir, cents1, kNew = 2)
+    }.getMessage should include("no post-baseline rows")
+  }
+
   // ------------------------------------- cross-state snapshot manifest
 
   test("SnapshotManifest: pin validates at pin time, reads dispatch to " +
