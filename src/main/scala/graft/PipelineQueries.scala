@@ -220,6 +220,41 @@ object PipelineQueries {
       s"$base/idx"
     })
 
+  /** One TAIL-DRIFT monitored state per (JVM, sf dir): quantizer trained
+    * on waves 0–1 (persisted `tail_boot_cents`), baseline marked at wave
+    * 1, only wave 2 spliced — post-baseline fraction 1/3, the
+    * grow-shaped remedy case (vs [[annDriftStateFor]]'s 2/3
+    * retrain-shaped one). Read-only consumers.
+    */
+  private val annTailStateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def annTailStateFor(s: SparkSession, d: String): String =
+    annTailStateCache.computeIfAbsent(d, _ => {
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_anntail", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      val e = emb(s, d).select(col("vec_id"),
+        when(col("vec_id") % 3 === 2,
+          transform(col("embedding").cast("array<double>"),
+            x => x + lit(EmbShift)))
+        .otherwise(col("embedding").cast("array<double>")).as("embedding"))
+      val (c0df, _) = Ann.ivfTrainBalanced(
+        e.where(col("vec_id") % 3 <= 1), "embedding")
+      c0df.coalesce(1).write.mode("overwrite")
+        .parquet(annArtifactBase(d) + "/tail_boot_cents")
+      val cents0 = Ann.ivfCentroidsFromDf(
+        s.read.parquet(annArtifactBase(d) + "/tail_boot_cents"))
+      (0 until 3).foreach { g =>
+        graft.streaming.AnnIndexMaintainer.processBatchMonitored(
+          e.where(col("vec_id") % 3 === g), g.toLong, "vec_id",
+          "embedding", cents0, s"$base/idx")
+        if (g == 1)
+          graft.streaming.AnnIndexMaintainer.markTrained(s"$base/idx", 1L)
+      }
+      s"$base/idx"
+    })
+
   /** The bootstrap quantizer of a monitored drift state, re-read from its
     * persisted artifact (exact double round trip). */
   private def annDriftCents(s: SparkSession, d: String,
@@ -1303,6 +1338,34 @@ object PipelineQueries {
         .select(col("state"), col("metric"),
           round(col("value"), 6).as("value"), col("threshold"),
           col("decision"))
+        .orderBy("state")
+    }),
+    // COST-AWARE REMEDY CHOICE, driver-gated: which operation a fired
+    // drift trigger should execute as — grow (delta cost) when the
+    // post-baseline fraction of the index is small, retrain (full
+    // rebuild) when the drifted mass dominates, none when the trigger
+    // has not fired. Both signals are sidecar-sized sums; the fixture
+    // exhibits all three answers (the shared 2/3-post spliced state →
+    // retrain, the hold state → none, a 1/3-post tail state → grow).
+    // The oracle re-derives every ratio and fraction from the source
+    // tables + the persisted bootstrap quantizers and applies the same
+    // thresholds.
+    "p_maint_remedy" -> ((s, d) => {
+      import s.implicits._
+      Seq(
+        ("ann_drift", annDriftStateFor(s, d, spliced = true)),
+        ("ann_hold", annDriftStateFor(s, d, spliced = false)),
+        ("ann_tail", annTailStateFor(s, d))).map { case (n, dir) =>
+          (n,
+            graft.streaming.AnnIndexMaintainer.driftRatio(s, dir)
+              .getOrElse(0.0),
+            graft.streaming.AnnIndexMaintainer.postFraction(s, dir)
+              .getOrElse(0.0),
+            graft.streaming.MaintenancePlanner.annRemedy(s, dir,
+              RetrainRatio))
+        }.toDF("state", "drift_ratio", "post_fraction", "remedy")
+        .select(col("state"), round(col("drift_ratio"), 6).as("drift_ratio"),
+          round(col("post_fraction"), 6).as("post_fraction"), col("remedy"))
         .orderBy("state")
     }),
     // MAINTENANCE-PLAN EXECUTION, driver-gated — the closed operations
@@ -5175,6 +5238,86 @@ object PipelineQueries {
     // scoped subquery CTEs keep the two curate chains from colliding
     "p_run_snapshot" -> runSnapshotOracle,
     "q_sql_snapshot" -> runSnapshotOracle,
+    // every remedy signal re-derived: distortion ratios from the three
+    // persisted bootstrap quantizers (era split at each state's training
+    // baseline), post fractions from the wave counts, thresholds applied
+    // verbatim (ratio >= 4 fires; fraction <= 0.5 sizes the remedy)
+    "p_maint_remedy" ->
+      s"""WITH re_centsD AS (
+         |  SELECT cid, c FROM '__ANN_ARTIFACTS__/retrain_boot_cents/*.parquet'
+         |),
+         |re_centsH AS (
+         |  SELECT cid, c FROM '__ANN_ARTIFACTS__/retrain_hold_cents/*.parquet'
+         |),
+         |re_centsT AS (
+         |  SELECT cid, c FROM '__ANN_ARTIFACTS__/tail_boot_cents/*.parquet'
+         |),
+         |re_eD AS (
+         |  SELECT vec_id, CASE WHEN vec_id % 3 = 2
+         |    THEN list_transform(embedding, x -> CAST(x AS DOUBLE) + $EmbShift)
+         |    ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS v
+         |  FROM embeddings
+         |),
+         |re_eH AS ($ivfPlainCorpusSql),
+         |re_dD AS (
+         |  SELECT e.vec_id % 3 AS era,
+         |    min(list_inner_product(e.v, e.v)
+         |      - 2*list_inner_product(e.v, ct.c)
+         |      + list_inner_product(ct.c, ct.c)) AS d2
+         |  FROM re_eD e CROSS JOIN re_centsD ct GROUP BY e.vec_id
+         |),
+         |re_dH AS (
+         |  SELECT e.vec_id % 3 AS era,
+         |    min(list_inner_product(e.v, e.v)
+         |      - 2*list_inner_product(e.v, ct.c)
+         |      + list_inner_product(ct.c, ct.c)) AS d2
+         |  FROM re_eH e CROSS JOIN re_centsH ct GROUP BY e.vec_id
+         |),
+         |re_dT AS (
+         |  SELECT e.vec_id % 3 AS era,
+         |    min(list_inner_product(e.v, e.v)
+         |      - 2*list_inner_product(e.v, ct.c)
+         |      + list_inner_product(ct.c, ct.c)) AS d2
+         |  FROM re_eD e CROSS JOIN re_centsT ct GROUP BY e.vec_id
+         |),
+         |re_rD AS (
+         |  SELECT (sum(d2) FILTER (WHERE era > 0)
+         |      / count(*) FILTER (WHERE era > 0))
+         |    / (sum(d2) FILTER (WHERE era = 0)
+         |      / count(*) FILTER (WHERE era = 0)) AS ratio,
+         |    CAST(count(*) FILTER (WHERE era > 0) AS DOUBLE)
+         |      / count(*) AS pf
+         |  FROM re_dD
+         |),
+         |re_rH AS (
+         |  SELECT (sum(d2) FILTER (WHERE era > 0)
+         |      / count(*) FILTER (WHERE era > 0))
+         |    / (sum(d2) FILTER (WHERE era = 0)
+         |      / count(*) FILTER (WHERE era = 0)) AS ratio,
+         |    CAST(count(*) FILTER (WHERE era > 0) AS DOUBLE)
+         |      / count(*) AS pf
+         |  FROM re_dH
+         |),
+         |re_rT AS (
+         |  SELECT (sum(d2) FILTER (WHERE era = 2)
+         |      / count(*) FILTER (WHERE era = 2))
+         |    / (sum(d2) FILTER (WHERE era <= 1)
+         |      / count(*) FILTER (WHERE era <= 1)) AS ratio,
+         |    CAST(count(*) FILTER (WHERE era = 2) AS DOUBLE)
+         |      / count(*) AS pf
+         |  FROM re_dT
+         |),
+         |re_rows AS (
+         |  SELECT 'ann_drift' AS state, ratio, pf FROM re_rD
+         |  UNION ALL SELECT 'ann_hold', ratio, pf FROM re_rH
+         |  UNION ALL SELECT 'ann_tail', ratio, pf FROM re_rT
+         |)
+         |SELECT state, round(ratio, 6) AS drift_ratio,
+         |  round(pf, 6) AS post_fraction,
+         |  CASE WHEN ratio < $RetrainRatio THEN 'none'
+         |       WHEN pf <= 0.5 THEN 'grow'
+         |       ELSE 'retrain' END AS remedy
+         |FROM re_rows ORDER BY state""".stripMargin,
     // pre phase: the p_maint_plan derivations (drift/hold distortion from
     // the persisted bootstrap quantizers, shard dead mass from the
     // reconcile history, postings delta from the wave split, curation KL

@@ -227,6 +227,28 @@ object AnnIndexMaintainer {
       ratioThreshold: Double): Boolean =
     driftRatio(spark, indexDir).exists(_ >= ratioThreshold)
 
+  /** Fraction of the index ingested AFTER the training baseline — the
+    * remedy-sizing signal next to [[driftRatio]]'s remedy trigger: a
+    * SMALL drifted tail is the [[grow]] case (delta cost), a drifted
+    * majority the [[retrain]] case (the union quantizer would carry too
+    * few cells for most of the data). Two sums over the same per-batch
+    * metrics sidecar — never a corpus scan. None before a baseline or
+    * before any batch.
+    */
+  def postFraction(spark: SparkSession, indexDir: String): Option[Double] = {
+    val base = trainedBatch(indexDir)
+    if (base < 0L) return None
+    val dirs = BatchDirs.listDirs(s"$indexDir/m", "b").map(_._2)
+    val m = BatchDirs.readUnion(spark, dirs, metricsSchema,
+      partitioned = false)
+      .getOrElse(return None)
+    val r = m.agg(
+      coalesce(sum(when(col("batch_id") > base, col("n"))), lit(0L)).as("pn"),
+      coalesce(sum(col("n")), lit(0L)).as("tn")).head()
+    val (pn, tn) = (r.getLong(0), r.getLong(1))
+    if (tn == 0L) None else Some(pn.toDouble / tn)
+  }
+
   /** Offline re-train + REBUILD — the remedy side of the frozen-centroid
     * policy (class doc): train a fresh √N-law quantizer
     * ([[graft.ops.Ann.ivfTrainBalanced]]) on the ACCUMULATED corpus, then

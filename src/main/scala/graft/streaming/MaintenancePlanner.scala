@@ -96,6 +96,27 @@ object MaintenancePlanner {
       BpeMaintainer.stateWordFreq(spark, s"$stateDir/freq", cur))
   }
 
+  /** COST-AWARE remedy choice for a drifted ANN state — which operation
+    * the `retrain` decision should execute as:
+    *   - `grow` ([[AnnIndexMaintainer.grow]]) when the post-baseline
+    *     fraction of the index is at most `growPostFractionMax`: drift
+    *     confined to a tail is the additive case — extra centroids over
+    *     the tail plus a movers-sized rewrite beat a corpus rewrite;
+    *   - `retrain` ([[AnnIndexMaintainer.retrain]]) when the drifted
+    *     mass dominates: a union quantizer would leave most of the data
+    *     under the stale cells, so the full rebuild pays for itself.
+    * Both signals ([[AnnIndexMaintainer.driftRatio]],
+    * [[AnnIndexMaintainer.postFraction]]) are sidecar-sized sums — the
+    * choice costs metadata, like every other planner measurement.
+    * "none" when the drift trigger has not fired.
+    */
+  def annRemedy(spark: SparkSession, dir: String, ratioThreshold: Double,
+      growPostFractionMax: Double = 0.5): String =
+    if (!AnnIndexMaintainer.shouldRetrain(spark, dir, ratioThreshold)) "none"
+    else if (AnnIndexMaintainer.postFraction(spark, dir)
+        .exists(_ <= growPostFractionMax)) "grow"
+    else "retrain"
+
   /** Per-state context the EXECUTOR needs beyond the spec itself —
     * things only the caller can supply:
     *   - `annNewDirs`: where each ANN state's retrained generation lands

@@ -268,6 +268,50 @@ class Round16OpsSpec extends SparkSpec {
     }.getMessage should include("no post-baseline rows")
   }
 
+  // ----------------------------------------- cost-aware remedy choice
+
+  test("annRemedy: grow for a small drifted tail, retrain for a drifted " +
+      "majority, none when the trigger holds — all from the sidecar") {
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    def vecs(ids: Seq[Long], shift: Double = 0.0) =
+      ids.map(i => (i, Seq(
+        (if (i % 2 == 0) 1.0 else 0.0) + 0.01 * (i % 3) + shift,
+        (if (i % 2 == 0) 0.0 else 1.0) + shift)))
+        .toDF("vec_id", "embedding")
+    // tail case: 10 baseline rows, 2 shifted post rows → pf 1/6
+    val tail = tmp("remtail")
+    AnnIndexMaintainer.processBatchMonitored(vecs(0L to 9L), 0L, "vec_id",
+      "embedding", cents, tail)
+    AnnIndexMaintainer.markTrained(tail, 0L)
+    AnnIndexMaintainer.processBatchMonitored(vecs(10L to 11L, shift = 5.0),
+      1L, "vec_id", "embedding", cents, tail)
+    AnnIndexMaintainer.postFraction(spark, tail).get shouldBe
+      (2.0 / 12.0) +- 1e-12
+    MaintenancePlanner.annRemedy(spark, tail, 4.0) shouldBe "grow"
+    // majority case: 2 baseline rows, 10 shifted → pf 5/6
+    val maj = tmp("remmaj")
+    AnnIndexMaintainer.processBatchMonitored(vecs(0L to 1L), 0L, "vec_id",
+      "embedding", cents, maj)
+    AnnIndexMaintainer.markTrained(maj, 0L)
+    AnnIndexMaintainer.processBatchMonitored(vecs(2L to 11L, shift = 5.0),
+      1L, "vec_id", "embedding", cents, maj)
+    MaintenancePlanner.annRemedy(spark, maj, 4.0) shouldBe "retrain"
+    // no drift → none regardless of fractions
+    val hold = tmp("remhold")
+    AnnIndexMaintainer.processBatchMonitored(vecs(0L to 9L), 0L, "vec_id",
+      "embedding", cents, hold)
+    AnnIndexMaintainer.markTrained(hold, 0L)
+    AnnIndexMaintainer.processBatchMonitored(vecs(10L to 11L), 1L,
+      "vec_id", "embedding", cents, hold)
+    MaintenancePlanner.annRemedy(spark, hold, 4.0) shouldBe "none"
+    // before a baseline the signals are None (no spurious remedy)
+    val fresh = tmp("remfresh")
+    AnnIndexMaintainer.processBatchMonitored(vecs(0L to 3L), 0L, "vec_id",
+      "embedding", cents, fresh)
+    AnnIndexMaintainer.postFraction(spark, fresh) shouldBe None
+    MaintenancePlanner.annRemedy(spark, fresh, 4.0) shouldBe "none"
+  }
+
   // ------------------------------------- cross-state snapshot manifest
 
   test("SnapshotManifest: pin validates at pin time, reads dispatch to " +
