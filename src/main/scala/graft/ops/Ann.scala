@@ -607,8 +607,14 @@ object Ann {
     // instead breaks outright once nlist exceeds the sample — KMeans
     // k > training points — exactly the billion-vector regime
     // ivfTrainBalanced exists for.)
+    // floor of 4 training points per centroid: at the cap extreme
+    // (nlist → maxTrainN) the budget would otherwise collapse to exactly
+    // nlist — one point per centroid, a degenerate fit where the
+    // "centroids" are just the sample. The floor RAISES the cap in that
+    // regime (cost still O(nlist), i.e. O(√N) under the √N law) so the
+    // fit always averages ≥4 points per cell.
     val budget = if (sampleN > 0) sampleN
-      else math.max(nlist.toLong,
+      else math.max(4L * nlist,
         math.min(maxTrainN.toLong, trainPerCell.toLong * nlist)).toInt
     val sample = corpus.select(col(vecCol).cast("array<double>").as("v"))
       .orderBy(xxhash64(col("v")), col("v"))

@@ -70,10 +70,27 @@ object AnnIndexMaintainer {
   def readIndex(spark: SparkSession, indexDir: String): DataFrame = {
     val maxC = BatchDirs.listDirs(indexDir, "c").lastOption
     val dirs = maxC.map(_._2).toSeq ++ BatchDirs.listDirs(indexDir, "b")
-      .filter(_._1 > maxC.fold(-1L)(_._1)).map(_._2)
+      .filter(_._1 > maxC.fold(-1L)(_._1)).map(_._2) ++
+      // growth dirs are never folded by [[compact]] (their mover copies
+      // exist nowhere else), so they join the union regardless of the
+      // compaction horizon
+      growthDirs(indexDir).map(_._2 + "/data")
     BatchDirs.readUnion(spark, dirs, indexSchema, partitioned = true)
       .getOrElse(BatchDirs.emptyFrame(spark, indexSchema))
   }
+
+  /** The inverted file as it stood after batch `asOf` committed: rows
+    * stamped ≤ asOf, with the pre-growth copies of rows moved by
+    * quantizer growths at or below the horizon hidden — THE shared
+    * horizon-aware read every as-of consumer must go through
+    * ([[searchAsOf]]'s scan, [[SnapshotManifest]]'s `ann` leg, a
+    * [[retrain]] input at MaxValue). Skipping the move exclusion
+    * returns BOTH copies of every moved row (duplicate ids).
+    */
+  def readIndexAsOf(spark: SparkSession, indexDir: String,
+      asOf: Long): DataFrame =
+    excludeMoved(spark, indexDir,
+      readIndex(spark, indexDir).where(col("batch_id") <= asOf), asOf)
 
   /** Fold committed batch dirs into one consolidated, still-cell-partitioned
     * `c<upTo>/` dir (default upTo: max batch − 1, keeping the newest batch
@@ -186,12 +203,36 @@ object AnnIndexMaintainer {
     ()
   }
 
-  /** The baseline horizon (−1 when never marked). */
+  /** The baseline horizon (−1 when never marked). A committed growth
+    * ([[grow]]'s atomically-renamed `g<batch>/` dir) IS a baseline
+    * advance — the growth dir doubles as the marker, so the re-baseline
+    * and the growth data become visible in the same rename.
+    */
   def trainedBatch(indexDir: String): Long =
-    Option(new java.io.File(indexDir).listFiles()).toSeq.flatten
+    (Option(new java.io.File(indexDir).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("trainbase"))
-      .flatMap(_.getName.stripPrefix("trainbase").toLongOption)
+      .flatMap(_.getName.stripPrefix("trainbase").toLongOption) ++
+      growthDirs(indexDir).map(_._1))
       .sorted.lastOption.getOrElse(-1L)
+
+  /** Per-batch distortion rows that still COUNT: a growth's `g<G>/m`
+    * whole-index row (measured under the grown quantizer) SUBSUMES every
+    * metric row at or below G — the pre-growth per-batch rows measured
+    * the same data under the RETIRED quantizer, and summing both sides
+    * double-counts every row and re-reports the very distortion the
+    * growth just remedied. So the effective set is the latest growth's
+    * whole-index row plus the plain per-batch rows strictly above it
+    * (older growths' rows are subsumed transitively). Nothing is ever
+    * deleted — subsumption is a read rule, so it holds through any crash.
+    */
+  private def readMetrics(spark: SparkSession,
+      indexDir: String): Option[DataFrame] = {
+    val latestG = growthDirs(indexDir).lastOption
+    val dirs = BatchDirs.listDirs(s"$indexDir/m", "b")
+      .filter(_._1 > latestG.fold(-1L)(_._1)).map(_._2) ++
+      latestG.map(_._2 + "/m").toSeq
+    BatchDirs.readUnion(spark, dirs, metricsSchema, partitioned = false)
+  }
 
   /** mean ‖v−c‖² of data ingested AFTER the baseline horizon, over the
     * same mean for the training-era data — the FAISS-practice drift
@@ -205,10 +246,7 @@ object AnnIndexMaintainer {
   def driftRatio(spark: SparkSession, indexDir: String): Option[Double] = {
     val base = trainedBatch(indexDir)
     if (base < 0L) return None
-    val dirs = BatchDirs.listDirs(s"$indexDir/m", "b").map(_._2)
-    val m = BatchDirs.readUnion(spark, dirs, metricsSchema,
-      partitioned = false)
-      .getOrElse(return None)
+    val m = readMetrics(spark, indexDir).getOrElse(return None)
     val r = m.agg(
       sum(when(col("batch_id") <= base, col("sum_d2"))).as("bd2"),
       sum(when(col("batch_id") <= base, col("n"))).as("bn"),
@@ -238,10 +276,7 @@ object AnnIndexMaintainer {
   def postFraction(spark: SparkSession, indexDir: String): Option[Double] = {
     val base = trainedBatch(indexDir)
     if (base < 0L) return None
-    val dirs = BatchDirs.listDirs(s"$indexDir/m", "b").map(_._2)
-    val m = BatchDirs.readUnion(spark, dirs, metricsSchema,
-      partitioned = false)
-      .getOrElse(return None)
+    val m = readMetrics(spark, indexDir).getOrElse(return None)
     val r = m.agg(
       coalesce(sum(when(col("batch_id") > base, col("n"))), lit(0L)).as("pn"),
       coalesce(sum(col("n")), lit(0L)).as("tn")).head()
@@ -274,13 +309,13 @@ object AnnIndexMaintainer {
       s"retrain target '$newIndexDir' must be a new generation dir, not " +
         s"the live index dir '$indexDir'")
     val gens = BatchDirs.listDirs(indexDir, "b") ++
-      BatchDirs.listDirs(indexDir, "c")
+      BatchDirs.listDirs(indexDir, "c") ++ growthDirs(indexDir)
     require(gens.nonEmpty,
       s"retrain: no batch or compacted dirs under '$indexDir' — nothing " +
         "to rebuild")
     val maxB = gens.map(_._1).max
-    val idx = excludeMoved(spark, indexDir, readIndex(spark, indexDir),
-      Long.MaxValue).select("id", "v", "batch_id")
+    val idx = readIndexAsOf(spark, indexDir, Long.MaxValue)
+      .select("id", "v", "batch_id")
     val (cdf, _) = graft.ops.Ann.ivfTrainBalanced(idx, "v", cellsPerSqrtN)
     val cents = graft.ops.Ann.ivfCentroidsFromDf(cdf)
     graft.Exec.deletePath(newIndexDir)
@@ -304,14 +339,26 @@ object AnnIndexMaintainer {
     StructField("cell", IntegerType),
     StructField("batch_id", LongType)))
 
+  /** Committed quantizer growths: each is one atomically-renamed
+    * `g<batch>/` dir holding `data/` (the movers under their new cells),
+    * `mv/` (the (id, old cell) exclusion pairs), and `m/` (the
+    * whole-index distortion baseline). The single rename is the commit
+    * point — data, exclusions, metrics, and the baseline advance become
+    * visible together, so no reader can ever observe a partial growth.
+    */
+  private def growthDirs(indexDir: String): Seq[(Long, String)] =
+    BatchDirs.listDirs(indexDir, "g")
+
   /** Rows displaced by quantizer growths, visible at `horizon`: the
     * (id, old cell) pairs whose copies must be hidden once the growth
     * batch is at or below the read horizon. Bounded by movers, not the
-    * corpus. */
+    * corpus. (Also reads the flat `mv<batch>/` sidecars an earlier
+    * layout wrote, so pre-g-dir states stay servable.) */
   private def movedPairs(spark: SparkSession, indexDir: String,
       horizon: Long): Option[DataFrame] = {
-    val dirs = BatchDirs.listDirs(indexDir, "mv").filter(_._1 <= horizon)
-      .map(_._2)
+    val dirs = (BatchDirs.listDirs(indexDir, "mv") ++
+        growthDirs(indexDir).map { case (id, p) => (id, p + "/mv") })
+      .filter(_._1 <= horizon).map(_._2)
     BatchDirs.readUnion(spark, dirs, movesSchema, partitioned = false)
       .map(_.where(col("batch_id") <= horizon).select(col("id"), col("cell")))
   }
@@ -340,17 +387,24 @@ object AnnIndexMaintainer {
     * result is bit-equal to a from-scratch assignment against the union
     * centroid set; rounded-distance compare, lowest-cid ties keep the old
     * cell, matching the oracle's re-derivation order since old cids sort
-    * below new ones). Write cost ∝ movers:
-    *   - moved rows land as a regular `b<growBatch>/` dir under their new
-    *     cells (folded by [[compact]] like any batch);
-    *   - their pre-growth copies are hidden by an `mv<growBatch>/`
-    *     exclusion sidecar (id, old cell, growth batch) applied at read
-    *     time — batch-stamped, so [[searchAsOf]] below the growth still
-    *     serves the ORIGINAL assignment and time travel stays exact
-    *     through the growth;
-    *   - the metrics sidecar gets the whole-index distortion under the
-    *     grown quantizer as the new baseline and [[markTrained]]
-    *     advances (a drifted state measures healthy after the remedy).
+    * below new ones). Write cost ∝ movers, committed as ONE
+    * `g<growBatch>/` dir by a single rename (built aside as
+    * `.g<growBatch>.tmp` first — a crash at any point leaves the
+    * pre-growth state fully intact and a re-run replays cleanly):
+    *   - `g<G>/data`: the moved rows under their new cells
+    *     (cell-partitioned; never folded by [[compact]] — these copies
+    *     exist nowhere else);
+    *   - `g<G>/mv`: the (id, old cell, G) exclusion pairs applied at
+    *     read time — batch-stamped, so [[searchAsOf]] below the growth
+    *     still serves the ORIGINAL assignment and time travel stays
+    *     exact through the growth;
+    *   - `g<G>/m`: the whole-index distortion under the grown quantizer
+    *     — the new baseline. The committed dir itself advances
+    *     [[trainedBatch]], and [[readMetrics]] treats this row as
+    *     SUBSUMING every older metric row (they measured the same data
+    *     under the retired quantizer), so a drifted state measures
+    *     healthy after the remedy and later [[driftRatio]] /
+    *     [[postFraction]] reads never double-count the pre-growth mass.
     * Offline operation like [[retrain]] (not a replayable batch): run it
     * once per maintenance decision. Within the generation, every horizon
     * stays exact; moved rows carry the GROWTH batch as their stamp, so a
@@ -373,11 +427,11 @@ object AnnIndexMaintainer {
       s"grow: no training baseline under '$indexDir' (markTrained) — " +
         "growth extends a trained quantizer")
     val gens = BatchDirs.listDirs(indexDir, "b") ++
-      BatchDirs.listDirs(indexDir, "c") ++ BatchDirs.listDirs(indexDir, "mv")
+      BatchDirs.listDirs(indexDir, "c") ++
+      BatchDirs.listDirs(indexDir, "mv") ++ growthDirs(indexDir)
     require(gens.nonEmpty, s"grow: no index dirs under '$indexDir'")
     val growB = gens.map(_._1).max + 1L
-    val idx = excludeMoved(spark, indexDir, readIndex(spark, indexDir),
-      Long.MaxValue)
+    val idx = readIndexAsOf(spark, indexDir, Long.MaxValue)
     val post = idx.where(col("batch_id") > base).select(col("v"))
     require(post.limit(1).count() > 0L,
       s"grow: no post-baseline rows under '$indexDir' — nothing drifted " +
@@ -408,21 +462,28 @@ object AnnIndexMaintainer {
     val small = graft.Exec.materializeLocal(scored.select(col("id"),
       col("cell"), col("__ncell"), col("__dold"), col("__dnew")))
     val movers = small.where(col("__dnew") < col("__dold"))
+    // build the whole growth aside, commit with ONE rename — data,
+    // exclusions, metrics baseline, and the trainedBatch advance become
+    // visible together (no duplicate-copy or missing-copy window, ever)
+    val tmpRoot = s"$indexDir/.g$growB.tmp"
+    graft.Exec.deletePath(tmpRoot)
     scored.where(col("__dnew") < col("__dold"))
       .select(col("id"), col("v"), lit(growB).as("batch_id"),
         (col("__ncell") + lit(cents.length)).cast("int").as("cell"))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$indexDir/b$growB")
+      .parquet(s"$tmpRoot/data")
     movers.select(col("id"), col("cell"), lit(growB).as("batch_id"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/mv$growB")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmpRoot/mv")
     // whole-index distortion under the grown quantizer = the new baseline
     small.select(least(col("__dold"), col("__dnew")).as("__d"))
       .agg(count(lit(1)).cast("long").as("n"),
         coalesce(sum(col("__d")), lit(0.0)).as("sum_d2"))
       .select(lit(growB).as("batch_id"), col("n"), col("sum_d2"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/m/b$growB")
-    markTrained(indexDir, growB)
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmpRoot/m")
+    require(new java.io.File(tmpRoot)
+        .renameTo(new java.io.File(s"$indexDir/g$growB")),
+      s"grow commit failed: $indexDir/g$growB")
     (cents ++ newCents).zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cid", "c")
   }

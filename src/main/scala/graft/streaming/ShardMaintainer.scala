@@ -161,15 +161,34 @@ object ShardMaintainer {
   private def ingestedSeqBatchesBefore(spark: SparkSession, dir: String,
       batchId: Long): DataFrame = {
     val dirs = BatchDirs.listDirs(seqsDir(dir), "b").filter(_._1 < batchId)
-    if (dirs.isEmpty)
-      spark.range(0).select(col("id").as("seq_id"),
-        col("id").as("last_append"))
-    else dirs.map { case (id, p) =>
+    // MIGRATION fallback: batches written before the seqs/ append log
+    // existed committed meta/ and data but no seqs sidecar — treating
+    // them as never-ingested would make every pre-migration seq read as
+    // dead-or-new (a reconcile would silently re-append duplicates and
+    // deadFraction would report 0 forever). Batches with meta but no
+    // seqs sidecar get their append events from the data dir instead
+    // (one pruned scan of exactly those batch ids); post-migration
+    // batches keep the sidecar-only path.
+    val seqIds = dirs.map(_._1).toSet
+    val missing = BatchDirs.listDirs(metaDir(dir), "b").map(_._1)
+      .filter(id => id < batchId && !seqIds.contains(id))
+    val legacy =
+      if (missing.isEmpty || !new java.io.File(dataDir(dir)).exists()) None
+      else Some(spark.read.parquet(dataDir(dir))
+        .where(col("batch_id").isin(missing: _*))
+        .select(col("seq_id").cast("long").as("seq_id"),
+          col("batch_id").cast("long").as("last_append")))
+    val fromSidecars =
+      if (dirs.isEmpty) None
+      else Some(dirs.map { case (id, p) =>
         spark.read.parquet(p)
           .select(col("seq_id").cast("long").as("seq_id"),
             lit(id).as("last_append"))
-      }.reduce(_ unionByName _)
-      .groupBy("seq_id").agg(max(col("last_append")).as("last_append"))
+      }.reduce(_ unionByName _))
+    (fromSidecars.toSeq ++ legacy.toSeq).reduceOption(_ unionByName _)
+      .map(_.groupBy("seq_id").agg(max(col("last_append")).as("last_append")))
+      .getOrElse(spark.range(0).select(col("id").as("seq_id"),
+        col("id").as("last_append")))
   }
 
   /** Seq ids LIVE as of state committed strictly before `batchId`: last

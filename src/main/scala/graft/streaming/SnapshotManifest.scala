@@ -44,33 +44,72 @@ object SnapshotManifest {
 
   private val kinds = Set("shards", "curate", "postings", "ann")
 
-  /** Write the manifest (temp-write + rename, crash-atomic) after
+  /** Write the manifest (rename-aside commit, crash-atomic) after
     * validating every pin RESOLVES — failing at pin time, not at some
-    * later read. Duplicate state names are rejected.
+    * later read. Duplicate state names are rejected. Commit discipline
+    * (the [[CurateMaintainer.deriveSelection]] rule — never a
+    * delete-then-rename window): the new manifest is fully written
+    * aside, the previous one is renamed aside (not deleted), the new
+    * one renamed in, and only then is the aside dropped. A crash
+    * between the two renames leaves the OLD manifest readable at the
+    * aside path, which [[pins]] falls back to — there is no instant at
+    * which a reader finds nothing.
     */
   def pin(spark: SparkSession, pins: Seq[Pin], manifestDir: String): Unit = {
     require(pins.nonEmpty, "pin: empty manifest")
     require(pins.map(_.state).distinct.size == pins.size,
       s"pin: duplicate state names in ${pins.map(_.state)}")
-    pins.foreach { p =>
-      require(kinds.contains(p.kind),
-        s"pin: unknown state kind '${p.kind}' (expected one of $kinds)")
-      resolve(spark, p).count() // any unresolvable horizon throws here
-      ()
-    }
+    pins.foreach(p => validate(spark, p))
     import spark.implicits._
     val tmp = manifestDir + ".__tmp"
     graft.Exec.deletePath(tmp)
     pins.map(p => (p.state, p.kind, p.dir, p.asOf, p.idCol))
       .toDF("state", "kind", "dir", "as_of", "id_col")
       .coalesce(1).write.mode("overwrite").parquet(tmp)
-    graft.Exec.deletePath(manifestDir)
-    require(new java.io.File(tmp).renameTo(new java.io.File(manifestDir)),
+    val aside = new java.io.File(manifestDir + ".__old")
+    graft.Exec.deletePath(aside.getPath)
+    val dest = new java.io.File(manifestDir)
+    if (dest.exists())
+      require(dest.renameTo(aside),
+        s"manifest commit failed (aside): $manifestDir")
+    require(new java.io.File(tmp).renameTo(dest),
       s"manifest commit failed: $manifestDir")
+    graft.Exec.deletePath(aside.getPath)
   }
 
+  /** Every pin must resolve at pin/verify time, and the index-slice
+    * kinds (`ann`, `postings` — whose readers happily serve an empty
+    * frame) must additionally be NON-EMPTY at the horizon: an asOf
+    * below the state's first batch would otherwise pin successfully and
+    * silently serve an empty index, breaking the "a manifest that
+    * exists is a manifest that serves" contract the shard/curate
+    * readers already enforce by throwing.
+    */
+  private def validate(spark: SparkSession, p: Pin): Unit = {
+    require(kinds.contains(p.kind),
+      s"pin: unknown state kind '${p.kind}' (expected one of $kinds)")
+    val n = resolve(spark, p).count() // any unresolvable horizon throws
+    require(n > 0L || p.kind == "shards" || p.kind == "curate",
+      s"pin: state '${p.state}' (${p.kind}) resolves to an EMPTY frame " +
+        s"at horizon ${p.asOf} — the horizon predates the state's first " +
+        "batch")
+  }
+
+  /** The committed manifest location: the destination itself, or the
+    * rename-aside left by a crash between [[pin]]'s two commit renames
+    * (the OLD manifest, still fully servable). */
+  private def manifestPath(manifestDir: String): String =
+    if (new java.io.File(manifestDir).exists()) manifestDir
+    else {
+      val aside = manifestDir + ".__old"
+      require(new java.io.File(aside).exists(),
+        s"no manifest at $manifestDir")
+      aside
+    }
+
   def pins(spark: SparkSession, manifestDir: String): Seq[Pin] =
-    spark.read.schema(manifestSchema).parquet(manifestDir).collect()
+    spark.read.schema(manifestSchema).parquet(manifestPath(manifestDir))
+      .collect()
       .map(r => Pin(r.getString(0), r.getString(1), r.getString(2),
         r.getLong(3), r.getString(4)))
       .sortBy(_.state).toSeq
@@ -92,7 +131,7 @@ object SnapshotManifest {
     import spark.implicits._
     pins(spark, manifestDir).map { p =>
       val err =
-        try { resolve(spark, p).count(); "" }
+        try { validate(spark, p); "" }
         catch { case e: Exception => Option(e.getMessage).getOrElse("error") }
       (p.state, p.kind, p.asOf, err.isEmpty, err)
     }.toDF("state", "kind", "as_of", "ok", "reason")
@@ -102,17 +141,21 @@ object SnapshotManifest {
     case "shards" => ShardMaintainer.readShardsAsOf(spark, p.dir, p.asOf)
     case "curate" => CurateMaintainer.selectionAsOf(spark, p.dir, p.asOf)
     case "postings" =>
-      val idCol = if (p.idCol.nonEmpty) p.idCol else "doc_id"
-      val df = SearchIndexMaintainer.readPostings(spark, idCol, p.dir)
-        .where(col("batch_id") <= p.asOf)
       require(new java.io.File(p.dir).exists(),
         s"postings state dir ${p.dir} does not exist")
-      df.drop("batch_id")
+      val idCol = if (p.idCol.nonEmpty) p.idCol else "doc_id"
+      SearchIndexMaintainer.readPostings(spark, idCol, p.dir)
+        .where(col("batch_id") <= p.asOf)
+        .drop("batch_id")
     case "ann" =>
       require(new java.io.File(p.dir).exists(),
         s"ann index dir ${p.dir} does not exist")
-      AnnIndexMaintainer.readIndex(spark, p.dir)
-        .where(col("batch_id") <= p.asOf).drop("batch_id")
+      // the state's OWN horizon-aware reader: readIndexAsOf applies the
+      // grow() move-exclusion sidecars at the pinned horizon, exactly
+      // like search/searchAsOf — a raw batch_id slice would return BOTH
+      // copies of every row moved by a growth at or below the pin
+      AnnIndexMaintainer.readIndexAsOf(spark, p.dir, p.asOf)
+        .drop("batch_id")
     case other => throw new IllegalArgumentException(
       s"unknown state kind '$other'")
   }

@@ -1,0 +1,240 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.streaming.{AnnIndexMaintainer, ShardMaintainer}
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-17 hardening: the atomically-committed quantizer
+  * growth (g-dir commit, post-growth metrics subsumption), the
+  * horizon-aware manifest ann leg, the crash-atomic manifest commit,
+  * pin-time emptiness validation, the legacy shard-layout migration
+  * fallback, and the quantizer-training points-per-centroid floor.
+  */
+class Round17OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private val cents2 = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+
+  private def vecs(ids: Seq[Long], shift: Double = 0.0) =
+    ids.map(i => (i, Seq(
+      (if (i % 2 == 0) 1.0 else 0.0) + 0.01 * (i % 3) + shift,
+      (if (i % 2 == 0) 0.0 else 1.0) + shift)))
+      .toDF("vec_id", "embedding")
+
+  /** min over `cs` of ‖v−c‖² — the distortion the metrics sidecar holds. */
+  private def minD2(v: Seq[Double], cs: Array[Array[Double]]): Double =
+    cs.map(c => v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum).min
+
+  // -------------------- post-growth drift signals (metrics subsumption)
+
+  test("grow: driftRatio/postFraction after a later batch measure ONLY " +
+      "against the grown baseline — no double-counted pre-growth rows, " +
+      "no retired-quantizer distortion") {
+    val dir = tmp("growm")
+    val w0 = vecs(0L to 9L)
+    val w1 = vecs(10L to 19L, shift = 5.0)
+    AnnIndexMaintainer.processBatchMonitored(w0, 0L, "vec_id", "embedding",
+      cents2, dir)
+    AnnIndexMaintainer.markTrained(dir, 0L)
+    AnnIndexMaintainer.processBatchMonitored(w1, 1L, "vec_id", "embedding",
+      cents2, dir)
+    val grown = AnnIndexMaintainer.grow(spark, dir, cents2, kNew = 2)
+    val cents1 = graft.ops.Ann.ivfCentroidsFromDf(grown)
+    // fresh baseline, nothing after → no signal yet
+    AnnIndexMaintainer.driftRatio(spark, dir) shouldBe None
+    // a later monitored batch (ingested under the GROWN quantizer)
+    val w3 = vecs(20L to 24L, shift = 5.0)
+    AnnIndexMaintainer.processBatchMonitored(w3, 3L, "vec_id", "embedding",
+      cents1, dir)
+    // expected baseline: the whole 20-row index under the grown
+    // quantizer; expected post: the 5 new rows under the same quantizer
+    val allRows = (0L to 9L).map(i => (i, 0.0)) ++
+      (10L to 19L).map(i => (i, 5.0))
+    def d2of(id: Long, shift: Double) = minD2(Seq(
+      (if (id % 2 == 0) 1.0 else 0.0) + 0.01 * (id % 3) + shift,
+      (if (id % 2 == 0) 0.0 else 1.0) + shift), cents1)
+    val baseMean = allRows.map { case (i, sh) => d2of(i, sh) }.sum / 20.0
+    val postMean = (20L to 24L).map(d2of(_, 5.0)).sum / 5.0
+    AnnIndexMaintainer.driftRatio(spark, dir).get shouldBe
+      (postMean / baseMean) +- 1e-9
+    // tn counts the index ONCE (20) plus the tail (5) — the double-count
+    // bug reported 2N in the baseline and halved this
+    AnnIndexMaintainer.postFraction(spark, dir).get shouldBe
+      (5.0 / 25.0) +- 1e-12
+  }
+
+  // ----------------------------- growth commit atomicity (g-dir rename)
+
+  test("grow: a crashed attempt (leftover .g*.tmp) is invisible to every " +
+      "reader, and a re-run commits cleanly on top of it") {
+    val dir = tmp("growa")
+    AnnIndexMaintainer.processBatchMonitored(vecs(0L to 9L), 0L, "vec_id",
+      "embedding", cents2, dir)
+    AnnIndexMaintainer.markTrained(dir, 0L)
+    AnnIndexMaintainer.processBatchMonitored(vecs(10L to 19L, shift = 5.0),
+      1L, "vec_id", "embedding", cents2, dir)
+    val qs = Seq((0L, Array(1.0, 0.0)), (10L, Array(6.0, 6.0)))
+    val before = AnnIndexMaintainer.search(spark, dir, cents2, qs, k = 3)
+      .collect().map(_.toString).sorted.toSeq
+    val ratioBefore = AnnIndexMaintainer.driftRatio(spark, dir).get
+    // simulate a crash mid-grow: a fully-written tmp dir that never got
+    // its commit rename — every artifact present, none visible
+    val crashed = vecs(10L to 19L, shift = 5.0)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("v"),
+        lit(2L).as("batch_id"), lit(2).as("cell"))
+    crashed.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/.g2.tmp/data")
+    crashed.select(col("id"), lit(0).as("cell"), lit(2L).as("batch_id"))
+      .write.mode("overwrite").parquet(s"$dir/.g2.tmp/mv")
+    Seq((2L, 20L, 1.0)).toDF("batch_id", "n", "sum_d2")
+      .write.mode("overwrite").parquet(s"$dir/.g2.tmp/m")
+    AnnIndexMaintainer.search(spark, dir, cents2, qs, k = 3)
+      .collect().map(_.toString).sorted.toSeq shouldBe before
+    AnnIndexMaintainer.driftRatio(spark, dir).get shouldBe
+      ratioBefore +- 1e-12
+    AnnIndexMaintainer.trainedBatch(dir) shouldBe 0L
+    // the re-run replays over the wreckage and commits atomically
+    val grown = AnnIndexMaintainer.grow(spark, dir, cents2, kNew = 2)
+    val cents1 = graft.ops.Ann.ivfCentroidsFromDf(grown)
+    AnnIndexMaintainer.trainedBatch(dir) shouldBe 2L
+    AnnIndexMaintainer.driftRatio(spark, dir) shouldBe None
+    // served ids are unique (no duplicate copies through the growth)
+    val ids = AnnIndexMaintainer.readIndexAsOf(spark, dir, Long.MaxValue)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    ids.size shouldBe 20
+    ids.distinct.size shouldBe 20
+    cents1.length shouldBe 4
+  }
+
+  // ------------------- manifest ann leg through a growth (no dup ids)
+
+  test("SnapshotManifest ann leg: a pin at or above a growth batch " +
+      "serves each moved row ONCE; below the growth, the original " +
+      "assignment") {
+    import graft.streaming.SnapshotManifest
+    import graft.streaming.SnapshotManifest.Pin
+    val dir = tmp("snapgrow")
+    AnnIndexMaintainer.processBatchMonitored(vecs(0L to 9L), 0L, "vec_id",
+      "embedding", cents2, dir)
+    AnnIndexMaintainer.markTrained(dir, 0L)
+    AnnIndexMaintainer.processBatchMonitored(vecs(10L to 19L, shift = 5.0),
+      1L, "vec_id", "embedding", cents2, dir)
+    AnnIndexMaintainer.grow(spark, dir, cents2, kNew = 2) // growB = 2
+    val atGrowth = tmp("snapga") + "/m"
+    SnapshotManifest.pin(spark, Seq(Pin("ann", "ann", dir, 2L)), atGrowth)
+    val served = SnapshotManifest.readState(spark, atGrowth, "ann")
+      .select("id").collect().map(_.getLong(0)).toSeq
+    served.size shouldBe 20 // the double-count bug returned 20 + movers
+    served.distinct.size shouldBe 20
+    // below the growth: the growth never happened on that timeline —
+    // same ids, original cells
+    val below = tmp("snapgb") + "/m"
+    SnapshotManifest.pin(spark, Seq(Pin("ann", "ann", dir, 1L)), below)
+    val cells = SnapshotManifest.readState(spark, below, "ann")
+      .select("id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    cells.size shouldBe 20
+    cells.values.max should be <= 1 // grown cells (≥2) invisible below G
+  }
+
+  // ----------------------------- manifest commit crash window (aside)
+
+  test("SnapshotManifest.pin: rename-aside commit — a crash between the " +
+      "two renames still serves the OLD manifest; the next pin heals") {
+    import graft.streaming.SnapshotManifest
+    import graft.streaming.SnapshotManifest.Pin
+    val ann = tmp("snapcr")
+    AnnIndexMaintainer.processBatch(vecs(0L to 5L), 0L, "vec_id",
+      "embedding", cents2, ann)
+    AnnIndexMaintainer.processBatch(vecs(6L to 9L), 1L, "vec_id",
+      "embedding", cents2, ann)
+    val mdir = tmp("snapcm") + "/m"
+    SnapshotManifest.pin(spark, Seq(Pin("ann", "ann", ann, 0L)), mdir)
+    // simulate the crash: the old manifest was renamed aside and the new
+    // one never renamed in
+    require(new java.io.File(mdir).renameTo(new java.io.File(mdir + ".__old")))
+    SnapshotManifest.pins(spark, mdir).head.asOf shouldBe 0L
+    SnapshotManifest.readState(spark, mdir, "ann").count() shouldBe 6L
+    // a re-pin commits the new manifest and drops the aside
+    SnapshotManifest.pin(spark, Seq(Pin("ann", "ann", ann, 1L)), mdir)
+    SnapshotManifest.pins(spark, mdir).head.asOf shouldBe 1L
+    new java.io.File(mdir + ".__old").exists() shouldBe false
+    // no manifest anywhere is an explicit error
+    intercept[IllegalArgumentException] {
+      SnapshotManifest.pins(spark, tmp("snapnone") + "/m")
+    }.getMessage should include("no manifest")
+  }
+
+  // ------------------------------- pin-time validation: empty horizons
+
+  test("SnapshotManifest.pin: an ann/postings horizon below the state's " +
+      "first batch fails AT PIN TIME instead of pinning an empty index") {
+    import graft.streaming.SnapshotManifest
+    import graft.streaming.SnapshotManifest.Pin
+    val ann = tmp("snapemt")
+    AnnIndexMaintainer.processBatch(vecs(0L to 5L), 3L, "vec_id",
+      "embedding", cents2, ann)
+    intercept[IllegalArgumentException] {
+      SnapshotManifest.pin(spark, Seq(Pin("a", "ann", ann, 1L)),
+        tmp("snapem") + "/m")
+    }.getMessage should include("EMPTY frame")
+    val post = tmp("snapemp")
+    graft.streaming.SearchIndexMaintainer.processBatch(
+      Seq((0L, "alpha beta")).toDF("doc_id", "text"), 2L, "doc_id",
+      "text", post)
+    intercept[IllegalArgumentException] {
+      SnapshotManifest.pin(spark, Seq(Pin("p", "postings", post, 0L,
+        "doc_id")), tmp("snapem2") + "/m")
+    }.getMessage should include("EMPTY frame")
+  }
+
+  // ----------------------- legacy shard layouts (no seqs/ append log)
+
+  test("ShardMaintainer: a layout whose early batches predate the seqs/ " +
+      "sidecar derives their liveness from the data dir — deadFraction " +
+      "holds and a reconcile does not re-append") {
+    val dir = tmp("shardleg")
+    def payload(ids: Seq[Long]) =
+      ids.map(i => (i, s"ids$i", 4L)).toDF("seq_id", "ids_str", "n_tok")
+    ShardMaintainer.reconcile(payload(0L to 9L), 0L, epochs = 1,
+      shardSize = 2, dir)
+    ShardMaintainer.reconcile(payload(0L to 7L), 1L, epochs = 1,
+      shardSize = 2, dir) // 8,9 tombstoned
+    val dfBefore = ShardMaintainer.deadFraction(spark, dir)
+    dfBefore shouldBe 0.2 +- 1e-12
+    val liveBefore = ShardMaintainer.readShardsLive(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    // simulate the pre-sidecar format: drop the append log entirely
+    graft.Exec.deletePath(s"$dir/seqs")
+    ShardMaintainer.deadFraction(spark, dir) shouldBe dfBefore +- 1e-12
+    // a reconcile with the same selection must see the survivors as
+    // already-live: no duplicate appends, no spurious tombstones
+    ShardMaintainer.reconcile(payload(0L to 7L), 2L, epochs = 1,
+      shardSize = 2, dir)
+    ShardMaintainer.readShardsLive(spark, dir)
+      .collect().map(_.toString).sorted.toSeq shouldBe liveBefore
+  }
+
+  // --------------------------- quantizer training budget floor (4/cell)
+
+  test("ivfTrain: the training budget never degenerates to one point " +
+      "per centroid at the maxTrainN cap") {
+    val pts = ((0 until 50).map(i => Seq(0.0 + i * 0.001, 0.0)) ++
+      (0 until 50).map(i => Seq(10.0 + i * 0.001, 10.0)))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    // cap == k: the old budget collapsed to 2 hash-ordered sample points
+    // (centroids == the sample); the 4-per-centroid floor keeps the fit
+    // a real clustering that separates the two blobs
+    val cs = Ann.ivfCentroidsFromDf(
+      Ann.ivfTrain(pts, "v", nlist = 2, maxTrainN = 2))
+    cs.length shouldBe 2
+    val gap = math.sqrt(cs(0).zip(cs(1))
+      .map { case (a, b) => (a - b) * (a - b) }.sum)
+    gap should be > 5.0
+  }
+}
