@@ -255,6 +255,42 @@ object PipelineQueries {
       s"$base/idx"
     })
 
+  /** One EXECUTED remedy fleet per (JVM, sf dir) — the closed loop with
+    * the cost-aware choice enabled: the 1/3-post tail state grows IN
+    * PLACE (on a per-run copy, its quantizer persisted at `<dir>/cents`
+    * per the executor's convention), the 2/3-post spliced state retrains
+    * into a new generation, the hold arm is untouched. Returns the
+    * pre∪post sweep table (eagerly materialized — the execute actions
+    * rewrote state a lazy plan would chase) and the grown tail dir; the
+    * committed union quantizer is re-persisted as `tailexec_grow_cents`
+    * for the serving oracle.
+    */
+  private val remedyExecCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (DataFrame, String)]()
+
+  private def remedyExecFor(s: SparkSession, d: String): (DataFrame, String) =
+    remedyExecCache.computeIfAbsent(d, _ => {
+      import graft.streaming.MaintenancePlanner
+      import graft.streaming.MaintenancePlanner.AnnSpec
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_maint_remexec", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      graft.Exec.copyPath(annTailStateFor(s, d), s"$base/tail")
+      graft.Exec.copyPath(annArtifactBase(d) + "/tail_boot_cents",
+        s"$base/tail/cents")
+      val (table, _) = MaintenancePlanner.execute(s, Seq(
+          AnnSpec("ann_drift", annDriftStateFor(s, d, spliced = true),
+            RetrainRatio, growPostFractionMax = 0.5),
+          AnnSpec("ann_hold", annDriftStateFor(s, d, spliced = false),
+            RetrainRatio, growPostFractionMax = 0.5),
+          AnnSpec("ann_tail", s"$base/tail", RetrainRatio,
+            growPostFractionMax = 0.5, roundScale = 6)),
+        annNewDirs = Map("ann_drift" -> s"$base/drift_gen2"))
+      graft.Exec.copyPath(s"$base/tail/cents",
+        annArtifactBase(d) + "/tailexec_grow_cents")
+      (graft.Exec.materializeLocal(table), s"$base/tail")
+    })
+
   /** The bootstrap quantizer of a monitored drift state, re-read from its
     * persisted artifact (exact double round trip). */
   private def annDriftCents(s: SparkSession, d: String,
@@ -1416,6 +1452,44 @@ object PipelineQueries {
           round(col("value"), 6).as("value"), col("threshold"),
           col("decision"))
         .orderBy(col("phase").desc, col("state"))
+    }),
+    // COST-AWARE REMEDY EXECUTION, driver-gated: the closed loop now
+    // EXECUTES the remedy annRemedy chooses instead of hard-coding the
+    // rebuild — the drifted-majority state retrains into a new
+    // generation, the drifted-TAIL state GROWS in place (tail-√N extra
+    // centroids, movers-sized rewrite, union quantizer committed back to
+    // the state's persisted artifact), the hold arm is untouched — and
+    // the post sweep must measure the whole fleet healthy. The oracle
+    // re-derives every pre ratio/fraction from the source tables + the
+    // persisted bootstrap quantizers, applies the same remedy CASE, and
+    // knows the action semantics of the post phase (fresh baselines
+    // measure 0; the untouched hold arm re-measures its pre value).
+    "s_maint_remedy_exec" -> ((s, d) =>
+      remedyExecFor(s, d)._1
+        .select(col("phase"), col("state"), col("metric"),
+          round(col("value"), 6).as("value"), col("threshold"),
+          col("decision"))
+        .orderBy(col("phase").desc, col("state"))),
+    // the SERVED answers after the executor's grow: probing the grown
+    // tail state under the committed union quantizer must equal a
+    // from-scratch IVF scan of the spliced corpus against the persisted
+    // union centroid set — the delta remedy leaves an index that answers
+    // exactly like the rebuild it avoided.
+    "s_knn_grow_exec" -> ((s, d) => {
+      val tailDir = remedyExecFor(s, d)._2
+      val cents1 = Ann.ivfCentroidsFromDf(
+        s.read.parquet(annArtifactBase(d) + "/tailexec_grow_cents"))
+      val queries = emb(s, d).select(col("vec_id"),
+          when(col("vec_id") % 3 === 2,
+            transform(col("embedding").cast("array<double>"),
+              x => x + lit(EmbShift)))
+          .otherwise(col("embedding").cast("array<double>")).as("embedding"))
+        .where(col("vec_id") < 5)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      graft.streaming.AnnIndexMaintainer.search(s, tailDir, cents1,
+        queries, k = 10, rankOnRoundedTo = Some(6))
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
     }),
     // CROSS-STATE CONSISTENT SNAPSHOT, driver-gated: the training-run
     // version object — one manifest pins the wave-1 horizon across all
@@ -5442,6 +5516,105 @@ object PipelineQueries {
          |SELECT phase, state, metric, round(v, 6) AS value, threshold,
          |  decision
          |FROM mp_rows ORDER BY phase DESC, state""".stripMargin,
+    // pre phase: the p_maint_remedy derivations (each state's distortion
+    // ratio + post fraction from the persisted bootstrap quantizers)
+    // with the remedy CASE as the decision; post phase: action
+    // semantics — the retrained generation and the grown state both
+    // carry a fresh baseline (0), the untouched hold arm re-measures
+    "s_maint_remedy_exec" ->
+      s"""WITH re_centsD AS (
+         |  SELECT cid, c FROM '__ANN_ARTIFACTS__/retrain_boot_cents/*.parquet'
+         |),
+         |re_centsH AS (
+         |  SELECT cid, c FROM '__ANN_ARTIFACTS__/retrain_hold_cents/*.parquet'
+         |),
+         |re_centsT AS (
+         |  SELECT cid, c FROM '__ANN_ARTIFACTS__/tail_boot_cents/*.parquet'
+         |),
+         |re_eD AS (
+         |  SELECT vec_id, CASE WHEN vec_id % 3 = 2
+         |    THEN list_transform(embedding, x -> CAST(x AS DOUBLE) + $EmbShift)
+         |    ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS v
+         |  FROM embeddings
+         |),
+         |re_eH AS ($ivfPlainCorpusSql),
+         |re_dD AS (
+         |  SELECT e.vec_id % 3 AS era,
+         |    min(list_inner_product(e.v, e.v)
+         |      - 2*list_inner_product(e.v, ct.c)
+         |      + list_inner_product(ct.c, ct.c)) AS d2
+         |  FROM re_eD e CROSS JOIN re_centsD ct GROUP BY e.vec_id
+         |),
+         |re_dH AS (
+         |  SELECT e.vec_id % 3 AS era,
+         |    min(list_inner_product(e.v, e.v)
+         |      - 2*list_inner_product(e.v, ct.c)
+         |      + list_inner_product(ct.c, ct.c)) AS d2
+         |  FROM re_eH e CROSS JOIN re_centsH ct GROUP BY e.vec_id
+         |),
+         |re_dT AS (
+         |  SELECT e.vec_id % 3 AS era,
+         |    min(list_inner_product(e.v, e.v)
+         |      - 2*list_inner_product(e.v, ct.c)
+         |      + list_inner_product(ct.c, ct.c)) AS d2
+         |  FROM re_eD e CROSS JOIN re_centsT ct GROUP BY e.vec_id
+         |),
+         |re_rD AS (
+         |  SELECT (sum(d2) FILTER (WHERE era > 0)
+         |      / count(*) FILTER (WHERE era > 0))
+         |    / (sum(d2) FILTER (WHERE era = 0)
+         |      / count(*) FILTER (WHERE era = 0)) AS ratio,
+         |    CAST(count(*) FILTER (WHERE era > 0) AS DOUBLE)
+         |      / count(*) AS pf
+         |  FROM re_dD
+         |),
+         |re_rH AS (
+         |  SELECT (sum(d2) FILTER (WHERE era > 0)
+         |      / count(*) FILTER (WHERE era > 0))
+         |    / (sum(d2) FILTER (WHERE era = 0)
+         |      / count(*) FILTER (WHERE era = 0)) AS ratio,
+         |    CAST(count(*) FILTER (WHERE era > 0) AS DOUBLE)
+         |      / count(*) AS pf
+         |  FROM re_dH
+         |),
+         |re_rT AS (
+         |  SELECT (sum(d2) FILTER (WHERE era = 2)
+         |      / count(*) FILTER (WHERE era = 2))
+         |    / (sum(d2) FILTER (WHERE era <= 1)
+         |      / count(*) FILTER (WHERE era <= 1)) AS ratio,
+         |    CAST(count(*) FILTER (WHERE era = 2) AS DOUBLE)
+         |      / count(*) AS pf
+         |  FROM re_dT
+         |),
+         |re_rows AS (
+         |  SELECT 'pre' AS phase, 'ann_drift' AS state, ratio AS v,
+         |    CASE WHEN ratio < $RetrainRatio THEN 'none'
+         |         WHEN pf <= 0.5 THEN 'grow' ELSE 'retrain' END AS decision
+         |  FROM re_rD
+         |  UNION ALL SELECT 'pre', 'ann_hold', ratio,
+         |    CASE WHEN ratio < $RetrainRatio THEN 'none'
+         |         WHEN pf <= 0.5 THEN 'grow' ELSE 'retrain' END
+         |  FROM re_rH
+         |  UNION ALL SELECT 'pre', 'ann_tail', ratio,
+         |    CASE WHEN ratio < $RetrainRatio THEN 'none'
+         |         WHEN pf <= 0.5 THEN 'grow' ELSE 'retrain' END
+         |  FROM re_rT
+         |  UNION ALL SELECT 'post', 'ann_drift', 0.0, 'none'
+         |  UNION ALL SELECT 'post', 'ann_hold', ratio, 'none' FROM re_rH
+         |  UNION ALL SELECT 'post', 'ann_tail', 0.0, 'none'
+         |)
+         |SELECT phase, state, 'drift_ratio' AS metric,
+         |  round(v, 6) AS value, $RetrainRatio AS threshold, decision
+         |FROM re_rows ORDER BY phase DESC, state""".stripMargin,
+    // the executor-grown tail state must answer exactly like a
+    // from-scratch assignment against the persisted UNION centroid set
+    // over the spliced corpus (the s_knn_grow contract, reached through
+    // the closed maintenance loop instead of a hand-driven grow)
+    "s_knn_grow_exec" -> ivfOracle("tailexec_grow_cents", "TRUE",
+      s"""SELECT vec_id, CASE WHEN vec_id % 3 = 2
+         |    THEN list_transform(embedding, x -> CAST(x AS DOUBLE) + $EmbShift)
+         |    ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS v
+         |  FROM embeddings""".stripMargin),
     // brute cosine top-k entirely in the learned space: projection from
     // the persisted ridge-head weights, then the full from-scratch ranking
     "p_learned_tower" ->

@@ -284,6 +284,26 @@ object AnnIndexMaintainer {
     if (tn == 0L) None else Some(pn.toDouble / tn)
   }
 
+  /** How many extra centroids a [[grow]] of this state should train —
+    * the √N law applied to the drifted TAIL: the post-baseline region
+    * gets cells sized to its own mass (`cellsPerSqrtN·⌈√pn⌉`), exactly
+    * how [[graft.ops.Ann.ivfTrainBalanced]] would size a standalone
+    * index over it. Sized from the metrics sidecar (one sum) — never a
+    * corpus scan. 1 when the tail is empty or unmeasured (grow itself
+    * then rejects the call with its own error).
+    */
+  def growKNew(spark: SparkSession, indexDir: String,
+      cellsPerSqrtN: Int = 4): Int = {
+    val base = trainedBatch(indexDir)
+    val pn = readMetrics(spark, indexDir) match {
+      case None => 0L
+      case Some(m) => m.where(col("batch_id") > base)
+        .agg(coalesce(sum(col("n")), lit(0L))).head.getLong(0)
+    }
+    math.max(1, cellsPerSqrtN *
+      math.ceil(math.sqrt(pn.toDouble)).toInt)
+  }
+
   /** Offline re-train + REBUILD — the remedy side of the frozen-centroid
     * policy (class doc): train a fresh √N-law quantizer
     * ([[graft.ops.Ann.ivfTrainBalanced]]) on the ACCUMULATED corpus, then

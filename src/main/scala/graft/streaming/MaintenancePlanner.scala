@@ -50,9 +50,18 @@ object MaintenancePlanner {
 
   /** Monitored ANN inverted file
     * ([[AnnIndexMaintainer.processBatchMonitored]]): quantization
-    * distortion drift → `retrain`. */
+    * distortion drift → `retrain`, or — when `growPostFractionMax` > 0,
+    * enabling the [[annRemedy]] cost-aware choice — `grow` when the
+    * drifted mass is confined to a tail of at most that fraction. The
+    * grow remedy needs the state's CURRENT quantizer: [[execute]] reads
+    * it from `<dir>/cents` (the same persisted-centroids convention the
+    * retrain path writes to its new generation) and commits the grown
+    * union set back there. `roundScale` is the state's assignment
+    * rounding (it must match how the rows were ingested/served).
+    */
   final case class AnnSpec(name: String, dir: String,
-      threshold: Double) extends StateSpec
+      threshold: Double, growPostFractionMax: Double = 0.0,
+      roundScale: Int = -1) extends StateSpec
 
   /** Any `c*`/`b*` LSM state ([[BatchDirs]] layout: postings index,
     * inverted file, signature index): un-folded delta mass → `compact`. */
@@ -148,6 +157,12 @@ object MaintenancePlanner {
     *     new-generation dir; the retrained centroids persist to
     *     `<newDir>/cents` (a non-numeric name, invisible to the `b*`/`c*`
     *     listing) and the post-sweep measures the NEW generation;
+    *   - ANN `grow` (a [[annRemedy]] choice, emitted when the spec
+    *     enables it) → [[AnnIndexMaintainer.grow]] in place, kNew sized
+    *     by [[AnnIndexMaintainer.growKNew]]'s tail-√N rule, the union
+    *     quantizer committed back to `<dir>/cents` — the closed loop
+    *     executes the DELTA remedy when the planner says the delta
+    *     suffices, instead of paying the corpus rewrite;
     *   - delta `compact` → the caller's compactor for that state;
     *   - curate `recurate` → [[CurateMaintainer.deriveSelection]] at the
     *     newest word-frequency batch (selection == the one-shot curate
@@ -171,14 +186,38 @@ object MaintenancePlanner {
           .maxOption.getOrElse(-1L)
         if (upTo >= 0L) ShardMaintainer.compactTombstones(spark, dir, upTo)
         sp
-      case sp @ AnnSpec(n, dir, t) if decisions(n) == "retrain" =>
+      case sp @ AnnSpec(n, dir, t, gmax, rs) if decisions(n) == "retrain" =>
         val newDir = annNewDirs.getOrElse(n,
           throw new IllegalArgumentException(
             s"execute: ANN state '$n' decided retrain but no new-generation " +
               "dir was supplied in annNewDirs"))
         AnnIndexMaintainer.retrain(spark, dir, newDir)
           .coalesce(1).write.mode("overwrite").parquet(s"$newDir/cents")
-        AnnSpec(n, newDir, t)
+        AnnSpec(n, newDir, t, gmax, rs)
+      case sp @ AnnSpec(n, dir, _, _, rs) if decisions(n) == "grow" =>
+        // the delta remedy the planner chose: extra centroids over the
+        // drifted tail, movers-sized rewrite, SAME generation dir — the
+        // state's current quantizer comes from its persisted-centroids
+        // artifact and the grown union set commits back to it
+        // (rename-aside) so serving and the next ingest pick it up
+        val centsPath = new java.io.File(dir, "cents")
+        require(centsPath.exists(),
+          s"execute: ANN state '$n' decided grow but no persisted " +
+            s"quantizer at $centsPath (write the state's centroid frame " +
+            "there, the retrain convention)")
+        val cents = graft.ops.Ann.ivfCentroidsFromDf(
+          spark.read.parquet(centsPath.getPath))
+        val union = AnnIndexMaintainer.grow(spark, dir, cents,
+          kNew = AnnIndexMaintainer.growKNew(spark, dir), roundScale = rs)
+        val tmp = new java.io.File(dir, ".cents.tmp")
+        graft.Exec.deletePath(tmp.getPath)
+        union.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+        val aside = new java.io.File(dir, ".cents.old")
+        graft.Exec.deletePath(aside.getPath)
+        require(centsPath.renameTo(aside) && tmp.renameTo(centsPath),
+          s"execute: quantizer commit failed for ANN state '$n'")
+        graft.Exec.deletePath(aside.getPath)
+        sp
       case sp @ DeltaSpec(n, dir, _) if decisions(n) == "compact" =>
         deltaCompactors.getOrElse(n,
           throw new IllegalArgumentException(
@@ -217,9 +256,13 @@ object MaintenancePlanner {
       case ShardSpec(n, dir, t) =>
         val v = ShardMaintainer.deadFraction(spark, dir)
         (n, "dead_fraction", v, t, if (v >= t) "compact" else "none")
-      case AnnSpec(n, dir, t) =>
+      case AnnSpec(n, dir, t, gmax, _) =>
         val v = AnnIndexMaintainer.driftRatio(spark, dir).getOrElse(0.0)
-        (n, "drift_ratio", v, t, if (v >= t) "retrain" else "none")
+        val decision =
+          if (v < t) "none"
+          else if (gmax > 0.0) annRemedy(spark, dir, t, gmax)
+          else "retrain"
+        (n, "drift_ratio", v, t, decision)
       case DeltaSpec(n, dir, t) =>
         val v = deltaFraction(spark, dir)
         (n, "delta_fraction", v, t, if (v >= t) "compact" else "none")

@@ -219,6 +219,55 @@ class Round17OpsSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq shouldBe liveBefore
   }
 
+  // ------------------- the executor runs the remedy the planner chose
+
+  test("MaintenancePlanner.execute: a grow-shaped ANN state executes " +
+      "GROW in place (union quantizer committed to <dir>/cents), the " +
+      "post sweep is healthy, and serving equals the union-set scan") {
+    import graft.streaming.MaintenancePlanner
+    import graft.streaming.MaintenancePlanner.AnnSpec
+    val dir = tmp("execgrow")
+    // 20 baseline rows (baseline at batch 1), 4 shifted post rows → the
+    // tail case: pf 4/24 ≤ 0.5, ratio fires
+    AnnIndexMaintainer.processBatchMonitored(vecs(0L to 9L), 0L, "vec_id",
+      "embedding", cents2, dir)
+    AnnIndexMaintainer.processBatchMonitored(vecs(10L to 19L), 1L,
+      "vec_id", "embedding", cents2, dir)
+    AnnIndexMaintainer.markTrained(dir, 1L)
+    AnnIndexMaintainer.processBatchMonitored(vecs(20L to 23L, shift = 5.0),
+      2L, "vec_id", "embedding", cents2, dir)
+    // no persisted quantizer → the executor fails fast, state untouched
+    intercept[IllegalArgumentException] {
+      MaintenancePlanner.execute(spark, Seq(
+        AnnSpec("a", dir, 4.0, growPostFractionMax = 0.5)))
+    }.getMessage should include("no persisted quantizer")
+    cents2.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cid", "c").write.mode("overwrite").parquet(s"$dir/cents")
+    val (table, postSpecs) = MaintenancePlanner.execute(spark, Seq(
+      AnnSpec("a", dir, 4.0, growPostFractionMax = 0.5)))
+    val rows = table.collect()
+      .map(r => (r.getString(0), r.getString(5))).toSet
+    rows should contain(("pre", "grow"))
+    rows should contain(("post", "none"))
+    postSpecs.head.asInstanceOf[AnnSpec].dir shouldBe dir // in place
+    // the committed quantizer grew and serving matches the union scan
+    val cents1 = graft.ops.Ann.ivfCentroidsFromDf(
+      spark.read.parquet(s"$dir/cents"))
+    cents1.length should be > 2
+    cents1.take(2).map(_.toSeq) shouldBe cents2.map(_.toSeq)
+    val all = vecs(0L to 19L).unionByName(vecs(20L to 23L, shift = 5.0))
+    val qids = Seq(0L, 20L)
+    val qs = all.where(col("vec_id").isin(qids: _*))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    AnnIndexMaintainer.search(spark, dir, cents1, qs, k = 3)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(_.toString).sorted.toSeq shouldBe
+      graft.ops.Ann.ivfTopK(all, all.where(col("vec_id").isin(qids: _*)),
+          "vec_id", "embedding", k = 3, centroidsOpt = Some(cents1))
+        .select("query_id", "neighbor_id", "rank")
+        .collect().map(_.toString).sorted.toSeq
+  }
+
   // --------------------------- quantizer training budget floor (4/cell)
 
   test("ivfTrain: the training budget never degenerates to one point " +
