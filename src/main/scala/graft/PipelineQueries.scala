@@ -1310,6 +1310,70 @@ object PipelineQueries {
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
     }),
+    // GROW → RETRAIN LIFECYCLE, driver-gated — grow()'s documented
+    // promise that a LATER full rebuild composes with an earlier growth:
+    // movers carry the growth batch G as their stamp, so after a
+    // subsequent ingest wave and a full retrain into a new generation,
+    // (a) horizons BELOW G still answer from the kept pre-rebuild
+    // generation under the ORIGINAL assignment (the growth never
+    // happened on that timeline), (b) the horizon AT G reproduces
+    // through the new generation (the 3-wave corpus exactly — movers
+    // visible once, at their stamp), and (c) the head serves the full
+    // corpus including the post-growth wave. Each leg must equal the
+    // one-shot IVF scan over exactly that corpus slice under that leg's
+    // persisted quantizer. Per-call COPY (growth mutates its dir);
+    // construction-measuring by design (a growth + an ingest + a full
+    // rebuild per call).
+    "s_knn_grow_retrain" -> ((s, d) => {
+      val src = annDriftStateFor(s, d, spliced = true)
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_anngrowret", Tables.runKey(d)).toString
+      graft.Exec.copyPath(src, s"$base/idx")
+      val cents0 = annDriftCents(s, d, spliced = true)
+      val union = Ann.ivfCentroidsFromDf(
+        graft.streaming.AnnIndexMaintainer.grow(s, s"$base/idx", cents0,
+          kNew = 8, roundScale = 6)) // G = 3
+      // a post-growth ingest wave under the live (union) quantizer:
+      // fresh ids, deterministically transformed vectors
+      val extra = emb(s, d).where(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding").cast("array<double>"),
+            x => x * lit(0.5) + lit(2.0)).as("embedding"))
+      graft.streaming.AnnIndexMaintainer.processBatch(extra, 4L,
+        "vec_id", "embedding", union, s"$base/idx")
+      graft.streaming.AnnIndexMaintainer.retrain(s, s"$base/idx",
+          s"$base/gen2")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(annArtifactBase(d) + "/growret_re_cents")
+      val cents2 = Ann.ivfCentroidsFromDf(
+        s.read.parquet(annArtifactBase(d) + "/growret_re_cents"))
+      val sq = emb(s, d).select(col("vec_id"),
+          when(col("vec_id") % 3 === 2,
+            transform(col("embedding").cast("array<double>"),
+              x => x + lit(EmbShift)))
+          .otherwise(col("embedding").cast("array<double>")).as("embedding"))
+        .where(col("vec_id") < 5)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      val pq = emb(s, d)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+        .where(col("vec_id") < 5)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      def leg(h: Long, df: DataFrame): DataFrame =
+        graft.Exec.materializeLocal(df.select(lit(h).as("horizon"),
+          col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"),
+          round(col("cos"), 6).as("cos")))
+      leg(1L, graft.streaming.AnnIndexMaintainer.searchAsOf(s,
+          s"$base/idx", cents0, pq, k = 10, asOf = 1L,
+          rankOnRoundedTo = Some(6)))
+        .unionByName(leg(3L, graft.streaming.AnnIndexMaintainer.searchAsOf(
+          s, s"$base/gen2", cents2, sq, k = 10, asOf = 3L,
+          rankOnRoundedTo = Some(6))))
+        .unionByName(leg(4L, graft.streaming.AnnIndexMaintainer.search(
+          s, s"$base/gen2", cents2, sq, k = 10,
+          rankOnRoundedTo = Some(6))))
+    }),
     // The HOLD arm: plain waves (no shift) through the same monitored
     // loop must NOT fire — the search keeps answering from the original
     // index under the original quantizer, and the oracle reads the
@@ -5190,6 +5254,33 @@ object PipelineQueries {
          |    THEN list_transform(embedding, x -> CAST(x AS DOUBLE) + $EmbShift)
          |    ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS v
          |  FROM embeddings""".stripMargin),
+    // each lifecycle leg = the one-shot IVF scan over exactly that
+    // horizon's corpus slice under that leg's persisted quantizer:
+    // below the growth the pre-rebuild generation's original (bootstrap)
+    // assignment over waves 0–1; at the growth batch the retrained
+    // generation over the full 3-wave spliced corpus; at head the same
+    // plus the post-growth ingest wave
+    "s_knn_grow_retrain" -> Seq(
+      (1L, ivfOracle("retrain_boot_cents", "vec_id % 3 <= 1")),
+      (3L, ivfOracle("growret_re_cents", "TRUE",
+        s"""SELECT vec_id, CASE WHEN vec_id % 3 = 2
+           |    THEN list_transform(embedding, x -> CAST(x AS DOUBLE) + $EmbShift)
+           |    ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS v
+           |  FROM embeddings""".stripMargin)),
+      (4L, ivfOracle("growret_re_cents", "TRUE",
+        s"""SELECT vec_id, CASE WHEN vec_id % 3 = 2
+           |    THEN list_transform(embedding, x -> CAST(x AS DOUBLE) + $EmbShift)
+           |    ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS v
+           |  FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 100000,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE) * 0.5 + 2.0)
+           |  FROM embeddings WHERE vec_id % 5 = 0""".stripMargin)))
+      .map { case (h, sql) =>
+        s"""SELECT CAST($h AS BIGINT) AS horizon, t.* FROM (
+           |$sql
+           |) t""".stripMargin }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY horizon, query_id, rank"),
     // the hold arm keeps serving under the BOOTSTRAP quantizer — a
     // spurious retrain would answer from different centroids and hash-fail
     "s_knn_retrain_hold" -> ivfOracle("retrain_hold_cents"),
