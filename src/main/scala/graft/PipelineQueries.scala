@@ -3084,6 +3084,26 @@ object PipelineQueries {
            |FROM GRAFT_SHARDS('$dir') VERSION AS OF 1
            |GROUP BY epoch, shard_id""".stripMargin)
     }),
+    // the SQL-ONLY retrieval path: GRAFT_KNN with the query vectors
+    // INLINE in the statement ('id:v1 v2 ...; ...') — no pre-registered
+    // view, so a SQL-only user can probe the maintained inverted file
+    // with nothing but a connection. Hash-equal to the API search (the
+    // oracle re-derives the IVF scan from the persisted quantizer).
+    "q_sql_knn" -> ((s, d) => {
+      val idxBase = annAsofStateFor(s, d)
+      val ext = RecQueries.extensionSession(s)
+      val inline = emb(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .where(col("vec_id") < 5).collect()
+        .map(r => s"${r.getLong(0)}:${r.getSeq[Double](1).mkString(" ")}")
+        .mkString("; ")
+      ext.sql(
+        s"""SELECT query_id, neighbor_id, cast(rank AS bigint) AS rank,
+           |  round(cos, 6) AS cos
+           |FROM GRAFT_KNN('$idxBase',
+           |  '${annArtifactBase(d)}/asof_centroids_s', '$inline', 10)"""
+          .stripMargin)
+    }),
     // Corpus-relative perplexity filtering: keep the best half by the
     // exact interpolated median of the rounded scores (the way production
     // filters are specified — a budget, not a constant).
@@ -5240,6 +5260,10 @@ object PipelineQueries {
     // corpus slice, same persisted quantizer (queries still the full
     // vec_id < 5 set)
     "s_knn_asof" -> ivfOracle("asof_centroids_s", "vec_id % 3 <= 1"),
+    // the inline-vector SQL probe = the live one-shot IVF scan over the
+    // same persisted quantizer (full corpus; the statement carried the
+    // query vectors itself)
+    "q_sql_knn" -> ivfOracle("asof_centroids_s"),
     // the rebuilt index must answer exactly like a from-scratch IVF scan
     // of the full SPLICED corpus under the retrained persisted quantizer
     "s_knn_retrain" -> ivfOracle("retrain_cents", "TRUE",

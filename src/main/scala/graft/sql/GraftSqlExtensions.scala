@@ -210,6 +210,9 @@ object GraftSql {
     *   GRAFT_BM25('<stateDir>', '<terms>', k) [VERSION AS OF <batch>]
     *   GRAFT_KNN('<indexDir>', '<centroids parquet>', <queryView>, k)
     *                                          [VERSION AS OF <batch>]
+    *   GRAFT_KNN('<indexDir>', '<centroids parquet>',
+    *             '<id>:<v1> <v2> ...; <id>:...', k)   (inline vectors —
+    *                                          no pre-registered view)
     *   GRAFT_SNAPSHOT('<manifestDir>', '<state>')   (horizon from the pin)
     *
     * Each appears as a relation in FROM; without the version clause it
@@ -687,22 +690,39 @@ object GraftSql {
               .getOrElse(SearchIndexMaintainer.search(session, dir,
                 "doc_id", terms, k.toInt))
           case ("bm25", _) => wrongArgs("('<stateDir>', '<terms>', k)")
-          case ("knn", Seq(idxDir, centsDir, qTable, k)) =>
+          case ("knn", Seq(idxDir, centsDir, q, k)) =>
             val cents = graft.ops.Ann.ivfCentroidsFromDf(
               session.read.parquet(centsDir))
-            val qdf = session.table(qTable)
-            val qc = qdf.columns
-            require(qc.length >= 2,
-              s"GRAFT_KNN query view '$qTable' must have (id, vector) columns")
-            val qv = qdf.select(col(qc(0)).cast("long"),
-                col(qc(1)).cast("array<double>")).collect()
-              .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+            // query vectors: INLINE literal ('id:v1 v2 ...; id:...') —
+            // self-contained SQL, no pre-registered view needed — or a
+            // view/table name with (id, vector) columns. A ':' marks the
+            // inline form (it cannot appear in a relation identifier).
+            val qv: Seq[(Long, Array[Double])] =
+              if (q.contains(":"))
+                q.split(";").toSeq.map(_.trim).filter(_.nonEmpty).map { e =>
+                  val parts = e.split(":", 2)
+                  require(parts.length == 2 && parts(1).trim.nonEmpty,
+                    s"GRAFT_KNN inline query entry '$e' must be " +
+                      "'<id>:<v1> <v2> ...'")
+                  (parts(0).trim.toLong,
+                    parts(1).trim.split("\\s+").map(_.toDouble))
+                }
+              else {
+                val qdf = session.table(q)
+                val qc = qdf.columns
+                require(qc.length >= 2,
+                  s"GRAFT_KNN query view '$q' must have (id, vector) columns")
+                qdf.select(col(qc(0)).cast("long"),
+                    col(qc(1)).cast("array<double>")).collect()
+                  .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+              }
             s.asOf.map(v => AnnIndexMaintainer.searchAsOf(session, idxDir,
                 cents, qv, k.toInt, asOf = v, rankOnRoundedTo = Some(6)))
               .getOrElse(AnnIndexMaintainer.search(session, idxDir, cents,
                 qv, k.toInt, rankOnRoundedTo = Some(6)))
           case ("knn", _) =>
-            wrongArgs("('<indexDir>', '<centroids parquet>', <queryView>, k)")
+            wrongArgs("('<indexDir>', '<centroids parquet>', " +
+              "<queryView> | '<id>:<v1> <v2> ...; ...', k)")
           case ("snapshot", Seq(mdir, state)) =>
             require(s.asOf.isEmpty,
               "GRAFT_SNAPSHOT: the horizon comes from the pinned manifest; " +

@@ -489,6 +489,23 @@ class SqlSurfaceSpec extends SparkSpec with BeforeAndAfterAll {
         "VERSION AS OF 0")) shouldBe
       rowsOf(graft.streaming.AnnIndexMaintainer.searchAsOf(ext, idx, cents,
         qv, k = 3, asOf = 0L, rankOnRoundedTo = Some(6)))
+    // inline query vectors: the fully self-contained SQL form equals the
+    // view form (live and as-of), and malformed entries fail fast
+    val inline = qv.map { case (i, v) => s"$i:${v.mkString(" ")}" }
+      .mkString("; ")
+    rowsOf(ext.sql(
+      s"SELECT * FROM GRAFT_KNN('$idx', '$centsDir', '$inline', 3)")) shouldBe
+      rowsOf(ext.sql(
+        s"SELECT * FROM GRAFT_KNN('$idx', '$centsDir', knn_queries, 3)"))
+    rowsOf(ext.sql(
+      s"SELECT * FROM GRAFT_KNN('$idx', '$centsDir', '$inline', 3) " +
+        "VERSION AS OF 0")) shouldBe
+      rowsOf(graft.streaming.AnnIndexMaintainer.searchAsOf(ext, idx, cents,
+        qv, k = 3, asOf = 0L, rankOnRoundedTo = Some(6)))
+    intercept[Exception] {
+      ext.sql(s"SELECT * FROM GRAFT_KNN('$idx', '$centsDir', '7:', 3)")
+        .collect()
+    }.getMessage should include("inline query entry")
     // --- curation selection generations
     val cur = Files.createTempDirectory("sqlcur").toString
     def doc(id: Long, extra: String) = (id,
