@@ -1642,6 +1642,58 @@ object PipelineQueries {
               round(col("cos"), 6).as("cos")))
       }.reduce(_ unionByName _)
     }),
+    // SERVING FRESHNESS, FUSED path — the read-your-writes contract on
+    // the composed retrieval serving stack: both legs (postings index +
+    // cell-partitioned IVF) ingest each wave, a fused RRF serve runs
+    // BETWEEN waves, and every serve's top-k must equal the one-shot
+    // hybrid over exactly the committed prefix — BM25's N/avgdl/df and
+    // the dense candidate set both shifting retroactively per wave,
+    // across the wave-1 fold on BOTH legs. Quantizer frozen (trained
+    // once on the full corpus, persisted for the oracle); each serve is
+    // materialized eagerly before the next wave's fold rewrites the
+    // layout.
+    "s_hybrid_fresh" -> ((s, d) => {
+      val (_, cents) = hybridStateFor(s, d) // trains + persists the quantizer
+      graft.Exec.copyPath(annArtifactBase(d) + "/hybrid_centroids_s",
+        annArtifactBase(d) + "/hybridfresh_cents")
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_hybridfresh", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      val corpus = docs(s, d).where(col("doc_id") >= 25)
+      val embCorpus = corpus.select(col("doc_id").as("vec_id"),
+        TextOps.textEmbedding(col("text"), 8).as("embedding"))
+      val evalQ = docs(s, d).where(col("doc_id") < 5)
+      val qterms = evalQ.select(col("doc_id").as("qid"),
+        explode(TextOps.tokens(col("text"))).as("term")).distinct()
+      val qvecs = evalQ
+        .select(col("doc_id"), TextOps.textEmbedding(col("text"), 8).as("v"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      (0 until 3).map { g =>
+        graft.streaming.SearchIndexMaintainer.processBatch(
+          corpus.where(col("doc_id") % 3 === g), g.toLong, "doc_id", "text",
+          s"$base/postings")
+        graft.streaming.AnnIndexMaintainer.processBatch(
+          embCorpus.where(col("vec_id") % 3 === g), g.toLong, "vec_id",
+          "embedding", cents, s"$base/index", roundScale = 6)
+        if (g == 1) {
+          graft.streaming.SearchIndexMaintainer.compact(s, "doc_id",
+            s"$base/postings")
+          graft.streaming.AnnIndexMaintainer.compact(s, s"$base/index")
+        }
+        val sparse = graft.streaming.SearchIndexMaintainer.searchBatch(
+          s, s"$base/postings", "doc_id", qterms, "qid", "term", k = 10)
+          .select(col("qid"), col("doc_id"), col("rank"))
+        val dense = graft.streaming.AnnIndexMaintainer.search(
+          s, s"$base/index", cents, qvecs, k = 10,
+          rankOnRoundedTo = Some(6))
+          .select(col("query_id").as("qid"),
+            col("neighbor_id").as("doc_id"), col("rank"))
+        graft.Exec.materializeLocal(
+          TfIdf.rrfFuse(sparse, dense, "qid", "doc_id", k = 10)
+            .select(lit(g.toLong).as("wave"), col("qid"), col("doc_id"),
+              col("rrf"), col("rank")))
+      }.reduce(_ unionByName _)
+    }),
     // the pinned snapshot read through SQL: GRAFT_SNAPSHOT resolves each
     // leg's horizon FROM the manifest (no VERSION clause — the pin IS the
     // version), and the same aggregates must hash-equal the API path's
@@ -3995,6 +4047,147 @@ object PipelineQueries {
        |SELECT CAST($wave AS BIGINT) AS wave, doc_id, score, rank
        |FROM rk WHERE rank <= 10)""".stripMargin
 
+  /** One wave of the FUSED freshness oracle: the whole s_hybrid_search
+    * re-derivation (BM25 leg, closed-form text-tower embeddings, IVF
+    * assignment/probe from the persisted frozen quantizer, RRF) over
+    * exactly the committed corpus prefix — scoped in its own subquery so
+    * the three legs' CTE names never collide.
+    */
+  private def hybridFreshLegSql(wave: Int): String =
+    s"""SELECT * FROM (
+      |WITH cd AS (SELECT doc_id, text FROM documents
+      |  WHERE doc_id >= 25 AND doc_id % 3 <= $wave),
+      |qd AS (SELECT doc_id, text FROM documents WHERE doc_id < 5),
+      |tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM cd
+      |),
+      |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
+      |st AS (SELECT count(*) AS n, sum(len) AS sl FROM dl),
+      |q AS (
+      |  SELECT DISTINCT qid, term FROM (
+      |    SELECT doc_id AS qid, unnest(string_split(text, ' ')) AS term
+      |    FROM qd)
+      |),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf
+      |  FROM tok JOIN (SELECT DISTINCT term FROM q) USING (term)
+      |  GROUP BY 1, 2
+      |),
+      |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |sc AS (
+      |  SELECT q.qid, tf.doc_id,
+      |    sum(ln((st.n - dfq.df + 0.5)/(dfq.df + 0.5) + 1)
+      |        * tf.tf * (1.2 + 1)
+      |        / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.len/(st.sl*1.0/st.n))))
+      |      AS score
+      |  FROM tf
+      |  JOIN dfq USING (term)
+      |  JOIN dl USING (doc_id)
+      |  JOIN q USING (term)
+      |  CROSS JOIN st
+      |  GROUP BY 1, 2
+      |),
+      |sa AS (
+      |  SELECT qid, doc_id, ra FROM (
+      |    SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+      |      ORDER BY round(score, 6) DESC, doc_id) AS ra
+      |    FROM sc)
+      |  WHERE ra <= 10
+      |),
+      |ctw AS (
+      |  SELECT doc_id, word FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM cd)
+      |  WHERE len(word) > 0
+      |),
+      |ctf AS (
+      |  SELECT doc_id, list_reduce(
+      |      list_transform(string_split(word, ''),
+      |        ch -> CAST(ascii(ch) AS BIGINT)),
+      |      (acc, x) -> (acc*31 + x) % 1000000007) AS fp
+      |  FROM ctw
+      |),
+      |ctn AS (SELECT doc_id, greatest(count(*), 1) AS nw FROM ctf GROUP BY 1),
+      |ks AS (SELECT unnest(generate_series(0, 7)) AS k2),
+      |cv0 AS (
+      |  SELECT f.doc_id, k2,
+      |    sum((f.fp + k2*4001) % 97 - 48) / (48.0 * ctn.nw) AS v
+      |  FROM ctf f JOIN ctn USING (doc_id) CROSS JOIN ks
+      |  GROUP BY f.doc_id, k2, ctn.nw
+      |),
+      |cv AS (SELECT doc_id, list(v ORDER BY k2) AS v FROM cv0 GROUP BY 1),
+      |cn2 AS (SELECT doc_id, sqrt(list_inner_product(v, v)) AS n FROM cv),
+      |qtw AS (
+      |  SELECT doc_id, word FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM qd)
+      |  WHERE len(word) > 0
+      |),
+      |qtf AS (
+      |  SELECT doc_id, list_reduce(
+      |      list_transform(string_split(word, ''),
+      |        ch -> CAST(ascii(ch) AS BIGINT)),
+      |      (acc, x) -> (acc*31 + x) % 1000000007) AS fp
+      |  FROM qtw
+      |),
+      |qtn AS (SELECT doc_id, greatest(count(*), 1) AS nw FROM qtf GROUP BY 1),
+      |qv0 AS (
+      |  SELECT f.doc_id, k2,
+      |    sum((f.fp + k2*4001) % 97 - 48) / (48.0 * qtn.nw) AS v
+      |  FROM qtf f JOIN qtn USING (doc_id) CROSS JOIN ks
+      |  GROUP BY f.doc_id, k2, qtn.nw
+      |),
+      |qv AS (SELECT doc_id, list(v ORDER BY k2) AS v FROM qv0 GROUP BY 1),
+      |qn2 AS (SELECT doc_id, sqrt(list_inner_product(v, v)) AS n FROM qv),
+      |cents AS (
+      |  SELECT cid, c FROM '__ANN_ARTIFACTS__/hybridfresh_cents/*.parquet'
+      |),
+      |asn AS (
+      |  SELECT doc_id, cid FROM (
+      |    SELECT cv.doc_id, ct.cid,
+      |      row_number() OVER (PARTITION BY cv.doc_id ORDER BY
+      |        round(list_inner_product(ct.c, ct.c)
+      |          - 2*list_inner_product(cv.v, ct.c), 6), ct.cid) AS rn
+      |    FROM cv CROSS JOIN cents ct)
+      |  WHERE rn = 1
+      |),
+      |qpr AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT qv.doc_id AS qid, ct.cid,
+      |      row_number() OVER (PARTITION BY qv.doc_id ORDER BY
+      |        list_inner_product(ct.c, ct.c)
+      |          - 2*list_inner_product(qv.v, ct.c), ct.cid) AS rn
+      |    FROM qv CROSS JOIN cents ct)
+      |  WHERE rn <= 4
+      |),
+      |den AS (
+      |  SELECT p.qid, a.doc_id,
+      |    round(list_inner_product(qv.v, cv.v) / (qn2.n * cn2.n), 6) AS cos
+      |  FROM qpr p JOIN asn a USING (cid)
+      |  JOIN cv ON a.doc_id = cv.doc_id
+      |  JOIN cn2 ON a.doc_id = cn2.doc_id
+      |  JOIN qv ON p.qid = qv.doc_id
+      |  JOIN qn2 ON p.qid = qn2.doc_id
+      |),
+      |da AS (
+      |  SELECT qid, doc_id, rb FROM (
+      |    SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+      |      ORDER BY cos DESC, doc_id) AS rb
+      |    FROM den)
+      |  WHERE rb <= 10
+      |),
+      |f AS (
+      |  SELECT coalesce(sa.qid, da.qid) AS qid,
+      |    coalesce(sa.doc_id, da.doc_id) AS doc_id,
+      |    round(coalesce(1.0/(60 + sa.ra), 0)
+      |      + coalesce(1.0/(60 + da.rb), 0), 6) AS rrf
+      |  FROM sa FULL JOIN da
+      |    ON sa.qid = da.qid AND sa.doc_id = da.doc_id
+      |)
+      |SELECT CAST($wave AS BIGINT) AS wave, qid, doc_id, rrf, rank FROM (
+      |  SELECT qid, doc_id, rrf, row_number() OVER (PARTITION BY qid
+      |    ORDER BY rrf DESC, doc_id) AS rank
+      |  FROM f)
+      |WHERE rank <= 10)""".stripMargin
+
   private def ivfOracle(centroidsDir: String,
       corpusWhere: String = "TRUE",
       corpusSql: String = ivfPlainCorpusSql,
@@ -5885,6 +6078,11 @@ object PipelineQueries {
         "", "\nUNION ALL\n", "\nORDER BY wave, rank"),
     // each wave's probe re-derived as the prefix IVF scan from the same
     // persisted quantizer
+    // every fused serve re-derived as the one-shot hybrid over exactly
+    // the committed prefix — both legs' statistics shift per wave
+    "s_hybrid_fresh" ->
+      (0 until 3).map(hybridFreshLegSql).mkString(
+        "", "\nUNION ALL\n", "\nORDER BY wave, qid, rank"),
     "s_knn_fresh" ->
       (0 until 3).map(g =>
         s"""SELECT CAST($g AS BIGINT) AS wave, t.* FROM (
