@@ -1642,6 +1642,32 @@ object PipelineQueries {
               round(col("cos"), 6).as("cos")))
       }.reduce(_ unionByName _)
     }),
+    // SNAPSHOT × GROWTH, driver-gated: a manifest pin at a horizon AT or
+    // ABOVE a quantizer growth must serve each moved row exactly ONCE
+    // (the manifest's ann leg goes through the same horizon-aware move
+    // exclusion the search paths use — a raw batch_id slice would return
+    // both copies of every mover and corrupt exactly the reproducibility
+    // audit the manifest exists for), while a pin BELOW the growth
+    // serves the original pre-growth membership. Shares the
+    // executor-grown tail state (growth batch 3); the oracle re-derives
+    // both surviving-copy sets from the source table.
+    "p_snapshot_grow" -> ((s, d) => {
+      import graft.streaming.SnapshotManifest
+      import graft.streaming.SnapshotManifest.Pin
+      val tailDir = remedyExecFor(s, d)._2
+      val mdir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_snapshot", Tables.runKey(d), "mg").toString
+      SnapshotManifest.pin(s, Seq(
+        Pin("ann_at_growth", "ann", tailDir, 3L),
+        Pin("ann_below_growth", "ann", tailDir, 1L)), mdir)
+      def leg(state: String): DataFrame =
+        SnapshotManifest.readState(s, mdir, state)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("id")).cast("long").as("checksum"))
+          .select(lit(state).as("state"), col("n_rows"), col("checksum"))
+      leg("ann_at_growth").unionByName(leg("ann_below_growth"))
+        .orderBy("state")
+    }),
     // SERVING FRESHNESS, FUSED path — the read-your-writes contract on
     // the composed retrieval serving stack: both legs (postings index +
     // cell-partitioned IVF) ingest each wave, a fused RRF serve runs
@@ -5620,6 +5646,20 @@ object PipelineQueries {
     // scoped subquery CTEs keep the two curate chains from colliding
     "p_run_snapshot" -> runSnapshotOracle,
     "q_sql_snapshot" -> runSnapshotOracle,
+    // surviving-copy sets through the growth: every id exactly once at
+    // or above the growth batch (ids never change — only cells move);
+    // the pre-growth membership below it
+    "p_snapshot_grow" ->
+      """SELECT * FROM (
+        |  SELECT 'ann_at_growth' AS state, count(*) AS n_rows,
+        |    CAST(sum(vec_id) AS BIGINT) AS checksum
+        |  FROM embeddings)
+        |UNION ALL
+        |SELECT * FROM (
+        |  SELECT 'ann_below_growth', count(*),
+        |    CAST(sum(vec_id) AS BIGINT)
+        |  FROM embeddings WHERE vec_id % 3 <= 1)
+        |ORDER BY state""".stripMargin,
     // every remedy signal re-derived: distortion ratios from the three
     // persisted bootstrap quantizers (era split at each state's training
     // baseline), post fractions from the wave counts, thresholds applied
