@@ -1374,6 +1374,52 @@ object PipelineQueries {
           s, s"$base/gen2", cents2, sq, k = 10,
           rankOnRoundedTo = Some(6))))
     }),
+    // PQ-INDEX GROWTH, driver-gated — the delta remedy on the COMPRESSED
+    // inverted file: quantizer trained on waves 0–1, baseline at wave 1,
+    // the spliced wave 2 ingested code-bearing (PQ codes encode the raw
+    // vectors against frozen codebooks, so a re-homed row's codes travel
+    // unchanged), then growPq re-homes exactly the rows a new centroid
+    // wins. The ADC + exact-rerank probe over the grown index must equal
+    // the one-shot IVF-PQ scan of the full spliced corpus under the
+    // persisted UNION centroid set and the same codebooks — re-derived
+    // from scratch by the oracle (assignment, encoding, ADC shortlist,
+    // rerank).
+    "s_knn_grow_pq" -> ((s, d) => {
+      val spliced = emb(s, d).select(col("vec_id"),
+        when(col("vec_id") % 3 === 2,
+          transform(col("embedding").cast("array<double>"),
+            x => x + lit(EmbShift)))
+        .otherwise(col("embedding").cast("array<double>")).as("embedding"))
+      val idxBase = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_growpq", Tables.runKey(d)).toString
+      graft.Exec.deletePath(idxBase)
+      Ann.ivfTrainBalanced(spliced.where(col("vec_id") % 3 <= 1),
+          "embedding")._1
+        .coalesce(1).write.mode("overwrite")
+        .parquet(annArtifactBase(d) + "/growpq_boot_cents")
+      val cents0 = Ann.ivfCentroidsFromDf(
+        s.read.parquet(annArtifactBase(d) + "/growpq_boot_cents"))
+      val cb = pqCodebookCopy(s, d, "growpq_codebook")
+      (0 until 3).foreach { g =>
+        graft.streaming.AnnIndexMaintainer.processBatchPq(
+          spliced.where(col("vec_id") % 3 === g), g.toLong, "vec_id",
+          "embedding", cents0, cb, idxBase, roundScale = 6)
+        if (g == 1)
+          graft.streaming.AnnIndexMaintainer.markTrained(idxBase, 1L)
+      }
+      graft.streaming.AnnIndexMaintainer.growPq(s, idxBase, cents0,
+          kNew = 8, roundScale = 6)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(annArtifactBase(d) + "/growpq_union_cents")
+      val cents1 = Ann.ivfCentroidsFromDf(
+        s.read.parquet(annArtifactBase(d) + "/growpq_union_cents"))
+      val queries = spliced.where(col("vec_id") < 5)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      graft.streaming.AnnIndexMaintainer.searchPq(s, idxBase, cents1, cb,
+        queries, k = 10, rankOnRoundedTo = Some(6))
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
+    }),
     // The HOLD arm: plain waves (no shift) through the same monitored
     // loop must NOT fire — the search keeps answering from the original
     // index under the original quantizer, and the oracle reads the
@@ -3882,7 +3928,10 @@ object PipelineQueries {
     * SQL rendering of Ann.ivfPqTopK, parameterized by the two artifact
     * subdirectories so the one-shot and streaming-index gates share it.
     */
-  private def ivfPqOracle(centroidsDir: String, codebookDir: String): String =
+  private def ivfPqOracle(centroidsDir: String, codebookDir: String,
+      corpusSql: String =
+        """SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          |  FROM embeddings""".stripMargin): String =
     s"""WITH cents AS (
       |  SELECT cid, c FROM '__ANN_ARTIFACTS__/$centroidsDir/*.parquet'
       |),
@@ -3892,8 +3941,7 @@ object PipelineQueries {
       |),
       |p AS (SELECT CAST(len(c) AS INT) AS dsub FROM cb LIMIT 1),
       |e AS (
-      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      |  FROM embeddings
+      |  $corpusSql
       |),
       |nrm AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS n FROM e),
       |cd AS (
@@ -6544,6 +6592,15 @@ object PipelineQueries {
     // the streaming code-bearing inverted file must reproduce the one-shot
     // IVF-PQ scan from the same frozen artifacts
     "s_knn_ivfpq" -> ivfPqOracle("ivfpq_centroids_s", "ivfpq_codebook_s"),
+    // the grown PQ index must answer exactly like a from-scratch IVF-PQ
+    // scan of the spliced corpus under the persisted UNION centroid set
+    // (same frozen codebooks — the oracle re-encodes every spliced
+    // vector itself)
+    "s_knn_grow_pq" -> ivfPqOracle("growpq_union_cents", "growpq_codebook",
+      s"""SELECT vec_id, CASE WHEN vec_id % 3 = 2
+         |    THEN list_transform(embedding, x -> CAST(x AS DOUBLE) + $EmbShift)
+         |    ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS v
+         |  FROM embeddings""".stripMargin),
     "p_embed_neardup" ->
       s"""WITH $knnFlatCte,
          |dots AS (

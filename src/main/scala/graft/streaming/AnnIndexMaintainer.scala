@@ -439,9 +439,41 @@ object AnnIndexMaintainer {
     */
   def grow(spark: SparkSession, indexDir: String,
       cents: Array[Array[Double]], kNew: Int, seed: Long = 42L,
-      kmeansIter: Int = 8, roundScale: Int = -1): DataFrame = {
+      kmeansIter: Int = 8, roundScale: Int = -1): DataFrame =
+    growImpl(spark, indexDir, cents, kNew, seed, kmeansIter, roundScale,
+      pq = false)
+
+  /** [[grow]] for the PQ-CODED inverted file: the same union-set math
+    * over the raw vectors, with the movers' PQ codes travelling
+    * UNCHANGED — codes encode v against the frozen codebooks,
+    * independent of the cell, so re-homing a row never re-encodes it.
+    * The delta remedy costs the compressed index the same one
+    * (1+kNew)-distance pass plus movers-sized writes as the plain one.
+    */
+  def growPq(spark: SparkSession, indexDir: String,
+      cents: Array[Array[Double]], kNew: Int, seed: Long = 42L,
+      kmeansIter: Int = 8, roundScale: Int = -1): DataFrame =
+    growImpl(spark, indexDir, cents, kNew, seed, kmeansIter, roundScale,
+      pq = true)
+
+  private def growImpl(spark: SparkSession, indexDir: String,
+      cents: Array[Array[Double]], kNew: Int, seed: Long,
+      kmeansIter: Int, roundScale: Int, pq: Boolean): DataFrame = {
     import spark.implicits._
     require(kNew >= 1, "grow: kNew must be >= 1")
+    // layout guard: growing a PQ state through the plain entry point
+    // would write CODE-LESS mover copies (silent ADC corruption on the
+    // next probe), and vice versa — check the actual file schema once
+    (BatchDirs.listDirs(indexDir, "c") ++ BatchDirs.listDirs(indexDir, "b"))
+      .lastOption.foreach { case (_, p) =>
+        val hasCodes = spark.read.parquet(p)
+          .schema.fieldNames.contains("codes")
+        require(hasCodes == pq,
+          if (pq) s"growPq: '$indexDir' holds a PLAIN inverted file " +
+            "(no codes column) — use grow"
+          else s"grow: '$indexDir' holds a PQ-coded inverted file — " +
+            "use growPq (plain grow would drop the movers' codes)")
+      }
     val base = trainedBatch(indexDir)
     require(base >= 0L,
       s"grow: no training baseline under '$indexDir' (markTrained) — " +
@@ -451,7 +483,8 @@ object AnnIndexMaintainer {
       BatchDirs.listDirs(indexDir, "mv") ++ growthDirs(indexDir)
     require(gens.nonEmpty, s"grow: no index dirs under '$indexDir'")
     val growB = gens.map(_._1).max + 1L
-    val idx = readIndexAsOf(spark, indexDir, Long.MaxValue)
+    val idx = if (pq) readIndexPqAsOf(spark, indexDir, Long.MaxValue)
+      else readIndexAsOf(spark, indexDir, Long.MaxValue)
     val post = idx.where(col("batch_id") > base).select(col("v"))
     require(post.limit(1).count() > 0L,
       s"grow: no post-baseline rows under '$indexDir' — nothing drifted " +
@@ -487,9 +520,12 @@ object AnnIndexMaintainer {
     // visible together (no duplicate-copy or missing-copy window, ever)
     val tmpRoot = s"$indexDir/.g$growB.tmp"
     graft.Exec.deletePath(tmpRoot)
-    scored.where(col("__dnew") < col("__dold"))
-      .select(col("id"), col("v"), lit(growB).as("batch_id"),
+    val moverCols = Seq(col("id"), col("v")) ++
+      (if (pq) Seq(col("codes"), col("rn2")) else Nil) ++
+      Seq(lit(growB).as("batch_id"),
         (col("__ncell") + lit(cents.length)).cast("int").as("cell"))
+    scored.where(col("__dnew") < col("__dold"))
+      .select(moverCols: _*)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$tmpRoot/data")
@@ -550,10 +586,17 @@ object AnnIndexMaintainer {
   def readIndexPq(spark: SparkSession, indexDir: String): DataFrame = {
     val maxC = BatchDirs.listDirs(indexDir, "c").lastOption
     val dirs = maxC.map(_._2).toSeq ++ BatchDirs.listDirs(indexDir, "b")
-      .filter(_._1 > maxC.fold(-1L)(_._1)).map(_._2)
+      .filter(_._1 > maxC.fold(-1L)(_._1)).map(_._2) ++
+      growthDirs(indexDir).map(_._2 + "/data")
     BatchDirs.readUnion(spark, dirs, indexPqSchema, partitioned = true)
       .getOrElse(BatchDirs.emptyFrame(spark, indexPqSchema))
   }
+
+  /** [[readIndexAsOf]] for the PQ-coded inverted file. */
+  def readIndexPqAsOf(spark: SparkSession, indexDir: String,
+      asOf: Long): DataFrame =
+    excludeMoved(spark, indexDir,
+      readIndexPq(spark, indexDir).where(col("batch_id") <= asOf), asOf)
 
   def compactPq(spark: SparkSession, indexDir: String,
       upToOpt: Option[Long] = None): Unit =
@@ -571,8 +614,9 @@ object AnnIndexMaintainer {
     import spark.implicits._
     val probeCells = queryVecs
       .flatMap(q => Ann.nearestCellsLocal(q._2, cents, nprobe)).distinct
-    val idx = readIndexPq(spark, indexDir)
-      .where(col("cell").isin(probeCells: _*))
+    val idx = excludeMoved(spark, indexDir,
+      readIndexPq(spark, indexDir).where(col("cell").isin(probeCells: _*)),
+      Long.MaxValue)
     val qdf = queryVecs.map { case (id, v) => (id, v.toSeq) }.toDF("id", "v")
     Ann.ivfPqTopK(idx.select(col("id"), col("v")), qdf, "id", "v", k,
       cents, codebooks, nprobe, rerank, rankOnRoundedTo,

@@ -219,6 +219,53 @@ class Round17OpsSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq shouldBe liveBefore
   }
 
+  // --------------------------- PQ-index growth (codes travel unchanged)
+
+  test("growPq: union parity on the PQ-coded index; the layout guard " +
+      "rejects plain-grow on a coded state and vice versa") {
+    val dir = tmp("growpq")
+    val cb: Array[Array[Array[Double]]] =
+      Array(Array(Array(0.0), Array(1.0), Array(6.0)),
+        Array(Array(0.0), Array(1.0), Array(6.0)))
+    val w0 = vecs(0L to 9L)
+    val w1 = vecs(10L to 19L, shift = 5.0)
+    AnnIndexMaintainer.processBatchPq(w0, 0L, "vec_id", "embedding",
+      cents2, cb, dir)
+    AnnIndexMaintainer.markTrained(dir, 0L)
+    AnnIndexMaintainer.processBatchPq(w1, 1L, "vec_id", "embedding",
+      cents2, cb, dir)
+    intercept[IllegalArgumentException] {
+      AnnIndexMaintainer.grow(spark, dir, cents2, kNew = 2)
+    }.getMessage should include("use growPq")
+    val grown = AnnIndexMaintainer.growPq(spark, dir, cents2, kNew = 2)
+    val cents1 = graft.ops.Ann.ivfCentroidsFromDf(grown)
+    cents1.length shouldBe 4
+    val all = w0.unionByName(w1)
+    val qids = Seq(0L, 10L, 11L)
+    val qs = all.where(col("vec_id").isin(qids: _*))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val served = AnnIndexMaintainer.searchPq(spark, dir, cents1, cb, qs,
+        k = 3)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(_.toString).sorted.toSeq
+    val oneShot = graft.ops.Ann.ivfPqTopK(all,
+        all.where(col("vec_id").isin(qids: _*)), "vec_id", "embedding",
+        k = 3, cents1, cb)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(_.toString).sorted.toSeq
+    served shouldBe oneShot
+    // ...and the other direction of the guard
+    val plainDir = tmp("growpqplain")
+    AnnIndexMaintainer.processBatch(w0, 0L, "vec_id", "embedding", cents2,
+      plainDir)
+    AnnIndexMaintainer.markTrained(plainDir, 0L)
+    AnnIndexMaintainer.processBatch(w1, 1L, "vec_id", "embedding", cents2,
+      plainDir)
+    intercept[IllegalArgumentException] {
+      AnnIndexMaintainer.growPq(spark, plainDir, cents2, kNew = 2)
+    }.getMessage should include("use grow")
+  }
+
   // ------------------- the executor runs the remedy the planner chose
 
   test("MaintenancePlanner.execute: a grow-shaped ANN state executes " +
