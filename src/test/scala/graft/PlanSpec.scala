@@ -395,4 +395,37 @@ class PlanSpec extends SparkSpec {
     p.linesIterator.find(_.contains("PushedFilters")).getOrElse("") should
       include("batch_id")
   }
+
+  test("search over a GROWN index: cell pruning lands in EVERY union " +
+      "branch (batch dirs and growth dirs) and the move exclusion is a " +
+      "broadcast anti-join, never a shuffle") {
+    import graft.streaming.AnnIndexMaintainer
+    val dir = java.nio.file.Files.createTempDirectory("growplan").toString
+    val w0 = (0L to 9L).map(i => (i, Seq(
+      (if (i % 2 == 0) 1.0 else 0.0) + 0.01 * i,
+      if (i % 2 == 0) 0.0 else 1.0))).toDF("vec_id", "embedding")
+    val w1 = (10L to 19L).map(i => (i, Seq(5.0 + 0.01 * i, 5.0)))
+      .toDF("vec_id", "embedding")
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    AnnIndexMaintainer.processBatchMonitored(w0, 0L, "vec_id", "embedding",
+      cents, dir)
+    AnnIndexMaintainer.markTrained(dir, 0L)
+    AnnIndexMaintainer.processBatchMonitored(w1, 1L, "vec_id", "embedding",
+      cents, dir)
+    val cents1 = graft.ops.Ann.ivfCentroidsFromDf(
+      AnnIndexMaintainer.grow(spark, dir, cents, kNew = 2))
+    val p = plan(AnnIndexMaintainer.search(spark, dir, cents1,
+      Seq((100L, Array(5.1, 5.0))), k = 2, nprobe = 1)).toString
+    // every file-scan branch of the union (b0, b1, g2/data) keeps the
+    // probe-cell predicate on the DIRECTORY column — a branch that scans
+    // all cells at 100 TB reads nlist× more than it should
+    val pfs = p.linesIterator.filter(_.contains("PartitionFilters"))
+      .filterNot(_.contains("PartitionFilters: []")).toSeq
+    pfs.size should be >= 3
+    all(pfs) should include("cell")
+    // the movers-sized exclusion must broadcast, never shuffle the corpus
+    p should include("BroadcastHashJoin")
+    p.toLowerCase should include("leftanti")
+    p should not include "SortMergeJoin"
+  }
 }
