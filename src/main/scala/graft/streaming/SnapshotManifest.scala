@@ -28,7 +28,9 @@ import org.apache.spark.sql.types._
   * Kinds: `shards` ([[ShardMaintainer.readShardsAsOf]]), `curate`
   * ([[CurateMaintainer.selectionAsOf]]), `postings`
   * ([[SearchIndexMaintainer.readPostings]] sliced on the row stamp),
-  * `ann` ([[AnnIndexMaintainer.readIndex]] sliced on the row stamp).
+  * `ann` ([[AnnIndexMaintainer.readIndexAsOf]] — horizon-aware through
+  * quantizer growths), `neardup` ([[NearDupMaintainer.indexAsOf]], the
+  * LSH signature index).
   */
 object SnapshotManifest {
 
@@ -42,7 +44,8 @@ object SnapshotManifest {
     StructField("as_of", LongType),
     StructField("id_col", StringType)))
 
-  private val kinds = Set("shards", "curate", "postings", "ann")
+  private val kinds =
+    Set("shards", "curate", "postings", "ann", "neardup")
 
   /** Write the manifest (rename-aside commit, crash-atomic) after
     * validating every pin RESOLVES — failing at pin time, not at some
@@ -78,8 +81,8 @@ object SnapshotManifest {
   }
 
   /** Every pin must resolve at pin/verify time, and the index-slice
-    * kinds (`ann`, `postings` — whose readers happily serve an empty
-    * frame) must additionally be NON-EMPTY at the horizon: an asOf
+    * kinds (`ann`, `postings`, `neardup` — whose readers happily serve
+    * an empty frame) must additionally be NON-EMPTY at the horizon: an asOf
     * below the state's first batch would otherwise pin successfully and
     * silently serve an empty index, breaking the "a manifest that
     * exists is a manifest that serves" contract the shard/curate
@@ -156,6 +159,10 @@ object SnapshotManifest {
       // copies of every row moved by a growth at or below the pin
       AnnIndexMaintainer.readIndexAsOf(spark, p.dir, p.asOf)
         .drop("batch_id")
+    case "neardup" =>
+      require(new java.io.File(p.dir).exists(),
+        s"neardup signature-index dir ${p.dir} does not exist")
+      NearDupMaintainer.indexAsOf(spark, p.dir, p.asOf).drop("batch_id")
     case other => throw new IllegalArgumentException(
       s"unknown state kind '$other'")
   }

@@ -192,6 +192,34 @@ class Round17OpsSpec extends SparkSpec {
     }.getMessage should include("EMPTY frame")
   }
 
+  // ------------------------------ neardup kind in the snapshot manifest
+
+  test("SnapshotManifest neardup kind: pins the LSH signature index at " +
+      "a horizon, validates non-empty, reads equal indexAsOf") {
+    import graft.streaming.{NearDupMaintainer, SnapshotManifest}
+    import graft.streaming.SnapshotManifest.Pin
+    val dir = tmp("snapnd")
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon eta"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    (0 until 2).foreach { g =>
+      NearDupMaintainer.processBatch(
+        docs.where(col("doc_id") % 2 === g), g.toLong, "doc_id", "text",
+        dir, tmp("sndp"))
+    }
+    val mdir = tmp("snapndm") + "/m"
+    SnapshotManifest.pin(spark, Seq(Pin("sigs", "neardup", dir, 0L)), mdir)
+    SnapshotManifest.readState(spark, mdir, "sigs")
+      .collect().map(_.toString).sorted.toSeq shouldBe
+      NearDupMaintainer.indexAsOf(spark, dir, 0L).drop("batch_id")
+        .collect().map(_.toString).sorted.toSeq
+    intercept[IllegalArgumentException] {
+      SnapshotManifest.pin(spark, Seq(Pin("x", "neardup", dir, -1L)),
+        tmp("snapndx") + "/m")
+    }.getMessage should include("EMPTY frame")
+  }
+
   // ----------------------- legacy shard layouts (no seqs/ append log)
 
   test("ShardMaintainer: a layout whose early batches predate the seqs/ " +
