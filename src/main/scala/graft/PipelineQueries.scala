@@ -1374,6 +1374,50 @@ object PipelineQueries {
           s, s"$base/gen2", cents2, sq, k = 10,
           rankOnRoundedTo = Some(6))))
     }),
+    // VERSIONED QUANTIZER, driver-gated: a growth (or retrain) CHANGES
+    // the active centroid set, so a time-travel probe needs the
+    // quantizer that was serving at the horizon, not the caller's
+    // current one. persistCentroids lands append-only qg<batch>/
+    // generations; searchAsOfAuto resolves BOTH the row slice and the
+    // centroid set from the horizon alone. Leg at horizon 1 must answer
+    // under the bootstrap quantizer (pre-growth timeline), the head leg
+    // under the persisted union set — each hash-equal to the one-shot
+    // IVF scan of that slice under that quantizer.
+    "s_knn_quantizer_asof" -> ((s, d) => {
+      val src = annDriftStateFor(s, d, spliced = true)
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_qgauto", Tables.runKey(d)).toString
+      graft.Exec.copyPath(src, s"$base/idx")
+      graft.streaming.AnnIndexMaintainer.persistCentroids(s, s"$base/idx",
+        0L, s.read.parquet(annArtifactBase(d) + "/retrain_boot_cents"))
+      val cents0 = annDriftCents(s, d, spliced = true)
+      graft.streaming.AnnIndexMaintainer.grow(s, s"$base/idx", cents0,
+          kNew = 8, roundScale = 6) // growB = 3
+        .coalesce(1).write.mode("overwrite")
+        .parquet(annArtifactBase(d) + "/qgauto_union_cents")
+      graft.streaming.AnnIndexMaintainer.persistCentroids(s, s"$base/idx",
+        3L, s.read.parquet(annArtifactBase(d) + "/qgauto_union_cents"))
+      val sq = emb(s, d).select(col("vec_id"),
+          when(col("vec_id") % 3 === 2,
+            transform(col("embedding").cast("array<double>"),
+              x => x + lit(EmbShift)))
+          .otherwise(col("embedding").cast("array<double>")).as("embedding"))
+        .where(col("vec_id") < 5)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      val pq = emb(s, d)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+        .where(col("vec_id") < 5)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      def leg(h: Long, qs: Seq[(Long, Array[Double])]): DataFrame =
+        graft.Exec.materializeLocal(
+          graft.streaming.AnnIndexMaintainer.searchAsOfAuto(s, s"$base/idx",
+            qs, k = 10, asOf = h, rankOnRoundedTo = Some(6))
+          .select(lit(h).as("horizon"), col("query_id"), col("neighbor_id"),
+            col("rank").cast("long").as("rank"),
+            round(col("cos"), 6).as("cos")))
+      leg(1L, pq).unionByName(leg(3L, sq))
+    }),
     // PQ-INDEX GROWTH, driver-gated — the delta remedy on the COMPRESSED
     // inverted file: quantizer trained on waves 0–1, baseline at wave 1,
     // the spliced wave 2 ingested code-bearing (PQ codes encode the raw
@@ -6592,6 +6636,21 @@ object PipelineQueries {
     // the streaming code-bearing inverted file must reproduce the one-shot
     // IVF-PQ scan from the same frozen artifacts
     "s_knn_ivfpq" -> ivfPqOracle("ivfpq_centroids_s", "ivfpq_codebook_s"),
+    // each auto-resolved leg = the one-shot IVF scan of that horizon's
+    // slice under the quantizer GENERATION serving then: bootstrap below
+    // the growth, the persisted union set at head
+    "s_knn_quantizer_asof" -> Seq(
+      (1L, ivfOracle("retrain_boot_cents", "vec_id % 3 <= 1")),
+      (3L, ivfOracle("qgauto_union_cents", "TRUE",
+        s"""SELECT vec_id, CASE WHEN vec_id % 3 = 2
+           |    THEN list_transform(embedding, x -> CAST(x AS DOUBLE) + $EmbShift)
+           |    ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS v
+           |  FROM embeddings""".stripMargin)))
+      .map { case (h, sql) =>
+        s"""SELECT CAST($h AS BIGINT) AS horizon, t.* FROM (
+           |$sql
+           |) t""".stripMargin }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY horizon, query_id, rank"),
     // the grown PQ index must answer exactly like a from-scratch IVF-PQ
     // scan of the spliced corpus under the persisted UNION centroid set
     // (same frozen codebooks — the oracle re-encodes every spliced

@@ -284,6 +284,52 @@ object AnnIndexMaintainer {
     if (tn == 0L) None else Some(pn.toDouble / tn)
   }
 
+  // ---- versioned quantizer artifacts: which centroids served WHEN ----
+
+  /** Persist a quantizer GENERATION: the centroid frame that starts
+    * serving once batch `batchId` commits — `qg<batchId>/`, atomically
+    * renamed like every other artifact. Growth and retrain both CHANGE
+    * the active quantizer, so a reproducibility audit at an old horizon
+    * needs not just the historical rows ([[readIndexAsOf]]) but the
+    * historical centroid set; generations are append-only and re-read
+    * from current files, the same version discipline as the index
+    * itself. Call it after the bootstrap train and after each remedy
+    * (the executor's grow path does this automatically).
+    */
+  def persistCentroids(spark: SparkSession, indexDir: String,
+      batchId: Long, cdf: DataFrame): Unit = {
+    val tmp = new java.io.File(indexDir, s".qg$batchId.tmp")
+    graft.Exec.deletePath(tmp.getPath)
+    cdf.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+    val dest = new java.io.File(indexDir, s"qg$batchId")
+    graft.Exec.deletePath(dest.getPath) // replay rewrites its generation
+    require(tmp.renameTo(dest), s"quantizer commit failed: $dest")
+  }
+
+  /** The quantizer that was SERVING at horizon `asOf`: the newest
+    * persisted generation at or below it. Horizons before the first
+    * generation throw — the explicit error contract, never a silently
+    * wrong quantizer. */
+  def centroidsAsOf(spark: SparkSession, indexDir: String,
+      asOf: Long): Array[Array[Double]] = {
+    val gens = BatchDirs.listDirs(indexDir, "qg").filter(_._1 <= asOf)
+    require(gens.nonEmpty,
+      s"no quantizer generation at or below batch $asOf in $indexDir " +
+        "(persistCentroids had not run at that horizon)")
+    Ann.ivfCentroidsFromDf(spark.read.parquet(gens.last._2))
+  }
+
+  /** [[searchAsOf]] with the quantizer RESOLVED from the persisted
+    * generations — the horizon picks both the rows and the centroid set,
+    * so a time-travel probe across a growth or retrain reproduces the
+    * answer the index actually served then, with no caller-side
+    * quantizer bookkeeping. */
+  def searchAsOfAuto(spark: SparkSession, indexDir: String,
+      queryVecs: Seq[(Long, Array[Double])], k: Int, asOf: Long,
+      nprobe: Int = 4, rankOnRoundedTo: Option[Int] = None): DataFrame =
+    searchAsOf(spark, indexDir, centroidsAsOf(spark, indexDir, asOf),
+      queryVecs, k, asOf, nprobe, rankOnRoundedTo)
+
   /** How many extra centroids a [[grow]] of this state should train —
     * the √N law applied to the drifted TAIL: the post-baseline region
     * gets cells sized to its own mass (`cellsPerSqrtN·⌈√pn⌉`), exactly

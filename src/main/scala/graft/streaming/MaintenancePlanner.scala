@@ -191,8 +191,12 @@ object MaintenancePlanner {
           throw new IllegalArgumentException(
             s"execute: ANN state '$n' decided retrain but no new-generation " +
               "dir was supplied in annNewDirs"))
-        AnnIndexMaintainer.retrain(spark, dir, newDir)
-          .coalesce(1).write.mode("overwrite").parquet(s"$newDir/cents")
+        val re = AnnIndexMaintainer.retrain(spark, dir, newDir)
+        re.coalesce(1).write.mode("overwrite").parquet(s"$newDir/cents")
+        // quantizer GENERATION alongside the live copy: horizon reads of
+        // the new generation resolve their centroid set from the state
+        AnnIndexMaintainer.persistCentroids(spark, newDir,
+          AnnIndexMaintainer.trainedBatch(newDir), re)
         AnnSpec(n, newDir, t, gmax, rs)
       case sp @ AnnSpec(n, dir, _, _, rs) if decisions(n) == "grow" =>
         // the delta remedy the planner chose: extra centroids over the
@@ -217,6 +221,8 @@ object MaintenancePlanner {
         require(centsPath.renameTo(aside) && tmp.renameTo(centsPath),
           s"execute: quantizer commit failed for ANN state '$n'")
         graft.Exec.deletePath(aside.getPath)
+        AnnIndexMaintainer.persistCentroids(spark, dir,
+          AnnIndexMaintainer.trainedBatch(dir), union)
         sp
       case sp @ DeltaSpec(n, dir, _) if decisions(n) == "compact" =>
         deltaCompactors.getOrElse(n,

@@ -343,6 +343,49 @@ class Round17OpsSpec extends SparkSpec {
         .collect().map(_.toString).sorted.toSeq
   }
 
+  // --------------------------------- versioned quantizer generations
+
+  test("centroidsAsOf/searchAsOfAuto: the horizon resolves the quantizer " +
+      "generation serving then; pre-first-generation horizons throw; the " +
+      "executor persists a generation with each remedy") {
+    import graft.streaming.MaintenancePlanner
+    import graft.streaming.MaintenancePlanner.AnnSpec
+    val dir = tmp("qgauto")
+    AnnIndexMaintainer.processBatchMonitored(vecs(0L to 9L), 0L, "vec_id",
+      "embedding", cents2, dir)
+    AnnIndexMaintainer.markTrained(dir, 0L)
+    val c2df = cents2.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toSeq.toDF("cid", "c")
+    AnnIndexMaintainer.persistCentroids(spark, dir, 0L, c2df)
+    c2df.write.mode("overwrite").parquet(s"$dir/cents")
+    AnnIndexMaintainer.processBatchMonitored(vecs(10L to 13L, shift = 5.0),
+      1L, "vec_id", "embedding", cents2, dir)
+    intercept[IllegalArgumentException] {
+      AnnIndexMaintainer.centroidsAsOf(spark, dir, -1L)
+    }.getMessage should include("no quantizer generation")
+    AnnIndexMaintainer.centroidsAsOf(spark, dir, 1L)
+      .map(_.toSeq) shouldBe cents2.map(_.toSeq)
+    // the executor's grow also lands a qg generation at the growth batch
+    MaintenancePlanner.execute(spark, Seq(
+      AnnSpec("a", dir, 4.0, growPostFractionMax = 0.5)))
+    val g = AnnIndexMaintainer.trainedBatch(dir)
+    g should be > 0L
+    val atHead = AnnIndexMaintainer.centroidsAsOf(spark, dir, g)
+    atHead.length should be > 2
+    // auto probes: below the growth under the bootstrap set, at head
+    // under the union — equal to the manually-resolved searches
+    val qs = Seq((100L, Array(5.0, 5.0)))
+    AnnIndexMaintainer.searchAsOfAuto(spark, dir, qs, k = 3, asOf = 0L)
+      .collect().map(_.toString).sorted.toSeq shouldBe
+      AnnIndexMaintainer.searchAsOf(spark, dir, cents2, qs, k = 3,
+        asOf = 0L).collect().map(_.toString).sorted.toSeq
+    AnnIndexMaintainer.searchAsOfAuto(spark, dir, qs, k = 3,
+        asOf = Long.MaxValue)
+      .collect().map(_.toString).sorted.toSeq shouldBe
+      AnnIndexMaintainer.searchAsOf(spark, dir, atHead, qs, k = 3,
+        asOf = Long.MaxValue).collect().map(_.toString).sorted.toSeq
+  }
+
   // --------------------------- quantizer training budget floor (4/cell)
 
   test("ivfTrain: the training budget never degenerates to one point " +
