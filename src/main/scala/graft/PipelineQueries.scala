@@ -291,6 +291,35 @@ object PipelineQueries {
       (graft.Exec.materializeLocal(table), s"$base/tail")
     })
 
+  /** One GROWN state with VERSIONED quantizer generations per (JVM, sf
+    * dir): a copy of the spliced drift state, bootstrap generation
+    * pinned at batch 0, one growth at batch 3 with the union set pinned
+    * there — the fixture for horizon-resolved quantizer reads (API and
+    * SQL paths). The union set is re-persisted as `qgauto_union_cents`
+    * for the oracles. Consumers only read.
+    */
+  private val qgAutoStateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def qgAutoStateFor(s: SparkSession, d: String): String =
+    qgAutoStateCache.computeIfAbsent(d, _ => {
+      val src = annDriftStateFor(s, d, spliced = true)
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_qgauto", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      graft.Exec.copyPath(src, s"$base/idx")
+      graft.streaming.AnnIndexMaintainer.persistCentroids(s, s"$base/idx",
+        0L, s.read.parquet(annArtifactBase(d) + "/retrain_boot_cents"))
+      val cents0 = annDriftCents(s, d, spliced = true)
+      graft.streaming.AnnIndexMaintainer.grow(s, s"$base/idx", cents0,
+          kNew = 8, roundScale = 6) // growB = 3
+        .coalesce(1).write.mode("overwrite")
+        .parquet(annArtifactBase(d) + "/qgauto_union_cents")
+      graft.streaming.AnnIndexMaintainer.persistCentroids(s, s"$base/idx",
+        3L, s.read.parquet(annArtifactBase(d) + "/qgauto_union_cents"))
+      s"$base/idx"
+    })
+
   /** The bootstrap quantizer of a monitored drift state, re-read from its
     * persisted artifact (exact double round trip). */
   private def annDriftCents(s: SparkSession, d: String,
@@ -1384,19 +1413,7 @@ object PipelineQueries {
     // under the persisted union set — each hash-equal to the one-shot
     // IVF scan of that slice under that quantizer.
     "s_knn_quantizer_asof" -> ((s, d) => {
-      val src = annDriftStateFor(s, d, spliced = true)
-      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_stream_qgauto", Tables.runKey(d)).toString
-      graft.Exec.copyPath(src, s"$base/idx")
-      graft.streaming.AnnIndexMaintainer.persistCentroids(s, s"$base/idx",
-        0L, s.read.parquet(annArtifactBase(d) + "/retrain_boot_cents"))
-      val cents0 = annDriftCents(s, d, spliced = true)
-      graft.streaming.AnnIndexMaintainer.grow(s, s"$base/idx", cents0,
-          kNew = 8, roundScale = 6) // growB = 3
-        .coalesce(1).write.mode("overwrite")
-        .parquet(annArtifactBase(d) + "/qgauto_union_cents")
-      graft.streaming.AnnIndexMaintainer.persistCentroids(s, s"$base/idx",
-        3L, s.read.parquet(annArtifactBase(d) + "/qgauto_union_cents"))
+      val idx = qgAutoStateFor(s, d)
       val sq = emb(s, d).select(col("vec_id"),
           when(col("vec_id") % 3 === 2,
             transform(col("embedding").cast("array<double>"),
@@ -1411,7 +1428,7 @@ object PipelineQueries {
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
       def leg(h: Long, qs: Seq[(Long, Array[Double])]): DataFrame =
         graft.Exec.materializeLocal(
-          graft.streaming.AnnIndexMaintainer.searchAsOfAuto(s, s"$base/idx",
+          graft.streaming.AnnIndexMaintainer.searchAsOfAuto(s, idx,
             qs, k = 10, asOf = h, rankOnRoundedTo = Some(6))
           .select(lit(h).as("horizon"), col("query_id"), col("neighbor_id"),
             col("rank").cast("long").as("rank"),
@@ -3251,6 +3268,38 @@ object PipelineQueries {
            |      0L, (a, x) -> a + cast(x AS long))) AS id_sum
            |FROM GRAFT_SHARDS('$dir') VERSION AS OF 1
            |GROUP BY epoch, shard_id""".stripMargin)
+    }),
+    // the fully self-resolving SQL probe: GRAFT_KNN('<dir>', 'auto', …)
+    // VERSION AS OF h — the statement names nothing but the state and
+    // the horizon; the engine resolves the row slice AND the quantizer
+    // generation serving then (bootstrap below the growth, the union
+    // set at it). Hash-equal to the horizon-resolved API path's oracle.
+    "q_sql_knn_asof" -> ((s, d) => {
+      val idx = qgAutoStateFor(s, d)
+      val ext = RecQueries.extensionSession(s)
+      def inlineOf(spliced: Boolean): String = {
+        val e0 = emb(s, d)
+        val e = if (spliced) e0.select(col("vec_id"),
+            when(col("vec_id") % 3 === 2,
+              transform(col("embedding").cast("array<double>"),
+                x => x + lit(EmbShift)))
+            .otherwise(col("embedding").cast("array<double>")).as("v"))
+          else e0.select(col("vec_id"),
+            col("embedding").cast("array<double>").as("v"))
+        e.where(col("vec_id") < 5).collect()
+          .map(r => s"${r.getLong(0)}:${r.getSeq[Double](1).mkString(" ")}")
+          .mkString("; ")
+      }
+      ext.sql(
+        s"""SELECT cast(1 AS bigint) AS horizon, query_id, neighbor_id,
+           |  cast(rank AS bigint) AS rank, round(cos, 6) AS cos
+           |FROM GRAFT_KNN('$idx', 'auto', '${inlineOf(false)}', 10)
+           |  VERSION AS OF 1
+           |UNION ALL
+           |SELECT cast(3 AS bigint), query_id, neighbor_id,
+           |  cast(rank AS bigint), round(cos, 6)
+           |FROM GRAFT_KNN('$idx', 'auto', '${inlineOf(true)}', 10)
+           |  VERSION AS OF 3""".stripMargin)
     }),
     // the SQL-ONLY retrieval path: GRAFT_KNN with the query vectors
     // INLINE in the statement ('id:v1 v2 ...; ...') — no pre-registered
@@ -5575,6 +5624,20 @@ object PipelineQueries {
     // same persisted quantizer (full corpus; the statement carried the
     // query vectors itself)
     "q_sql_knn" -> ivfOracle("asof_centroids_s"),
+    // the self-resolving SQL probe answers exactly like the
+    // horizon-resolved API path (same legs, same quantizer generations)
+    "q_sql_knn_asof" -> Seq(
+      (1L, ivfOracle("retrain_boot_cents", "vec_id % 3 <= 1")),
+      (3L, ivfOracle("qgauto_union_cents", "TRUE",
+        s"""SELECT vec_id, CASE WHEN vec_id % 3 = 2
+           |    THEN list_transform(embedding, x -> CAST(x AS DOUBLE) + $EmbShift)
+           |    ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS v
+           |  FROM embeddings""".stripMargin)))
+      .map { case (h, sql) =>
+        s"""SELECT CAST($h AS BIGINT) AS horizon, t.* FROM (
+           |$sql
+           |) t""".stripMargin }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY horizon, query_id, rank"),
     // the rebuilt index must answer exactly like a from-scratch IVF scan
     // of the full SPLICED corpus under the retrained persisted quantizer
     "s_knn_retrain" -> ivfOracle("retrain_cents", "TRUE",

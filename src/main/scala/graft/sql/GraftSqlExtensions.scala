@@ -213,6 +213,9 @@ object GraftSql {
     *   GRAFT_KNN('<indexDir>', '<centroids parquet>',
     *             '<id>:<v1> <v2> ...; <id>:...', k)   (inline vectors —
     *                                          no pre-registered view)
+    *   GRAFT_KNN('<indexDir>', 'auto', ...)   (quantizer resolved from
+    *                                          the state's qg<batch>/
+    *                                          generations at the horizon)
     *   GRAFT_SNAPSHOT('<manifestDir>', '<state>')   (horizon from the pin)
     *
     * Each appears as a relation in FROM; without the version clause it
@@ -691,8 +694,16 @@ object GraftSql {
                 "doc_id", terms, k.toInt))
           case ("bm25", _) => wrongArgs("('<stateDir>', '<terms>', k)")
           case ("knn", Seq(idxDir, centsDir, q, k)) =>
-            val cents = graft.ops.Ann.ivfCentroidsFromDf(
-              session.read.parquet(centsDir))
+            // 'auto': resolve the quantizer GENERATION serving at the
+            // read horizon from the state's own qg<batch>/ artifacts
+            // (persistCentroids) — a VERSION AS OF probe then picks both
+            // the row slice and the centroid set from the horizon alone
+            val cents =
+              if (centsDir.equalsIgnoreCase("auto"))
+                AnnIndexMaintainer.centroidsAsOf(session, idxDir,
+                  s.asOf.getOrElse(Long.MaxValue))
+              else graft.ops.Ann.ivfCentroidsFromDf(
+                session.read.parquet(centsDir))
             // query vectors: INLINE literal ('id:v1 v2 ...; id:...') —
             // self-contained SQL, no pre-registered view needed — or a
             // view/table name with (id, vector) columns. A ':' marks the
