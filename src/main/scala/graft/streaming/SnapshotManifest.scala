@@ -30,7 +30,9 @@ import org.apache.spark.sql.types._
   * ([[SearchIndexMaintainer.readPostings]] sliced on the row stamp),
   * `ann` ([[AnnIndexMaintainer.readIndexAsOf]] — horizon-aware through
   * quantizer growths), `neardup` ([[NearDupMaintainer.indexAsOf]], the
-  * LSH signature index).
+  * LSH signature index), `quantizer` (the `qg<batch>/` centroid
+  * generation serving at the horizon —
+  * [[AnnIndexMaintainer.persistCentroids]]).
   */
 object SnapshotManifest {
 
@@ -45,7 +47,7 @@ object SnapshotManifest {
     StructField("id_col", StringType)))
 
   private val kinds =
-    Set("shards", "curate", "postings", "ann", "neardup")
+    Set("shards", "curate", "postings", "ann", "neardup", "quantizer")
 
   /** Write the manifest (rename-aside commit, crash-atomic) after
     * validating every pin RESOLVES — failing at pin time, not at some
@@ -163,6 +165,15 @@ object SnapshotManifest {
       require(new java.io.File(p.dir).exists(),
         s"neardup signature-index dir ${p.dir} does not exist")
       NearDupMaintainer.indexAsOf(spark, p.dir, p.asOf).drop("batch_id")
+    case "quantizer" =>
+      // the centroid GENERATION serving at the horizon — a training-run
+      // audit pins the model artifact next to the data it indexed
+      // (growth/retrain change it; rows alone don't reproduce a probe)
+      val gens = BatchDirs.listDirs(p.dir, "qg").filter(_._1 <= p.asOf)
+      require(gens.nonEmpty,
+        s"no quantizer generation at or below batch ${p.asOf} in " +
+          s"${p.dir} (persistCentroids had not run at that horizon)")
+      spark.read.parquet(gens.last._2)
     case other => throw new IllegalArgumentException(
       s"unknown state kind '$other'")
   }

@@ -384,6 +384,23 @@ class Round17OpsSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq shouldBe
       AnnIndexMaintainer.searchAsOf(spark, dir, atHead, qs, k = 3,
         asOf = Long.MaxValue).collect().map(_.toString).sorted.toSeq
+    // the manifest pins the quantizer artifact itself: the 'quantizer'
+    // kind serves the generation at the horizon (bootstrap below the
+    // growth, union at it); pre-first-generation horizons fail the pin
+    import graft.streaming.SnapshotManifest
+    import graft.streaming.SnapshotManifest.Pin
+    val mdir = tmp("qgm") + "/m"
+    SnapshotManifest.pin(spark, Seq(
+      Pin("q_boot", "quantizer", dir, 0L),
+      Pin("q_head", "quantizer", dir, g)), mdir)
+    SnapshotManifest.readState(spark, mdir, "q_boot")
+      .count() shouldBe 2L
+    SnapshotManifest.readState(spark, mdir, "q_head")
+      .count().toInt shouldBe atHead.length
+    intercept[IllegalArgumentException] {
+      SnapshotManifest.pin(spark, Seq(
+        Pin("q", "quantizer", dir, -1L)), tmp("qgmx") + "/m")
+    }.getMessage should include("no quantizer generation")
   }
 
   // --------------------------- quantizer training budget floor (4/cell)
