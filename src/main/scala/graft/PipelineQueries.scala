@@ -301,6 +301,23 @@ object PipelineQueries {
   private val qgAutoStateCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** The qgauto probe set (vec_id < 5), optionally with the drift splice
+    * applied — shared by q_sql_knn_asof's inline form and the retention
+    * gate's API-path probes. */
+  private def qgProbes(s: SparkSession, d: String,
+      spliced: Boolean): Seq[(Long, Array[Double])] = {
+    val e0 = emb(s, d)
+    val e = if (spliced) e0.select(col("vec_id"),
+        when(col("vec_id") % 3 === 2,
+          transform(col("embedding").cast("array<double>"),
+            x => x + lit(EmbShift)))
+        .otherwise(col("embedding").cast("array<double>")).as("v"))
+      else e0.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+    e.where(col("vec_id") < 5).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+  }
+
   private def qgAutoStateFor(s: SparkSession, d: String): String =
     qgAutoStateCache.computeIfAbsent(d, _ => {
       val src = annDriftStateFor(s, d, spliced = true)
@@ -3277,19 +3294,10 @@ object PipelineQueries {
     "q_sql_knn_asof" -> ((s, d) => {
       val idx = qgAutoStateFor(s, d)
       val ext = RecQueries.extensionSession(s)
-      def inlineOf(spliced: Boolean): String = {
-        val e0 = emb(s, d)
-        val e = if (spliced) e0.select(col("vec_id"),
-            when(col("vec_id") % 3 === 2,
-              transform(col("embedding").cast("array<double>"),
-                x => x + lit(EmbShift)))
-            .otherwise(col("embedding").cast("array<double>")).as("v"))
-          else e0.select(col("vec_id"),
-            col("embedding").cast("array<double>").as("v"))
-        e.where(col("vec_id") < 5).collect()
-          .map(r => s"${r.getLong(0)}:${r.getSeq[Double](1).mkString(" ")}")
+      def inlineOf(spliced: Boolean): String =
+        qgProbes(s, d, spliced)
+          .map { case (id, v) => s"$id:${v.mkString(" ")}" }
           .mkString("; ")
-      }
       ext.sql(
         s"""SELECT cast(1 AS bigint) AS horizon, query_id, neighbor_id,
            |  cast(rank AS bigint) AS rank, round(cos, 6) AS cos
@@ -3320,6 +3328,104 @@ object PipelineQueries {
            |FROM GRAFT_KNN('$idxBase',
            |  '${annArtifactBase(d)}/asof_centroids_s', '$inline', 10)"""
           .stripMargin)
+    }),
+    // GRAFT_KNN with the query vectors from a SUBQUERY — the paren-balanced
+    // clause capture lets the probe set be any SQL derivation (here: a
+    // filtered projection of the embeddings table), so the SQL-only user
+    // composes retrieval probes the same way they compose any other
+    // relation. Hash-equal to q_sql_knn (identical probe set by
+    // construction) and to the API search path's IVF oracle.
+    "q_sql_knn_subq" -> ((s, d) => {
+      val idxBase = annAsofStateFor(s, d)
+      val ext = RecQueries.extensionSession(s)
+      Tables.read(ext, d, "embeddings").createOrReplaceTempView("knn_probe_src")
+      ext.sql(
+        s"""SELECT query_id, neighbor_id, cast(rank AS bigint) AS rank,
+           |  round(cos, 6) AS cos
+           |FROM GRAFT_KNN('$idxBase',
+           |  '${annArtifactBase(d)}/asof_centroids_s',
+           |  (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
+           |   FROM knn_probe_src WHERE vec_id < 5), 10)""".stripMargin)
+    }),
+    // A GRAFT_* state relation INSIDE a RECOMMEND FROM list: recommendation
+    // serving restricted to the items whose ids survive in the pinned
+    // curation selection — the state-read rewrite and the RECOMMEND rewrite
+    // compose (state clauses lift to placeholder relations FIRST, so the
+    // events-table resolution walks a plain FROM list). The reference's
+    // serving layer cannot express this: its FROM list takes base tables
+    // only (parse_rec.c getEventsTable RangeVar walk).
+    "q_sql_rec_sel" -> ((s, d) => {
+      driftRunFor(s, d) // ensure the shared drift curation state exists
+      val ext = RecQueries.extensionSession(s)
+      val r = Tables.ratings(ext, d)
+      val minUser = r.agg(min(col("userid"))).head().getLong(0)
+      r.createOrReplaceTempView("ml_events")
+      ext.sql(
+        s"""SELECT r.userid, r.itemid, round(r.rating, 6) AS score
+           |FROM ml_events r,
+           |  GRAFT_SELECTION('${curateDriftBase(d)}/state') VERSION AS OF 1 sel
+           |RECOMMEND r.itemid TO r.userid ON r.rating USING itemCosCF
+           |WHERE r.userid = $minUser AND r.itemid = sel.doc_id
+           |ORDER BY round(r.rating, 6) DESC, r.itemid LIMIT 10""".stripMargin)
+    }),
+    // PIN-AWARE RETENTION over curation-selection generations: two copies
+    // of the drift state, one with its wave-0 training version pinned in a
+    // SnapshotManifest, both vacuumed at head. The pinned copy must still
+    // serve horizon 1 (the pin lowered its retention floor to 1, so the
+    // wave-0 generation survived); the unpinned copy serves head from the
+    // drift generation (its superseded wave-0 generation is GONE — the
+    // below-floor error contract is spec-pinned). The oracle re-derives
+    // BOTH selections from scratch: a vacuum that touched the wrong
+    // generation breaks one leg's hash.
+    "p_retention" -> ((s, d) => {
+      driftRunFor(s, d)
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_retention_cur", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      graft.Exec.copyPath(s"${curateDriftBase(d)}/state", s"$base/pinned")
+      graft.Exec.copyPath(s"${curateDriftBase(d)}/state", s"$base/tail")
+      graft.streaming.SnapshotManifest.pin(s, Seq(
+        graft.streaming.SnapshotManifest.Pin("cur", "curate",
+          s"$base/pinned", 1L)), s"$base/manifest")
+      graft.streaming.Retention.vacuumSelections(s, s"$base/pinned",
+        keepFrom = Long.MaxValue, manifestDirs = Seq(s"$base/manifest"))
+      graft.streaming.Retention.vacuumSelections(s, s"$base/tail",
+        keepFrom = Long.MaxValue)
+      graft.streaming.CurateMaintainer.selectionAsOf(s, s"$base/pinned", 1L)
+        .withColumn("leg", lit("pinned_asof1"))
+        .unionByName(
+          graft.streaming.CurateMaintainer.currentSelection(s, s"$base/tail")
+            .withColumn("leg", lit("tail_head")))
+    }),
+    // Retention over QUANTIZER generations: same two-copy protocol on the
+    // qgauto state (bootstrap qg0, post-growth union qg3). The pinned
+    // copy's horizon-1 probe still answers under the bootstrap quantizer;
+    // the unpinned copy (qg0 vacuumed) answers the head probe under the
+    // union generation — both hash-equal to the from-scratch IVF scans.
+    "p_retention_knn" -> ((s, d) => {
+      val src = qgAutoStateFor(s, d)
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_retention_knn", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      graft.Exec.copyPath(src, s"$base/pinned")
+      graft.Exec.copyPath(src, s"$base/tail")
+      graft.streaming.SnapshotManifest.pin(s, Seq(
+        graft.streaming.SnapshotManifest.Pin("q", "quantizer",
+          s"$base/pinned", 1L)), s"$base/manifest")
+      graft.streaming.Retention.vacuumQuantizers(s, s"$base/pinned",
+        keepFrom = Long.MaxValue, manifestDirs = Seq(s"$base/manifest"))
+      graft.streaming.Retention.vacuumQuantizers(s, s"$base/tail",
+        keepFrom = Long.MaxValue)
+      val m = graft.streaming.AnnIndexMaintainer
+      m.searchAsOfAuto(s, s"$base/pinned", qgProbes(s, d, spliced = false),
+          10, asOf = 1L, rankOnRoundedTo = Some(6))
+        .withColumn("horizon", lit(1L))
+        .unionByName(
+          m.searchAsOfAuto(s, s"$base/tail", qgProbes(s, d, spliced = true),
+              10, asOf = 3L, rankOnRoundedTo = Some(6))
+            .withColumn("horizon", lit(3L)))
+        .select(col("horizon"), col("query_id"), col("neighbor_id"),
+          col("rank").cast("bigint").as("rank"), round(col("cos"), 6).as("cos"))
     }),
     // Corpus-relative perplexity filtering: keep the best half by the
     // exact interpolated median of the rounded scores (the way production
@@ -3693,6 +3799,29 @@ object PipelineQueries {
 
   private val curateOracle: String =
     s"""WITH $curateCtesCore,
+      |kept2 AS (
+      |  SELECT p.doc_id, p.avg_nll, len(ct.toks) AS n_tok
+      |  FROM ppl p JOIN ct USING (doc_id) WHERE p.avg_nll <= 3.43
+      |),
+      |$curateSel""".stripMargin
+
+  /** The wave-0 curation generation (what the drift state serves at
+    * horizon 1) — shared by s_curate_asof and the retention gate. */
+  private val curateAsofOracle: String =
+    s"""WITH ${curateCtesFrom(
+      "(SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0)")},
+      |kept2 AS (
+      |  SELECT p.doc_id, p.avg_nll, len(ct.toks) AS n_tok
+      |  FROM ppl p JOIN ct USING (doc_id) WHERE p.avg_nll <= 3.43
+      |),
+      |$curateSel""".stripMargin
+
+  /** The post-drift generation (full corpus, wave-2 splice applied) —
+    * shared by s_curate_drift and the retention gate. */
+  private val curateDriftOracle: String =
+    s"""WITH ${curateCtesFrom(
+      "(SELECT doc_id, CASE WHEN doc_id % 3 = 2 THEN text || '" +
+        DriftPhrase + "' ELSE text END AS text FROM documents)")},
       |kept2 AS (
       |  SELECT p.doc_id, p.avg_nll, len(ct.toks) AS n_tok
       |  FROM ppl p JOIN ct USING (doc_id) WHERE p.avg_nll <= 3.43
@@ -4354,6 +4483,24 @@ object PipelineQueries {
       |    ORDER BY rrf DESC, doc_id) AS rank
       |  FROM f)
       |WHERE rank <= 10)""".stripMargin
+
+  /** Two-horizon probe over the qgauto state: horizon 1 under the
+    * bootstrap quantizer generation / pre-splice rows, horizon 3 under
+    * the post-growth union generation / full spliced corpus — shared by
+    * q_sql_knn_asof (the self-resolving SQL probe) and p_retention_knn
+    * (the same reads after a pin-aware quantizer vacuum). */
+  private lazy val qgAsofOracle: String = Seq(
+    (1L, ivfOracle("retrain_boot_cents", "vec_id % 3 <= 1")),
+    (3L, ivfOracle("qgauto_union_cents", "TRUE",
+      s"""SELECT vec_id, CASE WHEN vec_id % 3 = 2
+         |    THEN list_transform(embedding, x -> CAST(x AS DOUBLE) + $EmbShift)
+         |    ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS v
+         |  FROM embeddings""".stripMargin)))
+    .map { case (h, sql) =>
+      s"""SELECT CAST($h AS BIGINT) AS horizon, t.* FROM (
+         |$sql
+         |) t""".stripMargin }
+    .mkString("", "\nUNION ALL\n", "\nORDER BY horizon, query_id, rank")
 
   private def ivfOracle(centroidsDir: String,
       corpusWhere: String = "TRUE",
@@ -5624,20 +5771,44 @@ object PipelineQueries {
     // same persisted quantizer (full corpus; the statement carried the
     // query vectors itself)
     "q_sql_knn" -> ivfOracle("asof_centroids_s"),
+    // the subquery-probe form names the same probe set (vec_id < 5) by
+    // derivation instead of by value — same IVF scan oracle
+    "q_sql_knn_subq" -> ivfOracle("asof_centroids_s"),
+    // RECOMMEND × GRAFT_SELECTION composition: itemCF serving for the
+    // min user, restricted to item ids present in the wave-0 curation
+    // generation (the selection the drift state serves at batch 1) —
+    // the curate chain re-derived in a scoped subquery so its CTE names
+    // stay independent of the CF chain's
+    "q_sql_rec_sel" ->
+      s"""WITH ${RecQueries.itemCfCte(pearson = false)}
+         |SELECT p.userid, p.itemid, round(coalesce(sc.score, 0), 6) AS score
+         |FROM pairs p
+         |LEFT JOIN scores sc ON p.userid = sc.userid AND p.itemid = sc.itemid
+         |WHERE p.userid = (SELECT min(userid) FROM ratings)
+         |  AND p.itemid IN (
+         |    WITH ${curateCtesFrom(
+               "(SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0)")},
+         |    kept2 AS (
+         |      SELECT p2.doc_id, p2.avg_nll, len(ct.toks) AS n_tok
+         |      FROM ppl p2 JOIN ct USING (doc_id) WHERE p2.avg_nll <= 3.43
+         |    ),
+         |    sel AS (
+         |      SELECT doc_id, avg_nll, n_tok,
+         |        sum(n_tok) OVER (ORDER BY avg_nll, doc_id) AS cum_tok
+         |      FROM kept2
+         |    )
+         |    SELECT doc_id FROM sel WHERE cum_tok <= 6000)
+         |ORDER BY round(coalesce(sc.score, 0), 6) DESC, p.itemid
+         |LIMIT 10""".stripMargin,
     // the self-resolving SQL probe answers exactly like the
     // horizon-resolved API path (same legs, same quantizer generations)
-    "q_sql_knn_asof" -> Seq(
-      (1L, ivfOracle("retrain_boot_cents", "vec_id % 3 <= 1")),
-      (3L, ivfOracle("qgauto_union_cents", "TRUE",
-        s"""SELECT vec_id, CASE WHEN vec_id % 3 = 2
-           |    THEN list_transform(embedding, x -> CAST(x AS DOUBLE) + $EmbShift)
-           |    ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS v
-           |  FROM embeddings""".stripMargin)))
-      .map { case (h, sql) =>
-        s"""SELECT CAST($h AS BIGINT) AS horizon, t.* FROM (
-           |$sql
-           |) t""".stripMargin }
-      .mkString("", "\nUNION ALL\n", "\nORDER BY horizon, query_id, rank"),
+    "q_sql_knn_asof" -> qgAsofOracle,
+    // quantizer-generation retention changes NOTHING at kept horizons:
+    // the pinned copy still serves horizon 1 from the bootstrap
+    // generation (the pin held it through the vacuum), the unpinned
+    // copy serves the head from the union generation — the same two
+    // legs the self-resolving probe pins
+    "p_retention_knn" -> qgAsofOracle,
     // the rebuilt index must answer exactly like a from-scratch IVF scan
     // of the full SPLICED corpus under the retrained persisted quantizer
     "s_knn_retrain" -> ivfOracle("retrain_cents", "TRUE",
@@ -8303,25 +8474,21 @@ object PipelineQueries {
         |$curateSel""".stripMargin,
     // the selection AS OF batch 1 = the wave-0 generation (the hold
     // leg's corpus): one-shot curate over the wave-0 docs alone
-    "s_curate_asof" ->
-      s"""WITH ${curateCtesFrom(
-        "(SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0)")},
-        |kept2 AS (
-        |  SELECT p.doc_id, p.avg_nll, len(ct.toks) AS n_tok
-        |  FROM ppl p JOIN ct USING (doc_id) WHERE p.avg_nll <= 3.43
-        |),
-        |$curateSel""".stripMargin,
+    "s_curate_asof" -> curateAsofOracle,
     // the selection after the threshold-crossing wave = one-shot curate
     // over the FULL corpus with the wave-2 splice applied
-    "s_curate_drift" ->
-      s"""WITH ${curateCtesFrom(
-        "(SELECT doc_id, CASE WHEN doc_id % 3 = 2 THEN text || '" +
-          DriftPhrase + "' ELSE text END AS text FROM documents)")},
-        |kept2 AS (
-        |  SELECT p.doc_id, p.avg_nll, len(ct.toks) AS n_tok
-        |  FROM ppl p JOIN ct USING (doc_id) WHERE p.avg_nll <= 3.43
-        |),
-        |$curateSel""".stripMargin,
+    "s_curate_drift" -> curateDriftOracle,
+    // post-vacuum reads change NOTHING at kept horizons: the pinned
+    // copy's as-of-1 read is still the wave-0 generation, the
+    // unpinned copy's head read is still the drift generation
+    "p_retention" ->
+      s"""SELECT t.*, 'pinned_asof1' AS leg FROM (
+         |$curateAsofOracle
+         |) t
+         |UNION ALL
+         |SELECT t.*, 'tail_head' AS leg FROM (
+         |$curateDriftOracle
+         |) t""".stripMargin,
     "q_sql_curate" -> curateOracle,
     // the SQL time-travel relation must reproduce the API as-of read
     // (same from-scratch derivation as s_shard_asof)

@@ -374,7 +374,7 @@ object RecQueries {
   /** itemCF scoring over an item model: sym sweep + Σ|sim| normalization +
     * all-pairs expansion with 0 for no-neighbor items.
     */
-  private def itemCfCte(pearson: Boolean): String =
+  private[graft] def itemCfCte(pearson: Boolean): String =
     s"""${simCte("item", pearson)},
        |sym AS (
        |  SELECT item1 AS i, item2 AS j, s FROM model

@@ -213,6 +213,9 @@ object GraftSql {
     *   GRAFT_KNN('<indexDir>', '<centroids parquet>',
     *             '<id>:<v1> <v2> ...; <id>:...', k)   (inline vectors —
     *                                          no pre-registered view)
+    *   GRAFT_KNN('<indexDir>', '<centroids parquet>',
+    *             (SELECT id, vec FROM ...), k)   (subquery vectors — may
+    *                                          itself read GRAFT_* state)
     *   GRAFT_KNN('<indexDir>', 'auto', ...)   (quantizer resolved from
     *                                          the state's qg<batch>/
     *                                          generations at the horizon)
@@ -512,22 +515,45 @@ object GraftSql {
     * events entry, register the spec, splice the placeholder into the FROM
     * list. Returns None when the statement carries no RECOMMEND clause.
     */
-  private[sql] val StateReadRe =
-    ("""(?is)\bGRAFT_(SHARDS|BM25|KNN|SELECTION|SNAPSHOT)\s*\(([^()]*)\)""" +
-      """(?:\s+VERSION\s+AS\s+OF\s+(-?\d+))?""").r
+  private[sql] val StateReadStartRe =
+    """(?is)\bGRAFT_(SHARDS|BM25|KNN|SELECTION|SNAPSHOT)\s*\(""".r
+  private val VersionAsOfRe = """(?is)^\s*VERSION\s+AS\s+OF\s+(-?\d+)""".r
 
-  /** Split a GRAFT_* argument list on top-level commas (quoted regions
-    * opaque), stripping surrounding single quotes from string arguments.
+  /** Index just past the ')' matching the '(' at `open` in LENGTH-PRESERVING
+    * masked text (quoted regions already blanked, so parens inside string
+    * literals never count). -1 when unbalanced — the clause then falls
+    * through to the delegate parser, which reports its own error.
+    */
+  private def matchingParenEnd(masked: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    while (i < masked.length) {
+      val c = masked.charAt(i)
+      if (c == '(') depth += 1
+      else if (c == ')') { depth -= 1; if (depth == 0) return i + 1 }
+      i += 1
+    }
+    -1
+  }
+
+  /** Split a GRAFT_* argument list on top-level commas (quoted regions and
+    * parenthesized subexpressions opaque), stripping surrounding single
+    * quotes from string arguments. A parenthesized argument — a subquery —
+    * survives verbatim, parens included.
     */
   private def splitArgs(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var quote: Char = 0
+    var depth = 0
     s.foreach { ch =>
       if (quote == 0 && (ch == '\'' || ch == '"')) { quote = ch; cur += ch }
       else if (quote != 0 && ch == quote) { quote = 0; cur += ch }
-      else if (quote == 0 && ch == ',') { out += cur.toString; cur.clear() }
-      else cur += ch
+      else if (quote == 0 && ch == '(') { depth += 1; cur += ch }
+      else if (quote == 0 && ch == ')') { depth -= 1; cur += ch }
+      else if (quote == 0 && depth == 0 && ch == ',') {
+        out += cur.toString; cur.clear()
+      } else cur += ch
     }
     if (cur.nonEmpty) out += cur.toString
     out.toSeq.map(_.trim).map { a =>
@@ -550,15 +576,24 @@ object GraftSql {
     var continue = true
     while (continue) {
       val masked = maskQuoted(text)
-      StateReadRe.findFirstMatchIn(masked) match {
+      StateReadStartRe.findFirstMatchIn(masked) match {
         case None => continue = false
         case Some(m) =>
-          val kind = m.group(1).toLowerCase
-          val args = splitArgs(text.substring(m.start(2), m.end(2)))
-          val asOf = Option(m.group(3)).map(_.toLong)
-          val placeholder = registerSpec(StateReadSpec(kind, args, asOf))
-          text = text.substring(0, m.start) + placeholder +
-            text.substring(m.end)
+          // paren-balanced capture so a subquery argument — e.g.
+          // GRAFT_KNN(..., (SELECT id, vec FROM q), k) — survives whole
+          val argsEnd = matchingParenEnd(masked, m.end - 1)
+          if (argsEnd < 0) continue = false
+          else {
+            val kind = m.group(1).toLowerCase
+            val args = splitArgs(text.substring(m.end, argsEnd - 1))
+            val tail = masked.substring(argsEnd)
+            val ver = VersionAsOfRe.findFirstMatchIn(tail)
+            val asOf = ver.map(_.group(1).toLong)
+            val clauseEnd = argsEnd + ver.map(_.end).getOrElse(0)
+            val placeholder = registerSpec(StateReadSpec(kind, args, asOf))
+            text = text.substring(0, m.start) + placeholder +
+              text.substring(clauseEnd)
+          }
       }
     }
     text
@@ -704,12 +739,27 @@ object GraftSql {
                   s.asOf.getOrElse(Long.MaxValue))
               else graft.ops.Ann.ivfCentroidsFromDf(
                 session.read.parquet(centsDir))
-            // query vectors: INLINE literal ('id:v1 v2 ...; id:...') —
-            // self-contained SQL, no pre-registered view needed — or a
-            // view/table name with (id, vector) columns. A ':' marks the
-            // inline form (it cannot appear in a relation identifier).
+            // query vectors: a parenthesized SUBQUERY producing (id,
+            // vector) rows — runs through session.sql, so it may itself
+            // read GRAFT_* relations — or an INLINE literal
+            // ('id:v1 v2 ...; id:...'), or a view/table name with (id,
+            // vector) columns. '(' marks the subquery form; a ':' marks
+            // the inline form (neither can appear in a relation
+            // identifier).
+            def vecRows(qdf: org.apache.spark.sql.DataFrame,
+                what: String): Seq[(Long, Array[Double])] = {
+              val qc = qdf.columns
+              require(qc.length >= 2,
+                s"GRAFT_KNN $what must have (id, vector) columns")
+              qdf.select(col(qc(0)).cast("long"),
+                  col(qc(1)).cast("array<double>")).collect()
+                .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+            }
             val qv: Seq[(Long, Array[Double])] =
-              if (q.contains(":"))
+              if (q.startsWith("("))
+                vecRows(session.sql(q.substring(1, q.length - 1)),
+                  s"subquery '$q'")
+              else if (q.contains(":"))
                 q.split(";").toSeq.map(_.trim).filter(_.nonEmpty).map { e =>
                   val parts = e.split(":", 2)
                   require(parts.length == 2 && parts(1).trim.nonEmpty,
@@ -718,22 +768,14 @@ object GraftSql {
                   (parts(0).trim.toLong,
                     parts(1).trim.split("\\s+").map(_.toDouble))
                 }
-              else {
-                val qdf = session.table(q)
-                val qc = qdf.columns
-                require(qc.length >= 2,
-                  s"GRAFT_KNN query view '$q' must have (id, vector) columns")
-                qdf.select(col(qc(0)).cast("long"),
-                    col(qc(1)).cast("array<double>")).collect()
-                  .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
-              }
+              else vecRows(session.table(q), s"query view '$q'")
             s.asOf.map(v => AnnIndexMaintainer.searchAsOf(session, idxDir,
                 cents, qv, k.toInt, asOf = v, rankOnRoundedTo = Some(6)))
               .getOrElse(AnnIndexMaintainer.search(session, idxDir, cents,
                 qv, k.toInt, rankOnRoundedTo = Some(6)))
           case ("knn", _) =>
             wrongArgs("('<indexDir>', '<centroids parquet>', " +
-              "<queryView> | '<id>:<v1> <v2> ...; ...', k)")
+              "<queryView> | '<id>:<v1> <v2> ...; ...' | (SELECT ...), k)")
           case ("snapshot", Seq(mdir, state)) =>
             require(s.asOf.isEmpty,
               "GRAFT_SNAPSHOT: the horizon comes from the pinned manifest; " +

@@ -314,8 +314,11 @@ object AnnIndexMaintainer {
       asOf: Long): Array[Array[Double]] = {
     val gens = BatchDirs.listDirs(indexDir, "qg").filter(_._1 <= asOf)
     require(gens.nonEmpty,
-      s"no quantizer generation at or below batch $asOf in $indexDir " +
-        "(persistCentroids had not run at that horizon)")
+      Retention.belowFloorMsg(Retention.quantizerMarker(indexDir), asOf,
+          s"quantizer horizon in $indexDir")
+        .getOrElse(
+          s"no quantizer generation at or below batch $asOf in $indexDir " +
+            "(persistCentroids had not run at that horizon)"))
     Ann.ivfCentroidsFromDf(spark.read.parquet(gens.last._2))
   }
 

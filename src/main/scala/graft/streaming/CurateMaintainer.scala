@@ -251,8 +251,11 @@ object CurateMaintainer {
     val gens = BatchDirs.listDirs(s"$stateDir/selection", "s")
       .filter(_._1 <= asOf)
     require(gens.nonEmpty,
-      s"no selection generation at or below batch $asOf in $stateDir " +
-        "(the first firing had not happened at that horizon)")
+      Retention.belowFloorMsg(Retention.selectionMarker(stateDir), asOf,
+          s"selection horizon in $stateDir")
+        .getOrElse(
+          s"no selection generation at or below batch $asOf in $stateDir " +
+            "(the first firing had not happened at that horizon)"))
     val dir = gens.last._2
     spark.catalog.refreshByPath(dir)
     spark.read.parquet(dir)

@@ -1,0 +1,140 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+
+/** PIN-AWARE RETENTION for generation-family state artifacts — the GC face
+  * of the version axis. The generation states are APPEND-ONLY (curation
+  * selections `selection/s<b>`, quantizer generations `qg<b>`): every
+  * horizon read resolves to the newest generation at or below it, so the
+  * generations strictly below the one serving the oldest horizon anyone
+  * can still name are dead weight. At 100 TB that weight is corpus-sized —
+  * each selection generation is a full copy of the served id set; a
+  * year of drift-triggered firings is a year of copies — so retention is
+  * a first-class maintenance op, not a shell script.
+  *
+  * [[vacuumSelections]] / [[vacuumQuantizers]] drop every generation
+  * SUPERSEDED at the retention floor: the newest generation ≤ floor is
+  * KEPT (it serves every horizon in [floor, next generation)), so no
+  * read at or above the floor changes — hash-equal before and after,
+  * which is what the p_retention gates pin.
+  *
+  * The floor is the caller's `keepFrom` LOWERED to the oldest horizon any
+  * supplied [[SnapshotManifest]] pins on the same state dir: a pin is a
+  * durable promise that horizon stays serveable (the seal contract
+  * [[SnapshotManifest.verify]] audits), so a vacuum can never break a
+  * pinned training-run version. A manifest dir that does not exist FAILS
+  * the vacuum (through [[SnapshotManifest.pins]]'s own error) — deleting
+  * history because the pin file was misplaced is the disaster case, so
+  * the job is fail-safe, never fail-open.
+  *
+  * Reads BELOW the floor fail with an explicit retention error, never
+  * silently-wrong history: the vacuum leaves a `_retfloor` marker (text
+  * file, temp-write + rename, floors only ever rise) that
+  * [[CurateMaintainer.selectionAsOf]] / [[AnnIndexMaintainer.centroidsAsOf]]
+  * consult when no generation resolves — the reader then reports "below
+  * the retention floor" instead of the misleading "state never fired".
+  * Crash discipline: the marker commits BEFORE any generation is dropped,
+  * so a crash mid-vacuum leaves readers already told why below-floor
+  * horizons are gone, and a re-run completes the drop idempotently.
+  *
+  * The reference has no version axis at all (its models are overwritten
+  * in place — recathon.c's UPDATE of the recathonmodels catalog row);
+  * retention is part of the beyond-reference lifecycle surface.
+  */
+object Retention {
+
+  private[streaming] def selectionMarker(stateDir: String): String =
+    new java.io.File(new java.io.File(stateDir, "selection"),
+      "_retfloor").getPath
+
+  private[streaming] def quantizerMarker(indexDir: String): String =
+    new java.io.File(indexDir, "_qg_retfloor").getPath
+
+  /** The committed retention floor, if a vacuum ever ran here. */
+  def readFloor(markerPath: String): Option[Long] = {
+    val f = new java.io.File(markerPath)
+    if (!f.isFile) None
+    else {
+      val src = scala.io.Source.fromFile(f)
+      try Some(src.mkString.trim.toLong) finally src.close()
+    }
+  }
+
+  /** Floors only rise: a later vacuum with a lower effective floor (more
+    * pins) drops nothing new and must not UNDERSTATE what an earlier
+    * vacuum already removed. */
+  private def writeFloor(markerPath: String, floor: Long): Unit = {
+    val committed = readFloor(markerPath).getOrElse(Long.MinValue)
+    if (floor > committed) {
+      val tmp = new java.io.File(markerPath + ".tmp")
+      graft.Exec.deletePath(tmp.getPath)
+      val w = new java.io.PrintWriter(tmp)
+      try w.print(floor.toString) finally w.close()
+      val dest = new java.io.File(markerPath)
+      graft.Exec.deletePath(dest.getPath) // single-file swap; tmp is complete
+      require(tmp.renameTo(dest), s"retention marker commit failed: $dest")
+    }
+  }
+
+  /** `keepFrom` lowered to the oldest horizon any supplied manifest pins
+    * on `stateDir` with one of the `kinds` — the effective retention
+    * floor. Paths compare canonically (a pin written with a relative or
+    * symlinked path still protects the state). */
+  private[streaming] def floorFor(spark: SparkSession, stateDir: String,
+      keepFrom: Long, manifestDirs: Seq[String],
+      kinds: Set[String]): Long = {
+    val canon = new java.io.File(stateDir).getCanonicalPath
+    val pinned = manifestDirs
+      .flatMap(m => SnapshotManifest.pins(spark, m))
+      .filter(p => kinds.contains(p.kind) &&
+        new java.io.File(p.dir).getCanonicalPath == canon)
+      .map(_.asOf)
+    (keepFrom +: pinned).min
+  }
+
+  /** Drop the generations strictly below the one serving `floor`; commit
+    * the floor marker first. Returns the dropped generation ids. */
+  private def vacuumGens(gensDir: String, prefix: String, floor: Long,
+      markerPath: String): Seq[Long] = {
+    val gens = BatchDirs.listDirs(gensDir, prefix)
+    val serving = gens.filter(_._1 <= floor).lastOption
+    val drop = serving.toSeq.flatMap(sv => gens.filter(_._1 < sv._1))
+    if (drop.nonEmpty) {
+      writeFloor(markerPath, floor)
+      drop.foreach(g => graft.Exec.deletePath(g._2))
+    }
+    drop.map(_._1)
+  }
+
+  /** Vacuum a curation state's selection generations. Pins of kind
+    * `curate` on this state dir hold the floor down. */
+  def vacuumSelections(spark: SparkSession, stateDir: String,
+      keepFrom: Long, manifestDirs: Seq[String] = Nil): Seq[Long] =
+    vacuumGens(new java.io.File(stateDir, "selection").getPath, "s",
+      floorFor(spark, stateDir, keepFrom, manifestDirs, Set("curate")),
+      selectionMarker(stateDir))
+
+  /** Vacuum an ANN state's quantizer generations (`qg<b>/`). Pins of kind
+    * `quantizer` OR `ann` on this index dir hold the floor down — a
+    * pinned row horizon implies the reproducibility audit will also ask
+    * for the quantizer serving then ([[AnnIndexMaintainer.centroidsAsOf]]),
+    * so both kinds protect the generations. The index ROWS are untouched:
+    * batch/growth dirs carry live data at every horizon and belong to the
+    * compaction/seal lifecycle, not generation retention. */
+  def vacuumQuantizers(spark: SparkSession, indexDir: String,
+      keepFrom: Long, manifestDirs: Seq[String] = Nil): Seq[Long] =
+    vacuumGens(indexDir, "qg",
+      floorFor(spark, indexDir, keepFrom, manifestDirs,
+        Set("quantizer", "ann")),
+      quantizerMarker(indexDir))
+
+  /** The reader-side error hook: when no generation resolves at `asOf`,
+    * report the retention floor if one explains it; otherwise fall back
+    * to the state's own "never fired at that horizon" message. */
+  private[streaming] def belowFloorMsg(markerPath: String, asOf: Long,
+      what: String): Option[String] =
+    readFloor(markerPath).filter(_ > asOf).map(floor =>
+      s"$what at batch $asOf is below the retention floor $floor " +
+        "(generations vacuumed; pin horizons in a SnapshotManifest " +
+        "BEFORE vacuuming to keep them serveable)")
+}

@@ -1,0 +1,187 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.streaming.{AnnIndexMaintainer, CurateMaintainer, Retention,
+  SnapshotManifest}
+
+/** Specs for the round-18 additions: pin-aware generation retention
+  * (selection + quantizer vacuum, floor markers, fail-safe manifest
+  * handling, reader-side below-floor errors) and the paren-balanced
+  * GRAFT_* clause capture (subquery query-vector form).
+  */
+class Round18OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  // passes every gopher rule (the Round16OpsSpec fixture)
+  private def doc(id: Long, extra: String) = (id,
+    "the quick brown fox jumps over a lazy dog while many other animals " +
+      "watch quietly from the tall grass near slowly running water today " +
+      extra)
+
+  /** A drift-curated state with two selection generations (s0, s2). */
+  private def twoGenState(): (String, Seq[String], Seq[String]) = {
+    val dir = tmp("ret")
+    val w0 = Seq(doc(6L, "alpha beta"), doc(9L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val w1 = Seq(doc(11L, "alpha gamma"), doc(17L, "beta delta"))
+      .toDF("doc_id", "text")
+    val w2 = Seq(doc(2L, ("zz " * 30).trim), doc(5L, ("qq " * 30).trim))
+      .toDF("doc_id", "text")
+    CurateMaintainer.processBatchDriftTriggered(w0, w0, 0L, "doc_id",
+      "text", 30, dir, klThreshold = 0.05, pplKeepBelow = 1000.0)
+    val sel0 = CurateMaintainer.currentSelection(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    CurateMaintainer.processBatchDriftTriggered(w1, w0.unionByName(w1), 1L,
+      "doc_id", "text", 30, dir, klThreshold = 0.05, pplKeepBelow = 1000.0)
+    val all = w0.unionByName(w1).unionByName(w2)
+    CurateMaintainer.processBatchDriftTriggered(w2, all, 2L, "doc_id",
+      "text", 30, dir, klThreshold = 0.05, pplKeepBelow = 1000.0)
+    val sel2 = CurateMaintainer.currentSelection(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    (dir, sel0, sel2)
+  }
+
+  private def gens(dir: String): Seq[Long] =
+    Option(new java.io.File(dir, "selection").listFiles()).toSeq.flatten
+      .filter(_.isDirectory)
+      .flatMap(_.getName.stripPrefix("s").toLongOption).sorted
+
+  // ------------------------------------------ selection retention
+
+  test("vacuumSelections: superseded generations drop, kept horizons " +
+      "read unchanged, below-floor horizons fail with the retention error") {
+    val (dir, _, sel2) = twoGenState()
+    gens(dir) shouldBe Seq(0L, 2L)
+    Retention.vacuumSelections(spark, dir, keepFrom = 2L) shouldBe Seq(0L)
+    gens(dir) shouldBe Seq(2L)
+    CurateMaintainer.currentSelection(spark, dir)
+      .collect().map(_.toString).sorted.toSeq shouldBe sel2
+    CurateMaintainer.selectionAsOf(spark, dir, 2L)
+      .collect().map(_.toString).sorted.toSeq shouldBe sel2
+    val e = intercept[IllegalArgumentException] {
+      CurateMaintainer.selectionAsOf(spark, dir, 1L)
+    }
+    e.getMessage should include("below the retention floor 2")
+    // idempotent re-run: nothing left to drop
+    Retention.vacuumSelections(spark, dir, keepFrom = 2L) shouldBe empty
+  }
+
+  test("vacuumSelections: the generation SERVING the floor is kept — " +
+      "a floor between generations drops nothing below its server") {
+    val (dir, sel0, _) = twoGenState()
+    // floor 1 is served by s0, so s0 must survive
+    Retention.vacuumSelections(spark, dir, keepFrom = 1L) shouldBe empty
+    gens(dir) shouldBe Seq(0L, 2L)
+    CurateMaintainer.selectionAsOf(spark, dir, 0L)
+      .collect().map(_.toString).sorted.toSeq shouldBe sel0
+  }
+
+  test("a SnapshotManifest pin lowers the floor: the pinned training " +
+      "version survives a head-floor vacuum and verify stays green; " +
+      "an unpinned vacuum then breaks exactly that contract visibly") {
+    val (dir, sel0, _) = twoGenState()
+    val mdir = tmp("retman") + "/manifest"
+    SnapshotManifest.pin(spark,
+      Seq(SnapshotManifest.Pin("cur", "curate", dir, 0L)), mdir)
+    Retention.vacuumSelections(spark, dir, keepFrom = Long.MaxValue,
+      manifestDirs = Seq(mdir)) shouldBe empty
+    gens(dir) shouldBe Seq(0L, 2L)
+    CurateMaintainer.selectionAsOf(spark, dir, 0L)
+      .collect().map(_.toString).sorted.toSeq shouldBe sel0
+    SnapshotManifest.verify(spark, mdir)
+      .collect().forall(_.getBoolean(3)) shouldBe true
+    // the operator who vacuums WITHOUT naming the manifest loses the
+    // pinned version — and verify says so instead of serving wrong data
+    Retention.vacuumSelections(spark, dir,
+      keepFrom = Long.MaxValue) shouldBe Seq(0L)
+    val audit = SnapshotManifest.verify(spark, mdir).collect().head
+    audit.getBoolean(3) shouldBe false
+    audit.getString(4) should include("below the retention floor")
+    // and re-pinning the lost horizon fails AT PIN TIME
+    val e = intercept[IllegalArgumentException] {
+      SnapshotManifest.pin(spark,
+        Seq(SnapshotManifest.Pin("cur2", "curate", dir, 0L)),
+        tmp("retman2") + "/manifest")
+    }
+    e.getMessage should include("below the retention floor")
+  }
+
+  test("vacuum is fail-safe: a missing manifest dir FAILS the vacuum " +
+      "instead of silently widening the floor") {
+    val (dir, _, _) = twoGenState()
+    val e = intercept[IllegalArgumentException] {
+      Retention.vacuumSelections(spark, dir, keepFrom = Long.MaxValue,
+        manifestDirs = Seq(tmp("nomanifest") + "/missing"))
+    }
+    e.getMessage should include("no manifest")
+    gens(dir) shouldBe Seq(0L, 2L) // nothing was dropped
+  }
+
+  test("retention floors only rise, and a crash-leftover marker temp " +
+      "file is never read as a floor") {
+    val (dir, _, _) = twoGenState()
+    Retention.vacuumSelections(spark, dir, keepFrom = 2L) shouldBe Seq(0L)
+    val marker = s"$dir/selection/_retfloor"
+    Retention.readFloor(marker) shouldBe Some(2L)
+    // a later lower-floor vacuum drops nothing and must not LOWER the
+    // committed floor (it would understate what is already gone)
+    Retention.vacuumSelections(spark, dir, keepFrom = 0L) shouldBe empty
+    Retention.readFloor(marker) shouldBe Some(2L)
+    // a crash between the marker temp-write and its rename leaves only
+    // an ignored .tmp — readers still see the committed floor
+    val w = new java.io.PrintWriter(marker + ".tmp")
+    try w.print("99") finally w.close()
+    Retention.readFloor(marker) shouldBe Some(2L)
+  }
+
+  // ------------------------------------------ quantizer retention
+
+  private val cents2 = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+
+  private def vecs(ids: Seq[Long]) =
+    ids.map(i => (i, Seq(
+      (if (i % 2 == 0) 1.0 else 0.0) + 0.01 * (i % 3),
+      if (i % 2 == 0) 0.0 else 1.0)))
+      .toDF("vec_id", "embedding")
+
+  private def twoGenAnnState(): String = {
+    val dir = tmp("retq")
+    AnnIndexMaintainer.processBatch(vecs(0L to 9L), 0L, "vec_id",
+      "embedding", cents2, dir)
+    AnnIndexMaintainer.persistCentroids(spark, dir, 0L,
+      Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0))).toDF("cid", "c"))
+    AnnIndexMaintainer.processBatch(vecs(10L to 14L), 1L, "vec_id",
+      "embedding", cents2, dir)
+    AnnIndexMaintainer.persistCentroids(spark, dir, 1L,
+      Seq((0, Seq(0.9, 0.1)), (1, Seq(0.1, 0.9))).toDF("cid", "c"))
+    dir
+  }
+
+  test("vacuumQuantizers: the superseded generation drops, the horizon " +
+      "it served fails with the retention error, kept horizons resolve " +
+      "the surviving generation") {
+    val dir = twoGenAnnState()
+    Retention.vacuumQuantizers(spark, dir, keepFrom = 1L) shouldBe Seq(0L)
+    AnnIndexMaintainer.centroidsAsOf(spark, dir, 1L).head.head shouldBe
+      0.9 +- 1e-12
+    val e = intercept[IllegalArgumentException] {
+      AnnIndexMaintainer.centroidsAsOf(spark, dir, 0L)
+    }
+    e.getMessage should include("below the retention floor 1")
+  }
+
+  test("a pin of kind 'ann' (rows) ALSO protects the quantizer " +
+      "generations — a pinned row horizon implies its quantizer audit") {
+    val dir = twoGenAnnState()
+    val mdir = tmp("retqman") + "/manifest"
+    SnapshotManifest.pin(spark,
+      Seq(SnapshotManifest.Pin("idx", "ann", dir, 0L, "vec_id")), mdir)
+    Retention.vacuumQuantizers(spark, dir, keepFrom = Long.MaxValue,
+      manifestDirs = Seq(mdir)) shouldBe empty
+    AnnIndexMaintainer.centroidsAsOf(spark, dir, 0L).head.head shouldBe
+      1.0 +- 1e-12
+  }
+}

@@ -531,6 +531,66 @@ class SqlSurfaceSpec extends SparkSpec with BeforeAndAfterAll {
     e.getMessage should include("no selection generation")
   }
 
+  test("GRAFT_KNN subquery query vectors: the paren-balanced clause " +
+      "capture takes nested parens and quoted parens/commas whole, the " +
+      "subquery form equals the view form, and a trailing VERSION AS OF " +
+      "still binds") {
+    val sq = ext
+    import sq.implicits._
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val idx = Files.createTempDirectory("sqlknnsub").toString
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val vecs = (0L to 9L).map(i => (i, Seq(
+      (if (i % 2 == 0) 1.0 else 0.0) + 0.01 * i,
+      (if (i % 2 == 0) 0.0 else 1.0))))
+      .toDF("vec_id", "embedding")
+    (0 until 2).foreach { g =>
+      graft.streaming.AnnIndexMaintainer.processBatch(
+        vecs.where(org.apache.spark.sql.functions.col("vec_id") % 2 === g),
+        g.toLong, "vec_id", "embedding", cents, idx)
+    }
+    val centsDir = Files.createTempDirectory("sqlcentssub").toString + "/c"
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cid", "c").coalesce(1).write.parquet(centsDir)
+    vecs.createOrReplaceTempView("knn_sub_src")
+    vecs.where(org.apache.spark.sql.functions.col("vec_id") < 2)
+      .createOrReplaceTempView("knn_sub_view")
+    // nested function parens AND a quoted ')' / ',' inside the subquery
+    val subq = "(SELECT vec_id, embedding FROM knn_sub_src " +
+      "WHERE vec_id < greatest(2, 1) AND ')x,' <> '(')"
+    rowsOf(ext.sql(
+      s"SELECT * FROM GRAFT_KNN('$idx', '$centsDir', $subq, 3)")) shouldBe
+      rowsOf(ext.sql(
+        s"SELECT * FROM GRAFT_KNN('$idx', '$centsDir', knn_sub_view, 3)"))
+    rowsOf(ext.sql(
+      s"SELECT * FROM GRAFT_KNN('$idx', '$centsDir', $subq, 3) " +
+        "VERSION AS OF 0")) shouldBe
+      rowsOf(ext.sql(
+        s"SELECT * FROM GRAFT_KNN('$idx', '$centsDir', knn_sub_view, 3) " +
+          "VERSION AS OF 0"))
+  }
+
+  test("rewriteStateReads: the balanced capture registers the subquery " +
+      "argument VERBATIM, consumes the trailing version clause, and " +
+      "leaves unbalanced text for the delegate parser") {
+    val rewritten = GraftSql.rewriteStateReads(
+      "SELECT * FROM GRAFT_KNN('d', 'c', " +
+        "(SELECT a, f(x, (y)) FROM t WHERE s = 'a)b'), 7) VERSION AS OF 3")
+    rewritten should not include "VERSION"
+    rewritten should not include "GRAFT_KNN"
+    val ph = "graft_rec_\\w+".r.findFirstIn(rewritten).get
+    val spec = GraftSql.lookupSpec(ph).get
+      .asInstanceOf[GraftSql.StateReadSpec]
+    spec.kind shouldBe "knn"
+    spec.args shouldBe Seq("d", "c",
+      "(SELECT a, f(x, (y)) FROM t WHERE s = 'a)b')", "7")
+    spec.asOf shouldBe Some(3L)
+    // unbalanced: no rewrite — the delegate reports its own syntax error
+    val bad = "SELECT * FROM GRAFT_KNN('d', (SELECT"
+    GraftSql.rewriteStateReads(bad) shouldBe bad
+  }
+
   test("GRAFT_SNAPSHOT: reads the pinned manifest's horizon; a VERSION " +
       "clause is rejected (the pin IS the version)") {
     val sq = ext
