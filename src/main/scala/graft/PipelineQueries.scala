@@ -3427,6 +3427,38 @@ object PipelineQueries {
         .select(col("horizon"), col("query_id"), col("neighbor_id"),
           col("rank").cast("bigint").as("rank"), round(col("cos"), 6).as("cos"))
     }),
+    // RETENTION IN THE CLOSED MAINTENANCE LOOP: the planner's
+    // stale_generations metric (the pin-aware dry run) decides `vacuum`,
+    // the executor runs the vacuum with the SAME keepFrom/manifests the
+    // metric measured with, and the post sweep proves zero stale
+    // history. Two copies of the drift curation state: the pinned one
+    // (its wave-0 training version held by a SnapshotManifest) measures
+    // 0 stale and never fires; the unpinned one measures its superseded
+    // generation count, fires, and is clean after. The oracle re-derives
+    // the generation COUNTS from the drift-trigger semantics themselves
+    // (the same three KL computations the state fired on), so a fixture
+    // that fired differently — or a dry run that miscounts — hash-fails.
+    "s_maint_vacuum" -> ((s, d) => {
+      import graft.streaming.MaintenancePlanner
+      import graft.streaming.MaintenancePlanner.RetentionSpec
+      driftRunFor(s, d)
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_maint_vac", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      graft.Exec.copyPath(s"${curateDriftBase(d)}/state", s"$base/pinned")
+      graft.Exec.copyPath(s"${curateDriftBase(d)}/state", s"$base/tail")
+      graft.streaming.SnapshotManifest.pin(s, Seq(
+        graft.streaming.SnapshotManifest.Pin("cur", "curate",
+          s"$base/pinned", 1L)), s"$base/manifest")
+      val (table, _) = MaintenancePlanner.execute(s, Seq(
+        RetentionSpec("sel_pinned", s"$base/pinned", 1.0, "selection",
+          manifestDirs = Seq(s"$base/manifest")),
+        RetentionSpec("sel_tail", s"$base/tail", 1.0, "selection")))
+      table.select(col("phase"), col("state"), col("metric"),
+          round(col("value"), 6).as("value"), col("threshold"),
+          col("decision"))
+        .orderBy(col("phase").desc, col("state"))
+    }),
     // Corpus-relative perplexity filtering: keep the best half by the
     // exact interpolated median of the rounded scores (the way production
     // filters are specified — a budget, not a constant).
@@ -3804,6 +3836,38 @@ object PipelineQueries {
       |  FROM ppl p JOIN ct USING (doc_id) WHERE p.avg_nll <= 3.43
       |),
       |$curateSel""".stripMargin
+
+  /** One Laplace-smoothed KL(new‖old) computation over word frequencies
+    * (the [[graft.ops.Corpus.klTotal]] statistic) as a CTE block ending
+    * in `<p>kl(v)` — instantiated per (old, new) corpus pair by the
+    * retention-loop oracle, which re-derives WHICH waves the drift
+    * trigger fired on. `oldSrc`/`newSrc` supply `text` rows. */
+  private def klCtes(p: String, oldSrc: String, newSrc: String): String =
+    s"""${p}wO AS (
+       |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+       |  FROM ($oldSrc)
+       |),
+       |${p}wN AS (
+       |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+       |  FROM ($newSrc)
+       |),
+       |${p}cO AS (SELECT word, count(*) AS n_old FROM ${p}wO GROUP BY 1),
+       |${p}cN AS (SELECT word, count(*) AS n_new FROM ${p}wN GROUP BY 1),
+       |${p}u AS (
+       |  SELECT coalesce(${p}cO.n_old, 0) AS n_old,
+       |    coalesce(${p}cN.n_new, 0) AS n_new
+       |  FROM ${p}cO FULL JOIN ${p}cN ON ${p}cO.word = ${p}cN.word
+       |),
+       |${p}t AS (
+       |  SELECT sum(n_old) AS so, sum(n_new) AS sn, count(*) AS nv
+       |  FROM ${p}u
+       |),
+       |${p}kl AS (
+       |  SELECT sum(((n_new + 1.0)/(t.sn + t.nv)) *
+       |    ln(((n_new + 1.0)/(t.sn + t.nv))
+       |      / ((n_old + 1.0)/(t.so + t.nv)))) AS v
+       |  FROM ${p}u CROSS JOIN ${p}t t
+       |)""".stripMargin
 
   /** The wave-0 curation generation (what the drift state serves at
     * horizon 1) — shared by s_curate_asof and the retention gate. */
@@ -8489,6 +8553,52 @@ object PipelineQueries {
          |SELECT t.*, 'tail_head' AS leg FROM (
          |$curateDriftOracle
          |) t""".stripMargin,
+    // the retention loop's plan table: the oracle replays the drift
+    // trigger (fire at 0 unconditionally; at 1/2 iff the cumulative-KL
+    // crossed 0.05, with the baseline advancing on a firing) to derive
+    // how many generations exist, hence how many are stale at each
+    // copy's floor (the pin holds the pinned copy's floor at 1); post
+    // rows are 0 by the vacuum's contract
+    "s_maint_vacuum" -> {
+      val docs0 = "SELECT text FROM documents WHERE doc_id % 3 = 0"
+      val docs01 = "SELECT text FROM documents WHERE doc_id % 3 <= 1"
+      val docsAll = "SELECT CASE WHEN doc_id % 3 = 2 THEN text || '" +
+        DriftPhrase + "' ELSE text END AS text FROM documents"
+      s"""WITH ${klCtes("rv01_", docs0, docs01)},
+         |${klCtes("rv02_", docs0, docsAll)},
+         |${klCtes("rv12_", docs01, docsAll)},
+         |rv_f AS (
+         |  SELECT f1,
+         |    (CASE WHEN f1 THEN (SELECT v FROM rv12_kl)
+         |          ELSE (SELECT v FROM rv02_kl) END) >= 0.05 AS f2
+         |  FROM (SELECT (SELECT v FROM rv01_kl) >= 0.05 AS f1)
+         |),
+         |rv_n AS (
+         |  SELECT (CASE WHEN f1 THEN 1 ELSE 0 END) +
+         |      (CASE WHEN f2 THEN 1 ELSE 0 END) AS stale_tail,
+         |    CASE WHEN f1 THEN 1 ELSE 0 END AS stale_pinned
+         |  FROM rv_f
+         |),
+         |rv_rows AS (
+         |  SELECT 'pre' AS phase, 'sel_pinned' AS state,
+         |    'stale_generations' AS metric,
+         |    CAST(stale_pinned AS DOUBLE) AS v, 1.0 AS threshold,
+         |    CASE WHEN stale_pinned >= 1 THEN 'vacuum' ELSE 'none' END
+         |      AS decision
+         |  FROM rv_n
+         |  UNION ALL SELECT 'pre', 'sel_tail', 'stale_generations',
+         |    CAST(stale_tail AS DOUBLE), 1.0,
+         |    CASE WHEN stale_tail >= 1 THEN 'vacuum' ELSE 'none' END
+         |  FROM rv_n
+         |  UNION ALL SELECT 'post', 'sel_pinned', 'stale_generations',
+         |    0.0, 1.0, 'none'
+         |  UNION ALL SELECT 'post', 'sel_tail', 'stale_generations',
+         |    0.0, 1.0, 'none'
+         |)
+         |SELECT phase, state, metric, round(v, 6) AS value, threshold,
+         |  decision
+         |FROM rv_rows ORDER BY phase DESC, state""".stripMargin
+    },
     "q_sql_curate" -> curateOracle,
     // the SQL time-travel relation must reproduce the API as-of read
     // (same from-scratch derivation as s_shard_asof)

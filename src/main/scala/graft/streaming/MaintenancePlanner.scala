@@ -31,6 +31,10 @@ import org.apache.spark.sql.functions._
   *     vocabulary-sized aggregate → `recurate` (the
   *     [[CurateMaintainer.processBatchDriftTriggered]] re-derivation,
   *     surfaced as a decision for a trigger running out-of-band).
+  *   - `stale_generations` ([[Retention.staleSelections]] /
+  *     [[Retention.staleQuantizers]]): dir listing + manifest reads →
+  *     `vacuum` (the pin-aware generation GC, dropping exactly the
+  *     superseded history the dry run counted).
   *
   * Decisions are threshold comparisons on the driver — the table is
   * bounded by the number of states, not data. Callers act on the
@@ -72,6 +76,33 @@ object MaintenancePlanner {
     * distribution movement since the selection baseline → `recurate`. */
   final case class CurateSpec(name: String, dir: String,
       threshold: Double) extends StateSpec
+
+  /** Generation-family retention ([[Retention]]): count of superseded
+    * generations at the pin-aware floor → `vacuum`. `kind` is
+    * `selection` (curation `selection/s<b>`) or `quantizer`
+    * (`qg<b>`); `keepFrom`/`manifestDirs` are the vacuum's own
+    * parameters, so the metric measures EXACTLY what the executor's
+    * vacuum would drop — plan and action agree by construction, and a
+    * state whose history is fully pinned simply never fires. The dry
+    * run is a dir listing plus the manifest reads (metadata-cost, like
+    * every planner measurement); a missing manifest dir fails the
+    * SWEEP, the same fail-safe the vacuum itself enforces. */
+  final case class RetentionSpec(name: String, dir: String,
+      threshold: Double, kind: String, keepFrom: Long = Long.MaxValue,
+      manifestDirs: Seq[String] = Nil) extends StateSpec
+
+  private def staleOf(spark: SparkSession, sp: RetentionSpec): Seq[Long] =
+    sp.kind match {
+      case "selection" =>
+        Retention.staleSelections(spark, sp.dir, sp.keepFrom,
+          sp.manifestDirs)
+      case "quantizer" =>
+        Retention.staleQuantizers(spark, sp.dir, sp.keepFrom,
+          sp.manifestDirs)
+      case other => throw new IllegalArgumentException(
+        s"RetentionSpec '${sp.name}': unknown kind '$other' " +
+          "(expected 'selection' or 'quantizer')")
+    }
 
   /** Fraction of state rows living in batch dirs NEWER than the last
     * compaction horizon — the LSM compaction trigger. Row counts come
@@ -242,6 +273,17 @@ object MaintenancePlanner {
         CurateMaintainer.deriveSelection(c.ingested, cur, c.idCol,
           c.textCol, c.width, dir, c.pplKeepBelow, c.tokenBudget)
         sp
+      case sp: RetentionSpec if decisions(sp.name) == "vacuum" =>
+        // the vacuum takes the SAME keepFrom/manifests the metric
+        // measured with, so it drops exactly the stale set the plan
+        // reported — and the pins it was told about stay serveable
+        sp.kind match {
+          case "selection" => Retention.vacuumSelections(spark, sp.dir,
+            sp.keepFrom, sp.manifestDirs)
+          case _ => Retention.vacuumQuantizers(spark, sp.dir,
+            sp.keepFrom, sp.manifestDirs)
+        }
+        sp
       case sp => sp
     }
     val post = plan(spark, postSpecs)
@@ -275,6 +317,10 @@ object MaintenancePlanner {
       case CurateSpec(n, dir, t) =>
         val v = curateKlDrift(spark, dir)
         (n, "kl_drift", v, t, if (v >= t) "recurate" else "none")
+      case sp: RetentionSpec =>
+        val v = staleOf(spark, sp).size.toDouble
+        (sp.name, "stale_generations", v, sp.threshold,
+          if (v >= sp.threshold) "vacuum" else "none")
     }
     rows.toDF("state", "metric", "value", "threshold", "decision")
   }

@@ -92,19 +92,45 @@ object Retention {
     (keepFrom +: pinned).min
   }
 
+  /** The generations a vacuum at `floor` would drop: everything strictly
+    * below the one SERVING the floor (which stays — it answers every
+    * horizon in [floor, next generation)). */
+  private def staleGens(gensDir: String, prefix: String,
+      floor: Long): Seq[(Long, String)] = {
+    val gens = BatchDirs.listDirs(gensDir, prefix)
+    gens.filter(_._1 <= floor).lastOption
+      .toSeq.flatMap(sv => gens.filter(_._1 < sv._1))
+  }
+
   /** Drop the generations strictly below the one serving `floor`; commit
     * the floor marker first. Returns the dropped generation ids. */
   private def vacuumGens(gensDir: String, prefix: String, floor: Long,
       markerPath: String): Seq[Long] = {
-    val gens = BatchDirs.listDirs(gensDir, prefix)
-    val serving = gens.filter(_._1 <= floor).lastOption
-    val drop = serving.toSeq.flatMap(sv => gens.filter(_._1 < sv._1))
+    val drop = staleGens(gensDir, prefix, floor)
     if (drop.nonEmpty) {
       writeFloor(markerPath, floor)
       drop.foreach(g => graft.Exec.deletePath(g._2))
     }
     drop.map(_._1)
   }
+
+  /** DRY RUN of [[vacuumSelections]]: the superseded generation ids a
+    * vacuum with these parameters would drop, measured the same
+    * pin-aware way — the planner's retention metric (metadata-cost:
+    * a dir listing plus the manifest reads). */
+  def staleSelections(spark: SparkSession, stateDir: String,
+      keepFrom: Long, manifestDirs: Seq[String] = Nil): Seq[Long] =
+    staleGens(new java.io.File(stateDir, "selection").getPath, "s",
+      floorFor(spark, stateDir, keepFrom, manifestDirs, Set("curate")))
+      .map(_._1)
+
+  /** DRY RUN of [[vacuumQuantizers]]. */
+  def staleQuantizers(spark: SparkSession, indexDir: String,
+      keepFrom: Long, manifestDirs: Seq[String] = Nil): Seq[Long] =
+    staleGens(indexDir, "qg",
+      floorFor(spark, indexDir, keepFrom, manifestDirs,
+        Set("quantizer", "ann")))
+      .map(_._1)
 
   /** Vacuum a curation state's selection generations. Pins of kind
     * `curate` on this state dir hold the floor down. */

@@ -3,6 +3,7 @@ package graft.ops
 import graft.SparkSpec
 import graft.streaming.{AnnIndexMaintainer, CurateMaintainer, Retention,
   SnapshotManifest}
+import org.apache.spark.sql.functions.col
 
 /** Specs for the round-18 additions: pin-aware generation retention
   * (selection + quantizer vacuum, floor markers, fail-safe manifest
@@ -171,6 +172,43 @@ class Round18OpsSpec extends SparkSpec {
       AnnIndexMaintainer.centroidsAsOf(spark, dir, 0L)
     }
     e.getMessage should include("below the retention floor 1")
+  }
+
+  // ------------------------------------------ planner integration
+
+  test("RetentionSpec in the maintenance loop: the dry-run metric counts " +
+      "exactly what the vacuum drops, a fully-pinned state never fires, " +
+      "and the post sweep is clean") {
+    import graft.streaming.MaintenancePlanner
+    import graft.streaming.MaintenancePlanner.RetentionSpec
+    val (dir, sel0, _) = twoGenState()
+    val (pinnedDir, _, _) = twoGenState()
+    val mdir = tmp("retplan") + "/manifest"
+    SnapshotManifest.pin(spark,
+      Seq(SnapshotManifest.Pin("cur", "curate", pinnedDir, 0L)), mdir)
+    val specs = Seq(
+      RetentionSpec("tail", dir, 1.0, "selection"),
+      RetentionSpec("pinned", pinnedDir, 1.0, "selection",
+        manifestDirs = Seq(mdir)))
+    val pre = MaintenancePlanner.plan(spark, specs).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getString(4))).toMap
+    pre("tail") shouldBe ((1.0, "vacuum"))
+    pre("pinned") shouldBe ((0.0, "none"))
+    val (table, _) = MaintenancePlanner.execute(spark, specs)
+    val post = table.where(col("phase") === "post").collect()
+      .map(r => r.getString(1) -> (r.getDouble(3), r.getString(5))).toMap
+    post("tail") shouldBe ((0.0, "none"))
+    post("pinned") shouldBe ((0.0, "none"))
+    gens(dir) shouldBe Seq(2L)        // the executor's vacuum acted
+    gens(pinnedDir) shouldBe Seq(0L, 2L) // the pin held everything
+    CurateMaintainer.selectionAsOf(spark, pinnedDir, 0L)
+      .collect().map(_.toString).sorted.toSeq should not be empty
+    sel0 should not be empty
+    // unknown kinds fail the sweep loudly
+    intercept[IllegalArgumentException] {
+      MaintenancePlanner.plan(spark,
+        Seq(RetentionSpec("x", dir, 1.0, "postings")))
+    }.getMessage should include("unknown kind")
   }
 
   test("a pin of kind 'ann' (rows) ALSO protects the quantizer " +
