@@ -1498,6 +1498,49 @@ object PipelineQueries {
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
     }),
+    // PQ REBUILD remedy, driver-gated — the retrain arm the compressed
+    // index was missing: three spliced waves ingest under STALE bootstrap
+    // artifacts (quantizer and codebooks both trained pre-drift), then
+    // retrainPq rebuilds the whole generation — fresh √N quantizer AND
+    // fresh codebooks trained on the accumulated vectors, one
+    // re-assign + re-encode pass — and serving from the new generation
+    // must equal a from-scratch IVF-PQ scan (assignment, codes, ADC
+    // shortlist, exact rerank) re-derived by the oracle from the two
+    // persisted artifacts alone. The codebook is part of the generation
+    // contract: an oracle decoding with the old codebook hash-fails.
+    "s_knn_retrain_pq" -> ((s, d) => {
+      val spliced = emb(s, d).select(col("vec_id"),
+        when(col("vec_id") % 3 === 2,
+          transform(col("embedding").cast("array<double>"),
+            x => x + lit(EmbShift)))
+        .otherwise(col("embedding").cast("array<double>")).as("embedding"))
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_pqretrain", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      val cents0 = sizedCentsFor(s, d)
+      val cb0 = pqCodebookFor(s, d)
+      (0 until 3).foreach { g =>
+        graft.streaming.AnnIndexMaintainer.processBatchPq(
+          spliced.where(col("vec_id") % 3 === g), g.toLong, "vec_id",
+          "embedding", cents0, cb0, s"$base/idx", roundScale = 6)
+      }
+      graft.streaming.AnnIndexMaintainer.compactPq(s, s"$base/idx")
+      val (cdf, cbDf) = graft.streaming.AnnIndexMaintainer.retrainPq(
+        s, s"$base/idx", s"$base/idx2", m = 8, kCode = 32, roundScale = 6)
+      cdf.coalesce(1).write.mode("overwrite")
+        .parquet(annArtifactBase(d) + "/retrainpq_cents")
+      cbDf.coalesce(1).write.mode("overwrite")
+        .parquet(annArtifactBase(d) + "/retrainpq_codebook")
+      val cents1 = Ann.ivfCentroidsFromDf(
+        s.read.parquet(annArtifactBase(d) + "/retrainpq_cents"))
+      val cb1 = Ann.pqCodebookFromDf(
+        s.read.parquet(annArtifactBase(d) + "/retrainpq_codebook"))
+      graft.streaming.AnnIndexMaintainer.searchPq(s, s"$base/idx2",
+          cents1, cb1, qgProbes(s, d, spliced = true), k = 10,
+          rankOnRoundedTo = Some(6))
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
+    }),
     // The HOLD arm: plain waves (no shift) through the same monitored
     // loop must NOT fire — the search keeps answering from the original
     // index under the original quantizer, and the oracle reads the
@@ -6954,6 +6997,15 @@ object PipelineQueries {
     // (same frozen codebooks — the oracle re-encodes every spliced
     // vector itself)
     "s_knn_grow_pq" -> ivfPqOracle("growpq_union_cents", "growpq_codebook",
+      s"""SELECT vec_id, CASE WHEN vec_id % 3 = 2
+         |    THEN list_transform(embedding, x -> CAST(x AS DOUBLE) + $EmbShift)
+         |    ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS v
+         |  FROM embeddings""".stripMargin),
+    // the rebuilt PQ generation answers like a from-scratch IVF-PQ scan
+    // under the RETRAINED centroid set and codebooks (both re-read from
+    // the persisted generation artifacts)
+    "s_knn_retrain_pq" -> ivfPqOracle("retrainpq_cents",
+      "retrainpq_codebook",
       s"""SELECT vec_id, CASE WHEN vec_id % 3 = 2
          |    THEN list_transform(embedding, x -> CAST(x AS DOUBLE) + $EmbShift)
          |    ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS v

@@ -176,6 +176,25 @@ object AnnIndexMaintainer {
     writeMetrics(spark, written, batchId, cents, indexDir)
   }
 
+  /** [[processBatchPq]] plus the per-batch distortion record — the drift
+    * signal works identically for the compressed index (the metric is
+    * coarse-quantizer distortion; codes ride along untouched), so
+    * [[driftRatio]]/[[postFraction]]/[[shouldRetrain]] read PQ states
+    * with no changes and the maintenance loop closes over them too
+    * ([[retrainPq]] / [[growPq]] as the remedies). */
+  def processBatchPqMonitored(batch: DataFrame, batchId: Long,
+      idCol: String, vecCol: String, cents: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], indexDir: String,
+      roundScale: Int = -1): Unit = {
+    processBatchPq(batch, batchId, idCol, vecCol, cents, codebooks,
+      indexDir, roundScale)
+    val spark = batch.sparkSession
+    val written = spark.read.schema(indexPqSchema)
+      .option("basePath", s"$indexDir/b$batchId")
+      .parquet(s"$indexDir/b$batchId")
+    writeMetrics(spark, written, batchId, cents, indexDir)
+  }
+
   private def writeMetrics(spark: SparkSession, rows: DataFrame,
       batchId: Long, cents: Array[Array[Double]], indexDir: String): Unit = {
     import spark.implicits._
@@ -399,6 +418,58 @@ object AnnIndexMaintainer {
     writeMetrics(spark, rebuilt, maxB, cents, newIndexDir)
     markTrained(newIndexDir, maxB)
     cdf
+  }
+
+  /** [[retrain]] for the PQ-CODED inverted file: a fresh √N quantizer AND
+    * fresh codebooks train on the accumulated VECTORS — the PQ rows carry
+    * `v` precisely so the rebuild remedy exists for the compressed index
+    * (codes alone cannot retrain themselves: a new codebook invalidates
+    * every old code, class doc on [[processBatchPq]]) — then one
+    * re-assign + re-encode pass lands the rebuilt file in
+    * `newIndexDir/c<maxBatch>`. Rows keep their ingest `batch_id`
+    * ([[readIndexPqAsOf]] reproduces history through the rebuild), the
+    * metrics sidecar restarts with the fresh whole-corpus distortion, and
+    * the caller persists BOTH returned frames — (centroids, codebooks) —
+    * as the new generation's serving artifacts: the codebook is part of
+    * the generation contract exactly like the centroid set.
+    */
+  def retrainPq(spark: SparkSession, indexDir: String, newIndexDir: String,
+      m: Int = 8, kCode: Int = 32, cellsPerSqrtN: Int = 4,
+      roundScale: Int = -1): (DataFrame, DataFrame) = {
+    require(new java.io.File(newIndexDir).getCanonicalPath !=
+        new java.io.File(indexDir).getCanonicalPath,
+      s"retrainPq target '$newIndexDir' must be a new generation dir, " +
+        s"not the live index dir '$indexDir'")
+    val gens = BatchDirs.listDirs(indexDir, "b") ++
+      BatchDirs.listDirs(indexDir, "c") ++ growthDirs(indexDir)
+    require(gens.nonEmpty,
+      s"retrainPq: no batch or compacted dirs under '$indexDir' — " +
+        "nothing to rebuild")
+    val maxB = gens.map(_._1).max
+    val idx = readIndexPqAsOf(spark, indexDir, Long.MaxValue)
+      .select("id", "v", "batch_id")
+    val (cdf, _) = graft.ops.Ann.ivfTrainBalanced(idx, "v", cellsPerSqrtN)
+    val cents = graft.ops.Ann.ivfCentroidsFromDf(cdf)
+    val codebooks = graft.ops.Ann.pqTrain(idx, "v", m, kCode)
+    graft.Exec.deletePath(newIndexDir)
+    val asn = idx.withColumn("cell",
+      graft.functions.VectorFns.nearestCellNative(col("v"), cents,
+        roundScale))
+    asn.join(
+        graft.ops.Ann.pqEncode(asn, "id", "v", codebooks,
+          if (roundScale >= 0) Some(roundScale) else None),
+        Seq("id"))
+      .select(col("id"), col("v"), col("codes"), col("rn2"),
+        col("batch_id"), col("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$newIndexDir/c$maxB")
+    val rebuilt = spark.read.schema(indexPqSchema)
+      .option("basePath", s"$newIndexDir/c$maxB")
+      .parquet(s"$newIndexDir/c$maxB")
+    writeMetrics(spark, rebuilt, maxB, cents, newIndexDir)
+    markTrained(newIndexDir, maxB)
+    (cdf, graft.ops.Ann.pqCodebookDf(spark, codebooks))
   }
 
   // ---- incremental quantizer GROWTH: the delta-cost retrain remedy ----

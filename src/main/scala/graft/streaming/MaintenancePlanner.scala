@@ -67,6 +67,20 @@ object MaintenancePlanner {
       threshold: Double, growPostFractionMax: Double = 0.0,
       roundScale: Int = -1) extends StateSpec
 
+  /** [[AnnSpec]] for the PQ-CODED inverted file
+    * ([[AnnIndexMaintainer.processBatchPqMonitored]]): the drift signal
+    * and the remedy choice are identical (coarse-quantizer distortion;
+    * [[annRemedy]]), but the remedies are the code-aware ones —
+    * `retrain` → [[AnnIndexMaintainer.retrainPq]] (fresh quantizer AND
+    * fresh `m`×`kCode` codebooks, re-encode pass, codebook persisted to
+    * `<newDir>/codebook` beside `<newDir>/cents`), `grow` →
+    * [[AnnIndexMaintainer.growPq]] (movers' codes travel unchanged,
+    * codebooks frozen). */
+  final case class AnnPqSpec(name: String, dir: String,
+      threshold: Double, m: Int = 8, kCode: Int = 32,
+      growPostFractionMax: Double = 0.0,
+      roundScale: Int = -1) extends StateSpec
+
   /** Any `c*`/`b*` LSM state ([[BatchDirs]] layout: postings index,
     * inverted file, signature index): un-folded delta mass → `compact`. */
   final case class DeltaSpec(name: String, dir: String,
@@ -235,25 +249,28 @@ object MaintenancePlanner {
         // state's current quantizer comes from its persisted-centroids
         // artifact and the grown union set commits back to it
         // (rename-aside) so serving and the next ingest pick it up
-        val centsPath = new java.io.File(dir, "cents")
-        require(centsPath.exists(),
-          s"execute: ANN state '$n' decided grow but no persisted " +
-            s"quantizer at $centsPath (write the state's centroid frame " +
-            "there, the retrain convention)")
-        val cents = graft.ops.Ann.ivfCentroidsFromDf(
-          spark.read.parquet(centsPath.getPath))
-        val union = AnnIndexMaintainer.grow(spark, dir, cents,
-          kNew = AnnIndexMaintainer.growKNew(spark, dir), roundScale = rs)
-        val tmp = new java.io.File(dir, ".cents.tmp")
-        graft.Exec.deletePath(tmp.getPath)
-        union.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
-        val aside = new java.io.File(dir, ".cents.old")
-        graft.Exec.deletePath(aside.getPath)
-        require(centsPath.renameTo(aside) && tmp.renameTo(centsPath),
-          s"execute: quantizer commit failed for ANN state '$n'")
-        graft.Exec.deletePath(aside.getPath)
-        AnnIndexMaintainer.persistCentroids(spark, dir,
-          AnnIndexMaintainer.trainedBatch(dir), union)
+        executeGrow(spark, n, dir, rs, pq = false)
+        sp
+      case sp @ AnnPqSpec(n, dir, t, m, kc, gmax, rs)
+          if decisions(n) == "retrain" =>
+        val newDir = annNewDirs.getOrElse(n,
+          throw new IllegalArgumentException(
+            s"execute: PQ state '$n' decided retrain but no new-generation " +
+              "dir was supplied in annNewDirs"))
+        val (cdf, cbDf) = AnnIndexMaintainer.retrainPq(spark, dir, newDir,
+          m, kc, roundScale = rs)
+        cdf.coalesce(1).write.mode("overwrite").parquet(s"$newDir/cents")
+        // the codebook is part of the PQ generation contract — persisted
+        // beside the quantizer so serving resolves BOTH from the state
+        cbDf.coalesce(1).write.mode("overwrite").parquet(s"$newDir/codebook")
+        AnnIndexMaintainer.persistCentroids(spark, newDir,
+          AnnIndexMaintainer.trainedBatch(newDir), cdf)
+        AnnPqSpec(n, newDir, t, m, kc, gmax, rs)
+      case sp @ AnnPqSpec(n, dir, _, _, _, _, rs)
+          if decisions(n) == "grow" =>
+        // movers' codes travel unchanged (non-residual PQ): the grow
+        // remedy needs no codebook work, only the union quantizer commit
+        executeGrow(spark, n, dir, rs, pq = true)
         sp
       case sp @ DeltaSpec(n, dir, _) if decisions(n) == "compact" =>
         deltaCompactors.getOrElse(n,
@@ -294,6 +311,37 @@ object MaintenancePlanner {
       postSpecs)
   }
 
+  /** The executor's in-place grow: the state's serving quantizer comes
+    * from its persisted `<dir>/cents` artifact, the grown union set
+    * commits back to it rename-aside (serving and the next ingest pick
+    * it up), and a quantizer GENERATION lands for horizon reads. */
+  private def executeGrow(spark: SparkSession, n: String, dir: String,
+      rs: Int, pq: Boolean): Unit = {
+    val centsPath = new java.io.File(dir, "cents")
+    require(centsPath.exists(),
+      s"execute: ANN state '$n' decided grow but no persisted " +
+        s"quantizer at $centsPath (write the state's centroid frame " +
+        "there, the retrain convention)")
+    val cents = graft.ops.Ann.ivfCentroidsFromDf(
+      spark.read.parquet(centsPath.getPath))
+    val kNew = AnnIndexMaintainer.growKNew(spark, dir)
+    val union =
+      if (pq) AnnIndexMaintainer.growPq(spark, dir, cents, kNew,
+        roundScale = rs)
+      else AnnIndexMaintainer.grow(spark, dir, cents, kNew,
+        roundScale = rs)
+    val tmp = new java.io.File(dir, ".cents.tmp")
+    graft.Exec.deletePath(tmp.getPath)
+    union.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+    val aside = new java.io.File(dir, ".cents.old")
+    graft.Exec.deletePath(aside.getPath)
+    require(centsPath.renameTo(aside) && tmp.renameTo(centsPath),
+      s"execute: quantizer commit failed for ANN state '$n'")
+    graft.Exec.deletePath(aside.getPath)
+    AnnIndexMaintainer.persistCentroids(spark, dir,
+      AnnIndexMaintainer.trainedBatch(dir), union)
+  }
+
   /** The decision sweep: one row per state, value measured by the
     * state-kind's reader above, decision = threshold comparison. Output
     * is a bounded driver-built frame (states, not data, set its size).
@@ -305,6 +353,14 @@ object MaintenancePlanner {
         val v = ShardMaintainer.deadFraction(spark, dir)
         (n, "dead_fraction", v, t, if (v >= t) "compact" else "none")
       case AnnSpec(n, dir, t, gmax, _) =>
+        val v = AnnIndexMaintainer.driftRatio(spark, dir).getOrElse(0.0)
+        val decision =
+          if (v < t) "none"
+          else if (gmax > 0.0) annRemedy(spark, dir, t, gmax)
+          else "retrain"
+        (n, "drift_ratio", v, t, decision)
+      case AnnPqSpec(n, dir, t, _, _, gmax, _) =>
+        // same sidecar signal — the codes are invisible to the metric
         val v = AnnIndexMaintainer.driftRatio(spark, dir).getOrElse(0.0)
         val decision =
           if (v < t) "none"

@@ -211,6 +211,109 @@ class Round18OpsSpec extends SparkSpec {
     }.getMessage should include("unknown kind")
   }
 
+  // ------------------------------------------ PQ maintenance loop
+
+  private def vecs4(ids: Seq[Long], shift: Double = 0.0) =
+    ids.map(i => (i, Seq(
+      (if (i % 2 == 0) 1.0 else 0.0) + 0.01 * (i % 3) + shift,
+      (if (i % 2 == 0) 0.0 else 1.0) + shift,
+      0.1 * (i % 5) + shift, 0.2 + shift)))
+      .toDF("vec_id", "embedding")
+
+  private val cents4 = Array(Array(1.0, 0.0, 0.2, 0.2),
+    Array(0.0, 1.0, 0.2, 0.2))
+
+  test("AnnPqSpec retrain: the loop rebuilds the compressed index — " +
+      "fresh quantizer AND codebooks persisted as the new generation, " +
+      "serving equal to the one-shot IVF-PQ over the union corpus") {
+    import graft.streaming.MaintenancePlanner
+    import graft.streaming.MaintenancePlanner.AnnPqSpec
+    import graft.ops.Ann
+    val dir = tmp("pqloop")
+    val w0 = vecs4(0L to 9L)
+    val w1 = vecs4(10L to 19L, shift = 5.0)
+    val cb0 = Ann.pqTrain(w0, "embedding", m = 2, k = 4)
+    AnnIndexMaintainer.processBatchPqMonitored(w0, 0L, "vec_id",
+      "embedding", cents4, cb0, dir, roundScale = 6)
+    AnnIndexMaintainer.markTrained(dir, 0L)
+    AnnIndexMaintainer.processBatchPqMonitored(w1, 1L, "vec_id",
+      "embedding", cents4, cb0, dir, roundScale = 6)
+    val spec = AnnPqSpec("pq", dir, 2.0, m = 2, kCode = 4, roundScale = 6)
+    val pre = MaintenancePlanner.plan(spark, Seq(spec)).collect().head
+    pre.getString(4) shouldBe "retrain"
+    val gen2 = tmp("pqloop2") + "/idx2"
+    val (table, postSpecs) = MaintenancePlanner.execute(spark, Seq(spec),
+      annNewDirs = Map("pq" -> gen2))
+    table.where(col("phase") === "post").collect()
+      .head.getString(5) shouldBe "none"
+    postSpecs.head.asInstanceOf[AnnPqSpec].dir shouldBe gen2
+    // both generation artifacts landed; serving from them equals the
+    // one-shot IVF-PQ over the full corpus (independent derivation)
+    val cents1 = Ann.ivfCentroidsFromDf(spark.read.parquet(s"$gen2/cents"))
+    val cb1 = Ann.pqCodebookFromDf(spark.read.parquet(s"$gen2/codebook"))
+    val union = w0.unionByName(w1)
+    val queries = Seq((0L, Array(1.0, 0.0, 0.0, 0.2)),
+      (15L, Array(5.0, 6.0, 5.0, 5.2)))
+    val served = AnnIndexMaintainer.searchPq(spark, gen2, cents1, cb1,
+      queries, k = 5, rankOnRoundedTo = Some(6))
+      .collect().map(_.toString).sorted.toSeq
+    val oneShot = Ann.ivfPqTopK(
+      union.selectExpr("vec_id", "cast(embedding as array<double>) as v"),
+      queries.map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "v"),
+      "vec_id", "v", 5, cents1, cb1, nprobe = 4, rerank = 4,
+      rankOnRoundedTo = Some(6))
+      .collect().map(_.toString).sorted.toSeq
+    served shouldBe oneShot
+  }
+
+  test("AnnPqSpec grow: the delta remedy commits the union quantizer " +
+      "back to the state's cents artifact and a generation lands") {
+    import graft.streaming.MaintenancePlanner
+    import graft.streaming.MaintenancePlanner.AnnPqSpec
+    import graft.ops.Ann
+    val dir = tmp("pqgrow")
+    val w0 = vecs4(0L to 19L)
+    val w1 = vecs4(20L to 24L, shift = 5.0)
+    val cb0 = Ann.pqTrain(w0, "embedding", m = 2, k = 4)
+    AnnIndexMaintainer.processBatchPqMonitored(w0, 0L, "vec_id",
+      "embedding", cents4, cb0, dir, roundScale = 6)
+    AnnIndexMaintainer.markTrained(dir, 0L)
+    AnnIndexMaintainer.processBatchPqMonitored(w1, 1L, "vec_id",
+      "embedding", cents4, cb0, dir, roundScale = 6)
+    cents4.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cid", "c").coalesce(1).write.parquet(s"$dir/cents")
+    // drifted tail is 5/25 of the index → the cost-aware choice is grow
+    val spec = AnnPqSpec("pq", dir, 2.0, m = 2, kCode = 4,
+      growPostFractionMax = 0.5, roundScale = 6)
+    val pre = MaintenancePlanner.plan(spark, Seq(spec)).collect().head
+    pre.getString(4) shouldBe "grow"
+    val (table, _) = MaintenancePlanner.execute(spark, Seq(spec))
+    table.where(col("phase") === "post").collect()
+      .head.getString(5) shouldBe "none"
+    val unionCents = Ann.ivfCentroidsFromDf(
+      spark.read.parquet(s"$dir/cents"))
+    unionCents.length should be > cents4.length
+    // the grown quantizer generation serves horizon reads
+    AnnIndexMaintainer.centroidsAsOf(spark, dir,
+      Long.MaxValue).length shouldBe unionCents.length
+    // served answers equal the from-scratch IVF-PQ under the union set
+    // (the oracle contract s_knn_grow_pq pins at scale, here end-to-end
+    // through the executor)
+    val queries = Seq((0L, Array(1.0, 0.0, 0.0, 0.2)),
+      (22L, Array(5.0, 6.0, 5.0, 5.2)))
+    val served = AnnIndexMaintainer.searchPq(spark, dir, unionCents, cb0,
+      queries, k = 5, rankOnRoundedTo = Some(6))
+      .collect().map(_.toString).sorted.toSeq
+    val oneShot = Ann.ivfPqTopK(
+      w0.unionByName(w1)
+        .selectExpr("vec_id", "cast(embedding as array<double>) as v"),
+      queries.map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "v"),
+      "vec_id", "v", 5, unionCents, cb0, nprobe = 4, rerank = 4,
+      rankOnRoundedTo = Some(6))
+      .collect().map(_.toString).sorted.toSeq
+    served shouldBe oneShot
+  }
+
   test("a pin of kind 'ann' (rows) ALSO protects the quantizer " +
       "generations — a pinned row horizon implies its quantizer audit") {
     val dir = twoGenAnnState()
