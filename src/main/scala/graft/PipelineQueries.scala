@@ -428,6 +428,31 @@ object PipelineQueries {
       s"$base/index"
     })
 
+  /** [[annAsofStateFor]]'s twin for the PQ-CODED inverted file: three
+    * code-bearing waves, whole-index fold; `pqasof_cents` /
+    * `pqasof_codebook` are the artifacts its oracle re-derives from.
+    * Read-only consumer: s_knn_pq_asof. */
+  private val pqAsofStateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def pqAsofStateFor(s: SparkSession, d: String): String =
+    pqAsofStateCache.computeIfAbsent(d, _ => {
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_pqasof", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      val e = emb(s, d)
+      val cents = sizedCentsCopy(s, d, "pqasof_cents")
+      val cb = pqCodebookCopy(s, d, "pqasof_codebook")
+      (0 until 3).foreach { g =>
+        graft.streaming.AnnIndexMaintainer.processBatchPq(
+          e.where(col("vec_id") % 3 === g), g.toLong, "vec_id", "embedding",
+          cents, cb, s"$base/index", roundScale = 6)
+      }
+      graft.streaming.AnnIndexMaintainer.compactPq(s, s"$base/index",
+        Some(2L))
+      s"$base/index"
+    })
+
   /** One learned-space IVF state per (JVM, sf dir): the ridge-head
     * projection of the corpus ([[towerWeightsFor]]), a √N quantizer
     * trained IN THE LEARNED SPACE (persisted as `learned_cents`), three
@@ -1245,6 +1270,24 @@ object PipelineQueries {
         .selectExpr("vec_id", "cast(embedding as array<double>) as v")
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
       graft.streaming.AnnIndexMaintainer.searchAsOf(s, idxBase, cents,
+        queries, k = 10, asOf = 1L, rankOnRoundedTo = Some(6))
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
+    }),
+    // TIME TRAVEL over the COMPRESSED index: the ADC shortlist and the
+    // exact rerank both see only the wave-0/1 rows after the whole index
+    // folded — the version axis is code-compression-agnostic (the s_knn_asof
+    // contract on the PQ state). The oracle re-derives assignment, codes,
+    // ADC and rerank from the persisted artifacts, with the candidate set
+    // sliced to the horizon.
+    "s_knn_pq_asof" -> ((s, d) => {
+      val idx = pqAsofStateFor(s, d)
+      val cents = sizedCentsFor(s, d)
+      val cb = pqCodebookFor(s, d)
+      val queries = emb(s, d).where(col("vec_id") < 5)
+        .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      graft.streaming.AnnIndexMaintainer.searchPqAsOf(s, idx, cents, cb,
         queries, k = 10, asOf = 1L, rankOnRoundedTo = Some(6))
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
@@ -4260,7 +4303,8 @@ object PipelineQueries {
   private def ivfPqOracle(centroidsDir: String, codebookDir: String,
       corpusSql: String =
         """SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-          |  FROM embeddings""".stripMargin): String =
+          |  FROM embeddings""".stripMargin,
+      corpusWhere: String = "TRUE"): String =
     s"""WITH cents AS (
       |  SELECT cid, c FROM '__ANN_ARTIFACTS__/$centroidsDir/*.parquet'
       |),
@@ -4284,7 +4328,8 @@ object PipelineQueries {
       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
       |  FROM cd
       |),
-      |assign AS (SELECT vec_id, cid AS cell FROM rk WHERE rn = 1),
+      |assign AS (SELECT vec_id, cid AS cell FROM rk
+      |           WHERE rn = 1 AND ($corpusWhere)),
       |probes AS (
       |  SELECT vec_id AS query_id, cid AS cell FROM rk
       |  WHERE rn <= 4 AND vec_id < 5
@@ -6977,6 +7022,10 @@ object PipelineQueries {
     // the streaming code-bearing inverted file must reproduce the one-shot
     // IVF-PQ scan from the same frozen artifacts
     "s_knn_ivfpq" -> ivfPqOracle("ivfpq_centroids_s", "ivfpq_codebook_s"),
+    // the PQ time-travel probe: same scan with the candidate set sliced
+    // to the pre-fold horizon (probes stay the full query set)
+    "s_knn_pq_asof" -> ivfPqOracle("pqasof_cents", "pqasof_codebook",
+      corpusWhere = "vec_id % 3 <= 1"),
     // each auto-resolved leg = the one-shot IVF scan of that horizon's
     // slice under the quantizer GENERATION serving then: bootstrap below
     // the growth, the persisted union set at head

@@ -730,13 +730,27 @@ object AnnIndexMaintainer {
   def searchPq(spark: SparkSession, indexDir: String,
       cents: Array[Array[Double]], codebooks: Array[Array[Array[Double]]],
       queryVecs: Seq[(Long, Array[Double])], k: Int, nprobe: Int = 4,
-      rerank: Int = 4, rankOnRoundedTo: Option[Int] = None): DataFrame = {
+      rerank: Int = 4, rankOnRoundedTo: Option[Int] = None): DataFrame =
+    searchPqAsOf(spark, indexDir, cents, codebooks, queryVecs, k,
+      Long.MaxValue, nprobe, rerank, rankOnRoundedTo)
+
+  /** [[searchAsOf]] for the PQ-coded inverted file: the ADC shortlist and
+    * the exact rerank both see only rows with `batch_id <= asOf` (move
+    * exclusions applied at the same horizon), so a time-travel probe of
+    * the compressed index reproduces the answer it served then — the
+    * version axis is code-compression-agnostic. */
+  def searchPqAsOf(spark: SparkSession, indexDir: String,
+      cents: Array[Array[Double]], codebooks: Array[Array[Array[Double]]],
+      queryVecs: Seq[(Long, Array[Double])], k: Int, asOf: Long,
+      nprobe: Int = 4, rerank: Int = 4,
+      rankOnRoundedTo: Option[Int] = None): DataFrame = {
     import spark.implicits._
     val probeCells = queryVecs
       .flatMap(q => Ann.nearestCellsLocal(q._2, cents, nprobe)).distinct
     val idx = excludeMoved(spark, indexDir,
-      readIndexPq(spark, indexDir).where(col("cell").isin(probeCells: _*)),
-      Long.MaxValue)
+      readIndexPq(spark, indexDir)
+        .where(col("cell").isin(probeCells: _*) && col("batch_id") <= asOf),
+      asOf)
     val qdf = queryVecs.map { case (id, v) => (id, v.toSeq) }.toDF("id", "v")
     Ann.ivfPqTopK(idx.select(col("id"), col("v")), qdf, "id", "v", k,
       cents, codebooks, nprobe, rerank, rankOnRoundedTo,

@@ -154,6 +154,29 @@ object Retention {
         Set("quantizer", "ann")),
       quantizerMarker(indexDir))
 
+  /** RETIRE a superseded state generation DIRECTORY wholesale — the
+    * inter-directory face of retention: [[AnnIndexMaintainer.retrain]] /
+    * [[AnnIndexMaintainer.retrainPq]] rebuild into a NEW dir and leave
+    * the previous generation readable for deep horizons; once no
+    * manifest pins it, that whole dir is dead weight (at 100 TB, a full
+    * index copy). If ANY pin in ANY supplied manifest references the dir
+    * — any kind, any horizon — the retirement is REFUSED naming the
+    * holder: a pinned generation must stay serveable. Same fail-safe
+    * rule as the vacuums: a missing manifest dir fails the call rather
+    * than widening what may be deleted. */
+  def retireState(spark: SparkSession, stateDir: String,
+      manifestDirs: Seq[String]): Unit = {
+    val canon = new java.io.File(stateDir).getCanonicalPath
+    val holders = manifestDirs.flatMap(m =>
+      SnapshotManifest.pins(spark, m)
+        .filter(p => new java.io.File(p.dir).getCanonicalPath == canon)
+        .map(p => s"$m (state '${p.state}', as of ${p.asOf})"))
+    require(holders.isEmpty,
+      s"retireState: $stateDir is pinned by ${holders.mkString("; ")} — " +
+        "a pinned generation must stay serveable")
+    graft.Exec.deletePath(stateDir)
+  }
+
   /** The reader-side error hook: when no generation resolves at `asOf`,
     * report the retention floor if one explains it; otherwise fall back
     * to the state's own "never fired at that horizon" message. */

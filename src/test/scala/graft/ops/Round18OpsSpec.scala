@@ -211,6 +211,30 @@ class Round18OpsSpec extends SparkSpec {
     }.getMessage should include("unknown kind")
   }
 
+  test("retireState: a superseded generation dir deletes wholesale once " +
+      "nothing pins it; any pin on it refuses the retirement by name") {
+    val dir = twoGenAnnState()
+    val mdir = tmp("retire") + "/manifest"
+    SnapshotManifest.pin(spark,
+      Seq(SnapshotManifest.Pin("old_gen", "ann", dir, 1L, "vec_id")), mdir)
+    val e = intercept[IllegalArgumentException] {
+      Retention.retireState(spark, dir, Seq(mdir))
+    }
+    e.getMessage should include("old_gen")
+    new java.io.File(dir).exists() shouldBe true
+    // a manifest that no longer pins it releases the hold
+    val other = twoGenAnnState()
+    SnapshotManifest.pin(spark,
+      Seq(SnapshotManifest.Pin("new_gen", "ann", other, 1L, "vec_id")), mdir)
+    Retention.retireState(spark, dir, Seq(mdir))
+    new java.io.File(dir).exists() shouldBe false
+    // fail-safe: a missing manifest fails the call, nothing is deleted
+    intercept[IllegalArgumentException] {
+      Retention.retireState(spark, other, Seq(tmp("gone") + "/missing"))
+    }.getMessage should include("no manifest")
+    new java.io.File(other).exists() shouldBe true
+  }
+
   // ------------------------------------------ PQ maintenance loop
 
   private def vecs4(ids: Seq[Long], shift: Double = 0.0) =
