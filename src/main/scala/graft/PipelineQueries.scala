@@ -3545,6 +3545,39 @@ object PipelineQueries {
           col("decision"))
         .orderBy(col("phase").desc, col("state"))
     }),
+    // the COMPRESSED index through SQL, time travel included: the
+    // GRAFT_KNNPQ relation names the state, both generation artifacts
+    // (centroids + codebook), inline probe vectors, and the horizon —
+    // and must answer exactly like the API path's sliced ADC + rerank.
+    "q_sql_knnpq" -> ((s, d) => {
+      val idx = pqAsofStateFor(s, d)
+      val ext = RecQueries.extensionSession(s)
+      val inline = emb(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .where(col("vec_id") < 5).collect()
+        .map(r => s"${r.getLong(0)}:${r.getSeq[Double](1).mkString(" ")}")
+        .mkString("; ")
+      ext.sql(
+        s"""SELECT query_id, neighbor_id, cast(rank AS bigint) AS rank,
+           |  round(cos, 6) AS cos
+           |FROM GRAFT_KNNPQ('$idx', '${annArtifactBase(d)}/pqasof_cents',
+           |  '${annArtifactBase(d)}/pqasof_codebook', '$inline', 10)
+           |  VERSION AS OF 1""".stripMargin)
+    }),
+    // the SQL vacuum: DELETE ... RETURNING for generation history — the
+    // statement runs the pin-aware GC and returns the dropped ids, which
+    // the oracle re-derives from the drift trigger's firing replay.
+    "q_sql_vacuum" -> ((s, d) => {
+      driftRunFor(s, d)
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_sql_vac", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      graft.Exec.copyPath(s"${curateDriftBase(d)}/state", s"$base/state")
+      val ext = RecQueries.extensionSession(s)
+      ext.sql(
+        s"""SELECT cast(dropped_gen AS bigint) AS dropped_gen
+           |FROM GRAFT_VACUUM('$base/state', 'selection')""".stripMargin)
+    }),
     // Corpus-relative perplexity filtering: keep the best half by the
     // exact interpolated median of the rounded scores (the way production
     // filters are specified — a budget, not a constant).
@@ -3954,6 +3987,28 @@ object PipelineQueries {
        |      / ((n_old + 1.0)/(t.so + t.nv)))) AS v
        |  FROM ${p}u CROSS JOIN ${p}t t
        |)""".stripMargin
+
+  /** Replay of the drift state's trigger decisions: `rv_f(f1, f2)` =
+    * whether waves 1 and 2 fired (wave 0 fires unconditionally), derived
+    * from the same cumulative-KL statistic the state triggered on, with
+    * the baseline advancing on a firing — shared by the retention-loop
+    * oracles (s_maint_vacuum, q_sql_vacuum), which turn firings into
+    * generation counts / dropped ids. */
+  private lazy val driftFireCtes: String = {
+    val docs0 = "SELECT text FROM documents WHERE doc_id % 3 = 0"
+    val docs01 = "SELECT text FROM documents WHERE doc_id % 3 <= 1"
+    val docsAll = "SELECT CASE WHEN doc_id % 3 = 2 THEN text || '" +
+      DriftPhrase + "' ELSE text END AS text FROM documents"
+    s"""${klCtes("rv01_", docs0, docs01)},
+       |${klCtes("rv02_", docs0, docsAll)},
+       |${klCtes("rv12_", docs01, docsAll)},
+       |rv_f AS (
+       |  SELECT f1,
+       |    (CASE WHEN f1 THEN (SELECT v FROM rv12_kl)
+       |          ELSE (SELECT v FROM rv02_kl) END) >= 0.05 AS f2
+       |  FROM (SELECT (SELECT v FROM rv01_kl) >= 0.05 AS f1)
+       |)""".stripMargin
+  }
 
   /** The wave-0 curation generation (what the drift state serves at
     * horizon 1) — shared by s_curate_asof and the retention gate. */
@@ -7026,6 +7081,10 @@ object PipelineQueries {
     // to the pre-fold horizon (probes stay the full query set)
     "s_knn_pq_asof" -> ivfPqOracle("pqasof_cents", "pqasof_codebook",
       corpusWhere = "vec_id % 3 <= 1"),
+    // the SQL probe of the compressed index answers exactly like the
+    // API path (same artifacts, same horizon slice)
+    "q_sql_knnpq" -> ivfPqOracle("pqasof_cents", "pqasof_codebook",
+      corpusWhere = "vec_id % 3 <= 1"),
     // each auto-resolved leg = the one-shot IVF scan of that horizon's
     // slice under the quantizer GENERATION serving then: bootstrap below
     // the growth, the persisted union set at head
@@ -8660,20 +8719,8 @@ object PipelineQueries {
     // how many generations exist, hence how many are stale at each
     // copy's floor (the pin holds the pinned copy's floor at 1); post
     // rows are 0 by the vacuum's contract
-    "s_maint_vacuum" -> {
-      val docs0 = "SELECT text FROM documents WHERE doc_id % 3 = 0"
-      val docs01 = "SELECT text FROM documents WHERE doc_id % 3 <= 1"
-      val docsAll = "SELECT CASE WHEN doc_id % 3 = 2 THEN text || '" +
-        DriftPhrase + "' ELSE text END AS text FROM documents"
-      s"""WITH ${klCtes("rv01_", docs0, docs01)},
-         |${klCtes("rv02_", docs0, docsAll)},
-         |${klCtes("rv12_", docs01, docsAll)},
-         |rv_f AS (
-         |  SELECT f1,
-         |    (CASE WHEN f1 THEN (SELECT v FROM rv12_kl)
-         |          ELSE (SELECT v FROM rv02_kl) END) >= 0.05 AS f2
-         |  FROM (SELECT (SELECT v FROM rv01_kl) >= 0.05 AS f1)
-         |),
+    "s_maint_vacuum" ->
+      s"""WITH $driftFireCtes,
          |rv_n AS (
          |  SELECT (CASE WHEN f1 THEN 1 ELSE 0 END) +
          |      (CASE WHEN f2 THEN 1 ELSE 0 END) AS stale_tail,
@@ -8698,8 +8745,15 @@ object PipelineQueries {
          |)
          |SELECT phase, state, metric, round(v, 6) AS value, threshold,
          |  decision
-         |FROM rv_rows ORDER BY phase DESC, state""".stripMargin
-    },
+         |FROM rv_rows ORDER BY phase DESC, state""".stripMargin,
+    // the SQL vacuum returns the dropped generation ids: the fired waves
+    // except the newest firing (which serves the head floor) — all
+    // re-derived from the trigger replay
+    "q_sql_vacuum" ->
+      s"""WITH $driftFireCtes
+         |SELECT CAST(0 AS BIGINT) AS dropped_gen FROM rv_f WHERE f1 OR f2
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT) FROM rv_f WHERE f1 AND f2""".stripMargin,
     "q_sql_curate" -> curateOracle,
     // the SQL time-travel relation must reproduce the API as-of read
     // (same from-scratch derivation as s_shard_asof)

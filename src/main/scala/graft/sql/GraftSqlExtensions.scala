@@ -219,7 +219,15 @@ object GraftSql {
     *   GRAFT_KNN('<indexDir>', 'auto', ...)   (quantizer resolved from
     *                                          the state's qg<batch>/
     *                                          generations at the horizon)
+    *   GRAFT_KNNPQ('<indexDir>', '<centroids parquet>',
+    *               '<codebook parquet>', <q>, k)  [VERSION AS OF <batch>]
+    *                                          (the compressed index: ADC
+    *                                          shortlist + exact rerank)
     *   GRAFT_SNAPSHOT('<manifestDir>', '<state>')   (horizon from the pin)
+    *   GRAFT_VACUUM('<stateDir>', 'selection'|'quantizer'
+    *               [, keepFrom[, '<manifest>;...']])  (ACTION: pin-aware
+    *                                          generation GC; returns the
+    *                                          dropped generation ids)
     *
     * Each appears as a relation in FROM; without the version clause it
     * reads the live state. The sealed-history contracts surface
@@ -240,6 +248,48 @@ object GraftSql {
         override def removeEldestEntry(
             e: java.util.Map.Entry[String, RecSpec]): Boolean = size() > 256
       })
+
+  /** 'auto': resolve the quantizer GENERATION serving at the read horizon
+    * from the state's own `qg<batch>/` artifacts
+    * ([[graft.streaming.AnnIndexMaintainer.persistCentroids]]) — a
+    * VERSION AS OF probe then picks both the row slice and the centroid
+    * set from the horizon alone. Otherwise an explicit parquet path. */
+  private def resolveCents(session: SparkSession, idxDir: String,
+      centsDir: String, asOf: Option[Long]): Array[Array[Double]] =
+    if (centsDir.equalsIgnoreCase("auto"))
+      graft.streaming.AnnIndexMaintainer.centroidsAsOf(session, idxDir,
+        asOf.getOrElse(Long.MaxValue))
+    else graft.ops.Ann.ivfCentroidsFromDf(session.read.parquet(centsDir))
+
+  /** Query vectors for the KNN relations: a parenthesized SUBQUERY
+    * producing (id, vector) rows — runs through session.sql, so it may
+    * itself read GRAFT_* relations — or an INLINE literal
+    * ('id:v1 v2 ...; id:...'), or a view/table name with (id, vector)
+    * columns. '(' marks the subquery form; a ':' marks the inline form
+    * (neither can appear in a relation identifier). */
+  private def resolveQueryVecs(session: SparkSession, q: String,
+      fn: String): Seq[(Long, Array[Double])] = {
+    def vecRows(qdf: org.apache.spark.sql.DataFrame,
+        what: String): Seq[(Long, Array[Double])] = {
+      val qc = qdf.columns
+      require(qc.length >= 2,
+        s"$fn $what must have (id, vector) columns")
+      qdf.select(col(qc(0)).cast("long"),
+          col(qc(1)).cast("array<double>")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    }
+    if (q.startsWith("("))
+      vecRows(session.sql(q.substring(1, q.length - 1)), s"subquery '$q'")
+    else if (q.contains(":"))
+      q.split(";").toSeq.map(_.trim).filter(_.nonEmpty).map { e =>
+        val parts = e.split(":", 2)
+        require(parts.length == 2 && parts(1).trim.nonEmpty,
+          s"$fn inline query entry '$e' must be '<id>:<v1> <v2> ...'")
+        (parts(0).trim.toLong,
+          parts(1).trim.split("\\s+").map(_.toDouble))
+      }
+    else vecRows(session.table(q), s"query view '$q'")
+  }
 
   private[sql] def registerSpec(spec: RecSpec): String = {
     val name = "graft_rec_" + Integer.toHexString(spec.hashCode()).toLowerCase
@@ -516,7 +566,7 @@ object GraftSql {
     * list. Returns None when the statement carries no RECOMMEND clause.
     */
   private[sql] val StateReadStartRe =
-    """(?is)\bGRAFT_(SHARDS|BM25|KNN|SELECTION|SNAPSHOT)\s*\(""".r
+    """(?is)\bGRAFT_(SHARDS|BM25|KNNPQ|KNN|SELECTION|SNAPSHOT|VACUUM)\s*\(""".r
   private val VersionAsOfRe = """(?is)^\s*VERSION\s+AS\s+OF\s+(-?\d+)""".r
 
   /** Index just past the ')' matching the '(' at `open` in LENGTH-PRESERVING
@@ -729,46 +779,8 @@ object GraftSql {
                 "doc_id", terms, k.toInt))
           case ("bm25", _) => wrongArgs("('<stateDir>', '<terms>', k)")
           case ("knn", Seq(idxDir, centsDir, q, k)) =>
-            // 'auto': resolve the quantizer GENERATION serving at the
-            // read horizon from the state's own qg<batch>/ artifacts
-            // (persistCentroids) — a VERSION AS OF probe then picks both
-            // the row slice and the centroid set from the horizon alone
-            val cents =
-              if (centsDir.equalsIgnoreCase("auto"))
-                AnnIndexMaintainer.centroidsAsOf(session, idxDir,
-                  s.asOf.getOrElse(Long.MaxValue))
-              else graft.ops.Ann.ivfCentroidsFromDf(
-                session.read.parquet(centsDir))
-            // query vectors: a parenthesized SUBQUERY producing (id,
-            // vector) rows — runs through session.sql, so it may itself
-            // read GRAFT_* relations — or an INLINE literal
-            // ('id:v1 v2 ...; id:...'), or a view/table name with (id,
-            // vector) columns. '(' marks the subquery form; a ':' marks
-            // the inline form (neither can appear in a relation
-            // identifier).
-            def vecRows(qdf: org.apache.spark.sql.DataFrame,
-                what: String): Seq[(Long, Array[Double])] = {
-              val qc = qdf.columns
-              require(qc.length >= 2,
-                s"GRAFT_KNN $what must have (id, vector) columns")
-              qdf.select(col(qc(0)).cast("long"),
-                  col(qc(1)).cast("array<double>")).collect()
-                .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
-            }
-            val qv: Seq[(Long, Array[Double])] =
-              if (q.startsWith("("))
-                vecRows(session.sql(q.substring(1, q.length - 1)),
-                  s"subquery '$q'")
-              else if (q.contains(":"))
-                q.split(";").toSeq.map(_.trim).filter(_.nonEmpty).map { e =>
-                  val parts = e.split(":", 2)
-                  require(parts.length == 2 && parts(1).trim.nonEmpty,
-                    s"GRAFT_KNN inline query entry '$e' must be " +
-                      "'<id>:<v1> <v2> ...'")
-                  (parts(0).trim.toLong,
-                    parts(1).trim.split("\\s+").map(_.toDouble))
-                }
-              else vecRows(session.table(q), s"query view '$q'")
+            val cents = resolveCents(session, idxDir, centsDir, s.asOf)
+            val qv = resolveQueryVecs(session, q, "GRAFT_KNN")
             s.asOf.map(v => AnnIndexMaintainer.searchAsOf(session, idxDir,
                 cents, qv, k.toInt, asOf = v, rankOnRoundedTo = Some(6)))
               .getOrElse(AnnIndexMaintainer.search(session, idxDir, cents,
@@ -776,6 +788,54 @@ object GraftSql {
           case ("knn", _) =>
             wrongArgs("('<indexDir>', '<centroids parquet>', " +
               "<queryView> | '<id>:<v1> <v2> ...; ...' | (SELECT ...), k)")
+          case ("knnpq", Seq(idxDir, centsDir, cbDir, q, k)) =>
+            // the compressed index through SQL: ADC shortlist + exact
+            // rerank over the persisted codes, time-travel included —
+            // the codebook artifact is named explicitly (it is part of
+            // the generation contract, like the centroid set)
+            val cents = resolveCents(session, idxDir, centsDir, s.asOf)
+            val cb = graft.ops.Ann.pqCodebookFromDf(
+              session.read.parquet(cbDir))
+            val qv = resolveQueryVecs(session, q, "GRAFT_KNNPQ")
+            s.asOf.map(v => AnnIndexMaintainer.searchPqAsOf(session,
+                idxDir, cents, cb, qv, k.toInt, asOf = v,
+                rankOnRoundedTo = Some(6)))
+              .getOrElse(AnnIndexMaintainer.searchPq(session, idxDir,
+                cents, cb, qv, k.toInt, rankOnRoundedTo = Some(6)))
+          case ("knnpq", _) =>
+            wrongArgs("('<indexDir>', '<centroids parquet>', " +
+              "'<codebook parquet>', <queryView> | '<id>:...' | " +
+              "(SELECT ...), k)")
+          case ("vacuum", args) if args.size >= 2 && args.size <= 4 =>
+            // ACTION-shaped relation (the CURATE-statement rule: eager
+            // effect is its semantics): runs the pin-aware vacuum and
+            // returns the dropped generation ids — DELETE ... RETURNING
+            // for generation history. Missing manifests fail it, pins
+            // hold their horizons, re-running is idempotent (empty set).
+            require(s.asOf.isEmpty,
+              "GRAFT_VACUUM: VERSION AS OF is not applicable " +
+                "(the floor comes from keepFrom and the pinned manifests)")
+            val keep =
+              if (args.size >= 3) args(2).toLong else Long.MaxValue
+            val mans =
+              if (args.size >= 4)
+                args(3).split(";").toSeq.map(_.trim).filter(_.nonEmpty)
+              else Nil
+            val dropped = args(1).toLowerCase match {
+              case "selection" => graft.streaming.Retention
+                .vacuumSelections(session, args.head, keep, mans)
+              case "quantizer" => graft.streaming.Retention
+                .vacuumQuantizers(session, args.head, keep, mans)
+              case other => throw new IllegalArgumentException(
+                s"GRAFT_VACUUM: unknown kind '$other' " +
+                  "(expected 'selection' or 'quantizer')")
+            }
+            val sq = session
+            import sq.implicits._
+            dropped.toDF("dropped_gen")
+          case ("vacuum", _) =>
+            wrongArgs("('<stateDir>', 'selection'|'quantizer'" +
+              "[, <keepFrom>[, '<manifest>;<manifest>']])")
           case ("snapshot", Seq(mdir, state)) =>
             require(s.asOf.isEmpty,
               "GRAFT_SNAPSHOT: the horizon comes from the pinned manifest; " +

@@ -571,6 +571,72 @@ class SqlSurfaceSpec extends SparkSpec with BeforeAndAfterAll {
           "VERSION AS OF 0"))
   }
 
+  test("GRAFT_KNNPQ / GRAFT_VACUUM: the compressed index is SQL-probeable " +
+      "(live and as-of) and the pin-aware generation GC is SQL-drivable") {
+    val sq = ext
+    import sq.implicits._
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val idx = Files.createTempDirectory("sqlknnpq").toString
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val vecs = (0L to 9L).map(i => (i, Seq(
+      (if (i % 2 == 0) 1.0 else 0.0) + 0.01 * i,
+      (if (i % 2 == 0) 0.0 else 1.0))))
+      .toDF("vec_id", "embedding")
+    val cb = graft.ops.Ann.pqTrain(vecs, "embedding", m = 2, k = 2)
+    (0 until 2).foreach { g =>
+      graft.streaming.AnnIndexMaintainer.processBatchPq(
+        vecs.where(org.apache.spark.sql.functions.col("vec_id") % 2 === g),
+        g.toLong, "vec_id", "embedding", cents, cb, idx, roundScale = 6)
+    }
+    val art = Files.createTempDirectory("sqlknnpqart").toString
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cid", "c").coalesce(1).write.parquet(s"$art/cents")
+    graft.ops.Ann.pqCodebookDf(ext, cb).coalesce(1).write
+      .parquet(s"$art/cb")
+    val qv = (0L to 1L).map(i => (i,
+      vecs.where(org.apache.spark.sql.functions.col("vec_id") === i)
+        .head().getSeq[Double](1).toArray)).toSeq
+    val inline = qv.map { case (i, v) => s"$i:${v.mkString(" ")}" }
+      .mkString("; ")
+    rowsOf(ext.sql(
+      s"SELECT * FROM GRAFT_KNNPQ('$idx', '$art/cents', '$art/cb', " +
+        s"'$inline', 3)")) shouldBe
+      rowsOf(graft.streaming.AnnIndexMaintainer.searchPq(ext, idx, cents,
+        cb, qv, k = 3, rankOnRoundedTo = Some(6)))
+    rowsOf(ext.sql(
+      s"SELECT * FROM GRAFT_KNNPQ('$idx', '$art/cents', '$art/cb', " +
+        s"'$inline', 3) VERSION AS OF 0")) shouldBe
+      rowsOf(graft.streaming.AnnIndexMaintainer.searchPqAsOf(ext, idx,
+        cents, cb, qv, k = 3, asOf = 0L, rankOnRoundedTo = Some(6)))
+    // --- the SQL vacuum over a two-generation curation state
+    val cur = Files.createTempDirectory("sqlvac").toString
+    def doc(id: Long, extra: String) = (id,
+      "the quick brown fox jumps over a lazy dog while many other animals " +
+        "watch quietly from the tall grass near slowly running water " +
+        "today " + extra)
+    val w0 = Seq(doc(6L, "alpha beta")).toDF("doc_id", "text")
+    val w1 = Seq(doc(9L, ("zz " * 30).trim)).toDF("doc_id", "text")
+    graft.streaming.CurateMaintainer.processBatchDriftTriggered(w0, w0, 0L,
+      "doc_id", "text", 30, cur, klThreshold = 0.05, pplKeepBelow = 1000.0)
+    graft.streaming.CurateMaintainer.processBatchDriftTriggered(w1,
+      w0.unionByName(w1), 1L, "doc_id", "text", 30, cur,
+      klThreshold = 0.05, pplKeepBelow = 1000.0)
+    ext.sql(s"SELECT * FROM GRAFT_VACUUM('$cur', 'selection')")
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(0L)
+    // idempotent: nothing left to drop on a re-issue
+    ext.sql(s"SELECT * FROM GRAFT_VACUUM('$cur', 'selection')")
+      .count() shouldBe 0L
+    // the dropped horizon now answers with the retention error via SQL
+    intercept[Exception] {
+      ext.sql(s"SELECT * FROM GRAFT_SELECTION('$cur') VERSION AS OF 0")
+        .collect()
+    }.getMessage should include("below the retention floor")
+    intercept[Exception] {
+      ext.sql(s"SELECT * FROM GRAFT_VACUUM('$cur', 'bogus')").collect()
+    }.getMessage should include("unknown kind")
+  }
+
   test("rewriteStateReads: the balanced capture registers the subquery " +
       "argument VERBATIM, consumes the trailing version clause, and " +
       "leaves unbalanced text for the delegate parser") {
