@@ -3564,6 +3564,66 @@ object PipelineQueries {
            |  '${annArtifactBase(d)}/pqasof_codebook', '$inline', 10)
            |  VERSION AS OF 1""".stripMargin)
     }),
+    // CODEBOOK-DRIFT-REFINED PQ REMEDY, driver-gated: two monitored PQ
+    // states share a quantizer and codebooks trained pre-drift. The hold
+    // arm's plain wave keeps both sidecars flat (none). The shifted arm
+    // blows BOTH the coarse-distortion and the RECONSTRUCTION sidecar —
+    // the translated region is one the codebooks cannot represent — so
+    // the refined remedy forces the rebuild even though the tail is only
+    // 1/3 of the index (the size split alone would have said grow; the
+    // deterministic recombination case that stays grow is spec-pinned).
+    // The oracle re-derives all four ratios (assigned-cell distortion and
+    // reconstruction error, per era) from the corpus + the two persisted
+    // artifacts and applies the same decision chain.
+    "p_pq_remedy" -> ((s, d) => {
+      import graft.streaming.MaintenancePlanner
+      import graft.streaming.MaintenancePlanner.AnnPqSpec
+      val m = graft.streaming.AnnIndexMaintainer
+      val cents = sizedCentsCopy(s, d, "pqremedy_cents")
+      val cb = pqCodebookCopy(s, d, "pqremedy_codebook")
+      def build(spliced: Boolean): String = {
+        val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          "graft_pq_remedy" + (if (spliced) "_s" else "_h"),
+          Tables.runKey(d)).toString
+        graft.Exec.deletePath(base)
+        val e = emb(s, d).select(col("vec_id"),
+          (if (spliced)
+            when(col("vec_id") % 3 === 2,
+              transform(col("embedding").cast("array<double>"),
+                x => x + lit(EmbShift)))
+            .otherwise(col("embedding").cast("array<double>"))
+          else col("embedding").cast("array<double>")).as("embedding"))
+        (0 until 3).foreach { g =>
+          m.processBatchPqMonitored(e.where(col("vec_id") % 3 === g),
+            g.toLong, "vec_id", "embedding", cents, cb, base,
+            roundScale = 6)
+          if (g == 1) m.markTrained(base, 1L)
+        }
+        base
+      }
+      val hold = build(spliced = false)
+      val shifted = build(spliced = true)
+      val planRows = MaintenancePlanner.plan(s, Seq(
+        AnnPqSpec("pq_hold", hold, RetrainRatio, 8, 32,
+          growPostFractionMax = 0.5, codebookRatioMax = 2.0,
+          roundScale = 6),
+        AnnPqSpec("pq_shift", shifted, RetrainRatio, 8, 32,
+          growPostFractionMax = 0.5, codebookRatioMax = 2.0,
+          roundScale = 6)))
+      val sq = s
+      import sq.implicits._
+      val cbRows = Seq(
+        ("pq_hold", "codebook_ratio",
+          m.codebookDriftRatio(s, hold).getOrElse(0.0), 2.0, "signal"),
+        ("pq_shift", "codebook_ratio",
+          m.codebookDriftRatio(s, shifted).getOrElse(0.0), 2.0, "signal"))
+        .toDF("state", "metric", "value", "threshold", "decision")
+      planRows.unionByName(cbRows)
+        .select(col("state"), col("metric"),
+          round(col("value"), 6).as("value"), col("threshold"),
+          col("decision"))
+        .orderBy(col("state"), col("metric"))
+    }),
     // the SQL vacuum: DELETE ... RETURNING for generation history — the
     // statement runs the pin-aware GC and returns the dropped ids, which
     // the oracle re-derives from the drift trigger's firing replay.
@@ -4355,6 +4415,77 @@ object PipelineQueries {
     * SQL rendering of Ann.ivfPqTopK, parameterized by the two artifact
     * subdirectories so the one-shot and streaming-index gates share it.
     */
+  /** Per-arm CTEs for the p_pq_remedy oracle: assigned-cell distortion
+    * (rounded-argmin assignment, exact distance — mirroring the ingest
+    * roundScale) and codebook reconstruction error, each split by era
+    * (baseline waves 0/1 vs post wave 2), ending in `<p>drift(v)`,
+    * `<p>pf(v)` (post fraction) and `<p>cbr(v)` (recon ratio). Shares
+    * the `rcents`/`rcb`/`rp` artifact CTEs defined once by the caller. */
+  private def pqRemedyArmCtes(p: String, corpusSql: String): String =
+    s"""${p}e AS (
+       |  $corpusSql
+       |),
+       |${p}cd AS (
+       |  SELECT e.vec_id, ct.cid,
+       |    round(list_inner_product(ct.c, ct.c)
+       |      - 2*list_inner_product(e.v, ct.c), 6) AS dr,
+       |    (list_inner_product(e.v, e.v)
+       |      - 2*list_inner_product(e.v, ct.c)
+       |      + list_inner_product(ct.c, ct.c)) AS dx
+       |  FROM ${p}e e CROSS JOIN rcents ct
+       |),
+       |${p}asn AS (
+       |  SELECT vec_id, dx, vec_id % 3 AS era FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dr, cid) AS rn
+       |    FROM ${p}cd)
+       |  WHERE rn = 1
+       |),
+       |${p}drift AS (
+       |  SELECT (sum(dx) FILTER (WHERE era = 2)
+       |      / count(*) FILTER (WHERE era = 2))
+       |    / (sum(dx) FILTER (WHERE era <= 1)
+       |      / count(*) FILTER (WHERE era <= 1)) AS v
+       |  FROM ${p}asn
+       |),
+       |${p}pf AS (
+       |  SELECT CAST(count(*) FILTER (WHERE era = 2) AS DOUBLE)
+       |    / count(*) AS v
+       |  FROM ${p}asn
+       |),
+       |${p}enc AS (
+       |  SELECT e.vec_id, cb.subspace, cb.cid, cb.n2,
+       |    round(cb.n2 - 2*list_inner_product(
+       |      e.v[cb.subspace*rp.dsub+1 : (cb.subspace+1)*rp.dsub],
+       |      cb.c), 6) AS d,
+       |    list_inner_product(
+       |      e.v[cb.subspace*rp.dsub+1 : (cb.subspace+1)*rp.dsub],
+       |      cb.c) AS t
+       |  FROM ${p}e e CROSS JOIN rp CROSS JOIN rcb cb
+       |),
+       |${p}codes AS (
+       |  SELECT vec_id, subspace, n2, t FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+       |      ORDER BY d, cid) AS rn
+       |    FROM ${p}enc)
+       |  WHERE rn = 1
+       |),
+       |${p}r2 AS (
+       |  SELECT c.vec_id, c.vec_id % 3 AS era,
+       |    nv.vv - 2*sum(c.t) + sum(c.n2) AS r2
+       |  FROM ${p}codes c
+       |  JOIN (SELECT vec_id, list_inner_product(v, v) AS vv
+       |        FROM ${p}e) nv USING (vec_id)
+       |  GROUP BY c.vec_id, nv.vv
+       |),
+       |${p}cbr AS (
+       |  SELECT (sum(r2) FILTER (WHERE era = 2)
+       |      / count(*) FILTER (WHERE era = 2))
+       |    / (sum(r2) FILTER (WHERE era <= 1)
+       |      / count(*) FILTER (WHERE era <= 1)) AS v
+       |  FROM ${p}r2
+       |)""".stripMargin
+
   private def ivfPqOracle(centroidsDir: String, codebookDir: String,
       corpusSql: String =
         """SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -7085,6 +7216,43 @@ object PipelineQueries {
     // API path (same artifacts, same horizon slice)
     "q_sql_knnpq" -> ivfPqOracle("pqasof_cents", "pqasof_codebook",
       corpusWhere = "vec_id % 3 <= 1"),
+    // the refined PQ remedy: both ratios re-derived per arm from the
+    // corpus + persisted artifacts, the decision chain applied verbatim
+    // (trigger < threshold → none; recon blown → retrain REGARDLESS of
+    // tail size; else the tail-size split)
+    "p_pq_remedy" -> {
+      def decide(p: String): String =
+        s"""CASE WHEN (SELECT v FROM ${p}drift) < $RetrainRatio THEN 'none'
+           |  WHEN (SELECT v FROM ${p}cbr) > 2.0 THEN 'retrain'
+           |  WHEN (SELECT v FROM ${p}pf) <= 0.5 THEN 'grow'
+           |  ELSE 'retrain' END""".stripMargin
+      s"""WITH rcents AS (
+         |  SELECT cid, c FROM '__ANN_ARTIFACTS__/pqremedy_cents/*.parquet'
+         |),
+         |rcb AS (
+         |  SELECT subspace, cid, c, n2
+         |  FROM '__ANN_ARTIFACTS__/pqremedy_codebook/*.parquet'
+         |),
+         |rp AS (SELECT CAST(len(c) AS INT) AS dsub FROM rcb LIMIT 1),
+         |${pqRemedyArmCtes("h_", ivfPlainCorpusSql)},
+         |${pqRemedyArmCtes("s_",
+            s"""SELECT vec_id, CASE WHEN vec_id % 3 = 2
+               |    THEN list_transform(embedding,
+               |      x -> CAST(x AS DOUBLE) + $EmbShift)
+               |    ELSE list_transform(embedding, x -> CAST(x AS DOUBLE))
+               |    END AS v
+               |  FROM embeddings""".stripMargin)}
+         |SELECT 'pq_hold' AS state, 'drift_ratio' AS metric,
+         |  round((SELECT v FROM h_drift), 6) AS value,
+         |  $RetrainRatio AS threshold, ${decide("h_")} AS decision
+         |UNION ALL SELECT 'pq_hold', 'codebook_ratio',
+         |  round((SELECT v FROM h_cbr), 6), 2.0, 'signal'
+         |UNION ALL SELECT 'pq_shift', 'drift_ratio',
+         |  round((SELECT v FROM s_drift), 6), $RetrainRatio, ${decide("s_")}
+         |UNION ALL SELECT 'pq_shift', 'codebook_ratio',
+         |  round((SELECT v FROM s_cbr), 6), 2.0, 'signal'
+         |ORDER BY state, metric""".stripMargin
+    },
     // each auto-resolved leg = the one-shot IVF scan of that horizon's
     // slice under the quantizer GENERATION serving then: bootstrap below
     // the growth, the persisted union set at head

@@ -153,6 +153,11 @@ object AnnIndexMaintainer {
     StructField("n", LongType),
     StructField("sum_d2", DoubleType)))
 
+  private val reconSchema: StructType = StructType(Seq(
+    StructField("batch_id", LongType),
+    StructField("n", LongType),
+    StructField("sum_r2", DoubleType)))
+
   /** [[processBatch]] plus a per-batch QUANTIZATION-DISTORTION record — the
     * drift signal for the frozen-quantizer policy. The batch's rows (read
     * back from the dir the batch just wrote — the metric measures what the
@@ -193,6 +198,61 @@ object AnnIndexMaintainer {
       .option("basePath", s"$indexDir/b$batchId")
       .parquet(s"$indexDir/b$batchId")
     writeMetrics(spark, written, batchId, cents, indexDir)
+    writeReconMetrics(spark, written, batchId, codebooks, indexDir)
+  }
+
+  /** Per-batch RECONSTRUCTION-ERROR record — the CODEBOOK drift signal,
+    * orthogonal to the coarse-quantizer distortion the `m/` sidecar
+    * tracks: Σ‖v − decode(codes)‖² = Σ(v·v − 2·v·x̂ + |x̂|²), with x̂
+    * re-assembled from the frozen codebooks (|x̂|² is the stored `rn2`,
+    * exact because subspaces are disjoint coordinates). A distribution
+    * that moves into regions the codebooks never saw raises this even
+    * when new cells could cover it — the signal that growing the
+    * quantizer would spread bad codes, and only a codebook retrain
+    * ([[retrainPq]]) restores ADC fidelity. `mr/b<batch>` rows are
+    * (batch_id, n, sum_r2): mergeable sufficient statistics, so
+    * [[codebookDriftRatio]] is two sums over a batch-count-sized sidecar.
+    */
+  private def writeReconMetrics(spark: SparkSession, rows: DataFrame,
+      batchId: Long, codebooks: Array[Array[Array[Double]]],
+      indexDir: String): Unit = {
+    val cbLit = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val xhat = flatten(zip_with(col("codes"),
+      sequence(lit(0), lit(codebooks.length - 1)),
+      (c, j) => element_at(element_at(cbLit, j + 1), c + 1)))
+    rows.select((graft.functions.VectorFns.dotNative(col("v"), col("v"))
+        - lit(2.0) * graft.functions.VectorFns.dotNative(col("v"), xhat)
+        + col("rn2")).as("r2"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        coalesce(sum(col("r2")), lit(0.0)).as("sum_r2"))
+      .select(lit(batchId).as("batch_id"), col("n"), col("sum_r2"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/mr/b$batchId")
+  }
+
+  /** Mean post-baseline reconstruction error over the training-era mean —
+    * [[driftRatio]]'s shape applied to the `mr/` sidecar. None before a
+    * baseline, before any post rows, or on states ingested without
+    * [[processBatchPqMonitored]]. Growth never rewrites codes, so there
+    * is no growth-subsumption here; [[retrainPq]] restarts the sidecar in
+    * its new generation dir with the fresh-codes whole-index row. */
+  def codebookDriftRatio(spark: SparkSession,
+      indexDir: String): Option[Double] = {
+    val base = trainedBatch(indexDir)
+    if (base < 0L) return None
+    val dirs = BatchDirs.listDirs(s"$indexDir/mr", "b").map(_._2)
+    val m = BatchDirs.readUnion(spark, dirs, reconSchema,
+      partitioned = false).getOrElse(return None)
+    val r = m.agg(
+      sum(when(col("batch_id") <= base, col("sum_r2"))).as("bd2"),
+      sum(when(col("batch_id") <= base, col("n"))).as("bn"),
+      sum(when(col("batch_id") > base, col("sum_r2"))).as("pd2"),
+      sum(when(col("batch_id") > base, col("n"))).as("pn")).head()
+    if (r.isNullAt(0) || r.isNullAt(2)) return None
+    val (bd2, bn, pd2, pn) =
+      (r.getDouble(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+    if (bn == 0L || pn == 0L || bd2 <= 0.0) None
+    else Some((pd2 / pn) / (bd2 / bn))
   }
 
   private def writeMetrics(spark: SparkSession, rows: DataFrame,
@@ -468,6 +528,9 @@ object AnnIndexMaintainer {
       .option("basePath", s"$newIndexDir/c$maxB")
       .parquet(s"$newIndexDir/c$maxB")
     writeMetrics(spark, rebuilt, maxB, cents, newIndexDir)
+    // recon sidecar restarts too: the fresh-codes whole-index row is the
+    // new codebook-drift baseline
+    writeReconMetrics(spark, rebuilt, maxB, codebooks, newIndexDir)
     markTrained(newIndexDir, maxB)
     (cdf, graft.ops.Ann.pqCodebookDf(spark, codebooks))
   }

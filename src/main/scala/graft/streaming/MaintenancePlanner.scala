@@ -79,6 +79,7 @@ object MaintenancePlanner {
   final case class AnnPqSpec(name: String, dir: String,
       threshold: Double, m: Int = 8, kCode: Int = 32,
       growPostFractionMax: Double = 0.0,
+      codebookRatioMax: Double = Double.MaxValue,
       roundScale: Int = -1) extends StateSpec
 
   /** Any `c*`/`b*` LSM state ([[BatchDirs]] layout: postings index,
@@ -171,6 +172,26 @@ object MaintenancePlanner {
         .exists(_ <= growPostFractionMax)) "grow"
     else "retrain"
 
+  /** [[annRemedy]] refined for the PQ state by the CODEBOOK drift signal
+    * ([[AnnIndexMaintainer.codebookDriftRatio]], the `mr/` reconstruction
+    * sidecar): when the drift trigger fires AND the post-baseline
+    * reconstruction error has blown past `codebookRatioMax`× the
+    * training-era error, the rebuild is forced even for a tail-confined
+    * drift — growing the quantizer would only re-home rows whose CODES
+    * are already unfaithful, spreading ADC error over the new cells;
+    * only [[AnnIndexMaintainer.retrainPq]]'s fresh codebooks restore
+    * fidelity. Codebooks still faithful → the usual tail-size split.
+    * All three signals are sidecar sums — metadata cost. */
+  def pqRemedy(spark: SparkSession, dir: String, ratioThreshold: Double,
+      growPostFractionMax: Double = 0.5,
+      codebookRatioMax: Double = Double.MaxValue): String =
+    if (!AnnIndexMaintainer.shouldRetrain(spark, dir, ratioThreshold)) "none"
+    else if (AnnIndexMaintainer.codebookDriftRatio(spark, dir)
+        .exists(_ > codebookRatioMax)) "retrain"
+    else if (AnnIndexMaintainer.postFraction(spark, dir)
+        .exists(_ <= growPostFractionMax)) "grow"
+    else "retrain"
+
   /** Per-state context the EXECUTOR needs beyond the spec itself —
     * things only the caller can supply:
     *   - `annNewDirs`: where each ANN state's retrained generation lands
@@ -251,7 +272,7 @@ object MaintenancePlanner {
         // (rename-aside) so serving and the next ingest pick it up
         executeGrow(spark, n, dir, rs, pq = false)
         sp
-      case sp @ AnnPqSpec(n, dir, t, m, kc, gmax, rs)
+      case sp @ AnnPqSpec(n, dir, t, m, kc, gmax, cbmax, rs)
           if decisions(n) == "retrain" =>
         val newDir = annNewDirs.getOrElse(n,
           throw new IllegalArgumentException(
@@ -265,8 +286,8 @@ object MaintenancePlanner {
         cbDf.coalesce(1).write.mode("overwrite").parquet(s"$newDir/codebook")
         AnnIndexMaintainer.persistCentroids(spark, newDir,
           AnnIndexMaintainer.trainedBatch(newDir), cdf)
-        AnnPqSpec(n, newDir, t, m, kc, gmax, rs)
-      case sp @ AnnPqSpec(n, dir, _, _, _, _, rs)
+        AnnPqSpec(n, newDir, t, m, kc, gmax, cbmax, rs)
+      case sp @ AnnPqSpec(n, dir, _, _, _, _, _, rs)
           if decisions(n) == "grow" =>
         // movers' codes travel unchanged (non-residual PQ): the grow
         // remedy needs no codebook work, only the union quantizer commit
@@ -359,12 +380,13 @@ object MaintenancePlanner {
           else if (gmax > 0.0) annRemedy(spark, dir, t, gmax)
           else "retrain"
         (n, "drift_ratio", v, t, decision)
-      case AnnPqSpec(n, dir, t, _, _, gmax, _) =>
-        // same sidecar signal — the codes are invisible to the metric
+      case AnnPqSpec(n, dir, t, _, _, gmax, cbmax, _) =>
+        // the coarse signal decides WHETHER, the recon signal refines
+        // WHICH remedy ([[pqRemedy]]); codes are invisible to the metric
         val v = AnnIndexMaintainer.driftRatio(spark, dir).getOrElse(0.0)
         val decision =
           if (v < t) "none"
-          else if (gmax > 0.0) annRemedy(spark, dir, t, gmax)
+          else if (gmax > 0.0) pqRemedy(spark, dir, t, gmax, cbmax)
           else "retrain"
         (n, "drift_ratio", v, t, decision)
       case DeltaSpec(n, dir, t) =>

@@ -338,6 +338,80 @@ class Round18OpsSpec extends SparkSpec {
     served shouldBe oneShot
   }
 
+  // ---------------------------------- codebook drift (recon sidecar)
+
+  /** Two per-subspace patterns (4-dim, m=2): rows combine (a0 ++ a1) or
+    * (b0 ++ b1), plus a small within-cluster jitter so the trained
+    * codebooks have nonzero baseline reconstruction error. */
+  private def comboVecs(ids: Seq[Long], flip: Boolean = false,
+      shift: Double = 0.0) =
+    ids.map { i =>
+      val s0 = if (i % 2 == 0) Seq(1.0, 0.0) else Seq(0.0, 1.0)
+      // flip recombines: subspace-1 pattern from the OTHER class — every
+      // subvector stays in the trained vocabulary, the COMBINATION is new
+      val odd1 = if (flip) i % 2 == 0 else i % 2 != 0
+      val s1 = if (odd1) Seq(0.0, 3.0) else Seq(3.0, 0.0)
+      val jit = 0.01 * (i % 3)
+      (i, Seq(s0.head + jit + shift, s0(1) + shift,
+        s1.head + jit + shift, s1(1) + shift))
+    }.toDF("vec_id", "embedding")
+
+  private val comboCents = Array(Array(1.0, 0.0, 3.0, 0.0),
+    Array(0.0, 1.0, 0.0, 3.0))
+
+  test("codebook drift refines the PQ remedy: a recombination drift " +
+      "(new cells, codes still faithful) grows; a translation drift " +
+      "(codes unfaithful) forces the rebuild — same tail size") {
+    import graft.streaming.MaintenancePlanner
+    import graft.streaming.MaintenancePlanner.AnnPqSpec
+    import graft.ops.Ann
+    val w0 = comboVecs(0L to 9L)
+    val cb0 = Ann.pqTrain(w0, "embedding", m = 2, k = 2)
+    def mkState(w1: org.apache.spark.sql.DataFrame): String = {
+      val dir = tmp("cbdrift")
+      AnnIndexMaintainer.processBatchPqMonitored(w0, 0L, "vec_id",
+        "embedding", comboCents, cb0, dir, roundScale = 6)
+      AnnIndexMaintainer.markTrained(dir, 0L)
+      AnnIndexMaintainer.processBatchPqMonitored(w1, 1L, "vec_id",
+        "embedding", comboCents, cb0, dir, roundScale = 6)
+      dir
+    }
+    val growDir = mkState(comboVecs(10L to 14L, flip = true))
+    val rebuildDir = mkState(comboVecs(10L to 14L, shift = 5.0))
+    // the recombined tail re-encodes as faithfully as the training era...
+    AnnIndexMaintainer.codebookDriftRatio(spark, growDir).get should
+      be < 3.0
+    // ...the shifted tail does not
+    AnnIndexMaintainer.codebookDriftRatio(spark, rebuildDir).get should
+      be > 3.0
+    // both drifts fire the coarse trigger with the same small tail — the
+    // recon signal is the ONLY thing separating the two decisions
+    val specs = Seq(
+      AnnPqSpec("bycell", growDir, 10.0, m = 2, kCode = 2,
+        growPostFractionMax = 0.5, codebookRatioMax = 3.0, roundScale = 6),
+      AnnPqSpec("bycode", rebuildDir, 10.0, m = 2, kCode = 2,
+        growPostFractionMax = 0.5, codebookRatioMax = 3.0, roundScale = 6))
+    val pre = MaintenancePlanner.plan(spark, specs).collect()
+      .map(r => r.getString(0) -> r.getString(4)).toMap
+    pre("bycell") shouldBe "grow"
+    pre("bycode") shouldBe "retrain"
+    // the executor acts on both and the fleet measures healthy after
+    comboCents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cid", "c").coalesce(1).write.parquet(s"$growDir/cents")
+    val gen2 = tmp("cbdrift2") + "/idx2"
+    val (table, postSpecs) = MaintenancePlanner.execute(spark, specs,
+      annNewDirs = Map("bycode" -> gen2))
+    table.where(col("phase") === "post").collect()
+      .map(_.getString(5)).toSet shouldBe Set("none")
+    // grow arm: union quantizer committed back; rebuild arm: both
+    // generation artifacts in the new dir, spec re-pointed
+    graft.ops.Ann.ivfCentroidsFromDf(spark.read.parquet(s"$growDir/cents"))
+      .length should be > comboCents.length
+    new java.io.File(s"$gen2/codebook").exists() shouldBe true
+    postSpecs.collect { case s: AnnPqSpec if s.name == "bycode" => s.dir }
+      .head shouldBe gen2
+  }
+
   test("a pin of kind 'ann' (rows) ALSO protects the quantizer " +
       "generations — a pinned row horizon implies its quantizer audit") {
     val dir = twoGenAnnState()
