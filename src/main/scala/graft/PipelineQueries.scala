@@ -428,6 +428,51 @@ object PipelineQueries {
       s"$base/index"
     })
 
+  /** One GROWN PQ state with persisted artifact GENERATIONS per (JVM,
+    * sf dir) — the [[qgAutoStateFor]] twin for the compressed index:
+    * bootstrap quantizer (qg0) + codebooks (cbg0, frozen through the
+    * growth), three spliced waves, then [[AnnIndexMaintainer.growPq]]
+    * (union set → qg3). A horizon then resolves rows, centroid set AND
+    * codebook with no caller-side bookkeeping. Read-only consumer:
+    * q_sql_knnpq_auto. */
+  private val pqAutoStateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def pqAutoStateFor(s: SparkSession, d: String): String =
+    pqAutoStateCache.computeIfAbsent(d, _ => {
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_pqauto", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      val m = graft.streaming.AnnIndexMaintainer
+      val spliced = emb(s, d).select(col("vec_id"),
+        when(col("vec_id") % 3 === 2,
+          transform(col("embedding").cast("array<double>"),
+            x => x + lit(EmbShift)))
+        .otherwise(col("embedding").cast("array<double>")).as("embedding"))
+      Ann.ivfTrainBalanced(spliced.where(col("vec_id") % 3 <= 1),
+          "embedding")._1
+        .coalesce(1).write.mode("overwrite")
+        .parquet(annArtifactBase(d) + "/pqauto_boot_cents")
+      val cents0 = Ann.ivfCentroidsFromDf(
+        s.read.parquet(annArtifactBase(d) + "/pqauto_boot_cents"))
+      val cb = pqCodebookCopy(s, d, "pqauto_codebook")
+      (0 until 3).foreach { g =>
+        m.processBatchPq(spliced.where(col("vec_id") % 3 === g), g.toLong,
+          "vec_id", "embedding", cents0, cb, s"$base/idx", roundScale = 6)
+        if (g == 1) m.markTrained(s"$base/idx", 1L)
+      }
+      m.persistCentroids(s, s"$base/idx", 0L,
+        s.read.parquet(annArtifactBase(d) + "/pqauto_boot_cents"))
+      m.persistCodebook(s, s"$base/idx", 0L,
+        s.read.parquet(annArtifactBase(d) + "/pqauto_codebook"))
+      m.growPq(s, s"$base/idx", cents0, kNew = 8, roundScale = 6)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(annArtifactBase(d) + "/pqauto_union_cents")
+      m.persistCentroids(s, s"$base/idx", 3L,
+        s.read.parquet(annArtifactBase(d) + "/pqauto_union_cents"))
+      s"$base/idx"
+    })
+
   /** [[annAsofStateFor]]'s twin for the PQ-CODED inverted file: three
     * code-bearing waves, whole-index fold; `pqasof_cents` /
     * `pqasof_codebook` are the artifacts its oracle re-derives from.
@@ -3563,6 +3608,29 @@ object PipelineQueries {
            |FROM GRAFT_KNNPQ('$idx', '${annArtifactBase(d)}/pqasof_cents',
            |  '${annArtifactBase(d)}/pqasof_codebook', '$inline', 10)
            |  VERSION AS OF 1""".stripMargin)
+    }),
+    // the FULLY self-resolving PQ probe: GRAFT_KNNPQ('dir','auto','auto',
+    // …) VERSION AS OF h names nothing but the state and the horizon —
+    // the engine resolves the row slice, the quantizer generation
+    // (bootstrap below the growth, the union set at it) AND the codebook
+    // generation (frozen through the growth, so cbg0 serves both legs).
+    "q_sql_knnpq_auto" -> ((s, d) => {
+      val idx = pqAutoStateFor(s, d)
+      val ext = RecQueries.extensionSession(s)
+      def inlineOf(spliced: Boolean): String =
+        qgProbes(s, d, spliced)
+          .map { case (id, v) => s"$id:${v.mkString(" ")}" }
+          .mkString("; ")
+      ext.sql(
+        s"""SELECT cast(1 AS bigint) AS horizon, query_id, neighbor_id,
+           |  cast(rank AS bigint) AS rank, round(cos, 6) AS cos
+           |FROM GRAFT_KNNPQ('$idx', 'auto', 'auto',
+           |  '${inlineOf(false)}', 10) VERSION AS OF 1
+           |UNION ALL
+           |SELECT cast(3 AS bigint), query_id, neighbor_id,
+           |  cast(rank AS bigint), round(cos, 6)
+           |FROM GRAFT_KNNPQ('$idx', 'auto', 'auto',
+           |  '${inlineOf(true)}', 10) VERSION AS OF 3""".stripMargin)
     }),
     // CODEBOOK-DRIFT-REFINED PQ REMEDY, driver-gated: two monitored PQ
     // states share a quantizer and codebooks trained pre-drift. The hold
@@ -7216,6 +7284,22 @@ object PipelineQueries {
     // API path (same artifacts, same horizon slice)
     "q_sql_knnpq" -> ivfPqOracle("pqasof_cents", "pqasof_codebook",
       corpusWhere = "vec_id % 3 <= 1"),
+    // the self-resolving PQ probe answers exactly like the
+    // horizon-resolved scans: bootstrap quantizer + pre-growth slice at
+    // 1, union quantizer + full spliced corpus at 3, one frozen codebook
+    "q_sql_knnpq_auto" -> Seq(
+      (1L, ivfPqOracle("pqauto_boot_cents", "pqauto_codebook",
+        corpusWhere = "vec_id % 3 <= 1")),
+      (3L, ivfPqOracle("pqauto_union_cents", "pqauto_codebook",
+        s"""SELECT vec_id, CASE WHEN vec_id % 3 = 2
+           |    THEN list_transform(embedding, x -> CAST(x AS DOUBLE) + $EmbShift)
+           |    ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS v
+           |  FROM embeddings""".stripMargin)))
+      .map { case (h, sql) =>
+        s"""SELECT CAST($h AS BIGINT) AS horizon, t.* FROM (
+           |$sql
+           |) t""".stripMargin }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY horizon, query_id, rank"),
     // the refined PQ remedy: both ratios re-derived per arm from the
     // corpus + persisted artifacts, the decision chain applied verbatim
     // (trigger < threshold → none; recon blown → retrain REGARDLESS of

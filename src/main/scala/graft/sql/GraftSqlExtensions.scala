@@ -222,7 +222,10 @@ object GraftSql {
     *   GRAFT_KNNPQ('<indexDir>', '<centroids parquet>',
     *               '<codebook parquet>', <q>, k)  [VERSION AS OF <batch>]
     *                                          (the compressed index: ADC
-    *                                          shortlist + exact rerank)
+    *                                          shortlist + exact rerank;
+    *                                          'auto' for either artifact
+    *                                          resolves its qg<b>/cbg<b>
+    *                                          generation at the horizon)
     *   GRAFT_SNAPSHOT('<manifestDir>', '<state>')   (horizon from the pin)
     *   GRAFT_VACUUM('<stateDir>', 'selection'|'quantizer'
     *               [, keepFrom[, '<manifest>;...']])  (ACTION: pin-aware
@@ -794,8 +797,16 @@ object GraftSql {
             // the codebook artifact is named explicitly (it is part of
             // the generation contract, like the centroid set)
             val cents = resolveCents(session, idxDir, centsDir, s.asOf)
-            val cb = graft.ops.Ann.pqCodebookFromDf(
-              session.read.parquet(cbDir))
+            // 'auto' resolves the codebook GENERATION serving at the
+            // horizon from the state's cbg<batch>/ artifacts, like the
+            // quantizer's qg<batch>/ — the self-resolving probe needs to
+            // name nothing but the state and the horizon
+            val cb =
+              if (cbDir.equalsIgnoreCase("auto"))
+                AnnIndexMaintainer.codebooksAsOf(session, idxDir,
+                  s.asOf.getOrElse(Long.MaxValue))
+              else graft.ops.Ann.pqCodebookFromDf(
+                session.read.parquet(cbDir))
             val qv = resolveQueryVecs(session, q, "GRAFT_KNNPQ")
             s.asOf.map(v => AnnIndexMaintainer.searchPqAsOf(session,
                 idxDir, cents, cb, qv, k.toInt, asOf = v,

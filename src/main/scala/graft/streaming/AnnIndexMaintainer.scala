@@ -401,6 +401,37 @@ object AnnIndexMaintainer {
     Ann.ivfCentroidsFromDf(spark.read.parquet(gens.last._2))
   }
 
+  /** Persist a CODEBOOK generation (`cbg<batchId>/`) — the
+    * [[persistCentroids]] discipline applied to the PQ state's second
+    * generation artifact: [[retrainPq]] changes the codebooks, so a
+    * reproducibility audit at an old horizon needs the codebook serving
+    * THEN (growth never re-encodes, so a growth advances only the
+    * quantizer generation and the codebook generation carries over). */
+  def persistCodebook(spark: SparkSession, indexDir: String,
+      batchId: Long, cbDf: DataFrame): Unit = {
+    val tmp = new java.io.File(indexDir, s".cbg$batchId.tmp")
+    graft.Exec.deletePath(tmp.getPath)
+    cbDf.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+    val dest = new java.io.File(indexDir, s"cbg$batchId")
+    graft.Exec.deletePath(dest.getPath) // replay rewrites its generation
+    require(tmp.renameTo(dest), s"codebook commit failed: $dest")
+  }
+
+  /** The codebooks SERVING at horizon `asOf`: the newest persisted
+    * generation at or below it. Horizons before the first generation
+    * throw — or report the retention floor when a vacuum removed them. */
+  def codebooksAsOf(spark: SparkSession, indexDir: String,
+      asOf: Long): Array[Array[Array[Double]]] = {
+    val gens = BatchDirs.listDirs(indexDir, "cbg").filter(_._1 <= asOf)
+    require(gens.nonEmpty,
+      Retention.belowFloorMsg(Retention.quantizerMarker(indexDir), asOf,
+          s"codebook horizon in $indexDir")
+        .getOrElse(
+          s"no codebook generation at or below batch $asOf in $indexDir " +
+            "(persistCodebook had not run at that horizon)"))
+    Ann.pqCodebookFromDf(spark.read.parquet(gens.last._2))
+  }
+
   /** [[searchAsOf]] with the quantizer RESOLVED from the persisted
     * generations — the horizon picks both the rows and the centroid set,
     * so a time-travel probe across a growth or retrain reproduces the

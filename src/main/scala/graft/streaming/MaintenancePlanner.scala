@@ -286,6 +286,8 @@ object MaintenancePlanner {
         cbDf.coalesce(1).write.mode("overwrite").parquet(s"$newDir/codebook")
         AnnIndexMaintainer.persistCentroids(spark, newDir,
           AnnIndexMaintainer.trainedBatch(newDir), cdf)
+        AnnIndexMaintainer.persistCodebook(spark, newDir,
+          AnnIndexMaintainer.trainedBatch(newDir), cbDf)
         AnnPqSpec(n, newDir, t, m, kc, gmax, cbmax, rs)
       case sp @ AnnPqSpec(n, dir, _, _, _, _, _, rs)
           if decisions(n) == "grow" =>

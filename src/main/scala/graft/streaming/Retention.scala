@@ -124,13 +124,14 @@ object Retention {
       floorFor(spark, stateDir, keepFrom, manifestDirs, Set("curate")))
       .map(_._1)
 
-  /** DRY RUN of [[vacuumQuantizers]]. */
+  /** DRY RUN of [[vacuumQuantizers]] (quantizer + codebook families). */
   def staleQuantizers(spark: SparkSession, indexDir: String,
-      keepFrom: Long, manifestDirs: Seq[String] = Nil): Seq[Long] =
-    staleGens(indexDir, "qg",
-      floorFor(spark, indexDir, keepFrom, manifestDirs,
-        Set("quantizer", "ann")))
+      keepFrom: Long, manifestDirs: Seq[String] = Nil): Seq[Long] = {
+    val floor = floorFor(spark, indexDir, keepFrom, manifestDirs,
+      Set("quantizer", "codebook", "ann"))
+    (staleGens(indexDir, "qg", floor) ++ staleGens(indexDir, "cbg", floor))
       .map(_._1)
+  }
 
   /** Vacuum a curation state's selection generations. Pins of kind
     * `curate` on this state dir hold the floor down. */
@@ -140,19 +141,24 @@ object Retention {
       floorFor(spark, stateDir, keepFrom, manifestDirs, Set("curate")),
       selectionMarker(stateDir))
 
-  /** Vacuum an ANN state's quantizer generations (`qg<b>/`). Pins of kind
-    * `quantizer` OR `ann` on this index dir hold the floor down — a
-    * pinned row horizon implies the reproducibility audit will also ask
-    * for the quantizer serving then ([[AnnIndexMaintainer.centroidsAsOf]]),
-    * so both kinds protect the generations. The index ROWS are untouched:
-    * batch/growth dirs carry live data at every horizon and belong to the
-    * compaction/seal lifecycle, not generation retention. */
+  /** Vacuum an ANN state's quantizer generations (`qg<b>/`) AND its
+    * codebook generations (`cbg<b>/`, when the state is PQ-coded) at the
+    * same floor. Pins of kind `quantizer`, `codebook` OR `ann` on this
+    * index dir hold the floor down — a pinned row horizon implies the
+    * reproducibility audit will also ask for the quantizer/codebooks
+    * serving then ([[AnnIndexMaintainer.centroidsAsOf]] /
+    * [[AnnIndexMaintainer.codebooksAsOf]]), so all three kinds protect
+    * the generations. The index ROWS are untouched: batch/growth dirs
+    * carry live data at every horizon and belong to the compaction/seal
+    * lifecycle, not generation retention. */
   def vacuumQuantizers(spark: SparkSession, indexDir: String,
-      keepFrom: Long, manifestDirs: Seq[String] = Nil): Seq[Long] =
-    vacuumGens(indexDir, "qg",
-      floorFor(spark, indexDir, keepFrom, manifestDirs,
-        Set("quantizer", "ann")),
-      quantizerMarker(indexDir))
+      keepFrom: Long, manifestDirs: Seq[String] = Nil): Seq[Long] = {
+    val floor = floorFor(spark, indexDir, keepFrom, manifestDirs,
+      Set("quantizer", "codebook", "ann"))
+    val marker = quantizerMarker(indexDir)
+    vacuumGens(indexDir, "qg", floor, marker) ++
+      vacuumGens(indexDir, "cbg", floor, marker)
+  }
 
   /** RETIRE a superseded state generation DIRECTORY wholesale — the
     * inter-directory face of retention: [[AnnIndexMaintainer.retrain]] /

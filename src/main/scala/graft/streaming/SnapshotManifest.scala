@@ -47,7 +47,8 @@ object SnapshotManifest {
     StructField("id_col", StringType)))
 
   private val kinds =
-    Set("shards", "curate", "postings", "ann", "neardup", "quantizer")
+    Set("shards", "curate", "postings", "ann", "neardup", "quantizer",
+      "codebook")
 
   /** Write the manifest (rename-aside commit, crash-atomic) after
     * validating every pin RESOLVES — failing at pin time, not at some
@@ -173,6 +174,14 @@ object SnapshotManifest {
       require(gens.nonEmpty,
         s"no quantizer generation at or below batch ${p.asOf} in " +
           s"${p.dir} (persistCentroids had not run at that horizon)")
+      spark.read.parquet(gens.last._2)
+    case "codebook" =>
+      // the PQ state's second model artifact: the codebook generation
+      // serving at the horizon ([[AnnIndexMaintainer.persistCodebook]])
+      val gens = BatchDirs.listDirs(p.dir, "cbg").filter(_._1 <= p.asOf)
+      require(gens.nonEmpty,
+        s"no codebook generation at or below batch ${p.asOf} in " +
+          s"${p.dir} (persistCodebook had not run at that horizon)")
       spark.read.parquet(gens.last._2)
     case other => throw new IllegalArgumentException(
       s"unknown state kind '$other'")

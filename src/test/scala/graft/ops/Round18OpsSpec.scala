@@ -338,6 +338,40 @@ class Round18OpsSpec extends SparkSpec {
     served shouldBe oneShot
   }
 
+  test("codebook generations: the horizon resolves the codebook, the " +
+      "quantizer vacuum drops superseded cbg at the same floor, and a " +
+      "'codebook' manifest pin protects them") {
+    import graft.ops.Ann
+    val dir = twoGenAnnState() // qg0, qg1 already persisted
+    val cb0 = Array(Array(Array(1.0, 0.0), Array(0.0, 1.0)))
+    val cb1 = Array(Array(Array(0.9, 0.1), Array(0.1, 0.9)))
+    AnnIndexMaintainer.persistCodebook(spark, dir, 0L,
+      Ann.pqCodebookDf(spark, cb0))
+    AnnIndexMaintainer.persistCodebook(spark, dir, 1L,
+      Ann.pqCodebookDf(spark, cb1))
+    AnnIndexMaintainer.codebooksAsOf(spark, dir, 0L)
+      .head.head.head shouldBe 1.0 +- 1e-12
+    AnnIndexMaintainer.codebooksAsOf(spark, dir, 5L)
+      .head.head.head shouldBe 0.9 +- 1e-12
+    // a 'codebook' pin holds BOTH generation families' floor
+    val mdir = tmp("cbgman") + "/manifest"
+    SnapshotManifest.pin(spark,
+      Seq(SnapshotManifest.Pin("cbk", "codebook", dir, 0L)), mdir)
+    SnapshotManifest.readState(spark, mdir, "cbk").count() shouldBe 2L
+    Retention.vacuumQuantizers(spark, dir, keepFrom = Long.MaxValue,
+      manifestDirs = Seq(mdir)) shouldBe empty
+    // unpinned: both families drop their superseded generation together
+    Retention.vacuumQuantizers(spark, dir,
+      keepFrom = Long.MaxValue) shouldBe Seq(0L, 0L)
+    val e = intercept[IllegalArgumentException] {
+      AnnIndexMaintainer.codebooksAsOf(spark, dir, 0L)
+    }
+    e.getMessage should include("below the retention floor")
+    // the pinned manifest's audit reports the loss
+    SnapshotManifest.verify(spark, mdir)
+      .collect().head.getBoolean(3) shouldBe false
+  }
+
   // ---------------------------------- codebook drift (recon sidecar)
 
   /** Two per-subspace patterns (4-dim, m=2): rows combine (a0 ++ a1) or
