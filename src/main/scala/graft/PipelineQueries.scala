@@ -572,6 +572,41 @@ object PipelineQueries {
       (base, cents)
     })
 
+  /** One PQ-CODED hybrid dense leg per (JVM, sf dir): the SAME corpus
+    * text embeddings and the SAME coarse quantizer as [[hybridStateFor]],
+    * but the inverted file carries 2-byte-per-subspace codes (m=4, k=8
+    * over the 8-dim closed-form embeddings; codebook persisted as
+    * `hybridpq_codebook`) — at 100 TB the dense leg's state is dim/m×
+    * smaller and the ADC shortlist never touches full vectors. Returns
+    * (index dir, codebooks read back from the artifact). */
+  private val hybridPqCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Array[Array[Array[Double]]])]()
+
+  private def hybridPqStateFor(s: SparkSession, d: String)
+      : (String, Array[Array[Array[Double]]]) =
+    hybridPqCache.computeIfAbsent(d, _ => {
+      val (_, cents) = hybridStateFor(s, d) // hybrid_centroids_s persisted
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_hybridpq", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      val embCorpus = docs(s, d).where(col("doc_id") >= 25)
+        .select(col("doc_id").as("vec_id"),
+          TextOps.textEmbedding(col("text"), 8).as("embedding"))
+      Ann.pqCodebookDf(s,
+          Ann.pqTrain(embCorpus, "embedding", m = 4, k = 8))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(annArtifactBase(d) + "/hybridpq_codebook")
+      val cb = Ann.pqCodebookFromDf(
+        s.read.parquet(annArtifactBase(d) + "/hybridpq_codebook"))
+      (0 until 3).foreach { g =>
+        graft.streaming.AnnIndexMaintainer.processBatchPq(
+          embCorpus.where(col("vec_id") % 3 === g), g.toLong, "vec_id",
+          "embedding", cents, cb, s"$base/index", roundScale = 6)
+      }
+      graft.streaming.AnnIndexMaintainer.compactPq(s, s"$base/index")
+      (s"$base/index", cb)
+    })
+
   /** One LEARNED-TOWER hybrid dense leg per (JVM, sf dir): a ridge head
     * trained on the corpus text embeddings against the documents' lang
     * labels (sorted-lang index — a real text-classification head, not a
@@ -2235,6 +2270,33 @@ object PipelineQueries {
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
       val dense = graft.streaming.AnnIndexMaintainer.search(s, s"$base/index",
         cents, qvecs, k = 10, rankOnRoundedTo = Some(6))
+        .select(col("query_id").as("qid"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      TfIdf.rrfFuse(sparse, dense, "qid", "doc_id", k = 10)
+    }),
+    // Hybrid retrieval over the COMPRESSED dense leg: the same fused
+    // serving composition with the dense arm answered by the PQ inverted
+    // file (ADC shortlist over 2-byte codes, exact rerank on the
+    // shortlist only) — retrieval consumers are INDEX-REPRESENTATION
+    // agnostic the same way s_hybrid_learned proved they are
+    // model-agnostic. The oracle re-derives the BM25 leg, the closed-form
+    // embeddings, codes under the persisted codebook, ADC, rerank, and
+    // the fusion from scratch.
+    "s_hybrid_pq" -> ((s, d) => {
+      val (base, cents) = hybridStateFor(s, d)
+      val (pqIdx, cb) = hybridPqStateFor(s, d)
+      val evalQ = docs(s, d).where(col("doc_id") < 5)
+      val sparse = graft.streaming.SearchIndexMaintainer.searchBatch(
+        s, s"$base/postings", "doc_id",
+        evalQ.select(col("doc_id").as("qid"),
+          explode(TextOps.tokens(col("text"))).as("term")).distinct(),
+        "qid", "term", k = 10)
+        .select(col("qid"), col("doc_id"), col("rank"))
+      val qvecs = evalQ
+        .select(col("doc_id"), TextOps.textEmbedding(col("text"), 8).as("v"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      val dense = graft.streaming.AnnIndexMaintainer.searchPq(s, pqIdx,
+        cents, cb, qvecs, k = 10, rankOnRoundedTo = Some(6))
         .select(col("query_id").as("qid"), col("neighbor_id").as("doc_id"),
           col("rank"))
       TfIdf.rrfFuse(sparse, dense, "qid", "doc_id", k = 10)
@@ -4483,6 +4545,134 @@ object PipelineQueries {
     * SQL rendering of Ann.ivfPqTopK, parameterized by the two artifact
     * subdirectories so the one-shot and streaming-index gates share it.
     */
+  /** The streamed hybrid-serving oracle: shared sparse-BM25 +
+    * closed-form-embedding + coarse-assignment CTEs (through `qpr`, the
+    * query probes), a caller-supplied dense leg ending in `da(qid,
+    * doc_id, rb)`, and the shared RRF fusion tail — instantiated by
+    * s_hybrid_search (exact dense scan) and s_hybrid_pq (ADC shortlist +
+    * exact rerank over the persisted codebook). */
+  private def hybridStreamOracle(denseLeg: String): String =
+    HybridOracleCommon + ",\n" + denseLeg + ",\n" + HybridOracleTail
+
+  private val HybridOracleCommon: String =
+    """WITH cd AS (SELECT doc_id, text FROM documents WHERE doc_id >= 25),
+        |qd AS (SELECT doc_id, text FROM documents WHERE doc_id < 5),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM cd
+        |),
+        |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
+        |st AS (SELECT count(*) AS n, sum(len) AS sl FROM dl),
+        |q AS (
+        |  SELECT DISTINCT qid, term FROM (
+        |    SELECT doc_id AS qid, unnest(string_split(text, ' ')) AS term
+        |    FROM qd)
+        |),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM tok JOIN (SELECT DISTINCT term FROM q) USING (term)
+        |  GROUP BY 1, 2
+        |),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT q.qid, tf.doc_id,
+        |    sum(ln((st.n - dfq.df + 0.5)/(dfq.df + 0.5) + 1)
+        |        * tf.tf * (1.2 + 1)
+        |        / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.len/(st.sl*1.0/st.n))))
+        |      AS score
+        |  FROM tf
+        |  JOIN dfq USING (term)
+        |  JOIN dl USING (doc_id)
+        |  JOIN q USING (term)
+        |  CROSS JOIN st
+        |  GROUP BY 1, 2
+        |),
+        |sa AS (
+        |  SELECT qid, doc_id, ra FROM (
+        |    SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY round(score, 6) DESC, doc_id) AS ra
+        |    FROM sc)
+        |  WHERE ra <= 10
+        |),
+        |ctw AS (
+        |  SELECT doc_id, word FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM cd)
+        |  WHERE len(word) > 0
+        |),
+        |ctf AS (
+        |  SELECT doc_id, list_reduce(
+        |      list_transform(string_split(word, ''),
+        |        ch -> CAST(ascii(ch) AS BIGINT)),
+        |      (acc, x) -> (acc*31 + x) % 1000000007) AS fp
+        |  FROM ctw
+        |),
+        |ctn AS (SELECT doc_id, greatest(count(*), 1) AS nw FROM ctf GROUP BY 1),
+        |ks AS (SELECT unnest(generate_series(0, 7)) AS k2),
+        |cv0 AS (
+        |  SELECT f.doc_id, k2,
+        |    sum((f.fp + k2*4001) % 97 - 48) / (48.0 * ctn.nw) AS v
+        |  FROM ctf f JOIN ctn USING (doc_id) CROSS JOIN ks
+        |  GROUP BY f.doc_id, k2, ctn.nw
+        |),
+        |cv AS (SELECT doc_id, list(v ORDER BY k2) AS v FROM cv0 GROUP BY 1),
+        |cn2 AS (SELECT doc_id, sqrt(list_inner_product(v, v)) AS n FROM cv),
+        |qtw AS (
+        |  SELECT doc_id, word FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM qd)
+        |  WHERE len(word) > 0
+        |),
+        |qtf AS (
+        |  SELECT doc_id, list_reduce(
+        |      list_transform(string_split(word, ''),
+        |        ch -> CAST(ascii(ch) AS BIGINT)),
+        |      (acc, x) -> (acc*31 + x) % 1000000007) AS fp
+        |  FROM qtw
+        |),
+        |qtn AS (SELECT doc_id, greatest(count(*), 1) AS nw FROM qtf GROUP BY 1),
+        |qv0 AS (
+        |  SELECT f.doc_id, k2,
+        |    sum((f.fp + k2*4001) % 97 - 48) / (48.0 * qtn.nw) AS v
+        |  FROM qtf f JOIN qtn USING (doc_id) CROSS JOIN ks
+        |  GROUP BY f.doc_id, k2, qtn.nw
+        |),
+        |qv AS (SELECT doc_id, list(v ORDER BY k2) AS v FROM qv0 GROUP BY 1),
+        |qn2 AS (SELECT doc_id, sqrt(list_inner_product(v, v)) AS n FROM qv),
+        |cents AS (
+        |  SELECT cid, c FROM '__ANN_ARTIFACTS__/hybrid_centroids_s/*.parquet'
+        |),
+        |asn AS (
+        |  SELECT doc_id, cid FROM (
+        |    SELECT cv.doc_id, ct.cid,
+        |      row_number() OVER (PARTITION BY cv.doc_id ORDER BY
+        |        round(list_inner_product(ct.c, ct.c)
+        |          - 2*list_inner_product(cv.v, ct.c), 6), ct.cid) AS rn
+        |    FROM cv CROSS JOIN cents ct)
+        |  WHERE rn = 1
+        |),
+        |qpr AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT qv.doc_id AS qid, ct.cid,
+        |      row_number() OVER (PARTITION BY qv.doc_id ORDER BY
+        |        list_inner_product(ct.c, ct.c)
+        |          - 2*list_inner_product(qv.v, ct.c), ct.cid) AS rn
+        |    FROM qv CROSS JOIN cents ct)
+        |  WHERE rn <= 4
+        |)""".stripMargin
+
+  private val HybridOracleTail: String =
+    """f AS (
+        |  SELECT coalesce(sa.qid, da.qid) AS qid,
+        |    coalesce(sa.doc_id, da.doc_id) AS doc_id,
+        |    round(coalesce(1.0/(60 + sa.ra), 0)
+        |      + coalesce(1.0/(60 + da.rb), 0), 6) AS rrf
+        |  FROM sa FULL JOIN da
+        |    ON sa.qid = da.qid AND sa.doc_id = da.doc_id
+        |)
+        |SELECT qid, doc_id, rrf, rank FROM (
+        |  SELECT qid, doc_id, rrf, row_number() OVER (PARTITION BY qid
+        |    ORDER BY rrf DESC, doc_id) AS rank
+        |  FROM f)
+        |WHERE rank <= 10""".stripMargin
+
   /** Per-arm CTEs for the p_pq_remedy oracle: assigned-cell distortion
     * (rounded-argmin assignment, exact distance — mirroring the ingest
     * roundScale) and codebook reconstruction error, each split by era
@@ -6986,110 +7176,8 @@ object PipelineQueries {
     // text tower → round-6 cell assignment → nprobe=4 probe cells per
     // query (unrounded, matching the driver-side probe) → within-cell
     // cosine top-10; then the same 1/(60+rank) fusion
-    "s_hybrid_search" ->
-      """WITH cd AS (SELECT doc_id, text FROM documents WHERE doc_id >= 25),
-        |qd AS (SELECT doc_id, text FROM documents WHERE doc_id < 5),
-        |tok AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM cd
-        |),
-        |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
-        |st AS (SELECT count(*) AS n, sum(len) AS sl FROM dl),
-        |q AS (
-        |  SELECT DISTINCT qid, term FROM (
-        |    SELECT doc_id AS qid, unnest(string_split(text, ' ')) AS term
-        |    FROM qd)
-        |),
-        |tf AS (
-        |  SELECT doc_id, term, count(*) AS tf
-        |  FROM tok JOIN (SELECT DISTINCT term FROM q) USING (term)
-        |  GROUP BY 1, 2
-        |),
-        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |sc AS (
-        |  SELECT q.qid, tf.doc_id,
-        |    sum(ln((st.n - dfq.df + 0.5)/(dfq.df + 0.5) + 1)
-        |        * tf.tf * (1.2 + 1)
-        |        / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.len/(st.sl*1.0/st.n))))
-        |      AS score
-        |  FROM tf
-        |  JOIN dfq USING (term)
-        |  JOIN dl USING (doc_id)
-        |  JOIN q USING (term)
-        |  CROSS JOIN st
-        |  GROUP BY 1, 2
-        |),
-        |sa AS (
-        |  SELECT qid, doc_id, ra FROM (
-        |    SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
-        |      ORDER BY round(score, 6) DESC, doc_id) AS ra
-        |    FROM sc)
-        |  WHERE ra <= 10
-        |),
-        |ctw AS (
-        |  SELECT doc_id, word FROM (
-        |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM cd)
-        |  WHERE len(word) > 0
-        |),
-        |ctf AS (
-        |  SELECT doc_id, list_reduce(
-        |      list_transform(string_split(word, ''),
-        |        ch -> CAST(ascii(ch) AS BIGINT)),
-        |      (acc, x) -> (acc*31 + x) % 1000000007) AS fp
-        |  FROM ctw
-        |),
-        |ctn AS (SELECT doc_id, greatest(count(*), 1) AS nw FROM ctf GROUP BY 1),
-        |ks AS (SELECT unnest(generate_series(0, 7)) AS k2),
-        |cv0 AS (
-        |  SELECT f.doc_id, k2,
-        |    sum((f.fp + k2*4001) % 97 - 48) / (48.0 * ctn.nw) AS v
-        |  FROM ctf f JOIN ctn USING (doc_id) CROSS JOIN ks
-        |  GROUP BY f.doc_id, k2, ctn.nw
-        |),
-        |cv AS (SELECT doc_id, list(v ORDER BY k2) AS v FROM cv0 GROUP BY 1),
-        |cn2 AS (SELECT doc_id, sqrt(list_inner_product(v, v)) AS n FROM cv),
-        |qtw AS (
-        |  SELECT doc_id, word FROM (
-        |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM qd)
-        |  WHERE len(word) > 0
-        |),
-        |qtf AS (
-        |  SELECT doc_id, list_reduce(
-        |      list_transform(string_split(word, ''),
-        |        ch -> CAST(ascii(ch) AS BIGINT)),
-        |      (acc, x) -> (acc*31 + x) % 1000000007) AS fp
-        |  FROM qtw
-        |),
-        |qtn AS (SELECT doc_id, greatest(count(*), 1) AS nw FROM qtf GROUP BY 1),
-        |qv0 AS (
-        |  SELECT f.doc_id, k2,
-        |    sum((f.fp + k2*4001) % 97 - 48) / (48.0 * qtn.nw) AS v
-        |  FROM qtf f JOIN qtn USING (doc_id) CROSS JOIN ks
-        |  GROUP BY f.doc_id, k2, qtn.nw
-        |),
-        |qv AS (SELECT doc_id, list(v ORDER BY k2) AS v FROM qv0 GROUP BY 1),
-        |qn2 AS (SELECT doc_id, sqrt(list_inner_product(v, v)) AS n FROM qv),
-        |cents AS (
-        |  SELECT cid, c FROM '__ANN_ARTIFACTS__/hybrid_centroids_s/*.parquet'
-        |),
-        |asn AS (
-        |  SELECT doc_id, cid FROM (
-        |    SELECT cv.doc_id, ct.cid,
-        |      row_number() OVER (PARTITION BY cv.doc_id ORDER BY
-        |        round(list_inner_product(ct.c, ct.c)
-        |          - 2*list_inner_product(cv.v, ct.c), 6), ct.cid) AS rn
-        |    FROM cv CROSS JOIN cents ct)
-        |  WHERE rn = 1
-        |),
-        |qpr AS (
-        |  SELECT qid, cid FROM (
-        |    SELECT qv.doc_id AS qid, ct.cid,
-        |      row_number() OVER (PARTITION BY qv.doc_id ORDER BY
-        |        list_inner_product(ct.c, ct.c)
-        |          - 2*list_inner_product(qv.v, ct.c), ct.cid) AS rn
-        |    FROM qv CROSS JOIN cents ct)
-        |  WHERE rn <= 4
-        |),
-        |den AS (
+    "s_hybrid_search" -> hybridStreamOracle(
+      """den AS (
         |  SELECT p.qid, a.doc_id,
         |    round(list_inner_product(qv.v, cv.v) / (qn2.n * cn2.n), 6) AS cos
         |  FROM qpr p JOIN asn a USING (cid)
@@ -7104,20 +7192,71 @@ object PipelineQueries {
         |      ORDER BY cos DESC, doc_id) AS rb
         |    FROM den)
         |  WHERE rb <= 10
+        |)""".stripMargin),
+    // the fused path with the COMPRESSED dense leg: codes under the
+    // persisted codebook, ADC shortlist (rounded lookup-sum ranking),
+    // exact rerank on the shortlist only, same RRF
+    "s_hybrid_pq" -> hybridStreamOracle(
+      """cb AS (
+        |  SELECT subspace, cid, c, n2
+        |  FROM '__ANN_ARTIFACTS__/hybridpq_codebook/*.parquet'
         |),
-        |f AS (
-        |  SELECT coalesce(sa.qid, da.qid) AS qid,
-        |    coalesce(sa.doc_id, da.doc_id) AS doc_id,
-        |    round(coalesce(1.0/(60 + sa.ra), 0)
-        |      + coalesce(1.0/(60 + da.rb), 0), 6) AS rrf
-        |  FROM sa FULL JOIN da
-        |    ON sa.qid = da.qid AND sa.doc_id = da.doc_id
-        |)
-        |SELECT qid, doc_id, rrf, rank FROM (
-        |  SELECT qid, doc_id, rrf, row_number() OVER (PARTITION BY qid
-        |    ORDER BY rrf DESC, doc_id) AS rank
-        |  FROM f)
-        |WHERE rank <= 10""".stripMargin,
+        |pp AS (SELECT CAST(len(c) AS INT) AS dsub FROM cb LIMIT 1),
+        |enc AS (
+        |  SELECT cv.doc_id, cb.subspace, cb.cid, cb.n2,
+        |    round(cb.n2 - 2*list_inner_product(
+        |      cv.v[cb.subspace*pp.dsub+1 : (cb.subspace+1)*pp.dsub],
+        |      cb.c), 6) AS d
+        |  FROM cv CROSS JOIN pp CROSS JOIN cb
+        |),
+        |codes AS (
+        |  SELECT doc_id, subspace, cid, n2 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id, subspace
+        |      ORDER BY d, cid) AS rn
+        |    FROM enc)
+        |  WHERE rn = 1
+        |),
+        |cnr AS (SELECT doc_id, sqrt(sum(n2)) AS n FROM codes GROUP BY 1),
+        |adc AS (
+        |  SELECT p.qid, a.doc_id,
+        |    sum(list_inner_product(
+        |      qv.v[c.subspace*pp.dsub+1 : (c.subspace+1)*pp.dsub],
+        |      cb2.c)) AS t
+        |  FROM qpr p JOIN asn a USING (cid)
+        |  JOIN codes c ON c.doc_id = a.doc_id
+        |  JOIN cb cb2 ON cb2.subspace = c.subspace AND cb2.cid = c.cid
+        |  JOIN qv ON p.qid = qv.doc_id
+        |  CROSS JOIN pp
+        |  GROUP BY 1, 2
+        |),
+        |short AS (
+        |  SELECT qid, doc_id FROM (
+        |    SELECT adc.qid, adc.doc_id,
+        |      row_number() OVER (PARTITION BY adc.qid
+        |        ORDER BY round(adc.t/(qn2.n*cnr.n), 6) DESC, adc.doc_id)
+        |        AS rn
+        |    FROM adc
+        |    JOIN qn2 ON adc.qid = qn2.doc_id
+        |    JOIN cnr ON adc.doc_id = cnr.doc_id)
+        |  WHERE rn <= 40
+        |),
+        |ex AS (
+        |  SELECT s2.qid, s2.doc_id,
+        |    round(list_inner_product(qv.v, cv.v)/(qn2.n*cn2.n), 6) AS cos
+        |  FROM short s2
+        |  JOIN qv ON s2.qid = qv.doc_id
+        |  JOIN cv ON s2.doc_id = cv.doc_id
+        |  JOIN qn2 ON s2.qid = qn2.doc_id
+        |  JOIN cn2 ON s2.doc_id = cn2.doc_id
+        |),
+        |da AS (
+        |  SELECT qid, doc_id, rb FROM (
+        |    SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, doc_id) AS rb
+        |    FROM ex)
+        |  WHERE rb <= 10
+        |)""".stripMargin),
+
     // the learned-leg fusion: same sparse derivation, dense leg projected
     // through the persisted ridge weights (sequential inner products —
     // bitwise-equal before rounding), IVF re-derived from the persisted
