@@ -76,6 +76,64 @@ object Retention {
     }
   }
 
+  private[streaming] def selectionPolicyPath(stateDir: String): String =
+    new java.io.File(new java.io.File(stateDir, "selection"),
+      "_retpolicy").getPath
+
+  private[streaming] def quantizerPolicyPath(indexDir: String): String =
+    new java.io.File(indexDir, "_qg_retpolicy").getPath
+
+  /** Persist a retention POLICY on the state itself: every vacuum of
+    * this state keeps (at least) the newest `keepLast` generations —
+    * the operator configures the state once and the planner sweep
+    * ([[MaintenancePlanner.RetentionSpec]] with no `keepFrom`) needs no
+    * per-spec knobs thereafter. Pins still lower the floor further; an
+    * explicit `keepFrom` below the policy floor still wins (both only
+    * ever KEEP more). Temp-write + rename like every marker. */
+  def setSelectionPolicy(stateDir: String, keepLast: Int): Unit =
+    writePolicy(selectionPolicyPath(stateDir), keepLast)
+
+  /** [[setSelectionPolicy]] for an ANN state's quantizer + codebook
+    * generation families (one policy governs both — they retire
+    * together at one floor). */
+  def setQuantizerPolicy(indexDir: String, keepLast: Int): Unit =
+    writePolicy(quantizerPolicyPath(indexDir), keepLast)
+
+  private def writePolicy(path: String, keepLast: Int): Unit = {
+    require(keepLast >= 1,
+      s"retention policy must keep at least 1 generation, got $keepLast")
+    val tmp = new java.io.File(path + ".tmp")
+    graft.Exec.deletePath(tmp.getPath)
+    val w = new java.io.PrintWriter(tmp)
+    try w.print(s"keepLast=$keepLast") finally w.close()
+    val dest = new java.io.File(path)
+    graft.Exec.deletePath(dest.getPath)
+    require(tmp.renameTo(dest), s"retention policy commit failed: $dest")
+  }
+
+  def readPolicy(path: String): Option[Int] = {
+    val f = new java.io.File(path)
+    if (!f.isFile) None
+    else {
+      val src = scala.io.Source.fromFile(f)
+      try Some(src.mkString.trim.stripPrefix("keepLast=").toInt)
+      finally src.close()
+    }
+  }
+
+  /** The floor the state's own policy implies for one generation family:
+    * the id of the keepLast-th-newest generation (everything strictly
+    * below its server drops), or the oldest id when there are not yet
+    * that many (nothing drops), or no constraint without a policy. */
+  private def policyFloor(gensDir: String, prefix: String,
+      policyPath: String): Option[Long] =
+    readPolicy(policyPath).flatMap { keepLast =>
+      val gens = BatchDirs.listDirs(gensDir, prefix)
+      if (gens.isEmpty) None
+      else if (gens.size <= keepLast) Some(gens.head._1)
+      else Some(gens(gens.size - keepLast)._1)
+    }
+
   /** `keepFrom` lowered to the oldest horizon any supplied manifest pins
     * on `stateDir` with one of the `kinds` — the effective retention
     * floor. Paths compare canonically (a pin written with a relative or
@@ -114,31 +172,54 @@ object Retention {
     drop.map(_._1)
   }
 
+  /** The selection family's effective floor: keepFrom ∧ pins ∧ the
+    * state's own persisted policy. */
+  private def selectionFloor(spark: SparkSession, stateDir: String,
+      keepFrom: Long, manifestDirs: Seq[String]): Long = {
+    val base = floorFor(spark, stateDir, keepFrom, manifestDirs,
+      Set("curate"))
+    policyFloor(new java.io.File(stateDir, "selection").getPath, "s",
+      selectionPolicyPath(stateDir)).fold(base)(math.min(base, _))
+  }
+
+  private def quantizerFloor(spark: SparkSession, indexDir: String,
+      keepFrom: Long, manifestDirs: Seq[String],
+      prefix: String): Long = {
+    val base = floorFor(spark, indexDir, keepFrom, manifestDirs,
+      Set("quantizer", "codebook", "ann"))
+    policyFloor(indexDir, prefix, quantizerPolicyPath(indexDir))
+      .fold(base)(math.min(base, _))
+  }
+
   /** DRY RUN of [[vacuumSelections]]: the superseded generation ids a
     * vacuum with these parameters would drop, measured the same
-    * pin-aware way — the planner's retention metric (metadata-cost:
-    * a dir listing plus the manifest reads). */
+    * pin-and-policy-aware way — the planner's retention metric
+    * (metadata-cost: a dir listing plus the manifest reads). */
   def staleSelections(spark: SparkSession, stateDir: String,
-      keepFrom: Long, manifestDirs: Seq[String] = Nil): Seq[Long] =
+      keepFrom: Long = Long.MaxValue,
+      manifestDirs: Seq[String] = Nil): Seq[Long] =
     staleGens(new java.io.File(stateDir, "selection").getPath, "s",
-      floorFor(spark, stateDir, keepFrom, manifestDirs, Set("curate")))
+      selectionFloor(spark, stateDir, keepFrom, manifestDirs))
       .map(_._1)
 
   /** DRY RUN of [[vacuumQuantizers]] (quantizer + codebook families). */
   def staleQuantizers(spark: SparkSession, indexDir: String,
-      keepFrom: Long, manifestDirs: Seq[String] = Nil): Seq[Long] = {
-    val floor = floorFor(spark, indexDir, keepFrom, manifestDirs,
-      Set("quantizer", "codebook", "ann"))
-    (staleGens(indexDir, "qg", floor) ++ staleGens(indexDir, "cbg", floor))
+      keepFrom: Long = Long.MaxValue,
+      manifestDirs: Seq[String] = Nil): Seq[Long] =
+    (staleGens(indexDir, "qg",
+        quantizerFloor(spark, indexDir, keepFrom, manifestDirs, "qg")) ++
+      staleGens(indexDir, "cbg",
+        quantizerFloor(spark, indexDir, keepFrom, manifestDirs, "cbg")))
       .map(_._1)
-  }
 
   /** Vacuum a curation state's selection generations. Pins of kind
-    * `curate` on this state dir hold the floor down. */
+    * `curate` on this state dir hold the floor down, as does the state's
+    * persisted [[setSelectionPolicy]] window. */
   def vacuumSelections(spark: SparkSession, stateDir: String,
-      keepFrom: Long, manifestDirs: Seq[String] = Nil): Seq[Long] =
+      keepFrom: Long = Long.MaxValue,
+      manifestDirs: Seq[String] = Nil): Seq[Long] =
     vacuumGens(new java.io.File(stateDir, "selection").getPath, "s",
-      floorFor(spark, stateDir, keepFrom, manifestDirs, Set("curate")),
+      selectionFloor(spark, stateDir, keepFrom, manifestDirs),
       selectionMarker(stateDir))
 
   /** Vacuum an ANN state's quantizer generations (`qg<b>/`) AND its
@@ -152,12 +233,15 @@ object Retention {
     * carry live data at every horizon and belong to the compaction/seal
     * lifecycle, not generation retention. */
   def vacuumQuantizers(spark: SparkSession, indexDir: String,
-      keepFrom: Long, manifestDirs: Seq[String] = Nil): Seq[Long] = {
-    val floor = floorFor(spark, indexDir, keepFrom, manifestDirs,
-      Set("quantizer", "codebook", "ann"))
+      keepFrom: Long = Long.MaxValue,
+      manifestDirs: Seq[String] = Nil): Seq[Long] = {
     val marker = quantizerMarker(indexDir)
-    vacuumGens(indexDir, "qg", floor, marker) ++
-      vacuumGens(indexDir, "cbg", floor, marker)
+    vacuumGens(indexDir, "qg",
+      quantizerFloor(spark, indexDir, keepFrom, manifestDirs, "qg"),
+      marker) ++
+      vacuumGens(indexDir, "cbg",
+        quantizerFloor(spark, indexDir, keepFrom, manifestDirs, "cbg"),
+        marker)
   }
 
   /** RETIRE a superseded state generation DIRECTORY wholesale — the

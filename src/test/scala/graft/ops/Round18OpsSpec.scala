@@ -338,6 +338,41 @@ class Round18OpsSpec extends SparkSpec {
     served shouldBe oneShot
   }
 
+  test("persisted retention policies: a keepLast window on the state " +
+      "drives the vacuum with no caller knobs; pins still win; fewer " +
+      "generations than the window drop nothing") {
+    import graft.streaming.MaintenancePlanner
+    import graft.streaming.MaintenancePlanner.RetentionSpec
+    val (dir, _, sel2) = twoGenState()
+    Retention.setSelectionPolicy(dir, keepLast = 2)
+    // 2 generations, keepLast 2 → nothing stale
+    Retention.vacuumSelections(spark, dir) shouldBe empty
+    Retention.setSelectionPolicy(dir, keepLast = 1)
+    // the planner sweep needs NO per-spec configuration now
+    val spec = RetentionSpec("sel", dir, 1.0, "selection")
+    MaintenancePlanner.plan(spark, Seq(spec)).collect()
+      .head.getString(4) shouldBe "vacuum"
+    val (table, _) = MaintenancePlanner.execute(spark, Seq(spec))
+    table.where(col("phase") === "post").collect()
+      .head.getString(5) shouldBe "none"
+    gens(dir) shouldBe Seq(2L)
+    CurateMaintainer.currentSelection(spark, dir)
+      .collect().map(_.toString).sorted.toSeq shouldBe sel2
+    // a pin beats the policy: the pinned generation survives keepLast=1
+    val (dir2, sel0, _) = twoGenState()
+    Retention.setSelectionPolicy(dir2, keepLast = 1)
+    val mdir = tmp("polman") + "/manifest"
+    SnapshotManifest.pin(spark,
+      Seq(SnapshotManifest.Pin("cur", "curate", dir2, 0L)), mdir)
+    Retention.vacuumSelections(spark, dir2,
+      manifestDirs = Seq(mdir)) shouldBe empty
+    CurateMaintainer.selectionAsOf(spark, dir2, 0L)
+      .collect().map(_.toString).sorted.toSeq shouldBe sel0
+    intercept[IllegalArgumentException] {
+      Retention.setSelectionPolicy(dir2, keepLast = 0)
+    }.getMessage should include("at least 1")
+  }
+
   test("codebook generations: the horizon resolves the codebook, the " +
       "quantizer vacuum drops superseded cbg at the same floor, and a " +
       "'codebook' manifest pin protects them") {
