@@ -83,18 +83,85 @@ object BpeMaintainer {
       Bpe.loadMerges(spark, s"$modelDir/v$v/merges.parquet")
     }.getOrElse(Seq.empty)
 
+  /** COMMITTED model versions, oldest first: (version, learn batch,
+    * corpus total at learn), read from each version dir's `_meta` stamp.
+    * Only versions at or below the `_LATEST` pointer count (a crash
+    * between the version write and the pointer move leaves an orphan dir
+    * invisible here, exactly like every other aside artifact). Versions
+    * written before the stamp existed carry learn batch −1 — readable by
+    * [[latestMerges]] but excluded from the horizon axis ([[mergesAsOf]])
+    * and never dropped by the vacuum (their horizon is unprovable).
+    */
+  def versions(modelDir: String): Seq[(Long, Long, Long)] = {
+    val latest = latestMeta(modelDir).map(_._1).getOrElse(return Seq.empty)
+    Option(Paths.get(modelDir).toFile.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .flatMap(f => f.getName.stripPrefix("v").toLongOption.map(_ -> f))
+      .filter(_._1 <= latest)
+      .map { case (v, f) =>
+        val meta = new java.io.File(f, "_meta")
+        if (!meta.isFile) (v, -1L, -1L)
+        else {
+          val Array(b, t) = Files.readString(meta.toPath).trim.split(' ')
+          (v, b.toLong, t.toLong)
+        }
+      }
+      .sortBy(_._1)
+  }
+
+  /** The version dir serving horizon `asOf`: the newest stamped version
+    * learned at a batch ≤ asOf. Horizons below every stamped version
+    * throw — reporting the retention floor when a vacuum explains it
+    * (the [[Retention]] error contract), the never-learned message
+    * otherwise.
+    */
+  private def versionAt(modelDir: String, asOf: Long): (Long, String) = {
+    val at = versions(modelDir).filter(v => v._2 >= 0L && v._2 <= asOf)
+    require(at.nonEmpty,
+      Retention.belowFloorMsg(Retention.mergesMarker(modelDir), asOf,
+          s"tokenizer horizon in $modelDir")
+        .getOrElse(s"no merges version learned at or below batch $asOf " +
+          s"in $modelDir"))
+    (at.last._1, s"$modelDir/v${at.last._1}")
+  }
+
+  /** TIME-TRAVEL read of the tokenizer: the merge rules that were SERVING
+    * once batch `asOf` committed — the version axis for the model
+    * artifact every downstream token count depends on (a training-run
+    * audit that pins shards and selections but re-tokenizes with today's
+    * merges reproduces nothing). Generation read from current files, no
+    * recompute — the [[CurateMaintainer.selectionAsOf]] discipline.
+    */
+  def mergesAsOf(spark: SparkSession, modelDir: String,
+      asOf: Long): Seq[(String, String)] =
+    Bpe.loadMerges(spark, s"${versionAt(modelDir, asOf)._2}/merges.parquet")
+
+  /** [[mergesAsOf]] as the persisted merges frame (rank, l, r, merged) —
+    * the [[SnapshotManifest]] `bpe` resolver. */
+  def mergesAsOfDf(spark: SparkSession, modelDir: String,
+      asOf: Long): DataFrame =
+    spark.read.parquet(s"${versionAt(modelDir, asOf)._2}/merges.parquet")
+
   private def commit(modelDir: String, v: Long, total: Long): Unit = {
     Files.createDirectories(Paths.get(modelDir))
     val tmp = Paths.get(modelDir, s"_LATEST.tmp$v")
     Files.write(tmp, s"$v $total".getBytes)
     Files.move(tmp, latestPath(modelDir), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    val keep = Set(s"v$v", s"v${v - 1}")
-    Option(Paths.get(modelDir).toFile.listFiles()).foreach(_.foreach { f =>
-      if (f.getName.startsWith("v") && !f.getName.startsWith("_") &&
-          !keep(f.getName))
-        graft.Exec.deletePath(f.getPath)
-    })
+    // version retention: with a persisted policy
+    // ([[Retention.setMergesPolicy]]) the model dir is APPEND-ONLY and
+    // truncation belongs to the pin-aware vacuum
+    // ([[Retention.vacuumMergeVersions]] — a SnapshotManifest pin can
+    // then durably hold any horizon); without one, the legacy keep-two
+    // window applies at commit time (serving + one rollback).
+    if (Retention.readPolicy(Retention.mergesPolicyPath(modelDir)).isEmpty) {
+      val keep = Set(s"v$v", s"v${v - 1}")
+      Option(Paths.get(modelDir).toFile.listFiles()).foreach(_.foreach { f =>
+        if (f.getName.startsWith("v") && !f.getName.startsWith("_") &&
+            !keep(f.getName))
+          graft.Exec.deletePath(f.getPath)
+      })
+    }
   }
 
   /** One micro-batch: aggregate the batch's word counts into its state
@@ -124,6 +191,12 @@ object BpeMaintainer {
         cfg.minCount, byteLevel = cfg.byteLevel)
       Bpe.mergesDf(spark, merges).coalesce(1)
         .write.mode("overwrite").parquet(s"$modelDir/v$v/merges.parquet")
+      // the version's horizon stamp — which batch this learn fired at —
+      // lands INSIDE the version dir before the _LATEST move, so every
+      // committed version carries its place on the time-travel axis
+      // ([[mergesAsOf]]) and replay rewrites it byte-identically
+      Files.writeString(Paths.get(modelDir, s"v$v", "_meta"),
+        s"$batchId $total")
       commit(modelDir, v, total)
     }
     due

@@ -94,8 +94,9 @@ object MaintenancePlanner {
 
   /** Generation-family retention ([[Retention]]): count of superseded
     * generations at the pin-aware floor → `vacuum`. `kind` is
-    * `selection` (curation `selection/s<b>`) or `quantizer`
-    * (`qg<b>`); `keepFrom`/`manifestDirs` are the vacuum's own
+    * `selection` (curation `selection/s<b>`), `quantizer` (`qg<b>` +
+    * `cbg<b>`) or `merges` (BPE model `v<N>/` versions);
+    * `keepFrom`/`manifestDirs` are the vacuum's own
     * parameters, so the metric measures EXACTLY what the executor's
     * vacuum would drop — plan and action agree by construction, and a
     * state whose history is fully pinned simply never fires. The dry
@@ -114,9 +115,12 @@ object MaintenancePlanner {
       case "quantizer" =>
         Retention.staleQuantizers(spark, sp.dir, sp.keepFrom,
           sp.manifestDirs)
+      case "merges" =>
+        Retention.staleMergeVersions(spark, sp.dir, sp.keepFrom,
+          sp.manifestDirs)
       case other => throw new IllegalArgumentException(
         s"RetentionSpec '${sp.name}': unknown kind '$other' " +
-          "(expected 'selection' or 'quantizer')")
+          "(expected 'selection', 'quantizer' or 'merges')")
     }
 
   /** Fraction of state rows living in batch dirs NEWER than the last
@@ -319,6 +323,8 @@ object MaintenancePlanner {
         // reported — and the pins it was told about stay serveable
         sp.kind match {
           case "selection" => Retention.vacuumSelections(spark, sp.dir,
+            sp.keepFrom, sp.manifestDirs)
+          case "merges" => Retention.vacuumMergeVersions(spark, sp.dir,
             sp.keepFrom, sp.manifestDirs)
           case _ => Retention.vacuumQuantizers(spark, sp.dir,
             sp.keepFrom, sp.manifestDirs)

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** PIN-AWARE RETENTION for generation-family state artifacts — the GC face
   * of the version axis. The generation states are APPEND-ONLY (curation
@@ -76,6 +76,12 @@ object Retention {
     }
   }
 
+  private[streaming] def mergesMarker(modelDir: String): String =
+    new java.io.File(modelDir, "_retfloor").getPath
+
+  private[streaming] def mergesPolicyPath(modelDir: String): String =
+    new java.io.File(modelDir, "_retpolicy").getPath
+
   private[streaming] def selectionPolicyPath(stateDir: String): String =
     new java.io.File(new java.io.File(stateDir, "selection"),
       "_retpolicy").getPath
@@ -98,6 +104,18 @@ object Retention {
     * together at one floor). */
   def setQuantizerPolicy(indexDir: String, keepLast: Int): Unit =
     writePolicy(quantizerPolicyPath(indexDir), keepLast)
+
+  /** [[setSelectionPolicy]] for a BPE merges model dir
+    * ([[BpeMaintainer]] `v<N>/` versions). Persisting a policy also
+    * flips the model dir APPEND-ONLY: the maintainer's commit stops its
+    * legacy keep-two truncation, so a [[SnapshotManifest]] pin (kind
+    * `bpe`) can durably hold any learned version — the vacuum
+    * ([[vacuumMergeVersions]]) becomes the only dropper, and it honors
+    * pins. Callable before the first learn (the dir is created). */
+  def setMergesPolicy(modelDir: String, keepLast: Int): Unit = {
+    new java.io.File(modelDir).mkdirs()
+    writePolicy(mergesPolicyPath(modelDir), keepLast)
+  }
 
   private def writePolicy(path: String, keepLast: Int): Unit = {
     require(keepLast >= 1,
@@ -212,6 +230,64 @@ object Retention {
         quantizerFloor(spark, indexDir, keepFrom, manifestDirs, "cbg")))
       .map(_._1)
 
+  /** The STAMPED merge versions as a generation family on the learn-batch
+    * axis: (version, learnBatch, path), oldest first. Pre-stamp versions
+    * (learn batch unprovable) are excluded — never vacuumed. */
+  private def mergesGens(modelDir: String): Seq[(Long, Long, String)] =
+    BpeMaintainer.versions(modelDir).filter(_._2 >= 0L)
+      .map { case (v, b, _) =>
+        (v, b, new java.io.File(modelDir, s"v$v").getPath) }
+
+  private def mergesFloor(spark: SparkSession, modelDir: String,
+      keepFrom: Long, manifestDirs: Seq[String]): Long = {
+    val base = floorFor(spark, modelDir, keepFrom, manifestDirs, Set("bpe"))
+    val gens = mergesGens(modelDir)
+    readPolicy(mergesPolicyPath(modelDir)).flatMap { keepLast =>
+      if (gens.isEmpty) None
+      else if (gens.size <= keepLast) Some(gens.head._2)
+      else Some(gens(gens.size - keepLast)._2)
+    }.fold(base)(math.min(base, _))
+  }
+
+  /** (version, path) of the merge versions a vacuum at `floor` drops:
+    * strictly below the version serving the floor. */
+  private def staleMergeGens(modelDir: String,
+      floor: Long): Seq[(Long, String)] = {
+    val gens = mergesGens(modelDir)
+    gens.filter(_._2 <= floor).lastOption.toSeq
+      .flatMap(sv => gens.filter(_._2 < sv._2))
+      .map(g => (g._1, g._3))
+  }
+
+  /** DRY RUN of [[vacuumMergeVersions]]: the superseded version ids. */
+  def staleMergeVersions(spark: SparkSession, modelDir: String,
+      keepFrom: Long = Long.MaxValue,
+      manifestDirs: Seq[String] = Nil): Seq[Long] =
+    staleMergeGens(modelDir,
+      mergesFloor(spark, modelDir, keepFrom, manifestDirs)).map(_._1)
+
+  /** Vacuum a BPE model dir's merge VERSIONS — the tokenizer is a model
+    * artifact on the same version axis as quantizers and selections
+    * ([[BpeMaintainer.mergesAsOf]]), so its history retires under the
+    * same pin-and-policy floor: the version serving the floor is kept
+    * (it answers every horizon up to the next learn), everything below
+    * drops, and [[SnapshotManifest]] pins of kind `bpe` on the model dir
+    * hold the floor down. Floors commit to the `_retfloor` marker before
+    * any drop, so below-floor [[BpeMaintainer.mergesAsOf]] reads report
+    * the vacuum rather than "never learned". Returns dropped version
+    * ids. */
+  def vacuumMergeVersions(spark: SparkSession, modelDir: String,
+      keepFrom: Long = Long.MaxValue,
+      manifestDirs: Seq[String] = Nil): Seq[Long] = {
+    val floor = mergesFloor(spark, modelDir, keepFrom, manifestDirs)
+    val drop = staleMergeGens(modelDir, floor)
+    if (drop.nonEmpty) {
+      writeFloor(mergesMarker(modelDir), floor)
+      drop.foreach(g => graft.Exec.deletePath(g._2))
+    }
+    drop.map(_._1)
+  }
+
   /** Vacuum a curation state's selection generations. Pins of kind
     * `curate` on this state dir hold the floor down, as does the state's
     * persisted [[setSelectionPolicy]] window. */
@@ -242,6 +318,90 @@ object Retention {
       vacuumGens(indexDir, "cbg",
         quantizerFloor(spark, indexDir, keepFrom, manifestDirs, "cbg"),
         marker)
+  }
+
+  /** DISCOVER retention-managed states under a root directory — the
+    * fleet-wide "nightly GC" entry point: instead of being handed a
+    * spec list, the sweep WALKS the tree for the generation-family
+    * layouts it knows how to vacuum:
+    *   - `selection`: a dir holding a `selection/` child with `s<b>`
+    *     generation dirs ([[CurateMaintainer]] state);
+    *   - `quantizer`: a dir holding `qg<b>` generation dirs
+    *     ([[AnnIndexMaintainer]] index; `cbg<b>` codebooks retire at
+    *     the same floor);
+    *   - `merges`: a dir holding a `_LATEST` pointer
+    *     ([[BpeMaintainer]] model versions).
+    * Metadata-cost by construction: directory listings only, recognized
+    * state roots are leaves (a state's internals are never mistaken for
+    * nested states), and parquet artifact dirs (`_SUCCESS` present) are
+    * never descended into. Returns (family, dir) pairs in a stable
+    * walk order.
+    */
+  def discoverStates(root: String): Seq[(String, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    def familiesOf(f: java.io.File): Seq[String] = {
+      val sel = new java.io.File(f, "selection")
+      Seq(
+        "selection" -> (sel.isDirectory &&
+          BatchDirs.listDirs(sel.getPath, "s").nonEmpty),
+        "quantizer" -> BatchDirs.listDirs(f.getPath, "qg").nonEmpty,
+        "merges" -> new java.io.File(f, "_LATEST").isFile)
+        .collect { case (fam, true) => fam }
+    }
+    def walk(f: java.io.File): Unit = {
+      val fams = familiesOf(f)
+      fams.foreach(fam => out += ((fam, f.getPath)))
+      if (fams.isEmpty && !new java.io.File(f, "_SUCCESS").isFile)
+        Option(f.listFiles()).toSeq.flatten
+          .filter(c => c.isDirectory && !c.getName.startsWith(".") &&
+            !c.getName.startsWith("_"))
+          .sortBy(_.getName)
+          .foreach(walk)
+    }
+    val r = new java.io.File(root)
+    require(r.isDirectory, s"discoverStates root $root is not a directory")
+    walk(r)
+    out.toSeq
+  }
+
+  /** The NIGHTLY-GC sweep: [[discoverStates]] under `root`, then dry-run
+    * or vacuum every discovered family at its own pin-and-policy floor —
+    * one call GCs a whole pipeline's state tree with no per-state
+    * configuration (policies live ON the states; `manifestDirs` apply
+    * fleet-wide, pins matching by canonical state dir so irrelevant
+    * manifests are inert; a MISSING manifest dir still fails the whole
+    * sweep — fail-safe, never fail-open). Returns one row per dropped
+    * (or, with `dryRun`, droppable) generation:
+    * (family, state_dir relative to root, dropped_id) — dry run and
+    * vacuum report identical ids by construction, the plan/action
+    * agreement the planner's RetentionSpec pins per state. Bounded by
+    * generation counts, never data.
+    */
+  def sweep(spark: SparkSession, root: String,
+      manifestDirs: Seq[String] = Nil, dryRun: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val rootPath = java.nio.file.Paths.get(
+      new java.io.File(root).getCanonicalPath)
+    val rows = discoverStates(root).flatMap { case (family, dir) =>
+      val ids = (family, dryRun) match {
+        case ("selection", true) =>
+          staleSelections(spark, dir, manifestDirs = manifestDirs)
+        case ("selection", false) =>
+          vacuumSelections(spark, dir, manifestDirs = manifestDirs)
+        case ("quantizer", true) =>
+          staleQuantizers(spark, dir, manifestDirs = manifestDirs)
+        case ("quantizer", false) =>
+          vacuumQuantizers(spark, dir, manifestDirs = manifestDirs)
+        case (_, true) =>
+          staleMergeVersions(spark, dir, manifestDirs = manifestDirs)
+        case (_, false) =>
+          vacuumMergeVersions(spark, dir, manifestDirs = manifestDirs)
+      }
+      val rel = rootPath.relativize(java.nio.file.Paths.get(
+        new java.io.File(dir).getCanonicalPath)).toString
+      ids.map(id => (family, rel, id))
+    }
+    rows.toDF("family", "state_dir", "dropped_id")
   }
 
   /** RETIRE a superseded state generation DIRECTORY wholesale — the

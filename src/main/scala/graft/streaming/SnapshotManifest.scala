@@ -29,10 +29,11 @@ import org.apache.spark.sql.types._
   * ([[CurateMaintainer.selectionAsOf]]), `postings`
   * ([[SearchIndexMaintainer.readPostings]] sliced on the row stamp),
   * `ann` ([[AnnIndexMaintainer.readIndexAsOf]] — horizon-aware through
-  * quantizer growths), `neardup` ([[NearDupMaintainer.indexAsOf]], the
-  * LSH signature index), `quantizer` (the `qg<batch>/` centroid
-  * generation serving at the horizon —
-  * [[AnnIndexMaintainer.persistCentroids]]).
+  * quantizer growths), `annpq` ([[AnnIndexMaintainer.readIndexPqAsOf]],
+  * the PQ-coded twin with codes + residual norms pinned too), `neardup`
+  * ([[NearDupMaintainer.indexAsOf]], the LSH signature index),
+  * `quantizer` (the `qg<batch>/` centroid generation serving at the
+  * horizon — [[AnnIndexMaintainer.persistCentroids]]).
   */
 object SnapshotManifest {
 
@@ -47,8 +48,8 @@ object SnapshotManifest {
     StructField("id_col", StringType)))
 
   private val kinds =
-    Set("shards", "curate", "postings", "ann", "neardup", "quantizer",
-      "codebook")
+    Set("shards", "curate", "postings", "ann", "annpq", "neardup",
+      "quantizer", "codebook", "bpe")
 
   /** Write the manifest (rename-aside commit, crash-atomic) after
     * validating every pin RESOLVES — failing at pin time, not at some
@@ -84,7 +85,7 @@ object SnapshotManifest {
   }
 
   /** Every pin must resolve at pin/verify time, and the index-slice
-    * kinds (`ann`, `postings`, `neardup` — whose readers happily serve
+    * kinds (`ann`, `annpq`, `postings`, `neardup` — whose readers happily serve
     * an empty frame) must additionally be NON-EMPTY at the horizon: an asOf
     * below the state's first batch would otherwise pin successfully and
     * silently serve an empty index, breaking the "a manifest that
@@ -162,6 +163,15 @@ object SnapshotManifest {
       // copies of every row moved by a growth at or below the pin
       AnnIndexMaintainer.readIndexAsOf(spark, p.dir, p.asOf)
         .drop("batch_id")
+    case "annpq" =>
+      require(new java.io.File(p.dir).exists(),
+        s"annpq index dir ${p.dir} does not exist")
+      // the PQ-coded twin: same horizon-aware move exclusion, with the
+      // codes + residual norms riding along — a reproducibility audit of
+      // a compressed index needs the exact (id, codes) membership, since
+      // the ADC shortlist is a function of the codes, not just the rows
+      AnnIndexMaintainer.readIndexPqAsOf(spark, p.dir, p.asOf)
+        .drop("batch_id")
     case "neardup" =>
       require(new java.io.File(p.dir).exists(),
         s"neardup signature-index dir ${p.dir} does not exist")
@@ -175,6 +185,13 @@ object SnapshotManifest {
         s"no quantizer generation at or below batch ${p.asOf} in " +
           s"${p.dir} (persistCentroids had not run at that horizon)")
       spark.read.parquet(gens.last._2)
+    case "bpe" =>
+      // the TOKENIZER version serving at the horizon — every token count
+      // in a pinned run depends on it, so the audit pins the merges
+      // table next to the shards it tokenized
+      // ([[BpeMaintainer.mergesAsOf]]; errors below the first stamped
+      // version or a retention floor)
+      BpeMaintainer.mergesAsOfDf(spark, p.dir, p.asOf)
     case "codebook" =>
       // the PQ state's second model artifact: the codebook generation
       // serving at the horizon ([[AnnIndexMaintainer.persistCodebook]])
