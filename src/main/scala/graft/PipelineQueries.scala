@@ -1372,6 +1372,38 @@ object PipelineQueries {
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
     }),
+    // SERVING FRESHNESS, COMPRESSED dense leg — the s_knn_fresh wave
+    // protocol on the PQ-coded inverted file: each wave ingests via
+    // processBatchPq (cell-assign + encode in one pass), a probe runs
+    // BETWEEN waves, and every probe's ADC shortlist + exact rerank must
+    // rank exactly the committed prefix under the frozen quantizer AND
+    // codebooks, across the wave-1 fold that rewrites the physical
+    // layout. Read-your-writes holds independently of the storage
+    // representation — the code compression never buys staleness.
+    "s_knn_pq_fresh" -> ((s, d) => {
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_pqfresh", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      val e = emb(s, d)
+      val cents = sizedCentsCopy(s, d, "pqfresh_cents")
+      val cb = pqCodebookCopy(s, d, "pqfresh_codebook")
+      val queries = e.where(col("vec_id") < 5)
+        .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      (0 until 3).map { g =>
+        graft.streaming.AnnIndexMaintainer.processBatchPq(
+          e.where(col("vec_id") % 3 === g), g.toLong, "vec_id", "embedding",
+          cents, cb, s"$base/index", roundScale = 6)
+        if (g == 1)
+          graft.streaming.AnnIndexMaintainer.compactPq(s, s"$base/index")
+        graft.Exec.materializeLocal(
+          graft.streaming.AnnIndexMaintainer.searchPq(s, s"$base/index",
+            cents, cb, queries, k = 10, rankOnRoundedTo = Some(6))
+            .select(lit(g.toLong).as("wave"), col("query_id"),
+              col("neighbor_id"), col("rank").cast("long").as("rank"),
+              round(col("cos"), 6).as("cos")))
+      }.reduce(_ unionByName _)
+    }),
     // LEARNED-TOWER swap, brute arm: every retrieval consumer takes an
     // embedding column, so swapping the closed-form tower for TRAINED
     // weights (ridge head, embedding → label, persisted (j,k,w)) is a
@@ -1956,6 +1988,41 @@ object PipelineQueries {
             sum(col("id")).cast("long").as("checksum"))
           .select(lit(state).as("state"), col("n_rows"), col("checksum"))
       leg("ann_at_growth").unionByName(leg("ann_below_growth"))
+        .orderBy("state")
+    }),
+    // SNAPSHOT of the COMPRESSED index, driver-gated: the manifest's
+    // `annpq` kind pins the PQ-coded inverted file — at a horizon AT the
+    // quantizer growth (each mover served exactly once, codes carried
+    // unchanged) and BELOW it (original membership) — plus the codebook
+    // generation serving the pin. The checksum folds the PQ CODES in
+    // (sum of id + per-row code sum), so a manifest that resolved the
+    // rows but lost or double-counted codes hash-fails; the oracle
+    // re-derives every code from the spliced corpus and the persisted
+    // codebook artifact.
+    "p_snapshot_pq" -> ((s, d) => {
+      import graft.streaming.SnapshotManifest
+      import graft.streaming.SnapshotManifest.Pin
+      val idx = pqAutoStateFor(s, d)
+      val mdir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_snapshot", Tables.runKey(d), "mpq").toString
+      SnapshotManifest.pin(s, Seq(
+        Pin("pq_at_growth", "annpq", idx, 3L),
+        Pin("pq_below_growth", "annpq", idx, 1L),
+        Pin("codebook", "codebook", idx, 3L)), mdir)
+      def rowsLeg(state: String): DataFrame =
+        SnapshotManifest.readState(s, mdir, state)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("id") + expr(
+              "aggregate(codes, 0L, (acc, x) -> acc + x)"))
+              .cast("long").as("checksum"))
+          .select(lit(state).as("state"), col("n_rows"), col("checksum"))
+      val cbLeg = SnapshotManifest.readState(s, mdir, "codebook")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("subspace") * lit(1000) + col("cid"))
+            .cast("long").as("checksum"))
+        .select(lit("codebook").as("state"), col("n_rows"), col("checksum"))
+      rowsLeg("pq_at_growth").unionByName(rowsLeg("pq_below_growth"))
+        .unionByName(cbLeg)
         .orderBy("state")
     }),
     // SERVING FRESHNESS, FUSED path — the read-your-writes contract on
@@ -3651,6 +3718,94 @@ object PipelineQueries {
           round(col("value"), 6).as("value"), col("threshold"),
           col("decision"))
         .orderBy(col("phase").desc, col("state"))
+    }),
+    // FLEET-WIDE DISCOVERY GC, driver-gated: Retention.sweep is handed
+    // only a ROOT DIR and the manifests — it walks the tree, recognizes
+    // every generation-family layout (a curation state, a quantizer-
+    // versioned ANN index, a BPE merges model), and vacuums each at its
+    // own pin-and-policy floor. Three phases gate the plan/action
+    // contract: the dry run and the vacuum must report IDENTICAL dropped
+    // ids (the oracle re-derives every one — the curation drops from the
+    // drift-trigger replay, the quantizer/tokenizer drops from their
+    // fixtures' version boards), and the post sweep must be empty.
+    "p_retention_sweep" -> ((s, d) => {
+      driftRunFor(s, d)
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_retention_sweep", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      graft.Exec.copyPath(s"${curateDriftBase(d)}/state", s"$base/cur")
+      graft.Exec.copyPath(qgAutoStateFor(s, d), s"$base/knn")
+      graft.streaming.Retention.setMergesPolicy(s"$base/tok", keepLast = 2)
+      val dd = docs(s, d).select(col("doc_id"), col("text"))
+      (0 until 4).foreach { g =>
+        graft.streaming.BpeMaintainer.processBatch(
+          dd.where(col("doc_id") % 4 === g), g.toLong, "doc_id", "text",
+          s"$base/tokstate", s"$base/tok",
+          graft.streaming.BpeMaintainer.Config(growthFactor = 0.0))
+      }
+      graft.streaming.SnapshotManifest.pin(s, Seq(
+        graft.streaming.SnapshotManifest.Pin("cur", "curate",
+          s"$base/cur", 1L)), s"$base/manifest")
+      def phase(name: String, dry: Boolean): DataFrame =
+        graft.Exec.materializeLocal(
+          graft.streaming.Retention.sweep(s, base,
+              manifestDirs = Seq(s"$base/manifest"), dryRun = dry)
+            .select(lit(name).as("phase"), col("family"), col("state_dir"),
+              col("dropped_id")))
+      phase("dry", dry = true)
+        .unionByName(phase("vacuum", dry = false))
+        .unionByName(phase("post", dry = true))
+        .orderBy("phase", "family", "state_dir", "dropped_id")
+    }),
+    // TOKENIZER VERSION LIFECYCLE, driver-gated: the BPE merges model
+    // joins the same version/retention axis as quantizers and
+    // selections. Four waves each relearn (growthFactor 0 — version v<g>
+    // stamped with learn batch g and the cumulative corpus total, which
+    // the oracle re-derives from the raw documents), a SnapshotManifest
+    // pins the wave-1 tokenizer, and the pin-aware vacuum (policy
+    // keepLast=2 lowered to the pin's horizon) drops EXACTLY v0. The
+    // pinned version must still serve — merges as-of 1 == the one-shot
+    // learn over the waves-0/1 prefix corpus (two independent paths:
+    // streamed state + horizon resolution vs direct corpus learn) — and
+    // a horizon below the committed floor must fail with the explicit
+    // retention error, never "never learned".
+    "p_retention_bpe" -> ((s, d) => {
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_retention_bpe", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      graft.streaming.Retention.setMergesPolicy(s"$base/model", keepLast = 2)
+      val dd = docs(s, d).select(col("doc_id"), col("text"))
+      (0 until 4).foreach { g =>
+        graft.streaming.BpeMaintainer.processBatch(
+          dd.where(col("doc_id") % 4 === g), g.toLong, "doc_id", "text",
+          s"$base/state", s"$base/model",
+          graft.streaming.BpeMaintainer.Config(growthFactor = 0.0))
+      }
+      graft.streaming.SnapshotManifest.pin(s, Seq(
+        graft.streaming.SnapshotManifest.Pin("tok", "bpe",
+          s"$base/model", 1L)), s"$base/manifest")
+      val dropped = graft.streaming.Retention.vacuumMergeVersions(s,
+        s"$base/model", manifestDirs = Seq(s"$base/manifest"))
+      val asof = graft.streaming.BpeMaintainer.mergesAsOf(s,
+        s"$base/model", 1L)
+      val oneShot = graft.ops.Bpe.learnMerges(
+        dd.where(col("doc_id") % 4 <= 1), "doc_id", "text", numMerges = 40)
+      val belowFails =
+        try {
+          graft.streaming.BpeMaintainer.mergesAsOf(s, s"$base/model", 0L)
+          false
+        } catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("retention floor")
+        }
+      import s.implicits._
+      (graft.streaming.BpeMaintainer.versions(s"$base/model")
+        .map { case (v, b, t) => ("kept", v, b, t) } ++
+        dropped.map(v => ("dropped", v, -1L, -1L)) ++
+        Seq(("asof_equals_oneshot", if (asof == oneShot) 1L else 0L,
+            -1L, -1L),
+          ("below_floor_fails", if (belowFails) 1L else 0L, -1L, -1L)))
+        .toDF("kind", "id", "learn_batch", "corpus_total")
+        .orderBy("kind", "id")
     }),
     // the COMPRESSED index through SQL, time travel included: the
     // GRAFT_KNNPQ relation names the state, both generation artifacts
@@ -6582,6 +6737,51 @@ object PipelineQueries {
         |    CAST(sum(vec_id) AS BIGINT)
         |  FROM embeddings WHERE vec_id % 3 <= 1)
         |ORDER BY state""".stripMargin,
+    // the compressed-index pins re-derived code by code: every PQ code
+    // from the spliced corpus against the persisted codebook artifact,
+    // then the membership checksums at both horizons (the growth moves
+    // rows between cells but never changes ids or codes), plus the
+    // pinned codebook generation itself
+    "p_snapshot_pq" ->
+      s"""WITH cb AS (
+         |  SELECT subspace, cid, c, n2
+         |  FROM '__ANN_ARTIFACTS__/pqauto_codebook/*.parquet'
+         |),
+         |p AS (SELECT CAST(len(c) AS INT) AS dsub FROM cb LIMIT 1),
+         |e AS (
+         |  SELECT vec_id, CASE WHEN vec_id % 3 = 2
+         |    THEN list_transform(embedding, x -> CAST(x AS DOUBLE) + $EmbShift)
+         |    ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS v
+         |  FROM embeddings
+         |),
+         |enc AS (
+         |  SELECT e.vec_id, cb.subspace, cb.cid,
+         |    round(cb.n2 - 2*list_inner_product(
+         |      e.v[cb.subspace*p.dsub+1 : (cb.subspace+1)*p.dsub], cb.c), 6)
+         |      AS d
+         |  FROM e CROSS JOIN p CROSS JOIN cb
+         |),
+         |codes AS (
+         |  SELECT vec_id, subspace, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+         |      ORDER BY d, cid) AS rn
+         |    FROM enc)
+         |  WHERE rn = 1
+         |),
+         |cs AS (SELECT vec_id, sum(cid) AS csum FROM codes GROUP BY 1)
+         |SELECT * FROM (
+         |  SELECT 'pq_at_growth' AS state, count(*) AS n_rows,
+         |    CAST(sum(vec_id + csum) AS BIGINT) AS checksum FROM cs)
+         |UNION ALL
+         |SELECT * FROM (
+         |  SELECT 'pq_below_growth', count(*),
+         |    CAST(sum(vec_id + csum) AS BIGINT)
+         |  FROM cs WHERE vec_id % 3 <= 1)
+         |UNION ALL
+         |SELECT * FROM (
+         |  SELECT 'codebook', count(*),
+         |    CAST(sum(subspace*1000 + cid) AS BIGINT) FROM cb)
+         |ORDER BY state""".stripMargin,
     // every remedy signal re-derived: distortion ratios from the three
     // persisted bootstrap quantizers (era split at each state's training
     // baseline), post fractions from the wave counts, thresholds applied
@@ -7049,6 +7249,16 @@ object PipelineQueries {
       (0 until 3).map(g =>
         s"""SELECT CAST($g AS BIGINT) AS wave, t.* FROM (
            |${ivfOracle("fresh_centroids_s", s"vec_id % 3 <= $g")}
+           |) t""".stripMargin).mkString(
+        "", "\nUNION ALL\n", "\nORDER BY wave, query_id, rank"),
+    // every compressed-leg serve re-derived as the one-shot ADC + rerank
+    // over exactly the committed prefix (assignment, codes and the
+    // shortlist all sliced to the wave)
+    "s_knn_pq_fresh" ->
+      (0 until 3).map(g =>
+        s"""SELECT CAST($g AS BIGINT) AS wave, t.* FROM (
+           |${ivfPqOracle("pqfresh_cents", "pqfresh_codebook",
+             corpusWhere = s"vec_id % 3 <= $g")}
            |) t""".stripMargin).mkString(
         "", "\nUNION ALL\n", "\nORDER BY wave, query_id, rank"),
     // both retrieval legs re-derived from scratch (the BM25 formula over
@@ -9104,6 +9314,57 @@ object PipelineQueries {
          |SELECT t.*, 'tail_head' AS leg FROM (
          |$curateDriftOracle
          |) t""".stripMargin,
+    // the discovery sweep's board: the curation state's droppable
+    // generation from the drift-trigger replay (pin at 1 → s0 drops iff
+    // wave 1 fired), the unpinned quantizer state's bootstrap generation
+    // (qg0, superseded by the growth's qg3), the tokenizer's two
+    // below-policy versions (keepLast=2 over v0..v3); dry == vacuum,
+    // post empty
+    "p_retention_sweep" ->
+      s"""WITH $driftFireCtes,
+         |ph AS (SELECT unnest(['dry', 'vacuum']) AS phase),
+         |rows_ AS (
+         |  SELECT ph.phase, 'selection' AS family, 'cur' AS state_dir,
+         |    CAST(0 AS BIGINT) AS dropped_id
+         |  FROM ph CROSS JOIN rv_f WHERE rv_f.f1
+         |  UNION ALL
+         |  SELECT ph.phase, 'quantizer', 'knn', CAST(0 AS BIGINT) FROM ph
+         |  UNION ALL
+         |  SELECT ph.phase, 'merges', 'tok', CAST(v AS BIGINT)
+         |  FROM ph CROSS JOIN (SELECT unnest([0, 1]) AS v)
+         |)
+         |SELECT phase, family, state_dir, dropped_id FROM rows_
+         |ORDER BY phase, family, state_dir, dropped_id""".stripMargin,
+    // the tokenizer's version board re-derived from the raw documents:
+    // growthFactor 0 relearns at every wave, so version v<g> carries
+    // learn batch g and the cumulative word-occurrence total at g; the
+    // pin (horizon 1) under policy keepLast=2 leaves exactly v0 dropped,
+    // and both contract booleans must hold
+    "p_retention_bpe" ->
+      """WITH w AS (
+        |  SELECT doc_id % 4 AS wave, count(*) AS n FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+        |    FROM documents)
+        |  GROUP BY 1
+        |),
+        |cum AS (
+        |  SELECT wave, sum(n) OVER (ORDER BY wave) AS total FROM w
+        |)
+        |SELECT 'kept' AS kind, CAST(wave AS BIGINT) AS id,
+        |  CAST(wave AS BIGINT) AS learn_batch,
+        |  CAST(total AS BIGINT) AS corpus_total
+        |FROM cum WHERE wave >= 1
+        |UNION ALL
+        |SELECT 'dropped', CAST(0 AS BIGINT), CAST(-1 AS BIGINT),
+        |  CAST(-1 AS BIGINT)
+        |UNION ALL
+        |SELECT 'asof_equals_oneshot', CAST(1 AS BIGINT),
+        |  CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+        |UNION ALL
+        |SELECT 'below_floor_fails', CAST(1 AS BIGINT),
+        |  CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+        |ORDER BY kind, id""".stripMargin,
     // the retention loop's plan table: the oracle replays the drift
     // trigger (fire at 0 unconditionally; at 1/2 iff the cumulative-KL
     // crossed 0.05, with the baseline advancing on a firing) to derive
