@@ -227,10 +227,18 @@ object GraftSql {
     *                                          resolves its qg<b>/cbg<b>
     *                                          generation at the horizon)
     *   GRAFT_SNAPSHOT('<manifestDir>', '<state>')   (horizon from the pin)
-    *   GRAFT_VACUUM('<stateDir>', 'selection'|'quantizer'
+    *   GRAFT_MERGES('<modelDir>')             [VERSION AS OF <batch>]
+    *                                          (the tokenizer model: merge
+    *                                          rules serving at the horizon)
+    *   GRAFT_VACUUM('<stateDir>', 'selection'|'quantizer'|'merges'
     *               [, keepFrom[, '<manifest>;...']])  (ACTION: pin-aware
     *                                          generation GC; returns the
     *                                          dropped generation ids)
+    *   GRAFT_SWEEP('<root>'[, '<manifest>;...'[, 'dry']])  (ACTION: the
+    *                                          discovery GC — walk the
+    *                                          root, vacuum every
+    *                                          recognized state; 'dry'
+    *                                          only measures)
     *
     * Each appears as a relation in FROM; without the version clause it
     * reads the live state. The sealed-history contracts surface
@@ -569,7 +577,8 @@ object GraftSql {
     * list. Returns None when the statement carries no RECOMMEND clause.
     */
   private[sql] val StateReadStartRe =
-    """(?is)\bGRAFT_(SHARDS|BM25|KNNPQ|KNN|SELECTION|SNAPSHOT|VACUUM)\s*\(""".r
+    ("""(?is)\bGRAFT_(SHARDS|BM25|KNNPQ|KNN|SELECTION|SNAPSHOT|VACUUM""" +
+      """|MERGES|SWEEP)\s*\(""").r
   private val VersionAsOfRe = """(?is)^\s*VERSION\s+AS\s+OF\s+(-?\d+)""".r
 
   /** Index just past the ')' matching the '(' at `open` in LENGTH-PRESERVING
@@ -837,16 +846,46 @@ object GraftSql {
                 .vacuumSelections(session, args.head, keep, mans)
               case "quantizer" => graft.streaming.Retention
                 .vacuumQuantizers(session, args.head, keep, mans)
+              case "merges" => graft.streaming.Retention
+                .vacuumMergeVersions(session, args.head, keep, mans)
               case other => throw new IllegalArgumentException(
                 s"GRAFT_VACUUM: unknown kind '$other' " +
-                  "(expected 'selection' or 'quantizer')")
+                  "(expected 'selection', 'quantizer' or 'merges')")
             }
             val sq = session
             import sq.implicits._
             dropped.toDF("dropped_gen")
           case ("vacuum", _) =>
-            wrongArgs("('<stateDir>', 'selection'|'quantizer'" +
+            wrongArgs("('<stateDir>', 'selection'|'quantizer'|'merges'" +
               "[, <keepFrom>[, '<manifest>;<manifest>']])")
+          case ("merges", Seq(dir)) =>
+            // the TOKENIZER model through SQL: the merge rules serving at
+            // the horizon ([[BpeMaintainer.mergesAsOf]] — stamped
+            // versions, retention-floor errors below a vacuum); without
+            // VERSION AS OF, the _LATEST committed version (stamp-free
+            // legacy models included)
+            s.asOf.map(v => graft.streaming.BpeMaintainer
+                .mergesAsOfDf(session, dir, v))
+              .getOrElse(graft.streaming.BpeMaintainer
+                .latestMergesDf(session, dir))
+          case ("merges", _) => wrongArgs("('<modelDir>')")
+          case ("sweep", args) if args.nonEmpty && args.size <= 3 =>
+            // the discovery GC through SQL — GRAFT_VACUUM's action
+            // semantics applied fleet-wide: walk the root, vacuum (or
+            // with 'dry', only measure) every recognized state at its
+            // own pin-and-policy floor, return the dropped rows
+            require(s.asOf.isEmpty,
+              "GRAFT_SWEEP: VERSION AS OF is not applicable (floors come " +
+                "from the states' policies and the pinned manifests)")
+            val mans =
+              if (args.size >= 2)
+                args(1).split(";").toSeq.map(_.trim).filter(_.nonEmpty)
+              else Nil
+            val dry = args.size >= 3 && args(2).equalsIgnoreCase("dry")
+            graft.streaming.Retention.sweep(session, args.head, mans,
+              dryRun = dry)
+          case ("sweep", _) =>
+            wrongArgs("('<root>'[, '<manifest>;<manifest>'[, 'dry']])")
           case ("snapshot", Seq(mdir, state)) =>
             require(s.asOf.isEmpty,
               "GRAFT_SNAPSHOT: the horizon comes from the pinned manifest; " +

@@ -83,6 +83,16 @@ object BpeMaintainer {
       Bpe.loadMerges(spark, s"$modelDir/v$v/merges.parquet")
     }.getOrElse(Seq.empty)
 
+  /** The `_LATEST` committed version's merges frame (rank, l, r, merged)
+    * — stamp-independent, so legacy (pre-`_meta`) models serve too; the
+    * no-horizon form of the SQL relation. */
+  def latestMergesDf(spark: SparkSession, modelDir: String): DataFrame = {
+    val (v, _) = latestMeta(modelDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed merges model under $modelDir"))
+    spark.read.parquet(s"$modelDir/v$v/merges.parquet")
+  }
+
   /** COMMITTED model versions, oldest first: (version, learn batch,
     * corpus total at learn), read from each version dir's `_meta` stamp.
     * Only versions at or below the `_LATEST` pointer count (a crash

@@ -684,4 +684,50 @@ class SqlSurfaceSpec extends SparkSpec with BeforeAndAfterAll {
     }
     e.getMessage should include("not applicable")
   }
+
+  test("GRAFT_MERGES / GRAFT_SWEEP: the tokenizer model and the " +
+      "discovery GC are SQL-drivable, retention errors included") {
+    val sq = ext
+    import sq.implicits._
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val root = Files.createTempDirectory("sqlsweep").toString
+    val tok = s"$root/tok"
+    graft.streaming.Retention.setMergesPolicy(tok, 1)
+    val waves = Seq(Seq("aaab aaab aaab", "aab aab"),
+      Seq("ccd ccd ccd ccd"))
+    waves.zipWithIndex.foreach { case (w, g) =>
+      graft.streaming.BpeMaintainer.processBatch(
+        w.zipWithIndex.map { case (t, i) => (10L * g + i, t) }
+          .toDF("doc_id", "text"),
+        g.toLong, "doc_id", "text", s"$root/tokstate", tok,
+        graft.streaming.BpeMaintainer.Config(numMerges = 4,
+          growthFactor = 0.0))
+    }
+    // both horizon forms read exactly what the API paths read
+    rowsOf(ext.sql(
+      s"SELECT * FROM GRAFT_MERGES('$tok') VERSION AS OF 0")) shouldBe
+      rowsOf(graft.streaming.BpeMaintainer.mergesAsOfDf(ext, tok, 0L))
+    rowsOf(ext.sql(s"SELECT * FROM GRAFT_MERGES('$tok')")) shouldBe
+      rowsOf(graft.streaming.BpeMaintainer.latestMergesDf(ext, tok))
+    // discovery GC: dry reports v0 droppable, the acting sweep drops it,
+    // a re-issued dry run is empty
+    ext.sql(s"SELECT * FROM GRAFT_SWEEP('$root', '', 'dry')")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq shouldBe Seq(("merges", "tok", 0L))
+    ext.sql(s"SELECT * FROM GRAFT_SWEEP('$root')")
+      .collect().map(_.getLong(2)).toSeq shouldBe Seq(0L)
+    ext.sql(s"SELECT * FROM GRAFT_SWEEP('$root', '', 'dry')")
+      .count() shouldBe 0L
+    // the dropped horizon answers with the retention error through SQL
+    intercept[Exception] {
+      ext.sql(s"SELECT * FROM GRAFT_MERGES('$tok') VERSION AS OF 0")
+        .collect()
+    }.getMessage should include("retention floor")
+    // a VERSION clause on the action relation is rejected
+    intercept[Exception] {
+      ext.sql(s"SELECT * FROM GRAFT_SWEEP('$root') VERSION AS OF 1")
+        .collect()
+    }.getMessage should include("not applicable")
+  }
 }
