@@ -41,6 +41,33 @@ object PipelineQueries {
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_bpe_artifacts",
       Tables.runKey(dir)).toString
 
+  /** One 4-wave STAMPED BPE model per (JVM, sf dir): growthFactor 0
+    * relearns at every wave (version v<g> stamped at batch g over the
+    * doc_id%4 wave split), retention policy keepLast=2 persisted BEFORE
+    * the learns (append-only commits — all four versions survive the
+    * build). Consumers COPY it before vacuuming, so sharing is
+    * mutation-safe; the oracles re-derive the version board from the raw
+    * documents.
+    */
+  private val bpe4ModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def bpe4ModelFor(s: SparkSession, d: String): String =
+    bpe4ModelCache.computeIfAbsent(d, _ => {
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_bpe4model", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      graft.streaming.Retention.setMergesPolicy(s"$base/model", keepLast = 2)
+      val dd = docs(s, d).select(col("doc_id"), col("text"))
+      (0 until 4).foreach { g =>
+        graft.streaming.BpeMaintainer.processBatch(
+          dd.where(col("doc_id") % 4 === g), g.toLong, "doc_id", "text",
+          s"$base/state", s"$base/model",
+          graft.streaming.BpeMaintainer.Config(growthFactor = 0.0))
+      }
+      s"$base/model"
+    })
+
   /** One BPE learning run per (JVM, sf dir): the three BPE gates share the
     * learned rules and the persisted artifact regardless of gate order.
     */
@@ -3735,14 +3762,7 @@ object PipelineQueries {
       graft.Exec.deletePath(base)
       graft.Exec.copyPath(s"${curateDriftBase(d)}/state", s"$base/cur")
       graft.Exec.copyPath(qgAutoStateFor(s, d), s"$base/knn")
-      graft.streaming.Retention.setMergesPolicy(s"$base/tok", keepLast = 2)
-      val dd = docs(s, d).select(col("doc_id"), col("text"))
-      (0 until 4).foreach { g =>
-        graft.streaming.BpeMaintainer.processBatch(
-          dd.where(col("doc_id") % 4 === g), g.toLong, "doc_id", "text",
-          s"$base/tokstate", s"$base/tok",
-          graft.streaming.BpeMaintainer.Config(growthFactor = 0.0))
-      }
+      graft.Exec.copyPath(bpe4ModelFor(s, d), s"$base/tok")
       graft.streaming.SnapshotManifest.pin(s, Seq(
         graft.streaming.SnapshotManifest.Pin("cur", "curate",
           s"$base/cur", 1L)), s"$base/manifest")
@@ -3773,14 +3793,8 @@ object PipelineQueries {
       val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         "graft_retention_bpe", Tables.runKey(d)).toString
       graft.Exec.deletePath(base)
-      graft.streaming.Retention.setMergesPolicy(s"$base/model", keepLast = 2)
+      graft.Exec.copyPath(bpe4ModelFor(s, d), s"$base/model")
       val dd = docs(s, d).select(col("doc_id"), col("text"))
-      (0 until 4).foreach { g =>
-        graft.streaming.BpeMaintainer.processBatch(
-          dd.where(col("doc_id") % 4 === g), g.toLong, "doc_id", "text",
-          s"$base/state", s"$base/model",
-          graft.streaming.BpeMaintainer.Config(growthFactor = 0.0))
-      }
       graft.streaming.SnapshotManifest.pin(s, Seq(
         graft.streaming.SnapshotManifest.Pin("tok", "bpe",
           s"$base/model", 1L)), s"$base/manifest")
@@ -3922,6 +3936,57 @@ object PipelineQueries {
       ext.sql(
         s"""SELECT cast(dropped_gen AS bigint) AS dropped_gen
            |FROM GRAFT_VACUUM('$base/state', 'selection')""".stripMargin)
+    }),
+    // the TOKENIZER model through SQL: GRAFT_MERGES names only the model
+    // dir and (optionally) a horizon; the as-of leg must resolve the
+    // stamped version serving batch 1 and the bare leg the _LATEST
+    // version — both hash-equal to the API-path reads the gate persists
+    // for the oracle.
+    "q_sql_merges" -> ((s, d) => {
+      val md = bpe4ModelFor(s, d)
+      graft.streaming.BpeMaintainer.mergesAsOfDf(s, md, 1L).coalesce(1)
+        .write.mode("overwrite")
+        .parquet(bpeArtifactBase(d) + "/merges_asof1")
+      graft.streaming.BpeMaintainer.latestMergesDf(s, md).coalesce(1)
+        .write.mode("overwrite")
+        .parquet(bpeArtifactBase(d) + "/merges_head")
+      val ext = RecQueries.extensionSession(s)
+      ext.sql(
+        s"""SELECT 'asof1' AS leg, rank, l, r, merged
+           |FROM GRAFT_MERGES('$md') VERSION AS OF 1
+           |UNION ALL
+           |SELECT 'head', rank, l, r, merged FROM GRAFT_MERGES('$md')
+           |ORDER BY leg, rank""".stripMargin)
+    }),
+    // the DISCOVERY GC through SQL: GRAFT_SWEEP names only the root and
+    // the manifests — dry leg, acting leg, and the post-sweep emptiness
+    // all in one statement, each row oracle-re-derived exactly like
+    // p_retention_sweep's API path.
+    "q_sql_sweep" -> ((s, d) => {
+      driftRunFor(s, d)
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_sql_sweep", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      graft.Exec.copyPath(s"${curateDriftBase(d)}/state", s"$base/cur")
+      graft.Exec.copyPath(qgAutoStateFor(s, d), s"$base/knn")
+      graft.Exec.copyPath(bpe4ModelFor(s, d), s"$base/tok")
+      graft.streaming.SnapshotManifest.pin(s, Seq(
+        graft.streaming.SnapshotManifest.Pin("cur", "curate",
+          s"$base/cur", 1L)), s"$base/manifest")
+      val ext = RecQueries.extensionSession(s)
+      // three sequential STATEMENTS, not one: the sweep relation is
+      // action-shaped (its effect happens when the clause resolves), so
+      // phase ordering must come from statement order, never from the
+      // analyzer's resolution order inside a single plan
+      def leg(name: String, mode: String): DataFrame =
+        graft.Exec.materializeLocal(ext.sql(
+          s"""SELECT '$name' AS phase, family, state_dir, dropped_id
+             |FROM GRAFT_SWEEP('$base', '$base/manifest'$mode)"""
+            .stripMargin))
+      leg("dry", ", 'dry'")
+        .unionByName(leg("vacuum", ""))
+        .unionByName(leg("post", ", 'dry'"))
+        .orderBy("phase", "family", "state_dir", "dropped_id")
     }),
     // Corpus-relative perplexity filtering: keep the best half by the
     // exact interpolated median of the rounded scores (the way production
@@ -4354,6 +4419,25 @@ object PipelineQueries {
        |  FROM (SELECT (SELECT v FROM rv01_kl) >= 0.05 AS f1)
        |)""".stripMargin
   }
+
+  /** The discovery-GC board, shared by p_retention_sweep (API path) and
+    * q_sql_sweep (GRAFT_SWEEP): dry == vacuum rows per family, post
+    * empty; the curation drop replays the drift trigger. */
+  private lazy val retentionSweepOracle: String =
+    s"""WITH $driftFireCtes,
+       |ph AS (SELECT unnest(['dry', 'vacuum']) AS phase),
+       |rows_ AS (
+       |  SELECT ph.phase, 'selection' AS family, 'cur' AS state_dir,
+       |    CAST(0 AS BIGINT) AS dropped_id
+       |  FROM ph CROSS JOIN rv_f WHERE rv_f.f1
+       |  UNION ALL
+       |  SELECT ph.phase, 'quantizer', 'knn', CAST(0 AS BIGINT) FROM ph
+       |  UNION ALL
+       |  SELECT ph.phase, 'merges', 'tok', CAST(v AS BIGINT)
+       |  FROM ph CROSS JOIN (SELECT unnest([0, 1]) AS v)
+       |)
+       |SELECT phase, family, state_dir, dropped_id FROM rows_
+       |ORDER BY phase, family, state_dir, dropped_id""".stripMargin
 
   /** The wave-0 curation generation (what the drift state serves at
     * horizon 1) — shared by s_curate_asof and the retention gate. */
@@ -9320,21 +9404,19 @@ object PipelineQueries {
     // (qg0, superseded by the growth's qg3), the tokenizer's two
     // below-policy versions (keepLast=2 over v0..v3); dry == vacuum,
     // post empty
-    "p_retention_sweep" ->
-      s"""WITH $driftFireCtes,
-         |ph AS (SELECT unnest(['dry', 'vacuum']) AS phase),
-         |rows_ AS (
-         |  SELECT ph.phase, 'selection' AS family, 'cur' AS state_dir,
-         |    CAST(0 AS BIGINT) AS dropped_id
-         |  FROM ph CROSS JOIN rv_f WHERE rv_f.f1
-         |  UNION ALL
-         |  SELECT ph.phase, 'quantizer', 'knn', CAST(0 AS BIGINT) FROM ph
-         |  UNION ALL
-         |  SELECT ph.phase, 'merges', 'tok', CAST(v AS BIGINT)
-         |  FROM ph CROSS JOIN (SELECT unnest([0, 1]) AS v)
-         |)
-         |SELECT phase, family, state_dir, dropped_id FROM rows_
-         |ORDER BY phase, family, state_dir, dropped_id""".stripMargin,
+    "p_retention_sweep" -> retentionSweepOracle,
+    // identical derivation for the SQL face — GRAFT_SWEEP must drop (and
+    // report) exactly what the API sweep does on its own copies
+    "q_sql_sweep" -> retentionSweepOracle,
+    // both legs of the SQL tokenizer read against the API-path artifacts
+    // the gate persisted (merged = l || r re-checked structurally)
+    "q_sql_merges" ->
+      """SELECT 'asof1' AS leg, rank, l, r, l || r AS merged
+        |FROM '__BPE_ARTIFACTS__/merges_asof1/*.parquet'
+        |UNION ALL
+        |SELECT 'head', rank, l, r, l || r
+        |FROM '__BPE_ARTIFACTS__/merges_head/*.parquet'
+        |ORDER BY leg, rank""".stripMargin,
     // the tokenizer's version board re-derived from the raw documents:
     // growthFactor 0 relearns at every wave, so version v<g> carries
     // learn batch g and the cumulative word-occurrence total at g; the
