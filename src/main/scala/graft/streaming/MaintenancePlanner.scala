@@ -107,6 +107,16 @@ object MaintenancePlanner {
       threshold: Double, kind: String, keepFrom: Long = Long.MaxValue,
       manifestDirs: Seq[String] = Nil) extends StateSpec
 
+  /** [[RetentionSpec]] with DISCOVERY: the spec names a ROOT DIR, the
+    * metric is the total droppable-generation count across every state
+    * [[Retention.discoverStates]] finds under it (the dry sweep —
+    * metadata-cost), and the executor's action is the acting
+    * [[Retention.sweep]] with the SAME manifests — the fleet-wide
+    * nightly GC as a scheduled planner citizen: one spec per state
+    * TREE, not per state. */
+  final case class SweepSpec(name: String, root: String,
+      threshold: Double, manifestDirs: Seq[String] = Nil) extends StateSpec
+
   private def staleOf(spark: SparkSession, sp: RetentionSpec): Seq[Long] =
     sp.kind match {
       case "selection" =>
@@ -330,6 +340,12 @@ object MaintenancePlanner {
             sp.keepFrom, sp.manifestDirs)
         }
         sp
+      case sp: SweepSpec if decisions(sp.name) == "vacuum" =>
+        // the acting sweep takes the SAME root + manifests the dry-run
+        // metric measured with — plan and nightly-GC action agree by
+        // construction, pins hold their horizons tree-wide
+        Retention.sweep(spark, sp.root, sp.manifestDirs)
+        sp
       case sp => sp
     }
     val post = plan(spark, postSpecs)
@@ -407,6 +423,10 @@ object MaintenancePlanner {
         val v = staleOf(spark, sp).size.toDouble
         (sp.name, "stale_generations", v, sp.threshold,
           if (v >= sp.threshold) "vacuum" else "none")
+      case SweepSpec(n, root, t, mans) =>
+        val v = Retention.sweep(spark, root, mans, dryRun = true)
+          .count().toDouble
+        (n, "stale_generations", v, t, if (v >= t) "vacuum" else "none")
     }
     rows.toDF("state", "metric", "value", "threshold", "decision")
   }

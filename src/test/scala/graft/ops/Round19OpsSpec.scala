@@ -226,4 +226,30 @@ class Round19OpsSpec extends SparkSpec {
       Retention.sweep(spark, root, Seq(m + "_gone"), dryRun = true)
     }
   }
+
+  test("MaintenancePlanner.SweepSpec: the nightly GC in the closed loop " +
+      "— the metric IS the dry sweep's count, execute runs the acting " +
+      "sweep, the post sweep measures clean") {
+    import graft.streaming.MaintenancePlanner
+    val root = tmp("gcloop")
+    val knn = s"$root/knn"
+    val cdf = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0))).toDF("cid", "c")
+    AnnIndexMaintainer.persistCentroids(spark, knn, 0L, cdf)
+    AnnIndexMaintainer.persistCentroids(spark, knn, 2L, cdf)
+    val tok = s"$root/tok"
+    Retention.setMergesPolicy(tok, 1)
+    Seq(Seq("aaab aaab aaab", "aab aab"), Seq("ccd ccd ccd ccd"))
+      .zipWithIndex.foreach { case (w, g) =>
+        BpeMaintainer.processBatch(corpusDf(w, 10L * g), g.toLong,
+          "doc_id", "text", s"$root/tokstate", tok, cfg0)
+      }
+    val (table, _) = MaintenancePlanner.execute(spark,
+      Seq(MaintenancePlanner.SweepSpec("gc", root, 1.0)))
+    val rows = table.collect().map(r => (r.getString(0), r.getString(2),
+      r.getDouble(3), r.getString(5))).sortBy(_._1).toSeq
+    // qg0 + v0 droppable pre; clean post
+    rows shouldBe Seq(("post", "stale_generations", 0.0, "none"),
+      ("pre", "stale_generations", 2.0, "vacuum"))
+    Retention.sweep(spark, root, dryRun = true).count() shouldBe 0L
+  }
 }
