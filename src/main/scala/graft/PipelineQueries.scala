@@ -2981,6 +2981,22 @@ object PipelineQueries {
     "p_train_manifest" -> ((s, d) =>
       Corpus.trainManifestFrom(curatedSelFor(s, d), "doc_id", "text",
         bpeMergesFor(s, d), seqLen = 128, epochs = 2)),
+    // PACKING UNDER A PINNED TOKENIZER — the reproducibility story
+    // closed through the packing stage: the same curated selection,
+    // packed with the merge rules SERVING batch 1 (mergesAsOf over the
+    // stamped model) instead of today's head. Epoch grids, token ids and
+    // conservation sums are all re-derived by the oracle from the pinned
+    // artifact — a training run re-materialized later reproduces its
+    // shards only if the tokenizer version is part of the pinned tuple,
+    // and this gate is that contract.
+    "p_pack_asof" -> ((s, d) => {
+      val m1 = graft.streaming.BpeMaintainer.mergesAsOf(s,
+        bpe4ModelFor(s, d), 1L)
+      graft.ops.Bpe.mergesDf(s, m1).coalesce(1).write.mode("overwrite")
+        .parquet(bpeArtifactBase(d) + "/merges_v1")
+      Corpus.trainManifestFrom(curatedSelFor(s, d), "doc_id", "text",
+        m1, seqLen = 128, epochs = 2)
+    }),
     // BYTE-MODE training manifest over the MIXED multilingual corpus:
     // the same curate → pack → epoch composition with the packing stage
     // id-encoding the cleaned selection under the byte-level merges
@@ -3820,6 +3836,33 @@ object PipelineQueries {
           ("below_floor_fails", if (belowFails) 1L else 0L, -1L, -1L)))
         .toDF("kind", "id", "learn_batch", "corpus_total")
         .orderBy("kind", "id")
+    }),
+    // THE NIGHTLY GC IN THE CLOSED LOOP, driver-gated: one SweepSpec
+    // names only a state-tree ROOT and the manifests; the planner's
+    // metric is the dry discovery sweep's droppable-generation count
+    // (curation drop replayed from the drift trigger + the quantizer
+    // state's superseded bootstrap + the tokenizer's two below-policy
+    // versions), the executor runs the acting sweep with the same
+    // manifests, and the post sweep proves the whole tree is clean.
+    "s_maint_sweep" -> ((s, d) => {
+      import graft.streaming.MaintenancePlanner
+      driftRunFor(s, d)
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_maint_sweep", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      graft.Exec.copyPath(s"${curateDriftBase(d)}/state", s"$base/cur")
+      graft.Exec.copyPath(qgAutoStateFor(s, d), s"$base/knn")
+      graft.Exec.copyPath(bpe4ModelFor(s, d), s"$base/tok")
+      graft.streaming.SnapshotManifest.pin(s, Seq(
+        graft.streaming.SnapshotManifest.Pin("cur", "curate",
+          s"$base/cur", 1L)), s"$base/manifest")
+      val (table, _) = MaintenancePlanner.execute(s, Seq(
+        MaintenancePlanner.SweepSpec("gc", base, 1.0,
+          manifestDirs = Seq(s"$base/manifest"))))
+      table.select(col("phase"), col("state"), col("metric"),
+          round(col("value"), 6).as("value"), col("threshold"),
+          col("decision"))
+        .orderBy(col("phase").desc)
     }),
     // the COMPRESSED index through SQL, time travel included: the
     // GRAFT_KNNPQ relation names the state, both generation artifacts
@@ -5750,7 +5793,8 @@ object PipelineQueries {
     * variant: `imgCtes` (extra CTEs, leading comma included) lands after
     * vP; `imgUnion` (a leading `UNION ALL` branch) extends streamP.
     */
-  private def trainManifestCtesWith(imgCtes: String, imgUnion: String): String =
+  private def trainManifestCtesWith(imgCtes: String, imgUnion: String,
+      mergesDir: String = "merges"): String =
     packChainCtesFrom(s"""$curateCtesCore,
          |kept2 AS (
          |  SELECT p.doc_id, p.avg_nll, len(ct.toks) AS n_tok
@@ -5766,7 +5810,7 @@ object PipelineQueries {
          |pd AS (
          |  SELECT c.doc_id, c.ctext AS ptext
          |  FROM cleaned c JOIN selc USING (doc_id)
-         |)""", imgCtes, imgUnion)
+         |)""", imgCtes, imgUnion, mergesDir)
 
   /** The pack → epoch-order CTE chain over ANY `pd(doc_id, ptext)`
     * selection prefix: BPE-merge replay on the selection's vocabulary,
@@ -5776,9 +5820,10 @@ object PipelineQueries {
     * its 60-line chain.
     */
   private def packChainCtesFrom(pdPrefix: String, imgCtes: String,
-      imgUnion: String): String =
+      imgUnion: String, mergesDir: String = "merges"): String =
     s"""$pdPrefix,
-         |mP AS (SELECT rank, l, r FROM '__BPE_ARTIFACTS__/merges/*.parquet'),
+         |mP AS (SELECT rank, l, r
+         |       FROM '__BPE_ARTIFACTS__/$mergesDir/*.parquet'),
          |occP AS (
          |  SELECT doc_id,
          |    unnest(regexp_extract_all(lower(ptext), '[a-z0-9]+')) AS word,
@@ -9408,6 +9453,20 @@ object PipelineQueries {
     // identical derivation for the SQL face — GRAFT_SWEEP must drop (and
     // report) exactly what the API sweep does on its own copies
     "q_sql_sweep" -> retentionSweepOracle,
+    // the nightly-GC plan table: the pre metric is the tree-wide
+    // droppable count (3 fixture constants + the trigger-replayed
+    // curation drop), decision vacuum; the post sweep measures clean
+    "s_maint_sweep" ->
+      s"""WITH $driftFireCtes,
+         |n_ AS (SELECT 3 + (CASE WHEN f1 THEN 1 ELSE 0 END) AS v FROM rv_f)
+         |SELECT 'pre' AS phase, 'gc' AS state,
+         |  'stale_generations' AS metric,
+         |  round(CAST(v AS DOUBLE), 6) AS value, 1.0 AS threshold,
+         |  'vacuum' AS decision
+         |FROM n_
+         |UNION ALL
+         |SELECT 'post', 'gc', 'stale_generations', 0.0, 1.0, 'none'
+         |ORDER BY phase DESC""".stripMargin,
     // both legs of the SQL tokenizer read against the API-path artifacts
     // the gate persisted (merged = l || r re-checked structurally)
     "q_sql_merges" ->
@@ -9510,6 +9569,13 @@ object PipelineQueries {
          |GROUP BY 1, 2""".stripMargin,
     "p_curate_bpe" -> curateBpeOracle,
     "p_train_manifest" -> trainManifestOracle,
+    // identical manifest derivation, but the BPE replay runs from the
+    // PINNED tokenizer artifact (the version serving batch 1)
+    "p_pack_asof" ->
+      s"""WITH RECURSIVE ${trainManifestCtesWith("", "", "merges_v1")}
+         |SELECT eoM.epoch, eoM.seq_id, CAST(eoM.ord AS BIGINT) AS ord,
+         |  ss.n_tok, ss.n_docs, ss.id_sum, ss.doc_min, ss.doc_max
+         |FROM eoM JOIN seqsum ss USING (seq_id)""".stripMargin,
     "p_train_manifest_bytes" ->
       s"""WITH RECURSIVE mixed AS (
          |  SELECT doc_id,
