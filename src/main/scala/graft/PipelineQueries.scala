@@ -3837,6 +3837,56 @@ object PipelineQueries {
         .toDF("kind", "id", "learn_batch", "corpus_total")
         .orderBy("kind", "id")
     }),
+    // THE SEAL CONTRACT ENFORCED IN THE LOOP, driver-gated: two copies
+    // of a layout with tombstones at waves 1 AND 2, both past the
+    // dead-mass threshold. The pinned copy's ShardSpec carries the
+    // manifest (a shards pin at horizon 1): the executor's fold must
+    // LOWER its seal to the pin — fold only the wave-1 tombstones, keep
+    // horizon 1 serveable — while the unpinned twin seals at 2 and
+    // loses it. "Compact only below your oldest pinned version" as the
+    // operation's own behavior, not an operator's promise.
+    "s_maint_seal_pin" -> ((s, d) => {
+      import graft.streaming.MaintenancePlanner
+      import graft.streaming.MaintenancePlanner.ShardSpec
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_maint_sealpin", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      val payload = graft.Exec.materializeLocal(
+        Packing.packTokenIdRows(curatedSelFor(s, d), "doc_id", "text",
+          bpeMergesFor(s, d), seqLen = 128))
+      def build(dir: String): Unit = (0 until 3).foreach { g =>
+        val sel =
+          if (g == 0) payload.where(col("seq_id") % 3 === 0)
+          else if (g == 1) payload.where(col("seq_id") % 3 <= 1 &&
+            col("seq_id") % 5 =!= 0)
+          else payload.where(col("seq_id") % 3 <= 2 &&
+            col("seq_id") % 5 =!= 0 && col("seq_id") % 7 =!= 0)
+        graft.streaming.ShardMaintainer.reconcile(sel, g.toLong,
+          epochs = 2, shardSize = 2, dir)
+      }
+      build(s"$base/pinned")
+      build(s"$base/tail")
+      graft.streaming.SnapshotManifest.pin(s, Seq(
+        graft.streaming.SnapshotManifest.Pin("sh", "shards",
+          s"$base/pinned", 1L)), s"$base/manifest")
+      MaintenancePlanner.execute(s, Seq(
+        ShardSpec("sh_pinned", s"$base/pinned", 0.05,
+          manifestDirs = Seq(s"$base/manifest")),
+        ShardSpec("sh_tail", s"$base/tail", 0.05)))
+      val m = graft.streaming.ShardMaintainer
+      import s.implicits._
+      def leg(name: String, dir: String) = {
+        def fails(h: Long): Boolean =
+          try { m.readShardsAsOf(s, dir, h).count(); false }
+          catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("sealed compaction floor") }
+        (name, m.sealedHorizon(dir), fails(0L), !fails(1L),
+          m.readShardsLive(s, dir).count())
+      }
+      Seq(leg("pinned", s"$base/pinned"), leg("tail", s"$base/tail"))
+        .toDF("leg", "sealed_floor", "asof0_fails", "asof1_ok", "n_live")
+        .orderBy("leg")
+    }),
     // THE NIGHTLY GC IN THE CLOSED LOOP, driver-gated: one SweepSpec
     // names only a state-tree ROOT and the manifests; the planner's
     // metric is the dry discovery sweep's droppable-generation count
@@ -9453,6 +9503,23 @@ object PipelineQueries {
     // identical derivation for the SQL face — GRAFT_SWEEP must drop (and
     // report) exactly what the API sweep does on its own copies
     "q_sql_sweep" -> retentionSweepOracle,
+    // the enforced seal contract: both legs share one live set (minus
+    // the %5 and %7 removals, ×2 epochs); the pinned leg seals at the
+    // pin (horizon 1 stays serveable, 0 does not), the unpinned leg
+    // seals at its newest tombstone batch and loses horizon 1
+    "s_maint_seal_pin" ->
+      s"""WITH RECURSIVE $trainManifestCtes
+         |SELECT * FROM (
+         |  SELECT 'pinned' AS leg, CAST(1 AS BIGINT) AS sealed_floor,
+         |    true AS asof0_fails, true AS asof1_ok,
+         |    (SELECT count(*) * 2 FROM seqsum
+         |     WHERE seq_id % 5 <> 0 AND seq_id % 7 <> 0) AS n_live)
+         |UNION ALL
+         |SELECT * FROM (
+         |  SELECT 'tail', CAST(2 AS BIGINT), true, false,
+         |    (SELECT count(*) * 2 FROM seqsum
+         |     WHERE seq_id % 5 <> 0 AND seq_id % 7 <> 0))
+         |ORDER BY leg""".stripMargin,
     // the nightly-GC plan table: the pre metric is the tree-wide
     // droppable count (3 fixture constants + the trigger-replayed
     // curation drop), decision vacuum; the post sweep measures clean

@@ -48,9 +48,14 @@ object MaintenancePlanner {
   sealed trait StateSpec { def name: String; def threshold: Double }
 
   /** Training-shard layout ([[ShardMaintainer]]): tombstoned mass →
-    * `compact`. */
+    * `compact`. With `manifestDirs`, the executor's fold runs
+    * PIN-AWARE ([[ShardMaintainer.compactTombstonesPinAware]]): the
+    * seal horizon is lowered to the oldest `shards` pin on this layout,
+    * so the closed loop can never compact a pinned corpus version out
+    * of reproducibility. */
   final case class ShardSpec(name: String, dir: String,
-      threshold: Double) extends StateSpec
+      threshold: Double,
+      manifestDirs: Seq[String] = Nil) extends StateSpec
 
   /** Monitored ANN inverted file
     * ([[AnnIndexMaintainer.processBatchMonitored]]): quantization
@@ -261,10 +266,14 @@ object MaintenancePlanner {
     val decisions = pre.select("state", "decision").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     val postSpecs: Seq[StateSpec] = specs.map {
-      case sp @ ShardSpec(n, dir, _) if decisions(n) == "compact" =>
+      case sp @ ShardSpec(n, dir, _, mans) if decisions(n) == "compact" =>
         val upTo = BatchDirs.listDirs(s"$dir/tomb", "b").map(_._1)
           .maxOption.getOrElse(-1L)
-        if (upTo >= 0L) ShardMaintainer.compactTombstones(spark, dir, upTo)
+        if (upTo >= 0L) {
+          if (mans.nonEmpty)
+            ShardMaintainer.compactTombstonesPinAware(spark, dir, upTo, mans)
+          else ShardMaintainer.compactTombstones(spark, dir, upTo)
+        }
         sp
       case sp @ AnnSpec(n, dir, t, gmax, rs) if decisions(n) == "retrain" =>
         val newDir = annNewDirs.getOrElse(n,
@@ -394,7 +403,7 @@ object MaintenancePlanner {
   def plan(spark: SparkSession, specs: Seq[StateSpec]): DataFrame = {
     import spark.implicits._
     val rows = specs.map {
-      case ShardSpec(n, dir, t) =>
+      case ShardSpec(n, dir, t, _) =>
         val v = ShardMaintainer.deadFraction(spark, dir)
         (n, "dead_fraction", v, t, if (v >= t) "compact" else "none")
       case AnnSpec(n, dir, t, gmax, _) =>

@@ -307,6 +307,39 @@ object ShardMaintainer {
       .foreach { case (_, p) => graft.Exec.deletePath(p) }
   }
 
+  /** [[compactTombstones]] with the seal contract ENFORCED at the acting
+    * site, not just documented: the fold horizon is LOWERED to the
+    * oldest `shards` pin any supplied manifest holds on this layout
+    * (a pin at h needs every tombstone ≤ h alive to reproduce that
+    * corpus version, so the fold may seal at most h), and a missing
+    * manifest dir fails the call — the [[Retention]] fail-safe rule
+    * applied to the compaction/seal lifecycle. "Compact only below your
+    * oldest pinned version" stops being an operator's promise and
+    * becomes the operation's own behavior; [[SnapshotManifest.verify]]
+    * stays as the after-the-fact audit for folds that bypassed this.
+    * Skips (returning −1) when nothing at or below the effective
+    * horizon is foldable — a fully-pinned layout is never rewritten.
+    * Returns the horizon actually sealed otherwise.
+    */
+  def compactTombstonesPinAware(spark: SparkSession, dir: String,
+      upTo: Long, manifestDirs: Seq[String]): Long = {
+    val canon = new java.io.File(dir).getCanonicalPath
+    val pinned = manifestDirs
+      .flatMap(m => SnapshotManifest.pins(spark, m))
+      .filter(p => p.kind == "shards" &&
+        new java.io.File(p.dir).getCanonicalPath == canon)
+      .map(_.asOf)
+    val eff = (upTo +: pinned).min
+    // foldability is a ROW check, not a dir check: reconcile writes a
+    // (possibly empty) tombstone sidecar every batch, and a fold with
+    // nothing to drop would still rewrite the whole layout — at corpus
+    // scale, a pointless data-dir rewrite. The probe is sidecar-sized.
+    val foldable = eff >= 0L &&
+      tombstoneBatchesBefore(spark, dir, eff + 1L).limit(1).count() > 0L
+    if (!foldable || eff <= sealedHorizon(dir)) -1L
+    else { compactTombstones(spark, dir, eff); eff }
+  }
+
   /** The layout's sealed time-travel floor: the highest compaction
     * horizon, −1 when never compacted. As-of reads strictly below this
     * fail explicitly ([[readShardsAsOf]]). */

@@ -227,6 +227,44 @@ class Round19OpsSpec extends SparkSpec {
     }
   }
 
+  test("compactTombstonesPinAware: the fold lowers to the oldest shards " +
+      "pin, skips a fully-pinned layout, fails on a missing manifest") {
+    import graft.streaming.ShardMaintainer
+    val dir = tmp("sealpin")
+    def payload(ids: Seq[Long]) =
+      ids.map(i => (i, s"ids$i", 4L)).toDF("seq_id", "ids_str", "n_tok")
+    ShardMaintainer.reconcile(payload(0L to 5L), 0L, epochs = 1,
+      shardSize = 2, dir)
+    ShardMaintainer.reconcile(payload(Seq(1L, 3L, 5L)), 1L, epochs = 1,
+      shardSize = 2, dir) // evens tombstoned at batch 1
+    ShardMaintainer.reconcile(payload(Seq(1L, 3L)), 2L, epochs = 1,
+      shardSize = 2, dir) // 5 tombstoned at batch 2
+    val m = tmp("sealpinm") + "/manifest"
+    SnapshotManifest.pin(spark,
+      Seq(SnapshotManifest.Pin("sh", "shards", dir, 0L)), m)
+    // fully pinned at 0: nothing at or below the pin to fold → skip
+    ShardMaintainer.compactTombstonesPinAware(spark, dir, 2L,
+      Seq(m)) shouldBe -1L
+    ShardMaintainer.sealedHorizon(dir) shouldBe -1L
+    // fail-safe: a misplaced manifest fails the fold outright
+    intercept[Exception] {
+      ShardMaintainer.compactTombstonesPinAware(spark, dir, 2L,
+        Seq(m + "_gone"))
+    }
+    // pin moved to 1 → the fold lowers its horizon to the pin
+    SnapshotManifest.pin(spark,
+      Seq(SnapshotManifest.Pin("sh", "shards", dir, 1L)), m)
+    ShardMaintainer.compactTombstonesPinAware(spark, dir, 2L,
+      Seq(m)) shouldBe 1L
+    ShardMaintainer.sealedHorizon(dir) shouldBe 1L
+    ShardMaintainer.readShardsAsOf(spark, dir, 1L).count() shouldBe 3L
+    intercept[IllegalArgumentException] {
+      ShardMaintainer.readShardsAsOf(spark, dir, 0L)
+    }.getMessage should include("sealed compaction floor")
+    ShardMaintainer.readShardsLive(spark, dir)
+      .collect().map(_.getAs[Long]("seq_id")).sorted shouldBe Seq(1L, 3L)
+  }
+
   test("MaintenancePlanner.SweepSpec: the nightly GC in the closed loop " +
       "— the metric IS the dry sweep's count, execute runs the acting " +
       "sweep, the post sweep measures clean") {
