@@ -305,8 +305,14 @@ object PipelineQueries {
       graft.Exec.copyPath(annTailStateFor(s, d), s"$base/tail")
       graft.Exec.copyPath(annArtifactBase(d) + "/tail_boot_cents",
         s"$base/tail/cents")
+      // the retrain arm acts on a COPY too: the executor stamps the
+      // superseded pre-rebuild dir ([[Retention.markSuperseded]]), and
+      // the shared drift fixture must stay pristine for its read-only
+      // consumers
+      graft.Exec.copyPath(annDriftStateFor(s, d, spliced = true),
+        s"$base/drift")
       val (table, _) = MaintenancePlanner.execute(s, Seq(
-          AnnSpec("ann_drift", annDriftStateFor(s, d, spliced = true),
+          AnnSpec("ann_drift", s"$base/drift",
             RetrainRatio, growPostFractionMax = 0.5),
           AnnSpec("ann_hold", annDriftStateFor(s, d, spliced = false),
             RetrainRatio, growPostFractionMax = 0.5),
@@ -1847,8 +1853,12 @@ object PipelineQueries {
       graft.Exec.copyPath(bm25StateFor(s, d), s"$base/postings")
       val spliced = execCurateStateFor(s, d)
       graft.Exec.copyPath(execCurateBase(d), s"$base/cur")
+      // the retrain arm too: the executor stamps the superseded
+      // pre-rebuild dir, so the shared drift fixture must not be the arm
+      graft.Exec.copyPath(annDriftStateFor(s, d, spliced = true),
+        s"$base/drift")
       val (table, _) = MaintenancePlanner.execute(s, Seq(
-          AnnSpec("ann_drift", annDriftStateFor(s, d, spliced = true),
+          AnnSpec("ann_drift", s"$base/drift",
             RetrainRatio),
           AnnSpec("ann_hold", annDriftStateFor(s, d, spliced = false),
             RetrainRatio),

@@ -56,6 +56,7 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
     e.injectResolutionRule(session => new ResolveRecommend(session))
+    e.injectPlannerStrategy(_ => new GraftActionStrategy)
     GraftSql.nativeFunctions.foreach(e.injectFunction)
   }
 }
@@ -234,6 +235,9 @@ object GraftSql {
     *               [, keepFrom[, '<manifest>;...']])  (ACTION: pin-aware
     *                                          generation GC; returns the
     *                                          dropped generation ids)
+    *   GRAFT_PACK('<curateStateDir>', <selAsOf>, '<mergesModelDir>',
+    *     <mergesAsOf>[, <seqLen>[, <epochs>]]) (the pinned-tokenizer
+    *                                          packed training epochs)
     *   GRAFT_SWEEP('<root>'[, '<manifest>;...'[, 'dry']])  (ACTION: the
     *                                          discovery GC — walk the
     *                                          root, vacuum every
@@ -578,7 +582,7 @@ object GraftSql {
     */
   private[sql] val StateReadStartRe =
     ("""(?is)\bGRAFT_(SHARDS|BM25|KNNPQ|KNN|SELECTION|SNAPSHOT|VACUUM""" +
-      """|MERGES|SWEEP)\s*\(""").r
+      """|MERGES|SWEEP|PACK)\s*\(""").r
   private val VersionAsOfRe = """(?is)^\s*VERSION\s+AS\s+OF\s+(-?\d+)""".r
 
   /** Index just past the ')' matching the '(' at `open` in LENGTH-PRESERVING
@@ -827,11 +831,14 @@ object GraftSql {
               "'<codebook parquet>', <queryView> | '<id>:...' | " +
               "(SELECT ...), k)")
           case ("vacuum", args) if args.size >= 2 && args.size <= 4 =>
-            // ACTION-shaped relation (the CURATE-statement rule: eager
-            // effect is its semantics): runs the pin-aware vacuum and
-            // returns the dropped generation ids — DELETE ... RETURNING
-            // for generation history. Missing manifests fail it, pins
-            // hold their horizons, re-running is idempotent (empty set).
+            // ACTION relation, EXPLAIN-SAFE: the statement runs the
+            // pin-aware vacuum and returns the dropped generation ids —
+            // DELETE ... RETURNING for generation history — but the
+            // effect is DEFERRED to execution ([[DeferredActionRelation]]):
+            // analysis/EXPLAIN only plan it. Missing manifests fail it,
+            // pins hold their horizons, re-running is idempotent (empty
+            // set). Kind is validated HERE (analysis time) so a typo'd
+            // statement still fails fast, before any execution.
             require(s.asOf.isEmpty,
               "GRAFT_VACUUM: VERSION AS OF is not applicable " +
                 "(the floor comes from keepFrom and the pinned manifests)")
@@ -841,20 +848,23 @@ object GraftSql {
               if (args.size >= 4)
                 args(3).split(";").toSeq.map(_.trim).filter(_.nonEmpty)
               else Nil
-            val dropped = args(1).toLowerCase match {
-              case "selection" => graft.streaming.Retention
-                .vacuumSelections(session, args.head, keep, mans)
-              case "quantizer" => graft.streaming.Retention
-                .vacuumQuantizers(session, args.head, keep, mans)
-              case "merges" => graft.streaming.Retention
-                .vacuumMergeVersions(session, args.head, keep, mans)
-              case other => throw new IllegalArgumentException(
-                s"GRAFT_VACUUM: unknown kind '$other' " +
-                  "(expected 'selection', 'quantizer' or 'merges')")
-            }
-            val sq = session
-            import sq.implicits._
-            dropped.toDF("dropped_gen")
+            val kind = args(1).toLowerCase
+            val vac: (SparkSession, String, Long, Seq[String]) => Seq[Long] =
+              kind match {
+                case "selection" => graft.streaming.Retention.vacuumSelections
+                case "quantizer" => graft.streaming.Retention.vacuumQuantizers
+                case "merges" =>
+                  graft.streaming.Retention.vacuumMergeVersions
+                case other => throw new IllegalArgumentException(
+                  s"GRAFT_VACUUM: unknown kind '$other' " +
+                    "(expected 'selection', 'quantizer' or 'merges')")
+              }
+            val dir = args.head
+            return DeferredActionRelation(
+              Seq(AttributeReference("dropped_gen",
+                org.apache.spark.sql.types.LongType, nullable = false)()),
+              s"vacuum $kind $dir",
+              () => vac(session, dir, keep, mans).map(Row(_)))
           case ("vacuum", _) =>
             wrongArgs("('<stateDir>', 'selection'|'quantizer'|'merges'" +
               "[, <keepFrom>[, '<manifest>;<manifest>']])")
@@ -869,11 +879,17 @@ object GraftSql {
               .getOrElse(graft.streaming.BpeMaintainer
                 .latestMergesDf(session, dir))
           case ("merges", _) => wrongArgs("('<modelDir>')")
-          case ("sweep", args) if args.nonEmpty && args.size <= 3 =>
+          case ("sweep", args) if args.nonEmpty && args.size <= 3 &&
+              (args.size < 3 || args(2).equalsIgnoreCase("dry")) =>
             // the discovery GC through SQL — GRAFT_VACUUM's action
             // semantics applied fleet-wide: walk the root, vacuum (or
             // with 'dry', only measure) every recognized state at its
-            // own pin-and-policy floor, return the dropped rows
+            // own pin-and-policy floor, return the dropped rows. The
+            // effect is DEFERRED to execution (EXPLAIN-safe, like
+            // GRAFT_VACUUM). The third argument must be EXACTLY 'dry' —
+            // a typo ('dryrun', 'dry-run') falls through to the usage
+            // error instead of silently running the DESTRUCTIVE acting
+            // sweep, the fail-safe rule the GC itself documents.
             require(s.asOf.isEmpty,
               "GRAFT_SWEEP: VERSION AS OF is not applicable (floors come " +
                 "from the states' policies and the pinned manifests)")
@@ -881,11 +897,49 @@ object GraftSql {
               if (args.size >= 2)
                 args(1).split(";").toSeq.map(_.trim).filter(_.nonEmpty)
               else Nil
-            val dry = args.size >= 3 && args(2).equalsIgnoreCase("dry")
-            graft.streaming.Retention.sweep(session, args.head, mans,
-              dryRun = dry)
+            val dry = args.size >= 3
+            val root = args.head
+            val sweepOut = Seq(
+              AttributeReference("family", StringType, nullable = true)(),
+              AttributeReference("state_dir", StringType,
+                nullable = true)(),
+              AttributeReference("dropped_id",
+                org.apache.spark.sql.types.LongType, nullable = false)())
+            return DeferredActionRelation(sweepOut,
+              if (dry) s"sweep(dry) $root" else s"sweep $root",
+              () => graft.streaming.Retention
+                .sweep(session, root, mans, dryRun = dry)
+                .collect().toSeq)
           case ("sweep", _) =>
-            wrongArgs("('<root>'[, '<manifest>;<manifest>'[, 'dry']])")
+            wrongArgs("('<root>'[, '<manifest>;<manifest>'[, 'dry']]) — " +
+              "the third argument, when present, must be exactly 'dry'")
+          case ("pack", args) if args.size >= 4 && args.size <= 6 =>
+            // the PINNED-TOKENIZER packing through SQL (the p_pack_asof
+            // API path): name the curation state + its horizon and the
+            // merges model + its horizon, get back the packed training
+            // epochs — the training-run tuple reproducible end-to-end
+            // THROUGH packing for a SQL-only operator. Horizons are
+            // explicit arguments (two states, two axes), so the single
+            // VERSION AS OF clause is not applicable.
+            require(s.asOf.isEmpty,
+              "GRAFT_PACK: horizons are explicit arguments (selection " +
+                "as-of, merges as-of); VERSION AS OF is not applicable")
+            val sel = CurateMaintainer.selectionAsOf(session, args.head,
+              args(1).toLong)
+            require(sel.columns.length == 2,
+              "GRAFT_PACK: the selection generation must be the " +
+                "(id, text) pair a curation firing persists, got columns " +
+                s"(${sel.columns.mkString(", ")})")
+            val Seq(idCol, textCol) = sel.columns.toSeq
+            val merges = graft.streaming.BpeMaintainer.mergesAsOf(session,
+              args(2), args(3).toLong)
+            val seqLen = if (args.size >= 5) args(4).toInt else 128
+            val epochs = if (args.size >= 6) args(5).toInt else 2
+            graft.ops.Corpus.trainManifestFrom(sel, idCol, textCol,
+              merges, seqLen, epochs)
+          case ("pack", _) =>
+            wrongArgs("('<curateStateDir>', <selectionAsOf>, " +
+              "'<mergesModelDir>', <mergesAsOf>[, <seqLen>[, <epochs>]])")
           case ("snapshot", Seq(mdir, state)) =>
             require(s.asOf.isEmpty,
               "GRAFT_SNAPSHOT: the horizon comes from the pinned manifest; " +

@@ -235,10 +235,22 @@ object AnnIndexMaintainer {
     * baseline, before any post rows, or on states ingested without
     * [[processBatchPqMonitored]]. Growth never rewrites codes, so there
     * is no growth-subsumption here; [[retrainPq]] restarts the sidecar in
-    * its new generation dir with the fresh-codes whole-index row. */
+    * its new generation dir with the fresh-codes whole-index row.
+    *
+    * The era split is [[codeBaseBatch]], NOT [[trainedBatch]]: a
+    * committed growth advances the QUANTIZER baseline (its `g<G>/m` row
+    * re-measures distortion under the grown centroid set) but never
+    * touches a code — splitting the recon sidecar at the
+    * growth-advanced horizon would fold every pre-growth recon row,
+    * drifted tail included, into the BASELINE side, inflating the
+    * denominator and biasing [[graft.streaming.MaintenancePlanner]]'s
+    * pqRemedy away from the forced retrainPq exactly in the state that
+    * already drifted once. Codes are defined by the original train or
+    * the last [[retrainPq]] — the explicit `trainbase` markers — so the
+    * recon split stays there through any number of growths. */
   def codebookDriftRatio(spark: SparkSession,
       indexDir: String): Option[Double] = {
-    val base = trainedBatch(indexDir)
+    val base = codeBaseBatch(indexDir)
     if (base < 0L) return None
     val dirs = BatchDirs.listDirs(s"$indexDir/mr", "b").map(_._2)
     val m = BatchDirs.readUnion(spark, dirs, reconSchema,
@@ -288,11 +300,23 @@ object AnnIndexMaintainer {
     * and the growth data become visible in the same rename.
     */
   def trainedBatch(indexDir: String): Long =
-    (Option(new java.io.File(indexDir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("trainbase"))
-      .flatMap(_.getName.stripPrefix("trainbase").toLongOption) ++
-      growthDirs(indexDir).map(_._1))
+    (trainbaseMarkers(indexDir) ++ growthDirs(indexDir).map(_._1))
       .sorted.lastOption.getOrElse(-1L)
+
+  private def trainbaseMarkers(indexDir: String): Seq[Long] =
+    Option(new java.io.File(indexDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("trainbase"))
+      .flatMap(_.getName.stripPrefix("trainbase").toLongOption).toSeq
+
+  /** The CODE-defining baseline: the last horizon at which the PQ codes
+    * themselves were (re)trained — an explicit [[markTrained]] marker
+    * from the bootstrap train or a [[retrainPq]] — EXCLUDING growth
+    * advances, which change the quantizer but leave every code intact.
+    * −1 when never marked. The recon-sidecar split
+    * ([[codebookDriftRatio]]) uses this; the distortion-sidecar split
+    * ([[driftRatio]]) uses the growth-aware [[trainedBatch]]. */
+  def codeBaseBatch(indexDir: String): Long =
+    trainbaseMarkers(indexDir).sorted.lastOption.getOrElse(-1L)
 
   /** Per-batch distortion rows that still COUNT: a growth's `g<G>/m`
     * whole-index row (measured under the grown quantizer) SUBSUMES every

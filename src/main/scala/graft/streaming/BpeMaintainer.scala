@@ -67,13 +67,25 @@ object BpeMaintainer {
 
   private def latestPath(modelDir: String) = Paths.get(modelDir, "_LATEST")
 
-  /** (version, corpus word-occurrence total at learn time), or None. */
+  /** (version, corpus word-occurrence total at learn time), or None.
+    * Fails with a DIAGNOSABLE error on a payload that is not the
+    * two-token `version total` stamp this maintainer writes — other
+    * maintainers (e.g. [[graft.recdb]]'s delta states) use a `_LATEST`
+    * pointer with a different payload, and a raw `MatchError` from a
+    * mis-aimed read names neither the file nor the mismatch. */
   def latestMeta(modelDir: String): Option[(Long, Long)] =
     if (!Files.exists(latestPath(modelDir))) None
     else {
-      val Array(v, t) =
-        new String(Files.readAllBytes(latestPath(modelDir))).trim.split(' ')
-      Some((v.toLong, t.toLong))
+      val raw = new String(Files.readAllBytes(latestPath(modelDir))).trim
+      raw.split(' ') match {
+        case Array(v, t) if v.toLongOption.isDefined &&
+            t.toLongOption.isDefined =>
+          Some((v.toLong, t.toLong))
+        case _ => throw new IllegalArgumentException(
+          s"${latestPath(modelDir)} is not a BPE merges-model pointer: " +
+            s"payload '$raw' does not parse as 'version total' (is this " +
+            "a different maintainer's _LATEST state dir?)")
+      }
     }
 
   /** The committed merge rules in rank order (empty before any learn). */
@@ -110,11 +122,20 @@ object BpeMaintainer {
       .filter(_._1 <= latest)
       .map { case (v, f) =>
         val meta = new java.io.File(f, "_meta")
-        if (!meta.isFile) (v, -1L, -1L)
-        else {
-          val Array(b, t) = Files.readString(meta.toPath).trim.split(' ')
-          (v, b.toLong, t.toLong)
-        }
+        // a truncated/corrupted stamp (crash mid-write of _meta) folds
+        // into the UNSTAMPED classification — horizon unprovable, so the
+        // version reads via latestMerges but is excluded from the
+        // [[mergesAsOf]] axis and never vacuumed — instead of surfacing
+        // a raw MatchError from every read path
+        val stamp =
+          if (!meta.isFile) None
+          else Files.readString(meta.toPath).trim.split(' ') match {
+            case Array(b, t) => for {
+              bl <- b.toLongOption; tl <- t.toLongOption
+            } yield (bl, tl)
+            case _ => None
+          }
+        stamp.fold((v, -1L, -1L)) { case (b, t) => (v, b, t) }
       }
       .sortBy(_._1)
   }

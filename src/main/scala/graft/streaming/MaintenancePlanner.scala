@@ -286,6 +286,11 @@ object MaintenancePlanner {
         // the new generation resolve their centroid set from the state
         AnnIndexMaintainer.persistCentroids(spark, newDir,
           AnnIndexMaintainer.trainedBatch(newDir), re)
+        // the PRE-rebuild generation stays readable for deep horizons —
+        // stamp it so the nightly sweep ([[Retention.discoverStates]]
+        // family `superseded`) reclaims it once no pin holds it, instead
+        // of every rebuild permanently doubling the index's footprint
+        Retention.markSuperseded(dir, newDir)
         AnnSpec(n, newDir, t, gmax, rs)
       case sp @ AnnSpec(n, dir, _, _, rs) if decisions(n) == "grow" =>
         // the delta remedy the planner chose: extra centroids over the
@@ -311,6 +316,7 @@ object MaintenancePlanner {
           AnnIndexMaintainer.trainedBatch(newDir), cdf)
         AnnIndexMaintainer.persistCodebook(spark, newDir,
           AnnIndexMaintainer.trainedBatch(newDir), cbDf)
+        Retention.markSuperseded(dir, newDir)
         AnnPqSpec(n, newDir, t, m, kc, gmax, cbmax, rs)
       case sp @ AnnPqSpec(n, dir, _, _, _, _, _, rs)
           if decisions(n) == "grow" =>
@@ -365,17 +371,50 @@ object MaintenancePlanner {
       postSpecs)
   }
 
+  /** The committed `<dir>/cents` location, healing the one crash window
+    * [[executeGrow]]'s two-rename commit leaves: a crash between
+    * `cents → .cents.old` and `.cents.tmp → cents` leaves NO live copy —
+    * but the union set is by then FULLY written at `.cents.tmp` (the
+    * aside rename runs strictly after the tmp write completes), so the
+    * resolver rolls the commit FORWARD (tmp renamed in, aside dropped)
+    * and every reader — the next [[executeGrow]], serving code pointed
+    * at `<dir>/cents` — finds the grown quantizer with no manual
+    * repair. If the tmp is gone too (manual cleanup), the aside rolls
+    * BACK. Either way there is no instant at which a reader finds
+    * nothing — the [[SnapshotManifest]] aside-fallback discipline
+    * applied to the executor's quantizer artifact. */
+  def servingCentsFile(dir: String): java.io.File = {
+    val live = new java.io.File(dir, "cents")
+    if (live.exists()) return live
+    val tmp = new java.io.File(dir, ".cents.tmp")
+    val aside = new java.io.File(dir, ".cents.old")
+    if (tmp.exists() && aside.exists()) {
+      require(tmp.renameTo(live),
+        s"cents crash-repair failed (roll-forward): $dir")
+      graft.Exec.deletePath(aside.getPath)
+      live
+    } else if (aside.exists()) {
+      require(aside.renameTo(live),
+        s"cents crash-repair failed (roll-back): $dir")
+      live
+    } else throw new IllegalStateException(
+      s"no persisted quantizer at $live (write the state's centroid " +
+        "frame there, the retrain convention)")
+  }
+
   /** The executor's in-place grow: the state's serving quantizer comes
-    * from its persisted `<dir>/cents` artifact, the grown union set
+    * from its persisted `<dir>/cents` artifact
+    * ([[servingCentsFile]] — crash-window healing), the grown union set
     * commits back to it rename-aside (serving and the next ingest pick
     * it up), and a quantizer GENERATION lands for horizon reads. */
   private def executeGrow(spark: SparkSession, n: String, dir: String,
       rs: Int, pq: Boolean): Unit = {
-    val centsPath = new java.io.File(dir, "cents")
-    require(centsPath.exists(),
-      s"execute: ANN state '$n' decided grow but no persisted " +
-        s"quantizer at $centsPath (write the state's centroid frame " +
-        "there, the retrain convention)")
+    val centsPath =
+      try servingCentsFile(dir)
+      catch { case e: IllegalStateException =>
+        throw new IllegalStateException(
+          s"execute: ANN state '$n' decided grow but ${e.getMessage}")
+      }
     val cents = graft.ops.Ann.ivfCentroidsFromDf(
       spark.read.parquet(centsPath.getPath))
     val kNew = AnnIndexMaintainer.growKNew(spark, dir)

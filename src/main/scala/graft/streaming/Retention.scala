@@ -242,7 +242,16 @@ object Retention {
       keepFrom: Long, manifestDirs: Seq[String]): Long = {
     val base = floorFor(spark, modelDir, keepFrom, manifestDirs, Set("bpe"))
     val gens = mergesGens(modelDir)
-    readPolicy(mergesPolicyPath(modelDir)).flatMap { keepLast =>
+    // a POLICY-LESS model under a no-keepFrom vacuum (the discovery
+    // sweep's shape) defaults to the commit-time keep-two window
+    // (serving + one rollback, [[BpeMaintainer]] `commit`): head-only
+    // truncation here would silently remove the v−1 rollback copy the
+    // maintainer deliberately preserves on exactly these models. An
+    // explicit keepFrom is an operator's own floor and wins unchanged;
+    // a persisted policy replaces the default entirely.
+    val policy = readPolicy(mergesPolicyPath(modelDir))
+      .orElse(if (keepFrom == Long.MaxValue) Some(2) else None)
+    policy.flatMap { keepLast =>
       if (gens.isEmpty) None
       else if (gens.size <= keepLast) Some(gens.head._2)
       else Some(gens(gens.size - keepLast)._2)
@@ -324,13 +333,27 @@ object Retention {
     * fleet-wide "nightly GC" entry point: instead of being handed a
     * spec list, the sweep WALKS the tree for the generation-family
     * layouts it knows how to vacuum:
+    *   - `superseded`: a dir carrying the `_superseded` marker
+    *     [[MaintenancePlanner]]'s retrain executor stamps on the
+    *     PRE-rebuild generation — the whole dir retires
+    *     ([[retireState]]) once no pin holds it. Checked FIRST and
+    *     reported alone: a superseded ANN generation still holds `qg<b>`
+    *     dirs, but vacuuming inside a dir that is itself scheduled to
+    *     drop would be wasted (and confusing) work;
     *   - `selection`: a dir holding a `selection/` child with `s<b>`
     *     generation dirs ([[CurateMaintainer]] state);
     *   - `quantizer`: a dir holding `qg<b>` generation dirs
     *     ([[AnnIndexMaintainer]] index; `cbg<b>` codebooks retire at
     *     the same floor);
-    *   - `merges`: a dir holding a `_LATEST` pointer
-    *     ([[BpeMaintainer]] model versions).
+    *   - `merges`: a dir holding a `_LATEST` pointer AND a
+    *     `v<N>/merges.parquet` version child — the pointer alone is not
+    *     the signature ([[graft.recdb]] delta states commit through a
+    *     `_LATEST` with a different payload; matching on the pointer
+    *     file would crash the sweep on their dirs);
+    *   - `shards`: a [[ShardMaintainer]] layout (`meta/` batch sidecars
+    *     beside a `data/` dir) — the corpus itself, the heaviest state
+    *     by mass; its GC action is the pin-aware tombstone fold, not a
+    *     generation vacuum.
     * Metadata-cost by construction: directory listings only, recognized
     * state roots are leaves (a state's internals are never mistaken for
     * nested states), and parquet artifact dirs (`_SUCCESS` present) are
@@ -340,12 +363,23 @@ object Retention {
   def discoverStates(root: String): Seq[(String, String)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     def familiesOf(f: java.io.File): Seq[String] = {
+      if (new java.io.File(f, supersededMarkerName).isFile)
+        return Seq("superseded")
       val sel = new java.io.File(f, "selection")
+      val isMerges = new java.io.File(f, "_LATEST").isFile &&
+        Option(f.listFiles()).toSeq.flatten.exists(c =>
+          c.isDirectory && c.getName.matches("v\\d+") &&
+            new java.io.File(c, "merges.parquet").exists())
+      val meta = new java.io.File(f, "meta")
+      val isShards = meta.isDirectory &&
+        BatchDirs.listDirs(meta.getPath, "b").nonEmpty &&
+        new java.io.File(f, "data").isDirectory
       Seq(
         "selection" -> (sel.isDirectory &&
           BatchDirs.listDirs(sel.getPath, "s").nonEmpty),
         "quantizer" -> BatchDirs.listDirs(f.getPath, "qg").nonEmpty,
-        "merges" -> new java.io.File(f, "_LATEST").isFile)
+        "merges" -> isMerges,
+        "shards" -> isShards)
         .collect { case (fam, true) => fam }
     }
     def walk(f: java.io.File): Unit = {
@@ -364,6 +398,42 @@ object Retention {
     out.toSeq
   }
 
+  private[streaming] val supersededMarkerName = "_superseded"
+
+  /** Stamp a PRE-rebuild generation dir as superseded by `newDir` — the
+    * marker [[discoverStates]] keys whole-dir retirement on.
+    * [[AnnIndexMaintainer.retrain]]/[[AnnIndexMaintainer.retrainPq]]
+    * leave the old generation readable for deep horizons; without this
+    * stamp nothing in the closed loop ever reclaims it, so at 100 TB
+    * every rebuild permanently doubles that index's footprint until an
+    * operator remembers a manual [[retireState]]. The executor stamps
+    * it the moment the new generation commits; the nightly sweep
+    * retires it pin-guardedly. Temp-write + rename like every marker. */
+  def markSuperseded(oldDir: String, newDir: String): Unit = {
+    val path = new java.io.File(oldDir, supersededMarkerName).getPath
+    val tmp = new java.io.File(path + ".tmp")
+    graft.Exec.deletePath(tmp.getPath)
+    val w = new java.io.PrintWriter(tmp)
+    try w.print(newDir) finally w.close()
+    graft.Exec.deletePath(path)
+    require(tmp.renameTo(new java.io.File(path)),
+      s"superseded marker commit failed: $path")
+  }
+
+  /** The pins refusing a [[retireState]] of `stateDir`, each naming its
+    * manifest, state, and horizon — empty means retirable. A missing
+    * manifest dir fails (through [[SnapshotManifest.pins]]'s own
+    * error): widening what may be deleted because the pin file was
+    * misplaced is the disaster case. */
+  def retirementHolders(spark: SparkSession, stateDir: String,
+      manifestDirs: Seq[String]): Seq[String] = {
+    val canon = new java.io.File(stateDir).getCanonicalPath
+    manifestDirs.flatMap(m =>
+      SnapshotManifest.pins(spark, m)
+        .filter(p => new java.io.File(p.dir).getCanonicalPath == canon)
+        .map(p => s"$m (state '${p.state}', as of ${p.asOf})"))
+  }
+
   /** The NIGHTLY-GC sweep: [[discoverStates]] under `root`, then dry-run
     * or vacuum every discovered family at its own pin-and-policy floor —
     * one call GCs a whole pipeline's state tree with no per-state
@@ -375,7 +445,16 @@ object Retention {
     * (family, state_dir relative to root, dropped_id) — dry run and
     * vacuum report identical ids by construction, the plan/action
     * agreement the planner's RetentionSpec pins per state. Bounded by
-    * generation counts, never data.
+    * generation counts, never data. Family-specific row semantics:
+    * `shards` reports the pin-aware SEAL horizon the fold runs at (one
+    * row per layout with foldable work — the action is
+    * [[ShardMaintainer.compactTombstonesPinAware]], data rewritten but
+    * the live view bit-identical by that operation's contract);
+    * `superseded` reports the whole-dir retirement (dropped_id is the
+    * sentinel −1 — the unit is the directory, not a generation), and a
+    * PINNED superseded dir simply emits no row (the pin holds it, the
+    * same never-fires quiet a fully-pinned generation family gets; the
+    * direct [[retireState]] is where a refusal names its holder).
     */
   def sweep(spark: SparkSession, root: String,
       manifestDirs: Seq[String] = Nil, dryRun: Boolean = false): DataFrame = {
@@ -392,10 +471,27 @@ object Retention {
           staleQuantizers(spark, dir, manifestDirs = manifestDirs)
         case ("quantizer", false) =>
           vacuumQuantizers(spark, dir, manifestDirs = manifestDirs)
-        case (_, true) =>
+        case ("shards", dry) =>
+          val upTo = BatchDirs.listDirs(s"$dir/tomb", "b").map(_._1)
+            .maxOption.getOrElse(-1L)
+          val sealedAt =
+            if (dry) ShardMaintainer.sealablePinAware(spark, dir, upTo,
+              manifestDirs)
+            else ShardMaintainer.compactTombstonesPinAware(spark, dir,
+              upTo, manifestDirs)
+          if (sealedAt >= 0L) Seq(sealedAt) else Nil
+        case ("superseded", dry) =>
+          if (retirementHolders(spark, dir, manifestDirs).nonEmpty) Nil
+          else {
+            if (!dry) retireState(spark, dir, manifestDirs)
+            Seq(-1L)
+          }
+        case ("merges", true) =>
           staleMergeVersions(spark, dir, manifestDirs = manifestDirs)
-        case (_, false) =>
+        case ("merges", false) =>
           vacuumMergeVersions(spark, dir, manifestDirs = manifestDirs)
+        case (other, _) => throw new IllegalStateException(
+          s"sweep: discovered unknown family '$other' at $dir")
       }
       val rel = rootPath.relativize(java.nio.file.Paths.get(
         new java.io.File(dir).getCanonicalPath)).toString
@@ -416,11 +512,7 @@ object Retention {
     * than widening what may be deleted. */
   def retireState(spark: SparkSession, stateDir: String,
       manifestDirs: Seq[String]): Unit = {
-    val canon = new java.io.File(stateDir).getCanonicalPath
-    val holders = manifestDirs.flatMap(m =>
-      SnapshotManifest.pins(spark, m)
-        .filter(p => new java.io.File(p.dir).getCanonicalPath == canon)
-        .map(p => s"$m (state '${p.state}', as of ${p.asOf})"))
+    val holders = retirementHolders(spark, stateDir, manifestDirs)
     require(holders.isEmpty,
       s"retireState: $stateDir is pinned by ${holders.mkString("; ")} — " +
         "a pinned generation must stay serveable")

@@ -323,6 +323,20 @@ object ShardMaintainer {
     */
   def compactTombstonesPinAware(spark: SparkSession, dir: String,
       upTo: Long, manifestDirs: Seq[String]): Long = {
+    val eff = sealablePinAware(spark, dir, upTo, manifestDirs)
+    if (eff >= 0L) compactTombstones(spark, dir, eff)
+    eff
+  }
+
+  /** DRY RUN of [[compactTombstonesPinAware]]'s decision: the horizon an
+    * acting call with the same arguments would seal at, or −1 when it
+    * would skip (fully pinned, nothing foldable, or already sealed
+    * there) — plan and action agree by construction, which is what lets
+    * the nightly discovery sweep ([[Retention.sweep]]) report the shard
+    * family's droppable work without touching the data dir. Sidecar- and
+    * manifest-sized, never a data scan. */
+  def sealablePinAware(spark: SparkSession, dir: String,
+      upTo: Long, manifestDirs: Seq[String]): Long = {
     val canon = new java.io.File(dir).getCanonicalPath
     val pinned = manifestDirs
       .flatMap(m => SnapshotManifest.pins(spark, m))
@@ -336,8 +350,7 @@ object ShardMaintainer {
     // scale, a pointless data-dir rewrite. The probe is sidecar-sized.
     val foldable = eff >= 0L &&
       tombstoneBatchesBefore(spark, dir, eff + 1L).limit(1).count() > 0L
-    if (!foldable || eff <= sealedHorizon(dir)) -1L
-    else { compactTombstones(spark, dir, eff); eff }
+    if (!foldable || eff <= sealedHorizon(dir)) -1L else eff
   }
 
   /** The layout's sealed time-travel floor: the highest compaction

@@ -95,7 +95,12 @@ object SnapshotManifest {
   private def validate(spark: SparkSession, p: Pin): Unit = {
     require(kinds.contains(p.kind),
       s"pin: unknown state kind '${p.kind}' (expected one of $kinds)")
-    val n = resolve(spark, p).count() // any unresolvable horizon throws
+    // emptiness probe, NOT a slice count: limit(1) stops at the first
+    // surviving row, so pin()/verify() of a corpus-sized ann/postings
+    // state stays O(first partition with a match) instead of a full
+    // horizon scan per pin per call (any unresolvable horizon still
+    // throws here, from the state's own as-of reader)
+    val n = resolve(spark, p).limit(1).count()
     require(n > 0L || p.kind == "shards" || p.kind == "curate",
       s"pin: state '${p.state}' (${p.kind}) resolves to an EMPTY frame " +
         s"at horizon ${p.asOf} — the horizon predates the state's first " +

@@ -312,7 +312,7 @@ class Round17OpsSpec extends SparkSpec {
     AnnIndexMaintainer.processBatchMonitored(vecs(20L to 23L, shift = 5.0),
       2L, "vec_id", "embedding", cents2, dir)
     // no persisted quantizer → the executor fails fast, state untouched
-    intercept[IllegalArgumentException] {
+    intercept[IllegalStateException] {
       MaintenancePlanner.execute(spark, Seq(
         AnnSpec("a", dir, 4.0, growPostFractionMax = 0.5)))
     }.getMessage should include("no persisted quantizer")

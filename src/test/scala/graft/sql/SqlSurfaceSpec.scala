@@ -730,4 +730,86 @@ class SqlSurfaceSpec extends SparkSpec with BeforeAndAfterAll {
         .collect()
     }.getMessage should include("not applicable")
   }
+
+  test("GRAFT_SWEEP rejects a third argument that is not exactly " +
+      "'dry' — a typo must fail, never run the destructive acting sweep") {
+    val root = Files.createTempDirectory("sqlsweepdry").toString
+    for (bad <- Seq("dryrun", "dry-run", "wet")) {
+      intercept[Exception] {
+        ext.sql(s"SELECT * FROM GRAFT_SWEEP('$root', '', '$bad')")
+          .collect()
+      }.getMessage should include("must be exactly 'dry'")
+    }
+  }
+
+  test("GRAFT_VACUUM / GRAFT_SWEEP are EXPLAIN-safe: planning the " +
+      "statement drops nothing; executing it does") {
+    val sq = ext
+    import sq.implicits._
+    val root = Files.createTempDirectory("sqlexplain").toString
+    val tok = s"$root/tok"
+    graft.streaming.Retention.setMergesPolicy(tok, 1)
+    Seq(Seq("aaab aaab aaab"), Seq("ccd ccd ccd ccd")).zipWithIndex
+      .foreach { case (w, g) =>
+        graft.streaming.BpeMaintainer.processBatch(
+          w.zipWithIndex.map { case (t, i) => (10L * g + i, t) }
+            .toDF("doc_id", "text"),
+          g.toLong, "doc_id", "text", s"$root/tokstate", tok,
+          graft.streaming.BpeMaintainer.Config(numMerges = 4,
+            growthFactor = 0.0))
+      }
+    def versions = graft.streaming.BpeMaintainer.versions(tok).map(_._1)
+    versions shouldBe Seq(0L, 1L)
+    // EXPLAIN plans the action relation without performing it
+    val plan = ext.sql(s"EXPLAIN SELECT * FROM GRAFT_VACUUM('$tok', " +
+      "'merges')").collect().map(_.getString(0)).mkString("\n")
+    plan should include("GraftAction")
+    versions shouldBe Seq(0L, 1L)
+    ext.sql(s"EXPLAIN SELECT * FROM GRAFT_SWEEP('$root')").collect()
+    versions shouldBe Seq(0L, 1L)
+    // ...and an unexecuted statement (analysis only) drops nothing too
+    ext.sql(s"SELECT * FROM GRAFT_VACUUM('$tok', 'merges')")
+    versions shouldBe Seq(0L, 1L)
+    // execution performs it and returns the dropped ids
+    ext.sql(s"SELECT * FROM GRAFT_VACUUM('$tok', 'merges')")
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(0L)
+    versions shouldBe Seq(1L)
+  }
+
+  test("GRAFT_PACK: the pinned-tokenizer packing through SQL equals the " +
+      "API-path trainManifestFrom over the named selection generation " +
+      "and merges horizon") {
+    val sq = ext
+    import sq.implicits._
+    val root = Files.createTempDirectory("sqlpack").toString
+    // a curation state with one committed selection generation (the
+    // (id, text) pair a firing persists)
+    val sel = Seq((0L, "aaab aaab ccd"), (1L, "ccd ccd aab"),
+      (2L, "eef aaab aab aab")).toDF("doc_id", "text")
+    sel.coalesce(1).write.parquet(s"$root/cur/selection/s1")
+    // a stamped merges model with two learned versions
+    Seq(Seq("aaab aaab aaab", "aab aab"), Seq("ccd ccd ccd ccd"))
+      .zipWithIndex.foreach { case (w, g) =>
+        graft.streaming.BpeMaintainer.processBatch(
+          w.zipWithIndex.map { case (t, i) => (10L * g + i, t) }
+            .toDF("doc_id", "text"),
+          g.toLong, "doc_id", "text", s"$root/tokstate", s"$root/tok",
+          graft.streaming.BpeMaintainer.Config(numMerges = 4,
+            growthFactor = 0.0))
+      }
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val api = graft.ops.Corpus.trainManifestFrom(
+      graft.streaming.CurateMaintainer.selectionAsOf(ext, s"$root/cur", 5L),
+      "doc_id", "text",
+      graft.streaming.BpeMaintainer.mergesAsOf(ext, s"$root/tok", 0L),
+      seqLen = 16, epochs = 2)
+    rowsOf(ext.sql(s"SELECT * FROM GRAFT_PACK('$root/cur', 5, " +
+      s"'$root/tok', 0, 16, 2)")) shouldBe rowsOf(api)
+    // horizons are explicit arguments; the single VERSION clause errors
+    intercept[Exception] {
+      ext.sql(s"SELECT * FROM GRAFT_PACK('$root/cur', 5, '$root/tok', " +
+        "0, 16, 2) VERSION AS OF 1").collect()
+    }.getMessage should include("not applicable")
+  }
 }
