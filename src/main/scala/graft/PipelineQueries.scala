@@ -4026,6 +4026,184 @@ object PipelineQueries {
           col("decision"))
         .orderBy(col("state"), col("metric"))
     }),
+    // THE RECON-ERA SPLIT ACROSS A GROWTH, driver-gated: a PQ state with
+    // a drifted wave, a committed growth whose new cells cover it, and a
+    // SECOND drifted wave into yet another region. The quantizer
+    // baseline advances with the growth (the g-dir m row), but the
+    // CODEBOOK baseline must stay at the last code-defining train —
+    // folding the first drifted wave's recon rows into the baseline
+    // would read the codebooks as healthy and bias the remedy toward a
+    // second grow, spreading unfaithful codes again. The oracle
+    // re-derives both ratios from the corpus + the persisted bootstrap/
+    // union quantizers + the frozen codebooks: drift against the
+    // growth's whole-index row (least of current-cell vs best-new,
+    // rounded like the commit), recon split at the code baseline.
+    "p_pq_remedy_grow" -> ((s, d) => {
+      val m = graft.streaming.AnnIndexMaintainer
+      val cents = sizedCentsCopy(s, d, "pqgrow_cents")
+      val cb = pqCodebookCopy(s, d, "pqgrow_codebook")
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_pq_remedy_grow", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      val e = emb(s, d).select(col("vec_id"),
+        when(col("vec_id") % 4 === 2,
+          transform(col("embedding").cast("array<double>"),
+            x => x + lit(EmbShift)))
+        .when(col("vec_id") % 4 === 3,
+          transform(col("embedding").cast("array<double>"),
+            x => x - lit(EmbShift)))
+        .otherwise(col("embedding").cast("array<double>")).as("embedding"))
+      (0 until 3).foreach { g =>
+        m.processBatchPqMonitored(e.where(col("vec_id") % 4 === g),
+          g.toLong, "vec_id", "embedding", cents, cb, base, roundScale = 6)
+        if (g == 1) m.markTrained(base, 1L)
+      }
+      // the growth covers the first drifted region; growB = 3
+      m.growPq(s, base, cents, kNew = 8, roundScale = 6)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(annArtifactBase(d) + "/pqgrow_union_cents")
+      val union = Ann.ivfCentroidsFromDf(
+        s.read.parquet(annArtifactBase(d) + "/pqgrow_union_cents"))
+      // the post-grow wave drifts into a region the union set has no
+      // cells for — codes unfaithful AGAIN (batch 4)
+      m.processBatchPqMonitored(e.where(col("vec_id") % 4 === 3), 4L,
+        "vec_id", "embedding", union, cb, base, roundScale = 6)
+      val decision = graft.streaming.MaintenancePlanner.pqRemedy(s, base,
+        RetrainRatio, growPostFractionMax = 0.5, codebookRatioMax = 2.0)
+      val sq = s
+      import sq.implicits._
+      Seq(
+        ("pq_grow", "drift_ratio",
+          m.driftRatio(s, base).getOrElse(0.0), RetrainRatio, decision),
+        ("pq_grow", "codebook_ratio",
+          m.codebookDriftRatio(s, base).getOrElse(0.0), 2.0, "signal"),
+        ("pq_grow", "post_fraction",
+          m.postFraction(s, base).getOrElse(0.0), 0.5, "signal"))
+        .toDF("state", "metric", "value", "threshold", "decision")
+        .select(col("state"), col("metric"),
+          round(col("value"), 6).as("value"), col("threshold"),
+          col("decision"))
+        .orderBy(col("state"), col("metric"))
+    }),
+    // THE SHARD FAMILY IN THE NIGHTLY GC, driver-gated: a state tree
+    // holding two shard layouts — one pinned at horizon 1, one not. The
+    // discovery sweep must fold each at its own pin-lowered horizon
+    // (dry == action by construction), the pinned layout keeps horizon 1
+    // serveable, the unpinned twin seals at 2 and loses it, and the live
+    // views stay bit-identical (the compaction contract) — the corpus
+    // itself, the heaviest state by mass, joins the zero-config GC.
+    "s_maint_sweep_shards" -> ((s, d) => {
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_sweep_shards", Tables.runKey(d)).toString
+      graft.Exec.deletePath(root)
+      val payload = graft.Exec.materializeLocal(
+        Packing.packTokenIdRows(curatedSelFor(s, d), "doc_id", "text",
+          bpeMergesFor(s, d), seqLen = 128))
+      def build(dir: String): Unit = (0 until 3).foreach { g =>
+        val sel =
+          if (g == 0) payload.where(col("seq_id") % 3 === 0)
+          else if (g == 1) payload.where(col("seq_id") % 3 <= 1 &&
+            col("seq_id") % 5 =!= 0)
+          else payload.where(col("seq_id") % 3 <= 2 &&
+            col("seq_id") % 5 =!= 0 && col("seq_id") % 7 =!= 0)
+        graft.streaming.ShardMaintainer.reconcile(sel, g.toLong,
+          epochs = 2, shardSize = 2, dir)
+      }
+      build(s"$root/pinned")
+      build(s"$root/plain")
+      val mdir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_sweep_shards_m", Tables.runKey(d), "manifest").toString
+      graft.Exec.deletePath(mdir)
+      graft.streaming.SnapshotManifest.pin(s, Seq(
+        graft.streaming.SnapshotManifest.Pin("sh", "shards",
+          s"$root/pinned", 1L)), mdir)
+      def phase(name: String, dry: Boolean): DataFrame =
+        graft.Exec.materializeLocal(
+          graft.streaming.Retention.sweep(s, root,
+              manifestDirs = Seq(mdir), dryRun = dry)
+            .select(lit(name).as("phase"), col("family").as("kind"),
+              col("state_dir").as("leg"), col("dropped_id").as("value")))
+      val sweepRows = phase("dry", dry = true)
+        .unionByName(phase("vacuum", dry = false))
+        .unionByName(phase("post", dry = true))
+      val m = graft.streaming.ShardMaintainer
+      def asOfOk(dir: String, h: Long): Long =
+        try { m.readShardsAsOf(s, dir, h).limit(1).count() } catch {
+          case e: IllegalArgumentException
+              if e.getMessage.contains("sealed compaction floor") => 0L
+        }
+      val sq = s
+      import sq.implicits._
+      val checkRows = Seq("pinned", "plain").flatMap { leg =>
+        Seq(("serve", "sealed_floor", leg, m.sealedHorizon(s"$root/$leg")),
+          ("serve", "asof1_ok", leg, asOfOk(s"$root/$leg", 1L)),
+          ("serve", "asof0_ok", leg, asOfOk(s"$root/$leg", 0L)),
+          ("serve", "n_live", leg,
+            m.readShardsLive(s, s"$root/$leg").count()))
+      }.toDF("phase", "kind", "leg", "value")
+      sweepRows.unionByName(checkRows)
+        .orderBy("phase", "kind", "leg", "value")
+    }),
+    // RETIRESTATE IN THE LOOP, driver-gated: two drifted states retrain
+    // through the executor, which stamps each superseded pre-rebuild dir;
+    // one old generation is pinned (a deep-horizon audit still needs it).
+    // The nightly sweep must reclaim exactly the unpinned dir (dry ==
+    // action), skip the pinned twin, and the direct retire must refuse
+    // naming the holder — while the pinned twin's deep horizon keeps
+    // serving from the old files.
+    "s_maint_retire" -> ((s, d) => {
+      import graft.streaming.MaintenancePlanner
+      import graft.streaming.MaintenancePlanner.AnnSpec
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_maint_retire", Tables.runKey(d)).toString
+      graft.Exec.deletePath(root)
+      graft.Exec.copyPath(annDriftStateFor(s, d, spliced = true),
+        s"$root/a_old")
+      graft.Exec.copyPath(annDriftStateFor(s, d, spliced = true),
+        s"$root/b_old")
+      MaintenancePlanner.execute(s, Seq(
+          AnnSpec("a", s"$root/a_old", RetrainRatio),
+          AnnSpec("b", s"$root/b_old", RetrainRatio)),
+        annNewDirs = Map("a" -> s"$root/a_new", "b" -> s"$root/b_new"))
+      val mdir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_maint_retire_m", Tables.runKey(d), "manifest").toString
+      graft.Exec.deletePath(mdir)
+      graft.streaming.SnapshotManifest.pin(s, Seq(
+        graft.streaming.SnapshotManifest.Pin("b0", "ann",
+          s"$root/b_old", 0L, "vec_id")), mdir)
+      def phase(name: String, dry: Boolean): DataFrame =
+        graft.Exec.materializeLocal(
+          graft.streaming.Retention.sweep(s, root,
+              manifestDirs = Seq(mdir), dryRun = dry)
+            .where(col("family") === "superseded")
+            .select(lit(name).as("phase"), col("family").as("kind"),
+              col("state_dir").as("leg"), col("dropped_id").as("value")))
+      val sweepRows = phase("dry", dry = true)
+        .unionByName(phase("vacuum", dry = false))
+        .unionByName(phase("post", dry = true))
+      val refusal =
+        try {
+          graft.streaming.Retention.retireState(s, s"$root/b_old",
+            Seq(mdir)); 0L
+        } catch {
+          case e: IllegalArgumentException
+              if e.getMessage.contains("state 'b0'") => 1L
+        }
+      val sq = s
+      import sq.implicits._
+      val checkRows = Seq(
+        ("check", "old_gone", "a_old",
+          if (new java.io.File(s"$root/a_old").exists()) 0L else 1L),
+        ("check", "old_kept", "b_old",
+          if (new java.io.File(s"$root/b_old").exists()) 1L else 0L),
+        ("check", "refusal_names_holder", "b_old", refusal),
+        ("check", "deep_horizon_rows", "b_old",
+          graft.streaming.AnnIndexMaintainer
+            .readIndexAsOf(s, s"$root/b_old", 0L).count()))
+        .toDF("phase", "kind", "leg", "value")
+      sweepRows.unionByName(checkRows)
+        .orderBy("phase", "kind", "leg", "value")
+    }),
     // the SQL vacuum: DELETE ... RETURNING for generation history — the
     // statement runs the pin-aware GC and returns the dropped ids, which
     // the oracle re-derives from the drift trigger's firing replay.
@@ -4090,6 +4268,32 @@ object PipelineQueries {
         .unionByName(leg("vacuum", ""))
         .unionByName(leg("post", ", 'dry'"))
         .orderBy("phase", "family", "state_dir", "dropped_id")
+    }),
+    // the PINNED-TOKENIZER PACKING through SQL: GRAFT_PACK names the
+    // curation state, the merges model and both horizons, and must
+    // return exactly the packed epochs the p_pack_asof API path builds —
+    // the training-run tuple reproducible end-to-end through packing for
+    // a SQL-only operator. The oracle replays curate → merge replay from
+    // the PINNED artifact → packing → epoch grids, like p_pack_asof.
+    "q_sql_pack" -> ((s, d) => {
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_sql_pack", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      // the curated selection as a committed curation-state generation
+      curatedSelFor(s, d).coalesce(1).write
+        .parquet(s"$base/cur/selection/s1")
+      val md = bpe4ModelFor(s, d)
+      // persist the pinned merges for the oracle's replay
+      graft.ops.Bpe.mergesDf(s,
+          graft.streaming.BpeMaintainer.mergesAsOf(s, md, 1L))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(bpeArtifactBase(d) + "/merges_v1_sql")
+      val ext = RecQueries.extensionSession(s)
+      ext.sql(
+        s"""SELECT epoch, seq_id, CAST(ord AS BIGINT) AS ord, n_tok,
+           |  n_docs, id_sum, doc_min, doc_max
+           |FROM GRAFT_PACK('$base/cur', 1, '$md', 1, 128, 2)"""
+          .stripMargin)
     }),
     // Corpus-relative perplexity filtering: keep the best half by the
     // exact interpolated median of the rounded scores (the way production
@@ -7875,6 +8079,123 @@ object PipelineQueries {
          |  round((SELECT v FROM s_cbr), 6), 2.0, 'signal'
          |ORDER BY state, metric""".stripMargin
     },
+    // the recon-era split across a growth: drift against the growth's
+    // whole-index row (least of current-cell vs best-new distance,
+    // rounded like the commit), recon split at the CODE-defining
+    // baseline (waves 0/1) — both drifted waves stay on the post side
+    "p_pq_remedy_grow" ->
+      s"""WITH pe AS (
+         |  SELECT vec_id, CASE
+         |    WHEN vec_id % 4 = 2 THEN list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) + $EmbShift)
+         |    WHEN vec_id % 4 = 3 THEN list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) - $EmbShift)
+         |    ELSE list_transform(embedding, x -> CAST(x AS DOUBLE))
+         |    END AS v
+         |  FROM embeddings
+         |),
+         |oc AS (SELECT cid, c FROM '__ANN_ARTIFACTS__/pqgrow_cents/*.parquet'),
+         |uc AS (
+         |  SELECT cid, c FROM '__ANN_ARTIFACTS__/pqgrow_union_cents/*.parquet'
+         |),
+         |rcb AS (
+         |  SELECT subspace, cid, c, n2
+         |  FROM '__ANN_ARTIFACTS__/pqgrow_codebook/*.parquet'
+         |),
+         |rp AS (SELECT CAST(len(c) AS INT) AS dsub FROM rcb LIMIT 1),
+         |nold AS (SELECT count(*) AS n FROM oc),
+         |gv AS (SELECT vec_id, v, list_inner_product(v, v) AS vv
+         |       FROM pe WHERE vec_id % 4 <= 2),
+         |gcur AS (
+         |  SELECT vec_id, dfull FROM (
+         |    SELECT g.vec_id,
+         |      round(g.vv - 2*list_inner_product(g.v, o.c)
+         |        + list_inner_product(o.c, o.c), 6) AS dfull,
+         |      row_number() OVER (PARTITION BY g.vec_id
+         |        ORDER BY round(list_inner_product(o.c, o.c)
+         |          - 2*list_inner_product(g.v, o.c), 6), o.cid) AS rn
+         |    FROM gv g CROSS JOIN oc o)
+         |  WHERE rn = 1
+         |),
+         |gnew AS (
+         |  SELECT vec_id, dfull FROM (
+         |    SELECT g.vec_id,
+         |      round(g.vv - 2*list_inner_product(g.v, u.c)
+         |        + list_inner_product(u.c, u.c), 6) AS dfull,
+         |      row_number() OVER (PARTITION BY g.vec_id
+         |        ORDER BY round(list_inner_product(u.c, u.c)
+         |          - 2*list_inner_product(g.v, u.c), 6), u.cid) AS rn
+         |    FROM gv g CROSS JOIN uc u
+         |    WHERE u.cid >= (SELECT n FROM nold))
+         |  WHERE rn = 1
+         |),
+         |gb AS (
+         |  SELECT count(*) AS n, sum(least(o.dfull, nn.dfull)) AS sum_d2
+         |  FROM gcur o JOIN gnew nn USING (vec_id)
+         |),
+         |w3 AS (SELECT vec_id, v, list_inner_product(v, v) AS vv
+         |       FROM pe WHERE vec_id % 4 = 3),
+         |p4 AS (
+         |  SELECT count(*) AS n, sum(dx) AS sum_d2 FROM (
+         |    SELECT w.vec_id,
+         |      (w.vv - 2*list_inner_product(w.v, u.c)
+         |        + list_inner_product(u.c, u.c)) AS dx,
+         |      row_number() OVER (PARTITION BY w.vec_id
+         |        ORDER BY round(list_inner_product(u.c, u.c)
+         |          - 2*list_inner_product(w.v, u.c), 6), u.cid) AS rn
+         |    FROM w3 w CROSS JOIN uc u)
+         |  WHERE rn = 1
+         |),
+         |drift AS (
+         |  SELECT (p4.sum_d2/p4.n)/(gb.sum_d2/gb.n) AS v FROM p4, gb
+         |),
+         |pf AS (
+         |  SELECT CAST(p4.n AS DOUBLE)/(p4.n + gb.n) AS v FROM p4, gb
+         |),
+         |genc AS (
+         |  SELECT e.vec_id, cb.subspace, cb.cid, cb.n2,
+         |    round(cb.n2 - 2*list_inner_product(
+         |      e.v[cb.subspace*rp.dsub+1 : (cb.subspace+1)*rp.dsub],
+         |      cb.c), 6) AS d,
+         |    list_inner_product(
+         |      e.v[cb.subspace*rp.dsub+1 : (cb.subspace+1)*rp.dsub],
+         |      cb.c) AS t
+         |  FROM pe e CROSS JOIN rp CROSS JOIN rcb cb
+         |),
+         |gcodes AS (
+         |  SELECT vec_id, subspace, n2, t FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+         |      ORDER BY d, cid) AS rn
+         |    FROM genc)
+         |  WHERE rn = 1
+         |),
+         |gr2 AS (
+         |  SELECT c.vec_id, (c.vec_id % 4 <= 1) AS isbase,
+         |    nv.vv - 2*sum(c.t) + sum(c.n2) AS r2
+         |  FROM gcodes c
+         |  JOIN (SELECT vec_id, list_inner_product(v, v) AS vv
+         |        FROM pe) nv USING (vec_id)
+         |  GROUP BY c.vec_id, nv.vv
+         |),
+         |cbrg AS (
+         |  SELECT (sum(r2) FILTER (WHERE NOT isbase)
+         |      / count(*) FILTER (WHERE NOT isbase))
+         |    / (sum(r2) FILTER (WHERE isbase)
+         |      / count(*) FILTER (WHERE isbase)) AS v
+         |  FROM gr2
+         |)
+         |SELECT 'pq_grow' AS state, 'codebook_ratio' AS metric,
+         |  round((SELECT v FROM cbrg), 6) AS value, 2.0 AS threshold,
+         |  'signal' AS decision
+         |UNION ALL SELECT 'pq_grow', 'drift_ratio',
+         |  round((SELECT v FROM drift), 6), $RetrainRatio,
+         |  CASE WHEN (SELECT v FROM drift) < $RetrainRatio THEN 'none'
+         |    WHEN (SELECT v FROM cbrg) > 2.0 THEN 'retrain'
+         |    WHEN (SELECT v FROM pf) <= 0.5 THEN 'grow'
+         |    ELSE 'retrain' END
+         |UNION ALL SELECT 'pq_grow', 'post_fraction',
+         |  round((SELECT v FROM pf), 6), 0.5, 'signal'
+         |ORDER BY state, metric""".stripMargin,
     // each auto-resolved leg = the one-shot IVF scan of that horizon's
     // slice under the quantizer GENERATION serving then: bootstrap below
     // the growth, the persisted union set at head
@@ -9530,6 +9851,45 @@ object PipelineQueries {
          |    (SELECT count(*) * 2 FROM seqsum
          |     WHERE seq_id % 5 <> 0 AND seq_id % 7 <> 0))
          |ORDER BY leg""".stripMargin,
+    // the shard family through the discovery sweep: seal horizons are
+    // fixture constants (the pin lowers the pinned leg to 1), dry ==
+    // vacuum, post empty; live counts replay the final selection
+    "s_maint_sweep_shards" ->
+      s"""WITH RECURSIVE $trainManifestCtes,
+         |nl AS (SELECT CAST(count(*) * 2 AS BIGINT) AS v FROM seqsum
+         |       WHERE seq_id % 5 <> 0 AND seq_id % 7 <> 0)
+         |SELECT phase, kind, leg, value FROM (
+         |  SELECT 'dry' AS phase, 'shards' AS kind, 'pinned' AS leg,
+         |    CAST(1 AS BIGINT) AS value
+         |  UNION ALL SELECT 'dry', 'shards', 'plain', 2
+         |  UNION ALL SELECT 'vacuum', 'shards', 'pinned', 1
+         |  UNION ALL SELECT 'vacuum', 'shards', 'plain', 2
+         |  UNION ALL SELECT 'serve', 'sealed_floor', 'pinned', 1
+         |  UNION ALL SELECT 'serve', 'sealed_floor', 'plain', 2
+         |  UNION ALL SELECT 'serve', 'asof0_ok', 'pinned', 0
+         |  UNION ALL SELECT 'serve', 'asof0_ok', 'plain', 0
+         |  UNION ALL SELECT 'serve', 'asof1_ok', 'pinned', 1
+         |  UNION ALL SELECT 'serve', 'asof1_ok', 'plain', 0
+         |  UNION ALL SELECT 'serve', 'n_live', 'pinned', (SELECT v FROM nl)
+         |  UNION ALL SELECT 'serve', 'n_live', 'plain', (SELECT v FROM nl)
+         |)
+         |ORDER BY phase, kind, leg, value""".stripMargin,
+    // retireState in the loop: the sweep reclaims exactly the unpinned
+    // superseded generation (dry == action, whole-dir sentinel −1), the
+    // pinned twin survives with its deep horizon serveable (wave-0 rows)
+    "s_maint_retire" ->
+      """SELECT phase, kind, leg, value FROM (
+        |  SELECT 'dry' AS phase, 'superseded' AS kind, 'a_old' AS leg,
+        |    CAST(-1 AS BIGINT) AS value
+        |  UNION ALL SELECT 'vacuum', 'superseded', 'a_old', -1
+        |  UNION ALL SELECT 'check', 'old_gone', 'a_old', 1
+        |  UNION ALL SELECT 'check', 'old_kept', 'b_old', 1
+        |  UNION ALL SELECT 'check', 'refusal_names_holder', 'b_old', 1
+        |  UNION ALL SELECT 'check', 'deep_horizon_rows', 'b_old',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+        |     WHERE vec_id % 3 = 0)
+        |)
+        |ORDER BY phase, kind, leg, value""".stripMargin,
     // the nightly-GC plan table: the pre metric is the tree-wide
     // droppable count (3 fixture constants + the trigger-replayed
     // curation drop), decision vacuum; the post sweep measures clean
@@ -9650,6 +10010,13 @@ object PipelineQueries {
     // PINNED tokenizer artifact (the version serving batch 1)
     "p_pack_asof" ->
       s"""WITH RECURSIVE ${trainManifestCtesWith("", "", "merges_v1")}
+         |SELECT eoM.epoch, eoM.seq_id, CAST(eoM.ord AS BIGINT) AS ord,
+         |  ss.n_tok, ss.n_docs, ss.id_sum, ss.doc_min, ss.doc_max
+         |FROM eoM JOIN seqsum ss USING (seq_id)""".stripMargin,
+    // GRAFT_PACK: identical derivation — the SQL face must produce the
+    // same packed epochs from the named state + pinned-merges horizons
+    "q_sql_pack" ->
+      s"""WITH RECURSIVE ${trainManifestCtesWith("", "", "merges_v1_sql")}
          |SELECT eoM.epoch, eoM.seq_id, CAST(eoM.ord AS BIGINT) AS ord,
          |  ss.n_tok, ss.n_docs, ss.id_sum, ss.doc_min, ss.doc_max
          |FROM eoM JOIN seqsum ss USING (seq_id)""".stripMargin,
