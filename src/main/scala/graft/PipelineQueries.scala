@@ -1417,7 +1417,10 @@ object PipelineQueries {
       val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         "graft_stream_pqfresh", Tables.runKey(d)).toString
       graft.Exec.deletePath(base)
-      val e = emb(s, d)
+      // static corpus cap, the s_hybrid_fresh rule: the wave protocol is
+      // what this gate pins; its per-call construction cost stays flat
+      // as sf grows (sf ≤ 0.01 unchanged; sf0.1 halves 2000 → 1000)
+      val e = emb(s, d).where(col("vec_id") < 1000)
       val cents = sizedCentsCopy(s, d, "pqfresh_cents")
       val cb = pqCodebookCopy(s, d, "pqfresh_codebook")
       val queries = e.where(col("vec_id") < 5)
@@ -2079,7 +2082,13 @@ object PipelineQueries {
       val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         "graft_stream_hybridfresh", Tables.runKey(d)).toString
       graft.Exec.deletePath(base)
-      val corpus = docs(s, d).where(col("doc_id") >= 25)
+      // corpus capped at a STATIC horizon: the gate pins the wave
+      // protocol (ingest → serve, mid-stream fold, retroactive stats),
+      // not index scale — the 10× probes cover scale — so its three
+      // full two-leg index builds per call stay flat as sf grows
+      // (sf ≤ 0.01 is unchanged; sf0.1 drops 5000 → <2000 docs)
+      val corpus = docs(s, d)
+        .where(col("doc_id") >= 25 && col("doc_id") < 2000)
       val embCorpus = corpus.select(col("doc_id").as("vec_id"),
         TextOps.textEmbedding(col("text"), 8).as("embedding"))
       val evalQ = docs(s, d).where(col("doc_id") < 5)
@@ -4045,7 +4054,9 @@ object PipelineQueries {
       val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         "graft_pq_remedy_grow", Tables.runKey(d)).toString
       graft.Exec.deletePath(base)
-      val e = emb(s, d).select(col("vec_id"),
+      // static corpus cap (the s_knn_pq_fresh rule): this gate pins the
+      // era-split semantics, not index scale
+      val e = emb(s, d).where(col("vec_id") < 1000).select(col("vec_id"),
         when(col("vec_id") % 4 === 2,
           transform(col("embedding").cast("array<double>"),
             x => x + lit(EmbShift)))
@@ -5494,7 +5505,7 @@ object PipelineQueries {
   private def hybridFreshLegSql(wave: Int): String =
     s"""SELECT * FROM (
       |WITH cd AS (SELECT doc_id, text FROM documents
-      |  WHERE doc_id >= 25 AND doc_id % 3 <= $wave),
+      |  WHERE doc_id >= 25 AND doc_id < 2000 AND doc_id % 3 <= $wave),
       |qd AS (SELECT doc_id, text FROM documents WHERE doc_id < 5),
       |tok AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM cd
@@ -7651,7 +7662,7 @@ object PipelineQueries {
       (0 until 3).map(g =>
         s"""SELECT CAST($g AS BIGINT) AS wave, t.* FROM (
            |${ivfPqOracle("pqfresh_cents", "pqfresh_codebook",
-             corpusWhere = s"vec_id % 3 <= $g")}
+             corpusWhere = s"vec_id % 3 <= $g AND vec_id < 1000")}
            |) t""".stripMargin).mkString(
         "", "\nUNION ALL\n", "\nORDER BY wave, query_id, rank"),
     // both retrieval legs re-derived from scratch (the BM25 formula over
@@ -8092,7 +8103,7 @@ object PipelineQueries {
          |      x -> CAST(x AS DOUBLE) - $EmbShift)
          |    ELSE list_transform(embedding, x -> CAST(x AS DOUBLE))
          |    END AS v
-         |  FROM embeddings
+         |  FROM embeddings WHERE vec_id < 1000
          |),
          |oc AS (SELECT cid, c FROM '__ANN_ARTIFACTS__/pqgrow_cents/*.parquet'),
          |uc AS (
