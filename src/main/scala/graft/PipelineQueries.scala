@@ -4215,6 +4215,101 @@ object PipelineQueries {
       sweepRows.unionByName(checkRows)
         .orderBy("phase", "kind", "leg", "value")
     }),
+    // GENERATION RETIREMENT through SQL: GRAFT_RETIRE is retireState as
+    // a deferred action relation — the unpinned superseded generation
+    // retires and returns its dir; the pinned twin fails naming the
+    // holder (caught here and emitted as a flag row). The manifest
+    // argument is mandatory (an unauditable delete is the disaster case).
+    "q_sql_retire" -> ((s, d) => {
+      import graft.streaming.MaintenancePlanner
+      import graft.streaming.MaintenancePlanner.AnnSpec
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_sql_retire", Tables.runKey(d)).toString
+      graft.Exec.deletePath(root)
+      graft.Exec.copyPath(annDriftStateFor(s, d, spliced = true),
+        s"$root/a_old")
+      graft.Exec.copyPath(annDriftStateFor(s, d, spliced = true),
+        s"$root/b_old")
+      MaintenancePlanner.execute(s, Seq(
+          AnnSpec("a", s"$root/a_old", RetrainRatio),
+          AnnSpec("b", s"$root/b_old", RetrainRatio)),
+        annNewDirs = Map("a" -> s"$root/a_new", "b" -> s"$root/b_new"))
+      val mdir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_sql_retire_m", Tables.runKey(d), "manifest").toString
+      graft.Exec.deletePath(mdir)
+      graft.streaming.SnapshotManifest.pin(s, Seq(
+        graft.streaming.SnapshotManifest.Pin("b0", "ann",
+          s"$root/b_old", 0L, "vec_id")), mdir)
+      val ext = RecQueries.extensionSession(s)
+      val retired = ext.sql(
+        s"SELECT * FROM GRAFT_RETIRE('$root/a_old', '$mdir')")
+        .collect().length.toLong
+      val refusal =
+        try {
+          ext.sql(s"SELECT * FROM GRAFT_RETIRE('$root/b_old', '$mdir')")
+            .collect(); 0L
+        } catch {
+          case e: Exception
+              if String.valueOf(e.getMessage).contains("state 'b0'") => 1L
+        }
+      val sq = s
+      import sq.implicits._
+      Seq(
+        ("retired", "a_old", retired),
+        ("old_gone", "a_old",
+          if (new java.io.File(s"$root/a_old").exists()) 0L else 1L),
+        ("old_kept", "b_old",
+          if (new java.io.File(s"$root/b_old").exists()) 1L else 0L),
+        ("refusal_names_holder", "b_old", refusal))
+        .toDF("kind", "leg", "value")
+        .orderBy("kind", "leg")
+    }),
+    // THE SEAL AUDIT CLOSED: verify() is the after-the-fact check the
+    // seal contract references — it must stay green through a PIN-AWARE
+    // compaction (which lowers its fold to the pin) and flip red, naming
+    // the sealed floor, after a direct compactTombstones that bypassed
+    // the pins. One gate pins the whole audit lifecycle.
+    "p_snapshot_audit" -> ((s, d) => {
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_snapshot_audit", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      val payload = graft.Exec.materializeLocal(
+        Packing.packTokenIdRows(curatedSelFor(s, d), "doc_id", "text",
+          bpeMergesFor(s, d), seqLen = 128))
+      (0 until 3).foreach { g =>
+        val sel =
+          if (g == 0) payload.where(col("seq_id") % 3 === 0)
+          else if (g == 1) payload.where(col("seq_id") % 3 <= 1 &&
+            col("seq_id") % 5 =!= 0)
+          else payload.where(col("seq_id") % 3 <= 2 &&
+            col("seq_id") % 5 =!= 0 && col("seq_id") % 7 =!= 0)
+        graft.streaming.ShardMaintainer.reconcile(sel, g.toLong,
+          epochs = 2, shardSize = 2, s"$base/layout")
+      }
+      val mdir = s"$base/manifest"
+      graft.streaming.SnapshotManifest.pin(s, Seq(
+        graft.streaming.SnapshotManifest.Pin("sh", "shards",
+          s"$base/layout", 1L)), mdir)
+      def audit(stage: String): (String, Long, Long) = {
+        val r = graft.streaming.SnapshotManifest.verify(s, mdir)
+          .collect().head
+        (stage, if (r.getBoolean(3)) 1L else 0L,
+          if (r.getString(4).contains("sealed compaction floor")) 1L
+          else 0L)
+      }
+      val a0 = audit("after_pin")
+      graft.streaming.ShardMaintainer.compactTombstonesPinAware(s,
+        s"$base/layout", 2L, Seq(mdir)) // lowers to the pin: seals at 1
+      val a1 = audit("after_pin_aware_seal")
+      // the bypassing call the audit exists to catch
+      graft.streaming.ShardMaintainer.compactTombstones(s,
+        s"$base/layout", 2L)
+      val a2 = audit("after_bypass_seal")
+      val sq = s
+      import sq.implicits._
+      Seq(a0, a1, a2).toDF("stage", "ok", "sealed_reason")
+        .orderBy("stage")
+    }),
     // the SQL vacuum: DELETE ... RETURNING for generation history — the
     // statement runs the pin-aware GC and returns the dropped ids, which
     // the oracle re-derives from the drift trigger's firing replay.
@@ -4304,6 +4399,34 @@ object PipelineQueries {
         s"""SELECT epoch, seq_id, CAST(ord AS BIGINT) AS ord, n_tok,
            |  n_docs, id_sum, doc_min, doc_max
            |FROM GRAFT_PACK('$base/cur', 1, '$md', 1, 128, 2)"""
+          .stripMargin)
+    }),
+    // GRAFT_PACK's MANIFEST form: the packed epoch produced straight
+    // from a training-run manifest — both (dir, horizon) pairs resolve
+    // from the named pins, so a SQL-only operator goes pin → pack with
+    // nothing else in hand. Hash-equal to the explicit-horizon path
+    // (and so to the same replayed oracle).
+    "q_sql_pack_manifest" -> ((s, d) => {
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_sql_packm", Tables.runKey(d)).toString
+      graft.Exec.deletePath(base)
+      curatedSelFor(s, d).coalesce(1).write
+        .parquet(s"$base/cur/selection/s1")
+      val md = bpe4ModelFor(s, d)
+      graft.ops.Bpe.mergesDf(s,
+          graft.streaming.BpeMaintainer.mergesAsOf(s, md, 1L))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(bpeArtifactBase(d) + "/merges_v1_sqlm")
+      graft.streaming.SnapshotManifest.pin(s, Seq(
+        graft.streaming.SnapshotManifest.Pin("sel", "curate",
+          s"$base/cur", 1L),
+        graft.streaming.SnapshotManifest.Pin("tok", "bpe", md, 1L)),
+        s"$base/manifest")
+      val ext = RecQueries.extensionSession(s)
+      ext.sql(
+        s"""SELECT epoch, seq_id, CAST(ord AS BIGINT) AS ord, n_tok,
+           |  n_docs, id_sum, doc_min, doc_max
+           |FROM GRAFT_PACK('$base/manifest', 'sel', 'tok', 128, 2)"""
           .stripMargin)
     }),
     // Corpus-relative perplexity filtering: keep the best half by the
@@ -9885,6 +10008,29 @@ object PipelineQueries {
          |  UNION ALL SELECT 'serve', 'n_live', 'plain', (SELECT v FROM nl)
          |)
          |ORDER BY phase, kind, leg, value""".stripMargin,
+    // the SQL retirement: same contract as s_maint_retire's acting leg —
+    // the unpinned dir retires (one returned row), the pinned twin
+    // refuses by holder name
+    "q_sql_retire" ->
+      """SELECT kind, leg, value FROM (
+        |  SELECT 'retired' AS kind, 'a_old' AS leg,
+        |    CAST(1 AS BIGINT) AS value
+        |  UNION ALL SELECT 'old_gone', 'a_old', 1
+        |  UNION ALL SELECT 'old_kept', 'b_old', 1
+        |  UNION ALL SELECT 'refusal_names_holder', 'b_old', 1
+        |)
+        |ORDER BY kind, leg""".stripMargin,
+    // the audit lifecycle is fixture-deterministic: green after the pin,
+    // green after the pin-aware seal (it lowered to the pin), red with
+    // the sealed-floor reason after the bypassing compaction
+    "p_snapshot_audit" ->
+      """SELECT stage, ok, sealed_reason FROM (
+        |  SELECT 'after_pin' AS stage, CAST(1 AS BIGINT) AS ok,
+        |    CAST(0 AS BIGINT) AS sealed_reason
+        |  UNION ALL SELECT 'after_pin_aware_seal', 1, 0
+        |  UNION ALL SELECT 'after_bypass_seal', 0, 1
+        |)
+        |ORDER BY stage""".stripMargin,
     // retireState in the loop: the sweep reclaims exactly the unpinned
     // superseded generation (dry == action, whole-dir sentinel −1), the
     // pinned twin survives with its deep horizon serveable (wave-0 rows)
@@ -10028,6 +10174,13 @@ object PipelineQueries {
     // same packed epochs from the named state + pinned-merges horizons
     "q_sql_pack" ->
       s"""WITH RECURSIVE ${trainManifestCtesWith("", "", "merges_v1_sql")}
+         |SELECT eoM.epoch, eoM.seq_id, CAST(eoM.ord AS BIGINT) AS ord,
+         |  ss.n_tok, ss.n_docs, ss.id_sum, ss.doc_min, ss.doc_max
+         |FROM eoM JOIN seqsum ss USING (seq_id)""".stripMargin,
+    // the manifest form resolves to the same horizons, so the same
+    // replayed derivation must hash-equal it
+    "q_sql_pack_manifest" ->
+      s"""WITH RECURSIVE ${trainManifestCtesWith("", "", "merges_v1_sqlm")}
          |SELECT eoM.epoch, eoM.seq_id, CAST(eoM.ord AS BIGINT) AS ord,
          |  ss.n_tok, ss.n_docs, ss.id_sum, ss.doc_min, ss.doc_max
          |FROM eoM JOIN seqsum ss USING (seq_id)""".stripMargin,

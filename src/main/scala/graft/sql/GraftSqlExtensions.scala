@@ -238,6 +238,12 @@ object GraftSql {
     *   GRAFT_PACK('<curateStateDir>', <selAsOf>, '<mergesModelDir>',
     *     <mergesAsOf>[, <seqLen>[, <epochs>]]) (the pinned-tokenizer
     *                                          packed training epochs)
+    *   GRAFT_PACK('<manifestDir>', '<curatePin>', '<bpePin>'[, <seqLen>
+    *     [, <epochs>]])                       (same, horizons resolved
+    *                                          from the manifest's pins)
+    *   GRAFT_RETIRE('<stateDir>', '<manifest>;...') (ACTION, deferred:
+    *                                          pin-guarded whole-dir
+    *                                          generation retirement)
     *   GRAFT_SWEEP('<root>'[, '<manifest>;...'[, 'dry']])  (ACTION: the
     *                                          discovery GC — walk the
     *                                          root, vacuum every
@@ -582,7 +588,7 @@ object GraftSql {
     */
   private[sql] val StateReadStartRe =
     ("""(?is)\bGRAFT_(SHARDS|BM25|KNNPQ|KNN|SELECTION|SNAPSHOT|VACUUM""" +
-      """|MERGES|SWEEP|PACK)\s*\(""").r
+      """|MERGES|SWEEP|PACK|RETIRE)\s*\(""").r
   private val VersionAsOfRe = """(?is)^\s*VERSION\s+AS\s+OF\s+(-?\d+)""".r
 
   /** Index just past the ')' matching the '(' at `open` in LENGTH-PRESERVING
@@ -722,6 +728,11 @@ object GraftSql {
     * on the materialized path the strategy pick is pure (CREATE-time stats
     * from the catalog), so planning — including EXPLAIN — runs no jobs.
     */
+  private val packUsage: String =
+    "('<curateStateDir>', <selectionAsOf>, '<mergesModelDir>', " +
+      "<mergesAsOf>[, <seqLen>[, <epochs>]]) or ('<manifestDir>', " +
+      "'<curatePinName>', '<bpePinName>'[, <seqLen>[, <epochs>]])"
+
   private[sql] def buildPlan(session: SparkSession, spec: RecSpec): LogicalPlan =
     spec match {
       case s: RecommendSpec =>
@@ -913,33 +924,85 @@ object GraftSql {
           case ("sweep", _) =>
             wrongArgs("('<root>'[, '<manifest>;<manifest>'[, 'dry']]) — " +
               "the third argument, when present, must be exactly 'dry'")
-          case ("pack", args) if args.size >= 4 && args.size <= 6 =>
+          case ("pack", args) if args.size >= 3 && args.size <= 6 =>
             // the PINNED-TOKENIZER packing through SQL (the p_pack_asof
             // API path): name the curation state + its horizon and the
-            // merges model + its horizon, get back the packed training
-            // epochs — the training-run tuple reproducible end-to-end
+            // merges model + its horizon — or a SNAPSHOT MANIFEST plus
+            // two pinned state names, resolving both (dir, horizon)
+            // pairs from the pins — and get back the packed training
+            // epochs: the training-run tuple reproducible end-to-end
             // THROUGH packing for a SQL-only operator. Horizons are
-            // explicit arguments (two states, two axes), so the single
+            // explicit arguments (or the manifest's), so the single
             // VERSION AS OF clause is not applicable.
             require(s.asOf.isEmpty,
               "GRAFT_PACK: horizons are explicit arguments (selection " +
-                "as-of, merges as-of); VERSION AS OF is not applicable")
-            val sel = CurateMaintainer.selectionAsOf(session, args.head,
-              args(1).toLong)
+                "as-of, merges as-of) or come from the manifest's pins; " +
+                "VERSION AS OF is not applicable")
+            // forms are disambiguated by the second argument: a NUMBER
+            // is the explicit selection horizon, a NAME is a pinned
+            // state in the manifest the first argument points at
+            val explicitForm = args(1).trim.matches("-?\\d+")
+            val (selDir, selAsOf, mdDir, mdAsOf, rest) =
+              if (explicitForm) {
+                if (args.size < 4) wrongArgs(packUsage)
+                (args.head, args(1).toLong, args(2), args(3).toLong,
+                  args.drop(4))
+              } else {
+                val pins = SnapshotManifest.pins(session, args.head)
+                def pinOf(state: String, kind: String) =
+                  pins.find(p => p.state == state && p.kind == kind)
+                    .getOrElse(throw new IllegalArgumentException(
+                      s"GRAFT_PACK: manifest ${args.head} has no pin " +
+                        s"'$state' of kind '$kind' (pinned states: " +
+                        s"${pins.map(p => s"${p.state}:${p.kind}")
+                          .mkString(", ")})"))
+                val sp = pinOf(args(1), "curate")
+                val mp = pinOf(args(2), "bpe")
+                (sp.dir, sp.asOf, mp.dir, mp.asOf, args.drop(3))
+              }
+            val sel = CurateMaintainer.selectionAsOf(session, selDir,
+              selAsOf)
             require(sel.columns.length == 2,
               "GRAFT_PACK: the selection generation must be the " +
                 "(id, text) pair a curation firing persists, got columns " +
                 s"(${sel.columns.mkString(", ")})")
             val Seq(idCol, textCol) = sel.columns.toSeq
             val merges = graft.streaming.BpeMaintainer.mergesAsOf(session,
-              args(2), args(3).toLong)
-            val seqLen = if (args.size >= 5) args(4).toInt else 128
-            val epochs = if (args.size >= 6) args(5).toInt else 2
+              mdDir, mdAsOf)
+            val seqLen = if (rest.nonEmpty) rest.head.toInt else 128
+            val epochs = if (rest.size >= 2) rest(1).toInt else 2
             graft.ops.Corpus.trainManifestFrom(sel, idCol, textCol,
               merges, seqLen, epochs)
-          case ("pack", _) =>
-            wrongArgs("('<curateStateDir>', <selectionAsOf>, " +
-              "'<mergesModelDir>', <mergesAsOf>[, <seqLen>[, <epochs>]])")
+          case ("pack", _) => wrongArgs(packUsage)
+          case ("retire", Seq(dir, mans)) =>
+            // whole-dir generation retirement through SQL —
+            // [[graft.streaming.Retention.retireState]]'s pin-guarded
+            // wholesale deletion as a DEFERRED action relation (the
+            // VACUUM/SWEEP discipline: EXPLAIN-safe, effect at
+            // execution; a pinned dir fails naming its holder). The
+            // manifest list is MANDATORY: a retirement that names no
+            // manifests would skip the pin check entirely, and an
+            // unauditable delete is the disaster case the retention
+            // surface is built to prevent.
+            require(s.asOf.isEmpty,
+              "GRAFT_RETIRE: VERSION AS OF is not applicable (a " +
+                "retirement is whole-dir, not horizon-sliced)")
+            val manDirs = mans.split(";").toSeq.map(_.trim)
+              .filter(_.nonEmpty)
+            require(manDirs.nonEmpty,
+              "GRAFT_RETIRE: at least one manifest dir is required — " +
+                "the pin check is what makes a retirement safe")
+            return DeferredActionRelation(
+              Seq(AttributeReference("retired_dir", StringType,
+                nullable = false)()),
+              s"retire $dir",
+              () => {
+                graft.streaming.Retention.retireState(session, dir,
+                  manDirs)
+                Seq(Row(dir))
+              })
+          case ("retire", _) =>
+            wrongArgs("('<stateDir>', '<manifest>[;<manifest>]')")
           case ("snapshot", Seq(mdir, state)) =>
             require(s.asOf.isEmpty,
               "GRAFT_SNAPSHOT: the horizon comes from the pinned manifest; " +

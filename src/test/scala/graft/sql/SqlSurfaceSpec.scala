@@ -811,5 +811,53 @@ class SqlSurfaceSpec extends SparkSpec with BeforeAndAfterAll {
       ext.sql(s"SELECT * FROM GRAFT_PACK('$root/cur', 5, '$root/tok', " +
         "0, 16, 2) VERSION AS OF 1").collect()
     }.getMessage should include("not applicable")
+    // MANIFEST form: both (dir, horizon) pairs resolve from the pins —
+    // the packed epoch producible straight from a training-run manifest
+    graft.streaming.SnapshotManifest.pin(ext, Seq(
+      graft.streaming.SnapshotManifest.Pin("sel", "curate",
+        s"$root/cur", 5L),
+      graft.streaming.SnapshotManifest.Pin("tok", "bpe",
+        s"$root/tok", 0L)), s"$root/manifest")
+    rowsOf(ext.sql(s"SELECT * FROM GRAFT_PACK('$root/manifest', " +
+      "'sel', 'tok', 16, 2)")) shouldBe rowsOf(api)
+    // a missing pin names the manifest's actual contents
+    intercept[Exception] {
+      ext.sql(s"SELECT * FROM GRAFT_PACK('$root/manifest', 'nope', " +
+        "'tok', 16, 2)").collect()
+    }.getMessage should include("no pin 'nope'")
+  }
+
+  test("GRAFT_RETIRE: deferred pin-guarded whole-dir retirement — the " +
+      "manifest argument is mandatory, EXPLAIN deletes nothing, a " +
+      "pinned dir refuses by holder, an unpinned one retires") {
+    val sq = ext
+    import sq.implicits._
+    val root = Files.createTempDirectory("sqlretire").toString
+    Seq((1L, 2L)).toDF("a", "b").write.parquet(s"$root/gen1")
+    // gen2 is a minimal curate-state layout so the pin VALIDATES
+    // (pin-time resolution is the manifest contract)
+    Seq((1L, "t")).toDF("doc_id", "text").write
+      .parquet(s"$root/gen2/selection/s0")
+    graft.streaming.SnapshotManifest.pin(ext, Seq(
+      graft.streaming.SnapshotManifest.Pin("g2", "curate",
+        s"$root/gen2", 0L)), s"$root/m")
+    // no manifests named → rejected at analysis, nothing deleted
+    intercept[Exception] {
+      ext.sql(s"SELECT * FROM GRAFT_RETIRE('$root/gen1', '')").collect()
+    }.getMessage should include("at least one manifest")
+    // EXPLAIN plans the deferred action without performing it
+    ext.sql(s"EXPLAIN SELECT * FROM GRAFT_RETIRE('$root/gen1', " +
+      s"'$root/m')").collect()
+    new java.io.File(s"$root/gen1").exists() shouldBe true
+    // the pinned dir refuses at EXECUTION, naming its holder
+    intercept[Exception] {
+      ext.sql(s"SELECT * FROM GRAFT_RETIRE('$root/gen2', '$root/m')")
+        .collect()
+    }.getMessage should include("state 'g2'")
+    new java.io.File(s"$root/gen2").exists() shouldBe true
+    // the unpinned dir retires and returns its path
+    ext.sql(s"SELECT * FROM GRAFT_RETIRE('$root/gen1', '$root/m')")
+      .collect().map(_.getString(0)).toSeq shouldBe Seq(s"$root/gen1")
+    new java.io.File(s"$root/gen1").exists() shouldBe false
   }
 }
