@@ -292,6 +292,34 @@ object PipelineQueries {
     * committed union quantizer is re-persisted as `tailexec_grow_cents`
     * for the serving oracle.
     */
+  /** One RETRAINED TWIN FLEET per (JVM, sf dir): two copies of the
+    * spliced drift state retrained through the executor (which stamps
+    * each pre-rebuild dir `_superseded`). The retirement gates
+    * (s_maint_retire, q_sql_retire) each COPY this tree and act on the
+    * copy — the two retrains are paid once per run, not per gate (the
+    * sizedCentsCopy amortization applied to the heaviest new fixtures).
+    */
+  private val retireFleetCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def retireFleetFor(s: SparkSession, d: String): String =
+    retireFleetCache.computeIfAbsent(d, _ => {
+      import graft.streaming.MaintenancePlanner
+      import graft.streaming.MaintenancePlanner.AnnSpec
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_retire_fleet", Tables.runKey(d)).toString
+      graft.Exec.deletePath(root)
+      graft.Exec.copyPath(annDriftStateFor(s, d, spliced = true),
+        s"$root/a_old")
+      graft.Exec.copyPath(annDriftStateFor(s, d, spliced = true),
+        s"$root/b_old")
+      MaintenancePlanner.execute(s, Seq(
+          AnnSpec("a", s"$root/a_old", RetrainRatio),
+          AnnSpec("b", s"$root/b_old", RetrainRatio)),
+        annNewDirs = Map("a" -> s"$root/a_new", "b" -> s"$root/b_new"))
+      root
+    })
+
   private val remedyExecCache = new java.util.concurrent.ConcurrentHashMap[
     String, (DataFrame, String)]()
 
@@ -4163,19 +4191,10 @@ object PipelineQueries {
     // naming the holder — while the pinned twin's deep horizon keeps
     // serving from the old files.
     "s_maint_retire" -> ((s, d) => {
-      import graft.streaming.MaintenancePlanner
-      import graft.streaming.MaintenancePlanner.AnnSpec
       val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         "graft_maint_retire", Tables.runKey(d)).toString
       graft.Exec.deletePath(root)
-      graft.Exec.copyPath(annDriftStateFor(s, d, spliced = true),
-        s"$root/a_old")
-      graft.Exec.copyPath(annDriftStateFor(s, d, spliced = true),
-        s"$root/b_old")
-      MaintenancePlanner.execute(s, Seq(
-          AnnSpec("a", s"$root/a_old", RetrainRatio),
-          AnnSpec("b", s"$root/b_old", RetrainRatio)),
-        annNewDirs = Map("a" -> s"$root/a_new", "b" -> s"$root/b_new"))
+      graft.Exec.copyPath(retireFleetFor(s, d), root)
       val mdir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         "graft_maint_retire_m", Tables.runKey(d), "manifest").toString
       graft.Exec.deletePath(mdir)
@@ -4221,19 +4240,10 @@ object PipelineQueries {
     // holder (caught here and emitted as a flag row). The manifest
     // argument is mandatory (an unauditable delete is the disaster case).
     "q_sql_retire" -> ((s, d) => {
-      import graft.streaming.MaintenancePlanner
-      import graft.streaming.MaintenancePlanner.AnnSpec
       val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         "graft_sql_retire", Tables.runKey(d)).toString
       graft.Exec.deletePath(root)
-      graft.Exec.copyPath(annDriftStateFor(s, d, spliced = true),
-        s"$root/a_old")
-      graft.Exec.copyPath(annDriftStateFor(s, d, spliced = true),
-        s"$root/b_old")
-      MaintenancePlanner.execute(s, Seq(
-          AnnSpec("a", s"$root/a_old", RetrainRatio),
-          AnnSpec("b", s"$root/b_old", RetrainRatio)),
-        annNewDirs = Map("a" -> s"$root/a_new", "b" -> s"$root/b_new"))
+      graft.Exec.copyPath(retireFleetFor(s, d), root)
       val mdir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         "graft_sql_retire_m", Tables.runKey(d), "manifest").toString
       graft.Exec.deletePath(mdir)
