@@ -498,7 +498,12 @@ object AnnIndexMaintainer {
     * baseline, and the caller swaps serving to `newIndexDir` (the
     * previous-generation dir stays readable while in-flight queries
     * drain — the served-view re-materialization discipline). Returns the
-    * retrained centroid frame for the caller to persist.
+    * retrained centroid frame for the caller to persist. Once the swap
+    * is durable, stamp the pre-rebuild dir with
+    * [[Retention.markSuperseded]] (the closed loop's executor does this
+    * automatically) so the nightly discovery sweep reclaims it when no
+    * pin holds it — otherwise every rebuild doubles the index's
+    * footprint until a manual [[Retention.retireState]].
     */
   def retrain(spark: SparkSession, indexDir: String, newIndexDir: String,
       cellsPerSqrtN: Int = 4, roundScale: Int = -1): DataFrame = {
