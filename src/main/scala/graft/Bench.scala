@@ -12,14 +12,16 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup at the SAME scale factor: drives every query's plan —
-    // including the exact physical strategies the data-dependent "auto"
-    // picks choose at this SF — through Catalyst + Janino + C2 once, so the
-    // timed pass measures steady-state data cost, not single-JVM compilation
-    // overhead (a real cluster amortizes codegen across thousands of tasks;
-    // a cold local run charges it to whichever query runs first). The cache
-    // is cleared afterwards so the timed pass still pays every real model
-    // build, shuffle, and scan.
+    // Untimed warmup at sf0.01 (round-14 change; the r13 harness warmed at
+    // the bench SF and the three-passes-at-sf0.1 wall-clock outgrew the
+    // driver's window → rc=124, no parsable artifact). Catalyst analysis,
+    // Janino codegen, and C2 warm identically at any SF — the point of the
+    // warmup is compilation, not data cost — so the small-SF pass buys the
+    // same steady-state timed passes at ~1/10 the warmup wall. Queries
+    // whose data-dependent "auto" picks flip between SFs pay one extra
+    // codegen in pass 1; min-of-2 absorbs it. The cache is cleared
+    // afterwards so the timed pass still pays every real model build,
+    // shuffle, and scan.
     // Deterministic name order: Map iteration order shifts whenever the key
     // set changes, silently reassigning which query pays each shared cache
     // build — sorted order keeps per-query numbers comparable across rounds.
@@ -30,7 +32,16 @@ object Bench {
     val servingOnly = args.headOption.contains("workloads")
     val ordered =
       if (servingOnly) Seq.empty else SparkEntry.queries.toSeq.sortBy(_._1)
-    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", sfDir)
+    // default warm dir: the sibling sf0.01 of the bench dir when present
+    // (the driver benches sf0.1); fall back to the bench dir itself
+    val defaultWarm = {
+      val p = java.nio.file.Paths.get(sfDir)
+      val sib = Option(p.getParent).map(_.resolve("sf0.01"))
+      sib.filter(s => java.nio.file.Files.isDirectory(s) &&
+          s.toString != p.toString)
+        .map(_.toString).getOrElse(sfDir)
+    }
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", defaultWarm)
     if (warmDir.nonEmpty) {
       ordered.foreach { case (_, fn) =>
         try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
@@ -52,7 +63,65 @@ object Bench {
         (name, (System.nanoTime() - t0) / 1e9, ok)
       }
     }
+    // CRASH-DURABLE ARTIFACT (round-14, VERDICT r13 #1): the artifact is
+    // (re)written and the compact stdout line (re)printed after EVERY
+    // completed stage — pass 1, pass 2, then each workload metric — so a
+    // driver SIGTERM at ANY point leaves the best data gathered so far
+    // instead of a poisoned partial. Workload slots not yet measured are
+    // emitted as -1.0 with an explicit "stage" field naming how far the
+    // run got; the driver parses the LAST line of stdout, which is always
+    // the most complete one.
+    def f3(v: Double): String = f"$v%.3f"
+    def emit(results: Seq[(String, Double)], nFailed: Int, stage: String,
+        wl: Map[String, (Double, Seq[Double])]): Unit = {
+      val total = results.map(_._2).sum
+      def w(k: String) = wl.get(k).map(_._1).getOrElse(-1.0)
+      val workloads = s""""workload_qps":${w("qps")},""" +
+        s""""workload_topk_qps":${w("topk")},""" +
+        s""""workload_view_qps":${w("view")},""" +
+        s""""workload_sweep_users_per_sec":${w("sweep")},""" +
+        s""""workload_hybrid_qps":${w("hybrid")}"""
+      // rep arrays pin the serving protocol in the artifact itself
+      // (VERDICT r13 #8): the headline value is the MEDIAN of 3 timed
+      // reps over pre-built state, so single-sample JVM jitter can never
+      // again read as a round-over-round serving regression
+      val reps = wl.toSeq.sortBy(_._1).map { case (k, (_, rs)) =>
+        s"\"$k\":[${rs.map(f3).mkString(",")}]"
+      }.mkString("{", ",", "}")
+      // Full-precision per-query map → a repo file (the end-of-round
+      // snapshot commits it), because the driver keeps only the LAST 2000
+      // chars of stdout. Stdout gets a compact line that provably fits.
+      val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      if (!servingOnly) // don't clobber the committed artifact from a
+        // workloads-only attribution run
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("BENCH_FULL.json"),
+          s"""{"metric":"total","value":$total,"unit":"sec","stage":"$stage",""" +
+            s""""queries":$fullQs,$workloads,"workloads_reps":$reps,""" +
+            s""""sf":"$sfDir"}""" + "\n")
+      val recQs = results.filter(_._1.startsWith("r_"))
+        .map { case (k, v) => s"\"$k\":${f3(v)}" }.mkString("{", ",", "}")
+      val fams = results.groupBy(_._1.takeWhile(_ != '_'))
+        .toSeq.sortBy(_._1)
+        .map { case (p, rs) => s"\"$p\":${f3(rs.map(_._2).sum)}" }
+        .mkString("{", ",", "}")
+      val slowest = results.sortBy(-_._2).take(10)
+        .map { case (k, v) => s"\"$k\":${f3(v)}" }.mkString("{", ",", "}")
+      // n_queries + n_failed make a silent gate drop (a query erroring in
+      // both passes) visible in the artifact itself, round over round
+      val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
+        s""""stage":"$stage","n_queries":${results.size},"n_failed":$nFailed,""" +
+        s""""queries":$recQs,"families":$fams,"slowest":$slowest,""" +
+        s"""$workloads,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
+      if (line.length > 1800) System.err.println(
+        s"[bench] WARNING compact line ${line.length} chars — may truncate")
+      println(line)
+      System.out.flush()
+    }
     val pass1 = timedPass()
+    emit(pass1.map { case (n, t, _) => n -> t },
+      pass1.count(!_._3), "pass1", Map.empty)
     val pass2 = timedPass()
     val failed = pass1.zip(pass2).collect {
       case ((n, _, false), (_, _, false)) => n
@@ -66,7 +135,7 @@ object Bench {
         System.err.println(f"[bench] load-noise on $n: pass1=$a%.2fs pass2=$b%.2fs")
       n -> math.min(a, b)
     }
-    val total = results.map(_._2).sum
+    emit(results, failed.size, "pass2", Map.empty)
     // The workload metrics build their own materialized state; the 90+ gate
     // queries' leftover cached frames only add GC pressure and run-to-run
     // noise, so measure from a clean cache.
@@ -78,47 +147,20 @@ object Bench {
     // — so the movement is JVM state, not the serving path; see the
     // "workloads" arg)
     System.gc()
-    val qps = workloadQps(spark, sfDir)
-    val tkqps = workloadTopkQps(spark, sfDir)
-    val ups = sweepUsersPerSec(spark, sfDir)
-    val vqps = viewQps(spark, sfDir)
-    val hqps = hybridQps(spark, sfDir)
-    val workloads = s""""workload_qps":$qps,"workload_topk_qps":$tkqps,""" +
-      s""""workload_view_qps":$vqps,"workload_sweep_users_per_sec":$ups,""" +
-      s""""workload_hybrid_qps":$hqps"""
-    // Full-precision per-query map → a repo file (the end-of-round snapshot
-    // commits it), because the driver keeps only the LAST 2000 chars of
-    // stdout: the one-line-with-all-118-queries format overflowed that
-    // window every round, truncating the JSON head and leaving the driver's
-    // parse null. Stdout gets a compact line that provably fits: total,
-    // per-family subtotals, the full RecDB (r_*) per-query map — the
-    // family BASELINE.md's protocol actually describes — the 10 slowest
-    // queries overall, and the four workload metrics.
-    val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    if (!servingOnly) // don't clobber the committed artifact from a
-      // workloads-only attribution run
-      java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"),
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,""" +
-          s"""$workloads,"sf":"$sfDir"}""" + "\n")
-    def f3(v: Double): String = f"$v%.3f"
-    val recQs = results.filter(_._1.startsWith("r_"))
-      .map { case (k, v) => s"\"$k\":${f3(v)}" }.mkString("{", ",", "}")
-    val fams = results.groupBy(_._1.takeWhile(_ != '_'))
-      .toSeq.sortBy(_._1)
-      .map { case (p, rs) => s"\"$p\":${f3(rs.map(_._2).sum)}" }
-      .mkString("{", ",", "}")
-    val slowest = results.sortBy(-_._2).take(10)
-      .map { case (k, v) => s"\"$k\":${f3(v)}" }.mkString("{", ",", "}")
-    // n_queries + n_failed make a silent gate drop (a query erroring in
-    // both passes) visible in the artifact itself, round over round
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
-      s""""n_queries":${results.size},"n_failed":${failed.size},""" +
-      s""""queries":$recQs,"families":$fams,"slowest":$slowest,""" +
-      s"""$workloads,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
-    if (line.length > 1800) System.err.println(
-      s"[bench] WARNING compact line ${line.length} chars — may truncate")
-    println(line)
+    var wl = Map.empty[String, (Double, Seq[Double])]
+    def medOf(rs: Seq[Double]): Double =
+      if (rs.isEmpty) -1.0 else rs.sorted.apply(rs.size / 2)
+    def stageWl(key: String)(reps: => Seq[Double]): Unit = {
+      val rs = try reps catch { case _: Throwable => Seq.empty[Double] }
+      wl += key -> (medOf(rs), rs)
+      emit(results, failed.size, s"workloads:$key", wl)
+    }
+    stageWl("qps")(workloadQps(spark, sfDir))
+    stageWl("topk")(workloadTopkQps(spark, sfDir))
+    stageWl("sweep")(sweepUsersPerSec(spark, sfDir))
+    stageWl("view")(viewQps(spark, sfDir))
+    stageWl("hybrid")(hybridQps(spark, sfDir))
+    emit(results, failed.size, "complete", wl)
     spark.stop()
   }
 
@@ -128,7 +170,8 @@ object Bench {
     * reference's per-user loop (rec_workload.c) pays its N+1 internal
     * queries per user; the sweep amortizes everything across the cluster.
     */
-  private def sweepUsersPerSec(spark: SparkSession, sfDir: String): Double = {
+  private def sweepUsersPerSec(spark: SparkSession,
+      sfDir: String): Seq[Double] = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     try {
@@ -139,32 +182,35 @@ object Bench {
       model.count()
       val w = Window.partitionBy(col(c.user))
         .orderBy(col("score").desc, col(c.item))
-      val t0 = System.nanoTime()
-      graft.recdb.Scoring.itemCF(r, model, c)
-        .withColumn("__rk", row_number().over(w))
-        .where(col("__rk") <= 10).count()
-      nUsers / ((System.nanoTime() - t0) / 1e9)
-    } catch { case _: Throwable => -1.0 }
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        graft.recdb.Scoring.itemCF(r, model, c)
+          .withColumn("__rk", row_number().over(w))
+          .where(col("__rk") <= 10).count()
+        nUsers / ((System.nanoTime() - t0) / 1e9)
+      }
+    } catch { case _: Throwable => Seq.empty }
   }
 
-  /** Timed serving loop, run TWICE over the same seeded user sequence with
-    * the state already built — report the max qps. Serving metrics measure
-    * steady-state point-query latency; one n=20 loop (rounds ≤5) was inside
-    * the load-noise band that min-of-2 already removes from the per-query
-    * numbers (round 5's committed workload_qps read 29% low from exactly
-    * that). PROTOCOL NOTE: r6 onward — state build excluded, n=100,
-    * max-of-2 — numbers are comparable to r3–r5's within that protocol
-    * delta (the state build was never inside the timed region; only loop
-    * length and repetition changed).
+  /** Timed serving loop, run THREE times over the same seeded user
+    * sequence with the state already built — return ALL rep qps values;
+    * the caller commits the MEDIAN as the headline number and the full
+    * rep array into the artifact (BENCH_WORKLOADS_r13 established the
+    * 3-rep-median protocol after two rounds of single-sample JVM jitter
+    * misreading as serving regressions; round 14 moves it into the
+    * default artifact). PROTOCOL NOTE: r6–r13 reported max-of-2; the
+    * median-of-3 sits inside the 3–24% rep-spread band those rounds
+    * measured, so numbers remain comparable within that band.
     */
-  private def maxQpsOf2(n: Int, users: Array[Long])(query: Long => Unit): Double = {
+  private def qpsReps(n: Int, users: Array[Long])(
+      query: Long => Unit): Seq[Double] = {
     def once(): Double = {
       val rnd = new scala.util.Random(42)
       val t0 = System.nanoTime()
       (1 to n).foreach(_ => query(users(rnd.nextInt(users.length))))
       n / ((System.nanoTime() - t0) / 1e9)
     }
-    math.max(once(), once())
+    (1 to 3).map(_ => once())
   }
 
   /** Serving-path throughput: the same per-user top-10 queries answered from
@@ -175,7 +221,7 @@ object Bench {
     * of this engine actually runs.
     */
   private def viewQps(spark: SparkSession, sfDir: String,
-      n: Int = 100): Double = {
+      n: Int = 100): Seq[Double] = {
     import org.apache.spark.sql.functions._
     try {
       val c = Tables.ratingCols
@@ -185,11 +231,11 @@ object Bench {
       val model = graft.recdb.Similarity.itemCosine(r, c).cache()
       val view = graft.recdb.Scoring.itemCF(r, model, c).cache()
       view.count() // materializeView happened before the workload loop
-      maxQpsOf2(n, users) { u =>
+      qpsReps(n, users) { u =>
         view.where(col(c.user) === u)
           .orderBy(col("score").desc, col(c.item)).limit(10).count()
       }
-    } catch { case _: Throwable => -1.0 }
+    } catch { case _: Throwable => Seq.empty }
   }
 
   /** Serving-scale HYBRID retrieval throughput: single-query RRF-fused
@@ -207,7 +253,7 @@ object Bench {
     * unioned with a cell-pruned codegen dot + TakeOrdered dense leg.
     */
   private def hybridQps(spark: SparkSession, sfDir: String,
-      n: Int = 50): Double = {
+      n: Int = 50): Seq[Double] = {
     import org.apache.spark.sql.functions._
     import graft.ops.{Ann, TextOps}
     import graft.streaming.{AnnIndexMaintainer, SearchIndexMaintainer}
@@ -271,7 +317,7 @@ object Bench {
         .collect().map(r => (r.getLong(0),
           r.getSeq[String](1).distinct.toSeq, r.getSeq[Double](2).toArray))
       val (k1, b) = (1.2, 0.75)
-      maxQpsOf2(n, qdocs.indices.map(_.toLong).toArray) { i =>
+      qpsReps(n, qdocs.indices.map(_.toLong).toArray) { i =>
         val (_, terms, v) = qdocs(i.toInt)
         // BOTH legs' top-10s ride ONE action — a union of two bounded
         // top-k frames tagged by leg, so the scheduler overlaps the
@@ -313,7 +359,7 @@ object Bench {
         }.sortBy { case (id, s) => (-s, id) }.take(10)
         require(rrf.nonEmpty)
       }
-    } catch { case e: Throwable => e.printStackTrace(); -1.0 }
+    } catch { case e: Throwable => e.printStackTrace(); Seq.empty }
   }
 
   /** The reference's rec_workload.c protocol (BASELINE.md metric 3): against
@@ -327,7 +373,7 @@ object Bench {
     * DAG — the fix for the round-3 `weak` direct-serving mark.
     */
   private def workloadQps(spark: SparkSession, sfDir: String,
-      n: Int = 100): Double = {
+      n: Int = 100): Seq[Double] = {
     import org.apache.spark.sql.functions._
     import graft.recdb.{RecCatalog, Recommender}
     try {
@@ -349,11 +395,11 @@ object Bench {
       // the protocol's query IS a single-user top-10 — served by the
       // engine's point-query path (pushed user=? over the cached
       // user-clustered view; falls back to scoring when no view is fresh)
-      maxQpsOf2(n, users) { u =>
+      qpsReps(n, users) { u =>
         Recommender.recommendTopK(spark, r, tag, c, "itemCosCF", Some(cat),
           userId = u, k = 10).count()
       }
-    } catch { case _: Throwable => -1.0 }
+    } catch { case _: Throwable => Seq.empty }
   }
 
   /** The scale-path serving protocol: same single-user top-10 queries as
@@ -364,7 +410,7 @@ object Bench {
     * complete-view speed, so the engine's serving story survives scale.
     */
   private def workloadTopkQps(spark: SparkSession, sfDir: String,
-      n: Int = 100): Double = {
+      n: Int = 100): Seq[Double] = {
     import org.apache.spark.sql.functions._
     import graft.recdb.{RecCatalog, Recommender}
     try {
@@ -381,10 +427,10 @@ object Bench {
         cat, s"$base/models")
       Recommender.materializeView(spark, "wltk", r, cat, s"$base/views",
         topK = Some(100))
-      maxQpsOf2(n, users) { u =>
+      qpsReps(n, users) { u =>
         Recommender.recommendTopK(spark, r, tag, c, "itemCosCF", Some(cat),
           userId = u, k = 10).count()
       }
-    } catch { case _: Throwable => -1.0 }
+    } catch { case _: Throwable => Seq.empty }
   }
 }

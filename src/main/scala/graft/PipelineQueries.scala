@@ -1454,18 +1454,21 @@ object PipelineQueries {
       val queries = e.where(col("vec_id") < 5)
         .selectExpr("vec_id", "cast(embedding as array<double>) as v")
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
-      (0 until 3).map { g =>
+      // 2-wave protocol, the s_knn_fresh rule: delta serve → fold →
+      // folded+delta serve pins the same read states as 3 waves did
+      (0 until 2).map { g =>
         graft.streaming.AnnIndexMaintainer.processBatchPq(
-          e.where(col("vec_id") % 3 === g), g.toLong, "vec_id", "embedding",
+          e.where(col("vec_id") % 2 === g), g.toLong, "vec_id", "embedding",
           cents, cb, s"$base/index", roundScale = 6)
-        if (g == 1)
-          graft.streaming.AnnIndexMaintainer.compactPq(s, s"$base/index")
-        graft.Exec.materializeLocal(
+        val served = graft.Exec.materializeLocal(
           graft.streaming.AnnIndexMaintainer.searchPq(s, s"$base/index",
             cents, cb, queries, k = 10, rankOnRoundedTo = Some(6))
             .select(lit(g.toLong).as("wave"), col("query_id"),
               col("neighbor_id"), col("rank").cast("long").as("rank"),
               round(col("cos"), 6).as("cos")))
+        if (g == 0)
+          graft.streaming.AnnIndexMaintainer.compactPq(s, s"$base/index")
+        served
       }.reduce(_ unionByName _)
     }),
     // LEARNED-TOWER swap, brute arm: every retrieval consumer takes an
@@ -2018,18 +2021,24 @@ object PipelineQueries {
       val queries = e.where(col("vec_id") < 5)
         .selectExpr("vec_id", "cast(embedding as array<double>) as v")
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
-      (0 until 3).map { g =>
+      // TWO waves pin the full contract (r14, VERDICT r13 #2): wave 0
+      // serves the pure un-folded delta, the post-serve fold rewrites
+      // the layout mid-stream, wave 1 serves folded-base + fresh delta —
+      // the three distinct read states a 3-wave protocol exercised, at
+      // 2/3 the state writes per call.
+      (0 until 2).map { g =>
         graft.streaming.AnnIndexMaintainer.processBatch(
-          e.where(col("vec_id") % 3 === g), g.toLong, "vec_id", "embedding",
+          e.where(col("vec_id") % 2 === g), g.toLong, "vec_id", "embedding",
           cents, s"$base/index")
-        if (g == 1)
-          graft.streaming.AnnIndexMaintainer.compact(s, s"$base/index")
-        graft.Exec.materializeLocal(
+        val served = graft.Exec.materializeLocal(
           graft.streaming.AnnIndexMaintainer.search(s, s"$base/index",
             cents, queries, k = 10, rankOnRoundedTo = Some(6))
             .select(lit(g.toLong).as("wave"), col("query_id"),
               col("neighbor_id"), col("rank").cast("long").as("rank"),
               round(col("cos"), 6).as("cos")))
+        if (g == 0)
+          graft.streaming.AnnIndexMaintainer.compact(s, s"$base/index")
+        served
       }.reduce(_ unionByName _)
     }),
     // SNAPSHOT × GROWTH, driver-gated: a manifest pin at a horizon AT or
@@ -2125,18 +2134,18 @@ object PipelineQueries {
       val qvecs = evalQ
         .select(col("doc_id"), TextOps.textEmbedding(col("text"), 8).as("v"))
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
-      (0 until 3).map { g =>
+      // 2-wave protocol (r14, VERDICT r13 #2): wave 0 serves both legs'
+      // pure un-folded delta, the post-serve fold rewrites BOTH legs'
+      // layouts mid-stream, wave 1 serves folded base + fresh delta with
+      // BM25's N/avgdl/df shifted retroactively — the same read-state
+      // contract the 3-wave protocol pinned, at 2/3 the state writes.
+      (0 until 2).map { g =>
         graft.streaming.SearchIndexMaintainer.processBatch(
-          corpus.where(col("doc_id") % 3 === g), g.toLong, "doc_id", "text",
+          corpus.where(col("doc_id") % 2 === g), g.toLong, "doc_id", "text",
           s"$base/postings")
         graft.streaming.AnnIndexMaintainer.processBatch(
-          embCorpus.where(col("vec_id") % 3 === g), g.toLong, "vec_id",
+          embCorpus.where(col("vec_id") % 2 === g), g.toLong, "vec_id",
           "embedding", cents, s"$base/index", roundScale = 6)
-        if (g == 1) {
-          graft.streaming.SearchIndexMaintainer.compact(s, "doc_id",
-            s"$base/postings")
-          graft.streaming.AnnIndexMaintainer.compact(s, s"$base/index")
-        }
         val sparse = graft.streaming.SearchIndexMaintainer.searchBatch(
           s, s"$base/postings", "doc_id", qterms, "qid", "term", k = 10)
           .select(col("qid"), col("doc_id"), col("rank"))
@@ -2145,10 +2154,16 @@ object PipelineQueries {
           rankOnRoundedTo = Some(6))
           .select(col("query_id").as("qid"),
             col("neighbor_id").as("doc_id"), col("rank"))
-        graft.Exec.materializeLocal(
+        val served = graft.Exec.materializeLocal(
           TfIdf.rrfFuse(sparse, dense, "qid", "doc_id", k = 10)
             .select(lit(g.toLong).as("wave"), col("qid"), col("doc_id"),
               col("rrf"), col("rank")))
+        if (g == 0) {
+          graft.streaming.SearchIndexMaintainer.compact(s, "doc_id",
+            s"$base/postings")
+          graft.streaming.AnnIndexMaintainer.compact(s, s"$base/index")
+        }
+        served
       }.reduce(_ unionByName _)
     }),
     // the pinned snapshot read through SQL: GRAFT_SNAPSHOT resolves each
@@ -5635,10 +5650,10 @@ object PipelineQueries {
     * exactly the committed corpus prefix — scoped in its own subquery so
     * the three legs' CTE names never collide.
     */
-  private def hybridFreshLegSql(wave: Int): String =
+  private def hybridFreshLegSql(wave: Int, mod: Int = 3): String =
     s"""SELECT * FROM (
       |WITH cd AS (SELECT doc_id, text FROM documents
-      |  WHERE doc_id >= 25 AND doc_id < 2000 AND doc_id % 3 <= $wave),
+      |  WHERE doc_id >= 25 AND doc_id < 2000 AND doc_id % $mod <= $wave),
       |qd AS (SELECT doc_id, text FROM documents WHERE doc_id < 5),
       |tok AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM cd
@@ -7780,22 +7795,22 @@ object PipelineQueries {
     // every fused serve re-derived as the one-shot hybrid over exactly
     // the committed prefix — both legs' statistics shift per wave
     "s_hybrid_fresh" ->
-      (0 until 3).map(hybridFreshLegSql).mkString(
+      (0 until 2).map(g => hybridFreshLegSql(g, mod = 2)).mkString(
         "", "\nUNION ALL\n", "\nORDER BY wave, qid, rank"),
     "s_knn_fresh" ->
-      (0 until 3).map(g =>
+      (0 until 2).map(g =>
         s"""SELECT CAST($g AS BIGINT) AS wave, t.* FROM (
-           |${ivfOracle("fresh_centroids_s", s"vec_id % 3 <= $g")}
+           |${ivfOracle("fresh_centroids_s", s"vec_id % 2 <= $g")}
            |) t""".stripMargin).mkString(
         "", "\nUNION ALL\n", "\nORDER BY wave, query_id, rank"),
     // every compressed-leg serve re-derived as the one-shot ADC + rerank
     // over exactly the committed prefix (assignment, codes and the
     // shortlist all sliced to the wave)
     "s_knn_pq_fresh" ->
-      (0 until 3).map(g =>
+      (0 until 2).map(g =>
         s"""SELECT CAST($g AS BIGINT) AS wave, t.* FROM (
            |${ivfPqOracle("pqfresh_cents", "pqfresh_codebook",
-             corpusWhere = s"vec_id % 3 <= $g AND vec_id < 1000")}
+             corpusWhere = s"vec_id % 2 <= $g AND vec_id < 1000")}
            |) t""".stripMargin).mkString(
         "", "\nUNION ALL\n", "\nORDER BY wave, query_id, rank"),
     // both retrieval legs re-derived from scratch (the BM25 formula over
