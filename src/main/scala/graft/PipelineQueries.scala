@@ -1615,9 +1615,13 @@ object PipelineQueries {
       val idxBase = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         "graft_stream_ann", Tables.runKey(d)).toString
       graft.Exec.deletePath(idxBase)
-      (0 until 3).foreach { g =>
+      // 2 ingest waves (r14): the gate pins multi-batch LSM accumulate +
+      // whole fold + search; the oracle covers the FULL corpus, so the
+      // wave partition is unobservable — 2 batches pin it at 2/3 the
+      // state writes
+      (0 until 2).foreach { g =>
         graft.streaming.AnnIndexMaintainer.processBatch(
-          e.where(col("vec_id") % 3 === g), g.toLong, "vec_id", "embedding",
+          e.where(col("vec_id") % 2 === g), g.toLong, "vec_id", "embedding",
           cents, idxBase)
       }
       graft.streaming.AnnIndexMaintainer.compact(s, idxBase)
@@ -1641,9 +1645,10 @@ object PipelineQueries {
       val idxBase = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         "graft_stream_ivfpq", Tables.runKey(d)).toString
       graft.Exec.deletePath(idxBase)
-      (0 until 3).foreach { g =>
+      // 2 ingest waves — the s_knn_ivf rule (full-corpus oracle)
+      (0 until 2).foreach { g =>
         graft.streaming.AnnIndexMaintainer.processBatchPq(
-          e.where(col("vec_id") % 3 === g), g.toLong, "vec_id", "embedding",
+          e.where(col("vec_id") % 2 === g), g.toLong, "vec_id", "embedding",
           cents, cb, idxBase, roundScale = 6)
       }
       graft.streaming.AnnIndexMaintainer.compactPq(s, idxBase)
@@ -3634,9 +3639,10 @@ object PipelineQueries {
         "graft_stream_semdedup", Tables.runKey(d)).toString
       graft.Exec.deletePath(base)
       val e = emb(s, d)
-      (0 until 3).foreach { g =>
+      // 2 ingest waves — the s_knn_ivf rule (full-corpus oracle)
+      (0 until 2).foreach { g =>
         graft.streaming.AnnIndexMaintainer.processBatch(
-          e.where(col("vec_id") % 3 === g), g.toLong, "vec_id", "embedding",
+          e.where(col("vec_id") % 2 === g), g.toLong, "vec_id", "embedding",
           cents, s"$base/index", roundScale = 6)
       }
       graft.streaming.AnnIndexMaintainer.compact(s, s"$base/index")
@@ -3661,11 +3667,15 @@ object PipelineQueries {
         "graft_stream_curate", Tables.runKey(d)).toString
       graft.Exec.deletePath(base)
       val dd = docs(s, d).select(col("doc_id"), col("text"))
-      (0 until 3).foreach { g =>
+      // 2 waves with the fold between them (r14): retroactivity (late
+      // dups, span growth, representative displacement) and the
+      // mid-stream fold are both still pinned; the oracle is the
+      // one-shot curate over the FULL corpus either way
+      (0 until 2).foreach { g =>
         graft.streaming.CurateMaintainer.processBatch(
-          dd.where(col("doc_id") % 3 === g), g.toLong, "doc_id", "text",
+          dd.where(col("doc_id") % 2 === g), g.toLong, "doc_id", "text",
           30, s"$base/state")
-        if (g == 1) graft.streaming.CurateMaintainer.compact(s, s"$base/state")
+        if (g == 0) graft.streaming.CurateMaintainer.compact(s, s"$base/state")
       }
       graft.streaming.CurateMaintainer.curated(dd, "doc_id", "text",
         s"$base/state")
@@ -4348,7 +4358,8 @@ object PipelineQueries {
               manifestDirs = Seq(mdir), dryRun = dry)
             .where(col("family") === "superseded")
             .select(lit(name).as("phase"), col("family").as("kind"),
-              col("state_dir").as("leg"), col("dropped_id").as("value")))
+              col("state_dir").as("leg"), col("dropped_id").as("value"),
+              col("holder")))
       val sweepRows = phase("dry", dry = true)
         .unionByName(phase("vacuum", dry = false))
         .unionByName(phase("post", dry = true))
@@ -4360,6 +4371,15 @@ object PipelineQueries {
           case e: IllegalArgumentException
               if e.getMessage.contains("state 'b0'") => 1L
         }
+      // the pinned twin's audit row (r14, VERDICT r13 #5): the sweep
+      // must SHOW the held dir instead of silently skipping it, with
+      // the holder naming the pin — checked here as a flag so the
+      // oracle stays integer-valued
+      val heldVisible = sweepRows
+        .where(col("value") === graft.streaming.Retention.HeldSentinel &&
+          col("leg") === "b_old" &&
+          col("holder").contains("state 'b0'"))
+        .count() // one per phase: dry, vacuum, post
       val sq = s
       import sq.implicits._
       val checkRows = Seq(
@@ -4368,11 +4388,13 @@ object PipelineQueries {
         ("check", "old_kept", "b_old",
           if (new java.io.File(s"$root/b_old").exists()) 1L else 0L),
         ("check", "refusal_names_holder", "b_old", refusal),
+        ("check", "held_rows_name_holder", "b_old", heldVisible),
         ("check", "deep_horizon_rows", "b_old",
           graft.streaming.AnnIndexMaintainer
             .readIndexAsOf(s, s"$root/b_old", 0L).count()))
         .toDF("phase", "kind", "leg", "value")
-      sweepRows.unionByName(checkRows)
+      sweepRows.select(col("phase"), col("kind"), col("leg"), col("value"))
+        .unionByName(checkRows)
         .orderBy("phase", "kind", "leg", "value")
     }),
     // GENERATION RETIREMENT through SQL: GRAFT_RETIRE is retireState as
@@ -4754,9 +4776,12 @@ object PipelineQueries {
         "graft_stream_bpe", Tables.runKey(d)).toString
       graft.Exec.deletePath(base)
       val dd = docs(s, d).select(col("doc_id"), col("text"))
-      (0 until 3).foreach { g =>
+      // 2 waves (r14): growthFactor 0 relearns per wave, so the LATEST
+      // model is the full-corpus learn under any wave partition; the
+      // oracle reads the persisted artifact
+      (0 until 2).foreach { g =>
         graft.streaming.BpeMaintainer.processBatch(
-          dd.where(col("doc_id") % 3 === g), g.toLong, "doc_id", "text",
+          dd.where(col("doc_id") % 2 === g), g.toLong, "doc_id", "text",
           s"$base/state", s"$base/model",
           graft.streaming.BpeMaintainer.Config(growthFactor = 0.0))
       }
@@ -10183,16 +10208,22 @@ object PipelineQueries {
         |)
         |ORDER BY stage""".stripMargin,
     // retireState in the loop: the sweep reclaims exactly the unpinned
-    // superseded generation (dry == action, whole-dir sentinel −1), the
-    // pinned twin survives with its deep horizon serveable (wave-0 rows)
+    // superseded generation (dry == action, whole-dir sentinel −1); the
+    // pinned twin survives with its deep horizon serveable (wave-0
+    // rows) AND is VISIBLE in every sweep phase as a held audit row
+    // (sentinel −2, holder naming the pin — r14, VERDICT r13 #5)
     "s_maint_retire" ->
       """SELECT phase, kind, leg, value FROM (
         |  SELECT 'dry' AS phase, 'superseded' AS kind, 'a_old' AS leg,
         |    CAST(-1 AS BIGINT) AS value
         |  UNION ALL SELECT 'vacuum', 'superseded', 'a_old', -1
+        |  UNION ALL SELECT 'dry', 'superseded', 'b_old', -2
+        |  UNION ALL SELECT 'vacuum', 'superseded', 'b_old', -2
+        |  UNION ALL SELECT 'post', 'superseded', 'b_old', -2
         |  UNION ALL SELECT 'check', 'old_gone', 'a_old', 1
         |  UNION ALL SELECT 'check', 'old_kept', 'b_old', 1
         |  UNION ALL SELECT 'check', 'refusal_names_holder', 'b_old', 1
+        |  UNION ALL SELECT 'check', 'held_rows_name_holder', 'b_old', 3
         |  UNION ALL SELECT 'check', 'deep_horizon_rows', 'b_old',
         |    (SELECT CAST(count(*) AS BIGINT) FROM embeddings
         |     WHERE vec_id % 3 = 0)

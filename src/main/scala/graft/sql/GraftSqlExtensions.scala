@@ -915,7 +915,10 @@ object GraftSql {
               AttributeReference("state_dir", StringType,
                 nullable = true)(),
               AttributeReference("dropped_id",
-                org.apache.spark.sql.types.LongType, nullable = false)())
+                org.apache.spark.sql.types.LongType, nullable = false)(),
+              // names the pin holding a superseded dir (HeldSentinel
+              // rows); null everywhere else
+              AttributeReference("holder", StringType, nullable = true)())
             return DeferredActionRelation(sweepOut,
               if (dry) s"sweep(dry) $root" else s"sweep $root",
               () => graft.streaming.Retention
@@ -941,13 +944,29 @@ object GraftSql {
             // forms are disambiguated by the second argument: a NUMBER
             // is the explicit selection horizon, a NAME is a pinned
             // state in the manifest the first argument points at
+            // (numeric pin NAMES are rejected at pin() time, so the
+            // integer test is unambiguous). Non-numeric seqLen/epochs
+            // surface as the usage error, not a raw
+            // NumberFormatException.
+            def num(v: String, what: String): Long =
+              try v.trim.toLong
+              catch {
+                case _: NumberFormatException =>
+                  wrongArgs(s"$packUsage — $what must be an integer, " +
+                    s"got '$v'")
+              }
             val explicitForm = args(1).trim.matches("-?\\d+")
             val (selDir, selAsOf, mdDir, mdAsOf, rest) =
               if (explicitForm) {
                 if (args.size < 4) wrongArgs(packUsage)
-                (args.head, args(1).toLong, args(2), args(3).toLong,
-                  args.drop(4))
+                (args.head, args(1).toLong, args(2),
+                  num(args(3), "mergesAsOf"), args.drop(4))
               } else {
+                // manifest form takes 3–5 arguments; a 6th was
+                // previously ignored silently
+                if (args.size > 5) wrongArgs(s"$packUsage — the " +
+                  s"manifest form takes at most 5 arguments, got " +
+                  s"${args.size}")
                 val pins = SnapshotManifest.pins(session, args.head)
                 def pinOf(state: String, kind: String) =
                   pins.find(p => p.state == state && p.kind == kind)
@@ -960,6 +979,13 @@ object GraftSql {
                 val mp = pinOf(args(2), "bpe")
                 (sp.dir, sp.asOf, mp.dir, mp.asOf, args.drop(3))
               }
+            // argument validation BEFORE any state is read: a malformed
+            // count must be the usage error even when the model dirs
+            // would themselves fail to resolve
+            val seqLen =
+              if (rest.nonEmpty) num(rest.head, "seqLen").toInt else 128
+            val epochs =
+              if (rest.size >= 2) num(rest(1), "epochs").toInt else 2
             val sel = CurateMaintainer.selectionAsOf(session, selDir,
               selAsOf)
             require(sel.columns.length == 2,
@@ -969,8 +995,6 @@ object GraftSql {
             val Seq(idCol, textCol) = sel.columns.toSeq
             val merges = graft.streaming.BpeMaintainer.mergesAsOf(session,
               mdDir, mdAsOf)
-            val seqLen = if (rest.nonEmpty) rest.head.toInt else 128
-            val epochs = if (rest.size >= 2) rest(1).toInt else 2
             graft.ops.Corpus.trainManifestFrom(sel, idCol, textCol,
               merges, seqLen, epochs)
           case ("pack", _) => wrongArgs(packUsage)

@@ -385,19 +385,31 @@ object MaintenancePlanner {
     * applied to the executor's quantizer artifact. */
   def servingCentsFile(dir: String): java.io.File = {
     val live = new java.io.File(dir, "cents")
-    if (live.exists()) return live
     val tmp = new java.io.File(dir, ".cents.tmp")
+    if (live.exists()) {
+      // a stale .cents.tmp next to a live file is a crash between the
+      // tmp write and the aside rename — the live copy won; drop the
+      // orphan so a later crash can't pair it with a fresh aside and
+      // roll an old union set forward
+      if (tmp.exists()) graft.Exec.deletePath(tmp.getPath)
+      return live
+    }
     val aside = new java.io.File(dir, ".cents.old")
+    // two concurrent repairers race the renames below; losing the race
+    // is FINE — the dir is healthy once either wins — so each failed
+    // rename re-checks live before declaring the repair failed
+    def committed(): Boolean = live.exists()
     if (tmp.exists() && aside.exists()) {
-      require(tmp.renameTo(live),
+      require(tmp.renameTo(live) || committed(),
         s"cents crash-repair failed (roll-forward): $dir")
       graft.Exec.deletePath(aside.getPath)
       live
     } else if (aside.exists()) {
-      require(aside.renameTo(live),
+      require(aside.renameTo(live) || committed(),
         s"cents crash-repair failed (roll-back): $dir")
       live
-    } else throw new IllegalStateException(
+    } else if (committed()) live // a concurrent repairer just won
+    else throw new IllegalStateException(
       s"no persisted quantizer at $live (write the state's centroid " +
         "frame there, the retrain convention)")
   }
@@ -472,7 +484,10 @@ object MaintenancePlanner {
         (sp.name, "stale_generations", v, sp.threshold,
           if (v >= sp.threshold) "vacuum" else "none")
       case SweepSpec(n, root, t, mans) =>
+        // held-pin audit rows report nothing droppable — counting them
+        // would fire a vacuum that by construction cannot reclaim them
         val v = Retention.sweep(spark, root, mans, dryRun = true)
+          .where(col("dropped_id") =!= Retention.HeldSentinel)
           .count().toDouble
         (n, "stale_generations", v, t, if (v >= t) "vacuum" else "none")
     }

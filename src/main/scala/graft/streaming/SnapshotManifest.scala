@@ -66,6 +66,16 @@ object SnapshotManifest {
     require(pins.nonEmpty, "pin: empty manifest")
     require(pins.map(_.state).distinct.size == pins.size,
       s"pin: duplicate state names in ${pins.map(_.state)}")
+    // all-digit state names are rejected at pin time: GRAFT_PACK
+    // disambiguates its explicit and manifest forms by whether the
+    // second argument is an integer, so a pin literally named '1'
+    // could never be addressed through SQL — it would always parse as
+    // an explicit selection horizon
+    pins.foreach(p => require(!p.state.trim.matches("-?\\d+"),
+      s"pin: state name '${p.state}' is all digits — GRAFT_PACK " +
+        "reads an integer second argument as an explicit horizon, so " +
+        "a numeric pin name would be unaddressable; pick a " +
+        "non-numeric name"))
     pins.foreach(p => validate(spark, p))
     import spark.implicits._
     val tmp = manifestDir + ".__tmp"

@@ -323,11 +323,20 @@ class Round20OpsSpec extends SparkSpec {
       Set("superseded")
     val dry = Retention.sweep(spark, root, Seq(mdir), dryRun = true)
       .where(col("family") === "superseded")
-      .collect().map(_.getString(1)).toSet
-    dry shouldBe Set("a_old") // the pinned twin never fires
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSet
+    // the unpinned twin is droppable (−1); the pinned twin emits a HELD
+    // audit row (−2) instead of silently vanishing from the report
+    dry shouldBe Set(("a_old", Retention.RetiredSentinel),
+      ("b_old", Retention.HeldSentinel))
+    // the held row names its holder (manifest + state + horizon)
+    val holder = Retention.sweep(spark, root, Seq(mdir), dryRun = true)
+      .where(col("dropped_id") === Retention.HeldSentinel)
+      .collect().map(_.getString(3))
+    holder should have size 1
+    holder.head should include("state 'b0'")
     Retention.sweep(spark, root, Seq(mdir))
       .where(col("family") === "superseded")
-      .collect().map(_.getString(1)).toSet shouldBe Set("a_old")
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSet shouldBe dry
     new java.io.File(s"$root/a_old").exists() shouldBe false
     new java.io.File(s"$root/b_old").exists() shouldBe true
     // the direct retire names its holder

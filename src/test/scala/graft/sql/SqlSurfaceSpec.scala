@@ -860,4 +860,55 @@ class SqlSurfaceSpec extends SparkSpec with BeforeAndAfterAll {
       .collect().map(_.getString(0)).toSeq shouldBe Seq(s"$root/gen1")
     new java.io.File(s"$root/gen1").exists() shouldBe false
   }
+
+  test("action relations survive an exchange: ORDER BY / GROUP BY over " +
+      "GRAFT_SWEEP plans a shuffle over the deferred-action leaf, which " +
+      "must emit UnsafeRow (UnsafeRowSerializer ClassCastExceptions on " +
+      "converter output otherwise)") {
+    val root = Files.createTempDirectory("sqlsweepsort").toString
+    new java.io.File(s"$root/old_a").mkdirs()
+    new java.io.File(s"$root/old_b").mkdirs()
+    graft.streaming.Retention.markSuperseded(s"$root/old_a", s"$root/new")
+    graft.streaming.Retention.markSuperseded(s"$root/old_b", s"$root/new")
+    val sorted = ext.sql(
+      s"SELECT * FROM GRAFT_SWEEP('$root', '', 'dry') ORDER BY state_dir")
+      .collect().map(_.getString(1)).toSeq
+    sorted shouldBe Seq("old_a", "old_b")
+    val grouped = ext.sql(
+      s"""SELECT family, count(*) AS n
+         |FROM GRAFT_SWEEP('$root', '', 'dry') GROUP BY family"""
+        .stripMargin).collect().map(r => (r.getString(0), r.getLong(1)))
+    grouped.toSeq shouldBe Seq(("superseded", 2L))
+  }
+
+  test("GRAFT_PACK argument hardening: numeric pin names are rejected " +
+      "at pin() time (the form disambiguator reads an integer second " +
+      "argument as a horizon), the manifest form caps at 5 arguments, " +
+      "and non-numeric seqLen/epochs surface as the usage error") {
+    val sq = ext
+    import sq.implicits._
+    val root = Files.createTempDirectory("sqlpackhard").toString
+    Seq((1L, "t")).toDF("doc_id", "text").write
+      .parquet(s"$root/cur/selection/s0")
+    // an all-digit pin name can never be addressed through GRAFT_PACK —
+    // reject it where it is created
+    intercept[IllegalArgumentException] {
+      graft.streaming.SnapshotManifest.pin(ext, Seq(
+        graft.streaming.SnapshotManifest.Pin("1", "curate",
+          s"$root/cur", 0L)), s"$root/m")
+    }.getMessage should include("all digits")
+    graft.streaming.SnapshotManifest.pin(ext, Seq(
+      graft.streaming.SnapshotManifest.Pin("sel", "curate",
+        s"$root/cur", 0L)), s"$root/m")
+    // manifest form takes 3-5 args; the 6th was silently ignored before
+    intercept[Exception] {
+      ext.sql(s"SELECT * FROM GRAFT_PACK('$root/m', 'sel', 'tok', " +
+        "16, 2, 99)").collect()
+    }.getMessage should include("at most 5")
+    // a non-numeric count is the usage error, not a NumberFormatException
+    intercept[Exception] {
+      ext.sql(s"SELECT * FROM GRAFT_PACK('$root/cur', 0, '$root/tok', " +
+        "0, 'wide', 2)").collect()
+    }.getMessage should include("seqLen must be an integer")
+  }
 }
