@@ -87,6 +87,8 @@ object Bench {
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get("BENCH_FULL.json"),
           s"""{"metric":"total","value":$total,"unit":"sec","stage":"$stage",""" +
+            s""""protocol":"${if (warmDir.isEmpty) "cold1+warm1,min"
+              else s"warm@$warmDir,min2"}",""" +
             s""""queries":$fullQs,$workloads,"workloads_reps":$reps,""" +
             s""""sf":"$sfDir"}""" + "\n")
       val recQs = results.filter(_._1.startsWith("r_"))
