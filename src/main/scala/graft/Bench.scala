@@ -82,15 +82,23 @@ object Bench {
       // chars of stdout. Stdout gets a compact line that provably fits.
       val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      if (!servingOnly) // don't clobber the committed artifact from a
+      if (!servingOnly) { // don't clobber the committed artifact from a
         // workloads-only attribution run
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get("BENCH_FULL.json"),
+        // tmp-write + atomic rename: emit() now fires up to ~8 times per
+        // run, and a SIGKILL inside a truncate-in-place write would leave
+        // exactly the unparsable partial this artifact exists to prevent
+        val tmp = java.nio.file.Paths.get("BENCH_FULL.json.tmp")
+        java.nio.file.Files.writeString(tmp,
           s"""{"metric":"total","value":$total,"unit":"sec","stage":"$stage",""" +
             s""""protocol":"${if (warmDir.isEmpty) "cold1+warm1,min"
               else s"warm@$warmDir,min2"}",""" +
             s""""queries":$fullQs,$workloads,"workloads_reps":$reps,""" +
             s""""sf":"$sfDir"}""" + "\n")
+        java.nio.file.Files.move(tmp,
+          java.nio.file.Paths.get("BENCH_FULL.json"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
       val recQs = results.filter(_._1.startsWith("r_"))
         .map { case (k, v) => s"\"$k\":${f3(v)}" }.mkString("{", ",", "}")
       val fams = results.groupBy(_._1.takeWhile(_ != '_'))
@@ -101,10 +109,15 @@ object Bench {
         .map { case (k, v) => s"\"$k\":${f3(v)}" }.mkString("{", ",", "}")
       // n_queries + n_failed make a silent gate drop (a query erroring in
       // both passes) visible in the artifact itself, round over round
+      // servingOnly mode writes no BENCH_FULL.json, so the rep arrays
+      // ride the compact line there (it has no query map to crowd them
+      // out) — a workloads-only attribution run must not lose the very
+      // per-rep data it exists to collect
+      val repsField = if (servingOnly) s""","workloads_reps":$reps""" else ""
       val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
         s""""stage":"$stage","n_queries":${results.size},"n_failed":$nFailed,""" +
         s""""queries":$recQs,"families":$fams,"slowest":$slowest,""" +
-        s"""$workloads,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
+        s"""$workloads$repsField,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
       if (line.length > 1800) System.err.println(
         s"[bench] WARNING compact line ${line.length} chars — may truncate")
       println(line)
@@ -173,12 +186,16 @@ object Bench {
       model.count()
       val w = Window.partitionBy(col(c.user))
         .orderBy(col("score").desc, col(c.item))
-      (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        graft.recdb.Scoring.itemCF(r, model, c)
-          .withColumn("__rk", row_number().over(w))
-          .where(col("__rk") <= 10).count()
-        nUsers / ((System.nanoTime() - t0) / 1e9)
+      // per-rep try: a transient failure in rep 3 must not discard two
+      // completed reps (the crash-durability principle applied to reps)
+      (1 to 3).flatMap { _ =>
+        try {
+          val t0 = System.nanoTime()
+          graft.recdb.Scoring.itemCF(r, model, c)
+            .withColumn("__rk", row_number().over(w))
+            .where(col("__rk") <= 10).count()
+          Some(nUsers / ((System.nanoTime() - t0) / 1e9))
+        } catch { case _: Throwable => None }
       }
     } catch { case _: Throwable => Seq.empty }
   }
@@ -201,7 +218,9 @@ object Bench {
       (1 to n).foreach(_ => query(users(rnd.nextInt(users.length))))
       n / ((System.nanoTime() - t0) / 1e9)
     }
-    (1 to 3).map(_ => once())
+    // per-rep try: keep completed reps when a later one fails transiently
+    (1 to 3).flatMap(_ =>
+      try Some(once()) catch { case _: Throwable => None })
   }
 
   /** Serving-path throughput: the same per-user top-10 queries answered from

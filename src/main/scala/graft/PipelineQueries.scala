@@ -3732,9 +3732,11 @@ object PipelineQueries {
         s"${curateDriftBase(d)}/state", asOf = 1L)
     }),
     // STREAMING training manifest: the full raw-corpus→training-batches
-    // composition with its two corpus-scan stages fed from the SAME
-    // accumulated curation state as s_curate (waves + mid-stream fold) —
-    // must hash-equal the one-shot p_train_manifest oracle.
+    // composition with its two corpus-scan stages fed from an
+    // accumulated curation state (3 waves + mid-stream fold,
+    // [[trainManifestStateFor]]; s_curate pins the same maintainer on
+    // its own 2-wave partition) — must hash-equal the one-shot
+    // p_train_manifest oracle.
     "s_train_manifest" -> ((s, d) => {
       // curation state memoized per (JVM, sf dir) —
       // [[trainManifestStateFor]]; the gate measures the manifest
@@ -5825,7 +5827,7 @@ object PipelineQueries {
     * exactly the committed corpus prefix — scoped in its own subquery so
     * the three legs' CTE names never collide.
     */
-  private def hybridFreshLegSql(wave: Int, mod: Int = 3): String =
+  private def hybridFreshLegSql(wave: Int, mod: Int): String =
     s"""SELECT * FROM (
       |WITH cd AS (SELECT doc_id, text FROM documents
       |  WHERE doc_id >= 25 AND doc_id < 2000 AND doc_id % $mod <= $wave),

@@ -955,11 +955,20 @@ object GraftSql {
                   wrongArgs(s"$packUsage — $what must be an integer, " +
                     s"got '$v'")
               }
+            // Int-ranged counts: Long.toInt silently wraps (seqLen
+            // 4294967296 → 0), so an out-of-range count must be the
+            // usage error too
+            def numInt(v: String, what: String): Int = {
+              val n = num(v, what)
+              if (n < Int.MinValue || n > Int.MaxValue)
+                wrongArgs(s"$packUsage — $what out of range: $v")
+              n.toInt
+            }
             val explicitForm = args(1).trim.matches("-?\\d+")
             val (selDir, selAsOf, mdDir, mdAsOf, rest) =
               if (explicitForm) {
                 if (args.size < 4) wrongArgs(packUsage)
-                (args.head, args(1).toLong, args(2),
+                (args.head, num(args(1), "selectionAsOf"), args(2),
                   num(args(3), "mergesAsOf"), args.drop(4))
               } else {
                 // manifest form takes 3–5 arguments; a 6th was
@@ -983,9 +992,9 @@ object GraftSql {
             // count must be the usage error even when the model dirs
             // would themselves fail to resolve
             val seqLen =
-              if (rest.nonEmpty) num(rest.head, "seqLen").toInt else 128
+              if (rest.nonEmpty) numInt(rest.head, "seqLen") else 128
             val epochs =
-              if (rest.size >= 2) num(rest(1), "epochs").toInt else 2
+              if (rest.size >= 2) numInt(rest(1), "epochs") else 2
             val sel = CurateMaintainer.selectionAsOf(session, selDir,
               selAsOf)
             require(sel.columns.length == 2,

@@ -60,7 +60,7 @@ def main() -> None:
     art = {
         "protocol": f"{reps}x fresh-JVM `runMain graft.Bench workloads` "
                     "reps; per-metric min/median/max across JVMs (each "
-                    "metric is already max-of-2 loops within its JVM)",
+                    "metric is the median of 3 loops within its JVM)",
         "sf": sf_dir,
         "metrics": stats,
     }
