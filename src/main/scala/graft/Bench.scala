@@ -60,6 +60,13 @@ object Bench {
     // emitted as -1.0 with an explicit "stage" field naming how far the
     // run got; the driver parses the LAST line of stdout, which is always
     // the most complete one.
+    // SPARK_GRAFT_PASSES (default 2): precision runs outside the
+    // driver's window can ask for a third (or more) timed pass — min
+    // over N−1 WARM passes restores the retired warmed-protocol's
+    // two-warm-sample precision at +~8 min/pass. The artifact is
+    // emitted after every pass either way.
+    val nPasses = math.max(2,
+      sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt)
     def f3(v: Double): String = f"$v%.3f"
     def emit(results: Seq[(String, Double)], nFailed: Int, stage: String,
         wl: Map[String, (Double, Seq[Double])]): Unit = {
@@ -90,8 +97,8 @@ object Bench {
         val tmp = java.nio.file.Paths.get("BENCH_FULL.json.tmp")
         java.nio.file.Files.writeString(tmp,
           s"""{"metric":"total","value":$total,"unit":"sec","stage":"$stage",""" +
-            s""""protocol":"${if (warmDir.isEmpty) "cold1+warm1,min"
-              else s"warm@$warmDir,min2"}",""" +
+            s""""protocol":"${if (warmDir.isEmpty) s"cold1+warm${nPasses - 1},min"
+              else s"warm@$warmDir,min$nPasses"}",""" +
             s""""queries":$fullQs,$workloads,"workloads_reps":$reps,""" +
             s""""sf":"$sfDir"}""" + "\n")
         java.nio.file.Files.move(tmp,
@@ -126,20 +133,31 @@ object Bench {
     val pass1 = timedPass()
     emit(pass1.map { case (n, t, _) => n -> t },
       pass1.count(!_._3), "pass1", Map.empty)
-    val pass2 = timedPass()
-    val failed = pass1.zip(pass2).collect {
-      case ((n, _, false), (_, _, false)) => n
+    var passes = List(pass1)
+    (2 to nPasses).foreach { i =>
+      passes = timedPass() :: passes
+      val failed = passes.transpose.collect {
+        case samples if samples.forall(!_._3) => samples.head._1
+      }
+      val results = passes.transpose.map { samples =>
+        val n = samples.head._1
+        val ts = samples.map(_._2)
+        // divergence flag: a query whose passes differ >2× was measured
+        // under load — the min is still reported, but the run is marked
+        if (ts.max > 2 * ts.min && ts.max > 1.0)
+          System.err.println(f"[bench] load-noise on $n: " +
+            ts.map(t => f"$t%.2fs").mkString(" "))
+        n -> ts.min
+      }
+      emit(results, failed.size, s"pass$i", Map.empty)
+    }
+    val failed = passes.transpose.collect {
+      case samples if samples.forall(!_._3) => samples.head._1
     }
     if (failed.nonEmpty)
-      System.err.println(s"[bench] FAILED in both passes: ${failed.mkString(",")}")
-    val results = pass1.zip(pass2).map { case ((n, a, _), (_, b, _)) =>
-      // divergence flag: a query whose two passes differ >2× was measured
-      // under load — the min is still reported, but the run is marked
-      if (math.max(a, b) > 2 * math.min(a, b) && math.max(a, b) > 1.0)
-        System.err.println(f"[bench] load-noise on $n: pass1=$a%.2fs pass2=$b%.2fs")
-      n -> math.min(a, b)
-    }
-    emit(results, failed.size, "pass2", Map.empty)
+      System.err.println(s"[bench] FAILED in all passes: ${failed.mkString(",")}")
+    val results = passes.transpose.map(samples =>
+      samples.head._1 -> samples.map(_._2).min)
     // The workload metrics build their own materialized state; the 90+ gate
     // queries' leftover cached frames only add GC pressure and run-to-run
     // noise, so measure from a clean cache.
