@@ -65,8 +65,17 @@ object Bench {
     // over N−1 WARM passes restores the retired warmed-protocol's
     // two-warm-sample precision at +~8 min/pass. The artifact is
     // emitted after every pass either way.
-    val nPasses = math.max(2,
-      sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt)
+    // lenient parse: a malformed value must degrade to the default, not
+    // crash the run before any artifact is emitted (the exact failure
+    // mode this artifact's crash-durability exists to prevent); capped
+    // at 10 — more passes than that can only be a typo
+    val nPasses = math.min(10, math.max(2,
+      sys.env.get("SPARK_GRAFT_PASSES").flatMap(_.trim.toIntOption)
+        .getOrElse {
+          if (sys.env.contains("SPARK_GRAFT_PASSES")) System.err.println(
+            "[bench] bad SPARK_GRAFT_PASSES (not an int) — using 2")
+          2
+        }))
     def f3(v: Double): String = f"$v%.3f"
     def emit(results: Seq[(String, Double)], nFailed: Int, stage: String,
         wl: Map[String, (Double, Seq[Double])]): Unit = {

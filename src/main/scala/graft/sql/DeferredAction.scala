@@ -25,14 +25,31 @@ import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
   */
 final case class DeferredActionRelation(output: Seq[Attribute],
     label: String, thunk: () => Seq[Row]) extends LeafNode {
-  // the once-per-statement memo lives on the LOGICAL node: AQE (or any
-  // physical re-planning) builds a fresh exec node from this relation,
-  // and a memo on the exec would re-fire the thunk there — the second,
-  // idempotent run returns the empty set, silently blanking the
-  // statement's RETURNING rows. Every physical instantiation of one
-  // analyzed statement must observe the same action run.
-  lazy val actionRows: Seq[Row] = thunk()
+  // the once-per-statement memo lives in the THUNK CLOSURE, built at
+  // analysis time ([[DeferredAction.once]]) — not on this node or the
+  // exec node. Node-level memos are identity-scoped: AQE (or any
+  // physical re-planning) builds fresh exec nodes, and a Catalyst
+  // transform that COPIES this case class would get a fresh lazy val —
+  // either way the second, idempotent run returns the empty set,
+  // silently blanking the statement's RETURNING rows. The closure is
+  // copied BY REFERENCE through every node copy, so all physical
+  // instantiations of one analyzed statement observe the same action
+  // run. Action relations are therefore SINGLE-SHOT per analyzed
+  // statement: re-collecting the same DataFrame handle replays the
+  // first run's rows; re-issue the SQL to re-run the action.
   override def computeStats(): Statistics = Statistics(sizeInBytes = 1L)
+}
+
+object DeferredAction {
+  /** Memoize an action thunk at analysis time — the once-per-statement
+    * guarantee of the GRAFT_VACUUM/SWEEP/RETIRE relations rides this
+    * closure (see [[DeferredActionRelation]]'s memo note). Scala's lazy
+    * val gives the thread-safe once-only evaluation.
+    */
+  def once(thunk: () => Seq[Row]): () => Seq[Row] = {
+    lazy val rows = thunk()
+    () => rows
+  }
 }
 
 final case class DeferredActionExec(output: Seq[Attribute], label: String,
@@ -58,10 +75,10 @@ final case class DeferredActionExec(output: Seq[Attribute], label: String,
 
 class GraftActionStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case r @ DeferredActionRelation(out, label, _) =>
-      // hand the exec the RELATION's memo, not the raw thunk — see
-      // DeferredActionRelation.actionRows
-      DeferredActionExec(out, label, () => r.actionRows) :: Nil
+    case DeferredActionRelation(out, label, thunk) =>
+      // the thunk is already the parse-time memoizing closure
+      // ([[DeferredAction.once]]) — every exec instance shares it
+      DeferredActionExec(out, label, thunk) :: Nil
     case _ => Nil
   }
 }

@@ -875,7 +875,8 @@ object GraftSql {
               Seq(AttributeReference("dropped_gen",
                 org.apache.spark.sql.types.LongType, nullable = false)()),
               s"vacuum $kind $dir",
-              () => vac(session, dir, keep, mans).map(Row(_)))
+              DeferredAction.once(
+                () => vac(session, dir, keep, mans).map(Row(_))))
           case ("vacuum", _) =>
             wrongArgs("('<stateDir>', 'selection'|'quantizer'|'merges'" +
               "[, <keepFrom>[, '<manifest>;<manifest>']])")
@@ -921,9 +922,9 @@ object GraftSql {
               AttributeReference("holder", StringType, nullable = true)())
             return DeferredActionRelation(sweepOut,
               if (dry) s"sweep(dry) $root" else s"sweep $root",
-              () => graft.streaming.Retention
+              DeferredAction.once(() => graft.streaming.Retention
                 .sweep(session, root, mans, dryRun = dry)
-                .collect().toSeq)
+                .collect().toSeq))
           case ("sweep", _) =>
             wrongArgs("('<root>'[, '<manifest>;<manifest>'[, 'dry']]) — " +
               "the third argument, when present, must be exactly 'dry'")
@@ -1029,11 +1030,11 @@ object GraftSql {
               Seq(AttributeReference("retired_dir", StringType,
                 nullable = false)()),
               s"retire $dir",
-              () => {
+              DeferredAction.once(() => {
                 graft.streaming.Retention.retireState(session, dir,
                   manDirs)
                 Seq(Row(dir))
-              })
+              }))
           case ("retire", _) =>
             wrongArgs("('<stateDir>', '<manifest>[;<manifest>]')")
           case ("snapshot", Seq(mdir, state)) =>

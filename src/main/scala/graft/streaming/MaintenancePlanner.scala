@@ -387,11 +387,14 @@ object MaintenancePlanner {
     val live = new java.io.File(dir, "cents")
     val tmp = new java.io.File(dir, ".cents.tmp")
     if (live.exists()) {
-      // a stale .cents.tmp next to a live file is a crash between the
-      // tmp write and the aside rename — the live copy won; drop the
-      // orphan so a later crash can't pair it with a fresh aside and
-      // roll an old union set forward
-      if (tmp.exists()) graft.Exec.deletePath(tmp.getPath)
+      // live + tmp coexisting is a HEALTHY transient of executeGrow's
+      // commit (the tmp is fully written before live is renamed aside),
+      // so readers must NOT clean the orphan up — a reader-side delete
+      // here would race the writer and destroy its fresh union set
+      // mid-commit. The hazard a cleanup would target (a stale tmp
+      // pairing with a fresh aside and rolling an OLD union forward)
+      // cannot occur: executeGrow deletes the tmp before every write,
+      // so any tmp next to an aside is the current commit's own.
       return live
     }
     val aside = new java.io.File(dir, ".cents.old")

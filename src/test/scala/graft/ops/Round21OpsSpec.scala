@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions.col
 /** Specs for the round-14 fixes: the pin-HELD superseded dir's audit
   * row + inner-generation vacuum ([[Retention.sweep]] `holder` column,
   * [[Retention.HeldSentinel]]), the planner's droppable count excluding
-  * held rows, and [[MaintenancePlanner.servingCentsFile]]'s orphaned
-  * `.cents.tmp` cleanup.
+  * held rows, and [[MaintenancePlanner.servingCentsFile]]'s read-only
+  * treatment of an in-flight `.cents.tmp` (round 15: readers must not
+  * clean up what may be a concurrent grow's mid-commit write).
   */
 class Round21OpsSpec extends SparkSpec {
   import spark.implicits._
@@ -96,9 +97,11 @@ class Round21OpsSpec extends SparkSpec {
     plan.getAs[String]("decision") shouldBe "none"
   }
 
-  test("servingCentsFile drops an orphaned .cents.tmp when the live " +
-      "file exists — a stale tmp must never pair with a later aside " +
-      "and roll an old union set forward") {
+  test("servingCentsFile leaves a .cents.tmp next to a live file " +
+      "UNTOUCHED — live+tmp is a healthy transient of executeGrow's " +
+      "commit (tmp fully written before live is renamed aside), and a " +
+      "reader-side delete would race the writer and destroy its fresh " +
+      "union set mid-commit") {
     val dir = tmp("centsorphan")
     centsDf(blobCents).coalesce(1).write.mode("overwrite")
       .parquet(new java.io.File(dir, "cents").getPath)
@@ -106,7 +109,8 @@ class Round21OpsSpec extends SparkSpec {
       .parquet(new java.io.File(dir, ".cents.tmp").getPath)
     val f = MaintenancePlanner.servingCentsFile(dir)
     f.getName shouldBe "cents"
-    new java.io.File(dir, ".cents.tmp").exists() shouldBe false
+    // the tmp survives: it may be a concurrent grow's in-flight commit
+    new java.io.File(dir, ".cents.tmp").exists() shouldBe true
     // and the live copy is the one served (2 centroids, not 1)
     spark.read.parquet(f.getPath).count() shouldBe 2L
   }
