@@ -78,6 +78,21 @@ object Exec {
     } finally it.close()
   }
 
+  /** Per-stage wall-clock attribution to stderr — `[stage] name 1.23s`.
+    * Always on: the lines ride the driver's kept log, so a gate whose
+    * cost blows up only in the driver's environment (round 14's
+    * s_curate, 10.7 s builder vs 93.5 s driver, one opaque number) is
+    * diagnosable from the driver's own run instead of needing a local
+    * reproduction. Cost when unwatched: one nanoTime pair + one stderr
+    * line per stage — noise-free against multi-second stages.
+    */
+  def stage[T](name: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    val r = body
+    System.err.println(f"[stage] $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    r
+  }
+
   /** Recursive local-path delete (model/state/sink swap dirs). */
   def deletePath(path: String): Unit = {
     def rm(f: java.io.File): Unit = {

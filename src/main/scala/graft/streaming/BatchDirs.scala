@@ -13,6 +13,25 @@ import org.apache.spark.sql.types.StructType
   */
 private[streaming] object BatchDirs {
 
+  /** Cap the file count of a per-batch STATE write. A micro-batch's
+    * persisted statistic (digest partials, window digests, rep sidecars,
+    * word frequencies) is small relative to the batch, but an uncoalesced
+    * write emits one part-file per task — up to 32 per dir per stage at
+    * local[32] — and on a metadata-slow FS the file churn (create +
+    * footer read + eventual recursive delete) dominates the actual work
+    * (round 14: s_dedup_exact 1.1 s builder vs 13.6 s driver). This is
+    * the coalesce discipline [[AnnIndexMaintainer]]'s sidecars already
+    * apply, behind a conf so a real cluster ingesting large micro-batches
+    * can widen it: `spark.graft.stream.statePartitions` (default 1;
+    * ≤ 0 disables the coalesce entirely).
+    */
+  def stateParts(df: DataFrame): DataFrame = {
+    val n = df.sparkSession.conf
+      .getOption("spark.graft.stream.statePartitions")
+      .flatMap(_.trim.toIntOption).getOrElse(1)
+    if (n > 0) df.coalesce(n) else df
+  }
+
   def listDirs(indexDir: String, prefix: String): Seq[(Long, String)] =
     Option(new java.io.File(indexDir).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith(prefix))
@@ -55,8 +74,10 @@ private[streaming] object BatchDirs {
       partitioned = partitionCol.isDefined).get
     val tmp = new java.io.File(indexDir, s".c$upTo.tmp")
     // cluster rows by the layout column first so the fold writes ≈ one
-    // file per partition value instead of one per (task, value) pair
-    val clustered = partitionCol.fold(merged)(c =>
+    // file per partition value instead of one per (task, value) pair;
+    // unpartitioned (small-statistic) folds take the stateParts cap for
+    // the same reason the per-batch writes do
+    val clustered = partitionCol.fold(stateParts(merged))(c =>
       merged.repartition(org.apache.spark.sql.functions.col(c)))
     val writer = clustered.write.mode("overwrite")
     partitionCol.fold(writer)(c => writer.partitionBy(c)).parquet(tmp.getPath)

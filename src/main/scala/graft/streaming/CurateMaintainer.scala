@@ -65,8 +65,11 @@ object CurateMaintainer {
           Seq("__h1", "__h2"), "left_anti")
         .persist()
       try {
-        newReps.select(col("id"), col("__h1"), col("__h2"))
-          .write.mode("overwrite").parquet(s"$stateDir/map/b$batchId")
+        graft.Exec.stage(s"curate.map b$batchId") {
+          BatchDirs.stateParts(
+            newReps.select(col("id"), col("__h1"), col("__h2")))
+            .write.mode("overwrite").parquet(s"$stateDir/map/b$batchId")
+        }
         SubstrIndexMaintainer.processBatch(
           passed.join(newReps.select(col("id").cast("long").as("__nid")),
             col(idCol).cast("long") === col("__nid"), "semi"),
@@ -79,11 +82,12 @@ object CurateMaintainer {
 
   /** Fold all three state families (replay horizon: newest batch stays). */
   def compact(spark: SparkSession, stateDir: String,
-      upToOpt: Option[Long] = None): Unit = {
-    ExactDedupMaintainer.compact(spark, s"$stateDir/exact", upToOpt)
-    SubstrIndexMaintainer.compact(spark, s"$stateDir/substr", upToOpt)
-    BatchDirs.compact(spark, s"$stateDir/map", mapSchema, None, upToOpt)
-  }
+      upToOpt: Option[Long] = None): Unit =
+    graft.Exec.stage("curate.compact") {
+      ExactDedupMaintainer.compact(spark, s"$stateDir/exact", upToOpt)
+      SubstrIndexMaintainer.compact(spark, s"$stateDir/substr", upToOpt)
+      BatchDirs.compact(spark, s"$stateDir/map", mapSchema, None, upToOpt)
+    }
 
   /** The duplicated-span set of the CURRENT dedup survivors, derived
     * purely from state: index spans (keyed by the first-indexed id per
@@ -108,7 +112,11 @@ object CurateMaintainer {
     */
   def curated(docs: DataFrame, idCol: String, textCol: String,
       stateDir: String, width: Int = 30, pplKeepBelow: Double = 3.43,
-      tokenBudget: Long = 6000L): DataFrame = {
+      tokenBudget: Long = 6000L): DataFrame =
+      // the stage line covers plan assembly + Corpus.curate's EAGER
+      // internal materializations (the bulk of derivation cost); the
+      // returned frame's final lazy tail executes at the caller's action
+      graft.Exec.stage("curate.curated") {
     val spark = docs.sparkSession
     // state dirs are rewritten out-of-band (batch overwrite, replay, LSM
     // fold): drop any cached listing/plan over them so a derivation after
@@ -176,7 +184,7 @@ object CurateMaintainer {
       pplKeepBelow: Double = 3.43, tokenBudget: Long = 6000L): Boolean = {
     val spark = batch.sparkSession
     processBatch(batch, batchId, idCol, textCol, width, s"$stateDir/cur")
-    graft.ops.Bpe.wordFreq(batch, idCol, textCol)
+    BatchDirs.stateParts(graft.ops.Bpe.wordFreq(batch, idCol, textCol))
       .write.mode("overwrite").parquet(s"$stateDir/freq/b$batchId")
     val baseline = selectionBaseline(stateDir)
     // first firing is unconditional (R17's initial build); after that,

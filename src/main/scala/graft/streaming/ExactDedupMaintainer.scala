@@ -30,12 +30,15 @@ object ExactDedupMaintainer {
   /** One micro-batch: partial (min id, count) per content key. */
   def processBatch(batch: DataFrame, batchId: Long, idCol: String,
       textCol: String, stateDir: String): Unit =
-    batch.select(col(idCol).cast("long").as("id"),
-        xxhash64(col(textCol)).as("__h1"),
-        xxhash64(length(col(textCol)), col(textCol)).as("__h2"))
-      .groupBy("__h1", "__h2")
-      .agg(min(col("id")).as("rep"), count(lit(1)).as("n"))
-      .write.mode("overwrite").parquet(s"$stateDir/b$batchId")
+    graft.Exec.stage(s"dedup_exact.processBatch b$batchId") {
+      BatchDirs.stateParts(
+        batch.select(col(idCol).cast("long").as("id"),
+            xxhash64(col(textCol)).as("__h1"),
+            xxhash64(length(col(textCol)), col(textCol)).as("__h2"))
+          .groupBy("__h1", "__h2")
+          .agg(min(col("id")).as("rep"), count(lit(1)).as("n")))
+        .write.mode("overwrite").parquet(s"$stateDir/b$batchId")
+    }
 
   /** The corpus-wide exact-dedup representatives as of the last committed
     * batch — identical to a one-shot [[graft.ops.Dedup.exactByHash]] over

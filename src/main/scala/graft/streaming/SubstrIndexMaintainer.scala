@@ -38,13 +38,15 @@ object SubstrIndexMaintainer {
     * Exposed for direct (non-streaming) batch ingestion too.
     */
   def processBatch(batch: DataFrame, batchId: Long, idCol: String,
-      textCol: String, width: Int, indexDir: String): Unit = {
-    val delta = batch.select(col(idCol).cast("long").as("id"),
-      col(textCol).as("text"))
-    Dedup.windowDigests(delta, "id", "text", width)
-      .select(col("id"), col("pos").cast("int").as("pos"), col("__k"))
-      .write.mode("overwrite").parquet(s"$indexDir/b$batchId")
-  }
+      textCol: String, width: Int, indexDir: String): Unit =
+    graft.Exec.stage(s"substr.processBatch b$batchId") {
+      val delta = batch.select(col(idCol).cast("long").as("id"),
+        col(textCol).as("text"))
+      BatchDirs.stateParts(
+        Dedup.windowDigests(delta, "id", "text", width)
+          .select(col("id"), col("pos").cast("int").as("pos"), col("__k")))
+        .write.mode("overwrite").parquet(s"$indexDir/b$batchId")
+    }
 
   private def keyCountSchema: StructType = StructType(Seq(
     StructField("__k", StringType),
