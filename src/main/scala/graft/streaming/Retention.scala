@@ -408,6 +408,33 @@ object Retention {
       .collect { case (fam, true) => fam }
   }
 
+  /** Strict-descendant directories of `top` that are themselves state
+    * layouts (generation families of their own, or a superseded marker)
+    * — the nested shape [[markSuperseded]] rejects. The walk mirrors
+    * [[discoverStates]]: stop at the first state-bearing descendant
+    * (its contents are its own), skip dot/underscore dirs, stop at
+    * parquet output dirs (`_SUCCESS`). Cost ∝ directory count of the
+    * stamped dir, paid once per stamp.
+    */
+  private def nestedStatesUnder(top: java.io.File): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walk(f: java.io.File, isTop: Boolean): Unit = {
+      if (!isTop && (new java.io.File(f, supersededMarkerName).isFile ||
+          generationFamiliesOf(f).nonEmpty)) {
+        out += f.getPath
+        return
+      }
+      if (new java.io.File(f, "_SUCCESS").isFile) return
+      Option(f.listFiles()).toSeq.flatten
+        .filter(c => c.isDirectory && !c.getName.startsWith(".") &&
+          !c.getName.startsWith("_"))
+        .sortBy(_.getName)
+        .foreach(walk(_, isTop = false))
+    }
+    walk(top, isTop = true)
+    out.toSeq
+  }
+
   private[streaming] val supersededMarkerName = "_superseded"
 
   /** `dropped_id` sentinel for a superseded dir RETIRED wholesale (the
@@ -430,6 +457,23 @@ object Retention {
     * it the moment the new generation commits; the nightly sweep
     * retires it pin-guardedly. Temp-write + rename like every marker. */
   def markSuperseded(oldDir: String, newDir: String): Unit = {
+    // producer contract, asserted here so the shape can never arise: no
+    // NESTED state layouts under a superseded dir. [[sweep]]'s held-pin
+    // path vacuums the stamped dir's OWN generation families at the pin
+    // floor but cannot safely descend into nested states — pins match
+    // by canonical dir, so the holder's pin would not floor a nested
+    // state's vacuum and generations the pin's as-of read needs could
+    // drop; and when the dir has no families of its own, a nested state
+    // beneath it would be held forever and swept never. No producer
+    // builds this shape (retrain stamps index generation dirs whose
+    // families are their own); stamping is the choke point, so reject
+    // it here rather than leak it silently at sweep time.
+    val nested = nestedStatesUnder(new java.io.File(oldDir))
+    require(nested.isEmpty,
+      s"markSuperseded($oldDir): nested state layout(s) under a " +
+        s"superseded dir are unsupported — ${nested.mkString(", ")}. " +
+        "Retire or relocate the nested state first; a pin holding the " +
+        "superseded dir could not govern its retention.")
     val path = new java.io.File(oldDir, supersededMarkerName).getPath
     val tmp = new java.io.File(path + ".tmp")
     graft.Exec.deletePath(tmp.getPath)
