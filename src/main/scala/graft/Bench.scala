@@ -108,6 +108,10 @@ object Bench {
           s"""{"metric":"total","value":$total,"unit":"sec","stage":"$stage",""" +
             s""""protocol":"${if (warmDir.isEmpty) s"cold1+warm${nPasses - 1},min"
               else s"warm@$warmDir,min$nPasses"}",""" +
+            // n_queries/n_failed in the FULL artifact too, so the
+            // round-close self-check can assert on the committed file
+            // without re-parsing stdout
+            s""""n_queries":${results.size},"n_failed":$nFailed,""" +
             s""""queries":$fullQs,$workloads,"workloads_reps":$reps,""" +
             s""""sf":"$sfDir"}""" + "\n")
         java.nio.file.Files.move(tmp,
