@@ -606,6 +606,91 @@ object Profile {
           println(f"PROFILE recviewstages create=$tCreate%.2f " +
             f"view=$tView%.2f serve=$tServe%.2f")
         }
+      case "curatestages" =>
+        // Stage decomposition of [[graft.ops.Corpus.curate]] — the shared
+        // prefix of p_curate_*/q_sql_curate/p_train_manifest*/s_curate's
+        // derivation. Each stage is timed from a persisted input so the
+        // numbers attribute, not cascade.
+        import org.apache.spark.sql.functions._
+        import graft.ops.{Bpe, Corpus, Dedup, LangModel, TextOps}
+        def t(label: String)(body: => Long): Unit = {
+          val times = (1 to reps).map { _ =>
+            val t0 = System.nanoTime(); val n = body
+            ((System.nanoTime() - t0) / 1e9, n)
+          }
+          println(f"PROFILE curate:$label rows=${times.head._2} " +
+            times.map(x => f"${x._1}%.2f").mkString(" "))
+        }
+        val dd = Tables.read(spark, sfDir, "documents")
+          .select(col("doc_id"), col("text"))
+        t("gopher")(TextOps.gopherAudit(dd, "doc_id", "text",
+          minStopwords = 1).where(col("fail_mask") === 0).count())
+        val audit = TextOps.gopherAudit(dd, "doc_id", "text",
+          minStopwords = 1)
+        val passed = dd.join(audit.where(col("fail_mask") === 0)
+          .select(col("doc_id")), Seq("doc_id")).persist()
+        passed.count()
+        t("exact_reps")(
+          Dedup.exact(passed, Seq("text"), "doc_id").count())
+        val reps2 = Dedup.exact(passed, Seq("text"), "doc_id")
+          .select(col("doc_id"))
+        val surv = passed.join(reps2, Seq("doc_id"), "semi")
+        t("window_digests")(Dedup.windowDigests(
+          surv.select(col("doc_id").cast("long").as("id"), col("text")),
+          "id", "text", 30).count())
+        t("remove_spans")(
+          Dedup.removeSpans(surv, "doc_id", "text", 30).count())
+        val cleaned = Dedup.removeSpans(surv, "doc_id", "text", 30).persist()
+        cleaned.count()
+        t("ppl_score")(LangModel.perplexityScore(cleaned, "doc_id",
+          "clean_text", 3.43).count())
+        t("tok_count_word")(cleaned.select(col("doc_id"),
+          size(split(col("clean_text"), " ")).cast("long").as("n_tok"))
+          .agg(sum(col("n_tok"))).head().getLong(0))
+        val scored = LangModel.perplexityScore(cleaned, "doc_id",
+          "clean_text", 3.43).persist()
+        scored.count()
+        val withTok = cleaned
+          .join(scored.where(col("kept"))
+            .select(col("id").as("doc_id"), col("avg_nll")), Seq("doc_id"))
+          .join(cleaned.select(col("doc_id"),
+            size(split(col("clean_text"), " ")).cast("long").as("n_tok")),
+            Seq("doc_id"))
+          .select(col("doc_id"), col("n_tok"), col("avg_nll"))
+        t("budget_select")(Corpus.selectWithinBudget(
+          withTok.withColumn("__q", -col("avg_nll")),
+          "doc_id", "n_tok", "__q", 6000L).count())
+        t("full_curate")(
+          Corpus.curate(dd, "doc_id", "text").count())
+        passed.unpersist(); cleaned.unpersist(); scored.unpersist()
+        ()
+      case s if s.startsWith("curategrowth") =>
+        // Repeated one-shot curate in one JVM: does per-call cost grow with
+        // accumulated cached blocks / CacheManager entries? Variants:
+        //   curategrowth        — call as the gates do
+        //   curategrowth:clear  — clearCache() before every call
+        //   curategrowth:gc     — System.gc() before every call
+        import org.apache.spark.sql.functions._
+        val variant = s.split(':').drop(1).headOption.getOrElse("plain")
+        val dd = Tables.read(spark, sfDir, "documents")
+          .select(col("doc_id"), col("text"))
+        (1 to reps).foreach { i =>
+          if (variant == "clear") spark.catalog.clearCache()
+          if (variant == "gc") System.gc()
+          val gcB = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+          val gcT0 = {
+            var t = 0L; gcB.forEach(b => t += b.getCollectionTime); t
+          }
+          val t0 = System.nanoTime()
+          val n = graft.ops.Corpus.curate(dd, "doc_id", "text").count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          val gcT1 = {
+            var t = 0L; gcB.forEach(b => t += b.getCollectionTime); t
+          }
+          val blocks = spark.sparkContext.getRDDStorageInfo.length
+          println(f"PROFILE curategrowth[$variant] rep$i rows=$n " +
+            f"t=$dt%.2fs gc=${(gcT1 - gcT0) / 1000.0}%.2fs cachedRdds=$blocks")
+        }
       case n =>
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()

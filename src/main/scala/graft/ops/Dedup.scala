@@ -96,9 +96,25 @@ object Dedup {
   }
 
   /** The stride-1 window-digest stream of [[duplicateSpans]]:
-    * (idCol, pos, __k) with __k = md5 of the `width`-char window at 1-based
-    * `pos`. Split out so a streaming index can persist windows per batch
-    * (the text is scanned and hashed ONCE per document, ever).
+    * (idCol, pos, __k1, __k2) with (__k1, __k2) = a 128-bit double
+    * xxhash64 digest of the `width`-char window at 1-based `pos` (the
+    * [[exactByHash]] two-seed idiom: __k2 prepends a constant so the two
+    * hashes are independent draws). Split out so a streaming index can
+    * persist windows per batch (the text is scanned and hashed ONCE per
+    * document, ever).
+    *
+    * The window stream is the DOMINANT intermediate of the curation
+    * pipeline (≈ one row per corpus byte), and every downstream step
+    * shuffles it (duplicate-key count, dup-key join, persisted index
+    * state). Two longs (16 B) in place of the previous md5 hex string
+    * (32-char UTF8String, ~45 B + pointer) cut those shuffle/state bytes
+    * ~2.5× and replace a full MD5 + hex-encode per window with two
+    * xxhash64 passes — guide §2.3 (narrower types / shuffle fewer bytes)
+    * on the hottest scan of the 100 TB path. Equality of the 128-bit
+    * pair is the same duplicate-window predicate the md5 key proxied
+    * (both stand in for 30-char string equality; collision odds are
+    * ~2⁻¹²⁸-scale either way), so span outputs are unchanged — the
+    * DuckDB oracles keep their own md5 formulation and still agree.
     */
   private[graft] def windowDigests(df: DataFrame, idCol: String,
       textCol: String, width: Int): DataFrame =
@@ -108,7 +124,9 @@ object Dedup {
           .as("pos"),
         col(textCol))
       .select(col(idCol), col("pos"),
-        md5(col(textCol).substr(col("pos"), lit(width))).as("__k"))
+        xxhash64(col(textCol).substr(col("pos"), lit(width))).as("__k1"),
+        xxhash64(lit(1L),
+          col(textCol).substr(col("pos"), lit(width))).as("__k2"))
 
   /** Duplicated-window filter + gaps-and-islands merge over a window-digest
     * stream (one-shot or read back from a persisted index): keys occurring
@@ -117,8 +135,8 @@ object Dedup {
   private[graft] def dupSpansFromWindows(wins: DataFrame, idCol: String,
       width: Int): DataFrame =
     dupSpansFromWindowsWithKeys(wins,
-      wins.groupBy("__k").agg(count(lit(1)).as("__n"))
-        .where(col("__n") >= 2).select("__k"),
+      wins.groupBy("__k1", "__k2").agg(count(lit(1)).as("__n"))
+        .where(col("__n") >= 2).select("__k1", "__k2"),
       idCol, width)
 
   /** [[dupSpansFromWindows]] with the duplicated-key set supplied by the
@@ -129,7 +147,8 @@ object Dedup {
   private[graft] def dupSpansFromWindowsWithKeys(wins: DataFrame,
       dupKeys: DataFrame, idCol: String, width: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dupPos = wins.join(dupKeys, Seq("__k")).select(col(idCol), col("pos"))
+    val dupPos = wins.join(dupKeys, Seq("__k1", "__k2"))
+      .select(col(idCol), col("pos"))
     // gaps-and-islands: windows [pos, pos+width-1] merge while they overlap
     // or touch; a break is a gap of more than `width` between starts
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))

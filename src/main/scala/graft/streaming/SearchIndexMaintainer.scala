@@ -36,8 +36,11 @@ object SearchIndexMaintainer {
     */
   def processBatch(batch: DataFrame, batchId: Long, idCol: String,
       textCol: String, stateDir: String): Unit =
-    TfIdf.postings(batch, idCol, textCol)
-      .withColumn("batch_id", lit(batchId))
+    // stateParts: a micro-batch's postings are bounded state — the
+    // BatchDirs coalesce discipline the digest/window maintainers apply
+    // (uncoalesced this wrote up to one file per task per batch)
+    BatchDirs.stateParts(TfIdf.postings(batch, idCol, textCol)
+        .withColumn("batch_id", lit(batchId)))
       .write.mode("overwrite").parquet(s"$stateDir/b$batchId")
 
   /** The accumulated postings as of the last committed batch. */
@@ -149,8 +152,9 @@ object SearchIndexMaintainer {
     BatchDirs.listDirs(stateDir, "c").lastOption.foreach {
       case (upTo, dir) =>
         val tmp = new java.io.File(stateDir, s".len_c$upTo.tmp")
-        spark.read.schema(postSchema(idCol)).parquet(dir)
-          .groupBy(col(idCol)).agg(sum(col("tf")).as("len"))
+        BatchDirs.stateParts(
+          spark.read.schema(postSchema(idCol)).parquet(dir)
+            .groupBy(col(idCol)).agg(sum(col("tf")).as("len")))
           .write.mode("overwrite").parquet(tmp.getPath)
         val dest = new java.io.File(stateDir, s"len_c$upTo")
         if (dest.exists()) graft.Exec.deletePath(dest.getPath)

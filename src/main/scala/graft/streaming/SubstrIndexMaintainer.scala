@@ -32,7 +32,8 @@ object SubstrIndexMaintainer {
   private def indexSchema: StructType = StructType(Seq(
     StructField("id", LongType),
     StructField("pos", IntegerType),
-    StructField("__k", StringType)))
+    StructField("__k1", LongType),
+    StructField("__k2", LongType)))
 
   /** One micro-batch: window-hash the batch docs, persist the digests.
     * Exposed for direct (non-streaming) batch ingestion too.
@@ -44,12 +45,14 @@ object SubstrIndexMaintainer {
         col(textCol).as("text"))
       BatchDirs.stateParts(
         Dedup.windowDigests(delta, "id", "text", width)
-          .select(col("id"), col("pos").cast("int").as("pos"), col("__k")))
+          .select(col("id"), col("pos").cast("int").as("pos"),
+            col("__k1"), col("__k2")))
         .write.mode("overwrite").parquet(s"$indexDir/b$batchId")
     }
 
   private def keyCountSchema: StructType = StructType(Seq(
-    StructField("__k", StringType),
+    StructField("__k1", LongType),
+    StructField("__k2", LongType),
     StructField("__n", LongType)))
 
   /** The corpus-wide duplicated-span set as of the last committed batch —
@@ -84,15 +87,16 @@ object SubstrIndexMaintainer {
       val kd = new java.io.File(indexDir, s"kc$cid")
       if (kd.exists())
         spark.read.schema(keyCountSchema).parquet(kd.getPath)
-      else cRows.get.groupBy("__k").agg(count(lit(1)).as("__n"))
+      else cRows.get.groupBy("__k1", "__k2").agg(count(lit(1)).as("__n"))
     }
-    val bCounts = bRows.map(_.groupBy("__k").agg(count(lit(1)).as("__n")))
+    val bCounts = bRows.map(
+      _.groupBy("__k1", "__k2").agg(count(lit(1)).as("__n")))
     val dupKeys = (cCounts.toSeq ++ bCounts.toSeq)
       .reduceOption(_ unionByName _)
-      .map(_.groupBy("__k").agg(sum(col("__n")).as("__n"))
-        .where(col("__n") >= 2).select("__k"))
+      .map(_.groupBy("__k1", "__k2").agg(sum(col("__n")).as("__n"))
+        .where(col("__n") >= 2).select("__k1", "__k2"))
       .getOrElse(BatchDirs.emptyFrame(spark,
-        StructType(keyCountSchema.take(1))))
+        StructType(keyCountSchema.take(2))))
     Dedup.dupSpansFromWindowsWithKeys(allRows, dupKeys, "id", width)
       .withColumnRenamed("id", "doc_id")
   }
@@ -112,7 +116,7 @@ object SubstrIndexMaintainer {
       val kd = new java.io.File(indexDir, s"kc$cid")
       if (!kd.exists()) {
         val counts = spark.read.schema(indexSchema).parquet(cdir)
-          .groupBy("__k").agg(count(lit(1)).as("__n"))
+          .groupBy("__k1", "__k2").agg(count(lit(1)).as("__n"))
         val tmp = new java.io.File(indexDir, s".kc$cid.tmp")
         counts.write.mode("overwrite").parquet(tmp.getPath)
         require(tmp.renameTo(kd), s"rename $tmp -> $kd failed")
