@@ -30,7 +30,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // local[32] holds every cached model/ratings frame in ONE JVM; 8g left
-  // Bench GC-bound (multi-second variance on repeated queries). 24g is
-  // still < 20% of the 128 GiB box.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Bench GC-bound (multi-second variance on repeated queries), and at
+  // 24g the round-15 baseline still showed pass-2 eviction churn from
+  // accumulated checkpoint blocks (s_train_manifest 13 s clean-JVM vs
+  // 79 s in-bench). 48g is still < 40% of the 128 GiB box; the knob
+  // stays env-overridable for smaller hosts.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

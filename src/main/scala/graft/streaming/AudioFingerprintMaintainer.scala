@@ -27,8 +27,9 @@ object AudioFingerprintMaintainer {
   /** One micro-batch: decode + fingerprint, persist (media_id, fp). */
   def processBatch(batch: DataFrame, batchId: Long, stateDir: String,
       frameLen: Int = 50, levels: Int = 8): Unit =
-    Multimodal.audioFingerprints(batch, frameLen, levels)
-      .select(col("media_id"), col("fp"))
+    BatchDirs.stateParts(
+      Multimodal.audioFingerprints(batch, frameLen, levels)
+        .select(col("media_id"), col("fp")))
       .write.mode("overwrite").parquet(s"$stateDir/b$batchId")
 
   /** The accumulated fingerprint index as of the last committed batch. */

@@ -205,7 +205,8 @@ object BpeMaintainer {
       textCol: String, stateDir: String, modelDir: String,
       cfg: Config = Config()): Boolean = {
     val spark = batch.sparkSession
-    Bpe.wordFreq(batch, idCol, textCol, cfg.byteLevel)
+    BatchDirs.stateParts(Bpe.wordFreq(batch, idCol, textCol,
+        cfg.byteLevel))
       .write.mode("overwrite").parquet(s"$stateDir/b$batchId")
     val state = stateWordFreq(spark, stateDir, upTo = batchId)
       .localCheckpoint() // consumed by total + (maybe) the learning loop

@@ -34,7 +34,8 @@ object ClipPairMaintainer {
   def processBatch(batch: DataFrame, batchId: Long, idCol: String,
       textCol: String, minQuality: Double, keepLang: String,
       stateDir: String): Unit =
-    Multimodal.gateDocs(batch, idCol, textCol, minQuality, keepLang)
+    BatchDirs.stateParts(
+      Multimodal.gateDocs(batch, idCol, textCol, minQuality, keepLang))
       .write.mode("overwrite").parquet(s"$stateDir/b$batchId")
 
   /** The accumulated gated-doc state as of the last committed batch. */

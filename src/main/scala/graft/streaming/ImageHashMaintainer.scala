@@ -34,8 +34,8 @@ object ImageHashMaintainer {
   /** One micro-batch: decode + hash, persist (media_id, 2×32-bit hash). */
   def processBatch(batch: DataFrame, batchId: Long,
       stateDir: String): Unit =
-    Multimodal.dHashStats(batch)
-      .select(col("media_id"), col("dhash_hi"), col("dhash_lo"))
+    BatchDirs.stateParts(Multimodal.dHashStats(batch)
+        .select(col("media_id"), col("dhash_hi"), col("dhash_lo")))
       .write.mode("overwrite").parquet(s"$stateDir/b$batchId")
 
   /** The accumulated hash index as of the last committed batch. */
