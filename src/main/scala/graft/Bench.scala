@@ -16,6 +16,15 @@ object Bench {
       // duration (driver and executors share one JVM here, so the block
       // store IS the bench's heap) — see the timedPass() System.gc() note
       .config("spark.cleaner.periodicGC.interval", "5min")
+      // The whole-stage-codegen class cache holds only 100 entries by
+      // default; a 279-gate pass generates thousands of distinct stages,
+      // so every pass recompiled nearly every stage (Janino, 10-100 ms
+      // each — measured: codegen OFF made the manifest/curate family
+      // ~40% faster, i.e. compile time exceeded the generated code's own
+      // win). 5000 entries lets warm passes and repeated derivations hit
+      // the cache; cost is metaspace for ~5k small classes. This is
+      // scale-independent (the same cache exists on every executor).
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // NO untimed warmup pass by default (round-14 change; the r13 harness

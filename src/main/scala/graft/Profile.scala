@@ -14,13 +14,23 @@ object Profile {
     val reps = args.headOption.map(_.toInt).getOrElse(2)
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("p_neardup_jaccard", "p_minhash_lsh", "p_simhash_pairs")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+      // match Bench's codegen-cache sizing so profile numbers stay
+      // representative of the bench environment
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+    // A/B conf probes without a rebuild: GRAFT_PROFILE_CONF="k=v,k2=v2"
+    sys.env.get("GRAFT_PROFILE_CONF").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach {
       case "jaccard_stages" => jaccardStages(spark, sfDir, reps)
@@ -606,6 +616,98 @@ object Profile {
           println(f"PROFILE recviewstages create=$tCreate%.2f " +
             f"view=$tView%.2f serve=$tServe%.2f")
         }
+      case s if s.startsWith("jobstats:") =>
+        // Overhead attribution for one gate: jobs launched, stages, tasks,
+        // summed executor task time vs wall clock — the gap is driver-side
+        // overhead (planning, codegen, scheduling, checkpoint commits).
+        val name = s.stripPrefix("jobstats:")
+        val jobs = new java.util.concurrent.atomic.AtomicInteger
+        val stages = new java.util.concurrent.atomic.AtomicInteger
+        val tasks = new java.util.concurrent.atomic.AtomicInteger
+        val taskTimeMs = new java.util.concurrent.atomic.AtomicLong
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            jobs.incrementAndGet(); ()
+          }
+          override def onStageCompleted(
+              st: org.apache.spark.scheduler.SparkListenerStageCompleted)
+              : Unit = {
+            stages.incrementAndGet()
+            tasks.addAndGet(st.stageInfo.numTasks); ()
+          }
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            Option(te.taskInfo).foreach(ti => taskTimeMs.addAndGet(ti.duration))
+            ()
+          }
+        }
+        (1 to reps).foreach { i =>
+          jobs.set(0); stages.set(0); tasks.set(0); taskTimeMs.set(0)
+          spark.sparkContext.addSparkListener(listener)
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, sfDir).count()
+          val wall = (System.nanoTime() - t0) / 1e9
+          // listener events are delivered async; a short drain window is
+          // enough at this job scale
+          Thread.sleep(300)
+          spark.sparkContext.removeSparkListener(listener)
+          println(f"PROFILE jobstats:$name rep$i wall=$wall%.2fs " +
+            f"jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get} " +
+            f"taskTime=${taskTimeMs.get / 1000.0}%.2fs")
+        }
+      case "manifeststages" =>
+        // Stage decomposition of the s_train_manifest derivation (the
+        // round-15 slowest-list #2): selection derivation from state vs
+        // the pack + epoch-order tail, each timed from persisted inputs.
+        import org.apache.spark.sql.functions._
+        import graft.ops.{Corpus, Packing}
+        import graft.streaming.{CurateMaintainer, ExactDedupMaintainer}
+        def t(label: String)(body: => Long): Unit = {
+          val times = (1 to reps).map { _ =>
+            val t0 = System.nanoTime(); val n = body
+            ((System.nanoTime() - t0) / 1e9, n)
+          }
+          println(f"PROFILE manifest:$label rows=${times.head._2} " +
+            times.map(x => f"${x._1}%.2f").mkString(" "))
+        }
+        val dd = Tables.read(spark, sfDir, "documents")
+          .select(col("doc_id"), col("text"))
+        var t0 = System.nanoTime()
+        val st = PipelineQueries.trainManifestStateFor(spark, sfDir)
+        println(f"PROFILE manifest:state_build " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f")
+        t0 = System.nanoTime()
+        val merges = PipelineQueries.bpeMergesFor(spark, sfDir)
+        println(f"PROFILE manifest:bpe_merges " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f")
+        t("reps_derive")(
+          ExactDedupMaintainer.representatives(spark, s"$st/exact").count())
+        t("spans_derive")(CurateMaintainer.spans(spark, st, 30).count())
+        t("curated_sel")(
+          CurateMaintainer.curated(dd, "doc_id", "text", st).count())
+        // the tail, from a persisted selection (manifest() runs this after
+        // the same curateWithText prefix)
+        val reps0 = ExactDedupMaintainer.representatives(spark, s"$st/exact")
+          .select(col("doc_id"))
+        val sel = graft.Exec.materializeLocal(
+          Corpus.curateWithText(dd, "doc_id", "text",
+              repsOpt = Some(reps0),
+              spansOpt = Some(CurateMaintainer.spans(spark, st, 30)))
+            .select(col("doc_id"), col("clean_text").as("text")))
+        t("pack_ids")(
+          Packing.packTokenIds(sel, "doc_id", "text", merges, 128).count())
+        val seqs = graft.Exec.materializeLocal(
+          Packing.packTokenIds(sel, "doc_id", "text", merges, 128))
+        t("epoch_order")(
+          Packing.epochOrder(seqs.select(col("seq_id")), "seq_id", 2).count())
+        t("order_join")(
+          Packing.epochOrder(seqs.select(col("seq_id")), "seq_id", 2)
+            .join(seqs, Seq("seq_id")).count())
+        t("manifest_full")(CurateMaintainer.manifest(dd, "doc_id", "text",
+          st, merges, seqLen = 128, epochs = 2).count())
+        t("gate_verbatim")(
+          SparkEntry.queries("s_train_manifest")(spark, sfDir).count())
       case "curatestages" =>
         // Stage decomposition of [[graft.ops.Corpus.curate]] — the shared
         // prefix of p_curate_*/q_sql_curate/p_train_manifest*/s_curate's

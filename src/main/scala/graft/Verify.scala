@@ -74,6 +74,8 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // testdata events.ts is TIMESTAMP(NANOS); read as long ns since epoch
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // codegen class cache sized for a 279-gate run (the Bench note)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // cheapest-first: per-gate seconds from the committed bench artifact

@@ -232,10 +232,12 @@ object Corpus {
     val offsets = (0 until buckets).scanLeft(0L) {
       case (acc, pid) => acc + partSums.getOrElse(pid, 0L)
     }
-    val offCol = offsets.init.zipWithIndex.foldLeft(lit(0L)) {
-      case (acc, (off, pid)) =>
-        when(col("__pid") === pid, lit(off)).otherwise(acc)
-    }
+    // array literal, not a per-bucket when(lit,lit) chain: the chain baked
+    // 64 per-call offsets into the generated source, recompiling a fresh
+    // class every call (the [[Packing.prefixOffsetsTotal]] note); the
+    // array rides the codegen references array, so the source — and the
+    // compiled class — is shared across calls, and lookup is O(1)
+    val offCol = element_at(lit(offsets.init.toArray), col("__pid") + 1)
     val w = Window.partitionBy(col("__pid"))
       .orderBy(col("__nq"), col(idCol))
     keyed.withColumn("cum_tok", sum(col("__tok")).over(w) + offCol)
@@ -425,8 +427,15 @@ object Corpus {
     val derived = repsOpt.isDefined || spansOpt.isDefined
     def mat(df: DataFrame): DataFrame =
       if (derived) graft.Exec.materializeLocal(df) else graft.Exec.materialize(df)
-    val passed = mat(docs.select(col(idCol), col(textCol))
-      .join(audit.where(col("fail_mask") === 0).select(col(idCol)), Seq(idCol)))
+    val passed0 = docs.select(col(idCol), col(textCol))
+      .join(audit.where(col("fail_mask") === 0).select(col(idCol)), Seq(idCol))
+    // fully-derived mode (both reps and spans from state) consumes
+    // `passed` exactly once (the survivor semi-join) — materializing it
+    // paid an extra eager pass + checkpoint per derivation for reuse
+    // that never happens. One-shot/partial modes keep it: there `passed`
+    // also feeds the exact-dedup rep build (and span windowing).
+    val passed =
+      if (repsOpt.isDefined && spansOpt.isDefined) passed0 else mat(passed0)
     val reps = repsOpt.getOrElse(
       Dedup.exact(passed, Seq(textCol), idCol).select(col(idCol)))
     val surv = passed.join(reps, Seq(idCol), "semi")

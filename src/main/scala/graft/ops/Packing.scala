@@ -53,7 +53,15 @@ object Packing {
     * the exact materialized partitions (see the note there).
     */
   private[ops] def prefixOffsets(df: DataFrame, orderCol: String,
-      valueCol: String, buckets: Int = 64): DataFrame = {
+      valueCol: String, buckets: Int = 64): DataFrame =
+    prefixOffsetsTotal(df, orderCol, valueCol, buckets)._1
+
+  /** [[prefixOffsets]] also returning the GLOBAL total of `valueCol` —
+    * already known driver-side from the per-partition sums, so callers
+    * needing the total (epoch rebasing) skip a whole extra pass+job.
+    */
+  private[ops] def prefixOffsetsTotal(df: DataFrame, orderCol: String,
+      valueCol: String, buckets: Int = 64): (DataFrame, Long) = {
     val keyed = df
       .select(col(orderCol), col(valueCol).cast("long").as("__val"))
       .repartitionByRange(buckets, col(orderCol))
@@ -64,15 +72,20 @@ object Packing {
     val offsets = (0 until buckets).scanLeft(0L) {
       case (acc, pid) => acc + partSums.getOrElse(pid, 0L)
     }
-    val offCol = offsets.init.zipWithIndex.foldLeft(lit(0L)) {
-      case (acc, (off, pid)) =>
-        when(col("__pid") === pid, lit(off)).otherwise(acc)
-    }
+    // offsets ride as ONE array literal (codegen references array), not a
+    // per-bucket when(lit,lit) chain: the chain baked 64 per-call values
+    // into the generated source, so every call compiled a brand-new
+    // class (observed: whole-stage codegen off made the manifest family
+    // ~40% faster — compile time, not run time). An array literal keeps
+    // the generated source IDENTICAL across calls → codegen cache hit;
+    // lookup is O(1) instead of a 64-branch scan per row.
+    val offCol = element_at(lit(offsets.init.toArray), col("__pid") + 1)
     val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    keyed
+    (keyed
       .withColumn("__off", sum(col("__val")).over(w) - col("__val") + offCol)
-      .select(col(orderCol), col("__off"))
+      .select(col(orderCol), col("__off")),
+      offsets.last)
   }
 
   /** Fixed-length training-sequence packing over BPE token IDS — the step
@@ -209,7 +222,6 @@ object Packing {
       buckets: Int = 64): DataFrame = {
     require(epochs >= 1, "epochs must be >= 1")
     val spark = items.sparkSession
-    val n = items.count()
     val es = spark.range(1, epochs + 1L)
       .select(col("id").cast("int").as("epoch"))
     // validated fixed-width key rendering: lpad TRUNCATES anything longer
@@ -225,8 +237,12 @@ object Packing {
         lpad(col("epoch").cast("string"), 6, "0"), lit(":"),
         md5(concat(kstr, lit(":"), col("epoch").cast("string"))),
         lit(":"), lpad(kChecked, 20, "0")))
-    val offs = prefixOffsets(keyed.withColumn("__one", lit(1L)),
-      "__key", "__one", buckets)
+    // item count comes FREE from the prefix machinery's per-partition
+    // totals (Σ __one = n·epochs) — the separate items.count() this used
+    // to pay was a whole extra pass over the input, per call
+    val (offs, total) = prefixOffsetsTotal(
+      keyed.withColumn("__one", lit(1L)), "__key", "__one", buckets)
+    val n = total / epochs
     keyed.join(offs, Seq("__key"))
       .select(col("epoch"), col(keyCol),
         (col("__off") - (col("epoch") - 1).cast("long") * n).as("ord"))
@@ -250,7 +266,6 @@ object Packing {
       batchCol: String, epochs: Int, buckets: Int = 64): DataFrame = {
     require(epochs >= 1, "epochs must be >= 1")
     val spark = items.sparkSession
-    val n = items.count()
     val es = spark.range(1, epochs + 1L)
       .select(col("id").cast("int").as("epoch"))
     def checked(c: Column, width: Int, what: String): Column = {
@@ -270,8 +285,10 @@ object Packing {
         md5(concat(kstr, lit(":"), col("epoch").cast("string"))),
         lit(":"),
         lpad(checked(col(keyCol), 20, s"key column '$keyCol'"), 20, "0")))
-    val offs = prefixOffsets(keyed.withColumn("__one", lit(1L)),
-      "__key", "__one", buckets)
+    // n from the prefix totals — the epochOrder count-elimination
+    val (offs, total) = prefixOffsetsTotal(
+      keyed.withColumn("__one", lit(1L)), "__key", "__one", buckets)
+    val n = total / epochs
     keyed.join(offs, Seq("__key"))
       .select(col("epoch"), col(keyCol),
         (col("__off") - (col("epoch") - 1).cast("long") * n).as("ord"))
@@ -305,7 +322,6 @@ object Packing {
       epochs: Int, buckets: Int = 64): DataFrame = {
     require(epochs >= 1, "epochs must be >= 1")
     val spark = items.sparkSession
-    val n = items.count()
     val es = spark.range(1, epochs + 1L)
       .select(col("id").cast("int").as("epoch"))
     def checked(c: Column, what: String): Column = {
@@ -327,8 +343,10 @@ object Packing {
             md5(concat(kstr, lit(":"), col("epoch").cast("string"))),
             lit(":"),
             lpad(checked(col(keyCol), s"key column '$keyCol'"), 20, "0")))))
-    val offs = prefixOffsets(keyed.withColumn("__one", lit(1L)),
-      "__key", "__one", buckets)
+    // n from the prefix totals — the epochOrder count-elimination
+    val (offs, total) = prefixOffsetsTotal(
+      keyed.withColumn("__one", lit(1L)), "__key", "__one", buckets)
+    val n = total / epochs
     keyed.join(offs, Seq("__key"))
       .select(col("epoch"), col(keyCol),
         (col("__off") - (col("epoch") - 1).cast("long") * n).as("ord"))
