@@ -230,7 +230,7 @@ object Bench {
     * reference's per-user loop (rec_workload.c) pays its N+1 internal
     * queries per user; the sweep amortizes everything across the cluster.
     */
-  private def sweepUsersPerSec(spark: SparkSession,
+  private[graft] def sweepUsersPerSec(spark: SparkSession,
       sfDir: String): Seq[Double] = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
@@ -286,7 +286,7 @@ object Bench {
     * over in-memory columnar state: the latency profile a serving deployment
     * of this engine actually runs.
     */
-  private def viewQps(spark: SparkSession, sfDir: String,
+  private[graft] def viewQps(spark: SparkSession, sfDir: String,
       n: Int = 100): Seq[Double] = {
     import org.apache.spark.sql.functions._
     try {
@@ -318,7 +318,7 @@ object Bench {
     * query is ONE job: filter → groupBy → TakeOrdered on the sparse leg
     * unioned with a cell-pruned codegen dot + TakeOrdered dense leg.
     */
-  private def hybridQps(spark: SparkSession, sfDir: String,
+  private[graft] def hybridQps(spark: SparkSession, sfDir: String,
       n: Int = 50): Seq[Double] = {
     import org.apache.spark.sql.functions._
     import graft.ops.{Ann, TextOps}
@@ -438,7 +438,7 @@ object Bench {
     * rebuild), so a query costs a pruned scan + top-k instead of a scoring
     * DAG — the fix for the round-3 `weak` direct-serving mark.
     */
-  private def workloadQps(spark: SparkSession, sfDir: String,
+  private[graft] def workloadQps(spark: SparkSession, sfDir: String,
       n: Int = 100): Seq[Double] = {
     import org.apache.spark.sql.functions._
     import graft.recdb.{RecCatalog, Recommender}
@@ -475,7 +475,7 @@ object Bench {
     * is O(users×k): this metric proves the bounded artifact serves at
     * complete-view speed, so the engine's serving story survives scale.
     */
-  private def workloadTopkQps(spark: SparkSession, sfDir: String,
+  private[graft] def workloadTopkQps(spark: SparkSession, sfDir: String,
       n: Int = 100): Seq[Double] = {
     import org.apache.spark.sql.functions._
     import graft.recdb.{RecCatalog, Recommender}

@@ -131,7 +131,7 @@ object PipelineQueries {
   private val semDedupCentsCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
 
-  private def semDedupCentsFor(s: SparkSession, d: String): Array[Array[Double]] =
+  private[graft] def semDedupCentsFor(s: SparkSession, d: String): Array[Array[Double]] =
     semDedupCentsCache.computeIfAbsent(d, _ => {
       val (cdf, _) = Ann.ivfTrainBalanced(emb(s, d), "embedding",
         cellsPerSqrtN = 4)
@@ -956,6 +956,11 @@ object PipelineQueries {
     */
   private val hybridStateCache = new java.util.concurrent.ConcurrentHashMap[
     String, (String, Array[Array[Double]])]()
+
+  /** Profile-only accessor: the memoized hybrid quantizer (trains the
+    * shared state on first touch, like any consumer gate). */
+  private[graft] def hybridCentsProbe(s: SparkSession,
+      d: String): Array[Array[Double]] = hybridStateFor(s, d)._2
 
   private def hybridStateFor(s: SparkSession, d: String)
       : (String, Array[Array[Double]]) =

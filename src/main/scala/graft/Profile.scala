@@ -616,6 +616,187 @@ object Profile {
           println(f"PROFILE recviewstages create=$tCreate%.2f " +
             f"view=$tView%.2f serve=$tServe%.2f")
         }
+      case "denseingest" =>
+        // Micro-decomposition of the ANN dense-leg processBatch: embedding
+        // compute vs cell assignment vs the cell-partitioned write.
+        import org.apache.spark.sql.functions._
+        import graft.ops.TextOps
+        val cents = PipelineQueries.hybridCentsProbe(spark, sfDir)
+        val corpus = Tables.read(spark, sfDir, "documents")
+          .where(col("doc_id") >= 25 && col("doc_id") < 2000)
+        val embCorpus = corpus.select(col("doc_id").as("vec_id"),
+          TextOps.textEmbedding(col("text"), 8).as("embedding"))
+        val half = embCorpus.where(col("vec_id") % 2 === 0)
+        def tt(label: String)(body: => Unit): Unit = {
+          (1 to reps).foreach { i =>
+            val t0 = System.nanoTime(); body
+            println(f"PROFILE denseingest:$label rep$i " +
+              f"${(System.nanoTime() - t0) / 1e9}%.2f")
+          }
+        }
+        val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          "graft_prof_denseingest").toString
+        tt("embed_noop")(half.write.format("noop").mode("overwrite").save())
+        val assigned = half.select(col("vec_id").cast("long").as("id"),
+            col("embedding").cast("array<double>").as("v"))
+          .withColumn("batch_id", lit(0L))
+          .withColumn("cell", graft.functions.VectorFns.nearestCellNative(
+            col("v"), cents, 6))
+        tt("assign_noop")(
+          assigned.write.format("noop").mode("overwrite").save())
+        tt("repart_noop")(assigned.repartition(col("cell"))
+          .write.format("noop").mode("overwrite").save())
+        tt("write_flat") {
+          graft.Exec.deletePath(base)
+          assigned.repartition(col("cell"))
+            .write.mode("overwrite").parquet(s"$base/flat")
+        }
+        tt("write_partitioned") {
+          graft.Exec.deletePath(base)
+          assigned.repartition(col("cell"))
+            .write.mode("overwrite").partitionBy("cell")
+            .parquet(s"$base/part")
+        }
+        tt("processBatch_verbatim") {
+          graft.Exec.deletePath(base)
+          graft.streaming.AnnIndexMaintainer.processBatch(half, 0L,
+            "vec_id", "embedding", cents, s"$base/index", roundScale = 6)
+        }
+      case "hybridfreshstages" =>
+        // Stage decomposition of s_hybrid_fresh (round-15 slowest gate):
+        // two-leg ingest vs serve vs fold, per wave.
+        import org.apache.spark.sql.functions._
+        import graft.ops.{TextOps, TfIdf}
+        val t0h = System.nanoTime()
+        val cents = PipelineQueries.hybridCentsProbe(spark, sfDir)
+        println(f"PROFILE hybridfresh:state_memo " +
+          f"${(System.nanoTime() - t0h) / 1e9}%.2f")
+        (1 to reps).foreach { rep =>
+          val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+            "graft_prof_hybridfresh").toString
+          graft.Exec.deletePath(base)
+          val corpus = Tables.read(spark, sfDir, "documents")
+            .where(col("doc_id") >= 25 && col("doc_id") < 2000)
+          val embCorpus = corpus.select(col("doc_id").as("vec_id"),
+            TextOps.textEmbedding(col("text"), 8).as("embedding"))
+          val evalQ = Tables.read(spark, sfDir, "documents")
+            .where(col("doc_id") < 5)
+          val qterms = evalQ.select(col("doc_id").as("qid"),
+            explode(TextOps.tokens(col("text"))).as("term")).distinct()
+          val qvecs = evalQ.select(col("doc_id"),
+              TextOps.textEmbedding(col("text"), 8).as("v"))
+            .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+            .toSeq
+          def tt(label: String)(body: => Unit): Unit = {
+            val t0 = System.nanoTime(); body
+            println(f"PROFILE hybridfresh:$label rep$rep " +
+              f"${(System.nanoTime() - t0) / 1e9}%.2f")
+          }
+          (0 until 2).foreach { g =>
+            tt(s"ingest_sparse w$g")(
+              graft.streaming.SearchIndexMaintainer.processBatch(
+                corpus.where(col("doc_id") % 2 === g), g.toLong, "doc_id",
+                "text", s"$base/postings"))
+            tt(s"ingest_dense w$g")(
+              graft.streaming.AnnIndexMaintainer.processBatch(
+                embCorpus.where(col("vec_id") % 2 === g), g.toLong,
+                "vec_id", "embedding", cents, s"$base/index",
+                roundScale = 6))
+            tt(s"serve_sparse w$g") {
+              graft.streaming.SearchIndexMaintainer.searchBatch(
+                spark, s"$base/postings", "doc_id", qterms, "qid", "term",
+                k = 10).count()
+              ()
+            }
+            tt(s"serve_dense w$g") {
+              graft.streaming.AnnIndexMaintainer.search(
+                spark, s"$base/index", cents, qvecs, k = 10,
+                rankOnRoundedTo = Some(6)).count()
+              ()
+            }
+            tt(s"serve_fused w$g") {
+              val sparse = graft.streaming.SearchIndexMaintainer.searchBatch(
+                spark, s"$base/postings", "doc_id", qterms, "qid", "term",
+                k = 10).select(col("qid"), col("doc_id"), col("rank"))
+              val dense = graft.streaming.AnnIndexMaintainer.search(
+                spark, s"$base/index", cents, qvecs, k = 10,
+                rankOnRoundedTo = Some(6))
+                .select(col("query_id").as("qid"),
+                  col("neighbor_id").as("doc_id"), col("rank"))
+              graft.Exec.materializeLocal(
+                TfIdf.rrfFuse(sparse, dense, "qid", "doc_id", k = 10))
+              ()
+            }
+            if (g == 0) {
+              tt("fold_sparse")(
+                graft.streaming.SearchIndexMaintainer.compact(spark,
+                  "doc_id", s"$base/postings"))
+              tt("fold_dense")(
+                graft.streaming.AnnIndexMaintainer.compact(spark,
+                  s"$base/index"))
+            }
+          }
+        }
+        (1 to reps).foreach { _ =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries("s_hybrid_fresh")(spark, sfDir).count()
+          println(f"PROFILE hybridfresh:gate_verbatim " +
+            f"${(System.nanoTime() - t0) / 1e9}%.2f")
+        }
+      case "semdedupstages" =>
+        // Stage decomposition of s_semdedup: ingest waves vs fold vs the
+        // derive-from-index pruning pass.
+        import org.apache.spark.sql.functions._
+        import graft.ops.Ann
+        def t(label: String)(body: => Long): Unit = {
+          val times = (1 to reps).map { _ =>
+            val t0 = System.nanoTime(); val n = body
+            ((System.nanoTime() - t0) / 1e9, n)
+          }
+          println(f"PROFILE semdedup:$label rows=${times.head._2} " +
+            times.map(x => f"${x._1}%.2f").mkString(" "))
+        }
+        val cents = PipelineQueries.semDedupCentsFor(spark, sfDir)
+        val e = Tables.read(spark, sfDir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          "graft_prof_semdedup").toString
+        t("ingest2")({
+          graft.Exec.deletePath(base)
+          (0 until 2).foreach { g =>
+            graft.streaming.AnnIndexMaintainer.processBatch(
+              e.where(col("vec_id") % 2 === g), g.toLong, "vec_id",
+              "embedding", cents, s"$base/index", roundScale = 6)
+          }
+          0L
+        })
+        t("compact")({
+          graft.streaming.AnnIndexMaintainer.compact(spark, s"$base/index")
+          0L
+        })
+        t("read_index")(graft.streaming.AnnIndexMaintainer
+          .readIndex(spark, s"$base/index").count())
+        t("derive")(Ann.semDedupAssigned(
+          graft.streaming.AnnIndexMaintainer.readIndex(spark, s"$base/index")
+            .select(col("id").as("vec_id"), col("v").as("__v"), col("cell")),
+          "vec_id", tau = 0.3).count())
+        t("gate_verbatim")(
+          SparkEntry.queries("s_semdedup")(spark, sfDir).count())
+      case "benchworkloads" =>
+        // The Bench serving loops, runnable under GRAFT_PROFILE_CONF for
+        // conf A/B (e.g. codegen on/off) without touching the driver's
+        // Bench entry point. Prints each metric's rep array.
+        def wl(label: String)(reps: => Seq[Double]): Unit = {
+          val rs = try reps catch { case e: Throwable =>
+            e.printStackTrace(); Seq.empty[Double] }
+          println(f"PROFILE benchworkloads:$label " +
+            rs.map(r => f"$r%.2f").mkString(" "))
+        }
+        wl("qps")(Bench.workloadQps(spark, sfDir))
+        wl("topk")(Bench.workloadTopkQps(spark, sfDir))
+        wl("sweep")(Bench.sweepUsersPerSec(spark, sfDir))
+        wl("view")(Bench.viewQps(spark, sfDir))
+        wl("hybrid")(Bench.hybridQps(spark, sfDir))
       case s if s.startsWith("jobstats:") =>
         // Overhead attribution for one gate: jobs launched, stages, tasks,
         // summed executor task time vs wall clock — the gap is driver-side
