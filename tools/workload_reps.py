@@ -35,7 +35,11 @@ def one_rep(sf_dir: str) -> dict:
         raise RuntimeError(
             "no bench line in output; tail:\n" + out.stdout[-2000:])
     d = json.loads(re.sub(r"\[info\] ", "", line))
-    return {k: d[k] for k in WORKLOAD_KEYS}
+    r = {k: d[k] for k in WORKLOAD_KEYS}
+    # per-loop rep arrays (loop 1 = cold C2, loop 3 = steady) ride the
+    # workloads-only compact line — keep them for cold/steady reporting
+    r["_loops"] = d.get("workloads_reps", {})
+    return r
 
 
 def main() -> None:
@@ -47,20 +51,35 @@ def main() -> None:
         r = one_rep(sf_dir)
         print(f"rep {i + 1}/{reps}: {r}", flush=True)
         rows.append(r)
+    LOOP_KEY = {"workload_qps": "qps", "workload_topk_qps": "topk",
+                "workload_view_qps": "view",
+                "workload_sweep_users_per_sec": "sweep",
+                "workload_hybrid_qps": "hybrid"}
     stats = {}
     for k in WORKLOAD_KEYS:
         vs = sorted(r[k] for r in rows)
+        # cold-start vs steady-state (VERDICT r14 #7): loop 1 of a fresh
+        # JVM is the cold-C2 number a deployment pays on its first
+        # queries; the final loop is steady-state. Averaged across the
+        # fresh-JVM reps.
+        loops = [r["_loops"].get(LOOP_KEY[k], []) for r in rows]
+        firsts = [l[0] for l in loops if l]
+        lasts = [l[-1] for l in loops if l]
         stats[k] = {
             "reps": [r[k] for r in rows],
             "min": vs[0],
             "median": vs[len(vs) // 2],
             "max": vs[-1],
             "spread_pct": (vs[-1] - vs[0]) / vs[-1] * 100 if vs[-1] else 0,
+            "cold_start": sum(firsts) / len(firsts) if firsts else None,
+            "steady_state": sum(lasts) / len(lasts) if lasts else None,
         }
     art = {
         "protocol": f"{reps}x fresh-JVM `runMain graft.Bench workloads` "
                     "reps; per-metric min/median/max across JVMs (each "
-                    "metric is the median of 3 loops within its JVM)",
+                    "metric is the median of 3 loops within its JVM); "
+                    "cold_start = mean of each JVM's loop 1 (cold C2), "
+                    "steady_state = mean of each JVM's final loop",
         "sf": sf_dir,
         "metrics": stats,
     }
