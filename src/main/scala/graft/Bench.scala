@@ -333,16 +333,21 @@ object Bench {
         TextOps.textEmbedding(col("text"), 8).as("embedding"))
       val cents = Ann.ivfCentroidsFromDf(
         Ann.ivfTrainBalanced(embCorpus, "embedding")._1)
-      (0 until 3).foreach { g =>
-        SearchIndexMaintainer.processBatch(
-          corpus.where(col("doc_id") % 3 === g), g.toLong, "doc_id", "text",
-          s"$base/postings")
-        AnnIndexMaintainer.processBatch(
-          embCorpus.where(col("vec_id") % 3 === g), g.toLong, "vec_id",
-          "embedding", cents, s"$base/index", roundScale = 6)
-      }
-      SearchIndexMaintainer.compact(spark, "doc_id", s"$base/postings")
-      AnnIndexMaintainer.compact(spark, s"$base/index")
+      // untimed state prelude: disjoint b<g>/ writes on two disjoint
+      // states — overlap them (guide §2.6), same bytes either way
+      graft.Exec.inParallel((0 until 3).flatMap { g =>
+        Seq[() => Unit](
+          () => SearchIndexMaintainer.processBatch(
+            corpus.where(col("doc_id") % 3 === g), g.toLong, "doc_id",
+            "text", s"$base/postings"),
+          () => AnnIndexMaintainer.processBatch(
+            embCorpus.where(col("vec_id") % 3 === g), g.toLong, "vec_id",
+            "embedding", cents, s"$base/index", roundScale = 6))
+      }: _*)
+      graft.Exec.inParallel(
+        () => SearchIndexMaintainer.compact(spark, "doc_id",
+          s"$base/postings"),
+        () => AnnIndexMaintainer.compact(spark, s"$base/index"))
       // the serving tier loads the maintained state RESIDENT once (the
       // viewQps discipline: columnar state in memory, corpus stats
       // precomputed). Lucene's serving layout applied to the postings

@@ -93,6 +93,36 @@ object Exec {
     r
   }
 
+  /** Run independent Spark actions concurrently (optimization guide §2.6:
+    * the scheduler happily overlaps jobs; actions are only sequential
+    * because driver code calls them sequentially). For state construction
+    * whose steps write DISJOINT dirs (per-batch `b<g>/` dirs, two legs'
+    * separate states), ordering is irrelevant to the bytes produced — each
+    * dir is byte-identical either way — so the only effect is wall clock:
+    * one step's task tail no longer leaves the executors idle while the
+    * next independent step waits. All bodies are awaited (even on
+    * failure) before the first error is rethrown, so no caller ever
+    * observes a write still in flight.
+    */
+  def inParallel(bodies: (() => Unit)*): Unit = {
+    if (bodies.sizeIs <= 1) { bodies.foreach(_()); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(bodies.size)
+    try {
+      val errs = bodies
+        .map(b => pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = b()
+        }))
+        .flatMap { f =>
+          try { f.get(); None }
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              Option(e.getCause).orElse(Some(e))
+          }
+        }
+      errs.headOption.foreach(e => throw e)
+    } finally pool.shutdown()
+  }
+
   /** Recursive local-path delete (model/state/sink swap dirs). */
   def deletePath(path: String): Unit = {
     def rm(f: java.io.File): Unit = {

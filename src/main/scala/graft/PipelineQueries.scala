@@ -237,13 +237,14 @@ object PipelineQueries {
         .parquet(annArtifactBase(d) + "/" + sub)
       val cents0 = Ann.ivfCentroidsFromDf(
         s.read.parquet(annArtifactBase(d) + "/" + sub))
-      (0 until 3).foreach { g =>
-        graft.streaming.AnnIndexMaintainer.processBatchMonitored(
+      // disjoint b<g>/ + m/b<g> writes — overlap (guide §2.6); the
+      // trained-marker value is batch-independent, stamped after
+      graft.Exec.inParallel((0 until 3).map { g =>
+        () => graft.streaming.AnnIndexMaintainer.processBatchMonitored(
           e.where(col("vec_id") % 3 === g), g.toLong, "vec_id",
           "embedding", cents0, s"$base/idx")
-        if (g == 0)
-          graft.streaming.AnnIndexMaintainer.markTrained(s"$base/idx", 0L)
-      }
+      }: _*)
+      graft.streaming.AnnIndexMaintainer.markTrained(s"$base/idx", 0L)
       s"$base/idx"
     })
 
@@ -272,13 +273,12 @@ object PipelineQueries {
         .parquet(annArtifactBase(d) + "/tail_boot_cents")
       val cents0 = Ann.ivfCentroidsFromDf(
         s.read.parquet(annArtifactBase(d) + "/tail_boot_cents"))
-      (0 until 3).foreach { g =>
-        graft.streaming.AnnIndexMaintainer.processBatchMonitored(
+      graft.Exec.inParallel((0 until 3).map { g =>
+        () => graft.streaming.AnnIndexMaintainer.processBatchMonitored(
           e.where(col("vec_id") % 3 === g), g.toLong, "vec_id",
           "embedding", cents0, s"$base/idx")
-        if (g == 1)
-          graft.streaming.AnnIndexMaintainer.markTrained(s"$base/idx", 1L)
-      }
+      }: _*)
+      graft.streaming.AnnIndexMaintainer.markTrained(s"$base/idx", 1L)
       s"$base/idx"
     })
 
@@ -431,12 +431,12 @@ object PipelineQueries {
                 x => x + lit(EmbShift)))
             .otherwise(col("embedding").cast("array<double>"))
           else col("embedding").cast("array<double>")).as("embedding"))
-        (0 until 3).foreach { g =>
-          m.processBatchPqMonitored(e.where(col("vec_id") % 3 === g),
+        graft.Exec.inParallel((0 until 3).map { g =>
+          () => m.processBatchPqMonitored(e.where(col("vec_id") % 3 === g),
             g.toLong, "vec_id", "embedding", cents, cb, base,
             roundScale = 6)
-          if (g == 1) m.markTrained(base, 1L)
-        }
+        }: _*)
+        m.markTrained(base, 1L)
         base
       }
       (build(spliced = false), build(spliced = true))
@@ -469,11 +469,11 @@ object PipelineQueries {
           transform(col("embedding").cast("array<double>"),
             x => x - lit(EmbShift)))
         .otherwise(col("embedding").cast("array<double>")).as("embedding"))
-      (0 until 3).foreach { g =>
-        m.processBatchPqMonitored(e.where(col("vec_id") % 4 === g),
+      graft.Exec.inParallel((0 until 3).map { g =>
+        () => m.processBatchPqMonitored(e.where(col("vec_id") % 4 === g),
           g.toLong, "vec_id", "embedding", cents, cb, base, roundScale = 6)
-        if (g == 1) m.markTrained(base, 1L)
-      }
+      }: _*)
+      m.markTrained(base, 1L)
       // the growth covers the first drifted region; growB = 3
       m.growPq(s, base, cents, kNew = 8, roundScale = 6)
         .coalesce(1).write.mode("overwrite")
@@ -513,13 +513,12 @@ object PipelineQueries {
       val cents0 = Ann.ivfCentroidsFromDf(
         s.read.parquet(annArtifactBase(d) + "/growpq_boot_cents"))
       val cb = pqCodebookCopy(s, d, "growpq_codebook")
-      (0 until 3).foreach { g =>
-        graft.streaming.AnnIndexMaintainer.processBatchPq(
+      graft.Exec.inParallel((0 until 3).map { g =>
+        () => graft.streaming.AnnIndexMaintainer.processBatchPq(
           spliced.where(col("vec_id") % 3 === g), g.toLong, "vec_id",
           "embedding", cents0, cb, idxBase, roundScale = 6)
-        if (g == 1)
-          graft.streaming.AnnIndexMaintainer.markTrained(idxBase, 1L)
-      }
+      }: _*)
+      graft.streaming.AnnIndexMaintainer.markTrained(idxBase, 1L)
       graft.streaming.AnnIndexMaintainer.growPq(s, idxBase, cents0,
           kNew = 8, roundScale = 6)
         .coalesce(1).write.mode("overwrite")
@@ -550,11 +549,11 @@ object PipelineQueries {
       graft.Exec.deletePath(base)
       val cents0 = sizedCentsFor(s, d)
       val cb0 = pqCodebookFor(s, d)
-      (0 until 3).foreach { g =>
-        graft.streaming.AnnIndexMaintainer.processBatchPq(
+      graft.Exec.inParallel((0 until 3).map { g =>
+        () => graft.streaming.AnnIndexMaintainer.processBatchPq(
           spliced.where(col("vec_id") % 3 === g), g.toLong, "vec_id",
           "embedding", cents0, cb0, s"$base/idx", roundScale = 6)
-      }
+      }: _*)
       graft.streaming.AnnIndexMaintainer.compactPq(s, s"$base/idx")
       val (cdf, cbDf) = graft.streaming.AnnIndexMaintainer.retrainPq(
         s, s"$base/idx", s"$base/idx2", m = 8, kCode = 32, roundScale = 6)
@@ -806,13 +805,18 @@ object PipelineQueries {
       graft.Exec.deletePath(base)
       val e = emb(s, d)
       val cents = sizedCentsFor(s, d)
-      (0 until 3).foreach { g =>
-        graft.streaming.AnnIndexMaintainer.processBatch(
+      // waves 0-1 are disjoint writes — overlap them; the mid-stream
+      // fold then sees exactly {b0, b1} (upTo = 0, same as sequential),
+      // and wave 2 lands after, preserving the pinned layout
+      graft.Exec.inParallel((0 until 2).map { g =>
+        () => graft.streaming.AnnIndexMaintainer.processBatch(
           e.where(col("vec_id") % 3 === g), g.toLong, "vec_id", "embedding",
           cents, s"$base/index", roundScale = 6)
-        if (g == 1)
-          graft.streaming.AnnIndexMaintainer.compact(s, s"$base/index")
-      }
+      }: _*)
+      graft.streaming.AnnIndexMaintainer.compact(s, s"$base/index")
+      graft.streaming.AnnIndexMaintainer.processBatch(
+        e.where(col("vec_id") % 3 === 2), 2L, "vec_id", "embedding",
+        cents, s"$base/index", roundScale = 6)
       s"$base/index"
     })
 
@@ -833,11 +837,11 @@ object PipelineQueries {
       graft.Exec.deletePath(base)
       val e = emb(s, d)
       val cents = sizedCentsCopy(s, d, "asof_centroids_s")
-      (0 until 3).foreach { g =>
-        graft.streaming.AnnIndexMaintainer.processBatch(
+      graft.Exec.inParallel((0 until 3).map { g =>
+        () => graft.streaming.AnnIndexMaintainer.processBatch(
           e.where(col("vec_id") % 3 === g), g.toLong, "vec_id", "embedding",
           cents, s"$base/index")
-      }
+      }: _*)
       // fold EVERYTHING (upTo = the newest batch): the as-of slice must
       // come out of the consolidated dir, not surviving batch dirs
       graft.streaming.AnnIndexMaintainer.compact(s, s"$base/index", Some(2L))
@@ -872,11 +876,12 @@ object PipelineQueries {
       val cents0 = Ann.ivfCentroidsFromDf(
         s.read.parquet(annArtifactBase(d) + "/pqauto_boot_cents"))
       val cb = pqCodebookCopy(s, d, "pqauto_codebook")
-      (0 until 3).foreach { g =>
-        m.processBatchPq(spliced.where(col("vec_id") % 3 === g), g.toLong,
-          "vec_id", "embedding", cents0, cb, s"$base/idx", roundScale = 6)
-        if (g == 1) m.markTrained(s"$base/idx", 1L)
-      }
+      graft.Exec.inParallel((0 until 3).map { g =>
+        () => m.processBatchPq(spliced.where(col("vec_id") % 3 === g),
+          g.toLong, "vec_id", "embedding", cents0, cb, s"$base/idx",
+          roundScale = 6)
+      }: _*)
+      m.markTrained(s"$base/idx", 1L)
       m.persistCentroids(s, s"$base/idx", 0L,
         s.read.parquet(annArtifactBase(d) + "/pqauto_boot_cents"))
       m.persistCodebook(s, s"$base/idx", 0L,
@@ -904,11 +909,11 @@ object PipelineQueries {
       val e = emb(s, d)
       val cents = sizedCentsCopy(s, d, "pqasof_cents")
       val cb = pqCodebookCopy(s, d, "pqasof_codebook")
-      (0 until 3).foreach { g =>
-        graft.streaming.AnnIndexMaintainer.processBatchPq(
+      graft.Exec.inParallel((0 until 3).map { g =>
+        () => graft.streaming.AnnIndexMaintainer.processBatchPq(
           e.where(col("vec_id") % 3 === g), g.toLong, "vec_id", "embedding",
           cents, cb, s"$base/index", roundScale = 6)
-      }
+      }: _*)
       graft.streaming.AnnIndexMaintainer.compactPq(s, s"$base/index",
         Some(2L))
       s"$base/index"
@@ -937,12 +942,15 @@ object PipelineQueries {
       val idxBase = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         "graft_stream_annlearned", Tables.runKey(d)).toString
       graft.Exec.deletePath(idxBase)
-      (0 until 3).foreach { g =>
-        graft.streaming.AnnIndexMaintainer.processBatch(
+      graft.Exec.inParallel((0 until 2).map { g =>
+        () => graft.streaming.AnnIndexMaintainer.processBatch(
           proj.where(col("vec_id") % 3 === g), g.toLong, "vec_id", "pv",
           cents, idxBase)
-        if (g == 1) graft.streaming.AnnIndexMaintainer.compact(s, idxBase)
-      }
+      }: _*)
+      graft.streaming.AnnIndexMaintainer.compact(s, idxBase)
+      graft.streaming.AnnIndexMaintainer.processBatch(
+        proj.where(col("vec_id") % 3 === 2), 2L, "vec_id", "pv",
+        cents, idxBase)
       (w, cents, idxBase)
     })
 
@@ -976,20 +984,31 @@ object PipelineQueries {
         .parquet(annArtifactBase(d) + "/hybrid_centroids_s")
       val cents = Ann.ivfCentroidsFromDf(
         s.read.parquet(annArtifactBase(d) + "/hybrid_centroids_s"))
-      (0 until 3).foreach { g =>
-        graft.streaming.SearchIndexMaintainer.processBatch(
-          corpus.where(col("doc_id") % 3 === g), g.toLong, "doc_id", "text",
-          s"$base/postings")
-        graft.streaming.AnnIndexMaintainer.processBatch(
-          embCorpus.where(col("vec_id") % 3 === g), g.toLong, "vec_id",
-          "embedding", cents, s"$base/index", roundScale = 6)
+      // the six per-batch writes land in DISJOINT b<g>/ dirs on two
+      // disjoint states — overlap them (guide §2.6, [[Exec.inParallel]]);
+      // each dir's bytes are order-independent. stage lines attribute the
+      // build in the driver's own log (the r15 driver artifact priced the
+      // first hybrid consumer at 41.6 s with no visibility into why).
+      graft.Exec.stage("hybridState.ingest3") {
+        graft.Exec.inParallel((0 until 3).flatMap { g =>
+          Seq[() => Unit](
+            () => graft.streaming.SearchIndexMaintainer.processBatch(
+              corpus.where(col("doc_id") % 3 === g), g.toLong, "doc_id",
+              "text", s"$base/postings"),
+            () => graft.streaming.AnnIndexMaintainer.processBatch(
+              embCorpus.where(col("vec_id") % 3 === g), g.toLong, "vec_id",
+              "embedding", cents, s"$base/index", roundScale = 6))
+        }: _*)
       }
       // fold at max−1: the newest batch stays replayable, so serving runs
       // off (sidecar + delta) on the sparse leg and (c-dir + b-dir) on the
       // dense leg — the production read shape, not the all-folded one
-      graft.streaming.SearchIndexMaintainer.compact(s, "doc_id",
-        s"$base/postings")
-      graft.streaming.AnnIndexMaintainer.compact(s, s"$base/index")
+      graft.Exec.stage("hybridState.fold2") {
+        graft.Exec.inParallel(
+          () => graft.streaming.SearchIndexMaintainer.compact(s, "doc_id",
+            s"$base/postings"),
+          () => graft.streaming.AnnIndexMaintainer.compact(s, s"$base/index"))
+      }
       (base, cents)
     })
 
@@ -1019,12 +1038,16 @@ object PipelineQueries {
         .parquet(annArtifactBase(d) + "/hybridpq_codebook")
       val cb = Ann.pqCodebookFromDf(
         s.read.parquet(annArtifactBase(d) + "/hybridpq_codebook"))
-      (0 until 3).foreach { g =>
-        graft.streaming.AnnIndexMaintainer.processBatchPq(
-          embCorpus.where(col("vec_id") % 3 === g), g.toLong, "vec_id",
-          "embedding", cents, cb, s"$base/index", roundScale = 6)
+      // disjoint b<g>/ writes — overlap (guide §2.6); bytes order-free
+      graft.Exec.stage("hybridPqState.ingest3") {
+        graft.Exec.inParallel((0 until 3).map { g =>
+          () => graft.streaming.AnnIndexMaintainer.processBatchPq(
+            embCorpus.where(col("vec_id") % 3 === g), g.toLong, "vec_id",
+            "embedding", cents, cb, s"$base/index", roundScale = 6)
+        }: _*)
       }
-      graft.streaming.AnnIndexMaintainer.compactPq(s, s"$base/index")
+      graft.Exec.stage("hybridPqState.fold")(
+        graft.streaming.AnnIndexMaintainer.compactPq(s, s"$base/index"))
       (s"$base/index", cb)
     })
 
@@ -1056,14 +1079,16 @@ object PipelineQueries {
       val embCorpus = corpus.select(col("doc_id").as("vec_id"),
         TextOps.textEmbedding(col("text"), 8).as("embedding"),
         lbl.as("label"))
-      Tower.ridgeHead(embCorpus, "embedding", "label")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(annArtifactBase(d) + "/hybrid_tower_w")
+      graft.Exec.stage("hybridLearnedState.ridge")(
+        Tower.ridgeHead(embCorpus, "embedding", "label")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(annArtifactBase(d) + "/hybrid_tower_w"))
       val w = Tower.weightsFromDf(
         s.read.parquet(annArtifactBase(d) + "/hybrid_tower_w"))
       val proj = embCorpus.select(col("vec_id"),
         Tower.project(col("embedding"), w).as("pv"))
-      val (cdf, _) = Ann.ivfTrainBalanced(proj, "pv")
+      val cdf = graft.Exec.stage("hybridLearnedState.quantizer")(
+        Ann.ivfTrainBalanced(proj, "pv")._1)
       cdf.coalesce(1).write.mode("overwrite")
         .parquet(annArtifactBase(d) + "/hybrid_learned_cents")
       val cents = Ann.ivfCentroidsFromDf(
@@ -1071,12 +1096,16 @@ object PipelineQueries {
       val idxBase = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         "graft_stream_hyblearned", Tables.runKey(d)).toString
       graft.Exec.deletePath(idxBase)
-      (0 until 3).foreach { g =>
-        graft.streaming.AnnIndexMaintainer.processBatch(
-          proj.where(col("vec_id") % 3 === g), g.toLong, "vec_id", "pv",
-          cents, idxBase, roundScale = 6)
+      // disjoint b<g>/ writes — overlap (guide §2.6); bytes order-free
+      graft.Exec.stage("hybridLearnedState.ingest3") {
+        graft.Exec.inParallel((0 until 3).map { g =>
+          () => graft.streaming.AnnIndexMaintainer.processBatch(
+            proj.where(col("vec_id") % 3 === g), g.toLong, "vec_id", "pv",
+            cents, idxBase, roundScale = 6)
+        }: _*)
       }
-      graft.streaming.AnnIndexMaintainer.compact(s, idxBase)
+      graft.Exec.stage("hybridLearnedState.fold")(
+        graft.streaming.AnnIndexMaintainer.compact(s, idxBase))
       (w, cents, idxBase)
     })
 
@@ -1128,11 +1157,11 @@ object PipelineQueries {
         "graft_stream_bm25asof", Tables.runKey(d)).toString
       graft.Exec.deletePath(base)
       val dd = docs(s, d)
-      (0 until 3).foreach { g =>
-        graft.streaming.SearchIndexMaintainer.processBatch(
+      graft.Exec.inParallel((0 until 3).map { g =>
+        () => graft.streaming.SearchIndexMaintainer.processBatch(
           dd.where(col("doc_id") % 3 === g), g.toLong, "doc_id", "text",
           s"$base/state")
-      }
+      }: _*)
       graft.streaming.SearchIndexMaintainer.compact(s, "doc_id",
         s"$base/state", Some(2L))
       s"$base/state"
@@ -1151,14 +1180,16 @@ object PipelineQueries {
         "graft_stream_bm25", Tables.runKey(d)).toString
       graft.Exec.deletePath(base)
       val dd = docs(s, d)
-      (0 until 3).foreach { g =>
-        graft.streaming.SearchIndexMaintainer.processBatch(
+      graft.Exec.inParallel((0 until 2).map { g =>
+        () => graft.streaming.SearchIndexMaintainer.processBatch(
           dd.where(col("doc_id") % 3 === g), g.toLong, "doc_id", "text",
           s"$base/state")
-        if (g == 1)
-          graft.streaming.SearchIndexMaintainer.compact(s, "doc_id",
-            s"$base/state")
-      }
+      }: _*)
+      graft.streaming.SearchIndexMaintainer.compact(s, "doc_id",
+        s"$base/state")
+      graft.streaming.SearchIndexMaintainer.processBatch(
+        dd.where(col("doc_id") % 3 === 2), 2L, "doc_id", "text",
+        s"$base/state")
       s"$base/state"
     })
 
@@ -1720,11 +1751,11 @@ object PipelineQueries {
       // whole fold + search; the oracle covers the FULL corpus, so the
       // wave partition is unobservable — 2 batches pin it at 2/3 the
       // state writes
-      (0 until 2).foreach { g =>
-        graft.streaming.AnnIndexMaintainer.processBatch(
+      graft.Exec.inParallel((0 until 2).map { g =>
+        () => graft.streaming.AnnIndexMaintainer.processBatch(
           e.where(col("vec_id") % 2 === g), g.toLong, "vec_id", "embedding",
           cents, idxBase)
-      }
+      }: _*)
       graft.streaming.AnnIndexMaintainer.compact(s, idxBase)
       val queries = e.where(col("vec_id") < 5)
         .selectExpr("vec_id", "cast(embedding as array<double>) as v")
@@ -1747,11 +1778,11 @@ object PipelineQueries {
         "graft_stream_ivfpq", Tables.runKey(d)).toString
       graft.Exec.deletePath(idxBase)
       // 2 ingest waves — the s_knn_ivf rule (full-corpus oracle)
-      (0 until 2).foreach { g =>
-        graft.streaming.AnnIndexMaintainer.processBatchPq(
+      graft.Exec.inParallel((0 until 2).map { g =>
+        () => graft.streaming.AnnIndexMaintainer.processBatchPq(
           e.where(col("vec_id") % 2 === g), g.toLong, "vec_id", "embedding",
           cents, cb, idxBase, roundScale = 6)
-      }
+      }: _*)
       graft.streaming.AnnIndexMaintainer.compactPq(s, idxBase)
       val queries = e.where(col("vec_id") < 5)
         .selectExpr("vec_id", "cast(embedding as array<double>) as v")
@@ -2124,11 +2155,11 @@ object PipelineQueries {
       val spliced = docs(s, d).select(col("doc_id"),
         when(col("doc_id") % 3 === 2, concat(col("text"), lit(DriftPhrase)))
           .otherwise(col("text")).as("text"))
-      (0 until 3).foreach { g =>
-        graft.ops.Bpe.wordFreq(
+      graft.Exec.inParallel((0 until 3).map { g =>
+        () => graft.ops.Bpe.wordFreq(
           spliced.where(col("doc_id") % 3 === g), "doc_id", "text")
           .write.mode("overwrite").parquet(s"$base/cur/freq/b$g")
-      }
+      }: _*)
       new java.io.File(s"$base/cur", "selbase0").mkdirs()
       import graft.streaming.MaintenancePlanner.{AnnSpec, CurateSpec,
         DeltaSpec, ShardSpec}
@@ -2430,12 +2461,17 @@ object PipelineQueries {
       // BM25's N/avgdl/df shifted retroactively — the same read-state
       // contract the 3-wave protocol pinned, at 2/3 the state writes.
       (0 until 2).map { g =>
-        graft.streaming.SearchIndexMaintainer.processBatch(
-          corpus.where(col("doc_id") % 2 === g), g.toLong, "doc_id", "text",
-          s"$base/postings")
-        graft.streaming.AnnIndexMaintainer.processBatch(
-          embCorpus.where(col("vec_id") % 2 === g), g.toLong, "vec_id",
-          "embedding", cents, s"$base/index", roundScale = 6)
+        // the wave's TWO legs write disjoint states; the serve needs both
+        // committed, not ordered — overlap them (guide §2.6). The
+        // wave→serve→fold sequence itself stays strictly ordered (the
+        // read-your-writes contract under test).
+        graft.Exec.inParallel(
+          () => graft.streaming.SearchIndexMaintainer.processBatch(
+            corpus.where(col("doc_id") % 2 === g), g.toLong, "doc_id",
+            "text", s"$base/postings"),
+          () => graft.streaming.AnnIndexMaintainer.processBatch(
+            embCorpus.where(col("vec_id") % 2 === g), g.toLong, "vec_id",
+            "embedding", cents, s"$base/index", roundScale = 6))
         val sparse = graft.streaming.SearchIndexMaintainer.searchBatch(
           s, s"$base/postings", "doc_id", qterms, "qid", "term", k = 10)
           .select(col("qid"), col("doc_id"), col("rank"))
@@ -2449,9 +2485,12 @@ object PipelineQueries {
             .select(lit(g.toLong).as("wave"), col("qid"), col("doc_id"),
               col("rrf"), col("rank")))
         if (g == 0) {
-          graft.streaming.SearchIndexMaintainer.compact(s, "doc_id",
-            s"$base/postings")
-          graft.streaming.AnnIndexMaintainer.compact(s, s"$base/index")
+          // two disjoint states' folds — overlap (guide §2.6)
+          graft.Exec.inParallel(
+            () => graft.streaming.SearchIndexMaintainer.compact(s, "doc_id",
+              s"$base/postings"),
+            () => graft.streaming.AnnIndexMaintainer.compact(s,
+              s"$base/index"))
         }
         served
       }.reduce(_ unionByName _)
@@ -2563,19 +2602,22 @@ object PipelineQueries {
       graft.Exec.deletePath(base)
       val all = docs(s, d)
       val train = all.where(col("doc_id") >= 25)
-      (0 until 3).foreach { g =>
-        val passages = train.where(col("doc_id") % 3 === g)
-          .select(col("doc_id"),
-            explode(TextOps.slidingChunks(col("text"), width = 20,
-              stride = 10)).as("c"))
-          .select((col("doc_id") * 100000L + col("c.chunk_idx")).as("pid"),
-            col("c.chunk").as("ptext"))
-        graft.streaming.SearchIndexMaintainer.processBatch(
-          passages, g.toLong, "pid", "ptext", s"$base/state")
-        if (g == 1)
-          graft.streaming.SearchIndexMaintainer.compact(s, "pid",
-            s"$base/state")
-      }
+      def passagesOf(g: Int) = train.where(col("doc_id") % 3 === g)
+        .select(col("doc_id"),
+          explode(TextOps.slidingChunks(col("text"), width = 20,
+            stride = 10)).as("c"))
+        .select((col("doc_id") * 100000L + col("c.chunk_idx")).as("pid"),
+          col("c.chunk").as("ptext"))
+      // waves 0-1 are disjoint writes — overlap (guide §2.6); the fold
+      // then sees exactly {b0, b1} as before, and wave 2 lands after
+      graft.Exec.inParallel((0 until 2).map { g =>
+        () => graft.streaming.SearchIndexMaintainer.processBatch(
+          passagesOf(g), g.toLong, "pid", "ptext", s"$base/state")
+      }: _*)
+      graft.streaming.SearchIndexMaintainer.compact(s, "pid",
+        s"$base/state")
+      graft.streaming.SearchIndexMaintainer.processBatch(
+        passagesOf(2), 2L, "pid", "ptext", s"$base/state")
       val q = all.where(col("doc_id") < 25)
         .select(col("doc_id").as("eval_id"),
           explode(TextOps.tokens(col("text"))).as("term")).distinct()
@@ -2921,14 +2963,18 @@ object PipelineQueries {
         "graft_stream_clip", Tables.runKey(d)).toString
       graft.Exec.deletePath(base)
       val dd = docs(s, d)
-      (0 until 3).foreach { g =>
-        graft.streaming.ClipPairMaintainer.processBatch(
+      // waves 0-1 are disjoint writes — overlap (guide §2.6); fold
+      // placement unchanged (sees {b0, b1}), wave 2 after
+      graft.Exec.inParallel((0 until 2).map { g =>
+        () => graft.streaming.ClipPairMaintainer.processBatch(
           dd.where(col("doc_id") % 3 === g), g.toLong, "doc_id", "text",
           minQuality = 1.0, keepLang = "en", s"$base/state")
-        if (g == 1)
-          graft.streaming.ClipPairMaintainer.compact(s, "doc_id",
-            s"$base/state")
-      }
+      }: _*)
+      graft.streaming.ClipPairMaintainer.compact(s, "doc_id",
+        s"$base/state")
+      graft.streaming.ClipPairMaintainer.processBatch(
+        dd.where(col("doc_id") % 3 === 2), 2L, "doc_id", "text",
+        minQuality = 1.0, keepLang = "en", s"$base/state")
       val media = graft.ops.Multimodal.syntheticMedia(s, 200)
       graft.streaming.ClipPairMaintainer.pairs(s, s"$base/state", media,
           "doc_id", dim = 8, seed = 42L)
@@ -3716,12 +3762,14 @@ object PipelineQueries {
         "graft_stream_semdedup", Tables.runKey(d)).toString
       graft.Exec.deletePath(base)
       val e = emb(s, d)
-      // 2 ingest waves — the s_knn_ivf rule (full-corpus oracle)
-      (0 until 2).foreach { g =>
-        graft.streaming.AnnIndexMaintainer.processBatch(
+      // 2 ingest waves — the s_knn_ivf rule (full-corpus oracle). No
+      // serve interleaves them and the b0/b1 dirs are disjoint, so the
+      // two writes overlap (guide §2.6) — bytes identical either way.
+      graft.Exec.inParallel((0 until 2).map { g =>
+        () => graft.streaming.AnnIndexMaintainer.processBatch(
           e.where(col("vec_id") % 2 === g), g.toLong, "vec_id", "embedding",
           cents, s"$base/index", roundScale = 6)
-      }
+      }: _*)
       graft.streaming.AnnIndexMaintainer.compact(s, s"$base/index")
       Ann.semDedupAssigned(
         graft.streaming.AnnIndexMaintainer.readIndex(s, s"$base/index")
@@ -3799,11 +3847,13 @@ object PipelineQueries {
         "graft_stream_exact", Tables.runKey(d)).toString
       graft.Exec.deletePath(base)
       val dd = docs(s, d).select(col("doc_id"), col("text"))
-      (0 until 3).foreach { g =>
-        graft.streaming.ExactDedupMaintainer.processBatch(
+      // disjoint per-batch partial-aggregate dirs, no interleaved reads —
+      // overlap the three writes (guide §2.6); bytes order-independent
+      graft.Exec.inParallel((0 until 3).map { g =>
+        () => graft.streaming.ExactDedupMaintainer.processBatch(
           dd.where(col("doc_id") % 3 === g), g.toLong, "doc_id", "text",
           s"$base/state")
-      }
+      }: _*)
       graft.streaming.ExactDedupMaintainer.compact(s, s"$base/state")
       graft.streaming.ExactDedupMaintainer.representatives(s, s"$base/state")
     }),
@@ -3817,11 +3867,13 @@ object PipelineQueries {
         "graft_stream_substr", Tables.runKey(d)).toString
       graft.Exec.deletePath(base)
       val dd = docs(s, d).select(col("doc_id"), col("text"))
-      (0 until 3).foreach { g =>
-        graft.streaming.SubstrIndexMaintainer.processBatch(
+      // disjoint per-batch window-digest dirs, no interleaved reads —
+      // overlap the three writes (guide §2.6); bytes order-independent
+      graft.Exec.inParallel((0 until 3).map { g =>
+        () => graft.streaming.SubstrIndexMaintainer.processBatch(
           dd.where(col("doc_id") % 3 === g), g.toLong, "doc_id", "text",
           30, s"$base/index")
-      }
+      }: _*)
       graft.streaming.SubstrIndexMaintainer.compact(s, s"$base/index")
       graft.streaming.SubstrIndexMaintainer.spans(s, s"$base/index", 30)
     }),

@@ -662,6 +662,91 @@ object Profile {
           graft.streaming.AnnIndexMaintainer.processBatch(half, 0L,
             "vec_id", "embedding", cents, s"$base/index", roundScale = 6)
         }
+      case "denseingest2" =>
+        // Round-16 attribution of the ~14 ms/partition-dir dynamic-write
+        // overhead: wall vs summed task time per variant — the gap is
+        // driver-side (commit protocol, scheduling); task-side shows up in
+        // the sum. Variants probe the plausible levers without touching
+        // the layout contract.
+        import org.apache.spark.sql.functions._
+        import graft.ops.TextOps
+        val cents = PipelineQueries.hybridCentsProbe(spark, sfDir)
+        val corpus = Tables.read(spark, sfDir, "documents")
+          .where(col("doc_id") >= 25 && col("doc_id") < 2000)
+        val embCorpus = corpus.select(col("doc_id").as("vec_id"),
+          TextOps.textEmbedding(col("text"), 8).as("embedding"))
+        val half = embCorpus.where(col("vec_id") % 2 === 0)
+        val assigned = half.select(col("vec_id").cast("long").as("id"),
+            col("embedding").cast("array<double>").as("v"))
+          .withColumn("batch_id", lit(0L))
+          .withColumn("cell", graft.functions.VectorFns.nearestCellNative(
+            col("v"), cents, 6))
+        val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          "graft_prof_denseingest2").toString
+        val jobs = new java.util.concurrent.atomic.AtomicInteger
+        val tasks = new java.util.concurrent.atomic.AtomicInteger
+        val taskTimeMs = new java.util.concurrent.atomic.AtomicLong
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            jobs.incrementAndGet(); ()
+          }
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            Option(te.taskInfo).foreach { ti =>
+              tasks.incrementAndGet(); taskTimeMs.addAndGet(ti.duration) }
+            ()
+          }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        def tt(label: String)(body: => Unit): Unit = {
+          (1 to reps).foreach { i =>
+            jobs.set(0); tasks.set(0); taskTimeMs.set(0)
+            val t0 = System.nanoTime(); body
+            val wall = (System.nanoTime() - t0) / 1e9
+            Thread.sleep(300)
+            println(f"PROFILE di2:$label rep$i wall=$wall%.2f " +
+              f"jobs=${jobs.get} tasks=${tasks.get} " +
+              f"taskSum=${taskTimeMs.get / 1000.0}%.2f")
+          }
+        }
+        def fresh(body: String => Unit): Unit = {
+          graft.Exec.deletePath(base); body(s"$base/part")
+        }
+        tt("part_base")(fresh { p =>
+          assigned.repartition(col("cell"))
+            .write.mode("overwrite").partitionBy("cell").parquet(p) })
+        tt("part_sorted")(fresh { p =>
+          assigned.repartition(col("cell")).sortWithinPartitions("cell")
+            .write.mode("overwrite").partitionBy("cell").parquet(p) })
+        val hc = spark.sparkContext.hadoopConfiguration
+        tt("part_v2")(fresh { p =>
+          hc.set("mapreduce.fileoutputcommitter.algorithm.version", "2")
+          try assigned.repartition(col("cell"))
+            .write.mode("overwrite").partitionBy("cell").parquet(p)
+          finally hc.set(
+            "mapreduce.fileoutputcommitter.algorithm.version", "1") })
+        tt("part_8tasks")(fresh { p =>
+          assigned.repartition(8, col("cell"))
+            .write.mode("overwrite").partitionBy("cell").parquet(p) })
+        tt("part_noplanned")(fresh { p =>
+          spark.conf.set("spark.sql.optimizer.plannedWrite.enabled", "false")
+          try assigned.repartition(col("cell"))
+            .write.mode("overwrite").partitionBy("cell").parquet(p)
+          finally spark.conf.set(
+            "spark.sql.optimizer.plannedWrite.enabled", "true") })
+        tt("flat_base")(fresh { p =>
+          assigned.repartition(col("cell"))
+            .write.mode("overwrite").parquet(p) })
+        tt("part_32tasks")(fresh { p =>
+          assigned.repartition(32, col("cell"))
+            .write.mode("overwrite").partitionBy("cell").parquet(p) })
+        tt("part_nlist")(fresh { p =>
+          assigned.repartition(cents.length, col("cell"))
+            .write.mode("overwrite").partitionBy("cell").parquet(p) })
+        tt("part_64tasks")(fresh { p =>
+          assigned.repartition(64, col("cell"))
+            .write.mode("overwrite").partitionBy("cell").parquet(p) })
       case "hybridfreshstages" =>
         // Stage decomposition of s_hybrid_fresh (round-15 slowest gate):
         // two-leg ingest vs serve vs fold, per wave.

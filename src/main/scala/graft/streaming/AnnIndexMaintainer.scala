@@ -56,8 +56,11 @@ object AnnIndexMaintainer {
       // cluster by cell before the partitioned write: without this every
       // task emits a file per distinct cell it holds (≈ tasks × nlist tiny
       // files per batch — quadratic-feeling FS overhead once nlist follows
-      // the √N law); clustered, the batch writes ≈ one file per cell
-      .repartition(col("cell"))
+      // the √N law); clustered — with an EXPLICIT partition count, or AQE
+      // coalesces the write to 1-2 tasks that create every cell dir's
+      // file sequentially ([[BatchDirs.clusterForWrite]]) — the batch
+      // writes ≈ one file per cell
+      .transform(BatchDirs.clusterForWrite(_, "cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexDir/b$batchId")
   }
@@ -529,7 +532,7 @@ object AnnIndexMaintainer {
     graft.Exec.deletePath(newIndexDir)
     idx.withColumn("cell", graft.functions.VectorFns.nearestCellNative(
         col("v"), cents, roundScale))
-      .repartition(col("cell"))
+      .transform(BatchDirs.clusterForWrite(_, "cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$newIndexDir/c$maxB")
     val rebuilt = spark.read.schema(indexSchema)
@@ -581,7 +584,7 @@ object AnnIndexMaintainer {
         Seq("id"))
       .select(col("id"), col("v"), col("codes"), col("rn2"),
         col("batch_id"), col("cell"))
-      .repartition(col("cell"))
+      .transform(BatchDirs.clusterForWrite(_, "cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$newIndexDir/c$maxB")
     val rebuilt = spark.read.schema(indexPqSchema)
@@ -769,7 +772,7 @@ object AnnIndexMaintainer {
         (col("__ncell") + lit(cents.length)).cast("int").as("cell"))
     scored.where(col("__dnew") < col("__dold"))
       .select(moverCols: _*)
-      .repartition(col("cell"))
+      .transform(BatchDirs.clusterForWrite(_, "cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$tmpRoot/data")
     movers.select(col("id"), col("cell"), lit(growB).as("batch_id"))
@@ -818,7 +821,7 @@ object AnnIndexMaintainer {
         Seq("id"))
       .select(col("id"), col("v"), col("codes"), col("rn2"),
         lit(batchId).as("batch_id"), col("cell"))
-      .repartition(col("cell"))
+      .transform(BatchDirs.clusterForWrite(_, "cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexDir/b$batchId")
   }

@@ -25,6 +25,21 @@ private[streaming] object BatchDirs {
     * can widen it: `spark.graft.stream.statePartitions` (default 1;
     * ≤ 0 disables the coalesce entirely).
     */
+  /** Cluster rows by the partition-layout column with an EXPLICIT partition
+    * count before a dynamic-partition write. A bare `repartition(col)`
+    * leaves the count to AQE, which coalesces a small batch's shuffle to
+    * 1-2 partitions — and then ONE task writes every partition directory's
+    * file sequentially (~15 ms/file writer open+close; measured 4.4 s vs
+    * 1.5 s for a 282-cell batch at local[32], `Profile denseingest2`). An
+    * explicit count is exempt from AQE coalescing, so write parallelism
+    * stays at the executors' while each key still hashes wholly into one
+    * task — still ≈ one file per partition value, any scale.
+    */
+  def clusterForWrite(df: DataFrame, c: String): DataFrame =
+    df.repartition(
+      math.max(1, df.sparkSession.sparkContext.defaultParallelism),
+      org.apache.spark.sql.functions.col(c))
+
   def stateParts(df: DataFrame): DataFrame = {
     val n = df.sparkSession.conf
       .getOption("spark.graft.stream.statePartitions")
@@ -78,7 +93,7 @@ private[streaming] object BatchDirs {
     // unpartitioned (small-statistic) folds take the stateParts cap for
     // the same reason the per-batch writes do
     val clustered = partitionCol.fold(stateParts(merged))(c =>
-      merged.repartition(org.apache.spark.sql.functions.col(c)))
+      clusterForWrite(merged, c))
     val writer = clustered.write.mode("overwrite")
     partitionCol.fold(writer)(c => writer.partitionBy(c)).parquet(tmp.getPath)
     val dest = new java.io.File(indexDir, s"c$upTo")

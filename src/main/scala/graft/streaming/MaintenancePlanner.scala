@@ -265,7 +265,41 @@ object MaintenancePlanner {
     val pre = plan(spark, specs)
     val decisions = pre.select("state", "decision").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
-    val postSpecs: Seq[StateSpec] = specs.map {
+    // fail FAST on a decision whose caller-supplied target is missing —
+    // BEFORE any remedy acts. The sequential loop aborted mid-way (arms
+    // before the bad spec had already acted); validating up front makes
+    // a mis-called execute() a no-op instead of a partial mutation, and
+    // lets the arms below overlap safely.
+    specs.foreach {
+      case AnnSpec(n, _, _, _, _)
+          if decisions(n) == "retrain" && !annNewDirs.contains(n) =>
+        throw new IllegalArgumentException(
+          s"execute: ANN state '$n' decided retrain but no new-generation " +
+            "dir was supplied in annNewDirs")
+      case AnnPqSpec(n, _, _, _, _, _, _, _)
+          if decisions(n) == "retrain" && !annNewDirs.contains(n) =>
+        throw new IllegalArgumentException(
+          s"execute: PQ state '$n' decided retrain but no new-generation " +
+            "dir was supplied in annNewDirs")
+      case DeltaSpec(n, _, _)
+          if decisions(n) == "compact" && !deltaCompactors.contains(n) =>
+        throw new IllegalArgumentException(
+          s"execute: delta state '$n' decided compact but no compactor " +
+            "was supplied in deltaCompactors")
+      case CurateSpec(n, _, _)
+          if decisions(n) == "recurate" && !curateRuns.contains(n) =>
+        throw new IllegalArgumentException(
+          s"execute: curate state '$n' decided recurate but no ingested " +
+            "view was supplied in curateRuns")
+      case _ => ()
+    }
+    // each spec's remedy acts on its OWN state dir (disjoint dirs,
+    // per-state new-generation targets) — overlap the arms (guide
+    // §2.6); result order is index-pinned so the post plan and the
+    // returned spec seq are byte-identical to the sequential run
+    val postArr = new Array[StateSpec](specs.size)
+    graft.Exec.inParallel(specs.zipWithIndex.map { case (sp0, i) =>
+      () => postArr(i) = (sp0 match {
       case sp @ ShardSpec(n, dir, _, mans) if decisions(n) == "compact" =>
         val upTo = BatchDirs.listDirs(s"$dir/tomb", "b").map(_._1)
           .maxOption.getOrElse(-1L)
@@ -362,7 +396,9 @@ object MaintenancePlanner {
         Retention.sweep(spark, sp.root, sp.manifestDirs)
         sp
       case sp => sp
-    }
+      })
+    }: _*)
+    val postSpecs: Seq[StateSpec] = postArr.toSeq
     val post = plan(spark, postSpecs)
     (pre.select(lit("pre").as("phase"), col("state"), col("metric"),
         col("value"), col("threshold"), col("decision"))
@@ -456,7 +492,20 @@ object MaintenancePlanner {
     */
   def plan(spark: SparkSession, specs: Seq[StateSpec]): DataFrame = {
     import spark.implicits._
-    val rows = specs.map {
+    // each spec's metric is a read-only probe of its OWN state — overlap
+    // them (guide §2.6) instead of paying one probe-job latency per
+    // state; row order (and so the plan table) is index-pinned
+    val rowsArr =
+      new Array[(String, String, Double, Double, String)](specs.size)
+    graft.Exec.inParallel(specs.zipWithIndex.map { case (sp, i) =>
+      () => rowsArr(i) = metricOf(spark, sp)
+    }: _*)
+    rowsArr.toSeq.toDF("state", "metric", "value", "threshold", "decision")
+  }
+
+  private def metricOf(spark: SparkSession, spec: StateSpec)
+      : (String, String, Double, Double, String) = {
+    val one = Seq(spec).map {
       case ShardSpec(n, dir, t, _) =>
         val v = ShardMaintainer.deadFraction(spark, dir)
         (n, "dead_fraction", v, t, if (v >= t) "compact" else "none")
@@ -494,6 +543,6 @@ object MaintenancePlanner {
           .count().toDouble
         (n, "stale_generations", v, t, if (v >= t) "vacuum" else "none")
     }
-    rows.toDF("state", "metric", "value", "threshold", "decision")
+    one.head
   }
 }

@@ -76,7 +76,10 @@ object SnapshotManifest {
         "reads an integer second argument as an explicit horizon, so " +
         "a numeric pin name would be unaddressable; pick a " +
         "non-numeric name"))
-    pins.foreach(p => validate(spark, p))
+    // each validation is a read-only emptiness probe on its own state —
+    // overlap them (guide §2.6) instead of paying one sequential
+    // probe-job latency per pin
+    graft.Exec.inParallel(pins.map(p => () => validate(spark, p)): _*)
     import spark.implicits._
     val tmp = manifestDir + ".__tmp"
     graft.Exec.deletePath(tmp)

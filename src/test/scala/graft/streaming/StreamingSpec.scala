@@ -516,4 +516,45 @@ class StreamingSpec extends SparkSpec {
     new java.io.File(s"$base/state/map/c1").exists() shouldBe true
     curatedSet() shouldBe streamed
   }
+
+  test("clusterForWrite: cell-partitioned batch write stays one file per " +
+      "cell at an explicit (AQE-exempt) partition count") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-cfw").toString
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0),
+      Array(-1.0, 0.0), Array(0.0, -1.0))
+    val vecs = (0L until 64L).map(i =>
+      (i, Seq(math.cos(i * 0.7), math.sin(i * 0.7))))
+      .toDF("vec_id", "embedding")
+    AnnIndexMaintainer.processBatch(vecs, 0L, "vec_id", "embedding",
+      cents, s"$base/index")
+    val cellDirs = Option(new java.io.File(s"$base/index/b0").listFiles())
+      .toSeq.flatten.filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    cellDirs.size shouldBe 4
+    // each cell's rows hash wholly into ONE task → exactly one part file
+    // per cell dir, the same layout the pre-round-16 single-task write
+    // produced (only the producing parallelism changed)
+    cellDirs.foreach { d =>
+      d.listFiles().count(_.getName.startsWith("part-")) shouldBe 1
+    }
+    // contents: the union read returns every row with its assigned cell
+    AnnIndexMaintainer.readIndex(spark, s"$base/index")
+      .count() shouldBe 64L
+  }
+
+  test("inParallel: runs all bodies, rethrows the first failure only " +
+      "after every body has completed") {
+    val done = new java.util.concurrent.atomic.AtomicInteger
+    val e = intercept[IllegalStateException] {
+      graft.Exec.inParallel(
+        () => { Thread.sleep(50); done.incrementAndGet(); () },
+        () => throw new IllegalStateException("boom"),
+        () => { Thread.sleep(10); done.incrementAndGet(); () })
+    }
+    e.getMessage shouldBe "boom"
+    // both non-failing bodies finished BEFORE the rethrow — no caller
+    // ever observes a write still in flight
+    done.get() shouldBe 2
+  }
 }
