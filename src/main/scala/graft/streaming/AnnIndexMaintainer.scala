@@ -770,19 +770,25 @@ object AnnIndexMaintainer {
       (if (pq) Seq(col("codes"), col("rn2")) else Nil) ++
       Seq(lit(growB).as("batch_id"),
         (col("__ncell") + lit(cents.length)).cast("int").as("cell"))
-    scored.where(col("__dnew") < col("__dold"))
-      .select(moverCols: _*)
-      .transform(BatchDirs.clusterForWrite(_, "cell"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$tmpRoot/data")
-    movers.select(col("id"), col("cell"), lit(growB).as("batch_id"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$tmpRoot/mv")
-    // whole-index distortion under the grown quantizer = the new baseline
-    small.select(least(col("__dold"), col("__dnew")).as("__d"))
-      .agg(count(lit(1)).cast("long").as("n"),
-        coalesce(sum(col("__d")), lit(0.0)).as("sum_d2"))
-      .select(lit(growB).as("batch_id"), col("n"), col("sum_d2"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$tmpRoot/m")
+    // the three growth legs are independent once `small` is
+    // checkpointed (mv + metrics read it; data re-runs the scan with v)
+    // and all land under tmpRoot before the single commit rename —
+    // overlap them (guide §2.6)
+    graft.Exec.inParallel(
+      () => scored.where(col("__dnew") < col("__dold"))
+        .select(moverCols: _*)
+        .transform(BatchDirs.clusterForWrite(_, "cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$tmpRoot/data"),
+      () => movers.select(col("id"), col("cell"), lit(growB).as("batch_id"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmpRoot/mv"),
+      // whole-index distortion under the grown quantizer = the new
+      // baseline
+      () => small.select(least(col("__dold"), col("__dnew")).as("__d"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          coalesce(sum(col("__d")), lit(0.0)).as("sum_d2"))
+        .select(lit(growB).as("batch_id"), col("n"), col("sum_d2"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmpRoot/m"))
     require(new java.io.File(tmpRoot)
         .renameTo(new java.io.File(s"$indexDir/g$growB")),
       s"grow commit failed: $indexDir/g$growB")

@@ -154,12 +154,20 @@ object SnapshotManifest {
     */
   def verify(spark: SparkSession, manifestDir: String): DataFrame = {
     import spark.implicits._
-    pins(spark, manifestDir).map { p =>
-      val err =
-        try { validate(spark, p); "" }
-        catch { case e: Exception => Option(e.getMessage).getOrElse("error") }
-      (p.state, p.kind, p.asOf, err.isEmpty, err)
-    }.toDF("state", "kind", "as_of", "ok", "reason")
+    // read-only per-pin probes — overlap them (guide §2.6), row order
+    // index-pinned so the audit table is byte-identical
+    val ps = pins(spark, manifestDir)
+    val out = new Array[(String, String, Long, Boolean, String)](ps.size)
+    graft.Exec.inParallel(ps.zipWithIndex.map { case (p, i) =>
+      () => {
+        val err =
+          try { validate(spark, p); "" }
+          catch {
+            case e: Exception => Option(e.getMessage).getOrElse("error") }
+        out(i) = (p.state, p.kind, p.asOf, err.isEmpty, err)
+      }
+    }: _*)
+    out.toSeq.toDF("state", "kind", "as_of", "ok", "reason")
   }
 
   private def resolve(spark: SparkSession, p: Pin): DataFrame = p.kind match {
